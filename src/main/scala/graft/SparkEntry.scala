@@ -1,13 +1,67 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] maps an operator (or operator family) from
+  * SURVEY.md §2 / the training-data-pipeline surface onto the driver
+  * testdata; entries present in [[oracleSql]] are hash-checked against
+  * DuckDB, the rest get a rows-only check and their exact semantics are
+  * asserted in ScalaTest.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalOps.q03JoinAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational core (SURVEY §2.1, §2.4-2.6, §2.8)
+    "q01_agg" -> (RelationalOps.q01Agg _),
+    "q02_scan_filter" -> (RelationalOps.q02ScanFilter _),
+    "q03_join_agg" -> (RelationalOps.q03JoinAgg _),
+    "q04_left_join" -> (RelationalOps.q04LeftJoin _),
+    "q05_theta_join" -> (RelationalOps.q05ThetaJoin _),
+    "q06_window_rank" -> (RelationalOps.q06WindowRank _),
+    "q07_set_ops" -> (RelationalOps.q07SetOps _),
+    "q08_pyramid_explode" -> (RelationalOps.q08PyramidExplode _),
+    "q09_json" -> (RelationalOps.q09Json _),
+    "q10_mjd" -> (RelationalOps.q10Mjd _),
+    "q11_ivw" -> (RelationalOps.q11Ivw _),
+    "q12_having" -> (RelationalOps.q12Having _),
+    "q13_count_distinct" -> (RelationalOps.q13CountDistinct _),
+    "q21_sessionize" -> (RelationalOps.q21Sessionize _),
+    "q22_hourly_events" -> (RelationalOps.q22HourlyEvents _),
+    // embeddings / similarity search (SURVEY §2.6 A4, §2.9 V1 + ANN)
+    "q14_flatten" -> (VectorOps.q14Flatten _),
+    "q15_l1_distance" -> (VectorOps.q15L1Distance _),
+    "q16_cosine" -> (VectorOps.q16Cosine _),
+    "q24_ann_topk" -> ((s: SparkSession, d: String) => VectorOps.q24AnnTopK(s, d)),
+    "q25_ann_lsh" -> (VectorOps.q25AnnLsh _),
+    "q26_embedding_neardup" -> (VectorOps.q26EmbeddingNearDup _),
+    // text analysis / dedup
+    "q17_dedup_exact" -> (TextOps.q17DedupExact _),
+    "q18_jaccard" -> (TextOps.q18Jaccard _),
+    "q19_textstats" -> (TextOps.q19TextStats _),
+    "q20_langid" -> (TextOps.q20LangId _),
+    "q23_minhash" -> (TextOps.q23MinHash _),
+    "q27_simhash" -> (TextOps.q27SimHash _),
+    "q28_fingerprint" -> (TextOps.q28Fingerprint _),
+    // multimodal plumbing
+    "q29_multimodal" -> (MultimodalOps.q29Multimodal _),
+    "q32_frame_sample" -> (MultimodalOps.q32FrameSample _),
+    // cube aggregation semantics (SURVEY §2.6)
+    "q30_ivw_stack" -> (CubeOps.q30IvwStack _),
+    "q31_band_complete" -> (CubeOps.q31BandComplete _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    RelationalOps.oracles ++ VectorOps.oracles ++ TextOps.oracles ++
+      MultimodalOps.oracles ++ CubeOps.oracles
 }

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.Encoder
+
+/** Element-wise inverse-variance-weighted stack over (flux, sigma)
+  * vectors — the reference's ML-cube aggregation
+  * (`metadata_strategy_cube_ml.py:26-37`):
+  *
+  *   mu_i     = Σ_k (f_ki / s_ki²) / Σ_k (1 / s_ki²)
+  *   sigma'_i = sqrt(1 / Σ_k (1 / s_ki²))
+  *
+  * Reference NaN rules preserved: an element contributes only when its
+  * sigma is finite and non-zero AND its flux is not NaN (numpy `nansum`
+  * with `where=flux_sigma!=0`); elements with zero contributions yield
+  * NaN mean and Infinity sigma (1/0), matching numpy division semantics.
+  *
+  * Accumulation is f64 (reference computes f64, stores f32 —
+  * `metadata_strategy_cube_ml.py:27,37`); the caller decides whether to
+  * cast the result down to f32.
+  *
+  * This is a typed `Aggregator` registered via `functions.udaf`, so it
+  * participates in partial aggregation: map-side combine reduces each
+  * partition to one (sumW, sumWF) buffer pair per group before the
+  * shuffle — the 100 TB path moves only #groups × 2×n doubles.
+  *
+  * @param n vector length (4620/2^zoom for spectra; flattened pixel count
+  *          for image cutouts)
+  */
+class IvwStackAggregator(n: Int)
+    extends Aggregator[(Seq[Double], Seq[Double]), (Array[Double], Array[Double]), (Array[Double], Array[Double])] {
+
+  /** buffer = (Σ 1/s², Σ f/s²) per element */
+  override def zero: (Array[Double], Array[Double]) =
+    (Array.fill(n)(0.0), Array.fill(n)(0.0))
+
+  override def reduce(
+      buf: (Array[Double], Array[Double]),
+      in: (Seq[Double], Seq[Double])): (Array[Double], Array[Double]) = {
+    val (sumW, sumWF) = buf
+    val (flux, sigma) = in
+    if (flux != null && sigma != null) {
+      val m = math.min(n, math.min(flux.length, sigma.length))
+      var i = 0
+      while (i < m) {
+        val f = flux(i)
+        val s = sigma(i)
+        if (s != 0.0 && !s.isNaN && !s.isInfinite && !f.isNaN) {
+          val w = 1.0 / (s * s)
+          sumW(i) += w
+          sumWF(i) += f * w
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      a: (Array[Double], Array[Double]),
+      b: (Array[Double], Array[Double])): (Array[Double], Array[Double]) = {
+    var i = 0
+    while (i < n) {
+      a._1(i) += b._1(i)
+      a._2(i) += b._2(i)
+      i += 1
+    }
+    a
+  }
+
+  /** (mu, sigma') — NaN/Inf where nothing contributed, like numpy 0/0. */
+  override def finish(buf: (Array[Double], Array[Double])): (Array[Double], Array[Double]) = {
+    val (sumW, sumWF) = buf
+    val mu = new Array[Double](n)
+    val sg = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      mu(i) = sumWF(i) / sumW(i)
+      sg(i) = math.sqrt(1.0 / sumW(i))
+      i += 1
+    }
+    (mu, sg)
+  }
+
+  override def bufferEncoder: Encoder[(Array[Double], Array[Double])] =
+    ExpressionEncoder[(Array[Double], Array[Double])]()
+  override def outputEncoder: Encoder[(Array[Double], Array[Double])] =
+    ExpressionEncoder[(Array[Double], Array[Double])]()
+}

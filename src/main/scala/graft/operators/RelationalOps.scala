@@ -1,0 +1,294 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.syntax._
+
+/** Relational operator catalog over the driver testdata, one query per
+  * operator family in SURVEY.md §2. Each has a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Conventions shared with the oracles (the driver hash-compares):
+  *  - integer outputs CAST to BIGINT on both sides,
+  *  - floating outputs computed in DOUBLE and `round`-ed on both sides,
+  *  - no raw timestamp/date outputs — always formatted to strings or
+  *    converted to numeric (MJD) first.
+  */
+object RelationalOps {
+
+  /** S9/A1-lite pushdown aggregate — TPC-H Q1 flavored (SURVEY §2.6).
+    * Group-by on two low-cardinality keys: map-side partial aggregation
+    * makes the shuffle tiny at any scale.
+    */
+  def q01Agg(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_price"),
+        round(avg($"l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("n_rows"))
+
+  /** S1 scan + filter + projection; predicate and column pruning reach the
+    * parquet reader (PushedFilters in .explain). (SURVEY §2.1 S1, I7)
+    */
+  def q02ScanFilter(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .filter($"l_quantity" < 5 && $"l_shipdate" < to_timestamp(lit("1997-01-01")))
+      .select(
+        $"l_orderkey".cast("long").as("l_orderkey"),
+        $"l_linenumber".cast("long").as("l_linenumber"),
+        $"l_quantity".cast("double").as("l_quantity"))
+
+  /** J1-style multi-way equi-join + aggregate (orders→customer→nation→
+    * region). nation/region are broadcast (tiny dims); only the
+    * orders⨝customer join shuffles, on the join key. (SURVEY §2.5 J1)
+    */
+  def q03JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = load(s, dir, "orders")
+    val cust = load(s, dir, "customer")
+    val nation = load(s, dir, "nation")
+    val region = load(s, dir, "region")
+    orders
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("total_price"))
+  }
+
+  /** J5 left-outer join preserving unmatched left rows (SFR-merge shape:
+    * spectra metadata ⟕ star-formation-rate catalog). (SURVEY §2.5 J5)
+    */
+  def q04LeftJoin(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "customer")
+      .join(load(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_mktsegment")
+      .agg(
+        countDistinct($"c_custkey").as("n_customers"),
+        count($"o_orderkey").as("n_orders"),
+        countDistinct(when($"o_orderkey".isNull, $"c_custkey")).as("n_no_orders"))
+
+  /** P2/J3 theta-join: equi key + non-equi residual predicate, small side
+    * broadcast (the reference's camcol+run-predicate gain lookup).
+    * (SURVEY §2.5 J3)
+    */
+  def q05ThetaJoin(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .join(
+        broadcast(load(s, dir, "part")),
+        $"l_partkey" === $"p_partkey" && $"l_quantity" > $"p_size")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+
+  /** I4-style ranking within partitions (sorted secondary index / top-k
+    * per group); deterministic tie-break on the key. (SURVEY §2.4)
+    */
+  def q06WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+    load(s, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select(
+        $"c_custkey".cast("long").as("c_custkey"),
+        $"c_nationkey".cast("long").as("c_nationkey"),
+        $"rn".cast("long").as("rn"))
+  }
+
+  /** P6-style set op: union + distinct (transmission-curve merge shape).
+    * (SURVEY §2.8)
+    */
+  def q07SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ck = load(s, dir, "customer").select($"c_nationkey".as("k"))
+    val sk = load(s, dir, "supplier").select($"s_nationkey".as("k"))
+    ck.union(sk).distinct()
+      .join(broadcast(load(s, dir, "nation")), $"k" === $"n_nationkey")
+      .select($"n_name").distinct()
+  }
+
+  /** X1/X2 zoom-pyramid fan-out as a generator: each row explodes to 5
+    * zoom levels with the reference's resolution law floor(4620/2^z)
+    * (matches [4620,2310,1155,577,288], test_cube_utils.py:14-21).
+    * (SURVEY §2.3)
+    */
+  def q08PyramidExplode(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "part")
+      .select($"p_partkey", explode(sequence(lit(0), lit(4))).as("zoom"))
+      .select(
+        $"p_partkey".cast("long").as("p_partkey"),
+        $"zoom".cast("long").as("zoom"),
+        floor(lit(4620) / pow(lit(2), $"zoom")).as("res"))
+
+  /** P16 JSON header parse: schemaless JSON string column → typed field
+    * (from_json, the engine's FITS-header access path). (SURVEY §2.2 P16)
+    */
+  def q09Json(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .select($"event_type",
+        from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").cast("long").as("sum_k"))
+
+  /** P17 time normalization: civil timestamp → MJD day number
+    * (mjd = unix_days + 40587), the reference's DATE-OBS→MJD conversion.
+    * (SURVEY §2.2 P17)
+    */
+  def q10Mjd(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .select((floor(unix_timestamp($"o_orderdate") / 86400) + 40587).as("mjd"))
+      .groupBy($"mjd")
+      .agg(count(lit(1)).as("n"))
+
+  /** A1 inverse-variance-weighted mean, scalar form:
+    * mu = sum(f/s^2)/sum(1/s^2), sigma' = sqrt(1/sum(1/s^2)) — the ML-cube
+    * stacking math (metadata_strategy_cube_ml.py:26-37) over a generic
+    * (value, sigma) pair. Decomposes into two partial sums → map-side
+    * combine, single shuffle on the group key. (SURVEY §2.6 A1)
+    */
+  def q11Ivw(s: SparkSession, dir: String): DataFrame = {
+    val sig = $"l_tax" + lit(0.05)
+    val w = lit(1.0) / (sig * sig)
+    load(s, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(
+        round(sum($"l_extendedprice" * w) / sum(w), 4).as("ivw_mean"),
+        round(sqrt(lit(1.0) / sum(w)), 6).as("ivw_sigma"),
+        count(lit(1)).as("n"))
+      .select(
+        $"l_partkey".cast("long").as("l_partkey"),
+        $"ivw_mean", $"ivw_sigma", $"n")
+  }
+
+  /** A2 group-filter (HAVING): keep groups meeting a distinct-count
+    * condition — the "target has all 5 bands" rule
+    * (metadata_strategy_cube_ml.py:261-262). (SURVEY §2.6 A2)
+    */
+  def q12Having(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct($"o_orderpriority").as("n_prio"))
+      .filter($"n_prio" >= 3)
+      .select($"o_custkey".cast("long").as("o_custkey"), $"n_orders", $"n_prio")
+
+  /** A3 distinct-count of targets per group. (SURVEY §2.6 A3) */
+  def q13CountDistinct(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "supplier")
+      .join(broadcast(load(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        countDistinct($"s_suppkey").as("n_suppliers"),
+        round(sum($"s_acctbal"), 2).as("total_bal"))
+
+  /** Event sessionization (gap > 30 min ⇒ new session) via lag + running
+    * sum — the window/stateful-shape op a training-data pipeline needs;
+    * batch twin of the Structured Streaming path in graft.streaming.
+    */
+  def q21Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    load(s, dir, "events")
+      .withColumn("ts_sec", unix_timestamp($"ts"))
+      .withColumn("gap", $"ts_sec" - lag($"ts_sec", 1).over(byUser))
+      .withColumn("new_sess", when($"gap".isNull || $"gap" > 1800, 1).otherwise(0))
+      .withColumn("sess_id", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id")
+      .agg(
+        max($"sess_id").cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id".cast("long").as("user_id"), $"n_sessions", $"n_events")
+  }
+
+  /** Hourly tumbling-window aggregate over the event stream (batch form;
+    * streaming form in graft.streaming.EventStream).
+    */
+  def q22HourlyEvents(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .groupBy(
+        date_format($"ts", "yyyy-MM-dd HH:00:00").as("hour"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+
+  // Shared oracle SQL (DuckDB dialect) for the queries above.
+  val oracles: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        |round(sum(l_extendedprice),2) AS sum_price, round(avg(l_discount),6) AS avg_disc,
+        |CAST(count(*) AS BIGINT) AS n_rows FROM lineitem GROUP BY 1,2""".stripMargin,
+    "q02_scan_filter" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |CAST(l_quantity AS DOUBLE) AS l_quantity FROM lineitem
+        |WHERE l_quantity < 5 AND l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |round(sum(o_totalprice),2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey GROUP BY 1,2""".stripMargin,
+    "q04_left_join" ->
+      """SELECT c_mktsegment, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+        |CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |CAST(count(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END) AS BIGINT) AS n_no_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1""".stripMargin,
+    "q05_theta_join" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+        |GROUP BY 1""".stripMargin,
+    "q06_window_rank" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT c_custkey, c_nationkey,
+        |  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) t WHERE rn <= 3""".stripMargin,
+    "q07_set_ops" ->
+      """SELECT DISTINCT n_name FROM nation JOIN (
+        |  SELECT c_nationkey AS k FROM customer
+        |  UNION SELECT s_nationkey FROM supplier) u ON n_nationkey = u.k""".stripMargin,
+    "q08_pyramid_explode" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS p_partkey, CAST(zoom AS BIGINT) AS zoom,
+        |CAST(floor(4620/pow(2,zoom)) AS BIGINT) AS res
+        |FROM part CROSS JOIN (SELECT unnest(generate_series(0,4)) AS zoom) z""".stripMargin,
+    "q09_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(CAST(regexp_extract(props,'[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "q10_mjd" ->
+      """SELECT CAST(floor(epoch(o_orderdate)/86400) + 40587 AS BIGINT) AS mjd,
+        |CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1""".stripMargin,
+    "q11_ivw" ->
+      """SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+        |round(sum(l_extendedprice/((l_tax+0.05)*(l_tax+0.05)))/sum(1.0/((l_tax+0.05)*(l_tax+0.05))),4) AS ivw_mean,
+        |round(sqrt(1.0/sum(1.0/((l_tax+0.05)*(l_tax+0.05)))),6) AS ivw_sigma,
+        |CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1""".stripMargin,
+    "q12_having" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
+        |FROM orders GROUP BY 1 HAVING count(DISTINCT o_orderpriority) >= 3""".stripMargin,
+    "q13_count_distinct" ->
+      """SELECT n_name, CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
+        |round(sum(s_acctbal),2) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY 1""".stripMargin,
+    "q21_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |g AS (
+        |  SELECT user_id, ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS gap
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess FROM g)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        |CAST(count(*) AS BIGINT) AS n_events FROM f GROUP BY 1""".stripMargin,
+    "q22_hourly_events" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+        |CAST(count(*) AS BIGINT) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1,2""".stripMargin,
+  )
+}

@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.syntax._
+
+/** Text-analysis + dedup operators over the `documents` table — the
+  * training-data-pipeline surface (exact dedup, MinHash+LSH, SimHash,
+  * n-gram Jaccard, language-ID, quality stats, token counts,
+  * fingerprinting). Everything here is built from codegen'd built-ins /
+  * higher-order functions — no UDFs — so it scales as plain scans +
+  * key-partitioned shuffles.
+  */
+object TextOps {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Exact dedup profile: per source, docs vs distinct content hashes
+    * (hash-groupBy dedup; md5 here, xxhash64 at scale). */
+  def q17DedupExact(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5($"text")).as("n_distinct"))
+
+  /** Word-level Jaccard similarity over doc pairs (the exact n-gram
+    * overlap measure LSH approximates). Explode → self-equi-join on the
+    * token → group: at scale this is the token-inverted-index join, which
+    * shuffles on the token key instead of materializing all pairs. */
+  def q18Jaccard(s: SparkSession, dir: String): DataFrame = {
+    val w = load(s, dir, "documents")
+      .filter($"doc_id" < 15)
+      .select($"doc_id", explode(array_distinct(toks($"text"))).as("w"))
+    val sizes = w.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = w.as("a").join(w.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), $"da" === col("sa.doc_id"))
+      .join(sizes.as("sb"), $"db" === col("sb.doc_id"))
+      .select(
+        $"da".cast("long").as("doc_a"),
+        $"db".cast("long").as("doc_b"),
+        round($"inter" * lit(1.0) / (col("sa.n") + col("sb.n") - $"inter"), 4).as("jac"))
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and")
+
+  /** Quality/stat scoring: token counts, distinct ratio, average token
+    * length, stopword ratio — the text-quality features of a data
+    * pipeline, all as pure column expressions. */
+  def q19TextStats(s: SparkSession, dir: String): DataFrame = {
+    val t = toks($"text")
+    val nTok = size(t)
+    load(s, dir, "documents")
+      .select(
+        $"doc_id",
+        $"n_chars".cast("long").as("n_chars"),
+        nTok.cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct_tokens"),
+        round(length(replace($"text", lit(" "), lit(""))).cast("double") / nTok, 4)
+          .as("avg_token_len"),
+        round(size(filter(t, x => x.isin(stopwords: _*))).cast("double") / nTok, 4)
+          .as("stop_ratio"))
+  }
+
+  /** Language-ID heuristic: marker-token votes with fixed precedence
+    * (en > de > fr > es), 'unk' when no marker hits. Formula-parity is
+    * what the oracle checks; real corpora swap in real marker n-grams. */
+  def q20LangId(s: SparkSession, dir: String): DataFrame = {
+    val t = toks($"text")
+    def votes(ws: Seq[String]) = size(filter(t, x => x.isin(ws: _*)))
+    val en = votes(Seq("the", "a", "of", "and"))
+    val de = votes(Seq("der", "die", "das", "und"))
+    val fr = votes(Seq("le", "la", "les", "et"))
+    val es = votes(Seq("el", "los", "las", "y"))
+    val pred = when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("unk")
+    load(s, dir, "documents")
+      .select(
+        $"doc_id", $"lang", pred.as("pred"),
+        when(pred === $"lang", 1L).otherwise(0L).as("is_match"))
+  }
+
+  /** Word-3-gram shingles of a document (distinct). Documents shorter
+    * than 3 tokens yield their whole text as the single shingle.
+    *
+    * The token array is bound ONCE as a lambda variable via the
+    * single-element-array wrap: higher-order functions re-evaluate plain
+    * argument expressions inside the lambda body per element (split()
+    * would otherwise run ~3× per shingle — measured 40× slower).
+    */
+  def shingles(c: Column): Column =
+    element_at(
+      transform(array(toks(c)), t =>
+        when(size(t) >= 3,
+          array_distinct(
+            transform(sequence(lit(1), size(t) - 2),
+              i => concat_ws(" ",
+                element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+          .otherwise(array(concat_ws(" ", t)))),
+      1)
+
+  /** MinHash signature: K independent hash "permutations", each the min
+    * of xxhash64(shingle, k) over the shingle set. */
+  def minhashSig(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      kk => array_min(transform(sh, x => xxhash64(x, kk))))
+
+  /** MinHash + LSH near-dup detection: signature → bands → bucket-join on
+    * (band, band-hash) → exact Jaccard verify on candidates. Only
+    * same-bucket pairs are materialized (the scale path: shuffle on
+    * band-hash, never all-pairs). Rows-only driver check; the planted-dup
+    * ScalaTest asserts recall. */
+  def q23MinHash(s: SparkSession, dir: String): DataFrame = {
+    val bands = 4
+    val rows = 4
+    val k = bands * rows
+    // Relational MinHash: explode shingles ONCE, then the K "permutation"
+    // minima are K min-aggregates over one groupBy — map-side combine
+    // shrinks the shuffle to one row per doc, and Spark's ReuseExchange
+    // computes this subtree once even though it is referenced three times
+    // below. (A higher-order-function formulation recomputes the shingle
+    // array inside every lambda — measured 8× slower at sf0.1.)
+    val exploded = load(s, dir, "documents")
+      .select($"doc_id", explode(shingles($"text")).as("sh"))
+    val aggs = collect_set($"sh").as("sh_set") +:
+      (0 until k).map(kk => min(xxhash64($"sh", lit(kk))).as(s"m$kk"))
+    val sigs = exploded.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    // LSH bands: hash each run of `rows` signature components; a pair is
+    // a candidate iff it shares a (band, bkey) bucket. Carry ids only.
+    val banded = sigs.select(
+      $"doc_id",
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("bkey"))
+      }: _*)).as("bb"))
+      .select($"doc_id", col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sh = sigs.select($"doc_id", $"sh_set")
+    cand
+      .join(sh.select($"doc_id".as("id_a"), $"sh_set".as("sh_a")), "id_a")
+      .join(sh.select($"doc_id".as("id_b"), $"sh_set".as("sh_b")), "id_b")
+      .select($"id_a", $"id_b",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b"))).as("jac"))
+      .filter($"jac" >= 0.8)
+      .groupBy()
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
+  /** SimHash (64-bit) per document: per bit j, sign of Σ_tokens ±1 by
+    * token-hash bit j. Output is a stable content fingerprint whose
+    * Hamming distance approximates cosine over token multisets. */
+  def simhash(c: Column, nBits: Int = 64): Column =
+    element_at(
+      transform(array(toks(c)), t =>
+        (0 until nBits).map { j =>
+          val bitSum = aggregate(t, lit(0),
+            (acc, tok) => acc +
+              when(shiftright(xxhash64(tok), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+          when(bitSum >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b))),
+      1)
+
+  /** SimHash dedup profile: distinct fingerprints + collision count.
+    * Rows-only driver check (hash constants are engine-side). */
+  def q27SimHash(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select($"doc_id", simhash($"text").as("sh"))
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"sh").as("n_distinct_simhash"))
+
+  /** Rolling polynomial fingerprint over characters
+    * (acc*31 + code) mod 1e9+7 — the document-fingerprint op. */
+  def fingerprint(c: Column): Column =
+    aggregate(split(c, ""), lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+
+  def q28Fingerprint(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select($"doc_id", fingerprint($"text").as("fp"))
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"fp").as("n_distinct_fp"))
+
+  val oracles: Map[String, String] = Map(
+    "q17_dedup_exact" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q18_jaccard" ->
+      """WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+        |  FROM documents WHERE doc_id < 15),
+        |s AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+        |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+        |round(inter*1.0/(sa.n+sb.n-inter),4) AS jac
+        |FROM i JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db""".stripMargin,
+    "q19_textstats" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct_tokens,
+        |round(CAST(length(replace(text,' ','')) AS DOUBLE)/len(string_split(text,' ')),4) AS avg_token_len,
+        |round(CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) AS DOUBLE)
+        |  /len(string_split(text,' ')),4) AS stop_ratio
+        |FROM documents""".stripMargin,
+    "q20_langid" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) AS en,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) AS de,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et'))) AS fr,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y'))) AS es
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |     WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |     WHEN fr >= es AND fr > 0 THEN 'fr'
+        |     WHEN es > 0 THEN 'es' ELSE 'unk' END AS pred,
+        |CAST(CASE WHEN (CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |     WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |     WHEN fr >= es AND fr > 0 THEN 'fr'
+        |     WHEN es > 0 THEN 'es' ELSE 'unk' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS is_match
+        |FROM f""".stripMargin,
+  )
+}

