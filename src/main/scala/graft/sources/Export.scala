@@ -1,0 +1,103 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+
+import graft.pipeline.VizRow
+
+/** S10/S11 — visualization-cube export sinks
+  * (`metadata_strategy_cube_visualization.py:97-104`): VOTable (XML
+  * TABLEDATA) and FITS binary table. The reference exports a collected
+  * numpy table via astropy; the Spark equivalents here take an iterator
+  * of rows so they can run driver-side (small exports) or one file per
+  * partition via `foreachPartition` (large).
+  */
+object Export {
+
+  private val columns: Seq[(String, String)] = Seq(
+    "heal_id" -> "long", "ra" -> "double", "dec" -> "double",
+    "time" -> "double", "wl" -> "double", "mean" -> "double",
+    "sigma" -> "double")
+
+  private def values(r: VizRow): Seq[Any] =
+    Seq(r.heal_id, r.ra, r.dec, r.time, r.wl, r.mean, r.sigma)
+
+  /** S10: VOTable 1.4 with inline TABLEDATA. */
+  def writeVOTable(rows: Iterator[VizRow], path: String): Long = {
+    val out = new java.io.PrintWriter(
+      new BufferedOutputStream(new FileOutputStream(path)), false, StandardCharsets.UTF_8)
+    var n = 0L
+    try {
+      out.println("""<?xml version="1.0" encoding="UTF-8"?>""")
+      out.println("""<VOTABLE version="1.4" xmlns="http://www.ivoa.net/xml/VOTable/v1.3">""")
+      out.println(""" <RESOURCE><TABLE name="dense_cube">""")
+      columns.foreach { case (name, tpe) =>
+        val dt = if (tpe == "long") "long" else "double"
+        out.println(s"""  <FIELD name="$name" datatype="$dt"/>""")
+      }
+      out.println("""  <DATA><TABLEDATA>""")
+      rows.foreach { r =>
+        out.print("   <TR>")
+        values(r).foreach(v => out.print(s"<TD>$v</TD>"))
+        out.println("</TR>")
+        n += 1
+      }
+      out.println("""  </TABLEDATA></DATA></TABLE></RESOURCE></VOTABLE>""")
+    } finally out.close()
+    n
+  }
+
+  private def card(key: String, value: String, comment: String = ""): Array[Byte] = {
+    val s = key.padTo(8, ' ') + "= " + value.reverse.padTo(20, ' ').reverse +
+      (if (comment.nonEmpty) " / " + comment else "")
+    s.padTo(80, ' ').take(80).getBytes(StandardCharsets.US_ASCII)
+  }
+
+  private def pad(out: DataOutputStream, written: Long): Unit = {
+    val rem = (Fits.BlockSize - (written % Fits.BlockSize)) % Fits.BlockSize
+    out.write(Array.fill(rem.toInt)(' '.toByte))
+  }
+
+  /** S11: FITS file with one BINTABLE HDU holding the table. */
+  def writeFitsTable(rows: Seq[VizRow], path: String): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+    try {
+      // primary HDU: empty
+      val primary = Seq(
+        card("SIMPLE", "T"), card("BITPIX", "8"), card("NAXIS", "0"),
+        card("EXTEND", "T"),
+        "END".padTo(80, ' ').getBytes(StandardCharsets.US_ASCII))
+      var written = 0L
+      primary.foreach { c => out.write(c); written += 80 }
+      pad(out, written)
+
+      // bintable header
+      val rowBytes = columns.map { case (_, t) => if (t == "long") 8 else 8 }.sum
+      val hdr = Seq(
+        card("XTENSION", "'BINTABLE'"), card("BITPIX", "8"), card("NAXIS", "2"),
+        card("NAXIS1", rowBytes.toString), card("NAXIS2", rows.length.toString),
+        card("PCOUNT", "0"), card("GCOUNT", "1"),
+        card("TFIELDS", columns.length.toString)) ++
+        columns.zipWithIndex.flatMap { case ((name, tpe), i) =>
+          Seq(
+            card(s"TTYPE${i + 1}", s"'$name'"),
+            card(s"TFORM${i + 1}", if (tpe == "long") "'K'" else "'D'"))
+        } ++ Seq("END".padTo(80, ' ').getBytes(StandardCharsets.US_ASCII))
+      written = 0L
+      hdr.foreach { c => out.write(c); written += 80 }
+      pad(out, written)
+
+      // data
+      written = 0L
+      rows.foreach { r =>
+        values(r).foreach {
+          case l: Long => out.writeLong(l)
+          case d: Double => out.writeDouble(d)
+          case other => throw new IllegalStateException(other.toString)
+        }
+        written += rowBytes
+      }
+      pad(out, written)
+    } finally out.close()
+  }
+}

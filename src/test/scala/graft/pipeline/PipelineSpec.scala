@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Healpix
+import graft.sources.{Export, Fits}
+
+/** End-to-end pipeline test over synthetic SDSS-shaped FITS
+  * (FitsFixtures): ingest → link → ML cube → viz cube → SFR merge.
+  * Mirrors the reference's builder tests with formula-level expectations
+  * (the golden 185-image galaxy_small set is not in the snapshot).
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  // --- fixture layout -----------------------------------------------------
+  lazy val root: Path = {
+    val dir = Files.createTempDirectory("graft-pipeline")
+    val specDir = dir.resolve("spectra"); Files.createDirectories(specDir)
+    val imgDir = dir.resolve("images"); Files.createDirectories(imgDir)
+
+    val (loglam, flux, ivar) = FitsFixtures.specGrid()
+    // target A: two spectra in the same order-15 cell
+    FitsFixtures.writeSpectrum(specDir.resolve("spec-1001-53000-0001.fits").toString,
+      150.0, 2.0, 1001, 53000, 1, loglam, flux, ivar)
+    FitsFixtures.writeSpectrum(specDir.resolve("spec-1001-53050-0002.fits").toString,
+      150.0 + 0.2 / 3600, 2.0, 1001, 53050, 2, loglam, flux, ivar)
+    // target B: one spectrum elsewhere
+    FitsFixtures.writeSpectrum(specDir.resolve("spec-1002-53100-0003.fits").toString,
+      150.2, 2.1, 1002, 53100, 3, loglam, flux, ivar)
+
+    // one frame per band per target, centered on the target
+    var run = 1000
+    for (band <- Seq("u", "g", "r", "i", "z"); (ra, dec) <- Seq((150.0, 2.0), (150.2, 2.1))) {
+      FitsFixtures.writeFrame(
+        imgDir.resolve(f"frame-$band-$run%06d-3-0001.fits").toString,
+        band, run, 3, 1, 512, 372, ra, dec)
+      run += 1
+    }
+    dir
+  }
+
+  lazy val spectra = Ingest.spectra(spark, root.resolve("spectra").toString).cache()
+  lazy val images =
+    Ingest.images(spark, root.resolve("images").toString, "/root/reference/config").cache()
+  lazy val links = Link.linkCutouts(spectra, images).cache()
+
+  test("ingest: 3 spectra and 10 images, 5 zoom levels each") {
+    assert(spectra.count() == 3 * 5)
+    assert(images.count() == 10 * 5)
+    val z = spectra.collect().groupBy(_.zoom).view.mapValues(_.head.flux.length).toMap
+    assert(z == Map(0 -> 4620, 1 -> 2310, 2 -> 1155, 3 -> 577, 4 -> 288))
+    val iz = images.collect().groupBy(_.zoom)
+      .view.mapValues(v => (v.head.width, v.head.height)).toMap
+    assert(iz == Map(0 -> ((512, 372)), 1 -> ((256, 186)), 2 -> ((128, 93)),
+      3 -> ((64, 46)), 4 -> ((32, 23))))
+  }
+
+  test("target A's spectra share an order-15 healpix cell; B differs") {
+    val byId = spectra.filter(_.zoom == 0).collect().sortBy(_.fiberid)
+    assert(byId(0).healpix == byId(1).healpix, "spectra 1,2 must share a target cell")
+    assert(byId(0).healpix != byId(2).healpix)
+  }
+
+  test("link: each spectrum gets its target's 5 bands at every zoom, whole cutouts only") {
+    val l = links.collect()
+    // 3 spectra × 5 bands × 5 zooms
+    assert(l.length == 3 * 5 * 5, s"got ${l.length}")
+    assert(l.forall(c => c.x_max - c.x_min == 64 >> c.zoom))
+    assert(l.forall(c => c.y_max - c.y_min == 64 >> c.zoom))
+    // bounds inside the image at that zoom
+    assert(l.forall(c => c.x_min >= 0 && c.y_min >= 0))
+    val bands = l.filter(c => c.zoom == 0).groupBy(_.spec_id).view.mapValues(_.map(_.band).sorted.toSeq)
+    assert(bands.values.forall(_ == Seq("g", "i", "r", "u", "z")))
+  }
+
+  test("ml cube: 2 targets × 5 zooms, 5 bands each, IVW stacking laws") {
+    val ml = MlCube.build(spectra, links, images).collect()
+    assert(ml.length == 2 * 5, s"got ${ml.length}")
+    val byTz = ml.groupBy(r => (r.target_healpix, r.zoom))
+    assert(byTz.values.forall(_.length == 1))
+    assert(ml.forall(_.cutouts.length == 5))
+    assert(ml.forall(_.cutouts.map(_.band).sorted.sameElements(Array("g", "i", "r", "u", "z"))))
+    // spectral stack lengths follow the pyramid law
+    val lens = ml.groupBy(_.zoom).view.mapValues(_.head.spec_flux.length).toMap
+    assert(lens == Map(0 -> 4620, 1 -> 2310, 2 -> 1155, 3 -> 577, 4 -> 288))
+    // cutout shapes 64/2^z (reference ml cube (2,5,16,16) at zoom 2)
+    val z2 = ml.filter(_.zoom == 2)
+    assert(z2.forall(_.cutouts.forall(c =>
+      c.flux.length == 16 && c.flux.head.length == 16)))
+    // target A has 2 spectra; identical inputs → stacked flux == input flux,
+    // stacked sigma == sigma/sqrt(2)
+    val a = ml.find(r => r.zoom == 0 && r.n_spectra == 2).get
+    val one = spectra.filter(s => s.zoom == 0 && s.fiberid == 1).head()
+    val i0 = one.flux.indexWhere(v => !v.isNaN)
+    assert(math.abs(a.spec_flux(i0) - one.flux(i0)) < 1e-6 * math.abs(one.flux(i0)))
+    assert(math.abs(a.spec_sigma(i0) - one.sigma(i0) / math.sqrt(2)) < 1e-6 * one.sigma(i0))
+    val b = ml.find(r => r.zoom == 0 && r.n_spectra == 1).get
+    assert(math.abs(b.spec_sigma(i0) - one.sigma(i0)) < 1e-6 * one.sigma(i0))
+  }
+
+  test("viz cube: spectral rows follow the pyramid law; cutout rows match link areas") {
+    val sRows = VizCube.spectrumRows(spectra)
+    assert(sRows.count() == 3L * (4620 + 2310 + 1155 + 577 + 288))
+    val cRows = VizCube.cutoutRows(links, images)
+    val expected = links.collect().map(c => (c.x_max - c.x_min) * (c.y_max - c.y_min)).sum
+    assert(cRows.count() == expected)
+    // per-pixel coords are in range and near the frame center
+    val sample = cRows.filter(_.zoom == 4).take(20)
+    assert(sample.forall(r => r.ra >= 149 && r.ra <= 151 && r.dec >= 1 && r.dec <= 3))
+    assert(sample.forall(r => Healpix.nPix(19) > r.heal_id && r.heal_id >= 0))
+  }
+
+  test("sfr: FITS table source + positional concat + left merge (test_sfr.py semantics)") {
+    val dir = Files.createTempDirectory("graft-sfr")
+    val info = dir.resolve("gal_info.fits").toString
+    val fib = dir.resolve("gal_fibsfr.fits").toString
+    // SFR catalog covers plates 1001 (both fibers) but not 1002
+    FitsFixtures.writeGalTables(info, fib,
+      Seq((1001, 53000, 1), (1001, 53050, 2), (999, 50000, 9)))
+    val sfr = Sfr.sfrTable(spark, info, fib)
+    assert(!sfr.columns.contains("PHOTOID")) // dropped like the reference
+    assert(sfr.count() == 3)
+    val merged = Sfr.mergeWithSpectraMetadata(Sfr.spectraMetadata(spectra), sfr)
+    assert(merged.count() == 3) // all 3 spectra survive the left join
+    assert(merged.filter(merged("MEDIAN").isNull).count() == 1) // spectrum 3 unmatched
+  }
+
+  test("export: VOTable and FITS sinks roundtrip the viz table") {
+    val rows = VizCube.spectrumRows(spectra).filter(_.zoom == 4).collect().toSeq
+    val dir = Files.createTempDirectory("graft-export")
+    val vot = dir.resolve("cube.vot.xml").toString
+    assert(Export.writeVOTable(rows.iterator, vot) == rows.length)
+    val xml = new String(Files.readAllBytes(java.nio.file.Paths.get(vot)))
+    assert(xml.contains("<VOTABLE") && xml.contains("<TR>"))
+
+    val fits = dir.resolve("cube.fits").toString
+    Export.writeFitsTable(rows, fits)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(fits))
+    val hdus = Fits.readHdus(bytes)
+    val t = Fits.readBinTable(bytes, hdus(1))
+    assert(t.nRows == rows.length)
+    val wl0 = Fits.readDoubles(bytes, t, t.column("wl"), 0)(0)
+    assert(math.abs(wl0 - rows.head.wl) < 1e-9)
+  }
+}
