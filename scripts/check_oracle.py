@@ -19,7 +19,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(v):
     if v is None:
-        return None
+        return "\x00NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"

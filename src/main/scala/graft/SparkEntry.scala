@@ -57,11 +57,25 @@ object SparkEntry {
     // cube aggregation semantics (SURVEY §2.6)
     "q30_ivw_stack" -> (CubeOps.q30IvwStack _),
     "q31_band_complete" -> (CubeOps.q31BandComplete _),
+    // grouping sets / sketches / csv (SURVEY §2.6 note, §2.1 S2)
+    "q33_rollup" -> (RelationalOps.q33Rollup _),
+    "q34_cube" -> (RelationalOps.q34Cube _),
+    "q35_approx_distinct" -> (RelationalOps.q35ApproxDistinct _),
+    "q36_csv_scan" -> (RelationalOps.q36CsvScan _),
+    // spatial index + FITS pipeline (SURVEY §2.1 S3-S6, §2.4 I1/I6, §2.9)
+    "q37_healpix" -> (AstroOps.q37Healpix _),
+    "q38_fits_spectra" -> (AstroOps.q38FitsSpectra _),
+    "q39_fits_image" -> (AstroOps.q39FitsImage _),
+    "q40_viz_flatten" -> (AstroOps.q40VizFlatten _),
+    "q42_disc_cover" -> (AstroOps.q42DiscCover _),
+    // structured streaming (windowed agg over the event stream)
+    "q41_stream_windows" -> (graft.streaming.EventStream.q41StreamWindows _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalOps.oracles ++ VectorOps.oracles ++ TextOps.oracles ++
-      MultimodalOps.oracles ++ CubeOps.oracles
+      MultimodalOps.oracles ++ CubeOps.oracles ++
+      graft.streaming.EventStream.oracles
 }

@@ -217,6 +217,39 @@ object RelationalOps {
         $"event_type")
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
 
+  /** ROLLUP over (returnflag, linestatus) — multi-level aggregation the
+    * engine gets from Catalyst for free (SURVEY §2.6 note). */
+  def q33Rollup(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+
+  /** CUBE over (orderpriority, orderstatus). */
+  def q34Cube(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+
+  /** approx_count_distinct (HLL) vs exact — sketch aggregation; checked
+    * rows-only (HLL estimates are engine-specific) with a sanity bound. */
+  def q35ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy()
+      .agg(
+        countDistinct($"l_orderkey").as("exact"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx"))
+      .withColumn("rel_err_ok",
+        (abs($"approx" - $"exact") / $"exact" < 0.1).cast("long"))
+
+  /** S2: CSV-driven scan — the reference's run/camcol/field image list
+    * (`metadata.py:132-160`); aggregate per camcol. */
+  def q36CsvScan(s: SparkSession, dir: String): DataFrame =
+    s.read.option("header", "true").option("inferSchema", "true")
+      .csv("/root/reference/data/test_images.csv")
+      .groupBy($"camcol")
+      .agg(count(lit(1)).as("n"), countDistinct($"run").as("n_runs"))
+      .select($"camcol".cast("long").as("camcol"), $"n", $"n_runs")
+
   // Shared oracle SQL (DuckDB dialect) for the queries above.
   val oracles: Map[String, String] = Map(
     "q01_agg" ->
@@ -276,6 +309,18 @@ object RelationalOps {
       """SELECT n_name, CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
         |round(sum(s_acctbal),2) AS total_bal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY 1""".stripMargin,
+    "q33_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |round(sum(l_quantity),2) AS qty FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q34_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |round(sum(o_totalprice),2) AS total FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+    "q36_csv_scan" ->
+      """SELECT CAST(camcol AS BIGINT) AS camcol, CAST(count(*) AS BIGINT) AS n,
+        |CAST(count(DISTINCT run) AS BIGINT) AS n_runs
+        |FROM read_csv_auto('/root/reference/data/test_images.csv') GROUP BY 1""".stripMargin,
     "q21_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),

@@ -80,23 +80,23 @@ object VectorOps {
       .select($"vec_id", round($"cos", 4).as("cos"))
   }
 
-  /** LSH-bucketed ANN scale path: random-hyperplane signatures (SimHash
-    * for real vectors) → candidates share a signature bucket → exact
-    * cosine re-rank within bucket. At 100 TB the bucket join replaces the
-    * all-pairs scan; planes are a tiny broadcast literal.
-    * Deterministic planes derived from index arithmetic (no RNG).
+  /** LSH-bucketed ANN scale path: sparse random-hyperplane signatures
+    * (cosine LSH) → candidates share a signature bucket → exact cosine
+    * re-rank within bucket. At 100 TB the bucket join replaces the
+    * all-pairs scan.
+    *
+    * Plane p is the sparse hyperplane e[a_p] − e[b_p] with (a_p, b_p)
+    * deterministic distinct coordinates (an LCG over the dim index — no
+    * RNG, no per-element lambda work, stays in codegen: 2 element_at +
+    * 1 compare per bit).
     */
   def signatureCol(emb: Column, dim: Int, nPlanes: Int): Column = {
-    // plane p, coord i weight = deterministic pseudo-random in [-1,1):
-    // frac(sin(p*12.9898 + i*78.233) * 43758.5453) * 2 - 1
     val terms = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(asDouble(emb), sequence(lit(0), lit(dim - 1)), (x, i) => {
-          val t = sin(lit(p) * 12.9898 + i.cast("double") * 78.233) * 43758.5453
-          x * ((t - floor(t)) * 2.0 - 1.0)
-        }),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      val a = ((p * 2654435761L) % dim).toInt.abs
+      val b0 = ((p * 40503L + 2654435761L) % dim).toInt.abs
+      val b = if (b0 == a) (b0 + 1) % dim else b0
+      when(element_at(emb, a + 1) >= element_at(emb, b + 1), shiftleft(lit(1L), p))
+        .otherwise(lit(0L))
     }
     terms.reduce(_ + _)
   }

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming ingest path (SURVEY §7 extension): the same
+  * event analytics as the batch queries, expressed as streams —
+  * watermarked tumbling-window aggregation and custom session state via
+  * `flatMapGroupsWithState`. Batch parquet drives the stream through the
+  * memory sink for deterministic verification (spark_guide.md pattern).
+  */
+object EventStream {
+
+  /** Streaming-typed event (ts kept as epoch seconds for state logic). */
+  final case class Event(event_id: Long, ts_sec: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, n_sessions: Int, n_events: Long)
+
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // schema must match the on-disk layout (ts: int64 nanos)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Watermark + 10-minute tumbling windows; complete mode so the final
+    * answer is deterministic when the batch source drains. */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val name = "win_" + UUID.randomUUID().toString.replace("-", "")
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Custom state machine: per-user sessionization with a 30-minute gap
+    * rule via flatMapGroupsWithState (the KeyValueGroupedDataset stateful
+    * path). Emits one row per user at event-time completion. */
+  def sessionize(spark: SparkSession, dir: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    val name = "sess_" + UUID.randomUUID().toString.replace("-", "")
+    val events = eventStream(spark, dir)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("ts_sec"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+
+    val out = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Int, Long, Long), SessionOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[(Int, Long, Long)]) =>
+          // state = (nSessions, lastTs, nEvents)
+          var (nSess, lastTs, nEv) = state.getOption.getOrElse((0, Long.MinValue, 0L))
+          it.toSeq.sortBy(e => (e.ts_sec, e.event_id)).foreach { e =>
+            if (lastTs == Long.MinValue || e.ts_sec - lastTs > 1800) nSess += 1
+            lastTs = e.ts_sec
+            nEv += 1
+          }
+          state.update((nSess, lastTs, nEv))
+          Iterator(SessionOut(user, nSess, nEv))
+      }
+
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    // last update per user is the final state
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+      .select(col("user_id"), col("n_sessions").cast("int"),
+        col("n_events").cast("long"))
+      .as[SessionOut]
+  }
+
+  /** Driver-gated streaming query (oracle shares the batch semantics). */
+  def q41StreamWindows(spark: SparkSession, dir: String): DataFrame =
+    windowedCounts(spark, dir)
+      .select(col("win_start"), col("event_type"),
+        col("n").cast("long").as("n"), col("sum_value"))
+
+  val oracles: Map[String, String] = Map(
+    "q41_stream_windows" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1,2""".stripMargin,
+  )
+}
