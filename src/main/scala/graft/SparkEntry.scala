@@ -70,6 +70,13 @@ object SparkEntry {
     "q42_disc_cover" -> (AstroOps.q42DiscCover _),
     // structured streaming (windowed agg over the event stream)
     "q41_stream_windows" -> (graft.streaming.EventStream.q41StreamWindows _),
+    // zip join, ranges, strings, unit-conversion math, regex tokens, IVF
+    "q43_zip_join" -> (MiscOps.q43ZipJoin _),
+    "q44_unique_ranges" -> (MiscOps.q44UniqueRanges _),
+    "q45_string_ops" -> (MiscOps.q45StringOps _),
+    "q46_photometry_math" -> (MiscOps.q46PhotometryMath _),
+    "q47_regex_tokens" -> (MiscOps.q47RegexTokens _),
+    "q48_ann_ivf" -> (MiscOps.q48AnnIvf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -77,5 +84,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalOps.oracles ++ VectorOps.oracles ++ TextOps.oracles ++
       MultimodalOps.oracles ++ CubeOps.oracles ++
-      graft.streaming.EventStream.oracles
+      graft.streaming.EventStream.oracles ++ MiscOps.oracles
 }

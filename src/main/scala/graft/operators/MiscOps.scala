@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.syntax._
+
+/** Remaining SURVEY §2 operator families over the testdata: positional
+  * zip join (J4), unique+range groups (I8), path/string functions (§2.8),
+  * the photometric unit-conversion formulas as column math (P3-P5), regex
+  * tokenization, and IVF-bucketed ANN.
+  */
+object MiscOps {
+
+  /** J4 — positional 1:1 zip of two equal-length sorted tables via
+    * row_number (the SFR gal_info ⧺ gal_fibsfr concat shape). */
+  def q43ZipJoin(s: SparkSession, dir: String): DataFrame = {
+    val wn = Window.orderBy($"n_nationkey")
+    val wr = Window.orderBy($"r_regionkey".desc)
+    val a = load(s, dir, "nation")
+      .select($"n_name", row_number().over(wn).as("idx"))
+    val b = load(s, dir, "region")
+      .select($"r_name", row_number().over(wr).as("idx"))
+    a.join(b, "idx")
+      .select($"idx".cast("long").as("idx"), $"n_name", $"r_name")
+  }
+
+  /** I8 — unique keys + per-key dense ranges (np.unique + bisect ranges
+    * over the sorted index, metadata_strategy_cube_ml.py:598-602). */
+  def q44UniqueRanges(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy($"l_suppkey")
+      .agg(
+        count(lit(1)).as("n"),
+        min($"l_orderkey").as("min_key"),
+        max($"l_orderkey").as("max_key"))
+      .select($"l_suppkey".cast("long").as("l_suppkey"), $"n",
+        $"min_key", $"max_key")
+
+  /** §2.8 string ops — basename extraction (split + element_at, the
+    * Path(...).name pattern) and regexp capture over synthetic paths. */
+  def q45StringOps(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select($"doc_id",
+        concat(lit("/data/"), $"source", lit("/doc-"), $"doc_id", lit(".txt")).as("path"))
+      .select(
+        $"doc_id",
+        element_at(split($"path", "/"), -1).as("basename"),
+        regexp_extract($"path", "doc-([0-9]+)", 1).cast("long").as("extracted_id"))
+      .withColumn("id_roundtrip", ($"extracted_id" === $"doc_id").cast("long"))
+
+  /** P3-P5 — the photometric conversions as pure column math:
+    * mag_to_flux (3.631e-6 * c / midpoint²), flux-density area ratio,
+    * sigma = sqrt(1/ivar)-style derivation, on testdata columns. */
+  def q46PhotometryMath(s: SparkSession, dir: String): DataFrame = {
+    val midpoint = lit(4686.0) // g band
+    val magToFlux = $"l_extendedprice" * 3.631e-6 * 2.99792458e-5 / (midpoint * midpoint)
+    val areaRatio = lit(math.Pi) * 4.0 / 0.16
+    val sigma = sqrt(lit(1.0) / ($"l_quantity" + 1.0)) * 1e-17
+    load(s, dir, "lineitem")
+      .filter($"l_orderkey" <= 1000)
+      .select(
+        $"l_orderkey".cast("long").as("l_orderkey"),
+        $"l_linenumber".cast("long").as("l_linenumber"),
+        round(magToFlux * 1e20, 6).as("flux_x1e20"),
+        round(magToFlux * areaRatio * 1e20, 6).as("flux_density_x1e20"),
+        round(sigma * 1e20, 6).as("sigma_x1e20"))
+  }
+
+  /** Regex tokenization (BPE-ish word/number/punct classes) — token
+    * counting for the text pipeline. */
+  def q47RegexTokens(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+"), lit(0))).cast("long")
+          .as("n_word_tokens"),
+        size(regexp_extract_all($"text", lit("[0-9]+"), lit(0))).cast("long")
+          .as("n_number_tokens"))
+
+  /** IVF-bucketed ANN: deterministic coarse centroids (the first 16
+    * vectors by vec_id), nearest-centroid assignment (broadcast argmin),
+    * then exact search inside the probe's bucket only. The scale path:
+    * the inverted-file join shuffles each vector once on its centroid id
+    * instead of scanning all pairs. Rows-only check (assignment is
+    * engine-internal); recall vs brute force asserted in ScalaTest. */
+  def q48AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val cents = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent"))
+    // assign: argmin over centroid distances — min_by aggregation (partial
+    // agg + no per-vector sort; deterministic tie-break via struct order)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cent_id",
+        VectorOps.l1Distance($"embedding", $"cent").as("d"))
+      .groupBy($"vec_id")
+      .agg(min_by($"cent_id", struct($"d", $"cent_id")).as("cent_id"))
+    assigned.groupBy($"cent_id")
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max($"bucket_size").as("max_bucket"),
+        min($"bucket_size").as("min_bucket"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q43_zip_join" ->
+      """WITH a AS (SELECT n_name, row_number() OVER (ORDER BY n_nationkey) AS idx FROM nation),
+        |b AS (SELECT r_name, row_number() OVER (ORDER BY r_regionkey DESC) AS idx FROM region)
+        |SELECT CAST(a.idx AS BIGINT) AS idx, n_name, r_name FROM a JOIN b ON a.idx = b.idx""".stripMargin,
+    "q44_unique_ranges" ->
+      """SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey, CAST(count(*) AS BIGINT) AS n,
+        |CAST(min(l_orderkey) AS BIGINT) AS min_key, CAST(max(l_orderkey) AS BIGINT) AS max_key
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q45_string_ops" ->
+      """WITH p AS (SELECT doc_id, '/data/' || source || '/doc-' || doc_id || '.txt' AS path FROM documents)
+        |SELECT doc_id, list_extract(string_split(path, '/'), -1) AS basename,
+        |CAST(regexp_extract(path, 'doc-([0-9]+)', 1) AS BIGINT) AS extracted_id,
+        |CAST(CASE WHEN CAST(regexp_extract(path, 'doc-([0-9]+)', 1) AS BIGINT) = doc_id
+        |  THEN 1 ELSE 0 END AS BIGINT) AS id_roundtrip FROM p""".stripMargin,
+    "q46_photometry_math" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |round(l_extendedprice * 3.631e-6 * 2.99792458e-5 / (4686.0*4686.0) * 1e20, 6) AS flux_x1e20,
+        |round(l_extendedprice * 3.631e-6 * 2.99792458e-5 / (4686.0*4686.0) * (pi() * 4.0 / 0.16) * 1e20, 6) AS flux_density_x1e20,
+        |round(sqrt(1.0/(l_quantity + 1.0)) * 1e-17 * 1e20, 6) AS sigma_x1e20
+        |FROM lineitem WHERE l_orderkey <= 1000""".stripMargin,
+    "q47_regex_tokens" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_word_tokens,
+        |CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens
+        |FROM documents""".stripMargin,
+  )
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables.load
+
+/** ANN semantics: brute force is the truth; LSH/IVF are buckets over the
+  * same exact re-rank. */
+class AnnSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("brute-force top-k: best match of a member query is itself") {
+    val emb = load(spark, dir, "embeddings")
+    val ref = emb.filter($"vec_id" === 7).select($"embedding".as("ref_emb"))
+    val top = emb.crossJoin(broadcast(ref))
+      .select($"vec_id", VectorOps.cosine($"embedding", $"ref_emb").as("cos"))
+      .orderBy($"cos".desc)
+      .limit(1)
+      .collect()
+    assert(top.head.getLong(0) == 7)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("IVF assignment partitions the vector set exactly once") {
+    val emb = load(spark, dir, "embeddings")
+    val n = emb.count()
+    val cents = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cent_id", VectorOps.l1Distance($"embedding", $"cent").as("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"d", $"cent_id")))
+      .filter($"rn" === 1)
+    assert(assigned.count() == n)
+    assert(assigned.select("vec_id").distinct().count() == n)
+  }
+
+  test("LSH signature buckets: identical vectors share a signature") {
+    val emb = load(spark, dir, "embeddings")
+    val sig = emb.withColumn("sig", VectorOps.signatureCol($"embedding", 64, 12))
+    // deterministic: same vector → same signature on recompute
+    val a = sig.select("vec_id", "sig").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = sig.select("vec_id", "sig").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // signatures spread the space (not all equal)
+    assert(a.values.toSet.size > 10)
+  }
+
+  test("minhash finds planted near-duplicates (recall on a known pair)") {
+    // 200 distinct tokens -> ~198 distinct shingles; a single-word edit
+    // changes 3 of them: jaccard ≈ 0.97, far above the 0.8 threshold
+    val base = (0 until 200).map(i => s"word$i").mkString(" ")
+    val nearDup = base.replace("word100", "changed")
+    val docs = (0 until 40).map(i => (i.toLong, s"totally different text number $i " +
+      s"with unique words ${i * 7} ${i * 13} ${i * 29} " * 6)) ++
+      Seq((100L, base), (101L, nearDup))
+    val df = docs.toDF("doc_id", "text")
+    df.createOrReplaceTempView("documents_planted")
+    // rerun the q23 pipeline against the planted table
+    val sh = df.select($"doc_id", explode(TextOps.shingles($"text")).as("sh"))
+    val aggs = collect_set($"sh").as("sh_set") +:
+      (0 until 16).map(k => min(xxhash64($"sh", lit(k))).as(s"m$k"))
+    val sigs = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val banded = sigs.select($"doc_id", explode(array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * 4 until (b + 1) * 4).map(i => col(s"m$i")): _*).as("bkey"))
+    }: _*)).as("bb"))
+      .select($"doc_id", col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), s"planted pair not found in $pairs")
+  }
+}
