@@ -135,6 +135,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(merged.filter(merged("MEDIAN").isNull).count() == 1) // spectrum 3 unmatched
   }
 
+  test("BuildCube: full construction writes the partitioned layout; V3 reads back pruned") {
+    val out = Files.createTempDirectory("graft-out").toString
+    val s = BuildCube.build(spark,
+      root.resolve("spectra").toString, root.resolve("images").toString,
+      "/root/reference/config", out)
+    assert(s.spectra == 15 && s.images == 50)
+    assert(s.links == 75)
+    assert(s.mlRows == 10)
+    val vizExpected = 3L * (4620 + 2310 + 1155 + 577 + 288) +
+      links.collect().map(c => (c.x_max - c.x_min) * (c.y_max - c.y_min)).sum
+    assert(s.vizRows == vizExpected)
+    // V3: zoom-partition pruning on read-back
+    val v3 = BuildCube.readVizAtZoom(spark, out, 3)
+    assert(v3.count() == spark.read.parquet(s"$out/viz_cube")
+      .where(org.apache.spark.sql.functions.col("zoom") === 3).count())
+    val scan = v3.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+  }
+
   test("export: VOTable and FITS sinks roundtrip the viz table") {
     val rows = VizCube.spectrumRows(spectra).filter(_.zoom == 4).collect().toSeq
     val dir = Files.createTempDirectory("graft-export")
