@@ -77,6 +77,7 @@ object SparkEntry {
     "q46_photometry_math" -> (MiscOps.q46PhotometryMath _),
     "q47_regex_tokens" -> (MiscOps.q47RegexTokens _),
     "q48_ann_ivf" -> (MiscOps.q48AnnIvf _),
+    "q49_char_ngram_jaccard" -> (TextOps.q49CharNgramJaccard _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

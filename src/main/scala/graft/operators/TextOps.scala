@@ -108,6 +108,35 @@ object TextOps {
           .otherwise(array(concat_ws(" ", t)))),
       1)
 
+  /** Character 3-gram shingles (distinct); same lambda-binding trick. */
+  def charShingles(c: Column): Column =
+    element_at(
+      transform(array(c), t =>
+        array_distinct(
+          transform(sequence(lit(1), greatest(length(t) - 2, lit(1))),
+            i => t.substr(i, lit(3))))),
+      1)
+
+  /** Character n-gram Jaccard over doc pairs — the char-level variant of
+    * q18 (token-inverted-index join, no all-pairs materialization). */
+  def q49CharNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val g = load(s, dir, "documents")
+      .filter($"doc_id" < 8)
+      .select($"doc_id", explode(charShingles($"text")).as("g"))
+    val sizes = g.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = g.as("a").join(g.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), $"da" === col("sa.doc_id"))
+      .join(sizes.as("sb"), $"db" === col("sb.doc_id"))
+      .select(
+        $"da".cast("long").as("doc_a"),
+        $"db".cast("long").as("doc_b"),
+        round($"inter" * lit(1.0) / (col("sa.n") + col("sb.n") - $"inter"), 4).as("jac"))
+  }
+
   /** MinHash signature: K independent hash "permutations", each the min
     * of xxhash64(shingle, k) over the shingle set. */
   def minhashSig(sh: Column, k: Int): Column =
@@ -209,6 +238,17 @@ object TextOps {
         |s AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
         |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
         |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+        |round(inter*1.0/(sa.n+sb.n-inter),4) AS jac
+        |FROM i JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db""".stripMargin,
+    "q49_char_ngram_jaccard" ->
+      """WITH g AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(generate_series(1, greatest(strlen(text)-2, 1)),
+        |    i -> substr(text, CAST(i AS INTEGER), 3))) AS g
+        |  FROM documents WHERE doc_id < 8),
+        |s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2)
         |SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
         |round(inter*1.0/(sa.n+sb.n-inter),4) AS jac
         |FROM i JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db""".stripMargin,

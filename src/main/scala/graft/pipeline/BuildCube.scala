@@ -38,22 +38,23 @@ object BuildCube {
     links.toDF().write.mode(SaveMode.Overwrite)
       .partitionBy("zoom").parquet(s"$outDir/cutout_links")
 
-    val ml = MlCube.build(spectra, links, images)
+    val ml = MlCube.build(spectra, links, images).cache()
     ml.toDF().write.mode(SaveMode.Overwrite)
       .partitionBy("zoom").parquet(s"$outDir/ml_cube")
 
-    val viz = VizCube.build(spectra, links, images)
+    val viz = VizCube.build(spectra, links, images).cache()
     viz.toDF()
       .repartitionByRange(col("zoom"), col("heal_id"))
       .sortWithinPartitions("zoom", "heal_id")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("zoom").parquet(s"$outDir/viz_cube")
 
+    // counts from the cached datasets: an all-empty phase (e.g. zero
+    // spatial overlap) writes a schemaless empty dir that can't be re-read
     val summary = Summary(
-      spectra.count(), images.count(), links.count(),
-      spark.read.parquet(s"$outDir/ml_cube").count(),
-      spark.read.parquet(s"$outDir/viz_cube").count())
-    spectra.unpersist(); images.unpersist(); links.unpersist()
+      spectra.count(), images.count(), links.count(), ml.count(), viz.count())
+    Seq(spectra, images, links).foreach(_.unpersist())
+    ml.unpersist(); viz.unpersist()
     summary
   }
 
