@@ -26,6 +26,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming.toSeq == batch.toSeq)
   }
 
+  test("streaming FITS ingest decodes arriving files like the batch path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-fits")
+    val (loglam, flux, ivar) = graft.pipeline.FitsFixtures.specGrid(1200)
+    graft.pipeline.FitsFixtures.writeSpectrum(
+      dir.resolve("spec-2001-54000-0001.fits").toString,
+      10.0, -5.0, 2001, 54000, 1, loglam, flux, ivar)
+    graft.pipeline.FitsFixtures.writeSpectrum(
+      dir.resolve("spec-2001-54001-0002.fits").toString,
+      10.1, -5.1, 2001, 54001, 2, loglam, flux, ivar)
+    val got = ObservationStream.drainOnce(spark, dir.toString)
+    assert(got.count() == 2 * 5) // 2 files × 5 zoom levels
+    val batch = graft.pipeline.Ingest.spectra(spark, dir.toString)
+    assert(batch.count() == got.count())
+    // identical decode: same (spec_id, zoom, n_samples) sets
+    val a = got.select("spec_id", "zoom").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = batch.collect().map(s => (s.spec_id, s.zoom)).toSet
+    assert(a == b)
+  }
+
   test("windowed stream aggregation covers every event exactly once") {
     val win = EventStream.windowedCounts(spark, dir)
     val total = win.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
