@@ -147,6 +147,38 @@ object MlCube {
       .as[MlCubeRow]
   }
 
+  /** §3.3 read path: top-k most similar targets to a probe target by
+    * `target_distance` (A4 — nansum of |Δ| over the stacked spectra;
+    * the reference computes this in notebook numpy; here it is a real
+    * distributed top-k: broadcast probe + TakeOrderedAndProject). */
+  def similarTargets(
+      ml: Dataset[MlCubeRow], probeTarget: Long, zoom: Int, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = ml.sparkSession
+    import spark.implicits._
+    import graft.operators.VectorOps
+    val probe = ml.filter(r => r.zoom == zoom && r.target_healpix == probeTarget)
+      .map(_.spec_flux.map(_.toDouble))
+      .toDF("probe_flux")
+    val candidates = ml.filter(_.zoom == zoom)
+      .map(r => (r.target_healpix, r.spec_flux.map(_.toDouble)))
+      .toDF("target_healpix", "flux")
+    candidates
+      .crossJoin(broadcast(probe))
+      .filter($"target_healpix" =!= probeTarget)
+      .select($"target_healpix",
+        nanDistance($"flux", $"probe_flux").as("target_distance"))
+      .orderBy($"target_distance", $"target_healpix")
+      .limit(k)
+  }
+
+  /** nansum of |a-b|: NaN elements contribute 0
+    * (`metadata_strategy_cube_ml.py:40-48`). */
+  private def nanDistance(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    val d = zip_with(a, b, (x, y) => abs(x - y))
+    aggregate(d, lit(0.0), (acc, x) => acc + when(isnan(x), 0.0).otherwise(x))
+  }
+
   /** J6 — region-ref dereference as a join: link rows → sliced image
     * pixel arrays (`utils/io_strategy.py:80-100`). */
   def cutoutPixelTable(

@@ -154,6 +154,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters"), scan)
   }
 
+  test("similarity read path: nearest target by target_distance, top-k plan") {
+    val ml = MlCube.build(spectra, links, images).cache()
+    val targets = ml.filter(_.zoom == 2).collect().map(_.target_healpix).sorted
+    val probe = targets.head
+    val top = MlCube.similarTargets(ml, probe, zoom = 2, k = 5)
+    val rows = top.collect()
+    assert(rows.length == 1) // only one other target exists
+    assert(rows.head.getLong(0) == targets(1))
+    assert(rows.head.getDouble(1) >= 0.0)
+    // top-k compiles to TakeOrderedAndProject, not a global sort
+    assert(top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("export: VOTable and FITS sinks roundtrip the viz table") {
     val rows = VizCube.spectrumRows(spectra).filter(_.zoom == 4).collect().toSeq
     val dir = Files.createTempDirectory("graft-export")
