@@ -78,6 +78,7 @@ object SparkEntry {
     "q47_regex_tokens" -> (MiscOps.q47RegexTokens _),
     "q48_ann_ivf" -> (MiscOps.q48AnnIvf _),
     "q49_char_ngram_jaccard" -> (TextOps.q49CharNgramJaccard _),
+    "q50_float_compress" -> (AstroOps.q50FloatCompress _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -72,6 +72,25 @@ object AstroOps {
       .orderBy(col("zoom"))
   }
 
+  /** P12 float_compress over embedding vectors via the native expression:
+    * every output float has its 13 low mantissa bits zero and stays
+    * within 1/1024 of the input — both invariants aggregated so the
+    * rows-only check still pins semantics. */
+  def q50FloatCompress(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.FloatCompressExpression.register(s)
+    import graft.plans.FloatCompressExpression.float_compress_array
+    load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", float_compress_array($"embedding").as("comp"))
+      .select($"vec_id",
+        zip_with($"embedding", $"comp", (a, b) =>
+          when(a =!= 0.0f && !isnan(a),
+            (abs(b.cast("double") / a.cast("double") - 1.0) < 0.001).cast("int"))
+            .otherwise(lit(1))).as("ok"))
+      .select($"vec_id", aggregate($"ok", lit(0), (acc, x) => acc + x).as("n_ok"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_vectors"), sum($"n_ok").cast("long").as("total_ok"))
+  }
+
   /** Full J1+A2 on synthetic-fixture-style data is covered in ScalaTest;
     * here: viz-flatten of the ingested spectra (V1) with heal order 19. */
   def q40VizFlatten(s: SparkSession, dir: String): DataFrame = {
