@@ -11,10 +11,14 @@ import org.apache.spark.sql.Encoder
   *   mu_i     = Σ_k (f_ki / s_ki²) / Σ_k (1 / s_ki²)
   *   sigma'_i = sqrt(1 / Σ_k (1 / s_ki²))
   *
-  * Reference NaN rules preserved: an element contributes only when its
-  * sigma is finite and non-zero AND its flux is not NaN (numpy `nansum`
-  * with `where=flux_sigma!=0`); elements with zero contributions yield
-  * NaN mean and Infinity sigma (1/0), matching numpy division semantics.
+  * Reference NaN rules preserved exactly (numpy semantics of
+  * `metadata_strategy_cube_ml.py:28-37`): the `where=flux_sigma!=0` guard
+  * zeroes both weight terms when sigma==0 (and NaN/Inf sigma contributes
+  * nothing via `nansum` / 1/inf²=0); but a NaN flux with a valid sigma is
+  * skipped only in the NUMERATOR (`nansum` of f/s²) while its weight 1/s²
+  * still counts in both denominators. Elements with zero total weight
+  * yield NaN mean (0/0, unguarded divide at line 33) and sigma' = 0 (the
+  * guarded `np.divide(1, sigma_sum, zeros, where=sigma_sum!=0)` at 35-36).
   *
   * Accumulation is f64 (reference computes f64, stores f32 —
   * `metadata_strategy_cube_ml.py:27,37`); the caller decides whether to
@@ -46,10 +50,10 @@ class IvwStackAggregator(n: Int)
       while (i < m) {
         val f = flux(i)
         val s = sigma(i)
-        if (s != 0.0 && !s.isNaN && !s.isInfinite && !f.isNaN) {
+        if (s != 0.0 && !s.isNaN && !s.isInfinite) {
           val w = 1.0 / (s * s)
           sumW(i) += w
-          sumWF(i) += f * w
+          if (!f.isNaN) sumWF(i) += f * w
         }
         i += 1
       }
@@ -69,7 +73,8 @@ class IvwStackAggregator(n: Int)
     a
   }
 
-  /** (mu, sigma') — NaN/Inf where nothing contributed, like numpy 0/0. */
+  /** (mu, sigma') — where nothing contributed: mu = NaN (numpy's
+    * unguarded 0/0) but sigma' = 0 (the reference's guarded divide). */
   override def finish(buf: (Array[Double], Array[Double])): (Array[Double], Array[Double]) = {
     val (sumW, sumWF) = buf
     val mu = new Array[Double](n)
@@ -77,7 +82,7 @@ class IvwStackAggregator(n: Int)
     var i = 0
     while (i < n) {
       mu(i) = sumWF(i) / sumW(i)
-      sg(i) = math.sqrt(1.0 / sumW(i))
+      sg(i) = if (sumW(i) == 0.0) 0.0 else math.sqrt(1.0 / sumW(i))
       i += 1
     }
     (mu, sg)

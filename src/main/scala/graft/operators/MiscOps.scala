@@ -53,20 +53,29 @@ object MiscOps {
 
   /** P3-P5 — the photometric conversions as pure column math:
     * mag_to_flux (3.631e-6 * c / midpoint²), flux-density area ratio,
-    * sigma = sqrt(1/ivar)-style derivation, on testdata columns. */
+    * sigma = sqrt(1/ivar)-style derivation, on testdata columns.
+    *
+    * Output is scaled into exact integer space (`floor(x*1e6 + 0.5)` as
+    * BIGINT) instead of `round(x, 6)`: Spark rounds DOUBLE through
+    * BigDecimal (decimal-string HALF_UP) while DuckDB rounds in binary, so
+    * values within 1 ULP of a ….5 tie flip differently between engines.
+    * floor(+0.5) is pure IEEE arithmetic — bit-identical on both engines
+    * given the identical expression tree (the round-1 q46 hash mismatch). */
   def q46PhotometryMath(s: SparkSession, dir: String): DataFrame = {
     val midpoint = lit(4686.0) // g band
-    val magToFlux = $"l_extendedprice" * 3.631e-6 * 2.99792458e-5 / (midpoint * midpoint)
+    val magToFlux = $"l_extendedprice".cast("double") * 3.631e-6 * 2.99792458e-5 / (midpoint * midpoint)
     val areaRatio = lit(math.Pi) * 4.0 / 0.16
-    val sigma = sqrt(lit(1.0) / ($"l_quantity" + 1.0)) * 1e-17
+    val sigma = sqrt(lit(1.0) / ($"l_quantity".cast("double") + 1.0)) * 1e-17
+    def scaled(c: org.apache.spark.sql.Column) =
+      floor(c * 1e20 * 1e6 + 0.5).cast("long")
     load(s, dir, "lineitem")
       .filter($"l_orderkey" <= 1000)
       .select(
         $"l_orderkey".cast("long").as("l_orderkey"),
         $"l_linenumber".cast("long").as("l_linenumber"),
-        round(magToFlux * 1e20, 6).as("flux_x1e20"),
-        round(magToFlux * areaRatio * 1e20, 6).as("flux_density_x1e20"),
-        round(sigma * 1e20, 6).as("sigma_x1e20"))
+        scaled(magToFlux).as("flux_scaled"),
+        scaled(magToFlux * areaRatio).as("flux_density_scaled"),
+        scaled(sigma).as("sigma_scaled"))
   }
 
   /** Regex tokenization (BPE-ish word/number/punct classes) — token
@@ -122,9 +131,9 @@ object MiscOps {
         |  THEN 1 ELSE 0 END AS BIGINT) AS id_roundtrip FROM p""".stripMargin,
     "q46_photometry_math" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-        |round(l_extendedprice * 3.631e-6 * 2.99792458e-5 / (4686.0*4686.0) * 1e20, 6) AS flux_x1e20,
-        |round(l_extendedprice * 3.631e-6 * 2.99792458e-5 / (4686.0*4686.0) * (pi() * 4.0 / 0.16) * 1e20, 6) AS flux_density_x1e20,
-        |round(sqrt(1.0/(l_quantity + 1.0)) * 1e-17 * 1e20, 6) AS sigma_x1e20
+        |CAST(floor(CAST(l_extendedprice AS DOUBLE) * 3.631e-6 * 2.99792458e-5 / (4686.0*4686.0) * 1e20 * 1e6 + 0.5) AS BIGINT) AS flux_scaled,
+        |CAST(floor(CAST(l_extendedprice AS DOUBLE) * 3.631e-6 * 2.99792458e-5 / (4686.0*4686.0) * (pi() * 4.0 / 0.16) * 1e20 * 1e6 + 0.5) AS BIGINT) AS flux_density_scaled,
+        |CAST(floor(sqrt(1.0/(CAST(l_quantity AS DOUBLE) + 1.0)) * 1e-17 * 1e20 * 1e6 + 0.5) AS BIGINT) AS sigma_scaled
         |FROM lineitem WHERE l_orderkey <= 1000""".stripMargin,
     "q47_regex_tokens" ->
       """SELECT doc_id,

@@ -26,10 +26,12 @@ object MlCube {
     while (i < n) {
       val f = flux(i).toDouble
       val s = sigma(i).toDouble
-      if (s != 0.0 && !s.isNaN && !s.isInfinite && !f.isNaN) {
+      // numpy rule (metadata_strategy_cube_ml.py:28-33): valid sigma always
+      // counts in the denominators; NaN flux is skipped in the numerator only
+      if (s != 0.0 && !s.isNaN && !s.isInfinite) {
         val w = 1.0 / (s * s)
         sumW(i) += w
-        sumWF(i) += f * w
+        if (!f.isNaN) sumWF(i) += f * w
       }
       i += 1
     }
@@ -45,7 +47,11 @@ object MlCube {
   private def finishSigma(sumW: Array[Double]): Array[Float] = {
     val out = new Array[Float](sumW.length)
     var i = 0
-    while (i < sumW.length) { out(i) = math.sqrt(1.0 / sumW(i)).toFloat; i += 1 }
+    while (i < sumW.length) {
+      // guarded divide (metadata_strategy_cube_ml.py:35-36): zero weight → 0
+      out(i) = (if (sumW(i) == 0.0) 0.0 else math.sqrt(1.0 / sumW(i))).toFloat
+      i += 1
+    }
     out
   }
 

@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Reference NaN/zero-sigma rules of the IVW stack
-  * (`metadata_strategy_cube_ml.py:26-37`): sigma==0, non-finite sigma and
-  * NaN flux contribute nothing; zero contributions → NaN mean, +inf
-  * sigma (numpy 0/0 and 1/0 semantics). */
+  * (`metadata_strategy_cube_ml.py:26-37`): sigma==0 and non-finite sigma
+  * contribute nothing; NaN flux with a valid sigma is skipped in the
+  * numerator ONLY — its weight still counts in both denominators (numpy
+  * nansum with the where= guard on the divide, not the sums); zero total
+  * weight → NaN mean (unguarded 0/0) but sigma' = 0 (guarded divide). */
 class IvwSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -37,12 +39,14 @@ class IvwSpec extends AnyFunSuite {
     // element 1: sigma=2 both → mean 6.0, sigma sqrt(1/(2*(1/4)))
     assert(math.abs(mu(1) - 6.0) < 1e-12)
     assert(math.abs(sg(1) - math.sqrt(2.0)) < 1e-12)
-    // element 2: NaN flux excluded → only second obs → mean 3.0, sigma 1
-    assert(math.abs(mu(2) - 3.0) < 1e-12)
-    assert(math.abs(sg(2) - 1.0) < 1e-12)
-    // element 3: sigma 0 and inf excluded → no contributions → NaN / +inf
+    // element 2: NaN flux skipped in numerator only — its weight (sigma=1)
+    // still counts: mu = (0 + 3/1) / (1 + 1) = 1.5, sigma 1/sqrt(2)
+    assert(math.abs(mu(2) - 1.5) < 1e-12)
+    assert(math.abs(sg(2) - 1.0 / math.sqrt(2)) < 1e-12)
+    // element 3: sigma 0 and inf excluded → no contributions →
+    // NaN mean (0/0) but sigma' = 0 (reference's guarded divide)
     assert(mu(3).isNaN)
-    assert(sg(3).isPosInfinity)
+    assert(sg(3) == 0.0)
   }
 
   test("partial aggregation merge path (multi-partition) is identical") {

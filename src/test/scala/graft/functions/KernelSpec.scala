@@ -220,6 +220,9 @@ class FloatCompressSpec extends AnyFunSuite {
   test("zeros and infinities pass through") {
     assert(FloatCompress.compress(0f, 10) == 0f)
     assert(FloatCompress.compress(Float.PositiveInfinity, 10).isPosInfinity)
+    // reference masks only 0 and +Inf (data.py:32); -Inf → NaN via the log path
+    assert(FloatCompress.compress(Float.NegativeInfinity, 10).isNaN)
+    assert(FloatCompress.compress(Float.NaN, 10).isNaN)
     assert(FloatCompress.compress(Array(1.5f, 0f, -2.25f), 10).length == 3)
   }
 }
