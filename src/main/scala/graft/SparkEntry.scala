@@ -85,6 +85,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalOps.oracles ++ VectorOps.oracles ++ TextOps.oracles ++
-      MultimodalOps.oracles ++ CubeOps.oracles ++
+      MultimodalOps.oracles ++ CubeOps.oracles ++ AstroOps.oracles ++
       graft.streaming.EventStream.oracles ++ MiscOps.oracles
 }

@@ -92,8 +92,9 @@ object MiscOps {
     * vectors by vec_id), nearest-centroid assignment (broadcast argmin),
     * then exact search inside the probe's bucket only. The scale path:
     * the inverted-file join shuffles each vector once on its centroid id
-    * instead of scanning all pairs. Rows-only check (assignment is
-    * engine-internal); recall vs brute force asserted in ScalaTest. */
+    * instead of scanning all pairs. Oracle-gated: assignment is
+    * deterministic L1-argmin with (distance, cent_id) tie-break, which the
+    * DuckDB oracle reproduces via an unnest join + row_number. */
   def q48AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = load(s, dir, "embeddings")
     val cents = emb.filter($"vec_id" < 16)
@@ -135,6 +136,17 @@ object MiscOps {
         |CAST(floor(CAST(l_extendedprice AS DOUBLE) * 3.631e-6 * 2.99792458e-5 / (4686.0*4686.0) * (pi() * 4.0 / 0.16) * 1e20 * 1e6 + 0.5) AS BIGINT) AS flux_density_scaled,
         |CAST(floor(sqrt(1.0/(CAST(l_quantity AS DOUBLE) + 1.0)) * 1e-17 * 1e20 * 1e6 + 0.5) AS BIGINT) AS sigma_scaled
         |FROM lineitem WHERE l_orderkey <= 1000""".stripMargin,
+    "q48_ann_ivf" ->
+      """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |  generate_subscripts(embedding,1) AS i FROM embeddings),
+        |d AS (SELECT a.vec_id, c.vec_id AS cent_id, sum(abs(a.v - c.v)) AS dist
+        |  FROM u a JOIN u c ON a.i = c.i AND c.vec_id < 16 GROUP BY 1,2),
+        |assigned AS (SELECT vec_id, cent_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn FROM d),
+        |b AS (SELECT cent_id, count(*) AS bucket_size FROM assigned WHERE rn = 1 GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |CAST(max(bucket_size) AS BIGINT) AS max_bucket,
+        |CAST(min(bucket_size) AS BIGINT) AS min_bucket FROM b""".stripMargin,
     "q47_regex_tokens" ->
       """SELECT doc_id,
         |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_word_tokens,

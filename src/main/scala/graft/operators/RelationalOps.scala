@@ -230,16 +230,18 @@ object RelationalOps {
       .cube($"o_orderpriority", $"o_orderstatus")
       .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
 
-  /** approx_count_distinct (HLL) vs exact — sketch aggregation; checked
-    * rows-only (HLL estimates are engine-specific) with a sanity bound. */
+  /** approx_count_distinct (HLL) vs exact — sketch aggregation. The raw
+    * HLL estimate is engine-specific, so the gated output is the exact
+    * count plus the relative-error bound flag (which must be 1): the
+    * oracle checks both without depending on the sketch's exact value. */
   def q35ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "lineitem")
       .groupBy()
       .agg(
         countDistinct($"l_orderkey").as("exact"),
         approx_count_distinct($"l_orderkey", 0.02).as("approx"))
-      .withColumn("rel_err_ok",
-        (abs($"approx" - $"exact") / $"exact" < 0.1).cast("long"))
+      .select($"exact",
+        (abs($"approx" - $"exact") / $"exact" < 0.1).cast("long").as("rel_err_ok"))
 
   /** S2: CSV-driven scan — the reference's run/camcol/field image list
     * (`metadata.py:132-160`); aggregate per camcol. */
@@ -317,6 +319,9 @@ object RelationalOps {
       """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |round(sum(o_totalprice),2) AS total FROM orders
         |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+    "q35_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact,
+        |CAST(1 AS BIGINT) AS rel_err_ok FROM lineitem""".stripMargin,
     "q36_csv_scan" ->
       """SELECT CAST(camcol AS BIGINT) AS camcol, CAST(count(*) AS BIGINT) AS n,
         |CAST(count(DISTINCT run) AS BIGINT) AS n_runs

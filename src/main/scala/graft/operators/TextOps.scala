@@ -146,8 +146,18 @@ object TextOps {
   /** MinHash + LSH near-dup detection: signature → bands → bucket-join on
     * (band, band-hash) → exact Jaccard verify on candidates. Only
     * same-bucket pairs are materialized (the scale path: shuffle on
-    * band-hash, never all-pairs). Rows-only driver check; the planted-dup
-    * ScalaTest asserts recall. */
+    * band-hash, never all-pairs). Oracle-gated: the DuckDB oracle counts
+    * the EXACT all-pairs shingle-Jaccard ≥ 0.8 — LSH recall on the
+    * planted dups (all at jac ≥ 0.9, band-collision certain for this
+    * data) makes the two counts equal; any recall miss fails the gate.
+    *
+    * Verify fan-out guard: candidates per probe doc are capped (window
+    * row_number ≤ [[MaxCandidatesPerDoc]], deterministic id order) so an
+    * adversarial corpus can't bloat the exact-verify join with per-doc
+    * `collect_set` shingle payloads; `n_capped_pairs` reports drops (the
+    * oracle pins it to 0 — a capped true pair fails the gate loudly). */
+  val MaxCandidatesPerDoc = 128
+
   def q23MinHash(s: SparkSession, dir: String): DataFrame = {
     val bands = 4
     val rows = 4
@@ -172,11 +182,16 @@ object TextOps {
           xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("bkey"))
       }: _*)).as("bb"))
       .select($"doc_id", col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val cand = banded.as("a").join(banded.as("b"),
+    val candAll = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"id_a").orderBy($"id_b")))
+    val cand = candAll.filter($"rn" <= MaxCandidatesPerDoc).drop("rn")
+    val nCapped = candAll.filter($"rn" > MaxCandidatesPerDoc)
+      .groupBy().agg(count(lit(1)).as("n_capped_pairs"))
     val sh = sigs.select($"doc_id", $"sh_set")
     cand
       .join(sh.select($"doc_id".as("id_a"), $"sh_set".as("sh_a")), "id_a")
@@ -187,6 +202,7 @@ object TextOps {
       .filter($"jac" >= 0.8)
       .groupBy()
       .agg(count(lit(1)).as("n_dup_pairs"))
+      .crossJoin(nCapped)
   }
 
   /** SimHash (64-bit) per document: per bit j, sign of Σ_tokens ±1 by
@@ -204,7 +220,9 @@ object TextOps {
       1)
 
   /** SimHash dedup profile: distinct fingerprints + collision count.
-    * Rows-only driver check (hash constants are engine-side). */
+    * xxhash64 is engine-side (no DuckDB twin), but the profile is fully
+    * deterministic for a given corpus, so the oracle pins n_docs from the
+    * data and the distinct-fingerprint count as a regression literal. */
   def q27SimHash(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
       .select($"doc_id", simhash($"text").as("sh"))
@@ -219,15 +237,37 @@ object TextOps {
     aggregate(split(c, ""), lit(0L),
       (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
 
+  /** Per-document fingerprints — exact-integer modular arithmetic, so the
+    * DuckDB oracle recomputes every value via list_reduce and the full
+    * 500-row result is hash-gated. */
   def q28Fingerprint(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
       .select($"doc_id", fingerprint($"text").as("fp"))
-      .groupBy()
-      .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct($"fp").as("n_distinct_fp"))
 
   val oracles: Map[String, String] = Map(
+    "q23_minhash" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
+        |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+        |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs, CAST(0 AS BIGINT) AS n_capped_pairs
+        |FROM i JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.8""".stripMargin,
+    "q27_simhash" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(499 AS BIGINT) AS n_distinct_simhash FROM documents""".stripMargin,
+    "q28_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, strlen(text)),
+        |      i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |  (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
     "q17_dedup_exact" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct

@@ -67,17 +67,19 @@ object VectorOps {
       .select($"vec_id", round(cosine($"embedding", $"ref_emb"), 4).as("cos"))
   }
 
-  /** Brute-force cosine top-k (driver-side rows-only check; ordering of
-    * near-ties makes a hash oracle fragile). TakeOrderedAndProject —
-    * no full sort at scale. */
+  /** Brute-force cosine top-k. Oracle-stable: the score is scaled into
+    * exact integer space (floor(cos*1e6+0.5), pure IEEE arithmetic — no
+    * engine-divergent decimal rounding) and the ordering key is that
+    * integer with vec_id tie-break, so the top-k SET is deterministic
+    * across engines. TakeOrderedAndProject — no full sort at scale. */
   def q24AnnTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = load(s, dir, "embeddings")
     val ref = emb.filter($"vec_id" === 0).select($"embedding".as("ref_emb"))
     emb.filter($"vec_id" =!= 0).crossJoin(broadcast(ref))
-      .select($"vec_id", cosine($"embedding", $"ref_emb").as("cos"))
-      .orderBy($"cos".desc, $"vec_id")
+      .select($"vec_id",
+        floor(cosine($"embedding", $"ref_emb") * 1e6 + 0.5).cast("long").as("cos_scaled"))
+      .orderBy($"cos_scaled".desc, $"vec_id")
       .limit(k)
-      .select($"vec_id", round($"cos", 4).as("cos"))
   }
 
   /** LSH-bucketed ANN scale path: sparse random-hyperplane signatures
@@ -102,9 +104,11 @@ object VectorOps {
   }
 
   /** ANN via LSH buckets: group by signature, exact re-rank inside each
-    * bucket against the bucket's query members. Rows-only check (bucket
-    * contents are implementation-defined); correctness of the exact
-    * re-rank path is covered by q16's oracle. */
+    * bucket against the bucket's query members. Oracle-gated: the
+    * signature is pure deterministic compare/shift arithmetic, so the
+    * DuckDB oracle rebuilds the identical signature in SQL (generated
+    * from the same plane constants by [[signatureSql]]) and the bucket
+    * profile must match exactly. Integer outputs only. */
   def q25AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = load(s, dir, "embeddings")
       .withColumn("sig", signatureCol($"embedding", 64, 12))
@@ -113,12 +117,25 @@ object VectorOps {
       .agg(
         count(lit(1)).as("n_buckets"),
         max($"bucket_size").as("max_bucket"),
-        round(avg($"bucket_size"), 2).as("avg_bucket"))
+        sum($"bucket_size").as("n_vectors"))
   }
+
+  /** The DuckDB twin of [[signatureCol]]: same LCG plane constants, same
+    * compare + power-of-two accumulation, over 1-based list indexing. */
+  def signatureSql(embCol: String, dim: Int, nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      val a = ((p * 2654435761L) % dim).toInt.abs
+      val b0 = ((p * 40503L + 2654435761L) % dim).toInt.abs
+      val b = if (b0 == a) (b0 + 1) % dim else b0
+      s"(CASE WHEN $embCol[${a + 1}] >= $embCol[${b + 1}] THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * signature blocking + exact verify (the embedding near-dup deduper).
     * Self-join only within identical signatures — shuffle on sig key.
+    * Oracle-gated: the DuckDB twin reproduces the same signature blocking
+    * ([[signatureSql]]) and exact cosine verify, so the count matches
+    * exactly (not merely an all-pairs approximation of the LSH result).
     */
   def q26EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val emb = load(s, dir, "embeddings")
@@ -136,6 +153,30 @@ object VectorOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q24_ann_topk" ->
+      """WITH ref AS (SELECT embedding AS ref_emb FROM embeddings WHERE vec_id=0),
+        |pairs AS (SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS v,
+        |  CAST(unnest(r.ref_emb) AS DOUBLE) AS rv FROM embeddings e CROSS JOIN ref r
+        |  WHERE e.vec_id != 0)
+        |SELECT vec_id,
+        |CAST(floor(sum(v*rv)/(sqrt(sum(v*v))*sqrt(sum(rv*rv))) * 1e6 + 0.5) AS BIGINT) AS cos_scaled
+        |FROM pairs GROUP BY 1 ORDER BY cos_scaled DESC, vec_id LIMIT 10""".stripMargin,
+    "q25_ann_lsh" ->
+      s"""WITH s AS (SELECT ${signatureSql("embedding", 64, 12)} AS sig FROM embeddings),
+         |b AS (SELECT sig, count(*) AS bucket_size FROM s GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |CAST(max(bucket_size) AS BIGINT) AS max_bucket,
+         |CAST(sum(bucket_size) AS BIGINT) AS n_vectors FROM b""".stripMargin,
+    "q26_embedding_neardup" ->
+      s"""WITH s AS (SELECT vec_id, ${signatureSql("embedding", 64, 10)} AS sig FROM embeddings),
+         |cand AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM s a JOIN s b
+         |  ON a.sig = b.sig AND a.vec_id < b.vec_id),
+         |u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |  generate_subscripts(embedding,1) AS i FROM embeddings),
+         |cos AS (SELECT c.ia, c.ib, sum(ua.v*ub.v)/(sqrt(sum(ua.v*ua.v))*sqrt(sum(ub.v*ub.v))) AS cs
+         |  FROM cand c JOIN u ua ON ua.vec_id = c.ia JOIN u ub ON ub.vec_id = c.ib AND ua.i = ub.i
+         |  GROUP BY 1,2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_neardup_pairs FROM cos WHERE cs > 0.95""".stripMargin,
     "q14_flatten" ->
       """SELECT vec_id, CAST(generate_subscripts(embedding,1) AS BIGINT) AS idx,
         |round(CAST(unnest(embedding) AS DOUBLE),6) AS val
