@@ -29,54 +29,64 @@ import org.apache.spark.sql.Encoder
   * partition to one (sumW, sumWF) buffer pair per group before the
   * shuffle — the 100 TB path moves only #groups × 2×n doubles.
   *
-  * @param n vector length (4620/2^zoom for spectra; flattened pixel count
-  *          for image cutouts)
+  * The buffer grows to the first observation's length, so one udaf
+  * instance serves every zoom level (4620/2^zoom spectra, flattened
+  * cutouts) — no per-zoom plan specialization needed.
+  *
+  * @param sizeHint initial buffer length (0 = grow on first input)
   */
-class IvwStackAggregator(n: Int)
+class IvwStackAggregator(sizeHint: Int = 0)
     extends Aggregator[(Seq[Double], Seq[Double]), (Array[Double], Array[Double]), (Array[Double], Array[Double])] {
 
   /** buffer = (Σ 1/s², Σ f/s²) per element */
   override def zero: (Array[Double], Array[Double]) =
-    (Array.fill(n)(0.0), Array.fill(n)(0.0))
+    (Array.fill(sizeHint)(0.0), Array.fill(sizeHint)(0.0))
+
+  private def grown(a: Array[Double], n: Int): Array[Double] =
+    if (a.length >= n) a else java.util.Arrays.copyOf(a, n)
 
   override def reduce(
       buf: (Array[Double], Array[Double]),
       in: (Seq[Double], Seq[Double])): (Array[Double], Array[Double]) = {
-    val (sumW, sumWF) = buf
     val (flux, sigma) = in
-    if (flux != null && sigma != null) {
-      val m = math.min(n, math.min(flux.length, sigma.length))
-      var i = 0
-      while (i < m) {
-        val f = flux(i)
-        val s = sigma(i)
-        if (s != 0.0 && !s.isNaN && !s.isInfinite) {
-          val w = 1.0 / (s * s)
-          sumW(i) += w
-          if (!f.isNaN) sumWF(i) += f * w
-        }
-        i += 1
+    if (flux == null || sigma == null) return buf
+    val m = math.min(flux.length, sigma.length)
+    val sumW = grown(buf._1, m)
+    val sumWF = grown(buf._2, m)
+    var i = 0
+    while (i < m) {
+      val f = flux(i)
+      val s = sigma(i)
+      if (s != 0.0 && !s.isNaN && !s.isInfinite) {
+        val w = 1.0 / (s * s)
+        sumW(i) += w
+        if (!f.isNaN) sumWF(i) += f * w
       }
+      i += 1
     }
-    buf
+    (sumW, sumWF)
   }
 
   override def merge(
       a: (Array[Double], Array[Double]),
       b: (Array[Double], Array[Double])): (Array[Double], Array[Double]) = {
+    val n = math.max(a._1.length, b._1.length)
+    val sumW = grown(a._1, n)
+    val sumWF = grown(a._2, n)
     var i = 0
-    while (i < n) {
-      a._1(i) += b._1(i)
-      a._2(i) += b._2(i)
+    while (i < b._1.length) {
+      sumW(i) += b._1(i)
+      sumWF(i) += b._2(i)
       i += 1
     }
-    a
+    (sumW, sumWF)
   }
 
   /** (mu, sigma') — where nothing contributed: mu = NaN (numpy's
     * unguarded 0/0) but sigma' = 0 (the reference's guarded divide). */
   override def finish(buf: (Array[Double], Array[Double])): (Array[Double], Array[Double]) = {
     val (sumW, sumWF) = buf
+    val n = sumW.length
     val mu = new Array[Double](n)
     val sg = new Array[Double](n)
     var i = 0

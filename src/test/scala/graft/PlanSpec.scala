@@ -57,4 +57,33 @@ class PlanSpec extends AnyFunSuite {
     // "*(n)" prefixes mark whole-stage-codegen'd operators
     assert(p.contains("*("), p)
   }
+
+  test("ML-cube plan: partial-agg stacks, no MapGroups, frames behind a broadcast join") {
+    import spark.implicits._
+    // tiny in-memory pipeline inputs (shape only; values irrelevant here)
+    val spectra = Seq(
+      graft.pipeline.SpectrumObs(0, 1L, "a.fits", 150.0, 2.0, 53000.0, 1001L, 53000L, 1,
+        42L, Array(1f, 2f), Array(1f, 2f), Array(0.1f, 0.1f), Map.empty),
+      graft.pipeline.SpectrumObs(0, 2L, "b.fits", 150.0, 2.0, 53001.0, 1001L, 53001L, 2,
+        42L, Array(1f, 2f), Array(3f, 4f), Array(0.1f, 0.1f), Map.empty)).toDS()
+    val wcs = graft.pipeline.WcsParams(1, 1, 1e-4, 0, 0, 1e-4, 150.0, 2.0)
+    val images = Seq(
+      graft.pipeline.ImageObs(0, 10L, "f.fits", "u", 3551, 1000, 3, 1, 53000.0, 7L,
+        4, 4, Array.fill(4)(Array.fill(4)(1f)), Array.fill(4)(Array.fill(4)(0.1f)),
+        wcs, Map.empty)).toDS()
+    val links = Seq(
+      graft.pipeline.CutoutLink(0, 1L, 10L, "u", 0L, 2L, 0L, 2L)).toDS()
+
+    val ml = graft.pipeline.MlCube.build(spectra, links, images, requiredBands = 1)
+    ml.collect() // finalize AQE
+    val p = ml.queryExecution.executedPlan.toString
+    // the round-1 scale killer: groupByKey+mapGroups forced every payload
+    // across the shuffle; the udaf path must partial-aggregate instead
+    assert(!p.contains("MapGroups"), "mapGroups full-payload shuffle is back:\n" + p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    // partial + final pair for the stacks (map-side combine before exchange)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    // frames must stream through a broadcast join against the link projection
+    assert(p.contains("BroadcastHashJoin"), "cutout join not broadcast:\n" + p)
+  }
 }
