@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.functions.Healpix
 import graft.functions.PhotometryKernels
@@ -36,18 +37,11 @@ object Ingest {
 
   def baseName(path: String): String = path.substring(path.lastIndexOf('/') + 1)
 
-  /** S1 recursive scan + S5 spectrum decode + X1 pyramid fan-out. */
-  def spectra(
-      spark: SparkSession, dir: String,
-      pattern: String = "*.fits", limit: Int = Int.MaxValue,
-      zoomCnt: Int = SpecZoomCnt): Dataset[SpectrumObs] = {
-    import spark.implicits._
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", pattern)
-      .option("recursiveFileLookup", "true")
-      .load(dir)
-      .limit(limit)
-      .select("path", "content").as[(String, Array[Byte])]
+  /** Spectrum decode + X1 pyramid fan-out over an already-selected file
+    * table (path, content). */
+  private def decodeSpectra(
+      files: Dataset[(String, Array[Byte])], zoomCnt: Int): Dataset[SpectrumObs] = {
+    import files.sparkSession.implicits._
     files.flatMap { case (path, bytes) =>
       val sp = SdssFits.loadSpectrum(bytes, path, zoomCnt)
       val name = baseName(path)
@@ -63,6 +57,21 @@ object Ingest {
           header)
       }
     }
+  }
+
+  /** S1 recursive scan + S5 spectrum decode + X1 pyramid fan-out. */
+  def spectra(
+      spark: SparkSession, dir: String,
+      pattern: String = "*.fits", limit: Int = Int.MaxValue,
+      zoomCnt: Int = SpecZoomCnt): Dataset[SpectrumObs] = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", pattern)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .limit(limit)
+      .select("path", "content").as[(String, Array[Byte])]
+    decodeSpectra(files, zoomCnt)
   }
 
   /** S1 + S4 frame decode (P1-P4 kernels) + X2 pyramid fan-out.
@@ -81,6 +90,17 @@ object Ingest {
       .load(dir)
       .limit(limit)
       .select("path", "content").as[(String, Array[Byte])]
+    decodeImages(files, gains, darkVars, zoomCnt)
+  }
+
+  /** Frame decode + X2 pyramid fan-out over an already-selected file
+    * table (path, content). */
+  private def decodeImages(
+      files: Dataset[(String, Array[Byte])],
+      gains: Seq[PhotometryKernels.CcdConfigRow],
+      darkVars: Seq[PhotometryKernels.CcdConfigRow],
+      zoomCnt: Int): Dataset[ImageObs] = {
+    import files.sparkSession.implicits._
     files.flatMap { case (path, bytes) =>
       val fr = SdssFits.loadFrame(bytes, path, gains, darkVars, zoomCnt)
       val name = baseName(path)
@@ -97,6 +117,71 @@ object Ingest {
           header)
       }
     }
+  }
+
+  /** S2 FULL semantics — manifest(CSV)-driven image scan
+    * (`hisscube/processors/metadata.py:132-146`): each manifest row
+    * (run, camcol, field) expands to the directory
+    * `imageRoot/rerun/run/camcol` scanned for `*%04d.fits*` of the field.
+    *
+    * Scale shape: the directory LISTING is Spark's distributed file index
+    * over only the manifest's directories; the row→file match is a
+    * broadcast join (directory equality + field-suffix residual), so a
+    * 5M-file manifest never funnels paths through the driver — only the
+    * distinct (run, camcol) directory list does (bounded: one per CCD
+    * strip, thousands at SDSS scale). */
+  def imagesFromManifest(
+      spark: SparkSession, csvPath: String, imageRoot: String,
+      ccdConfigDir: String, rerun: String = "301",
+      zoomCnt: Int = ImgZoomCnt): Dataset[ImageObs] = {
+    import spark.implicits._
+    val gains = SdssFits.readCcdTsv(s"$ccdConfigDir/ccd_gain.tsv")
+    val darkVars = SdssFits.readCcdTsv(s"$ccdConfigDir/ccd_dark_variance.tsv")
+    val manifest = spark.read.option("header", "true").csv(csvPath)
+      .select(
+        concat_ws("/", lit(imageRoot), lit(rerun), $"run", $"camcol").as("dir"),
+        format_string("%04d.fits", $"field".cast("int")).as("suffix"))
+      .distinct()
+    val files = manifestFiles(spark, manifest, "*.fits*")
+    decodeImages(files, gains, darkVars, zoomCnt)
+  }
+
+  /** S2 spectra variant (`metadata.py:148-160`): manifest rows carry a
+    * plate; every `*.fits` under `spectraRoot/%04d` ingests. */
+  def spectraFromManifest(
+      spark: SparkSession, csvPath: String, spectraRoot: String,
+      zoomCnt: Int = SpecZoomCnt): Dataset[SpectrumObs] = {
+    import spark.implicits._
+    val manifest = spark.read.option("header", "true").csv(csvPath)
+      .select(
+        concat_ws("/", lit(spectraRoot),
+          format_string("%04d", $"plate".cast("int"))).as("dir"),
+        lit(".fits").as("suffix"))
+      .distinct()
+    decodeSpectra(manifestFiles(spark, manifest, "*.fits"), zoomCnt)
+  }
+
+  /** Distributed listing of the manifest's directories joined back to the
+    * manifest's (dir, basename-suffix) filters. */
+  private def manifestFiles(
+      spark: SparkSession, manifest: DataFrame,
+      globPattern: String): Dataset[(String, Array[Byte])] = {
+    import spark.implicits._
+    val dirs = manifest.select("dir").distinct().as[String].collect()
+      .filter(d => new java.io.File(d).isDirectory).sorted
+    if (dirs.isEmpty) return spark.emptyDataset[(String, Array[Byte])]
+    val listing = spark.read.format("binaryFile")
+      .option("pathGlobFilter", globPattern)
+      .option("recursiveFileLookup", "true")
+      .load(dirs: _*)
+      // binaryFile paths are file: URIs; normalize to the manifest's form
+      .withColumn("fs_path", regexp_replace(col("path"), "^file:", ""))
+      .withColumn("file_dir", regexp_replace(col("fs_path"), "/[^/]+$", ""))
+    listing
+      .join(broadcast(manifest),
+        col("file_dir") === col("dir") && col("fs_path").endsWith(col("suffix")))
+      .dropDuplicates("path")
+      .select("path", "content").as[(String, Array[Byte])]
   }
 
   /** Persist an observation table the way the 100 TB layout wants it:

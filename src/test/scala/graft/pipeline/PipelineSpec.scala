@@ -167,6 +167,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 
+  test("S2 manifest scan matches the directory scan and prunes unlisted rows") {
+    // SDSS layout: imageRoot/301/{run}/{camcol}/frame-...-%04d.fits
+    val mroot = Files.createTempDirectory("graft-manifest")
+    val imgRoot = mroot.resolve("images")
+    val manifest = new StringBuilder("run,camcol,field\n")
+    for ((band, run) <- Seq(("u", 2000), ("g", 2001))) {
+      val d = imgRoot.resolve("301").resolve(run.toString).resolve("3")
+      Files.createDirectories(d)
+      FitsFixtures.writeFrame(d.resolve(f"frame-$band-$run%06d-3-0001.fits").toString,
+        band, run, 3, 1, 64, 46, 150.0, 2.0)
+      manifest.append(s"$run,3,1\n")
+    }
+    // same directory, field 2: listed dir but unlisted field — must be pruned
+    FitsFixtures.writeFrame(
+      imgRoot.resolve("301").resolve("2000").resolve("3")
+        .resolve("frame-r-002000-3-0002.fits").toString,
+      "r", 2000, 3, 2, 64, 46, 150.0, 2.0)
+    // unlisted run entirely
+    val dOther = imgRoot.resolve("301").resolve("2999").resolve("3")
+    Files.createDirectories(dOther)
+    FitsFixtures.writeFrame(dOther.resolve("frame-z-002999-3-0001.fits").toString,
+      "z", 2999, 3, 1, 64, 46, 150.0, 2.0)
+    val csv = mroot.resolve("manifest.csv")
+    Files.writeString(csv, manifest.toString)
+
+    val viaManifest = Ingest.imagesFromManifest(
+      spark, csv.toString, imgRoot.toString, "/root/reference/config").collect()
+    assert(viaManifest.length == 2 * 5, s"got ${viaManifest.length}")
+    assert(viaManifest.map(_.run).toSet == Set(2000, 2001))
+    assert(viaManifest.forall(_.field == 1))
+    // identical observation rows to a direct directory scan of those files
+    val viaScan = Ingest.images(spark, imgRoot.toString, "/root/reference/config")
+      .collect().filter(o => o.field == 1 && o.run != 2999)
+    assert(viaManifest.map(o => (o.image_id, o.zoom)).toSet ==
+      viaScan.map(o => (o.image_id, o.zoom)).toSet)
+
+    // spectra: spectraRoot/%04d(plate)/*.fits
+    val specRoot = mroot.resolve("spectra")
+    val (loglam, flux, ivar) = FitsFixtures.specGrid()
+    Files.createDirectories(specRoot.resolve("1001"))
+    Files.createDirectories(specRoot.resolve("1002"))
+    FitsFixtures.writeSpectrum(specRoot.resolve("1001")
+      .resolve("spec-1001-53000-0001.fits").toString,
+      150.0, 2.0, 1001, 53000, 1, loglam, flux, ivar)
+    FitsFixtures.writeSpectrum(specRoot.resolve("1002")
+      .resolve("spec-1002-53100-0003.fits").toString,
+      150.2, 2.1, 1002, 53100, 3, loglam, flux, ivar)
+    val specCsv = mroot.resolve("spectra.csv")
+    Files.writeString(specCsv, "plate\n1001\n")
+    val sm = Ingest.spectraFromManifest(spark, specCsv.toString, specRoot.toString).collect()
+    assert(sm.length == 5) // one spectrum × 5 zooms; plate 1002 pruned
+    assert(sm.forall(_.plateid == 1001L))
+  }
+
   test("export: VOTable and FITS sinks roundtrip the viz table") {
     val rows = VizCube.spectrumRows(spectra).filter(_.zoom == 4).collect().toSeq
     val dir = Files.createTempDirectory("graft-export")
