@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, shiftright}
 
 /** Full cube construction — the analogue of `hisscube.py <in> <out>
   * create` (reference §3.1 builder list: metadata-cache → metadata →
@@ -39,8 +39,12 @@ object BuildCube {
       .partitionBy("zoom").parquet(s"$outDir/cutout_links")
 
     val ml = MlCube.build(spectra, links, images).cache()
-    ml.toDF().write.mode(SaveMode.Overwrite)
-      .partitionBy("zoom").parquet(s"$outDir/ml_cube")
+    // (zoom, spatial-bucket) partitioning so the incremental update phase
+    // (UpdateCube) can dynamic-overwrite only the buckets it re-stacks
+    ml.toDF()
+      .withColumn("bucket", shiftright(col("target_healpix"), UpdateCube.BucketShift))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("zoom", "bucket").parquet(s"$outDir/ml_cube")
 
     val viz = VizCube.build(spectra, links, images).cache()
     viz.toDF()
