@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.load
@@ -14,17 +13,21 @@ import graft.syntax._
   */
 object MiscOps {
 
-  /** J4 — positional 1:1 zip of two equal-length sorted tables via
-    * row_number (the SFR gal_info ⧺ gal_fibsfr concat shape). */
+  /** J4 — positional 1:1 zip of two equal-length sorted tables (the SFR
+    * gal_info ⧺ gal_fibsfr concat shape). Indexes come from
+    * `zipWithIndex` over the sorted partitions — per-partition offsets
+    * plus one tiny partition-size collect — NOT a partition-less window
+    * (which would funnel the whole table through one task at scale). */
   def q43ZipJoin(s: SparkSession, dir: String): DataFrame = {
-    val wn = Window.orderBy($"n_nationkey")
-    val wr = Window.orderBy($"r_regionkey".desc)
-    val a = load(s, dir, "nation")
-      .select($"n_name", row_number().over(wn).as("idx"))
-    val b = load(s, dir, "region")
-      .select($"r_name", row_number().over(wr).as("idx"))
-    a.join(b, "idx")
-      .select($"idx".cast("long").as("idx"), $"n_name", $"r_name")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    def zipIdx(df: DataFrame): DataFrame = {
+      val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1)) }
+      df.sparkSession.createDataFrame(rdd, df.schema.add("idx", LongType))
+    }
+    val a = zipIdx(load(s, dir, "nation").orderBy($"n_nationkey").select($"n_name"))
+    val b = zipIdx(load(s, dir, "region").orderBy($"r_regionkey".desc).select($"r_name"))
+    a.join(b, "idx").select($"idx", $"n_name", $"r_name")
   }
 
   /** I8 — unique keys + per-key dense ranges (np.unique + bisect ranges

@@ -25,19 +25,21 @@ object Link {
   val DiscRadiusRad: Double = 8.0 * math.Pi / (60 * 180)
 
   /** Candidate (spec, image) pairs via healpix-cell equi-join at the
-    * image index order. One row per pair (dedup over cells). */
+    * image index order. One row per pair (dedup over cells). The disc
+    * cover runs as the native `healpix_disc` Expression + explode —
+    * columnar, no per-row Dataset decode. */
   def candidates(spectra: Dataset[SpectrumObs], images: Dataset[ImageObs]): DataFrame = {
     val spark = spectra.sparkSession
     import spark.implicits._
+    graft.plans.HealpixExpressions.register(spark)
+    import graft.plans.HealpixExpressions.healpix_disc
 
     val spec0 = spectra.filter(_.zoom == 0)
       .map(s => (s.spec_id, s.ra, s.dec, s.healpix))
       .toDF("spec_id", "ra", "dec", "spec_healpix")
-      .flatMap { r =>
-        val cells = Healpix.queryDiscLonLat(
-          Ingest.ImgHealOrder, r.getDouble(1), r.getDouble(2), DiscRadiusRad)
-        cells.map(c => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), c))
-      }.toDF("spec_id", "ra", "dec", "spec_healpix", "cell")
+      .select($"spec_id", $"ra", $"dec", $"spec_healpix",
+        explode(healpix_disc($"ra", $"dec",
+          lit(Ingest.ImgHealOrder), lit(DiscRadiusRad))).as("cell"))
 
     val imgIndex = images.filter(_.zoom == 0)
       .map(i => (i.image_id, i.healpix, i.width, i.height, i.time, i.band, i.wcs))

@@ -19,7 +19,13 @@ object Sfr {
 
   /** S6: read a FITS binary table into a DataFrame. Scalar numeric and
     * string columns become primitives; array columns become
-    * array<double>. */
+    * array<double>.
+    *
+    * Driver-side decode by design: this is the CATALOG path (gal_info /
+    * gal_fibsfr, ~10⁵ rows), read once and joined broadcast-side. A
+    * large FITS table belongs on the distributed path instead —
+    * `binaryFile` scan + per-executor `Fits.readBinTable` decode, as
+    * [[Ingest.spectra]] does for observation files. */
   def readFitsTable(spark: SparkSession, path: String): DataFrame = {
     val bytes = Fits.maybeDecompress(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), path)

@@ -19,8 +19,11 @@ object Export {
     "time" -> "double", "wl" -> "double", "mean" -> "double",
     "sigma" -> "double")
 
+  // Seq[Any] ascription on each element: a bare Seq(long, double, ...)
+  // numeric-widens the Long to Double and heal_id loses its integer
+  // identity in every sink
   private def values(r: VizRow): Seq[Any] =
-    Seq(r.heal_id, r.ra, r.dec, r.time, r.wl, r.mean, r.sigma)
+    Seq[Any](r.heal_id: java.lang.Long, r.ra, r.dec, r.time, r.wl, r.mean, r.sigma)
 
   /** S10: VOTable 1.4 with inline TABLEDATA. */
   def writeVOTable(rows: Iterator[VizRow], path: String): Long = {
@@ -45,6 +48,68 @@ object Export {
       out.println("""  </TABLEDATA></DATA></TABLE></RESOURCE></VOTABLE>""")
     } finally out.close()
     n
+  }
+
+  /** S10 format parity: VOTable 1.4 with BINARY serialization — the
+    * reference's `write_VOTable(..., tabledata_format="binary")`
+    * (`metadata_strategy_cube_visualization.py:97-100`). IVOA BINARY:
+    * row values concatenated big-endian inside a base64 STREAM. Streamed
+    * through a MIME base64 encoder — no whole-table buffering. */
+  def writeVOTableBinary(rows: Iterator[VizRow], path: String): Long = {
+    val fos = new BufferedOutputStream(new FileOutputStream(path))
+    var n = 0L
+    try {
+      def text(s: String): Unit = fos.write(s.getBytes(StandardCharsets.UTF_8))
+      text("""<?xml version="1.0" encoding="UTF-8"?>""" + "\n")
+      text("""<VOTABLE version="1.4" xmlns="http://www.ivoa.net/xml/VOTable/v1.3">""" + "\n")
+      text(""" <RESOURCE><TABLE name="dense_cube">""" + "\n")
+      columns.foreach { case (name, tpe) =>
+        val dt = if (tpe == "long") "long" else "double"
+        text(s"""  <FIELD name="$name" datatype="$dt"/>""" + "\n")
+      }
+      text("""  <DATA><BINARY><STREAM encoding="base64">""" + "\n")
+      val b64 = java.util.Base64.getMimeEncoder(76, "\n".getBytes(StandardCharsets.US_ASCII))
+        .wrap(fos)
+      val dos = new DataOutputStream(b64)
+      rows.foreach { r =>
+        values(r).foreach {
+          case l: Long => dos.writeLong(l)
+          case d: Double => dos.writeDouble(d)
+          case other => throw new IllegalStateException(other.toString)
+        }
+        n += 1
+      }
+      dos.flush()
+      b64.close() // finishes base64 padding; leaves fos usable? no — close closes fos
+    } finally ()
+    // reopen in append mode for the XML suffix (Base64 wrap closes the stream)
+    val tail = new java.io.PrintWriter(
+      new BufferedOutputStream(new FileOutputStream(path, true)), false, StandardCharsets.UTF_8)
+    try {
+      tail.println()
+      tail.println("""  </STREAM></BINARY></DATA></TABLE></RESOURCE></VOTABLE>""")
+    } finally tail.close()
+    n
+  }
+
+  /** Read back a BINARY-serialization VOTable written by
+    * [[writeVOTableBinary]] (roundtrip verification + interop reader). */
+  def readVOTableBinary(path: String): Seq[VizRow] = {
+    val xml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), StandardCharsets.UTF_8)
+    val fieldNames = """<FIELD name="([^"]+)"""".r
+      .findAllMatchIn(xml).map(_.group(1)).toSeq
+    require(fieldNames == columns.map(_._1), s"unexpected fields $fieldNames")
+    val stream = xml.substring(
+      xml.indexOf("<STREAM encoding=\"base64\">") + "<STREAM encoding=\"base64\">".length,
+      xml.indexOf("</STREAM>"))
+    val bytes = java.util.Base64.getMimeDecoder.decode(stream.trim)
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val rowBytes = 8 * columns.length
+    (0 until bytes.length / rowBytes).map { _ =>
+      VizRow(0, in.readLong(), in.readDouble(), in.readDouble(), in.readDouble(),
+        in.readDouble(), in.readDouble(), in.readDouble(), "")
+    }
   }
 
   private def card(key: String, value: String, comment: String = ""): Array[Byte] = {

@@ -211,6 +211,8 @@ object Fits {
         case 'J' => buf.getInt().toDouble
         case 'K' => buf.getLong().toDouble
         case 'B' => (buf.get() & 0xff).toDouble
+        // FITS logical: one ASCII byte 'T'/'F' (0 = undefined) → 1/0
+        case 'L' => if (buf.get() == 'T'.toByte) 1.0 else 0.0
         case c => throw new IllegalArgumentException(s"numeric read of '$c'")
       }
       i += 1

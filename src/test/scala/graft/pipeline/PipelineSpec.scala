@@ -228,6 +228,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(Export.writeVOTable(rows.iterator, vot) == rows.length)
     val xml = new String(Files.readAllBytes(java.nio.file.Paths.get(vot)))
     assert(xml.contains("<VOTABLE") && xml.contains("<TR>"))
+    // heal_id must serialize as an integer, not a widened double
+    assert(xml.contains(s"<TD>${rows.head.heal_id}</TD>"), xml.take(2000))
+
+    // BINARY serialization (reference tabledata_format="binary") roundtrip
+    val votBin = dir.resolve("cube_binary.vot.xml").toString
+    assert(Export.writeVOTableBinary(rows.iterator, votBin) == rows.length)
+    val binXml = new String(Files.readAllBytes(java.nio.file.Paths.get(votBin)))
+    assert(binXml.contains("<BINARY>") && binXml.contains("encoding=\"base64\""))
+    val back = Export.readVOTableBinary(votBin)
+    assert(back.length == rows.length)
+    back.zip(rows).foreach { case (g, e) =>
+      assert(g.heal_id == e.heal_id)
+      assert(math.abs(g.wl - e.wl) < 1e-12 && (g.mean == e.mean || (g.mean.isNaN && e.mean.isNaN)))
+    }
 
     val fits = dir.resolve("cube.fits").toString
     Export.writeFitsTable(rows, fits)

@@ -40,6 +40,33 @@ class FitsEdgeSpec extends AnyFunSuite {
     assert(img(0)(0) == 101.0f && img(1)(1) == 104.0f)
   }
 
+  test("BINTABLE logical 'L' columns read as 1/0 (one ASCII byte T/F)") {
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    def card(k: String, v: String) =
+      d.write((k.padTo(8, ' ') + "= " + v.reverse.padTo(20, ' ').reverse)
+        .padTo(80, ' ').take(80).getBytes("US-ASCII"))
+    def end(cards: Int): Unit = {
+      d.write("END".padTo(80, ' ').getBytes("US-ASCII"))
+      d.write(new Array[Byte](2880 - (cards + 1) * 80))
+    }
+    card("SIMPLE", "T"); card("BITPIX", "8"); card("NAXIS", "0"); end(3)
+    card("XTENSION", "'BINTABLE'"); card("BITPIX", "8"); card("NAXIS", "2")
+    card("NAXIS1", "9"); card("NAXIS2", "2")
+    card("PCOUNT", "0"); card("GCOUNT", "1"); card("TFIELDS", "2")
+    card("TTYPE1", "'FLAG'"); card("TFORM1", "'L'")
+    card("TTYPE2", "'VAL'"); card("TFORM2", "'D'")
+    end(12)
+    d.writeByte('T'); d.writeDouble(1.5)
+    d.writeByte('F'); d.writeDouble(2.5)
+    d.write(new Array[Byte](2880 - 18))
+    val bytes = out.toByteArray
+    val t = Fits.readBinTable(bytes, Fits.readHdus(bytes)(1))
+    assert(Fits.readDoubles(bytes, t, t.column("FLAG"), 0).sameElements(Array(1.0)))
+    assert(Fits.readDoubles(bytes, t, t.column("FLAG"), 1).sameElements(Array(0.0)))
+    assert(Fits.readDoubles(bytes, t, t.column("VAL"), 1).sameElements(Array(2.5)))
+  }
+
   test("queryDisc stays correct near the poles and the RA wrap") {
     for ((ra, dec) <- Seq((0.5, 89.5), (359.9, -89.2), (0.01, 0.0), (180.0, 66.6))) {
       val radius = 8.0 / 60 * math.Pi / 180
