@@ -32,10 +32,22 @@ object UpdateCube {
     * re-stack affected targets. Equivalent to a full rebuild over the
     * union of old and new inputs (asserted in UpdateSpec). */
   def update(
-      spark: SparkSession, outDir: String, newSpectraDir: String): UpdateSummary = {
+      spark: SparkSession, outDir: String, newSpectraDir: String): UpdateSummary =
+    updateWith(spark, outDir, Ingest.spectra(spark, newSpectraDir))
+
+  /** Same, over an already-decoded batch of new spectra — the
+    * `foreachBatch` entry the streaming ingest drives
+    * ([[graft.streaming.ObservationStream.updateStream]]). */
+  def updateWith(
+      spark: SparkSession, outDir: String,
+      newSpecsIn: Dataset[SpectrumObs]): UpdateSummary = {
     import spark.implicits._
 
-    val newSpecs = Ingest.spectra(spark, newSpectraDir).cache()
+    val newSpecs = newSpecsIn.cache()
+    if (newSpecs.isEmpty) {
+      newSpecs.unpersist()
+      return UpdateSummary(0, 0, 0, 0, 0)
+    }
     val images = spark.read.parquet(s"$outDir/images").as[ImageObs]
 
     // 1. append the new observations

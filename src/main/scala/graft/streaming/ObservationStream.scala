@@ -53,6 +53,29 @@ object ObservationStream {
       }
   }
 
+  /** Streaming INCREMENTAL UPDATE: each micro-batch of newly arrived
+    * FITS spectra runs the same re-link/re-stack the batch `update`
+    * command does (`UpdateCube.updateWith` inside `foreachBatch`) — the
+    * Spark-native form of the reference's `update` pipeline running
+    * continuously. `AvailableNow` drains what's present and stops
+    * (test/bootstrap); pass a processing-time trigger + checkpoint for a
+    * long-lived watcher. */
+  def updateStream(
+      spark: SparkSession, watchDir: String, outDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpoint: Option[String] = None): Unit = {
+    var w = spectra(spark, watchDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[SpectrumObs], _: Long) =>
+        graft.pipeline.UpdateCube.updateWith(spark, outDir, batch)
+        ()
+      }
+      .trigger(trigger)
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    val q = w.start()
+    try q.awaitTermination() finally q.stop()
+  }
+
   /** Drain the current directory contents through the stream into an
     * in-memory table (test/bootstrap helper); production would
     * `writeStream.partitionBy("zoom").format("parquet")` with a

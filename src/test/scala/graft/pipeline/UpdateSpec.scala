@@ -98,4 +98,19 @@ class UpdateSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(vi == vf)
   }
+
+  test("streaming update: foreachBatch drives the same incremental re-stack") {
+    import spark.implicits._
+    val (dir, specInit, specNew) = writeFixtures()
+    val out = dir.resolve("cube_streamed").toString
+    BuildCube.build(spark, specInit.toString, dir.resolve("images").toString,
+      "/root/reference/config", out)
+    // before: target A is a 1-spectrum stack
+    assert(spark.read.parquet(s"$out/ml_cube").where($"n_spectra" === 2).count() == 0)
+    graft.streaming.ObservationStream.updateStream(spark, specNew.toString, out)
+    // after: the streamed micro-batch re-stacked target A at every zoom
+    assert(spark.read.parquet(s"$out/ml_cube").where($"n_spectra" === 2).count() == 5)
+    assert(spark.read.parquet(s"$out/spectra").count() == 3 * 5)
+    assert(spark.read.parquet(s"$out/cutout_links").count() == 3 * 25)
+  }
 }
