@@ -92,6 +92,24 @@ object Export {
     n
   }
 
+  /** Distributed export: every partition writes its own VOTable part
+    * file in parallel on the executors (`foreachPartition`) — the driver
+    * never materializes the table, so the sink scales with the cluster
+    * like the parquet writer does. Pair with
+    * `repartitionByRange(zoom, heal_id)` upstream for sorted,
+    * evenly-sized parts. */
+  def writeVOTableBinaryPartitioned(
+      ds: org.apache.spark.sql.Dataset[VizRow], outDir: String): Unit = {
+    new java.io.File(outDir).mkdirs()
+    ds.foreachPartition { (it: Iterator[VizRow]) =>
+      if (it.hasNext) {
+        val part = org.apache.spark.TaskContext.getPartitionId()
+        writeVOTableBinary(it, f"$outDir/part-$part%05d.vot.xml")
+      }
+      ()
+    }
+  }
+
   /** Read back a BINARY-serialization VOTable written by
     * [[writeVOTableBinary]] (roundtrip verification + interop reader). */
   def readVOTableBinary(path: String): Seq[VizRow] = {

@@ -243,6 +243,14 @@ class PipelineSpec extends AnyFunSuite {
       assert(math.abs(g.wl - e.wl) < 1e-12 && (g.mean == e.mean || (g.mean.isNaN && e.mean.isNaN)))
     }
 
+    // distributed sink: each partition writes its own part file
+    val partDir = dir.resolve("vot_parts").toString
+    val ds4 = VizCube.spectrumRows(spectra).filter(_.zoom == 4).repartition(3)
+    Export.writeVOTableBinaryPartitioned(ds4, partDir)
+    val parts = new java.io.File(partDir).listFiles().filter(_.getName.endsWith(".vot.xml"))
+    assert(parts.nonEmpty)
+    assert(parts.map(p => Export.readVOTableBinary(p.toString).length).sum == rows.length)
+
     val fits = dir.resolve("cube.fits").toString
     Export.writeFitsTable(rows, fits)
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(fits))
