@@ -58,6 +58,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), p)
   }
 
+  test("brute-force cosine scan is broadcast-only — no shuffle exchange") {
+    val df = graft.operators.VectorOps.q16Cosine(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the probe is broadcast; the scan side must never hash-repartition
+    assert(!p.contains("hashpartitioning"), p)
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("minhash computes the signature subtree once (ReusedExchange)") {
+    val df = graft.operators.TextOps.q23MinHash(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // sigs feeds banding + two verify joins; the exchange must be reused,
+    // not recomputed per consumer
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"), p)
+  }
+
   test("ML-cube plan: partial-agg stacks, no MapGroups, frames behind a broadcast join") {
     import spark.implicits._
     // tiny in-memory pipeline inputs (shape only; values irrelevant here)
