@@ -68,6 +68,22 @@ object BuildCube {
   def readVizAtZoom(spark: SparkSession, outDir: String, zoom: Int) =
     spark.read.parquet(s"$outDir/viz_cube").where(col("zoom") === zoom)
 
+  /** §3.3 ML read path — `MLProcessor.get_spectrum_3d_cube(conn, zoom)`
+    * parity (`cube_ml.py:11-12`, `tests/test_export.py:94-99`): one zoom
+    * of the ML cube as the reference's four dense arrays — image cube
+    * (bands × h × w), image errors, spectral cube, spectral errors — one
+    * row per target, partition-pruned by the `zoom=` directory. */
+  def readMlAtZoom(spark: SparkSession, outDir: String, zoom: Int) = {
+    import org.apache.spark.sql.functions.transform
+    spark.read.parquet(s"$outDir/ml_cube").where(col("zoom") === zoom)
+      .select(col("target_healpix"),
+        transform(col("cutouts"), c => c.getField("flux")).as("image_cube"),
+        transform(col("cutouts"), c => c.getField("sigma")).as("image_errors"),
+        col("spec_flux").as("spectral_cube"),
+        col("spec_sigma").as("spectral_errors"),
+        col("n_spectra"), col("spec_ids"), col("image_ids"))
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(spectraDir, imagesDir, ccdConfigDir, outDir) = args.take(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -146,6 +146,20 @@ class PipelineSpec extends AnyFunSuite {
     val vizExpected = 3L * (4620 + 2310 + 1155 + 577 + 288) +
       links.collect().map(c => (c.x_max - c.x_min) * (c.y_max - c.y_min)).sum
     assert(s.vizRows == vizExpected)
+    // ML read path: reference shape (2, 5, 16, 16) image cube and
+    // (2, 1155) spectral cube at zoom 2 (test_export.py:94-99)
+    val ml2 = BuildCube.readMlAtZoom(spark, out, 2).collect()
+    assert(ml2.length == 2)
+    ml2.foreach { r =>
+      val imgCube = r.getSeq[Any](r.fieldIndex("image_cube"))
+      assert(imgCube.length == 5) // bands
+      val band0 = imgCube.head.asInstanceOf[scala.collection.Seq[_]]
+      assert(band0.length == 16)
+      assert(band0.head.asInstanceOf[scala.collection.Seq[_]].length == 16)
+      assert(r.getSeq[Float](r.fieldIndex("spectral_cube")).length == 1155)
+      assert(r.getSeq[Float](r.fieldIndex("spectral_errors")).length == 1155)
+    }
+
     // V3: zoom-partition pruning on read-back
     val v3 = BuildCube.readVizAtZoom(spark, out, 3)
     assert(v3.count() == spark.read.parquet(s"$out/viz_cube")
