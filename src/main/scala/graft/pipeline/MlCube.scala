@@ -126,15 +126,16 @@ object MlCube {
       : DataFrame = {
     val spark = ml.sparkSession
     import spark.implicits._
-    val probe = ml.filter(r => r.zoom == zoom && r.target_healpix == probeTarget)
-      .map(_.spec_flux.map(_.toDouble))
-      .toDF("probe_flux")
-    val candidates = ml.filter(_.zoom == zoom)
-      .map(r => (r.target_healpix, r.spec_flux.map(_.toDouble)))
-      .toDF("target_healpix", "flux")
-    candidates
+    // columnar filters + projection, NOT typed lambdas: when `ml` is the
+    // stored parquet cube, pruning reaches the scan and only
+    // (target_healpix, spec_flux) is read — never the cutout payloads
+    val flux = ml.toDF().where($"zoom" === zoom)
+      .select($"target_healpix", toDoubleArr($"spec_flux").as("flux"))
+    val probe = flux.where($"target_healpix" === probeTarget)
+      .select($"flux".as("probe_flux"))
+    flux
+      .where($"target_healpix" =!= probeTarget)
       .crossJoin(broadcast(probe))
-      .filter($"target_healpix" =!= probeTarget)
       .select($"target_healpix",
         nanDistance($"flux", $"probe_flux").as("target_distance"))
       .orderBy($"target_distance", $"target_healpix")

@@ -37,12 +37,15 @@ object VizCube {
       links: Dataset[CutoutLink], images: Dataset[ImageObs]): Dataset[VizRow] = {
     val spark = links.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col}
     val img = images
       .map(i => (i.zoom, i.image_id, i.fits_name, i.time, i.wl, i.flux, i.sigma, i.wcs))
       .toDF("zoom", "image_id", "i_name", "i_time", "i_wl", "img_flux", "img_sigma", "wcs")
-    links.toDF()
-      .join(img, Seq("zoom", "image_id"))
+    // same contract as MlCube.cutoutPixelTable: broadcast the link
+    // projection so frames stream through the join and fan out to pixel
+    // rows inside one stage — whole frames never shuffle
+    img
+      .join(broadcast(links.toDF()), Seq("zoom", "image_id"))
       .select(col("zoom"), col("x_min"), col("x_max"), col("y_min"), col("y_max"),
         col("i_name"), col("i_time"), col("i_wl"), col("img_flux"), col("img_sigma"), col("wcs"))
       .as[(Int, Long, Long, Long, Long, String, Double, Int,
