@@ -117,4 +117,21 @@ object UpdateCube {
     mlRewrite.unpersist(); vizNew.unpersist()
     summary
   }
+
+  /** CLI parity with `hisscube.py <in> <out> update`:
+    * UpdateCube <cubeOutDir> <newSpectraDir> */
+  def main(args: Array[String]): Unit = {
+    val Array(outDir, newSpectraDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val s = update(spark, outDir, newSpectraDir)
+    println(s"""{"new_spectra":${s.newSpectra},"new_links":${s.newLinks},"affected_targets":${s.affectedTargets},"ml_rows_rewritten":${s.mlRowsRewritten},"viz_rows_appended":${s.vizRowsAppended}}""")
+    spark.stop()
+  }
 }
