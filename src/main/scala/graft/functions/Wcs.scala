@@ -107,6 +107,13 @@ object Wcs {
   def isCutoutWhole(b: CutoutBounds, imgWidth: Long, imgHeight: Long): Boolean =
     0 <= b.xMin && b.xMin <= b.xMax && b.xMax <= imgWidth &&
       0 <= b.yMin && b.yMin <= b.yMax && b.yMax <= imgHeight
+
+  /** Image corner sky coordinates — `get_boundary_coords`
+    * (`astrometry.py:11-28`): top-left, bottom-left, top-right,
+    * bottom-right of the (width × height) frame. */
+  def boundaryCoords(w: TanWcs, width: Int, height: Int): Seq[(Double, Double)] =
+    Seq(w.pix2world(0, 0), w.pix2world(0, height),
+      w.pix2world(width, 0), w.pix2world(width, height))
 }
 
 /** Inclusive-exclusive pixel bounds of a cutout. */

@@ -26,11 +26,15 @@ class WcsSpec extends AnyFunSuite {
   }
 
   test("boundary coords in valid sky range (test_photometry_utils.py:5-14)") {
-    for ((x, y) <- Seq((0.0, 0.0), (0.0, 1489.0), (2048.0, 0.0), (2048.0, 1489.0))) {
-      val (ra, dec) = w.pix2world(x, y)
+    val corners = Wcs.boundaryCoords(w, 2048, 1489)
+    assert(corners.length == 4)
+    corners.foreach { case (ra, dec) =>
       assert(ra >= 0 && ra <= 360, s"ra $ra")
       assert(dec >= -90 && dec <= 90, s"dec $dec")
     }
+    // corner order matches the reference: TL, BL, TR, BR
+    assert(corners.head == w.pix2world(0, 0))
+    assert(corners(3) == w.pix2world(2048, 1489))
   }
 
   test("zoomed WCS keeps sky position of a rescaled pixel") {
