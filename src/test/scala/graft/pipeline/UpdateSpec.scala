@@ -99,6 +99,32 @@ class UpdateSpec extends AnyFunSuite {
     assert(vi == vf)
   }
 
+  test("update with a spectrum of a NEW target creates its ML rows in place") {
+    import spark.implicits._
+    val (dir, _, _) = writeFixtures()
+    // build with only target A's first spectrum; target B's frames exist
+    val specA = dir.resolve("spectra_only_a"); Files.createDirectories(specA)
+    val specB = dir.resolve("spectra_only_b"); Files.createDirectories(specB)
+    val (loglam, flux, ivar) = FitsFixtures.specGrid()
+    FitsFixtures.writeSpectrum(specA.resolve("spec-1001-53000-0001.fits").toString,
+      150.0, 2.0, 1001, 53000, 1, loglam, flux, ivar)
+    FitsFixtures.writeSpectrum(specB.resolve("spec-1002-53100-0003.fits").toString,
+      150.2, 2.1, 1002, 53100, 3, loglam, flux, ivar)
+    val out = dir.resolve("cube_newtarget").toString
+    BuildCube.build(spark, specA.toString, dir.resolve("images").toString,
+      "/root/reference/config", out)
+    val targetsBefore = spark.read.parquet(s"$out/ml_cube")
+      .select("target_healpix").distinct().count()
+    assert(targetsBefore == 1)
+    val s = UpdateCube.update(spark, out, specB.toString)
+    assert(s.affectedTargets == 1 && s.newLinks == 25)
+    val ml = spark.read.parquet(s"$out/ml_cube")
+    assert(ml.select("target_healpix").distinct().count() == 2)
+    // both targets complete: 5 zooms × 5 bands each, single-spectrum stacks
+    assert(ml.count() == 2 * 5)
+    assert(ml.where($"n_spectra" === 1).count() == 10)
+  }
+
   test("streaming update: foreachBatch drives the same incremental re-stack") {
     import spark.implicits._
     val (dir, specInit, specNew) = writeFixtures()
