@@ -77,10 +77,14 @@ object MlCube {
 
     val stacks = specStacks(spectra)
 
-    // restrict links to each target's first spectrum (reference rule)
-    val firstIds = stacks.filter(_.zoom == 0)
-      .map(s => (s.target_healpix, s.first_spec_id))
-      .toDF("target_healpix", "first_spec_id")
+    // restrict links to each target's first spectrum (reference rule).
+    // Derived by a LIGHTWEIGHT aggregate over the raw spectra — not by
+    // re-running the array-stacking aggregation (which specStacks would
+    // recompute for this subtree) and not by deserializing stack rows.
+    val firstIds = spectra.toDF().where($"zoom" === 0)
+      .groupBy($"healpix".as("target_healpix"))
+      .agg(min(struct($"time", $"spec_id")).getField("spec_id").as("first_spec_id"))
+      .select($"target_healpix", $"first_spec_id")
 
     val cut = cutoutPixelTable(links, images)
       .join(broadcast(firstIds), $"spec_id" === $"first_spec_id")
