@@ -86,7 +86,14 @@ object MlCube {
       .agg(min(struct($"time", $"spec_id")).getField("spec_id").as("first_spec_id"))
       .select($"target_healpix", $"first_spec_id")
 
-    val cut = cutoutPixelTable(links, images)
+    // filter links to first spectra BEFORE dereferencing pixels: with K
+    // repeat observations per target, this skips K-1 of every K cutout
+    // slices (the reference rule makes them dead work)
+    val firstLinks = links.toDF()
+      .join(broadcast(firstIds.select($"first_spec_id")),
+        $"spec_id" === $"first_spec_id", "left_semi")
+      .as[CutoutLink]
+    val cut = cutoutPixelTable(firstLinks, images)
       .join(broadcast(firstIds), $"spec_id" === $"first_spec_id")
 
     // IVW stack per (target, zoom, band) over the FLATTENED cutouts —
