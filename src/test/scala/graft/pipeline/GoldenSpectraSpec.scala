@@ -89,4 +89,24 @@ class GoldenSpectraSpec extends AnyFunSuite {
     val lens = stacks.groupBy(_.zoom).view.mapValues(_.head.spec_flux.length).toMap
     assert(lens == Map(0 -> 4620, 1 -> 2310, 2 -> 1155, 3 -> 577, 4 -> 288))
   }
+
+  test("IVW-stacked flux/sigma checksums on the real targets match frozen literals") {
+    val specs = Ingest.spectra(spark, specDir)
+    val stacks = MlCube.specStacks(specs).collect()
+    // (target, zoom) -> (n_spectra, fluxSum, sigmaSum); all samples finite
+    val expected = Map(
+      (6084054576L, 0) -> (8, 3.071686e-12, 2.920273e-14),
+      (6084054576L, 2) -> (8, 7.675102e-13, 1.827958e-15),
+      (6084054584L, 0) -> (3, 2.760813e-13, 2.054233e-14),
+      (6084054584L, 2) -> (3, 6.901362e-14, 1.286791e-15))
+    expected.foreach { case ((hp, zoom), (n, fSum, sSum)) =>
+      val st = stacks.find(s => s.target_healpix == hp && s.zoom == zoom).get
+      assert(st.n_spectra == n)
+      assert(st.spec_flux.forall(v => !v.isNaN))
+      val f = st.spec_flux.map(_.toDouble).sum
+      val s = st.spec_sigma.map(_.toDouble).sum
+      assert(math.abs(f / fSum - 1) < 2e-6, s"($hp,$zoom) fluxSum $f")
+      assert(math.abs(s / sSum - 1) < 2e-6, s"($hp,$zoom) sigmaSum $s")
+    }
+  }
 }
