@@ -68,8 +68,14 @@ object Export {
         text(s"""  <FIELD name="$name" datatype="$dt"/>""" + "\n")
       }
       text("""  <DATA><BINARY><STREAM encoding="base64">""" + "\n")
+      // close-shield: the base64 wrapper must be close()d to emit its
+      // final padding, but the underlying file stays open for the suffix
+      val noClose = new java.io.FilterOutputStream(fos) {
+        override def write(b: Array[Byte], off: Int, len: Int): Unit = out.write(b, off, len)
+        override def close(): Unit = flush()
+      }
       val b64 = java.util.Base64.getMimeEncoder(76, "\n".getBytes(StandardCharsets.US_ASCII))
-        .wrap(fos)
+        .wrap(noClose)
       val dos = new DataOutputStream(b64)
       rows.foreach { r =>
         values(r).foreach {
@@ -80,15 +86,9 @@ object Export {
         n += 1
       }
       dos.flush()
-      b64.close() // finishes base64 padding; leaves fos usable? no — close closes fos
-    } finally ()
-    // reopen in append mode for the XML suffix (Base64 wrap closes the stream)
-    val tail = new java.io.PrintWriter(
-      new BufferedOutputStream(new FileOutputStream(path, true)), false, StandardCharsets.UTF_8)
-    try {
-      tail.println()
-      tail.println("""  </STREAM></BINARY></DATA></TABLE></RESOURCE></VOTABLE>""")
-    } finally tail.close()
+      b64.close()
+      text("\n  </STREAM></BINARY></DATA></TABLE></RESOURCE></VOTABLE>\n")
+    } finally fos.close()
     n
   }
 
