@@ -182,13 +182,16 @@ object TextOps {
           xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("bkey"))
       }: _*)).as("bb"))
       .select($"doc_id", col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // cap BOTH endpoints' candidate degree (a hub doc is bounded whether
+    // it appears as the probe or the match side)
+    val wA = org.apache.spark.sql.expressions.Window.partitionBy($"id_a").orderBy($"id_b")
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy($"id_b").orderBy($"id_a")
     val candAll = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"id_a").orderBy($"id_b")))
+      .withColumn("rn", greatest(row_number().over(wA), row_number().over(wB)))
     val cand = candAll.filter($"rn" <= MaxCandidatesPerDoc).drop("rn")
     val nCapped = candAll.filter($"rn" > MaxCandidatesPerDoc)
       .groupBy().agg(count(lit(1)).as("n_capped_pairs"))
