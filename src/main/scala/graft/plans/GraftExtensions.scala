@@ -1,0 +1,38 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType}
+
+/** Config-driven registration of the engine's native Catalyst
+  * expressions — the idiomatic packaging for pure-SQL surfaces:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  *
+  * makes `healpix_cell`, `healpix_disc` and `float_compress` available
+  * to every session (spark-sql shell, Thrift server, notebooks) with no
+  * Scala call; `HealpixExpressions.register`/`FloatCompressExpression
+  * .register` remain the per-session programmatic path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(
+      name: String, clazz: Class[_], builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL literals arrive as DECIMAL/INT — cast here, where the Column
+    // helpers (which cast for the programmatic path) are bypassed
+    def d(e: Expression) = Cast(e, DoubleType)
+    ext.injectFunction(fn("healpix_cell", classOf[HealpixAng2Pix],
+      exprs => HealpixAng2Pix(d(exprs(0)), d(exprs(1)), Cast(exprs(2), IntegerType))))
+    ext.injectFunction(fn("healpix_disc", classOf[HealpixQueryDisc],
+      exprs => HealpixQueryDisc(
+        d(exprs(0)), d(exprs(1)), Cast(exprs(2), IntegerType), d(exprs(3)))))
+    ext.injectFunction(fn("float_compress", classOf[FloatCompressExpr],
+      exprs => FloatCompressExpr(Cast(exprs.head, FloatType))))
+  }
+}
