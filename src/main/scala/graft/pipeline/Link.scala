@@ -34,16 +34,19 @@ object Link {
     graft.plans.HealpixExpressions.register(spark)
     import graft.plans.HealpixExpressions.healpix_disc
 
-    val spec0 = spectra.filter(_.zoom == 0)
-      .map(s => (s.spec_id, s.ra, s.dec, s.healpix))
-      .toDF("spec_id", "ra", "dec", "spec_healpix")
+    // columnar filters/projections — NOT typed lambdas: a .map over the
+    // observation Datasets would deserialize the full rows (pixel arrays
+    // included) to extract a few metadata fields, and would block column
+    // pruning when the inputs come from the stored parquet tables
+    val spec0 = spectra.toDF().where($"zoom" === 0)
+      .select($"spec_id", $"ra", $"dec", $"healpix".as("spec_healpix"))
       .select($"spec_id", $"ra", $"dec", $"spec_healpix",
         explode(healpix_disc($"ra", $"dec",
           lit(Ingest.ImgHealOrder), lit(DiscRadiusRad))).as("cell"))
 
-    val imgIndex = images.filter(_.zoom == 0)
-      .map(i => (i.image_id, i.healpix, i.width, i.height, i.time, i.band, i.wcs))
-      .toDF("image_id", "img_healpix", "width0", "height0", "img_time", "band", "wcs0")
+    val imgIndex = images.toDF().where($"zoom" === 0)
+      .select($"image_id", $"healpix".as("img_healpix"), $"width".as("width0"),
+        $"height".as("height0"), $"time".as("img_time"), $"band", $"wcs".as("wcs0"))
 
     spec0.join(imgIndex, $"cell" === $"img_healpix")
       .drop("cell", "img_healpix")
@@ -84,9 +87,8 @@ object Link {
 
     // ≤ MAX_CUTOUT_REFS per (spectrum, zoom), ordered like the reference's
     // sorted image index (spatial, time) — join back minimal order keys
-    val order = images.filter(_.zoom == 0)
-      .map(i => (i.image_id, i.healpix, i.time))
-      .toDF("image_id", "o_healpix", "o_time")
+    val order = images.toDF().where($"zoom" === 0)
+      .select($"image_id", $"healpix".as("o_healpix"), $"time".as("o_time"))
     val w = Window.partitionBy($"spec_id", $"zoom")
       .orderBy($"o_healpix", $"o_time", $"image_id")
     links.toDF()

@@ -101,11 +101,12 @@ object Sfr {
     spectraMeta.join(sfr, Seq("PLATEID", "MJD", "FIBERID"), "left")
 
   /** Spectra header cache → one wide metadata row per spectrum (the
-    * engine's `fits_spectra_metadata` parsed form, keyed for J5). */
+    * engine's `fits_spectra_metadata` parsed form, keyed for J5).
+    * Columnar projection so the flux payloads are pruned at the scan. */
   def spectraMetadata(spectra: Dataset[SpectrumObs]): DataFrame = {
     import spectra.sparkSession.implicits._
-    spectra.filter(_.zoom == 0)
-      .map(s => (s.plateid, s.mjd, s.fiberid, s.fits_name, s.ra, s.dec, s.time))
-      .toDF("PLATEID", "MJD", "FIBERID", "fits_name", "ra", "dec", "time")
+    spectra.toDF().where($"zoom" === 0)
+      .select($"plateid".as("PLATEID"), $"mjd".as("MJD"), $"fiberid".as("FIBERID"),
+        $"fits_name", $"ra", $"dec", $"time")
   }
 }
