@@ -60,8 +60,8 @@ object UpdateCube {
       .partitionBy("zoom").parquet(s"$outDir/cutout_links")
 
     // 3. affected targets = healpix cells touched by the new spectra
-    val affected = newSpecs.filter(_.zoom == 0).map(_.healpix).distinct()
-      .toDF("affected_healpix").cache()
+    val affected = newSpecs.toDF().where(col("zoom") === 0)
+      .select(col("healpix").as("affected_healpix")).distinct().cache()
     val affectedBuckets = affected
       .select(shiftright(col("affected_healpix"), BucketShift).as("bucket")).distinct()
 
@@ -71,8 +71,8 @@ object UpdateCube {
       .join(broadcast(affected), col("healpix") === col("affected_healpix"))
       .drop("affected_healpix")
       .as[SpectrumObs]
-    val affectedSpecIds = affectedSpectra.filter(_.zoom == 0)
-      .map(_.spec_id).distinct().toDF("a_spec_id")
+    val affectedSpecIds = affectedSpectra.toDF().where(col("zoom") === 0)
+      .select(col("spec_id").as("a_spec_id")).distinct()
     val allLinks = spark.read.parquet(s"$outDir/cutout_links").as[CutoutLink]
     val affectedLinks = allLinks.toDF()
       .join(broadcast(affectedSpecIds), col("spec_id") === col("a_spec_id"))

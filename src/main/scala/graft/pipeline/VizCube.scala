@@ -38,9 +38,12 @@ object VizCube {
     val spark = links.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.{broadcast, col}
-    val img = images
-      .map(i => (i.zoom, i.image_id, i.fits_name, i.time, i.wl, i.flux, i.sigma, i.wcs))
-      .toDF("zoom", "image_id", "i_name", "i_time", "i_wl", "img_flux", "img_sigma", "wcs")
+    // columnar projection: prunes the header map (and at parquet source,
+    // every unused column) instead of deserializing whole ImageObs rows
+    val img = images.toDF()
+      .select(col("zoom"), col("image_id"), col("fits_name").as("i_name"),
+        col("time").as("i_time"), col("wl").as("i_wl"),
+        col("flux").as("img_flux"), col("sigma").as("img_sigma"), col("wcs"))
     // same contract as MlCube.cutoutPixelTable: broadcast the link
     // projection so frames stream through the join and fan out to pixel
     // rows inside one stage — whole frames never shuffle
