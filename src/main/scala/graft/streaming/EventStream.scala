@@ -30,15 +30,22 @@ object EventStream {
   }
 
   /** Watermark + 10-minute tumbling windows; complete mode so the final
-    * answer is deterministic when the batch source drains. */
+    * answer is deterministic when the batch source drains. The stream's
+    * state partitioning is scoped down (8) around the query start — a
+    * one-batch verification stream gains nothing from 32 state stores;
+    * the session's batch setting is restored afterwards. */
   def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
     val name = "win_" + UUID.randomUUID().toString.replace("-", "")
     val agg = eventStream(spark, dir)
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-    val q = agg.writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name).start()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
       .select(
