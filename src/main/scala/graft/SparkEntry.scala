@@ -79,6 +79,8 @@ object SparkEntry {
     "q48_ann_ivf" -> (MiscOps.q48AnnIvf _),
     "q49_char_ngram_jaccard" -> (TextOps.q49CharNgramJaccard _),
     "q50_float_compress" -> (AstroOps.q50FloatCompress _),
+    // semantic dedup: cluster formation + survivor selection
+    "q51_dedup_clusters" -> (TextOps.q51DedupClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -208,6 +208,67 @@ object TextOps {
       .crossJoin(nCapped)
   }
 
+  /** Exact near-dup PAIRS (shingle-Jaccard ≥ threshold) via the
+    * token-inverted-index join — the verified edge list the dedup
+    * clusterer consumes. */
+  def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val e = docs.select($"doc_id", explode(shingles($"text")).as("g"))
+    val sizes = e.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    e.as("a").join(e.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), $"da" === col("sa.doc_id"))
+      .join(sizes.as("sb"), $"db" === col("sb.doc_id"))
+      .filter($"inter" * lit(1.0) / (col("sa.n") + col("sb.n") - $"inter") >= threshold)
+      .select($"da", $"db")
+  }
+
+  /** Semantic-dedup clustering + survivor selection: connected
+    * components over the near-dup pair graph by iterative min-label
+    * propagation (each round one join + min-aggregate, shuffling only
+    * (node, label) pairs — the Spark-native union-find; component
+    * diameter bounds the rounds, capped defensively). Output: one row
+    * per multi-document cluster (survivor = min doc_id, cluster size) —
+    * the "which docs to keep" step of a dedup pipeline. Oracle: the
+    * identical clustering via a recursive min-label CTE in DuckDB. */
+  def q51DedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(load(s, dir, "documents"), 0.8)
+
+  def dedupClusters(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = nearDupPairs(docs, threshold).cache()
+    val edges = pairs.select($"da".as("src"), $"db".as("dst"))
+      .union(pairs.select($"db".as("src"), $"da".as("dst")))
+      .cache()
+    var labels = edges.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("label"))
+      .cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select($"dst".as("id"), $"label")
+      val next = labels.union(viaNeighbor)
+        .groupBy($"id").agg(min($"label").as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old_label"), "id")
+        .filter($"label" =!= $"old_label").count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    val out = labels
+      .groupBy($"label".as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2)
+      .select($"cluster_id".cast("long").as("cluster_id"), $"n_docs")
+    val materialized = out.cache()
+    materialized.count()
+    pairs.unpersist(); edges.unpersist()
+    materialized
+  }
+
   /** SimHash (64-bit) per document: per bit j, sign of Σ_tokens ±1 by
     * token-hash bit j. Output is a stable content fingerprint whose
     * Hamming distance approximates cosine over token multisets. */
@@ -261,6 +322,30 @@ object TextOps {
         |SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs, CAST(0 AS BIGINT) AS n_capped_pairs
         |FROM i JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
         |WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.8""".stripMargin,
+    "q51_dedup_clusters" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
+        |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT da, db FROM p
+        |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.8),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges)
+        |, cc AS (
+        |  WITH RECURSIVE r(id, lbl) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT e.dst, r.lbl FROM r JOIN edges e ON r.id = e.src)
+        |  SELECT id, min(lbl) AS label FROM r GROUP BY 1)
+        |SELECT CAST(label AS BIGINT) AS cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM cc GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
     "q27_simhash" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |CAST(499 AS BIGINT) AS n_distinct_simhash FROM documents""".stripMargin,

@@ -85,4 +85,26 @@ class AnnSpec extends AnyFunSuite {
     val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((100L, 101L)), s"planted pair not found in $pairs")
   }
+
+  test("dedup clustering: a planted A~B~C chain forms ONE 3-doc cluster") {
+    // B is a near-dup of both A and C, but A and C differ enough that the
+    // pair (A, C) is NOT an edge — only transitivity links them
+    val base = (0 until 200).map(i => s"tok$i").mkString(" ")
+    val b = base.replace("tok50", "x50")
+    val c = b.replace("tok150", "x150") // vs A: two edits, jac still >= 0.8 at 3-shingles? keep edits far apart
+    val others = (0 until 30).map(i => (i.toLong,
+      s"completely unrelated content $i " + s"junk ${i * 3} ${i * 11} " * 8))
+    val docs = others ++ Seq((200L, base), (201L, b), (202L, c))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = TextOps.nearDupPairs(df, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((200L, 201L)) && pairs.contains((201L, 202L)), pairs.toString)
+
+    // the real distributed label propagation must merge the chain into
+    // ONE cluster labeled by the min id, size 3
+    val clusters = TextOps.dedupClusters(df, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.get(200L).contains(3L), clusters.toString)
+    assert(!clusters.contains(201L) && !clusters.contains(202L))
+  }
 }
