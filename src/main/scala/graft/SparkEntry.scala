@@ -81,6 +81,10 @@ object SparkEntry {
     "q50_float_compress" -> (AstroOps.q50FloatCompress _),
     // semantic dedup: cluster formation + survivor selection
     "q51_dedup_clusters" -> (TextOps.q51DedupClusters _),
+    // training-data curation: quality funnel, size distribution, balancing
+    "q52_quality_funnel" -> (TextOps.q52QualityFunnel _),
+    "q53_token_percentiles" -> (TextOps.q53TokenPercentiles _),
+    "q54_stratified_sample" -> (TextOps.q54StratifiedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

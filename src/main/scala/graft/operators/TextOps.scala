@@ -269,6 +269,56 @@ object TextOps {
     materialized
   }
 
+  /** Quality-filter funnel — the per-stage pass accounting of a
+    * training-data cleaning pipeline (language gate → length gate →
+    * stopword-density gate), computed in ONE pass with conditional
+    * aggregates (no per-stage scans). */
+  def q52QualityFunnel(s: SparkSession, dir: String): DataFrame = {
+    val t = toks($"text")
+    val nTok = size(t)
+    val stopRatio = size(filter(t, x => x.isin(stopwords: _*))).cast("double") / nTok
+    load(s, dir, "documents")
+      .select($"source", $"lang", nTok.as("n_tokens"), stopRatio.as("stop_ratio"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("pass_lang"),
+        sum(when($"lang" === "en" && $"n_tokens".between(30, 120), 1L).otherwise(0L))
+          .as("pass_len"),
+        sum(when($"lang" === "en" && $"n_tokens".between(30, 120) &&
+            $"stop_ratio" > 0.05, 1L).otherwise(0L))
+          .as("pass_all"))
+  }
+
+  /** Exact token-count percentiles per source (linear interpolation —
+    * Spark `percentile` and DuckDB `quantile_cont` share the definition,
+    * and integer inputs keep the interpolated doubles bit-identical). */
+  def q53TokenPercentiles(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select($"source", size(toks($"text")).as("n_tokens"))
+      .groupBy($"source")
+      .agg(
+        expr("percentile(n_tokens, 0.5)").as("p50"),
+        expr("percentile(n_tokens, 0.9)").as("p90"),
+        expr("percentile(n_tokens, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+
+  /** Stratified per-source cap — domain balancing: keep K docs per
+    * source, selected by a deterministic hash order ((doc_id * prime)
+    * mod M — engine-portable, no RNG), ties broken by doc_id. The
+    * window is key-local (partitioned by source): no global sort. */
+  def q54StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    val order = ($"doc_id" * 2654435761L) % 1000003L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy(order, $"doc_id")
+    load(s, dir, "documents")
+      .select($"source", $"doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"source", $"doc_id", $"rn".cast("long").as("rn"))
+  }
+
   /** SimHash (64-bit) per document: per bit j, sign of Σ_tokens ±1 by
     * token-hash bit j. Output is a stable content fingerprint whose
     * Hamming distance approximates cosine over token multisets. */
@@ -346,6 +396,26 @@ object TextOps {
         |  SELECT id, min(lbl) AS label FROM r GROUP BY 1)
         |SELECT CAST(label AS BIGINT) AS cluster_id, CAST(count(*) AS BIGINT) AS n_docs
         |FROM cc GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    "q52_quality_funnel" ->
+      """WITH f AS (SELECT source, lang, len(string_split(text,' ')) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stop_ratio FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pass_lang,
+        |CAST(sum(CASE WHEN lang = 'en' AND n_tokens BETWEEN 30 AND 120 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+        |CAST(sum(CASE WHEN lang = 'en' AND n_tokens BETWEEN 30 AND 120 AND stop_ratio > 0.05
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+        |FROM f GROUP BY 1""".stripMargin,
+    "q53_token_percentiles" ->
+      """WITH f AS (SELECT source, len(string_split(text,' ')) AS n_tokens FROM documents)
+        |SELECT source, quantile_cont(n_tokens, 0.5) AS p50,
+        |quantile_cont(n_tokens, 0.9) AS p90, quantile_cont(n_tokens, 0.99) AS p99,
+        |CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1""".stripMargin,
+    "q54_stratified_sample" ->
+      """SELECT source, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rn
+        |  FROM documents) t WHERE rn <= 20""".stripMargin,
     "q27_simhash" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |CAST(499 AS BIGINT) AS n_distinct_simhash FROM documents""".stripMargin,
