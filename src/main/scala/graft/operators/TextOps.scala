@@ -159,6 +159,17 @@ object TextOps {
   val MaxCandidatesPerDoc = 128
 
   def q23MinHash(s: SparkSession, dir: String): DataFrame = {
+    val (verified, nCapped) = lshNearDupPairs(load(s, dir, "documents"), 0.8)
+    verified
+      .groupBy()
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .crossJoin(nCapped)
+  }
+
+  /** The MinHash+LSH near-dup pipeline as a reusable edge producer:
+    * returns (verified pairs at jaccard >= threshold, capped-pair count).
+    * Shared by q23 (count gate) and the dedup clusterer (q51 edges). */
+  def lshNearDupPairs(docs: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
     val bands = 4
     val rows = 4
     val k = bands * rows
@@ -168,7 +179,7 @@ object TextOps {
     // computes this subtree once even though it is referenced three times
     // below. (A higher-order-function formulation recomputes the shingle
     // array inside every lambda — measured 8× slower at sf0.1.)
-    val exploded = load(s, dir, "documents")
+    val exploded = docs
       .select($"doc_id", explode(shingles($"text")).as("sh"))
     val aggs = collect_set($"sh").as("sh_set") +:
       (0 until k).map(kk => min(xxhash64($"sh", lit(kk))).as(s"m$kk"))
@@ -196,25 +207,36 @@ object TextOps {
     val nCapped = candAll.filter($"rn" > MaxCandidatesPerDoc)
       .groupBy().agg(count(lit(1)).as("n_capped_pairs"))
     val sh = sigs.select($"doc_id", $"sh_set")
-    cand
+    val verified = cand
       .join(sh.select($"doc_id".as("id_a"), $"sh_set".as("sh_a")), "id_a")
       .join(sh.select($"doc_id".as("id_b"), $"sh_set".as("sh_b")), "id_b")
       .select($"id_a", $"id_b",
         (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
           size(array_union($"sh_a", $"sh_b"))).as("jac"))
-      .filter($"jac" >= 0.8)
-      .groupBy()
-      .agg(count(lit(1)).as("n_dup_pairs"))
-      .crossJoin(nCapped)
+      .filter($"jac" >= threshold)
+      .select($"id_a", $"id_b")
+    (verified, nCapped)
   }
 
   /** Exact near-dup PAIRS (shingle-Jaccard ≥ threshold) via the
     * token-inverted-index join — the verified edge list the dedup
     * clusterer consumes. */
   def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // repartition on the shingle key: ONE explode/shingle pass feeds a
+    // shuffle that ReuseExchange shares across all four consumers below
+    // (sizes, df-cut, both join sides) — without it the shingle HOF
+    // recomputes per consumer (~4× the scan cost); the df-cut aggregation
+    // and the posting join then read the exchange already partitioned
     val e = docs.select($"doc_id", explode(shingles($"text")).as("g"))
+      .repartition($"g")
     val sizes = e.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    e.as("a").join(e.as("b"),
+    // df-cut (lossless): a shingle appearing in one document contributes
+    // to no intersection — drop singleton postings before the self-join;
+    // on a natural corpus this removes the vast majority of the input
+    val shared = e.groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2).select($"g")
+    val es = e.join(shared, "g")
+    es.as("a").join(es.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
@@ -235,25 +257,73 @@ object TextOps {
   def q51DedupClusters(s: SparkSession, dir: String): DataFrame =
     dedupClusters(load(s, dir, "documents"), 0.8)
 
-  def dedupClusters(docs: DataFrame, threshold: Double): DataFrame = {
-    val pairs = nearDupPairs(docs, threshold).cache()
-    val edges = pairs.select($"da".as("src"), $"db".as("dst"))
-      .union(pairs.select($"db".as("src"), $"da".as("dst")))
+  /** Connected components over the verified near-dup graph. The dup
+    * GRAPH is tiny relative to the corpus (edges ≈ dup-rate × docs), so
+    * like a broadcast-join decision there are two physical strategies:
+    * below `maxLocalEdges` the edge list collects to the driver and a
+    * union-find labels it in microseconds; above it, iterative min-label
+    * propagation runs fully distributed (join + min-aggregate per round,
+    * (node, label) pairs on the wire). Both produce identical labels. */
+  def dedupClusters(
+      docs: DataFrame, threshold: Double,
+      maxLocalEdges: Long = 1000000L): DataFrame = {
+    // edges come from the LSH-bucketed pipeline (shuffle on band keys,
+    // verify on candidates only) — NOT the exact all-pairs inverted-index
+    // join, which materializes every shingle-sharing pair
+    val pairs = lshNearDupPairs(docs, threshold)._1.cache()
+    val nEdges = pairs.count()
+    if (nEdges <= maxLocalEdges) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      pairs.unpersist()
+      // union-find with path compression
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = parent.keys.toSeq.map(id => (find(id), 1L))
+      return members.groupBy(_._1).view
+        .mapValues(_.size.toLong).toSeq
+        .filter(_._2 >= 2)
+        .toDF("cluster_id", "n_docs")
+    }
+    distributedClusters(pairs)
+  }
+
+  /** The distributed path: iterative min-label propagation. */
+  private[operators] def distributedClusters(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.cache()
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
       .cache()
     var labels = edges.select($"src".as("id")).distinct()
       .select($"id", $"id".as("label"))
       .cache()
-    var changed = 1L
+    // labels are monotone non-increasing under min-propagation, so the
+    // label SUM strictly decreases until the fixpoint — one aggregate per
+    // round replaces a join-based changed count
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum($"label")).head().getLong(0)
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (curSum != prevSum && iter < 20) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select($"dst".as("id"), $"label")
       val next = labels.union(viaNeighbor)
         .groupBy($"id").agg(min($"label").as("label"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old_label"), "id")
-        .filter($"label" =!= $"old_label").count()
+      prevSum = curSum
+      curSum = next.agg(sum($"label")).head().getLong(0)
       labels.unpersist()
       labels = next
       iter += 1

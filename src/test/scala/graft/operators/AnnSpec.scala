@@ -100,11 +100,14 @@ class AnnSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((200L, 201L)) && pairs.contains((201L, 202L)), pairs.toString)
 
-    // the real distributed label propagation must merge the chain into
-    // ONE cluster labeled by the min id, size 3
-    val clusters = TextOps.dedupClusters(df, 0.8)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(clusters.get(200L).contains(3L), clusters.toString)
-    assert(!clusters.contains(201L) && !clusters.contains(202L))
+    // both physical strategies (driver union-find, distributed min-label
+    // propagation) must merge the chain into ONE cluster of 3 labeled by
+    // the min id
+    for (maxLocal <- Seq(1000000L, 0L)) {
+      val clusters = TextOps.dedupClusters(df, 0.8, maxLocalEdges = maxLocal)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(clusters.get(200L).contains(3L), s"maxLocal=$maxLocal: $clusters")
+      assert(!clusters.contains(201L) && !clusters.contains(202L))
+    }
   }
 }
