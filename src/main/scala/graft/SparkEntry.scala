@@ -85,6 +85,8 @@ object SparkEntry {
     "q52_quality_funnel" -> (TextOps.q52QualityFunnel _),
     "q53_token_percentiles" -> (TextOps.q53TokenPercentiles _),
     "q54_stratified_sample" -> (TextOps.q54StratifiedSample _),
+    "q55_decontamination" -> (TextOps.q55Decontamination _),
+    "q56_repetition" -> (TextOps.q56Repetition _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -389,6 +389,44 @@ object TextOps {
       .select($"source", $"doc_id", $"rn".cast("long").as("rn"))
   }
 
+  /** Decontamination — flag corpus documents sharing n-grams with a
+    * benchmark/eval set (doc_id < 10 stands in for the eval split). The
+    * benchmark's distinct shingle index is SMALL by construction →
+    * broadcast; the corpus side stays a scan + broadcast-hash semi-join,
+    * no shuffle of corpus text. */
+  def q55Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val bench = docs.filter($"doc_id" < 10)
+      .select(explode(shingles($"text")).as("g")).distinct()
+    val corpus = docs.filter($"doc_id" >= 10)
+      .select($"doc_id", $"source", explode(shingles($"text")).as("g"))
+    corpus.join(broadcast(bench), "g")
+      .groupBy($"doc_id", $"source")
+      .agg(countDistinct($"g").as("n_hits"))
+      .filter($"n_hits" >= 3)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_contaminated"),
+        sum($"n_hits").cast("long").as("total_hits"))
+  }
+
+  /** Intra-document repetition ratio — the boilerplate/spam quality
+    * signal: 1 − distinct/total word-3-grams, per document (stateless
+    * column math; integer-scaled for the cross-engine gate). */
+  def q56Repetition(s: SparkSession, dir: String): DataFrame = {
+    // NON-distinct shingle count (shingles() dedups, so count directly)
+    val t = toks($"text")
+    val total = greatest(size(t) - 2, lit(1))
+    val distinctCnt = size(shingles($"text"))
+    load(s, dir, "documents")
+      .select(
+        $"doc_id",
+        total.cast("long").as("n_shingles"),
+        distinctCnt.cast("long").as("n_distinct"),
+        floor((lit(1.0) - distinctCnt.cast("double") / total) * 1e4 + 0.5)
+          .cast("long").as("rep_scaled"))
+  }
+
   /** SimHash (64-bit) per document: per bit j, sign of Σ_tokens ±1 by
     * token-hash bit j. Output is a stable content fingerprint whose
     * Hamming distance approximates cosine over token multisets. */
@@ -466,6 +504,29 @@ object TextOps {
         |  SELECT id, min(lbl) AS label FROM r GROUP BY 1)
         |SELECT CAST(label AS BIGINT) AS cluster_id, CAST(count(*) AS BIGINT) AS n_docs
         |FROM cc GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    "q55_decontamination" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, source, CASE WHEN len(tk) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 10),
+        |corpus AS (SELECT doc_id, source, unnest(s) AS g FROM sh WHERE doc_id >= 10),
+        |hits AS (SELECT c.doc_id, c.source, count(DISTINCT c.g) AS n_hits
+        |  FROM corpus c JOIN bench b ON c.g = b.g GROUP BY 1,2 HAVING count(DISTINCT c.g) >= 3)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated,
+        |CAST(sum(n_hits) AS BIGINT) AS total_hits FROM hits GROUP BY 1""".stripMargin,
+    "q56_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |f AS (SELECT doc_id, greatest(len(tk)-2, 1) AS total,
+        |  len(CASE WHEN len(tk) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END) AS n_distinct FROM t)
+        |SELECT doc_id, CAST(total AS BIGINT) AS n_shingles,
+        |CAST(n_distinct AS BIGINT) AS n_distinct,
+        |CAST(floor((1.0 - CAST(n_distinct AS DOUBLE)/total) * 1e4 + 0.5) AS BIGINT) AS rep_scaled
+        |FROM f""".stripMargin,
     "q52_quality_funnel" ->
       """WITH f AS (SELECT source, lang, len(string_split(text,' ')) AS n_tokens,
         |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) AS DOUBLE)
