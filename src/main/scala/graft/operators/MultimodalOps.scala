@@ -1,105 +1,164 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.load
 
-/** One decoded media row: opaque bytes + typed metadata. */
-case class MediaRow(doc_id: Long, media: Array[Byte], format: String, n_bytes: Int)
+/** One media row: REAL encoded image bytes + typed metadata. */
+case class MediaRow(
+    doc_id: Long, media: Array[Byte], format: String,
+    n_bytes: Int, width: Int, height: Int)
 
-/** Extracted feature row (decode output schema). */
-case class MediaFeature(doc_id: Long, n_bytes: Int, feature: Array[Float])
+/** Decoded feature row: per-image pixel accounting + an 8-bin
+  * luminance histogram computed from DECODED pixels. */
+case class MediaFeature(
+    doc_id: Long, n_bytes: Int, n_pixels: Long, pixel_sum: Long,
+    feature: Array[Float])
 
-/** Multimodal-column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata, decoded/featurized per partition.
+/** Multimodal columns: image payloads as opaque `binary` columns with
+  * typed metadata, decoded and featurized per partition with
+  * `javax.imageio` (PNG support ships with the JDK — zero extra deps).
   *
-  * The actual codec call is STUBBED (no image/audio libs in this
-  * container — see `decodeStub`); everything Spark-side is real: the
-  * binary column, the schema, the per-partition batched iteration
-  * (`mapPartitions`, the Scala analogue of `mapInPandas` batches), and
-  * the downstream relational handling of the fixed-width feature vector.
-  * At scale this runs embarrassingly parallel, one task per input split,
-  * no shuffle until the aggregate.
+  * The media fixtures are generated in-pipeline: each document's bytes
+  * are packed row-major into a 16-wide grayscale image and PNG-encoded,
+  * so the payloads are REAL compressed images and `featurize` performs a
+  * REAL decode. The correctness gate exploits the construction: the
+  * decoded-pixel luminance sum must equal the character-code sum of the
+  * source text (computable by the SQL oracle) — a broken encode/decode
+  * roundtrip breaks the hash gate, not just a unit test.
+  *
+  * At scale this runs embarrassingly parallel — `mapPartitions` batches,
+  * one task per input split, no shuffle until the aggregate (the Scala
+  * analogue of a `mapInPandas` decode stage).
   */
 object MultimodalOps {
 
-  /** Deterministic fake "media": the document text bytes stand in for an
-    * encoded image payload. */
+  val ImageWidth = 16
+
+  ImageIO.setUseCache(false) // in-memory streams; no tmp-file spills
+
+  /** Pack raw bytes row-major into a `ImageWidth`-wide grayscale PNG
+    * (zero-padded final row). Real codec output: headers, filters, zlib. */
+  def encodePng(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
+    val w = ImageWidth
+    val h = math.max(1, (bytes.length + w - 1) / w)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < bytes.length) {
+      raster.setSample(i % w, i / w, 0, bytes(i) & 0xff)
+      i += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    (out.toByteArray, w, h)
+  }
+
+  /** Decode an image payload to its grayscale pixel values (row-major). */
+  def decodePixels(media: Array[Byte]): Array[Int] = {
+    val img = ImageIO.read(new ByteArrayInputStream(media))
+    require(img != null, "undecodable media payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    px
+  }
+
+  /** The media "source": one real PNG per document, built from the
+    * document's bytes (deterministic fixture generation, encoded per
+    * partition — no driver-side work, no shuffle). */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     load(s, dir, "documents")
-      .select(
-        $"doc_id",
-        encode($"text", "UTF-8").as("media"),
-        lit("fake/raw").as("format"),
-        octet_length(encode($"text", "UTF-8")).as("n_bytes"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val (png, w, h) = encodePng(text.getBytes("UTF-8"))
+          MediaRow(id, png, "image/png", png.length, w, h)
+        }
+      }
   }
 
-  /** STUB decoder: a real build would call an image codec here; we emit a
-    * deterministic 8-bin byte histogram (normalized) as the "feature" so
-    * the full pipeline stays testable end-to-end. Signature and batch
-    * shape are the real contract. */
-  def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](8)
-    var i = 0
-    while (i < bytes.length) {
-      hist((bytes(i) & 0xff) >> 5) += 1f
-      i += 1
-    }
-    if (bytes.length > 0) {
-      var j = 0
-      while (j < 8) { hist(j) /= bytes.length; j += 1 }
-    }
-    hist
-  }
-
-  /** Per-partition featurization — the mapInPandas-equivalent batch loop. */
+  /** Per-partition decode + featurization — the mapInPandas-equivalent
+    * batch loop, now over a real image codec: 8-bin luminance histogram
+    * (normalized) plus exact pixel accounting from the DECODED raster. */
   def featurize(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.map(r => MediaFeature(r.doc_id, r.n_bytes, decodeStub(r.media)))
+      rows.map { r =>
+        val px = decodePixels(r.media)
+        val hist = new Array[Float](8)
+        var sum = 0L
+        var i = 0
+        while (i < px.length) {
+          hist(px(i) >> 5) += 1f
+          sum += px(i)
+          i += 1
+        }
+        if (px.length > 0) {
+          var j = 0
+          while (j < 8) { hist(j) /= px.length; j += 1 }
+        }
+        MediaFeature(r.doc_id, r.n_bytes, px.length.toLong, sum, hist)
+      }
     }
   }
 
-  /** Driver-gated query: binary-column plumbing whose *byte accounting* a
-    * SQL oracle can check (feature values are covered by ScalaTest). */
+  /** Decode-roundtrip gate: per source, media count, decoded pixel count
+    * (= 16 · ⌈len/16⌉ by construction) and decoded luminance sum (= the
+    * text's character-code sum) — all recomputable by the SQL oracle, so
+    * the PNG encode→decode roundtrip itself is hash-gated. */
   def q29Multimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val feats = featurize(mediaTable(s, dir))
     feats.join(load(s, dir, "documents"), "doc_id")
-      .groupBy($"source")
+      .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_media"),
-        sum($"n_bytes").cast("long").as("sum_bytes"))
+        sum(col("n_pixels")).cast("long").as("sum_pixels"),
+        sum(col("pixel_sum")).cast("long").as("sum_lum"))
   }
 
   /** Frame-sampling shape op: split each payload into fixed-size "frames"
-    * and explode — the video-frame-sample plumbing (stubbed content). */
+    * and explode — the video-frame-sample plumbing (byte-slicing layer;
+    * content-agnostic by design). */
   def q32FrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val frameSize = 64
     load(s, dir, "documents")
       .select(
-        $"doc_id",
-        encode($"text", "UTF-8").as("media"))
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("media"))
       .select(
-        $"doc_id",
+        col("doc_id"),
         posexplode(
           transform(
-            sequence(lit(0), floor((octet_length($"media") - 1) / frameSize).cast("int")),
-            i => $"media".substr(i * frameSize + 1, lit(frameSize)))))
+            sequence(lit(0), floor((octet_length(col("media")) - 1) / frameSize).cast("int")),
+            i => col("media").substr(i * frameSize + 1, lit(frameSize)))))
       .groupBy()
       .agg(
         count(lit(1)).as("n_frames"),
-        sum(octet_length($"col")).cast("long").as("sum_frame_bytes"))
+        sum(octet_length(col("col"))).cast("long").as("sum_frame_bytes"))
   }
 
   val oracles: Map[String, String] = Map(
     "q29_multimodal" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_media,
-        |CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes
+        |CAST(sum(16 * greatest(1, CAST(ceil(strlen(text) / 16.0) AS BIGINT))) AS BIGINT) AS sum_pixels,
+        |CAST(sum(list_aggregate(list_transform(generate_series(1, strlen(text)),
+        |  i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum')) AS BIGINT) AS sum_lum
         |FROM documents GROUP BY 1""".stripMargin,
     "q32_frame_sample" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_frames,

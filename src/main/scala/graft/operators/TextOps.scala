@@ -170,6 +170,17 @@ object TextOps {
     * returns (verified pairs at jaccard >= threshold, capped-pair count).
     * Shared by q23 (count gate) and the dedup clusterer (q51 edges). */
   def lshNearDupPairs(docs: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
+    val (verified, nCapped) = lshPipeline(docs, threshold)
+    (verified, nCapped)
+  }
+
+  /** Full pipeline; `capObs` (when given) attaches a CollectMetrics node
+    * below the candidate-cap filter so the capped-pair count rides the
+    * SAME action that materializes the verified pairs — the clusterer's
+    * cap gate costs zero extra passes over the corpus. */
+  private def lshPipeline(
+      docs: DataFrame, threshold: Double,
+      capObs: Option[org.apache.spark.sql.Observation] = None): (DataFrame, DataFrame) = {
     val bands = 4
     val rows = 4
     val k = bands * rows
@@ -197,12 +208,17 @@ object TextOps {
     // it appears as the probe or the match side)
     val wA = org.apache.spark.sql.expressions.Window.partitionBy($"id_a").orderBy($"id_b")
     val wB = org.apache.spark.sql.expressions.Window.partitionBy($"id_b").orderBy($"id_a")
-    val candAll = banded.as("a").join(banded.as("b"),
+    val candAllRn = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
       .withColumn("rn", greatest(row_number().over(wA), row_number().over(wB)))
+    val candAll = capObs match {
+      case Some(o) => candAllRn.observe(o,
+        count(when($"rn" > MaxCandidatesPerDoc, lit(1))).as("n_capped"))
+      case None => candAllRn
+    }
     val cand = candAll.filter($"rn" <= MaxCandidatesPerDoc).drop("rn")
     val nCapped = candAll.filter($"rn" > MaxCandidatesPerDoc)
       .groupBy().agg(count(lit(1)).as("n_capped_pairs"))
@@ -247,13 +263,12 @@ object TextOps {
   }
 
   /** Semantic-dedup clustering + survivor selection: connected
-    * components over the near-dup pair graph by iterative min-label
-    * propagation (each round one join + min-aggregate, shuffling only
-    * (node, label) pairs — the Spark-native union-find; component
-    * diameter bounds the rounds, capped defensively). Output: one row
-    * per multi-document cluster (survivor = min doc_id, cluster size) —
-    * the "which docs to keep" step of a dedup pipeline. Oracle: the
-    * identical clustering via a recursive min-label CTE in DuckDB. */
+    * components over the near-dup pair graph (driver union-find below the
+    * edge threshold, large-star/small-star contraction above it — see
+    * [[dedupClusters]]). Output: one row per multi-document cluster
+    * (survivor = min doc_id, cluster size) — the "which docs to keep"
+    * step of a dedup pipeline. Oracle: the identical clustering via a
+    * recursive min-label CTE in DuckDB. */
   def q51DedupClusters(s: SparkSession, dir: String): DataFrame =
     dedupClusters(load(s, dir, "documents"), 0.8)
 
@@ -261,22 +276,55 @@ object TextOps {
     * GRAPH is tiny relative to the corpus (edges ≈ dup-rate × docs), so
     * like a broadcast-join decision there are two physical strategies:
     * below `maxLocalEdges` the edge list collects to the driver and a
-    * union-find labels it in microseconds; above it, iterative min-label
-    * propagation runs fully distributed (join + min-aggregate per round,
-    * (node, label) pairs on the wire). Both produce identical labels. */
+    * union-find labels it in microseconds; above it, large-star/small-star
+    * contraction runs fully distributed (two groupBy+join passes per
+    * round, (node, node) pairs on the wire). Both produce identical
+    * labels.
+    *
+    * A candidate edge dropped by the LSH per-doc cap could silently SPLIT
+    * a cluster, so unlike the pair-counter (which just reports
+    * `n_capped_pairs`) the clusterer refuses to run on a capped graph by
+    * default (`failOnCappedEdges = false` downgrades to a stderr warning
+    * for callers that accept fractured clusters). */
   def dedupClusters(
       docs: DataFrame, threshold: Double,
-      maxLocalEdges: Long = 1000000L): DataFrame = {
+      maxLocalEdges: Long = 1000000L,
+      failOnCappedEdges: Boolean = true): DataFrame = {
     // edges come from the LSH-bucketed pipeline (shuffle on band keys,
     // verify on candidates only) — NOT the exact all-pairs inverted-index
-    // join, which materializes every shingle-sharing pair
-    val pairs = lshNearDupPairs(docs, threshold)._1.cache()
+    // join, which materializes every shingle-sharing pair. The cap gate
+    // rides the pair materialization as a CollectMetrics observation —
+    // zero extra scans.
+    val obs = new org.apache.spark.sql.Observation()
+    val (verified, _) = lshPipeline(docs, threshold, Some(obs))
+    val pairs = verified.cache()
     val nEdges = pairs.count()
+    val nCapped = Option(obs.get("n_capped")).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    if (nCapped > 0) {
+      val msg = s"dedupClusters: the LSH candidate cap ($MaxCandidatesPerDoc/doc) " +
+        s"dropped $nCapped candidate pair(s) — clusters through hub documents " +
+        "may be split. Exact-dedup the corpus first or raise the cap."
+      if (failOnCappedEdges) { pairs.unpersist(); throw new IllegalStateException(msg) }
+      System.err.println(s"WARN $msg")
+    }
     if (nEdges <= maxLocalEdges) {
       val spark = docs.sparkSession
       import spark.implicits._
       val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
       pairs.unpersist()
+      localClusters(spark, es)
+    } else {
+      val out = distributedClusters(pairs)
+      pairs.unpersist() // out reads the round-0 localCheckpoint, not pairs
+      out
+    }
+  }
+
+  /** Driver union-find with path compression (the sub-`maxLocalEdges`
+    * strategy of [[dedupClusters]]). */
+  private def localClusters(
+      spark: SparkSession, es: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
       // union-find with path compression
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -291,52 +339,83 @@ object TextOps {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val members = parent.keys.toSeq.map(id => (find(id), 1L))
-      return members.groupBy(_._1).view
-        .mapValues(_.size.toLong).toSeq
-        .filter(_._2 >= 2)
-        .toDF("cluster_id", "n_docs")
-    }
-    distributedClusters(pairs)
+    val members = parent.keys.toSeq.map(id => (find(id), 1L))
+    members.groupBy(_._1).view
+      .mapValues(_.size.toLong).toSeq
+      .filter(_._2 >= 2)
+      .toDF("cluster_id", "n_docs")
   }
 
-  /** The distributed path: iterative min-label propagation. */
+  /** The distributed path: alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — O(log n) rounds regardless of component DIAMETER (plain
+    * min-label propagation needs diameter-many rounds, and web-corpus
+    * near-dup graphs carry thousand-link template chains). Each round is
+    * two groupBy-min + join passes over bare (node, node) pairs; edges
+    * are `localCheckpoint`ed per round so the iterative plan never grows.
+    * The loop verifies the fixpoint was actually reached and THROWS if
+    * the defensive round cap trips — never a silent wrong answer. */
   private[operators] def distributedClusters(pairsIn: DataFrame): DataFrame = {
-    val pairs = pairsIn.cache()
-    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
-      .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
-      .cache()
-    var labels = edges.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("label"))
-      .cache()
-    // labels are monotone non-increasing under min-propagation, so the
-    // label SUM strictly decreases until the fixpoint — one aggregate per
-    // round replaces a join-based changed count
-    var prevSum = Long.MaxValue
-    var curSum = labels.agg(sum($"label")).head().getLong(0)
+    // canonical big→small orientation, deduped
+    var edges = pairsIn
+      .select(
+        greatest($"id_a", $"id_b").as("u"),
+        least($"id_a", $"id_b").as("v"))
+      .filter($"u" =!= $"v").distinct()
+      .localCheckpoint()
+
+    // large-star: from each node u's bidirectional neighborhood, link
+    // every LARGER neighbor to m = min(N(u) ∪ {u}); output stays u > v
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.select($"u", $"v")
+        .union(e.select($"v".as("u"), $"u".as("v")))
+      val mins = bidir.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      bidir.join(mins, "u")
+        .filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .distinct()
+    }
+
+    // small-star: with edges oriented u > v, link every smaller neighbor
+    // (and u itself) to m = min(N⁻(u)); all outputs are (x, m) with x > m
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy($"u").agg(min($"v").as("m"))
+      e.join(mins, "u")
+        .select($"v".as("x"), $"m").filter($"x" =!= $"m")
+        .union(mins.select($"u".as("x"), $"m"))
+        .select($"x".as("u"), $"m".as("v"))
+        .distinct()
+    }
+
+    // set fingerprint: (count, xor of pair hashes) — xor is order-blind
+    // and cannot overflow (sum() would, under ANSI mode)
+    def state(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    val maxRounds = 50 // defensive: fixpoint needs O(log n) rounds
+    var cur = state(edges)
+    var prev = (-1L, 0L)
     var iter = 0
-    while (curSum != prevSum && iter < 20) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .select($"dst".as("id"), $"label")
-      val next = labels.union(viaNeighbor)
-        .groupBy($"id").agg(min($"label").as("label"))
-        .cache()
-      prevSum = curSum
-      curSum = next.agg(sum($"label")).head().getLong(0)
-      labels.unpersist()
-      labels = next
+    while (cur != prev && iter < maxRounds) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      prev = cur
+      cur = state(edges)
       iter += 1
     }
-    val out = labels
-      .groupBy($"label".as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"))
-      .filter($"n_docs" >= 2)
-      .select($"cluster_id".cast("long").as("cluster_id"), $"n_docs")
-    val materialized = out.cache()
-    materialized.count()
-    pairs.unpersist(); edges.unpersist()
-    materialized
+    if (cur != prev)
+      throw new IllegalStateException(
+        s"distributedClusters: connected components did not reach the " +
+          s"star-graph fixpoint within $maxRounds rounds " +
+          s"(${cur._1} edges at cap) — refusing to emit possibly-split clusters")
+
+    // at the fixpoint every non-root node has exactly one edge (node,
+    // componentMin): cluster sizes are child-counts + 1 (the root)
+    edges
+      .groupBy($"v".cast("long").as("cluster_id"))
+      .agg((count(lit(1)) + 1).as("n_docs"))
   }
 
   /** Quality-filter funnel — the per-stage pass accounting of a
@@ -372,6 +451,27 @@ object TextOps {
         expr("percentile(n_tokens, 0.9)").as("p90"),
         expr("percentile(n_tokens, 0.99)").as("p99"),
         count(lit(1)).as("n"))
+
+  /** The 100 TB path for token percentiles: `approx_percentile` keeps a
+    * bounded quantile sketch per group (partial-aggregable, map-side
+    * combined), where exact `percentile` buffers EVERY value in the
+    * aggregation buffer — per-source arrays of billions of entries at
+    * corpus scale. The exact form ([[q53TokenPercentiles]]) stays as the
+    * oracle gate; this is the production variant (at `accuracy`=10⁴ the
+    * rank error is ≤ n/10⁴ — exact on small groups). */
+  def tokenPercentilesApprox(docs: DataFrame, accuracy: Int = 10000): DataFrame =
+    docs
+      .select($"source", size(toks($"text")).as("n_tokens"))
+      .groupBy($"source")
+      .agg(
+        expr(s"approx_percentile(n_tokens, array(0.5D, 0.9D, 0.99D), $accuracy)")
+          .as("pcts"),
+        count(lit(1)).as("n"))
+      .select($"source",
+        element_at($"pcts", 1).cast("double").as("p50"),
+        element_at($"pcts", 2).cast("double").as("p90"),
+        element_at($"pcts", 3).cast("double").as("p99"),
+        $"n")
 
   /** Stratified per-source cap — domain balancing: keep K docs per
     * source, selected by a deterministic hash order ((doc_id * prime)
@@ -427,19 +527,89 @@ object TextOps {
           .cast("long").as("rep_scaled"))
   }
 
+  /** Token-rarity scoring — the unigram-LM quality proxy without
+    * transcendental math (logs diverge between engines at the ULP; a
+    * document-frequency sum is exact): per document, distinct-token
+    * count and the sum of corpus document frequencies of its tokens.
+    * Low df_sum / n_distinct ⇒ rare vocabulary. The df join is the
+    * token-inverted-index shape: shuffle on the token key, never
+    * all-pairs; at 100 TB the df table is the corpus vocabulary
+    * (Zipf-bounded), reusable across scoring runs. */
+  def q58TokenRarity(s: SparkSession, dir: String): DataFrame = {
+    val w = load(s, dir, "documents")
+      .select($"doc_id", explode(array_distinct(toks($"text"))).as("w"))
+    val df = w.groupBy($"w").agg(count(lit(1)).as("df"))
+    w.join(df, "w")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_distinct_tokens"),
+        sum($"df").as("df_sum"))
+  }
+
+  /** Retrieval top-k: tf × (N/df) scoring with EXACT rational arithmetic
+    * (the BM25 family's tf·idf core, with the engine-divergent log
+    * replaced by integer-scaled N/df — `(tf · N · 10⁶) div df`). The
+    * plan is the inverted-index retrieval shape: explode → filter to the
+    * query terms (predicate pushdown kills non-matching tokens at the
+    * scan), tf/df aggregates, then TakeOrderedAndProject for the top-k —
+    * no global sort. */
+  def q59TfidfTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val query = Seq("data", "join", "dup")
+    val docs = load(s, dir, "documents")
+    val terms = docs
+      .select($"doc_id", explode(toks($"text")).as("w"))
+      .filter($"w".isin(query: _*))
+    val tf = terms.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    val nDocs = docs.groupBy().agg(count(lit(1)).as("n_corpus"))
+    tf.join(broadcast(dfreq), "w").crossJoin(broadcast(nDocs))
+      .select($"doc_id", expr("(tf * n_corpus * 1000000) div df").as("term_score"))
+      .groupBy($"doc_id")
+      .agg(sum($"term_score").as("score_scaled"))
+      .orderBy($"score_scaled".desc, $"doc_id")
+      .limit(k)
+  }
+
+  /** Domain-mix accounting — the data-mixing step of corpus assembly:
+    * per source, document count, corpus share (ppm), and the
+    * equalizing keep-ratio (ppm of this source to sample to match the
+    * smallest source). Exact integer division only. */
+  def q60DomainMix(s: SparkSession, dir: String): DataFrame = {
+    val counts = load(s, dir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.groupBy().agg(
+      sum($"n_docs").as("total"), min($"n_docs").as("min_n"))
+    counts.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs",
+        expr("(n_docs * 1000000) div total").as("share_ppm"),
+        expr("(min_n * 1000000) div n_docs").as("equalize_keep_ppm"))
+  }
+
   /** SimHash (64-bit) per document: per bit j, sign of Σ_tokens ±1 by
     * token-hash bit j. Output is a stable content fingerprint whose
-    * Hamming distance approximates cosine over token multisets. */
+    * Hamming distance approximates cosine over token multisets.
+    *
+    * Single pass over the token array: the accumulator is a 64-slot
+    * counter array updated per token (the round-2 form ran 64 separate
+    * `aggregate` traversals per document). Each token's hash is bound
+    * ONCE via the single-element-array wrap — higher-order functions
+    * re-evaluate plain argument expressions per lambda element, so an
+    * unbound `xxhash64(tok)` would hash 64× per token. */
   def simhash(c: Column, nBits: Int = 64): Column =
-    element_at(
-      transform(array(toks(c)), t =>
-        (0 until nBits).map { j =>
-          val bitSum = aggregate(t, lit(0),
-            (acc, tok) => acc +
-              when(shiftright(xxhash64(tok), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-          when(bitSum >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b))),
-      1)
+    aggregate(
+      toks(c),
+      array_repeat(lit(0), nBits),
+      (acc, tok) => element_at(
+        transform(array(xxhash64(tok)), h =>
+          transform(acc, (a, j) =>
+            a + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1)
+              .otherwise(-1))),
+        1),
+      counts => aggregate(
+        transform(counts, (cnt, j) =>
+          when(cnt >= 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+        lit(0L),
+        (a, b) => a.bitwiseOR(b)))
 
   /** SimHash dedup profile: distinct fingerprints + collision count.
     * xxhash64 is engine-side (no DuckDB twin), but the profile is fully
@@ -467,6 +637,29 @@ object TextOps {
       .select($"doc_id", fingerprint($"text").as("fp"))
 
   val oracles: Map[String, String] = Map(
+    "q58_token_rarity" ->
+      """WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+        |  FROM documents),
+        |df AS (SELECT w, count(*) AS df FROM w GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+        |CAST(sum(df.df) AS BIGINT) AS df_sum
+        |FROM w JOIN df USING (w) GROUP BY 1""".stripMargin,
+    "q59_tfidf_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |q AS (SELECT * FROM t WHERE w IN ('data','join','dup')),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM q GROUP BY 1,2),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_corpus FROM documents)
+        |SELECT doc_id, CAST(sum((tf * n_corpus * 1000000) // df) AS BIGINT) AS score_scaled
+        |FROM tf JOIN df USING (w) CROSS JOIN n
+        |GROUP BY 1 ORDER BY score_scaled DESC, doc_id LIMIT 10""".stripMargin,
+    "q60_domain_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS total, min(n_docs) AS min_n FROM c)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |CAST((n_docs * 1000000) // total AS BIGINT) AS share_ppm,
+        |CAST((min_n * 1000000) // n_docs AS BIGINT) AS equalize_keep_ppm
+        |FROM c CROSS JOIN t""".stripMargin,
     "q23_minhash" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3

@@ -167,8 +167,17 @@ object Ingest {
       spark: SparkSession, manifest: DataFrame,
       globPattern: String): Dataset[(String, Array[Byte])] = {
     import spark.implicits._
+    // resolve through the Hadoop FileSystem of each path's scheme (file:,
+    // hdfs:, s3a:, …) — a java.io.File check would silently drop every
+    // directory on a non-local filesystem. Bounded: one RPC per distinct
+    // (run, camcol) dir, thousands at survey scale, not per file.
+    val hconf = spark.sparkContext.hadoopConfiguration
     val dirs = manifest.select("dir").distinct().as[String].collect()
-      .filter(d => new java.io.File(d).isDirectory).sorted
+      .filter { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        try p.getFileSystem(hconf).getFileStatus(p).isDirectory
+        catch { case _: java.io.FileNotFoundException => false }
+      }.sorted
     if (dirs.isEmpty) return spark.emptyDataset[(String, Array[Byte])]
     val listing = spark.read.format("binaryFile")
       .option("pathGlobFilter", globPattern)

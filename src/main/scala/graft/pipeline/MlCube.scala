@@ -70,7 +70,8 @@ object MlCube {
       spectra: Dataset[SpectrumObs],
       links: Dataset[CutoutLink],
       images: Dataset[ImageObs],
-      requiredBands: Int = 5): Dataset[MlCubeRow] = {
+      requiredBands: Int = 5,
+      broadcastLinks: Boolean = true): Dataset[MlCubeRow] = {
     val spark = spectra.sparkSession
     import spark.implicits._
     val ivw = udaf(new IvwStackAggregator())
@@ -93,7 +94,7 @@ object MlCube {
       .join(broadcast(firstIds.select($"first_spec_id")),
         $"spec_id" === $"first_spec_id", "left_semi")
       .as[CutoutLink]
-    val cut = cutoutPixelTable(firstLinks, images)
+    val cut = cutoutPixelTable(firstLinks, images, broadcastLinks)
       .join(broadcast(firstIds), $"spec_id" === $"first_spec_id")
 
     // IVW stack per (target, zoom, band) over the FLATTENED cutouts —
@@ -163,20 +164,28 @@ object MlCube {
   /** J6 — region-ref dereference as a join: link rows → sliced image
     * pixel arrays (`utils/io_strategy.py:80-100`).
     *
-    * Scale contract (SCALE.md): full frames NEVER cross the wire. The
-    * link projection (a few dozen bytes per link, bounded per spectrum)
-    * is broadcast; frames stream through the BroadcastHashJoin and are
-    * sliced to ≤16 KB cutouts inside the SAME stage, so the only data
-    * that ever shuffles downstream is cutout-sized. PlanSpec asserts the
-    * BroadcastHashJoin survives in the executed plan. */
+    * Scale contract (SCALE.md §broadcast-bound): full frames never cross
+    * the wire on the default path. The link projection (~48 B per link,
+    * ≤ MAX_CUTOUT_REFS per spectrum-zoom) is broadcast; frames stream
+    * through the BroadcastHashJoin and are sliced to ≤16 KB cutouts in
+    * the SAME stage, so only cutout-sized data shuffles downstream.
+    * QUANTIFIED BOUND: the broadcast side is ≈ #spectra × 25 links ×
+    * 48 B ≈ 1.2 KB/spectrum — it crosses Spark's 8 GB broadcast ceiling
+    * around ~6M spectra. Above that pass `broadcastLinks = false`: both
+    * sides hash-partition on (zoom, image_id) and each frame crosses the
+    * wire ONCE (no fan-out — links per image are collocated), which is a
+    * bounded one-pass shuffle, not a scale killer. PlanSpec asserts the
+    * BroadcastHashJoin survives on the default path. */
   def cutoutPixelTable(
-      links: Dataset[CutoutLink], images: Dataset[ImageObs]): DataFrame = {
+      links: Dataset[CutoutLink], images: Dataset[ImageObs],
+      broadcastLinks: Boolean = true): DataFrame = {
     val spark = links.sparkSession
     import spark.implicits._
-    val linkCols = broadcast(links.toDF().select(
+    val linkProj = links.toDF().select(
       $"zoom", $"image_id", $"spec_id", $"band",
       $"x_min".cast("int").as("x_min"), $"x_max".cast("int").as("x_max"),
-      $"y_min".cast("int").as("y_min"), $"y_max".cast("int").as("y_max")))
+      $"y_min".cast("int").as("y_min"), $"y_max".cast("int").as("y_max"))
+    val linkCols = if (broadcastLinks) broadcast(linkProj) else linkProj
     // slice [yMin,yMax) × [xMin,xMax) columnar-side (1-based slice())
     def sliceCol(img: Column): Column =
       transform(slice(img, $"y_min" + 1, $"y_max" - $"y_min"),

@@ -86,9 +86,17 @@ object UpdateCube {
       .join(broadcast(affectedBuckets), Seq("bucket"), "left_semi")
       .join(broadcast(affected),
         col("target_healpix") === col("affected_healpix"), "left_anti")
+    // materialization BARRIER: the dynamic overwrite below deletes
+    // partition files this plan reads, so the union is pinned with
+    // localCheckpoint — the write job's plan becomes a scan of already-
+    // materialized blocks with its file lineage cut. (cache() was not a
+    // barrier: an evicted block would recompute mid-write and re-read
+    // files the overwrite is deleting.)
     val mlRewrite = oldMl.unionByName(
       mlNew.toDF().withColumn("bucket", shiftright(col("target_healpix"), BucketShift)))
-      .cache()
+      .localCheckpoint()
+    require(!mlRewrite.queryExecution.executedPlan.toString.contains("ml_cube"),
+      "ml_cube rewrite plan must not read the path being overwritten")
     val mlRowCount = mlRewrite.count()
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -114,7 +122,7 @@ object UpdateCube {
     val summary = UpdateSummary(
       newSpecs.count(), newLinks.count(), affected.count(), mlRowCount, vizCount)
     newSpecs.unpersist(); newLinks.unpersist(); affected.unpersist()
-    mlRewrite.unpersist(); vizNew.unpersist()
+    vizNew.unpersist() // mlRewrite's checkpoint blocks are GC'd by the ContextCleaner
     summary
   }
 

@@ -34,7 +34,8 @@ object VizCube {
     * `metadata_strategy_cube_visualization.py:147-188`). Input is the
     * dereferenced cutout table joined back to image WCS/time/wl. */
   def cutoutRows(
-      links: Dataset[CutoutLink], images: Dataset[ImageObs]): Dataset[VizRow] = {
+      links: Dataset[CutoutLink], images: Dataset[ImageObs],
+      broadcastLinks: Boolean = true): Dataset[VizRow] = {
     val spark = links.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.{broadcast, col}
@@ -44,11 +45,14 @@ object VizCube {
       .select(col("zoom"), col("image_id"), col("fits_name").as("i_name"),
         col("time").as("i_time"), col("wl").as("i_wl"),
         col("flux").as("img_flux"), col("sigma").as("img_sigma"), col("wcs"))
-    // same contract as MlCube.cutoutPixelTable: broadcast the link
-    // projection so frames stream through the join and fan out to pixel
-    // rows inside one stage — whole frames never shuffle
+    // same contract (and same ~8 GB / ~6M-spectra broadcast bound) as
+    // MlCube.cutoutPixelTable: broadcast the link projection so frames
+    // stream through the join and fan out to pixel rows inside one
+    // stage; above the bound pass broadcastLinks = false for the
+    // one-pass (zoom, image_id) shuffle join
+    val lnk = if (broadcastLinks) broadcast(links.toDF()) else links.toDF()
     img
-      .join(broadcast(links.toDF()), Seq("zoom", "image_id"))
+      .join(lnk, Seq("zoom", "image_id"))
       .select(col("zoom"), col("x_min"), col("x_max"), col("y_min"), col("y_max"),
         col("i_name"), col("i_time"), col("i_wl"), col("img_flux"), col("img_sigma"), col("wcs"))
       .as[(Int, Long, Long, Long, Long, String, Double, Int,
@@ -69,6 +73,7 @@ object VizCube {
   def build(
       spectra: Dataset[SpectrumObs],
       links: Dataset[CutoutLink],
-      images: Dataset[ImageObs]): Dataset[VizRow] =
-    spectrumRows(spectra).unionAll(cutoutRows(links, images))
+      images: Dataset[ImageObs],
+      broadcastLinks: Boolean = true): Dataset[VizRow] =
+    spectrumRows(spectra).unionAll(cutoutRows(links, images, broadcastLinks))
 }

@@ -104,4 +104,43 @@ class PlanSpec extends AnyFunSuite {
     // frames must stream through a broadcast join against the link projection
     assert(p.contains("BroadcastHashJoin"), "cutout join not broadcast:\n" + p)
   }
+
+  test("link candidates prune pixel payloads out of both parquet scans") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-linkplan")
+    val wcs = graft.pipeline.WcsParams(1, 1, 1e-4, 0, 0, 1e-4, 150.0, 2.0)
+    Seq(graft.pipeline.SpectrumObs(0, 1L, "a.fits", 150.0, 2.0, 53000.0, 1001L,
+        53000L, 1, 42L, Array(1f, 2f), Array(1f, 2f), Array(0.1f, 0.1f), Map.empty))
+      .toDS().write.parquet(s"$tmp/spectra")
+    // image indexed at the spectrum's own cell so the cell equi-join is
+    // non-empty and AQE keeps real scans in the final plan
+    val imgCell = graft.functions.Healpix.ang2pixLonLat(
+      graft.pipeline.Ingest.ImgHealOrder, 150.0, 2.0)
+    Seq(graft.pipeline.ImageObs(0, 10L, "f.fits", "u", 3551, 1000, 3, 1, 53000.0,
+        imgCell, 4, 4, Array.fill(4)(Array.fill(4)(1f)), Array.fill(4)(Array.fill(4)(0.1f)),
+        wcs, Map.empty))
+      .toDS().write.parquet(s"$tmp/images")
+    val cand = graft.pipeline.Link.candidates(
+      spark.read.parquet(s"$tmp/spectra").as[graft.pipeline.SpectrumObs],
+      spark.read.parquet(s"$tmp/images").as[graft.pipeline.ImageObs])
+    cand.collect()
+    val p = cand.queryExecution.executedPlan.toString
+    // the cell equi-join must carry ONLY index columns: the flux/sigma
+    // pixel arrays (and header maps) stay behind column pruning — at
+    // 100 TB the link shuffle moves ids and bounds, never payloads
+    assert(!p.contains("flux"), "pixel columns leaked into the link plan:\n" + p)
+    assert(!p.contains("sigma"), "pixel columns leaked into the link plan:\n" + p)
+    assert(!p.contains("header"), "header maps leaked into the link plan:\n" + p)
+  }
+
+  test("decontamination joins the corpus against a BROADCAST benchmark index") {
+    val df = graft.operators.TextOps.q55Decontamination(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the benchmark shingle index is small by construction: the corpus
+    // side must stream through a broadcast-hash semi/inner join, never
+    // shuffle its exploded shingles for a sort-merge join
+    assert(p.contains("BroadcastHashJoin"), "benchmark side not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "corpus shingles hit a sort-merge join:\n" + p)
+  }
 }

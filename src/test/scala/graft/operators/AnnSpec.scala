@@ -100,14 +100,44 @@ class AnnSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((200L, 201L)) && pairs.contains((201L, 202L)), pairs.toString)
 
-    // both physical strategies (driver union-find, distributed min-label
-    // propagation) must merge the chain into ONE cluster of 3 labeled by
-    // the min id
+    // both physical strategies (driver union-find, distributed
+    // large-star/small-star) must merge the chain into ONE cluster of 3
+    // labeled by the min id
     for (maxLocal <- Seq(1000000L, 0L)) {
       val clusters = TextOps.dedupClusters(df, 0.8, maxLocalEdges = maxLocal)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(clusters.get(200L).contains(3L), s"maxLocal=$maxLocal: $clusters")
       assert(!clusters.contains(201L) && !clusters.contains(202L))
     }
+  }
+
+  test("distributed CC converges on a chain component with diameter >> 20") {
+    // a 41-node path graph: plain min-label propagation needs 40 rounds
+    // (the old 20-round cap exited silently wrong); large-star/small-star
+    // needs O(log n). Also plant a second component and an isolated pair.
+    val chain = (0 until 40).map(i => (i.toLong, (i + 1).toLong))
+    val extra = Seq((100L, 101L), (100L, 102L), (200L, 201L))
+    val pairs = (chain ++ extra).toDF("id_a", "id_b")
+    val clusters = TextOps.distributedClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(0L -> 41L, 100L -> 3L, 200L -> 2L), clusters.toString)
+  }
+
+  test("dedup clustering refuses (or warns) when the LSH cap drops edges") {
+    // 140 identical docs: every pair is a candidate, so per-doc candidate
+    // degree 139 > MaxCandidatesPerDoc — dropped edges could split the
+    // cluster, and the clusterer must not be silent about it
+    val docs = (0 until 140).map(i =>
+      (i.toLong, (0 until 50).map(j => s"same$j").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      TextOps.dedupClusters(df, 0.8)
+    }
+    assert(ex.getMessage.contains("capped") || ex.getMessage.contains("dropped"),
+      ex.getMessage)
+    // opt-out path still runs (accepting possibly-fractured clusters)
+    val clusters = TextOps.dedupClusters(df, 0.8, failOnCappedEdges = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty && clusters.values.sum <= 140L, clusters.toString)
   }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-codec semantics of the multimodal path: the payloads are actual
+  * PNGs (magic bytes, compressed) and `featurize` computes from DECODED
+  * pixels, not raw payload bytes. */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("encodePng emits a real PNG and decodePixels roundtrips the bytes") {
+    val (png, w, h) = MultimodalOps.encodePng("abc".getBytes("UTF-8"))
+    // PNG signature: 137 80 78 71 13 10 26 10
+    assert((png(0) & 0xff) == 137 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    assert(w == 16 && h == 1)
+    val px = MultimodalOps.decodePixels(png)
+    assert(px.length == 16)
+    assert(px.take(3).toSeq == Seq(97, 98, 99), px.toSeq.toString) // 'a','b','c'
+    assert(px.drop(3).forall(_ == 0)) // zero padding
+  }
+
+  test("multi-row images pack row-major with a zero-padded final row") {
+    val bytes = (0 until 40).map(i => (i + 1).toByte).toArray // 40 > 2*16
+    val (png, w, h) = MultimodalOps.encodePng(bytes)
+    assert(w == 16 && h == 3)
+    val px = MultimodalOps.decodePixels(png)
+    assert(px.length == 48)
+    assert(px.take(40).toSeq == (1 to 40), px.toSeq.toString)
+    assert(px.drop(40).forall(_ == 0))
+  }
+
+  test("featurize computes histogram and sums from DECODED pixels") {
+    import spark.implicits._
+    // 'a'=97 (bin 3), ' '=32 (bin 1); padding zeros land in bin 0
+    val media = Seq((7L, "aaaa aaaa")).toDF("doc_id", "text")
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val (png, w, h) = MultimodalOps.encodePng(text.getBytes("UTF-8"))
+        MediaRow(id, png, "image/png", png.length, w, h)
+      }
+    val f = MultimodalOps.featurize(media).collect().head
+    assert(f.doc_id == 7L)
+    assert(f.n_pixels == 16L)
+    assert(f.pixel_sum == 8L * 97 + 32) // decoded luminance, not PNG bytes
+    assert(math.abs(f.feature(3) - 8f / 16) < 1e-6)  // 8 × 'a'
+    assert(math.abs(f.feature(1) - 1f / 16) < 1e-6)  // 1 × ' '
+    assert(math.abs(f.feature(0) - 7f / 16) < 1e-6)  // 7 × pad
+    // the payload is compressed: PNG size != pixel count
+    assert(f.n_bytes != f.n_pixels)
+  }
+}
