@@ -6,8 +6,71 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, one JSON line on stdout (driver contract). A
   * warmup pass primes the JVM/JIT, parquet footers, and the session so
   * per-query times measure the queries, not session startup.
+  *
+  * The line also carries a `build` block — end-to-end pipeline
+  * throughput (ingest spectra/s + frames/s, link rows/s, ML + viz
+  * stack times) over synthetic SDSS-shaped FITS, so the
+  * ingest-rate-vs-reference claim in SCALE.md is a tracked artifact
+  * (reference anchors, BASELINE.md: 271 spectra/s header phase alone,
+  * 480/s metadata alone, under mpiexec -n 8 — here ONE pass does all
+  * phases' work).
   */
 object Bench {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Fixture-backed build throughput (the BuildBench/IngestBench phases,
+    * sized to stay a small fraction of the query suite's wall time). */
+  private def buildMetrics(spark: SparkSession): String = {
+    import java.nio.file.Files
+    // 400 spectra / 100 frames: enough files to amortize fixed job
+    // overhead out of the per-file rates (matches IngestBench's scale)
+    val nTargets = 20
+    val perTarget = 20
+    val dir = Files.createTempDirectory("graft-bench-build")
+    val specDir = dir.resolve("spectra"); Files.createDirectories(specDir)
+    val imgDir = dir.resolve("images"); Files.createDirectories(imgDir)
+    val (loglam, flux, ivar) = pipeline.FitsFixtures.specGrid()
+    var run = 5000
+    (0 until nTargets).foreach { t =>
+      val (ra, dec) = (30.0 + t * 2.0, -20.0 + t * 1.5)
+      for (band <- Seq("u", "g", "r", "i", "z")) {
+        pipeline.FitsFixtures.writeFrame(
+          imgDir.resolve(f"frame-$band-$run%06d-3-0001.fits").toString,
+          band, run, 3, 1, 512, 372, ra, dec)
+        run += 1
+      }
+      (0 until perTarget).foreach { k =>
+        pipeline.FitsFixtures.writeSpectrum(
+          specDir.resolve(f"spec-${4000 + t}%04d-${52000 + k}-${k + 1}%04d.fits").toString,
+          ra, dec, 4000 + t, 52000 + k, k + 1, loglam, flux, ivar)
+      }
+    }
+    val nSpectra = nTargets * perTarget
+    val nFrames = nTargets * 5
+
+    val (spectra, tSpec) = timed {
+      val d = pipeline.Ingest.spectra(spark, specDir.toString).cache(); d.count(); d
+    }
+    val (images, tImg) = timed {
+      val d = pipeline.Ingest.images(spark, imgDir.toString,
+        "/root/reference/config").cache(); d.count(); d
+    }
+    val ((links, nLinks), tLink) = timed {
+      val d = pipeline.Link.linkCutouts(spectra, images).cache(); (d, d.count())
+    }
+    val (mlRows, tMl) = timed {
+      pipeline.MlCube.build(spectra, links, images).count()
+    }
+    val (vizRows, tViz) = timed {
+      pipeline.VizCube.build(spectra, links, images).count()
+    }
+    spectra.unpersist(); images.unpersist(); links.unpersist()
+    f"""{"spectra":$nSpectra,"frames":$nFrames,"links":$nLinks,"ml_rows":$mlRows,"viz_rows":$vizRows,"spectra_per_sec":${nSpectra / tSpec}%.1f,"frames_per_sec":${nFrames / tImg}%.1f,"link_rows_per_sec":${nLinks / tLink}%.1f,"ml_sec":$tMl%.2f,"viz_sec":$tViz%.2f}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,10 +95,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val build = try buildMetrics(spark) catch { case _: Throwable => "{}" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"build":$build,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -87,6 +87,13 @@ object SparkEntry {
     "q54_stratified_sample" -> (TextOps.q54StratifiedSample _),
     "q55_decontamination" -> (TextOps.q55Decontamination _),
     "q56_repetition" -> (TextOps.q56Repetition _),
+    // round 3: clustering for data mixing, rarity scoring, retrieval,
+    // mix accounting, embedding quantization
+    "q57_kmeans_iter" -> (VectorOps.q57KmeansIter _),
+    "q58_token_rarity" -> (TextOps.q58TokenRarity _),
+    "q59_tfidf_topk" -> ((s: SparkSession, d: String) => TextOps.q59TfidfTopK(s, d)),
+    "q60_domain_mix" -> (TextOps.q60DomainMix _),
+    "q61_quantize_int8" -> (VectorOps.q61QuantizeInt8 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -152,7 +152,85 @@ object VectorOps {
       .agg(count(lit(1)).as("n_neardup_pairs"))
   }
 
+  /** One deterministic Lloyd iteration — the k-means step of
+    * embedding-space data mixing / diversity clustering: coarse
+    * centroids = the first 8 vectors, L1-argmin assignment (broadcast
+    * centroids + `min_by` partial aggregation, one shuffle on vec_id),
+    * then per-cluster member counts and the new-centroid NUMERATOR as
+    * exact integer math — each element is scaled to an integer BEFORE
+    * the cross-row sum, because cross-row floating sums are
+    * order-dependent and would diverge between engines. At scale each
+    * further iteration is the same single-shuffle pass. */
+  def q57KmeansIter(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent"))
+    val elemSum = aggregate(
+      transform($"embedding", v => floor(v.cast("double") * 1e6 + 0.5).cast("long")),
+      lit(0L), (a, x) => a + x)
+    emb
+      .select($"vec_id", $"embedding", elemSum.as("esum"))
+      .crossJoin(broadcast(cents))
+      .select($"vec_id", $"esum", $"cent_id",
+        l1Distance($"embedding", $"cent").as("d"))
+      .groupBy($"vec_id")
+      .agg(
+        min_by($"cent_id", struct($"d", $"cent_id")).as("cent_id"),
+        first($"esum").as("esum"))
+      .groupBy($"cent_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum($"esum").as("member_sum_scaled"))
+      .select($"cent_id".cast("long").as("cent_id"), $"n_members", $"member_sum_scaled")
+  }
+
+  /** Affine int8 quantization of an embedding column (the storage /
+    * transfer compression step of an embedding pipeline): per vector,
+    * q_i = ⌊(v_i − min)·255/(max − min) + ½⌋. Stateless column math —
+    * scan-speed, no shuffle; the gate checks the per-vector quantized
+    * checksum (pure IEEE +,−,×,÷,floor on identical expression trees —
+    * bit-identical across engines; no library rounding). */
+  def q61QuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding",
+        array_min($"embedding").cast("double").as("vmin"),
+        array_max($"embedding").cast("double").as("vmax"))
+      .select(
+        $"vec_id",
+        floor(($"vmax" - $"vmin") * 1e6 + 0.5).cast("long").as("range_scaled"),
+        when($"vmax" === $"vmin", 0L).otherwise(
+          aggregate(
+            transform($"embedding", v =>
+              floor((v.cast("double") - $"vmin") * 255.0 / ($"vmax" - $"vmin") + 0.5)
+                .cast("long")),
+            lit(0L), (a, x) => a + x)).as("qsum"))
+
   val oracles: Map[String, String] = Map(
+    "q57_kmeans_iter" ->
+      """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |  generate_subscripts(embedding,1) AS i FROM embeddings),
+        |d AS (SELECT a.vec_id, c.vec_id AS cent_id, sum(abs(a.v - c.v)) AS dist
+        |  FROM u a JOIN u c ON a.i = c.i AND c.vec_id < 8 GROUP BY 1,2),
+        |assigned AS (SELECT vec_id, cent_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn FROM d),
+        |es AS (SELECT vec_id, sum(CAST(floor(v * 1e6 + 0.5) AS BIGINT)) AS esum
+        |  FROM u GROUP BY 1)
+        |SELECT CAST(a.cent_id AS BIGINT) AS cent_id,
+        |CAST(count(*) AS BIGINT) AS n_members,
+        |CAST(sum(es.esum) AS BIGINT) AS member_sum_scaled
+        |FROM assigned a JOIN es ON es.vec_id = a.vec_id WHERE a.rn = 1
+        |GROUP BY 1""".stripMargin,
+    "q61_quantize_int8" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin,
+        |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax FROM embeddings),
+        |q AS (SELECT vec_id, vmin, vmax, CAST(unnest(embedding) AS DOUBLE) AS v FROM m)
+        |SELECT vec_id,
+        |CAST(floor((any_value(vmax) - any_value(vmin)) * 1e6 + 0.5) AS BIGINT) AS range_scaled,
+        |CAST(CASE WHEN any_value(vmax) = any_value(vmin) THEN 0
+        |  ELSE sum(CAST(floor((v - vmin) * 255.0 / (vmax - vmin) + 0.5) AS BIGINT))
+        |  END AS BIGINT) AS qsum
+        |FROM q GROUP BY vec_id""".stripMargin,
     "q24_ann_topk" ->
       """WITH ref AS (SELECT embedding AS ref_emb FROM embeddings WHERE vec_id=0),
         |pairs AS (SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS v,
