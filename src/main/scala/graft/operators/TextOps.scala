@@ -174,27 +174,50 @@ object TextOps {
     (verified, nCapped)
   }
 
+  val LshBands = 4
+  val LshRows = 4
+
+  /** The MinHash signature frame — one row per doc: (doc_id, sh_set,
+    * m0..m15). This is the REUSABLE dedup artifact: persist it once
+    * (plain parquet) and every later near-dup / clustering run starts
+    * from [[nearDupPairsFromSignatures]] without re-shingling the
+    * corpus — the expensive scan amortizes across runs.
+    *
+    * Relational MinHash: explode shingles ONCE, then the K "permutation"
+    * minima are K min-aggregates over one groupBy — map-side combine
+    * shrinks the shuffle to one row per doc, and Spark's ReuseExchange
+    * computes this subtree once even though it is referenced three times
+    * downstream. (A higher-order-function formulation recomputes the
+    * shingle array inside every lambda — measured 8× slower at sf0.1.) */
+  def signatureFrame(docs: DataFrame): DataFrame = {
+    val k = LshBands * LshRows
+    val exploded = docs
+      .select($"doc_id", explode(shingles($"text")).as("sh"))
+    val aggs = collect_set($"sh").as("sh_set") +:
+      (0 until k).map(kk => min(xxhash64($"sh", lit(kk))).as(s"m$kk"))
+    exploded.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Verified near-dup pairs from an existing signature frame (the
+    * artifact-reuse path — same plan as the direct pipeline minus the
+    * corpus scan). */
+  def nearDupPairsFromSignatures(sigs: DataFrame, threshold: Double): DataFrame =
+    pairsFromSignatures(sigs, threshold, None)._1
+
   /** Full pipeline; `capObs` (when given) attaches a CollectMetrics node
     * below the candidate-cap filter so the capped-pair count rides the
     * SAME action that materializes the verified pairs — the clusterer's
     * cap gate costs zero extra passes over the corpus. */
   private def lshPipeline(
       docs: DataFrame, threshold: Double,
-      capObs: Option[org.apache.spark.sql.Observation] = None): (DataFrame, DataFrame) = {
-    val bands = 4
-    val rows = 4
-    val k = bands * rows
-    // Relational MinHash: explode shingles ONCE, then the K "permutation"
-    // minima are K min-aggregates over one groupBy — map-side combine
-    // shrinks the shuffle to one row per doc, and Spark's ReuseExchange
-    // computes this subtree once even though it is referenced three times
-    // below. (A higher-order-function formulation recomputes the shingle
-    // array inside every lambda — measured 8× slower at sf0.1.)
-    val exploded = docs
-      .select($"doc_id", explode(shingles($"text")).as("sh"))
-    val aggs = collect_set($"sh").as("sh_set") +:
-      (0 until k).map(kk => min(xxhash64($"sh", lit(kk))).as(s"m$kk"))
-    val sigs = exploded.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      capObs: Option[org.apache.spark.sql.Observation] = None): (DataFrame, DataFrame) =
+    pairsFromSignatures(signatureFrame(docs), threshold, capObs)
+
+  private def pairsFromSignatures(
+      sigs: DataFrame, threshold: Double,
+      capObs: Option[org.apache.spark.sql.Observation]): (DataFrame, DataFrame) = {
+    val bands = LshBands
+    val rows = LshRows
     // LSH bands: hash each run of `rows` signature components; a pair is
     // a candidate iff it shares a (band, bkey) bucket. Carry ids only.
     val banded = sigs.select(

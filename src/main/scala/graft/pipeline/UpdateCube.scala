@@ -43,86 +43,145 @@ object UpdateCube {
       newSpecsIn: Dataset[SpectrumObs]): UpdateSummary = {
     import spark.implicits._
 
-    val newSpecs = newSpecsIn.cache()
-    if (newSpecs.isEmpty) {
-      newSpecs.unpersist()
+    // CONVERGENT RETRY DESIGN: the multi-step sequence (append spectra →
+    // append links → overwrite ML buckets → append viz) is not atomic,
+    // and a transactional table format is out of scope — so instead each
+    // table derives its own missing-work set from the INCOMING batch.
+    // Re-running the same update after a failure at ANY step completes
+    // exactly the remaining steps; re-running a completed update is a
+    // no-op. (A single up-front "new spectra" filter would do the
+    // opposite: after a mid-sequence failure the already-appended spectra
+    // would vanish from the batch and the unfinished ML/viz steps would
+    // be skipped forever.) Every probe is a pruned single-column read of
+    // the zoom=0 partition.
+    val incoming = newSpecsIn.cache()
+    if (incoming.isEmpty) {
+      incoming.unpersist()
       return UpdateSummary(0, 0, 0, 0, 0)
     }
     val images = spark.read.parquet(s"$outDir/images").as[ImageObs]
 
-    // 1. append the new observations
-    newSpecs.toDF().write.mode(SaveMode.Append)
-      .partitionBy("zoom").parquet(s"$outDir/spectra")
+    // 1. spectra: append only observations not already present
+    val existingSpecIds = spark.read.parquet(s"$outDir/spectra")
+      .where(col("zoom") === 0).select(col("spec_id")).distinct()
+    val newSpecs = incoming.toDF()
+      .join(existingSpecIds, Seq("spec_id"), "left_anti")
+      .as[SpectrumObs].cache()
+    val nNewSpectra = newSpecs.count()
+    if (nNewSpectra > 0)
+      newSpecs.toDF().write.mode(SaveMode.Append)
+        .partitionBy("zoom").parquet(s"$outDir/spectra")
 
-    // 2. link ONLY the new spectra (links are per-spectrum → append)
-    val newLinks = Link.linkCutouts(newSpecs, images).cache()
-    newLinks.toDF().write.mode(SaveMode.Append)
-      .partitionBy("zoom").parquet(s"$outDir/cutout_links")
-
-    // 3. affected targets = healpix cells touched by the new spectra
-    val affected = newSpecs.toDF().where(col("zoom") === 0)
-      .select(col("healpix").as("affected_healpix")).distinct().cache()
-    val affectedBuckets = affected
-      .select(shiftright(col("affected_healpix"), BucketShift).as("bucket")).distinct()
-
-    // 4. re-stack the affected targets from the UPDATED spectra table
-    val allSpectra = spark.read.parquet(s"$outDir/spectra").as[SpectrumObs]
-    val affectedSpectra = allSpectra.toDF()
-      .join(broadcast(affected), col("healpix") === col("affected_healpix"))
-      .drop("affected_healpix")
+    // 2. links: link the incoming spectra that have no links yet (links
+    // are per-spectrum → pure append)
+    val linkedIds = spark.read.parquet(s"$outDir/cutout_links")
+      .where(col("zoom") === 0).select(col("spec_id")).distinct()
+    val unlinked = incoming.toDF()
+      .join(linkedIds, Seq("spec_id"), "left_anti")
       .as[SpectrumObs]
-    val affectedSpecIds = affectedSpectra.toDF().where(col("zoom") === 0)
-      .select(col("spec_id").as("a_spec_id")).distinct()
-    val allLinks = spark.read.parquet(s"$outDir/cutout_links").as[CutoutLink]
-    val affectedLinks = allLinks.toDF()
-      .join(broadcast(affectedSpecIds), col("spec_id") === col("a_spec_id"))
-      .drop("a_spec_id")
-      .as[CutoutLink]
-    val mlNew = MlCube.build(affectedSpectra, affectedLinks, images)
+    val newLinks = Link.linkCutouts(unlinked, images).cache()
+    val nNewLinks = newLinks.count()
+    if (nNewLinks > 0)
+      newLinks.toDF().write.mode(SaveMode.Append)
+        .partitionBy("zoom").parquet(s"$outDir/cutout_links")
 
-    // 5. rewrite only the affected (zoom, bucket) partitions: surviving
-    // rows of those buckets (unaffected targets) + the re-stacked rows
-    val oldMl = spark.read.parquet(s"$outDir/ml_cube")
-      .join(broadcast(affectedBuckets), Seq("bucket"), "left_semi")
-      .join(broadcast(affected),
-        col("target_healpix") === col("affected_healpix"), "left_anti")
-    // materialization BARRIER: the dynamic overwrite below deletes
-    // partition files this plan reads, so the union is pinned with
-    // localCheckpoint — the write job's plan becomes a scan of already-
-    // materialized blocks with its file lineage cut. (cache() was not a
-    // barrier: an evicted block would recompute mid-write and re-read
-    // files the overwrite is deleting.)
-    val mlRewrite = oldMl.unionByName(
-      mlNew.toDF().withColumn("bucket", shiftright(col("target_healpix"), BucketShift)))
-      .localCheckpoint()
-    require(!mlRewrite.queryExecution.executedPlan.toString.contains("ml_cube"),
-      "ml_cube rewrite plan must not read the path being overwritten")
-    val mlRowCount = mlRewrite.count()
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      mlRewrite
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("zoom", "bucket").parquet(s"$outDir/ml_cube")
-    finally prevMode match {
-      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // 3. affected targets: cells touched by the INCOMING batch whose
+    // stored stack is STALE — stored n_spectra (zoom 0) differs from the
+    // spectra-table count (or the target has no stack yet). A completed
+    // update re-runs as a no-op; a half-applied one converges.
+    val touched = incoming.toDF().where(col("zoom") === 0)
+      .select(col("healpix").as("affected_healpix")).distinct()
+    val allSpectra = spark.read.parquet(s"$outDir/spectra").as[SpectrumObs]
+    val expected = allSpectra.toDF().where(col("zoom") === 0)
+      .join(broadcast(touched), col("healpix") === col("affected_healpix"))
+      .groupBy(col("affected_healpix")).agg(count(lit(1)).as("expected_n"))
+    val stored = spark.read.parquet(s"$outDir/ml_cube")
+      .where(col("zoom") === 0)
+      .select(col("target_healpix"), col("n_spectra"))
+    val affected = expected
+      .join(stored, col("affected_healpix") === col("target_healpix"), "left")
+      .filter(col("n_spectra").isNull || col("n_spectra") =!= col("expected_n"))
+      .select(col("affected_healpix")).cache()
+    val nAffected = affected.count()
+
+    // 4.+5. re-stack stale targets from the UPDATED tables and rewrite
+    // only their (zoom, bucket) partitions
+    var mlRowCount = 0L
+    if (nAffected > 0) {
+      val affectedBuckets = affected
+        .select(shiftright(col("affected_healpix"), BucketShift).as("bucket")).distinct()
+      val affectedSpectra = allSpectra.toDF()
+        .join(broadcast(affected), col("healpix") === col("affected_healpix"))
+        .drop("affected_healpix")
+        .as[SpectrumObs]
+      val affectedSpecIds = affectedSpectra.toDF().where(col("zoom") === 0)
+        .select(col("spec_id").as("a_spec_id")).distinct()
+      val allLinks = spark.read.parquet(s"$outDir/cutout_links").as[CutoutLink]
+      val affectedLinks = allLinks.toDF()
+        .join(broadcast(affectedSpecIds), col("spec_id") === col("a_spec_id"))
+        .drop("a_spec_id")
+        .as[CutoutLink]
+      val mlNew = MlCube.build(affectedSpectra, affectedLinks, images)
+
+      // surviving rows of the affected buckets (unaffected targets) +
+      // the re-stacked rows
+      val oldMl = spark.read.parquet(s"$outDir/ml_cube")
+        .join(broadcast(affectedBuckets), Seq("bucket"), "left_semi")
+        .join(broadcast(affected),
+          col("target_healpix") === col("affected_healpix"), "left_anti")
+      // materialization BARRIER: the dynamic overwrite below deletes
+      // partition files this plan reads, so the union is pinned with
+      // localCheckpoint — the write job's plan becomes a scan of already-
+      // materialized blocks with its file lineage cut. (cache() was not a
+      // barrier: an evicted block would recompute mid-write and re-read
+      // files the overwrite is deleting.)
+      val mlRewrite = oldMl.unionByName(
+        mlNew.toDF().withColumn("bucket", shiftright(col("target_healpix"), BucketShift)))
+        .localCheckpoint()
+      require(!mlRewrite.queryExecution.executedPlan.toString.contains("ml_cube"),
+        "ml_cube rewrite plan must not read the path being overwritten")
+      mlRowCount = mlRewrite.count()
+      val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        mlRewrite
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("zoom", "bucket").parquet(s"$outDir/ml_cube")
+      finally prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
     }
 
-    // 6. viz rows are per-observation → append the new spectrum samples
-    // and the new links' cutout pixels
-    val vizNew = VizCube.build(newSpecs, newLinks, images).cache()
-    val vizCount = vizNew.count()
-    vizNew.toDF()
-      .repartitionByRange(col("zoom"), col("heal_id"))
-      .sortWithinPartitions("zoom", "heal_id")
-      .write.mode(SaveMode.Append)
-      .partitionBy("zoom").parquet(s"$outDir/viz_cube")
+    // 6. viz rows are per-observation → append, for incoming spectra
+    // whose samples are not in the viz cube yet (their cutout-pixel rows
+    // ride along, rebuilt from the links table — which step 2 completed)
+    val vizNames = spark.read.parquet(s"$outDir/viz_cube")
+      .where(col("zoom") === 0).select(col("fits_name").as("viz_name")).distinct()
+    val vizSpecs = incoming.toDF()
+      .join(vizNames, col("fits_name") === col("viz_name"), "left_anti")
+      .as[SpectrumObs].cache()
+    val vizSpecIds = vizSpecs.toDF().where(col("zoom") === 0)
+      .select(col("spec_id").as("v_spec_id")).distinct()
+    val vizLinks = spark.read.parquet(s"$outDir/cutout_links")
+      .join(broadcast(vizSpecIds), col("spec_id") === col("v_spec_id"))
+      .drop("v_spec_id")
+      .as[CutoutLink]
+    var vizCount = 0L
+    if (!vizSpecs.isEmpty) {
+      val vizNew = VizCube.build(vizSpecs, vizLinks, images).cache()
+      vizCount = vizNew.count()
+      vizNew.toDF()
+        .repartitionByRange(col("zoom"), col("heal_id"))
+        .sortWithinPartitions("zoom", "heal_id")
+        .write.mode(SaveMode.Append)
+        .partitionBy("zoom").parquet(s"$outDir/viz_cube")
+      vizNew.unpersist()
+    }
 
-    val summary = UpdateSummary(
-      newSpecs.count(), newLinks.count(), affected.count(), mlRowCount, vizCount)
-    newSpecs.unpersist(); newLinks.unpersist(); affected.unpersist()
-    vizNew.unpersist() // mlRewrite's checkpoint blocks are GC'd by the ContextCleaner
+    val summary = UpdateSummary(nNewSpectra, nNewLinks, nAffected, mlRowCount, vizCount)
+    incoming.unpersist(); newSpecs.unpersist(); newLinks.unpersist()
+    affected.unpersist(); vizSpecs.unpersist()
     summary
   }
 

@@ -142,6 +142,26 @@ object Export {
   }
 
   /** S11: FITS file with one BINTABLE HDU holding the table. */
+  /** Sharded JSONL corpus sink — the standard LLM training-data exchange
+    * format (one JSON object per line). Shard assignment is a
+    * DETERMINISTIC content-independent hash of the id column
+    * (`pmod(xxhash64(id), nShards)`), so re-exports land identical rows
+    * in identical shards regardless of input partitioning, and shards
+    * balance without a global sort. Rows sort by id within each shard
+    * for byte-reproducible files. One file per shard directory. */
+  def writeJsonlCorpus(
+      docs: org.apache.spark.sql.DataFrame, outDir: String,
+      idCol: String = "doc_id", nShards: Int = 32): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    docs
+      .withColumn("shard", pmod(xxhash64(col(idCol)), lit(nShards)))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .json(outDir)
+  }
+
   def writeFitsTable(rows: Seq[VizRow], path: String): Unit = {
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     try {

@@ -99,6 +99,25 @@ class UpdateSpec extends AnyFunSuite {
     assert(vi == vf)
   }
 
+  test("re-running a completed update is a no-op (convergent retry)") {
+    import spark.implicits._
+    val (dir, specInit, specNew) = writeFixtures()
+    val out = dir.resolve("cube_rerun").toString
+    BuildCube.build(spark, specInit.toString, dir.resolve("images").toString,
+      "/root/reference/config", out)
+    val s1 = UpdateCube.update(spark, out, specNew.toString)
+    assert(s1.newSpectra == 5 && s1.affectedTargets == 1)
+    def snapshot() = Seq("spectra", "cutout_links", "ml_cube", "viz_cube")
+      .map(t => t -> spark.read.parquet(s"$out/$t").count()).toMap
+    val before = snapshot()
+    // the same batch again: every per-table missing-work set is empty
+    val s2 = UpdateCube.update(spark, out, specNew.toString)
+    assert(s2 == UpdateCube.UpdateSummary(0, 0, 0, 0, 0), s2.toString)
+    assert(snapshot() == before)
+    // ml stacks unchanged: target A still a 2-spectrum stack at all zooms
+    assert(spark.read.parquet(s"$out/ml_cube").where($"n_spectra" === 2).count() == 5)
+  }
+
   test("update with a spectrum of a NEW target creates its ML rows in place") {
     import spark.implicits._
     val (dir, _, _) = writeFixtures()

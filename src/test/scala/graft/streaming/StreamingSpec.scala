@@ -26,6 +26,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming.toSeq == batch.toSeq)
   }
 
+  test("streaming exact dedup keeps the same survivors as batch q17") {
+    val streaming = DocumentStream.dedupProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.TextOps.q17DedupExact(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap // n_distinct
+    assert(streaming == batch, s"stream=$streaming batch=$batch")
+  }
+
   test("streaming FITS ingest decodes arriving files like the batch path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-fits")
     val (loglam, flux, ivar) = graft.pipeline.FitsFixtures.specGrid(1200)
