@@ -8,9 +8,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every query path flows through here — the one place to make the
+    // engine's native expressions available on the session (idempotent)
+    graft.plans.VectorExpressions.register(spark)
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read it as raw long nanos and rebuild a (microsecond)

@@ -18,20 +18,23 @@ object VectorOps {
   def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
   /** Element-wise |a-b| summed — the reference's `target_distance`
-    * (nansum of abs diff of IVW vectors). Higher-order functions only:
-    * stays inside codegen, no UDF.
-    */
+    * (nansum of abs diff of IVW vectors). Native codegen kernel
+    * ([[graft.plans.ArrayL1Expr]]): a tight primitive loop inside
+    * whole-stage codegen, bit-identical to the HOF fold it replaced
+    * (registered on the session by `Tables.load` / GraftExtensions). */
   def l1Distance(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => abs(x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.plans.VectorExpressions.vec_l1(a, b)
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.plans.VectorExpressions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** One-pass native cosine (dot and both norms in a single traversal —
+    * the HOF form scanned each array three times, re-evaluating lambdas
+    * per element outside codegen). */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.vec_cos(a, b)
 
   /** V1 visualization-cube flatten: vector → one row per element
     * (posexplode; the reference's spectrum→pixel-rows generator).

@@ -34,5 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         d(exprs(0)), d(exprs(1)), Cast(exprs(2), IntegerType), d(exprs(3)))))
     ext.injectFunction(fn("float_compress", classOf[FloatCompressExpr],
       exprs => FloatCompressExpr(Cast(exprs.head, FloatType))))
+    ext.injectFunction(fn("vec_dot", classOf[ArrayDotExpr],
+      exprs => ArrayDotExpr(exprs(0), exprs(1))))
+    ext.injectFunction(fn("vec_l1", classOf[ArrayL1Expr],
+      exprs => ArrayL1Expr(exprs(0), exprs(1))))
+    ext.injectFunction(fn("vec_cos", classOf[ArrayCosineExpr],
+      exprs => ArrayCosineExpr(exprs(0), exprs(1))))
   }
 }

@@ -1,0 +1,160 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen kernels for the embedding hot path (dot product, L1
+  * distance, cosine) — BinaryExpressions over `array<float|double>` with
+  * `doGenCode`, so vector math runs inside whole-stage codegen as a
+  * tight primitive loop instead of the interpreted higher-order-function
+  * chain (`aggregate`/`zip_with` evaluate a lambda per element, off the
+  * codegen path — the difference IS the ANN scan cost at corpus scale).
+  * Cosine additionally folds the three array traversals (a·b, a·a, b·b)
+  * into ONE pass with three accumulators.
+  *
+  * Semantics are BIT-IDENTICAL to the HOF forms they replace (and to
+  * the DuckDB oracles): elements cast to double, left-to-right
+  * accumulation from 0.0, null array → null, length mismatch → null
+  * (zip_with pads with nulls, which poisons the fold — same result),
+  * null element → null.
+  */
+abstract class ArrayPairFold extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def getter(e: Expression): (ArrayData, Int) => Double = e.dataType match {
+    case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+    case t => throw new IllegalArgumentException(
+      s"$prettyName expects array<float|double>, got $t")
+  }
+
+  /** Java accessor snippet for one element of `arr` (already `(double)`). */
+  protected def jGet(e: Expression, arr: String, i: String): String = e.dataType match {
+    case ArrayType(FloatType, _) => s"(double) $arr.getFloat($i)"
+    case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
+    case t => throw new IllegalArgumentException(
+      s"$prettyName expects array<float|double>, got $t")
+  }
+
+  /** Interpreted fold over one element pair → new accumulator state. */
+  protected def foldEval(acc: Array[Double], x: Double, y: Double): Unit
+  protected def finishEval(acc: Array[Double]): Double
+  protected def accSlots: Int
+
+  /** Java statements folding one pair (x, y) into the accumulator vars. */
+  protected def jFold(acc: IndexedSeq[String], x: String, y: String): String
+  protected def jFinish(acc: IndexedSeq[String]): String
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    val (la, ra) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (la.numElements() != ra.numElements()) return null
+    val (gl, gr) = (getter(left), getter(right))
+    val acc = new Array[Double](accSlots)
+    var i = 0
+    while (i < la.numElements()) {
+      if (la.isNullAt(i) || ra.isNullAt(i)) return null
+      foldEval(acc, gl(la, i), gr(ra, i))
+      i += 1
+    }
+    finishEval(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val acc = (0 until accSlots).map(k => ctx.freshName(s"acc$k"))
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $l.numElements();
+         |boolean $bad = ($n != $r.numElements());
+         |${acc.map(a => s"double $a = 0.0;").mkString("\n")}
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($l.isNullAt($i) || $r.isNullAt($i)) { $bad = true; break; }
+         |    double x = ${jGet(left, l, i)};
+         |    double y = ${jGet(right, r, i)};
+         |    ${jFold(acc, "x", "y")}
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = ${jFinish(acc)}; }
+       """.stripMargin
+    })
+}
+
+/** Σ aᵢ·bᵢ (double accumulation, array order). */
+case class ArrayDotExpr(left: Expression, right: Expression) extends ArrayPairFold {
+  override def prettyName: String = "vec_dot"
+  override protected def accSlots: Int = 1
+  override protected def foldEval(acc: Array[Double], x: Double, y: Double): Unit =
+    acc(0) += x * y
+  override protected def finishEval(acc: Array[Double]): Double = acc(0)
+  override protected def jFold(acc: IndexedSeq[String], x: String, y: String): String =
+    s"${acc(0)} += $x * $y;"
+  override protected def jFinish(acc: IndexedSeq[String]): String = acc(0)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** Σ |aᵢ − bᵢ| — the reference's `target_distance` kernel. */
+case class ArrayL1Expr(left: Expression, right: Expression) extends ArrayPairFold {
+  override def prettyName: String = "vec_l1"
+  override protected def accSlots: Int = 1
+  override protected def foldEval(acc: Array[Double], x: Double, y: Double): Unit =
+    acc(0) += math.abs(x - y)
+  override protected def finishEval(acc: Array[Double]): Double = acc(0)
+  override protected def jFold(acc: IndexedSeq[String], x: String, y: String): String =
+    s"${acc(0)} += java.lang.Math.abs($x - $y);"
+  override protected def jFinish(acc: IndexedSeq[String]): String = acc(0)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** a·b / (‖a‖·‖b‖) in ONE pass (three accumulators) — value-identical
+  * to the three-pass form because each accumulator folds independently
+  * in array order. */
+case class ArrayCosineExpr(left: Expression, right: Expression) extends ArrayPairFold {
+  override def prettyName: String = "vec_cos"
+  override protected def accSlots: Int = 3
+  override protected def foldEval(acc: Array[Double], x: Double, y: Double): Unit = {
+    acc(0) += x * y; acc(1) += x * x; acc(2) += y * y
+  }
+  override protected def finishEval(acc: Array[Double]): Double =
+    acc(0) / (math.sqrt(acc(1)) * math.sqrt(acc(2)))
+  override protected def jFold(acc: IndexedSeq[String], x: String, y: String): String =
+    s"${acc(0)} += $x * $y; ${acc(1)} += $x * $x; ${acc(2)} += $y * $y;"
+  override protected def jFinish(acc: IndexedSeq[String]): String =
+    s"${acc(0)} / (java.lang.Math.sqrt(${acc(1)}) * java.lang.Math.sqrt(${acc(2)}))"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+object VectorExpressions {
+
+  import org.apache.spark.sql.functions.call_function
+
+  def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def vec_l1(a: Column, b: Column): Column = call_function("vec_l1", a, b)
+  def vec_cos(a: Column, b: Column): Column = call_function("vec_cos", a, b)
+
+  /** Idempotent per-session registration (createOrReplaceTempFunction). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot",
+      exprs => ArrayDotExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_l1",
+      exprs => ArrayL1Expr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_cos",
+      exprs => ArrayCosineExpr(exprs(0), exprs(1)), "scala_udf")
+  }
+}

@@ -133,6 +133,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("header"), "header maps leaked into the link plan:\n" + p)
   }
 
+  test("k-means assignment broadcasts centroids and partial-aggregates the argmin") {
+    val df = graft.operators.VectorOps.q57KmeansIter(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // K centroids ride a broadcast nested-loop; the min_by argmin and the
+    // member sums must partial-aggregate (map-side combine), never sort
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2 ||
+      "ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("retrieval top-k compiles to TakeOrderedAndProject") {
+    val df = graft.operators.TextOps.q59TfidfTopK(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), "top-k fell back to a global sort:\n" + p)
+  }
+
   test("decontamination joins the corpus against a BROADCAST benchmark index") {
     val df = graft.operators.TextOps.q55Decontamination(spark, dir)
     df.collect()
