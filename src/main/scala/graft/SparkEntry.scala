@@ -94,6 +94,10 @@ object SparkEntry {
     "q59_tfidf_topk" -> ((s: SparkSession, d: String) => TextOps.q59TfidfTopK(s, d)),
     "q60_domain_mix" -> (TextOps.q60DomainMix _),
     "q61_quantize_int8" -> (VectorOps.q61QuantizeInt8 _),
+    // as-of join (custom operator Spark lacks; DuckDB ASOF twin) and
+    // simhash Hamming-ball near-dup
+    "q62_asof_join" -> (AsofOps.q62AsofJoin _),
+    "q63_simhash_neardup" -> (AsofOps.q63SimhashNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +105,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalOps.oracles ++ VectorOps.oracles ++ TextOps.oracles ++
       MultimodalOps.oracles ++ CubeOps.oracles ++ AstroOps.oracles ++
-      graft.streaming.EventStream.oracles ++ MiscOps.oracles
+      graft.streaming.EventStream.oracles ++ MiscOps.oracles ++ AsofOps.oracles
 }

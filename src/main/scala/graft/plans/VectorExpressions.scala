@@ -147,14 +147,17 @@ object VectorExpressions {
   def vec_l1(a: Column, b: Column): Column = call_function("vec_l1", a, b)
   def vec_cos(a: Column, b: Column): Column = call_function("vec_cos", a, b)
 
-  /** Idempotent per-session registration (createOrReplaceTempFunction). */
+  /** Idempotent per-session registration — skipped when already present
+    * (callers invoke this on every table load). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot",
-      exprs => ArrayDotExpr(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("vec_l1",
-      exprs => ArrayL1Expr(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("vec_cos",
-      exprs => ArrayCosineExpr(exprs(0), exprs(1)), "scala_udf")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"))) {
+      reg.createOrReplaceTempFunction("vec_dot",
+        exprs => ArrayDotExpr(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("vec_l1",
+        exprs => ArrayL1Expr(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("vec_cos",
+        exprs => ArrayCosineExpr(exprs(0), exprs(1)), "scala_udf")
+    }
   }
 }
