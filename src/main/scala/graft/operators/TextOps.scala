@@ -204,6 +204,14 @@ object TextOps {
   def nearDupPairsFromSignatures(sigs: DataFrame, threshold: Double): DataFrame =
     pairsFromSignatures(sigs, threshold, None)._1
 
+  /** Incremental artifact maintenance: signatures for the docs NOT yet
+    * in the stored artifact (anti-join on the pruned id column — only
+    * NEW documents are shingled). Append the result to the artifact;
+    * per-doc rows make the update embarrassingly incremental. */
+  def updateSignatures(docs: DataFrame, existingSigs: DataFrame): DataFrame =
+    signatureFrame(
+      docs.join(existingSigs.select($"doc_id"), Seq("doc_id"), "left_anti"))
+
   /** Full pipeline; `capObs` (when given) attaches a CollectMetrics node
     * below the candidate-cap filter so the capped-pair count rides the
     * SAME action that materializes the verified pairs — the clusterer's

@@ -193,6 +193,22 @@ object Ingest {
       .select("path", "content").as[(String, Array[Byte])]
   }
 
+  /** Persist a table BUCKETED on its join key — the co-located-join
+    * layout for the repeatedly-joined 100 TB tables (links ⋈ images,
+    * spectra ⋈ links): two tables bucketed on the same key with the
+    * same bucket count join WITHOUT any shuffle exchange (asserted in
+    * BucketedJoinSpec) — the per-round shuffle cost is paid once at
+    * write time instead of at every join. Catalog-backed
+    * (`saveAsTable`), since bucket metadata lives in the table catalog. */
+  def writeBucketed(
+      df: org.apache.spark.sql.DataFrame, table: String,
+      buckets: Int, keyCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Persist an observation table the way the 100 TB layout wants it:
     * partitioned by zoom, range-sorted by healpix within partitions so
     * parquet row-group min/max stats prune spatial probes (I4). */

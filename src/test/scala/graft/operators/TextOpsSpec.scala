@@ -63,6 +63,25 @@ class TextOpsSpec extends AnyFunSuite {
       s"artifact=$fromArtifact direct=$direct")
   }
 
+  test("signature artifact updates incrementally (new docs only) to the full rebuild") {
+    import spark.implicits._
+    val mk = (r: Range) => r.map(i =>
+      (i.toLong, s"document number $i " + s"alpha${i % 7} beta${i % 11} " * 15)).toDF("doc_id", "text")
+    val first = mk(0 until 30)
+    val all = mk(0 until 45)
+    val sigs0 = TextOps.signatureFrame(first)
+    val delta = TextOps.updateSignatures(all, sigs0)
+    // only the 15 new docs are re-shingled
+    assert(delta.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == (30L until 45L))
+    // artifact + delta == from-scratch rebuild
+    val merged = sigs0.unionByName(delta)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
+    val rebuilt = TextOps.signatureFrame(all)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
+    assert(merged == rebuilt)
+  }
+
   test("JSONL corpus sink: deterministic shards, lossless roundtrip") {
     import spark.implicits._
     val docs = load(spark, dir, "documents").select($"doc_id", $"source", $"text")
