@@ -98,19 +98,29 @@ object AsofOps {
       }: _*)).as("bb"))
       .select($"doc_id", $"sh", col("bb.band").as("band"), col("bb.bits").as("bits"))
       .repartition($"band", $"bits")
+    // same adversarial guard as the MinHash pipeline: per-doc candidate
+    // degree is capped (key-local windows, deterministic order) so an
+    // all-duplicates corpus can't quadratically bloat the verify stage;
+    // drops are surfaced (the oracle pins them to 0 on this corpus)
+    val wA = Window.partitionBy($"id_a").orderBy($"id_b")
+    val wB = Window.partitionBy($"id_b").orderBy($"id_a")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .distinct()
+      .withColumn("rn", greatest(row_number().over(wA), row_number().over(wB)))
     cand
-      .select($"id_a", $"id_b",
+      .select($"id_a", $"id_b", $"rn",
         bit_count($"sh_a".bitwiseXOR($"sh_b")).as("hamming"))
       .groupBy()
       .agg(
         count(lit(1)).as("n_candidate_pairs"),
-        sum(when($"hamming" <= 3, 1L).otherwise(0L)).as("n_neardup_pairs"))
+        sum(when($"hamming" <= 3 && $"rn" <= TextOps.MaxCandidatesPerDoc, 1L)
+          .otherwise(0L)).as("n_neardup_pairs"),
+        sum(when($"rn" > TextOps.MaxCandidatesPerDoc, 1L).otherwise(0L))
+          .as("n_capped_pairs"))
   }
 
   val oracles: Map[String, String] = Map(
@@ -132,7 +142,8 @@ object AsofOps {
     // (q27 precedent — re-pin if the driver regenerates testdata)
     "q63_simhash_neardup" ->
       """SELECT CAST(2502 AS BIGINT) AS n_candidate_pairs,
-        |CAST(20 AS BIGINT) AS n_neardup_pairs
+        |CAST(20 AS BIGINT) AS n_neardup_pairs,
+        |CAST(0 AS BIGINT) AS n_capped_pairs
         |FROM (SELECT 1) one""".stripMargin,
   )
 }

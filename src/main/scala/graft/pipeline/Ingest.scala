@@ -202,12 +202,14 @@ object Ingest {
     * (`saveAsTable`), since bucket metadata lives in the table catalog. */
   def writeBucketed(
       df: org.apache.spark.sql.DataFrame, table: String,
-      buckets: Int, keyCols: Seq[String]): Unit =
-    df.write.mode("overwrite")
+      buckets: Int, keyCols: Seq[String],
+      path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
       .sortBy(keyCols.head, keyCols.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Persist an observation table the way the 100 TB layout wants it:
     * partitioned by zoom, range-sorted by healpix within partitions so

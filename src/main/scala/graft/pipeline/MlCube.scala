@@ -138,6 +138,7 @@ object MlCube {
       : DataFrame = {
     val spark = ml.sparkSession
     import spark.implicits._
+    graft.plans.VectorExpressions.register(spark)
     // columnar filters + projection, NOT typed lambdas: when `ml` is the
     // stored parquet cube, pruning reaches the scan and only
     // (target_healpix, spec_flux) is read — never the cutout payloads
@@ -155,11 +156,11 @@ object MlCube {
   }
 
   /** nansum of |a-b|: NaN elements contribute 0
-    * (`metadata_strategy_cube_ml.py:40-48`). */
-  private def nanDistance(a: Column, b: Column) = {
-    val d = zip_with(a, b, (x, y) => abs(x - y))
-    aggregate(d, lit(0.0), (acc, x) => acc + when(isnan(x), 0.0).otherwise(x))
-  }
+    * (`metadata_strategy_cube_ml.py:40-48`). Native codegen kernel —
+    * the stacked spectra are 4620-sample vectors, so the interpreted
+    * HOF fold was the similarity scan's dominant cost. */
+  private def nanDistance(a: Column, b: Column) =
+    graft.plans.VectorExpressions.vec_nanl1(a, b)
 
   /** J6 — region-ref dereference as a join: link rows → sliced image
     * pixel arrays (`utils/io_strategy.py:80-100`).

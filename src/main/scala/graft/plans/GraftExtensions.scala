@@ -40,5 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ArrayL1Expr(exprs(0), exprs(1))))
     ext.injectFunction(fn("vec_cos", classOf[ArrayCosineExpr],
       exprs => ArrayCosineExpr(exprs(0), exprs(1))))
+    ext.injectFunction(fn("vec_nanl1", classOf[ArrayNanL1Expr],
+      exprs => ArrayNanL1Expr(exprs(0), exprs(1))))
   }
 }

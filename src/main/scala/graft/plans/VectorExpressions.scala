@@ -120,6 +120,25 @@ case class ArrayL1Expr(left: Expression, right: Expression) extends ArrayPairFol
     copy(l, r)
 }
 
+/** Σ |aᵢ − bᵢ| skipping NaN pairs (numpy nansum semantics — the
+  * reference's `target_distance` over stacked spectra, where masked
+  * samples are NaN). A NaN difference contributes 0 instead of
+  * poisoning the sum. */
+case class ArrayNanL1Expr(left: Expression, right: Expression) extends ArrayPairFold {
+  override def prettyName: String = "vec_nanl1"
+  override protected def accSlots: Int = 1
+  override protected def foldEval(acc: Array[Double], x: Double, y: Double): Unit = {
+    val d = math.abs(x - y)
+    if (!d.isNaN) acc(0) += d
+  }
+  override protected def finishEval(acc: Array[Double]): Double = acc(0)
+  override protected def jFold(acc: IndexedSeq[String], x: String, y: String): String =
+    s"double d = java.lang.Math.abs($x - $y); if (!java.lang.Double.isNaN(d)) ${acc(0)} += d;"
+  override protected def jFinish(acc: IndexedSeq[String]): String = acc(0)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
 /** a·b / (‖a‖·‖b‖) in ONE pass (three accumulators) — value-identical
   * to the three-pass form because each accumulator folds independently
   * in array order. */
@@ -146,6 +165,7 @@ object VectorExpressions {
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vec_l1(a: Column, b: Column): Column = call_function("vec_l1", a, b)
   def vec_cos(a: Column, b: Column): Column = call_function("vec_cos", a, b)
+  def vec_nanl1(a: Column, b: Column): Column = call_function("vec_nanl1", a, b)
 
   /** Idempotent per-session registration — skipped when already present
     * (callers invoke this on every table load). */
@@ -158,6 +178,8 @@ object VectorExpressions {
         exprs => ArrayL1Expr(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("vec_cos",
         exprs => ArrayCosineExpr(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("vec_nanl1",
+        exprs => ArrayNanL1Expr(exprs(0), exprs(1)), "scala_udf")
     }
   }
 }

@@ -46,6 +46,27 @@ class VectorExprSpec extends AnyFunSuite {
     }
   }
 
+  test("nanl1 skips NaN pairs exactly like the HOF nansum fold") {
+    import spark.implicits._
+    VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 100).map { i =>
+      def arr = Array.fill(32)(
+        if (rnd.nextInt(5) == 0) Float.NaN else rnd.nextFloat() * 2 - 1)
+      (i.toLong, arr, arr)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val hof = expr(
+      "aggregate(zip_with(a, b, (x, y) -> abs(double(x) - double(y))), 0.0D, " +
+        "(acc, v) -> acc + (CASE WHEN isnan(v) THEN 0.0D ELSE v END))")
+    val out = df.select(
+      VectorExpressions.vec_nanl1($"a", $"b").as("n"), hof.as("h")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.toString)
+    }
+  }
+
   test("null array and length mismatch yield null (zip_with parity)") {
     import spark.implicits._
     VectorExpressions.register(spark)
