@@ -98,6 +98,9 @@ object SparkEntry {
     // simhash Hamming-ball near-dup
     "q62_asof_join" -> (AsofOps.q62AsofJoin _),
     "q63_simhash_neardup" -> (AsofOps.q63SimhashNearDup _),
+    // containment dedup + cross-source duplication analytics
+    "q64_containment" -> (TextOps.q64Containment _),
+    "q65_source_overlap" -> (TextOps.q65SourceOverlap _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -616,6 +616,54 @@ object TextOps {
         expr("(min_n * 1000000) div n_docs").as("equalize_keep_ppm"))
   }
 
+  /** Shingle CONTAINMENT — |A∩B| / min(|A|,|B|) — the asymmetric
+    * near-dup measure that catches sub-document duplication (quotes,
+    * wrapped reposts) which Jaccard dilutes away: a short doc fully
+    * contained in a long one has low Jaccard but containment 1. Same
+    * token-inverted-index join shape as q18; exact integer-rational
+    * scoring (`(inter·10⁴) div min`), pairs at ≥ 0.8. */
+  def q64Containment(s: SparkSession, dir: String): DataFrame = {
+    val g = load(s, dir, "documents")
+      .select($"doc_id", explode(shingles($"text")).as("g"))
+      .repartition($"g")
+    val sizes = g.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // lossless df-cut: singleton postings contribute to no intersection
+    val shared = g.groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2).select($"g")
+    val gs = g.join(shared, "g")
+    val inter = gs.as("a").join(gs.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), $"da" === col("sa.doc_id"))
+      .join(sizes.as("sb"), $"db" === col("sb.doc_id"))
+      .select(
+        $"da".cast("long").as("doc_a"),
+        $"db".cast("long").as("doc_b"),
+        expr("(inter * 10000) div least(sa.n, sb.n)").as("containment_scaled"))
+      .filter($"containment_scaled" >= 8000)
+  }
+
+  /** Cross-source duplication matrix — WHERE is the corpus duplicated?
+    * Near-dup pairs (the exact-verified LSH edges) aggregated by
+    * normalized source pair; the dedup-pipeline analytics that decides
+    * which source to drop from. Oracle: the exact all-pairs twin
+    * grouped the same way. */
+  def q65SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val (pairs, _) = lshNearDupPairs(docs, 0.8)
+    val src = docs.select($"doc_id", $"source")
+    pairs
+      .join(src.select($"doc_id".as("id_a"), $"source".as("src_a")), "id_a")
+      .join(src.select($"doc_id".as("id_b"), $"source".as("src_b")), "id_b")
+      .select(
+        least($"src_a", $"src_b").as("source_x"),
+        greatest($"src_a", $"src_b").as("source_y"))
+      .groupBy($"source_x", $"source_y")
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
   /** SimHash (64-bit) per document: per bit j, sign of Σ_tokens ±1 by
     * token-hash bit j. Output is a stable content fingerprint whose
     * Hamming distance approximates cosine over token multisets.
@@ -668,6 +716,38 @@ object TextOps {
       .select($"doc_id", fingerprint($"text").as("fp"))
 
   val oracles: Map[String, String] = Map(
+    "q64_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
+        |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+        |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+        |CAST((inter * 10000) // least(sa.n, sb.n) AS BIGINT) AS containment_scaled
+        |FROM i JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |WHERE (inter * 10000) // least(sa.n, sb.n) >= 8000""".stripMargin,
+    "q65_source_overlap" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, source, CASE WHEN len(tk) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
+        |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+        |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT da, db FROM i
+        |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.8),
+        |lab AS (SELECT p.da, p.db, x.source AS src_a, y.source AS src_b
+        |  FROM pairs p JOIN t x ON x.doc_id = p.da JOIN t y ON y.doc_id = p.db)
+        |SELECT least(src_a, src_b) AS source_x, greatest(src_a, src_b) AS source_y,
+        |CAST(count(*) AS BIGINT) AS n_dup_pairs
+        |FROM lab GROUP BY 1, 2""".stripMargin,
     "q58_token_rarity" ->
       """WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
         |  FROM documents),
