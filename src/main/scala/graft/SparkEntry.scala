@@ -98,9 +98,10 @@ object SparkEntry {
     // simhash Hamming-ball near-dup
     "q62_asof_join" -> (AsofOps.q62AsofJoin _),
     "q63_simhash_neardup" -> (AsofOps.q63SimhashNearDup _),
-    // containment dedup + cross-source duplication analytics
+    // containment dedup + cross-source duplication analytics + chunking
     "q64_containment" -> (TextOps.q64Containment _),
     "q65_source_overlap" -> (TextOps.q65SourceOverlap _),
+    "q66_chunking" -> (TextOps.q66Chunking _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -664,6 +664,25 @@ object TextOps {
       .agg(count(lit(1)).as("n_dup_pairs"))
   }
 
+  /** Document chunking — fixed token windows with overlap (the
+    * RAG / pretraining-context split): 64-token chunks, stride 56
+    * (8-token overlap), final short chunk keeps the tail. Stateless
+    * explode — scan-speed, chunk rows land where their doc is. */
+  def q66Chunking(s: SparkSession, dir: String): DataFrame = {
+    val chunk = 64
+    val stride = 56
+    val n = size(toks($"text"))
+    load(s, dir, "documents")
+      .select($"doc_id", n.as("n_tok"))
+      .select($"doc_id", $"n_tok",
+        posexplode(sequence(lit(0), greatest($"n_tok" - 1, lit(0)), lit(stride))))
+      .select(
+        $"doc_id",
+        $"pos".cast("long").as("chunk_idx"),
+        $"col".cast("long").as("chunk_start"),
+        least(lit(chunk), $"n_tok" - $"col").cast("long").as("chunk_tokens"))
+  }
+
   /** SimHash (64-bit) per document: per bit j, sign of Σ_tokens ±1 by
     * token-hash bit j. Output is a stable content fingerprint whose
     * Hamming distance approximates cosine over token multisets.
@@ -716,6 +735,16 @@ object TextOps {
       .select($"doc_id", fingerprint($"text").as("fp"))
 
   val oracles: Map[String, String] = Map(
+    "q66_chunking" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  unnest(generate_series(0, n_tok - 1, 56)) AS chunk_start,
+        |  generate_subscripts(generate_series(0, n_tok - 1, 56), 1) - 1 AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |CAST(chunk_start AS BIGINT) AS chunk_start,
+        |CAST(least(64, n_tok - chunk_start) AS BIGINT) AS chunk_tokens
+        |FROM c""".stripMargin,
     "q64_containment" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
