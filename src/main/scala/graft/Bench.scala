@@ -56,7 +56,8 @@ object Bench {
     }
     val (images, tImg) = timed {
       val d = pipeline.Ingest.images(spark, imgDir.toString,
-        "/root/reference/config").cache(); d.count(); d
+        sys.env.getOrElse("SPARK_GRAFT_REF_CONFIG", "/root/reference/config"))
+        .cache(); d.count(); d
     }
     val ((links, nLinks), tLink) = timed {
       val d = pipeline.Link.linkCutouts(spectra, images).cache(); (d, d.count())
@@ -109,7 +110,13 @@ object Bench {
       }
       name -> times.min
     }
-    val build = try buildMetrics(spark) catch { case _: Throwable => "{}" }
+    val build = try buildMetrics(spark) catch {
+      case t: Throwable =>
+        // degrade to {} (the query suite still benches) but say WHY, so a
+        // missing ccd-config host doesn't silently drop the build block
+        System.err.println(s"[bench] build metrics failed: $t")
+        "{}"
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -102,6 +102,15 @@ object SparkEntry {
     "q64_containment" -> (TextOps.q64Containment _),
     "q65_source_overlap" -> (TextOps.q65SourceOverlap _),
     "q66_chunking" -> (TextOps.q66Chunking _),
+    // round-4 curation surface: bloom decontamination, vocab heavy
+    // hitters, substring-level dup, sequence packing, prefix dedup,
+    // ANN recall measurement
+    "q67_bloom_decontaminate" -> (TextOps.q67BloomDecontaminate _),
+    "q68_heavy_hitters" -> ((s: SparkSession, d: String) => TextOps.q68HeavyHitters(s, d)),
+    "q69_substring_dup" -> (TextOps.q69SubstringDup _),
+    "q70_seq_packing" -> ((s: SparkSession, d: String) => TextOps.q70SeqPacking(s, d)),
+    "q71_prefix_dup" -> (TextOps.q71PrefixDup _),
+    "q72_ann_recall" -> (VectorOps.q72AnnRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

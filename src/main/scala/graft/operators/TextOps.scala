@@ -328,23 +328,44 @@ object TextOps {
     // zero extra scans.
     val obs = new org.apache.spark.sql.Observation()
     val (verified, _) = lshPipeline(docs, threshold, Some(obs))
-    val pairs = verified.cache()
-    val nEdges = pairs.count()
+    // ONE action decides the strategy AND fetches the edges: a bounded
+    // collect (limit = maxLocalEdges + 1) caps driver memory at ~16 MB
+    // for the default threshold, returns the COMPLETE edge set whenever
+    // the graph is local-sized, and the CollectMetrics cap gate rides the
+    // same action (its node sits in an upstream shuffle-map stage, which
+    // executes fully even under incremental limit execution). The old
+    // shape — cache + count + collect — materialized the whole LSH
+    // pipeline twice and paid the cache write; measured ~2× slower.
+    val es = verified.limit((maxLocalEdges + 1).min(Int.MaxValue.toLong).toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     val nCapped = Option(obs.get("n_capped")).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
     if (nCapped > 0) {
       val msg = s"dedupClusters: the LSH candidate cap ($MaxCandidatesPerDoc/doc) " +
         s"dropped $nCapped candidate pair(s) — clusters through hub documents " +
         "may be split. Exact-dedup the corpus first or raise the cap."
-      if (failOnCappedEdges) { pairs.unpersist(); throw new IllegalStateException(msg) }
+      if (failOnCappedEdges) throw new IllegalStateException(msg)
       System.err.println(s"WARN $msg")
     }
-    if (nEdges <= maxLocalEdges) {
-      val spark = docs.sparkSession
-      import spark.implicits._
-      val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
-      pairs.unpersist()
-      localClusters(spark, es)
+    if (es.length <= maxLocalEdges) {
+      localClusters(docs.sparkSession, es)
     } else {
+      // Big-graph path: the bounded collect hit its limit, which means
+      // (a) the Observation's metric may be PARTIAL (incremental limit
+      // execution can stop before every partition ran) and (b) the
+      // Observation is consumed (one action only). Rebuild the pipeline
+      // and re-run the cap gate EXACTLY via the nCapped aggregate — an
+      // extra pass, but only on the rare >maxLocalEdges path, and the
+      // gate is the clusterer's correctness guarantee.
+      val (pairsRaw, nCappedDf) = lshPipeline(docs, threshold, None)
+      val pairs = pairsRaw.cache()
+      val cappedExact = nCappedDf.head().getLong(0)
+      if (cappedExact > 0) {
+        val msg = s"dedupClusters: the LSH candidate cap ($MaxCandidatesPerDoc/doc) " +
+          s"dropped $cappedExact candidate pair(s) — clusters through hub documents " +
+          "may be split. Exact-dedup the corpus first or raise the cap."
+        if (failOnCappedEdges) { pairs.unpersist(); throw new IllegalStateException(msg) }
+        System.err.println(s"WARN $msg")
+      }
       val out = distributedClusters(pairs)
       pairs.unpersist() // out reads the round-0 localCheckpoint, not pairs
       out
@@ -593,8 +614,13 @@ object TextOps {
     val tf = terms.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy($"w").agg(count(lit(1)).as("df"))
     val nDocs = docs.groupBy().agg(count(lit(1)).as("n_corpus"))
+    // Scale AFTER the division: (tf · N · 10⁶) overflows Int64 once
+    // N ≈ 10¹⁰ and tf is in the hundreds (100 TB corpus), and with ANSI
+    // off it would wrap silently and reorder the top-k. tf · ((N·10⁶)
+    // div df) keeps every intermediate ≤ tf · N · 10⁶ / df; exact for
+    // tf ≤ 9.2·10¹⁸ / (N·10⁶) — tf ≤ ~920 at N = 10¹⁰.
     tf.join(broadcast(dfreq), "w").crossJoin(broadcast(nDocs))
-      .select($"doc_id", expr("(tf * n_corpus * 1000000) div df").as("term_score"))
+      .select($"doc_id", expr("tf * ((n_corpus * 1000000) div df)").as("term_score"))
       .groupBy($"doc_id")
       .agg(sum($"term_score").as("score_scaled"))
       .orderBy($"score_scaled".desc, $"doc_id")
@@ -734,7 +760,160 @@ object TextOps {
     load(s, dir, "documents")
       .select($"doc_id", fingerprint($"text").as("fp"))
 
+  /** Bloom-prefiltered decontamination — q55's semantics with the SCALE
+    * physical plan: when the benchmark shingle set is too large to
+    * broadcast as an exact set (full eval-suite decontamination at 100 TB),
+    * build a Bloom sketch over it (`DataFrameStatFunctions.bloomFilter`,
+    * a distributed treeAggregate), broadcast the ~MB sketch, and
+    * prefilter the corpus-shingle stream BEFORE the join — ~99% of clean
+    * shingles never reach the shuffle. Bloom filters have no false
+    * negatives, and the exact join behind the prefilter removes the
+    * false positives, so the RESULT is exactly q55's (and oracle-gated
+    * to the same SQL). The probe is the one deliberate JVM-UDF in the
+    * library: `mightContainString` has no Column-API equivalent, the
+    * lambda is a single hash probe, and it runs BEHIND the codegen'd
+    * shingle explode. */
+  def q67BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val bench = docs.filter($"doc_id" < 10)
+      .select(explode(shingles($"text")).as("g")).distinct()
+    val bf = bench.stat.bloomFilter("g", 100000L, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => bfB.value.mightContainString(g))
+    val corpus = docs.filter($"doc_id" >= 10)
+      .select($"doc_id", $"source", explode(shingles($"text")).as("g"))
+      .filter(mightContain($"g"))
+    corpus.join(broadcast(bench), "g")
+      .groupBy($"doc_id", $"source")
+      .agg(countDistinct($"g").as("n_hits"))
+      .filter($"n_hits" >= 3)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_contaminated"),
+        sum($"n_hits").cast("long").as("total_hits"))
+  }
+
+  /** Vocabulary heavy hitters — the corpus-frequency profile that drives
+    * stopword lists, tokenizer vocab pruning, and boilerplate spotting.
+    * Partial aggregation shrinks the shuffle to one row per distinct
+    * token per partition; the top-k is TakeOrderedAndProject (per-
+    * partition heaps + driver merge), never a global sort. */
+  def q68HeavyHitters(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    load(s, dir, "documents")
+      .select(explode(toks($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"w")
+      .limit(k)
+
+  /** Fixed-width token windows of a document (distinct), stride 1 — the
+    * unit of substring-level dedup. Same once-bound lambda shape as
+    * [[shingles]]. Documents shorter than `n` tokens yield their whole
+    * text as the single window. */
+  def tokenWindows(c: Column, n: Int): Column =
+    element_at(
+      transform(array(toks(c)), t =>
+        when(size(t) >= n,
+          array_distinct(
+            transform(sequence(lit(1), size(t) - (n - 1)),
+              i => concat_ws(" ", slice(t, i, lit(n))))))
+          .otherwise(array(concat_ws(" ", t)))),
+      1)
+
+  /** Substring-level duplication profile — the measure behind exact
+    * substring dedup (long verbatim overlaps that Jaccard-over-shingles
+    * dilutes): how many distinct 8-token windows occur in ≥ 2 documents,
+    * and what fraction of the corpus window-vocabulary that is (ppm,
+    * exact integer division). One explode + one groupBy on the window
+    * key — the inverted-index shuffle shape, never doc-pairs. */
+  def q69SubstringDup(s: SparkSession, dir: String): DataFrame = {
+    val w = load(s, dir, "documents")
+      .select($"doc_id", explode(tokenWindows($"text", 8)).as("g"))
+    // windows are per-doc distinct, so count(*) == countDistinct(doc_id)
+    val byW = w.groupBy($"g").agg(count(lit(1)).as("nd"))
+    byW.groupBy().agg(
+        count(lit(1)).as("n_windows"),
+        count(when($"nd" >= 2, lit(1))).as("n_shared_windows"),
+        coalesce(sum(when($"nd" >= 2, $"nd")), lit(0L)).cast("long")
+          .as("n_shared_occurrences"))
+      .select($"n_windows", $"n_shared_windows", $"n_shared_occurrences",
+        expr("(n_shared_windows * 1000000) div n_windows").as("dup_ppm"))
+  }
+
+  /** Sequence packing — the document→training-sequence assembly step of
+    * an LLM pretraining pipeline: concatenate each source's documents in
+    * doc_id order and cut the stream into 256-token packs; report docs
+    * and tokens per pack. The pack assignment is a running-sum window
+    * (key-local, one shuffle on source); at 100 TB the window
+    * partitions by (source, shard) and packs stay shard-local. */
+  def q70SeqPacking(s: SparkSession, dir: String, packLen: Int = 256): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    load(s, dir, "documents")
+      .select($"source", $"doc_id", size(toks($"text")).as("n_tok"))
+      .withColumn("start_off", sum($"n_tok").over(w) - $"n_tok")
+      .withColumn("pack_id", expr(s"start_off div $packLen"))
+      .groupBy($"source", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("n_tokens"))
+  }
+
+  /** Prefix-duplication groups — head-overlap dedup (mirrored posts,
+    * templated boilerplate openings): documents sharing their first five
+    * tokens, with the min-doc_id survivor. Hash-groupBy on the prefix —
+    * exact dedup's shuffle shape, not a pair join. */
+  def q71PrefixDup(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select($"doc_id",
+        concat_ws(" ", slice(toks($"text"), 1, 5)).as("prefix"))
+      .groupBy($"prefix")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("survivor"))
+      .filter($"n_docs" >= 2)
+
   val oracles: Map[String, String] = Map(
+    // q67 is q55's semantics behind a Bloom prefilter (no false
+    // negatives + exact verify ⇒ identical result), so the oracle is the
+    // same exact-containment SQL.
+    "q67_bloom_decontaminate" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, source, CASE WHEN len(tk) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 10),
+        |corpus AS (SELECT doc_id, source, unnest(s) AS g FROM sh WHERE doc_id >= 10),
+        |hits AS (SELECT c.doc_id, c.source, count(DISTINCT c.g) AS n_hits
+        |  FROM corpus c JOIN bench b ON c.g = b.g GROUP BY 1,2 HAVING count(DISTINCT c.g) >= 3)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated,
+        |CAST(sum(n_hits) AS BIGINT) AS total_hits FROM hits GROUP BY 1""".stripMargin,
+    "q68_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        |SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w
+        |GROUP BY 1 ORDER BY cnt DESC, w LIMIT 20""".stripMargin,
+    "q69_substring_dup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |wn AS (SELECT doc_id, CASE WHEN len(tk) >= 8
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-7),
+        |      i -> array_to_string(list_slice(tk, i, i+7), ' ')))
+        |    ELSE [array_to_string(tk, ' ')] END AS ws FROM t),
+        |g AS (SELECT count(*) AS nd FROM (SELECT doc_id, unnest(ws) AS g FROM wn) GROUP BY g)
+        |SELECT CAST(count(*) AS BIGINT) AS n_windows,
+        |CAST(count(CASE WHEN nd >= 2 THEN 1 END) AS BIGINT) AS n_shared_windows,
+        |CAST(coalesce(sum(CASE WHEN nd >= 2 THEN nd END), 0) AS BIGINT) AS n_shared_occurrences,
+        |CAST((count(CASE WHEN nd >= 2 THEN 1 END) * 1000000) // count(*) AS BIGINT) AS dup_ppm
+        |FROM g""".stripMargin,
+    "q70_seq_packing" ->
+      """WITH d AS (SELECT source, doc_id, len(string_split(text,' ')) AS n_tok FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok AS start_off FROM d)
+        |SELECT source, CAST(start_off // 256 AS BIGINT) AS pack_id,
+        |CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1,2""".stripMargin,
+    "q71_prefix_dup" ->
+      """WITH p AS (SELECT doc_id,
+        |  array_to_string(list_slice(string_split(text,' '), 1, 5), ' ') AS prefix
+        |  FROM documents)
+        |SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(min(doc_id) AS BIGINT) AS survivor
+        |FROM p GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
     "q66_chunking" ->
       """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS n_tok FROM documents),
         |c AS (SELECT doc_id, n_tok,
@@ -790,7 +969,7 @@ object TextOps {
         |tf AS (SELECT doc_id, w, count(*) AS tf FROM q GROUP BY 1,2),
         |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
         |n AS (SELECT count(*) AS n_corpus FROM documents)
-        |SELECT doc_id, CAST(sum((tf * n_corpus * 1000000) // df) AS BIGINT) AS score_scaled
+        |SELECT doc_id, CAST(sum(tf * ((n_corpus * 1000000) // df)) AS BIGINT) AS score_scaled
         |FROM tf JOIN df USING (w) CROSS JOIN n
         |GROUP BY 1 ORDER BY score_scaled DESC, doc_id LIMIT 10""".stripMargin,
     "q60_domain_mix" ->

@@ -171,11 +171,20 @@ object VectorOps {
     val elemSum = aggregate(
       transform($"embedding", v => floor(v.cast("double") * 1e6 + 0.5).cast("long")),
       lit(0L), (a, x) => a + x)
+    // The argmin distance gets the same integer-scale-before-cross-row-sum
+    // treatment as esum: a floating L1 accumulates in array order here but
+    // in unnest order in the oracle, so a ULP tie near the min can flip the
+    // min_by assignment. Per-element |⌊a·10⁶+½⌋ − ⌊c·10⁶+½⌋| in Long is
+    // engine-exact and order-independent.
+    val dScaled = aggregate(
+      zip_with($"embedding", $"cent", (a, c) =>
+        abs(floor(a.cast("double") * 1e6 + 0.5).cast("long") -
+          floor(c.cast("double") * 1e6 + 0.5).cast("long"))),
+      lit(0L), (acc, x) => acc + x)
     emb
       .select($"vec_id", $"embedding", elemSum.as("esum"))
       .crossJoin(broadcast(cents))
-      .select($"vec_id", $"esum", $"cent_id",
-        l1Distance($"embedding", $"cent").as("d"))
+      .select($"vec_id", $"esum", $"cent_id", dScaled.as("d"))
       .groupBy($"vec_id")
       .agg(
         min_by($"cent_id", struct($"d", $"cent_id")).as("cent_id"),
@@ -208,11 +217,55 @@ object VectorOps {
                 .cast("long")),
             lit(0L), (a, x) => a + x)).as("qsum"))
 
+  /** ANN recall measurement — the eval harness an approximate index
+    * needs before it replaces brute force: for each probe vector, how
+    * many of the EXACT top-10 cosine neighbors land in the probe's LSH
+    * bucket (same 10-plane signature as [[q26EmbeddingNearDup]]), plus
+    * the bucket's candidate count (the cost side of the recall/cost
+    * trade). Probes broadcast against the corpus scan (one pass, no
+    * self-shuffle); the top-k rank is a probe-local window. Scores are
+    * integer-scaled cosines with id tie-breaks, so the gate is exact. */
+  def q72AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    // 6 planes → 64 buckets: coarse enough that buckets hold ~n/64
+    // vectors and the recall numerator is a real measurement (10 planes
+    // gives mostly-singleton buckets whose recall is trivially 0)
+    val emb = load(s, dir, "embeddings")
+      .withColumn("sig", signatureCol($"embedding", 64, 6))
+    val probes = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("pid"), $"sig".as("psig"), $"embedding".as("pemb"))
+    val scored = emb.join(broadcast(probes), $"vec_id" =!= $"pid")
+      .select($"pid", $"vec_id",
+        floor(cosine($"embedding", $"pemb") * 1e6 + 0.5).cast("long").as("cs"),
+        ($"sig" === $"psig").as("same_bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pid").orderBy($"cs".desc, $"vec_id")
+    scored.withColumn("rk", row_number().over(w))
+      .groupBy($"pid")
+      .agg(
+        count(when($"rk" <= 10 && $"same_bucket", lit(1))).as("n_topk_in_bucket"),
+        count(when($"same_bucket", lit(1))).as("n_bucket"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q72_ann_recall" ->
+      s"""WITH s AS (SELECT vec_id, ${signatureSql("embedding", 64, 6)} AS sig, embedding FROM embeddings),
+         |p AS (SELECT vec_id AS pid, sig AS psig FROM s WHERE vec_id < 5),
+         |u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |  generate_subscripts(embedding,1) AS i FROM embeddings),
+         |cs AS (SELECT p.pid, a.vec_id,
+         |  CAST(floor(sum(a.v*b.v)/(sqrt(sum(a.v*a.v))*sqrt(sum(b.v*b.v))) * 1e6 + 0.5) AS BIGINT) AS cs
+         |  FROM p JOIN u a ON a.vec_id != p.pid JOIN u b ON b.vec_id = p.pid AND b.i = a.i
+         |  GROUP BY 1,2),
+         |sb AS (SELECT p.pid, s.vec_id, s.sig = p.psig AS same FROM p JOIN s ON s.vec_id != p.pid),
+         |rk AS (SELECT pid, vec_id, row_number() OVER (PARTITION BY pid ORDER BY cs DESC, vec_id) AS rk FROM cs)
+         |SELECT pid, CAST(count(CASE WHEN rk.rk <= 10 AND sb.same THEN 1 END) AS BIGINT) AS n_topk_in_bucket,
+         |CAST(count(CASE WHEN sb.same THEN 1 END) AS BIGINT) AS n_bucket
+         |FROM rk JOIN sb USING (pid, vec_id) GROUP BY 1""".stripMargin,
     "q57_kmeans_iter" ->
       """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
         |  generate_subscripts(embedding,1) AS i FROM embeddings),
-        |d AS (SELECT a.vec_id, c.vec_id AS cent_id, sum(abs(a.v - c.v)) AS dist
+        |d AS (SELECT a.vec_id, c.vec_id AS cent_id,
+        |  sum(abs(CAST(floor(a.v*1e6+0.5) AS BIGINT) - CAST(floor(c.v*1e6+0.5) AS BIGINT))) AS dist
         |  FROM u a JOIN u c ON a.i = c.i AND c.vec_id < 8 GROUP BY 1,2),
         |assigned AS (SELECT vec_id, cent_id,
         |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn FROM d),

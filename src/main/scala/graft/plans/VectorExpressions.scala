@@ -27,6 +27,21 @@ abstract class ArrayPairFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  // Reject non-array<float|double> inputs at analysis time; without this
+  // a bad column type only surfaces as an executor-side exception mid-job.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double> arguments, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
   private def getter(e: Expression): (ArrayData, Int) => Double = e.dataType match {
     case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
     case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
@@ -75,6 +90,11 @@ abstract class ArrayPairFold extends BinaryExpression {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val bad = ctx.freshName("bad")
+      // freshName EVERY local (not just the accumulators): a fixed `x`/`y`
+      // colliding with an enclosing generated scope fails janino compile
+      // and silently drops the whole stage to the interpreted path.
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
          |int $n = $l.numElements();
          |boolean $bad = ($n != $r.numElements());
@@ -82,9 +102,9 @@ abstract class ArrayPairFold extends BinaryExpression {
          |if (!$bad) {
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($l.isNullAt($i) || $r.isNullAt($i)) { $bad = true; break; }
-         |    double x = ${jGet(left, l, i)};
-         |    double y = ${jGet(right, r, i)};
-         |    ${jFold(acc, "x", "y")}
+         |    double $x = ${jGet(left, l, i)};
+         |    double $y = ${jGet(right, r, i)};
+         |    ${jFold(acc, x, y)}
          |  }
          |}
          |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = ${jFinish(acc)}; }
@@ -133,7 +153,9 @@ case class ArrayNanL1Expr(left: Expression, right: Expression) extends ArrayPair
   }
   override protected def finishEval(acc: Array[Double]): Double = acc(0)
   override protected def jFold(acc: IndexedSeq[String], x: String, y: String): String =
-    s"double d = java.lang.Math.abs($x - $y); if (!java.lang.Double.isNaN(d)) ${acc(0)} += d;"
+    // No local: isNaN(x-y) ⇔ isNaN(|x-y|), so test the difference directly
+    // (a fixed local name here would risk a janino name collision).
+    s"if (!java.lang.Double.isNaN($x - $y)) ${acc(0)} += java.lang.Math.abs($x - $y);"
   override protected def jFinish(acc: IndexedSeq[String]): String = acc(0)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)

@@ -140,4 +140,30 @@ class AnnSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters.nonEmpty && clusters.values.sum <= 140L, clusters.toString)
   }
+
+  test("ANN recall: counts are bounded and agree with a driver-side recompute") {
+    val out = VectorOps.q72AnnRecall(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    for ((pid, inBucket, bucket) <- out)
+      assert(inBucket <= 10L && inBucket <= bucket, s"probe $pid: $inBucket/$bucket")
+    // truth: recompute one probe's top-10 and bucket membership locally
+    val emb = load(spark, dir, "embeddings")
+      .withColumn("sig", VectorOps.signatureCol($"embedding", 64, 6))
+      .select($"vec_id", $"sig", $"embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    val (_, psig, pemb) = emb.find(_._1 == 0L).get
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val scored = emb.filter(_._1 != 0L)
+      .map { case (id, sig, e) =>
+        (id, math.floor(cos(pemb, e) * 1e6 + 0.5).toLong, sig == psig) }
+    val top10 = scored.sortBy { case (id, cs, _) => (-cs, id) }.take(10)
+    assert(out.head._2 == top10.count(_._3))
+    assert(out.head._3 == scored.count(_._3))
+  }
 }

@@ -108,4 +108,65 @@ class TextOpsSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2
       || "HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("bloom decontamination equals the exact broadcast-set path") {
+    // no false negatives + exact verify behind the prefilter ⇒ the bloom
+    // plan must return EXACTLY q55's result on the same split
+    val a = TextOps.q55Decontamination(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val b = TextOps.q67BloomDecontaminate(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+    assert(a.nonEmpty) // trivial-gate guard: the split must actually hit
+  }
+
+  test("substring-dup finds a planted 8-token verbatim overlap, not unrelated docs") {
+    import spark.implicits._
+    val shared = (0 until 12).map(i => s"s$i").mkString(" ") // 12 tokens → 5 shared 8-windows
+    val docs = Seq(
+      (0L, shared + " tail0 tail1 tail2"),
+      (1L, "head0 head1 " + shared),
+      (2L, (0 until 30).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val w = docs.select($"doc_id", explode(TextOps.tokenWindows($"text", 8)).as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("nd"))
+    val sharedWins = w.filter($"nd" >= 2).collect().map(_.getString(0)).toSet
+    assert(sharedWins.size == 5) // windows fully inside the shared span
+    assert(sharedWins.forall(_.startsWith("s")))
+  }
+
+  test("sequence packing conserves tokens and respects the 256 stream boundary") {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+    val packs = TextOps.q70SeqPacking(spark, dir).collect()
+    // conservation: per-source pack token sums == per-source corpus tokens
+    val bySrc = packs.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(3)).sum).toMap
+    val truth = docs.select($"source", size(split($"text", " ")).as("n"))
+      .groupBy($"source").agg(sum($"n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == truth)
+    // boundary law: every doc's pack is its start-offset div 256, so a
+    // pack's doc count is ≥ 1 and pack ids per source are contiguous 0..max
+    for ((src, rows) <- packs.groupBy(_.getString(0))) {
+      val ids = rows.map(_.getLong(1)).sorted.toSeq
+      assert(ids.head == 0L && ids == (0L to ids.last).toSeq,
+        s"$src pack ids $ids")
+    }
+  }
+
+  test("prefix-dup groups exact duplicates and survives the min-id rule") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "a b c d e rest1"), (3L, "a b c d e rest2"), // share 5-token prefix
+      (9L, "z y x w v other"))
+      .toDF("doc_id", "text")
+    val out = docs
+      .select($"doc_id", concat_ws(" ", slice(split($"text", " "), 1, 5)).as("prefix"))
+      .groupBy($"prefix").agg(count(lit(1)).as("n_docs"), min($"doc_id").as("survivor"))
+      .filter($"n_docs" >= 2).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "a b c d e")
+    assert(out(0).getLong(2) == 3L)
+  }
 }
