@@ -161,4 +161,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "benchmark side not broadcast:\n" + p)
     assert(!p.contains("SortMergeJoin"), "corpus shingles hit a sort-merge join:\n" + p)
   }
+
+  test("heavy hitters compile to TakeOrderedAndProject over a partial aggregate") {
+    val df = graft.operators.TextOps.q68HeavyHitters(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), "top-k fell back to a global sort:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no map-side combine:\n" + p)
+  }
+
+  test("bloom decontamination: prefilter below a broadcast verify join, no sort-merge") {
+    val df = graft.operators.TextOps.q67BloomDecontaminate(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the UDF probe must run scan-side (a Filter in the corpus branch),
+    // and the exact verify must stay a broadcast join — the whole point
+    // is that corpus shingles never shuffle
+    assert(p.contains("BroadcastHashJoin"), "verify join not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "corpus shingles hit a sort-merge join:\n" + p)
+  }
+
+  test("sequence packing shuffles once on the source key (window + agg colocated)") {
+    val df = graft.operators.TextOps.q70SeqPacking(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the running-sum window partitions by source; the following
+    // (source, pack_id) aggregate must reuse that partitioning rather
+    // than shuffle again: exactly one exchange hashing on source.
+    // (AQE prints the pre-adaptive plan too — count the final plan only.)
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges:\n" + p)
+  }
 }
