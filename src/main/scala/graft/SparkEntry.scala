@@ -111,6 +111,9 @@ object SparkEntry {
     "q70_seq_packing" -> ((s: SparkSession, d: String) => TextOps.q70SeqPacking(s, d)),
     "q71_prefix_dup" -> (TextOps.q71PrefixDup _),
     "q72_ann_recall" -> (VectorOps.q72AnnRecall _),
+    "q73_survivor_select" -> (TextOps.q73SurvivorSelect _),
+    "q74_semantic_decon" -> (VectorOps.q74SemanticDecon _),
+    "q75_source_divergence" -> (TextOps.q75SourceDivergence _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -320,6 +320,20 @@ object TextOps {
   def dedupClusters(
       docs: DataFrame, threshold: Double,
       maxLocalEdges: Long = 1000000L,
+      failOnCappedEdges: Boolean = true): DataFrame =
+    dedupClusterMembers(docs, threshold, maxLocalEdges, failOnCappedEdges)
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2)
+
+  /** Per-document cluster labels — the join-able form of
+    * [[dedupClusters]]: one row per document that participates in a
+    * near-dup cluster, labeled with the component min id. Same hybrid
+    * strategy and capped-edge gate; singleton documents (no verified
+    * edges) don't appear — they are their own survivors by definition. */
+  def dedupClusterMembers(
+      docs: DataFrame, threshold: Double,
+      maxLocalEdges: Long = 1000000L,
       failOnCappedEdges: Boolean = true): DataFrame = {
     // edges come from the LSH-bucketed pipeline (shuffle on band keys,
     // verify on candidates only) — NOT the exact all-pairs inverted-index
@@ -391,11 +405,7 @@ object TextOps {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-    val members = parent.keys.toSeq.map(id => (find(id), 1L))
-    members.groupBy(_._1).view
-      .mapValues(_.size.toLong).toSeq
-      .filter(_._2 >= 2)
-      .toDF("cluster_id", "n_docs")
+    parent.keys.toSeq.map(id => (id, find(id))).toDF("doc_id", "cluster_id")
   }
 
   /** The distributed path: alternating large-star / small-star
@@ -464,10 +474,14 @@ object TextOps {
           s"(${cur._1} edges at cap) — refusing to emit possibly-split clusters")
 
     // at the fixpoint every non-root node has exactly one edge (node,
-    // componentMin): cluster sizes are child-counts + 1 (the root)
-    edges
-      .groupBy($"v".cast("long").as("cluster_id"))
-      .agg((count(lit(1)) + 1).as("n_docs"))
+    // componentMin): members are the children plus one row per root.
+    // (The root branch derives cluster_id via withColumn AFTER the
+    // distinct — projecting the same attribute twice in one select
+    // trips RemoveRedundantAliases into an unresolved plan.)
+    val roots = edges.select($"v".cast("long").as("doc_id")).distinct()
+      .withColumn("cluster_id", $"doc_id")
+    edges.select($"u".cast("long").as("doc_id"), $"v".cast("long").as("cluster_id"))
+      .union(roots)
   }
 
   /** Quality-filter funnel — the per-stage pass accounting of a
@@ -760,6 +774,58 @@ object TextOps {
     load(s, dir, "documents")
       .select($"doc_id", fingerprint($"text").as("fp"))
 
+  /** Quality-aware survivor selection — the decision a dedup pipeline
+    * actually ships: per near-dup cluster, KEEP the highest-quality
+    * member (longest document, id tie-break) and account the bytes
+    * dropped. Labels come from [[dedupClusterMembers]]; the keep choice
+    * is `max_by` over an exact integer composite key (quality·C + id,
+    * C > max id) so the argmax is engine-exact — both engines pick the
+    * same document, never a float-tie coin flip. One join (labels ⋈
+    * docs on doc_id) + one groupBy on the cluster label. */
+  def q73SurvivorSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    dedupClusterMembers(docs, 0.8)
+      .join(docs.select($"doc_id", $"n_chars"), "doc_id")
+      .groupBy($"cluster_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max_by($"doc_id", $"n_chars" * lit(10000000L) + $"doc_id").as("keep_doc"),
+        (sum($"n_chars") - max($"n_chars")).cast("long").as("drop_chars"))
+  }
+
+  /** Pairwise source-distribution divergence — the domain-shift matrix
+    * of corpus assembly: L1 distance between per-source token frequency
+    * distributions (ppm-scaled, exact integers — transcendental
+    * KL/JS divergence diverges between engines at the ULP; L1 over
+    * integer ppm is engine-exact and the same ranking signal). The
+    * union-of-vocabulary L1 decomposes as inner-join terms plus each
+    * side's unmatched mass (Σ|pa−pb| over shared tokens + (Σpa − shared
+    * pa) + (Σpb − shared pb)), so the plan is ONE token-key join over
+    * the per-source ppm table — the inverted-index shuffle shape, never
+    * a vocabulary pivot. Output: one row per source pair. */
+  def q75SourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val w = load(s, dir, "documents")
+      .select($"source", explode(toks($"text")).as("w"))
+    val counts = w.groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy($"source").agg(sum($"c").as("t"))
+    val ppm = counts.join(tot, "source")
+      .select($"source", $"w", expr("(c * 1000000) div t").as("ppm"))
+    val totPpm = ppm.groupBy($"source").agg(sum($"ppm").as("tp"))
+    val shared = ppm.as("a").join(ppm.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(
+        sum(abs(col("a.ppm") - col("b.ppm"))).as("inner_abs"),
+        sum(col("a.ppm")).as("inner_pa"),
+        sum(col("b.ppm")).as("inner_pb"))
+    shared
+      .join(broadcast(totPpm.select($"source".as("source_a"), $"tp".as("tpa"))), "source_a")
+      .join(broadcast(totPpm.select($"source".as("source_b"), $"tp".as("tpb"))), "source_b")
+      .select($"source_a", $"source_b",
+        ($"inner_abs" + ($"tpa" - $"inner_pa") + ($"tpb" - $"inner_pb"))
+          .cast("long").as("l1_ppm"))
+  }
+
   /** Bloom-prefiltered decontamination — q55's semantics with the SCALE
     * physical plan: when the benchmark shingle set is too large to
     * broadcast as an exact set (full eval-suite decontamination at 100 TB),
@@ -869,6 +935,49 @@ object TextOps {
       .filter($"n_docs" >= 2)
 
   val oracles: Map[String, String] = Map(
+    // q73 reuses q51's recursive-CTE clustering, joined to documents for
+    // the quality-argmax; the composite key n_chars·10⁷ + doc_id is the
+    // same exact-integer tie-break on both engines.
+    "q73_survivor_select" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
+        |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT da, db FROM p
+        |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.8),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges)
+        |, cc AS (
+        |  WITH RECURSIVE r(id, lbl) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT e.dst, r.lbl FROM r JOIN edges e ON r.id = e.src)
+        |  SELECT id, min(lbl) AS label FROM r GROUP BY 1)
+        |SELECT CAST(cc.label AS BIGINT) AS cluster_id,
+        |CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(arg_max(d.doc_id, d.n_chars * 10000000 + d.doc_id) AS BIGINT) AS keep_doc,
+        |CAST(sum(d.n_chars) - max(d.n_chars) AS BIGINT) AS drop_chars
+        |FROM cc JOIN documents d ON d.doc_id = cc.id GROUP BY 1""".stripMargin,
+    "q75_source_divergence" ->
+      """WITH w AS (SELECT source, unnest(string_split(text,' ')) AS w FROM documents),
+        |c AS (SELECT source, w, count(*) AS c FROM w GROUP BY 1,2),
+        |t AS (SELECT source, sum(c) AS t FROM c GROUP BY 1),
+        |ppm AS (SELECT c.source, c.w, (c.c * 1000000) // t.t AS ppm FROM c JOIN t USING (source)),
+        |tp AS (SELECT source, sum(ppm) AS tp FROM ppm GROUP BY 1),
+        |sh AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  sum(abs(a.ppm - b.ppm)) AS iabs, sum(a.ppm) AS ipa, sum(b.ppm) AS ipb
+        |  FROM ppm a JOIN ppm b ON a.w = b.w AND a.source < b.source GROUP BY 1,2)
+        |SELECT source_a, source_b,
+        |CAST(iabs + (ta.tp - ipa) + (tb.tp - ipb) AS BIGINT) AS l1_ppm
+        |FROM sh JOIN tp ta ON ta.source = source_a
+        |JOIN tp tb ON tb.source = source_b""".stripMargin,
     // q67 is q55's semantics behind a Bloom prefilter (no false
     // negatives + exact verify ⇒ identical result), so the oracle is the
     // same exact-containment SQL.

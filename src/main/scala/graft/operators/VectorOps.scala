@@ -246,7 +246,45 @@ object VectorOps {
         count(when($"same_bucket", lit(1))).as("n_bucket"))
   }
 
+  /** Semantic decontamination scoring — the embedding-space complement
+    * of n-gram decontamination (q55/q67): an eval item paraphrased into
+    * the training set shares no shingles but sits next to it in
+    * embedding space. Per corpus vector: max cosine to ANY benchmark
+    * vector + which benchmark item it matches; top-20 most-contaminated
+    * reported (TakeOrderedAndProject). Benchmark embeddings broadcast
+    * against one corpus scan — no shuffle; when the benchmark itself is
+    * huge, the same LSH-signature blocking as [[q26EmbeddingNearDup]]
+    * replaces the broadcast. Integer-scaled scores, exact composite-key
+    * argmax for the nearest-item tie-break. */
+  def q74SemanticDecon(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val bench = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("bid"), $"embedding".as("bemb"))
+    emb.filter($"vec_id" >= 10)
+      .join(broadcast(bench))
+      .select($"vec_id",
+        floor(cosine($"embedding", $"bemb") * 1e6 + 0.5).cast("long").as("cs"),
+        $"bid")
+      .groupBy($"vec_id")
+      .agg(
+        max($"cs").as("max_cos_scaled"),
+        // nearest benchmark item: highest cosine, smallest bid on ties
+        max_by($"bid", $"cs" * lit(1000L) - $"bid").as("nearest_bench"))
+      .orderBy($"max_cos_scaled".desc, $"vec_id")
+      .limit(20)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q74_semantic_decon" ->
+      """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |  generate_subscripts(embedding,1) AS i FROM embeddings),
+        |cs AS (SELECT a.vec_id, b.vec_id AS bid,
+        |  CAST(floor(sum(a.v*b.v)/(sqrt(sum(a.v*a.v))*sqrt(sum(b.v*b.v))) * 1e6 + 0.5) AS BIGINT) AS cs
+        |  FROM u a JOIN u b ON a.i = b.i AND b.vec_id < 10 AND a.vec_id >= 10
+        |  GROUP BY 1,2)
+        |SELECT vec_id, CAST(max(cs) AS BIGINT) AS max_cos_scaled,
+        |CAST(arg_max(bid, cs * 1000 - bid) AS BIGINT) AS nearest_bench
+        |FROM cs GROUP BY 1 ORDER BY max_cos_scaled DESC, vec_id LIMIT 20""".stripMargin,
     "q72_ann_recall" ->
       s"""WITH s AS (SELECT vec_id, ${signatureSql("embedding", 64, 6)} AS sig, embedding FROM embeddings),
          |p AS (SELECT vec_id AS pid, sig AS psig FROM s WHERE vec_id < 5),

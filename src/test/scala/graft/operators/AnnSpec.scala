@@ -118,9 +118,12 @@ class AnnSpec extends AnyFunSuite {
     val chain = (0 until 40).map(i => (i.toLong, (i + 1).toLong))
     val extra = Seq((100L, 101L), (100L, 102L), (200L, 201L))
     val pairs = (chain ++ extra).toDF("id_a", "id_b")
-    val clusters = TextOps.distributedClusters(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = TextOps.distributedClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = members.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     assert(clusters == Map(0L -> 41L, 100L -> 3L, 200L -> 2L), clusters.toString)
+    // per-doc labels, not just sizes: the whole chain carries the min id
+    assert(members.filter(_._2 == 0L).map(_._1).sorted.toSeq == (0L to 40L))
   }
 
   test("dedup clustering refuses (or warns) when the LSH cap drops edges") {
