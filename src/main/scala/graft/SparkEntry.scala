@@ -114,6 +114,7 @@ object SparkEntry {
     "q73_survivor_select" -> (TextOps.q73SurvivorSelect _),
     "q74_semantic_decon" -> (VectorOps.q74SemanticDecon _),
     "q75_source_divergence" -> (TextOps.q75SourceDivergence _),
+    "q76_audio_decode" -> (MultimodalOps.q76AudioDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

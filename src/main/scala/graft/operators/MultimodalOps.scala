@@ -153,7 +153,103 @@ object MultimodalOps {
         sum(octet_length(col("col"))).cast("long").as("sum_frame_bytes"))
   }
 
+  // ---------------------------------------------------------------- audio
+
+  val AudioFrame = 100 // samples per analysis frame
+
+  /** Encode PCM16 samples as a REAL RIFF/WAVE byte stream (44-byte
+    * canonical header + little-endian data chunk) — the JVM-only audio
+    * counterpart of [[encodePng]]. */
+  def encodeWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Parse a RIFF/WAVE payload back to PCM16 samples — a real binary
+    * decode (magic checks, chunk walk, LE sample extraction), not a
+    * length heuristic. */
+  def decodeWav(bytes: Array[Byte]): Array[Short] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII") }
+    require(tag() == "RIFF", "not a RIFF stream"); buf.getInt
+    require(tag() == "WAVE", "not a WAVE stream")
+    require(tag() == "fmt ", "missing fmt chunk"); buf.getInt
+    require(buf.getShort == 1, "not PCM"); buf.getShort
+    buf.getInt; buf.getInt; buf.getShort
+    require(buf.getShort == 16, "not 16-bit")
+    require(tag() == "data", "missing data chunk")
+    val n = buf.getInt / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = buf.getShort; i += 1 }
+    out
+  }
+
+  /** Audio decode + featurization — opaque `binary` WAV payloads
+    * (synthesized per partition: sample i = 100 × charCode i, a real
+    * codec roundtrip whose decoded stats the SQL oracle can recompute
+    * from the text), then per-document frame analysis from the DECODED
+    * samples: total |amplitude|, energy (Σ s²), and the peak
+    * 100-sample frame — all exact Long arithmetic, so the encode→
+    * decode→featurize chain is hash-gated end to end. Per-partition
+    * map, no shuffle: the mapInPandas-equivalent audio batch stage. */
+  def q76AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val samples = text.getBytes("US-ASCII").map(b => ((b & 0xff) * 100).toShort)
+          val decoded = decodeWav(encodeWav(samples))
+          var (absSum, energy) = (0L, 0L)
+          decoded.foreach { v =>
+            absSum += math.abs(v.toLong); energy += v.toLong * v.toLong
+          }
+          var peak = 0L
+          var f = 0
+          while (f < decoded.length) {
+            var (fs, i) = (0L, f)
+            while (i < math.min(f + AudioFrame, decoded.length)) {
+              fs += math.abs(decoded(i).toLong); i += 1
+            }
+            if (fs > peak) peak = fs
+            f += AudioFrame
+          }
+          (id, decoded.length.toLong, absSum, energy,
+            ((decoded.length + AudioFrame - 1) / AudioFrame).toLong, peak)
+        }
+      }
+      .toDF("doc_id", "n_samples", "abs_sum", "energy", "n_frames", "peak_frame_sum")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q76_audio_decode" ->
+      """WITH c AS (SELECT doc_id, list_transform(generate_series(1, strlen(text)),
+        |    i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS codes
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(codes) AS code, generate_subscripts(codes,1) AS i FROM c),
+        |fr AS (SELECT doc_id, (i-1)//100 AS f, sum(code) AS fsum FROM u GROUP BY 1,2),
+        |a AS (SELECT doc_id, count(*) AS n_samples, sum(code) AS s1, sum(code*code) AS s2
+        |  FROM u GROUP BY 1),
+        |p AS (SELECT doc_id, count(*) AS n_frames, max(fsum) AS mf FROM fr GROUP BY 1)
+        |SELECT a.doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+        |CAST(s1*100 AS BIGINT) AS abs_sum, CAST(s2*10000 AS BIGINT) AS energy,
+        |CAST(n_frames AS BIGINT) AS n_frames, CAST(mf*100 AS BIGINT) AS peak_frame_sum
+        |FROM a JOIN p USING (doc_id)""".stripMargin,
     "q29_multimodal" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_media,
         |CAST(sum(16 * greatest(1, CAST(ceil(strlen(text) / 16.0) AS BIGINT))) AS BIGINT) AS sum_pixels,

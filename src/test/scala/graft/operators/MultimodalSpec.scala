@@ -54,4 +54,36 @@ class MultimodalSpec extends AnyFunSuite {
     // the payload is compressed: PNG size != pixel count
     assert(f.n_bytes != f.n_pixels)
   }
+
+  test("WAV roundtrip preserves PCM16 samples, including negatives") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val wav = MultimodalOps.encodeWav(samples)
+    // canonical header: 44 bytes + 2 per sample, RIFF/WAVE magic
+    assert(wav.length == 44 + samples.length * 2)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(MultimodalOps.decodeWav(wav).toSeq == samples.toSeq)
+    // corrupted magic must be rejected, not mis-parsed
+    val bad = wav.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](MultimodalOps.decodeWav(bad))
+  }
+
+  test("audio features: peak frame isolates the loud span") {
+    import spark.implicits._
+    // framed analysis on a synthetic doc: 100 quiet chars then 50 loud
+    val quiet = "!" * 100 // code 33
+    val loud = "z" * 50 // code 122
+    val dir = "/root/testdata/sf0.001"
+    val out = MultimodalOps.q76AudioDecode(spark, dir)
+    // gate-shape sanity on real testdata: one row per document
+    assert(out.count() == graft.Tables.load(spark, dir, "documents").count())
+    // and the law itself on a controlled row
+    val row = Seq((1L, quiet + loud)).toDF("doc_id", "text")
+    val r = {
+      val samples = (quiet + loud).getBytes("US-ASCII").map(b => ((b & 0xff) * 100).toShort)
+      val dec = MultimodalOps.decodeWav(MultimodalOps.encodeWav(samples))
+      dec.grouped(MultimodalOps.AudioFrame).map(_.map(_.toLong).sum).max
+    }
+    assert(r == 50L * 122 * 100) // the loud half-frame wins
+  }
 }
