@@ -115,6 +115,8 @@ object SparkEntry {
     "q74_semantic_decon" -> (VectorOps.q74SemanticDecon _),
     "q75_source_divergence" -> (TextOps.q75SourceDivergence _),
     "q76_audio_decode" -> (MultimodalOps.q76AudioDecode _),
+    "q77_top_tokens_per_source" -> ((s: SparkSession, d: String) => TextOps.q77TopTokensPerSource(s, d)),
+    "q78_length_deciles" -> (TextOps.q78LengthDeciles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

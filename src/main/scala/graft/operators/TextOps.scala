@@ -793,6 +793,36 @@ object TextOps {
         (sum($"n_chars") - max($"n_chars")).cast("long").as("drop_chars"))
   }
 
+  /** Per-source top-5 tokens — grouped top-k WITHOUT a global sort or
+    * any driver round-trip: rank window partitioned by source over the
+    * (source, token) counts; the count aggregate's shuffle already
+    * clusters by source, so AQE plans the window on the same exchange.
+    * The per-group heap shape every "top N per key" report needs. */
+  def q77TopTokensPerSource(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val counts = load(s, dir, "documents")
+      .select($"source", explode(toks($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"cnt".desc, $"w")
+    counts.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"source", $"w", $"cnt", $"rk".cast("long").as("rk"))
+  }
+
+  /** Length-decile bucketing — the size-stratification step before
+    * curriculum mixing / packing-efficiency analysis: ntile(10) over
+    * token counts per source, reported as per-(source, decile) doc and
+    * token totals. Key-local window + same-key aggregate: one shuffle. */
+  def q78LengthDeciles(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_tok", $"doc_id")
+    load(s, dir, "documents")
+      .select($"source", $"doc_id", size(toks($"text")).as("n_tok"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy($"source", $"decile")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("n_tokens"))
+  }
+
   /** Pairwise source-distribution divergence — the domain-shift matrix
     * of corpus assembly: L1 distance between per-source token frequency
     * distributions (ppm-scaled, exact integers — transcendental
@@ -965,6 +995,22 @@ object TextOps {
         |CAST(arg_max(d.doc_id, d.n_chars * 10000000 + d.doc_id) AS BIGINT) AS keep_doc,
         |CAST(sum(d.n_chars) - max(d.n_chars) AS BIGINT) AS drop_chars
         |FROM cc JOIN documents d ON d.doc_id = cc.id GROUP BY 1""".stripMargin,
+    "q77_top_tokens_per_source" ->
+      """WITH c AS (SELECT source, w, count(*) AS cnt FROM
+        |  (SELECT source, unnest(string_split(text,' ')) AS w FROM documents)
+        |  GROUP BY 1,2),
+        |r AS (SELECT source, w, cnt,
+        |  row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS rk FROM c)
+        |SELECT source, w, CAST(cnt AS BIGINT) AS cnt, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5""".stripMargin,
+    "q78_length_deciles" ->
+      """WITH d AS (SELECT source, doc_id, len(string_split(text,' ')) AS n_tok
+        |  FROM documents),
+        |n AS (SELECT source, n_tok,
+        |  ntile(10) OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS decile FROM d)
+        |SELECT source, CAST(decile AS BIGINT) AS decile,
+        |CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM n GROUP BY 1,2""".stripMargin,
     "q75_source_divergence" ->
       """WITH w AS (SELECT source, unnest(string_split(text,' ')) AS w FROM documents),
         |c AS (SELECT source, w, count(*) AS c FROM w GROUP BY 1,2),
