@@ -117,6 +117,7 @@ object SparkEntry {
     "q76_audio_decode" -> (MultimodalOps.q76AudioDecode _),
     "q77_top_tokens_per_source" -> ((s: SparkSession, d: String) => TextOps.q77TopTokensPerSource(s, d)),
     "q78_length_deciles" -> (TextOps.q78LengthDeciles _),
+    "q79_top_docs_native" -> ((s: SparkSession, d: String) => TextOps.q79TopDocsNative(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -12,6 +12,7 @@ object Tables {
     // every query path flows through here — the one place to make the
     // engine's native expressions available on the session (idempotent)
     graft.plans.VectorExpressions.register(spark)
+    graft.plans.TopKPerKey.install(spark)
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
   }

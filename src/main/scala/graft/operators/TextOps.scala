@@ -823,6 +823,24 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("n_tokens"))
   }
 
+  /** Longest-documents-per-source via the NATIVE top-k operator: this
+    * is the standard `row_number <= k` idiom, but because the rank
+    * column is dropped from the output, [[graft.plans.TopKRewriteRule]]
+    * rewrites the window into [[graft.plans.TopKPerKeyExec]] — bounded
+    * per-key heaps, no sort buffer, survivors-only shuffle. Same rows
+    * as the window form (plan-gated + parity-tested); memory is O(k·keys)
+    * per task where the sort-based WindowGroupLimit path buffers the
+    * whole partition. */
+  def q79TopDocsNative(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+    load(s, dir, "documents")
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"source", $"doc_id", $"n_chars")
+  }
+
   /** Pairwise source-distribution divergence — the domain-shift matrix
     * of corpus assembly: L1 distance between per-source token frequency
     * distributions (ppm-scaled, exact integers — transcendental
@@ -995,6 +1013,11 @@ object TextOps {
         |CAST(arg_max(d.doc_id, d.n_chars * 10000000 + d.doc_id) AS BIGINT) AS keep_doc,
         |CAST(sum(d.n_chars) - max(d.n_chars) AS BIGINT) AS drop_chars
         |FROM cc JOIN documents d ON d.doc_id = cc.id GROUP BY 1""".stripMargin,
+    "q79_top_docs_native" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars FROM r WHERE rk <= 3""".stripMargin,
     "q77_top_tokens_per_source" ->
       """WITH c AS (SELECT source, w, count(*) AS cnt FROM
         |  (SELECT source, unnest(string_split(text,' ')) AS w FROM documents)

@@ -42,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ArrayCosineExpr(exprs(0), exprs(1))))
     ext.injectFunction(fn("vec_nanl1", classOf[ArrayNanL1Expr],
       exprs => ArrayNanL1Expr(exprs(0), exprs(1))))
+    // whole-operator extension: filtered-row_number top-k → bounded-heap
+    // physical operator (see TopKPerKey.scala)
+    ext.injectOptimizerRule(_ => TopKRewriteRule)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

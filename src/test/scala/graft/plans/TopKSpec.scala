@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom grouped-top-k operator: rewrite firing conditions, plan
+  * shape, and exact parity with the window form it replaces. */
+class TopKSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    TopKPerKey.install(s)
+    s
+  }
+
+  import spark.implicits._
+
+  private def data = {
+    // 4 keys × 50 rows, spread over 8 partitions so every key straddles
+    // partitions (exercises the partial-stage bound + final merge)
+    (0 until 200).map(i => (s"k${i % 4}", i.toLong, (i * 37 % 100).toLong))
+      .toDF("key", "id", "score").repartition(8)
+  }
+
+  private def windowed(k: Int) = {
+    val w = Window.partitionBy($"key").orderBy($"score".desc, $"id")
+    data.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+  }
+
+  test("rewrite fires when rank is dropped: plan has TopKPerKey, no Window sort") {
+    val df = windowed(5).select($"key", $"id", $"score")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), "rewrite did not fire:\n" + p)
+    assert(!p.contains("Window"), "window survived the rewrite:\n" + p)
+    assert(!p.contains("Sort"), "sort in a heap-based plan:\n" + p)
+    // both stages present: partial (pre-shuffle) + final
+    assert(p.contains("TopKPerKeyPartial"), p)
+  }
+
+  test("rewrite does NOT fire when the rank column is kept") {
+    val df = windowed(5) // rk still in output
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("TopKPerKey"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("native top-k returns exactly the window-form rows") {
+    val native = windowed(5).select($"key", $"id", $"score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: keep rk in output (rewrite blocked), then drop it
+    val ref = windowed(5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native == ref)
+    assert(native.size == 20) // 4 keys × 5 (total order → unique answer)
+  }
+
+  test("k larger than the group returns whole groups; k=1 via rank=1 works") {
+    val whole = windowed(1000).select($"key", $"id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(whole.size == 200)
+    val w = Window.partitionBy($"key").orderBy($"score".desc, $"id")
+    val top1 = data.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1).select($"key", $"id", $"score")
+    top1.collect()
+    assert(top1.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(top1.count() == 4)
+  }
+
+  test("q79 oracle query takes the native path and matches its window twin") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.operators.TextOps.q79TopDocsNative(spark, dir)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val native = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+    val twin = graft.Tables.load(spark, dir, "documents")
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native == twin)
+  }
+}
