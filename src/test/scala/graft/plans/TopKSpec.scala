@@ -74,6 +74,27 @@ class TopKSpec extends AnyFunSuite {
     assert(top1.count() == 4)
   }
 
+  test("null keys and null order values match the window form exactly") {
+    // row_number's NULLS ordering and null-key grouping must survive the
+    // heap rewrite: nulls in the order column (DESC → NULLS LAST) and a
+    // null group key (its own group under ClusteredDistribution)
+    val rows = Seq[(java.lang.String, java.lang.Long, java.lang.Long)](
+      ("a", 1L, 10L), ("a", 2L, null), ("a", 3L, 30L), ("a", 4L, null),
+      (null, 5L, 50L), (null, 6L, 5L), (null, 7L, null),
+      ("b", 8L, 8L))
+    val df = rows.toDF("key", "id", "score").repartition(4)
+    val w = Window.partitionBy($"key").orderBy($"score".desc, $"id")
+    val q = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 2)
+    val native = q.select($"key", $"id", $"score")
+    native.collect()
+    assert(native.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    def s(r: org.apache.spark.sql.Row) =
+      (Option(r.getString(0)), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    // reference keeps rk in its output, which blocks the rewrite
+    assert(native.collect().map(s).toSet == q.collect().map(s).toSet)
+    assert(native.count() == 5) // a:2, null-key:2, b:1 (whole group)
+  }
+
   test("q79 oracle query takes the native path and matches its window twin") {
     val dir = "/root/testdata/sf0.001"
     val df = graft.operators.TextOps.q79TopDocsNative(spark, dir)
