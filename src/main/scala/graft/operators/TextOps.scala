@@ -953,6 +953,25 @@ object TextOps {
         expr("(n_shared_windows * 1000000) div n_windows").as("dup_ppm"))
   }
 
+  /** The 100 TB wire format of [[q69SubstringDup]]: shuffle 8-byte
+    * `xxhash64(window)` keys instead of ~50-byte window strings (a 6×
+    * smaller shuffle at 8-token windows). Collision probability over n
+    * distinct windows is ≈ n²/2⁶⁵ — at 10¹² windows, ~3% chance of ONE
+    * collision affecting one count by one; the exact-string form stays
+    * the oracle gate, this is the production profile. Same plan shape. */
+  def substringDupProfileHashed(docs: DataFrame): DataFrame = {
+    val w = docs.select($"doc_id", explode(tokenWindows($"text", 8)).as("gs"))
+      .select($"doc_id", xxhash64($"gs").as("g"))
+    val byW = w.groupBy($"g").agg(count(lit(1)).as("nd"))
+    byW.groupBy().agg(
+        count(lit(1)).as("n_windows"),
+        count(when($"nd" >= 2, lit(1))).as("n_shared_windows"),
+        coalesce(sum(when($"nd" >= 2, $"nd")), lit(0L)).cast("long")
+          .as("n_shared_occurrences"))
+      .select($"n_windows", $"n_shared_windows", $"n_shared_occurrences",
+        expr("(n_shared_windows * 1000000) div n_windows").as("dup_ppm"))
+  }
+
   /** Sequence packing — the document→training-sequence assembly step of
     * an LLM pretraining pipeline: concatenate each source's documents in
     * doc_id order and cut the stream into 256-token packs; report docs

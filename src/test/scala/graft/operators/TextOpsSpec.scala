@@ -135,6 +135,15 @@ class TextOpsSpec extends AnyFunSuite {
     assert(sharedWins.forall(_.startsWith("s")))
   }
 
+  test("hashed substring-dup profile equals the exact-string form on testdata") {
+    // the 8-byte-key production path must agree with the string-key
+    // oracle path wherever no 64-bit collision occurs (i.e. here)
+    val docs = load(spark, dir, "documents")
+    val exact = TextOps.q69SubstringDup(spark, dir).collect().head.toSeq
+    val hashed = TextOps.substringDupProfileHashed(docs).collect().head.toSeq
+    assert(hashed == exact)
+  }
+
   test("sequence packing conserves tokens and respects the 256 stream boundary") {
     import spark.implicits._
     val docs = load(spark, dir, "documents")
