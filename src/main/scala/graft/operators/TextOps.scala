@@ -221,20 +221,63 @@ object TextOps {
       capObs: Option[org.apache.spark.sql.Observation] = None): (DataFrame, DataFrame) =
     pairsFromSignatures(signatureFrame(docs), threshold, capObs)
 
+  /** LSH bands of a signature frame: hash each run of [[LshRows]]
+    * signature components; a pair is a candidate iff it shares a
+    * (band, bkey) bucket. Carries ids only. */
+  private def bandFrame(sigs: DataFrame): DataFrame =
+    sigs.select(
+      $"doc_id",
+      explode(array((0 until LshBands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * LshRows until (b + 1) * LshRows)
+            .map(i => col(s"m$i")): _*).as("bkey"))
+      }: _*)).as("bb"))
+      .select($"doc_id", col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
+  /** Exact-Jaccard verify of candidate pairs against the signature
+    * frame's shingle sets. */
+  private def verifyPairs(
+      cand: DataFrame, sigs: DataFrame, threshold: Double): DataFrame = {
+    val sh = sigs.select($"doc_id", $"sh_set")
+    cand
+      .join(sh.select($"doc_id".as("id_a"), $"sh_set".as("sh_a")), "id_a")
+      .join(sh.select($"doc_id".as("id_b"), $"sh_set".as("sh_b")), "id_b")
+      .select($"id_a", $"id_b",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b"))).as("jac"))
+      .filter($"jac" >= threshold)
+      .select($"id_a", $"id_b")
+  }
+
+  /** Incremental near-dup maintenance: the verified pairs that involve
+    * at least one document of `newSigs`, probed against the FULL
+    * artifact `allSigs` (= existing ∪ new, i.e. the stored signature
+    * frame after appending [[updateSignatures]]' output). The band join
+    * probes only the new documents' buckets, so the work scales with
+    * the UPDATE size, not the corpus — the artifact-reuse answer to
+    * "which clusters did this batch touch". Pairs are canonical
+    * (id_a < id_b); the full-rebuild law `pairs(all) = pairs(old) ∪
+    * incremental(new, all)` is pinned in TextOpsSpec. Unlike the batch
+    * pipeline there is no per-doc candidate cap here: update batches
+    * are operator-sized, and a capped incremental edge would silently
+    * break the rebuild law. */
+  def incrementalNearDupPairs(
+      newSigs: DataFrame, allSigs: DataFrame, threshold: Double): DataFrame = {
+    val cand = bandFrame(allSigs).as("a")
+      .join(bandFrame(newSigs).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+    verifyPairs(cand, allSigs, threshold)
+  }
+
   private def pairsFromSignatures(
       sigs: DataFrame, threshold: Double,
       capObs: Option[org.apache.spark.sql.Observation]): (DataFrame, DataFrame) = {
-    val bands = LshBands
-    val rows = LshRows
-    // LSH bands: hash each run of `rows` signature components; a pair is
-    // a candidate iff it shares a (band, bkey) bucket. Carry ids only.
-    val banded = sigs.select(
-      $"doc_id",
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("bkey"))
-      }: _*)).as("bb"))
-      .select($"doc_id", col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val banded = bandFrame(sigs)
     // cap BOTH endpoints' candidate degree (a hub doc is bounded whether
     // it appears as the probe or the match side)
     val wA = org.apache.spark.sql.expressions.Window.partitionBy($"id_a").orderBy($"id_b")
@@ -253,16 +296,7 @@ object TextOps {
     val cand = candAll.filter($"rn" <= MaxCandidatesPerDoc).drop("rn")
     val nCapped = candAll.filter($"rn" > MaxCandidatesPerDoc)
       .groupBy().agg(count(lit(1)).as("n_capped_pairs"))
-    val sh = sigs.select($"doc_id", $"sh_set")
-    val verified = cand
-      .join(sh.select($"doc_id".as("id_a"), $"sh_set".as("sh_a")), "id_a")
-      .join(sh.select($"doc_id".as("id_b"), $"sh_set".as("sh_b")), "id_b")
-      .select($"id_a", $"id_b",
-        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          size(array_union($"sh_a", $"sh_b"))).as("jac"))
-      .filter($"jac" >= threshold)
-      .select($"id_a", $"id_b")
-    (verified, nCapped)
+    (verifyPairs(cand, sigs, threshold), nCapped)
   }
 
   /** Exact near-dup PAIRS (shingle-Jaccard ≥ threshold) via the

@@ -135,6 +135,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(sharedWins.forall(_.startsWith("s")))
   }
 
+  test("incremental near-dup pairs + old pairs == full rebuild (the artifact law)") {
+    import spark.implicits._
+    val base = (0 until 150).map(i => s"w$i").mkString(" ")
+    val tmpl = (0 until 150).map(i => s"t$i").mkString(" ")
+    // old corpus: one planted dup pair (10,11); new batch: a dup of an
+    // OLD doc (200 ~ 10) and a dup pair WITHIN the batch (201,202)
+    val oldDocs = ((0 until 8).map(i =>
+      (i.toLong, s"unrelated filler $i " + s"x${i * 3} y${i * 7} " * 10)) ++
+      Seq((10L, base), (11L, base.replace("w70", "z70"))))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (200L, base.replace("w80", "z80")),
+      (201L, tmpl), (202L, tmpl.replace("t40", "u40")),
+      (203L, "entirely different content here"))
+      .toDF("doc_id", "text")
+    val oldSigs = TextOps.signatureFrame(oldDocs)
+    val newSigs = TextOps.updateSignatures(newDocs.union(oldDocs), oldSigs)
+    // appended artifact = old ∪ new (what a production store holds)
+    val allSigs = oldSigs.union(newSigs)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oldPairs = pairs(TextOps.nearDupPairsFromSignatures(oldSigs, 0.8))
+    val incPairs = pairs(TextOps.incrementalNearDupPairs(newSigs, allSigs, 0.8))
+    val fullPairs = pairs(TextOps.nearDupPairsFromSignatures(allSigs, 0.8))
+    assert(oldPairs == Set((10L, 11L)))
+    // the increment sees old×new AND new×new edges, nothing old×old
+    assert(incPairs.contains((10L, 200L)) && incPairs.contains((201L, 202L)))
+    assert(incPairs.forall { case (a, b) => b >= 200L })
+    assert(oldPairs ++ incPairs == fullPairs)
+  }
+
   test("hashed substring-dup profile equals the exact-string form on testdata") {
     // the 8-byte-key production path must agree with the string-key
     // oracle path wherever no 64-bit collision occurs (i.e. here)
