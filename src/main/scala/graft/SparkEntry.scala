@@ -118,6 +118,7 @@ object SparkEntry {
     "q77_top_tokens_per_source" -> ((s: SparkSession, d: String) => TextOps.q77TopTokensPerSource(s, d)),
     "q78_length_deciles" -> (TextOps.q78LengthDeciles _),
     "q79_top_docs_native" -> ((s: SparkSession, d: String) => TextOps.q79TopDocsNative(s, d)),
+    "q80_curation_pipeline" -> (TextOps.q80CurationPipeline _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

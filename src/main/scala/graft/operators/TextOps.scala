@@ -908,6 +908,58 @@ object TextOps {
           .cast("long").as("l1_ppm"))
   }
 
+  /** The END-TO-END curation pipeline — the composition a real corpus
+    * run ships, as ONE DataFrame flow: (1) near-dup clustering with
+    * quality-argmax survivor selection (q51/q73 machinery), (2) n-gram
+    * decontamination against the benchmark split (q55 rule), (3) the
+    * quality gates (q52 conditions), with per-source funnel accounting
+    * at every stage plus surviving token mass. Each stage is the
+    * already-scale-audited plan of its standalone operator; the
+    * composition adds only two anti-joins (pruned id lists, broadcast-
+    * sized at any scale because drops ≪ corpus). */
+  def q80CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val corpus = docs.filter($"doc_id" >= 10)
+    // 1. dedup: drop every cluster member except the quality survivor
+    val members = dedupClusterMembers(corpus, 0.8)
+    val keep = members.join(corpus.select($"doc_id", $"n_chars"), "doc_id")
+      .groupBy($"cluster_id")
+      .agg(max_by($"doc_id", $"n_chars" * lit(10000000L) + $"doc_id").as("keep_doc"))
+    val dropDedup = members.join(keep, "cluster_id")
+      .filter($"doc_id" =!= $"keep_doc").select($"doc_id")
+    val deduped = corpus.join(broadcast(dropDedup), Seq("doc_id"), "left_anti")
+    // 2. decontamination (q55 rule: ≥3 distinct benchmark shingles)
+    val bench = docs.filter($"doc_id" < 10)
+      .select(explode(shingles($"text")).as("g")).distinct()
+    val contaminated = deduped
+      .select($"doc_id", explode(shingles($"text")).as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy($"doc_id").agg(countDistinct($"g").as("n_hits"))
+      .filter($"n_hits" >= 3).select($"doc_id")
+    val decon = deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    // 3. quality gates (q52 conditions)
+    val t = toks($"text")
+    val nTok = size(t)
+    val stopRatio = size(filter(t, x => x.isin(stopwords: _*))).cast("double") / nTok
+    val fin = decon
+      .select($"source", nTok.as("n_tokens"), stopRatio.as("stop_ratio"), $"lang")
+      .filter($"lang" === "en" && $"n_tokens".between(30, 120) && $"stop_ratio" > 0.05)
+    // funnel accounting per source
+    val c0 = corpus.groupBy($"source").agg(count(lit(1)).as("n_input"))
+    val c1 = deduped.groupBy($"source").agg(count(lit(1)).as("n_after_dedup"))
+    val c2 = decon.groupBy($"source").agg(count(lit(1)).as("n_after_decon"))
+    val c3 = fin.groupBy($"source").agg(
+      count(lit(1)).as("nf"), sum($"n_tokens").cast("long").as("tf"))
+    c0.join(c1, Seq("source"), "left")
+      .join(c2, Seq("source"), "left")
+      .join(c3, Seq("source"), "left")
+      .select($"source", $"n_input",
+        coalesce($"n_after_dedup", lit(0L)).as("n_after_dedup"),
+        coalesce($"n_after_decon", lit(0L)).as("n_after_decon"),
+        coalesce($"nf", lit(0L)).as("n_final"),
+        coalesce($"tf", lit(0L)).as("tokens_final"))
+  }
+
   /** Bloom-prefiltered decontamination — q55's semantics with the SCALE
     * physical plan: when the benchmark shingle set is too large to
     * broadcast as an exact set (full eval-suite decontamination at 100 TB),
@@ -1071,6 +1123,60 @@ object TextOps {
         |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents)
         |SELECT source, doc_id, n_chars FROM r WHERE rk <= 3""".stripMargin,
+    // q80 composes the q73 cluster CTE, the q55 contamination rule and
+    // the q52 gates; contaminated(dedup) == contaminated(corpus) ∩ dedup,
+    // so hits are computed over the corpus (set-equivalent, simpler SQL)
+    "q80_curation_pipeline" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
+        |e AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 10),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT da, db FROM p
+        |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.8),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges)
+        |, cc AS (
+        |  WITH RECURSIVE r(id, lbl) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT e.dst, r.lbl FROM r JOIN edges e ON r.id = e.src)
+        |  SELECT id, min(lbl) AS label FROM r GROUP BY 1),
+        |keepers AS (SELECT cc.label,
+        |  arg_max(d.doc_id, d.n_chars * 10000000 + d.doc_id) AS keep_doc
+        |  FROM cc JOIN documents d ON d.doc_id = cc.id GROUP BY 1),
+        |drop_dedup AS (SELECT cc.id AS doc_id FROM cc
+        |  JOIN keepers k ON k.label = cc.label WHERE cc.id != k.keep_doc),
+        |dedup AS (SELECT * FROM documents WHERE doc_id >= 10
+        |  AND doc_id NOT IN (SELECT doc_id FROM drop_dedup)),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 10),
+        |hits AS (SELECT e.doc_id FROM e JOIN bench b ON e.g = b.g
+        |  GROUP BY 1 HAVING count(DISTINCT e.g) >= 3),
+        |decon AS (SELECT * FROM dedup
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+        |fin AS (SELECT source, len(string_split(text,' ')) AS n_tokens FROM decon
+        |  WHERE lang = 'en' AND len(string_split(text,' ')) BETWEEN 30 AND 120
+        |  AND CAST(len(list_filter(string_split(text,' '),
+        |    x -> x IN ('the','a','of','and'))) AS DOUBLE)
+        |    / len(string_split(text,' ')) > 0.05),
+        |c0 AS (SELECT source, count(*) AS n_input FROM documents
+        |  WHERE doc_id >= 10 GROUP BY 1),
+        |c1 AS (SELECT source, count(*) AS n_after_dedup FROM dedup GROUP BY 1),
+        |c2 AS (SELECT source, count(*) AS n_after_decon FROM decon GROUP BY 1),
+        |c3 AS (SELECT source, count(*) AS nf, sum(n_tokens) AS tf FROM fin GROUP BY 1)
+        |SELECT c0.source, CAST(n_input AS BIGINT) AS n_input,
+        |CAST(coalesce(n_after_dedup, 0) AS BIGINT) AS n_after_dedup,
+        |CAST(coalesce(n_after_decon, 0) AS BIGINT) AS n_after_decon,
+        |CAST(coalesce(nf, 0) AS BIGINT) AS n_final,
+        |CAST(coalesce(tf, 0) AS BIGINT) AS tokens_final
+        |FROM c0 LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
+        |LEFT JOIN c3 USING (source)""".stripMargin,
     "q77_top_tokens_per_source" ->
       """WITH c AS (SELECT source, w, count(*) AS cnt FROM
         |  (SELECT source, unnest(string_split(text,' ')) AS w FROM documents)
