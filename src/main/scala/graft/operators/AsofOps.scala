@@ -37,7 +37,7 @@ object AsofOps {
       .agg(max(struct(payloadCols.map(col): _*)).as("__p"))
       .select((keyCols :+ timeCol).map(col) :+ col("__p"): _*)
 
-    val leftStruct = struct(left.columns.map(col): _*)
+    val leftStruct = struct(left.columns.toIndexedSeq.map(col): _*)
     val lPrep = left.select(
       keys ++ Seq(col(timeCol), lit(1).as("__side"),
         leftStruct.as("__l"), lit(null).cast(rUnique.schema("__p").dataType).as("__p")): _*)
@@ -54,7 +54,7 @@ object AsofOps {
 
     val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
     val payload = payloadCols.map(c => col(s"__asof.$c").as(c))
-    carried.select(leftCols ++ payload: _*)
+    carried.select((leftCols ++ payload).toIndexedSeq: _*)
   }
 
   /** Driver-gated as-of query: each purchase event joined to the user's

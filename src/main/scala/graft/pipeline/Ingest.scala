@@ -182,7 +182,7 @@ object Ingest {
     val listing = spark.read.format("binaryFile")
       .option("pathGlobFilter", globPattern)
       .option("recursiveFileLookup", "true")
-      .load(dirs: _*)
+      .load(dirs.toIndexedSeq: _*)
       // binaryFile paths are file: URIs; normalize to the manifest's form
       .withColumn("fs_path", regexp_replace(col("path"), "^file:", ""))
       .withColumn("file_dir", regexp_replace(col("fs_path"), "/[^/]+$", ""))
