@@ -119,6 +119,13 @@ object SparkEntry {
     "q78_length_deciles" -> (TextOps.q78LengthDeciles _),
     "q79_top_docs_native" -> ((s: SparkSession, d: String) => TextOps.q79TopDocsNative(s, d)),
     "q80_curation_pipeline" -> (TextOps.q80CurationPipeline _),
+    "q81_interval_join" -> (CurationOps.q81IntervalJoin _),
+    "q82_bigram_lift" -> ((s: SparkSession, d: String) => CurationOps.q82BigramLift(s, d)),
+    "q83_bow_fingerprint" -> (CurationOps.q83BowFingerprint _),
+    "q84_log2_quality" -> (CurationOps.q84Log2Quality _),
+    "q85_bm25" -> ((s: SparkSession, d: String) => CurationOps.q85Bm25(s, d)),
+    "q86_mixture_sample" -> (CurationOps.q86MixtureSample _),
+    "q87_cdc_chunk" -> (CurationOps.q87CdcChunk _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -126,5 +133,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalOps.oracles ++ VectorOps.oracles ++ TextOps.oracles ++
       MultimodalOps.oracles ++ CubeOps.oracles ++ AstroOps.oracles ++
-      graft.streaming.EventStream.oracles ++ MiscOps.oracles ++ AsofOps.oracles
+      graft.streaming.EventStream.oracles ++ MiscOps.oracles ++ AsofOps.oracles ++
+      CurationOps.oracles
 }

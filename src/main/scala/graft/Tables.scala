@@ -26,6 +26,9 @@ object Tables {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer div, not `/`: Column./ is double division, and int64
+      // nanos (~1.7e18) exceed a double's 2^53 integer range — the
+      // rounded quotient can land ±1 µs off DuckDB's exact `epoch_us`
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

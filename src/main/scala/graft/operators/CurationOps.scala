@@ -1,0 +1,342 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.syntax._
+
+/** Second curation batch: interval (attribution-window) join, bigram
+  * collocation mining, normalized-content fingerprint dedup, an
+  * integer-exact unigram quality score, fixed-point BM25 retrieval,
+  * deterministic weighted mixture sampling, and content-defined
+  * chunking. Everything is codegen'd built-ins over key-partitioned
+  * shuffles — no UDFs, no driver loops — and every cross-engine-gated
+  * number is computed in exact integer arithmetic (the `div`-fixed-point
+  * discipline of TextOps), so the DuckDB oracle matches bit-for-bit.
+  */
+object CurationOps {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  // ---------------------------------------------------------------- q81
+
+  /** Bucketed interval join: for each `left` row, count `right` rows
+    * with the same key whose time lies in the half-open window
+    * (lt - windowUs, lt]. Spark has no native range join; the naive form
+    * is a BroadcastNestedLoopJoin (quadratic per key). Instead both
+    * sides are bucketed by `time div windowUs`: a right row can only
+    * match left rows in its own or the next bucket, so expanding the
+    * right side to those TWO buckets turns the range join into an
+    * EQUI-join on (key, bucket) + a residual range filter. Each matching
+    * pair appears under exactly one bucket (the left row's own), so no
+    * dedup pass is needed. At 100 TB this shuffles each side once on
+    * (key, bucket) — skew-bounded by AQE — instead of replicating one
+    * side per executor and scanning it per row.
+    */
+  def intervalCount(
+      left: DataFrame, leftKey: String, leftTimeUs: String,
+      right: DataFrame, rightKey: String, rightTimeUs: String,
+      windowUs: Long): DataFrame = {
+    val l = left.withColumn("__b", expr(s"$leftTimeUs div ${windowUs}L"))
+    val r = right
+      .withColumn("__rb", expr(s"$rightTimeUs div ${windowUs}L"))
+      .withColumn("__b", explode(array($"__rb", $"__rb" + 1)))
+      .select(col(rightKey).as("__rk"), col(rightTimeUs).as("__rt"), $"__b")
+    l.join(r,
+        l(leftKey) === $"__rk" && l("__b") === r("__b") &&
+          $"__rt" <= l(leftTimeUs) && $"__rt" > l(leftTimeUs) - windowUs,
+        "left")
+      .groupBy(left.columns.map(l(_)).toIndexedSeq: _*)
+      .agg(count($"__rt").as("n_matches"))
+  }
+
+  /** Attribution-window join over the event stream: clicks credited to
+    * each purchase of the same user within the preceding 60 minutes —
+    * the ad-attribution / feature-window shape. Exact-µs comparisons
+    * (`unix_micros` ≡ DuckDB `epoch_us` after Tables.loadEvents'
+    * integer-div nanos→µs rebuild). */
+  def q81IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val W = 3600000000L // 60 min in µs
+    val ev = load(s, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", unix_micros($"ts").as("pus"), $"user_id")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cuser"), unix_micros($"ts").as("cus"))
+    intervalCount(purchases, "user_id", "pus", clicks, "cuser", "cus", W)
+      .select($"event_id", $"n_matches".as("n_clicks"))
+  }
+
+  // ---------------------------------------------------------------- q82
+
+  /** Adjacent-bigram collocation mining by lift. Bigram extraction is a
+    * bound-array HOF (one `split` per row, indexed inside the lambda —
+    * never re-split per element); the three marginals are plain
+    * aggregates over the exploded bigram table, joined back on the
+    * bigram's own keys, so the whole thing is one explode + three
+    * hash-aggregates + two key joins — map-side-combinable and
+    * skew-free (token marginals broadcast at any realistic vocab).
+    *
+    * lift_ppm = (cnt_ab · N · 10⁶) div (cnt_a· · cnt_·b), exact in
+    * Long while cnt_ab · N · 10⁶ < 2⁶³ (holds to ~10⁹ bigrams with the
+    * Zipf head capped at ~10⁴ ppm; beyond that, scale after the first
+    * division — the q59 rule). */
+  def q82BigramLift(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val bg = load(s, dir, "documents")
+      .withColumn("ts", toks($"text"))
+      .filter(size($"ts") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS a, ts[i] AS b))")).as("g"))
+      .select($"g.a".as("a"), $"g.b".as("b"))
+    val pair = bg.groupBy($"a", $"b").agg(count(lit(1)).as("cnt_ab"))
+    val first = pair.groupBy($"a").agg(sum($"cnt_ab").as("cnt_a"))
+    val second = pair.groupBy($"b").agg(sum($"cnt_ab").as("cnt_b"))
+    val n = pair.agg(sum($"cnt_ab").as("n")).select($"n")
+    val scored = pair.join(first, "a").join(second, "b")
+      .crossJoin(broadcast(n))
+      .filter($"cnt_ab" >= 10)
+      .select($"a", $"b", $"cnt_ab",
+        expr("(cnt_ab * n * 1000000) div (cnt_a * cnt_b)").as("lift_ppm"))
+    // TakeOrderedAndProject (per-partition O(k) heaps), NOT a global
+    // row_number window — the scored set is vocab²-sized at scale and a
+    // partitionless WindowExec would single-thread it; the rank is
+    // re-derived over the k survivors only
+    scored.orderBy($"lift_ppm".desc, $"a", $"b").limit(topK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"lift_ppm".desc, $"a", $"b")).cast("long"))
+      .select($"a", $"b", $"cnt_ab", $"lift_ppm", $"rk")
+  }
+
+  // ---------------------------------------------------------------- q83
+
+  /** Normalized-content dedup: the bag-of-words fingerprint
+    * (md5 of the sorted distinct token set) collapses token-order and
+    * repetition edits that exact-hash dedup misses. Pure per-row
+    * compute + one per-source aggregate — the same plan shape as exact
+    * dedup (q17), one normalization layer up. sf0.01: 500 docs → 446
+    * BOW fingerprints vs 500 exact hashes. */
+  def q83BowFingerprint(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select($"source",
+        md5($"text").as("efp"),
+        md5(concat_ws(" ", array_sort(array_distinct(toks($"text"))))).as("bfp"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"efp").as("n_exact"),
+        countDistinct($"bfp").as("n_bow"))
+
+  // ---------------------------------------------------------------- q84
+
+  /** Integer-exact unigram quality score: each token contributes
+    * floor(log₂ corpus_count) — computed EXACTLY in the integer domain
+    * as length(bin(c)) - 1, no floating log on either engine — and the
+    * doc score is the ppm-scaled mean. High scores = head-token prose,
+    * low scores = rare-token noise; it is the rarity-profile quality
+    * gate of a curation funnel, and its plan is the token inverted-index
+    * join: explode → count → join back on the token key (vocab-sized
+    * build side → broadcast at scale). */
+  def q84Log2Quality(s: SparkSession, dir: String): DataFrame = {
+    val tok = load(s, dir, "documents")
+      .select($"doc_id", $"source", explode(toks($"text")).as("w"))
+    val cnt = tok.groupBy($"w")
+      .agg(count(lit(1)).as("c"))
+      .select($"w", (length(bin($"c")) - 1).cast("long").as("l2"))
+    tok.join(broadcast(cnt), "w")
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_tok"), sum($"l2").as("sum_l2"))
+      .select($"doc_id", $"source", $"n_tok",
+        expr("(sum_l2 * 1000000) div n_tok").as("score_ppm"))
+  }
+
+  // ---------------------------------------------------------------- q85
+
+  /** Fixed-point BM25 top-k retrieval (k1 = 1.2, b = 0.75). The whole
+    * score is one exact integer expression so both engines rank
+    * identically: idf is the rational surrogate (N-df)·10³ div df
+    * (monotone in df, like the log form it replaces), and the
+    * tf-saturation term is cleared of fractions by multiplying through
+    * by 10·ΣDL:
+    *
+    *   score_t = 22·idf·tf·ΣDL·10³ div (10·tf·ΣDL + 3·ΣDL + 9·dl·N)
+    *
+    * Exact while 22·idf·tf·ΣDL·10³ < 2⁶³ — fine through ~sf1 corpora; a
+    * 100 TB deployment swaps the score expression for double+`ln` (rank
+    * stability at that scale is statistical, not bit-exact — the
+    * integer form exists to keep the CROSS-ENGINE gate exact). Plan:
+    * one explode → (doc,term) counts for the 3 probe terms → df/dl
+    * joins (broadcast: |terms| rows) → TakeOrderedAndProject.
+    */
+  def q85Bm25(s: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    val terms = Seq("spark", "vector", "window")
+    val docs = load(s, dir, "documents")
+    val tok = docs.select($"doc_id", explode(toks($"text")).as("w"))
+    val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(
+      count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+    val tf = tok.filter($"w".isin(terms: _*))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .select($"doc_id",
+        expr("""(22 * (((n - df) * 1000) div df) * tf * sumdl * 1000)
+                div (10 * tf * sumdl + 3 * sumdl + 9 * dl * n)""").as("sc"))
+      .groupBy($"doc_id").agg(sum($"sc").as("score"))
+    // same TakeOrderedAndProject discipline as q82: never a global
+    // row_number window over the full scored corpus
+    scored.orderBy($"score".desc, $"doc_id").limit(topK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"score".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"score", $"rk")
+  }
+
+  // ---------------------------------------------------------------- q86
+
+  /** Deterministic weighted mixture sampling — the source-reweighting
+    * step that assembles a training mix. Each doc's inclusion is a pure
+    * function of its identity: keep iff the first 4 hex chars of
+    * md5(doc_id ‖ ':' ‖ source) fall below the source's threshold
+    * ('8000' ≈ p=.5 for even-numbered sources, '4000' ≈ p=.25 for odd).
+    * Hex-prefix thresholding needs no hex→int conversion (lexicographic
+    * compare IS the numeric compare on fixed-width hex), is exactly
+    * reproducible across engines/runs/scales, and — unlike
+    * `df.sample` — is stable under repartitioning and incremental
+    * appends: a doc's fate never depends on which partition it landed
+    * in. Pure scan + one per-source aggregate; no shuffle before the
+    * final 20-group agg. */
+  def q86MixtureSample(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select($"source",
+        size(toks($"text")).cast("long").as("n_tok"),
+        (substring(md5(concat($"doc_id".cast("string"), lit(":"), $"source")), 1, 4) <
+          when(substring($"source", 4, 10).cast("int") % 2 === 0, "8000")
+            .otherwise("4000")).as("keep"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_in"),
+        count(when($"keep", lit(1))).as("n_kept"),
+        coalesce(sum(when($"keep", $"n_tok")), lit(0L)).as("tokens_kept"))
+
+  // ---------------------------------------------------------------- q87
+
+  /** Content-defined chunking: a token opens a new chunk iff
+    * md5(token) starts with nibble '0' — boundaries depend on CONTENT
+    * only, so an insertion resorts one chunk instead of re-shifting
+    * every fixed-width window (the dedup-stable chunking used by CDC
+    * stores; complements q66's fixed-width chunker). chunk_id is a
+    * key-local running sum over the doc's token positions; chunk
+    * identity is md5 of the space-joined chunk. One explode + one
+    * doc-partitioned window + two hash-aggregates. */
+  def q87CdcChunk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tok = load(s, dir, "documents")
+      .select($"doc_id", $"source", posexplode(toks($"text")).as(Seq("pos", "w")))
+      .withColumn("chunk", sum(when(substring(md5($"w"), 1, 1) === "0", 1L)
+        .otherwise(0L)).over(w))
+    val chunks = tok.groupBy($"doc_id", $"source", $"chunk")
+      .agg(
+        count(lit(1)).as("len"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct($"pos", $"w"))), x => x("w")))).as("cfp"))
+    chunks.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct($"cfp").as("n_distinct_chunks"),
+        max($"len").as("max_chunk_tokens"),
+        sum($"len").as("n_tokens"))
+      .select($"source", $"n_chunks", $"n_distinct_chunks",
+        $"max_chunk_tokens", $"n_tokens",
+        expr("(n_tokens * 1000000) div n_chunks").as("mean_chunk_ppm"))
+  }
+
+  // ------------------------------------------------------------ oracles
+
+  val oracles: Map[String, String] = Map(
+    "q81_interval_join" ->
+      """SELECT p.event_id, CAST(count(k.ts) AS BIGINT) AS n_clicks
+        |FROM events p LEFT JOIN events k
+        |  ON p.user_id = k.user_id AND k.event_type = 'click'
+        |  AND epoch_us(k.ts) <= epoch_us(p.ts)
+        |  AND epoch_us(k.ts) > epoch_us(p.ts) - 3600000000
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+    "q82_bigram_lift" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS w,
+        |  unnest(list_transform(ts, (x,i) -> i)) AS pos FROM t WHERE len(ts) >= 2),
+        |bg AS (SELECT x.w AS a, y.w AS b FROM tok x JOIN tok y
+        |  ON x.doc_id = y.doc_id AND y.pos = x.pos + 1),
+        |pair AS (SELECT a, b, count(*) AS cnt_ab FROM bg GROUP BY 1,2),
+        |fst AS (SELECT a, sum(cnt_ab) AS cnt_a FROM pair GROUP BY 1),
+        |snd AS (SELECT b, sum(cnt_ab) AS cnt_b FROM pair GROUP BY 1),
+        |n AS (SELECT sum(cnt_ab) AS n FROM pair),
+        |sc AS (SELECT a, b, cnt_ab,
+        |  (cnt_ab * n.n * 1000000) // (cnt_a * cnt_b) AS lift_ppm
+        |  FROM pair JOIN fst USING (a) JOIN snd USING (b) CROSS JOIN n
+        |  WHERE cnt_ab >= 10),
+        |r AS (SELECT *, row_number() OVER (ORDER BY lift_ppm DESC, a, b) AS rk FROM sc)
+        |SELECT a, b, CAST(cnt_ab AS BIGINT) AS cnt_ab,
+        |  CAST(lift_ppm AS BIGINT) AS lift_ppm, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 20""".stripMargin,
+    "q83_bow_fingerprint" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact,
+        |  CAST(count(DISTINCT md5(array_to_string(
+        |    list_sort(list_distinct(string_split(text,' '))),' '))) AS BIGINT) AS n_bow
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q84_log2_quality" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text,' ')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, length(format('{:b}', count(*))) - 1 AS l2 FROM tok GROUP BY 1)
+        |SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST((sum(l2) * 1000000) // count(*) AS BIGINT) AS score_ppm
+        |FROM tok JOIN cnt USING (w)
+        |GROUP BY 1, 2""".stripMargin,
+    "q85_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        |  WHERE w IN ('spark','vector','window') GROUP BY 1,2),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, sum(
+        |    (22 * (((n - df) * 1000) // df) * tf * sumdl * 1000)
+        |    // (10 * tf * sumdl + 3 * sumdl + 9 * dl * n)) AS score
+        |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN tot
+        |  GROUP BY 1),
+        |r AS (SELECT doc_id, score,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM sc)
+        |SELECT doc_id, CAST(score AS BIGINT) AS score, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 10""".stripMargin,
+    "q86_mixture_sample" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_in,
+        |  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(CASE WHEN keep THEN n_tok END), 0) AS BIGINT) AS tokens_kept
+        |FROM (SELECT source, len(string_split(text,' ')) AS n_tok,
+        |  substr(md5(doc_id || ':' || source), 1, 4) <
+        |    (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |      THEN '8000' ELSE '4000' END) AS keep
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
+    "q87_cdc_chunk" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS ts FROM documents),
+        |tok AS (SELECT doc_id, source, unnest(ts) AS w,
+        |  unnest(list_transform(ts, (x,i) -> i)) AS pos FROM t),
+        |ck AS (SELECT doc_id, source, w, pos,
+        |  sum(CASE WHEN substr(md5(w),1,1) = '0' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS chunk FROM tok),
+        |chunks AS (SELECT doc_id, source, chunk, count(*) AS len,
+        |  md5(string_agg(w, ' ' ORDER BY pos)) AS cfp
+        |  FROM ck GROUP BY 1,2,3)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(DISTINCT cfp) AS BIGINT) AS n_distinct_chunks,
+        |  CAST(max(len) AS BIGINT) AS max_chunk_tokens,
+        |  CAST(sum(len) AS BIGINT) AS n_tokens,
+        |  CAST((sum(len) * 1000000) // count(*) AS BIGINT) AS mean_chunk_ppm
+        |FROM chunks GROUP BY 1""".stripMargin
+  )
+}

@@ -26,7 +26,9 @@ object EventStream {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer div (see Tables.loadEvents): Column./ rounds int64 nanos
+      // through double and can land ±1 µs off the exact quotient
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Watermark + 10-minute tumbling windows; complete mode so the final

@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables.load
+
+/** Second curation batch (q81-q87): interval-join semantics vs the
+  * brute-force theta join, bigram/chunk conservation laws, and
+  * determinism of the hash-threshold sampler.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  // ---------------------------------------------------------------- q81
+
+  test("q81: bucketed interval count matches the brute-force theta join") {
+    val ev = load(spark, dir, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", unix_micros($"ts").as("pus"), $"user_id")
+    val k = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cuser"), unix_micros($"ts").as("cus"))
+    val W = 3600000000L
+    val brute = p.join(k,
+        $"user_id" === $"cuser" && $"cus" <= $"pus" && $"cus" > $"pus" - W,
+        "left")
+      .groupBy($"event_id").agg(count($"cus").as("n_clicks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucketed = CurationOps.q81IntervalJoin(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bucketed == brute)
+    assert(bucketed.nonEmpty)
+  }
+
+  test("q81: window boundary semantics are (t-W, t] exactly") {
+    val left = Seq((1L, 10000L)).toDF("id", "lt")
+    val right = Seq(
+      10000L, // == lt: counted
+      9001L,  // just inside
+      9000L,  // == lt-W: excluded (open lower bound)
+      10001L, // after lt: excluded
+      1L      // far before: excluded
+    ).toDF("rt").withColumn("rid", lit(1L))
+    val out = CurationOps.intervalCount(
+      left, "id", "lt", right, "rid", "rt", 1000L).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_matches") == 2L)
+  }
+
+  test("q81: a match spanning a bucket boundary is found exactly once") {
+    // left at t=1000 (bucket 1), right at t=999 (bucket 0, expands to 0,1)
+    val left = Seq((1L, 1000L)).toDF("id", "lt")
+    val right = Seq((1L, 999L)).toDF("rid", "rt")
+    val out = CurationOps.intervalCount(
+      left, "id", "lt", right, "rid", "rt", 1000L).collect()
+    assert(out.head.getAs[Long]("n_matches") == 1L)
+  }
+
+  test("q81: plan is an equi-join, not a nested-loop join") {
+    val plan = CurationOps.q81IntervalJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  // ---------------------------------------------------------------- q82
+
+  test("q82: bigram mass conservation and exact lift for a known pair") {
+    val docs = load(spark, dir, "documents")
+    val expected = docs
+      .select((size(split($"text", " ")) - 1).cast("long").as("nb"))
+      .agg(sum(when($"nb" > 0, $"nb"))).collect().head.getLong(0)
+    // recompute the marginals independently from raw bigram rows
+    val bg = docs.select(split($"text", " ").as("ts"))
+      .filter(size($"ts") >= 2)
+      .select(posexplode($"ts").as(Seq("i", "a")), $"ts")
+      .filter($"i" < size($"ts") - 1)
+      .select($"a", expr("ts[i+1]").as("b"))
+    assert(bg.count() == expected)
+    val top = CurationOps.q82BigramLift(spark, dir).collect()
+    assert(top.length <= 20 && top.nonEmpty)
+    val first = top.minBy(_.getAs[Long]("rk"))
+    val (a, b) = (first.getAs[String]("a"), first.getAs[String]("b"))
+    val n = bg.count()
+    val cab = bg.filter($"a" === a && $"b" === b).count()
+    val ca = bg.filter($"a" === a).count()
+    val cb = bg.filter($"b" === b).count()
+    assert(first.getAs[Long]("lift_ppm") == (cab * n * 1000000L) / (ca * cb))
+    // ranks are 1..k with no gaps
+    assert(top.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to top.length).toSeq)
+  }
+
+  // ---------------------------------------------------------------- q83
+
+  test("q83: BOW fingerprints collapse at least as much as exact hashes") {
+    val rows = CurationOps.q83BowFingerprint(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (docs, exact, bow) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_exact"), r.getAs[Long]("n_bow"))
+      assert(bow <= exact, s"bow $bow > exact $exact")
+      assert(exact <= docs)
+      assert(bow >= 1)
+    }
+  }
+
+  // ---------------------------------------------------------------- q84
+
+  test("q84: score is the exact integer mean of floor-log2 token counts") {
+    val docs = load(spark, dir, "documents")
+    val tokens = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val cnt = tokens.groupBy(_._2).map { case (w, xs) => w -> xs.length.toLong }
+    def l2(c: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(c)
+    val expected = tokens.groupBy(_._1).map { case (id, xs) =>
+      id -> (xs.map(t => l2(cnt(t._2))).sum * 1000000L / xs.length)
+    }
+    val got = CurationOps.q84Log2Quality(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_ppm")).toMap
+    assert(got == expected)
+  }
+
+  // ---------------------------------------------------------------- q85
+
+  test("q85: top-1 score matches a driver-side recompute of the formula") {
+    val docs = load(spark, dir, "documents")
+    val terms = Set("spark", "vector", "window")
+    val all = docs.select($"doc_id", split($"text", " ").as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val n = all.length.toLong
+    val sumdl = all.map(_._2.length.toLong).sum
+    val df = terms.map(t => t -> all.count(_._2.contains(t)).toLong).toMap
+    def score(ts: Seq[String]): Long = {
+      val dl = ts.length.toLong
+      terms.toSeq.map { t =>
+        val tf = ts.count(_ == t).toLong
+        if (tf == 0) 0L
+        else {
+          val idf = (n - df(t)) * 1000L / df(t)
+          22L * idf * tf * sumdl * 1000L /
+            (10L * tf * sumdl + 3L * sumdl + 9L * dl * n)
+        }
+      }.sum
+    }
+    val expectedTop = all.map { case (id, ts) => (id, score(ts)) }
+      .filter(_._2 > 0)
+      .sortBy { case (id, sc) => (-sc, id) }.head
+    val got = CurationOps.q85Bm25(spark, dir).collect()
+      .minBy(_.getAs[Long]("rk"))
+    assert((got.getAs[Long]("doc_id"), got.getAs[Long]("score")) == expectedTop)
+  }
+
+  // ---------------------------------------------------------------- q86
+
+  test("q86: sampler is deterministic, bounded, and keeps a real subset") {
+    val a = CurationOps.q86MixtureSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val b = CurationOps.q86MixtureSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(a.toSeq == b.toSeq)
+    a.foreach { case (_, nIn, nKept, tok) =>
+      assert(nKept <= nIn)
+      assert(tok >= 0)
+    }
+    val (kept, tot) = (a.map(_._3).sum.toDouble, a.map(_._2).sum.toDouble)
+    // mixed p=.5/p=.25 tiers: global keep rate must land well inside (0, 1)
+    assert(kept / tot > 0.1 && kept / tot < 0.7, s"keep rate ${kept / tot}")
+  }
+
+  // ---------------------------------------------------------------- q87
+
+  test("q87: chunking conserves tokens and bounds chunk counts") {
+    val docs = load(spark, dir, "documents")
+    val nTok = docs.select(sum(size(split($"text", " ")))).collect().head.getLong(0)
+    val rows = CurationOps.q87CdcChunk(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == nTok)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_chunks") >= 1)
+      assert(r.getAs[Long]("n_distinct_chunks") <= r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("max_chunk_tokens") >= 1)
+      // mean_chunk_ppm = n_tokens*1e6 div n_chunks, exactly
+      assert(r.getAs[Long]("mean_chunk_ppm") ==
+        r.getAs[Long]("n_tokens") * 1000000L / r.getAs[Long]("n_chunks"))
+    }
+  }
+
+  test("q87: chunk boundaries are content-defined (same token set, same cuts)") {
+    // two docs with identical text must produce identical chunk fingerprints
+    val ts = load(spark, dir, "documents").select($"text").limit(1)
+      .collect().head.getString(0)
+    val two = Seq((1L, "srcA", ts), (2L, "srcB", ts)).toDF("doc_id", "source", "text")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tok = two.select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .withColumn("chunk", sum(when(substring(md5($"w"), 1, 1) === "0", 1L)
+        .otherwise(0L)).over(w))
+    val fps = tok.groupBy($"doc_id", $"chunk")
+      .agg(md5(concat_ws(" ", transform(
+        array_sort(collect_list(struct($"pos", $"w"))), x => x("w")))).as("cfp"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"cfp")).as("fps"))
+      .collect().map(_.getSeq[String](1))
+    assert(fps.length == 2 && fps(0) == fps(1))
+  }
+}
