@@ -126,6 +126,9 @@ object SparkEntry {
     "q85_bm25" -> ((s: SparkSession, d: String) => CurationOps.q85Bm25(s, d)),
     "q86_mixture_sample" -> (CurationOps.q86MixtureSample _),
     "q87_cdc_chunk" -> (CurationOps.q87CdcChunk _),
+    "q88_cms_heavy_hitters" -> (CurationOps.q88CmsHeavyHitters _),
+    "q89_group_sample" -> ((s: SparkSession, d: String) => CurationOps.q89GroupSample(s, d)),
+    "q90_stream_interval_join" -> (graft.streaming.EventStream.q90StreamIntervalJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -253,6 +253,52 @@ object CurationOps {
         expr("(n_tokens * 1000000) div n_chunks").as("mean_chunk_ppm"))
   }
 
+  // ---------------------------------------------------------------- q88
+
+  /** Count-min-sketch-prefiltered heavy hitters — the q67 bloom
+    * discipline applied to frequency: a driver-built CMS over one corpus
+    * pass gives every token an OVERestimate, so `estimate ≥ T` passes
+    * every true-heavy token (no false negatives) and the exact count is
+    * recomputed only for the surviving candidates. At 100 TB the sketch
+    * (ε=1e-4 → ~2 MB) replaces a full-vocabulary shuffle with a
+    * scan-side probe + an aggregate over the (tiny) candidate slice;
+    * result is IDENTICAL to the exact query — the sketch is a
+    * prefilter, never the answer. T = total_tokens div 64. */
+  def q88CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val tok = load(s, dir, "documents")
+      .select(explode(toks($"text")).as("w"))
+    val cms = tok.stat.countMinSketch("w", 1e-4, 0.99, 42)
+    val cmsB = s.sparkContext.broadcast(cms)
+    val est = udf((w: String) => cmsB.value.estimateCount(w))
+    val totals = tok.agg(count(lit(1)).as("total"))
+    tok.crossJoin(broadcast(totals))
+      .filter(est($"w") >= expr("total div 64"))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("cnt"), first($"total").as("total"))
+      .filter($"cnt" >= expr("total div 64"))
+      .select($"w", $"cnt")
+  }
+
+  // ---------------------------------------------------------------- q89
+
+  /** Deterministic per-group uniform sample: k docs per source, ordered
+    * by md5(doc_id ‖ ':' ‖ source) — hash order IS uniform order, and
+    * unlike `df.sample` the pick is reproducible across runs, engines,
+    * partitionings, and appends (q86's discipline, per-group-k form).
+    * The rank column is dropped, so the TopKPerKey rewrite replaces the
+    * sort-based window with the engine's two-stage bounded-heap
+    * operator: O(k·groups) task memory, survivors-only shuffle. */
+  def q89GroupSample(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy($"source")
+      .orderBy($"h", $"doc_id")
+    load(s, dir, "documents")
+      .select($"source", $"doc_id",
+        md5(concat($"doc_id".cast("string"), lit(":"), $"source")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"source", $"doc_id", $"h")
+  }
+
   // ------------------------------------------------------------ oracles
 
   val oracles: Map[String, String] = Map(
@@ -337,6 +383,21 @@ object CurationOps {
         |  CAST(max(len) AS BIGINT) AS max_chunk_tokens,
         |  CAST(sum(len) AS BIGINT) AS n_tokens,
         |  CAST((sum(len) * 1000000) // count(*) AS BIGINT) AS mean_chunk_ppm
-        |FROM chunks GROUP BY 1""".stripMargin
+        |FROM chunks GROUP BY 1""".stripMargin,
+    // the CMS is a no-false-negative prefilter, so the result is exactly
+    // the sketch-free heavy-hitter query
+    "q88_cms_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+        |tot AS (SELECT count(*) AS total FROM tok)
+        |SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok CROSS JOIN tot
+        |GROUP BY w, total
+        |HAVING count(*) >= total // 64""".stripMargin,
+    "q89_group_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+        |  md5(doc_id || ':' || source) AS h FROM documents),
+        |r AS (SELECT source, doc_id, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM h)
+        |SELECT source, doc_id, h FROM r WHERE rk <= 3""".stripMargin
   )
 }

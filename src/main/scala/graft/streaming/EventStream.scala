@@ -94,6 +94,49 @@ object EventStream {
       .as[SessionOut]
   }
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * attribution join (q81): click and purchase streams joined on
+    * user_id with a 60-minute trailing event-time range. Watermarks on
+    * BOTH sides let Spark expire join state (a click older than the
+    * watermark minus the range can never match a future purchase, so
+    * its buffer entry is dropped) — unbounded streams run in bounded
+    * state, which is the whole point of the native stream-stream join
+    * over a batch re-join per trigger. INNER join: outer-side emission
+    * waits on watermark advancement past the range, which a one-shot
+    * drained file source never guarantees deterministically; the
+    * attributed-pairs inner result is deterministic on drain. The final
+    * per-purchase count is a batch aggregate over the drained sink. */
+  def intervalJoinPairs(spark: SparkSession, dir: String): DataFrame = {
+    val name = "ij_" + UUID.randomUUID().toString.replace("-", "")
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      expr("""p_user = c_user AND
+              c_ts <= p_ts AND c_ts > p_ts - INTERVAL 1 HOUR"""))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Driver-gated form: attributed purchases with their click counts
+    * (inner-join semantics — only purchases with ≥ 1 trailing click). */
+  def q90StreamIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    intervalJoinPairs(spark, dir)
+      .groupBy(col("p_event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+
   /** Driver-gated streaming query (oracle shares the batch semantics). */
   def q41StreamWindows(spark: SparkSession, dir: String): DataFrame =
     windowedCounts(spark, dir)
@@ -105,5 +148,13 @@ object EventStream {
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
         |event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1,2""".stripMargin,
+    // inner-join twin of q81: purchases WITH at least one trailing click
+    "q90_stream_interval_join" ->
+      """SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_clicks
+        |FROM events p JOIN events k
+        |  ON p.user_id = k.user_id AND k.event_type = 'click'
+        |  AND k.ts <= p.ts AND k.ts > p.ts - INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
   )
 }

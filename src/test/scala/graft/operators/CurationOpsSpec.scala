@@ -194,6 +194,57 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- q88
+
+  test("q88: CMS prefilter returns exactly the sketch-free heavy hitters") {
+    val tok = load(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+    val total = tok.count()
+    val exact = tok.groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= total / 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = CurationOps.q88CmsHeavyHitters(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact)
+    assert(got.nonEmpty)
+  }
+
+  // ---------------------------------------------------------------- q89
+
+  test("q89: per-group sample is k rows per source, hash-deterministic, native plan") {
+    val df = CurationOps.q89GroupSample(spark, dir)
+    val plan = { df.collect(); df.queryExecution.executedPlan.toString }
+    assert(plan.contains("TopKPerKey"), s"native top-k did not fire:\n$plan")
+    val rows = df.collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    val nSources = load(spark, dir, "documents")
+      .select($"source").distinct().count()
+    assert(bySrc.size == nSources)
+    bySrc.values.foreach(g => assert(g.length == 3))
+    // deterministic: a second run picks the identical docs
+    val again = CurationOps.q89GroupSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(again.toSeq == rows.map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
+  }
+
+  // ---------------------------------------------------------------- q90
+
+  test("q90: streaming interval join matches the batch inner-join twin") {
+    val ev = load(spark, dir, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"ts".as("pts"), $"user_id")
+    val k = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cuser"), $"ts".as("cts"))
+    val batch = p.join(k,
+        $"user_id" === $"cuser" && $"cts" <= $"pts" &&
+          $"cts" > $"pts" - expr("INTERVAL 1 HOUR"))
+      .groupBy($"event_id").agg(count(lit(1)).as("n_clicks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = graft.streaming.EventStream.q90StreamIntervalJoin(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("q87: chunk boundaries are content-defined (same token set, same cuts)") {
     // two docs with identical text must produce identical chunk fingerprints
     val ts = load(spark, dir, "documents").select($"text").limit(1)
