@@ -129,6 +129,14 @@ object SparkEntry {
     "q88_cms_heavy_hitters" -> (CurationOps.q88CmsHeavyHitters _),
     "q89_group_sample" -> ((s: SparkSession, d: String) => CurationOps.q89GroupSample(s, d)),
     "q90_stream_interval_join" -> (graft.streaming.EventStream.q90StreamIntervalJoin _),
+    // winnowing fingerprints, conversion funnel, trailing range windows,
+    // skew-salted join
+    "q91_winnowing" -> ((s: SparkSession, d: String) => MiningOps.q91Winnowing(s, d)),
+    "q92_event_funnel" -> (MiningOps.q92EventFunnel _),
+    "q93_trailing_activity" -> (MiningOps.q93TrailingActivity _),
+    "q94_salted_join" -> (MiningOps.q94SaltedJoin _),
+    "q95_prefix_filter_join" -> (MiningOps.q95PrefixFilterJoin _),
+    "q96_video_frames" -> (MultimodalOps.q96VideoFrames _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,5 +145,5 @@ object SparkEntry {
     RelationalOps.oracles ++ VectorOps.oracles ++ TextOps.oracles ++
       MultimodalOps.oracles ++ CubeOps.oracles ++ AstroOps.oracles ++
       graft.streaming.EventStream.oracles ++ MiscOps.oracles ++ AsofOps.oracles ++
-      CurationOps.oracles
+      CurationOps.oracles ++ MiningOps.oracles
 }

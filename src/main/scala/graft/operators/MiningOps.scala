@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.syntax._
+
+/** Third curation/analytics batch: winnowing document fingerprints, the
+  * event conversion funnel, trailing event-time range windows, and a
+  * skew-salted join. Same discipline as TextOps/CurationOps: codegen'd
+  * built-ins over key-partitioned shuffles, no UDFs, and every
+  * cross-engine-gated value computed in exact integer / string space so
+  * the DuckDB oracle matches bit-for-bit.
+  */
+object MiningOps {
+
+  // ---------------------------------------------------------------- q91
+
+  /** Positional word-3-gram shingles: array of (pos, shingle) structs,
+    * pos 0-based. Token array bound ONCE via the single-element-array
+    * wrap (TextOps.shingles' HOF rule: plain argument expressions
+    * re-evaluate per element inside lambda bodies). */
+  private def posShingles(c: Column): Column =
+    element_at(
+      transform(array(split(c, " ")), t =>
+        transform(sequence(lit(1), greatest(size(t) - 2, lit(1))),
+          i => struct(
+            (i - 1).cast("long").as("pos"),
+            concat_ws(" ",
+              element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))
+              .as("sh")))),
+      1)
+
+  /** Winnowing fingerprint selection (Schleimer et al., the MOSS scheme):
+    * hash every word-3-gram, then in every window of `w` consecutive
+    * hashes keep the minimum — any shared substring of length ≥ w+2
+    * tokens is GUARANTEED to share a selected fingerprint, at ~2/(w+1)
+    * of the shingle storage. The plan is one explode + one doc-local
+    * window (shuffles once on doc_id, frames are O(w)) + one per-source
+    * aggregate — no pair joins, so it scales as a linear scan. Reported
+    * per source: window count, selected-fingerprint mass (the index
+    * size), distinct fingerprints (the dup signal), and the selection
+    * ratio in ppm. */
+  def q91Winnowing(s: SparkSession, dir: String, w: Int = 4): DataFrame = {
+    val byDoc = Window.partitionBy($"doc_id")
+    val frame = byDoc.orderBy($"pos").rowsBetween(Window.currentRow, w - 1)
+    val sel = load(s, dir, "documents")
+      .select($"doc_id", $"source", explode(posShingles($"text")).as("g"))
+      .select($"doc_id", $"source", $"g.pos".as("pos"),
+        substring(md5($"g.sh"), 1, 8).as("h"))
+      .withColumn("fp", min($"h").over(frame))
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
+      // a window is complete only while all w hashes exist
+      .filter($"pos" <= $"n_sh" - w)
+    sel.groupBy($"source")
+      .agg(
+        countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_windows"),
+        countDistinct($"doc_id", $"fp").as("n_selected"),
+        countDistinct($"fp").as("n_distinct_fp"))
+      .withColumn("keep_ppm", expr("(n_selected * 1000000) div n_windows"))
+  }
+
+  // ---------------------------------------------------------------- q92
+
+  /** Conversion funnel: per user, the first view, the first click
+    * STRICTLY AFTER that view, and the first purchase strictly after
+    * that click — the sequential-stage semantics a flat groupBy can't
+    * express. Three conditional min-aggregates chained by equi-joins,
+    * all partitioned on user_id, so every stage reuses the same hash
+    * partitioning (one logical shuffle key end to end) and no window
+    * buffers whole user histories. Exact-µs timestamps. */
+  def q92EventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("v_us"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"us" > $"v_us")
+      .groupBy($"user_id").agg(min($"us").as("c_us"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"us" > $"c_us")
+      .groupBy($"user_id").agg(min($"us").as("p_us"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select($"user_id", $"v_us", $"c_us", $"p_us")
+  }
+
+  // ---------------------------------------------------------------- q93
+
+  /** Trailing 24 h activity count at each purchase: a RANGE frame over
+    * event-time µs, partitioned by user — the feature-engineering shape
+    * for "how active was this user when they bought". Value-based frames
+    * make the result tie-insensitive (peers at the boundary are in or
+    * out by VALUE, not row order), so the gate is exact on both engines.
+    * One shuffle on user_id; frames never buffer more than the 24 h
+    * slice. */
+  def q93TrailingActivity(s: SparkSession, dir: String): DataFrame = {
+    val W = 86400000000L // 24 h in µs
+    val w = Window.partitionBy($"user_id").orderBy($"us").rangeBetween(-W, 0)
+    load(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"n_24h")
+  }
+
+  // ---------------------------------------------------------------- q94
+
+  /** Skew-salted equi-join: the fact side gets a deterministic salt in
+    * [0, nSalts), the dim side is replicated once per salt value, and
+    * the join key becomes (key, salt) — a hot key's probe rows now land
+    * on nSalts partitions instead of one straggler. The salt derives
+    * from a non-key fact column (same-key rows MUST fan out) and never
+    * reaches the output, so the result is identical to the plain join.
+    * This is the manual fallback for skew AQE can't fix (e.g. when the
+    * hot key is hot on BOTH the probe and a downstream agg). */
+  def saltedJoin(
+      fact: DataFrame, saltExpr: Column,
+      dim: DataFrame, key: String, nSalts: Int): DataFrame = {
+    val f = fact.withColumn("__salt", pmod(saltExpr, lit(nSalts)).cast("int"))
+    val d = dim.withColumn("__salt", explode(
+      sequence(lit(0), lit(nSalts - 1)).cast("array<int>")))
+    // merge hint: the whole point is the shuffled-join partitioning —
+    // broadcasting the replicated dim would erase what we're load-balancing
+    f.join(d.hint("merge"), Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Per-event-type audience mass via the salted join: every event joined
+    * to its user's total event count (user_id is the canonical skewed
+    * key — power users are exactly the rows that straggle), then
+    * aggregated. Oracle is the UNsalted join: salting must not change a
+    * single row. */
+  def q94SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    val fact = ev.select($"event_id", $"user_id", $"event_type")
+    val dim = ev.groupBy($"user_id").agg(count(lit(1)).as("user_events"))
+    saltedJoin(fact, xxhash64($"event_id"), dim, "user_id", 8)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"user_events").as("sum_user_events"))
+  }
+
+  // ---------------------------------------------------------------- q95
+
+  /** Prefix-filtered set-similarity join (the AllPairs/PPJoin family,
+    * Bayardo et al. / Xiao et al.): for Jaccard ≥ t it is EXACT — under
+    * any global token order, two sets with J ≥ t must collide within
+    * their first |d| − ⌈t·|d|⌉ + 1 tokens — so only prefix tokens enter
+    * the inverted-index join. Ordering rare-first (ascending document
+    * frequency) makes those prefixes the least-shared tokens, which is
+    * what collapses the candidate set: the full index joins EVERY
+    * co-occurring pair (O(Σ df²) at 100 TB), the prefix index only
+    * near-dup suspects. A length filter (5·min ≥ 3·max ⇔ t = 0.6 on
+    * sizes) prunes candidates the sizes alone rule out, and the exact
+    * intersection is computed ONLY for surviving pairs. Every score is
+    * integer-exact (8·∩ ≥ 3·(n_a+n_b) ⇔ J ≥ 0.6), so the gate — whose
+    * oracle is the brute-force all-pairs twin — proves the filter
+    * dropped nothing. */
+  def q95PrefixFilterJoin(s: SparkSession, dir: String): DataFrame = {
+    // one shingle pass, hash-distributed on the shingle key so the df
+    // aggregate and the prefix self-join reuse the exchange (q23's rule)
+    val sh = load(s, dir, "documents")
+      .select($"doc_id", explode(TextOps.shingles($"text")).as("g"))
+      .repartition($"g")
+    val df = sh.groupBy($"g").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val ranked = sh.join(df, "g")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"g")))
+      .join(sizes, "doc_id")
+      // prefix length for t = 0.6: n - ceil(3n/5) + 1
+      .filter($"rnk" <= $"n" - expr("(3 * n + 4) div 5") + 1)
+      .select($"doc_id", $"g", $"n")
+    val cand = ranked.as("a").join(ranked.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          lit(5) * least(col("a.n"), col("b.n")) >=
+          lit(3) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("x"), $"da" === col("x.doc_id"))
+      .join(sh.as("y"), $"db" === col("y.doc_id") && col("x.g") === col("y.g"))
+      .groupBy($"da", $"db", $"na", $"nb")
+      .agg(count(lit(1)).as("inter"))
+    inter.filter(lit(8) * $"inter" >= lit(3) * ($"na" + $"nb"))
+      .select($"da".as("doc_a"), $"db".as("doc_b"), $"inter",
+        expr("(inter * 1000000) div (na + nb - inter)").as("jac_ppm"))
+  }
+
+  // ------------------------------------------------------------ oracles
+
+  val oracles: Map[String, String] = Map(
+    "q91_winnowing" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS ts FROM documents),
+        |ix AS (SELECT doc_id, source, ts,
+        |  unnest(list_transform(ts, (x,i) -> i)) AS i FROM t),
+        |sh AS (SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS pos,
+        |  substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 8) AS h,
+        |  len(ts) - 2 AS n_sh
+        |  FROM ix WHERE i <= len(ts) - 2),
+        |fp AS (SELECT doc_id, source, pos, n_sh,
+        |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM sh),
+        |sel AS (SELECT * FROM fp WHERE pos <= n_sh - 4)
+        |SELECT source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(count(DISTINCT (doc_id, fp)) AS BIGINT) AS n_selected,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+        |  CAST((count(DISTINCT (doc_id, fp)) * 1000000) // count(*) AS BIGINT) AS keep_ppm
+        |FROM sel GROUP BY 1""".stripMargin,
+    "q92_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us > v_us GROUP BY 1),
+        |p AS (SELECT user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > c_us GROUP BY 1)
+        |SELECT v.user_id, v_us, c_us, p_us
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+    "q93_trailing_activity" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT event_id, user_id, event_type,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS n_24h FROM e)
+        |SELECT event_id, user_id, CAST(n_24h AS BIGINT) AS n_24h
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    // the salt never reaches the output: the oracle is the PLAIN join
+    "q94_salted_join" ->
+      """WITH d AS (SELECT user_id, count(*) AS user_events FROM events GROUP BY 1)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(user_events) AS BIGINT) AS sum_user_events
+        |FROM events JOIN d USING (user_id)
+        |GROUP BY 1""".stripMargin,
+    // prefix filtering is exact for J >= t, so the oracle is the
+    // brute-force all-pairs twin — hash equality proves zero false drops
+    "q95_prefix_filter_join" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |ix AS (SELECT doc_id, ts, unnest(list_transform(ts, (x,i) -> i)) AS i FROM t),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+        |  FROM ix WHERE i <= len(ts) - 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST((inter * 1000000) // (sa.n + sb.n - inter) AS BIGINT) AS jac_ppm
+        |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+        |WHERE 8 * inter >= 3 * (sa.n + sb.n)""".stripMargin
+  )
+}

@@ -236,7 +236,110 @@ object MultimodalOps {
       .toDF("doc_id", "n_samples", "abs_sum", "energy", "n_frames", "peak_frame_sum")
   }
 
+  // ---------------------------------------------------------------- video
+
+  val VideoFrameChars = 64 // source bytes per frame
+  val VideoSampleEvery = 2 // decode every 2nd frame
+
+  /** Pack encoded frames into a length-prefixed container (magic +
+    * frame count + per-frame byte length) — the seekable-directory
+    * layout that lets a reader jump to frame k without decoding 0..k-1,
+    * which is exactly what frame SAMPLING needs. Big-endian, fixed
+    * header; a real wire format, not a concat. */
+  def encodeVideo(frames: Array[Array[Byte]]): Array[Byte] = {
+    val total = 8 + frames.map(_.length + 4).sum
+    val buf = java.nio.ByteBuffer.allocate(total)
+    buf.put("GVID".getBytes("US-ASCII")).putInt(frames.length)
+    frames.foreach { f => buf.putInt(f.length); buf.put(f) }
+    buf.array()
+  }
+
+  /** Walk the container back to its frame payloads (magic + bounds
+    * checks — a malformed directory fails loudly, not garbage-decodes). */
+  def decodeVideo(bytes: Array[Byte]): Array[Array[Byte]] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val magic = new Array[Byte](4); buf.get(magic)
+    require(new String(magic, "US-ASCII") == "GVID", "not a GVID stream")
+    val n = buf.getInt
+    require(n >= 0, "negative frame count")
+    Array.fill(n) {
+      val len = buf.getInt
+      require(len >= 0 && len <= buf.remaining(), "frame overruns container")
+      val f = new Array[Byte](len); buf.get(f); f
+    }
+  }
+
+  /** Video decode + frame sampling: each document becomes a REAL video
+    * payload (its bytes cut into 64-byte segments, each PNG-encoded,
+    * packed into the GVID container), then every 2nd frame is pulled
+    * through the container walk + PNG decode and featurized. The gate
+    * recomputes the decoded stats from the text (frame pixel counts
+    * from the encoder's geometry, luminance from char codes at sampled
+    * positions), so container + codec + sampler are hash-gated end to
+    * end. Per-partition map — the only shuffle is the final per-source
+    * aggregate; at 100 TB this is an embarrassingly parallel decode
+    * stage exactly like q29/q76. */
+  def q96VideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, source, text) =>
+          val bytes = text.getBytes("US-ASCII")
+          val video = encodeVideo(
+            bytes.grouped(VideoFrameChars).map(seg => encodePng(seg)._1).toArray)
+          val frames = decodeVideo(video)
+          var (nSampled, sumPix, sumLum) = (0L, 0L, 0L)
+          var f = 0
+          while (f < frames.length) {
+            if (f % VideoSampleEvery == 0) {
+              val px = decodePixels(frames(f))
+              nSampled += 1
+              sumPix += px.length
+              var i = 0
+              while (i < px.length) { sumLum += px(i); i += 1 }
+            }
+            f += 1
+          }
+          (id, source, frames.length.toLong, nSampled, sumPix, sumLum)
+        }
+      }
+      .toDF("doc_id", "source", "n_frames", "n_sampled", "sum_pixels", "sum_lum")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_videos"),
+        sum(col("n_frames")).cast("long").as("sum_frames"),
+        sum(col("n_sampled")).cast("long").as("sum_sampled"),
+        sum(col("sum_pixels")).cast("long").as("sum_pixels"),
+        sum(col("sum_lum")).cast("long").as("sum_lum"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // sampled-frame geometry and luminance recomputed from the text:
+    // frame f holds chars [64f, 64f+64); sampled iff f even; a frame of
+    // s bytes decodes to 16·max(1,ceil(s/16)) pixels (encodePng geometry)
+    "q96_video_frames" ->
+      """WITH d AS (SELECT doc_id, source, text, strlen(text) AS len FROM documents),
+        |per AS (SELECT doc_id, source,
+        |  (len + 63) // 64 AS n_frames,
+        |  ((len + 63) // 64 + 1) // 2 AS n_sampled,
+        |  list_aggregate(list_transform(
+        |    generate_series(0, CAST((len + 63) // 64 - 1 AS BIGINT)),
+        |    f -> CASE WHEN f % 2 = 0
+        |      THEN 16 * greatest(1, (least(64, len - f*64) + 15) // 16)
+        |      ELSE 0 END), 'sum') AS spix,
+        |  list_aggregate(list_transform(generate_series(1, len),
+        |    i -> CASE WHEN ((i-1) // 64) % 2 = 0
+        |      THEN CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)
+        |      ELSE 0 END), 'sum') AS slum
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_videos,
+        |  CAST(sum(n_frames) AS BIGINT) AS sum_frames,
+        |  CAST(sum(n_sampled) AS BIGINT) AS sum_sampled,
+        |  CAST(sum(spix) AS BIGINT) AS sum_pixels,
+        |  CAST(sum(slum) AS BIGINT) AS sum_lum
+        |FROM per GROUP BY 1""".stripMargin,
     "q76_audio_decode" ->
       """WITH c AS (SELECT doc_id, list_transform(generate_series(1, strlen(text)),
         |    i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS codes

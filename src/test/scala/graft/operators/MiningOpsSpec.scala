@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables.load
+
+/** Third curation batch (q91-q94): the winnowing guarantee, funnel
+  * stage ordering, range-frame tie semantics, and salted-join identity
+  * + plan shape.
+  */
+class MiningOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  // ---------------------------------------------------------------- q91
+
+  test("q91: shared token runs of length >= w+2 share a selected fingerprint") {
+    // winnowing guarantee (w=4, k=3): any common substring of w+k-1 = 6
+    // tokens forces a common selected fingerprint in both docs
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (0L, s"one two $shared three four five six seven", "srcA"),
+      (1L, s"nine ten eleven twelve $shared thirteen fourteen", "srcB"),
+      (2L, "totally different words without any overlap at all here", "srcC")
+    ).toDF("doc_id", "text", "source")
+    docs.createOrReplaceTempView("winnow_docs")
+
+    // re-run the q91 pipeline on the tiny frame, keeping per-doc fps
+    val w = 4
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    val frame = byDoc.orderBy($"pos").rowsBetween(
+      org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    val sel = docs
+      .select($"doc_id", explode(expr(
+        """element_at(transform(array(split(text, ' ')), t ->
+          |  transform(sequence(1, greatest(size(t) - 2, 1)),
+          |    i -> struct(cast(i - 1 AS long) AS pos,
+          |      concat_ws(' ', t[i-1], t[i], t[i+1]) AS sh))), 1)""".stripMargin)).as("g"))
+      .select($"doc_id", $"g.pos".as("pos"), substring(md5($"g.sh"), 1, 8).as("h"))
+      .withColumn("fp", min($"h").over(frame))
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
+      .filter($"pos" <= $"n_sh" - w)
+      .select($"doc_id", $"fp").distinct().collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+
+    assert((sel(0L) intersect sel(1L)).nonEmpty,
+      "docs sharing a 6-token run must share a winnowing fingerprint")
+    assert((sel(0L) intersect sel(2L)).isEmpty,
+      "no-overlap docs should not collide on these inputs")
+  }
+
+  test("q91: selection is a subset of shingle hashes and compresses the index") {
+    val out = MiningOps.q91Winnowing(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nWindows = r.getAs[Long]("n_windows")
+      val nSelected = r.getAs[Long]("n_selected")
+      val nDistinct = r.getAs[Long]("n_distinct_fp")
+      assert(nSelected <= nWindows, "cannot select more fps than windows")
+      assert(nDistinct <= nSelected)
+      // 2/(w+1) expected density — generous upper bound at 60%
+      assert(r.getAs[Long]("keep_ppm") < 600000L,
+        s"winnowing should prune well below 60% (got ${r.getAs[Long]("keep_ppm")} ppm)")
+    }
+  }
+
+  // ---------------------------------------------------------------- q92
+
+  test("q92: funnel stages are strictly ordered and monotonically null") {
+    val out = MiningOps.q92EventFunnel(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val v = r.getAs[Long]("v_us")
+      val c = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val p = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      c.foreach(cu => assert(cu > v, "first qualifying click is after first view"))
+      p.foreach { pu =>
+        assert(c.isDefined, "a purchase stage requires a click stage")
+        assert(pu > c.get, "first qualifying purchase is after the click")
+      }
+    }
+    // the funnel must actually narrow on realistic event data
+    val nC = out.count(!_.isNullAt(2))
+    assert(nC > 0 && nC <= out.length)
+  }
+
+  // ---------------------------------------------------------------- q93
+
+  test("q93: trailing count matches a brute-force recompute") {
+    val ev = load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .collect()
+    val byUser = ev.groupBy(_.getLong(1))
+    val expected = ev.filter(_.getString(2) == "purchase").map { r =>
+      val us = r.getLong(3)
+      val n = byUser(r.getLong(1)).count { e =>
+        e.getLong(3) <= us && e.getLong(3) >= us - 86400000000L
+      }
+      r.getLong(0) -> n.toLong
+    }.toMap
+    val got = MiningOps.q93TrailingActivity(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  // ---------------------------------------------------------------- q94
+
+  test("q94: salted join result is identical to the plain join") {
+    val ev = load(spark, dir, "events")
+    val dim = ev.groupBy($"user_id").agg(count(lit(1)).as("user_events"))
+    val plain = ev.select($"event_id", $"user_id", $"event_type")
+      .join(dim, "user_id")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"user_events").as("sum_user_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = MiningOps.q94SaltedJoin(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+    assert(salted.nonEmpty)
+  }
+
+  // ---------------------------------------------------------------- q95
+
+  test("q95: prefix filtering drops no qualifying pair (== brute force)") {
+    val sh = load(spark, dir, "documents")
+      .select($"doc_id", explode(TextOps.shingles($"text")).as("g"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), $"da" === col("sa.doc_id"))
+      .join(sizes.as("sb"), $"db" === col("sb.doc_id"))
+      .filter(lit(8) * $"inter" >= lit(3) * (col("sa.n") + col("sb.n")))
+      .select($"da", $"db", $"inter")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pf = MiningOps.q95PrefixFilterJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pf == brute)
+  }
+
+  test("q95: planted near-dup pair survives and scores above threshold") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val docs = Seq(
+      (0L, base.trim),
+      (1L, (base + "lambda mu").trim), // tiny suffix edit: J >> 0.6
+      (2L, "совершенно other content with no shared trigrams at all " +
+        "zero overlap anywhere in this document body text")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("pf_docs")
+    // run the operator's pipeline directly on the tiny frame
+    val sh = docs.select($"doc_id", explode(TextOps.shingles($"text")).as("g"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), $"da" === col("sa.doc_id"))
+      .join(sizes.as("sb"), $"db" === col("sb.doc_id"))
+      .filter(lit(8) * $"inter" >= lit(3) * (col("sa.n") + col("sb.n")))
+      .select($"da", $"db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("q95: the prefix index is strictly smaller than the full index") {
+    val sh = load(spark, dir, "documents")
+      .select($"doc_id", explode(TextOps.shingles($"text")).as("g"))
+    val df = sh.groupBy($"g").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val full = sh.count()
+    val prefix = sh.join(df, "g")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"df", $"g")))
+      .join(sizes, "doc_id")
+      .filter($"rnk" <= $"n" - expr("(3 * n + 4) div 5") + 1)
+      .count()
+    // t = 0.6 keeps ~2/5 of each doc's postings
+    assert(prefix < full * 45 / 100,
+      s"prefix index must prune the inverted index ($prefix vs $full)")
+  }
+
+  test("q94: the join exchange partitions on (key, salt), not key alone") {
+    val ev = load(spark, dir, "events")
+    val fact = ev.select($"event_id", $"user_id", $"event_type")
+    val dim = ev.groupBy($"user_id").agg(count(lit(1)).as("user_events"))
+    val joined = MiningOps.saltedJoin(
+      fact, xxhash64($"event_id"), dim, "user_id", 8)
+    joined.collect() // force AQE final plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt column must reach the physical join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"salted join must stay a shuffled join, not broadcast:\n$plan")
+    // same-key fact rows fan out: salts per hot key > 1
+    val fanout = fact
+      .withColumn("__salt", pmod(xxhash64($"event_id"), lit(8)))
+      .groupBy($"user_id").agg(countDistinct($"__salt").as("nsalts"))
+      .agg(max($"nsalts")).head().getLong(0)
+    assert(fanout > 1, "salting must spread a hot key over multiple partitions")
+  }
+}

@@ -86,4 +86,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(r == 50L * 122 * 100) // the loud half-frame wins
   }
+
+  test("GVID container roundtrips frames and rejects a corrupt magic") {
+    val frames = Array(
+      Array[Byte](1, 2, 3),
+      Array.emptyByteArray,
+      Array.tabulate(200)(i => (i % 127).toByte))
+    val enc = MultimodalOps.encodeVideo(frames)
+    assert(new String(enc.take(4), "US-ASCII") == "GVID")
+    val dec = MultimodalOps.decodeVideo(enc)
+    assert(dec.length == 3)
+    assert(dec.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    val corrupt = enc.clone(); corrupt(0) = 'X'.toByte
+    intercept[IllegalArgumentException](MultimodalOps.decodeVideo(corrupt))
+    // a frame length overrunning the container fails loudly too
+    val truncated = enc.take(enc.length - 1)
+    intercept[IllegalArgumentException](MultimodalOps.decodeVideo(truncated))
+  }
+
+  test("q96: sampled-frame stats come from decoded pixels of real PNG frames") {
+    import spark.implicits._
+    // controlled text: 3 frames of 64 chars + a 10-char tail = 4 frames;
+    // sampled frames 0 and 2 → luminance = codes in [0,64) ∪ [128,192)
+    val text = ("a" * 64) + ("b" * 64) + ("c" * 64) + ("d" * 10)
+    val bytes = text.getBytes("US-ASCII")
+    val video = MultimodalOps.encodeVideo(
+      bytes.grouped(MultimodalOps.VideoFrameChars)
+        .map(seg => MultimodalOps.encodePng(seg)._1).toArray)
+    val frames = MultimodalOps.decodeVideo(video)
+    assert(frames.length == 4)
+    // frame 0 decodes to the 'a' run: 64 chars → 16×4 pixels, sum 64·97
+    val px0 = MultimodalOps.decodePixels(frames(0))
+    assert(px0.length == 64 && px0.sum == 64 * 'a'.toInt)
+    // frame 3 (tail): 10 chars → one 16-wide zero-padded row
+    val px3 = MultimodalOps.decodePixels(frames(3))
+    assert(px3.length == 16 && px3.sum == 10 * 'd'.toInt)
+    // sampled = frames 0,2: pixel counts 64+64, lum 64·'a'+64·'c'
+    val sampledLum = Seq(0, 2).map(f => MultimodalOps.decodePixels(frames(f)).sum).sum
+    assert(sampledLum == 64 * 'a'.toInt + 64 * 'c'.toInt)
+  }
 }
