@@ -137,6 +137,11 @@ object SparkEntry {
     "q94_salted_join" -> (MiningOps.q94SaltedJoin _),
     "q95_prefix_filter_join" -> (MiningOps.q95PrefixFilterJoin _),
     "q96_video_frames" -> (MultimodalOps.q96VideoFrames _),
+    // wide-table pivot, Markov transitions, retention cohorts, ordinal trim
+    "q97_pivot_events" -> (MiningOps.q97PivotEvents _),
+    "q98_session_transitions" -> (MiningOps.q98SessionTransitions _),
+    "q99_retention_cohorts" -> (MiningOps.q99RetentionCohorts _),
+    "q100_quality_trim" -> (MiningOps.q100QualityTrim _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -192,6 +192,89 @@ object MiningOps {
         expr("(inter * 1000000) div (na + nb - inter)").as("jac_ppm"))
   }
 
+  // ---------------------------------------------------------------- q97
+
+  private val EventTypes = Seq("view", "click", "purchase", "signup", "error")
+
+  /** Pivot: per-user event counts spread into one column per event type —
+    * the wide-table reshape. The type list is EXPLICIT (`pivot(col,
+    * values)`): with it the pivot is a single groupBy with conditional
+    * aggregates (one shuffle, map-side combinable); without it Spark
+    * first runs a distinct-values job and the pipeline gains a blocking
+    * pass over the input — never acceptable at 100 TB. */
+  def q97PivotEvents(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select($"user_id" +: EventTypes.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+
+  // ---------------------------------------------------------------- q98
+
+  /** Session-transition (Markov) matrix: for each consecutive event pair
+    * in a user's timeline, count from→to transitions and each row's
+    * share of its from-state mass. `lead` over the (user, time) window
+    * — unique event_id tie-break makes the sequence engine-deterministic
+    * — then a 25-row aggregate; the share is computed with a window over
+    * the AGGREGATED matrix (25 rows), never the raw events. */
+  def q98SessionTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val m = load(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("next", lead($"event_type", 1).over(byUser))
+      .filter($"next".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    m.withColumn("from_total", sum($"n").over(Window.partitionBy($"from_type")))
+      .select($"from_type", $"to_type", $"n",
+        expr("(n * 1000000) div from_total").as("share_ppm"))
+  }
+
+  // ---------------------------------------------------------------- q99
+
+  /** Retention cohorts: users grouped by first-seen day, counted on each
+    * later active day — the engagement matrix behind every "day-N
+    * retention" metric. Two aggregates on user_id (first-seen reuses the
+    * distinct-activity exchange) + one date-offset aggregate; everything
+    * is dates and day arithmetic, so the gate is exact. */
+  def q99RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val act = load(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("d"))
+      .distinct()
+    val first = act.groupBy($"user_id").agg(min($"d").as("cohort"))
+    act.join(first, "user_id")
+      .groupBy(
+        $"cohort".cast("string").as("cohort_day"),
+        datediff($"d", $"cohort").cast("long").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- q100
+
+  /** Rank-based per-source length trim: drop each source's bottom and
+    * top decile by token count — the outlier trim of a curation funnel,
+    * expressed ORDINALLY (row_number vs n div 10 cutoffs, doc_id
+    * tie-break) so both engines cut exactly the same rows; value-based
+    * percentile cuts are float-fragile at ties. One key-local window +
+    * one aggregate. */
+  def q100QualityTrim(s: SparkSession, dir: String): DataFrame = {
+    val bySource = Window.partitionBy($"source")
+    val w = bySource.orderBy($"n_tok", $"doc_id")
+    load(s, dir, "documents")
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("n_tok"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(bySource))
+      .withColumn("keep", $"rk" > expr("n div 10") && $"rk" <= $"n" - expr("n div 10"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_in"),
+        count(when($"keep", 1)).as("n_kept"),
+        min(when($"keep", $"n_tok")).as("min_kept_tok"),
+        max(when($"keep", $"n_tok")).as("max_kept_tok"),
+        coalesce(sum(when($"keep", $"n_tok")), lit(0L)).as("tokens_kept"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   val oracles: Map[String, String] = Map(
@@ -252,6 +335,46 @@ object MiningOps {
         |SELECT da AS doc_a, db AS doc_b, CAST(inter AS BIGINT) AS inter,
         |  CAST((inter * 1000000) // (sa.n + sb.n - inter) AS BIGINT) AS jac_ppm
         |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
-        |WHERE 8 * inter >= 3 * (sa.n + sb.n)""".stripMargin
+        |WHERE 8 * inter >= 3 * (sa.n + sb.n)""".stripMargin,
+    "q97_pivot_events" ->
+      """SELECT user_id,
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+        |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY 1""".stripMargin,
+    "q98_session_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |nx AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+        |  FROM e),
+        |m AS (SELECT from_type, to_type, count(*) AS n FROM nx
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS share_ppm
+        |FROM m""".stripMargin,
+    "q99_retention_cohorts" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |first AS (SELECT user_id, min(d) AS cohort FROM act GROUP BY 1)
+        |SELECT CAST(cohort AS VARCHAR) AS cohort_day,
+        |  CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM act JOIN first USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "q100_quality_trim" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  len(string_split(text, ' ')) AS n_tok FROM documents),
+        |r AS (SELECT doc_id, source, n_tok,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY source) AS n FROM d),
+        |k AS (SELECT source, n_tok,
+        |  (rk > n // 10 AND rk <= n - n // 10) AS keep FROM r)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_in,
+        |  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+        |  CAST(min(CASE WHEN keep THEN n_tok END) AS BIGINT) AS min_kept_tok,
+        |  CAST(max(CASE WHEN keep THEN n_tok END) AS BIGINT) AS max_kept_tok,
+        |  CAST(coalesce(sum(CASE WHEN keep THEN n_tok END), 0) AS BIGINT) AS tokens_kept
+        |FROM k GROUP BY 1""".stripMargin
   )
 }

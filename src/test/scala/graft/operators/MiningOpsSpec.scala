@@ -191,6 +191,80 @@ class MiningOpsSpec extends AnyFunSuite {
       s"prefix index must prune the inverted index ($prefix vs $full)")
   }
 
+  // --------------------------------------------------------- q97-q100
+
+  test("q97: pivot columns conserve the per-user event total") {
+    val out = MiningOps.q97PivotEvents(spark, dir)
+    val totals = out.select($"user_id",
+      ($"n_view" + $"n_click" + $"n_purchase" + $"n_signup" + $"n_error").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = load(spark, dir, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(totals == expected)
+  }
+
+  test("q97: pivot with explicit values schedules no eager distinct-values job") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    // in-memory frame: isolates pivot behavior from parquet listing jobs
+    val ev = Seq((1L, "view"), (1L, "click"), (2L, "view"))
+      .toDF("user_id", "event_type")
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // the q97 shape: explicit values — building + optimizing runs no job
+      val q = ev.groupBy($"user_id")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+      q.queryExecution.optimizedPlan
+      Thread.sleep(200) // let any eager job's start event drain to listeners
+      val withValues = jobs.get()
+      // the anti-shape: no values list — Spark eagerly collects the
+      // distinct pivot values DURING construction, a blocking pass
+      // never acceptable at scale
+      ev.groupBy($"user_id").pivot("event_type").agg(count(lit(1)))
+      Thread.sleep(200)
+      val without = jobs.get()
+      assert(withValues == 0,
+        "explicit pivot values must keep plan construction job-free")
+      assert(without > withValues,
+        "omitting the values list must cost an eager distinct-values job")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("q98: transition matrix row mass sums to the from-state total") {
+    val m = MiningOps.q98SessionTransitions(spark, dir).collect()
+    assert(m.nonEmpty)
+    // per from_type, share_ppm sums to ~1e6 (integer div truncation only)
+    m.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val total = rows.map(_.getAs[Long]("share_ppm")).sum
+      assert(total <= 1000000L && total > 1000000L - rows.length,
+        s"share_ppm must partition the from-state mass, got $total")
+    }
+  }
+
+  test("q99: cohort counts at offset 0 cover every user exactly once") {
+    val out = MiningOps.q99RetentionCohorts(spark, dir).collect()
+    val day0 = out.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    val nUsers = load(spark, dir, "events")
+      .select($"user_id").distinct().count()
+    assert(day0 == nUsers, "every user appears in their own cohort at offset 0")
+    out.foreach(r => assert(r.getLong(1) >= 0L, "offsets are never negative"))
+  }
+
+  test("q100: trim keeps the ordinal middle and conserves bounds") {
+    val out = MiningOps.q100QualityTrim(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nIn, nKept) = (r.getAs[Long]("n_in"), r.getAs[Long]("n_kept"))
+      assert(nKept == nIn - 2 * (nIn / 10), "exactly n div 10 cut from each tail")
+      assert(r.getAs[Long]("min_kept_tok") <= r.getAs[Long]("max_kept_tok"))
+    }
+  }
+
   test("q94: the join exchange partitions on (key, salt), not key alone") {
     val ev = load(spark, dir, "events")
     val fact = ev.select($"event_id", $"user_id", $"event_type")
