@@ -15,13 +15,21 @@ object PlanAudit {
     for ((name, df) <- Seq(
       "q73" -> graft.operators.TextOps.q73SurvivorSelect(spark, dir),
       "q75" -> graft.operators.TextOps.q75SourceDivergence(spark, dir),
-      "q67" -> graft.operators.TextOps.q67BloomDecontaminate(spark, dir))) {
+      "q67" -> graft.operators.TextOps.q67BloomDecontaminate(spark, dir),
+      "q91" -> graft.operators.MiningOps.q91Winnowing(spark, dir),
+      "q92" -> graft.operators.MiningOps.q92EventFunnel(spark, dir),
+      "q93" -> graft.operators.MiningOps.q93TrailingActivity(spark, dir),
+      "q95" -> graft.operators.MiningOps.q95PrefixFilterJoin(spark, dir),
+      "q98" -> graft.operators.MiningOps.q98SessionTransitions(spark, dir),
+      "q99" -> graft.operators.MiningOps.q99RetentionCohorts(spark, dir),
+      "q100" -> graft.operators.MiningOps.q100QualityTrim(spark, dir))) {
       df.collect()
       val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       val ex = "Exchange hashpartitioning".r.findAllIn(p).size
       val bc = "BroadcastHashJoin".r.findAllIn(p).size
       val smj = "SortMergeJoin".r.findAllIn(p).size
-      println(s"[$name] exchanges=$ex broadcastJoins=$bc sortMergeJoins=$smj")
+      val ru = "ReusedExchange".r.findAllIn(p).size
+      println(s"[$name] exchanges=$ex broadcastJoins=$bc sortMergeJoins=$smj reused=$ru")
     }
     spark.stop()
   }

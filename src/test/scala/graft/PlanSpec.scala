@@ -193,4 +193,30 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
     assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges:\n" + p)
   }
+
+  test("trailing range window and ordinal trim shuffle exactly once on their key") {
+    for (df <- Seq(
+        graft.operators.MiningOps.q93TrailingActivity(spark, dir),
+        graft.operators.MiningOps.q100QualityTrim(spark, dir))) {
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+      // the window's key-local exchange must be REUSED by everything
+      // downstream (q100's per-source agg rides the window's partitioning)
+      assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges:\n$finalPlan")
+    }
+  }
+
+  test("prefix-filter join shingles once: the repartition exchange is reused") {
+    val df = graft.operators.MiningOps.q95PrefixFilterJoin(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // one shingle pass feeds df-counts, sizes, prefix ranks, and both
+    // verify probes — without reuse the explode+shingle HOF re-runs
+    // per consumer (the q23 discipline)
+    val reused = "ReusedExchange".r.findAllIn(finalPlan).size
+    assert(reused >= 4, s"expected >=4 reused exchanges, saw $reused:\n$finalPlan")
+  }
 }
