@@ -142,6 +142,10 @@ object SparkEntry {
     "q98_session_transitions" -> (MiningOps.q98SessionTransitions _),
     "q99_retention_cohorts" -> (MiningOps.q99RetentionCohorts _),
     "q100_quality_trim" -> (MiningOps.q100QualityTrim _),
+    // reshape + set ops + time-series resample
+    "q101_unpivot_events" -> (MiningOps.q101UnpivotEvents _),
+    "q102_audience_set_ops" -> (MiningOps.q102AudienceSetOps _),
+    "q103_gap_fill" -> (MiningOps.q103GapFill _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

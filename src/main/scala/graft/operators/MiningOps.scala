@@ -275,6 +275,61 @@ object MiningOps {
         coalesce(sum(when($"keep", $"n_tok")), lit(0L)).as("tokens_kept"))
   }
 
+  // ---------------------------------------------------------------- q101
+
+  /** Unpivot (melt): the wide per-user event matrix back to long form —
+    * the reshape that turns column-per-metric exports into the
+    * row-per-fact layout the rest of the engine joins on. Spark's
+    * native `unpivot` is a Generate-style fan-out (pure map side, no
+    * shuffle beyond q97's aggregate); zero rows are dropped so the long
+    * form carries exactly the observed mass. */
+  def q101UnpivotEvents(s: SparkSession, dir: String): DataFrame =
+    q97PivotEvents(s, dir)
+      .unpivot(
+        Array($"user_id"),
+        EventTypes.map(t => col(s"n_$t")).toArray,
+        "event_type", "n")
+      .filter($"n" > 0)
+
+  // ---------------------------------------------------------------- q102
+
+  /** Relational set ops on behavior segments: users who viewed but never
+    * purchased (EXCEPT) vs users who did both (INTERSECT) — the audience
+    * segmentation shape. Both are distinct set operators; Spark plans
+    * them as key-partitioned aggregates/joins, so at 100 TB they shuffle
+    * once on user_id like any groupBy. */
+  def q102AudienceSetOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    def users(t: String) = ev.filter($"event_type" === t).select($"user_id")
+    val viewers = users("view")
+    val buyers = users("purchase")
+    viewers.intersect(buyers).withColumn("segment", lit("view_and_buy"))
+      .unionByName(
+        viewers.except(buyers).withColumn("segment", lit("view_no_buy")))
+      .select($"segment", $"user_id")
+  }
+
+  // ---------------------------------------------------------------- q103
+
+  /** Time-series gap-fill: per-user daily event counts with missing days
+    * zero-filled across each user's [first, last] activity span — the
+    * resample step before any rolling/trend computation (a gap is DATA,
+    * not absence, once windows slide over it). `sequence(d0, d1)`
+    * generates the calendar key-locally (no calendar-table cross join),
+    * and the left join back to observed counts rides the same user
+    * partitioning. */
+  def q103GapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = load(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("d"))
+      .groupBy($"user_id", $"d").agg(count(lit(1)).as("n"))
+    val days = daily.groupBy($"user_id")
+      .agg(min($"d").as("d0"), max($"d").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("d"))
+    days.join(daily, Seq("user_id", "d"), "left")
+      .select($"user_id", $"d".cast("string").as("day"),
+        coalesce($"n", lit(0L)).as("n_events"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   val oracles: Map[String, String] = Map(
@@ -375,6 +430,31 @@ object MiningOps {
         |  CAST(min(CASE WHEN keep THEN n_tok END) AS BIGINT) AS min_kept_tok,
         |  CAST(max(CASE WHEN keep THEN n_tok END) AS BIGINT) AS max_kept_tok,
         |  CAST(coalesce(sum(CASE WHEN keep THEN n_tok END), 0) AS BIGINT) AS tokens_kept
-        |FROM k GROUP BY 1""".stripMargin
+        |FROM k GROUP BY 1""".stripMargin,
+    "q101_unpivot_events" ->
+      """WITH w AS (SELECT user_id, event_type AS t, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, 'n_' || t AS event_type, CAST(n AS BIGINT) AS n
+        |FROM w WHERE n > 0""".stripMargin,
+    "q102_audience_set_ops" ->
+      """SELECT 'view_and_buy' AS segment, user_id FROM
+        |  (SELECT user_id FROM events WHERE event_type = 'view'
+        |   INTERSECT
+        |   SELECT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT 'view_no_buy' AS segment, user_id FROM
+        |  (SELECT user_id FROM events WHERE event_type = 'view'
+        |   EXCEPT
+        |   SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
+    "q103_gap_fill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+        |days AS (SELECT user_id,
+        |  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM span)
+        |SELECT user_id, CAST(d AS VARCHAR) AS day,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_events
+        |FROM days LEFT JOIN daily USING (user_id, d)""".stripMargin
   )
 }

@@ -265,6 +265,45 @@ class MiningOpsSpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------------- q101-q103
+
+  test("q101: unpivot conserves the pivoted mass and inverts the reshape") {
+    val long = MiningOps.q101UnpivotEvents(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expected = load(spark, dir, "events")
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), "n_" + r.getString(1)) -> r.getLong(2)).toMap
+    assert(long == expected)
+  }
+
+  test("q102: segments are disjoint and union to the viewer set") {
+    val out = MiningOps.q102AudienceSetOps(spark, dir).collect()
+    val both = out.filter(_.getString(0) == "view_and_buy").map(_.getLong(1)).toSet
+    val only = out.filter(_.getString(0) == "view_no_buy").map(_.getLong(1)).toSet
+    assert((both intersect only).isEmpty)
+    val viewers = load(spark, dir, "events")
+      .filter($"event_type" === "view").select($"user_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert((both union only) == viewers)
+  }
+
+  test("q103: gap-fill spans are contiguous and zero days are real gaps") {
+    val rows = MiningOps.q103GapFill(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (_, rs) =>
+      val days = rs.map(_._2).sorted
+      val (d0, d1) = (java.time.LocalDate.parse(days.head),
+        java.time.LocalDate.parse(days.last))
+      assert(days.length == java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1,
+        "every calendar day in the span appears exactly once")
+      // endpoints are observed activity by construction
+      assert(rs.minBy(_._2)._3 > 0 && rs.maxBy(_._2)._3 > 0)
+    }
+    assert(rows.exists(_._3 == 0L) || byUser.forall(_._2.forall(_._3 > 0)),
+      "zero-filled rows appear whenever a span has inactive days")
+  }
+
   test("q94: the join exchange partitions on (key, salt), not key alone") {
     val ev = load(spark, dir, "events")
     val fact = ev.select($"event_id", $"user_id", $"event_type")
