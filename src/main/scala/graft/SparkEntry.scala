@@ -146,6 +146,8 @@ object SparkEntry {
     "q101_unpivot_events" -> (MiningOps.q101UnpivotEvents _),
     "q102_audience_set_ops" -> (MiningOps.q102AudienceSetOps _),
     "q103_gap_fill" -> (MiningOps.q103GapFill _),
+    // naive keyless range join, executed via the engine's rewrite rule
+    "q104_range_join_native" -> (MiningOps.q104RangeJoinNative _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

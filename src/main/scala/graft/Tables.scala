@@ -13,6 +13,7 @@ object Tables {
     // engine's native expressions available on the session (idempotent)
     graft.plans.VectorExpressions.register(spark)
     graft.plans.TopKPerKey.install(spark)
+    graft.plans.RangeJoin.install(spark)
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
   }

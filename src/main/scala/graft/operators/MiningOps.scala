@@ -330,6 +330,28 @@ object MiningOps {
         coalesce($"n", lit(0L)).as("n_events"))
   }
 
+  // ---------------------------------------------------------------- q104
+
+  /** Keyless trailing-window join, written NAIVELY: clicks by ANY user
+    * in the hour before each purchase (global campaign attribution).
+    * There is no equi conjunct, so vanilla Spark plans this as a
+    * BroadcastNestedLoopJoin — one side broadcast whole, re-scanned per
+    * row. The engine's [[graft.plans.RangeJoinRewriteRule]] rewrites it
+    * to the bucket-expansion equi-join automatically (RangeJoinSpec +
+    * PlanSpec gate the plan), so the declarative theta form is also the
+    * scalable form — the whole point of doing this in the optimizer
+    * rather than asking users to call intervalCount. */
+  def q104RangeJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val W = 3600000000L // 60 min in µs
+    val ev = load(s, dir, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", unix_micros($"ts").as("pus"))
+    val k = ev.filter($"event_type" === "click")
+      .select(unix_micros($"ts").as("cus"))
+    p.join(k, $"cus" <= $"pus" && $"cus" > $"pus" - W)
+      .groupBy($"event_id").agg(count(lit(1)).as("n_clicks"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   val oracles: Map[String, String] = Map(
@@ -455,6 +477,15 @@ object MiningOps {
         |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM span)
         |SELECT user_id, CAST(d AS VARCHAR) AS day,
         |  CAST(coalesce(n, 0) AS BIGINT) AS n_events
-        |FROM days LEFT JOIN daily USING (user_id, d)""".stripMargin
+        |FROM days LEFT JOIN daily USING (user_id, d)""".stripMargin,
+    // inner join ⇒ only purchases with >= 1 click appear (by design)
+    "q104_range_join_native" ->
+      """SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_clicks
+        |FROM events p JOIN events k
+        |  ON k.event_type = 'click'
+        |  AND epoch_us(k.ts) <= epoch_us(p.ts)
+        |  AND epoch_us(k.ts) > epoch_us(p.ts) - 3600000000
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1""".stripMargin
   )
 }

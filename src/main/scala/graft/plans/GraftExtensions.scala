@@ -46,5 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // physical operator (see TopKPerKey.scala)
     ext.injectOptimizerRule(_ => TopKRewriteRule)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // whole-operator extension: trailing-window theta join →
+    // bucket-expansion equi-join (see RangeJoin.scala)
+    ext.injectOptimizerRule(_ => RangeJoinRewriteRule)
   }
 }

@@ -219,4 +219,13 @@ class PlanSpec extends AnyFunSuite {
     val reused = "ReusedExchange".r.findAllIn(finalPlan).size
     assert(reused >= 4, s"expected >=4 reused exchanges, saw $reused:\n$finalPlan")
   }
+
+  test("keyless range join is rewritten off the nested-loop path") {
+    val df = graft.operators.MiningOps.q104RangeJoinNative(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a nested loop:\n$p")
+    assert(p.contains("__gr_bucket"), s"range-join rewrite did not fire:\n$p")
+  }
 }
