@@ -148,6 +148,12 @@ object SparkEntry {
     "q103_gap_fill" -> (MiningOps.q103GapFill _),
     // naive keyless range join, executed via the engine's rewrite rule
     "q104_range_join_native" -> (MiningOps.q104RangeJoinNative _),
+    // session-path mining, integer z-score anomaly detection, corpus
+    // novelty attribution, iterative graph centrality
+    "q105_session_paths" -> (InsightOps.q105SessionPaths _),
+    "q106_hourly_anomaly" -> (InsightOps.q106HourlyAnomaly _),
+    "q107_shingle_novelty" -> (InsightOps.q107ShingleNovelty _),
+    "q108_pagerank" -> (InsightOps.q108Pagerank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -156,5 +162,5 @@ object SparkEntry {
     RelationalOps.oracles ++ VectorOps.oracles ++ TextOps.oracles ++
       MultimodalOps.oracles ++ CubeOps.oracles ++ AstroOps.oracles ++
       graft.streaming.EventStream.oracles ++ MiscOps.oracles ++ AsofOps.oracles ++
-      CurationOps.oracles ++ MiningOps.oracles
+      CurationOps.oracles ++ MiningOps.oracles ++ InsightOps.oracles
 }

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.syntax._
+
+/** Fourth analytics batch: session-path mining, statistical anomaly
+  * detection over time buckets, corpus novelty attribution, and
+  * iterative graph centrality. Same discipline as the earlier batches:
+  * codegen'd built-ins over key-partitioned shuffles, no UDFs, and every
+  * cross-engine-gated value computed in exact integer / string space so
+  * the DuckDB oracle matches bit-for-bit.
+  */
+object InsightOps {
+
+  // --------------------------------------------------------------- q105
+
+  /** Top user journey prefixes: each user's first 3 events (event-time
+    * order, event_id tie-break) concatenated into a path string, then
+    * the 10 most common paths. The path assembly is a key-local window
+    * (shuffles once on user_id); `collect_list` order is made
+    * deterministic by sorting the collected (rn, type) structs, so no
+    * global sort exists anywhere — the top-10 is a TakeOrdered, not a
+    * full orderBy, and the path-count aggregate gets map-side combine.
+    * At 100 TB the same plan holds: paths are bounded (3 events), the
+    * distinct-path key space is tiny vs the event count. */
+  /** Core on any (user_id, event_id, event_type, ts) frame. */
+  def sessionPaths(events: DataFrame, prefixLen: Int, topK: Int): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val paths = events
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("rn", row_number().over(byUser))
+      .filter($"rn" <= prefixLen)
+      .groupBy($"user_id")
+      .agg(concat_ws(">",
+        transform(array_sort(collect_list(struct($"rn", $"event_type"))),
+          x => x.getField("event_type"))).as("path"))
+    paths.groupBy($"path").agg(count(lit(1)).as("n_users"))
+      .orderBy($"n_users".desc, $"path")
+      .limit(topK)
+  }
+
+  def q105SessionPaths(s: SparkSession, dir: String): DataFrame =
+    sessionPaths(load(s, dir, "events"), prefixLen = 3, topK = 10)
+
+  // --------------------------------------------------------------- q106
+
+  /** Hourly traffic-spike detection per event type: flag hours whose
+    * count exceeds the type's mean by 2σ, with the test computed in
+    * EXACT integer space — (n·c − S)² > 4·(n·Σc² − S²) is the 2σ
+    * z-test cleared of divisions, so both engines compare identical
+    * Longs (a float σ would be summation-order fragile). Two aggregate
+    * levels (hour×type counts → per-type moments) and a broadcast join
+    * back; the moments side has one row per event type. Long bound:
+    * valid while n_hours · max_hourly_count < ~3·10⁹ — at larger scale
+    * widen to decimal(38,0) (both engines are exact there too). */
+  /** Core on any (ts, event_type) frame; k is the σ multiplier. */
+  def hourlyAnomaly(events: DataFrame, k: Long): DataFrame = {
+    val hourly = events
+      .groupBy(
+        date_format($"ts", "yyyy-MM-dd HH:00:00").as("hour"),
+        $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"n_events").as("s"),
+        sum($"n_events" * $"n_events").as("sq"))
+    hourly.join(broadcast(stats), "event_type")
+      .filter($"n" * $"n_events" > $"s" &&
+        ($"n" * $"n_events" - $"s") * ($"n" * $"n_events" - $"s") >
+          lit(k * k) * ($"n" * $"sq" - $"s" * $"s"))
+      .select($"event_type", $"hour", $"n_events")
+  }
+
+  def q106HourlyAnomaly(s: SparkSession, dir: String): DataFrame =
+    hourlyAnomaly(load(s, dir, "events"), k = 2)
+
+  // --------------------------------------------------------------- q107
+
+  /** Corpus novelty attribution: per document, the fraction (ppm) of its
+    * distinct word-3-gram shingles that FIRST appear in that document
+    * (min doc_id owns the shingle) — the "what does each new crawl add"
+    * measure behind incremental-ingest dedup budgeting. One shuffle on
+    * the shingle key (min-aggregate + join back, both on the same key,
+    * so the exchange is reused), then a per-doc aggregate; no pair
+    * joins, scales as a linear scan of the shingle postings. */
+  /** Core on any (doc_id, text) frame. */
+  def shingleNovelty(docs: DataFrame): DataFrame = {
+    val g = docs
+      .select($"doc_id", explode(TextOps.shingles($"text")).as("g"))
+    val first = g.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+    g.join(first, "g")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when($"first_doc" === $"doc_id", 1)).as("n_novel"))
+      .select($"doc_id".cast("long").as("doc_id"), $"n_shingles", $"n_novel",
+        expr("(n_novel * 1000000) div n_shingles").as("novel_ppm"))
+  }
+
+  def q107ShingleNovelty(s: SparkSession, dir: String): DataFrame =
+    shingleNovelty(load(s, dir, "documents"))
+
+  // --------------------------------------------------------------- q108
+
+  /** Weighted PageRank (2 iterations, damping 0.85) over the event-type
+    * transition graph — iterative graph centrality as join + aggregate,
+    * the distributed PageRank shape: each round shuffles edge
+    * contributions on the destination key and joins ranks on the source
+    * key. Ranks are integer-scaled ppm with per-term floor division
+    * ((850000·r·n) div (10⁶·out)), so Σ of terms is order-independent
+    * and the gate is exact. Nodes without in-edges drop out after one
+    * round, matching the SQL twin's inner joins. At real graph scale the
+    * same loop runs with ranks checkpointed per round; 2 rounds keeps
+    * the lineage trivially short here. */
+  /** Core on any weighted edge list (u, v, n: Long). */
+  def pagerank(ed: DataFrame, iters: Int): DataFrame = {
+    val outd = ed.groupBy($"u").agg(sum($"n").as("outn"))
+    val contrib = ed.join(outd, "u")
+    var ranks = ed.select($"v".as("node")).union(ed.select($"u".as("node")))
+      .distinct()
+      .select($"node", lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = contrib.join(ranks.withColumnRenamed("node", "u"), "u")
+        .select($"v", expr("(850000 * r * n) div (1000000 * outn)").as("t"))
+        .groupBy($"v".as("node"))
+        .agg((lit(150000L) + sum($"t")).as("r"))
+    }
+    ranks.select($"node", $"r".as("rank_scaled"))
+  }
+
+  def q108Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val ed = load(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("next", lead($"event_type", 1).over(byUser))
+      .filter($"next".isNotNull)
+      .groupBy($"event_type".as("u"), $"next".as("v"))
+      .agg(count(lit(1)).as("n"))
+    pagerank(ed, iters = 2)
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q105_session_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY 1)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p
+        |GROUP BY 1 ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
+    "q106_hourly_anomaly" ->
+      """WITH h AS (SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1,2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  sum(n_events) AS s, sum(n_events*n_events) AS sq FROM h GROUP BY 1)
+        |SELECT h.event_type, h.hour, h.n_events
+        |FROM h JOIN st USING (event_type)
+        |WHERE n*n_events > s
+        |  AND (n*n_events - s)*(n*n_events - s) > 4*(n*sq - s*s)""".stripMargin,
+    "q107_shingle_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |g AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3
+        |    THEN unnest(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        |    ELSE array_to_string(ts, ' ') END AS g
+        |  FROM t),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1)
+        |SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(count(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS BIGINT) AS n_novel,
+        |  CAST((count(CASE WHEN f.first_doc = g.doc_id THEN 1 END) * 1000000)
+        |    // count(*) AS BIGINT) AS novel_ppm
+        |FROM g JOIN f USING (g) GROUP BY 1""".stripMargin,
+    "q108_pagerank" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+        |  FROM events),
+        |ed AS (SELECT event_type AS u, next AS v, CAST(count(*) AS BIGINT) AS n
+        |  FROM e WHERE next IS NOT NULL GROUP BY 1,2),
+        |outd AS (SELECT u, sum(n) AS outn FROM ed GROUP BY 1),
+        |nodes AS (SELECT DISTINCT v AS node FROM ed UNION SELECT DISTINCT u FROM ed),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |r1 AS (SELECT v AS node,
+        |  CAST(150000 + sum((850000 * r0.r * ed.n) // (1000000 * outd.outn)) AS BIGINT) AS r
+        |  FROM ed JOIN outd USING (u) JOIN r0 ON r0.node = ed.u GROUP BY 1),
+        |r2 AS (SELECT v AS node,
+        |  CAST(150000 + sum((850000 * r1.r * ed.n) // (1000000 * outd.outn)) AS BIGINT) AS r
+        |  FROM ed JOIN outd USING (u) JOIN r1 ON r1.node = ed.u GROUP BY 1)
+        |SELECT node, r AS rank_scaled FROM r2""".stripMargin,
+  )
+}

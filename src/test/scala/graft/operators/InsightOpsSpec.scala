@@ -1,0 +1,104 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fourth analytics batch (q105-q108): path-order determinism, the
+  * planted-spike anomaly law, novelty attribution on verbatim copies,
+  * and hand-computed PageRank fixpoints.
+  */
+class InsightOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // --------------------------------------------------------------- q105
+
+  test("q105: paths follow event time with event_id tie-break, truncated to prefix") {
+    val events = Seq(
+      // user 1: b at 00:01, then ts-tie at 00:02 broken by event_id (a=5 < c=9), d beyond prefix
+      (1L, 5L, "a", ts("2024-01-01 00:02:00")),
+      (1L, 9L, "c", ts("2024-01-01 00:02:00")),
+      (1L, 2L, "b", ts("2024-01-01 00:01:00")),
+      (1L, 11L, "d", ts("2024-01-01 00:09:00")),
+      // user 2: shorter history than the prefix
+      (2L, 3L, "x", ts("2024-01-01 01:00:00")),
+      (2L, 4L, "y", ts("2024-01-01 02:00:00")),
+      // user 3: same path as user 1
+      (3L, 1L, "b", ts("2024-02-01 00:00:00")),
+      (3L, 2L, "a", ts("2024-02-02 00:00:00")),
+      (3L, 3L, "c", ts("2024-02-03 00:00:00")),
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = InsightOps.sessionPaths(events, prefixLen = 3, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("b>a>c", 2L), ("x>y", 1L)))
+  }
+
+  // --------------------------------------------------------------- q106
+
+  test("q106: a planted hourly spike is flagged; uniform traffic is not") {
+    // type "spiky": nine quiet hours of 2 events + one hour of 40; type
+    // "flat": ten hours of 2 events each. NOTE a sample of n hours can
+    // never exceed z² = n-1, so a 2σ test needs n > 5 to be able to fire
+    // at all — the quiet-hour count here is part of the law.
+    val rows = (for {
+      h <- 0 until 10
+      t <- Seq("spiky", "flat")
+      n = if (t == "spiky" && h == 9) 40 else 2
+      i <- 0 until n
+    } yield (t, ts(f"2024-03-01 0$h%d:${i % 60}%02d:00"))).toSeq
+    val events = rows.toDF("event_type", "ts")
+    val got = InsightOps.hourlyAnomaly(events, k = 2)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("spiky", "2024-03-01 09:00:00", 40L)))
+  }
+
+  // --------------------------------------------------------------- q107
+
+  test("q107: verbatim copies have zero novelty; the first occurrence owns it") {
+    val docs = Seq(
+      (0L, "a b c d e"),          // 3 shingles, all first-seen here
+      (1L, "a b c d e"),          // exact copy -> 0 novel
+      (2L, "a b c x y z"),        // shares "a b c" only -> 3 of 4 novel
+    ).toDF("doc_id", "text")
+    val got = InsightOps.shingleNovelty(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 3L, 3L, 1000000L),
+      (1L, 3L, 0L, 0L),
+      (2L, 4L, 3L, 750000L)))
+  }
+
+  // --------------------------------------------------------------- q108
+
+  test("q108: hand-computed integer ranks on a 3-node star") {
+    // a->b, a->c, b->a, c->a (unit weights): out(a)=2, out(b)=out(c)=1
+    val ed = Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+      .toDF("u", "v", "n")
+    // r1(b)=r1(c)=150000+850000*1000000//2000000 = 575000
+    // r1(a)=150000+2*850000 = 1850000
+    // r2(b)=r2(c)=150000+(850000*1850000)//2000000 = 936250
+    // r2(a)=150000+2*((850000*575000)//1000000) = 1127500
+    val got = InsightOps.pagerank(ed, iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 1127500L, "b" -> 936250L, "c" -> 936250L))
+  }
+
+  test("q108: a symmetric 2-cycle is a fixpoint at 1000000") {
+    val ed = Seq(("a", "b", 3L), ("b", "a", 3L)).toDF("u", "v", "n")
+    val got = InsightOps.pagerank(ed, iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 1000000L, "b" -> 1000000L))
+  }
+}
