@@ -228,4 +228,26 @@ class PlanSpec extends AnyFunSuite {
       s"range join fell back to a nested loop:\n$p")
     assert(p.contains("__gr_bucket"), s"range-join rewrite did not fire:\n$p")
   }
+
+  test("q105 paths: top-k is TakeOrdered and the prefix cut rides the window sort") {
+    val p = plan(graft.operators.InsightOps.q105SessionPaths(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // rn <= 3 must push into the per-user sort as a group limit — at
+    // corpus scale this keeps 3 rows/user instead of whole histories
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q106 anomaly: the 5-row moments side is broadcast, not shuffled") {
+    val p = plan(graft.operators.InsightOps.q106HourlyAnomaly(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q107 novelty: the shingle explode runs once per join side, no more") {
+    val p = plan(graft.operators.InsightOps.q107ShingleNovelty(spark, dir))
+    // one Generate per consumer (postings + first-occurrence agg); a
+    // third would mean the HOF re-evaluated behind a lost exchange
+    val generates = "Generate explode".r.findAllIn(p).size
+    assert(generates == 2, s"expected 2 shingle explodes, saw $generates:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
