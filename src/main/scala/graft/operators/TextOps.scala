@@ -767,7 +767,15 @@ object TextOps {
     * ONCE via the single-element-array wrap — higher-order functions
     * re-evaluate plain argument expressions per lambda element, so an
     * unbound `xxhash64(tok)` would hash 64× per token. */
-  def simhash(c: Column, nBits: Int = 64): Column =
+  def simhash(c: Column): Column = call_function("simhash64", c)
+
+  /** The higher-order-function SimHash — superseded by the native
+    * codegen kernel ([[graft.plans.SimHashKernel]], what [[simhash]]
+    * now calls) but kept as its independent semantic twin: TextOpsSpec
+    * pins `simhashHof == simhash` over the full testdata corpus, so
+    * the regression literals in the q27/q63 oracles are protected by
+    * two implementations that would have to break identically. */
+  def simhashHof(c: Column, nBits: Int = 64): Column =
     aggregate(
       toks(c),
       array_repeat(lit(0), nBits),

@@ -202,6 +202,8 @@ object VectorExpressions {
         exprs => ArrayCosineExpr(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("vec_nanl1",
         exprs => ArrayNanL1Expr(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("simhash64",
+        exprs => SimHash64Expr(exprs(0)), "scala_udf")
     }
   }
 }

@@ -17,6 +17,26 @@ class TextOpsSpec extends AnyFunSuite {
 
   val dir = "/root/testdata/sf0.001"
 
+  test("native simhash64 equals the HOF twin over the whole corpus") {
+    import spark.implicits._
+    // the q27/q63 oracles pin corpus-profile literals computed from the
+    // fingerprint; the native codegen kernel must be bit-identical to
+    // the independent higher-order-function formulation on every doc —
+    // including null-handling and empty/whitespace token edges
+    val docs = load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+      .unionByName(Seq(
+        (90001L, ""), (90002L, " "), (90003L, "one"),
+        (90004L, "a  b")).toDF("doc_id", "text"))
+    val mismatch = docs
+      .select($"doc_id",
+        TextOps.simhash($"text").as("native"),
+        TextOps.simhashHof($"text").cast("long").as("hof"))
+      .filter($"native" =!= $"hof" || $"native".isNull =!= $"hof".isNull)
+      .count()
+    assert(mismatch == 0L)
+  }
+
   test("approx token percentiles hit the exact rank on testdata groups") {
     import spark.implicits._
     // the sketch guarantee is on RANK, not value: at accuracy 10⁴ the
