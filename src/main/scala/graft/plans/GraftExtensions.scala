@@ -42,6 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ArrayCosineExpr(exprs(0), exprs(1))))
     ext.injectFunction(fn("vec_nanl1", classOf[ArrayNanL1Expr],
       exprs => ArrayNanL1Expr(exprs(0), exprs(1))))
+    ext.injectFunction(fn("simhash64", classOf[SimHash64Expr],
+      exprs => SimHash64Expr(exprs.head)))
     // whole-operator extension: filtered-row_number top-k → bounded-heap
     // physical operator (see TopKPerKey.scala)
     ext.injectOptimizerRule(_ => TopKRewriteRule)

@@ -32,5 +32,9 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getFloat(0)
     assert((java.lang.Float.floatToIntBits(fc) & 0x1fff) == 0)
     assert(math.abs(fc / 1.2345678f - 1) < 0.001)
+
+    val sh = spark.sql("SELECT simhash64('a b c') AS s, simhash64('a b c') AS t").head()
+    assert(sh.getLong(0) == sh.getLong(1))
+    assert(sh.getLong(0) != 0L)
   }
 }
