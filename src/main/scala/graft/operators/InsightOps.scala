@@ -103,6 +103,44 @@ object InsightOps {
   def q107ShingleNovelty(s: SparkSession, dir: String): DataFrame =
     shingleNovelty(load(s, dir, "documents"))
 
+  /** The stored first-occurrence artifact behind [[shingleNovelty]]:
+    * one (shingle, first_doc) row per distinct shingle. Persist as
+    * plain parquet; at corpus scale this is the index an incremental
+    * ingest probes instead of re-scanning history. */
+  def noveltyIndex(docs: DataFrame): DataFrame =
+    docs.select($"doc_id", explode(TextOps.shingles($"text")).as("g"))
+      .groupBy($"g").agg(min($"doc_id").as("first_doc"))
+
+  /** Incremental novelty: the [[shingleNovelty]] rows for an APPENDED
+    * batch, computed against the stored index instead of the full
+    * corpus — work scales with the batch, not history. Requires the
+    * append invariant the artifact encodes (batch doc_ids > every
+    * indexed doc_id); the full-rebuild law
+    * `shingleNovelty(old ∪ batch) ↾ batch = incrementalNovelty(batch,
+    * noveltyIndex(old))` is pinned in InsightOpsSpec. A shingle is
+    * novel iff it is absent from the index AND first-owned within the
+    * batch (both sides ride the same shingle-key shuffle). */
+  def incrementalNovelty(newDocs: DataFrame, index: DataFrame): DataFrame = {
+    val g = newDocs.select($"doc_id", explode(TextOps.shingles($"text")).as("g"))
+    val batchFirst = g.groupBy($"g").agg(min($"doc_id").as("batch_first"))
+    g.join(batchFirst, "g")
+      .join(index.select($"g", $"first_doc".as("old_first")), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when($"old_first".isNull && $"batch_first" === $"doc_id", 1))
+          .as("n_novel"))
+      .select($"doc_id".cast("long").as("doc_id"), $"n_shingles", $"n_novel",
+        expr("(n_novel * 1000000) div n_shingles").as("novel_ppm"))
+  }
+
+  /** Artifact maintenance: merge a batch into the stored index (min
+    * wins, so re-merging is idempotent). Append-shaped: one union +
+    * one min-aggregate on the shingle key. */
+  def updatedNoveltyIndex(index: DataFrame, newDocs: DataFrame): DataFrame =
+    index.unionByName(noveltyIndex(newDocs))
+      .groupBy($"g").agg(min($"first_doc").as("first_doc"))
+
   // --------------------------------------------------------------- q108
 
   /** Weighted PageRank (2 iterations, damping 0.85) over the event-type

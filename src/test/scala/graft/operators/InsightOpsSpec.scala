@@ -80,6 +80,24 @@ class InsightOpsSpec extends AnyFunSuite {
       (2L, 4L, 3L, 750000L)))
   }
 
+  test("q107 incremental: batch novelty against the stored index == full rebuild") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val old = docs.filter($"doc_id" < 300)
+    val batch = docs.filter($"doc_id" >= 300)
+    val full = InsightOps.shingleNovelty(docs)
+      .filter($"doc_id" >= 300)
+      .orderBy($"doc_id").collect().toSeq
+    val inc = InsightOps.incrementalNovelty(batch, InsightOps.noveltyIndex(old))
+      .orderBy($"doc_id").collect().toSeq
+    assert(inc === full)
+    // artifact maintenance: merged index == index built from everything
+    val merged = InsightOps.updatedNoveltyIndex(InsightOps.noveltyIndex(old), batch)
+      .orderBy($"g").collect().toSeq
+    val rebuilt = InsightOps.noveltyIndex(docs).orderBy($"g").collect().toSeq
+    assert(merged === rebuilt)
+  }
+
   // --------------------------------------------------------------- q108
 
   test("q108: hand-computed integer ranks on a 3-node star") {
