@@ -154,6 +154,9 @@ object SparkEntry {
     "q106_hourly_anomaly" -> (InsightOps.q106HourlyAnomaly _),
     "q107_shingle_novelty" -> (InsightOps.q107ShingleNovelty _),
     "q108_pagerank" -> (InsightOps.q108Pagerank _),
+    // market-basket co-occurrence and gaps-and-islands streaks
+    "q109_itemset_pairs" -> (InsightOps.q109ItemsetPairs _),
+    "q110_activity_streaks" -> (InsightOps.q110ActivityStreaks _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -180,6 +180,57 @@ object InsightOps {
     pagerank(ed, iters = 2)
   }
 
+  // --------------------------------------------------------------- q109
+
+  /** Market-basket co-occurrence: support of event-type PAIRS within a
+    * (user, day) basket — the frequent-itemset primitive behind
+    * "users who do A also do B". The self-join keys on the basket id
+    * (user, day), so it is key-local and its fan-out is bounded by the
+    * per-basket item count (≤ |event types|, distinct-deduped), never
+    * corpus-quadratic; basket totals broadcast back for the ppm. */
+  def itemsetPairs(events: DataFrame): DataFrame = {
+    val b = events
+      .select($"user_id", to_date($"ts").as("d"), $"event_type")
+      .distinct()
+    val nb = b.select($"user_id", $"d").distinct()
+      .groupBy().agg(count(lit(1)).as("n_baskets"))
+    b.as("a").join(b.as("x"),
+        col("a.user_id") === col("x.user_id") && col("a.d") === col("x.d") &&
+          col("a.event_type") < col("x.event_type"))
+      .groupBy(col("a.event_type").as("item_a"), col("x.event_type").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nb))
+      .select($"item_a", $"item_b", $"support",
+        expr("(support * 1000000) div n_baskets").as("support_ppm"))
+  }
+
+  def q109ItemsetPairs(s: SparkSession, dir: String): DataFrame =
+    itemsetPairs(load(s, dir, "events"))
+
+  // --------------------------------------------------------------- q110
+
+  /** Consecutive-active-day streaks per user — the gaps-and-islands
+    * pattern: day minus its per-user rank is constant exactly along a
+    * run of consecutive days, so one key-local window + two aggregates
+    * find every streak with no self-join and no iteration. Dates are
+    * calendar-exact (no floats anywhere). */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val act = events.select($"user_id", to_date($"ts").as("d")).distinct()
+    val g = act.withColumn("grp",
+      date_sub($"d", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"d"))))
+    g.groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"), min($"d").as("run_start"))
+      .groupBy($"user_id")
+      .agg(
+        max($"len").as("longest_streak"),
+        count(lit(1)).as("n_runs"),
+        min($"run_start").cast("string").as("first_day"))
+  }
+
+  def q110ActivityStreaks(s: SparkSession, dir: String): DataFrame =
+    activityStreaks(load(s, dir, "events"))
+
   val oracles: Map[String, String] = Map(
     "q105_session_paths" ->
       """WITH r AS (SELECT user_id, event_type,
@@ -228,5 +279,30 @@ object InsightOps {
         |  CAST(150000 + sum((850000 * r1.r * ed.n) // (1000000 * outd.outn)) AS BIGINT) AS r
         |  FROM ed JOIN outd USING (u) JOIN r1 ON r1.node = ed.u GROUP BY 1)
         |SELECT node, r AS rank_scaled FROM r2""".stripMargin,
+    "q109_itemset_pairs" ->
+      """WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+        |  FROM events),
+        |n AS (SELECT count(DISTINCT (user_id, d)) AS n_baskets FROM b),
+        |p AS (SELECT a.event_type AS item_a, bb.event_type AS item_b,
+        |  count(*) AS support
+        |  FROM b a JOIN b bb ON a.user_id = bb.user_id AND a.d = bb.d
+        |    AND a.event_type < bb.event_type
+        |  GROUP BY 1,2)
+        |SELECT item_a, item_b, CAST(support AS BIGINT) AS support,
+        |  CAST((support * 1000000) // n_baskets AS BIGINT) AS support_ppm
+        |FROM p, n""".stripMargin,
+    "q110_activity_streaks" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |g AS (SELECT user_id, d,
+        |  CAST(d AS DATE) - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |    AS INTEGER) AS grp
+        |  FROM act),
+        |runs AS (SELECT user_id, grp, count(*) AS len, min(d) AS run_start
+        |  FROM g GROUP BY 1,2)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(min(run_start) AS VARCHAR) AS first_day
+        |FROM runs GROUP BY 1""".stripMargin,
   )
 }

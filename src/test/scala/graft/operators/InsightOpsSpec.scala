@@ -119,4 +119,46 @@ class InsightOpsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got === Map("a" -> 1000000L, "b" -> 1000000L))
   }
+
+  // --------------------------------------------------------------- q109
+
+  test("q109: pair support counts baskets once, repeats collapse") {
+    val events = Seq(
+      // basket (1, day1): a,b,b -> one (a,b)
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, "b", ts("2024-01-01 11:00:00")),
+      (1L, "b", ts("2024-01-01 12:00:00")),
+      // basket (1, day2): a only -> no pair
+      (1L, "a", ts("2024-01-02 10:00:00")),
+      // basket (2, day1): a,b,c -> (a,b), (a,c), (b,c)
+      (2L, "a", ts("2024-01-01 09:00:00")),
+      (2L, "b", ts("2024-01-01 09:30:00")),
+      (2L, "c", ts("2024-01-01 09:45:00")),
+    ).toDF("user_id", "event_type", "ts")
+    val got = InsightOps.itemsetPairs(events)
+      .as[(String, String, Long, Long)].collect().toSet
+    // 3 baskets total
+    assert(got === Set(
+      ("a", "b", 2L, 666666L),
+      ("a", "c", 1L, 333333L),
+      ("b", "c", 1L, 333333L)))
+  }
+
+  // --------------------------------------------------------------- q110
+
+  test("q110: streaks split exactly at calendar gaps") {
+    val events = Seq(
+      // user 1: Jan 1,2,3 then 5,6 -> longest 3, 2 runs
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-03 10:00:00")), (1L, ts("2024-01-05 10:00:00")),
+      (1L, ts("2024-01-06 23:59:59")),
+      // user 2: one day, twice -> streak 1, 1 run
+      (2L, ts("2024-02-10 08:00:00")), (2L, ts("2024-02-10 09:00:00")),
+    ).toDF("user_id", "ts")
+    val got = InsightOps.activityStreaks(events)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, 3L, 2L, "2024-01-01"),
+      (2L, 1L, 1L, "2024-02-10")))
+  }
 }
