@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -57,20 +57,26 @@ object InsightOps {
     * back; the moments side has one row per event type. Long bound:
     * valid while n_hours · max_hourly_count < ~3·10⁹ — at larger scale
     * widen to decimal(38,0) (both engines are exact there too). */
-  /** Core on any (ts, event_type) frame; k is the σ multiplier. */
-  def hourlyAnomaly(events: DataFrame, k: Long): DataFrame = {
+  /** Core on any (ts, event_type) frame; k is the σ multiplier.
+    * `widen = true` runs the z-test in decimal(38,0) — still exact, for
+    * inputs past the Long bound (n_hours · max_hourly_count ≳ 3·10⁹,
+    * i.e. planetary event volumes); the Long path is the default
+    * because it stays in codegen-primitive space. Both produce
+    * identical flags wherever both are in range (law-tested). */
+  def hourlyAnomaly(events: DataFrame, k: Long, widen: Boolean = false): DataFrame = {
+    def w(c: Column): Column = if (widen) c.cast("decimal(38,0)") else c
     val hourly = events
       .groupBy(
         date_format($"ts", "yyyy-MM-dd HH:00:00").as("hour"),
         $"event_type")
       .agg(count(lit(1)).as("n_events"))
     val stats = hourly.groupBy($"event_type")
-      .agg(count(lit(1)).as("n"), sum($"n_events").as("s"),
-        sum($"n_events" * $"n_events").as("sq"))
+      .agg(count(lit(1)).as("n"), sum(w($"n_events")).as("s"),
+        sum(w($"n_events") * w($"n_events")).as("sq"))
     hourly.join(broadcast(stats), "event_type")
-      .filter($"n" * $"n_events" > $"s" &&
-        ($"n" * $"n_events" - $"s") * ($"n" * $"n_events" - $"s") >
-          lit(k * k) * ($"n" * $"sq" - $"s" * $"s"))
+      .filter(w($"n") * w($"n_events") > $"s" &&
+        (w($"n") * w($"n_events") - $"s") * (w($"n") * w($"n_events") - $"s") >
+          w(lit(k * k)) * (w($"n") * $"sq" - $"s" * $"s"))
       .select($"event_type", $"hour", $"n_events")
   }
 

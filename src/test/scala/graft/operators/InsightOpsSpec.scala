@@ -63,6 +63,15 @@ class InsightOpsSpec extends AnyFunSuite {
     assert(got === Seq(("spiky", "2024-03-01 09:00:00", 40L)))
   }
 
+  test("q106: the decimal-widened z-test flags exactly the same hours") {
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val long = InsightOps.hourlyAnomaly(events, k = 2)
+      .orderBy("event_type", "hour").collect().toSeq
+    val dec = InsightOps.hourlyAnomaly(events, k = 2, widen = true)
+      .orderBy("event_type", "hour").collect().toSeq
+    assert(long.nonEmpty && long === dec)
+  }
+
   // --------------------------------------------------------------- q107
 
   test("q107: verbatim copies have zero novelty; the first occurrence owns it") {
