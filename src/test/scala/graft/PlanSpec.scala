@@ -242,6 +242,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q109 itemsets: the basket self-join is keyed, never a nested loop") {
+    val p = plan(graft.operators.InsightOps.q109ItemsetPairs(spark, dir))
+    // the (user, day) equi keys must reach a hash/merge join — the
+    // item_a < item_b theta conjunct alone would be a nested loop over
+    // the whole basket table. (The 1-row basket-total crossJoin is an
+    // IdentityBroadcast and exempt.)
+    assert(
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[user_id".r
+        .findFirstIn(p).isDefined,
+      s"basket join lost its equi keys:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q110 streaks: window and both aggregates ride one user_id exchange") {
+    val df = graft.operators.InsightOps.q110ActivityStreaks(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // distinct shuffles once on (user_id, d); the window and the
+    // (user_id, grp) + (user_id) aggregates are all user_id-local
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    val reused = "ReusedExchange".r.findAllIn(finalPlan).size
+    assert(exchanges - reused <= 2,
+      s"expected <=2 distinct shuffles, saw $exchanges-$reused:\n$finalPlan")
+  }
+
   test("q107 novelty: the shingle explode runs once per join side, no more") {
     val p = plan(graft.operators.InsightOps.q107ShingleNovelty(spark, dir))
     // one Generate per consumer (postings + first-occurrence agg); a
