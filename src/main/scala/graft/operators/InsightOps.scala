@@ -158,7 +158,10 @@ object InsightOps {
     * and the gate is exact. Nodes without in-edges drop out after one
     * round, matching the SQL twin's inner joins. At real graph scale the
     * same loop runs with ranks checkpointed per round; 2 rounds keeps
-    * the lineage trivially short here. */
+    * the lineage trivially short here. Long bound on the per-term
+    * product 850000·r·n: holds while rank·edge-weight < ~10¹³ (rank is
+    * ~10⁶·avg-in-degree-mass); for web-scale graphs widen the term to
+    * decimal(38,0) — floor division stays exact either way. */
   /** Core on any weighted edge list (u, v, n: Long). */
   def pagerank(ed: DataFrame, iters: Int): DataFrame = {
     val outd = ed.groupBy($"u").agg(sum($"n").as("outn"))
@@ -193,7 +196,9 @@ object InsightOps {
     * "users who do A also do B". The self-join keys on the basket id
     * (user, day), so it is key-local and its fan-out is bounded by the
     * per-basket item count (≤ |event types|, distinct-deduped), never
-    * corpus-quadratic; basket totals broadcast back for the ppm. */
+    * corpus-quadratic; basket totals broadcast back for the ppm.
+    * Long bound: support·10⁶ < 2⁶³ ⇔ support < ~9·10¹² baskets sharing
+    * a pair — past it, widen the ppm to decimal(38,0) (q106 precedent). */
   def itemsetPairs(events: DataFrame): DataFrame = {
     val b = events
       .select($"user_id", to_date($"ts").as("d"), $"event_type")
