@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSourceV2 packaging of the spectrum reader: row-identical to the
+  * binaryFile ingest path, with column pruning reaching the scan. */
+class FitsDataSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val Fmt = "graft.sources.fits.FitsDataSource"
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-dsv2-spec")
+    val (loglam, flux, ivar) = graft.pipeline.FitsFixtures.specGrid()
+    for (k <- 0 until 5)
+      graft.pipeline.FitsFixtures.writeSpectrum(
+        d.resolve(f"spec-4000-5200$k%d-000$k%d.fits").toString,
+        30.0 + k, -20.0 + k * 0.5, 4000, 52000 + k, k, loglam, flux, ivar)
+    Files.writeString(d.resolve("not-a-spectrum.txt"), "ignore me")
+    d.toString
+  }
+
+  test("DSv2 read is row-identical to Ingest.spectra") {
+    import spark.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"zoom", $"spec_id", $"fits_name", $"ra", $"dec", $"time",
+        $"plateid", $"mjd", $"fiberid", $"healpix", $"wl", $"flux", $"sigma",
+        org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.map_entries($"header")).as("hdr"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getLong(7), r.getInt(8),
+        r.getLong(9),
+        // bit-compare the pixel arrays: NaN fills (rebin edges, ivar=0)
+        // are value-unequal to themselves under Seq ==
+        r.getSeq[Float](10).map(java.lang.Float.floatToIntBits),
+        r.getSeq[Float](11).map(java.lang.Float.floatToIntBits),
+        r.getSeq[Float](12).map(java.lang.Float.floatToIntBits),
+        r.getString(13)))
+      .sortBy(t => (t._1, t._2))
+      .toSeq
+    val dsv2 = canon(spark.read.format(Fmt).load(dir))
+    val ingest = canon(graft.pipeline.Ingest.spectra(spark, dir).toDF())
+    assert(dsv2.nonEmpty && dsv2.size == 25) // 5 files x 5 zooms
+    assert(dsv2 === ingest)
+  }
+
+  test("column pruning reaches the DSv2 scan (no pixel arrays for metadata queries)") {
+    val df = spark.read.format(Fmt).load(dir).select("ra", "dec", "zoom")
+    val scan = df.queryExecution.executedPlan.toString
+    val read = "cols=([^ \\n]*)".r.findFirstMatchIn(scan).map(_.group(1))
+    assert(read.isDefined && !read.get.contains("flux") && !read.get.contains("wl"),
+      s"pruning did not reach the scan:\n$scan")
+    assert(df.count() == 25)
+  }
+
+  test("zoom equality filter skips pyramid levels at the source") {
+    import spark.implicits._
+    val df = spark.read.format(Fmt).load(dir).filter($"zoom" === 2)
+    assert(df.count() == 5)
+    assert(df.select("zoom").distinct().as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("zoomCnt option bounds the pyramid depth") {
+    val df = spark.read.format(Fmt).option("zoomCnt", "1").load(dir)
+    assert(df.count() == 10) // 5 files x (zoom 0, zoom 1)
+  }
+}
