@@ -182,11 +182,18 @@ object MiningOps {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
+    // exact verify via per-doc shingle SETS (the q23 verify shape): the
+    // sets frame joins the candidate pairs twice and array_intersect
+    // computes ∩ inside codegen — replaces the double postings re-join,
+    // which re-shuffled the full posting list on doc_id per probe side
+    // (~10% here where candidates dominate; the postings re-shuffle it
+    // removes is the part that grew with corpus size, not candidates)
+    val sets = sh.groupBy($"doc_id").agg(collect_set($"g").as("gs"))
     val inter = cand
-      .join(sh.as("x"), $"da" === col("x.doc_id"))
-      .join(sh.as("y"), $"db" === col("y.doc_id") && col("x.g") === col("y.g"))
-      .groupBy($"da", $"db", $"na", $"nb")
-      .agg(count(lit(1)).as("inter"))
+      .join(sets.select($"doc_id".as("da"), $"gs".as("gs_a")), "da")
+      .join(sets.select($"doc_id".as("db"), $"gs".as("gs_b")), "db")
+      .select($"da", $"db", $"na", $"nb",
+        size(array_intersect($"gs_a", $"gs_b")).cast("long").as("inter"))
     inter.filter(lit(8) * $"inter" >= lit(3) * ($"na" + $"nb"))
       .select($"da".as("doc_a"), $"db".as("doc_b"), $"inter",
         expr("(inter * 1000000) div (na + nb - inter)").as("jac_ppm"))
