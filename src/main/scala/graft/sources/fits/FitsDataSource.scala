@@ -18,15 +18,20 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.pipeline.Ingest
 import graft.sources.SdssFits
 
-/** DataSourceV2 packaging of the SDSS spectrum FITS reader — the
-  * idiomatic `spark.read.format(...)` form of `Ingest.spectra`
-  * (same parser, same pyramid fan-out, parity-tested):
+/** DataSourceV2 packaging of the SDSS FITS readers — the idiomatic
+  * `spark.read.format(...)` form of `Ingest.spectra`/`Ingest.images`
+  * (same parsers, same pyramid fan-out, parity-tested):
   *
   * {{{
   *   spark.read.format("graft.sources.fits.FitsDataSource")
   *     .option("zoomCnt", 4)          // pyramid depth (default 4)
   *     .option("pathGlobFilter", "*.fits")
   *     .load("/data/spectra")         // recursive
+  *
+  *   spark.read.format("graft.sources.fits.FitsDataSource")
+  *     .option("kind", "images")      // SDSS frames
+  *     .option("ccdConfig", "/ref/config")  // gain / dark-variance TSVs
+  *     .load("/data/frames")
   * }}}
   *
   * Scale shape: one `InputPartition` per FITS file (the same
@@ -43,18 +48,38 @@ import graft.sources.SdssFits
   * directory listing is one driver pass and the decode is the cluster's.
   */
 class FitsDataSource extends TableProvider {
+  private def kind(opts: CaseInsensitiveStringMap): String =
+    Option(opts.get("kind")).getOrElse("spectra")
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    FitsDataSource.Schema
+    kind(options) match {
+      case "images" => FitsDataSource.ImageSchema
+      case _ => FitsDataSource.Schema
+    }
 
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new FitsTable(
-      Option(opts.get("path")).getOrElse(
-        throw new IllegalArgumentException("graft.fits: .load(path) is required")),
-      Option(opts.get("pathGlobFilter")).getOrElse("*.fits"),
-      Option(opts.get("zoomCnt")).map(_.toInt).getOrElse(Ingest.SpecZoomCnt))
+    val path = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft.fits: .load(path) is required"))
+    kind(opts) match {
+      case "images" =>
+        val conf = Option(opts.get("ccdConfig")).getOrElse(
+          throw new IllegalArgumentException(
+            "graft.fits kind=images: .option(\"ccdConfig\", dir) is required"))
+        new ImageFitsTable(path,
+          Option(opts.get("pathGlobFilter")).getOrElse("*.fits*"),
+          Option(opts.get("zoomCnt")).map(_.toInt).getOrElse(Ingest.ImgZoomCnt),
+          SdssFits.readCcdTsv(s"$conf/ccd_gain.tsv"),
+          SdssFits.readCcdTsv(s"$conf/ccd_dark_variance.tsv"))
+      case "spectra" =>
+        new FitsTable(path,
+          Option(opts.get("pathGlobFilter")).getOrElse("*.fits"),
+          Option(opts.get("zoomCnt")).map(_.toInt).getOrElse(Ingest.SpecZoomCnt))
+      case other =>
+        throw new IllegalArgumentException(s"graft.fits: unknown kind '$other'")
+    }
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -76,6 +101,30 @@ object FitsDataSource {
     StructField("wl", ArrayType(FloatType, containsNull = false), nullable = false),
     StructField("flux", ArrayType(FloatType, containsNull = false), nullable = false),
     StructField("sigma", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("header", MapType(StringType, StringType, valueContainsNull = false),
+      nullable = false)))
+
+  /** One row per (frame, zoom) — the ImageObs shape (Model.scala). */
+  val ImageSchema: StructType = StructType(Seq(
+    StructField("zoom", IntegerType, nullable = false),
+    StructField("image_id", LongType, nullable = false),
+    StructField("fits_name", StringType, nullable = false),
+    StructField("band", StringType, nullable = false),
+    StructField("wl", IntegerType, nullable = false),
+    StructField("run", IntegerType, nullable = false),
+    StructField("camcol", IntegerType, nullable = false),
+    StructField("field", IntegerType, nullable = false),
+    StructField("time", DoubleType, nullable = false),
+    StructField("healpix", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("flux",
+      ArrayType(ArrayType(FloatType, containsNull = false), containsNull = false),
+      nullable = false),
+    StructField("sigma",
+      ArrayType(ArrayType(FloatType, containsNull = false), containsNull = false),
+      nullable = false),
+    StructField("wcs", ImageFits.WcsType, nullable = false),
     StructField("header", MapType(StringType, StringType, valueContainsNull = false),
       nullable = false)))
 }
@@ -121,7 +170,18 @@ class FitsScan(
   override def description(): String =
     s"graft.fits $path glob=$glob zoomCnt=$zoomCnt cols=${required.fieldNames.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    FitsFiles.list(path, glob)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FitsReaderFactory(zoomCnt, required, zoomEq)
+}
+
+case class FitsInputPartition(file: String) extends InputPartition
+
+/** Driver-side recursive listing → one partition per matching file. */
+object FitsFiles {
+  def list(path: String, glob: String): Array[InputPartition] = {
     val fs = new Path(path).getFileSystem(new Configuration())
     val matcher = java.nio.file.FileSystems.getDefault
       .getPathMatcher(s"glob:$glob")
@@ -136,11 +196,16 @@ class FitsScan(
     out.result()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new FitsReaderFactory(zoomCnt, required, zoomEq)
+  def readAll(file: String): Array[Byte] = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(new Configuration())
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    bytes
+  }
 }
-
-case class FitsInputPartition(file: String) extends InputPartition
 
 class FitsReaderFactory(
     zoomCnt: Int, required: StructType, zoomEq: Option[Int])
@@ -157,13 +222,7 @@ class FitsPartitionReader(
     extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = {
-    val p = new Path(file)
-    val fs = p.getFileSystem(new Configuration())
-    val len = fs.getFileStatus(p).getLen.toInt
-    val bytes = new Array[Byte](len)
-    val in = fs.open(p)
-    try in.readFully(0, bytes) finally in.close()
-
+    val bytes = FitsFiles.readAll(file)
     val sp = SdssFits.loadSpectrum(bytes, file, zoomCnt)
     val name = Ingest.baseName(file)
     val id = Ingest.stableId(name)
@@ -196,6 +255,165 @@ class FitsPartitionReader(
             case "wl" => new GenericArrayData(SdssFits.toF32Scrubbed1d(wl))
             case "flux" => new GenericArrayData(SdssFits.toF32Scrubbed1d(f))
             case "sigma" => new GenericArrayData(SdssFits.toF32Scrubbed1d(s))
+            case "header" => headerData
+            case other => throw new IllegalArgumentException(s"unknown column $other")
+          })
+          i += 1
+        }
+        row
+      }
+  }
+
+  private var cur: InternalRow = _
+  override def next(): Boolean = { val h = rows.hasNext; if (h) cur = rows.next(); h }
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}
+
+// ------------------------------------------------------------ images
+
+object ImageFits {
+  /** One row per (frame, zoom) — the ImageObs shape (Model.scala). */
+  val WcsType: StructType = StructType(Seq(
+    StructField("crpix1", DoubleType, nullable = false),
+    StructField("crpix2", DoubleType, nullable = false),
+    StructField("cd11", DoubleType, nullable = false),
+    StructField("cd12", DoubleType, nullable = false),
+    StructField("cd21", DoubleType, nullable = false),
+    StructField("cd22", DoubleType, nullable = false),
+    StructField("crval1", DoubleType, nullable = false),
+    StructField("crval2", DoubleType, nullable = false)))
+}
+
+class ImageFitsTable(
+    path: String, glob: String, zoomCnt: Int,
+    gains: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
+    darkVars: Seq[graft.functions.PhotometryKernels.CcdConfigRow])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft.fits.images(`$path`)"
+  override def schema(): StructType = FitsDataSource.ImageSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ImageFitsScanBuilder(path, glob, zoomCnt, gains, darkVars)
+}
+
+class ImageFitsScanBuilder(
+    path: String, glob: String, zoomCnt: Int,
+    gains: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
+    darkVars: Seq[graft.functions.PhotometryKernels.CcdConfigRow])
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = FitsDataSource.ImageSchema
+  private var zoomEq: Option[Int] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    zoomEq = filters.collectFirst {
+      case EqualTo("zoom", v: Int) => v
+      case EqualTo("zoom", v: Integer) => v.intValue
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan =
+    new ImageFitsScan(path, glob, zoomCnt, gains, darkVars, required, zoomEq)
+}
+
+class ImageFitsScan(
+    path: String, glob: String, zoomCnt: Int,
+    gains: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
+    darkVars: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
+    required: StructType, zoomEq: Option[Int]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft.fits.images $path glob=$glob zoomCnt=$zoomCnt cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    FitsFiles.list(path, glob)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ImageFitsReaderFactory(zoomCnt, gains, darkVars, required, zoomEq)
+}
+
+class ImageFitsReaderFactory(
+    zoomCnt: Int,
+    gains: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
+    darkVars: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
+    required: StructType, zoomEq: Option[Int])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ImageFitsPartitionReader(
+      partition.asInstanceOf[FitsInputPartition].file,
+      zoomCnt, gains, darkVars, required, zoomEq)
+}
+
+class ImageFitsPartitionReader(
+    file: String, zoomCnt: Int,
+    gains: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
+    darkVars: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
+    required: StructType, zoomEq: Option[Int])
+    extends PartitionReader[InternalRow] {
+
+  private def plane(a: Array[Array[Float]]): GenericArrayData =
+    new GenericArrayData(a.map(r => new GenericArrayData(r): Any))
+
+  private val rows: Iterator[InternalRow] = {
+    val bytes = FitsFiles.readAll(file)
+    val fr = SdssFits.loadFrame(bytes, file, gains, darkVars, zoomCnt)
+    val name = Ingest.baseName(file)
+    val id = Ingest.stableId(name)
+    val hp = graft.functions.Healpix.ang2pixLonLat(
+      Ingest.ImgHealOrder, fr.wcs.crval1, fr.wcs.crval2)
+    val wlMid = graft.functions.PhotometryKernels.filterMidpoints(fr.band)
+    lazy val headerData = {
+      val m = fr.header.cards.toMap.toArray
+      ArrayBasedMapData(
+        m.map(c => UTF8String.fromString(c._1): Any),
+        m.map(c => UTF8String.fromString(c._2): Any))
+    }
+    fr.pyramid.zipWithIndex.iterator
+      .filter { case (_, z) => zoomEq.forall(_ == z) }
+      .map { case ((f, s), z) =>
+        lazy val wz = fr.wcs.atZoom(z)
+        val row = new GenericInternalRow(required.length)
+        var i = 0
+        while (i < required.length) {
+          row.update(i, required.fields(i).name match {
+            case "zoom" => z
+            case "image_id" => id
+            case "fits_name" => UTF8String.fromString(name)
+            case "band" => UTF8String.fromString(fr.band)
+            case "wl" => wlMid
+            case "run" => fr.run
+            case "camcol" => fr.camcol
+            case "field" => fr.field
+            case "time" => fr.timeMjd
+            case "healpix" => hp
+            case "width" => f(0).length
+            case "height" => f.length
+            case "flux" => plane(f)
+            case "sigma" => plane(s)
+            case "wcs" =>
+              // build to the REQUIRED nested schema: nested-schema
+              // pruning may have narrowed the struct to a field subset
+              val st = required.fields(i).dataType.asInstanceOf[StructType]
+              new GenericInternalRow(st.fields.map[Any](f => f.name match {
+                case "crpix1" => wz.crpix1
+                case "crpix2" => wz.crpix2
+                case "cd11" => wz.cd11
+                case "cd12" => wz.cd12
+                case "cd21" => wz.cd21
+                case "cd22" => wz.cd22
+                case "crval1" => wz.crval1
+                case "crval2" => wz.crval2
+              }))
             case "header" => headerData
             case other => throw new IllegalArgumentException(s"unknown column $other")
           })

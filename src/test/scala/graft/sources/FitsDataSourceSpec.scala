@@ -73,4 +73,42 @@ class FitsDataSourceSpec extends AnyFunSuite {
     val df = spark.read.format(Fmt).option("zoomCnt", "1").load(dir)
     assert(df.count() == 10) // 5 files x (zoom 0, zoom 1)
   }
+
+  private lazy val imgDir: String = {
+    val d = Files.createTempDirectory("graft-dsv2-img")
+    for ((band, k) <- Seq("r", "g").zipWithIndex)
+      graft.pipeline.FitsFixtures.writeFrame(
+        d.resolve(f"frame-$band-00520$k%d-3-0001.fits").toString,
+        band, 5200 + k, 3, 1, 512, 372, 40.0 + k, -10.0)
+    d.toString
+  }
+
+  test("kind=images is row-identical to Ingest.images") {
+    import spark.implicits._
+    val cfg = "/root/reference/config"
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"zoom", $"image_id", $"fits_name", $"band", $"wl", $"run",
+        $"camcol", $"field", $"time", $"healpix", $"width", $"height",
+        org.apache.spark.sql.functions.hash($"flux").as("fh"),
+        org.apache.spark.sql.functions.hash($"sigma").as("sh"),
+        $"wcs.crpix1", $"wcs.cd11", $"wcs.crval1",
+        org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.map_entries($"header")).as("hdr"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val dsv2 = canon(spark.read.format(Fmt)
+      .option("kind", "images").option("ccdConfig", cfg).load(imgDir))
+    val ingest = canon(graft.pipeline.Ingest.images(spark, imgDir, cfg).toDF())
+    assert(dsv2.nonEmpty && dsv2.size == 10) // 2 frames x 5 zooms
+    assert(dsv2 === ingest)
+  }
+
+  test("kind=images prunes pixel planes for metadata-only queries") {
+    val df = spark.read.format(Fmt)
+      .option("kind", "images").option("ccdConfig", "/root/reference/config")
+      .load(imgDir).select("band", "run", "zoom")
+    val scan = df.queryExecution.executedPlan.toString
+    val read = "cols=([^ \\n]*)".r.findFirstMatchIn(scan).map(_.group(1))
+    assert(read.isDefined && !read.get.contains("flux"), s"pruning missing:\n$scan")
+    assert(df.count() == 10)
+  }
 }
