@@ -3,7 +3,7 @@ package graft.sources.fits
 import java.util
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
@@ -199,8 +199,11 @@ object FitsFiles {
   def readAll(file: String): Array[Byte] = {
     val p = new Path(file)
     val fs = p.getFileSystem(new Configuration())
-    val len = fs.getFileStatus(p).getLen.toInt
-    val bytes = new Array[Byte](len)
+    val len = fs.getFileStatus(p).getLen
+    // single-buffer decode: a frame is ~12 MB, a spectrum ~200 KB; fail
+    // loudly on absurd inputs instead of silently truncating via toInt
+    require(len <= Int.MaxValue, s"$file is ${len} B — not a FITS observation")
+    val bytes = new Array[Byte](len.toInt)
     val in = fs.open(p)
     try in.readFully(0, bytes) finally in.close()
     bytes
