@@ -130,7 +130,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"build":$build,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"build":$build,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the full line as a FILE artifact too: the driver's stdout
+    // tail capture truncates long lines (round 4 lost q01–q46's
+    // timings), and per-query regression tracking needs every round's
+    // numbers to survive. Path overridable for ad-hoc runs.
+    val qtimesPath = sys.env.getOrElse("SPARK_GRAFT_QTIMES_PATH", "bench_qtimes.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(qtimesPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] could not write $qtimesPath: $t")
+    }
     spark.stop()
   }
 }

@@ -58,11 +58,19 @@ object InsightOps {
     * valid while n_hours · max_hourly_count < ~3·10⁹ — at larger scale
     * widen to decimal(38,0) (both engines are exact there too). */
   /** Core on any (ts, event_type) frame; k is the σ multiplier.
-    * `widen = true` runs the z-test in decimal(38,0) — still exact, for
+    * `widen = true` runs the z-test in decimal(38,0) — exact for
     * inputs past the Long bound (n_hours · max_hourly_count ≳ 3·10⁹,
     * i.e. planetary event volumes); the Long path is the default
     * because it stays in codegen-primitive space. Both produce
-    * identical flags wherever both are in range (law-tested). */
+    * identical flags wherever both are in range (law-tested).
+    *
+    * Widened-path bound: decimal×decimal products CAP at precision 38,
+    * and in non-ANSI mode an overflowing product yields NULL — the
+    * filter would then silently DROP a genuinely anomalous hour. The
+    * squared term (n·c − S)² needs ≤ 38 digits ⇔ n·c ≲ 10¹⁹ — four
+    * orders past the Long bound, unreachable for any physical event
+    * stream; past it, run under `spark.sql.ansi.enabled=true` so
+    * overflow is an error, never a silent miss. */
   def hourlyAnomaly(events: DataFrame, k: Long, widen: Boolean = false): DataFrame = {
     def w(c: Column): Column = if (widen) c.cast("decimal(38,0)") else c
     val hourly = events
@@ -162,19 +170,72 @@ object InsightOps {
     * product 850000·r·n: holds while rank·edge-weight < ~10¹³ (rank is
     * ~10⁶·avg-in-degree-mass); for web-scale graphs widen the term to
     * decimal(38,0) — floor division stays exact either way. */
-  /** Core on any weighted edge list (u, v, n: Long). */
-  def pagerank(ed: DataFrame, iters: Int): DataFrame = {
+  /** One rank-propagation round. `widen` computes the per-term product
+    * in decimal(38,0) — for graphs past the Long bound on 850000·r·n
+    * (rank·edge-weight ≳ 10¹³, web-scale); the floor division then
+    * lands back in Long, so only the overflow-prone product widens.
+    * Law-tested widen ≡ narrow wherever both are in range. */
+  private def pagerankStep(
+      contrib: DataFrame, ranks: DataFrame, widen: Boolean): DataFrame = {
+    val term =
+      if (widen)
+        expr("(cast(850000 as decimal(38,0)) * r * n) div " +
+          "(cast(1000000 as decimal(38,0)) * outn)")
+      else expr("(850000 * r * n) div (1000000 * outn)")
+    contrib.join(ranks.withColumnRenamed("node", "u"), "u")
+      .select($"v", term.as("t"))
+      .groupBy($"v".as("node"))
+      .agg((lit(150000L) + sum($"t")).as("r"))
+  }
+
+  private def pagerankInit(ed: DataFrame): (DataFrame, DataFrame) = {
     val outd = ed.groupBy($"u").agg(sum($"n").as("outn"))
     val contrib = ed.join(outd, "u")
-    var ranks = ed.select($"v".as("node")).union(ed.select($"u".as("node")))
+    val ranks = ed.select($"v".as("node")).union(ed.select($"u".as("node")))
       .distinct()
       .select($"node", lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
-      ranks = contrib.join(ranks.withColumnRenamed("node", "u"), "u")
-        .select($"v", expr("(850000 * r * n) div (1000000 * outn)").as("t"))
-        .groupBy($"v".as("node"))
-        .agg((lit(150000L) + sum($"t")).as("r"))
+    (contrib, ranks)
+  }
+
+  /** Core on any weighted edge list (u, v, n: Long). Ranks are
+    * `localCheckpoint`ed per round (q51's loop discipline), so
+    * `pagerank(ed, 50)` is 50 shallow plans rather than one
+    * exponentially nested one — the per-round lineage cut is what makes
+    * the iteration runnable at real graph scale. */
+  def pagerank(ed: DataFrame, iters: Int, widen: Boolean = false): DataFrame = {
+    val (contrib, ranks0) = pagerankInit(ed)
+    var ranks = ranks0
+    for (_ <- 1 to iters)
+      ranks = pagerankStep(contrib, ranks, widen).localCheckpoint()
+    ranks.select($"node", $"r".as("rank_scaled"))
+  }
+
+  /** Converge-or-throw PageRank: iterate until the integer-scaled ranks
+    * reach an EXACT fixpoint (Δ-test on the ppm integers — no float
+    * epsilon, so "unchanged" is well-defined), throwing at the
+    * defensive round cap rather than returning unconverged centrality
+    * (the q51 refusal discipline; integer floor division can in
+    * principle 2-cycle, and the cap turns that into a loud failure). */
+  def pagerankConverged(
+      ed: DataFrame, maxIters: Int = 50, widen: Boolean = false): DataFrame = {
+    val (contrib, ranks0) = pagerankInit(ed)
+    var ranks = ranks0.localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val next = pagerankStep(contrib, ranks, widen).localCheckpoint()
+      // null-safe inequality: a node whose rank row appears/disappears
+      // (in-edge-less nodes drop out after round 1) counts as a change
+      done = next.as("a").join(ranks.as("b"), Seq("node"), "full_outer")
+        .filter(!(col("a.r") <=> col("b.r"))).isEmpty
+      ranks = next
+      iter += 1
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"pagerankConverged: ranks did not reach a fixpoint within " +
+          s"$maxIters rounds — refusing to emit unconverged centrality " +
+          "(raise maxIters or use pagerank(ed, iters) for a fixed-round run)")
     ranks.select($"node", $"r".as("rank_scaled"))
   }
 
@@ -198,8 +259,10 @@ object InsightOps {
     * per-basket item count (≤ |event types|, distinct-deduped), never
     * corpus-quadratic; basket totals broadcast back for the ppm.
     * Long bound: support·10⁶ < 2⁶³ ⇔ support < ~9·10¹² baskets sharing
-    * a pair — past it, widen the ppm to decimal(38,0) (q106 precedent). */
-  def itemsetPairs(events: DataFrame): DataFrame = {
+    * a pair — past it, `widen = true` computes the ppm product in
+    * decimal(38,0) (q106 precedent; the floor division lands back in
+    * Long, law-tested widen ≡ narrow in range). */
+  def itemsetPairs(events: DataFrame, widen: Boolean = false): DataFrame = {
     val b = events
       .select($"user_id", to_date($"ts").as("d"), $"event_type")
       .distinct()
@@ -212,7 +275,9 @@ object InsightOps {
       .agg(count(lit(1)).as("support"))
       .crossJoin(broadcast(nb))
       .select($"item_a", $"item_b", $"support",
-        expr("(support * 1000000) div n_baskets").as("support_ppm"))
+        (if (widen)
+          expr("(cast(support as decimal(38,0)) * 1000000) div n_baskets")
+        else expr("(support * 1000000) div n_baskets")).as("support_ppm"))
   }
 
   def q109ItemsetPairs(s: SparkSession, dir: String): DataFrame =

@@ -695,28 +695,79 @@ object TextOps {
     * wrapped reposts) which Jaccard dilutes away: a short doc fully
     * contained in a long one has low Jaccard but containment 1. Same
     * token-inverted-index join shape as q18; exact integer-rational
-    * scoring (`(inter·10⁴) div min`), pairs at ≥ 0.8. */
-  def q64Containment(s: SparkSession, dir: String): DataFrame = {
-    val g = load(s, dir, "documents")
+    * scoring (`(inter·10⁴) div min`), pairs at ≥ 0.8. Hot-shingle
+    * guarded via [[containmentPairs]] (strict mode — refuses rather
+    * than join an unbounded bucket). */
+  def q64Containment(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(load(s, dir, "documents"))._1
+
+  /** Postings above this document frequency never enter the containment
+    * pair join. One boilerplate shingle ("all rights reserved …") with
+    * df = 10⁶ docs would create a 10¹²-row bucket — the Σdf² blowup, on
+    * exactly the corpora containment dedup targets. 1000 caps any one
+    * bucket at ~5·10⁵ pairs while sitting far above every natural df in
+    * the testdata (max 25 at sf0.1). */
+  val MaxContainmentDf: Long = 1000L
+
+  /** Shingle-containment pairs with the hot-shingle guard.
+    *
+    * Returns (pairs at containment ≥ minScaled/10⁴, one-row drop stats
+    * `(n_hot_shingles, n_dropped_postings)`).
+    *
+    * Guard discipline (the q51 converge-or-throw / q23 `n_capped_pairs`
+    * family): postings with df > maxDf are excluded from the pair join,
+    * which UNDERCOUNTS intersections for pairs sharing a hot shingle —
+    * a silent-wrong-answer mode, so by default (`allowLossy = false`)
+    * the operator runs the df profile first and REFUSES loudly when any
+    * shingle trips the cap, naming the worst offenders so the caller
+    * can raise `maxDf` or opt into lossy mode, where the drops are
+    * surfaced in the stats frame instead of a throw. The strict check
+    * is one extra aggregation pass over the shingle postings (same
+    * shuffle key as the df-cut itself); at 100 TB that is the price of
+    * never emitting a wrong containment score. */
+  def containmentPairs(
+      docs: DataFrame, minScaled: Long = 8000L,
+      maxDf: Long = MaxContainmentDf,
+      allowLossy: Boolean = false): (DataFrame, DataFrame) = {
+    val g = docs
       .select($"doc_id", explode(shingles($"text")).as("g"))
       .repartition($"g")
+    val dfreq = g.groupBy($"g").agg(count(lit(1)).as("df"))
+    if (!allowLossy) {
+      val hot = dfreq.filter($"df" > maxDf)
+        .orderBy($"df".desc).limit(5).collect()
+      if (hot.nonEmpty) {
+        val worst = hot.map(r => s"'${r.getString(0)}' (df=${r.getLong(1)})")
+          .mkString(", ")
+        throw new IllegalStateException(
+          s"containmentPairs: ${hot.length}+ shingle(s) exceed maxDf=$maxDf " +
+            s"— worst: $worst. Joining them would build an O(df²) pair " +
+            "bucket; raise maxDf or pass allowLossy=true to drop hot " +
+            "postings with surfaced accounting.")
+      }
+    }
     val sizes = g.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    // lossless df-cut: singleton postings contribute to no intersection
-    val shared = g.groupBy($"g").agg(count(lit(1)).as("df"))
-      .filter($"df" >= 2).select($"g")
+    // df-cut: singletons contribute to no intersection (lossless);
+    // df > maxDf postings are the guarded hot tail (lossy, accounted)
+    val shared = dfreq.filter($"df" >= 2 && $"df" <= maxDf).select($"g")
+    val dropStats = dfreq.filter($"df" > maxDf)
+      .groupBy().agg(
+        count(lit(1)).as("n_hot_shingles"),
+        coalesce(sum($"df"), lit(0L)).as("n_dropped_postings"))
     val gs = g.join(shared, "g")
     val inter = gs.as("a").join(gs.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val pairs = inter
       .join(sizes.as("sa"), $"da" === col("sa.doc_id"))
       .join(sizes.as("sb"), $"db" === col("sb.doc_id"))
       .select(
         $"da".cast("long").as("doc_a"),
         $"db".cast("long").as("doc_b"),
-        expr("(inter * 10000) div least(sa.n, sb.n)").as("containment_scaled"))
-      .filter($"containment_scaled" >= 8000)
+        expr(s"(inter * 10000) div least(sa.n, sb.n)").as("containment_scaled"))
+      .filter($"containment_scaled" >= minScaled)
+    (pairs, dropStats)
   }
 
   /** Cross-source duplication matrix — WHERE is the corpus duplicated?
@@ -766,8 +817,18 @@ object TextOps {
     * `aggregate` traversals per document). Each token's hash is bound
     * ONCE via the single-element-array wrap — higher-order functions
     * re-evaluate plain argument expressions per lambda element, so an
-    * unbound `xxhash64(tok)` would hash 64× per token. */
-  def simhash(c: Column): Column = call_function("simhash64", c)
+    * unbound `xxhash64(tok)` would hash 64× per token.
+    *
+    * Self-contained: the native 64-bit kernel is registered on the
+    * active/default session here (idempotent), so a caller building
+    * this Column outside `Tables.load` resolves too; widths other than
+    * 64 route to the HOF twin (the native kernel is 64-bit-only). */
+  def simhash(c: Column, nBits: Int = 64): Column =
+    if (nBits == 64) {
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .foreach(graft.plans.VectorExpressions.register)
+      call_function("simhash64", c)
+    } else simhashHof(c, nBits)
 
   /** The higher-order-function SimHash — superseded by the native
     * codegen kernel ([[graft.plans.SimHashKernel]], what [[simhash]]

@@ -129,6 +129,33 @@ object FitsDataSource {
       nullable = false)))
 }
 
+/** Hadoop `Configuration` is not `java.io.Serializable`; this is the
+  * standard write/readFields wrapper (Spark ships one, but it is
+  * `private[spark]`). Captured on the driver at scan-build time from
+  * the SESSION's Hadoop configuration — so `spark.hadoop.*` settings
+  * (object-store credentials, custom filesystems, defaultFS) reach the
+  * file listing and every executor-side reader, exactly as they do on
+  * the `binaryFile` ingest path (`Ingest.scala`). */
+class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+object SerializableHadoopConf {
+  /** The active session's Hadoop conf (SQL-conf-merged), wrapped. */
+  def fromSession(): SerializableHadoopConf =
+    new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+}
+
 class FitsTable(path: String, glob: String, zoomCnt: Int)
     extends Table with SupportsRead {
   override def name(): String = s"graft.fits(`$path`)"
@@ -158,12 +185,15 @@ class FitsScanBuilder(path: String, glob: String, zoomCnt: Int)
   }
   override def pushedFilters(): Array[Filter] = Array.empty
 
-  override def build(): Scan = new FitsScan(path, glob, zoomCnt, required, zoomEq)
+  override def build(): Scan =
+    new FitsScan(path, glob, zoomCnt, required, zoomEq,
+      SerializableHadoopConf.fromSession())
 }
 
 class FitsScan(
     path: String, glob: String, zoomCnt: Int,
-    required: StructType, zoomEq: Option[Int]) extends Scan with Batch {
+    required: StructType, zoomEq: Option[Int],
+    hconf: SerializableHadoopConf) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -171,18 +201,18 @@ class FitsScan(
     s"graft.fits $path glob=$glob zoomCnt=$zoomCnt cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    FitsFiles.list(path, glob)
+    FitsFiles.list(path, glob, hconf.value)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FitsReaderFactory(zoomCnt, required, zoomEq)
+    new FitsReaderFactory(zoomCnt, required, zoomEq, hconf)
 }
 
 case class FitsInputPartition(file: String) extends InputPartition
 
 /** Driver-side recursive listing → one partition per matching file. */
 object FitsFiles {
-  def list(path: String, glob: String): Array[InputPartition] = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+  def list(path: String, glob: String, conf: Configuration): Array[InputPartition] = {
+    val fs = new Path(path).getFileSystem(conf)
     val matcher = java.nio.file.FileSystems.getDefault
       .getPathMatcher(s"glob:$glob")
     val it = fs.listFiles(new Path(path), /* recursive = */ true)
@@ -196,9 +226,9 @@ object FitsFiles {
     out.result()
   }
 
-  def readAll(file: String): Array[Byte] = {
+  def readAll(file: String, conf: Configuration): Array[Byte] = {
     val p = new Path(file)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
     // single-buffer decode: a frame is ~12 MB, a spectrum ~200 KB; fail
     // loudly on absurd inputs instead of silently truncating via toInt
@@ -211,21 +241,24 @@ object FitsFiles {
 }
 
 class FitsReaderFactory(
-    zoomCnt: Int, required: StructType, zoomEq: Option[Int])
+    zoomCnt: Int, required: StructType, zoomEq: Option[Int],
+    hconf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FitsPartitionReader(
-      partition.asInstanceOf[FitsInputPartition].file, zoomCnt, required, zoomEq)
+      partition.asInstanceOf[FitsInputPartition].file, zoomCnt, required, zoomEq,
+      hconf)
 }
 
 /** Decodes ONE file (in the task that owns it) and emits its pyramid
   * rows, building only the columns the scan requires. */
 class FitsPartitionReader(
-    file: String, zoomCnt: Int, required: StructType, zoomEq: Option[Int])
+    file: String, zoomCnt: Int, required: StructType, zoomEq: Option[Int],
+    hconf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = {
-    val bytes = FitsFiles.readAll(file)
+    val bytes = FitsFiles.readAll(file, hconf.value)
     val sp = SdssFits.loadSpectrum(bytes, file, zoomCnt)
     val name = Ingest.baseName(file)
     val id = Ingest.stableId(name)
@@ -324,14 +357,16 @@ class ImageFitsScanBuilder(
   override def pushedFilters(): Array[Filter] = Array.empty
 
   override def build(): Scan =
-    new ImageFitsScan(path, glob, zoomCnt, gains, darkVars, required, zoomEq)
+    new ImageFitsScan(path, glob, zoomCnt, gains, darkVars, required, zoomEq,
+      SerializableHadoopConf.fromSession())
 }
 
 class ImageFitsScan(
     path: String, glob: String, zoomCnt: Int,
     gains: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
     darkVars: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
-    required: StructType, zoomEq: Option[Int]) extends Scan with Batch {
+    required: StructType, zoomEq: Option[Int],
+    hconf: SerializableHadoopConf) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -339,36 +374,38 @@ class ImageFitsScan(
     s"graft.fits.images $path glob=$glob zoomCnt=$zoomCnt cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    FitsFiles.list(path, glob)
+    FitsFiles.list(path, glob, hconf.value)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ImageFitsReaderFactory(zoomCnt, gains, darkVars, required, zoomEq)
+    new ImageFitsReaderFactory(zoomCnt, gains, darkVars, required, zoomEq, hconf)
 }
 
 class ImageFitsReaderFactory(
     zoomCnt: Int,
     gains: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
     darkVars: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
-    required: StructType, zoomEq: Option[Int])
+    required: StructType, zoomEq: Option[Int],
+    hconf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ImageFitsPartitionReader(
       partition.asInstanceOf[FitsInputPartition].file,
-      zoomCnt, gains, darkVars, required, zoomEq)
+      zoomCnt, gains, darkVars, required, zoomEq, hconf)
 }
 
 class ImageFitsPartitionReader(
     file: String, zoomCnt: Int,
     gains: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
     darkVars: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
-    required: StructType, zoomEq: Option[Int])
+    required: StructType, zoomEq: Option[Int],
+    hconf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private def plane(a: Array[Array[Float]]): GenericArrayData =
     new GenericArrayData(a.map(r => new GenericArrayData(r): Any))
 
   private val rows: Iterator[InternalRow] = {
-    val bytes = FitsFiles.readAll(file)
+    val bytes = FitsFiles.readAll(file, hconf.value)
     val fr = SdssFits.loadFrame(bytes, file, gains, darkVars, zoomCnt)
     val name = Ingest.baseName(file)
     val id = Ingest.stableId(name)
@@ -384,6 +421,10 @@ class ImageFitsPartitionReader(
     fr.pyramid.zipWithIndex.iterator
       .filter { case (_, z) => zoomEq.forall(_ == z) }
       .map { case ((f, s), z) =>
+        // malformed frames fail with a file-named message, not an
+        // ArrayIndexOutOfBounds from the width accessor below
+        require(f.nonEmpty && f(0).nonEmpty,
+          s"graft.fits: $file decoded to an empty plane at zoom $z")
         lazy val wz = fr.wcs.atZoom(z)
         val row = new GenericInternalRow(required.length)
         var i = 0

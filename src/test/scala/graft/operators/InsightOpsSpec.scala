@@ -129,6 +129,42 @@ class InsightOpsSpec extends AnyFunSuite {
     assert(got === Map("a" -> 1000000L, "b" -> 1000000L))
   }
 
+  test("q108: 50-iteration plan depth stays flat (per-round checkpoint)") {
+    val ed = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("u", "v", "n")
+    // pre-fix, round i's plan nested all i-1 previous rounds — by iter
+    // ~15 analysis alone dominated; with the per-round localCheckpoint
+    // the 50th plan hangs off a materialized RDD and stays shallow
+    val ranks = InsightOps.pagerank(ed, iters = 50)
+    val depth = ranks.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(depth <= 10, s"plan has $depth nodes — lineage not truncated")
+    assert(ranks.count() == 3)
+  }
+
+  test("q108: converge-or-throw reaches the 2-cycle fixpoint and matches the fixed-round form") {
+    val ed = Seq(("a", "b", 3L), ("b", "a", 3L)).toDF("u", "v", "n")
+    val got = InsightOps.pagerankConverged(ed, maxIters = 10)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 1000000L, "b" -> 1000000L))
+    // an impossible cap trips the refusal, not a silent partial answer
+    val star = Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+      .toDF("u", "v", "n")
+    intercept[IllegalStateException] {
+      InsightOps.pagerankConverged(star, maxIters = 1)
+    }
+  }
+
+  test("q108: decimal-widened ranks equal the Long path in range") {
+    val ed = Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+      .toDF("u", "v", "n")
+    val narrow = InsightOps.pagerank(ed, iters = 3)
+      .as[(String, Long)].collect().toMap
+    val widened = InsightOps.pagerank(ed, iters = 3, widen = true)
+      .selectExpr("node", "cast(rank_scaled as bigint)")
+      .as[(String, Long)].collect().toMap
+    assert(narrow === widened)
+  }
+
   // --------------------------------------------------------------- q109
 
   test("q109: pair support counts baskets once, repeats collapse") {
@@ -151,6 +187,22 @@ class InsightOpsSpec extends AnyFunSuite {
       ("a", "b", 2L, 666666L),
       ("a", "c", 1L, 333333L),
       ("b", "c", 1L, 333333L)))
+  }
+
+  test("q109: decimal-widened support ppm equals the Long path in range") {
+    val events = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, "b", ts("2024-01-01 11:00:00")),
+      (2L, "a", ts("2024-01-01 09:00:00")),
+      (2L, "b", ts("2024-01-01 09:30:00")),
+      (2L, "c", ts("2024-01-01 09:45:00")),
+    ).toDF("user_id", "event_type", "ts")
+    val narrow = InsightOps.itemsetPairs(events)
+      .as[(String, String, Long, Long)].collect().toSet
+    val widened = InsightOps.itemsetPairs(events, widen = true)
+      .selectExpr("item_a", "item_b", "support", "cast(support_ppm as bigint)")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(narrow === widened)
   }
 
   // --------------------------------------------------------------- q110

@@ -215,6 +215,43 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("containment hot-shingle guard: strict refuses loudly, lossy accounts, raised cap is exact") {
+    import spark.implicits._
+    // a boilerplate 3-gram planted in every doc (df = 12) + two true
+    // containment twins; per-doc tails keep all other shingles unique
+    val boiler = "all rights reserved"
+    val docs = ((0 until 10).map(i =>
+      (i.toLong, s"$boiler u$i v$i w$i x$i y$i")) ++ Seq(
+      (301L, s"$boiler p1 p2 p3 p4 p5"),
+      (302L, s"$boiler p1 p2 p3 p4 p5 tail1 tail2")))
+      .toDF("doc_id", "text")
+    // strict mode: the planted shingle trips a maxDf=5 cap with a
+    // message naming the offender — never a silently undercounted score
+    val e = intercept[IllegalStateException] {
+      TextOps.containmentPairs(docs, maxDf = 5)
+    }
+    assert(e.getMessage.contains(boiler) && e.getMessage.contains("maxDf=5"))
+    // lossy mode under the same cap: runs, and surfaces exactly the
+    // planted drop (1 hot shingle, 12 postings)
+    val (lossyPairs, stats) = TextOps.containmentPairs(
+      docs, maxDf = 5, allowLossy = true)
+    val st = stats.head()
+    assert(st.getLong(0) == 1L && st.getLong(1) == 12L)
+    // under the cap the twins lose their hot shingle: inter drops 6→5,
+    // so the score UNDERCOUNTS (8333 vs the true 10000) — the silent
+    // wrongness strict mode exists to refuse
+    val lossy = lossyPairs.collect()
+    assert(lossy.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((301L, 302L)))
+    assert(lossy.head.getLong(2) == 8333L)
+    // with the cap raised past the corpus df, strict passes and the
+    // score is exact again
+    val (pairs, stats2) = TextOps.containmentPairs(docs, maxDf = 1000)
+    val exact = pairs.collect()
+    assert(exact.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((301L, 302L)))
+    assert(exact.head.getLong(2) == 10000L)
+    assert(stats2.head().getLong(0) == 0L)
+  }
+
   test("prefix-dup groups exact duplicates and survives the min-id rule") {
     import spark.implicits._
     val docs = Seq(

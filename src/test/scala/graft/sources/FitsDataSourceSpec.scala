@@ -111,4 +111,44 @@ class FitsDataSourceSpec extends AnyFunSuite {
     assert(read.isDefined && !read.get.contains("flux"), s"pruning missing:\n$scan")
     assert(df.count() == 10)
   }
+
+  test("session Hadoop conf reaches the driver listing and executor readers") {
+    import spark.implicits._
+    // `graftfs` resolves ONLY through the session conf key set here —
+    // `new Configuration()` (the round-4 bug) cannot see it, so this
+    // read succeeds iff the session conf is threaded into BOTH
+    // FitsFiles.list (driver) and the serialized reader factories
+    // (executors), the same way spark.hadoop.* credentials would be
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    try {
+      val df = spark.read.format(Fmt).load("graftfs://" + dir)
+      assert(df.count() == 25)
+      assert(df.filter($"zoom" === 0).select("fits_name").as[String]
+        .collect().length == 5)
+    } finally
+      spark.sparkContext.hadoopConfiguration.unset("fs.graftfs.impl")
+  }
+}
+
+/** A local-filesystem clone under a private scheme: reachable only via
+  * the `fs.graftfs.impl` conf key the spec sets on the SESSION Hadoop
+  * configuration (instantiated reflectively by Hadoop's FileSystem
+  * registry, so it must be a top-level class). */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfs"
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+
+  // RawLocalFileSystem's lazy permission loader rebuilds a java.io.File
+  // from the status URI and rejects non-"file" schemes; return eager
+  // statuses so it never runs
+  private def eager(st: org.apache.hadoop.fs.FileStatus): org.apache.hadoop.fs.FileStatus =
+    new org.apache.hadoop.fs.FileStatus(
+      st.getLen, st.isDirectory, 1, st.getBlockSize, st.getModificationTime, 0L,
+      org.apache.hadoop.fs.permission.FsPermission.getFileDefault, "u", "g",
+      st.getPath)
+  override def getFileStatus(f: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus =
+    eager(super.getFileStatus(f))
+  override def listStatus(f: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(f).map(eager)
 }
