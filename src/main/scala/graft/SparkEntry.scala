@@ -66,6 +66,7 @@ object SparkEntry {
     "q37_healpix" -> (AstroOps.q37Healpix _),
     "q38_fits_spectra" -> (AstroOps.q38FitsSpectra _),
     "q39_fits_image" -> (AstroOps.q39FitsImage _),
+    "q111_dsv2_fits_spectra" -> (AstroOps.q111DsvFitsSpectra _),
     "q40_viz_flatten" -> (AstroOps.q40VizFlatten _),
     "q42_disc_cover" -> (AstroOps.q42DiscCover _),
     // structured streaming (windowed agg over the event stream)

@@ -71,6 +71,27 @@ object AstroOps {
         col("n_spectra"), col("total_finite"))
   }
 
+  /** The DSv2 FITS format end-to-end through the oracle gate: the q38
+    * pyramid-law shape served by `spark.read.format(...)` instead of
+    * the binaryFile ingest path, so the DataSourceV2 reader (decode,
+    * pyramid fan-out, conf threading) is hash-gated cross-round — its
+    * row-level parity with `Ingest.spectra` is ScalaTest-gated in
+    * FitsDataSourceSpec; pruning is plan-gated in PlanSpec. The finite
+    * count runs as a codegen'd HOF fold (no Dataset map), so the only
+    * non-built-in in the plan is the source itself. */
+  def q111DsvFitsSpectra(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.fits.FitsDataSource")
+      .load(s"$refData/galaxy_small/spectra")
+      .select($"zoom", $"flux")
+      .select($"zoom", size($"flux").as("n_samples"),
+        aggregate($"flux", lit(0L),
+          (acc, x) => acc + when(isnan(x), 0L).otherwise(1L)).as("n_finite"))
+      .groupBy($"zoom", $"n_samples")
+      .agg(count(lit(1)).as("n_spectra"), sum($"n_finite").as("total_finite"))
+      .select($"zoom".cast("long").as("zoom"),
+        $"n_samples".cast("long").as("n_samples"),
+        $"n_spectra", $"total_finite")
+
   /** S4+P1-P4+X2: real SDSS frame ingest (single committed frame). */
   def q39FitsImage(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -139,6 +160,11 @@ object AstroOps {
         |CAST(height AS BIGINT) AS height, band
         |FROM (VALUES (0,2048,1489,'u'),(1,1024,744,'u'),(2,512,372,'u'),
         |(3,256,186,'u'),(4,128,93,'u')) t(zoom, width, height, band)""".stripMargin,
+    "q111_dsv2_fits_spectra" ->
+      """SELECT CAST(zoom AS BIGINT) AS zoom, CAST(n_samples AS BIGINT) AS n_samples,
+        |CAST(n_spectra AS BIGINT) AS n_spectra, CAST(total_finite AS BIGINT) AS total_finite
+        |FROM (VALUES (0,4620,11,50820),(1,2310,11,25410),(2,1155,11,12705),
+        |(3,577,11,6347),(4,288,11,3168)) t(zoom, n_samples, n_spectra, total_finite)""".stripMargin,
     "q40_viz_flatten" ->
       """SELECT CAST(zoom AS BIGINT) AS zoom, CAST(n_pixels AS BIGINT) AS n_pixels
         |FROM (VALUES (0,50820),(1,25410),(2,12705),(3,6347),(4,3168)) t(zoom, n_pixels)""".stripMargin,

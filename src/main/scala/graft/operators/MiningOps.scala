@@ -183,17 +183,20 @@ object MiningOps {
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
     // exact verify via per-doc shingle SETS (the q23 verify shape): the
-    // sets frame joins the candidate pairs twice and array_intersect
-    // computes ∩ inside codegen — replaces the double postings re-join,
-    // which re-shuffled the full posting list on doc_id per probe side
-    // (~10% here where candidates dominate; the postings re-shuffle it
-    // removes is the part that grew with corpus size, not candidates)
-    val sets = sh.groupBy($"doc_id").agg(collect_set($"g").as("gs"))
+    // sets frame joins the candidate pairs twice and ∩ is a single
+    // codegen MERGE WALK per pair over per-doc-sorted sets
+    // (sorted_intersect_count — array_intersect built a hash set per
+    // invocation; the sort is paid once per doc, the walk once per
+    // candidate pair, which is the side that explodes at corpus scale).
+    // This replaced the double postings re-join, which re-shuffled the
+    // full posting list on doc_id per probe side.
+    val sets = sh.groupBy($"doc_id").agg(sort_array(collect_set($"g")).as("gs"))
     val inter = cand
       .join(sets.select($"doc_id".as("da"), $"gs".as("gs_a")), "da")
       .join(sets.select($"doc_id".as("db"), $"gs".as("gs_b")), "db")
       .select($"da", $"db", $"na", $"nb",
-        size(array_intersect($"gs_a", $"gs_b")).cast("long").as("inter"))
+        graft.plans.VectorExpressions.sorted_intersect_count($"gs_a", $"gs_b")
+          .cast("long").as("inter"))
     inter.filter(lit(8) * $"inter" >= lit(3) * ($"na" + $"nb"))
       .select($"da".as("doc_a"), $"db".as("doc_b"), $"inter",
         expr("(inter * 1000000) div (na + nb - inter)").as("jac_ppm"))

@@ -193,7 +193,10 @@ object TextOps {
     val k = LshBands * LshRows
     val exploded = docs
       .select($"doc_id", explode(shingles($"text")).as("sh"))
-    val aggs = collect_set($"sh").as("sh_set") +:
+    // sh_set is SORTED: one sort per document here lets the verify
+    // stage intersect every candidate pair with a single merge walk
+    // (sorted_intersect_count) instead of a per-pair hash-set build
+    val aggs = sort_array(collect_set($"sh")).as("sh_set") +:
       (0 until k).map(kk => min(xxhash64($"sh", lit(kk))).as(s"m$kk"))
     exploded.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -235,17 +238,22 @@ object TextOps {
       .select($"doc_id", col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 
   /** Exact-Jaccard verify of candidate pairs against the signature
-    * frame's shingle sets. */
+    * frame's shingle sets. `sh_set` is sorted ([[signatureFrame]]), so
+    * ∩ is one codegen merge walk per pair and ∪ falls out as
+    * |A| + |B| − |A∩B| — no array_union materialization at all. A
+    * defensive sort_array is a no-op on the sorted artifact but keeps
+    * the verify correct for pre-sorted-era persisted signature frames. */
   private def verifyPairs(
       cand: DataFrame, sigs: DataFrame, threshold: Double): DataFrame = {
-    val sh = sigs.select($"doc_id", $"sh_set")
+    import graft.plans.VectorExpressions.sorted_intersect_count
+    val sh = sigs.select($"doc_id", sort_array($"sh_set").as("sh_set"))
     cand
       .join(sh.select($"doc_id".as("id_a"), $"sh_set".as("sh_a")), "id_a")
       .join(sh.select($"doc_id".as("id_b"), $"sh_set".as("sh_b")), "id_b")
       .select($"id_a", $"id_b",
-        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          size(array_union($"sh_a", $"sh_b"))).as("jac"))
-      .filter($"jac" >= threshold)
+        sorted_intersect_count($"sh_a", $"sh_b").as("inter"),
+        (size($"sh_a") + size($"sh_b")).as("tot"))
+      .filter($"inter".cast("double") / ($"tot" - $"inter") >= threshold)
       .select($"id_a", $"id_b")
   }
 

@@ -44,6 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ArrayNanL1Expr(exprs(0), exprs(1))))
     ext.injectFunction(fn("simhash64", classOf[SimHash64Expr],
       exprs => SimHash64Expr(exprs.head)))
+    ext.injectFunction(fn("sorted_intersect_count", classOf[SortedIntersectCountExpr],
+      exprs => SortedIntersectCountExpr(exprs(0), exprs(1))))
     // whole-operator extension: filtered-row_number top-k → bounded-heap
     // physical operator (see TopKPerKey.scala)
     ext.injectOptimizerRule(_ => TopKRewriteRule)

@@ -180,14 +180,105 @@ case class ArrayCosineExpr(left: Expression, right: Expression) extends ArrayPai
     copy(l, r)
 }
 
+/** |A ∩ B| for two SORTED, de-duplicated string arrays — the verify
+  * kernel of the set-similarity joins. Value-equal to
+  * `size(array_intersect(a, b))` on set inputs, but a single merge walk
+  * per pair instead of a hash-set build per row (`array_intersect`
+  * constructs and probes a hash map for every invocation): the LSH and
+  * prefix-filter verifies evaluate one intersection per CANDIDATE PAIR,
+  * so at corpus scale this constant factor is the verify stage. Inputs
+  * must be sorted ascending (`sort_array` — same binary UTF8 order this
+  * walk compares by); the producers sort once per document, amortized
+  * over that document's every pair. Null arrays → null; null ELEMENTS
+  * never count as matches (the set producers emit none).
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "sorted_intersect_count"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> arguments, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    val (la, ra) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    var i = 0; var j = 0; var c = 0
+    val (n, m) = (la.numElements(), ra.numElements())
+    while (i < n && j < m) {
+      if (la.isNullAt(i)) i += 1
+      else if (ra.isNullAt(j)) j += 1
+      else {
+        val cmp = la.getUTF8String(i).compareTo(ra.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |int $i = 0; int $j = 0; int $c = 0;
+         |int $n = $l.numElements();
+         |int $m = $r.numElements();
+         |while ($i < $n && $j < $m) {
+         |  if ($l.isNullAt($i)) { $i++; }
+         |  else if ($r.isNullAt($j)) { $j++; }
+         |  else {
+         |    int $cmp = $l.getUTF8String($i).compareTo($r.getUTF8String($j));
+         |    if ($cmp == 0) { $c++; $i++; $j++; }
+         |    else if ($cmp < 0) { $i++; } else { $j++; }
+         |  }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
 object VectorExpressions {
 
   import org.apache.spark.sql.functions.call_function
 
-  def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
-  def vec_l1(a: Column, b: Column): Column = call_function("vec_l1", a, b)
-  def vec_cos(a: Column, b: Column): Column = call_function("vec_cos", a, b)
-  def vec_nanl1(a: Column, b: Column): Column = call_function("vec_nanl1", a, b)
+  // self-contained Column builders: register on the active/default
+  // session first (idempotent), so callers outside Tables.load resolve
+  private def fn(name: String, args: Column*): Column = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(register)
+    call_function(name, args: _*)
+  }
+
+  def vec_dot(a: Column, b: Column): Column = fn("vec_dot", a, b)
+  def vec_l1(a: Column, b: Column): Column = fn("vec_l1", a, b)
+  def vec_cos(a: Column, b: Column): Column = fn("vec_cos", a, b)
+  def vec_nanl1(a: Column, b: Column): Column = fn("vec_nanl1", a, b)
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    fn("sorted_intersect_count", a, b)
 
   /** Idempotent per-session registration — skipped when already present
     * (callers invoke this on every table load). */
@@ -204,6 +295,8 @@ object VectorExpressions {
         exprs => ArrayNanL1Expr(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("simhash64",
         exprs => SimHash64Expr(exprs(0)), "scala_udf")
+      reg.createOrReplaceTempFunction("sorted_intersect_count",
+        exprs => SortedIntersectCountExpr(exprs(0), exprs(1)), "scala_udf")
     }
   }
 }

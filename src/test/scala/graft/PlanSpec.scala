@@ -276,4 +276,20 @@ class PlanSpec extends AnyFunSuite {
     assert(generates == 2, s"expected 2 shingle explodes, saw $generates:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q111 DSv2 FITS: metadata-only queries never materialize pixel arrays") {
+    // the q111 oracle gates the DATA path; this gates the PRUNING path —
+    // a catalog query (positions only) must push its column set into the
+    // source so the decoder skips wl/flux/sigma entirely
+    val df = spark.read.format("graft.sources.fits.FitsDataSource")
+      .load("/root/reference/data/raw/galaxy_small/spectra")
+      .select("ra", "dec", "zoom", "healpix")
+    val p = plan(df)
+    val cols = "cols=([^ \\n]*)".r.findFirstMatchIn(p).map(_.group(1))
+    assert(cols.isDefined, s"no DSv2 scan description:\n$p")
+    for (pixel <- Seq("flux", "sigma", "wl"))
+      assert(!cols.get.split(",").contains(pixel),
+        s"pixel column '$pixel' reached the scan: ${cols.get}")
+    assert(df.count() == 55) // 11 committed spectra x 5 zooms
+  }
 }

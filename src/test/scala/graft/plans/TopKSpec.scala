@@ -95,6 +95,61 @@ class TopKSpec extends AnyFunSuite {
     assert(native.count() == 5) // a:2, null-key:2, b:1 (whole group)
   }
 
+  private def tied = {
+    // score = i % 7 → heavy ties in every key, so rank/dense_rank keep
+    // MORE than k rows per key and the tie-bucket path is exercised
+    (0 until 280).map(i => (s"k${i % 4}", i.toLong, (i % 7).toLong))
+      .toDF("key", "id", "score").repartition(8)
+  }
+
+  test("rank rewrite: ties at the k-th value all survive, plan is native") {
+    val w = Window.partitionBy($"key").orderBy($"score".desc)
+    val q = tied.withColumn("rk", rank().over(w)).filter($"rk" <= 3)
+    val native = q.select($"key", $"id", $"score")
+    native.collect()
+    val p = native.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), "rank rewrite did not fire:\n" + p)
+    assert(!p.contains("Window"), p)
+    val got = native.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // reference keeps rk (rewrite blocked) — the window engine's answer
+    val ref = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == ref)
+    // rank ≤ 3 over 7 tied levels of 10 rows each: ranks 1,11,21 →
+    // only rank 1's ties qualify... (280/4=70 rows per key, 10 per level)
+    assert(got.size == ref.size && got.nonEmpty)
+  }
+
+  test("dense_rank rewrite: k distinct levels survive with all their ties") {
+    val w = Window.partitionBy($"key").orderBy($"score".desc)
+    val q = tied.withColumn("rk", dense_rank().over(w)).filter($"rk" <= 3)
+    val native = q.select($"key", $"id", $"score")
+    native.collect()
+    val p = native.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), "dense_rank rewrite did not fire:\n" + p)
+    assert(!p.contains("Window"), p)
+    val got = native.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val ref = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == ref)
+    // 3 distinct score levels × 10 ties × 4 keys
+    assert(got.size == 120)
+  }
+
+  test("rank/dense_rank with nulls in the order column match the window form") {
+    val rows = Seq[(java.lang.String, java.lang.Long, java.lang.Long)](
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, null), ("a", 4L, 5L),
+      ("a", 5L, null), ("b", 6L, 1L), ("b", 7L, 1L))
+    val df = rows.toDF("key", "id", "score").repartition(4)
+    val w = Window.partitionBy($"key").orderBy($"score".desc)
+    for (fn <- Seq(rank(), dense_rank())) {
+      val q = df.withColumn("rk", fn.over(w)).filter($"rk" <= 2)
+      val native = q.select($"key", $"id")
+      native.collect()
+      assert(native.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(native.collect().map(_.getLong(1)).toSet ==
+        q.collect().map(_.getLong(1)).toSet, s"mismatch for $fn")
+    }
+  }
+
   test("q79 oracle query takes the native path and matches its window twin") {
     val dir = "/root/testdata/sf0.001"
     val df = graft.operators.TextOps.q79TopDocsNative(spark, dir)

@@ -92,4 +92,54 @@ class VectorExprSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), "kernel fell out of whole-stage codegen:\n" + p)
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted sets") {
+    import spark.implicits._
+    VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(7)
+    // random word sets (incl. empty and disjoint) — dedup + sort inside
+    // the query so both operands go through the same production shape
+    val rows = (0 until 300).map { i =>
+      val a = Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(40)}").distinct
+      val b = Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(40)}").distinct
+      (i, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+      .select($"id", sort_array($"a").as("a"), sort_array($"b").as("b"))
+    val bad = df.select(
+        VectorExpressions.sorted_intersect_count($"a", $"b").as("walk"),
+        size(array_intersect($"a", $"b")).as("hash"))
+      .filter($"walk" =!= $"hash").count()
+    assert(bad == 0L)
+    // null array → null (either side)
+    val nulls = Seq((Seq("x"), null: Seq[String])).toDF("a", "b")
+      .select(VectorExpressions.sorted_intersect_count($"a", $"b").as("c"),
+        VectorExpressions.sorted_intersect_count($"b", $"a").as("d"))
+      .collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
+  test("the LSH verify jaccard is unchanged by the merge-walk rewrite") {
+    import spark.implicits._
+    // |A∩B|/(|A|+|B|−|A∩B|) over sorted sets ≡ intersect/union over raw
+    // sets — the algebraic identity the verify stage now relies on
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      val a = Seq.fill(5 + rnd.nextInt(20))(s"s${rnd.nextInt(25)}").distinct
+      val b = Seq.fill(5 + rnd.nextInt(20))(s"s${rnd.nextInt(25)}").distinct
+      (i, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val walk = df.select($"id", sort_array($"a").as("a"), sort_array($"b").as("b"))
+      .select($"id",
+        (VectorExpressions.sorted_intersect_count($"a", $"b").cast("double") /
+          (size($"a") + size($"b") -
+            VectorExpressions.sorted_intersect_count($"a", $"b"))).as("jac"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val classic = df.select($"id",
+        (size(array_intersect($"a", $"b")).cast("double") /
+          size(array_union($"a", $"b"))).as("jac"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(walk == classic)
+  }
 }
