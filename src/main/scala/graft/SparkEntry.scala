@@ -158,6 +158,13 @@ object SparkEntry {
     // market-basket co-occurrence and gaps-and-islands streaks
     "q109_itemset_pairs" -> (InsightOps.q109ItemsetPairs _),
     "q110_activity_streaks" -> (InsightOps.q110ActivityStreaks _),
+    // corpus hygiene: PII redaction, canonical-form dedup, df spectrum,
+    // Zipf head coverage, exact-substring decontamination
+    "q112_pii_redaction" -> (HygieneOps.q112PiiRedaction _),
+    "q113_canonical_dedup" -> (HygieneOps.q113CanonicalDedup _),
+    "q114_df_spectrum" -> (HygieneOps.q114DfSpectrum _),
+    "q115_head_coverage" -> (HygieneOps.q115HeadCoverage _),
+    "q116_substring_decon" -> (HygieneOps.q116SubstringDecon _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -166,5 +173,6 @@ object SparkEntry {
     RelationalOps.oracles ++ VectorOps.oracles ++ TextOps.oracles ++
       MultimodalOps.oracles ++ CubeOps.oracles ++ AstroOps.oracles ++
       graft.streaming.EventStream.oracles ++ MiscOps.oracles ++ AsofOps.oracles ++
-      CurationOps.oracles ++ MiningOps.oracles ++ InsightOps.oracles
+      CurationOps.oracles ++ MiningOps.oracles ++ InsightOps.oracles ++
+      HygieneOps.oracles
 }

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.syntax._
+
+/** Corpus-hygiene operators — the cleaning steps a training-data
+  * pipeline runs BEFORE dedup/mixing: PII redaction, canonical-form
+  * (case/punctuation/whitespace-insensitive) duplicate detection,
+  * corpus-health spectra, and exact-substring decontamination. Same
+  * discipline as the other batches: codegen'd built-ins only, one
+  * key-partitioned shuffle per aggregate, every gated value exact
+  * integer / string so the DuckDB oracle matches bit-for-bit.
+  *
+  * The synthetic corpus carries no real PII/casing variance, so the
+  * fixture-dependent operators derive their planted inputs
+  * DETERMINISTICALLY inside the query (the q37 synthetic-sky
+  * precedent): the oracle replays the same derivation, and the gate
+  * pins the OPERATOR's semantics, not the fixture.
+  */
+object HygieneOps {
+
+  // --------------------------------------------------------------- q112
+
+  /** Conservative patterns shared verbatim by Spark (java.util.regex)
+    * and DuckDB (RE2): character classes + bounded quantifiers only, no
+    * lookaround, so both engines produce identical matches. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** PII redaction profile — per source: documents touched, match
+    * counts per category, and the total redacted length (the integer
+    * the gate can pin). Redaction itself is two `regexp_replace`
+    * passes (email first — its digits must not be half-eaten by the
+    * IP pass; both engines apply the same order). Stateless column
+    * math: scan-speed, shuffles only the per-source aggregate. */
+  def piiRedactionProfile(docs: DataFrame): DataFrame = {
+    val red = regexp_replace(
+      regexp_replace($"text", lit(EmailRe), lit("<EMAIL>")),
+      lit(Ipv4Re), lit("<IP>"))
+    docs
+      .select($"source",
+        regexp_count($"text", lit(EmailRe)).as("n_em"),
+        regexp_count($"text", lit(Ipv4Re)).as("n_ip"),
+        length(red).as("red_len"))
+      .groupBy($"source")
+      .agg(
+        count(when($"n_em" + $"n_ip" > 0, 1)).as("n_docs_with_pii"),
+        sum($"n_em").cast("long").as("n_emails"),
+        sum($"n_ip").cast("long").as("n_ips"),
+        sum($"red_len").cast("long").as("redacted_chars"))
+  }
+
+  /** Deterministic PII planting: every 4th document gains one email +
+    * one IPv4 derived from its id (the corpus itself is digit-free). */
+  private def withPlantedPii(docs: DataFrame): DataFrame =
+    docs.select($"doc_id", $"source",
+      when($"doc_id" % 4 === 0,
+        concat($"text", lit(" contact user"), $"doc_id",
+          lit("@mail.example.com from 10.0."), $"doc_id" % 256,
+          lit("."), ($"doc_id" * 7) % 256))
+        .otherwise($"text").as("text"))
+
+  def q112PiiRedaction(s: SparkSession, dir: String): DataFrame =
+    piiRedactionProfile(withPlantedPii(load(s, dir, "documents")))
+
+  // --------------------------------------------------------------- q113
+
+  /** Canonical content key: lower → strip non-alphanumerics → collapse
+    * whitespace → trim, then md5 so the dedup shuffle carries 16-byte
+    * keys instead of document bodies. Two documents share a key iff
+    * they are case/punctuation/whitespace variants of the same text —
+    * the normalization layer exact dedup (q17) sits on top of. */
+  def canonicalKey(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+
+  /** Canonical-dedup profile: group count, total docs, largest variant
+    * group, and redundant-doc count (Σ (size−1) — what canonical dedup
+    * would delete). One hash-key shuffle; group sizes are variant
+    * multiplicities, never corpus-sized. */
+  def canonicalDedupProfile(docs: DataFrame): DataFrame =
+    docs.select(canonicalKey($"text").as("ck"))
+      .groupBy($"ck").agg(count(lit(1)).as("sz"))
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum($"sz").as("n_docs"),
+        max($"sz").as("max_group"),
+        sum($"sz" - 1).as("n_redundant"))
+
+  /** Deterministic variant planting: each document is joined by an
+    * uppercased, punctuation-wrapped, whitespace-padded twin — the
+    * canonical key must collapse every pair. */
+  def q113CanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    canonicalDedupProfile(
+      docs.select($"doc_id", $"text").unionByName(
+        docs.select(($"doc_id" + 1000000L).as("doc_id"),
+          upper(concat(lit("  "), $"text", lit(" !! "))).as("text"))))
+  }
+
+  // --------------------------------------------------------------- q114
+
+  /** Shingle document-frequency spectrum — the corpus-health histogram
+    * behind cap tuning (q64's maxDf, q23's band sizing): for each df
+    * value, how many distinct shingles carry it and how many postings
+    * they contribute. Σdf² per bucket is exactly the pair-join cost the
+    * dedup guards bound, so this IS the operator that tells an operator
+    * where the hot tail starts. Two aggregates on the shingle key
+    * (posting count ≈ corpus tokens, spectrum rows ≈ distinct df
+    * values — tiny); no joins, no pairs. */
+  def shingleDfSpectrum(docs: DataFrame): DataFrame =
+    docs.select($"doc_id", explode(TextOps.shingles($"text")).as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("df"))
+      .groupBy($"df").agg(count(lit(1)).as("n_shingles"))
+      .select($"df", $"n_shingles",
+        ($"df" * $"n_shingles").as("n_postings"))
+
+  def q114DfSpectrum(s: SparkSession, dir: String): DataFrame =
+    shingleDfSpectrum(load(s, dir, "documents"))
+
+  // --------------------------------------------------------------- q115
+
+  /** Vocabulary head coverage: the cumulative corpus share (ppm) of the
+    * top-k tokens by frequency — the Zipf-head measure behind stopword
+    * lists and tokenizer-vocab budgeting. The window runs over the
+    * VOCABULARY-sized count table (a partitionless sort of distinct
+    * tokens, not the corpus — documented single-partition stage,
+    * bounded by |vocab|); the corpus itself is touched once by the
+    * count aggregate. Total order (cnt desc, token) + ROWS frame makes
+    * the cumulative sum engine-exact. */
+  def tokenHeadCoverage(docs: DataFrame, ks: Seq[Int]): DataFrame = {
+    val counts = docs.select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+    val tot = counts.groupBy().agg(sum($"cnt").as("total"))
+    val ord = Window.orderBy($"cnt".desc, $"w")
+    counts
+      .withColumn("k", row_number().over(ord))
+      .withColumn("cum_tokens",
+        sum($"cnt").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"k".isin(ks: _*))
+      .crossJoin(broadcast(tot))
+      .select($"k".cast("long").as("k"), $"cum_tokens",
+        expr("(cum_tokens * 1000000) div total").as("cum_ppm"))
+  }
+
+  def q115HeadCoverage(s: SparkSession, dir: String): DataFrame =
+    tokenHeadCoverage(load(s, dir, "documents"), Seq(1, 5, 25))
+
+  // --------------------------------------------------------------- q116
+
+  /** Exact-substring decontamination — the verbatim complement of the
+    * shingle-overlap gates (q55/q67): a document is contaminated iff a
+    * benchmark PHRASE occurs in it verbatim (`contains`), catching
+    * short quoted answers whose shingle overlap stays under the q55
+    * threshold. The phrase list broadcasts (benchmarks are small by
+    * construction); the corpus is scanned once with a codegen contains
+    * per (doc, phrase) — no shuffle until the per-source count. For
+    * benchmark suites too large to broadcast, the q67 Bloom route
+    * applies to phrase hashes first. */
+  def substringDecon(corpus: DataFrame, phrases: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(phrases))
+      .filter(contains($"text", $"p"))
+      .select($"doc_id", $"source").distinct()
+      .groupBy($"source").agg(count(lit(1)).as("n_contaminated"))
+
+  /** Benchmark = the q55 split (doc_id < 10), phrases = each benchmark
+    * document's first 3 tokens. */
+  def q116SubstringDecon(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val phrases = docs.filter($"doc_id" < 10)
+      .select(concat_ws(" ", slice(split($"text", " "), 1, 3)).as("p"))
+      .distinct()
+    substringDecon(docs.filter($"doc_id" >= 10), phrases)
+  }
+
+  // ------------------------------------------------------------ oracles
+
+  val oracles: Map[String, String] = Map(
+    "q112_pii_redaction" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 4 = 0 THEN text || ' contact user' ||
+        |    CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.0.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |  ELSE text END AS text FROM documents),
+        |p AS (SELECT source,
+        |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_em,
+        |  len(regexp_extract_all(text, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS n_ip,
+        |  length(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')) AS red_len
+        |  FROM t)
+        |SELECT source,
+        |  CAST(count(CASE WHEN n_em + n_ip > 0 THEN 1 END) AS BIGINT) AS n_docs_with_pii,
+        |  CAST(sum(n_em) AS BIGINT) AS n_emails,
+        |  CAST(sum(n_ip) AS BIGINT) AS n_ips,
+        |  CAST(sum(red_len) AS BIGINT) AS redacted_chars
+        |FROM p GROUP BY 1""".stripMargin,
+    "q113_canonical_dedup" ->
+      """WITH v AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, upper('  ' || text || ' !! ') FROM documents),
+        |k AS (SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS ck FROM v),
+        |g AS (SELECT ck, count(*) AS sz FROM k GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(max(sz) AS BIGINT) AS max_group,
+        |  CAST(sum(sz - 1) AS BIGINT) AS n_redundant
+        |FROM g""".stripMargin,
+    "q114_df_spectrum" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |g AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3
+        |    THEN unnest(list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+        |    ELSE array_to_string(ts, ' ') END AS g
+        |  FROM t),
+        |d AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1)
+        |SELECT df, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(df * count(*) AS BIGINT) AS n_postings
+        |FROM d GROUP BY 1""".stripMargin,
+    "q115_head_coverage" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS k,
+        |  sum(cnt) OVER (ORDER BY cnt DESC, w
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+        |t AS (SELECT sum(cnt) AS total FROM c)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(cum AS BIGINT) AS cum_tokens,
+        |  CAST(cum * 1000000 // total AS BIGINT) AS cum_ppm
+        |FROM r, t WHERE k IN (1, 5, 25)""".stripMargin,
+    "q116_substring_decon" ->
+      """WITH p AS (SELECT DISTINCT array_to_string(string_split(text,' ')[1:3], ' ') AS p
+        |  FROM documents WHERE doc_id < 10),
+        |hit AS (SELECT DISTINCT d.doc_id, d.source FROM documents d, p
+        |  WHERE d.doc_id >= 10 AND contains(d.text, p.p))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated
+        |FROM hit GROUP BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-hygiene operator semantics on planted fixtures (the oracle
+  * gate covers the derived-fixture queries; here the operator laws). */
+class HygieneOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("pii profile: matches counted per category, clean docs unchanged") {
+    val docs = Seq(
+      (1L, "sa", "reach me at alice.smith@corp.example.org today"),
+      (2L, "sa", "node 192.168.0.17 and peer 10.1.2.3 are up"),
+      (3L, "sb", "nothing sensitive here at all"))
+      .toDF("doc_id", "source", "text")
+    val got = HygieneOps.piiRedactionProfile(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // sa: doc1 one email, doc2 two IPs; sb: untouched
+    assert(got("sa")._1 == 2L && got("sa")._2 == 1L && got("sa")._3 == 2L)
+    assert(got("sb") == ((0L, 0L, 0L,
+      "nothing sensitive here at all".length.toLong)))
+    // redaction replaces, never deletes: doc1 len - email + <EMAIL>
+    val d1 = "reach me at alice.smith@corp.example.org today"
+    val d2 = "node 192.168.0.17 and peer 10.1.2.3 are up"
+    val expected = (d1.length - "alice.smith@corp.example.org".length + "<EMAIL>".length) +
+      (d2.length - "192.168.0.17".length - "10.1.2.3".length + 2 * "<IP>".length)
+    assert(got("sa")._4 == expected.toLong)
+  }
+
+  test("canonical key collapses case/punctuation/whitespace variants only") {
+    val docs = Seq(
+      (1L, "big data rows"),
+      (2L, "  BIG   data, rows!! "),
+      (3L, "Big DATA rows."),
+      (4L, "big data cols"))
+      .toDF("doc_id", "text")
+    val prof = HygieneOps.canonicalDedupProfile(docs).collect()(0)
+    // 2 groups: {1,2,3} and {4}
+    assert(prof.getLong(0) == 2L)
+    assert(prof.getLong(1) == 4L)
+    assert(prof.getLong(2) == 3L)
+    assert(prof.getLong(3) == 2L)
+  }
+
+  test("df spectrum sums back to the posting total and buckets exactly") {
+    // shared shingle "x y z" in 3 docs; each doc adds unique shingles
+    val docs = Seq(
+      (1L, "x y z a1 b1"), (2L, "x y z a2 b2"), (3L, "x y z a3 b3"))
+      .toDF("doc_id", "text")
+    // per doc: 3 shingles ("x y z", "y z aN", "z aN bN") → df(x y z)=3,
+    // six unique df=1 shingles
+    val got = HygieneOps.shingleDfSpectrum(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ((6L, 6L)), 3L -> ((1L, 3L))))
+    assert(got.values.map(_._2).sum == 9L) // = Σ per-doc shingles
+  }
+
+  test("head coverage is the cumulative Zipf share under total order") {
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val got = HygieneOps.tokenHeadCoverage(docs, Seq(1, 2, 3))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ((3L, 500000L)), // a: 3/6
+      2L -> ((5L, 833333L)), // +b: 5/6
+      3L -> ((6L, 1000000L))))
+  }
+
+  test("substring decon flags verbatim phrase carriers, counts docs once") {
+    val corpus = Seq(
+      (10L, "sa", "prefix the exact answer text suffix"),
+      (11L, "sa", "the exact answer appears here and the exact answer again"),
+      (12L, "sb", "no overlap at all here"))
+      .toDF("doc_id", "source", "text")
+    val phrases = Seq("the exact answer", "another phrase").toDF("p")
+    val got = HygieneOps.substringDecon(corpus, phrases)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("sa" -> 2L)) // doc 11 counted once despite 2 hits
+  }
+}
