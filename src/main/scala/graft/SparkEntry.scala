@@ -165,6 +165,8 @@ object SparkEntry {
     "q114_df_spectrum" -> (HygieneOps.q114DfSpectrum _),
     "q115_head_coverage" -> (HygieneOps.q115HeadCoverage _),
     "q116_substring_decon" -> (HygieneOps.q116SubstringDecon _),
+    // rank() tie-keeping grouped top-k through the native operator
+    "q117_top_docs_ranked" -> ((s, d) => TextOps.q117TopDocsRanked(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -952,6 +952,23 @@ object TextOps {
       .select($"source", $"doc_id", $"n_chars")
   }
 
+  /** The `rank()` variant of [[q79TopDocsNative]] — KEEPS ties at the
+    * k-th length, so the answer is a deterministic SET with no
+    * tie-break column needed. Same native rewrite, but the physical
+    * operator runs the ordered tie-bucket path (everything tied at or
+    * above the k-th distinct... k-th value survives) instead of the
+    * bounded heap; the DuckDB twin's rank() pins the tie semantics
+    * cross-engine. */
+  def q117TopDocsRanked(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_chars".desc)
+    load(s, dir, "documents")
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("rk", rank().over(w))
+      .filter($"rk" <= k)
+      .select($"source", $"doc_id", $"n_chars")
+  }
+
   /** Pairwise source-distribution divergence — the domain-shift matrix
     * of corpus assembly: L1 distance between per-source token frequency
     * distributions (ppm-scaled, exact integers — transcendental
@@ -1198,6 +1215,11 @@ object TextOps {
     "q79_top_docs_native" ->
       """WITH r AS (SELECT source, doc_id, n_chars,
         |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars FROM r WHERE rk <= 3""".stripMargin,
+    "q117_top_docs_ranked" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |  rank() OVER (PARTITION BY source ORDER BY n_chars DESC) AS rk
         |  FROM documents)
         |SELECT source, doc_id, n_chars FROM r WHERE rk <= 3""".stripMargin,
     // q80 composes the q73 cluster CTE, the q55 contamination rule and

@@ -72,11 +72,13 @@ class FitsDataSource extends TableProvider {
           Option(opts.get("pathGlobFilter")).getOrElse("*.fits*"),
           Option(opts.get("zoomCnt")).map(_.toInt).getOrElse(Ingest.ImgZoomCnt),
           SdssFits.readCcdTsv(s"$conf/ccd_gain.tsv"),
-          SdssFits.readCcdTsv(s"$conf/ccd_dark_variance.tsv"))
+          SdssFits.readCcdTsv(s"$conf/ccd_dark_variance.tsv"),
+          Option(opts.get("listParallelism")).map(_.toInt).getOrElse(0))
       case "spectra" =>
         new FitsTable(path,
           Option(opts.get("pathGlobFilter")).getOrElse("*.fits"),
-          Option(opts.get("zoomCnt")).map(_.toInt).getOrElse(Ingest.SpecZoomCnt))
+          Option(opts.get("zoomCnt")).map(_.toInt).getOrElse(Ingest.SpecZoomCnt),
+          Option(opts.get("listParallelism")).map(_.toInt).getOrElse(0))
       case other =>
         throw new IllegalArgumentException(s"graft.fits: unknown kind '$other'")
     }
@@ -156,17 +158,17 @@ object SerializableHadoopConf {
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 }
 
-class FitsTable(path: String, glob: String, zoomCnt: Int)
+class FitsTable(path: String, glob: String, zoomCnt: Int, listPar: Int)
     extends Table with SupportsRead {
   override def name(): String = s"graft.fits(`$path`)"
   override def schema(): StructType = FitsDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FitsScanBuilder(path, glob, zoomCnt)
+    new FitsScanBuilder(path, glob, zoomCnt, listPar)
 }
 
-class FitsScanBuilder(path: String, glob: String, zoomCnt: Int)
+class FitsScanBuilder(path: String, glob: String, zoomCnt: Int, listPar: Int)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -187,13 +189,13 @@ class FitsScanBuilder(path: String, glob: String, zoomCnt: Int)
 
   override def build(): Scan =
     new FitsScan(path, glob, zoomCnt, required, zoomEq,
-      SerializableHadoopConf.fromSession())
+      SerializableHadoopConf.fromSession(), listPar)
 }
 
 class FitsScan(
     path: String, glob: String, zoomCnt: Int,
     required: StructType, zoomEq: Option[Int],
-    hconf: SerializableHadoopConf) extends Scan with Batch {
+    hconf: SerializableHadoopConf, listPar: Int) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -201,7 +203,8 @@ class FitsScan(
     s"graft.fits $path glob=$glob zoomCnt=$zoomCnt cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    FitsFiles.list(path, glob, hconf.value)
+    if (listPar > 0) FitsFiles.listDistributed(path, glob, hconf, listPar)
+    else FitsFiles.list(path, glob, hconf.value)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FitsReaderFactory(zoomCnt, required, zoomEq, hconf)
@@ -209,21 +212,61 @@ class FitsScan(
 
 case class FitsInputPartition(file: String) extends InputPartition
 
-/** Driver-side recursive listing → one partition per matching file. */
+/** File discovery → one partition per matching file. Driver-side
+  * recursive walk by default; `listParallelism = N` fans the recursive
+  * walk of each top-level subdirectory out across the cluster (one
+  * small Spark job at plan time, collecting matched path STRINGS only)
+  * — the listing analogue of the binaryFile manifest-join discipline:
+  * at 1.5 M files over thousands of run/camcol directories the serial
+  * driver walk is minutes of NameNode round-trips, the distributed
+  * walk is one task wave. */
 object FitsFiles {
+  private def matches(glob: String, name: String): Boolean =
+    java.nio.file.FileSystems.getDefault
+      .getPathMatcher(s"glob:$glob")
+      .matches(java.nio.file.Paths.get(name))
+
   def list(path: String, glob: String, conf: Configuration): Array[InputPartition] = {
     val fs = new Path(path).getFileSystem(conf)
-    val matcher = java.nio.file.FileSystems.getDefault
-      .getPathMatcher(s"glob:$glob")
     val it = fs.listFiles(new Path(path), /* recursive = */ true)
     val out = Array.newBuilder[InputPartition]
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile &&
-          matcher.matches(java.nio.file.Paths.get(st.getPath.getName)))
+      if (st.isFile && matches(glob, st.getPath.getName))
         out += FitsInputPartition(st.getPath.toString)
     }
     out.result()
+  }
+
+  def listDistributed(
+      path: String, glob: String,
+      hconf: SerializableHadoopConf, parallelism: Int): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fs = new Path(path).getFileSystem(hconf.value)
+    // one driver round-trip for the top level; subtrees walk on executors
+    val top = fs.listStatus(new Path(path))
+    val rootFiles = top.filter(st => st.isFile && matches(glob, st.getPath.getName))
+      .map(_.getPath.toString)
+    val dirs = top.filter(_.isDirectory).map(_.getPath.toString).toSeq
+    val subFiles: Array[String] =
+      if (dirs.isEmpty) Array.empty
+      else spark.sparkContext
+        .parallelize(dirs, math.max(1, math.min(dirs.length, parallelism)))
+        .flatMap { d =>
+          val dfs = new Path(d).getFileSystem(hconf.value)
+          val it = dfs.listFiles(new Path(d), /* recursive = */ true)
+          val out = Array.newBuilder[String]
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile && matches(glob, st.getPath.getName))
+              out += st.getPath.toString
+          }
+          out.result()
+        }
+        .collect()
+    // deterministic partition order regardless of task completion order
+    (rootFiles ++ subFiles).sorted
+      .map(f => FitsInputPartition(f): InputPartition)
   }
 
   def readAll(file: String, conf: Configuration): Array[Byte] = {
@@ -324,20 +367,22 @@ object ImageFits {
 class ImageFitsTable(
     path: String, glob: String, zoomCnt: Int,
     gains: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
-    darkVars: Seq[graft.functions.PhotometryKernels.CcdConfigRow])
+    darkVars: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
+    listPar: Int)
     extends Table with SupportsRead {
   override def name(): String = s"graft.fits.images(`$path`)"
   override def schema(): StructType = FitsDataSource.ImageSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ImageFitsScanBuilder(path, glob, zoomCnt, gains, darkVars)
+    new ImageFitsScanBuilder(path, glob, zoomCnt, gains, darkVars, listPar)
 }
 
 class ImageFitsScanBuilder(
     path: String, glob: String, zoomCnt: Int,
     gains: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
-    darkVars: Seq[graft.functions.PhotometryKernels.CcdConfigRow])
+    darkVars: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
+    listPar: Int)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -358,7 +403,7 @@ class ImageFitsScanBuilder(
 
   override def build(): Scan =
     new ImageFitsScan(path, glob, zoomCnt, gains, darkVars, required, zoomEq,
-      SerializableHadoopConf.fromSession())
+      SerializableHadoopConf.fromSession(), listPar)
 }
 
 class ImageFitsScan(
@@ -366,7 +411,7 @@ class ImageFitsScan(
     gains: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
     darkVars: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
     required: StructType, zoomEq: Option[Int],
-    hconf: SerializableHadoopConf) extends Scan with Batch {
+    hconf: SerializableHadoopConf, listPar: Int) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -374,7 +419,8 @@ class ImageFitsScan(
     s"graft.fits.images $path glob=$glob zoomCnt=$zoomCnt cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    FitsFiles.list(path, glob, hconf.value)
+    if (listPar > 0) FitsFiles.listDistributed(path, glob, hconf, listPar)
+    else FitsFiles.list(path, glob, hconf.value)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ImageFitsReaderFactory(zoomCnt, gains, darkVars, required, zoomEq, hconf)

@@ -112,6 +112,31 @@ class FitsDataSourceSpec extends AnyFunSuite {
     assert(df.count() == 10)
   }
 
+  test("distributed listing finds the same files as the driver walk") {
+    import spark.implicits._
+    // nested run-directory layout: root files + two subtrees, one of
+    // them two levels deep — the shape the executor-side walk must cover
+    val d = Files.createTempDirectory("graft-dsv2-dist")
+    val (loglam, flux, ivar) = graft.pipeline.FitsFixtures.specGrid()
+    val layout = Seq(
+      d.resolve("spec-4100-52000-0001.fits"),
+      d.resolve("runA").resolve("spec-4100-52001-0002.fits"),
+      d.resolve("runB").resolve("deep").resolve("spec-4100-52002-0003.fits"))
+    layout.zipWithIndex.foreach { case (p, k) =>
+      Files.createDirectories(p.getParent)
+      graft.pipeline.FitsFixtures.writeSpectrum(
+        p.toString, 30.0 + k, -20.0, 4100, 52000 + k, k + 1, loglam, flux, ivar)
+    }
+    Files.writeString(d.resolve("runA").resolve("skip.txt"), "not fits")
+    def names(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"zoom" === 0).select("fits_name").as[String].collect().sorted.toSeq
+    val driver = names(spark.read.format(Fmt).load(d.toString))
+    val dist = names(spark.read.format(Fmt)
+      .option("listParallelism", "4").load(d.toString))
+    assert(driver.size == 3)
+    assert(dist == driver)
+  }
+
   test("session Hadoop conf reaches the driver listing and executor readers") {
     import spark.implicits._
     // `graftfs` resolves ONLY through the session conf key set here —
