@@ -277,6 +277,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q112 pii redaction: stateless column pass, one aggregate exchange") {
+    val df = graft.operators.HygieneOps.q112PiiRedaction(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // regexes run in the scan projection; the only shuffle is the
+    // per-source aggregate (partial + final around one exchange)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges:\n$p")
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q114 df spectrum: one shingle explode, aggregates only") {
+    val df = graft.operators.HygieneOps.q114DfSpectrum(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Generate explode".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), "df spectrum must not join:\n" + p)
+    // shingle-key shuffle + (tiny) df-key shuffle — never more
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 shuffles, saw $exchanges:\n$p")
+  }
+
+  test("q116 substring decon: phrase list broadcast, corpus never shuffles pre-filter") {
+    val df = graft.operators.HygieneOps.q116SubstringDecon(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // contains() is non-equi, so the join must be a BROADCAST nested
+    // loop over the tiny phrase list — never a cartesian shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q111 DSv2 FITS: metadata-only queries never materialize pixel arrays") {
     // the q111 oracle gates the DATA path; this gates the PRUNING path —
     // a catalog query (positions only) must push its column set into the
