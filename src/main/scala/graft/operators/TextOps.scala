@@ -726,13 +726,13 @@ object TextOps {
     * family): postings with df > maxDf are excluded from the pair join,
     * which UNDERCOUNTS intersections for pairs sharing a hot shingle —
     * a silent-wrong-answer mode, so by default (`allowLossy = false`)
-    * the operator runs the df profile first and REFUSES loudly when any
-    * shingle trips the cap, naming the worst offenders so the caller
-    * can raise `maxDf` or opt into lossy mode, where the drops are
-    * surfaced in the stats frame instead of a throw. The strict check
-    * is one extra aggregation pass over the shingle postings (same
-    * shuffle key as the df-cut itself); at 100 TB that is the price of
-    * never emitting a wrong containment score. */
+    * the operator REFUSES loudly when any shingle trips the cap: a
+    * `raise_error` is woven into the df-cut's kept column itself, so
+    * the guard costs ZERO extra passes (it rides the very aggregation
+    * that feeds the join) and fires — naming the offending shingle and
+    * its df — the moment a hot posting would otherwise enter the pair
+    * join. Lossy mode drops hot postings instead, with the drops
+    * surfaced in the stats frame. */
   def containmentPairs(
       docs: DataFrame, minScaled: Long = 8000L,
       maxDf: Long = MaxContainmentDf,
@@ -741,23 +741,22 @@ object TextOps {
       .select($"doc_id", explode(shingles($"text")).as("g"))
       .repartition($"g")
     val dfreq = g.groupBy($"g").agg(count(lit(1)).as("df"))
-    if (!allowLossy) {
-      val hot = dfreq.filter($"df" > maxDf)
-        .orderBy($"df".desc).limit(5).collect()
-      if (hot.nonEmpty) {
-        val worst = hot.map(r => s"'${r.getString(0)}' (df=${r.getLong(1)})")
-          .mkString(", ")
-        throw new IllegalStateException(
-          s"containmentPairs: ${hot.length}+ shingle(s) exceed maxDf=$maxDf " +
-            s"— worst: $worst. Joining them would build an O(df²) pair " +
-            "bucket; raise maxDf or pass allowLossy=true to drop hot " +
-            "postings with surfaced accounting.")
-      }
-    }
     val sizes = g.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     // df-cut: singletons contribute to no intersection (lossless);
-    // df > maxDf postings are the guarded hot tail (lossy, accounted)
-    val shared = dfreq.filter($"df" >= 2 && $"df" <= maxDf).select($"g")
+    // df > maxDf postings are the guarded hot tail — refused (strict,
+    // in-plan raise_error on the kept column so pruning can't drop it)
+    // or excluded with accounting (lossy)
+    val shared =
+      if (allowLossy) dfreq.filter($"df" >= 2 && $"df" <= maxDf).select($"g")
+      else dfreq.filter($"df" >= 2)
+        .select(when($"df" > maxDf,
+          raise_error(concat(
+            lit("containmentPairs: shingle '"), $"g",
+            lit("' has df="), $"df",
+            lit(s" > maxDf=$maxDf — joining it would build an O(df²) " +
+              "pair bucket; raise maxDf or pass allowLossy=true to drop " +
+              "hot postings with surfaced accounting"))))
+          .otherwise($"g").as("g"))
     val dropStats = dfreq.filter($"df" > maxDf)
       .groupBy().agg(
         count(lit(1)).as("n_hot_shingles"),

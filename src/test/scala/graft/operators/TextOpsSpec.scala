@@ -226,11 +226,15 @@ class TextOpsSpec extends AnyFunSuite {
       (302L, s"$boiler p1 p2 p3 p4 p5 tail1 tail2")))
       .toDF("doc_id", "text")
     // strict mode: the planted shingle trips a maxDf=5 cap with a
-    // message naming the offender — never a silently undercounted score
-    val e = intercept[IllegalStateException] {
-      TextOps.containmentPairs(docs, maxDf = 5)
+    // message naming the offender — never a silently undercounted
+    // score. The guard is IN-PLAN (raise_error on the df-cut column),
+    // so it fires at action time, wrapped by Spark's task failure.
+    val e = intercept[Exception] {
+      TextOps.containmentPairs(docs, maxDf = 5)._1.collect()
     }
-    assert(e.getMessage.contains(boiler) && e.getMessage.contains("maxDf=5"))
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains(boiler) && chain(e).contains("maxDf=5"), chain(e))
     // lossy mode under the same cap: runs, and surfaces exactly the
     // planted drop (1 hot shingle, 12 postings)
     val (lossyPairs, stats) = TextOps.containmentPairs(
