@@ -167,6 +167,10 @@ object SparkEntry {
     "q116_substring_decon" -> (HygieneOps.q116SubstringDecon _),
     // rank() tie-keeping grouped top-k through the native operator
     "q117_top_docs_ranked" -> ((s, d) => TextOps.q117TopDocsRanked(s, d)),
+    // contrastive-training sampling: deterministic negatives + hard
+    // negatives just below the near-dup band
+    "q118_negative_samples" -> (CurationOps.q118NegativeSamples _),
+    "q119_hard_negatives" -> ((s, d) => VectorOps.q119HardNegatives(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -299,9 +299,42 @@ object CurationOps {
       .select($"source", $"doc_id", $"h")
   }
 
+  /** Deterministic contrastive NEGATIVE sampling: for each document, k
+    * pseudo-random partner docs by an LCG hop over the id space
+    * ((doc_id·48271 + i·101) mod N — Lehmer multiplier, no RNG), so the
+    * pairing is reproducible across runs, engines, partitionings, and
+    * appends (the q86 determinism discipline). Partner EXISTENCE is
+    * validated by an id equi-join (sparse id spaces just thin the
+    * sample); self-pairs are skipped. One broadcast of the 1-row count,
+    * one id-key join — never a shuffle of document bodies. Long bound:
+    * doc_id·48271 < 2⁶³ ⇔ ids < ~1.9·10¹⁴. */
+  def negativeSamples(docs: DataFrame, k: Int): DataFrame = {
+    val n = docs.groupBy().agg(count(lit(1)).as("n_docs"))
+    val ids = docs.select($"doc_id".as("neg_id"))
+    docs.select($"doc_id").crossJoin(broadcast(n))
+      .select($"doc_id", explode(sequence(lit(1), lit(k))).as("i"), $"n_docs")
+      .select($"doc_id", $"i".cast("long").as("neg_ordinal"),
+        (($"doc_id" * 48271 + $"i" * 101) % $"n_docs").as("neg_id"))
+      .filter($"neg_id" =!= $"doc_id")
+      .join(ids, "neg_id")
+      .select($"doc_id", $"neg_ordinal", $"neg_id")
+  }
+
+  def q118NegativeSamples(s: SparkSession, dir: String): DataFrame =
+    negativeSamples(load(s, dir, "documents"), k = 2)
+
   // ------------------------------------------------------------ oracles
 
   val oracles: Map[String, String] = Map(
+    "q118_negative_samples" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |i AS (SELECT unnest(generate_series(1, 2)) AS i),
+        |c AS (SELECT d.doc_id, CAST(i.i AS BIGINT) AS neg_ordinal,
+        |  (d.doc_id * 48271 + i.i * 101) % n.n_docs AS neg_id
+        |  FROM documents d CROSS JOIN n CROSS JOIN i)
+        |SELECT c.doc_id, c.neg_ordinal, c.neg_id
+        |FROM c JOIN documents e ON e.doc_id = c.neg_id
+        |WHERE c.neg_id != c.doc_id""".stripMargin,
     "q81_interval_join" ->
       """SELECT p.event_id, CAST(count(k.ts) AS BIGINT) AS n_clicks
         |FROM events p LEFT JOIN events k

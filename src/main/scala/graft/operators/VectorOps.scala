@@ -85,6 +85,29 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Hard-negative mining — the contrastive-training retrieval step:
+    * the most similar vectors to the probe EXCLUDING the near-duplicate
+    * band (cos ≥ bandScaled/10⁶ is "same content", useless as a
+    * negative; just-below-band is the hard negative that teaches the
+    * margin). Same broadcast-probe scan + TakeOrdered shape as q24 with
+    * the band filter fused into the scan — at corpus scale the LSH/IVF
+    * routes (q25/q48) produce the candidates and this band filter
+    * re-ranks them. The band (0.30 here) is fixture-tuned so the gate
+    * provably excludes the top of the ranking; semantics are
+    * threshold-independent. */
+  def q119HardNegatives(
+      s: SparkSession, dir: String, k: Int = 10,
+      bandScaled: Long = 300000L): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val ref = emb.filter($"vec_id" === 0).select($"embedding".as("ref_emb"))
+    emb.filter($"vec_id" =!= 0).crossJoin(broadcast(ref))
+      .select($"vec_id",
+        floor(cosine($"embedding", $"ref_emb") * 1e6 + 0.5).cast("long").as("cos_scaled"))
+      .filter($"cos_scaled" < bandScaled)
+      .orderBy($"cos_scaled".desc, $"vec_id")
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN scale path: sparse random-hyperplane signatures
     * (cosine LSH) → candidates share a signature bucket → exact cosine
     * re-rank within bucket. At 100 TB the bucket join replaces the
@@ -333,6 +356,15 @@ object VectorOps {
         |SELECT vec_id,
         |CAST(floor(sum(v*rv)/(sqrt(sum(v*v))*sqrt(sum(rv*rv))) * 1e6 + 0.5) AS BIGINT) AS cos_scaled
         |FROM pairs GROUP BY 1 ORDER BY cos_scaled DESC, vec_id LIMIT 10""".stripMargin,
+    "q119_hard_negatives" ->
+      """WITH ref AS (SELECT embedding AS ref_emb FROM embeddings WHERE vec_id=0),
+        |pairs AS (SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS v,
+        |  CAST(unnest(r.ref_emb) AS DOUBLE) AS rv FROM embeddings e CROSS JOIN ref r
+        |  WHERE e.vec_id != 0)
+        |SELECT vec_id,
+        |CAST(floor(sum(v*rv)/(sqrt(sum(v*v))*sqrt(sum(rv*rv))) * 1e6 + 0.5) AS BIGINT) AS cos_scaled
+        |FROM pairs GROUP BY 1 HAVING cos_scaled < 300000
+        |ORDER BY cos_scaled DESC, vec_id LIMIT 10""".stripMargin,
     "q25_ann_lsh" ->
       s"""WITH s AS (SELECT ${signatureSql("embedding", 64, 12)} AS sig FROM embeddings),
          |b AS (SELECT sig, count(*) AS bucket_size FROM s GROUP BY 1)
