@@ -162,6 +162,86 @@ object Export {
       .json(outDir)
   }
 
+  /** WebDataset-style tar shard export — the multimodal training-data
+    * exchange format: each sample's files (`<key>.<ext>`) stored
+    * CONTIGUOUSLY in a POSIX ustar archive, samples assigned to shards
+    * by `xxhash64(key) mod n` (deterministic and content-independent —
+    * the [[writeJsonlCorpus]] discipline, so re-exports and appends are
+    * reproducible), shards named `shard-%05d.tar`.
+    *
+    * Input: one row per sample — (key: string, entries: map<string,
+    * binary>) with the map key as the file extension. Scale shape: one
+    * shuffle on the shard id (payload bytes cross the wire exactly
+    * once), samples sorted by key within the shard, each task streams
+    * its shard(s) through the session-conf Hadoop FS — no driver
+    * collection, no whole-shard buffering (one entry in memory at a
+    * time). The ustar encoder is plain task code: fixed header block,
+    * 512-byte-padded payload, two zero blocks at end; mtime/uid/gid
+    * are fixed at 0 so the bytes are identical across re-exports. */
+  def writeTarShards(
+      samples: org.apache.spark.sql.DataFrame, outDir: String,
+      nShards: Int = 32): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val hconf = graft.sources.fits.SerializableHadoopConf.fromSession()
+    samples
+      .withColumn("shard", pmod(xxhash64(col("key")), lit(nShards)))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("key"))
+      .select(col("shard"), col("key"), col("entries"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        var cur = -1L
+        var out: java.io.OutputStream = null
+        def close(): Unit = if (out != null) {
+          out.write(new Array[Byte](1024)) // end-of-archive blocks
+          out.close(); out = null
+        }
+        try {
+          it.foreach { row =>
+            val shard = row.getLong(0)
+            if (shard != cur) {
+              close(); cur = shard
+              val p = new org.apache.hadoop.fs.Path(
+                outDir, f"shard-$shard%05d.tar")
+              val fs = p.getFileSystem(hconf.value)
+              out = new java.io.BufferedOutputStream(fs.create(p, true))
+            }
+            val key = row.getString(1)
+            row.getMap[String, Array[Byte]](2).toSeq.sortBy(_._1)
+              .foreach { case (ext, bytes) =>
+                writeTarEntry(out, s"$key.$ext", bytes)
+              }
+          }
+        } finally close()
+      }
+  }
+
+  /** One ustar header block + 512-padded payload. */
+  private def writeTarEntry(
+      out: java.io.OutputStream, name: String, bytes: Array[Byte]): Unit = {
+    require(name.getBytes(StandardCharsets.UTF_8).length <= 100,
+      s"tar entry name over 100 bytes: $name")
+    val hdr = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes(StandardCharsets.US_ASCII)
+      System.arraycopy(b, 0, hdr, off, b.length)
+    }
+    put(0, name)
+    put(100, "0000644 ") // mode
+    put(108, "0000000 ") // uid
+    put(116, "0000000 ") // gid
+    put(124, f"${bytes.length}%011o ") // size, octal
+    put(136, "00000000000 ") // mtime: fixed for reproducibility
+    put(148, "        ") // chksum placeholder = 8 spaces
+    hdr(156) = '0' // typeflag: regular file
+    put(257, "ustar 00") // magic + version
+    val sum = hdr.map(_ & 0xff).sum
+    put(148, f"$sum%06o  ")
+    out.write(hdr)
+    out.write(bytes)
+    val pad = (512 - bytes.length % 512) % 512
+    if (pad > 0) out.write(new Array[Byte](pad))
+  }
+
   def writeFitsTable(rows: Seq[VizRow], path: String): Unit = {
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     try {

@@ -34,6 +34,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming == batch, s"stream=$streaming batch=$batch")
   }
 
+  test("streaming near-dup dedup drops cross-batch twins, keeps first occurrences") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val base = java.nio.file.Files.createTempDirectory("graft-neardup-stream")
+    val (src, store, out) = (s"$base/src", s"$base/sigs", s"$base/out")
+    val long1 = (0 until 150).map(i => s"w$i").mkString(" ")
+    val long2 = (0 until 150).map(i => s"v$i").mkString(" ")
+    // batch 1: originals + one in-batch near-twin of doc 10
+    val b1 = Seq(
+      (10L, long1), (11L, long2),
+      (12L, long1.replace("w70", "x70"))) ++
+      (20 until 30).map(i => (i.toLong, s"filler $i " + s"u${i * 3} y${i * 7} " * 10))
+    // batch 2: a near-twin of batch-1's doc 10 (history dup), a twin of
+    // the batch-1 DUP (must still drop — matches survivor 10), and a
+    // fresh doc
+    val b2 = Seq(
+      (40L, long1.replace("w20", "z20")),
+      (41L, long1.replace("w70", "x70").replace("w20", "z20")),
+      (42L, "completely different " + (0 until 40).map(i => s"q$i").mkString(" ")))
+    b1.toDF("doc_id", "text").write.parquet(s"$src/batch1.parquet")
+    val q = DocumentStream.nearDupDedupedStream(spark, src, store, out)
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "text").write.mode(SaveMode.Append)
+        .parquet(s"$src/batch2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val survivors = spark.read.parquet(out).select($"doc_id")
+      .as[Long].collect().toSet
+    // 12 (in-batch twin of 10), 40, 41 (near 10 via chain-free clique)
+    // dropped; originals + fillers + fresh doc survive
+    assert(!survivors.contains(12L) && !survivors.contains(40L) &&
+      !survivors.contains(41L), s"dups kept: $survivors")
+    assert(survivors.contains(10L) && survivors.contains(11L) &&
+      survivors.contains(42L))
+    assert((20 until 30).forall(i => survivors.contains(i.toLong)))
+    // the store is survivor-only: one signature per surviving doc
+    val stored = spark.read.parquet(store).select($"doc_id").as[Long].collect().toSet
+    assert(stored == survivors)
+  }
+
   test("streaming FITS ingest decodes arriving files like the batch path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-fits")
     val (loglam, flux, ivar) = graft.pipeline.FitsFixtures.specGrid(1200)
