@@ -171,6 +171,7 @@ object SparkEntry {
     // negatives just below the near-dup band
     "q118_negative_samples" -> (CurationOps.q118NegativeSamples _),
     "q119_hard_negatives" -> ((s, d) => VectorOps.q119HardNegatives(s, d)),
+    "q120_top_docs_dense" -> ((s, d) => TextOps.q120TopDocsDense(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

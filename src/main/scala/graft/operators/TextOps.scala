@@ -968,6 +968,20 @@ object TextOps {
       .select($"source", $"doc_id", $"n_chars")
   }
 
+  /** The `dense_rank()` variant: top-k distinct LENGTH LEVELS per
+    * source, every doc on those levels kept — the "k best tiers"
+    * idiom. Same native tie-bucket operator as q117, dense counting
+    * pinned by DuckDB's dense_rank(). */
+  def q120TopDocsDense(s: SparkSession, dir: String, k: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_chars".desc)
+    load(s, dir, "documents")
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("rk", dense_rank().over(w))
+      .filter($"rk" <= k)
+      .select($"source", $"doc_id", $"n_chars")
+  }
+
   /** Pairwise source-distribution divergence — the domain-shift matrix
     * of corpus assembly: L1 distance between per-source token frequency
     * distributions (ppm-scaled, exact integers — transcendental
@@ -1221,6 +1235,11 @@ object TextOps {
         |  rank() OVER (PARTITION BY source ORDER BY n_chars DESC) AS rk
         |  FROM documents)
         |SELECT source, doc_id, n_chars FROM r WHERE rk <= 3""".stripMargin,
+    "q120_top_docs_dense" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |  dense_rank() OVER (PARTITION BY source ORDER BY n_chars DESC) AS rk
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars FROM r WHERE rk <= 2""".stripMargin,
     // q80 composes the q73 cluster CTE, the q55 contamination rule and
     // the q52 gates; contaminated(dedup) == contaminated(corpus) ∩ dedup,
     // so hits are computed over the corpus (set-equivalent, simpler SQL)
