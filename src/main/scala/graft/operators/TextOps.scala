@@ -428,6 +428,22 @@ object TextOps {
     }
   }
 
+  /** Connected-component labels for an ARBITRARY verified pair frame
+    * (id_a, id_b) — the hybrid local/distributed solve of
+    * [[dedupClusterMembers]] exposed for callers that already hold
+    * edges (the streaming near-dup dedup probes the signature store
+    * incrementally and needs survivor selection over its own pairs).
+    * Same strategy decision: one bounded collect, driver union-find at
+    * or below `maxLocalEdges`, large-star/small-star contraction
+    * above. Labels are the component min id. */
+  def clusterMembersFromPairs(
+      pairs: DataFrame, maxLocalEdges: Long = 1000000L): DataFrame = {
+    val es = pairs.limit((maxLocalEdges + 1).min(Int.MaxValue.toLong).toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (es.length <= maxLocalEdges) localClusters(pairs.sparkSession, es)
+    else distributedClusters(pairs)
+  }
+
   /** Driver union-find with path compression (the sub-`maxLocalEdges`
     * strategy of [[dedupClusters]]). */
   private def localClusters(
@@ -704,10 +720,17 @@ object TextOps {
     * contained in a long one has low Jaccard but containment 1. Same
     * token-inverted-index join shape as q18; exact integer-rational
     * scoring (`(inter·10⁴) div min`), pairs at ≥ 0.8. Hot-shingle
-    * guarded via [[containmentPairs]] (strict mode — refuses rather
-    * than join an unbounded bucket). */
-  def q64Containment(s: SparkSession, dir: String): DataFrame =
-    containmentPairs(load(s, dir, "documents"))._1
+    * guarded via [[containmentPairs]] in ACCOUNTING mode — the q23
+    * `n_capped_pairs` discipline: the drop counters ride every row and
+    * the oracle pins them to ZERO, so a capped shingle fails the gate
+    * loudly while the query itself keeps running at corpus sizes where
+    * natural df passes the cap (strict refusal stays the library
+    * default for direct `containmentPairs` callers). */
+  def q64Containment(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, drops) = containmentPairs(
+      load(s, dir, "documents"), allowLossy = true)
+    pairs.crossJoin(broadcast(drops))
+  }
 
   /** Postings above this document frequency never enter the containment
     * pair join. One boilerplate shingle ("all rights reserved …") with
@@ -1389,7 +1412,8 @@ object TextOps {
         |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2)
         |SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
-        |CAST((inter * 10000) // least(sa.n, sb.n) AS BIGINT) AS containment_scaled
+        |CAST((inter * 10000) // least(sa.n, sb.n) AS BIGINT) AS containment_scaled,
+        |CAST(0 AS BIGINT) AS n_hot_shingles, CAST(0 AS BIGINT) AS n_dropped_postings
         |FROM i JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
         |WHERE (inter * 10000) // least(sa.n, sb.n) >= 8000""".stripMargin,
     "q65_source_overlap" ->

@@ -218,24 +218,26 @@ object Export {
   /** One ustar header block + 512-padded payload. */
   private def writeTarEntry(
       out: java.io.OutputStream, name: String, bytes: Array[Byte]): Unit = {
-    require(name.getBytes(StandardCharsets.UTF_8).length <= 100,
-      s"tar entry name over 100 bytes: $name")
+    // UTF-8 name bytes (tar names are raw bytes; an ASCII re-encode
+    // would silently mangle non-ASCII keys to '?')
+    val nameBytes = name.getBytes(StandardCharsets.UTF_8)
+    require(nameBytes.length <= 100, s"tar entry name over 100 bytes: $name")
     val hdr = new Array[Byte](512)
     def put(off: Int, s: String): Unit = {
       val b = s.getBytes(StandardCharsets.US_ASCII)
       System.arraycopy(b, 0, hdr, off, b.length)
     }
-    put(0, name)
-    put(100, "0000644 ") // mode
-    put(108, "0000000 ") // uid
-    put(116, "0000000 ") // gid
-    put(124, f"${bytes.length}%011o ") // size, octal
-    put(136, "00000000000 ") // mtime: fixed for reproducibility
+    System.arraycopy(nameBytes, 0, hdr, 0, nameBytes.length)
+    put(100, "0000644\u0000") // mode
+    put(108, "0000000\u0000") // uid
+    put(116, "0000000\u0000") // gid
+    put(124, f"${bytes.length}%011o\u0000") // size, octal
+    put(136, "00000000000\u0000") // mtime: fixed for reproducibility
     put(148, "        ") // chksum placeholder = 8 spaces
     hdr(156) = '0' // typeflag: regular file
-    put(257, "ustar 00") // magic + version
+    put(257, "ustar\u0000" + "00") // POSIX magic "ustar\0" + version "00"
     val sum = hdr.map(_ & 0xff).sum
-    put(148, f"$sum%06o  ")
+    put(148, f"$sum%06o\u0000 ")
     out.write(hdr)
     out.write(bytes)
     val pad = (512 - bytes.length % 512) % 512

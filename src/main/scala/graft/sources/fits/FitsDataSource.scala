@@ -221,18 +221,21 @@ case class FitsInputPartition(file: String) extends InputPartition
   * driver walk is minutes of NameNode round-trips, the distributed
   * walk is one task wave. */
 object FitsFiles {
-  private def matches(glob: String, name: String): Boolean =
-    java.nio.file.FileSystems.getDefault
-      .getPathMatcher(s"glob:$glob")
-      .matches(java.nio.file.Paths.get(name))
+  // one glob→regex compile per listing pass, NOT per file: at millions
+  // of files a per-status getPathMatcher call is pure compile overhead
+  private def globMatcher(glob: String): String => Boolean = {
+    val m = java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$glob")
+    name => m.matches(java.nio.file.Paths.get(name))
+  }
 
   def list(path: String, glob: String, conf: Configuration): Array[InputPartition] = {
     val fs = new Path(path).getFileSystem(conf)
+    val matches = globMatcher(glob)
     val it = fs.listFiles(new Path(path), /* recursive = */ true)
     val out = Array.newBuilder[InputPartition]
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile && matches(glob, st.getPath.getName))
+      if (st.isFile && matches(st.getPath.getName))
         out += FitsInputPartition(st.getPath.toString)
     }
     out.result()
@@ -245,23 +248,27 @@ object FitsFiles {
     val fs = new Path(path).getFileSystem(hconf.value)
     // one driver round-trip for the top level; subtrees walk on executors
     val top = fs.listStatus(new Path(path))
-    val rootFiles = top.filter(st => st.isFile && matches(glob, st.getPath.getName))
+    val rootMatches = globMatcher(glob)
+    val rootFiles = top.filter(st => st.isFile && rootMatches(st.getPath.getName))
       .map(_.getPath.toString)
     val dirs = top.filter(_.isDirectory).map(_.getPath.toString).toSeq
     val subFiles: Array[String] =
       if (dirs.isEmpty) Array.empty
       else spark.sparkContext
         .parallelize(dirs, math.max(1, math.min(dirs.length, parallelism)))
-        .flatMap { d =>
-          val dfs = new Path(d).getFileSystem(hconf.value)
-          val it = dfs.listFiles(new Path(d), /* recursive = */ true)
-          val out = Array.newBuilder[String]
-          while (it.hasNext) {
-            val st = it.next()
-            if (st.isFile && matches(glob, st.getPath.getName))
-              out += st.getPath.toString
+        .mapPartitions { ds =>
+          val matches = globMatcher(glob) // once per task, not per file
+          ds.flatMap { d =>
+            val dfs = new Path(d).getFileSystem(hconf.value)
+            val it = dfs.listFiles(new Path(d), /* recursive = */ true)
+            val out = Array.newBuilder[String]
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.isFile && matches(st.getPath.getName))
+                out += st.getPath.toString
+            }
+            out.result()
           }
-          out.result()
         }
         .collect()
     // deterministic partition order regardless of task completion order

@@ -33,45 +33,81 @@ object DocumentStream {
   }
 
   /** NEAR-dup dedup of one arriving batch against the persistent
-    * signature store — the streaming face of the MinHash+LSH pipeline:
-    * the batch is signed ([[graft.operators.TextOps.signatureFrame]]),
-    * band-probed against store ∪ batch
+    * signature store — the streaming face of the MinHash+LSH pipeline.
+    * The batch is signed ([[graft.operators.TextOps.signatureFrame]])
+    * and band-probed against store ∪ batch
     * ([[graft.operators.TextOps.incrementalNearDupPairs]] — work scales
-    * with the BATCH, not history), and every batch doc verified-similar
-    * to an earlier doc is dropped; survivors' signatures append to the
-    * store, so the store stays survivor-only (the canonical
-    * representatives). Append invariant (the novelty-index discipline):
-    * batch doc_ids exceed every stored id, so the later end of a
-    * canonical (id_a < id_b) pair is always the incoming duplicate.
+    * with the BATCH, not history); survivor selection then runs as
+    * connected components over the pairs
+    * ([[graft.operators.TextOps.clusterMembersFromPairs]], the q51/q73
+    * batch discipline) with TRANSITIVE representative resolution: the
+    * store keeps a signature row for EVERY document ever seen, each
+    * carrying `rep` — the id of its surviving representative (self for
+    * survivors) — so a chain a~b, b~c, a≁c drops both b and c no matter
+    * how the three split across batches: c matches the STORED signature
+    * of the dropped b and inherits b's rep a. A component's final rep is
+    * the min stored-rep across its members; batch docs whose rep is not
+    * themselves are dropped. Append invariant (the novelty-index
+    * discipline): batch doc_ids exceed every stored id, so components
+    * touching history always keep the history representative. Store
+    * size is one row per document seen — the same working-set law as
+    * exact streaming dedup, sharded by the store's parquet layout.
     *
-    * Dedup-vs-survivors note: a chain a~b, b~c, a≁c keeps c (b was
-    * dropped and never entered the store) where a one-shot batch dedup
-    * would drop it — survivor-set dedup is the standard streaming
-    * semantics, and for clique-shaped duplicate groups (exact/near
-    * twins) the two agree (StreamingSpec pins this parity). */
+    * `batchTag` (the streaming path) makes the signature write
+    * IDEMPOTENT: each micro-batch overwrites its own
+    * `sigStore/batch_<id>` subdirectory, so a replay after a mid-batch
+    * failure rewrites identical files instead of appending duplicates.
+    * Batch callers (no tag) append to the store root. */
   def nearDupDedupBatch(
-      batch: DataFrame, sigStore: String, threshold: Double): DataFrame = {
+      batch: DataFrame, sigStore: String, threshold: Double,
+      batchTag: Option[String] = None): DataFrame = {
     import graft.operators.TextOps
     val spark = batch.sparkSession
     // batch-sized; checkpointed because it is consumed three times
     val newSigs = TextOps.signatureFrame(batch).localCheckpoint()
     val existing =
-      try spark.read.parquet(sigStore)
+      try spark.read.option("recursiveFileLookup", "true").parquet(sigStore)
       catch { case _: org.apache.spark.sql.AnalysisException => null }
     val all =
-      if (existing == null) newSigs else existing.unionByName(newSigs)
-    val dupIds = TextOps.incrementalNearDupPairs(newSigs, all, threshold)
-      .select(col("id_b").as("doc_id")).distinct()
+      if (existing == null) newSigs
+      else existing.drop("rep").unionByName(newSigs)
+    val pairs = TextOps.incrementalNearDupPairs(newSigs, all, threshold)
+    val members = TextOps.clusterMembersFromPairs(pairs)
+    // transitive resolution: each member's candidate rep is its STORED
+    // rep (history dups point at their survivor) or itself; the
+    // component rep is the min candidate
+    val r0 =
+      if (existing == null)
+        members.withColumn("r0", col("doc_id"))
+      else members
+        .join(existing.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id"),
+          coalesce(col("rep"), col("doc_id")).as("r0"))
+    val reps = r0.groupBy(col("cluster_id")).agg(min(col("r0")).as("final_rep"))
+    val assign = r0.join(reps, "cluster_id")
+      .select(col("doc_id"), col("final_rep"))
+      .localCheckpoint() // consumed by dupIds AND the store write
+    val dupIds = assign.filter(col("doc_id") =!= col("final_rep"))
+      .select(col("doc_id"))
     val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
-    newSigs.join(dupIds, Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(sigStore)
+    val sigOut = newSigs.join(assign, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("final_rep"), col("doc_id")))
+      .drop("final_rep")
+    batchTag match {
+      case Some(tag) =>
+        sigOut.write.mode("overwrite").parquet(s"$sigStore/$tag")
+      case None =>
+        sigOut.write.mode("append").parquet(sigStore)
+    }
     survivors
   }
 
   /** The streaming wrapper: documents arriving under `srcDir` flow
     * through [[nearDupDedupBatch]] per micro-batch (`foreachBatch` —
     * the incremental-artifact pattern, same as ObservationStream's
-    * update loop); survivors append to `outDir`. */
+    * update loop). Both sinks are batch-scoped OVERWRITES keyed by the
+    * micro-batch id, so post-failure replays are idempotent — the
+    * foreachBatch exactly-once recipe. */
   def nearDupDedupedStream(
       spark: SparkSession, srcDir: String, sigStore: String, outDir: String,
       threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -82,9 +118,9 @@ object DocumentStream {
       .option("recursiveFileLookup", "true")
       .parquet(srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        nearDupDedupBatch(batch, sigStore, threshold)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDupDedupBatch(batch, sigStore, threshold, Some(s"batch_$batchId"))
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
       }
       .start()
   }

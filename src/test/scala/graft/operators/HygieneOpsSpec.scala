@@ -42,14 +42,16 @@ class HygieneOpsSpec extends AnyFunSuite {
       (1L, "big data rows"),
       (2L, "  BIG   data, rows!! "),
       (3L, "Big DATA rows."),
-      (4L, "big data cols"))
+      (4L, "big data cols"),
+      (5L, "big\tdata\nrows"), // tab/newline variants COLLAPSE, not delete
+      (6L, "bigdata rows")) // glued tokens are a DIFFERENT text
       .toDF("doc_id", "text")
     val prof = HygieneOps.canonicalDedupProfile(docs).collect()(0)
-    // 2 groups: {1,2,3} and {4}
-    assert(prof.getLong(0) == 2L)
-    assert(prof.getLong(1) == 4L)
-    assert(prof.getLong(2) == 3L)
-    assert(prof.getLong(3) == 2L)
+    // 3 groups: {1,2,3,5}, {4}, {6}
+    assert(prof.getLong(0) == 3L)
+    assert(prof.getLong(1) == 6L)
+    assert(prof.getLong(2) == 4L)
+    assert(prof.getLong(3) == 3L)
   }
 
   test("df spectrum sums back to the posting total and buckets exactly") {

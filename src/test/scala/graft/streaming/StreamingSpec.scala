@@ -47,12 +47,25 @@ class StreamingSpec extends AnyFunSuite {
       (12L, long1.replace("w70", "x70"))) ++
       (20 until 30).map(i => (i.toLong, s"filler $i " + s"u${i * 3} y${i * 7} " * 10))
     // batch 2: a near-twin of batch-1's doc 10 (history dup), a twin of
-    // the batch-1 DUP (must still drop — matches survivor 10), and a
-    // fresh doc
+    // the batch-1 DUP (must still drop — matches survivor 10), a fresh
+    // doc, and a CHAIN 11~43~44 with 11≁44 — survivor selection over
+    // connected components must drop both 43 and 44 (one-shot parity)
     val b2 = Seq(
       (40L, long1.replace("w20", "z20")),
       (41L, long1.replace("w70", "x70").replace("w20", "z20")),
-      (42L, "completely different " + (0 until 40).map(i => s"q$i").mkString(" ")))
+      (42L, "completely different " + (0 until 40).map(i => s"q$i").mkString(" ")),
+      (43L, long2.replace("v131", "a131").replace("v132", "a132")),
+      (44L, long2.replace("v131", "a131").replace("v132", "a132")
+        .replace("v135", "b135").replace("v136", "b136")
+        .replace("v137", "b137").replace("v138", "b138")))
+    // batch 3: a CROSS-BATCH chain tail — near the batch-2 DROPPED doc
+    // 44 but not near survivor 11; the stored rep of 44 must pull it to
+    // component representative 11
+    val b3 = Seq(
+      (50L, long2.replace("v131", "a131").replace("v132", "a132")
+        .replace("v135", "b135").replace("v136", "b136")
+        .replace("v137", "b137").replace("v138", "b138")
+        .replace("v141", "c141").replace("v142", "c142")))
     b1.toDF("doc_id", "text").write.parquet(s"$src/batch1.parquet")
     val q = DocumentStream.nearDupDedupedStream(spark, src, store, out)
     try {
@@ -60,19 +73,31 @@ class StreamingSpec extends AnyFunSuite {
       b2.toDF("doc_id", "text").write.mode(SaveMode.Append)
         .parquet(s"$src/batch2.parquet")
       q.processAllAvailable()
+      b3.toDF("doc_id", "text").write.mode(SaveMode.Append)
+        .parquet(s"$src/batch3.parquet")
+      q.processAllAvailable()
     } finally q.stop()
-    val survivors = spark.read.parquet(out).select($"doc_id")
-      .as[Long].collect().toSet
-    // 12 (in-batch twin of 10), 40, 41 (near 10 via chain-free clique)
-    // dropped; originals + fillers + fresh doc survive
-    assert(!survivors.contains(12L) && !survivors.contains(40L) &&
-      !survivors.contains(41L), s"dups kept: $survivors")
+    val survivors = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out).select($"doc_id").as[Long].collect().toSet
+    // 12 (in-batch twin of 10), 40/41 (history dups of 10), the in-batch
+    // chain members 43/44, and the cross-batch chain tail 50 all drop;
+    // originals + fillers + fresh survive
+    assert(Seq(12L, 40L, 41L, 43L, 44L, 50L).forall(!survivors.contains(_)),
+      s"dups kept: $survivors")
     assert(survivors.contains(10L) && survivors.contains(11L) &&
       survivors.contains(42L))
     assert((20 until 30).forall(i => survivors.contains(i.toLong)))
-    // the store is survivor-only: one signature per surviving doc
-    val stored = spark.read.parquet(store).select($"doc_id").as[Long].collect().toSet
-    assert(stored == survivors)
+    // the store holds EVERY doc seen, rep marks the survivor: rep==self
+    // exactly for survivors, and the chain members resolve to 11
+    val storeDf = spark.read.option("recursiveFileLookup", "true").parquet(store)
+    val stored = storeDf.select($"doc_id").as[Long].collect().toSet
+    assert(stored == (b1 ++ b2 ++ b3).map(_._1).toSet)
+    val reps = storeDf.filter($"rep" === $"doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(reps == survivors)
+    val chainReps = storeDf.filter($"doc_id".isin(43L, 44L, 50L))
+      .select($"rep").as[Long].collect().toSet
+    assert(chainReps == Set(11L), s"chain reps: $chainReps")
   }
 
   test("streaming FITS ingest decodes arriving files like the batch path") {
