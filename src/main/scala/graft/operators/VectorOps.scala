@@ -187,6 +187,56 @@ object VectorOps {
     * the cross-row sum, because cross-row floating sums are
     * order-dependent and would diverge between engines. At scale each
     * further iteration is the same single-shuffle pass. */
+  /** The persistable IVF index ARTIFACT: one (vec_id, cent_id) row per
+    * vector — its nearest centroid under exact L1, deterministic
+    * tie-break. Persist as plain parquet next to the (tiny) centroid
+    * table and every later search starts bucket-pruned without
+    * re-scanning the corpus — the embedding-side twin of the text
+    * signature artifact ([[TextOps.signatureFrame]]). Assignment is
+    * stateless per vector, so maintenance is embarrassingly
+    * incremental: [[updateIvfAssignments]] assigns only vectors absent
+    * from the stored artifact (anti-join on the pruned id column) and
+    * the rebuild law `assign(all) = assign(old) ∪ assign(new)` holds by
+    * construction (pinned in AnnSpec). */
+  def ivfAssignments(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cent_id", l1Distance($"embedding", $"cent").as("d"))
+      .groupBy($"vec_id")
+      .agg(min_by($"cent_id", struct($"d", $"cent_id")).as("cent_id"))
+
+  /** Incremental artifact maintenance: assignments for vectors NOT yet
+    * indexed. Append the result to the stored artifact. */
+  def updateIvfAssignments(
+      emb: DataFrame, existing: DataFrame, cents: DataFrame): DataFrame =
+    ivfAssignments(
+      emb.join(existing.select($"vec_id"), Seq("vec_id"), "left_anti"), cents)
+
+  /** Bucket-pruned ANN search over the stored artifact: rank centroids
+    * against the probe (centroid-table-sized — broadcastable by
+    * construction), keep the `nprobe` nearest buckets, join the
+    * assignment artifact to fetch ONLY those buckets' vector ids, then
+    * exact cosine re-rank of the survivors. The corpus is touched only
+    * through the id join on the candidate set — at nprobe ≪ k_buckets
+    * that is the IVF speedup; at nprobe = #buckets the result equals
+    * the brute-force top-k exactly (law-tested). */
+  def ivfSearch(
+      emb: DataFrame, assignments: DataFrame, cents: DataFrame,
+      probe: Seq[Float], nprobe: Int, k: Int): DataFrame = {
+    val p = typedlit(probe)
+    val nearBuckets = cents
+      .select($"cent_id", l1Distance($"cent", p).as("d"))
+      .orderBy($"d", $"cent_id")
+      .limit(nprobe)
+      .select($"cent_id")
+    val cand = assignments.join(broadcast(nearBuckets), "cent_id")
+      .select($"vec_id")
+    emb.join(cand, "vec_id")
+      .select($"vec_id",
+        floor(cosine($"embedding", p) * 1e6 + 0.5).cast("long").as("cos_scaled"))
+      .orderBy($"cos_scaled".desc, $"vec_id")
+      .limit(k)
+  }
+
   def q57KmeansIter(s: SparkSession, dir: String): DataFrame = {
     val emb = load(s, dir, "embeddings")
     val cents = emb.filter($"vec_id" < 8)

@@ -47,6 +47,44 @@ class AnnSpec extends AnyFunSuite {
     assert(assigned.select("vec_id").distinct().count() == n)
   }
 
+  test("IVF artifact: persists, maintains incrementally, and searches bucket-pruned") {
+    val emb = load(spark, dir, "embeddings")
+    val cents = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    // build + persist the artifact
+    VectorOps.ivfAssignments(emb, cents).write.parquet(s"$tmp/assign")
+    val stored = spark.read.parquet(s"$tmp/assign")
+    assert(stored.count() == emb.count()) // every vector assigned once
+    // rebuild law: old-half artifact + incremental update == full build
+    val oldHalf = VectorOps.ivfAssignments(emb.filter($"vec_id" < 250), cents)
+    val incr = VectorOps.updateIvfAssignments(emb, oldHalf, cents)
+    val rebuilt = oldHalf.unionByName(incr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = stored.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rebuilt == full)
+    // probe with a member vector: nprobe = ALL buckets ≡ brute force
+    val probe = emb.filter($"vec_id" === 7).select($"embedding")
+      .collect()(0).getSeq[Float](0)
+    val brute = emb
+      .select($"vec_id",
+        floor(VectorOps.cosine($"embedding", typedlit(probe)) * 1e6 + 0.5)
+          .cast("long").as("cos_scaled"))
+      .orderBy($"cos_scaled".desc, $"vec_id").limit(5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val all = VectorOps.ivfSearch(emb, stored, cents, probe, nprobe = 16, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(all == brute)
+    // bucket pruning bites: nprobe=1 searches exactly one bucket's vectors
+    val one = VectorOps.ivfSearch(emb, stored, cents, probe, nprobe = 1, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    val probeBucket = stored.as("a")
+      .join(stored.filter($"vec_id" === 7).select($"cent_id"), "cent_id")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(one.subsetOf(probeBucket))
+    assert(one.contains(7L)) // self lives in the probed bucket
+  }
+
   test("LSH signature buckets: identical vectors share a signature") {
     val emb = load(spark, dir, "embeddings")
     val sig = emb.withColumn("sig", VectorOps.signatureCol($"embedding", 64, 12))
