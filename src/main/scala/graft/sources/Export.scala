@@ -215,6 +215,29 @@ object Export {
       }
   }
 
+  /** Multimodal sample assembly for [[writeTarShards]]: documents
+    * joined to their embedding rows become WebDataset samples —
+    * `<key>.txt` (raw text bytes), `<key>.json` (metadata), and
+    * `<key>.emb.json` (the embedding vector; JSON keeps the sink
+    * engine-portable — a binary f32 little-endian variant is a
+    * one-line change at the map entry). One equi-join on the id, then
+    * the tar writer's single shard shuffle — document text and vectors
+    * cross the wire exactly once each. */
+  def multimodalSamples(
+      docs: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(
+        concat(lit("doc-"), lpad(docs("doc_id").cast("string"), 8, "0")).as("key"),
+        map(
+          lit("txt"), encode(col("text"), "UTF-8"),
+          lit("json"), encode(to_json(struct(docs("doc_id"), col("source"),
+            col("lang"), col("n_chars"))), "UTF-8"),
+          lit("emb.json"), encode(to_json(col("embedding")), "UTF-8")
+        ).as("entries"))
+  }
+
   /** One ustar header block + 512-padded payload. */
   private def writeTarEntry(
       out: java.io.OutputStream, name: String, bytes: Array[Byte]): Unit = {

@@ -79,6 +79,28 @@ class TarExportSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal sample assembly exports joined doc+embedding shards end-to-end") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Files.createTempDirectory("graft-tar-mm").toString
+    val samples = Export.multimodalSamples(docs, emb)
+    val n = samples.count()
+    assert(n > 0)
+    Export.writeTarShards(samples, out, nShards = 4)
+    val entries = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".tar"))
+      .flatMap(f => readTar(f.getAbsolutePath)).toSeq
+    assert(entries.length == n * 3) // txt + json + emb.json per sample
+    // spot-check one sample roundtrips content faithfully
+    val byName = entries.toMap
+    val doc7 = docs.filter($"doc_id" === 7).select($"text").as[String].head()
+    assert(new String(byName("doc-00000007.txt"), StandardCharsets.UTF_8) == doc7)
+    val embJson = new String(byName("doc-00000007.emb.json"), StandardCharsets.UTF_8)
+    assert(embJson.startsWith("[") && embJson.count(_ == ',') ==
+      emb.filter($"vec_id" === 7).select($"embedding").as[Seq[Float]].head().size - 1)
+  }
+
   test("shard assignment is the deterministic xxhash64 rule; re-export is byte-identical") {
     import spark.implicits._
     val out1 = Files.createTempDirectory("graft-tar1").toString
