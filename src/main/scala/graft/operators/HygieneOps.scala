@@ -70,16 +70,19 @@ object HygieneOps {
   // --------------------------------------------------------------- q113
 
   /** Canonical content key: lower → strip non-alphanumeric,
-    * non-whitespace chars → collapse WHITESPACE RUNS (space, tab,
-    * newline — `\s+`, not just spaces: deleting a tab would glue its
-    * neighbors into a new token and split true whitespace variants) →
-    * trim, then md5 so the dedup shuffle carries 16-byte keys instead
-    * of document bodies. Two documents share a key iff they are
-    * case/punctuation/whitespace variants of the same text — the
-    * normalization layer exact dedup (q17) sits on top of. */
+    * non-whitespace chars → collapse WHITESPACE RUNS (not just spaces:
+    * deleting a tab would glue its neighbors into a new token and
+    * split true whitespace variants) → trim, then md5 so the dedup
+    * shuffle carries 16-byte keys instead of document bodies. The
+    * whitespace class is EXPLICIT (` \t\n\r\f`), not `\s` — Java's \s
+    * includes \x0B where RE2's does not, and a dialect divergence here
+    * silently splits the cross-engine gate. Two documents share a key
+    * iff they are case/punctuation/whitespace variants of the same
+    * text — the normalization layer exact dedup (q17) sits on top of. */
   def canonicalKey(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     md5(trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+      regexp_replace(lower(text), "[^a-z0-9 \\t\\n\\r\\f]", ""),
+      "[ \\t\\n\\r\\f]+", " ")))
 
   /** Canonical-dedup profile: group count, total docs, largest variant
     * group, and redundant-doc count (Σ (size−1) — what canonical dedup
@@ -207,7 +210,7 @@ object HygieneOps {
       """WITH v AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 1000000, upper('  ' || text || ' !! ') FROM documents),
         |k AS (SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-        |  '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS ck FROM v),
+        |  '[^a-z0-9 \t\n\r\f]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g'))) AS ck FROM v),
         |g AS (SELECT ck, count(*) AS sz FROM k GROUP BY 1)
         |SELECT CAST(count(*) AS BIGINT) AS n_groups,
         |  CAST(sum(sz) AS BIGINT) AS n_docs,

@@ -441,7 +441,15 @@ object TextOps {
     val es = pairs.limit((maxLocalEdges + 1).min(Int.MaxValue.toLong).toInt)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     if (es.length <= maxLocalEdges) localClusters(pairs.sparkSession, es)
-    else distributedClusters(pairs)
+    else {
+      // big-graph path: cache before the solve so the contraction's
+      // round-0 checkpoint doesn't re-run the (expensive) pair pipeline
+      // the bounded collect just evaluated (dedupClusterMembers' rule)
+      val cached = pairs.cache()
+      val out = distributedClusters(cached)
+      cached.unpersist() // out reads the round-0 localCheckpoint
+      out
+    }
   }
 
   /** Driver union-find with path compression (the sub-`maxLocalEdges`

@@ -178,15 +178,6 @@ object VectorOps {
       .agg(count(lit(1)).as("n_neardup_pairs"))
   }
 
-  /** One deterministic Lloyd iteration — the k-means step of
-    * embedding-space data mixing / diversity clustering: coarse
-    * centroids = the first 8 vectors, L1-argmin assignment (broadcast
-    * centroids + `min_by` partial aggregation, one shuffle on vec_id),
-    * then per-cluster member counts and the new-centroid NUMERATOR as
-    * exact integer math — each element is scaled to an integer BEFORE
-    * the cross-row sum, because cross-row floating sums are
-    * order-dependent and would diverge between engines. At scale each
-    * further iteration is the same single-shuffle pass. */
   /** The persistable IVF index ARTIFACT: one (vec_id, cent_id) row per
     * vector — its nearest centroid under exact L1, deterministic
     * tie-break. Persist as plain parquet next to the (tiny) centroid
@@ -237,6 +228,15 @@ object VectorOps {
       .limit(k)
   }
 
+  /** One deterministic Lloyd iteration — the k-means step of
+    * embedding-space data mixing / diversity clustering: coarse
+    * centroids = the first 8 vectors, L1-argmin assignment (broadcast
+    * centroids + `min_by` partial aggregation, one shuffle on vec_id),
+    * then per-cluster member counts and the new-centroid NUMERATOR as
+    * exact integer math — each element is scaled to an integer BEFORE
+    * the cross-row sum, because cross-row floating sums are
+    * order-dependent and would diverge between engines. At scale each
+    * further iteration is the same single-shuffle pass. */
   def q57KmeansIter(s: SparkSession, dir: String): DataFrame = {
     val emb = load(s, dir, "embeddings")
     val cents = emb.filter($"vec_id" < 8)

@@ -183,6 +183,14 @@ object Export {
       nShards: Int = 32): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val hconf = graft.sources.fits.SerializableHadoopConf.fromSession()
+    // directory-level overwrite: clear stale shards first, or a
+    // re-export that hashes nothing to some shard leaves its previous
+    // contents behind for consumers globbing shard-*.tar
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = outPath.getFileSystem(hconf.value)
+    if (outFs.exists(outPath))
+      outFs.globStatus(new org.apache.hadoop.fs.Path(outPath, "shard-*.tar"))
+        .foreach(st => outFs.delete(st.getPath, false))
     samples
       .withColumn("shard", pmod(xxhash64(col("key")), lit(nShards)))
       .repartition(nShards, col("shard"))
@@ -229,7 +237,9 @@ object Export {
     import org.apache.spark.sql.functions._
     docs.join(emb, docs("doc_id") === emb("vec_id"))
       .select(
-        concat(lit("doc-"), lpad(docs("doc_id").cast("string"), 8, "0")).as("key"),
+        // format_string, NOT lpad: lpad TRUNCATES past the pad width,
+        // colliding distinct 9+-digit ids; %019d covers the Long range
+        format_string("doc-%019d", docs("doc_id")).as("key"),
         map(
           lit("txt"), encode(col("text"), "UTF-8"),
           lit("json"), encode(to_json(struct(docs("doc_id"), col("source"),

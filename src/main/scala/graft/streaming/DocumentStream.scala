@@ -45,13 +45,14 @@ object DocumentStream {
     * carrying `rep` — the id of its surviving representative (self for
     * survivors) — so a chain a~b, b~c, a≁c drops both b and c no matter
     * how the three split across batches: c matches the STORED signature
-    * of the dropped b and inherits b's rep a. A component's final rep is
-    * the min stored-rep across its members; batch docs whose rep is not
-    * themselves are dropped. Append invariant (the novelty-index
-    * discipline): batch doc_ids exceed every stored id, so components
-    * touching history always keep the history representative. Store
-    * size is one row per document seen — the same working-set law as
-    * exact streaming dedup, sharded by the store's parquet layout.
+    * of the dropped b and inherits b's rep a. Representative choice is
+    * SURVIVOR-STABLE: a component containing any already-stored member
+    * resolves to the oldest STORED representative — an emitted survivor
+    * is final, and a later arrival (whatever its id) can never displace
+    * one; min id is only the tie-break among brand-new docs, so no id
+    * ordering across batches is assumed. Store size is one row per
+    * document seen — the same working-set law as exact streaming dedup,
+    * sharded by the store's parquet layout.
     *
     * `batchTag` (the streaming path) makes the signature write
     * IDEMPOTENT: each micro-batch overwrites its own
@@ -74,16 +75,21 @@ object DocumentStream {
     val pairs = TextOps.incrementalNearDupPairs(newSigs, all, threshold)
     val members = TextOps.clusterMembersFromPairs(pairs)
     // transitive resolution: each member's candidate rep is its STORED
-    // rep (history dups point at their survivor) or itself; the
-    // component rep is the min candidate
+    // rep (history dups point at their survivor) or itself. The
+    // component rep PREFERS stored candidates (survivor stability),
+    // falling back to the min new id only for all-new components.
     val r0 =
       if (existing == null)
-        members.withColumn("r0", col("doc_id"))
+        members.select(col("doc_id"), col("cluster_id"),
+          col("doc_id").as("r0"), lit(false).as("in_store"))
       else members
         .join(existing.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster_id"),
-          coalesce(col("rep"), col("doc_id")).as("r0"))
-    val reps = r0.groupBy(col("cluster_id")).agg(min(col("r0")).as("final_rep"))
+          coalesce(col("rep"), col("doc_id")).as("r0"),
+          col("rep").isNotNull.as("in_store"))
+    val reps = r0.groupBy(col("cluster_id")).agg(
+      coalesce(min(when(col("in_store"), col("r0"))), min(col("r0")))
+        .as("final_rep"))
     val assign = r0.join(reps, "cluster_id")
       .select(col("doc_id"), col("final_rep"))
       .localCheckpoint() // consumed by dupIds AND the store write
@@ -107,13 +113,22 @@ object DocumentStream {
     * the incremental-artifact pattern, same as ObservationStream's
     * update loop). Both sinks are batch-scoped OVERWRITES keyed by the
     * micro-batch id, so post-failure replays are idempotent — the
-    * foreachBatch exactly-once recipe. */
+    * foreachBatch exactly-once recipe. Production callers MUST pass
+    * `checkpointDir`: batch-id idempotency only survives a query
+    * restart when the batch ids themselves do, and without a durable
+    * checkpoint a restarted query renumbers from 0 and reprocesses
+    * every input (temp-checkpoint default kept for tests/exploration). */
   def nearDupDedupedStream(
       spark: SparkSession, srcDir: String, sigStore: String, outDir: String,
-      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
+      threshold: Double = 0.8,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    // probe with the SAME options as the stream read — a stray
+    // non-parquet file must not break schema inference when the glob
+    // would have excluded it from the stream anyway
     val schema = spark.read
+      .option("pathGlobFilter", "*.parquet")
       .option("recursiveFileLookup", "true").parquet(srcDir).schema
-    spark.readStream.schema(schema)
+    val writer = spark.readStream.schema(schema)
       .option("pathGlobFilter", "*.parquet")
       .option("recursiveFileLookup", "true")
       .parquet(srcDir)
@@ -122,7 +137,8 @@ object DocumentStream {
         nearDupDedupBatch(batch, sigStore, threshold, Some(s"batch_$batchId"))
           .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
       }
-      .start()
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 
   /** Drain the stream (memory sink) and profile survivors per source —

@@ -95,8 +95,9 @@ class TarExportSpec extends AnyFunSuite {
     // spot-check one sample roundtrips content faithfully
     val byName = entries.toMap
     val doc7 = docs.filter($"doc_id" === 7).select($"text").as[String].head()
-    assert(new String(byName("doc-00000007.txt"), StandardCharsets.UTF_8) == doc7)
-    val embJson = new String(byName("doc-00000007.emb.json"), StandardCharsets.UTF_8)
+    val key7 = "doc-" + "0" * 18 + "7"
+    assert(new String(byName(s"$key7.txt"), StandardCharsets.UTF_8) == doc7)
+    val embJson = new String(byName(s"$key7.emb.json"), StandardCharsets.UTF_8)
     assert(embJson.startsWith("[") && embJson.count(_ == ',') ==
       emb.filter($"vec_id" === 7).select($"embedding").as[Seq[Float]].head().size - 1)
   }
