@@ -46,6 +46,14 @@ import org.apache.spark.sql.types.LongType
   * convention of the event queries), a positive literal width, and
   * both bounds referencing the same (anchor, ranger) pair from
   * opposite sides. Everything else is left untouched.
+  *
+  * A second recognized shape is the SYMMETRIC band `abs(a − r) <= W`
+  * (proximity joins — "events within W of each other"): same bucket
+  * argument with the ranging side expanded to THREE buckets
+  * (−1, 0, +1), since every trunc-div bucket is at least W wide and a
+  * length-W interval crosses at most one boundary in each direction;
+  * the three copies are distinct, so each pair still joins exactly
+  * once.
   */
 object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -82,12 +90,27 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  /** |x − y| <= w / < w (either literal side) → (x, y, w). */
+  private def asAbs(e: Expression): Option[(Attribute, Attribute, Long)] = e match {
+    case LessThanOrEqual(Abs(Subtract(x: Attribute, y: Attribute, _), _), w) =>
+      longLit(w).map((x, y, _))
+    case LessThan(Abs(Subtract(x: Attribute, y: Attribute, _), _), w) =>
+      longLit(w).map((x, y, _))
+    case GreaterThanOrEqual(w, Abs(Subtract(x: Attribute, y: Attribute, _), _)) =>
+      longLit(w).map((x, y, _))
+    case GreaterThan(w, Abs(Subtract(x: Attribute, y: Attribute, _), _)) =>
+      longLit(w).map((x, y, _))
+    case _ => None
+  }
+
+  private def oppositeSides(
+      left: LogicalPlan, right: LogicalPlan)(a: Attribute, r: Attribute): Boolean =
+    (left.outputSet.contains(a) && right.outputSet.contains(r)) ||
+      (right.outputSet.contains(a) && left.outputSet.contains(r))
+
   private def findBounds(
       conjuncts: Seq[Expression],
       left: LogicalPlan, right: LogicalPlan): Option[Bounds] = {
-    def oppositeSides(a: Attribute, r: Attribute): Boolean =
-      (left.outputSet.contains(a) && right.outputSet.contains(r)) ||
-        (right.outputSet.contains(a) && left.outputSet.contains(r))
     val uppers = conjuncts.flatMap(asUpper)
     val lowers = conjuncts.flatMap(asLower)
     (for {
@@ -95,8 +118,63 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       (la, lr, w) <- lowers
       if w > 0 && ua.semanticEquals(la) && ur.semanticEquals(lr) &&
         ua.dataType == LongType && ur.dataType == LongType &&
-        oppositeSides(ua, ur)
+        oppositeSides(left, right)(ua, ur)
     } yield Bounds(ua, ur, w)).headOption
+  }
+
+  /** Symmetric band |a − r| ≤ W: same bucket argument with a ±1 window —
+    * every trunc-div bucket is ≥ W wide (the zero bucket is wider), so
+    * a length-W interval crosses at most one boundary and the ranging
+    * side expands to THREE buckets instead of two. */
+  private def findSymmetric(
+      conjuncts: Seq[Expression],
+      left: LogicalPlan, right: LogicalPlan): Option[Bounds] =
+    conjuncts.flatMap(asAbs).collectFirst {
+      case (x, y, w)
+          if w > 0 && x.dataType == LongType && y.dataType == LongType &&
+            oppositeSides(left, right)(x, y) =>
+        Bounds(x, y, w)
+    }
+
+  /** The shared bucket-expansion rewrite; `offsets` are the ranging-side
+    * bucket copies (trailing window: {0, +1}; symmetric band:
+    * {−1, 0, +1}). */
+  private def bucketRewrite(
+      left: LogicalPlan, right: LogicalPlan, conjuncts: Seq[Expression],
+      b: Bounds, offsets: Seq[Long],
+      hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint): LogicalPlan = {
+    val anchorOnLeft = left.outputSet.contains(b.anchor)
+    val anchorPlan = if (anchorOnLeft) left else right
+    val rangerPlan = if (anchorOnLeft) right else left
+
+    // anchor side: one bucket column, t div W
+    val lbAlias = Alias(IntegralDivide(b.anchor, Literal(b.width)), BucketL)()
+    val anchorProj = Project(anchorPlan.output :+ lbAlias, anchorPlan)
+    val lb = anchorProj.output.last
+
+    // ranging side: explode to the offset buckets
+    val rbAlias = Alias(IntegralDivide(b.ranger, Literal(b.width)), "__gr_rb")()
+    val rangerProj = Project(rangerPlan.output :+ rbAlias, rangerPlan)
+    val rb = rangerProj.output.last
+    val genOut = AttributeReference(BucketR, LongType)()
+    val copies = offsets.map {
+      case 0L => rb: Expression
+      case o => Add(rb, Literal(o)): Expression
+    }
+    val gen = Generate(
+      Explode(CreateArray(copies)),
+      unrequiredChildIndex = Seq(rangerProj.output.length - 1),
+      outer = false, qualifier = None,
+      generatorOutput = genOut :: Nil,
+      child = rangerProj)
+
+    val newCond = (conjuncts :+ EqualTo(lb, genOut).asInstanceOf[Expression])
+      .reduce(And)
+    val newJoin =
+      if (anchorOnLeft) Join(anchorProj, gen, Inner, Some(newCond), hint)
+      else Join(gen, anchorProj, Inner, Some(newCond), hint)
+    // restore the original schema (bucket columns are internal)
+    Project(left.output ++ right.output, newJoin)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -106,36 +184,12 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
           !right.output.exists(a => a.name == BucketL || a.name == BucketR) =>
       val conjuncts = splitConjunctivePredicates(cond)
       findBounds(conjuncts, left, right) match {
-        case Some(Bounds(anchor, ranger, w)) =>
-          val anchorOnLeft = left.outputSet.contains(anchor)
-          val anchorPlan = if (anchorOnLeft) left else right
-          val rangerPlan = if (anchorOnLeft) right else left
-
-          // anchor side: one bucket column, t div W
-          val lbAlias = Alias(IntegralDivide(anchor, Literal(w)), BucketL)()
-          val anchorProj = Project(anchorPlan.output :+ lbAlias, anchorPlan)
-          val lb = anchorProj.output.last
-
-          // ranging side: explode to its own and the next bucket
-          val rbAlias = Alias(IntegralDivide(ranger, Literal(w)), "__gr_rb")()
-          val rangerProj = Project(rangerPlan.output :+ rbAlias, rangerPlan)
-          val rb = rangerProj.output.last
-          val genOut = AttributeReference(BucketR, LongType)()
-          val gen = Generate(
-            Explode(CreateArray(Seq(rb, Add(rb, Literal(1L))))),
-            unrequiredChildIndex = Seq(rangerProj.output.length - 1),
-            outer = false, qualifier = None,
-            generatorOutput = genOut :: Nil,
-            child = rangerProj)
-
-          val newCond = (conjuncts :+ EqualTo(lb, genOut).asInstanceOf[Expression])
-            .reduce(And)
-          val newJoin =
-            if (anchorOnLeft) Join(anchorProj, gen, Inner, Some(newCond), hint)
-            else Join(gen, anchorProj, Inner, Some(newCond), hint)
-          // restore the original schema (bucket columns are internal)
-          Project(left.output ++ right.output, newJoin)
-        case None => j
+        case Some(b) => bucketRewrite(left, right, conjuncts, b, Seq(0L, 1L), hint)
+        case None => findSymmetric(conjuncts, left, right) match {
+          case Some(b) =>
+            bucketRewrite(left, right, conjuncts, b, Seq(-1L, 0L, 1L), hint)
+          case None => j
+        }
       }
   }
 }

@@ -67,6 +67,26 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == brute(halfOpen = false))
   }
 
+  test("symmetric band |a-r| <= W rewrites to the 3-bucket equi-join, brute-identical") {
+    val j = anchors.join(rangers, abs($"at" - $"rt") <= W)
+    val plan = executed(j)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"symmetric range join must not plan as a nested loop:\n$plan")
+    assert(plan.contains("__gr_bucket"), s"symmetric rewrite did not fire:\n$plan")
+    val got = j.select($"aid", $"rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val as = anchors.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rs = rangers.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (for {
+      (aid, at) <- as
+      (rid, rt) <- rs
+      if math.abs(at - rt) <= W
+    } yield (aid, rid)).toSet
+    assert(got == expect)
+    // no bucket dup: every pair appears exactly once
+    assert(j.select($"aid", $"rid").count() == expect.size)
+  }
+
   test("each matching pair is produced exactly once (no bucket dup)") {
     val j = anchors.join(rangers, $"rt" <= $"at" && $"rt" > $"at" - W)
       .select($"aid", $"rid")
