@@ -362,6 +362,24 @@ object MiningOps {
       .groupBy($"event_id").agg(count(lit(1)).as("n_clicks"))
   }
 
+  // ---------------------------------------------------------------- q121
+
+  /** Keyless SYMMETRIC proximity join, written naively: clicks by ANY
+    * user within ±5 minutes of each error event (incident blast-radius
+    * attribution). `abs(a − r) <= W` has no equi conjunct either, and
+    * the same optimizer rule rewrites it to the 3-bucket expansion
+    * equi-join — the symmetric-band shape of the q104 rewrite. */
+  def q121ProximityJoin(s: SparkSession, dir: String): DataFrame = {
+    val W = 300000000L // 5 min in µs
+    val ev = load(s, dir, "events")
+    val e = ev.filter($"event_type" === "error")
+      .select($"event_id", unix_micros($"ts").as("eus"))
+    val k = ev.filter($"event_type" === "click")
+      .select(unix_micros($"ts").as("cus"))
+    e.join(k, abs($"eus" - $"cus") <= W)
+      .groupBy($"event_id").agg(count(lit(1)).as("n_nearby_clicks"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   val oracles: Map[String, String] = Map(
@@ -496,6 +514,13 @@ object MiningOps {
         |  AND epoch_us(k.ts) <= epoch_us(p.ts)
         |  AND epoch_us(k.ts) > epoch_us(p.ts) - 3600000000
         |WHERE p.event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+    "q121_proximity_join" ->
+      """SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_nearby_clicks
+        |FROM events p JOIN events k
+        |  ON k.event_type = 'click'
+        |  AND abs(epoch_us(p.ts) - epoch_us(k.ts)) <= 300000000
+        |WHERE p.event_type = 'error'
         |GROUP BY 1""".stripMargin
   )
 }
