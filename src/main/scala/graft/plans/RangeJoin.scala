@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
@@ -42,10 +42,13 @@ import org.apache.spark.sql.types.LongType
   * any pre-existing equi keys), residual filters evaluated inside the
   * join — never a broadcast of a whole table, never a per-row rescan.
   *
-  * Scope guards: inner joins, Long-typed bound attributes (the µs
-  * convention of the event queries), a positive literal width, and
-  * both bounds referencing the same (anchor, ranger) pair from
-  * opposite sides. Everything else is left untouched.
+  * Scope guards: inner joins (either orientation) and LEFT OUTER joins
+  * whose preserved side is the anchor (the attribution idiom "each
+  * purchase with its preceding clicks, purchases without any kept");
+  * Long-typed bound attributes (the µs convention of the event
+  * queries), a positive literal width, and both bounds referencing the
+  * same (anchor, ranger) pair from opposite sides. Everything else is
+  * left untouched.
   *
   * A second recognized shape is the SYMMETRIC band `abs(a − r) <= W`
   * (proximity joins — "events within W of each other"): same bucket
@@ -142,6 +145,7 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
   private def bucketRewrite(
       left: LogicalPlan, right: LogicalPlan, conjuncts: Seq[Expression],
       b: Bounds, offsets: Seq[Long],
+      joinType: org.apache.spark.sql.catalyst.plans.JoinType,
       hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint): LogicalPlan = {
     val anchorOnLeft = left.outputSet.contains(b.anchor)
     val anchorPlan = if (anchorOnLeft) left else right
@@ -171,24 +175,42 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     val newCond = (conjuncts :+ EqualTo(lb, genOut).asInstanceOf[Expression])
       .reduce(And)
     val newJoin =
-      if (anchorOnLeft) Join(anchorProj, gen, Inner, Some(newCond), hint)
-      else Join(gen, anchorProj, Inner, Some(newCond), hint)
+      if (anchorOnLeft) Join(anchorProj, gen, joinType, Some(newCond), hint)
+      else Join(gen, anchorProj, joinType, Some(newCond), hint)
     // restore the original schema (bucket columns are internal)
     Project(left.output ++ right.output, newJoin)
   }
 
+  /** LEFT OUTER is rewriteable iff the PRESERVED (left) side is the
+    * anchor: the anchor side is only projected (multiplicity intact —
+    * an unmatched left row null-extends exactly once), while the
+    * exploded ranging side sits on the non-preserved side where copies
+    * can only match or vanish. An exploded PRESERVED side would emit
+    * one null row per unmatched bucket copy — so that orientation is
+    * left untouched. */
+  private def orientationOk(
+      joinType: org.apache.spark.sql.catalyst.plans.JoinType,
+      left: LogicalPlan, b: Bounds): Boolean =
+    joinType match {
+      case Inner => true
+      case LeftOuter => left.outputSet.contains(b.anchor)
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, Inner, Some(cond), hint)
-        if !j.output.exists(a => a.name == BucketL || a.name == BucketR) &&
+    case j @ Join(left, right, jt, Some(cond), hint)
+        if (jt == Inner || jt == LeftOuter) &&
+          !j.output.exists(a => a.name == BucketL || a.name == BucketR) &&
           !left.output.exists(a => a.name == BucketL || a.name == BucketR) &&
           !right.output.exists(a => a.name == BucketL || a.name == BucketR) =>
       val conjuncts = splitConjunctivePredicates(cond)
       findBounds(conjuncts, left, right) match {
-        case Some(b) => bucketRewrite(left, right, conjuncts, b, Seq(0L, 1L), hint)
-        case None => findSymmetric(conjuncts, left, right) match {
-          case Some(b) =>
-            bucketRewrite(left, right, conjuncts, b, Seq(-1L, 0L, 1L), hint)
-          case None => j
+        case Some(b) if orientationOk(jt, left, b) =>
+          bucketRewrite(left, right, conjuncts, b, Seq(0L, 1L), jt, hint)
+        case _ => findSymmetric(conjuncts, left, right) match {
+          case Some(b) if orientationOk(jt, left, b) =>
+            bucketRewrite(left, right, conjuncts, b, Seq(-1L, 0L, 1L), jt, hint)
+          case _ => j
         }
       }
   }

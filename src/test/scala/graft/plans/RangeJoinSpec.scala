@@ -105,6 +105,31 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (2L, 20L)))
   }
 
+  test("LEFT OUTER with the anchor preserved rewrites; null-extension multiplicity exact") {
+    val j = anchors.join(rangers, $"rt" <= $"at" && $"rt" > $"at" - W, "left")
+    val plan = executed(j)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"left-outer window as NLJ:\n$plan")
+    assert(plan.contains("__gr_bucket"), s"left-outer rewrite did not fire:\n$plan")
+    val got = j.select($"aid", $"rid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val matched = brute(halfOpen = true)
+    val as = anchors.collect().map(_.getLong(0))
+    val expect: Map[(Long, Option[Long]), Int] =
+      (matched.toSeq.map { case (a, r) => ((a, Some(r): Option[Long]), 1) } ++
+        as.filterNot(a => matched.exists(_._1 == a))
+          .map(a => ((a, None: Option[Long]), 1))).toMap
+    assert(got == expect, s"left-outer rows diverge: $got")
+  }
+
+  test("LEFT OUTER with the anchor on the non-preserved side stays untouched") {
+    // preserved (left) side would be EXPLODED — unsound, must not fire
+    val j = rangers.join(anchors, $"rt" <= $"at" && $"rt" > $"at" - W, "left")
+    val plan = executed(j)
+    assert(!plan.contains("__gr_bucket"),
+      s"unsound orientation rewritten:\n$plan")
+  }
+
   test("joins without a recognizable window are left untouched") {
     // upper bound only — no width to bucket by: must stay a nested loop
     val j = anchors.join(rangers, $"rt" <= $"at")
