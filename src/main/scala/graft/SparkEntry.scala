@@ -172,8 +172,10 @@ object SparkEntry {
     "q118_negative_samples" -> (CurationOps.q118NegativeSamples _),
     "q119_hard_negatives" -> ((s, d) => VectorOps.q119HardNegatives(s, d)),
     "q120_top_docs_dense" -> ((s, d) => TextOps.q120TopDocsDense(s, d)),
-    // symmetric proximity band through the range-join rewrite
+    // symmetric proximity band + left-outer attribution through the
+    // range-join rewrite
     "q121_proximity_join" -> (MiningOps.q121ProximityJoin _),
+    "q122_left_range_join" -> (MiningOps.q122LeftRangeJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

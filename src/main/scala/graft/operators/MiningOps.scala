@@ -362,6 +362,25 @@ object MiningOps {
       .groupBy($"event_id").agg(count(lit(1)).as("n_clicks"))
   }
 
+  // ---------------------------------------------------------------- q122
+
+  /** The LEFT OUTER attribution form, written naively: every purchase
+    * with its preceding-hour click count, ZERO-click purchases kept —
+    * the report shape q104's inner join drops. The preserved side is
+    * the anchor, so [[graft.plans.RangeJoinRewriteRule]] rewrites this
+    * off the nested-loop path too; `count(cus)` counts non-null rows,
+    * so the null-extended row contributes 0. */
+  def q122LeftRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val W = 3600000000L // 60 min in µs
+    val ev = load(s, dir, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", unix_micros($"ts").as("pus"))
+    val k = ev.filter($"event_type" === "click")
+      .select(unix_micros($"ts").as("cus"))
+    p.join(k, $"cus" <= $"pus" && $"cus" > $"pus" - W, "left")
+      .groupBy($"event_id").agg(count($"cus").as("n_clicks"))
+  }
+
   // ---------------------------------------------------------------- q121
 
   /** Keyless SYMMETRIC proximity join, written naively: clicks by ANY
@@ -521,6 +540,13 @@ object MiningOps {
         |  ON k.event_type = 'click'
         |  AND abs(epoch_us(p.ts) - epoch_us(k.ts)) <= 300000000
         |WHERE p.event_type = 'error'
+        |GROUP BY 1""".stripMargin,
+    "q122_left_range_join" ->
+      """SELECT p.event_id, CAST(count(k.ts) AS BIGINT) AS n_clicks
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') k
+        |  ON epoch_us(k.ts) <= epoch_us(p.ts)
+        |  AND epoch_us(k.ts) > epoch_us(p.ts) - 3600000000
         |GROUP BY 1""".stripMargin
   )
 }

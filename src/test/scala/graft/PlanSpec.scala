@@ -319,6 +319,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("__gr_bucket"), s"rewrite did not fire:\n$p")
   }
 
+  test("q122 left-outer range join: rewritten, no nested loop") {
+    val df = graft.operators.MiningOps.q122LeftRangeJoin(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"left-outer window planned as a nested loop:\n$p")
+    assert(p.contains("__gr_bucket"), s"rewrite did not fire:\n$p")
+  }
+
   test("q111 DSv2 FITS: metadata-only queries never materialize pixel arrays") {
     // the q111 oracle gates the DATA path; this gates the PRUNING path —
     // a catalog query (positions only) must push its column set into the
