@@ -176,6 +176,8 @@ object SparkEntry {
     // range-join rewrite
     "q121_proximity_join" -> (MiningOps.q121ProximityJoin _),
     "q122_left_range_join" -> (MiningOps.q122LeftRangeJoin _),
+    // streaming near-dup dedup core, one-shot batch == cluster-min twin
+    "q123_stream_dedup_core" -> (TextOps.q123StreamDedupCore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

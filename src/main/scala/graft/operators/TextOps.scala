@@ -808,6 +808,22 @@ object TextOps {
     (pairs, dropStats)
   }
 
+  /** The streaming near-dup dedup CORE through the oracle gate: one
+    * micro-batch of the whole corpus flows through
+    * [[graft.streaming.DocumentStream.nearDupDedupBatch]] (signature,
+    * incremental band probe, component-survivor selection, signature
+    * store write) and the per-source survivor counts are checked
+    * against the recursive-CTE cluster-min twin — single-batch
+    * semantics are exactly the one-shot dedup, so the SQL is the q51
+    * clustering with non-min members removed. Cross-batch behavior
+    * (transitive reps, idempotent replays) stays StreamingSpec-gated. */
+  def q123StreamDedupCore(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q123").toString
+    graft.streaming.DocumentStream
+      .nearDupDedupBatch(load(s, dir, "documents"), s"$tmp/sigs", 0.8)
+      .groupBy($"source").agg(count(lit(1)).as("n_survivors"))
+  }
+
   /** Cross-source duplication matrix — WHERE is the corpus duplicated?
     * Near-dup pairs (the exact-verified LSH edges) aggregated by
     * normalized source pair; the dedup-pipeline analytics that decides
@@ -1478,6 +1494,32 @@ object TextOps {
         |SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs, CAST(0 AS BIGINT) AS n_capped_pairs
         |FROM i JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
         |WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.8""".stripMargin,
+    "q123_stream_dedup_core" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
+        |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT da, db FROM p
+        |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.8),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges)
+        |, cc AS (
+        |  WITH RECURSIVE r(id, lbl) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT e.dst, r.lbl FROM r JOIN edges e ON r.id = e.src)
+        |  SELECT id, min(lbl) AS label FROM r GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_survivors
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE id != label)
+        |GROUP BY 1""".stripMargin,
     "q51_dedup_clusters" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
