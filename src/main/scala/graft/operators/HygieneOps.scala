@@ -217,13 +217,18 @@ object HygieneOps {
         |  CAST(max(sz) AS BIGINT) AS max_group,
         |  CAST(sum(sz - 1) AS BIGINT) AS n_redundant
         |FROM g""".stripMargin,
+    // NOTE the CASE yields a LIST in one CTE and the unnest runs in the
+    // NEXT one (the q51/q23 oracle pattern): an unnest INSIDE a CASE
+    // branch gets hoisted by DuckDB, so a document with an empty
+    // generated shingle list (< 3 tokens) would vanish from the oracle
+    // entirely and its ELSE whole-text shingle would never emit.
     "q114_df_spectrum" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
-        |g AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3
-        |    THEN unnest(list_transform(generate_series(1, len(ts)-2),
-        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
-        |    ELSE array_to_string(ts, ' ') END AS g
-        |  FROM t),
+        |sh AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+        |    THEN list_transform(generate_series(1, len(ts)-2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+        |    ELSE [array_to_string(ts, ' ')] END AS s FROM t),
+        |g AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
         |d AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1)
         |SELECT df, CAST(count(*) AS BIGINT) AS n_shingles,
         |  CAST(df * count(*) AS BIGINT) AS n_postings

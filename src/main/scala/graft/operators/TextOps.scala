@@ -226,8 +226,10 @@ object TextOps {
 
   /** LSH bands of a signature frame: hash each run of [[LshRows]]
     * signature components; a pair is a candidate iff it shares a
-    * (band, bkey) bucket. Carries ids only. */
-  private def bandFrame(sigs: DataFrame): DataFrame =
+    * (band, bkey) bucket. Carries ids only. Package-visible so the
+    * streaming signature store can persist the banding
+    * ([[graft.streaming.DocumentStream]]). */
+  private[graft] def bandFrame(sigs: DataFrame): DataFrame =
     sigs.select(
       $"doc_id",
       explode(array((0 until LshBands).map { b =>
@@ -243,7 +245,7 @@ object TextOps {
     * |A| + |B| − |A∩B| — no array_union materialization at all. A
     * defensive sort_array is a no-op on the sorted artifact but keeps
     * the verify correct for pre-sorted-era persisted signature frames. */
-  private def verifyPairs(
+  private[graft] def verifyPairs(
       cand: DataFrame, sigs: DataFrame, threshold: Double): DataFrame = {
     import graft.plans.VectorExpressions.sorted_intersect_count
     val sh = sigs.select($"doc_id", sort_array($"sh_set").as("sh_set"))
@@ -257,6 +259,67 @@ object TextOps {
       .select($"id_a", $"id_b")
   }
 
+  /** Canonical (id_a < id_b) candidate pairs of a band probe —
+    * `probeBands ⋈ newBands` on (band, bkey) — annotated with `rn`, the
+    * larger of the two endpoints' candidate degrees (the
+    * [[pairsFromSignatures]] window discipline: a hub doc is bounded
+    * whether it appears as the probe or the match side). The degree
+    * guard ([[guardCandidates]]) filters or refuses on `rn`. */
+  private[graft] def bandCandidates(
+      probeBands: DataFrame, newBands: DataFrame): DataFrame = {
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id_a").orderBy($"id_b")
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id_b").orderBy($"id_a")
+    probeBands.as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+      .withColumn("rn", greatest(row_number().over(wA), row_number().over(wB)))
+  }
+
+  /** Degree guard over [[bandCandidates]] output — the q64
+    * refuse-or-account discipline applied to the incremental probe.
+    *
+    * Returns (kept candidate pairs `(id_a, id_b)`, one-row
+    * `n_capped_pairs` stats).
+    *
+    * A boilerplate cluster accumulating members in one band bucket makes
+    * every new near-copy pair against ALL stored members — per-batch
+    * candidates grow with history, cumulative work quadratic (the Σdf²
+    * blowup relocated to the dedup-at-ingest path). Strict mode
+    * (`allowLossy = false`, the library default) REFUSES loudly: the
+    * `raise_error` is woven into the kept `id_a` column itself so column
+    * pruning can't drop the check and it costs zero extra passes. Lossy
+    * mode caps each doc's candidate degree at `maxCandidates`
+    * (deterministic id order, so replays cap identically) and surfaces
+    * the drop count — a capped true pair then under-merges a cluster,
+    * which for dedup means keeping a duplicate, never losing a doc. */
+  private[graft] def guardCandidates(
+      rnFrame: DataFrame, maxCandidates: Int,
+      allowLossy: Boolean): (DataFrame, DataFrame) = {
+    val kept =
+      if (allowLossy) rnFrame.filter($"rn" <= maxCandidates).drop("rn")
+      else rnFrame.select(
+        when($"rn" > maxCandidates,
+          raise_error(concat(
+            lit("incremental near-dup probe: a document exceeds "),
+            lit(s"$maxCandidates band-bucket candidates (pair "), $"id_a",
+            lit("~"), $"id_b",
+            lit(") — a boilerplate cluster is accumulating in the " +
+              "signature store; dedup upstream, raise maxCandidates, or " +
+              "pass allowLossy=true to cap with surfaced accounting"))))
+          .otherwise($"id_a").as("id_a"),
+        $"id_b")
+    val nCapped = rnFrame.filter($"rn" > maxCandidates)
+      .groupBy().agg(count(lit(1)).as("n_capped_pairs"))
+    (kept, nCapped)
+  }
+
   /** Incremental near-dup maintenance: the verified pairs that involve
     * at least one document of `newSigs`, probed against the FULL
     * artifact `allSigs` (= existing ∪ new, i.e. the stored signature
@@ -265,21 +328,22 @@ object TextOps {
     * the UPDATE size, not the corpus — the artifact-reuse answer to
     * "which clusters did this batch touch". Pairs are canonical
     * (id_a < id_b); the full-rebuild law `pairs(all) = pairs(old) ∪
-    * incremental(new, all)` is pinned in TextOpsSpec. Unlike the batch
-    * pipeline there is no per-doc candidate cap here: update batches
-    * are operator-sized, and a capped incremental edge would silently
-    * break the rebuild law. */
+    * incremental(new, all)` is pinned in TextOpsSpec.
+    *
+    * Candidate degree is GUARDED ([[guardCandidates]]): by default an
+    * update doc whose band buckets yield more than `maxCandidates`
+    * candidate pairs refuses loudly in-plan rather than silently doing
+    * quadratic work — a capped incremental edge would silently break
+    * the rebuild law, so lossy capping (with the drop count surfaced)
+    * is strictly opt-in. */
   def incrementalNearDupPairs(
-      newSigs: DataFrame, allSigs: DataFrame, threshold: Double): DataFrame = {
-    val cand = bandFrame(allSigs).as("a")
-      .join(bandFrame(newSigs).as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(
-        least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
-      .distinct()
-    verifyPairs(cand, allSigs, threshold)
+      newSigs: DataFrame, allSigs: DataFrame, threshold: Double,
+      maxCandidates: Int = MaxCandidatesPerDoc,
+      allowLossy: Boolean = false): DataFrame = {
+    val (kept, _) = guardCandidates(
+      bandCandidates(bandFrame(allSigs), bandFrame(newSigs)),
+      maxCandidates, allowLossy)
+    verifyPairs(kept, allSigs, threshold)
   }
 
   private def pairsFromSignatures(
@@ -818,10 +882,24 @@ object TextOps {
     * clustering with non-min members removed. Cross-batch behavior
     * (transitive reps, idempotent replays) stays StreamingSpec-gated. */
   def q123StreamDedupCore(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q123").toString
-    graft.streaming.DocumentStream
+    // NOTE: building this query EAGERLY runs the sign/probe/cluster jobs
+    // (nearDupDedupBatch materializes the store as a side effect); the
+    // returned frame only aggregates the checkpointed survivor set, so
+    // the scratch store is deleted before returning.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q123")
+    try graft.streaming.DocumentStream
       .nearDupDedupBatch(load(s, dir, "documents"), s"$tmp/sigs", 0.8)
+      .localCheckpoint()
       .groupBy($"source").agg(count(lit(1)).as("n_survivors"))
+    finally deleteRecursively(tmp)
+  }
+
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   /** Cross-source duplication matrix — WHERE is the corpus duplicated?

@@ -208,9 +208,18 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
         case Some(b) if orientationOk(jt, left, b) =>
           bucketRewrite(left, right, conjuncts, b, Seq(0L, 1L), jt, hint)
         case _ => findSymmetric(conjuncts, left, right) match {
-          case Some(b) if orientationOk(jt, left, b) =>
-            bucketRewrite(left, right, conjuncts, b, Seq(-1L, 0L, 1L), jt, hint)
-          case _ => j
+          // |x−y| ≤ W is symmetric, so anchor/ranger roles are
+          // interchangeable: when the preserved side holds y, swap the
+          // orientation instead of abandoning the rewrite to the
+          // nested-loop path
+          case Some(b) =>
+            Seq(b, Bounds(b.ranger, b.anchor, b.width))
+              .find(orientationOk(jt, left, _)) match {
+              case Some(bb) => bucketRewrite(
+                left, right, conjuncts, bb, Seq(-1L, 0L, 1L), jt, hint)
+              case None => j
+            }
+          case None => j
         }
       }
   }

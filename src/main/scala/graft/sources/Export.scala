@@ -188,30 +188,51 @@ object Export {
     // contents behind for consumers globbing shard-*.tar
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val outFs = outPath.getFileSystem(hconf.value)
-    if (outFs.exists(outPath))
+    if (outFs.exists(outPath)) {
       outFs.globStatus(new org.apache.hadoop.fs.Path(outPath, "shard-*.tar"))
         .foreach(st => outFs.delete(st.getPath, false))
+      // stale commit markers and abandoned temp files from earlier runs
+      outFs.globStatus(new org.apache.hadoop.fs.Path(outPath, ".shard-*.inprogress"))
+        .foreach(st => outFs.delete(st.getPath, false))
+      outFs.delete(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS"), false)
+    }
     samples
       .withColumn("shard", pmod(xxhash64(col("key")), lit(nShards)))
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("key"))
       .select(col("shard"), col("key"), col("entries"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        // task-commit protocol: stream to a hidden temp name, rename to
+        // the final shard path only when the shard closes cleanly — a
+        // failed/zombie attempt leaves only .inprogress litter, never a
+        // truncated shard-NNNNN.tar a consumer could mistake for complete
         var cur = -1L
         var out: java.io.OutputStream = null
+        var tmpPath: org.apache.hadoop.fs.Path = null
+        var finalPath: org.apache.hadoop.fs.Path = null
+        var fs: org.apache.hadoop.fs.FileSystem = null
         def close(): Unit = if (out != null) {
           out.write(new Array[Byte](1024)) // end-of-archive blocks
           out.close(); out = null
+          fs.delete(finalPath, false) // clobber a zombie twin, then commit
+          if (!fs.rename(tmpPath, finalPath))
+            throw new java.io.IOException(s"commit rename failed: $finalPath")
+        }
+        def abort(): Unit = if (out != null) {
+          out.close(); out = null
+          fs.delete(tmpPath, false)
         }
         try {
           it.foreach { row =>
             val shard = row.getLong(0)
             if (shard != cur) {
               close(); cur = shard
-              val p = new org.apache.hadoop.fs.Path(
+              tmpPath = new org.apache.hadoop.fs.Path(
+                outDir, f".shard-$shard%05d.tar.${java.util.UUID.randomUUID()}.inprogress")
+              finalPath = new org.apache.hadoop.fs.Path(
                 outDir, f"shard-$shard%05d.tar")
-              val fs = p.getFileSystem(hconf.value)
-              out = new java.io.BufferedOutputStream(fs.create(p, true))
+              fs = finalPath.getFileSystem(hconf.value)
+              out = new java.io.BufferedOutputStream(fs.create(tmpPath, true))
             }
             val key = row.getString(1)
             row.getMap[String, Array[Byte]](2).toSeq.sortBy(_._1)
@@ -219,8 +240,12 @@ object Export {
                 writeTarEntry(out, s"$key.$ext", bytes)
               }
           }
-        } finally close()
+          close()
+        } catch { case t: Throwable => abort(); throw t }
       }
+    // job-level marker: consumers gate on _SUCCESS to never read a
+    // partially-exported shard set
+    outFs.create(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS"), true).close()
   }
 
   /** Multimodal sample assembly for [[writeTarShards]]: documents
@@ -248,19 +273,37 @@ object Export {
         ).as("entries"))
   }
 
-  /** One ustar header block + 512-padded payload. */
+  /** One ustar header block + 512-padded payload. Names over 100 bytes
+    * use the POSIX prefix field: the path splits at a '/' into
+    * prefix(≤155) + name(≤100) — the reader re-joins them with a slash —
+    * so nested WebDataset keys (`source/shard/doc_id.ext`) archive
+    * fine up to 255 bytes; only an unsplittable or longer name throws. */
   private def writeTarEntry(
       out: java.io.OutputStream, name: String, bytes: Array[Byte]): Unit = {
     // UTF-8 name bytes (tar names are raw bytes; an ASCII re-encode
     // would silently mangle non-ASCII keys to '?')
     val nameBytes = name.getBytes(StandardCharsets.UTF_8)
-    require(nameBytes.length <= 100, s"tar entry name over 100 bytes: $name")
+    val (prefixBytes, baseBytes) =
+      if (nameBytes.length <= 100) (Array.empty[Byte], nameBytes)
+      else {
+        // longest prefix ≤ 155 whose remainder fits in 100 (the split
+        // slash is dropped; readers re-insert it)
+        val cut = nameBytes.indices
+          .filter(i => nameBytes(i) == '/'.toByte)
+          .filter(i => i <= 155 && nameBytes.length - i - 1 <= 100)
+          .lastOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"tar entry name over 100 bytes with no prefix(155)/name(100) " +
+              s"split at a '/': $name"))
+        (nameBytes.take(cut), nameBytes.drop(cut + 1))
+      }
     val hdr = new Array[Byte](512)
     def put(off: Int, s: String): Unit = {
       val b = s.getBytes(StandardCharsets.US_ASCII)
       System.arraycopy(b, 0, hdr, off, b.length)
     }
-    System.arraycopy(nameBytes, 0, hdr, 0, nameBytes.length)
+    System.arraycopy(baseBytes, 0, hdr, 0, baseBytes.length)
+    System.arraycopy(prefixBytes, 0, hdr, 345, prefixBytes.length)
     put(100, "0000644\u0000") // mode
     put(108, "0000000\u0000") // uid
     put(116, "0000000\u0000") // gid
@@ -277,7 +320,24 @@ object Export {
     if (pad > 0) out.write(new Array[Byte](pad))
   }
 
+  /** Bounded DRIVER-side convenience wrapper (small exports only — for
+    * anything partition-scale use [[writeFitsTablePartitioned]], which
+    * never materializes the table on one node). */
   def writeFitsTable(rows: Seq[VizRow], path: String): Unit = {
+    writeFitsTableStream(rows.iterator, path)
+    ()
+  }
+
+  /** S11 streamed: one FITS BINTABLE HDU from a single-pass row
+    * iterator. FITS puts the row count (NAXIS2) in the header AHEAD of
+    * the data, so the header is emitted with a placeholder and the
+    * fixed-width card is patched in place once the stream ends — no
+    * whole-table buffering, O(1) memory per writer. Returns the row
+    * count. */
+  def writeFitsTableStream(rows: Iterator[VizRow], path: String): Long = {
+    val rowBytes = columns.map { case (_, t) => if (t == "long") 8 else 8 }.sum
+    var naxis2Off = -1L
+    var n = 0L
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     try {
       // primary HDU: empty
@@ -288,12 +348,12 @@ object Export {
       var written = 0L
       primary.foreach { c => out.write(c); written += 80 }
       pad(out, written)
+      val hduStart = written + (Fits.BlockSize - written % Fits.BlockSize) % Fits.BlockSize
 
-      // bintable header
-      val rowBytes = columns.map { case (_, t) => if (t == "long") 8 else 8 }.sum
+      // bintable header; NAXIS2 patched after the data pass
       val hdr = Seq(
         card("XTENSION", "'BINTABLE'"), card("BITPIX", "8"), card("NAXIS", "2"),
-        card("NAXIS1", rowBytes.toString), card("NAXIS2", rows.length.toString),
+        card("NAXIS1", rowBytes.toString), card("NAXIS2", "0"),
         card("PCOUNT", "0"), card("GCOUNT", "1"),
         card("TFIELDS", columns.length.toString)) ++
         columns.zipWithIndex.flatMap { case ((name, tpe), i) =>
@@ -301,11 +361,12 @@ object Export {
             card(s"TTYPE${i + 1}", s"'$name'"),
             card(s"TFORM${i + 1}", if (tpe == "long") "'K'" else "'D'"))
         } ++ Seq("END".padTo(80, ' ').getBytes(StandardCharsets.US_ASCII))
+      naxis2Off = hduStart + 4 * 80 // XTENSION, BITPIX, NAXIS, NAXIS1, then NAXIS2
       written = 0L
       hdr.foreach { c => out.write(c); written += 80 }
       pad(out, written)
 
-      // data
+      // data: single pass, count as we go
       written = 0L
       rows.foreach { r =>
         values(r).foreach {
@@ -314,8 +375,34 @@ object Export {
           case other => throw new IllegalStateException(other.toString)
         }
         written += rowBytes
+        n += 1
       }
       pad(out, written)
     } finally out.close()
+    // patch the fixed-width NAXIS2 card with the final count
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    try {
+      raf.seek(naxis2Off)
+      raf.write(card("NAXIS2", n.toString))
+    } finally raf.close()
+    n
+  }
+
+  /** S11 distributed: every partition writes its own FITS bintable part
+    * in parallel on the executors — the
+    * [[writeVOTableBinaryPartitioned]] shape, so a full-cube export
+    * (1.4 B rows at 100× sf0.1) streams through the tasks instead of
+    * OOMing the driver. Pair with `repartitionByRange(zoom, heal_id)`
+    * upstream for sorted, evenly-sized parts. */
+  def writeFitsTablePartitioned(
+      ds: org.apache.spark.sql.Dataset[VizRow], outDir: String): Unit = {
+    new java.io.File(outDir).mkdirs()
+    ds.foreachPartition { (it: Iterator[VizRow]) =>
+      if (it.hasNext) {
+        val part = org.apache.spark.TaskContext.getPartitionId()
+        writeFitsTableStream(it, f"$outDir/part-$part%05d.fits")
+      }
+      ()
+    }
   }
 }

@@ -32,13 +32,71 @@ object DocumentStream {
       .dropDuplicates("content_hash")
   }
 
+  /** Band-bucket fan-out of the persistent band index: each band key
+    * hashes into one of this many partition buckets, so a batch's probe
+    * prunes the store scan to `≤ LshBands × BandBuckets` partitions no
+    * matter how much history the store holds. */
+  val BandBuckets = 64
+
+  /** Doc-id fan-out of the persistent signature rows: the verify stage
+    * only reads the `pdoc` partitions that hold its candidate ids. */
+  val SigBuckets = 32
+
+  private def pdocCol = pmod(xxhash64(col("doc_id")), lit(SigBuckets.toLong))
+    .cast("int")
+
+  /** Band rows of a signature frame with the store's partition bucket. */
+  private[graft] def bucketedBands(sigs: DataFrame): DataFrame =
+    graft.operators.TextOps.bandFrame(sigs)
+      .withColumn("pbucket",
+        pmod(xxhash64(col("bkey")), lit(BandBuckets.toLong)).cast("int"))
+
+  /** The store's band index read PRUNED to the probe's buckets — the
+    * scan carries partition filters on (band, pbucket), so per-batch
+    * probe I/O scales with the BATCH's bucket footprint, not with
+    * history (the sorted-index candidate-cell probe discipline,
+    * reference `metadata_strategy_spectrum.py:727-734`). None until the
+    * first batch creates the store or when the batch is empty. */
+  private[graft] def prunedStoreBands(
+      spark: SparkSession, sigStore: String,
+      buckets: Seq[(Int, Int)]): Option[DataFrame] = {
+    if (buckets.isEmpty) return None
+    val bands =
+      try Some(spark.read.parquet(s"$sigStore/bands"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    bands.map { b =>
+      b.filter(buckets.map { case (band, pb) =>
+        col("band") === lit(band) && col("pbucket") === lit(pb)
+      }.reduce(_ || _))
+    }
+  }
+
+  /** Per-batch partitioned write into the store: `btag` keys the
+    * micro-batch, and dynamic partition overwrite replaces ONLY this
+    * batch's partitions — a replay after a mid-batch failure rewrites
+    * identical files instead of appending duplicates. Batch callers
+    * (no tag) append under a shared tag. The repartition on the
+    * partition columns keeps one file per partition dir instead of one
+    * per (task × dir). */
+  private def writeStorePart(
+      df: DataFrame, path: String, tag: Option[String],
+      partCols: Seq[String]): Unit = {
+    val tagged = df.withColumn("btag", lit(tag.getOrElse("adhoc")))
+    val cols = "btag" +: partCols
+    val w = tagged.repartition(cols.map(col): _*)
+      .write.partitionBy(cols: _*)
+    tag match {
+      case Some(_) => w.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(path)
+      case None => w.mode("append").parquet(path)
+    }
+  }
+
   /** NEAR-dup dedup of one arriving batch against the persistent
     * signature store — the streaming face of the MinHash+LSH pipeline.
     * The batch is signed ([[graft.operators.TextOps.signatureFrame]])
-    * and band-probed against store ∪ batch
-    * ([[graft.operators.TextOps.incrementalNearDupPairs]] — work scales
-    * with the BATCH, not history); survivor selection then runs as
-    * connected components over the pairs
+    * and band-probed against store ∪ batch; survivor selection then
+    * runs as connected components over the verified pairs
     * ([[graft.operators.TextOps.clusterMembersFromPairs]], the q51/q73
     * batch discipline) with TRANSITIVE representative resolution: the
     * store keeps a signature row for EVERY document ever seen, each
@@ -47,64 +105,108 @@ object DocumentStream {
     * how the three split across batches: c matches the STORED signature
     * of the dropped b and inherits b's rep a. Representative choice is
     * SURVIVOR-STABLE: a component containing any already-stored member
-    * resolves to the oldest STORED representative — an emitted survivor
+    * resolves to the min STORED representative — an emitted survivor
     * is final, and a later arrival (whatever its id) can never displace
     * one; min id is only the tie-break among brand-new docs, so no id
-    * ordering across batches is assumed. Store size is one row per
-    * document seen — the same working-set law as exact streaming dedup,
-    * sharded by the store's parquet layout.
+    * ordering across batches is assumed.
     *
-    * `batchTag` (the streaming path) makes the signature write
-    * IDEMPOTENT: each micro-batch overwrites its own
-    * `sigStore/batch_<id>` subdirectory, so a replay after a mid-batch
-    * failure rewrites identical files instead of appending duplicates.
-    * Batch callers (no tag) append to the store root. */
+    * HISTORY-PROOF probe: the store is persisted PRE-BANDED —
+    * `sigStore/bands` partitioned by (band, pbucket = hash(bkey) mod
+    * [[BandBuckets]]) carrying (doc_id, bkey, rep, pdoc), and
+    * `sigStore/sigs` partitioned by (pdoc = hash(doc_id) mod
+    * [[SigBuckets]]) carrying the signature rows. Per batch this reads
+    * (a) only the band partitions the batch's own band keys hash into
+    * and (b) only the signature partitions holding verify candidates —
+    * both scans carry partition filters, so probe I/O scales with the
+    * batch's footprint while the store grows without bound. Candidate
+    * DEGREE is guarded ([[graft.operators.TextOps.guardCandidates]]):
+    * strict mode (default) refuses loudly in-plan when a boilerplate
+    * cluster accumulated in the store would pair a new arrival against
+    * more than `maxCandidates` members; `allowLossy = true` caps
+    * instead (deterministic id order ⇒ replays cap identically) and
+    * surfaces the drop count as a one-row parquet under
+    * `sigStore/drops` — a capped true pair keeps a duplicate, never
+    * loses a document.
+    *
+    * `batchTag` (the streaming path) makes the store writes IDEMPOTENT:
+    * each micro-batch dynamically overwrites its own `btag` partitions,
+    * so a replay after a mid-batch failure rewrites identical files
+    * instead of appending duplicates. Batch callers (no tag) append. */
   def nearDupDedupBatch(
       batch: DataFrame, sigStore: String, threshold: Double,
-      batchTag: Option[String] = None): DataFrame = {
+      batchTag: Option[String] = None,
+      maxCandidates: Int = graft.operators.TextOps.MaxCandidatesPerDoc,
+      allowLossy: Boolean = false): DataFrame = {
     import graft.operators.TextOps
     val spark = batch.sparkSession
-    // batch-sized; checkpointed because it is consumed three times
+    // batch-sized; checkpointed because it is consumed four times
     val newSigs = TextOps.signatureFrame(batch).localCheckpoint()
-    val existing =
-      try spark.read.option("recursiveFileLookup", "true").parquet(sigStore)
-      catch { case _: org.apache.spark.sql.AnalysisException => null }
-    val all =
-      if (existing == null) newSigs
-      else existing.drop("rep").unionByName(newSigs)
-    val pairs = TextOps.incrementalNearDupPairs(newSigs, all, threshold)
+    val newBands = bucketedBands(newSigs).localCheckpoint()
+    // bounded collect: ≤ LshBands × BandBuckets distinct buckets
+    val buckets = newBands.select(col("band"), col("pbucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val storeBands = prunedStoreBands(spark, sigStore, buckets)
+    val slim = (d: DataFrame) => d.select(col("doc_id"), col("band"), col("bkey"))
+    val probe = storeBands match {
+      case Some(sb) => slim(sb).unionByName(slim(newBands))
+      case None => slim(newBands)
+    }
+    // rn materialized once; the guard and the drop stats both read it
+    val rnFrame = TextOps.bandCandidates(probe, slim(newBands)).localCheckpoint()
+    val (kept, nCapped) = TextOps.guardCandidates(rnFrame, maxCandidates, allowLossy)
+    // forces the strict-mode refusal HERE — before any store write
+    val cand = kept.localCheckpoint()
+    if (allowLossy)
+      writeStorePart(nCapped, s"$sigStore/drops", batchTag, Seq.empty)
+    // verify + rep lookup touch the store only through the candidate ids
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val storeMeta = storeBands.map { sb =>
+      sb.select(col("doc_id"), col("rep"), col("pdoc")).distinct()
+        .join(candIds, "doc_id").localCheckpoint()
+    }
+    // bounded collect: ≤ SigBuckets distinct pdoc partitions
+    val pdocs = storeMeta.toSeq
+      .flatMap(_.select(col("pdoc")).distinct().collect().map(_.getInt(0)))
+    val shCols = (d: DataFrame) => d.select(col("doc_id"), col("sh_set"))
+    val verifySigs =
+      if (pdocs.isEmpty) shCols(newSigs)
+      else shCols(spark.read.parquet(s"$sigStore/sigs")
+          .filter(col("pdoc").isin(pdocs: _*)))
+        .unionByName(shCols(newSigs))
+    val pairs = TextOps.verifyPairs(cand, verifySigs, threshold)
     val members = TextOps.clusterMembersFromPairs(pairs)
     // transitive resolution: each member's candidate rep is its STORED
     // rep (history dups point at their survivor) or itself. The
     // component rep PREFERS stored candidates (survivor stability),
     // falling back to the min new id only for all-new components.
-    val r0 =
-      if (existing == null)
+    val r0 = storeMeta match {
+      case None =>
         members.select(col("doc_id"), col("cluster_id"),
           col("doc_id").as("r0"), lit(false).as("in_store"))
-      else members
-        .join(existing.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
+      case Some(meta) => members
+        .join(meta.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster_id"),
           coalesce(col("rep"), col("doc_id")).as("r0"),
           col("rep").isNotNull.as("in_store"))
+    }
     val reps = r0.groupBy(col("cluster_id")).agg(
       coalesce(min(when(col("in_store"), col("r0"))), min(col("r0")))
         .as("final_rep"))
     val assign = r0.join(reps, "cluster_id")
       .select(col("doc_id"), col("final_rep"))
-      .localCheckpoint() // consumed by dupIds AND the store write
+      .localCheckpoint() // consumed by dupIds AND both store writes
     val dupIds = assign.filter(col("doc_id") =!= col("final_rep"))
       .select(col("doc_id"))
     val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
-    val sigOut = newSigs.join(assign, Seq("doc_id"), "left")
+    val withRep = (d: DataFrame) => d
+      .join(assign, Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("final_rep"), col("doc_id")))
       .drop("final_rep")
-    batchTag match {
-      case Some(tag) =>
-        sigOut.write.mode("overwrite").parquet(s"$sigStore/$tag")
-      case None =>
-        sigOut.write.mode("append").parquet(sigStore)
-    }
+    writeStorePart(withRep(newSigs).withColumn("pdoc", pdocCol),
+      s"$sigStore/sigs", batchTag, Seq("pdoc"))
+    writeStorePart(withRep(newBands).withColumn("pdoc", pdocCol),
+      s"$sigStore/bands", batchTag, Seq("band", "pbucket"))
     survivors
   }
 

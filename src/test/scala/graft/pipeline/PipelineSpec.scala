@@ -273,5 +273,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(t.nRows == rows.length)
     val wl0 = Fits.readDoubles(bytes, t, t.column("wl"), 0)(0)
     assert(math.abs(wl0 - rows.head.wl) < 1e-9)
+
+    // distributed FITS sink: executor-side part files, rows conserved —
+    // the unbounded-export path (the driver Seq API stays for small cubes)
+    val fitsPartDir = dir.resolve("fits_parts").toString
+    Export.writeFitsTablePartitioned(ds4, fitsPartDir)
+    val fitsParts = new java.io.File(fitsPartDir).listFiles()
+      .filter(_.getName.endsWith(".fits")).sortBy(_.getName)
+    assert(fitsParts.length > 1, "expected a multi-partition FITS export")
+    val partRows = fitsParts.map { p =>
+      val b = Files.readAllBytes(p.toPath)
+      val bt = Fits.readBinTable(b, Fits.readHdus(b)(1))
+      // every part header carries its own patched, non-zero NAXIS2
+      assert(bt.nRows > 0)
+      bt.nRows
+    }
+    assert(partRows.sum == rows.length)
   }
 }

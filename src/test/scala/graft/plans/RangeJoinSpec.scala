@@ -122,6 +122,33 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == expect, s"left-outer rows diverge: $got")
   }
 
+  test("symmetric LEFT OUTER anchors on whichever side is preserved") {
+    // asAbs parses |at − rt| with at as x; the preserved side here holds
+    // rt — the symmetric predicate lets the rule swap roles instead of
+    // falling back to the nested loop
+    val j = rangers.join(anchors, abs($"at" - $"rt") <= W, "left")
+    val plan = executed(j)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"swapped symmetric left-outer as NLJ:\n$plan")
+    assert(plan.contains("__gr_bucket"),
+      s"swapped symmetric rewrite did not fire:\n$plan")
+    val as = anchors.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rs = rangers.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val matched = (for {
+      (rid, rt) <- rs
+      (aid, at) <- as
+      if math.abs(at - rt) <= W
+    } yield (rid, aid)).toSet
+    val expect: Map[(Long, Option[Long]), Int] =
+      (matched.toSeq.map { case (r, a) => ((r, Some(a): Option[Long]), 1) } ++
+        rs.map(_._1).filterNot(r => matched.exists(_._1 == r))
+          .map(r => ((r, None: Option[Long]), 1))).toMap
+    val got = j.select($"rid", $"aid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == expect, s"swapped left-outer rows diverge: $got")
+  }
+
   test("LEFT OUTER with the anchor on the non-preserved side stays untouched") {
     // preserved (left) side would be EXPLODED — unsound, must not fire
     val j = rangers.join(anchors, $"rt" <= $"at" && $"rt" > $"at" - W, "left")

@@ -24,8 +24,12 @@ class TarExportSpec extends AnyFunSuite {
     val out = Seq.newBuilder[(String, Array[Byte])]
     var off = 0
     while (off + 512 <= bytes.length && bytes(off) != 0) {
-      val name = new String(bytes, off, 100, StandardCharsets.US_ASCII)
+      val base = new String(bytes, off, 100, StandardCharsets.US_ASCII)
         .takeWhile(_ != '\u0000')
+      // POSIX prefix field: re-join prefix(155) + '/' + name(100)
+      val prefix = new String(bytes, off + 345, 155, StandardCharsets.US_ASCII)
+        .takeWhile(_ != '\u0000')
+      val name = if (prefix.isEmpty) base else s"$prefix/$base"
       // header self-check: stored checksum must match recomputation
       val stored = Integer.parseInt(new String(bytes, off + 148, 6,
         StandardCharsets.US_ASCII), 8)
@@ -100,6 +104,38 @@ class TarExportSpec extends AnyFunSuite {
     val embJson = new String(byName(s"$key7.emb.json"), StandardCharsets.UTF_8)
     assert(embJson.startsWith("[") && embJson.count(_ == ',') ==
       emb.filter($"vec_id" === 7).select($"embedding").as[Seq[Float]].head().size - 1)
+  }
+
+  test("nested keys over 100 bytes use the ustar prefix field; job commits with _SUCCESS") {
+    import spark.implicits._
+    // 150-byte entry name: 60-byte dir + '/' + 85-byte stem + ".txt"
+    val dir60 = "a" * 60
+    val stem85 = "b" * 85
+    val longKey = s"$dir60/$stem85"
+    val out = Files.createTempDirectory("graft-tar-prefix").toString
+    val df = Seq((longKey,
+      Map("txt" -> "nested payload".getBytes(StandardCharsets.UTF_8))))
+      .toDF("key", "entries")
+    Export.writeTarShards(df, out, nShards = 2)
+    val files = new java.io.File(out).listFiles().map(_.getName).toSet
+    // commit protocol: final shards + _SUCCESS only, no .inprogress litter
+    assert(files.contains("_SUCCESS"), files.toString)
+    assert(!files.exists(_.contains("inprogress")), files.toString)
+    val entries = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".tar"))
+      .flatMap(f => readTar(f.getAbsolutePath)).toSeq
+    assert(entries.map(_._1) == Seq(s"$longKey.txt"))
+    assert(s"$longKey.txt".getBytes(StandardCharsets.UTF_8).length == 150)
+    assert(new String(entries.head._2, StandardCharsets.UTF_8) == "nested payload")
+    // unsplittable >100-byte names refuse loudly (no silent truncation)
+    val bad = Seq(("c" * 120,
+      Map("txt" -> Array[Byte](1)))).toDF("key", "entries")
+    val ex = intercept[Exception] {
+      Export.writeTarShards(bad, Files.createTempDirectory("graft-tar-bad").toString)
+    }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(ex).contains("no prefix(155)/name(100) split"), msgs(ex))
   }
 
   test("shard assignment is the deterministic xxhash64 rule; re-export is byte-identical") {

@@ -89,7 +89,7 @@ class StreamingSpec extends AnyFunSuite {
     assert((20 until 30).forall(i => survivors.contains(i.toLong)))
     // the store holds EVERY doc seen, rep marks the survivor: rep==self
     // exactly for survivors, and the chain members resolve to 11
-    val storeDf = spark.read.option("recursiveFileLookup", "true").parquet(store)
+    val storeDf = spark.read.parquet(s"$store/sigs")
     val stored = storeDf.select($"doc_id").as[Long].collect().toSet
     assert(stored == (b1 ++ b2 ++ b3).map(_._1).toSet)
     val reps = storeDf.filter($"rep" === $"doc_id")
@@ -98,6 +98,63 @@ class StreamingSpec extends AnyFunSuite {
     val chainReps = storeDf.filter($"doc_id".isin(43L, 44L, 50L))
       .select($"rep").as[Long].collect().toSet
     assert(chainReps == Set(11L), s"chain reps: $chainReps")
+  }
+
+  test("store band probe is partition-pruned and the degree guard trips loudly") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-neardup-guard")
+    val store = s"$base/store"
+    val text = (0 until 150).map(i => s"w$i").mkString(" ")
+    // batch 1: a boilerplate cluster — 6 near-identical docs
+    val b1 = (0 until 6)
+      .map(i => (i.toLong, text.replace("w140", s"x$i"))).toDF("doc_id", "text")
+    val s1 = DocumentStream
+      .nearDupDedupBatch(b1, store, 0.8, Some("batch_0"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s1 == Set(0L))
+    // PLAN GATE: the store scan for a probe batch carries partition
+    // filters on (band, pbucket) — probe I/O prunes to the batch's
+    // buckets, not the whole history
+    val probeSigs = graft.operators.TextOps.signatureFrame(
+      Seq((100L, text.replace("w140", "x100"))).toDF("doc_id", "text"))
+    val buckets = DocumentStream.bucketedBands(probeSigs)
+      .select($"band", $"pbucket").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val pruned = DocumentStream.prunedStoreBands(spark, store, buckets).get
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("band") && plan.contains("pbucket"), plan)
+    assert(!plan.contains("PartitionFilters: []"), plan)
+    // the near-twin probe lands in the cluster's buckets: all 6 stored
+    // band rows live there, and nothing else was stored
+    assert(pruned.select($"doc_id").distinct().count() == 6)
+    // DEGREE GUARD, strict: the 7th near-copy exceeds maxCandidates=4
+    // candidates from the accumulated cluster — refuse loudly, with the
+    // remedy in the message, BEFORE anything is written for this batch
+    val b2 = Seq((6L, text.replace("w140", "x6"))).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      DocumentStream.nearDupDedupBatch(
+        b2, store, 0.8, Some("batch_1"), maxCandidates = 4)
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(ex).contains("band-bucket candidates"), rootMsg(ex))
+    assert(!new java.io.File(s"$store/sigs/btag=batch_1").exists())
+    // DEGREE GUARD, lossy: capped instead, drop count surfaced in the
+    // store's accounting sidecar; the doc still resolves to rep 0
+    // through the pairs that survive the cap
+    val s2 = DocumentStream.nearDupDedupBatch(
+        b2, store, 0.8, Some("batch_1"), maxCandidates = 4, allowLossy = true)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s2.isEmpty, s"expected doc 6 to drop, survivors=$s2")
+    val drops = spark.read.parquet(s"$store/drops")
+      .filter($"btag" === "batch_1")
+      .select($"n_capped_pairs").as[Long].head()
+    assert(drops >= 1L, s"n_capped_pairs=$drops")
+    assert(spark.read.parquet(s"$store/sigs")
+      .filter($"doc_id" === 6L).select($"rep").as[Long].head() == 0L)
+    graft.operators.TextOps.deleteRecursively(base)
   }
 
   test("streaming FITS ingest decodes arriving files like the batch path") {
