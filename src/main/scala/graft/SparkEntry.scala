@@ -178,6 +178,9 @@ object SparkEntry {
     "q122_left_range_join" -> (MiningOps.q122LeftRangeJoin _),
     // streaming near-dup dedup core, one-shot batch == cluster-min twin
     "q123_stream_dedup_core" -> (TextOps.q123StreamDedupCore _),
+    // cross-batch transitive dedup: deterministic even/odd batch split,
+    // oracle = exact two-phase streaming twin (survivor-stable reps)
+    "q124_stream_dedup_multibatch" -> (TextOps.q124StreamDedupMultiBatch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -894,6 +894,39 @@ object TextOps {
     finally deleteRecursively(tmp)
   }
 
+  /** MULTI-batch streaming dedup through the oracle gate: the corpus
+    * splits deterministically in-query (even doc_ids = micro-batch 0,
+    * odd = micro-batch 1 — the q37 synthetic-input precedent, so the
+    * oracle can replay the split), and both batches flow through
+    * [[graft.streaming.DocumentStream.nearDupDedupBatch]] against the
+    * SAME signature store. This puts the cross-batch semantics — the
+    * transitive a~b, b~c chain resolution and survivor stability (an
+    * emitted batch-0 survivor is final even when batch 1 would merge or
+    * re-anchor its cluster) — behind the cross-engine hash gate, not
+    * just StreamingSpec. The oracle is the exact TWO-PHASE twin of the
+    * streaming algorithm: phase 1 = cluster-min over even-even pairs;
+    * phase 2 = components over pairs touching an odd doc, representative
+    * = min STORED phase-1 rep when the component has one, else min new
+    * id (a plain union cluster-min would diverge the moment a batch-1
+    * component is disconnected within batch 1 — survivor stability is
+    * the semantics, so the oracle models it). */
+  def q124StreamDedupMultiBatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DocumentStream
+    val docs = load(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q124")
+    try {
+      val store = s"$tmp/sigs"
+      val s0 = DocumentStream.nearDupDedupBatch(
+        docs.filter($"doc_id" % 2 === 0), store, 0.8, Some("batch_0"))
+        .localCheckpoint()
+      val s1 = DocumentStream.nearDupDedupBatch(
+        docs.filter($"doc_id" % 2 === 1), store, 0.8, Some("batch_1"))
+        .localCheckpoint()
+      s0.unionByName(s1)
+        .groupBy($"source").agg(count(lit(1)).as("n_survivors"))
+    } finally deleteRecursively(tmp)
+  }
+
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
@@ -1597,6 +1630,56 @@ object TextOps {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_survivors
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE id != label)
+        |GROUP BY 1""".stripMargin,
+    // exact two-phase streaming twin — see q124StreamDedupMultiBatch's
+    // scaladoc for why this is NOT the plain union cluster-min
+    "q124_stream_dedup_multibatch" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
+        |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT da, db FROM p
+        |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.8),
+        |e1 AS (SELECT da AS src, db AS dst FROM pairs
+        |    WHERE da % 2 = 0 AND db % 2 = 0
+        |  UNION ALL SELECT db, da FROM pairs WHERE da % 2 = 0 AND db % 2 = 0),
+        |n1 AS (SELECT DISTINCT src AS id FROM e1)
+        |, cc1 AS (
+        |  WITH RECURSIVE r(id, lbl) AS (
+        |    SELECT id, id FROM n1
+        |    UNION
+        |    SELECT e.dst, r.lbl FROM r JOIN e1 e ON r.id = e.src)
+        |  SELECT id, min(lbl) AS label FROM r GROUP BY 1),
+        |rep1 AS (SELECT d.doc_id, coalesce(c.label, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN cc1 c ON c.id = d.doc_id
+        |  WHERE d.doc_id % 2 = 0),
+        |e2 AS (SELECT da AS src, db AS dst FROM pairs
+        |    WHERE da % 2 = 1 OR db % 2 = 1
+        |  UNION ALL SELECT db, da FROM pairs WHERE da % 2 = 1 OR db % 2 = 1),
+        |n2 AS (SELECT DISTINCT src AS id FROM e2)
+        |, cc2 AS (
+        |  WITH RECURSIVE r2(id, lbl) AS (
+        |    SELECT id, id FROM n2
+        |    UNION
+        |    SELECT e.dst, r2.lbl FROM r2 JOIN e2 e ON r2.id = e.src)
+        |  SELECT id, min(lbl) AS label FROM r2 GROUP BY 1),
+        |m2 AS (SELECT c.label, c.id, r.rep AS stored_rep
+        |  FROM cc2 c LEFT JOIN rep1 r ON r.doc_id = c.id),
+        |fr AS (SELECT label, coalesce(min(stored_rep), min(id)) AS final_rep
+        |  FROM m2 GROUP BY 1),
+        |drop1 AS (SELECT id FROM cc1 WHERE id != label),
+        |drop2 AS (SELECT m.id FROM m2 m JOIN fr ON fr.label = m.label
+        |  WHERE m.id % 2 = 1 AND m.id != fr.final_rep)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_survivors
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM drop1)
+        |  AND d.doc_id NOT IN (SELECT id FROM drop2)
         |GROUP BY 1""".stripMargin,
     "q51_dedup_clusters" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),

@@ -151,8 +151,10 @@ object DocumentStream {
       case Some(sb) => slim(sb).unionByName(slim(newBands))
       case None => slim(newBands)
     }
-    // rn materialized once; the guard and the drop stats both read it
-    val rnFrame = TextOps.bandCandidates(probe, slim(newBands)).localCheckpoint()
+    // lossy mode materializes rn once (the guard and the drop stats both
+    // read it); strict mode has a single consumer, so it stays lazy
+    val rnRaw = TextOps.bandCandidates(probe, slim(newBands))
+    val rnFrame = if (allowLossy) rnRaw.localCheckpoint() else rnRaw
     val (kept, nCapped) = TextOps.guardCandidates(rnFrame, maxCandidates, allowLossy)
     // forces the strict-mode refusal HERE — before any store write
     val cand = kept.localCheckpoint()
