@@ -181,6 +181,9 @@ object SparkEntry {
     // cross-batch transitive dedup: deterministic even/odd batch split,
     // oracle = exact two-phase streaming twin (survivor-stable reps)
     "q124_stream_dedup_multibatch" -> (TextOps.q124StreamDedupMultiBatch _),
+    // IVF centroid training: two deterministic Lloyd steps gated;
+    // fixpoint loop + recall laws in AnnSpec (trainIvfCentroids)
+    "q125_ivf_train" -> ((s, d) => VectorOps.q125IvfTrain(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -228,6 +228,105 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Integer-scaled embedding rows for the deterministic k-means loop:
+    * every element becomes ⌊v·10⁶ + ½⌋ as a Long, so distances, argmin
+    * tie-breaks and centroid updates are exact integer (or
+    * floor-of-double-ratio) math — order-independent, engine-exact,
+    * iteration-stable. */
+  private def scaledRows(emb: DataFrame): DataFrame =
+    emb.select($"vec_id",
+      transform($"embedding",
+        v => floor(v.cast("double") * 1e6 + 0.5).cast("long")).as("e"))
+
+  /** One full Lloyd step over scaled rows: broadcast-assign each vector
+    * to its L1-argmin centroid (deterministic (d, cent_id) tie-break),
+    * then new centroid c_i = ⌊Σv_i / n⌋ per cluster — a single shuffle
+    * keyed by vec_id (the vector payload rides the map-side-combined
+    * `min_by`, so members are never re-joined), then one tiny
+    * (k·dim)-row aggregation. Clusters that lose all members drop
+    * (classic empty-cluster policy — k shrinks rather than carrying a
+    * stale centroid). Returns (cent_id, cent, n_members). */
+  private def lloydStep(embS: DataFrame, cents: DataFrame): DataFrame = {
+    val d = aggregate(
+      zip_with($"e", $"cent", (a, c) => abs(a - c)),
+      lit(0L), (acc, x) => acc + x)
+    embS.crossJoin(broadcast(cents.select($"cent_id", $"cent")))
+      .select($"vec_id", $"e", $"cent_id", d.as("d"))
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"cent_id", $"e"), struct($"d", $"cent_id")).as("m"))
+      .select($"m.cent_id".as("cent_id"), posexplode($"m.e").as(Seq("i", "v")))
+      .groupBy($"cent_id", $"i")
+      .agg(
+        floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("s"),
+        count(lit(1)).as("n"))
+      .groupBy($"cent_id")
+      .agg(
+        transform(array_sort(collect_list(struct($"i", $"s"))), x => x("s"))
+          .as("cent"),
+        first($"n").as("n_members"))
+  }
+
+  /** IVF centroid TRAINING — the pipeline that produces the centroid
+    * artifact [[ivfAssignments]]/[[ivfSearch]] consume: deterministic
+    * k-means (init = the k lowest vec_ids, exact integer math
+    * throughout, [[lloydStep]]) iterated to a FIXPOINT. Each round's
+    * centroid table is `localCheckpoint`ed (the q108 PageRank
+    * discipline — k·dim rows, so the checkpoint is trivially small and
+    * the lineage never grows), and convergence is an exact centroid
+    * comparison (bounded driver collect of k rows per round — the
+    * centroid table is broadcast-sized by construction). A loop that
+    * has not converged by `maxIter` REFUSES loudly (the q51/q108
+    * converge-or-throw family) unless `bestEffort = true` returns the
+    * last iterate. Output: (cent_id, cent: array<float>), descaled to
+    * the embedding space. */
+  def trainIvfCentroids(
+      emb: DataFrame, k: Int, maxIter: Int = 25,
+      bestEffort: Boolean = false): DataFrame = {
+    // consumed every round: checkpoint once, scan k·N·dim per iteration
+    val embS = scaledRows(emb).localCheckpoint()
+    var cents = embS.orderBy($"vec_id").limit(k)
+      .select($"vec_id".as("cent_id"), $"e".as("cent"))
+      .localCheckpoint()
+    var prev = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      cents = lloydStep(embS, cents).localCheckpoint()
+      val cur = cents.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      converged = cur == prev
+      prev = cur
+      it += 1
+    }
+    if (!converged && !bestEffort)
+      throw new IllegalStateException(
+        s"trainIvfCentroids: no fixpoint after $maxIter Lloyd iterations " +
+          "(assignment may be 2-cycling); raise maxIter or pass " +
+          "bestEffort=true to keep the last iterate")
+    cents.select($"cent_id",
+      transform($"cent", x => (x.cast("double") / 1e6).cast("float")).as("cent"))
+  }
+
+  /** The centroid-training pipeline through the oracle gate: exactly
+    * TWO Lloyd steps from the deterministic seed (first 8 vectors), so
+    * the DuckDB twin can replay the loop as two chained CTE blocks —
+    * per surviving centroid, the member count of the second assignment
+    * and the integer checksum of the updated centroid. Fixpoint
+    * training itself is [[trainIvfCentroids]] (AnnSpec laws: retrain
+    * identity, nprobe=k ≡ brute force, recall@10 floor). */
+  def q125IvfTrain(s: SparkSession, dir: String): DataFrame = {
+    val embS = scaledRows(load(s, dir, "embeddings"))
+    val c0 = embS.filter($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"e".as("cent"))
+    val c1 = lloydStep(embS, c0).select($"cent_id", $"cent")
+    lloydStep(embS, c1)
+      .select(
+        $"cent_id".cast("long").as("cent_id"),
+        $"n_members",
+        aggregate($"cent", lit(0L), (a, x) => a + x).as("cent_sum_scaled"))
+  }
+
   /** One deterministic Lloyd iteration — the k-means step of
     * embedding-space data mixing / diversity clustering: coarse
     * centroids = the first 8 vectors, L1-argmin assignment (broadcast
@@ -348,6 +447,38 @@ object VectorOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // two chained Lloyd steps, element-row space; the floor-of-double-
+    // ratio centroid update and the (dist, cent_id) argmin tie-break
+    // mirror lloydStep exactly
+    "q125_ivf_train" ->
+      """WITH u AS (SELECT vec_id,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1e6+0.5) AS BIGINT) AS v,
+        |  generate_subscripts(embedding,1) AS i FROM embeddings),
+        |c0 AS (SELECT vec_id AS cent_id, i, v FROM u WHERE vec_id < 8),
+        |d1 AS (SELECT a.vec_id, c.cent_id, sum(abs(a.v - c.v)) AS dist
+        |  FROM u a JOIN c0 c ON a.i = c.i GROUP BY 1,2),
+        |a1 AS (SELECT vec_id, cent_id FROM (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a.cent_id, u.i,
+        |    CAST(floor(sum(u.v) * 1.0 / count(*)) AS BIGINT) AS v
+        |  FROM a1 a JOIN u ON u.vec_id = a.vec_id GROUP BY 1,2),
+        |d2 AS (SELECT a.vec_id, c.cent_id, sum(abs(a.v - c.v)) AS dist
+        |  FROM u a JOIN c1 c ON a.i = c.i GROUP BY 1,2),
+        |a2 AS (SELECT vec_id, cent_id FROM (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+        |  FROM d2) WHERE rn = 1),
+        |c2 AS (SELECT a.cent_id, u.i,
+        |    CAST(floor(sum(u.v) * 1.0 / count(*)) AS BIGINT) AS v
+        |  FROM a2 a JOIN u ON u.vec_id = a.vec_id GROUP BY 1,2),
+        |n2 AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM a2 GROUP BY 1)
+        |SELECT CAST(c.cent_id AS BIGINT) AS cent_id, n2.n_members,
+        |  CAST(sum(c.v) AS BIGINT) AS cent_sum_scaled
+        |FROM c2 c JOIN n2 ON n2.cent_id = c.cent_id
+        |GROUP BY 1, n2.n_members""".stripMargin,
     "q74_semantic_decon" ->
       """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
         |  generate_subscripts(embedding,1) AS i FROM embeddings),

@@ -85,6 +85,54 @@ class AnnSpec extends AnyFunSuite {
     assert(one.contains(7L)) // self lives in the probed bucket
   }
 
+  test("trainIvfCentroids: fixpoint, retrain identity, search laws, recall floor") {
+    val emb = load(spark, dir, "embeddings")
+    // converges on the testdata without bestEffort (else this throws)
+    val cents = VectorOps.trainIvfCentroids(emb, k = 8)
+    val got = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got.nonEmpty && got.size <= 8)
+    assert(got.values.forall(_.length == 64))
+    // deterministic: retraining reproduces the artifact exactly
+    val again = VectorOps.trainIvfCentroids(emb, k = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(again == got)
+    // the trained artifact plugs into the IVF stack: nprobe = all
+    // buckets ≡ brute force (the ivfSearch law, now on trained cents)
+    val assigned = VectorOps.ivfAssignments(emb, cents)
+    val probe = emb.filter($"vec_id" === 7).select($"embedding")
+      .collect()(0).getSeq[Float](0)
+    val brute = emb
+      .select($"vec_id",
+        floor(VectorOps.cosine($"embedding", typedlit(probe)) * 1e6 + 0.5)
+          .cast("long").as("cos_scaled"))
+      .orderBy($"cos_scaled".desc, $"vec_id").limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val all = VectorOps.ivfSearch(
+        emb, assigned, cents, probe, nprobe = got.size, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(all == brute)
+    // recall@10 floor at nprobe=2: the pruned search must keep at least
+    // half of the exact top-10 (deterministic corpus + deterministic
+    // training ⇒ a stable measurement, pinned conservatively)
+    val pruned = VectorOps.ivfSearch(
+        emb, assigned, cents, probe, nprobe = 2, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.map(_._1).count(pruned.contains)
+    assert(recall >= 5, s"recall@10 at nprobe=2 fell to $recall/10")
+  }
+
+  test("trainIvfCentroids refuses loudly when the iteration cap is hit") {
+    val emb = load(spark, dir, "embeddings")
+    val ex = intercept[IllegalStateException] {
+      VectorOps.trainIvfCentroids(emb, k = 8, maxIter = 1)
+    }
+    assert(ex.getMessage.contains("no fixpoint"), ex.getMessage)
+    // bestEffort returns the capped iterate instead
+    assert(VectorOps.trainIvfCentroids(emb, k = 8, maxIter = 1,
+      bestEffort = true).count() > 0)
+  }
+
   test("LSH signature buckets: identical vectors share a signature") {
     val emb = load(spark, dir, "embeddings")
     val sig = emb.withColumn("sig", VectorOps.signatureCol($"embedding", 64, 12))
