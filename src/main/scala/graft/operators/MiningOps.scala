@@ -63,6 +63,40 @@ object MiningOps {
       .withColumn("keep_ppm", expr("(n_selected * 1000000) div n_windows"))
   }
 
+  /** [[graft.operators.TextOps.q69SubstringDup]]'s output contract over
+    * the WINNOWING index instead of the full window index — the
+    * profile a dedup pipeline runs when it already maintains winnowed
+    * fingerprints (SCALE.md: the selected set is ~2/(w+1) of the
+    * shingle mass, so the index shuffle shrinks ~60-70% at w=4):
+    * same four columns, computed over selected fingerprints. By the
+    * winnowing guarantee any verbatim run of ≥ w+k−1 tokens (k=3
+    * shingles) shares a selected fingerprint in BOTH documents, so
+    * `n_shared_windows ≥ 1` whenever q69 would flag a run that long —
+    * shorter overlaps may drop out (that is the storage trade; the law
+    * is pinned in MiningSpec). Plan: one explode + one doc-local window
+    * + one fingerprint groupBy — the q91 scan shape, never doc-pairs;
+    * fingerprints shuffle as 8-byte xxhash64 keys (the
+    * substringDupProfileHashed wire discipline). */
+  def substringDupProfileWinnowed(docs: DataFrame, w: Int = 4): DataFrame = {
+    val byDoc = Window.partitionBy($"doc_id")
+    val frame = byDoc.orderBy($"pos").rowsBetween(Window.currentRow, w - 1)
+    val idx = docs
+      .select($"doc_id", explode(posShingles($"text")).as("g"))
+      .select($"doc_id", $"g.pos".as("pos"), xxhash64($"g.sh").as("h"))
+      .withColumn("fp", min($"h").over(frame))
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
+      .filter($"pos" <= $"n_sh" - w)
+      .select($"doc_id", $"fp").distinct() // the winnowed index
+    val byF = idx.groupBy($"fp").agg(count(lit(1)).as("nd"))
+    byF.groupBy().agg(
+        count(lit(1)).as("n_windows"),
+        count(when($"nd" >= 2, lit(1))).as("n_shared_windows"),
+        coalesce(sum(when($"nd" >= 2, $"nd")), lit(0L)).cast("long")
+          .as("n_shared_occurrences"))
+      .select($"n_windows", $"n_shared_windows", $"n_shared_occurrences",
+        expr("(n_shared_windows * 1000000) div n_windows").as("dup_ppm"))
+  }
+
   // ---------------------------------------------------------------- q92
 
   /** Conversion funnel: per user, the first view, the first click

@@ -74,6 +74,40 @@ class MiningOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowed substring-dup profile: q69 contract, run-length law, index cut") {
+    // winnowing guarantee: a verbatim run of w+k-1 = 6 tokens IS flagged
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val dup = Seq(
+      (0L, s"one two $shared three four five six seven"),
+      (1L, s"nine ten eleven twelve $shared thirteen fourteen"))
+      .toDF("doc_id", "text")
+    val flagged = MiningOps.substringDupProfileWinnowed(dup).head()
+    assert(flagged.getAs[Long]("n_shared_windows") >= 1L,
+      s"6-token shared run must survive winnowing: $flagged")
+    assert(flagged.getAs[Long]("n_shared_occurrences") >=
+      2 * flagged.getAs[Long]("n_shared_windows"))
+    // disjoint docs profile to zero shared mass
+    val clean = Seq(
+      (0L, "one two three four five six seven eight nine ten"),
+      (1L, "eleven twelve thirteen fourteen fifteen sixteen seventeen"))
+      .toDF("doc_id", "text")
+    val none = MiningOps.substringDupProfileWinnowed(clean).head()
+    assert(none.getAs[Long]("n_shared_windows") == 0L)
+    assert(none.getAs[Long]("dup_ppm") == 0L)
+    // same output contract as q69 (drop-in swap for profile consumers)
+    val q69cols = TextOps.q69SubstringDup(spark, dir).columns.toSeq
+    assert(MiningOps.substringDupProfileWinnowed(
+      load(spark, dir, "documents")).columns.toSeq == q69cols)
+    // the storage trade is real: the winnowed index carries well under
+    // half of the full 8-token window mass on the real corpus
+    val docs = load(spark, dir, "documents")
+    val fullWindows = docs
+      .select(explode(TextOps.tokenWindows($"text", 8)).as("g")).count()
+    val winnowed = MiningOps.substringDupProfileWinnowed(docs).head()
+    assert(winnowed.getAs[Long]("n_windows") < fullWindows / 2,
+      s"winnowed index ${winnowed.getAs[Long]("n_windows")} vs full $fullWindows")
+  }
+
   // ---------------------------------------------------------------- q92
 
   test("q92: funnel stages are strictly ordered and monotonically null") {
