@@ -73,7 +73,9 @@ class FitsDataSource extends TableProvider {
           Option(opts.get("zoomCnt")).map(_.toInt).getOrElse(Ingest.ImgZoomCnt),
           SdssFits.readCcdTsv(s"$conf/ccd_gain.tsv"),
           SdssFits.readCcdTsv(s"$conf/ccd_dark_variance.tsv"),
-          Option(opts.get("listParallelism")).map(_.toInt).getOrElse(0))
+          Option(opts.get("listParallelism")).map(_.toInt).getOrElse(0),
+          // layout assertion: top-level dirs under path are run numbers
+          Option(opts.get("runDirLayout")).exists(_.toBoolean))
       case "spectra" =>
         new FitsTable(path,
           Option(opts.get("pathGlobFilter")).getOrElse("*.fits"),
@@ -212,6 +214,49 @@ class FitsScan(
 
 case class FitsInputPartition(file: String) extends InputPartition
 
+/** Equality pushdown → LISTING-time pruning for SDSS frame scans: a
+  * canonical `frame-<band>-<run6>-<camcol>-<field4>` filename fully
+  * determines those four columns, so a file whose name contradicts an
+  * equality filter can never yield matching rows and is skipped before
+  * any byte is read — the partition count shrinks at plan time (the
+  * binaryFile manifest-join discipline, now on the DSv2 path).
+  * Non-canonical names are ALWAYS kept (their metadata comes from the
+  * FITS header and the residual filter re-checks every row), so the
+  * pruning is sound, never semantic.
+  *
+  * `runDirs = true` (the `.option("runDirLayout", "true")` contract:
+  * top-level directories under the load path are bare run numbers —
+  * the standard SDSS frames layout) additionally skips whole sibling
+  * run SUBTREES on a run equality: a 1.5 M-file scan for one run walks
+  * one directory, not thousands. Off by default because it is a layout
+  * assertion the source cannot verify. */
+case class FramePrune(
+    band: Option[String], run: Option[Int], camcol: Option[Int],
+    field: Option[Int], runDirs: Boolean) extends Serializable {
+  def isEmpty: Boolean =
+    band.isEmpty && run.isEmpty && camcol.isEmpty && field.isEmpty
+  @transient private lazy val Re =
+    raw"frame-([A-Za-z0-9]+)-(\d+)-(\d+)-(\d+)\.".r
+  def keepFile(name: String): Boolean =
+    isEmpty || (Re.findFirstMatchIn(name) match {
+      case Some(m) =>
+        band.forall(_ == m.group(1)) &&
+          run.forall(_ == m.group(2).toInt) &&
+          camcol.forall(_ == m.group(3).toInt) &&
+          field.forall(_ == m.group(4).toInt)
+      case None => true // header-described file — residual filter decides
+    })
+  /** Top-level subtree pruning — only under the declared run-dir
+    * layout, and only for directory names that parse as integers. */
+  def keepTopDir(name: String): Boolean =
+    !runDirs || run.isEmpty ||
+      scala.util.Try(name.trim.toInt).toOption.forall(_ == run.get)
+}
+
+object FramePrune {
+  val none: FramePrune = FramePrune(None, None, None, None, runDirs = false)
+}
+
 /** File discovery → one partition per matching file. Driver-side
   * recursive walk by default; `listParallelism = N` fans the recursive
   * walk of each top-level subdirectory out across the cluster (one
@@ -228,30 +273,50 @@ object FitsFiles {
     name => m.matches(java.nio.file.Paths.get(name))
   }
 
-  def list(path: String, glob: String, conf: Configuration): Array[InputPartition] = {
+  def list(
+      path: String, glob: String, conf: Configuration,
+      prune: FramePrune = FramePrune.none): Array[InputPartition] = {
     val fs = new Path(path).getFileSystem(conf)
     val matches = globMatcher(glob)
-    val it = fs.listFiles(new Path(path), /* recursive = */ true)
     val out = Array.newBuilder[InputPartition]
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && matches(st.getPath.getName))
-        out += FitsInputPartition(st.getPath.toString)
+    def walk(p: Path): Unit = {
+      val it = fs.listFiles(p, /* recursive = */ true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && matches(name) && prune.keepFile(name))
+          out += FitsInputPartition(st.getPath.toString)
+      }
     }
+    if (prune.runDirs && prune.run.isDefined) {
+      // run-dir layout declared: skip sibling run subtrees entirely
+      fs.listStatus(new Path(path)).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isFile) {
+          if (matches(name) && prune.keepFile(name))
+            out += FitsInputPartition(st.getPath.toString)
+        } else if (prune.keepTopDir(name)) walk(st.getPath)
+      }
+    } else walk(new Path(path))
     out.result()
   }
 
   def listDistributed(
       path: String, glob: String,
-      hconf: SerializableHadoopConf, parallelism: Int): Array[InputPartition] = {
+      hconf: SerializableHadoopConf, parallelism: Int,
+      prune: FramePrune = FramePrune.none): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val fs = new Path(path).getFileSystem(hconf.value)
     // one driver round-trip for the top level; subtrees walk on executors
     val top = fs.listStatus(new Path(path))
     val rootMatches = globMatcher(glob)
-    val rootFiles = top.filter(st => st.isFile && rootMatches(st.getPath.getName))
+    val rootFiles = top
+      .filter(st => st.isFile && rootMatches(st.getPath.getName) &&
+        prune.keepFile(st.getPath.getName))
       .map(_.getPath.toString)
-    val dirs = top.filter(_.isDirectory).map(_.getPath.toString).toSeq
+    val dirs = top.filter(st =>
+        st.isDirectory && prune.keepTopDir(st.getPath.getName))
+      .map(_.getPath.toString).toSeq
     val subFiles: Array[String] =
       if (dirs.isEmpty) Array.empty
       else spark.sparkContext
@@ -264,7 +329,8 @@ object FitsFiles {
             val out = Array.newBuilder[String]
             while (it.hasNext) {
               val st = it.next()
-              if (st.isFile && matches(st.getPath.getName))
+              val name = st.getPath.getName
+              if (st.isFile && matches(name) && prune.keepFile(name))
                 out += st.getPath.toString
             }
             out.result()
@@ -375,26 +441,28 @@ class ImageFitsTable(
     path: String, glob: String, zoomCnt: Int,
     gains: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
     darkVars: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
-    listPar: Int)
+    listPar: Int, runDirs: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft.fits.images(`$path`)"
   override def schema(): StructType = FitsDataSource.ImageSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ImageFitsScanBuilder(path, glob, zoomCnt, gains, darkVars, listPar)
+    new ImageFitsScanBuilder(path, glob, zoomCnt, gains, darkVars, listPar,
+      runDirs)
 }
 
 class ImageFitsScanBuilder(
     path: String, glob: String, zoomCnt: Int,
     gains: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
     darkVars: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
-    listPar: Int)
+    listPar: Int, runDirs: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = FitsDataSource.ImageSchema
   private var zoomEq: Option[Int] = None
+  private var prune: FramePrune = FramePrune.none.copy(runDirs = runDirs)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -404,13 +472,23 @@ class ImageFitsScanBuilder(
       case EqualTo("zoom", v: Int) => v
       case EqualTo("zoom", v: Integer) => v.intValue
     }
+    // run/camcol/field/band equalities prune the LISTING (the canonical
+    // frame filename determines them); everything stays residual, so
+    // the pruning is an optimization, never a semantic change
+    def intEq(col: String): Option[Int] = filters.collectFirst {
+      case EqualTo(`col`, v: Int) => v
+      case EqualTo(`col`, v: Integer) => v.intValue
+    }
+    val bandEq = filters.collectFirst { case EqualTo("band", v: String) => v }
+    prune = FramePrune(bandEq, intEq("run"), intEq("camcol"), intEq("field"),
+      runDirs)
     filters
   }
   override def pushedFilters(): Array[Filter] = Array.empty
 
   override def build(): Scan =
     new ImageFitsScan(path, glob, zoomCnt, gains, darkVars, required, zoomEq,
-      SerializableHadoopConf.fromSession(), listPar)
+      SerializableHadoopConf.fromSession(), listPar, prune)
 }
 
 class ImageFitsScan(
@@ -418,16 +496,19 @@ class ImageFitsScan(
     gains: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
     darkVars: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
     required: StructType, zoomEq: Option[Int],
-    hconf: SerializableHadoopConf, listPar: Int) extends Scan with Batch {
+    hconf: SerializableHadoopConf, listPar: Int,
+    prune: FramePrune = FramePrune.none) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft.fits.images $path glob=$glob zoomCnt=$zoomCnt cols=${required.fieldNames.mkString(",")}"
+    s"graft.fits.images $path glob=$glob zoomCnt=$zoomCnt " +
+      s"cols=${required.fieldNames.mkString(",")}" +
+      (if (prune.isEmpty) "" else s" prune=$prune")
 
   override def planInputPartitions(): Array[InputPartition] =
-    if (listPar > 0) FitsFiles.listDistributed(path, glob, hconf, listPar)
-    else FitsFiles.list(path, glob, hconf.value)
+    if (listPar > 0) FitsFiles.listDistributed(path, glob, hconf, listPar, prune)
+    else FitsFiles.list(path, glob, hconf.value, prune)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ImageFitsReaderFactory(zoomCnt, gains, darkVars, required, zoomEq, hconf)

@@ -112,6 +112,72 @@ class FitsDataSourceSpec extends AnyFunSuite {
     assert(df.count() == 10)
   }
 
+  test("run/camcol/field/band equalities prune the frame listing to fewer partitions") {
+    import spark.implicits._
+    val cfg = "/root/reference/config"
+    def read() = spark.read.format(Fmt)
+      .option("kind", "images").option("ccdConfig", cfg).load(imgDir)
+    // imgDir: frame-r-005200-3-0001 + frame-g-005201-3-0001
+    val all = read()
+    assert(all.rdd.getNumPartitions == 2)
+    val one = read().filter($"run" === 5200)
+    // the filter reaches the LISTING: one input partition, not a
+    // post-scan row filter over both files
+    assert(one.rdd.getNumPartitions == 1,
+      s"expected 1 pruned partition, got ${one.rdd.getNumPartitions}")
+    assert(one.select("band").distinct().as[String].collect().toSeq == Seq("r"))
+    assert(one.count() == 5) // 1 frame × 5 zooms — rows unchanged
+    val byBand = read().filter($"band" === "g")
+    assert(byBand.rdd.getNumPartitions == 1)
+    assert(byBand.select("run").distinct().as[Int].collect().toSeq == Seq(5201))
+    // SOUNDNESS: a frame with a NON-canonical name is never pruned away —
+    // its run comes from the header and the residual filter keeps it
+    val d2 = Files.createTempDirectory("graft-dsv2-prune")
+    graft.pipeline.FitsFixtures.writeFrame(
+      d2.resolve("frame-r-005200-3-0001.fits").toString, "r", 5200, 3, 1,
+      512, 372, 40.0, -10.0)
+    graft.pipeline.FitsFixtures.writeFrame(
+      d2.resolve("oddly-named.fits").toString, "r", 5200, 4, 2,
+      512, 372, 41.0, -10.0)
+    val sound = spark.read.format(Fmt)
+      .option("kind", "images").option("ccdConfig", cfg).load(d2.toString)
+      .filter($"run" === 5200)
+    assert(sound.rdd.getNumPartitions == 2) // the odd name is kept
+    assert(sound.select("camcol").distinct().as[Int].collect().sorted.toSeq
+      == Seq(3, 4))
+  }
+
+  test("runDirLayout skips sibling run subtrees at listing time") {
+    import spark.implicits._
+    val cfg = "/root/reference/config"
+    val root = Files.createTempDirectory("graft-dsv2-rundirs")
+    for (run <- Seq(5300, 5301, 5302)) {
+      val rd = root.resolve(run.toString).resolve("3")
+      Files.createDirectories(rd)
+      graft.pipeline.FitsFixtures.writeFrame(
+        rd.resolve(f"frame-r-$run%06d-3-0001.fits").toString, "r", run, 3, 1,
+        512, 372, 40.0, -10.0)
+    }
+    def read(runDirs: Boolean) = {
+      val r = spark.read.format(Fmt)
+        .option("kind", "images").option("ccdConfig", cfg)
+      (if (runDirs) r.option("runDirLayout", "true") else r)
+        .load(root.toString)
+    }
+    assert(read(runDirs = false).rdd.getNumPartitions == 3)
+    val pruned = read(runDirs = true).filter($"run" === 5301)
+    assert(pruned.rdd.getNumPartitions == 1)
+    assert(pruned.count() == 5)
+    assert(pruned.select("field").distinct().as[Int].collect().toSeq == Seq(1))
+    // distributed listing honors the same subtree pruning
+    val dist = spark.read.format(Fmt)
+      .option("kind", "images").option("ccdConfig", cfg)
+      .option("runDirLayout", "true").option("listParallelism", "2")
+      .load(root.toString).filter($"run" === 5301)
+    assert(dist.rdd.getNumPartitions == 1)
+    assert(dist.count() == 5)
+  }
+
   test("distributed listing finds the same files as the driver walk") {
     import spark.implicits._
     // nested run-directory layout: root files + two subtrees, one of
