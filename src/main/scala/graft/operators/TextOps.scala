@@ -886,10 +886,11 @@ object TextOps {
     // (nearDupDedupBatch materializes the store as a side effect); the
     // returned frame only aggregates the checkpointed survivor set, so
     // the scratch store is deleted before returning.
+    // the survivor frame's lineage stops at the checkpointed assignment
+    // (nearDupDedupBatch), so it never re-reads the deleted scratch store
     val tmp = java.nio.file.Files.createTempDirectory("graft-q123")
     try graft.streaming.DocumentStream
       .nearDupDedupBatch(load(s, dir, "documents"), s"$tmp/sigs", 0.8)
-      .localCheckpoint()
       .groupBy($"source").agg(count(lit(1)).as("n_survivors"))
     finally deleteRecursively(tmp)
   }
@@ -916,12 +917,12 @@ object TextOps {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q124")
     try {
       val store = s"$tmp/sigs"
+      // survivor lineage stops at each batch's checkpointed assignment —
+      // no checkpoint needed here, the deleted store is never re-read
       val s0 = DocumentStream.nearDupDedupBatch(
         docs.filter($"doc_id" % 2 === 0), store, 0.8, Some("batch_0"))
-        .localCheckpoint()
       val s1 = DocumentStream.nearDupDedupBatch(
         docs.filter($"doc_id" % 2 === 1), store, 0.8, Some("batch_1"))
-        .localCheckpoint()
       s0.unionByName(s1)
         .groupBy($"source").agg(count(lit(1)).as("n_survivors"))
     } finally deleteRecursively(tmp)

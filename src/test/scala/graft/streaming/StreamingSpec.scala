@@ -122,9 +122,14 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
     val pruned = DocumentStream.prunedStoreBands(spark, store, buckets).get
     val plan = pruned.queryExecution.executedPlan.toString
+    // band is a partition DIRECTORY → partition filter; pbucket is the
+    // SORTED in-file bucket column → pushed, min/max-prunable filter
     assert(plan.contains("PartitionFilters: ["), plan)
-    assert(plan.contains("band") && plan.contains("pbucket"), plan)
     assert(!plan.contains("PartitionFilters: []"), plan)
+    val partFilters = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).get
+    assert(partFilters.contains("band"), plan)
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(pushed.contains("pbucket"), plan)
     // the near-twin probe lands in the cluster's buckets: all 6 stored
     // band rows live there, and nothing else was stored
     assert(pruned.select($"doc_id").distinct().count() == 6)
