@@ -881,6 +881,19 @@ object TextOps {
     * semantics are exactly the one-shot dedup, so the SQL is the q51
     * clustering with non-min members removed. Cross-batch behavior
     * (transitive reps, idempotent replays) stays StreamingSpec-gated. */
+  /** Drop-accounting read-back for the streaming-dedup GATES: the gate
+    * queries run the probe in lossy ACCOUNTING mode (the q64
+    * discipline — strict refusal stays the library default, but a gate
+    * that refuses at a bigger SF stops gating anything) and pin the
+    * capped-pair count to ZERO through the oracle, so a capped true
+    * pair fails the cross-engine hash loudly instead of silently
+    * under-merging. The sidecar is one row per batch; collected
+    * eagerly because the scratch store is deleted before the query
+    * frame executes. */
+  private def dropsTotal(s: SparkSession, sigStore: String): Long =
+    s.read.parquet(s"$sigStore/drops")
+      .agg(sum($"n_capped_pairs")).head().getLong(0)
+
   def q123StreamDedupCore(s: SparkSession, dir: String): DataFrame = {
     // NOTE: building this query EAGERLY runs the sign/probe/cluster jobs
     // (nearDupDedupBatch materializes the store as a side effect); the
@@ -889,10 +902,13 @@ object TextOps {
     // the survivor frame's lineage stops at the checkpointed assignment
     // (nearDupDedupBatch), so it never re-reads the deleted scratch store
     val tmp = java.nio.file.Files.createTempDirectory("graft-q123")
-    try graft.streaming.DocumentStream
-      .nearDupDedupBatch(load(s, dir, "documents"), s"$tmp/sigs", 0.8)
-      .groupBy($"source").agg(count(lit(1)).as("n_survivors"))
-    finally deleteRecursively(tmp)
+    try {
+      val survivors = graft.streaming.DocumentStream.nearDupDedupBatch(
+        load(s, dir, "documents"), s"$tmp/sigs", 0.8, allowLossy = true)
+      val drops = dropsTotal(s, s"$tmp/sigs")
+      survivors.groupBy($"source").agg(count(lit(1)).as("n_survivors"))
+        .withColumn("n_capped_pairs", lit(drops))
+    } finally deleteRecursively(tmp)
   }
 
   /** MULTI-batch streaming dedup through the oracle gate: the corpus
@@ -920,11 +936,15 @@ object TextOps {
       // survivor lineage stops at each batch's checkpointed assignment —
       // no checkpoint needed here, the deleted store is never re-read
       val s0 = DocumentStream.nearDupDedupBatch(
-        docs.filter($"doc_id" % 2 === 0), store, 0.8, Some("batch_0"))
+        docs.filter($"doc_id" % 2 === 0), store, 0.8, Some("batch_0"),
+        allowLossy = true)
       val s1 = DocumentStream.nearDupDedupBatch(
-        docs.filter($"doc_id" % 2 === 1), store, 0.8, Some("batch_1"))
+        docs.filter($"doc_id" % 2 === 1), store, 0.8, Some("batch_1"),
+        allowLossy = true)
+      val drops = dropsTotal(s, store) // accounting over BOTH batches
       s0.unionByName(s1)
         .groupBy($"source").agg(count(lit(1)).as("n_survivors"))
+        .withColumn("n_capped_pairs", lit(drops))
     } finally deleteRecursively(tmp)
   }
 
@@ -1628,7 +1648,8 @@ object TextOps {
         |    UNION
         |    SELECT e.dst, r.lbl FROM r JOIN edges e ON r.id = e.src)
         |  SELECT id, min(lbl) AS label FROM r GROUP BY 1)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_survivors
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_survivors,
+        |CAST(0 AS BIGINT) AS n_capped_pairs
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE id != label)
         |GROUP BY 1""".stripMargin,
@@ -1677,7 +1698,8 @@ object TextOps {
         |drop1 AS (SELECT id FROM cc1 WHERE id != label),
         |drop2 AS (SELECT m.id FROM m2 m JOIN fr ON fr.label = m.label
         |  WHERE m.id % 2 = 1 AND m.id != fr.final_rep)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_survivors
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_survivors,
+        |CAST(0 AS BIGINT) AS n_capped_pairs
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM drop1)
         |  AND d.doc_id NOT IN (SELECT id FROM drop2)
