@@ -184,6 +184,9 @@ object SparkEntry {
     // IVF centroid training: two deterministic Lloyd steps gated;
     // fixpoint loop + recall laws in AnnSpec (trainIvfCentroids)
     "q125_ivf_train" -> ((s, d) => VectorOps.q125IvfTrain(s, d)),
+    // product quantization: per-subspace Lloyd step + encode against
+    // the updated codebooks; ADC search laws in AnnSpec
+    "q126_pq_encode" -> ((s, d) => VectorOps.q126PqEncode(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -238,32 +238,53 @@ object VectorOps {
       transform($"embedding",
         v => floor(v.cast("double") * 1e6 + 0.5).cast("long")).as("e"))
 
-  /** One full Lloyd step over scaled rows: broadcast-assign each vector
-    * to its L1-argmin centroid (deterministic (d, cent_id) tie-break),
-    * then new centroid c_i = ⌊Σv_i / n⌋ per cluster — a single shuffle
-    * keyed by vec_id (the vector payload rides the map-side-combined
-    * `min_by`, so members are never re-joined), then one tiny
-    * (k·dim)-row aggregation. Clusters that lose all members drop
-    * (classic empty-cluster policy — k shrinks rather than carrying a
-    * stale centroid). Returns (cent_id, cent, n_members). */
-  private def lloydStep(embS: DataFrame, cents: DataFrame): DataFrame = {
+  /** One full Lloyd step over GROUPED scaled rows — the shared kernel
+    * of whole-vector k-means ([[lloydStep]], `sub` constant 0) and
+    * per-subspace product-quantization training ([[pqTrainCodebooks]],
+    * `sub` = subspace index, all subspaces advancing in the SAME two
+    * shuffles): broadcast-assign each (sub, vector) to its L1-argmin
+    * centroid (deterministic (d, cent_id) tie-break), then new centroid
+    * c_i = ⌊Σv_i / n⌋ per cluster — one shuffle keyed by (sub, vec_id)
+    * (the vector payload rides the map-side-combined `min_by`, so
+    * members are never re-joined), then one tiny (groups·k·dim)-row
+    * aggregation. Clusters that lose all members drop (classic
+    * empty-cluster policy). Returns (sub, cent_id, cent, n_members). */
+  private def lloydStepKeyed(rows: DataFrame, cents: DataFrame): DataFrame = {
     val d = aggregate(
-      zip_with($"e", $"cent", (a, c) => abs(a - c)),
+      zip_with($"es", $"cent", (a, c) => abs(a - c)),
       lit(0L), (acc, x) => acc + x)
-    embS.crossJoin(broadcast(cents.select($"cent_id", $"cent")))
-      .select($"vec_id", $"e", $"cent_id", d.as("d"))
-      .groupBy($"vec_id")
-      .agg(min_by(struct($"cent_id", $"e"), struct($"d", $"cent_id")).as("m"))
-      .select($"m.cent_id".as("cent_id"), posexplode($"m.e").as(Seq("i", "v")))
-      .groupBy($"cent_id", $"i")
+    rows.join(broadcast(cents.select($"sub", $"cent_id", $"cent")), "sub")
+      .select($"sub", $"vec_id", $"es", $"cent_id", d.as("d"))
+      .groupBy($"sub", $"vec_id")
+      .agg(min_by(struct($"cent_id", $"es"), struct($"d", $"cent_id")).as("m"))
+      .select($"sub", $"m.cent_id".as("cent_id"),
+        posexplode($"m.es").as(Seq("i", "v")))
+      .groupBy($"sub", $"cent_id", $"i")
       .agg(
         floor(sum($"v").cast("double") / count(lit(1))).cast("long").as("s"),
         count(lit(1)).as("n"))
-      .groupBy($"cent_id")
+      .groupBy($"sub", $"cent_id")
       .agg(
         transform(array_sort(collect_list(struct($"i", $"s"))), x => x("s"))
           .as("cent"),
         first($"n").as("n_members"))
+  }
+
+  private def lloydStep(embS: DataFrame, cents: DataFrame): DataFrame =
+    lloydStepKeyed(
+      embS.select($"vec_id", lit(0).as("sub"), $"e".as("es")),
+      cents.select(lit(0).as("sub"), $"cent_id", $"cent"))
+      .drop("sub")
+
+  /** Subvector rows for product quantization: (vec_id, sub, es) — the
+    * scaled vector split into `m` contiguous subspaces. */
+  private def subvectorRows(embS: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    embS.select($"vec_id", explode(array((0 until m).map { sub =>
+      struct(lit(sub).as("sub"), slice($"e", sub * dsub + 1, dsub).as("es"))
+    }: _*)).as("x"))
+      .select($"vec_id", $"x.sub".as("sub"), $"x.es".as("es"))
   }
 
   /** IVF centroid TRAINING — the pipeline that produces the centroid
@@ -324,6 +345,128 @@ object VectorOps {
       .select(
         $"cent_id".cast("long").as("cent_id"),
         $"n_members",
+        aggregate($"cent", lit(0L), (a, x) => a + x).as("cent_sum_scaled"))
+  }
+
+  /** Product-quantization codebook TRAINING — the IVF-PQ compression
+    * step of a billion-vector ANN index: the vector space splits into
+    * `m` contiguous subspaces and each learns its own k-code codebook
+    * by deterministic k-means. All `m` subspaces advance together in
+    * the SAME two shuffles per round ([[lloydStepKeyed]] keyed by
+    * subspace — m× fewer passes than training each codebook alone),
+    * with the [[trainIvfCentroids]] loop discipline: integer-exact
+    * math, per-round localCheckpoint, fixpoint detection over a
+    * bounded (m·k)-row collect, converge-or-throw with a `bestEffort`
+    * escape. Returns (sub, code_id, cent) in SCALED space — the
+    * artifact [[pqEncode]]/[[pqSearch]] consume. Memory law: codes
+    * store m·⌈log₂k⌉ bits per vector (m=8, k=256 → 8 B) against
+    * dim·4 B raw — the 32× compression that lets the candidate set of
+    * a 10⁹-vector index live in executor memory. */
+  def pqTrainCodebooks(
+      emb: DataFrame, m: Int, k: Int, dim: Int = 64,
+      maxIter: Int = 200, bestEffort: Boolean = false): DataFrame = {
+    val rows = subvectorRows(scaledRows(emb).localCheckpoint(), m, dim)
+    var cents = rows.filter($"vec_id" < k)
+      .select($"sub", $"vec_id".as("cent_id"), $"es".as("cent"))
+      .localCheckpoint()
+    var prev = cents.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      cents = lloydStepKeyed(rows, cents).localCheckpoint()
+      val cur = cents.collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+      converged = cur == prev
+      prev = cur
+      it += 1
+    }
+    if (!converged && !bestEffort)
+      throw new IllegalStateException(
+        s"pqTrainCodebooks: no fixpoint after $maxIter Lloyd iterations; " +
+          "raise maxIter or pass bestEffort=true to keep the last iterate")
+    cents.select($"sub", $"cent_id".as("code_id"), $"cent")
+  }
+
+  /** PQ encoding: each vector becomes `m` code ids (its L1-argmin
+    * codebook entry per subspace, deterministic tie-break) — one
+    * broadcast join + one shuffle on (sub, vec_id) + one collect per
+    * vector; the persistable (vec_id, codes) artifact is the
+    * compressed corpus. */
+  def pqEncode(
+      emb: DataFrame, codebooks: DataFrame,
+      m: Int, dim: Int = 64): DataFrame = {
+    val rows = subvectorRows(scaledRows(emb), m, dim)
+    val d = aggregate(
+      zip_with($"es", $"cent", (a, c) => abs(a - c)),
+      lit(0L), (acc, x) => acc + x)
+    rows.join(broadcast(codebooks), "sub")
+      .select($"sub", $"vec_id", $"code_id", d.as("d"))
+      .groupBy($"sub", $"vec_id")
+      .agg(min_by($"code_id", struct($"d", $"code_id")).as("code_id"))
+      .groupBy($"vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct($"sub", $"code_id"))), x => x("code_id"))
+        .as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) search over the PQ artifact: the probe
+    * is compared to every CODEBOOK entry once (an (m·k)-row lookup
+    * table, broadcast by construction), then each encoded vector's
+    * distance is the sum of its codes' table entries — the corpus is
+    * touched only through the (vec_id, codes) artifact, never the raw
+    * vectors. Exact integer table; ties broken by vec_id. Returns the
+    * approximate top-k by quantized L1 (`adc_dist`); callers needing
+    * exact ranks re-rank the survivors against the raw vectors, the
+    * [[ivfSearch]] candidate-join shape. */
+  def pqSearch(
+      codes: DataFrame, codebooks: DataFrame, probe: Seq[Float],
+      m: Int, k: Int, dim: Int = 64): DataFrame = {
+    val probeScaled = probe.map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)
+    val dsub = dim / m
+    val lut = codebooks.select($"sub", $"code_id",
+      aggregate(
+        zip_with(
+          $"cent",
+          slice(typedlit(probeScaled), $"sub" * dsub + 1, lit(dsub)),
+          (c, p) => abs(c - p)),
+        lit(0L), (acc, x) => acc + x).as("pd"))
+    codes
+      .select($"vec_id", posexplode($"codes").as(Seq("sub", "code_id")))
+      .join(broadcast(lut), Seq("sub", "code_id"))
+      .groupBy($"vec_id")
+      .agg(sum($"pd").as("adc_dist"))
+      .orderBy($"adc_dist", $"vec_id")
+      .limit(k)
+  }
+
+  /** The PQ pipeline through the oracle gate: one Lloyd step per
+    * subspace from the deterministic seed (m=4 subspaces of 16 dims,
+    * codes seeded from the first 8 vectors), then the corpus encoded
+    * against the UPDATED codebooks — per (sub, code_id), the assigned
+    * count and the integer centroid checksum. Fixpoint training and
+    * the search laws live in AnnSpec. */
+  def q126PqEncode(s: SparkSession, dir: String): DataFrame = {
+    val m = 4
+    val rows = subvectorRows(scaledRows(load(s, dir, "embeddings")), m, 64)
+    val c0 = rows.filter($"vec_id" < 8)
+      .select($"sub", $"vec_id".as("cent_id"), $"es".as("cent"))
+    val c1 = lloydStepKeyed(rows, c0)
+      .select($"sub", $"cent_id", $"cent")
+    val d = aggregate(
+      zip_with($"es", $"cent", (a, c) => abs(a - c)),
+      lit(0L), (acc, x) => acc + x)
+    val assigned = rows.join(broadcast(c1), "sub")
+      .select($"sub", $"vec_id", $"cent_id", d.as("d"))
+      .groupBy($"sub", $"vec_id")
+      .agg(min_by($"cent_id", struct($"d", $"cent_id")).as("cent_id"))
+      .groupBy($"sub", $"cent_id")
+      .agg(count(lit(1)).as("n_assigned"))
+    assigned.join(c1, Seq("sub", "cent_id"))
+      .select(
+        $"sub".cast("long").as("sub"),
+        $"cent_id".cast("long").as("code_id"),
+        $"n_assigned",
         aggregate($"cent", lit(0L), (a, x) => a + x).as("cent_sum_scaled"))
   }
 
@@ -447,6 +590,37 @@ object VectorOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // per-subspace Lloyd step + encode against the updated codebooks;
+    // sub = (i-1)//16 splits the 64-dim rows into m=4 subspaces
+    "q126_pq_encode" ->
+      """WITH u AS (SELECT vec_id,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1e6+0.5) AS BIGINT) AS v,
+        |  generate_subscripts(embedding,1) AS i FROM embeddings),
+        |su AS (SELECT vec_id, CAST((i-1)//16 AS BIGINT) AS sub,
+        |  i - ((i-1)//16)*16 AS j, v FROM u),
+        |c0 AS (SELECT sub, vec_id AS code_id, j, v FROM su WHERE vec_id < 8),
+        |d1 AS (SELECT a.vec_id, a.sub, c.code_id, sum(abs(a.v - c.v)) AS dist
+        |  FROM su a JOIN c0 c ON a.sub = c.sub AND a.j = c.j GROUP BY 1,2,3),
+        |a1 AS (SELECT vec_id, sub, code_id FROM (
+        |  SELECT vec_id, sub, code_id, row_number() OVER (
+        |    PARTITION BY vec_id, sub ORDER BY dist, code_id) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a.sub, a.code_id, s.j,
+        |    CAST(floor(sum(s.v) * 1.0 / count(*)) AS BIGINT) AS v
+        |  FROM a1 a JOIN su s ON s.vec_id = a.vec_id AND s.sub = a.sub
+        |  GROUP BY 1,2,3),
+        |d2 AS (SELECT a.vec_id, a.sub, c.code_id, sum(abs(a.v - c.v)) AS dist
+        |  FROM su a JOIN c1 c ON a.sub = c.sub AND a.j = c.j GROUP BY 1,2,3),
+        |a2 AS (SELECT vec_id, sub, code_id FROM (
+        |  SELECT vec_id, sub, code_id, row_number() OVER (
+        |    PARTITION BY vec_id, sub ORDER BY dist, code_id) AS rn
+        |  FROM d2) WHERE rn = 1),
+        |n2 AS (SELECT sub, code_id, CAST(count(*) AS BIGINT) AS n_assigned
+        |  FROM a2 GROUP BY 1,2)
+        |SELECT n2.sub, CAST(n2.code_id AS BIGINT) AS code_id, n2.n_assigned,
+        |  CAST(sum(c.v) AS BIGINT) AS cent_sum_scaled
+        |FROM n2 JOIN c1 c ON c.sub = n2.sub AND c.code_id = n2.code_id
+        |GROUP BY 1,2,3""".stripMargin,
     // two chained Lloyd steps, element-row space; the floor-of-double-
     // ratio centroid update and the (dist, cent_id) argmin tie-break
     // mirror lloydStep exactly

@@ -122,6 +122,55 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 5, s"recall@10 at nprobe=2 fell to $recall/10")
   }
 
+  test("PQ: codebooks train to a fixpoint, codes well-formed, ADC search laws") {
+    val emb = load(spark, dir, "embeddings")
+    val (m, k) = (4, 8)
+    val books = VectorOps.pqTrainCodebooks(emb, m, k)
+    val bk = books.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    assert(bk.keys.map(_._1).toSet == (0 until m).toSet)
+    assert(bk.values.forall(_.length == 64 / m))
+    // retrain identity (deterministic artifact)
+    val again = VectorOps.pqTrainCodebooks(emb, m, k).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    assert(again == bk)
+    // codes: one per subspace, drawn from that subspace's codebook
+    val codes = VectorOps.pqEncode(emb, books, m)
+    val cd = codes.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(cd.size == emb.count())
+    assert(cd.values.forall(_.length == m))
+    cd.values.foreach(cs => cs.zipWithIndex.foreach { case (c, s) =>
+      assert(bk.contains((s, c)), s"code $c not in subspace $s codebook")
+    })
+    // ADC self-law: searching with vector 7 as the probe, vec 7's ADC
+    // distance equals its own reconstruction error — and for a member
+    // vector that is small enough to rank it into the top-k
+    val probe = emb.filter($"vec_id" === 7).select($"embedding")
+      .collect()(0).getSeq[Float](0)
+    val top = VectorOps.pqSearch(codes, books, probe, m, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.map(_._1).contains(7L),
+      s"probe vector missing from its own ADC top-10: ${top.toSeq}")
+    // planted-contrast law: the synthetic corpus is isotropic (neighbors
+    // are barely closer than strangers, so a recall@k floor over it
+    // measures nothing) — instead plant true near-copies of the probe
+    // and require ADC to rank them above the whole random corpus, which
+    // is what quantized distance must preserve: LARGE contrasts
+    import spark.implicits._
+    val planted = (0 until 3).map { i =>
+      val v = probe.toArray.clone()
+      v(i * 7) = v(i * 7) + 0.02f
+      (1000L + i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(planted)
+    val top5 = VectorOps.pqSearch(
+        VectorOps.pqEncode(corpus, books, m), books, probe, m, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(top5.contains(7L) &&
+      Set(1000L, 1001L, 1002L).subsetOf(top5),
+      s"planted near-copies not ranked above the corpus: $top5")
+  }
+
   test("trainIvfCentroids refuses loudly when the iteration cap is hit") {
     val emb = load(spark, dir, "embeddings")
     val ex = intercept[IllegalStateException] {
