@@ -440,6 +440,28 @@ object VectorOps {
       .limit(k)
   }
 
+  /** IVF-PQ composition — the production billion-vector search shape:
+    * the IVF bucket prune picks the `nprobe` nearest coarse buckets
+    * (centroid table is broadcast-sized), the PQ codes of ONLY those
+    * buckets' vectors are ADC-scored, and the top-k comes back without
+    * the raw corpus ever being scanned. At nprobe = #buckets this
+    * degrades exactly to [[pqSearch]] over the whole artifact
+    * (law-tested in AnnSpec). */
+  def ivfPqSearch(
+      codes: DataFrame, assignments: DataFrame, cents: DataFrame,
+      codebooks: DataFrame, probe: Seq[Float],
+      nprobe: Int, m: Int, k: Int, dim: Int = 64): DataFrame = {
+    val p = typedlit(probe)
+    val nearBuckets = cents
+      .select($"cent_id", l1Distance($"cent", p).as("d"))
+      .orderBy($"d", $"cent_id")
+      .limit(nprobe)
+      .select($"cent_id")
+    val cand = assignments.join(broadcast(nearBuckets), "cent_id")
+      .select($"vec_id")
+    pqSearch(codes.join(cand, "vec_id"), codebooks, probe, m, k, dim)
+  }
+
   /** The PQ pipeline through the oracle gate: one Lloyd step per
     * subspace from the deterministic seed (m=4 subspaces of 16 dims,
     * codes seeded from the first 8 vectors), then the corpus encoded

@@ -261,7 +261,9 @@ object DocumentStream {
   def nearDupDedupedStream(
       spark: SparkSession, srcDir: String, sigStore: String, outDir: String,
       threshold: Double = 0.8,
-      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      maxCandidates: Int = graft.operators.TextOps.MaxCandidatesPerDoc,
+      allowLossy: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     // probe with the SAME options as the stream read — a stray
     // non-parquet file must not break schema inference when the glob
     // would have excluded it from the stream anyway
@@ -274,7 +276,8 @@ object DocumentStream {
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        nearDupDedupBatch(batch, sigStore, threshold, Some(s"batch_$batchId"))
+        nearDupDedupBatch(batch, sigStore, threshold, Some(s"batch_$batchId"),
+            maxCandidates, allowLossy)
           .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))

@@ -169,6 +169,25 @@ class AnnSpec extends AnyFunSuite {
     assert(top5.contains(7L) &&
       Set(1000L, 1001L, 1002L).subsetOf(top5),
       s"planted near-copies not ranked above the corpus: $top5")
+    // IVF-PQ composition: at nprobe = #buckets the bucket prune is a
+    // no-op and the composed search equals plain ADC over the artifact
+    val cents = VectorOps.trainIvfCentroids(emb, k = 8)
+    val nBuckets = cents.count().toInt
+    val assigned = VectorOps.ivfAssignments(emb, cents)
+    val full = VectorOps.pqSearch(codes, books, probe, m, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val composed = VectorOps.ivfPqSearch(
+        codes, assigned, cents, books, probe, nprobe = nBuckets, m, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(composed == full, s"ivfPq(nprobe=all) diverged:\n$composed\n$full")
+    // at nprobe = 1 only the probed bucket's codes are scored
+    val one = VectorOps.ivfPqSearch(
+        codes, assigned, cents, books, probe, nprobe = 1, m, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val probeBucket = assigned.as("a")
+      .join(assigned.filter($"vec_id" === 7).select($"cent_id"), "cent_id")
+      .select($"a.vec_id").collect().map(_.getLong(0)).toSet
+    assert(one.subsetOf(probeBucket) && one.contains(7L))
   }
 
   test("trainIvfCentroids refuses loudly when the iteration cap is hit") {
