@@ -43,17 +43,27 @@ object MiningOps {
     * per source: window count, selected-fingerprint mass (the index
     * size), distinct fingerprints (the dup signal), and the selection
     * ratio in ppm. */
-  def q91Winnowing(s: SparkSession, dir: String, w: Int = 4): DataFrame = {
+  /** The winnowing selection itself, shared by [[q91Winnowing]] and
+    * [[substringDupProfileWinnowed]]: `rows` = (doc_id, pos, h, …any
+    * pass-through columns); every complete w-window contributes the
+    * minimum hash in `fp`. One doc-local window, frames are O(w). */
+  private def winnowSelected(rows: DataFrame, w: Int): DataFrame = {
     val byDoc = Window.partitionBy($"doc_id")
     val frame = byDoc.orderBy($"pos").rowsBetween(Window.currentRow, w - 1)
-    val sel = load(s, dir, "documents")
-      .select($"doc_id", $"source", explode(posShingles($"text")).as("g"))
-      .select($"doc_id", $"source", $"g.pos".as("pos"),
-        substring(md5($"g.sh"), 1, 8).as("h"))
+    rows
       .withColumn("fp", min($"h").over(frame))
       .withColumn("n_sh", count(lit(1)).over(byDoc))
       // a window is complete only while all w hashes exist
       .filter($"pos" <= $"n_sh" - w)
+  }
+
+  def q91Winnowing(s: SparkSession, dir: String, w: Int = 4): DataFrame = {
+    val sel = winnowSelected(
+      load(s, dir, "documents")
+        .select($"doc_id", $"source", explode(posShingles($"text")).as("g"))
+        .select($"doc_id", $"source", $"g.pos".as("pos"),
+          substring(md5($"g.sh"), 1, 8).as("h")),
+      w)
     sel.groupBy($"source")
       .agg(
         countDistinct($"doc_id").as("n_docs"),
@@ -77,25 +87,13 @@ object MiningOps {
     * + one fingerprint groupBy — the q91 scan shape, never doc-pairs;
     * fingerprints shuffle as 8-byte xxhash64 keys (the
     * substringDupProfileHashed wire discipline). */
-  def substringDupProfileWinnowed(docs: DataFrame, w: Int = 4): DataFrame = {
-    val byDoc = Window.partitionBy($"doc_id")
-    val frame = byDoc.orderBy($"pos").rowsBetween(Window.currentRow, w - 1)
-    val idx = docs
-      .select($"doc_id", explode(posShingles($"text")).as("g"))
-      .select($"doc_id", $"g.pos".as("pos"), xxhash64($"g.sh").as("h"))
-      .withColumn("fp", min($"h").over(frame))
-      .withColumn("n_sh", count(lit(1)).over(byDoc))
-      .filter($"pos" <= $"n_sh" - w)
-      .select($"doc_id", $"fp").distinct() // the winnowed index
-    val byF = idx.groupBy($"fp").agg(count(lit(1)).as("nd"))
-    byF.groupBy().agg(
-        count(lit(1)).as("n_windows"),
-        count(when($"nd" >= 2, lit(1))).as("n_shared_windows"),
-        coalesce(sum(when($"nd" >= 2, $"nd")), lit(0L)).cast("long")
-          .as("n_shared_occurrences"))
-      .select($"n_windows", $"n_shared_windows", $"n_shared_occurrences",
-        expr("(n_shared_windows * 1000000) div n_windows").as("dup_ppm"))
-  }
+  def substringDupProfileWinnowed(docs: DataFrame, w: Int = 4): DataFrame =
+    TextOps.dupProfileFromIndex(
+      winnowSelected(
+        docs.select($"doc_id", explode(posShingles($"text")).as("g"))
+          .select($"doc_id", $"g.pos".as("pos"), xxhash64($"g.sh").as("h")),
+        w)
+        .select($"doc_id", $"fp".as("g")).distinct()) // the winnowed index
 
   // ---------------------------------------------------------------- q92
 

@@ -350,16 +350,10 @@ object TextOps {
       sigs: DataFrame, threshold: Double,
       capObs: Option[org.apache.spark.sql.Observation]): (DataFrame, DataFrame) = {
     val banded = bandFrame(sigs)
-    // cap BOTH endpoints' candidate degree (a hub doc is bounded whether
-    // it appears as the probe or the match side)
-    val wA = org.apache.spark.sql.expressions.Window.partitionBy($"id_a").orderBy($"id_b")
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy($"id_b").orderBy($"id_a")
-    val candAllRn = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-      .withColumn("rn", greatest(row_number().over(wA), row_number().over(wB)))
+    // the shared degree discipline ([[bandCandidates]]): rn = the larger
+    // of the two endpoints' candidate degrees, so a hub doc is bounded
+    // whether it appears as the probe or the match side
+    val candAllRn = bandCandidates(banded, banded)
     val candAll = capObs match {
       case Some(o) => candAllRn.observe(o,
         count(when($"rn" > MaxCandidatesPerDoc, lit(1))).as("n_capped"))
@@ -951,8 +945,11 @@ object TextOps {
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      val walk = java.nio.file.Files.walk(p) // must close: holds open dir fds
+      val paths =
+        try walk.iterator().asScala.toSeq.reverse
+        finally walk.close()
+      paths.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 
@@ -1311,11 +1308,20 @@ object TextOps {
     * and what fraction of the corpus window-vocabulary that is (ppm,
     * exact integer division). One explode + one groupBy on the window
     * key — the inverted-index shuffle shape, never doc-pairs. */
-  def q69SubstringDup(s: SparkSession, dir: String): DataFrame = {
-    val w = load(s, dir, "documents")
-      .select($"doc_id", explode(tokenWindows($"text", 8)).as("g"))
-    // windows are per-doc distinct, so count(*) == countDistinct(doc_id)
-    val byW = w.groupBy($"g").agg(count(lit(1)).as("nd"))
+  def q69SubstringDup(s: SparkSession, dir: String): DataFrame =
+    dupProfileFromIndex(load(s, dir, "documents")
+      .select($"doc_id", explode(tokenWindows($"text", 8)).as("g")))
+
+  /** The four-column substring-dup profile over a (doc-distinct)
+    * inverted index with key column `g` — the output contract shared by
+    * [[q69SubstringDup]] (exact window strings),
+    * [[substringDupProfileHashed]] (hashed keys) and
+    * [[graft.operators.MiningOps.substringDupProfileWinnowed]]
+    * (winnowed fingerprints): one key groupBy + one global aggregate,
+    * never doc-pairs. Index rows are per-doc distinct, so count(*) per
+    * key == countDistinct(doc_id). */
+  private[graft] def dupProfileFromIndex(idx: DataFrame): DataFrame = {
+    val byW = idx.groupBy($"g").agg(count(lit(1)).as("nd"))
     byW.groupBy().agg(
         count(lit(1)).as("n_windows"),
         count(when($"nd" >= 2, lit(1))).as("n_shared_windows"),
@@ -1331,18 +1337,10 @@ object TextOps {
     * distinct windows is ≈ n²/2⁶⁵ — at 10¹² windows, ~3% chance of ONE
     * collision affecting one count by one; the exact-string form stays
     * the oracle gate, this is the production profile. Same plan shape. */
-  def substringDupProfileHashed(docs: DataFrame): DataFrame = {
-    val w = docs.select($"doc_id", explode(tokenWindows($"text", 8)).as("gs"))
-      .select($"doc_id", xxhash64($"gs").as("g"))
-    val byW = w.groupBy($"g").agg(count(lit(1)).as("nd"))
-    byW.groupBy().agg(
-        count(lit(1)).as("n_windows"),
-        count(when($"nd" >= 2, lit(1))).as("n_shared_windows"),
-        coalesce(sum(when($"nd" >= 2, $"nd")), lit(0L)).cast("long")
-          .as("n_shared_occurrences"))
-      .select($"n_windows", $"n_shared_windows", $"n_shared_occurrences",
-        expr("(n_shared_windows * 1000000) div n_windows").as("dup_ppm"))
-  }
+  def substringDupProfileHashed(docs: DataFrame): DataFrame =
+    dupProfileFromIndex(docs
+      .select($"doc_id", explode(tokenWindows($"text", 8)).as("gs"))
+      .select($"doc_id", xxhash64($"gs").as("g")))
 
   /** Sequence packing — the document→training-sequence assembly step of
     * an LLM pretraining pipeline: concatenate each source's documents in

@@ -366,11 +366,17 @@ object VectorOps {
       emb: DataFrame, m: Int, k: Int, dim: Int = 64,
       maxIter: Int = 200, bestEffort: Boolean = false): DataFrame = {
     val rows = subvectorRows(scaledRows(emb).localCheckpoint(), m, dim)
-    var cents = rows.filter($"vec_id" < k)
+    // seed from the k LOWEST vec_ids (the trainIvfCentroids discipline —
+    // a `vec_id < k` filter would silently under-seed, or return an
+    // empty codebook, on non-zero-based id spaces)
+    val seedIds = rows.select($"vec_id").distinct()
+      .orderBy($"vec_id").limit(k)
+    var cents = rows.join(broadcast(seedIds), "vec_id")
       .select($"sub", $"vec_id".as("cent_id"), $"es".as("cent"))
       .localCheckpoint()
     var prev = cents.collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    require(prev.nonEmpty, "pqTrainCodebooks: no vectors to seed from")
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {

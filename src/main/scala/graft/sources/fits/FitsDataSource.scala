@@ -235,15 +235,23 @@ case class FramePrune(
     field: Option[Int], runDirs: Boolean) extends Serializable {
   def isEmpty: Boolean =
     band.isEmpty && run.isEmpty && camcol.isEmpty && field.isEmpty
+  // anchored to the name START: a non-canonical name merely CONTAINING
+  // a canonical substring (copy-of-frame-…) is header-described and
+  // must never be pruned
   @transient private lazy val Re =
-    raw"frame-([A-Za-z0-9]+)-(\d+)-(\d+)-(\d+)\.".r
+    raw"^frame-([A-Za-z0-9]+)-(\d+)-(\d+)-(\d+)\.".r
+  private def intVal(s: String): Option[Int] =
+    scala.util.Try(s.toInt).toOption
   def keepFile(name: String): Boolean =
     isEmpty || (Re.findFirstMatchIn(name) match {
       case Some(m) =>
+        // a numeral too big for Int can't equal any Int filter value,
+        // but the file may still be canonical-ish — keep it and let the
+        // residual re-check decide (never crash the listing)
         band.forall(_ == m.group(1)) &&
-          run.forall(_ == m.group(2).toInt) &&
-          camcol.forall(_ == m.group(3).toInt) &&
-          field.forall(_ == m.group(4).toInt)
+          run.forall(r => intVal(m.group(2)).forall(_ == r)) &&
+          camcol.forall(c => intVal(m.group(3)).forall(_ == c)) &&
+          field.forall(f => intVal(m.group(4)).forall(_ == f))
       case None => true // header-described file — residual filter decides
     })
   /** Top-level subtree pruning — only under the declared run-dir

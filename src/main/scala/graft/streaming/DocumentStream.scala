@@ -66,8 +66,15 @@ object DocumentStream {
       buckets: Seq[(Int, Int)]): Option[DataFrame] = {
     if (buckets.isEmpty) return None
     val bands =
+      // ONLY a missing path means "no store yet" — any other analysis
+      // failure (schema corruption, an incompatible legacy layout under
+      // the same root) must propagate: silently treating it as a fresh
+      // store would forget all dedup history and re-admit duplicates
       try Some(spark.read.parquet(s"$sigStore/bands"))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+      }
     bands.map { b =>
       val exact = buckets.map { case (band, pb) =>
         col("band") === lit(band) && col("pbucket") === lit(pb)
@@ -157,7 +164,11 @@ object DocumentStream {
     * `batchTag` (the streaming path) makes the store writes IDEMPOTENT:
     * each micro-batch dynamically overwrites its own `btag` partitions,
     * so a replay after a mid-batch failure rewrites identical files
-    * instead of appending duplicates. Batch callers (no tag) append. */
+    * instead of appending duplicates. Batch callers (no tag) APPEND —
+    * none of the untagged writes (sigs, bands, nor the lossy drops
+    * sidecar) is replay-idempotent, so a caller that retries a failed
+    * untagged call must pass a tag (or start a fresh store) or the
+    * store double-counts. */
   def nearDupDedupBatch(
       batch: DataFrame, sigStore: String, threshold: Double,
       batchTag: Option[String] = None,

@@ -145,6 +145,19 @@ class FitsDataSourceSpec extends AnyFunSuite {
     assert(sound.rdd.getNumPartitions == 2) // the odd name is kept
     assert(sound.select("camcol").distinct().as[Int].collect().sorted.toSeq
       == Seq(3, 4))
+    // a name CONTAINING a canonical substring is still non-canonical:
+    // its metadata comes from the header (run 9999 here), and a run=9999
+    // filter must keep it — the anchored regex must not parse the
+    // embedded 'frame-r-005200-…' and prune it away
+    graft.pipeline.FitsFixtures.writeFrame(
+      d2.resolve("copy-of-frame-r-005200-3-0001.fits").toString,
+      "r", 9999, 5, 7, 512, 372, 42.0, -10.0)
+    val headerRun = spark.read.format(Fmt)
+      .option("kind", "images").option("ccdConfig", cfg).load(d2.toString)
+      .filter($"run" === 9999)
+    assert(headerRun.count() == 5, "embedded-canonical name wrongly pruned")
+    assert(headerRun.select("camcol").distinct().as[Int].collect().toSeq
+      == Seq(5))
   }
 
   test("runDirLayout skips sibling run subtrees at listing time") {
