@@ -187,6 +187,8 @@ object SparkEntry {
     // product quantization: per-subspace Lloyd step + encode against
     // the updated codebooks; ADC search laws in AnnSpec
     "q126_pq_encode" -> ((s, d) => VectorOps.q126PqEncode(s, d)),
+    // the ADC quantize→table→sum→rank search path, seed codebooks
+    "q127_pq_adc" -> ((s, d) => VectorOps.q127PqAdc(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -498,6 +498,43 @@ object VectorOps {
         aggregate($"cent", lit(0L), (a, x) => a + x).as("cent_sum_scaled"))
   }
 
+  /** The ADC SEARCH path through the oracle gate: with SEED codebooks
+    * (the first 8 vectors' subvectors — no training, so the twin is
+    * closed-form SQL), encode the corpus, build each probe's
+    * (sub, code) lookup table, and rank the whole corpus by summed
+    * table entries — top-5 per probe, exact integer distances,
+    * deterministic (adc, vec_id) tie-break. This pins the quantize →
+    * table → sum → rank machinery of [[pqSearch]] cross-engine;
+    * training itself is gated by q125/q126 and the composed search by
+    * AnnSpec laws. */
+  def q127PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val m = 4
+    val rows = subvectorRows(scaledRows(load(s, dir, "embeddings")), m, 64)
+    val c0 = rows.filter($"vec_id" < 8)
+      .select($"sub", $"vec_id".as("code_id"), $"es".as("cent"))
+    val d = aggregate(
+      zip_with($"es", $"cent", (a, c) => abs(a - c)),
+      lit(0L), (acc, x) => acc + x)
+    val codes = rows.join(broadcast(c0), "sub")
+      .select($"sub", $"vec_id", $"code_id", d.as("d"))
+      .groupBy($"sub", $"vec_id")
+      .agg(min_by($"code_id", struct($"d", $"code_id")).as("code_id"))
+    val lut = rows.filter($"vec_id" < 3)
+      .select($"vec_id".as("pid"), $"sub", $"es".as("ps"))
+      .join(broadcast(c0), "sub")
+      .select($"pid", $"sub", $"code_id",
+        aggregate(
+          zip_with($"ps", $"cent", (a, c) => abs(a - c)),
+          lit(0L), (acc, x) => acc + x).as("pd"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "code_id"))
+      .groupBy($"pid", $"vec_id")
+      .agg(sum($"pd").as("adc_dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pid").orderBy($"adc_dist", $"vec_id")
+    adc.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"pid", $"rk".cast("long").as("rk"), $"vec_id", $"adc_dist")
+  }
+
   /** One deterministic Lloyd iteration — the k-means step of
     * embedding-space data mixing / diversity clustering: coarse
     * centroids = the first 8 vectors, L1-argmin assignment (broadcast
@@ -649,6 +686,33 @@ object VectorOps {
         |  CAST(sum(c.v) AS BIGINT) AS cent_sum_scaled
         |FROM n2 JOIN c1 c ON c.sub = n2.sub AND c.code_id = n2.code_id
         |GROUP BY 1,2,3""".stripMargin,
+    // ADC search with seed codebooks: quantize → per-probe lookup
+    // table → summed table entries → ranked top-5, all integer-exact
+    "q127_pq_adc" ->
+      """WITH u AS (SELECT vec_id,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1e6+0.5) AS BIGINT) AS v,
+        |  generate_subscripts(embedding,1) AS i FROM embeddings),
+        |su AS (SELECT vec_id, CAST((i-1)//16 AS BIGINT) AS sub,
+        |  i - ((i-1)//16)*16 AS j, v FROM u),
+        |c0 AS (SELECT sub, vec_id AS code_id, j, v FROM su WHERE vec_id < 8),
+        |d AS (SELECT a.vec_id, a.sub, c.code_id, sum(abs(a.v - c.v)) AS dist
+        |  FROM su a JOIN c0 c ON a.sub = c.sub AND a.j = c.j GROUP BY 1,2,3),
+        |codes AS (SELECT vec_id, sub, code_id FROM (
+        |  SELECT vec_id, sub, code_id, row_number() OVER (
+        |    PARTITION BY vec_id, sub ORDER BY dist, code_id) AS rn
+        |  FROM d) WHERE rn = 1),
+        |lut AS (SELECT p.vec_id AS pid, c.sub, c.code_id,
+        |    sum(abs(p.v - c.v)) AS pd
+        |  FROM su p JOIN c0 c ON p.sub = c.sub AND p.j = c.j
+        |  WHERE p.vec_id < 3 GROUP BY 1,2,3),
+        |adc AS (SELECT l.pid, cd.vec_id, sum(l.pd) AS adc_dist
+        |  FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.code_id = cd.code_id
+        |  GROUP BY 1,2)
+        |SELECT pid, CAST(rk AS BIGINT) AS rk, vec_id,
+        |  CAST(adc_dist AS BIGINT) AS adc_dist FROM (
+        |  SELECT pid, vec_id, adc_dist, row_number() OVER (
+        |    PARTITION BY pid ORDER BY adc_dist, vec_id) AS rk FROM adc)
+        |WHERE rk <= 5""".stripMargin,
     // two chained Lloyd steps, element-row space; the floor-of-double-
     // ratio centroid update and the (dist, cent_id) argmin tie-break
     // mirror lloydStep exactly

@@ -259,6 +259,61 @@ object DocumentStream {
     survivors
   }
 
+  /** Operational stats over the signature store: per batch tag, docs
+    * written and duplicates resolved (rep ≠ self), with the store-wide
+    * HOTTEST band-bucket occupancy — the early-warning metric for the
+    * degree guard: a (band, bkey) bucket whose membership approaches
+    * `maxCandidates` means the next near-copy of that cluster will trip
+    * the cap (or start dropping pairs in lossy mode). One scan of each
+    * store side, aggregates only. */
+  def sigStoreStats(spark: SparkSession, sigStore: String): DataFrame = {
+    val perTag = spark.read.parquet(s"$sigStore/sigs")
+      .groupBy(col("btag")).agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("rep") =!= col("doc_id"), lit(1))).as("n_dups"))
+    val hottest = spark.read.parquet(s"$sigStore/bands")
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+      .groupBy().agg(max(col("n")).as("max_bucket_occupancy"))
+    perTag.crossJoin(broadcast(hottest))
+  }
+
+  /** Signature-store COMPACTION: an always-on stream accumulates one
+    * `btag` partition per micro-batch forever; this rewrites every
+    * batch partition into one consolidated tag and drops the old
+    * directories — pure layout convergence (reps are immutable, so
+    * merging tags cannot change any probe result; StreamingSpec pins
+    * store-content identity and post-compaction dedup behavior).
+    * Crash-safe ordering: the consolidated tag is fully written BEFORE
+    * any old tag is deleted — a crash in between leaves transiently
+    * duplicated rows, which the probe tolerates (candidates and meta
+    * are distinct()-ed, duplicate verified pairs are harmless to the
+    * union-find) and a re-run converges via `dropDuplicates`. */
+  def compactSigStore(
+      spark: SparkSession, sigStore: String,
+      intoTag: String = "compacted"): Unit = {
+    val hconf = graft.sources.fits.SerializableHadoopConf.fromSession()
+    val sigs = spark.read.parquet(s"$sigStore/sigs")
+    val oldTags = sigs.select(col("btag")).distinct()
+      .collect().map(_.getString(0)).filterNot(_ == intoTag)
+    if (oldTags.isEmpty) return
+    writeStorePart(
+      sigs.drop("btag").dropDuplicates("doc_id"),
+      s"$sigStore/sigs", Some(intoTag), Seq.empty, Seq("pdoc"))
+    writeStorePart(
+      spark.read.parquet(s"$sigStore/bands").drop("btag")
+        .dropDuplicates("doc_id", "band"),
+      s"$sigStore/bands", Some(intoTag), Seq("band"), Seq("pbucket"))
+    val fs = new org.apache.hadoop.fs.Path(sigStore)
+      .getFileSystem(hconf.value)
+    // drops are NOT compacted: each accounting row keeps its per-batch
+    // identity (summing would double-count under a crash/re-run), and
+    // the sidecar is one tiny row per batch — not a scan-path cost
+    for (side <- Seq("sigs", "bands"); tag <- oldTags) {
+      val p = new org.apache.hadoop.fs.Path(s"$sigStore/$side/btag=$tag")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
   /** The streaming wrapper: documents arriving under `srcDir` flow
     * through [[nearDupDedupBatch]] per micro-batch (`foreachBatch` —
     * the incremental-artifact pattern, same as ObservationStream's

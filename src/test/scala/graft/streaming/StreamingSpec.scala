@@ -162,6 +162,53 @@ class StreamingSpec extends AnyFunSuite {
     graft.operators.TextOps.deleteRecursively(base)
   }
 
+  test("store compaction converges tags without changing dedup behavior; stats expose bucket heat") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-neardup-compact")
+    val store = s"$base/store"
+    val text = (0 until 150).map(i => s"w$i").mkString(" ")
+    val other = (0 until 150).map(i => s"v$i").mkString(" ")
+    val b0 = Seq((0L, text), (1L, other)).toDF("doc_id", "text")
+    val b1 = Seq((2L, text.replace("w40", "x40"))).toDF("doc_id", "text")
+    DocumentStream.nearDupDedupBatch(b0, store, 0.8, Some("batch_0"))
+    DocumentStream.nearDupDedupBatch(b1, store, 0.8, Some("batch_1"))
+    // stats BEFORE compaction: 2 tags; doc 2 resolved as a dup; the
+    // twin cluster occupies the hottest band bucket (both members)
+    val st = DocumentStream.sigStoreStats(spark, store).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(st.keySet == Set("batch_0", "batch_1"))
+    assert(st("batch_0") == ((2L, 0L, st("batch_0")._3)))
+    assert(st("batch_1") == ((1L, 1L, st("batch_1")._3)))
+    assert(st.values.head._3 == 2L, s"hottest bucket: ${st.values.head._3}")
+    val before = spark.read.parquet(s"$store/sigs")
+      .select($"doc_id", $"rep").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    DocumentStream.compactSigStore(spark, store)
+    // one consolidated tag, identical (doc_id, rep) content
+    val after = spark.read.parquet(s"$store/sigs")
+    assert(after.select($"btag").distinct().as[String].collect().toSeq
+      == Seq("compacted"))
+    assert(after.select($"doc_id", $"rep").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == before)
+    assert(!new java.io.File(s"$store/sigs/btag=batch_0").exists())
+    // dedup against the compacted store still resolves transitively:
+    // a near-copy of the DROPPED doc 2 inherits representative 0
+    val b2 = Seq((3L, text.replace("w40", "x40").replace("w90", "y90")))
+      .toDF("doc_id", "text")
+    val s2 = DocumentStream.nearDupDedupBatch(b2, store, 0.8, Some("batch_2"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s2.isEmpty, s"near-copy of a dropped doc survived: $s2")
+    assert(spark.read.parquet(s"$store/sigs")
+      .filter($"doc_id" === 3L).select($"rep").as[Long].head() == 0L)
+    // re-compaction folds the new batch in; a second pass is a no-op
+    DocumentStream.compactSigStore(spark, store)
+    DocumentStream.compactSigStore(spark, store)
+    assert(spark.read.parquet(s"$store/sigs")
+      .filter($"doc_id" === 3L).select($"rep").as[Long].head() == 0L)
+    graft.operators.TextOps.deleteRecursively(base)
+  }
+
   test("streaming FITS ingest decodes arriving files like the batch path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-fits")
     val (loglam, flux, ivar) = graft.pipeline.FitsFixtures.specGrid(1200)
