@@ -189,6 +189,9 @@ object SparkEntry {
     "q126_pq_encode" -> ((s, d) => VectorOps.q126PqEncode(s, d)),
     // the ADC quantize→table→sum→rank search path, seed codebooks
     "q127_pq_adc" -> ((s, d) => VectorOps.q127PqAdc(s, d)),
+    // dataset versioning: snapshot diff with a deterministic in-query
+    // "release" (edits, removals, additions) the oracle replays
+    "q128_corpus_diff" -> (HygieneOps.q128CorpusDiff _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

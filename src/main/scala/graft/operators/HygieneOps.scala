@@ -109,6 +109,50 @@ object HygieneOps {
           upper(concat(lit("  "), $"text", lit(" !! "))).as("text"))))
   }
 
+  /** Corpus snapshot DIFF — the dataset-versioning operator a managed
+    * training corpus needs between releases: given two snapshots keyed
+    * by doc_id, per source count the documents added, removed, modified
+    * (same id, different content hash) and unchanged. One full outer
+    * join on the id, content compared by hash so bodies never shuffle
+    * twice — at 100 TB both sides are parquet snapshots and the join
+    * shuffles 16-byte digests. */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select($"doc_id", $"source".as("src_o"),
+      md5($"text").as("h_o"))
+    val n = newSnap.select($"doc_id", $"source".as("src_n"),
+      md5($"text").as("h_n"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce($"src_n", $"src_o").as("source"),
+        when($"h_o".isNull, lit(1)).otherwise(lit(0)).as("a"),
+        when($"h_n".isNull, lit(1)).otherwise(lit(0)).as("r"),
+        when($"h_o".isNotNull && $"h_n".isNotNull && $"h_o" =!= $"h_n",
+          lit(1)).otherwise(lit(0)).as("m"),
+        when($"h_o".isNotNull && $"h_n".isNotNull && $"h_o" === $"h_n",
+          lit(1)).otherwise(lit(0)).as("u"))
+      .groupBy($"source")
+      .agg(
+        sum($"a").as("n_added"), sum($"r").as("n_removed"),
+        sum($"m").as("n_modified"), sum($"u").as("n_unchanged"))
+  }
+
+  /** [[corpusDiff]] through the oracle gate: the "new" snapshot derives
+    * deterministically in-query (the q113 synthetic-variant precedent)
+    * — ids ≡ 0 mod 7 get edited text, ids ≡ 0 mod 11 (and not mod 7)
+    * are removed, and a shifted copy of the first 20 docs arrives as
+    * additions — so the DuckDB twin replays the exact same release. */
+  def q128CorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val kept = docs.filter($"doc_id" % 11 =!= 0 || $"doc_id" % 7 === 0)
+    val newSnap = kept
+      .select($"doc_id", $"source",
+        when($"doc_id" % 7 === 0, concat($"text", lit(" edited v2")))
+          .otherwise($"text").as("text"))
+      .unionByName(docs.filter($"doc_id" < 20)
+        .select(($"doc_id" + 5000000L).as("doc_id"), $"source", $"text"))
+    corpusDiff(docs, newSnap)
+  }
+
   // --------------------------------------------------------------- q114
 
   /** Shingle document-frequency spectrum — the corpus-health histogram
@@ -217,6 +261,28 @@ object HygieneOps {
         |  CAST(max(sz) AS BIGINT) AS max_group,
         |  CAST(sum(sz - 1) AS BIGINT) AS n_redundant
         |FROM g""".stripMargin,
+    "q128_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |kept AS (SELECT * FROM documents
+        |  WHERE doc_id % 11 != 0 OR doc_id % 7 = 0),
+        |n AS (SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' edited v2'
+        |      ELSE text END) AS h FROM kept
+        |  UNION ALL SELECT doc_id + 5000000, source, md5(text)
+        |  FROM documents WHERE doc_id < 20),
+        |j AS (SELECT coalesce(n.source, o.source) AS source,
+        |  o.h AS h_o, n.h AS h_n
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN h_o IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(sum(CASE WHEN h_n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(sum(CASE WHEN h_o IS NOT NULL AND h_n IS NOT NULL
+        |    AND h_o != h_n THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
+        |  CAST(sum(CASE WHEN h_o = h_n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unchanged
+        |FROM j GROUP BY 1""".stripMargin,
     // NOTE the CASE yields a LIST in one CTE and the unnest runs in the
     // NEXT one (the q51/q23 oracle pattern): an unnest INSIDE a CASE
     // branch gets hoisted by DuckDB, so a document with an empty

@@ -180,6 +180,13 @@ class AnnSpec extends AnyFunSuite {
         codes, assigned, cents, books, probe, nprobe = nBuckets, m, k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(composed == full, s"ivfPq(nprobe=all) diverged:\n$composed\n$full")
+    // plan gate: the ADC lookup table joins as a broadcast hash join —
+    // the corpus-side codes never shuffle for the table, and nothing
+    // degenerates to a nested loop
+    val searchPlan = VectorOps.pqSearch(codes, books, probe, m, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(searchPlan.contains("BroadcastHashJoin"), searchPlan)
+    assert(!searchPlan.contains("BroadcastNestedLoopJoin"), searchPlan)
     // at nprobe = 1 only the probed bucket's codes are scored
     val one = VectorOps.ivfPqSearch(
         codes, assigned, cents, books, probe, nprobe = 1, m, k = 10)
