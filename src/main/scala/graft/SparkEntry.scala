@@ -192,6 +192,10 @@ object SparkEntry {
     // dataset versioning: snapshot diff with a deterministic in-query
     // "release" (edits, removals, additions) the oracle replays
     "q128_corpus_diff" -> (HygieneOps.q128CorpusDiff _),
+    // deterministic multi-epoch data ordering (engine-portable LCG)
+    "q129_epoch_shuffle" -> (CurationOps.q129EpochShuffle _),
+    // pre-release referential-integrity audit across docs⋈embeddings
+    "q130_integrity" -> (HygieneOps.q130Integrity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -325,7 +325,42 @@ object CurationOps {
 
   // ------------------------------------------------------------ oracles
 
+  /** Deterministic per-epoch ordering key — the data-ordering step of
+    * multi-epoch training: epoch e permutes the corpus by the q54/q89
+    * LCG (`(id + e·999983)·2654435761 mod 1000003`, engine-portable
+    * integer math), so every run, engine and partitioning sees the SAME
+    * epoch order, and consecutive epochs decorrelate. At scale the
+    * ordering is a `repartitionByRange` on this key — one shuffle per
+    * epoch, no driver-side permutation materialized. */
+  def epochOrder(idCol: Column, epoch: Column): Column =
+    ((idCol + epoch * lit(999983L)) * lit(2654435761L)) % lit(1000003L)
+
+  /** [[epochOrder]] through the oracle gate: the first 10 documents of
+    * epochs 0 and 1 under the deterministic permutation — pinning that
+    * both engines produce the identical epoch streams, and that the
+    * two epochs differ. */
+  def q129EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val keyed = load(s, dir, "documents")
+      .select($"doc_id", explode(array(lit(0L), lit(1L))).as("epoch"))
+      .withColumn("ord", epochOrder($"doc_id", $"epoch"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"epoch").orderBy($"ord", $"doc_id")
+    keyed.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"epoch", $"rank".cast("long").as("rank"), $"doc_id", $"ord")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q129_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id, unnest([CAST(0 AS BIGINT), 1]) AS epoch
+        |  FROM documents),
+        |o AS (SELECT doc_id, epoch,
+        |  ((doc_id + epoch * 999983) * 2654435761) % 1000003 AS ord FROM k)
+        |SELECT epoch, CAST(rank AS BIGINT) AS rank, doc_id,
+        |  CAST(ord AS BIGINT) AS ord FROM (
+        |  SELECT epoch, doc_id, ord, row_number() OVER (
+        |    PARTITION BY epoch ORDER BY ord, doc_id) AS rank FROM o)
+        |WHERE rank <= 10""".stripMargin,
     "q118_negative_samples" ->
       """WITH n AS (SELECT count(*) AS n_docs FROM documents),
         |i AS (SELECT unnest(generate_series(1, 2)) AS i),

@@ -153,6 +153,30 @@ object HygieneOps {
     corpusDiff(docs, newSnap)
   }
 
+  /** Referential-integrity audit across the corpus's tables — the
+    * pre-training sanity gate a multimodal pipeline runs before a
+    * release: documents without an embedding row, embeddings without a
+    * document (orphans from partial deletes), and duplicate ids on
+    * either side. Two anti-join counts + two duplicate-key aggregates,
+    * all on the pruned id columns — no payloads move. */
+  def q130Integrity(s: SparkSession, dir: String): DataFrame = {
+    val docIds = load(s, dir, "documents").select($"doc_id")
+    val vecIds = load(s, dir, "embeddings").select($"vec_id")
+    val docsNoVec = docIds.join(vecIds, $"doc_id" === $"vec_id", "left_anti")
+      .groupBy().agg(count(lit(1)).as("n_docs_without_vec"))
+    val vecsNoDoc = vecIds.join(docIds, $"doc_id" === $"vec_id", "left_anti")
+      .groupBy().agg(count(lit(1)).as("n_vecs_without_doc"))
+    val dupDocs = docIds.groupBy($"doc_id").agg(count(lit(1)).as("c"))
+      .groupBy().agg(
+        count(lit(1)).as("n_docs"),
+        count(when($"c" > 1, lit(1))).as("n_dup_doc_ids"))
+    val dupVecs = vecIds.groupBy($"vec_id").agg(count(lit(1)).as("c"))
+      .groupBy().agg(
+        count(lit(1)).as("n_vecs"),
+        count(when($"c" > 1, lit(1))).as("n_dup_vec_ids"))
+    dupDocs.crossJoin(dupVecs).crossJoin(docsNoVec).crossJoin(vecsNoDoc)
+  }
+
   // --------------------------------------------------------------- q114
 
   /** Shingle document-frequency spectrum — the corpus-health histogram
@@ -261,6 +285,20 @@ object HygieneOps {
         |  CAST(max(sz) AS BIGINT) AS max_group,
         |  CAST(sum(sz - 1) AS BIGINT) AS n_redundant
         |FROM g""".stripMargin,
+    "q130_integrity" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |v AS (SELECT vec_id FROM embeddings)
+        |SELECT
+        |  CAST((SELECT count(*) FROM d) AS BIGINT) AS n_docs,
+        |  CAST((SELECT count(*) FROM (SELECT doc_id FROM d
+        |    GROUP BY 1 HAVING count(*) > 1)) AS BIGINT) AS n_dup_doc_ids,
+        |  CAST((SELECT count(*) FROM v) AS BIGINT) AS n_vecs,
+        |  CAST((SELECT count(*) FROM (SELECT vec_id FROM v
+        |    GROUP BY 1 HAVING count(*) > 1)) AS BIGINT) AS n_dup_vec_ids,
+        |  CAST((SELECT count(*) FROM d WHERE doc_id NOT IN
+        |    (SELECT vec_id FROM v)) AS BIGINT) AS n_docs_without_vec,
+        |  CAST((SELECT count(*) FROM v WHERE vec_id NOT IN
+        |    (SELECT doc_id FROM d)) AS BIGINT) AS n_vecs_without_doc""".stripMargin,
     "q128_corpus_diff" ->
       """WITH o AS (SELECT doc_id, source, md5(text) AS h FROM documents),
         |kept AS (SELECT * FROM documents
