@@ -327,13 +327,18 @@ object CurationOps {
 
   /** Deterministic per-epoch ordering key — the data-ordering step of
     * multi-epoch training: epoch e permutes the corpus by the q54/q89
-    * LCG (`(id + e·999983)·2654435761 mod 1000003`, engine-portable
-    * integer math), so every run, engine and partitioning sees the SAME
-    * epoch order, and consecutive epochs decorrelate. At scale the
+    * LCG, so every run, engine and partitioning sees the SAME epoch
+    * order, and consecutive epochs decorrelate. The id is reduced
+    * mod 10⁶+3 BEFORE the multiply, keeping every intermediate under
+    * ~2.7·10¹⁵ — snowflake-scale 64-bit ids neither overflow (Spark
+    * would wrap silently, DuckDB would throw) nor diverge between
+    * engines. Non-negative ids assumed (both engines truncate `%`
+    * toward zero identically, but document intent). At scale the
     * ordering is a `repartitionByRange` on this key — one shuffle per
     * epoch, no driver-side permutation materialized. */
   def epochOrder(idCol: Column, epoch: Column): Column =
-    ((idCol + epoch * lit(999983L)) * lit(2654435761L)) % lit(1000003L)
+    (((idCol % lit(1000003L)) + epoch * lit(999983L)) % lit(1000003L)) *
+      lit(2654435761L) % lit(1000003L)
 
   /** [[epochOrder]] through the oracle gate: the first 10 documents of
     * epochs 0 and 1 under the deterministic permutation — pinning that
@@ -355,7 +360,8 @@ object CurationOps {
       """WITH k AS (SELECT doc_id, unnest([CAST(0 AS BIGINT), 1]) AS epoch
         |  FROM documents),
         |o AS (SELECT doc_id, epoch,
-        |  ((doc_id + epoch * 999983) * 2654435761) % 1000003 AS ord FROM k)
+        |  (((doc_id % 1000003) + epoch * 999983) % 1000003)
+        |    * 2654435761 % 1000003 AS ord FROM k)
         |SELECT epoch, CAST(rank AS BIGINT) AS rank, doc_id,
         |  CAST(ord AS BIGINT) AS ord FROM (
         |  SELECT epoch, doc_id, ord, row_number() OVER (

@@ -113,22 +113,24 @@ object HygieneOps {
     * training corpus needs between releases: given two snapshots keyed
     * by doc_id, per source count the documents added, removed, modified
     * (same id, different content hash) and unchanged. One full outer
-    * join on the id, content compared by hash so bodies never shuffle
-    * twice — at 100 TB both sides are parquet snapshots and the join
-    * shuffles 16-byte digests. */
+    * join on the id, content compared by 8-byte xxhash64 digests so
+    * bodies never shuffle twice. Row PRESENCE is tracked by explicit
+    * per-side markers, NOT hash nullability — a NULL-text document
+    * present on both sides is unchanged, not phantom add+remove — and
+    * the hash comparison is null-safe (`<=>`). */
   def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
     val o = oldSnap.select($"doc_id", $"source".as("src_o"),
-      md5($"text").as("h_o"))
+      xxhash64($"text").as("h_o"), lit(true).as("in_o"))
     val n = newSnap.select($"doc_id", $"source".as("src_n"),
-      md5($"text").as("h_n"))
+      xxhash64($"text").as("h_n"), lit(true).as("in_n"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(
         coalesce($"src_n", $"src_o").as("source"),
-        when($"h_o".isNull, lit(1)).otherwise(lit(0)).as("a"),
-        when($"h_n".isNull, lit(1)).otherwise(lit(0)).as("r"),
-        when($"h_o".isNotNull && $"h_n".isNotNull && $"h_o" =!= $"h_n",
+        when($"in_o".isNull, lit(1)).otherwise(lit(0)).as("a"),
+        when($"in_n".isNull, lit(1)).otherwise(lit(0)).as("r"),
+        when($"in_o".isNotNull && $"in_n".isNotNull && !($"h_o" <=> $"h_n"),
           lit(1)).otherwise(lit(0)).as("m"),
-        when($"h_o".isNotNull && $"h_n".isNotNull && $"h_o" === $"h_n",
+        when($"in_o".isNotNull && $"in_n".isNotNull && ($"h_o" <=> $"h_n"),
           lit(1)).otherwise(lit(0)).as("u"))
       .groupBy($"source")
       .agg(
@@ -166,13 +168,16 @@ object HygieneOps {
       .groupBy().agg(count(lit(1)).as("n_docs_without_vec"))
     val vecsNoDoc = vecIds.join(docIds, $"doc_id" === $"vec_id", "left_anti")
       .groupBy().agg(count(lit(1)).as("n_vecs_without_doc"))
+    // n_docs/n_vecs are ROW counts (sum of per-id multiplicities), not
+    // distinct-id counts — on the duplicated data this audit exists to
+    // catch, the corpus size must not silently shrink to the id count
     val dupDocs = docIds.groupBy($"doc_id").agg(count(lit(1)).as("c"))
       .groupBy().agg(
-        count(lit(1)).as("n_docs"),
+        sum($"c").as("n_docs"),
         count(when($"c" > 1, lit(1))).as("n_dup_doc_ids"))
     val dupVecs = vecIds.groupBy($"vec_id").agg(count(lit(1)).as("c"))
       .groupBy().agg(
-        count(lit(1)).as("n_vecs"),
+        sum($"c").as("n_vecs"),
         count(when($"c" > 1, lit(1))).as("n_dup_vec_ids"))
     dupDocs.crossJoin(dupVecs).crossJoin(docsNoVec).crossJoin(vecsNoDoc)
   }
@@ -295,30 +300,37 @@ object HygieneOps {
         |  CAST((SELECT count(*) FROM v) AS BIGINT) AS n_vecs,
         |  CAST((SELECT count(*) FROM (SELECT vec_id FROM v
         |    GROUP BY 1 HAVING count(*) > 1)) AS BIGINT) AS n_dup_vec_ids,
-        |  CAST((SELECT count(*) FROM d WHERE doc_id NOT IN
-        |    (SELECT vec_id FROM v)) AS BIGINT) AS n_docs_without_vec,
-        |  CAST((SELECT count(*) FROM v WHERE vec_id NOT IN
-        |    (SELECT doc_id FROM d)) AS BIGINT) AS n_vecs_without_doc""".stripMargin,
+        |  CAST((SELECT count(*) FROM d WHERE NOT EXISTS
+        |    (SELECT 1 FROM v WHERE v.vec_id = d.doc_id)) AS BIGINT)
+        |    AS n_docs_without_vec,
+        |  CAST((SELECT count(*) FROM v WHERE NOT EXISTS
+        |    (SELECT 1 FROM d WHERE d.doc_id = v.vec_id)) AS BIGINT)
+        |    AS n_vecs_without_doc""".stripMargin,
+    // presence via explicit per-side markers (the corpusDiff contract —
+    // hash nullability would misread NULL-text rows as add+remove)
     "q128_corpus_diff" ->
-      """WITH o AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+      """WITH o AS (SELECT doc_id, source, md5(text) AS h, 1 AS p
+        |  FROM documents),
         |kept AS (SELECT * FROM documents
         |  WHERE doc_id % 11 != 0 OR doc_id % 7 = 0),
         |n AS (SELECT doc_id, source,
         |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' edited v2'
-        |      ELSE text END) AS h FROM kept
-        |  UNION ALL SELECT doc_id + 5000000, source, md5(text)
+        |      ELSE text END) AS h, 1 AS p FROM kept
+        |  UNION ALL SELECT doc_id + 5000000, source, md5(text), 1
         |  FROM documents WHERE doc_id < 20),
         |j AS (SELECT coalesce(n.source, o.source) AS source,
-        |  o.h AS h_o, n.h AS h_n
+        |  o.h AS h_o, n.h AS h_n, o.p AS p_o, n.p AS p_n
         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT source,
-        |  CAST(sum(CASE WHEN h_o IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN p_o IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_added,
-        |  CAST(sum(CASE WHEN h_n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN p_n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_removed,
-        |  CAST(sum(CASE WHEN h_o IS NOT NULL AND h_n IS NOT NULL
-        |    AND h_o != h_n THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
-        |  CAST(sum(CASE WHEN h_o = h_n THEN 1 ELSE 0 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN p_o IS NOT NULL AND p_n IS NOT NULL
+        |    AND h_o IS DISTINCT FROM h_n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_modified,
+        |  CAST(sum(CASE WHEN p_o IS NOT NULL AND p_n IS NOT NULL
+        |    AND h_o IS NOT DISTINCT FROM h_n THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_unchanged
         |FROM j GROUP BY 1""".stripMargin,
     // NOTE the CASE yields a LIST in one CTE and the unnest runs in the

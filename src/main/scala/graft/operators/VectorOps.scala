@@ -509,30 +509,24 @@ object VectorOps {
     * AnnSpec laws. */
   def q127PqAdc(s: SparkSession, dir: String): DataFrame = {
     val m = 4
-    val rows = subvectorRows(scaledRows(load(s, dir, "embeddings")), m, 64)
-    val c0 = rows.filter($"vec_id" < 8)
+    val emb = load(s, dir, "embeddings")
+    val c0 = subvectorRows(scaledRows(emb.filter($"vec_id" < 8)), m, 64)
       .select($"sub", $"vec_id".as("code_id"), $"es".as("cent"))
-    val d = aggregate(
-      zip_with($"es", $"cent", (a, c) => abs(a - c)),
-      lit(0L), (acc, x) => acc + x)
-    val codes = rows.join(broadcast(c0), "sub")
-      .select($"sub", $"vec_id", $"code_id", d.as("d"))
-      .groupBy($"sub", $"vec_id")
-      .agg(min_by($"code_id", struct($"d", $"code_id")).as("code_id"))
-    val lut = rows.filter($"vec_id" < 3)
-      .select($"vec_id".as("pid"), $"sub", $"es".as("ps"))
-      .join(broadcast(c0), "sub")
-      .select($"pid", $"sub", $"code_id",
-        aggregate(
-          zip_with($"ps", $"cent", (a, c) => abs(a - c)),
-          lit(0L), (acc, x) => acc + x).as("pd"))
-    val adc = codes.join(broadcast(lut), Seq("sub", "code_id"))
-      .groupBy($"pid", $"vec_id")
-      .agg(sum($"pd").as("adc_dist"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"pid").orderBy($"adc_dist", $"vec_id")
-    adc.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
-      .select($"pid", $"rk".cast("long").as("rk"), $"vec_id", $"adc_dist")
+    // the SHIPPED operators, not a parallel re-implementation: encode
+    // once, then one pqSearch per probe — a regression anywhere in the
+    // quantize/table/sum/rank path fails this gate
+    val codes = pqEncode(emb, c0, m).localCheckpoint()
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding").collect() // bounded: 3 rows
+      .sortBy(_.getLong(0))
+    probes.map { p =>
+      pqSearch(codes, c0, p.getSeq[Float](1), m, k = 5)
+        .withColumn("pid", lit(p.getLong(0)))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"adc_dist", $"vec_id")).cast("long"))
+    }.reduce(_ unionByName _)
+      .select($"pid", $"rk", $"vec_id", $"adc_dist")
   }
 
   /** One deterministic Lloyd iteration — the k-means step of

@@ -283,32 +283,40 @@ object DocumentStream {
     * directories — pure layout convergence (reps are immutable, so
     * merging tags cannot change any probe result; StreamingSpec pins
     * store-content identity and post-compaction dedup behavior).
-    * Crash-safe ordering: the consolidated tag is fully written BEFORE
-    * any old tag is deleted — a crash in between leaves transiently
-    * duplicated rows, which the probe tolerates (candidates and meta
-    * are distinct()-ed, duplicate verified pairs are harmless to the
-    * union-find) and a re-run converges via `dropDuplicates`. */
-  def compactSigStore(
-      spark: SparkSession, sigStore: String,
-      intoTag: String = "compacted"): Unit = {
-    val hconf = graft.sources.fits.SerializableHadoopConf.fromSession()
-    val sigs = spark.read.parquet(s"$sigStore/sigs")
-    val oldTags = sigs.select(col("btag")).distinct()
-      .collect().map(_.getString(0)).filterNot(_ == intoTag)
-    if (oldTags.isEmpty) return
+    * Crash-safe ordering: each compaction writes a FRESH versioned tag
+    * (`compacted-N`, never overwriting an existing one — overwriting
+    * the previous consolidated tag in place would make its non-atomic
+    * commit the only copy of all history), and only THEN deletes every
+    * other tag. A crash anywhere leaves a readable store: before the
+    * write, nothing changed; between write and deletes, rows are
+    * transiently duplicated, which the probe tolerates (candidates and
+    * meta are distinct()-ed, duplicate verified pairs are harmless to
+    * the union-find) and the next compaction converges via
+    * `dropDuplicates`. The done-check reads BOTH store sides, so a
+    * crash that deleted only the sigs side still re-runs. */
+  def compactSigStore(spark: SparkSession, sigStore: String): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    def tagsOf(side: String): Seq[String] =
+      spark.read.parquet(s"$sigStore/$side").select(col("btag")).distinct()
+        .collect().map(_.getString(0)).toSeq
+    val allTags = (tagsOf("sigs") ++ tagsOf("bands")).distinct
+    if (allTags.size <= 1) return // already consolidated
+    val Ver = raw"compacted-(\d+)".r
+    val next = "compacted-" + (allTags.collect {
+      case Ver(n) => n.toLong }.foldLeft(-1L)(_ max _) + 1)
     writeStorePart(
-      sigs.drop("btag").dropDuplicates("doc_id"),
-      s"$sigStore/sigs", Some(intoTag), Seq.empty, Seq("pdoc"))
+      spark.read.parquet(s"$sigStore/sigs").drop("btag")
+        .dropDuplicates("doc_id"),
+      s"$sigStore/sigs", Some(next), Seq.empty, Seq("pdoc"))
     writeStorePart(
       spark.read.parquet(s"$sigStore/bands").drop("btag")
         .dropDuplicates("doc_id", "band"),
-      s"$sigStore/bands", Some(intoTag), Seq("band"), Seq("pbucket"))
-    val fs = new org.apache.hadoop.fs.Path(sigStore)
-      .getFileSystem(hconf.value)
+      s"$sigStore/bands", Some(next), Seq("band"), Seq("pbucket"))
+    val fs = new org.apache.hadoop.fs.Path(sigStore).getFileSystem(hconf)
     // drops are NOT compacted: each accounting row keeps its per-batch
     // identity (summing would double-count under a crash/re-run), and
     // the sidecar is one tiny row per batch — not a scan-path cost
-    for (side <- Seq("sigs", "bands"); tag <- oldTags) {
+    for (side <- Seq("sigs", "bands"); tag <- allTags) {
       val p = new org.apache.hadoop.fs.Path(s"$sigStore/$side/btag=$tag")
       if (fs.exists(p)) fs.delete(p, true)
     }

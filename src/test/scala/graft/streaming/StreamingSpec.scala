@@ -185,10 +185,10 @@ class StreamingSpec extends AnyFunSuite {
       .select($"doc_id", $"rep").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     DocumentStream.compactSigStore(spark, store)
-    // one consolidated tag, identical (doc_id, rep) content
+    // one consolidated (versioned) tag, identical (doc_id, rep) content
     val after = spark.read.parquet(s"$store/sigs")
     assert(after.select($"btag").distinct().as[String].collect().toSeq
-      == Seq("compacted"))
+      == Seq("compacted-0"))
     assert(after.select($"doc_id", $"rep").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet == before)
     assert(!new java.io.File(s"$store/sigs/btag=batch_0").exists())
@@ -201,9 +201,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(s2.isEmpty, s"near-copy of a dropped doc survived: $s2")
     assert(spark.read.parquet(s"$store/sigs")
       .filter($"doc_id" === 3L).select($"rep").as[Long].head() == 0L)
-    // re-compaction folds the new batch in; a second pass is a no-op
+    // re-compaction folds the new batch into a FRESH version (never
+    // overwriting the only copy of history in place); a further pass
+    // is a no-op
     DocumentStream.compactSigStore(spark, store)
     DocumentStream.compactSigStore(spark, store)
+    val tags = spark.read.parquet(s"$store/sigs")
+      .select($"btag").distinct().as[String].collect().toSeq
+    assert(tags == Seq("compacted-1"), tags.toString)
     assert(spark.read.parquet(s"$store/sigs")
       .filter($"doc_id" === 3L).select($"rep").as[Long].head() == 0L)
     graft.operators.TextOps.deleteRecursively(base)
