@@ -468,6 +468,83 @@ object VectorOps {
     pqSearch(codes.join(cand, "vec_id"), codebooks, probe, m, k, dim)
   }
 
+  /** Multi-probe ADC search — the production batch-query shape: probes
+    * arrive as a TABLE (pid, probe array<float>), the lookup tables for
+    * ALL probes are ONE broadcast-sized frame (nprobes·m·k rows), and
+    * per-probe ranking runs through the `row_number ≤ k` shape the
+    * native grouped top-k rewrite ([[graft.plans.TopKPerKey]]) compiles
+    * to a single-pass bounded heap — one scoring pass over the codes
+    * regardless of probe count. Single-probe identity with
+    * [[pqSearch]] is AnnSpec-law-tested. */
+  def pqSearchMany(
+      codes: DataFrame, codebooks: DataFrame, probes: DataFrame,
+      m: Int, k: Int, dim: Int = 64): DataFrame = {
+    val dsub = dim / m
+    val pScaled = probes.select($"pid",
+      transform($"probe",
+        v => floor(v.cast("double") * 1e6 + 0.5).cast("long")).as("p"))
+    val lut = pScaled.crossJoin(codebooks)
+      .select($"pid", $"sub", $"code_id",
+        aggregate(
+          zip_with(slice($"p", $"sub" * dsub + 1, lit(dsub)), $"cent",
+            (a, c) => abs(a - c)),
+          lit(0L), (acc, x) => acc + x).as("pd"))
+    val scored = codes
+      .select($"vec_id", posexplode($"codes").as(Seq("sub", "code_id")))
+      .join(broadcast(lut), Seq("sub", "code_id"))
+      .groupBy($"pid", $"vec_id")
+      .agg(sum($"pd").as("adc_dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pid").orderBy($"adc_dist", $"vec_id")
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+      .select($"pid", $"rk".cast("long").as("rk"), $"vec_id", $"adc_dist")
+  }
+
+  /** IVF recall/cost SWEEP — the eval harness that sizes `nprobe`
+    * before an approximate index replaces brute force: for each probe
+    * and each candidate nprobe, how many of the exact top-k live in the
+    * probed buckets (the recall ceiling of `ivfSearch`, whose exact
+    * re-rank can only lose what bucket pruning already lost) and how
+    * many candidates those buckets hold (the cost side). Computed
+    * set-theoretically in ONE plan — bucket ranks per probe ×
+    * exploded nprobe settings — instead of running the search per
+    * setting. Laws (AnnSpec): recall non-decreasing in nprobe; equals
+    * k at nprobe = #buckets; matches |ivfSearch ∩ brute| pointwise. */
+  def ivfRecallSweep(
+      emb: DataFrame, assignments: DataFrame, cents: DataFrame,
+      probeIds: Seq[Long], nprobes: Seq[Int], k: Int): DataFrame = {
+    val probes = emb.filter($"vec_id".isin(probeIds: _*))
+      .select($"vec_id".as("pid"), $"embedding".as("pemb"))
+    // bucket rank per probe: centroid table is broadcast-sized
+    val bRank = cents.crossJoin(broadcast(probes))
+      .select($"pid", $"cent_id",
+        l1Distance($"cent", $"pemb").as("d"))
+      .withColumn("brank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"pid").orderBy($"d", $"cent_id")))
+      .select($"pid", $"cent_id", $"brank")
+    // every vector's bucket rank under every probe
+    val vecRank = assignments.join(broadcast(bRank), "cent_id")
+      .select($"pid", $"vec_id", $"brank")
+    // exact top-k per probe (integer-scaled cosine, id tie-break)
+    val topk = emb.join(broadcast(probes), $"vec_id" =!= $"pid")
+      .select($"pid", $"vec_id",
+        floor(cosine($"embedding", $"pemb") * 1e6 + 0.5).cast("long").as("cs"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"pid").orderBy($"cs".desc, $"vec_id")))
+      .filter($"rk" <= k)
+      .select($"pid", $"vec_id", lit(1).as("is_topk"))
+    val np = explode(array(nprobes.map(lit(_)): _*)).as("nprobe")
+    vecRank.join(topk, Seq("pid", "vec_id"), "left")
+      .select($"pid", $"brank", coalesce($"is_topk", lit(0)).as("is_topk"), np)
+      .filter($"brank" <= $"nprobe")
+      .groupBy($"pid", $"nprobe")
+      .agg(
+        sum($"is_topk").as("n_topk_found"),
+        count(lit(1)).as("n_candidates"))
+  }
+
   /** The PQ pipeline through the oracle gate: one Lloyd step per
     * subspace from the deterministic seed (m=4 subspaces of 16 dims,
     * codes seeded from the first 8 vectors), then the corpus encoded

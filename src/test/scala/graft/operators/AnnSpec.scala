@@ -197,6 +197,59 @@ class AnnSpec extends AnyFunSuite {
     assert(one.subsetOf(probeBucket) && one.contains(7L))
   }
 
+  test("pqSearchMany ≡ pqSearch per probe; IVF recall sweep obeys its laws") {
+    import spark.implicits._
+    val emb = load(spark, dir, "embeddings")
+    val m = 4
+    val books = VectorOps.pqTrainCodebooks(emb, m, 8)
+    val codes = VectorOps.pqEncode(emb, books, m)
+    val probe = emb.filter($"vec_id" === 7).select($"embedding")
+      .collect()(0).getSeq[Float](0)
+    // single-probe identity: the batched path is the same search
+    val single = VectorOps.pqSearch(codes, books, probe, m, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val many = VectorOps.pqSearchMany(
+        codes, books, Seq((7L, probe)).toDF("pid", "probe"), m, k = 10)
+      .orderBy($"rk")
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(many == single, s"batched ADC diverged:\n$many\n$single")
+    // recall sweep laws
+    val cents = VectorOps.trainIvfCentroids(emb, k = 8)
+    val nB = cents.count().toInt
+    val assigned = VectorOps.ivfAssignments(emb, cents)
+    val sweep = VectorOps.ivfRecallSweep(
+        emb, assigned, cents, Seq(3L, 7L), Seq(1, 2, nB), k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val n = emb.count()
+    for (pid <- Seq(3L, 7L)) {
+      val s = sweep.filter(_._1 == pid).sortBy(_._2)
+      assert(s.map(_._2).toSeq == Seq(1, 2, nB).sorted)
+      // recall and cost are non-decreasing in nprobe
+      assert(s.map(_._3).sliding(2).forall(p => p.size < 2 || p(0) <= p(1)))
+      assert(s.map(_._4).sliding(2).forall(p => p.size < 2 || p(0) <= p(1)))
+      // at nprobe = all buckets: full recall, whole corpus scanned
+      assert(s.last._3 == 10L && s.last._4 == n)
+    }
+    // pointwise agreement with an independent recompute at nprobe = 2
+    val twoBuckets = cents
+      .select($"cent_id", VectorOps.l1Distance($"cent", typedlit(probe)).as("d"))
+      .orderBy($"d", $"cent_id").limit(2)
+      .collect().map(_.getLong(0)).toSet
+    val inBuckets = assigned
+      .filter($"cent_id".isin(twoBuckets.toSeq: _*))
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val brute = emb.filter($"vec_id" =!= 7)
+      .select($"vec_id",
+        floor(VectorOps.cosine($"embedding", typedlit(probe)) * 1e6 + 0.5)
+          .cast("long").as("cs"))
+      .orderBy($"cs".desc, $"vec_id").limit(10)
+      .collect().map(_.getLong(0))
+    val expected = brute.count(inBuckets.contains).toLong
+    val got = sweep.find(r => r._1 == 7L && r._2 == 2).get._3
+    assert(got == expected, s"sweep recall $got != recomputed $expected")
+  }
+
   test("trainIvfCentroids refuses loudly when the iteration cap is hit") {
     val emb = load(spark, dir, "embeddings")
     val ex = intercept[IllegalStateException] {
