@@ -196,6 +196,9 @@ object SparkEntry {
     "q129_epoch_shuffle" -> (CurationOps.q129EpochShuffle _),
     // pre-release referential-integrity audit across docs⋈embeddings
     "q130_integrity" -> (HygieneOps.q130Integrity _),
+    // leakage-safe split: near-dup clusters co-assign via their q51
+    // representative, LCG-hashed into 90/5/5
+    "q131_leakage_safe_split" -> (TextOps.q131LeakageSafeSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

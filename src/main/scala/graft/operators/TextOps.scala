@@ -953,6 +953,35 @@ object TextOps {
     }
   }
 
+  /** LEAKAGE-SAFE train/val/test split — the assignment rule an eval
+    * pipeline must use: near-duplicate documents may NEVER straddle a
+    * split boundary (a val doc whose near-copy sits in train leaks the
+    * answer), so the split keys on the dedup-cluster REPRESENTATIVE
+    * (the q51 component-min label; singletons key on themselves) hashed
+    * with the engine-portable LCG into 90/5/5 percent buckets — whole
+    * clusters co-assign by construction, and the assignment is
+    * reproducible across runs/engines/partitionings/appends (a NEW
+    * near-copy of an existing cluster lands in that cluster's split).
+    * One LSH pipeline + one broadcast-scale join; no extra shuffles
+    * beyond the clusterer's. */
+  def leakageSafeSplit(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val members = dedupClusterMembers(docs, threshold)
+    val rep = docs.select($"doc_id", $"source")
+      .join(members, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce($"cluster_id", $"doc_id"))
+    val bucket = ($"rep" % lit(1000003L)) * lit(2654435761L) %
+      lit(1000003L) % lit(100L)
+    rep.withColumn("split",
+      when(bucket < 90, lit("train"))
+        .when(bucket < 95, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  def q131LeakageSafeSplit(s: SparkSession, dir: String): DataFrame =
+    leakageSafeSplit(load(s, dir, "documents"))
+      .groupBy($"split", $"source")
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Cross-source duplication matrix — WHERE is the corpus duplicated?
     * Near-dup pairs (the exact-verified LSH edges) aggregated by
     * normalized source pair; the dedup-pipeline analytics that decides
@@ -1651,6 +1680,39 @@ object TextOps {
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE id != label)
         |GROUP BY 1""".stripMargin,
+    // split keys on the q51 cluster-min representative, LCG-hashed into
+    // 90/5/5 buckets — the recursive-CTE labels replay the clusterer
+    "q131_leakage_safe_split" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
+        |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT da, db FROM p
+        |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.8),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges)
+        |, cc AS (
+        |  WITH RECURSIVE r(id, lbl) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT e.dst, r.lbl FROM r JOIN edges e ON r.id = e.src)
+        |  SELECT id, min(lbl) AS label FROM r GROUP BY 1),
+        |rep AS (SELECT d.doc_id, d.source,
+        |  coalesce(cc.label, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+        |b AS (SELECT source,
+        |  ((rep % 1000003) * 2654435761) % 1000003 % 100 AS bucket FROM rep)
+        |SELECT CASE WHEN bucket < 90 THEN 'train'
+        |  WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |  source, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM b GROUP BY 1,2""".stripMargin,
     // exact two-phase streaming twin — see q124StreamDedupMultiBatch's
     // scaladoc for why this is NOT the plain union cluster-min
     "q124_stream_dedup_multibatch" ->

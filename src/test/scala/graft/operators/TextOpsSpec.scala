@@ -256,6 +256,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(stats2.head().getLong(0) == 0L)
   }
 
+  test("leakage-safe split co-assigns every near-dup cluster member") {
+    import spark.implicits._
+    val base = (0 until 150).map(i => s"w$i").mkString(" ")
+    // a planted 3-doc chain cluster + two unrelated singletons
+    val docs = Seq(
+      (10L, base, "srcA"),
+      (11L, base.replace("w40", "x40"), "srcB"),
+      (12L, base.replace("w40", "x40").replace("w90", "y90"), "srcA"),
+      (20L, (0 until 150).map(i => s"v$i").mkString(" "), "srcA"),
+      (21L, "completely different " + (0 until 40).map(i => s"q$i").mkString(" "),
+        "srcB"))
+      .toDF("doc_id", "text", "source")
+    val assign = TextOps.leakageSafeSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    // the leakage law: the whole cluster lands in ONE split
+    assert(Set(assign(10L), assign(11L), assign(12L)).size == 1,
+      s"cluster straddles splits: $assign")
+    assert(assign.size == 5)
+    // reproducible: a second run (different partitioning) agrees
+    val again = TextOps.leakageSafeSplit(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(again == assign)
+  }
+
   test("prefix-dup groups exact duplicates and survives the min-id rule") {
     import spark.implicits._
     val docs = Seq(
