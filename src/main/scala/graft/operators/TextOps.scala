@@ -960,13 +960,23 @@ object TextOps {
     * (the q51 component-min label; singletons key on themselves) hashed
     * with the engine-portable LCG into 90/5/5 percent buckets — whole
     * clusters co-assign by construction, and the assignment is
-    * reproducible across runs/engines/partitionings/appends (a NEW
-    * near-copy of an existing cluster lands in that cluster's split).
-    * One LSH pipeline + one broadcast-scale join; no extra shuffles
-    * beyond the clusterer's. */
+    * reproducible across runs/engines/partitionings. APPEND stability
+    * is conditional: a new near-copy of an existing cluster inherits
+    * that cluster's split only while the append neither introduces an
+    * id BELOW the cluster's current min (ids assigned monotonically —
+    * the usual ingest discipline) nor BRIDGES two existing clusters
+    * (the merged component takes one min, so the other cluster's
+    * members re-hash). A pipeline that needs hard append stability
+    * freezes representatives in the streaming signature store
+    * ([[graft.streaming.DocumentStream.nearDupDedupBatch]]'s
+    * survivor-stable rep chain) and splits on the stored `rep`. One
+    * LSH pipeline + one broadcast-scale join; no extra shuffles beyond
+    * the clusterer's. */
   def leakageSafeSplit(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val members = dedupClusterMembers(docs, threshold)
-    val rep = docs.select($"doc_id", $"source")
+    // all caller columns pass through (Catalyst prunes what the caller
+    // doesn't read); assignment depends only on doc_id/cluster_id
+    val rep = docs
       .join(members, Seq("doc_id"), "left")
       .withColumn("rep", coalesce($"cluster_id", $"doc_id"))
     val bucket = ($"rep" % lit(1000003L)) * lit(2654435761L) %

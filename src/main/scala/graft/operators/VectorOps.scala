@@ -496,8 +496,11 @@ object VectorOps {
       .agg(sum($"pd").as("adc_dist"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"pid").orderBy($"adc_dist", $"vec_id")
+    // the rank column is DROPPED from the projection — that is the
+    // TopKPerKey rewrite's firing condition (TopKSpec pins it), so this
+    // plans as the single-pass bounded heap, not a per-pid window sort
     scored.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
-      .select($"pid", $"rk".cast("long").as("rk"), $"vec_id", $"adc_dist")
+      .select($"pid", $"vec_id", $"adc_dist")
   }
 
   /** IVF recall/cost SWEEP — the eval harness that sizes `nprobe`
@@ -536,7 +539,10 @@ object VectorOps {
       .filter($"rk" <= k)
       .select($"pid", $"vec_id", lit(1).as("is_topk"))
     val np = explode(array(nprobes.map(lit(_)): _*)).as("nprobe")
-    vecRank.join(topk, Seq("pid", "vec_id"), "left")
+    // rows above the largest setting can never survive: prune BEFORE the
+    // join and the |nprobes|-way explode
+    vecRank.filter($"brank" <= nprobes.max)
+      .join(topk, Seq("pid", "vec_id"), "left")
       .select($"pid", $"brank", coalesce($"is_topk", lit(0)).as("is_topk"), np)
       .filter($"brank" <= $"nprobe")
       .groupBy($"pid", $"nprobe")

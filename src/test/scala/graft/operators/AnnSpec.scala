@@ -205,14 +205,30 @@ class AnnSpec extends AnyFunSuite {
     val codes = VectorOps.pqEncode(emb, books, m)
     val probe = emb.filter($"vec_id" === 7).select($"embedding")
       .collect()(0).getSeq[Float](0)
-    // single-probe identity: the batched path is the same search
-    val single = VectorOps.pqSearch(codes, books, probe, m, k = 10)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val many = VectorOps.pqSearchMany(
-        codes, books, Seq((7L, probe)).toDF("pid", "probe"), m, k = 10)
-      .orderBy($"rk")
-      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
-    assert(many == single, s"batched ADC diverged:\n$many\n$single")
+    // per-probe identity on a TWO-probe batch: each pid's top-k must
+    // equal its own pqSearch — this is what the batched path adds
+    // (per-pid isolation), so a single-probe check cannot gate it
+    val probe3 = emb.filter($"vec_id" === 3).select($"embedding")
+      .collect()(0).getSeq[Float](0)
+    val manyDf = VectorOps.pqSearchMany(
+      codes, books,
+      Seq((3L, probe3), (7L, probe)).toDF("pid", "probe"), m, k = 10)
+    val many = manyDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._3, t._2)).map(t => (t._2, t._3)).toSeq)
+      .toMap
+    for ((pid, pv) <- Seq(3L -> probe3, 7L -> probe)) {
+      val single = VectorOps.pqSearch(codes, books, pv, m, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(many(pid) == single,
+        s"batched ADC diverged for pid=$pid:\n${many(pid)}\n$single")
+    }
+    // plan gate: the per-pid ranking compiles through the native
+    // grouped top-k (rank column dropped ⇒ rewrite fires), not a
+    // per-pid window sort
+    val manyPlan = manyDf.queryExecution.executedPlan.toString
+    assert(manyPlan.contains("TopKPerKey"), manyPlan)
     // recall sweep laws
     val cents = VectorOps.trainIvfCentroids(emb, k = 8)
     val nB = cents.count().toInt
