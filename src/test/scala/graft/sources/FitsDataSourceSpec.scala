@@ -158,6 +158,16 @@ class FitsDataSourceSpec extends AnyFunSuite {
     assert(headerRun.count() == 5, "embedded-canonical name wrongly pruned")
     assert(headerRun.select("camcol").distinct().as[Int].collect().toSeq
       == Seq(5))
+    // an Int-overflowing run numeral in a canonical-looking name must
+    // neither crash the listing nor be pruned (header decides: run 5200)
+    graft.pipeline.FitsFixtures.writeFrame(
+      d2.resolve("frame-r-12345678901-6-0001.fits").toString,
+      "r", 5200, 6, 3, 512, 372, 43.0, -10.0)
+    val big = spark.read.format(Fmt)
+      .option("kind", "images").option("ccdConfig", cfg).load(d2.toString)
+      .filter($"run" === 5200)
+    assert(big.select("camcol").distinct().as[Int].collect().sorted.toSeq
+      == Seq(3, 4, 6), "oversized numeral crashed or pruned the listing")
   }
 
   test("runDirLayout skips sibling run subtrees at listing time") {

@@ -211,6 +211,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(tags == Seq("compacted-1"), tags.toString)
     assert(spark.read.parquet(s"$store/sigs")
       .filter($"doc_id" === 3L).select($"rep").as[Long].head() == 0L)
+    // crash-recovery convergence: simulate a compaction that died after
+    // deleting only the SIGS side's old tag — the done-check reads both
+    // sides, so a re-run must fold the orphaned bands tag away
+    DocumentStream.nearDupDedupBatch(
+      Seq((60L, (0 until 150).map(i => s"n$i").mkString(" ")))
+        .toDF("doc_id", "text"), store, 0.8, Some("batch_3"))
+    graft.operators.TextOps.deleteRecursively(
+      java.nio.file.Paths.get(s"$store/sigs/btag=batch_3"))
+    assert(new java.io.File(s"$store/bands/btag=batch_3").exists())
+    DocumentStream.compactSigStore(spark, store)
+    assert(!new java.io.File(s"$store/bands/btag=batch_3").exists())
+    val tags2 = spark.read.parquet(s"$store/bands")
+      .select($"btag").distinct().as[String].collect().toSeq
+    assert(tags2 == Seq("compacted-2"), tags2.toString)
     graft.operators.TextOps.deleteRecursively(base)
   }
 
