@@ -199,6 +199,9 @@ object SparkEntry {
     // leakage-safe split: near-dup clusters co-assign via their q51
     // representative, LCG-hashed into 90/5/5
     "q131_leakage_safe_split" -> (TextOps.q131LeakageSafeSplit _),
+    // perplexity-proxy filter: corpus-trained bigram LM, integer-log2
+    // surprise bits (the q84 exactness discipline)
+    "q132_bigram_surprise" -> (CurationOps.q132BigramSurprise _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

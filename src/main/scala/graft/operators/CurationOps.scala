@@ -150,6 +150,50 @@ object CurationOps {
         expr("(sum_l2 * 1000000) div n_tok").as("score_ppm"))
   }
 
+  /** Bigram-LM surprise score — the perplexity-proxy quality filter
+    * (a KenLM-style LM score without a model artifact): train add-one-
+    * smoothed bigram statistics ON the corpus itself, then score each
+    * document by its mean per-bigram surprise in whole bits,
+    * `⌊log₂(c(w₁·)+V)⌋ − ⌊log₂(c(w₁w₂)+1)⌋` — the q84 integer-log₂
+    * discipline, so the cross-engine gate is exact (float log₂ ulps
+    * between libms would flip floors). High score = improbable text
+    * under the corpus LM = the boilerplate/garbled tail a perplexity
+    * filter drops; top-20 most-surprising reported. Plan: one bigram
+    * explode feeding both count tables and the score join — two
+    * key-partitioned shuffles ((w₁,w₂) then w₁) + one doc groupBy +
+    * TakeOrderedAndProject; never doc-pairs, vocab tables stay on the
+    * shuffle key. Documents under 2 tokens have no bigrams and drop
+    * out (no LM evidence either way). */
+  def q132BigramSurprise(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val bg = docs
+      .filter(size(toks($"text")) >= 2)
+      .select($"doc_id",
+        explode(element_at(transform(array(toks($"text")), t =>
+          transform(sequence(lit(1), size(t) - 1),
+            i => struct(
+              element_at(t, i).as("w1"),
+              element_at(t, i + 1).as("w2")))), 1)).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+      .repartition($"w1", $"w2") // one exchange reused by cb AND the score join
+    val cb = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy($"w1").agg(count(lit(1)).as("cu"))
+    val v = docs.select(explode(toks($"text")).as("w"))
+      .agg(countDistinct($"w").as("v"))
+    val bits =
+      (length(bin($"cu" + $"v")) - 1) - (length(bin($"cb" + 1)) - 1)
+    bg.join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select($"doc_id", bits.cast("long").as("bits"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"bits").as("sum_bits"))
+      .select($"doc_id", $"n_bigrams",
+        expr("(sum_bits * 1000000) div n_bigrams").as("score_ppm"))
+      .orderBy($"score_ppm".desc, $"doc_id")
+      .limit(20)
+  }
+
   // ---------------------------------------------------------------- q85
 
   /** Fixed-point BM25 top-k retrieval (k1 = 1.2, b = 0.75). The whole
@@ -356,6 +400,25 @@ object CurationOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // parallel unnests zip positionally in DuckDB — w1/w2 stay aligned
+    "q132_bigram_surprise" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |bg AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(tk)-1), i -> tk[i])) AS w1,
+        |  unnest(list_transform(generate_series(1, len(tk)-1), i -> tk[i+1])) AS w2
+        |  FROM t WHERE len(tk) >= 2),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1,2),
+        |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM
+        |  (SELECT unnest(string_split(text,' ')) AS w FROM documents)),
+        |sc AS (SELECT doc_id,
+        |  (length(format('{:b}', cu.cu + v.v)) - 1)
+        |    - (length(format('{:b}', cb.cb + 1)) - 1) AS bits
+        |  FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST((sum(bits) * 1000000) // count(*) AS BIGINT) AS score_ppm
+        |FROM sc GROUP BY 1
+        |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin,
     "q129_epoch_shuffle" ->
       """WITH k AS (SELECT doc_id, unnest([CAST(0 AS BIGINT), 1]) AS epoch
         |  FROM documents),
