@@ -176,8 +176,13 @@ object CurationOps {
               element_at(t, i + 1).as("w2")))), 1)).as("b"))
       .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
       .repartition($"w1", $"w2") // one exchange reused by cb AND the score join
-    val cb = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
-    val cu = bg.groupBy($"w1").agg(count(lit(1)).as("cu"))
+    // count(doc_id), not count(*): the aggregates must keep doc_id in
+    // their pruned schema or Catalyst specializes each consumer's
+    // subtree and ReuseExchange can't fire — the corpus would be
+    // exploded into bigrams once PER consumer (plan-gated in
+    // CurationOpsSpec; doc_id is non-null, so the counts are identical)
+    val cb = bg.groupBy($"w1", $"w2").agg(count($"doc_id").as("cb"))
+    val cu = bg.groupBy($"w1").agg(count($"doc_id").as("cu"))
     val v = docs.select(explode(toks($"text")).as("w"))
       .agg(countDistinct($"w").as("v"))
     val bits =

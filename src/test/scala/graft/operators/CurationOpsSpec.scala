@@ -264,4 +264,17 @@ class CurationOpsSpec extends AnyFunSuite {
       .collect().map(_.getSeq[String](1))
     assert(fps.length == 2 && fps(0) == fps(1))
   }
+
+  test("q132: the bigram exchange is computed once and reused (no re-explode)") {
+    val df = CurationOps.q132BigramSurprise(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the repartition on (w1, w2) feeds the bigram-count aggregate AND
+    // the score join from ONE materialization — the corpus is exploded
+    // into bigrams exactly once
+    assert(p.contains("ReusedExchange"), p)
+    // per-document ranking must not devolve into a global sort: the
+    // top-20 is a TakeOrderedAndProject
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
