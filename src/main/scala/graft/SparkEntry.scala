@@ -202,6 +202,9 @@ object SparkEntry {
     // perplexity-proxy filter: corpus-trained bigram LM, integer-log2
     // surprise bits (the q84 exactness discipline)
     "q132_bigram_surprise" -> (CurationOps.q132BigramSurprise _),
+    // compaction neutrality: the q124 flow with a store compaction
+    // between the batches — identical twin, identical result
+    "q133_compacted_stream_dedup" -> (TextOps.q133CompactedStreamDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -942,6 +942,34 @@ object TextOps {
     } finally deleteRecursively(tmp)
   }
 
+  /** COMPACTION NEUTRALITY through the oracle gate: the exact q124
+    * two-batch flow, but the signature store is COMPACTED between the
+    * batches — reps are immutable, so folding the per-batch partitions
+    * into one consolidated tag must not change a single survivor, and
+    * the oracle is therefore q124's two-phase twin verbatim. This puts
+    * [[graft.streaming.DocumentStream.compactSigStore]]'s core
+    * invariant (layout convergence, never a semantic change) behind the
+    * cross-engine hash gate, not just StreamingSpec. */
+  def q133CompactedStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DocumentStream
+    val docs = load(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q133")
+    try {
+      val store = s"$tmp/sigs"
+      val s0 = DocumentStream.nearDupDedupBatch(
+        docs.filter($"doc_id" % 2 === 0), store, 0.8, Some("batch_0"),
+        allowLossy = true)
+      DocumentStream.compactSigStore(s, store)
+      val s1 = DocumentStream.nearDupDedupBatch(
+        docs.filter($"doc_id" % 2 === 1), store, 0.8, Some("batch_1"),
+        allowLossy = true)
+      val drops = dropsTotal(s, store)
+      s0.unionByName(s1)
+        .groupBy($"source").agg(count(lit(1)).as("n_survivors"))
+        .withColumn("n_capped_pairs", lit(drops))
+    } finally deleteRecursively(tmp)
+  }
+
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
@@ -1411,6 +1439,9 @@ object TextOps {
       .filter($"n_docs" >= 2)
 
   val oracles: Map[String, String] = Map(
+    // compaction neutrality: same twin as q124 — folding the store's
+    // batch partitions between the two batches must change NOTHING
+    "q133_compacted_stream_dedup" -> TwoPhaseStreamingTwinSql,
     // q73 reuses q51's recursive-CTE clustering, joined to documents for
     // the quality-argmax; the composite key n_chars·10⁷ + doc_id is the
     // same exact-integer tie-break on both engines.
@@ -1725,7 +1756,13 @@ object TextOps {
         |FROM b GROUP BY 1,2""".stripMargin,
     // exact two-phase streaming twin — see q124StreamDedupMultiBatch's
     // scaladoc for why this is NOT the plain union cluster-min
-    "q124_stream_dedup_multibatch" ->
+    "q124_stream_dedup_multibatch" -> TwoPhaseStreamingTwinSql,
+  ) ++ extraOracles
+
+  /** The q124/q133 oracle — the exact two-phase twin of the streaming
+    * dedup algorithm over the deterministic even/odd batch split.
+    * (`lazy`: the `oracles` map above reads it during object init.) */
+  private lazy val TwoPhaseStreamingTwinSql: String =
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
         |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
@@ -1773,7 +1810,10 @@ object TextOps {
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM drop1)
         |  AND d.doc_id NOT IN (SELECT id FROM drop2)
-        |GROUP BY 1""".stripMargin,
+        |GROUP BY 1""".stripMargin
+
+  // lazy: the `oracles` map above concatenates this during object init
+  private lazy val extraOracles: Map[String, String] = Map(
     "q51_dedup_clusters" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
