@@ -229,15 +229,16 @@ object TextOps {
     * (band, bkey) bucket. Carries ids only. Package-visible so the
     * streaming signature store can persist the banding
     * ([[graft.streaming.DocumentStream]]). */
-  private[graft] def bandFrame(sigs: DataFrame): DataFrame =
-    sigs.select(
-      $"doc_id",
+  private[graft] def bandFrame(sigs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val keep = $"doc_id" +: carry.map(col)
+    sigs.select(keep :+
       explode(array((0 until LshBands).map { b =>
         struct(lit(b).as("band"),
           xxhash64((b * LshRows until (b + 1) * LshRows)
             .map(i => col(s"m$i")): _*).as("bkey"))
-      }: _*)).as("bb"))
-      .select($"doc_id", col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      }: _*)).as("bb"): _*)
+      .select(keep ++ Seq(col("bb.band").as("band"), col("bb.bkey").as("bkey")): _*)
+  }
 
   /** Exact-Jaccard verify of candidate pairs against the signature
     * frame's shingle sets. `sh_set` is sorted ([[signatureFrame]]), so
@@ -450,6 +451,10 @@ object TextOps {
     // executes fully even under incremental limit execution). The old
     // shape — cache + count + collect — materialized the whole LSH
     // pipeline twice and paid the cache write; measured ~2× slower.
+    // NOTE: a localCheckpoint+count probe (the clusterMembersFromPairs
+    // shape) does NOT work here — the checkpoint truncates the plan, so
+    // the count's execution no longer contains the observe node and the
+    // cap gate never completes (AnnSpec's refusal test catches this).
     val es = verified.limit((maxLocalEdges + 1).min(Int.MaxValue.toLong).toInt)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val nCapped = Option(obs.get("n_capped")).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
@@ -496,18 +501,22 @@ object TextOps {
     * above. Labels are the component min id. */
   def clusterMembersFromPairs(
       pairs: DataFrame, maxLocalEdges: Long = 1000000L): DataFrame = {
-    val es = pairs.limit((maxLocalEdges + 1).min(Int.MaxValue.toLong).toInt)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    if (es.length <= maxLocalEdges) localClusters(pairs.sparkSession, es)
-    else {
-      // big-graph path: cache before the solve so the contraction's
-      // round-0 checkpoint doesn't re-run the (expensive) pair pipeline
-      // the bounded collect just evaluated (dedupClusterMembers' rule)
-      val cached = pairs.cache()
-      val out = distributedClusters(cached)
-      cached.unpersist() // out reads the round-0 localCheckpoint
-      out
-    }
+    // pin then count: a limit(n+1).collect() here would go through
+    // executeTake's ESCALATING partition scans (1, 4, 16… partitions —
+    // one driver-scheduled job each when the edge count never reaches
+    // the limit, which is the common case), so the strategy probe is a
+    // lazy localCheckpoint materialized by ONE full count, and the
+    // local-path collect then reads the pinned blocks for free. The
+    // count also forces any in-plan degree-guard refusal
+    // ([[guardCandidates]]) deterministically before callers touch
+    // their stores. Driver memory stays bounded: the collect only runs
+    // when the counted edge set fits `maxLocalEdges`.
+    val pinned = pairs.localCheckpoint(false)
+    val n = pinned.count()
+    if (n <= maxLocalEdges)
+      localClusters(pinned.sparkSession,
+        pinned.collect().map(r => (r.getLong(0), r.getLong(1))))
+    else distributedClusters(pinned) // round-0 checkpoint reads pinned blocks
   }
 
   /** Driver union-find with path compression (the sub-`maxLocalEdges`
@@ -942,29 +951,45 @@ object TextOps {
     } finally deleteRecursively(tmp)
   }
 
-  /** COMPACTION NEUTRALITY through the oracle gate: the exact q124
-    * two-batch flow, but the signature store is COMPACTED between the
-    * batches — reps are immutable, so folding the per-batch partitions
-    * into one consolidated tag must not change a single survivor, and
-    * the oracle is therefore q124's two-phase twin verbatim. This puts
-    * [[graft.streaming.DocumentStream.compactSigStore]]'s core
-    * invariant (layout convergence, never a semantic change) behind the
-    * cross-engine hash gate, not just StreamingSpec. */
+  /** COMPACTION NEUTRALITY through the oracle gate: three micro-batches
+    * (doc_id % 4 == 0, then % 4 == 2, then the odds) flow through the
+    * signature store, and the store is COMPACTED between the second and
+    * third — the store holds TWO live tags at that point, so
+    * [[graft.streaming.DocumentStream.compactSigStore]] genuinely
+    * consolidates (an earlier shape compacted after a single batch_0
+    * tag, which early-returns — a vacuous gate), and the query ASSERTS
+    * the consolidated tag exists before batch 1 runs, so a silent
+    * compaction no-op fails loudly instead of degenerating back into
+    * q124. Reps are immutable, so the consolidation must not change a
+    * single survivor; the oracle is the exact THREE-phase twin of the
+    * streaming algorithm (phase A = components over %4==0 pairs; phase
+    * B = %4==2 docs probed against stored evens, representative = min
+    * stored phase-A rep when the component has one, else min new id;
+    * phase C = the odds likewise against all stored evens). */
   def q133CompactedStreamDedup(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.DocumentStream
     val docs = load(s, dir, "documents")
     val tmp = java.nio.file.Files.createTempDirectory("graft-q133")
     try {
       val store = s"$tmp/sigs"
-      val s0 = DocumentStream.nearDupDedupBatch(
-        docs.filter($"doc_id" % 2 === 0), store, 0.8, Some("batch_0"),
+      val s0a = DocumentStream.nearDupDedupBatch(
+        docs.filter($"doc_id" % 4 === 0), store, 0.8, Some("batch_0a"),
+        allowLossy = true)
+      val s0b = DocumentStream.nearDupDedupBatch(
+        docs.filter($"doc_id" % 4 === 2), store, 0.8, Some("batch_0b"),
         allowLossy = true)
       DocumentStream.compactSigStore(s, store)
+      val tags = DocumentStream.storeTags(s, store)
+      if (!(tags.lengthIs == 1 && tags.head.matches(raw"compacted-\d+")))
+        throw new IllegalStateException(
+          s"q133 gate: expected exactly one compacted-N tag after " +
+            s"mid-stream compaction, store holds [${tags.mkString(", ")}] " +
+            "— compactSigStore silently no-opped")
       val s1 = DocumentStream.nearDupDedupBatch(
         docs.filter($"doc_id" % 2 === 1), store, 0.8, Some("batch_1"),
         allowLossy = true)
       val drops = dropsTotal(s, store)
-      s0.unionByName(s1)
+      s0a.unionByName(s0b).unionByName(s1)
         .groupBy($"source").agg(count(lit(1)).as("n_survivors"))
         .withColumn("n_capped_pairs", lit(drops))
     } finally deleteRecursively(tmp)
@@ -1439,9 +1464,10 @@ object TextOps {
       .filter($"n_docs" >= 2)
 
   val oracles: Map[String, String] = Map(
-    // compaction neutrality: same twin as q124 — folding the store's
-    // batch partitions between the two batches must change NOTHING
-    "q133_compacted_stream_dedup" -> TwoPhaseStreamingTwinSql,
+    // compaction neutrality: the three-phase twin — folding the store's
+    // two batch partitions mid-stream must change NOTHING vs the plain
+    // three-batch replay
+    "q133_compacted_stream_dedup" -> ThreePhaseStreamingTwinSql,
     // q73 reuses q51's recursive-CTE clustering, joined to documents for
     // the quality-argmax; the composite key n_chars·10⁷ + doc_id is the
     // same exact-integer tie-break on both engines.
@@ -1810,6 +1836,93 @@ object TextOps {
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM drop1)
         |  AND d.doc_id NOT IN (SELECT id FROM drop2)
+        |GROUP BY 1""".stripMargin
+
+  /** q133's oracle: the exact THREE-phase twin of the streaming
+    * algorithm with batches A = doc_id%4==0, B = doc_id%4==2, C = odds.
+    * Phase A is a plain cluster-min over A-A pairs; phases B and C each
+    * model the incremental probe — components over the verified pairs
+    * touching at least one batch doc (the other endpoint anywhere in
+    * store ∪ batch), representative = min STORED rep when the component
+    * has a stored member (survivor stability), else min new id. The
+    * store's rep map after B is phase-A reps for A docs and phase-B
+    * final reps for B docs — exactly what batch C's candidates inherit
+    * transitively. Compaction between B and C must not perturb any of
+    * this, which is the gated invariant. */
+  private lazy val ThreePhaseStreamingTwinSql: String =
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
+        |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT da, db FROM p
+        |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.8),
+        |ea AS (SELECT da AS src, db AS dst FROM pairs
+        |    WHERE da % 4 = 0 AND db % 4 = 0
+        |  UNION ALL SELECT db, da FROM pairs WHERE da % 4 = 0 AND db % 4 = 0),
+        |na AS (SELECT DISTINCT src AS id FROM ea)
+        |, cca AS (
+        |  WITH RECURSIVE ra(id, lbl) AS (
+        |    SELECT id, id FROM na
+        |    UNION
+        |    SELECT e.dst, ra.lbl FROM ra JOIN ea e ON ra.id = e.src)
+        |  SELECT id, min(lbl) AS label FROM ra GROUP BY 1),
+        |repa AS (SELECT d.doc_id, coalesce(c.label, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN cca c ON c.id = d.doc_id
+        |  WHERE d.doc_id % 4 = 0),
+        |eb AS (SELECT da AS src, db AS dst FROM pairs
+        |    WHERE da % 2 = 0 AND db % 2 = 0 AND (da % 4 = 2 OR db % 4 = 2)
+        |  UNION ALL SELECT db, da FROM pairs
+        |    WHERE da % 2 = 0 AND db % 2 = 0 AND (da % 4 = 2 OR db % 4 = 2)),
+        |nb AS (SELECT DISTINCT src AS id FROM eb)
+        |, ccb AS (
+        |  WITH RECURSIVE rb(id, lbl) AS (
+        |    SELECT id, id FROM nb
+        |    UNION
+        |    SELECT e.dst, rb.lbl FROM rb JOIN eb e ON rb.id = e.src)
+        |  SELECT id, min(lbl) AS label FROM rb GROUP BY 1),
+        |mb AS (SELECT c.label, c.id, r.rep AS stored_rep
+        |  FROM ccb c LEFT JOIN repa r ON r.doc_id = c.id),
+        |fb AS (SELECT label, coalesce(min(stored_rep), min(id)) AS final_rep
+        |  FROM mb GROUP BY 1),
+        |repstore AS (SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 4 = 0 THEN ra.rep
+        |       ELSE coalesce(bf.final_rep, d.doc_id) END AS rep
+        |  FROM documents d
+        |  LEFT JOIN repa ra ON ra.doc_id = d.doc_id
+        |  LEFT JOIN (SELECT m.id, f.final_rep FROM mb m
+        |    JOIN fb f ON f.label = m.label) bf ON bf.id = d.doc_id
+        |  WHERE d.doc_id % 2 = 0),
+        |ec AS (SELECT da AS src, db AS dst FROM pairs
+        |    WHERE da % 2 = 1 OR db % 2 = 1
+        |  UNION ALL SELECT db, da FROM pairs WHERE da % 2 = 1 OR db % 2 = 1),
+        |nc AS (SELECT DISTINCT src AS id FROM ec)
+        |, ccc AS (
+        |  WITH RECURSIVE rc(id, lbl) AS (
+        |    SELECT id, id FROM nc
+        |    UNION
+        |    SELECT e.dst, rc.lbl FROM rc JOIN ec e ON rc.id = e.src)
+        |  SELECT id, min(lbl) AS label FROM rc GROUP BY 1),
+        |mc AS (SELECT c.label, c.id, r.rep AS stored_rep
+        |  FROM ccc c LEFT JOIN repstore r ON r.doc_id = c.id),
+        |fc AS (SELECT label, coalesce(min(stored_rep), min(id)) AS final_rep
+        |  FROM mc GROUP BY 1),
+        |dropa AS (SELECT id FROM cca WHERE id != label),
+        |dropb AS (SELECT m.id FROM mb m JOIN fb ON fb.label = m.label
+        |  WHERE m.id % 4 = 2 AND m.id != fb.final_rep),
+        |dropc AS (SELECT m.id FROM mc m JOIN fc ON fc.label = m.label
+        |  WHERE m.id % 2 = 1 AND m.id != fc.final_rep)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_survivors,
+        |CAST(0 AS BIGINT) AS n_capped_pairs
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM dropa)
+        |  AND d.doc_id NOT IN (SELECT id FROM dropb)
+        |  AND d.doc_id NOT IN (SELECT id FROM dropc)
         |GROUP BY 1""".stripMargin
 
   // lazy: the `oracles` map above concatenates this during object init

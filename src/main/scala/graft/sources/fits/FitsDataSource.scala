@@ -176,6 +176,7 @@ class FitsScanBuilder(path: String, glob: String, zoomCnt: Int, listPar: Int)
 
   private var required: StructType = FitsDataSource.Schema
   private var zoomEq: Option[Int] = None
+  private var prune: SpecPrune = SpecPrune.none
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -185,34 +186,68 @@ class FitsScanBuilder(path: String, glob: String, zoomCnt: Int, listPar: Int)
       case EqualTo("zoom", v: Int) => v
       case EqualTo("zoom", v: Integer) => v.intValue
     }
-    filters // everything stays residual: the zoom skip is an optimization
+    // plate/mjd/fiber equalities prune the LISTING (the canonical
+    // spec-PLATE-MJD-FIBER filename determines them — the FramePrune
+    // discipline on the spectrum side); everything stays residual, so
+    // the pruning is an optimization, never a semantic change
+    def longEq(col: String): Option[Long] = filters.collectFirst {
+      case EqualTo(`col`, v: Long) => v
+      case EqualTo(`col`, v: java.lang.Long) => v.longValue
+      case EqualTo(`col`, v: Int) => v.toLong
+      case EqualTo(`col`, v: Integer) => v.longValue
+    }
+    val fiberEq = filters.collectFirst {
+      case EqualTo("fiberid", v: Int) => v
+      case EqualTo("fiberid", v: Integer) => v.intValue
+    }
+    prune = SpecPrune(longEq("plateid"), longEq("mjd"), fiberEq)
+    filters // everything stays residual: the skips are optimizations
   }
   override def pushedFilters(): Array[Filter] = Array.empty
 
   override def build(): Scan =
     new FitsScan(path, glob, zoomCnt, required, zoomEq,
-      SerializableHadoopConf.fromSession(), listPar)
+      SerializableHadoopConf.fromSession(), listPar, prune)
 }
 
 class FitsScan(
     path: String, glob: String, zoomCnt: Int,
     required: StructType, zoomEq: Option[Int],
-    hconf: SerializableHadoopConf, listPar: Int) extends Scan with Batch {
+    hconf: SerializableHadoopConf, listPar: Int,
+    prune: SpecPrune = SpecPrune.none) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft.fits $path glob=$glob zoomCnt=$zoomCnt cols=${required.fieldNames.mkString(",")}"
+    s"graft.fits $path glob=$glob zoomCnt=$zoomCnt cols=${required.fieldNames.mkString(",")}" +
+      (if (prune.isEmpty) "" else s" prune=$prune")
 
   override def planInputPartitions(): Array[InputPartition] =
-    if (listPar > 0) FitsFiles.listDistributed(path, glob, hconf, listPar)
-    else FitsFiles.list(path, glob, hconf.value)
+    if (listPar > 0) FitsFiles.listDistributed(path, glob, hconf, listPar, prune)
+    else FitsFiles.list(path, glob, hconf.value, prune)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FitsReaderFactory(zoomCnt, required, zoomEq, hconf)
 }
 
 case class FitsInputPartition(file: String) extends InputPartition
+
+/** Filename-driven listing-time pruning contract shared by the frame
+  * and spectrum scans: `keepFile` decides from the NAME alone whether a
+  * file can possibly satisfy the pushed equality filters (always keep
+  * on any parse doubt — pruning is an optimization, never a semantic
+  * change; every filter stays residual), `keepTopDir` optionally skips
+  * whole top-level subtrees under a declared directory layout.
+  * Serializable: captured by the distributed-listing closure. */
+sealed trait NamePrune extends Serializable {
+  def isEmpty: Boolean
+  def keepFile(name: String): Boolean
+  def keepTopDir(name: String): Boolean
+}
+
+object NamePrune {
+  val none: NamePrune = FramePrune.none
+}
 
 /** Equality pushdown → LISTING-time pruning for SDSS frame scans: a
   * canonical `frame-<band>-<run6>-<camcol>-<field4>` filename fully
@@ -232,7 +267,7 @@ case class FitsInputPartition(file: String) extends InputPartition
   * assertion the source cannot verify. */
 case class FramePrune(
     band: Option[String], run: Option[Int], camcol: Option[Int],
-    field: Option[Int], runDirs: Boolean) extends Serializable {
+    field: Option[Int], runDirs: Boolean) extends NamePrune {
   def isEmpty: Boolean =
     band.isEmpty && run.isEmpty && camcol.isEmpty && field.isEmpty
   // anchored to the name START: a non-canonical name merely CONTAINING
@@ -265,6 +300,40 @@ object FramePrune {
   val none: FramePrune = FramePrune(None, None, None, None, runDirs = false)
 }
 
+/** The spectrum-side [[FramePrune]] analogue: a canonical
+  * `spec-<plate4>-<mjd>-<fiber4>` filename fully determines the
+  * plateid/mjd/fiberid columns (`Ingest.spectra` parses the same name;
+  * reference `metadata_strategy_spectrum.py` keys spectra by exactly
+  * this triple), so plate/mjd/fiber EQUALITY filters prune the spectra
+  * listing before any byte is read. Same never-crash rules: the regex
+  * is ANCHORED to the name start, a non-canonical name is always kept
+  * (its metadata comes from the FITS header and the residual filter
+  * re-checks every row), and a numeral that overflows Long is kept for
+  * the residual to decide. No top-dir skip: the standard spectra
+  * layout is flat (or plate-sharded, which the recursive walk handles
+  * without a layout assertion). */
+case class SpecPrune(
+    plate: Option[Long], mjd: Option[Long], fiber: Option[Int])
+    extends NamePrune {
+  def isEmpty: Boolean = plate.isEmpty && mjd.isEmpty && fiber.isEmpty
+  @transient private lazy val Re = raw"^spec-(\d+)-(\d+)-(\d+)\.".r
+  private def longVal(s: String): Option[Long] =
+    scala.util.Try(s.toLong).toOption
+  def keepFile(name: String): Boolean =
+    isEmpty || (Re.findFirstMatchIn(name) match {
+      case Some(m) =>
+        plate.forall(p => longVal(m.group(1)).forall(_ == p)) &&
+          mjd.forall(d => longVal(m.group(2)).forall(_ == d)) &&
+          fiber.forall(f => longVal(m.group(3)).forall(_ == f.toLong))
+      case None => true // header-described file — residual filter decides
+    })
+  def keepTopDir(name: String): Boolean = true
+}
+
+object SpecPrune {
+  val none: SpecPrune = SpecPrune(None, None, None)
+}
+
 /** File discovery → one partition per matching file. Driver-side
   * recursive walk by default; `listParallelism = N` fans the recursive
   * walk of each top-level subdirectory out across the cluster (one
@@ -283,7 +352,7 @@ object FitsFiles {
 
   def list(
       path: String, glob: String, conf: Configuration,
-      prune: FramePrune = FramePrune.none): Array[InputPartition] = {
+      prune: NamePrune = NamePrune.none): Array[InputPartition] = {
     val fs = new Path(path).getFileSystem(conf)
     val matches = globMatcher(glob)
     val out = Array.newBuilder[InputPartition]
@@ -296,7 +365,11 @@ object FitsFiles {
           out += FitsInputPartition(st.getPath.toString)
       }
     }
-    if (prune.runDirs && prune.run.isDefined) {
+    val runDirSkip = prune match {
+      case fp: FramePrune => fp.runDirs && fp.run.isDefined
+      case _ => false
+    }
+    if (runDirSkip) {
       // run-dir layout declared: skip sibling run subtrees entirely
       fs.listStatus(new Path(path)).foreach { st =>
         val name = st.getPath.getName
@@ -312,7 +385,7 @@ object FitsFiles {
   def listDistributed(
       path: String, glob: String,
       hconf: SerializableHadoopConf, parallelism: Int,
-      prune: FramePrune = FramePrune.none): Array[InputPartition] = {
+      prune: NamePrune = NamePrune.none): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val fs = new Path(path).getFileSystem(hconf.value)
     // one driver round-trip for the top level; subtrees walk on executors

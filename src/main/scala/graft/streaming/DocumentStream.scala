@@ -45,11 +45,26 @@ object DocumentStream {
   private def pdocCol = pmod(xxhash64(col("doc_id")), lit(SigBuckets.toLong))
     .cast("int")
 
-  /** Band rows of a signature frame with the store's partition bucket. */
-  private[graft] def bucketedBands(sigs: DataFrame): DataFrame =
-    graft.operators.TextOps.bandFrame(sigs)
+  /** Band rows of a signature frame with the store's partition bucket;
+    * `carry` columns ride along per band row (the store writes carry
+    * `rep`/`pdoc` so one sigs-side join serves both store sides). */
+  private[graft] def bucketedBands(sigs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    graft.operators.TextOps.bandFrame(sigs, carry)
       .withColumn("pbucket",
         pmod(xxhash64(col("bkey")), lit(BandBuckets.toLong)).cast("int"))
+
+  /** The store's band side as a frame, or None when no store exists
+    * yet. ONLY a missing path means "no store yet" — any other analysis
+    * failure (schema corruption, an incompatible legacy layout under
+    * the same root) must propagate: silently treating it as a fresh
+    * store would forget all dedup history and re-admit duplicates. */
+  private def storeBandsFrame(
+      spark: SparkSession, sigStore: String): Option[DataFrame] =
+    try Some(spark.read.parquet(s"$sigStore/bands"))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => None
+    }
 
   /** The store's band index read PRUNED to the probe's buckets — the
     * scan carries a partition filter on `band` (a directory column) and
@@ -65,17 +80,7 @@ object DocumentStream {
       spark: SparkSession, sigStore: String,
       buckets: Seq[(Int, Int)]): Option[DataFrame] = {
     if (buckets.isEmpty) return None
-    val bands =
-      // ONLY a missing path means "no store yet" — any other analysis
-      // failure (schema corruption, an incompatible legacy layout under
-      // the same root) must propagate: silently treating it as a fresh
-      // store would forget all dedup history and re-admit duplicates
-      try Some(spark.read.parquet(s"$sigStore/bands"))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" => None
-      }
-    bands.map { b =>
+    storeBandsFrame(spark, sigStore).map { b =>
       val exact = buckets.map { case (band, pb) =>
         col("band") === lit(band) && col("pbucket") === lit(pb)
       }.reduce(_ || _)
@@ -99,19 +104,35 @@ object DocumentStream {
     * (dirs × files): a (band, pbucket) directory scheme costs ~256
     * writer opens per micro-batch (measured 3.5 s at sf0.1 — it
     * dominated the batch), while dirs-by-band + sorted pbucket costs
-    * ~4 with the SAME skip behavior; AQE sizes the file count with the
-    * data, so big batches still fan out. */
+    * ~4 with the SAME skip behavior.
+    *
+    * Range layout WITHOUT the sampling pass: the bucket domain is known
+    * statically (`band` < [[graft.operators.TextOps.LshBands]], `pbucket`
+    * < [[BandBuckets]], `pdoc` < [[SigBuckets]]), so instead of
+    * `repartitionByRange` — whose RangePartitioner runs a whole extra
+    * sampling JOB over the frame per write, two per batch — the rows
+    * hash-partition on a derived contiguous CHUNK of the key space
+    * (`chunkExpr`). Every chunk lands wholly in one task, each file
+    * covers 1–2 chunks and is sorted inside, so file- and row-group-level
+    * min/max bounds stay as tight as true range partitioning while the
+    * write is a single shuffle with no sampling prepass. `nChunks` bounds
+    * write parallelism; at bigger batch sizes each task still fans its
+    * chunk into multiple files via maxRecordsPerFile-style configs. */
   private def writeStorePart(
       df: DataFrame, path: String, tag: Option[String],
-      dirCols: Seq[String], sortCols: Seq[String]): Unit = {
+      dirCols: Seq[String], sortCols: Seq[String],
+      chunkExpr: Option[org.apache.spark.sql.Column] = None,
+      nChunks: Int = 32): Unit = {
     val tagged = df.withColumn("btag", lit(tag.getOrElse("adhoc")))
     val cols = "btag" +: dirCols
-    val ranged =
-      if (dirCols.isEmpty && sortCols.isEmpty) tagged.coalesce(1)
-      else tagged.repartitionByRange((dirCols ++ sortCols).map(col): _*)
+    val ranged = chunkExpr match {
+      case Some(ch) => tagged.repartition(nChunks, ch)
+      case None if dirCols.isEmpty && sortCols.isEmpty => tagged.coalesce(1)
+      case None => tagged.repartitionByRange((dirCols ++ sortCols).map(col): _*)
+    }
     val sorted =
       if (sortCols.isEmpty) ranged
-      else ranged.sortWithinPartitions(sortCols.map(col): _*)
+      else ranged.sortWithinPartitions((dirCols ++ sortCols).map(col): _*)
     val w = sorted.write.partitionBy(cols: _*)
     tag match {
       case Some(_) => w.option("partitionOverwriteMode", "dynamic")
@@ -176,45 +197,62 @@ object DocumentStream {
       allowLossy: Boolean = false): DataFrame = {
     import graft.operators.TextOps
     val spark = batch.sparkSession
-    // batch-sized; checkpointed because it is consumed four times
-    val newSigs = TextOps.signatureFrame(batch).localCheckpoint()
-    // narrow projection over the checkpointed signatures — consumers
-    // recompute it for free, no checkpoint of its own
+    // batch-sized; consumed four times. LAZY localCheckpoint: the first
+    // action over it (bucket collect with a store, otherwise the drops
+    // write / member collect) materializes the blocks, so pinning the
+    // signatures costs no job of its own — and unlike Dataset.persist
+    // (columnar cache build, expensive for this wide frame of arrays +
+    // K hash columns; measured slower than the eager-checkpoint ladder
+    // it was meant to replace) the checkpoint stores raw row blocks and
+    // TRUNCATES lineage, so the store writes' recacheByPath can never
+    // invalidate-and-recompute it.
+    val newSigs = TextOps.signatureFrame(batch).localCheckpoint(false)
+    // narrow projection over the cached signatures — consumers
+    // recompute it for free
     val newBands = bucketedBands(newSigs)
-    // bounded collect: ≤ LshBands × BandBuckets distinct buckets
-    val buckets = newBands.select(col("band"), col("pbucket")).distinct()
-      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    // the batch's bucket footprint prunes the store scan — but on a
+    // FRESH store there is nothing to prune, so the collect (a whole
+    // distinct-shuffle action) only runs when a store exists. Bounded:
+    // ≤ LshBands × BandBuckets distinct buckets.
+    val buckets =
+      if (storeBandsFrame(spark, sigStore).isEmpty) Seq.empty[(Int, Int)]
+      else newBands.select(col("band"), col("pbucket")).distinct()
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
     // the pruned slice feeds BOTH the band probe and the rep/pdoc meta
-    // lookup — checkpoint so the store is scanned once per batch
+    // lookup — lazily checkpointed so the store is scanned once per
+    // batch (materialized by the pdoc collect below, no eager job)
     val storeBands = prunedStoreBands(spark, sigStore, buckets)
-      .map(_.localCheckpoint())
+      .map(_.localCheckpoint(false))
     val slim = (d: DataFrame) => d.select(col("doc_id"), col("band"), col("bkey"))
     val probe = storeBands match {
       case Some(sb) => slim(sb).unionByName(slim(newBands))
       case None => slim(newBands)
     }
-    // lossy mode materializes rn once (the guard and the drop stats both
-    // read it); strict mode has a single consumer, so it stays lazy
+    // lossy mode pins rn (the guard and the drop stats both read it;
+    // whichever action runs first materializes the blocks); strict mode
+    // has a single consumer, so it stays lazy
     val rnRaw = TextOps.bandCandidates(probe, slim(newBands))
-    val rnFrame = if (allowLossy) rnRaw.localCheckpoint() else rnRaw
+    val rnFrame = if (allowLossy) rnRaw.localCheckpoint(false) else rnRaw
     val (kept, nCapped) = TextOps.guardCandidates(rnFrame, maxCandidates, allowLossy)
     // with a store present, cand feeds BOTH the verify and the
-    // candidate-id pruning — checkpoint once; the checkpoint also forces
-    // the strict-mode refusal before any store write. First-batch case
-    // has a single consumer (verify), which itself materializes before
-    // the writes, so it stays lazy.
+    // candidate-id pruning — pin once; the pdoc collect below then
+    // forces the strict-mode refusal before any store write. First-batch
+    // case has a single consumer (verify), which itself materializes
+    // before the writes, so it stays lazy.
     val cand =
-      if (storeBands.isDefined) kept.localCheckpoint() else kept
-    if (allowLossy)
-      writeStorePart(nCapped, s"$sigStore/drops", batchTag, Seq.empty, Seq.empty)
+      if (storeBands.isDefined) kept.localCheckpoint(false) else kept
     // verify + rep lookup touch the store only through the candidate ids
     val candIds = cand
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
     val storeMeta = storeBands.map { sb =>
       sb.select(col("doc_id"), col("rep"), col("pdoc")).distinct()
-        .join(candIds, "doc_id").localCheckpoint()
+        .join(candIds, "doc_id").localCheckpoint(false)
     }
-    // bounded collect: ≤ SigBuckets distinct pdoc partitions
+    // bounded collect: ≤ SigBuckets distinct pdoc partitions — ONE job
+    // that materializes the pruned store scan, the guarded candidates,
+    // and the meta lookup together (was three eager-checkpoint jobs +
+    // a collect); the strict-mode raise_error fires here, before any
+    // store mutation
     val pdocs = storeMeta.toSeq
       .flatMap(_.select(col("pdoc")).distinct().collect().map(_.getInt(0)))
     val shCols = (d: DataFrame) => d.select(col("doc_id"), col("sh_set"))
@@ -242,22 +280,70 @@ object DocumentStream {
     val reps = r0.groupBy(col("cluster_id")).agg(
       coalesce(min(when(col("in_store"), col("r0"))), min(col("r0")))
         .as("final_rep"))
+    // assign is CHECKPOINTED (lazily — the sigs write is the action
+    // that materializes it), never cache-persisted, and that distinction
+    // is load-bearing: the store writes below trigger CacheManager
+    // recacheByPath over sigStore, which INVALIDATES every cached plan
+    // whose lineage reads the store (storeBands → cand → storeMeta →
+    // assign); a persisted assign would silently recompute AFTER the
+    // writes against the mutated store. Truncating the lineage here
+    // makes assign (and survivors) immune, and the frame is small —
+    // (doc_id, final_rep) for candidate docs only.
     val assign = r0.join(reps, "cluster_id")
       .select(col("doc_id"), col("final_rep"))
-      .localCheckpoint() // consumed by dupIds AND both store writes
+      .localCheckpoint(false) // consumed by dupIds AND both store writes
     val dupIds = assign.filter(col("doc_id") =!= col("final_rep"))
       .select(col("doc_id"))
     val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
-    val withRep = (d: DataFrame) => d
+    // ONE join SHAPE serves BOTH store sides: rep/pdoc attach to the
+    // one-row-per-doc signature frame (newSigs cached + assign cached
+    // and broadcast-small, so re-deriving it for the band side is two
+    // map-side stages over warm caches — cheaper than caching the wide
+    // repped frame a second time), and the band side carries rep/pdoc
+    // through the explode instead of joining the ×LshBands-wider rows
+    val reppedSigs = newSigs
       .join(assign, Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("final_rep"), col("doc_id")))
       .drop("final_rep")
-    writeStorePart(withRep(newSigs).withColumn("pdoc", pdocCol),
-      s"$sigStore/sigs", batchTag, Seq.empty, Seq("pdoc"))
-    writeStorePart(withRep(newBands).withColumn("pdoc", pdocCol),
-      s"$sigStore/bands", batchTag, Seq("band"), Seq("pbucket"))
+      .withColumn("pdoc", pdocCol)
+    // the three store outputs (sigs, bands, lossy drops accounting) are
+    // INDEPENDENT files over already-pinned inputs — launch them as
+    // concurrent jobs (Spark's scheduler interleaves them across the
+    // executor cores; each alone underfills the cluster with this
+    // layout's bounded task counts) instead of paying three sequential
+    // action round-trips. Shared upstream state is checkpoint-pinned
+    // (newSigs, assign, rnFrame), so a concurrent first-touch at worst
+    // computes a small frame twice — never against a mutated store.
+    // Failures propagate: every write is awaited before return, and a
+    // partial failure leaves the same state as a sequential one —
+    // tagged replays overwrite their own btag partitions idempotently.
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val writes = Seq(
+        Future(writeStorePart(reppedSigs,
+          s"$sigStore/sigs", batchTag, Seq.empty, Seq("pdoc"),
+          chunkExpr = Some(sigsChunk), nChunks = SigBuckets)),
+        Future(writeStorePart(
+          bucketedBands(reppedSigs, carry = Seq("rep", "pdoc")),
+          s"$sigStore/bands", batchTag, Seq("band"), Seq("pbucket"),
+          chunkExpr = Some(bandsChunk), nChunks = 32))) ++
+        (if (allowLossy) Seq(Future(writeStorePart(
+          nCapped, s"$sigStore/drops", batchTag, Seq.empty, Seq.empty)))
+         else Seq.empty)
+      writes.foreach(Await.result(_, Duration.Inf))
+    }
     survivors
   }
+
+  /** Static range chunks for the store writes (see [[writeStorePart]]):
+    * the key domains are known, so contiguous key chunks replace the
+    * RangePartitioner's sampling pass. */
+  private def sigsChunk = col("pdoc") // SigBuckets values → 1 bucket/chunk
+  private def bandsChunk = // (band, pbucket) space in 8-pbucket runs
+    (col("band") * lit(BandBuckets) + col("pbucket")).divide(lit(8))
+      .cast("int")
 
   /** Operational stats over the signature store: per batch tag, docs
     * written and duplicates resolved (rep ≠ self), with the store-wide
@@ -277,42 +363,84 @@ object DocumentStream {
     perTag.crossJoin(broadcast(hottest))
   }
 
+  /** The store's batch tags, discovered from FILESYSTEM METADATA alone
+    * — one directory listing per store side (`btag=` partition dirs),
+    * never a Spark scan of the data. Reads BOTH sides so a partially
+    * compacted store (a crash that consolidated only one side) still
+    * reports every live tag. Public: the compaction done-check, the
+    * q133 gate's compacted-tag assertion, and operators' store
+    * introspection all share it. */
+  def storeTags(spark: SparkSession, sigStore: String): Seq[String] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(sigStore).getFileSystem(hconf)
+    Seq("sigs", "bands").flatMap { side =>
+      val p = new org.apache.hadoop.fs.Path(s"$sigStore/$side")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("btag="))
+        .map(_.stripPrefix("btag="))
+    }.distinct
+  }
+
   /** Signature-store COMPACTION: an always-on stream accumulates one
     * `btag` partition per micro-batch forever; this rewrites every
     * batch partition into one consolidated tag and drops the old
     * directories — pure layout convergence (reps are immutable, so
     * merging tags cannot change any probe result; StreamingSpec pins
-    * store-content identity and post-compaction dedup behavior).
-    * Crash-safe ordering: each compaction writes a FRESH versioned tag
-    * (`compacted-N`, never overwriting an existing one — overwriting
-    * the previous consolidated tag in place would make its non-atomic
-    * commit the only copy of all history), and only THEN deletes every
-    * other tag. A crash anywhere leaves a readable store: before the
-    * write, nothing changed; between write and deletes, rows are
-    * transiently duplicated, which the probe tolerates (candidates and
-    * meta are distinct()-ed, duplicate verified pairs are harmless to
-    * the union-find) and the next compaction converges via
-    * `dropDuplicates`. The done-check reads BOTH store sides, so a
-    * crash that deleted only the sigs side still re-runs. */
+    * store-content identity and post-compaction dedup behavior, and
+    * the q133 oracle gate pins survivor identity across a mid-stream
+    * compaction).
+    *
+    * Tag discovery is METADATA-ONLY ([[storeTags]] — two directory
+    * listings), so an already-consolidated store costs ZERO Spark jobs
+    * to check (StreamingSpec asserts this).
+    *
+    * Crash-safe commit: the consolidated partitions are STAGED under a
+    * dot-prefixed temp root (invisible to Spark's file listing) and
+    * FS-renamed into place as a FRESH versioned tag (`compacted-N`,
+    * never overwriting an existing one — overwriting the previous
+    * consolidated tag in place would make its non-atomic commit the
+    * only copy of all history), and only THEN are the old tags
+    * deleted. Staging also means the consolidation never overwrites
+    * the same root it is reading — self-read-and-overwrite of one
+    * path only works today because dynamic partition overwrite lists
+    * input files before committing, which is fragile across Spark
+    * versions. A crash anywhere leaves a readable store: before the
+    * renames, nothing in the store changed (stale staging dirs are
+    * swept on the next run); between the renames and the deletes,
+    * rows are transiently duplicated, which the probe tolerates
+    * (candidates and meta are distinct()-ed, duplicate verified pairs
+    * are harmless to the union-find) and the next compaction
+    * converges via `dropDuplicates`. */
   def compactSigStore(spark: SparkSession, sigStore: String): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
-    def tagsOf(side: String): Seq[String] =
-      spark.read.parquet(s"$sigStore/$side").select(col("btag")).distinct()
-        .collect().map(_.getString(0)).toSeq
-    val allTags = (tagsOf("sigs") ++ tagsOf("bands")).distinct
-    if (allTags.size <= 1) return // already consolidated
+    val fs = new org.apache.hadoop.fs.Path(sigStore).getFileSystem(hconf)
+    val allTags = storeTags(spark, sigStore)
+    if (allTags.size <= 1) return // already consolidated: zero Spark jobs
     val Ver = raw"compacted-(\d+)".r
     val next = "compacted-" + (allTags.collect {
       case Ver(n) => n.toLong }.foldLeft(-1L)(_ max _) + 1)
+    val staging = s"$sigStore/.compact-staging"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true) // stale crash residue
     writeStorePart(
       spark.read.parquet(s"$sigStore/sigs").drop("btag")
         .dropDuplicates("doc_id"),
-      s"$sigStore/sigs", Some(next), Seq.empty, Seq("pdoc"))
+      s"$staging/sigs", Some(next), Seq.empty, Seq("pdoc"),
+      chunkExpr = Some(sigsChunk), nChunks = SigBuckets)
     writeStorePart(
       spark.read.parquet(s"$sigStore/bands").drop("btag")
         .dropDuplicates("doc_id", "band"),
-      s"$sigStore/bands", Some(next), Seq("band"), Seq("pbucket"))
-    val fs = new org.apache.hadoop.fs.Path(sigStore).getFileSystem(hconf)
+      s"$staging/bands", Some(next), Seq("band"), Seq("pbucket"),
+      chunkExpr = Some(bandsChunk), nChunks = 32)
+    for (side <- Seq("sigs", "bands")) {
+      val src = new org.apache.hadoop.fs.Path(s"$staging/$side/btag=$next")
+      val dst = new org.apache.hadoop.fs.Path(s"$sigStore/$side/btag=$next")
+      if (!fs.rename(src, dst))
+        throw new IllegalStateException(
+          s"compactSigStore: staging rename $src -> $dst failed — store " +
+            "left untouched on this side; re-run the compaction")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     // drops are NOT compacted: each accounting row keeps its per-batch
     // identity (summing would double-count under a crash/re-run), and
     // the sidecar is one tiny row per batch — not a scan-path cost

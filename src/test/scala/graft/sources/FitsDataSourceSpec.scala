@@ -74,6 +74,57 @@ class FitsDataSourceSpec extends AnyFunSuite {
     assert(df.count() == 10) // 5 files x (zoom 0, zoom 1)
   }
 
+  test("plate/mjd/fiber equalities prune the spectra listing to fewer partitions") {
+    import spark.implicits._
+    // dir: spec-4000-5200k-000k.fits, k = 0..4 (plate 4000, mjd 52000+k,
+    // fiber k)
+    val all = spark.read.format(Fmt).load(dir)
+    assert(all.rdd.getNumPartitions == 5)
+    val byMjd = spark.read.format(Fmt).load(dir).filter($"mjd" === 52002L)
+    // the filter reaches the LISTING: one input partition, not a
+    // post-scan row filter over all five files
+    assert(byMjd.rdd.getNumPartitions == 1,
+      s"expected 1 pruned partition, got ${byMjd.rdd.getNumPartitions}")
+    assert(byMjd.count() == 5) // 1 file × 5 zooms — rows unchanged
+    assert(byMjd.select("fiberid").distinct().as[Int].collect().toSeq == Seq(2))
+    val byFiber = spark.read.format(Fmt).load(dir).filter($"fiberid" === 3)
+    assert(byFiber.rdd.getNumPartitions == 1)
+    assert(byFiber.select("mjd").distinct().as[Long].collect().toSeq == Seq(52003L))
+    // plate matches every file — nothing pruned
+    val byPlate = spark.read.format(Fmt).load(dir).filter($"plateid" === 4000L)
+    assert(byPlate.rdd.getNumPartitions == 5)
+    // SOUNDNESS: a spectrum with a NON-canonical name is never pruned
+    // away — its triple comes from the header and the residual filter
+    // keeps it (same rules as the frame side)
+    val d2 = Files.createTempDirectory("graft-dsv2-specprune")
+    val (loglam, flux, ivar) = graft.pipeline.FitsFixtures.specGrid()
+    graft.pipeline.FitsFixtures.writeSpectrum(
+      d2.resolve("spec-4000-52000-0001.fits").toString,
+      30.0, -20.0, 4000, 52000, 1, loglam, flux, ivar)
+    graft.pipeline.FitsFixtures.writeSpectrum(
+      d2.resolve("oddly-named-spectrum.fits").toString,
+      31.0, -20.0, 4000, 52000, 2, loglam, flux, ivar)
+    // embedded-canonical: the anchored regex must not parse the inner
+    // 'spec-9999-99999-0003' of a copy-of- name (header says mjd 52000)
+    graft.pipeline.FitsFixtures.writeSpectrum(
+      d2.resolve("copy-of-spec-9999-99999-0003.fits").toString,
+      32.0, -20.0, 4000, 52000, 3, loglam, flux, ivar)
+    val sound = spark.read.format(Fmt).load(d2.toString)
+      .filter($"mjd" === 52000L)
+    assert(sound.rdd.getNumPartitions == 3, "non-canonical names pruned away")
+    assert(sound.select("fiberid").distinct().as[Int].collect().sorted.toSeq
+      == Seq(1, 2, 3))
+    // a Long-overflowing numeral in a canonical-looking name must
+    // neither crash the listing nor be pruned (header decides)
+    graft.pipeline.FitsFixtures.writeSpectrum(
+      d2.resolve("spec-4000-123456789012345678901-0004.fits").toString,
+      33.0, -20.0, 4000, 52000, 4, loglam, flux, ivar)
+    val big = spark.read.format(Fmt).load(d2.toString)
+      .filter($"mjd" === 52000L)
+    assert(big.select("fiberid").distinct().as[Int].collect().sorted.toSeq
+      == Seq(1, 2, 3, 4), "oversized numeral crashed or pruned the listing")
+  }
+
   private lazy val imgDir: String = {
     val d = Files.createTempDirectory("graft-dsv2-img")
     for ((band, k) <- Seq("r", "g").zipWithIndex)

@@ -225,6 +225,23 @@ class StreamingSpec extends AnyFunSuite {
     val tags2 = spark.read.parquet(s"$store/bands")
       .select($"btag").distinct().as[String].collect().toSeq
     assert(tags2 == Seq("compacted-2"), tags2.toString)
+    // tag discovery is metadata-only: checking an already-consolidated
+    // store runs ZERO Spark jobs (two directory listings, no scans —
+    // the old shape paid two full-store distinct() jobs per check)
+    val nJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        nJobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      DocumentStream.compactSigStore(spark, store) // no-op: one tag
+      Thread.sleep(500) // listener bus drain
+      assert(nJobs.get() == 0,
+        s"no-op compaction launched ${nJobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(counter)
     graft.operators.TextOps.deleteRecursively(base)
   }
 
