@@ -205,6 +205,12 @@ object SparkEntry {
     // compaction neutrality: the q124 flow with a store compaction
     // between the batches — identical twin, identical result
     "q133_compacted_stream_dedup" -> (TextOps.q133CompactedStreamDedup _),
+    // incremental PQ encode-append (anti-join increment ≡ full encode)
+    // + the quantization-drift retrain signal's integer math
+    "q134_pq_incremental" -> (VectorOps.q134PqIncremental _),
+    // ADC candidates → exact-L1 re-rank; oracle = brute-force top-5,
+    // so the gate also states recall, not just mechanics
+    "q135_pq_rerank" -> (VectorOps.q135PqRerank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

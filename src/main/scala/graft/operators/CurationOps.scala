@@ -377,17 +377,32 @@ object CurationOps {
   /** Deterministic per-epoch ordering key — the data-ordering step of
     * multi-epoch training: epoch e permutes the corpus by the q54/q89
     * LCG, so every run, engine and partitioning sees the SAME epoch
-    * order, and consecutive epochs decorrelate. The id is reduced
-    * mod 10⁶+3 BEFORE the multiply, keeping every intermediate under
-    * ~2.7·10¹⁵ — snowflake-scale 64-bit ids neither overflow (Spark
-    * would wrap silently, DuckDB would throw) nor diverge between
-    * engines. Non-negative ids assumed (both engines truncate `%`
-    * toward zero identically, but document intent). At scale the
-    * ordering is a `repartitionByRange` on this key — one shuffle per
-    * epoch, no driver-side permutation materialized. */
-  def epochOrder(idCol: Column, epoch: Column): Column =
-    (((idCol % lit(1000003L)) + epoch * lit(999983L)) % lit(1000003L)) *
-      lit(2654435761L) % lit(1000003L)
+    * order, and consecutive epochs decorrelate. TWO LCG rounds over
+    * the id's low and high digits base 10⁶+3: round 1 permutes
+    * `id mod M`, round 2 mixes `(id div M) mod M` with round 1's
+    * output, and the key is `r1·M + r2` — ~10¹² distinct values, so
+    * ids only tie when congruent mod M² (the single-round key had
+    * ~10⁶ values and degraded into correlated doc_id-order runs past
+    * ~1 M documents — exactly the scale the ordering targets). Every
+    * intermediate stays under ~2.7·10¹⁵: the reductions happen BEFORE
+    * each multiply, so snowflake-scale 64-bit ids neither overflow
+    * (Spark would wrap silently, DuckDB would throw) nor diverge
+    * between engines; the high digit is extracted as
+    * `((id − id mod M) mod M²) / M` — an exact division of a
+    * sub-2⁵³ multiple of M, because a direct `div` on the raw id is
+    * not expressible overflow-safely in portable column algebra.
+    * Non-negative ids assumed (both engines truncate `%` toward zero
+    * identically, but document intent). At scale the ordering is a
+    * `repartitionByRange` on this key — one shuffle per epoch, no
+    * driver-side permutation materialized. */
+  def epochOrder(idCol: Column, epoch: Column): Column = {
+    val M = lit(1000003L)
+    val lo = idCol % M
+    val hi = (((idCol - lo) % lit(1000003L * 1000003L)) / M).cast("long")
+    val r1 = ((lo + epoch * lit(999983L)) % M) * lit(2654435761L) % M
+    val r2 = ((hi + r1) % M) * lit(2654435761L) % M
+    r1 * M + r2
+  }
 
   /** [[epochOrder]] through the oracle gate: the first 10 documents of
     * epochs 0 and 1 under the deterministic permutation — pinning that
@@ -428,7 +443,11 @@ object CurationOps {
       """WITH k AS (SELECT doc_id, unnest([CAST(0 AS BIGINT), 1]) AS epoch
         |  FROM documents),
         |o AS (SELECT doc_id, epoch,
-        |  (((doc_id % 1000003) + epoch * 999983) % 1000003)
+        |  ((((doc_id % 1000003) + epoch * 999983) % 1000003)
+        |    * 2654435761 % 1000003) * 1000003
+        |  + ((((doc_id // 1000003) % 1000003)
+        |      + (((doc_id % 1000003) + epoch * 999983) % 1000003)
+        |        * 2654435761 % 1000003) % 1000003)
         |    * 2654435761 % 1000003 AS ord FROM k)
         |SELECT epoch, CAST(rank AS BIGINT) AS rank, doc_id,
         |  CAST(ord AS BIGINT) AS ord FROM (

@@ -316,8 +316,15 @@ object TextOps {
               "pass allowLossy=true to cap with surfaced accounting"))))
           .otherwise($"id_a").as("id_a"),
         $"id_b")
-    val nCapped = rnFrame.filter($"rn" > maxCandidates)
-      .groupBy().agg(count(lit(1)).as("n_capped_pairs"))
+    // max_degree rides the accounting row: the probe's largest per-doc
+    // candidate degree IS the store-wide bucket-heat signal among the
+    // buckets this batch touched (rn counts store ∪ batch members), so
+    // the early-warning metric costs nothing beyond the aggregate that
+    // was already scanning rnFrame
+    val nCapped = rnFrame
+      .groupBy().agg(
+        count(when($"rn" > maxCandidates, lit(1))).as("n_capped_pairs"),
+        coalesce(max($"rn"), lit(0)).cast("long").as("max_degree"))
     (kept, nCapped)
   }
 

@@ -416,6 +416,103 @@ object VectorOps {
         .as("codes"))
   }
 
+  /** Incremental CODES maintenance — the [[updateIvfAssignments]]
+    * discipline applied to the PQ artifact: encode ONLY the vectors
+    * absent from the stored codes (anti-join on the pruned id column)
+    * and append the result. Per-vector rows make the artifact
+    * embarrassingly incremental; for UNCHANGED codebooks the rebuild
+    * law `codes(all) = codes(old) ∪ update(new, old)` holds by
+    * construction (pinned in AnnSpec, gated by q134). When codebooks
+    * RETRAIN, the old codes are stale — [[pqDriftStat]] is the signal
+    * that decides when that retrain is due. */
+  def updatePqCodes(
+      emb: DataFrame, existingCodes: DataFrame, codebooks: DataFrame,
+      m: Int, dim: Int = 64): DataFrame =
+    pqEncode(
+      emb.join(existingCodes.select($"vec_id"), Seq("vec_id"), "left_anti"),
+      codebooks, m, dim)
+
+  /** Quantization-DRIFT statistic — the retrain trigger for a PQ
+    * artifact that keeps absorbing appends: mean |ADC − exact L1| for
+    * one probe over a BOUNDED deterministic sample (the `sampleSize`
+    * lowest vec_ids — id-space-agnostic, replayable), all integer
+    * math. One row: n_sampled, mean/max absolute ADC error, and the
+    * error as permille of the mean exact distance
+    * (`err_permille = ⌊Σ|err|·1000 / Σexact⌋`).
+    *
+    * RETRAIN THRESHOLD: for a codebook trained on its own corpus the
+    * ratio sits well under ~150‰ (AnnSpec pins 0‰ for the degenerate
+    * every-vector-its-own-code codebook, where ADC is exact by
+    * construction); distribution drift shows up as a creeping ratio —
+    * retrain the codebooks (and re-encode, [[pqEncode]]) when it
+    * crosses ~2× its post-train baseline. The stat costs one
+    * broadcast-LUT pass over the sampled codes + one exact pass over
+    * the sampled raw vectors — never a corpus scan. */
+  def pqDriftStat(
+      emb: DataFrame, codes: DataFrame, codebooks: DataFrame,
+      probe: Seq[Float], m: Int, dim: Int = 64,
+      sampleSize: Int = 256): DataFrame = {
+    val probeScaled = probe.map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)
+    val dsub = dim / m
+    val sample = emb.select($"vec_id").orderBy($"vec_id").limit(sampleSize)
+    val lut = codebooks.select($"sub", $"code_id",
+      aggregate(
+        zip_with(
+          $"cent",
+          slice(typedlit(probeScaled), $"sub" * dsub + 1, lit(dsub)),
+          (c, p) => abs(c - p)),
+        lit(0L), (acc, x) => acc + x).as("pd"))
+    val adc = codes.join(broadcast(sample), "vec_id")
+      .select($"vec_id", posexplode($"codes").as(Seq("sub", "code_id")))
+      .join(broadcast(lut), Seq("sub", "code_id"))
+      .groupBy($"vec_id")
+      .agg(sum($"pd").as("adc_dist"))
+    val exact = scaledRows(emb.join(broadcast(sample), "vec_id"))
+      .select($"vec_id",
+        aggregate(
+          zip_with($"e", typedlit(probeScaled), (a, p) => abs(a - p)),
+          lit(0L), (acc, x) => acc + x).as("exact_dist"))
+    adc.join(exact, "vec_id")
+      .select($"vec_id", abs($"adc_dist" - $"exact_dist").as("err"),
+        $"exact_dist")
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        expr("sum(err) div count(1)").as("mean_adc_err_scaled"),
+        max($"err").as("max_adc_err_scaled"),
+        expr("(sum(err) * 1000) div greatest(sum(exact_dist), 1)")
+          .as("err_permille"))
+  }
+
+  /** EXACT RE-RANK over ADC candidates — the second stage
+    * [[pqSearch]]'s scaladoc promises: the quantized top-`rerankFrom`
+    * candidates join back to the RAW vectors (the [[ivfSearch]]
+    * candidate-join shape — the corpus is touched only through the
+    * bounded candidate id set) and the final top-k ranks by EXACT
+    * integer-scaled L1 through the native top-k
+    * (`TakeOrderedAndProject` single-probe; the [[pqSearchMany]]
+    * bounded-heap shape when probes arrive as a table). Recall law
+    * (AnnSpec): against the brute-force exact top-k,
+    * recall(rerank over R candidates) ≥ recall(plain ADC top-k) — the
+    * re-rank can only fix quantization-induced rank inversions inside
+    * the candidate set, never lose a candidate. */
+  def pqSearchRerank(
+      emb: DataFrame, codes: DataFrame, codebooks: DataFrame,
+      probe: Seq[Float], m: Int, k: Int, rerankFrom: Int,
+      dim: Int = 64): DataFrame = {
+    require(rerankFrom >= k, s"rerankFrom $rerankFrom must cover k = $k")
+    val probeScaled = probe.map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)
+    val cand = pqSearch(codes, codebooks, probe, m, rerankFrom, dim)
+      .select($"vec_id")
+    scaledRows(emb.join(cand, "vec_id"))
+      .select($"vec_id",
+        aggregate(
+          zip_with($"e", typedlit(probeScaled), (a, p) => abs(a - p)),
+          lit(0L), (acc, x) => acc + x).as("exact_dist"))
+      .orderBy($"exact_dist", $"vec_id")
+      .limit(k)
+  }
+
   /** Asymmetric-distance (ADC) search over the PQ artifact: the probe
     * is compared to every CODEBOOK entry once (an (m·k)-row lookup
     * table, broadcast by construction), then each encoded vector's
@@ -612,6 +709,67 @@ object VectorOps {
       .select($"pid", $"rk", $"vec_id", $"adc_dist")
   }
 
+  /** The INCREMENTAL codes path + drift stat through the oracle gate:
+    * with seed codebooks (first 8 vectors — closed-form twin), the
+    * EVEN vec_ids are encoded first, the odds arrive as an append
+    * through [[updatePqCodes]] (anti-join increment — a broken
+    * anti-join double-encodes and fails the row-multiplicity hash),
+    * and the union must equal the one-shot full encode. The
+    * [[pqDriftStat]] ride-along columns pin the retrain signal's
+    * integer math (probe = vector 0, sample = the 256 lowest ids)
+    * cross-engine. */
+  def q134PqIncremental(s: SparkSession, dir: String): DataFrame = {
+    val m = 4
+    val emb = load(s, dir, "embeddings")
+    val c0 = subvectorRows(scaledRows(emb.filter($"vec_id" < 8)), m, 64)
+      .select($"sub", $"vec_id".as("code_id"), $"es".as("cent"))
+    val codesOld = pqEncode(emb.filter($"vec_id" % 2 === 0), c0, m)
+    val inc = updatePqCodes(emb, codesOld, c0, m)
+    val nNew = inc.groupBy().agg(count(lit(1)).as("n_new"))
+    val allCodes = codesOld.unionByName(inc)
+    val probe = emb.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0) // bounded: 1 row
+    val drift = pqDriftStat(emb, allCodes, c0, probe, m, sampleSize = 256)
+      .select($"mean_adc_err_scaled", $"err_permille")
+    allCodes
+      .select($"vec_id", posexplode($"codes").as(Seq("sub", "code_id")))
+      .select($"vec_id", $"sub".cast("long").as("sub"),
+        $"code_id".cast("long").as("code_id"))
+      .crossJoin(broadcast(nNew))
+      .crossJoin(broadcast(drift))
+  }
+
+  /** The exact re-rank composition through the oracle gate — and a
+    * RECALL statement, not just mechanics: the oracle is the plain
+    * BRUTE-FORCE exact top-5 per probe (no PQ anywhere in the SQL), so
+    * the gate passes only when [[pqSearchRerank]]'s ADC top-256
+    * candidate set actually contains the true top-5 and the exact
+    * re-rank restores their true order. Quantized ranks (q127) and the
+    * recall-dominance law live alongside in AnnSpec. */
+  def q135PqRerank(s: SparkSession, dir: String): DataFrame = {
+    val m = 4
+    val emb = load(s, dir, "embeddings")
+    val c0 = subvectorRows(scaledRows(emb.filter($"vec_id" < 8)), m, 64)
+      .select($"sub", $"vec_id".as("code_id"), $"es".as("cent"))
+    val codes = pqEncode(emb, c0, m).localCheckpoint()
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding").collect() // bounded: 3 rows
+      .sortBy(_.getLong(0))
+    probes.map { p =>
+      // 256 covers the measured worst ADC rank of a true top-5 member
+      // on both test corpora (212 at sf0.001, 194 at sf0.01) — seed
+      // codebooks are deliberately coarse, so the candidate set must
+      // reach past the quantization's rank inversions
+      pqSearchRerank(emb, codes, c0, p.getSeq[Float](1), m,
+        k = 5, rerankFrom = 256)
+        .withColumn("pid", lit(p.getLong(0)))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"exact_dist", $"vec_id")).cast("long"))
+    }.reduce(_ unionByName _)
+      .select($"pid", $"rk", $"vec_id", $"exact_dist")
+  }
+
   /** One deterministic Lloyd iteration — the k-means step of
     * embedding-space data mixing / diversity clustering: coarse
     * centroids = the first 8 vectors, L1-argmin assignment (broadcast
@@ -763,6 +921,58 @@ object VectorOps {
         |  CAST(sum(c.v) AS BIGINT) AS cent_sum_scaled
         |FROM n2 JOIN c1 c ON c.sub = n2.sub AND c.code_id = n2.code_id
         |GROUP BY 1,2,3""".stripMargin,
+    // incremental encode-append: the oracle encodes EVERYTHING against
+    // the seed codebooks in one pass — engine-side increment mechanics
+    // (anti-join, union) must converge to exactly this, and the drift
+    // ride-alongs replay pqDriftStat's integer math for probe 0 over
+    // the 256 lowest ids
+    "q134_pq_incremental" ->
+      """WITH u AS (SELECT vec_id,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1e6+0.5) AS BIGINT) AS v,
+        |  generate_subscripts(embedding,1) AS i FROM embeddings),
+        |su AS (SELECT vec_id, CAST((i-1)//16 AS BIGINT) AS sub,
+        |  i - ((i-1)//16)*16 AS j, v FROM u),
+        |c0 AS (SELECT sub, vec_id AS code_id, j, v FROM su WHERE vec_id < 8),
+        |d AS (SELECT a.vec_id, a.sub, c.code_id, sum(abs(a.v - c.v)) AS dist
+        |  FROM su a JOIN c0 c ON a.sub = c.sub AND a.j = c.j GROUP BY 1,2,3),
+        |codes AS (SELECT vec_id, sub, code_id FROM (
+        |  SELECT vec_id, sub, code_id, row_number() OVER (
+        |    PARTITION BY vec_id, sub ORDER BY dist, code_id) AS rn
+        |  FROM d) WHERE rn = 1),
+        |nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_new
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |samp AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 256),
+        |lut AS (SELECT c.sub, c.code_id, sum(abs(p.v - c.v)) AS pd
+        |  FROM su p JOIN c0 c ON p.sub = c.sub AND p.j = c.j
+        |  WHERE p.vec_id = 0 GROUP BY 1,2),
+        |adc AS (SELECT cd.vec_id, sum(l.pd) AS adc_dist
+        |  FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.code_id = cd.code_id
+        |  JOIN samp s ON s.vec_id = cd.vec_id GROUP BY 1),
+        |ex AS (SELECT a.vec_id, sum(abs(a.v - p.v)) AS exact_dist
+        |  FROM u a JOIN u p ON p.vec_id = 0 AND a.i = p.i
+        |  JOIN samp s ON s.vec_id = a.vec_id GROUP BY 1),
+        |dr AS (SELECT
+        |    CAST(sum(abs(adc.adc_dist - ex.exact_dist)) //
+        |      count(*) AS BIGINT) AS mean_adc_err_scaled,
+        |    CAST((sum(abs(adc.adc_dist - ex.exact_dist)) * 1000) //
+        |      greatest(sum(ex.exact_dist), 1) AS BIGINT) AS err_permille
+        |  FROM adc JOIN ex ON ex.vec_id = adc.vec_id)
+        |SELECT c.vec_id, c.sub, CAST(c.code_id AS BIGINT) AS code_id,
+        |  nn.n_new, dr.mean_adc_err_scaled, dr.err_permille
+        |FROM codes c CROSS JOIN nn CROSS JOIN dr""".stripMargin,
+    // exact re-rank recall gate: the oracle is plain brute-force exact
+    // top-5 by scaled L1 — no PQ in the SQL at all
+    "q135_pq_rerank" ->
+      """WITH u AS (SELECT vec_id,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1e6+0.5) AS BIGINT) AS v,
+        |  generate_subscripts(embedding,1) AS i FROM embeddings),
+        |ex AS (SELECT p.vec_id AS pid, a.vec_id, sum(abs(a.v - p.v)) AS exact_dist
+        |  FROM u a JOIN u p ON a.i = p.i WHERE p.vec_id < 3 GROUP BY 1,2)
+        |SELECT pid, CAST(rk AS BIGINT) AS rk, vec_id,
+        |  CAST(exact_dist AS BIGINT) AS exact_dist FROM (
+        |  SELECT pid, vec_id, exact_dist, row_number() OVER (
+        |    PARTITION BY pid ORDER BY exact_dist, vec_id) AS rk FROM ex)
+        |WHERE rk <= 5""".stripMargin,
     // ADC search with seed codebooks: quantize → per-probe lookup
     // table → summed table entries → ranked top-5, all integer-exact
     "q127_pq_adc" ->

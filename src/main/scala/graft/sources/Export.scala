@@ -214,9 +214,21 @@ object Export {
         def close(): Unit = if (out != null) {
           out.write(new Array[Byte](1024)) // end-of-archive blocks
           out.close(); out = null
-          fs.delete(finalPath, false) // clobber a zombie twin, then commit
-          if (!fs.rename(tmpPath, finalPath))
-            throw new java.io.IOException(s"commit rename failed: $finalPath")
+          // RENAME-ONLY commit: the driver pre-cleans shard-*.tar, so a
+          // final path that exists mid-job can only be a racing twin of
+          // THIS attempt's shard — byte-identical by construction
+          // (deterministic assignment, sorted keys, fixed mtime/uid).
+          // Treat it as already committed and discard the temp. The old
+          // delete-then-rename could destroy a committed shard and die
+          // before replacing it (speculative execution / zombie
+          // attempts), leaving _SUCCESS asserting over a hole.
+          if (fs.exists(finalPath)) fs.delete(tmpPath, false)
+          else if (!fs.rename(tmpPath, finalPath)) {
+            // lost the rename race between the exists-check and the
+            // rename: the twin committed — same bytes, so done
+            if (fs.exists(finalPath)) fs.delete(tmpPath, false)
+            else throw new java.io.IOException(s"commit rename failed: $finalPath")
+          }
         }
         def abort(): Unit = if (out != null) {
           out.close(); out = null

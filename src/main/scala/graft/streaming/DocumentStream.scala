@@ -194,8 +194,19 @@ object DocumentStream {
       batch: DataFrame, sigStore: String, threshold: Double,
       batchTag: Option[String] = None,
       maxCandidates: Int = graft.operators.TextOps.MaxCandidatesPerDoc,
-      allowLossy: Boolean = false): DataFrame = {
+      allowLossy: Boolean = false,
+      warnAtOccupancy: Option[Double] = None,
+      onWarn: String => Unit = msg => System.err.println(msg)): DataFrame = {
     import graft.operators.TextOps
+    require(warnAtOccupancy.forall(f => f > 0 && f <= 1),
+      s"warnAtOccupancy must be in (0, 1], got $warnAtOccupancy")
+    // the warn rides the accounting sidecar's write lineage — strict
+    // mode has no sidecar (its protection is the in-plan refusal at the
+    // cap itself), so a warn fraction requires accounting mode
+    require(warnAtOccupancy.isEmpty || allowLossy,
+      "warnAtOccupancy requires allowLossy=true: the early warning rides " +
+        "the accounting sidecar's existing write (zero extra jobs); " +
+        "strict mode refuses loudly at the cap instead")
     val spark = batch.sparkSession
     // batch-sized; consumed four times. LAZY localCheckpoint: the first
     // action over it (bucket collect with a store, otherwise the drops
@@ -321,6 +332,19 @@ object DocumentStream {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
+      // opt-in bucket-heat early warning (the sigStoreStats
+      // max_bucket_occupancy signal, wired into the ingest path): the
+      // accounting row already aggregates max_degree over the probe's
+      // rn column — an Observation on the SAME write action surfaces
+      // it driver-side with zero additional jobs or scans, and the
+      // warn fires before tomorrow's batch trips the cap refusal
+      val obs = warnAtOccupancy.map(_ => new org.apache.spark.sql.Observation())
+      val dropsFrame = obs match {
+        case Some(o) => nCapped.observe(o,
+          max(col("max_degree")).as("max_degree"),
+          max(col("n_capped_pairs")).as("n_capped_pairs"))
+        case None => nCapped
+      }
       val writes = Seq(
         Future(writeStorePart(reppedSigs,
           s"$sigStore/sigs", batchTag, Seq.empty, Seq("pdoc"),
@@ -330,9 +354,23 @@ object DocumentStream {
           s"$sigStore/bands", batchTag, Seq("band"), Seq("pbucket"),
           chunkExpr = Some(bandsChunk), nChunks = 32))) ++
         (if (allowLossy) Seq(Future(writeStorePart(
-          nCapped, s"$sigStore/drops", batchTag, Seq.empty, Seq.empty)))
+          dropsFrame, s"$sigStore/drops", batchTag, Seq.empty, Seq.empty)))
          else Seq.empty)
       writes.foreach(Await.result(_, Duration.Inf))
+      for (f <- warnAtOccupancy; o <- obs) {
+        // the observed write was awaited above, so `get` returns
+        // immediately (it blocks only until its action completes)
+        val deg = o.get.get("max_degree")
+          .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+        if (deg >= (f * maxCandidates).ceil.toLong)
+          onWarn(
+            s"nearDupDedupBatch${batchTag.fold("")(t => s"[$t]")}: a probed " +
+              s"band bucket holds $deg candidate members — " +
+              f"${100.0 * deg / maxCandidates}%.0f%% of maxCandidates=" +
+              s"$maxCandidates. A boilerplate cluster is accumulating in " +
+              "the signature store; dedup upstream or raise maxCandidates " +
+              "before the degree guard starts capping (or refusing).")
+      }
     }
     survivors
   }
@@ -465,7 +503,10 @@ object DocumentStream {
       threshold: Double = 0.8,
       checkpointDir: Option[String] = None,
       maxCandidates: Int = graft.operators.TextOps.MaxCandidatesPerDoc,
-      allowLossy: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+      allowLossy: Boolean = false,
+      warnAtOccupancy: Option[Double] = None,
+      onWarn: String => Unit = msg => System.err.println(msg)
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
     // probe with the SAME options as the stream read — a stray
     // non-parquet file must not break schema inference when the glob
     // would have excluded it from the stream anyway
@@ -479,7 +520,7 @@ object DocumentStream {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nearDupDedupBatch(batch, sigStore, threshold, Some(s"batch_$batchId"),
-            maxCandidates, allowLossy)
+            maxCandidates, allowLossy, warnAtOccupancy, onWarn)
           .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))

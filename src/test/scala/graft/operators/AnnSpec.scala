@@ -197,6 +197,63 @@ class AnnSpec extends AnyFunSuite {
     assert(one.subsetOf(probeBucket) && one.contains(7L))
   }
 
+  test("PQ incremental: append ≡ full re-encode; drift stat exact-zero law; rerank recall dominance") {
+    val m = 4
+    val emb = load(spark, dir, "embeddings")
+    val books = VectorOps.pqTrainCodebooks(emb, m, 8)
+    // rebuild law (unchanged codebooks): old-half codes + incremental
+    // append == one-shot full encode, row-for-row
+    val canon = (df: org.apache.spark.sql.DataFrame) => df
+      .select($"vec_id", $"codes")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val oldCodes = VectorOps.pqEncode(emb.filter($"vec_id" < 250), books, m)
+    val inc = VectorOps.updatePqCodes(emb, oldCodes, books, m)
+    // the increment touches ONLY the missing ids
+    assert(inc.select($"vec_id").collect().map(_.getLong(0)).forall(_ >= 250))
+    assert(canon(oldCodes.unionByName(inc))
+      == canon(VectorOps.pqEncode(emb, books, m)))
+    // drift-zero law: with every vector its own codebook entry, ADC is
+    // exact by construction — the stat must report exactly zero error
+    val selfBooks = VectorOps.pqTrainCodebooks(
+      emb.filter($"vec_id" < 32), m, 32) // k = n: fixpoint after 1 step
+    val selfCodes = VectorOps.pqEncode(emb.filter($"vec_id" < 32), selfBooks, m)
+    val probe = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0)
+    val drift = VectorOps.pqDriftStat(
+      emb.filter($"vec_id" < 32), selfCodes, selfBooks, probe, m,
+      sampleSize = 32).head()
+    assert(drift.getAs[Long]("n_sampled") == 32L)
+    assert(drift.getAs[Long]("mean_adc_err_scaled") == 0L, drift.toString)
+    assert(drift.getAs[Long]("err_permille") == 0L)
+    // trained-codebook drift is the documented baseline: nonzero but
+    // bounded (the retrain threshold rides ~2× this)
+    val codes = VectorOps.pqEncode(emb, books, m)
+    val d2 = VectorOps.pqDriftStat(emb, codes, books, probe, m).head()
+    assert(d2.getAs[Long]("err_permille") > 0L)
+    assert(d2.getAs[Long]("err_permille") < 500L, d2.toString)
+    // recall dominance: vs the brute-force exact-L1 top-k, the exact
+    // re-rank over R candidates never recalls FEWER than plain ADC
+    // top-k (it can only fix quantization inversions inside the set)
+    val probeScaled = probe.map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)
+    val exactTop = load(spark, dir, "embeddings")
+      .select($"vec_id",
+        aggregate(
+          zip_with($"embedding",
+            typedlit(probeScaled),
+            (a, p) => abs(floor(a.cast("double") * 1e6 + 0.5).cast("long") - p)),
+          lit(0L), (acc, x) => acc + x).as("d"))
+      .orderBy($"d", $"vec_id").limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val adcTop = VectorOps.pqSearch(codes, books, probe, m, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val rerankTop = VectorOps.pqSearchRerank(
+      emb, codes, books, probe, m, k = 10, rerankFrom = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(rerankTop.size == 10)
+    assert((rerankTop & exactTop).size >= (adcTop & exactTop).size,
+      s"rerank recall ${(rerankTop & exactTop).size} < adc ${(adcTop & exactTop).size}")
+  }
+
   test("pqSearchMany ≡ pqSearch per probe; IVF recall sweep obeys its laws") {
     import spark.implicits._
     val emb = load(spark, dir, "embeddings")

@@ -162,6 +162,61 @@ class StreamingSpec extends AnyFunSuite {
     graft.operators.TextOps.deleteRecursively(base)
   }
 
+  test("occupancy early-warning fires on a near-hot cluster with zero additional jobs") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-neardup-warn")
+    val text = (0 until 150).map(i => s"w$i").mkString(" ")
+    // a planted near-hot boilerplate cluster: 6 near-copies stored, the
+    // 7th arrival sees degree 6 — under maxCandidates=10 but past the
+    // 0.5 warn fraction
+    val b0 = (0 until 6)
+      .map(i => (i.toLong, text.replace("w140", s"x$i"))).toDF("doc_id", "text")
+    val b1 = Seq((6L, text.replace("w140", "x6"))).toDF("doc_id", "text")
+    def runBoth(store: String, warn: Option[Double],
+        sink: scala.collection.mutable.Buffer[String]): Int = {
+      // count ACTIONS (SQL executions), not raw job starts: AQE may
+      // slice one action into a varying number of jobs run-to-run (and
+      // the concurrent store writes race to first-touch shared lazy
+      // checkpoints), but the set of actions a code path issues is
+      // deterministic — and "the warn rides an existing write" is a
+      // claim about actions/scans, which is what the gate pins
+      val nExec = new java.util.concurrent.atomic.AtomicInteger(0)
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(
+            e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            nExec.incrementAndGet(); ()
+          case _ => ()
+        }
+      }
+      DocumentStream.nearDupDedupBatch(b0, store, 0.8, Some("batch_0"),
+        maxCandidates = 10, allowLossy = true,
+        warnAtOccupancy = warn, onWarn = sink.append(_)).count()
+      spark.sparkContext.addSparkListener(counter)
+      try {
+        DocumentStream.nearDupDedupBatch(b1, store, 0.8, Some("batch_1"),
+          maxCandidates = 10, allowLossy = true,
+          warnAtOccupancy = warn, onWarn = sink.append(_)).count()
+        Thread.sleep(500) // listener bus drain
+      } finally spark.sparkContext.removeSparkListener(counter)
+      nExec.get()
+    }
+    val warns = scala.collection.mutable.Buffer.empty[String]
+    val none = scala.collection.mutable.Buffer.empty[String]
+    val jobsWithWarn = runBoth(s"$base/s1", Some(0.5), warns)
+    val jobsPlain = runBoth(s"$base/s2", None, none)
+    // the planted cluster warns (degree 6 ≥ 0.5×10), naming the heat
+    assert(warns.nonEmpty, "expected an occupancy warning")
+    assert(warns.exists(_.contains("candidate members")), warns.mkString("\n"))
+    assert(none.isEmpty)
+    // ZERO additional actions: the warning rides the accounting write
+    assert(jobsWithWarn == jobsPlain,
+      s"warn path ran $jobsWithWarn actions vs $jobsPlain without")
+    // the store-heated batch names itself in the warning
+    assert(warns.exists(_.contains("batch_1")), warns.mkString("\n"))
+    graft.operators.TextOps.deleteRecursively(base)
+  }
+
   test("store compaction converges tags without changing dedup behavior; stats expose bucket heat") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-neardup-compact")
