@@ -211,6 +211,13 @@ object SparkEntry {
     // ADC candidates → exact-L1 re-rank; oracle = brute-force top-5,
     // so the gate also states recall, not just mechanics
     "q135_pq_rerank" -> (VectorOps.q135PqRerank _),
+    // C4-style segment-level corpus dedup with document reassembly
+    "q136_segment_dedup" -> (HygieneOps.q136SegmentDedup _),
+    // MinHash-LSH near-dup decontamination (the paraphrase-level
+    // complement of the exact/Bloom/substring gates)
+    "q137_neardup_decon" -> (HygieneOps.q137NearDupDecon _),
+    // IVF bucket prune → ADC → exact re-rank, integer bucket math
+    "q138_ivfpq_rerank" -> (VectorOps.q138IvfPqRerank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

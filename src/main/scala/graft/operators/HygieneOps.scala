@@ -257,6 +257,114 @@ object HygieneOps {
     substringDecon(docs.filter($"doc_id" >= 10), phrases)
   }
 
+  // --------------------------------------------------------------- q136
+
+  /** SEGMENT-level corpus dedup — the C4/"line-level" discipline
+    * adapted to a corpus whose documents carry no newlines: the text is
+    * cut into aligned `segWords`-word segments, a segment CONTENT is
+    * kept only at its globally FIRST occurrence (lowest (doc_id, pos) —
+    * deterministic, engine-portable), every other occurrence is
+    * dropped, and each document is reassembled from its surviving
+    * segments in order. This removes cross-document boilerplate at a
+    * granularity document-level dedup (q17/q23) never sees, without
+    * the all-pairs cost of substring matching: ONE shuffle keyed by
+    * segment content (row_number per segment group — the q17
+    * hash-groupBy discipline; at petabyte scale the shuffle key can be
+    * xxhash64(seg) with the content carried for collision verify), then
+    * one per-document regroup. Output: (doc_id, text_kept, n_seg,
+    * n_dropped) for EVERY document — a fully-dropped document stays as
+    * an empty-text row (the caller decides whether to cull it), never a
+    * silent disappearance. */
+  def segmentDedup(docs: DataFrame, segWords: Int): DataFrame = {
+    require(segWords >= 1, s"segWords must be >= 1, got $segWords")
+    val segs = docs
+      .select($"doc_id", split($"text", " ").as("tk"))
+      .select($"doc_id", posexplode(
+        transform(
+          sequence(lit(0),
+            floor((size($"tk") - 1) / lit(segWords)).cast("int")),
+          s => array_join(slice($"tk", s * segWords + 1, lit(segWords)), " ")))
+        .as(Seq("pos", "seg")))
+    val w = Window.partitionBy($"seg").orderBy($"doc_id", $"pos")
+    segs
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(
+        // collect_list skips the non-kept (null) entries; array_sort on
+        // (pos, seg) structs restores document order before the join
+        concat_ws(" ", transform(
+          array_sort(collect_list(when($"rn" === 1, struct($"pos", $"seg")))),
+          x => x.getField("seg"))).as("text_kept"),
+        count(lit(1)).cast("long").as("n_seg"),
+        sum(when($"rn" > 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
+  /** [[segmentDedup]] through the oracle gate: width 4 on the synthetic
+    * corpus plants enough cross-document 4-grams to exercise drops
+    * (~430 at sf0.01) while leaving most text intact; the gate pins the
+    * 20 lowest-id documents that LOST at least one segment — kept text
+    * (the reassembly is the hard part), segment count, drop count. */
+  def q136SegmentDedup(s: SparkSession, dir: String): DataFrame =
+    segmentDedup(load(s, dir, "documents"), 4)
+      .filter($"n_dropped" > 0)
+      .orderBy($"doc_id")
+      .limit(20)
+
+  // --------------------------------------------------------------- q137
+
+  /** NEAR-dup decontamination — the MinHash-LSH complement of the exact
+    * (q55), Bloom (q67) and substring (q116) gates: a corpus document
+    * is contaminated iff its true shingle-Jaccard against ANY benchmark
+    * document reaches `threshold`, catching paraphrase-level leakage
+    * the verbatim gates miss. The eval side is benchmark-sized by
+    * construction, so BOTH its LSH bands and its shingle sets
+    * broadcast: the corpus is signed once ([[TextOps.signatureFrame]]),
+    * band-probed against the broadcast eval bands (no corpus shuffle
+    * beyond the signature aggregate), and candidates verify by EXACT
+    * Jaccard through the sorted merge-walk intersect — the oracle
+    * replays the exact math, so LSH recall at the gated threshold is
+    * pinned cross-engine (the q23 premise). Output: one row per
+    * contaminated doc with its best-matching eval doc (max Jaccard,
+    * min eval_id tie-break) and the integer Jaccard permille. */
+  def nearDupDecontaminate(
+      corpus: DataFrame, evalSet: DataFrame, threshold: Double): DataFrame = {
+    import graft.plans.VectorExpressions.sorted_intersect_count
+    val cSigs = TextOps.signatureFrame(corpus)
+    val eSigs = TextOps.signatureFrame(evalSet)
+    val cand = TextOps.bandFrame(cSigs)
+      .select($"doc_id", $"band", $"bkey")
+      .join(broadcast(TextOps.bandFrame(eSigs)
+        .select($"doc_id".as("eval_id"), $"band", $"bkey")),
+        Seq("band", "bkey"))
+      .select($"doc_id", $"eval_id").distinct()
+    val verified = cand
+      .join(cSigs.select($"doc_id", $"sh_set".as("sh_c")), "doc_id")
+      .join(broadcast(eSigs.select($"doc_id".as("eval_id"),
+        $"sh_set".as("sh_e"))), "eval_id")
+      .select($"doc_id", $"eval_id",
+        sorted_intersect_count($"sh_c", $"sh_e").as("inter"),
+        (size($"sh_c") + size($"sh_e")).as("tot"))
+      .filter($"inter".cast("double") / ($"tot" - $"inter") >= threshold)
+      .select($"doc_id", $"eval_id",
+        expr("(inter * 1000) div (tot - inter)").cast("long").as("jac_permille"))
+    // best match per doc through the native grouped top-k (rank column
+    // dropped from the projection — the TopKPerKey firing condition)
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"jac_permille".desc, $"eval_id")
+    verified.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"doc_id", $"eval_id", $"jac_permille")
+  }
+
+  /** [[nearDupDecontaminate]] through the oracle gate: eval = every
+    * 10th document (6 planted near-dup crossings at sf0.01, 10 at
+    * sf0.001), threshold 0.8 — the q23-verified LSH recall point. */
+  def q137NearDupDecon(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    nearDupDecontaminate(
+      docs.filter($"doc_id" % 10 =!= 0),
+      docs.filter($"doc_id" % 10 === 0), 0.8)
+  }
+
   // ------------------------------------------------------------ oracles
 
   val oracles: Map[String, String] = Map(
@@ -359,6 +467,51 @@ object HygieneOps {
         |SELECT CAST(k AS BIGINT) AS k, CAST(cum AS BIGINT) AS cum_tokens,
         |  CAST(cum * 1000000 // total AS BIGINT) AS cum_ppm
         |FROM r, t WHERE k IN (1, 5, 25)""".stripMargin,
+    // the rn=1 keep rule runs over the FULL corpus before the doc_id
+    // window is applied — a segment first seen in doc 3 still kills its
+    // copy in doc 500
+    "q136_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |w AS (SELECT doc_id, unnest(tk) AS word,
+        |  generate_subscripts(tk,1) AS i FROM t),
+        |s AS (SELECT doc_id, CAST((i-1)//4 AS BIGINT) AS pos,
+        |  string_agg(word, ' ' ORDER BY i) AS seg FROM w GROUP BY 1, 2),
+        |f AS (SELECT doc_id, pos, seg,
+        |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |  FROM s),
+        |a AS (SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN seg END,
+        |    ' ' ORDER BY pos), '') AS text_kept,
+        |  CAST(count(*) AS BIGINT) AS n_seg,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped
+        |  FROM f GROUP BY 1)
+        |SELECT doc_id, text_kept, n_seg, n_dropped FROM a
+        |WHERE n_dropped > 0 ORDER BY doc_id LIMIT 20""".stripMargin,
+    // exact-Jaccard replay of the LSH path (the q23 premise: every true
+    // pair at the gated threshold band-collides, so the probabilistic
+    // engine must equal the exact oracle)
+    "q137_neardup_decon" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
+        |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+        |i AS (SELECT b.doc_id AS doc_id, a.doc_id AS eval_id,
+        |    count(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 GROUP BY 1,2),
+        |j AS (SELECT i.doc_id, i.eval_id,
+        |    (inter * 1000) // (sa.n + sb.n - inter) AS jp
+        |  FROM i JOIN sz sa ON sa.doc_id = i.eval_id
+        |  JOIN sz sb ON sb.doc_id = i.doc_id
+        |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8)
+        |SELECT doc_id, eval_id, CAST(jp AS BIGINT) AS jac_permille FROM (
+        |  SELECT doc_id, eval_id, jp, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY jp DESC, eval_id) AS rn FROM j)
+        |WHERE rn = 1""".stripMargin,
     "q116_substring_decon" ->
       """WITH p AS (SELECT DISTINCT array_to_string(string_split(text,' ')[1:3], ' ') AS p
         |  FROM documents WHERE doc_id < 10),

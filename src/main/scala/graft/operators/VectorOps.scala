@@ -501,9 +501,18 @@ object VectorOps {
       probe: Seq[Float], m: Int, k: Int, rerankFrom: Int,
       dim: Int = 64): DataFrame = {
     require(rerankFrom >= k, s"rerankFrom $rerankFrom must cover k = $k")
-    val probeScaled = probe.map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)
     val cand = pqSearch(codes, codebooks, probe, m, rerankFrom, dim)
       .select($"vec_id")
+    exactRerankL1(emb, cand, probe, k)
+  }
+
+  /** The shared exact-re-rank stage: candidates (a bounded id set) join
+    * back to the raw vectors — the corpus is touched only through the
+    * id join — and rank by exact integer-scaled L1 through the native
+    * top-k. */
+  private def exactRerankL1(
+      emb: DataFrame, cand: DataFrame, probe: Seq[Float], k: Int): DataFrame = {
+    val probeScaled = probe.map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)
     scaledRows(emb.join(cand, "vec_id"))
       .select($"vec_id",
         aggregate(
@@ -511,6 +520,26 @@ object VectorOps {
           lit(0L), (acc, x) => acc + x).as("exact_dist"))
       .orderBy($"exact_dist", $"vec_id")
       .limit(k)
+  }
+
+  /** The full production three-stage composition — IVF bucket prune →
+    * ADC over the pruned codes → exact re-rank of the quantized
+    * top-`rerankFrom`: the probe touches the centroid table (broadcast
+    * by construction), the (vec_id, codes) artifact of `nprobe` buckets,
+    * and `rerankFrom` raw vectors — never the corpus. At nprobe =
+    * #buckets this degrades exactly to [[pqSearchRerank]], and with
+    * `rerankFrom` ≥ the probed population it returns the EXACT
+    * bucket-restricted top-k (both law-tested in AnnSpec; the second is
+    * what q138 pins cross-engine with integer bucket math). */
+  def ivfPqSearchRerank(
+      emb: DataFrame, codes: DataFrame, assignments: DataFrame,
+      cents: DataFrame, codebooks: DataFrame, probe: Seq[Float],
+      nprobe: Int, m: Int, k: Int, rerankFrom: Int,
+      dim: Int = 64): DataFrame = {
+    require(rerankFrom >= k, s"rerankFrom $rerankFrom must cover k = $k")
+    val cand = ivfPqSearch(codes, assignments, cents, codebooks, probe,
+      nprobe, m, rerankFrom, dim).select($"vec_id")
+    exactRerankL1(emb, cand, probe, k)
   }
 
   /** Asymmetric-distance (ADC) search over the PQ artifact: the probe
@@ -770,6 +799,53 @@ object VectorOps {
       .select($"pid", $"rk", $"vec_id", $"exact_dist")
   }
 
+  /** The three-stage IVF→ADC→exact-re-rank composition through the
+    * oracle gate. Bucket math is INTEGER-exact in-gate (scaled L1 for
+    * both the vector→centroid assignment and the probe→bucket ranking,
+    * (dist, cent_id) tie-breaks) so the DuckDB twin replays it bit-for-
+    * bit — the float [[ivfPqSearchRerank]] API carries the same shape
+    * under AnnSpec laws. `rerankFrom = 256` covers the probed two-bucket
+    * population at the gated SFs (≤ ~125 vectors), so the oracle is the
+    * plain EXACT bucket-restricted top-5 — no PQ in the SQL at all: the
+    * gate states that the ADC candidate stage loses nothing when the
+    * re-rank depth reaches the probed population. */
+  def q138IvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val m = 4
+    val emb = load(s, dir, "embeddings")
+    val embS = scaledRows(emb).localCheckpoint()
+    val cents = embS.filter($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"e".as("cent"))
+    val intL1 = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => abs(x - y)), lit(0L), (acc, x) => acc + x)
+    val assigned = embS.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cent_id", intL1($"e", $"cent").as("d"))
+      .groupBy($"vec_id")
+      .agg(min_by($"cent_id", struct($"d", $"cent_id")).as("cent_id"))
+      .localCheckpoint()
+    val c0 = subvectorRows(embS.filter($"vec_id" < 8), m, 64)
+      .select($"sub", $"vec_id".as("code_id"), $"es".as("cent"))
+    val codes = pqEncode(emb, c0, m).localCheckpoint()
+    val probes = emb.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding").collect() // bounded: 3 rows
+      .sortBy(_.getLong(0))
+    probes.map { p =>
+      val pv = p.getSeq[Float](1)
+      val pS = pv.map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)
+      val near = cents
+        .select($"cent_id", intL1($"cent", typedlit(pS)).as("d"))
+        .orderBy($"d", $"cent_id").limit(2).select($"cent_id")
+      val bucketIds = assigned.join(broadcast(near), "cent_id")
+        .select($"vec_id")
+      pqSearchRerank(emb, codes.join(bucketIds, "vec_id"), c0, pv, m,
+        k = 5, rerankFrom = 256)
+        .withColumn("pid", lit(p.getLong(0)))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"exact_dist", $"vec_id")).cast("long"))
+    }.reduce(_ unionByName _)
+      .select($"pid", $"rk", $"vec_id", $"exact_dist")
+  }
+
   /** One deterministic Lloyd iteration — the k-means step of
     * embedding-space data mixing / diversity clustering: coarse
     * centroids = the first 8 vectors, L1-argmin assignment (broadcast
@@ -968,6 +1044,40 @@ object VectorOps {
         |  generate_subscripts(embedding,1) AS i FROM embeddings),
         |ex AS (SELECT p.vec_id AS pid, a.vec_id, sum(abs(a.v - p.v)) AS exact_dist
         |  FROM u a JOIN u p ON a.i = p.i WHERE p.vec_id < 3 GROUP BY 1,2)
+        |SELECT pid, CAST(rk AS BIGINT) AS rk, vec_id,
+        |  CAST(exact_dist AS BIGINT) AS exact_dist FROM (
+        |  SELECT pid, vec_id, exact_dist, row_number() OVER (
+        |    PARTITION BY pid ORDER BY exact_dist, vec_id) AS rk FROM ex)
+        |WHERE rk <= 5""".stripMargin,
+    // IVF->ADC->exact-rerank composition: the oracle replays the integer
+    // bucket math (seed centroids = first 8 vectors, scaled-L1 argmin
+    // assignment, 2 nearest buckets per probe) and ranks the probed
+    // population by plain exact L1 — no PQ in the SQL: with the re-rank
+    // depth covering the probed population, the quantized candidate
+    // stage must lose nothing
+    "q138_ivfpq_rerank" ->
+      """WITH u AS (SELECT vec_id,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1e6+0.5) AS BIGINT) AS v,
+        |  generate_subscripts(embedding,1) AS i FROM embeddings),
+        |d AS (SELECT a.vec_id, c.vec_id AS cent_id, sum(abs(a.v - c.v)) AS dist
+        |  FROM u a JOIN u c ON a.i = c.i AND c.vec_id < 8 GROUP BY 1,2),
+        |assigned AS (SELECT vec_id, cent_id FROM (
+        |  SELECT vec_id, cent_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY dist, cent_id) AS rn FROM d)
+        |  WHERE rn = 1),
+        |pd AS (SELECT p.vec_id AS pid, c.vec_id AS cent_id,
+        |    sum(abs(c.v - p.v)) AS dist
+        |  FROM u c JOIN u p ON c.i = p.i
+        |  WHERE c.vec_id < 8 AND p.vec_id < 3 GROUP BY 1,2),
+        |pb AS (SELECT pid, cent_id FROM (SELECT pid, cent_id,
+        |    row_number() OVER (PARTITION BY pid ORDER BY dist, cent_id) AS rn
+        |  FROM pd) WHERE rn <= 2),
+        |cand AS (SELECT pb.pid, a.vec_id FROM pb
+        |  JOIN assigned a ON a.cent_id = pb.cent_id),
+        |ex AS (SELECT cand.pid, cand.vec_id, sum(abs(a.v - p.v)) AS exact_dist
+        |  FROM cand JOIN u a ON a.vec_id = cand.vec_id
+        |  JOIN u p ON p.vec_id = cand.pid AND a.i = p.i
+        |  GROUP BY 1,2)
         |SELECT pid, CAST(rk AS BIGINT) AS rk, vec_id,
         |  CAST(exact_dist AS BIGINT) AS exact_dist FROM (
         |  SELECT pid, vec_id, exact_dist, row_number() OVER (

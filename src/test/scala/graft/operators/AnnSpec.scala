@@ -254,6 +254,48 @@ class AnnSpec extends AnyFunSuite {
       s"rerank recall ${(rerankTop & exactTop).size} < adc ${(adcTop & exactTop).size}")
   }
 
+  test("ivfPqSearchRerank: ≡ pqSearchRerank at nprobe=all; exact bucket-restricted top-k at covering depth") {
+    val m = 4
+    val emb = load(spark, dir, "embeddings")
+    val cents = VectorOps.trainIvfCentroids(emb, 8)
+    val assigned = VectorOps.ivfAssignments(emb, cents)
+    val books = VectorOps.pqTrainCodebooks(emb, m, 8)
+    val codes = VectorOps.pqEncode(emb, books, m)
+    val probe = emb.filter($"vec_id" === 3).select($"embedding")
+      .head().getSeq[Float](0)
+    val canon = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // degradation law: probing every bucket IS the two-stage rerank
+    assert(canon(VectorOps.ivfPqSearchRerank(emb, codes, assigned, cents,
+        books, probe, nprobe = 8, m = m, k = 10, rerankFrom = 50))
+      == canon(VectorOps.pqSearchRerank(
+        emb, codes, books, probe, m, k = 10, rerankFrom = 50)))
+    // covering-depth law: with rerankFrom ≥ the probed population, the
+    // ADC candidate stage can lose nothing — the result is the EXACT
+    // scaled-L1 top-k of the probed buckets' members (recomputed
+    // driver-side, (dist, vec_id) tie-break)
+    val near2 = cents
+      .select($"cent_id", VectorOps.l1Distance($"cent",
+        org.apache.spark.sql.functions.typedlit(probe)).as("d"))
+      .orderBy($"d", $"cent_id").limit(2).select($"cent_id")
+    val bucketIds = assigned.join(near2, "cent_id")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val pS = probe.map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)
+    val exact = emb.filter($"vec_id".isin(bucketIds.toSeq: _*))
+      .select($"vec_id", $"embedding").collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        (r.getLong(0), e.indices.map(i =>
+          math.abs(math.floor(e(i).toDouble * 1e6 + 0.5).toLong - pS(i))).sum)
+      }
+      .sortBy { case (id, d) => (d, id) }.take(5)
+      .map { case (id, d) => (id, d) }.toSeq
+    val got = VectorOps.ivfPqSearchRerank(emb, codes, assigned, cents, books,
+        probe, nprobe = 2, m = m, k = 5, rerankFrom = bucketIds.size)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == exact, s"got $got\nexact $exact")
+  }
+
   test("pqSearchMany ≡ pqSearch per probe; IVF recall sweep obeys its laws") {
     import spark.implicits._
     val emb = load(spark, dir, "embeddings")

@@ -88,4 +88,43 @@ class HygieneOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("sa" -> 2L)) // doc 11 counted once despite 2 hits
   }
+
+  test("segment dedup keeps each content at its first (doc, pos) and reassembles in order") {
+    val docs = Seq(
+      (1L, "a b c d a b"), // [a b][c d][a b]: pos-2 copy dropped intra-doc
+      (2L, "a b x y z"),   // [a b][x y][z]: head boilerplate dropped cross-doc
+      (3L, "c d"))         // sole segment dropped ((1,1) wins) -> empty doc
+      .toDF("doc_id", "text")
+    val got = HygieneOps.segmentDedup(docs, 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == (("a b c d", 3L, 1L)))
+    assert(got(2L) == (("x y z", 3L, 1L)))
+    // a fully-deduped document STAYS as an empty row, never vanishes
+    assert(got(3L) == (("", 1L, 1L)))
+    // conservation + global uniqueness: kept segment contents are
+    // pairwise distinct across the whole corpus
+    val kept = got.values.flatMap(_._1.split(" ").grouped(2).map(_.mkString(" ")))
+      .filter(_.nonEmpty).toSeq
+    assert(kept.distinct.size == kept.size)
+  }
+
+  test("near-dup decon flags paraphrase copies with best-match attribution; unrelated docs pass") {
+    val base = (0 until 60).map(i => s"t$i").mkString(" ")
+    val other = (0 until 60).map(i => s"z$i").mkString(" ")
+    val evalSet = Seq((100L, base), (101L, other)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, base.replace("t59", "x17")),                  // near-copy of 100
+      (11L, (0 until 60).map(i => s"w$i").mkString(" ")), // unrelated
+      (12L, other))                                       // verbatim copy of 101
+      .toDF("doc_id", "text")
+    val got = HygieneOps.nearDupDecontaminate(corpus, evalSet, 0.8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set(10L, 12L))
+    // 1-token tail edit: only the last of 58 shingles differs ->
+    // inter 57, union 59
+    assert(got(10L) == ((100L, 57L * 1000L / 59L)))
+    assert(got(12L) == ((101L, 1000L)))
+  }
 }
