@@ -63,22 +63,24 @@ object Bench {
       val s = times.sorted
       (s(1), s.last / s.head.max(1e-9))
     }
-    val tSpecs = (1 to 3).map(_ => timed {
-      pipeline.Ingest.spectra(spark, specDir.toString).count()
-    }._2)
     val spectra = pipeline.Ingest.spectra(spark, specDir.toString).cache()
-    spectra.count()
-    val cfg = sys.env.getOrElse("SPARK_GRAFT_REF_CONFIG", "/root/reference/config")
-    val tImgs = (1 to 3).map(_ => timed {
-      pipeline.Ingest.images(spark, imgDir.toString, cfg).count()
+    val tSpecs = (1 to 3).map(i => timed {
+      // rep 3 IS the cache build — no separate untimed 4th run
+      (if (i == 3) spectra
+       else pipeline.Ingest.spectra(spark, specDir.toString)).count()
     }._2)
+    val cfg = sys.env.getOrElse("SPARK_GRAFT_REF_CONFIG", "/root/reference/config")
     val images = pipeline.Ingest.images(spark, imgDir.toString, cfg).cache()
-    images.count()
-    val tLinks = (1 to 3).map(_ => timed {
-      pipeline.Link.linkCutouts(spectra, images).count()
+    val tImgs = (1 to 3).map(i => timed {
+      (if (i == 3) images
+       else pipeline.Ingest.images(spark, imgDir.toString, cfg)).count()
     }._2)
     val links = pipeline.Link.linkCutouts(spectra, images).cache()
-    val nLinks = links.count()
+    val tLinks = (1 to 3).map(i => timed {
+      (if (i == 3) links
+       else pipeline.Link.linkCutouts(spectra, images)).count()
+    }._2)
+    val nLinks = links.count() // cached by rep 3 — free
     val mlRes = (1 to 3).map(_ => timed {
       pipeline.MlCube.build(spectra, links, images).count()
     })

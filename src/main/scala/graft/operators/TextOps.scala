@@ -520,11 +520,32 @@ object TextOps {
     // when the counted edge set fits `maxLocalEdges`.
     val pinned = pairs.localCheckpoint(false)
     val n = pinned.count()
-    if (n <= maxLocalEdges)
-      localClusters(pinned.sparkSession,
-        pinned.collect().map(r => (r.getLong(0), r.getLong(1))))
-    else distributedClusters(pinned) // round-0 checkpoint reads pinned blocks
+    val out =
+      if (n <= maxLocalEdges)
+        localClusters(pinned.sparkSession,
+          pinned.collect().map(r => (r.getLong(0), r.getLong(1))))
+      else distributedClusters(pinned) // round-0 checkpoint reads pinned blocks
+    // `out` reads driver-local rows (local path) or distributedClusters'
+    // own eager checkpoint — pinned's blocks are dead weight from here,
+    // and without an explicit release they linger in executor storage
+    // until driver GC happens to collect the RDD (unbounded pressure in
+    // a long-lived streaming session calling this per micro-batch)
+    releaseLocalCheckpoint(pinned)
+    out
   }
+
+  /** Frees the executor block storage pinned by a Dataset-level
+    * `localCheckpoint`. `Dataset.unpersist()` goes through the cache
+    * manager and never finds checkpoint blocks, so the checkpointed RDD
+    * is pulled out of the plan's `LogicalRDD` leaf and unpersisted
+    * directly. Only safe once nothing reads the blocks anymore — the
+    * checkpoint TRUNCATED lineage, so a later read cannot recompute. */
+  private[graft] def releaseLocalCheckpoint(ds: DataFrame): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 
   /** Driver union-find with path compression (the sub-`maxLocalEdges`
     * strategy of [[dedupClusters]]). */
@@ -602,7 +623,12 @@ object TextOps {
     var prev = (-1L, 0L)
     var iter = 0
     while (cur != prev && iter < maxRounds) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      // the eager checkpoint materializes the new round NOW, so the
+      // previous round's blocks are unreachable — release them instead
+      // of letting up to 50 rounds of edge sets pile up in storage
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      releaseLocalCheckpoint(edges)
+      edges = next
       prev = cur
       cur = state(edges)
       iter += 1

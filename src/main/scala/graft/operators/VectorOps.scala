@@ -452,26 +452,16 @@ object VectorOps {
       emb: DataFrame, codes: DataFrame, codebooks: DataFrame,
       probe: Seq[Float], m: Int, dim: Int = 64,
       sampleSize: Int = 256): DataFrame = {
-    val probeScaled = probe.map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)
-    val dsub = dim / m
+    val probeScaled = scaleProbe(probe)
     val sample = emb.select($"vec_id").orderBy($"vec_id").limit(sampleSize)
-    val lut = codebooks.select($"sub", $"code_id",
-      aggregate(
-        zip_with(
-          $"cent",
-          slice(typedlit(probeScaled), $"sub" * dsub + 1, lit(dsub)),
-          (c, p) => abs(c - p)),
-        lit(0L), (acc, x) => acc + x).as("pd"))
     val adc = codes.join(broadcast(sample), "vec_id")
       .select($"vec_id", posexplode($"codes").as(Seq("sub", "code_id")))
-      .join(broadcast(lut), Seq("sub", "code_id"))
+      .join(broadcast(adcLut(codebooks, probeScaled, m, dim)),
+        Seq("sub", "code_id"))
       .groupBy($"vec_id")
       .agg(sum($"pd").as("adc_dist"))
     val exact = scaledRows(emb.join(broadcast(sample), "vec_id"))
-      .select($"vec_id",
-        aggregate(
-          zip_with($"e", typedlit(probeScaled), (a, p) => abs(a - p)),
-          lit(0L), (acc, x) => acc + x).as("exact_dist"))
+      .select($"vec_id", exactL1Col(probeScaled).as("exact_dist"))
     adc.join(exact, "vec_id")
       .select($"vec_id", abs($"adc_dist" - $"exact_dist").as("err"),
         $"exact_dist")
@@ -511,16 +501,41 @@ object VectorOps {
     * id join — and rank by exact integer-scaled L1 through the native
     * top-k. */
   private def exactRerankL1(
-      emb: DataFrame, cand: DataFrame, probe: Seq[Float], k: Int): DataFrame = {
-    val probeScaled = probe.map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)
+      emb: DataFrame, cand: DataFrame, probe: Seq[Float], k: Int): DataFrame =
     scaledRows(emb.join(cand, "vec_id"))
-      .select($"vec_id",
-        aggregate(
-          zip_with($"e", typedlit(probeScaled), (a, p) => abs(a - p)),
-          lit(0L), (acc, x) => acc + x).as("exact_dist"))
+      .select($"vec_id", exactL1Col(scaleProbe(probe)).as("exact_dist"))
       .orderBy($"exact_dist", $"vec_id")
       .limit(k)
+
+  /** The ONE probe-scaling convention every integer-exact vector path
+    * shares (`⌊v·10⁶+0.5⌋` — the q57 k-means discipline). */
+  private def scaleProbe(probe: Seq[Float]): Seq[Long] =
+    probe.map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)
+
+  /** The broadcast ADC lookup table for one probe — per (sub, code_id),
+    * the integer-scaled L1 between the probe's sub-slice and the
+    * codebook centroid. [[pqSearch]] and [[pqDriftStat]] both consume
+    * THIS kernel, so the drift stat can never diverge from the search
+    * it is supposed to measure. */
+  private def adcLut(
+      codebooks: DataFrame, probeScaled: Seq[Long],
+      m: Int, dim: Int): DataFrame = {
+    val dsub = dim / m
+    codebooks.select($"sub", $"code_id",
+      aggregate(
+        zip_with(
+          $"cent",
+          slice(typedlit(probeScaled), $"sub" * dsub + 1, lit(dsub)),
+          (c, p) => abs(c - p)),
+        lit(0L), (acc, x) => acc + x).as("pd"))
   }
+
+  /** Exact integer-scaled L1 of a [[scaledRows]] row (`e`) against the
+    * scaled probe — shared by the re-rank stage and the drift stat. */
+  private def exactL1Col(probeScaled: Seq[Long]): Column =
+    aggregate(
+      zip_with($"e", typedlit(probeScaled), (a, p) => abs(a - p)),
+      lit(0L), (acc, x) => acc + x)
 
   /** The full production three-stage composition — IVF bucket prune →
     * ADC over the pruned codes → exact re-rank of the quantized
@@ -554,15 +569,7 @@ object VectorOps {
   def pqSearch(
       codes: DataFrame, codebooks: DataFrame, probe: Seq[Float],
       m: Int, k: Int, dim: Int = 64): DataFrame = {
-    val probeScaled = probe.map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)
-    val dsub = dim / m
-    val lut = codebooks.select($"sub", $"code_id",
-      aggregate(
-        zip_with(
-          $"cent",
-          slice(typedlit(probeScaled), $"sub" * dsub + 1, lit(dsub)),
-          (c, p) => abs(c - p)),
-        lit(0L), (acc, x) => acc + x).as("pd"))
+    val lut = adcLut(codebooks, scaleProbe(probe), m, dim)
     codes
       .select($"vec_id", posexplode($"codes").as(Seq("sub", "code_id")))
       .join(broadcast(lut), Seq("sub", "code_id"))

@@ -78,9 +78,19 @@ object DocumentStream {
     * first batch creates the store or when the batch is empty. */
   private[graft] def prunedStoreBands(
       spark: SparkSession, sigStore: String,
+      buckets: Seq[(Int, Int)]): Option[DataFrame] =
+    prunedStoreBands(storeBandsFrame(spark, sigStore), buckets)
+
+  /** Pre-read-frame variant: the batch path reads the store ONCE and
+    * threads the frame through both the existence gate and the pruned
+    * probe — a second `spark.read.parquet` would repeat the partition
+    * discovery + footer listing of the store's largest directory on
+    * every micro-batch. */
+  private[graft] def prunedStoreBands(
+      store: Option[DataFrame],
       buckets: Seq[(Int, Int)]): Option[DataFrame] = {
     if (buckets.isEmpty) return None
-    storeBandsFrame(spark, sigStore).map { b =>
+    store.map { b =>
       val exact = buckets.map { case (band, pb) =>
         col("band") === lit(band) && col("pbucket") === lit(pb)
       }.reduce(_ || _)
@@ -111,13 +121,18 @@ object DocumentStream {
     * < [[BandBuckets]], `pdoc` < [[SigBuckets]]), so instead of
     * `repartitionByRange` — whose RangePartitioner runs a whole extra
     * sampling JOB over the frame per write, two per batch — the rows
-    * hash-partition on a derived contiguous CHUNK of the key space
-    * (`chunkExpr`). Every chunk lands wholly in one task, each file
-    * covers 1–2 chunks and is sorted inside, so file- and row-group-level
-    * min/max bounds stay as tight as true range partitioning while the
-    * write is a single shuffle with no sampling prepass. `nChunks` bounds
-    * write parallelism; at bigger batch sizes each task still fans its
-    * chunk into multiple files via maxRecordsPerFile-style configs. */
+    * shuffle on a derived contiguous CHUNK of the key space
+    * (`chunkExpr`), remapped through [[chunkPartitionValues]] so the
+    * hash partitioner places every chunk ALONE in its own task (plain
+    * `repartition(n, chunk)` hashes n values into n partitions: the
+    * birthday bound leaves ~1/e of tasks empty and packs several
+    * non-contiguous chunks per file, whose min/max bounds then stop
+    * skipping). Each file covers exactly one chunk and is sorted
+    * inside, so file- and row-group-level min/max bounds stay as tight
+    * as true range partitioning while the write is a single shuffle
+    * with no sampling prepass. `nChunks` bounds write parallelism; at
+    * bigger batch sizes each task still fans its chunk into multiple
+    * files via maxRecordsPerFile-style configs. */
   private def writeStorePart(
       df: DataFrame, path: String, tag: Option[String],
       dirCols: Seq[String], sortCols: Seq[String],
@@ -126,7 +141,11 @@ object DocumentStream {
     val tagged = df.withColumn("btag", lit(tag.getOrElse("adhoc")))
     val cols = "btag" +: dirCols
     val ranged = chunkExpr match {
-      case Some(ch) => tagged.repartition(nChunks, ch)
+      case Some(ch) =>
+        val slots = chunkPartitionValues(nChunks)
+        tagged.repartition(nChunks, element_at(
+          typedLit(slots),
+          (pmod(ch.cast("int"), lit(nChunks)) + lit(1)).cast("int")))
       case None if dirCols.isEmpty && sortCols.isEmpty => tagged.coalesce(1)
       case None => tagged.repartitionByRange((dirCols ++ sortCols).map(col): _*)
     }
@@ -140,6 +159,34 @@ object DocumentStream {
       case None => w.mode("append").parquet(path)
     }
   }
+
+  /** chunk id c → an int whose Murmur3 hash lands in shuffle partition
+    * c, making `repartition(n, ·)` a BIJECTION from chunks to tasks.
+    * The remap is solved against the SAME expression the physical
+    * `HashPartitioning` evaluates (`Murmur3Hash`, seed 42), driver-side
+    * over the tiny static domain — no sampling job, no empty tasks, no
+    * multi-chunk files. Correctness never depends on the solve: if
+    * Spark ever changed the partitioner hash, placement degrades to
+    * plain hash collisions (the probe still filters; only file-level
+    * min/max tightness is lost). Memoized — the domains are the two
+    * store constants, and each batch writes both sides. */
+  private val chunkSlotCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Seq[Int]]
+  private[graft] def chunkPartitionValues(n: Int): Seq[Int] =
+    chunkSlotCache.getOrElseUpdate(n, {
+      val inv = Array.fill(n)(-1)
+      var v = 0
+      var filled = 0
+      while (filled < n) {
+        val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+          Seq(org.apache.spark.sql.catalyst.expressions.Literal(v)), 42)
+          .eval(null).asInstanceOf[Int]
+        val p = ((h % n) + n) % n
+        if (inv(p) == -1) { inv(p) = v; filled += 1 }
+        v += 1
+      }
+      inv.toSeq
+    })
 
   /** NEAR-dup dedup of one arriving batch against the persistent
     * signature store — the streaming face of the MinHash+LSH pipeline.
@@ -225,14 +272,15 @@ object DocumentStream {
     // FRESH store there is nothing to prune, so the collect (a whole
     // distinct-shuffle action) only runs when a store exists. Bounded:
     // ≤ LshBands × BandBuckets distinct buckets.
+    val store = storeBandsFrame(spark, sigStore)
     val buckets =
-      if (storeBandsFrame(spark, sigStore).isEmpty) Seq.empty[(Int, Int)]
+      if (store.isEmpty) Seq.empty[(Int, Int)]
       else newBands.select(col("band"), col("pbucket")).distinct()
         .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
     // the pruned slice feeds BOTH the band probe and the rep/pdoc meta
     // lookup — lazily checkpointed so the store is scanned once per
     // batch (materialized by the pdoc collect below, no eager job)
-    val storeBands = prunedStoreBands(spark, sigStore, buckets)
+    val storeBands = prunedStoreBands(store, buckets)
       .map(_.localCheckpoint(false))
     val slim = (d: DataFrame) => d.select(col("doc_id"), col("band"), col("bkey"))
     val probe = storeBands match {
@@ -356,7 +404,12 @@ object DocumentStream {
         (if (allowLossy) Seq(Future(writeStorePart(
           dropsFrame, s"$sigStore/drops", batchTag, Seq.empty, Seq.empty)))
          else Seq.empty)
-      writes.foreach(Await.result(_, Duration.Inf))
+      // await ALL writes before surfacing any failure: throwing at the
+      // first failed future would orphan still-running store writes,
+      // and the foreachBatch retry (or the caller's tmp cleanup) would
+      // then race the orphans on the same btag partition directories
+      val outcomes = writes.map(w => scala.util.Try(Await.result(w, Duration.Inf)))
+      outcomes.foreach(_.get)
       for (f <- warnAtOccupancy; o <- obs) {
         // the observed write was awaited above, so `get` returns
         // immediately (it blocks only until its action completes)
@@ -364,12 +417,13 @@ object DocumentStream {
           .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
         if (deg >= (f * maxCandidates).ceil.toLong)
           onWarn(
-            s"nearDupDedupBatch${batchTag.fold("")(t => s"[$t]")}: a probed " +
-              s"band bucket holds $deg candidate members — " +
+            s"nearDupDedupBatch${batchTag.fold("")(t => s"[$t]")}: a " +
+              s"document's store-probe candidate degree reached $deg — " +
               f"${100.0 * deg / maxCandidates}%.0f%% of maxCandidates=" +
-              s"$maxCandidates. A boilerplate cluster is accumulating in " +
-              "the signature store; dedup upstream or raise maxCandidates " +
-              "before the degree guard starts capping (or refusing).")
+              s"$maxCandidates. A near-duplicate cluster is accumulating " +
+              "across the store's band buckets; dedup upstream or raise " +
+              "maxCandidates before the degree guard starts capping (or " +
+              "refusing).")
       }
     }
     survivors

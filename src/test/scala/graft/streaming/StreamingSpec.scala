@@ -162,6 +162,38 @@ class StreamingSpec extends AnyFunSuite {
     graft.operators.TextOps.deleteRecursively(base)
   }
 
+  test("store chunk remap is a bijection: every chunk alone in its own write task") {
+    import org.apache.spark.sql.functions._
+    // driver-side law: the remapped slot values hash (Murmur3Hash, the
+    // HashPartitioning expression, seed 42) onto exactly the partition
+    // set 0..n-1 with no collisions — the property plain
+    // repartition(n, chunk) lacks (birthday collisions → multi-chunk
+    // files with wide min/max bounds that stop skipping)
+    for (n <- Seq(32, 64)) {
+      val slots = DocumentStream.chunkPartitionValues(n)
+      val parts = slots.map { v =>
+        val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+          Seq(org.apache.spark.sql.catalyst.expressions.Literal(v)), 42)
+          .eval(null).asInstanceOf[Int]
+        ((h % n) + n) % n
+      }
+      assert(parts == (0 until n), s"n=$n remap is not the identity placement")
+    }
+    // end-to-end: repartitioning on the remapped slot puts each chunk
+    // in its OWN task — n non-empty partitions, one distinct chunk each
+    val n = 32
+    val slots = DocumentStream.chunkPartitionValues(n)
+    val placed = spark.range(0, 320)
+      .select((col("id") % n).cast("int").as("chunk"))
+      .repartition(n, element_at(
+        typedLit(slots), (pmod(col("chunk"), lit(n)) + lit(1)).cast("int")))
+      .select(spark_partition_id().as("pid"), col("chunk"))
+      .groupBy("pid").agg(countDistinct("chunk").as("nch"))
+      .collect()
+    assert(placed.length == n, s"${placed.length} non-empty tasks, want $n")
+    assert(placed.forall(_.getLong(1) == 1L), "a write task holds >1 chunk")
+  }
+
   test("occupancy early-warning fires on a near-hot cluster with zero additional jobs") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-neardup-warn")
@@ -207,7 +239,7 @@ class StreamingSpec extends AnyFunSuite {
     val jobsPlain = runBoth(s"$base/s2", None, none)
     // the planted cluster warns (degree 6 ≥ 0.5×10), naming the heat
     assert(warns.nonEmpty, "expected an occupancy warning")
-    assert(warns.exists(_.contains("candidate members")), warns.mkString("\n"))
+    assert(warns.exists(_.contains("candidate degree reached")), warns.mkString("\n"))
     assert(none.isEmpty)
     // ZERO additional actions: the warning rides the accounting write
     assert(jobsWithWarn == jobsPlain,
