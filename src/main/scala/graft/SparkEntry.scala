@@ -218,6 +218,16 @@ object SparkEntry {
     "q137_neardup_decon" -> (HygieneOps.q137NearDupDecon _),
     // IVF bucket prune → ADC → exact re-rank, integer bucket math
     "q138_ivfpq_rerank" -> (VectorOps.q138IvfPqRerank _),
+    // greedy per-source token-budget fill in the epoch-0 permutation;
+    // the drawn set is pinned exactly (bit_xor of doc ids)
+    "q139_token_budget_draw" -> (CurationOps.q139TokenBudgetDraw _),
+    // 1/cluster-size milli-doc weights: effective corpus mass per
+    // source under soft dedup (broadcast decoration, corpus unshuffled)
+    "q140_soft_dedup_size" -> (TextOps.q140SoftDedupSize _),
+    // per-benchmark-doc worst offender by distinct-shingle overlap,
+    // through the native grouped top-k
+    "q141_contamination_attribution" ->
+      (HygieneOps.q141ContaminationAttribution _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -395,6 +395,39 @@ object CurationOps {
     * identically, but document intent). At scale the ordering is a
     * `repartitionByRange` on this key — one shuffle per epoch, no
     * driver-side permutation materialized. */
+  /** Greedy per-source TOKEN-BUDGET draw — the mixture-realization step
+    * of a pretraining data recipe: each source contributes documents in
+    * the deterministic [[epochOrder]] permutation until its token
+    * budget fills. The first document whose PRECEDING cumulative total
+    * is still under budget is drawn (so the budget-crossing document is
+    * included — a source always reaches its budget when it has the
+    * tokens: the greedy-fill convention), later documents are not.
+    *
+    * One window over the source-partitioned shuffle — no driver loop,
+    * no second pass; at 100 TB the window key is the mixture component
+    * (sources are few relative to docs — skew is per-source doc count,
+    * the same prefix scan any budget-fill must pay), and the budget
+    * comparison is against the EXCLUSIVE running sum so no doc's
+    * admission depends on its own size. The gate pins the drawn SET
+    * exactly (xor of doc ids), not just its cardinality. */
+  def q139TokenBudgetDraw(s: SparkSession, dir: String): DataFrame = {
+    val budget = 800L // < every source's total at the gate's fixture
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"ord", $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    load(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(toks($"text")).cast("long").as("n_tokens"))
+      .withColumn("ord", epochOrder($"doc_id", lit(0L)))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .filter($"cum_before" < budget)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens_drawn"),
+        expr("bit_xor(doc_id)").as("drawn_xor"))
+  }
+
   def epochOrder(idCol: Column, epoch: Column): Column = {
     val M = lit(1000003L)
     val lo = idCol % M
@@ -439,6 +472,23 @@ object CurationOps {
         |  CAST((sum(bits) * 1000000) // count(*) AS BIGINT) AS score_ppm
         |FROM sc GROUP BY 1
         |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin,
+    // epoch-0 ordering inlined (epoch term vanishes at epoch = 0)
+    "q139_token_budget_draw" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  len(string_split(text,' ')) AS n_tokens FROM documents),
+        |o AS (SELECT doc_id, source, n_tokens,
+        |  ((doc_id % 1000003) * 2654435761 % 1000003) * 1000003
+        |  + ((((doc_id // 1000003) % 1000003)
+        |      + (doc_id % 1000003) * 2654435761 % 1000003) % 1000003)
+        |    * 2654435761 % 1000003 AS ord FROM t),
+        |c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY ord, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM o)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_drawn,
+        |  CAST(bit_xor(doc_id) AS BIGINT) AS drawn_xor
+        |FROM c WHERE cum_before < 800 GROUP BY 1""".stripMargin,
     "q129_epoch_shuffle" ->
       """WITH k AS (SELECT doc_id, unnest([CAST(0 AS BIGINT), 1]) AS epoch
         |  FROM documents),

@@ -365,9 +365,51 @@ object HygieneOps {
       docs.filter($"doc_id" % 10 === 0), 0.8)
   }
 
+  /** CONTAMINATION ATTRIBUTION — the audit the aggregate decon gates
+    * (q55/q67/q116/q137) don't answer: for each benchmark document,
+    * WHICH corpus document overlaps it most (distinct shared word-
+    * 3-grams, ties to the lowest doc id), so a contamination report
+    * names the offending training rows instead of a per-source count.
+    *
+    * Plan: the benchmark side is benchmark-sized → its shingle set
+    * BROADCASTS; the corpus explodes shingles map-side and only the
+    * (bench, train) hit pairs shuffle. The per-benchmark top-1 goes
+    * through the `row_number ≤ k, rank dropped` shape the native
+    * grouped top-k rewrite ([[graft.plans.TopKPerKey]]) compiles to a
+    * single-pass bounded heap — corpus-scan once, heap per bench doc. */
+  def q141ContaminationAttribution(s: SparkSession, dir: String): DataFrame = {
+    val sh = load(s, dir, "documents")
+      .select($"doc_id", explode(TextOps.shingles($"text")).as("g"))
+    val bench = sh.filter($"doc_id" < 10).select($"doc_id".as("bench_id"), $"g")
+    val corpus = sh.filter($"doc_id" >= 10).select($"doc_id".as("train_id"), $"g")
+    // shingles() dedups per doc, so plain count == distinct overlap
+    val hits = corpus.join(broadcast(bench), "g")
+      .groupBy($"bench_id", $"train_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    val w = Window.partitionBy($"bench_id")
+      .orderBy($"n_overlap".desc, $"train_id")
+    hits.withColumn("rk", row_number().over(w)).filter($"rk" <= 1)
+      .select($"bench_id", $"train_id", $"n_overlap")
+  }
+
   // ------------------------------------------------------------ oracles
 
   val oracles: Map[String, String] = Map(
+    "q141_contamination_attribution" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
+        |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |b AS (SELECT doc_id AS bench_id, g FROM e WHERE doc_id < 10),
+        |c AS (SELECT doc_id AS train_id, g FROM e WHERE doc_id >= 10),
+        |h AS (SELECT bench_id, train_id, count(*) AS n_overlap
+        |  FROM c JOIN b USING (g) GROUP BY 1,2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY bench_id
+        |    ORDER BY n_overlap DESC, train_id) AS rk FROM h)
+        |SELECT bench_id, train_id, CAST(n_overlap AS BIGINT) AS n_overlap
+        |FROM r WHERE rk = 1""".stripMargin,
     "q112_pii_redaction" ->
       """WITH t AS (SELECT doc_id, source,
         |  CASE WHEN doc_id % 4 = 0 THEN text || ' contact user' ||

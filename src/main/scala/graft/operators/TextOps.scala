@@ -411,6 +411,32 @@ object TextOps {
   def q51DedupClusters(s: SparkSession, dir: String): DataFrame =
     dedupClusters(load(s, dir, "documents"), 0.8)
 
+  /** SOFT-dedup effective corpus size — the sampling-weight view of the
+    * near-dup graph: instead of dropping non-survivors, every document
+    * in a near-dup cluster of size n weighs 1/n, so a source padded
+    * with near-copies contributes its DISTINCT content mass, not its
+    * row count (the down-weighting used when hard dedup would lose
+    * wanted variants). Integer milli-doc weights (`1000 div n`, the
+    * cross-engine floor) keep the gate exact; singletons weigh 1000.
+    *
+    * Plan: the cluster labels + sizes are dup-graph-sized (edges ≈
+    * dup-rate × docs), so the decoration of the corpus is a BROADCAST
+    * left join — the corpus is never shuffled, and the per-source
+    * rollup is the only exchange. */
+  def q140SoftDedupSize(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val members = dedupClusterMembers(docs, 0.8)
+    val sizes = members.groupBy($"cluster_id").agg(count(lit(1)).as("cl_n"))
+    docs.select($"doc_id", $"source")
+      .join(broadcast(members.join(sizes, "cluster_id")), Seq("doc_id"), "left")
+      .select($"source",
+        coalesce(expr("1000 div cl_n"), lit(1000L)).as("w_milli"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"w_milli").as("eff_millidocs"))
+  }
+
   /** Connected components over the verified near-dup graph. The dup
     * GRAPH is tiny relative to the corpus (edges ≈ dup-rate × docs), so
     * like a broadcast-join decision there are two physical strategies:
@@ -1984,6 +2010,37 @@ object TextOps {
         |  SELECT id, min(lbl) AS label FROM r GROUP BY 1)
         |SELECT CAST(label AS BIGINT) AS cluster_id, CAST(count(*) AS BIGINT) AS n_docs
         |FROM cc GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    // q51's clustering CTE chain, then 1/n milli-doc weights per source
+    "q140_soft_dedup_size" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
+        |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT da, db FROM p
+        |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.8),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges)
+        |, cc AS (
+        |  WITH RECURSIVE r(id, lbl) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT e.dst, r.lbl FROM r JOIN edges e ON r.id = e.src)
+        |  SELECT id, min(lbl) AS label FROM r GROUP BY 1),
+        |csz AS (SELECT label, count(*) AS cl_n FROM cc GROUP BY 1),
+        |w AS (SELECT d.doc_id, d.source,
+        |  coalesce(1000 // csz.cl_n, 1000) AS w_milli
+        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+        |  LEFT JOIN csz ON cc.label = csz.label)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w_milli) AS BIGINT) AS eff_millidocs
+        |FROM w GROUP BY 1""".stripMargin,
     "q55_decontamination" ->
       """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS tk FROM documents),
         |sh AS (SELECT doc_id, source, CASE WHEN len(tk) >= 3

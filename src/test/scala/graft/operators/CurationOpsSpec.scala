@@ -265,6 +265,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(fps.length == 2 && fps(0) == fps(1))
   }
 
+  test("q139: budget draw is the greedy per-source prefix of the epoch-0 order") {
+    val budget = 800L
+    val rows = load(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("ord", CurationOps.epochOrder($"doc_id", lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val drawn = CurationOps.q139TokenBudgetDraw(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      // replay the greedy fill over the (ord, doc_id)-sorted prefix
+      var cum = 0L
+      val want = docs.sortBy(r => (r._4, r._1)).takeWhile { r =>
+        val admit = cum < budget; cum += r._3; admit
+      }
+      val (nDocs, nTok, xr) = drawn(src)
+      assert(nDocs == want.length, s"$src: n_docs")
+      assert(nTok == want.map(_._3).sum, s"$src: token total")
+      assert(xr == want.map(_._1).reduce(_ ^ _), s"$src: drawn-set xor")
+      // greedy fill reaches the budget whenever the source has the tokens
+      if (docs.map(_._3).sum >= budget)
+        assert(nTok >= budget, s"$src: under budget with tokens available")
+    }
+  }
+
   test("q132: the bigram exchange is computed once and reused (no re-explode)") {
     val df = CurationOps.q132BigramSurprise(spark, dir)
     df.collect()

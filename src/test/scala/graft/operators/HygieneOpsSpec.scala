@@ -127,4 +127,27 @@ class HygieneOpsSpec extends AnyFunSuite {
     assert(got(10L) == ((100L, 57L * 1000L / 59L)))
     assert(got(12L) == ((101L, 1000L)))
   }
+
+  test("q141: attribution picks the max-overlap train doc, ties to lowest id") {
+    import graft.Tables.load
+    val sh = load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", explode(TextOps.shingles($"text")).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = sh.groupBy(_._1).map { case (id, gs) => id -> gs.map(_._2).toSet }
+    val bench = byDoc.filter(_._1 < 10)
+    val train = byDoc.filter(_._1 >= 10).toSeq
+    val got = HygieneOps
+      .q141ContaminationAttribution(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (b, t, n) =>
+      val best = train.map { case (tid, gs) => (tid, (gs & bench(b)).size.toLong) }
+        .filter(_._2 > 0).minBy { case (tid, ov) => (-ov, tid) }
+      assert((t, n) == (best._1, best._2), s"bench $b")
+    }
+    // every benchmark doc sharing any shingle with the corpus is attributed
+    val expect = bench.collect {
+      case (bid, gs) if train.exists { case (_, ts) => (ts & gs).nonEmpty } => bid
+    }.toSet
+    assert(got.map(_._1).toSet == expect)
+  }
 }

@@ -294,4 +294,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(0).getString(0) == "a b c d e")
     assert(out(0).getLong(2) == 3L)
   }
+
+  test("q140: soft-dedup weights conserve cluster mass exactly") {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+    val res = TextOps.q140SoftDedupSize(spark, dir).collect()
+    // every document appears exactly once across the per-source rows
+    assert(res.map(_.getLong(1)).sum == docs.count())
+    // total effective mass = 1000 per singleton + n*(1000 div n) per
+    // cluster -- the floor loses at most (n-1) milli-docs per cluster
+    val sizes = TextOps.dedupClusterMembers(docs, 0.8)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val singles = docs.count() - sizes.sum
+    val expected = singles * 1000L + sizes.map(n => n * (1000L / n)).sum
+    assert(res.map(_.getLong(2)).sum == expected)
+    // soft dedup never exceeds raw mass, and only clusters reduce it
+    assert(res.map(_.getLong(2)).sum <= docs.count() * 1000L)
+    if (sizes.nonEmpty) assert(res.map(_.getLong(2)).sum < docs.count() * 1000L)
+  }
 }
