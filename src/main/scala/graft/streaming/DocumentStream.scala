@@ -79,7 +79,10 @@ object DocumentStream {
   private[graft] def prunedStoreBands(
       spark: SparkSession, sigStore: String,
       buckets: Seq[(Int, Int)]): Option[DataFrame] =
-    prunedStoreBands(storeBandsFrame(spark, sigStore), buckets)
+    // empty buckets short-circuits BEFORE the store read — the read is
+    // an eager listing/schema pass that an empty probe never needs
+    if (buckets.isEmpty) None
+    else prunedStoreBands(storeBandsFrame(spark, sigStore), buckets)
 
   /** Pre-read-frame variant: the batch path reads the store ONCE and
     * threads the frame through both the existence gate and the pruned
@@ -407,9 +410,16 @@ object DocumentStream {
       // await ALL writes before surfacing any failure: throwing at the
       // first failed future would orphan still-running store writes,
       // and the foreachBatch retry (or the caller's tmp cleanup) would
-      // then race the orphans on the same btag partition directories
-      val outcomes = writes.map(w => scala.util.Try(Await.result(w, Duration.Inf)))
-      outcomes.foreach(_.get)
+      // then race the orphans on the same btag partition directories.
+      // The catch is Throwable, NOT scala.util.Try/NonFatal — a
+      // query-stop InterruptedException must also finish the await
+      // ladder before unwinding, or the writes it abandoned keep
+      // mutating the store behind the retry
+      val outcomes = writes.map { w =>
+        try { Await.result(w, Duration.Inf); None }
+        catch { case t: Throwable => Some(t) }
+      }
+      outcomes.flatten.foreach(t => throw t)
       for (f <- warnAtOccupancy; o <- obs) {
         // the observed write was awaited above, so `get` returns
         // immediately (it blocks only until its action completes)
@@ -426,6 +436,22 @@ object DocumentStream {
               "refusing).")
       }
     }
+    // the awaited writes were the LAST consumers of every pinned frame
+    // except `assign` (the returned lazy survivors frame reads it — it
+    // is (doc_id, final_rep) for candidate docs only, the one bounded
+    // block set a caller's action still needs). Each frame below is a
+    // checkpoint-truncated single-leaf plan, so the release frees
+    // exactly its own blocks; without it a long-lived streaming session
+    // accumulates five dead block sets per micro-batch until driver GC.
+    // Release only frames this invocation actually checkpointed (the
+    // strict-mode rnFrame / first-batch cand aliases are raw plans
+    // whose traversal would free UPSTREAM checkpoints still in use).
+    // Error paths skip the release and fall back to ContextCleaner GC.
+    TextOps.releaseLocalCheckpoint(newSigs)
+    storeBands.foreach(TextOps.releaseLocalCheckpoint)
+    if (allowLossy) TextOps.releaseLocalCheckpoint(rnFrame)
+    if (storeBands.isDefined) TextOps.releaseLocalCheckpoint(cand)
+    storeMeta.foreach(TextOps.releaseLocalCheckpoint)
     survivors
   }
 
