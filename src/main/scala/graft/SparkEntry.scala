@@ -228,6 +228,12 @@ object SparkEntry {
     // through the native grouped top-k
     "q141_contamination_attribution" ->
       (HygieneOps.q141ContaminationAttribution _),
+    // shift-resistant segment dedup: q136's first-occurrence law over
+    // content-defined (CDC) chunk boundaries
+    "q142_cdc_segment_dedup" -> (HygieneOps.q142CdcSegmentDedup _),
+    // snapshot merge (upserts + deletes) gated THROUGH corpusDiff:
+    // diff(old, merge(old, changes)) must reproduce q128's counts
+    "q143_snapshot_merge" -> (HygieneOps.q143SnapshotMerge _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

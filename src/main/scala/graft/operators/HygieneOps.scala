@@ -310,6 +310,79 @@ object HygieneOps {
       .orderBy($"doc_id")
       .limit(20)
 
+  /** CDC-boundary segment dedup — [[segmentDedup]]'s first-occurrence
+    * discipline over CONTENT-DEFINED chunk boundaries (the q87 rule: a
+    * token OPENS a chunk iff md5(token) starts with nibble '0'), which
+    * makes the dedup SHIFT-RESISTANT: an insertion re-chunks one
+    * neighborhood instead of shifting every downstream fixed-width
+    * window, so shared runs between edited variants still dedup — the
+    * reason CDC chunking exists. Same survival law (a chunk content
+    * survives only at its globally first (doc_id, chunk)), same
+    * in-order reassembly, same empty-doc preservation; one shuffle
+    * keyed by chunk content + one per-doc regroup, no pairs. */
+  def cdcSegmentDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunks = docs
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .withColumn("chunk", sum(when(substring(md5($"w"), 1, 1) === "0", 1L)
+        .otherwise(0L)).over(w))
+      .groupBy($"doc_id", $"chunk")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct($"pos", $"w"))), x => x.getField("w")))
+        .as("ctext"))
+    val fo = Window.partitionBy($"ctext").orderBy($"doc_id", $"chunk")
+    chunks
+      .withColumn("rn", row_number().over(fo))
+      .groupBy($"doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when($"rn" === 1, struct($"chunk", $"ctext")))),
+          x => x.getField("ctext"))).as("text_kept"),
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum(when($"rn" > 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
+  /** [[cdcSegmentDedup]] through the oracle gate: the 20 lowest-id
+    * documents that lost a chunk (305 docs lose one at sf0.01 — the
+    * synthetic near-dups share content-defined runs), reassembled text
+    * pinned exactly. */
+  def q142CdcSegmentDedup(s: SparkSession, dir: String): DataFrame =
+    cdcSegmentDedup(load(s, dir, "documents"))
+      .filter($"n_dropped" > 0)
+      .orderBy($"doc_id")
+      .limit(20)
+
+  /** Snapshot MERGE — apply a release change set (upserts + deletes) to
+    * a corpus snapshot: deleted ids drop, upserted ids replace their
+    * old row exactly once (or add, when the id is new), everything else
+    * carries through untouched. At 100 TB the change set is
+    * release-sized, so BOTH the delete anti-join and the replace
+    * anti-join broadcast — the corpus is never shuffled; the merge is
+    * two map-side joins and a union. */
+  def mergeChangeSet(
+      old: DataFrame, upserts: DataFrame, deletes: DataFrame): DataFrame =
+    old.join(deletes.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .join(upserts.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(upserts)
+
+  /** [[mergeChangeSet]] gated THROUGH [[corpusDiff]]: the change set is
+    * q128's derived release (edits at id ≡ 0 mod 7, deletes at id ≡ 0
+    * mod 11 and not mod 7, shifted adds), so `diff(old, merge(old,
+    * changes))` must reproduce q128's per-source add/remove/modify/
+    * unchanged counts exactly — the q133 pattern: same twin, the engine
+    * path routed through the operator under test. */
+  def q143SnapshotMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select($"doc_id", $"source", $"text")
+    val upserts = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id", $"source", concat($"text", lit(" edited v2")).as("text"))
+      .unionByName(docs.filter($"doc_id" < 20)
+        .select(($"doc_id" + 5000000L).as("doc_id"), $"source", $"text"))
+    val deletes = docs
+      .filter($"doc_id" % 11 === 0 && $"doc_id" % 7 =!= 0).select($"doc_id")
+    corpusDiff(docs, mergeChangeSet(docs, upserts, deletes))
+  }
+
   // --------------------------------------------------------------- q137
 
   /** NEAR-dup decontamination — the MinHash-LSH complement of the exact
@@ -458,6 +531,56 @@ object HygieneOps {
         |    AS n_vecs_without_doc""".stripMargin,
     // presence via explicit per-side markers (the corpusDiff contract —
     // hash nullability would misread NULL-text rows as add+remove)
+    "q142_cdc_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS w,
+        |  unnest(list_transform(ts, (x,i) -> i)) AS pos FROM t),
+        |ck AS (SELECT doc_id, w, pos,
+        |  sum(CASE WHEN substr(md5(w),1,1) = '0' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS chunk FROM tok),
+        |chunks AS (SELECT doc_id, chunk,
+        |  string_agg(w, ' ' ORDER BY pos) AS ctext FROM ck GROUP BY 1,2),
+        |fo AS (SELECT doc_id, chunk, ctext, row_number() OVER (
+        |  PARTITION BY ctext ORDER BY doc_id, chunk) AS rn FROM chunks),
+        |agg AS (SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN ctext END,
+        |    ' ' ORDER BY chunk), '') AS text_kept,
+        |  count(*) AS n_chunks,
+        |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dropped
+        |  FROM fo GROUP BY 1)
+        |SELECT doc_id, text_kept, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(n_dropped AS BIGINT) AS n_dropped
+        |FROM agg WHERE n_dropped > 0 ORDER BY doc_id LIMIT 20""".stripMargin,
+    "q143_snapshot_merge" ->
+      """WITH o AS (SELECT doc_id, source, md5(text) AS h, 1 AS p
+        |  FROM documents),
+        |kept AS (SELECT * FROM documents
+        |  WHERE doc_id % 11 != 0 OR doc_id % 7 = 0),
+        |n AS (SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' edited v2'
+        |      ELSE text END) AS h, 1 AS p FROM kept
+        |  UNION ALL SELECT doc_id + 5000000, source, md5(text), 1
+        |  FROM documents WHERE doc_id < 20),
+        |j AS (SELECT coalesce(n.source, o.source) AS source,
+        |  o.h AS h_o, n.h AS h_n, o.p AS p_o, n.p AS p_n
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN p_o IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(sum(CASE WHEN p_n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(sum(CASE WHEN p_o IS NOT NULL AND p_n IS NOT NULL
+        |    AND h_o IS DISTINCT FROM h_n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_modified,
+        |  CAST(sum(CASE WHEN p_o IS NOT NULL AND p_n IS NOT NULL
+        |    AND h_o IS NOT DISTINCT FROM h_n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unchanged
+        |FROM j GROUP BY 1""".stripMargin,
+    // NOTE the CASE yields a LIST in one CTE and the unnest runs in the
+    // NEXT one (the q51/q23 oracle pattern): an unnest INSIDE a CASE
+    // branch gets hoisted by DuckDB, so a document with an empty
+    // generated shingle list (< 3 tokens) would vanish from the oracle
+    // entirely and its ELSE whole-text shingle would never emit.
     "q128_corpus_diff" ->
       """WITH o AS (SELECT doc_id, source, md5(text) AS h, 1 AS p
         |  FROM documents),

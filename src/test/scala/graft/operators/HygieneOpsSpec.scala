@@ -150,4 +150,49 @@ class HygieneOpsSpec extends AnyFunSuite {
     }.toSet
     assert(got.map(_._1).toSet == expect)
   }
+
+  test("cdc segment dedup is shift-resistant where fixed-width dedup is not") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def nib(w: String): Char = MessageDigest.getInstance("MD5")
+      .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+    val vocab = (0 until 400).map(i => s"t$i")
+    val bd = vocab.filter(nib(_) == '0')   // tokens that OPEN a chunk
+    val pl = vocab.filter(nib(_) != '0')
+    // shared tail with two internal boundaries; doc 2 inserts a prefix
+    val tail = Seq(pl(0), bd(0), pl(1), pl(2), bd(1), pl(3))
+    val a = tail.mkString(" ")
+    val b = (Seq(pl(4), pl(5)) ++ tail).mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val cdc = HygieneOps.cdcSegmentDedup(docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1 chunks: [pl0][bd0 pl1 pl2][bd1 pl3]; doc 2's first chunk
+    // absorbs the inserted prefix, the two boundary-opened chunks are
+    // byte-identical to doc 1's and drop
+    assert(cdc(1L) == ((a, 3L, 0L)), cdc(1L))
+    assert(cdc(2L) ==
+      ((Seq(pl(4), pl(5), pl(0)).mkString(" "), 3L, 2L)), cdc(2L))
+    // the contrast: fixed-width segments are SHIFTED by the insertion,
+    // so width-4 segment dedup finds nothing to drop
+    val fixed = HygieneOps.segmentDedup(docs, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(fixed(1L) == 0L && fixed(2L) == 0L, fixed)
+  }
+
+  test("snapshot merge: missing-id delete no-ops, upsert replaces once, diff round-trips") {
+    import spark.implicits._
+    val old = Seq((1L, "s", "a"), (2L, "s", "b"), (3L, "s", "c"))
+      .toDF("doc_id", "source", "text")
+    val ups = Seq((2L, "s", "b2"), (9L, "s", "new"))
+      .toDF("doc_id", "source", "text")
+    val dels = Seq(3L, 77L).toDF("doc_id")
+    val merged = HygieneOps.mergeChangeSet(old, ups, dels)
+    val rows = merged.collect()
+      .map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b2"), (9L, "new")), rows)
+    val diff = HygieneOps.corpusDiff(old, merged).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(diff.toSeq == Seq((1L, 1L, 1L, 1L)), diff.toSeq)
+  }
 }
