@@ -234,6 +234,10 @@ object SparkEntry {
     // snapshot merge (upserts + deletes) gated THROUGH corpusDiff:
     // diff(old, merge(old, changes)) must reproduce q128's counts
     "q143_snapshot_merge" -> (HygieneOps.q143SnapshotMerge _),
+    // watermark-bounded streaming dedup: state TTL'd past the
+    // watermark, one survivor per (user, type, bucket) key
+    "q144_stream_dedup_ttl" ->
+      ((s, d) => graft.streaming.EventStream.q144StreamDedupTtl(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -143,7 +143,46 @@ object EventStream {
       .select(col("win_start"), col("event_type"),
         col("n").cast("long").as("n"), col("sum_value"))
 
+  /** Watermark-BOUNDED streaming dedup — the state-TTL form exact
+    * dedup takes on an unbounded stream when the full seen-set cannot
+    * be held: at most one event per (user_id, event_type, 10-minute
+    * bucket) survives, and a key's dedup state is DROPPED once the
+    * watermark passes it (`dropDuplicatesWithinWatermark`), so state
+    * is bounded by keys-per-watermark-window instead of stream history
+    * — the practical unbounded-scale shape of q17's exact dedup, and
+    * the complement of [[graft.streaming.DocumentStream]]'s
+    * persistent-store dedup (which KEEPS history by design; this
+    * operator is for keys whose duplicates arrive close in event
+    * time). WHICH arrival survives depends on batch order, but
+    * one-per-key does not — the gate aggregates surviving counts. */
+  def dedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val name = "dd_" + UUID.randomUUID().toString.replace("-", "")
+    val dd = eventStream(spark, dir)
+      .withColumn("bucket", expr("unix_micros(ts) div 600000000"))
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "bucket")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try dd.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+  }
+
+  def q144StreamDedupTtl(spark: SparkSession, dir: String): DataFrame =
+    dedupWithinWatermark(spark, dir)
+
   val oracles: Map[String, String] = Map(
+    // one survivor per (user_id, event_type, 10-min bucket) ⇒ the
+    // surviving count IS the distinct key count
+    "q144_stream_dedup_ttl" ->
+      """WITH k AS (SELECT DISTINCT event_type, user_id,
+        |  epoch_us(ts) // 600000000 AS bucket FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique
+        |FROM k GROUP BY 1""".stripMargin,
     "q41_stream_windows" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
         |event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value),2) AS sum_value

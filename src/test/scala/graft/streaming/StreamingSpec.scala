@@ -356,4 +356,17 @@ class StreamingSpec extends AnyFunSuite {
     val total = win.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
     assert(total == graft.Tables.load(spark, dir, "events").count())
   }
+
+  test("watermark-TTL dedup keeps exactly the batch distinct key counts") {
+    import org.apache.spark.sql.functions._
+    val streaming = EventStream.dedupWithinWatermark(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) div 600000000").as("bucket"))
+      .distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streaming == batch)
+  }
 }
