@@ -238,6 +238,9 @@ object SparkEntry {
     // watermark, one survivor per (user, type, bucket) key
     "q144_stream_dedup_ttl" ->
       ((s, d) => graft.streaming.EventStream.q144StreamDedupTtl(s, d)),
+    // char-level entropy proxy: integer-log2 surprise bits over the
+    // per-doc character histogram (the garbled-text detector)
+    "q145_char_entropy" -> (CurationOps.q145CharEntropy _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -395,6 +395,37 @@ object CurationOps {
     * identically, but document intent). At scale the ordering is a
     * `repartitionByRange` on this key — one shuffle per epoch, no
     * driver-side permutation materialized. */
+  /** Character-ENTROPY quality proxy — the garbled/binary-ish text
+    * detector a char-level signal catches where token stats cannot
+    * (single-"word" blobs, repeated-character padding): per document,
+    * `surprise_bits = N·⌊log₂N⌋ − Σ_c k_c·⌊log₂k_c⌋` over the char
+    * histogram — zero for a single repeated character, maximal for a
+    * uniform alphabet — in the q84 integer-log₂ discipline
+    * (`length(bin(x)) − 1`, no floating log on either engine). The
+    * (doc_id, char) aggregate is map-side combinable with key
+    * cardinality ≤ doc length (alphabet-bounded in practice), so the
+    * explode never survives a shuffle wider than the histogram. */
+  def charEntropyProfile(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select($"doc_id", explode(split($"text", "")).as("c"))
+      .filter($"c" =!= "") // Spark's split(-1 limit) emits a trailing ""
+      .groupBy($"doc_id", $"c").agg(count(lit(1)).as("k"))
+      .withColumn("l2k", (length(bin($"k")) - 1).cast("long"))
+    per.groupBy($"doc_id")
+      .agg(
+        sum($"k").as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum($"k" * $"l2k").as("sum_kl2k"))
+      .select($"doc_id", $"n_chars", $"n_distinct",
+        ($"n_chars" * (length(bin($"n_chars")) - 1).cast("long") - $"sum_kl2k")
+          .as("surprise_bits"))
+      .withColumn("bits_ppm",
+        expr("(surprise_bits * 1000000) div n_chars"))
+  }
+
+  def q145CharEntropy(s: SparkSession, dir: String): DataFrame =
+    charEntropyProfile(load(s, dir, "documents"))
+
   /** Greedy per-source TOKEN-BUDGET draw — the mixture-realization step
     * of a pretraining data recipe: each source contributes documents in
     * the deterministic [[epochOrder]] permutation until its token
@@ -472,6 +503,24 @@ object CurationOps {
         |  CAST((sum(bits) * 1000000) // count(*) AS BIGINT) AS score_ppm
         |FROM sc GROUP BY 1
         |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin,
+    // sum() yields HUGEINT in DuckDB — cast back to BIGINT before the
+    // binary format (format rejects HUGEINT) and the arithmetic
+    "q145_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text,'')) AS c
+        |  FROM documents),
+        |per AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1,2),
+        |agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars,
+        |  count(*) AS n_distinct,
+        |  CAST(sum(k * (length(format('{:b}', CAST(k AS BIGINT))) - 1))
+        |    AS BIGINT) AS sum_kl2k
+        |  FROM per GROUP BY 1)
+        |SELECT doc_id, n_chars,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  n_chars * (length(format('{:b}', n_chars)) - 1) - sum_kl2k
+        |    AS surprise_bits,
+        |  ((n_chars * (length(format('{:b}', n_chars)) - 1) - sum_kl2k)
+        |    * 1000000) // n_chars AS bits_ppm
+        |FROM agg""".stripMargin,
     // epoch-0 ordering inlined (epoch term vanishes at epoch = 0)
     "q139_token_budget_draw" ->
       """WITH t AS (SELECT doc_id, source,

@@ -303,4 +303,23 @@ class CurationOpsSpec extends AnyFunSuite {
     // top-20 is a TakeOrderedAndProject
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q145: char entropy is zero for one repeated char, permutation-blind, monotone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaa"),            // single char: zero surprise
+      (2L, "abababab"),            // two chars, uniform
+      (3L, "babababa"),            // permutation of doc 2
+      (4L, "abcdefgh")             // uniform alphabet: maximal
+    ).toDF("doc_id", "text")
+    val out = CurationOps.charEntropyProfile(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((8L, 1L, 0L, 0L)), out(1L))
+    // N=8 -> floor(log2)=3; k=4 -> 2: bits = 8*3 - 2*(4*2) = 8
+    assert(out(2L) == ((8L, 2L, 8L, 1000000L)), out(2L))
+    assert(out(3L) == out(2L)) // histogram-only: order-blind
+    // k=1 -> floor(log2 1)=0: bits = 8*3 = 24, strictly above doc 2
+    assert(out(4L) == ((8L, 8L, 24L, 3000000L)), out(4L))
+  }
 }
