@@ -241,6 +241,15 @@ object SparkEntry {
     // char-level entropy proxy: integer-log2 surprise bits over the
     // per-doc character histogram (the garbled-text detector)
     "q145_char_entropy" -> (CurationOps.q145CharEntropy _),
+    // exact distributed quantiles over the (source, tok_n) histogram —
+    // rank window runs on the histogram, never the corpus
+    "q146_token_quantiles" -> (SketchOps.q146TokenQuantiles _),
+    // HyperLogLog cardinality sketch: portable two-LCG hash, 64
+    // registers, integer-exact raw estimate next to the exact count
+    "q147_hll_cardinality" -> (SketchOps.q147HllCardinality _),
+    // sketch-union audience overlap via inclusion-exclusion — the
+    // segments-don't-fit-a-broadcast form of the exact set ops
+    "q148_hll_overlap" -> (SketchOps.q148HllOverlap _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -250,5 +259,5 @@ object SparkEntry {
       MultimodalOps.oracles ++ CubeOps.oracles ++ AstroOps.oracles ++
       graft.streaming.EventStream.oracles ++ MiscOps.oracles ++ AsofOps.oracles ++
       CurationOps.oracles ++ MiningOps.oracles ++ InsightOps.oracles ++
-      HygieneOps.oracles
+      HygieneOps.oracles ++ SketchOps.oracles
 }

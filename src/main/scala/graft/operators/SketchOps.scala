@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.syntax._
+
+/** Distributed sketch + order-statistics operators: exact distributed
+  * quantiles over a value histogram, a HyperLogLog cardinality sketch
+  * built from the engine-portable LCG hash (completing the repo's
+  * sketch trio next to the Bloom decontamination prefilter and the CMS
+  * heavy-hitter prefilter), and sketch-merge audience overlap — the
+  * 100 TB path for the exact cross-source overlap matrix (q54's shape
+  * is exact but materializes every pair; the sketch version ships 64
+  * integers per segment).
+  *
+  * Engine-portable hash discipline (shared with
+  * [[CurationOps.epochOrder]], reference `config.ini` has no analogue —
+  * this is training-data-pipeline surface): every intermediate stays
+  * below 2^63 by reducing mod a ~2^20 prime BEFORE the LCG multiply;
+  * two independent (prime, multiplier) rounds are recombined into a
+  * ~2^40-value key so registers do not starve at 64 buckets. No
+  * floating point anywhere: ⌊log₂⌋ is `length(bin(x)) − 1` (the q84
+  * rule) and the HLL harmonic term Σ2^(−M_j) is scaled by 2^40 so the
+  * raw estimate α·m²/Σ2^(−M_j) is one exact integer division on both
+  * engines.
+  */
+object SketchOps {
+
+  // ------------------------------------------------------------ quantiles
+
+  /** Exact distributed quantiles (p50/p90/p99) of per-document token
+    * counts, per source. The value domain is collapsed to a histogram
+    * FIRST (one map-side-combinable shuffle on (source, tok_n), output
+    * cardinality ≤ distinct lengths per source), so the rank window
+    * runs over the tiny histogram, never the corpus — the classic
+    * two-phase exact-quantile plan that holds at any corpus size as
+    * long as the VALUE domain is bounded (token counts are).
+    *
+    * Rank definition pinned for cross-engine exactness: q(p) = smallest
+    * value whose cumulative count satisfies 100·cum ≥ N·p (integer form
+    * of cum ≥ ⌈N·p/100⌉ — no ceil, no floats, no engine-specific
+    * quantile interpolation mode).
+    */
+  def tokenQuantiles(docs: DataFrame, ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val hist = docs
+      .select($"source", size(split($"text", " ")).cast("long").as("tok_n"))
+      .groupBy($"source", $"tok_n").agg(count(lit(1)).as("c"))
+    val bySrc = Window.partitionBy($"source")
+    val w = hist.select($"source", $"tok_n", $"c",
+      sum($"c").over(bySrc.orderBy($"tok_n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum($"c").over(bySrc).as("n_docs"))
+    // the p spine is a literal array — stays broadcast-trivial
+    val spine = explode(array(ps.map(p => lit(p.toLong)): _*)).as("p")
+    w.select($"source", $"tok_n", $"cum", $"n_docs", spine)
+      .filter($"cum" * 100 >= $"n_docs" * $"p")
+      .groupBy($"source", $"p", $"n_docs")
+      .agg(min($"tok_n").as("q_value"))
+      .select($"source", $"p", $"n_docs", $"q_value")
+  }
+
+  def q146TokenQuantiles(s: SparkSession, dir: String): DataFrame =
+    tokenQuantiles(load(s, dir, "documents"))
+
+  // ------------------------------------------------------------------ HLL
+
+  /** Two-round overflow-safe LCG recombination → uniform-ish key in
+    * [0, 1000003·999983) ≈ 2^39.9. Independent (prime, multiplier)
+    * pairs so the two rounds do not cancel on arithmetic-progression
+    * ids. */
+  private def portableHash(id: Column): Column =
+    (((id % 1000003L) * 2654435761L) % 1000003L) * 999983L +
+      ((id % 999983L) * 1103515245L) % 999983L
+
+  /** HLL registers over `idCol`, one register row per (key, bucket) for
+    * ALL 64 buckets (empty buckets materialized with m = 0 — the
+    * estimate formula needs them). bucket = h mod 64; the remaining
+    * quotient v < 2^34 contributes rank = (leading zeros in 34 bits)+1
+    * = 35 − bitlen(v), with v = 0 ⇒ 35. max() is the register merge,
+    * so shard-wise register building + bucket-wise max IS the sketch
+    * union (associative, order-free — the law SketchOpsSpec pins). */
+  def hllRegisters(df: DataFrame, idCol: Column, keyCol: Column): DataFrame = {
+    val s = df.sparkSession
+    val regs = df
+      .select(keyCol.as("k"), portableHash(idCol).as("h"))
+      .select($"k", ($"h" % 64L).cast("long").as("bucket"),
+        expr("h div 64").as("v"))
+      .select($"k", $"bucket",
+        when($"v" === 0L, lit(35L))
+          .otherwise(lit(35L) - (length(bin($"v")) - 1)).cast("long").as("rk"))
+      .groupBy($"k", $"bucket").agg(max($"rk").as("m"))
+    val spine = df.select(keyCol.as("k")).distinct()
+      .crossJoin(s.range(0L, 64L).select($"id".as("bucket")))
+    // spine ≤ keys×64 rows, regs ≤ the same — both broadcast-trivial
+    spine.join(regs, Seq("k", "bucket"), "left")
+      .na.fill(0L, Seq("m"))
+  }
+
+  /** Integer-exact HLL raw estimate per key from full register rows:
+    * E = α₆₄·64²/Σ2^(−M_j) with α₆₄ = 0.709 carried as 709/1000, the
+    * harmonic sum scaled by 2^40 (register rank ≤ 35 keeps every shift
+    * in [5, 40]). Raw-estimate only by design: the small-range
+    * linear-counting correction needs ln() and is deliberately NOT
+    * applied — `v_empty` is emitted so callers (and the drift gate) can
+    * see when the raw regime assumption is off. */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy($"k").agg(
+        sum(expr("shiftleft(cast(1 as bigint), cast(40 - m as int))")).as("sum_term"),
+        sum(when($"m" === 0L, 1L).otherwise(0L)).as("v_empty"),
+        max($"m").as("max_rank"))
+      .select($"k",
+        expr("(cast(2904064 as bigint) * shiftleft(cast(1 as bigint), 40))" +
+          " div (1000 * sum_term)").as("hll_est"),
+        $"v_empty", $"max_rank")
+
+  /** q147 — per-source document-cardinality sketch next to the exact
+    * count: the monitoring shape a release pipeline runs per snapshot
+    * (at 100 TB the registers are 64 longs/source riding the existing
+    * per-source aggregate; the exact count is here because the gate
+    * should also STATE the error, not just the mechanics — the q135
+    * recall-in-the-gate rule). */
+  def q147HllCardinality(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val est = hllEstimate(hllRegisters(docs, $"doc_id", $"source"))
+    val exact = docs.groupBy($"source")
+      .agg(countDistinct($"doc_id").as("n_exact"))
+    est.join(exact, $"k" === exact("source"))
+      .select($"source", $"n_exact", $"hll_est", $"v_empty", $"max_rank")
+  }
+
+  // -------------------------------------------------------- sketch overlap
+
+  /** q148 — audience overlap between event-type segments via sketch
+    * UNION (register-wise max) + inclusion–exclusion:
+    * |A∩B| ≈ E(A) + E(B) − E(A∪B). The exact q77-family set ops
+    * materialize per-user membership pairs; this ships 64 integers per
+    * segment and merges them bucket-wise, which is the only form that
+    * survives segments that no longer fit a broadcast — segment count
+    * × 64 rows, independent of user count. Exact overlap joins the
+    * gate for the same reason as q147's n_exact. */
+  def q148HllOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events").select($"event_type", $"user_id")
+    val regs = hllRegisters(ev, $"user_id", $"event_type")
+      .localCheckpoint() // reused 3× below (pair build + both est joins); ≤ types×64 rows
+    val est = hllEstimate(regs)
+    val pairRegs = regs.as("a").join(regs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.k") < col("b.k"))
+      .select(col("a.k").as("type_a"), col("b.k").as("type_b"),
+        greatest(col("a.m"), col("b.m")).as("m"))
+    val estU = hllEstimate(
+        pairRegs.select(concat($"type_a", lit("|"), $"type_b").as("k"), $"m"))
+      .select($"k".as("pair"), $"hll_est".as("est_union"))
+    val members = ev.distinct()
+    val exact = members.as("a").join(members.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+    pairRegs.select($"type_a", $"type_b").distinct()
+      .join(est.select($"k".as("type_a"), $"hll_est".as("est_a")), Seq("type_a"))
+      .join(est.select($"k".as("type_b"), $"hll_est".as("est_b")), Seq("type_b"))
+      .join(estU, concat($"type_a", lit("|"), $"type_b") === $"pair")
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .na.fill(0L, Seq("n_exact"))
+      .select($"type_a", $"type_b", $"est_a", $"est_b", $"est_union",
+        ($"est_a" + $"est_b" - $"est_union").as("overlap_est"), $"n_exact")
+  }
+
+  // -------------------------------------------------------------- oracles
+
+  val oracles: Map[String, String] = Map(
+    "q146_token_quantiles" ->
+      """WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n
+        |  FROM documents),
+        |hist AS (SELECT source, tok_n, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |w AS (SELECT source, tok_n, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY tok_n
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS n_docs FROM hist),
+        |p AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p)
+        |SELECT source, p, CAST(n_docs AS BIGINT) AS n_docs,
+        |  min(tok_n) AS q_value
+        |FROM w, p WHERE cum * 100 >= n_docs * p
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // the same two-LCG recombination as q129, then bucket = h mod 64,
+    // rank = 35 - bitlen(h // 64); empty buckets materialized via the
+    // source x generate_series(0,63) spine; integer-scaled harmonic sum
+    "q147_hll_cardinality" ->
+      """WITH h AS (SELECT source,
+        |    ((doc_id % 1000003) * 2654435761 % 1000003) * 999983
+        |      + (doc_id % 999983) * 1103515245 % 999983 AS h
+        |  FROM documents),
+        |r AS (SELECT source, h % 64 AS bucket,
+        |    CASE WHEN h // 64 = 0 THEN 35
+        |      ELSE 35 - (length(format('{:b}', h // 64)) - 1) END AS rk
+        |  FROM h),
+        |regs AS (SELECT source, bucket, max(rk) AS m FROM r GROUP BY 1, 2),
+        |spine AS (SELECT source, bucket
+        |  FROM (SELECT DISTINCT source FROM documents),
+        |       (SELECT unnest(generate_series(0, 63)) AS bucket)),
+        |fullr AS (SELECT spine.source, spine.bucket, coalesce(m, 0) AS m
+        |  FROM spine LEFT JOIN regs
+        |    ON spine.source = regs.source AND spine.bucket = regs.bucket),
+        |agg AS (SELECT source,
+        |    CAST(sum(1::BIGINT << CAST(40 - m AS INT)) AS BIGINT) AS sum_term,
+        |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
+        |    CAST(max(m) AS BIGINT) AS max_rank
+        |  FROM fullr GROUP BY 1),
+        |ex AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact
+        |  FROM documents GROUP BY 1)
+        |SELECT agg.source, n_exact,
+        |  (2904064::BIGINT * (1::BIGINT << 40)) // (1000 * sum_term) AS hll_est,
+        |  v_empty, max_rank
+        |FROM agg JOIN ex ON agg.source = ex.source""".stripMargin,
+    "q148_hll_overlap" ->
+      """WITH ev AS (SELECT event_type, user_id FROM events),
+        |r AS (SELECT event_type,
+        |    (((user_id % 1000003) * 2654435761 % 1000003) * 999983
+        |      + (user_id % 999983) * 1103515245 % 999983) % 64 AS bucket,
+        |    CASE WHEN (((user_id % 1000003) * 2654435761 % 1000003) * 999983
+        |        + (user_id % 999983) * 1103515245 % 999983) // 64 = 0 THEN 35
+        |      ELSE 35 - (length(format('{:b}',
+        |        (((user_id % 1000003) * 2654435761 % 1000003) * 999983
+        |          + (user_id % 999983) * 1103515245 % 999983) // 64)) - 1)
+        |      END AS rk
+        |  FROM ev),
+        |regs AS (SELECT event_type, bucket, max(rk) AS m FROM r GROUP BY 1, 2),
+        |spine AS (SELECT event_type, bucket
+        |  FROM (SELECT DISTINCT event_type FROM ev),
+        |       (SELECT unnest(generate_series(0, 63)) AS bucket)),
+        |fullr AS (SELECT spine.event_type, spine.bucket, coalesce(m, 0) AS m
+        |  FROM spine LEFT JOIN regs
+        |    ON spine.event_type = regs.event_type AND spine.bucket = regs.bucket),
+        |est AS (SELECT event_type,
+        |    (2904064::BIGINT * (1::BIGINT << 40))
+        |      // (1000 * CAST(sum(1::BIGINT << CAST(40 - m AS INT)) AS BIGINT))
+        |      AS hll_est
+        |  FROM fullr GROUP BY 1),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b, a.bucket,
+        |    CASE WHEN a.m >= b.m THEN a.m ELSE b.m END AS m
+        |  FROM fullr a JOIN fullr b
+        |    ON a.bucket = b.bucket AND a.event_type < b.event_type),
+        |estu AS (SELECT type_a, type_b,
+        |    (2904064::BIGINT * (1::BIGINT << 40))
+        |      // (1000 * CAST(sum(1::BIGINT << CAST(40 - m AS INT)) AS BIGINT))
+        |      AS est_union
+        |  FROM pr GROUP BY 1, 2),
+        |mem AS (SELECT DISTINCT event_type, user_id FROM ev),
+        |ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM mem a JOIN mem b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT estu.type_a, estu.type_b,
+        |  ea.hll_est AS est_a, eb.hll_est AS est_b, est_union,
+        |  ea.hll_est + eb.hll_est - est_union AS overlap_est,
+        |  coalesce(n_exact, 0) AS n_exact
+        |FROM estu
+        |JOIN est ea ON estu.type_a = ea.event_type
+        |JOIN est eb ON estu.type_b = eb.event_type
+        |LEFT JOIN ex ON estu.type_a = ex.type_a AND estu.type_b = ex.type_b""".stripMargin,
+  )
+}
