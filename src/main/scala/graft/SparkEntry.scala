@@ -250,6 +250,21 @@ object SparkEntry {
     // sketch-union audience overlap via inclusion-exclusion — the
     // segments-don't-fit-a-broadcast form of the exact set ops
     "q148_hll_overlap" -> (SketchOps.q148HllOverlap _),
+    // inverted (postings) index artifact: exact df, capped postings
+    // with truncation accounting
+    "q149_inverted_index" -> (IndexOps.q149InvertedIndex _),
+    // entity-resolution fuzzy join with planted truth: vocabulary-only
+    // levenshtein, unique-minimum resolution, ties refused as ambiguous
+    "q150_fuzzy_er" -> (MatchOps.q150FuzzyEr _),
+    // Z-order layout profile: native zorder_key expression, per-tile
+    // min/max proving two-dimensional clustering under one sort
+    "q151_zorder_layout" -> (IndexOps.q151ZorderLayout _),
+    // integer-exact OLS regression aggregates (slope as an exact
+    // fraction) — corpus drift lines from five longs per group
+    "q152_ols_drift" -> (MatchOps.q152OlsDrift _),
+    // Gini concentration of token frequencies as an exact fraction —
+    // vocabulary concentration next to q115's Zipf head coverage
+    "q153_token_gini" -> (MatchOps.q153TokenGini _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -259,5 +274,6 @@ object SparkEntry {
       MultimodalOps.oracles ++ CubeOps.oracles ++ AstroOps.oracles ++
       graft.streaming.EventStream.oracles ++ MiscOps.oracles ++ AsofOps.oracles ++
       CurationOps.oracles ++ MiningOps.oracles ++ InsightOps.oracles ++
-      HygieneOps.oracles ++ SketchOps.oracles
+      HygieneOps.oracles ++ SketchOps.oracles ++ IndexOps.oracles ++
+      MatchOps.oracles
 }

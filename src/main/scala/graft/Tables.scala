@@ -14,6 +14,7 @@ object Tables {
     graft.plans.VectorExpressions.register(spark)
     graft.plans.TopKPerKey.install(spark)
     graft.plans.RangeJoin.install(spark)
+    graft.plans.ZOrderExpression.install(spark)
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
   }

@@ -99,13 +99,29 @@ object SketchOps {
       .na.fill(0L, Seq("m"))
   }
 
-  /** Integer-exact HLL raw estimate per key from full register rows:
+  /** Small-range (linear-counting) correction table: lc[v] =
+    * round(64·ln(64/v)) for v = 1..63 empty registers. Precomputed ONCE
+    * here (StrictMath so the constants are platform-stable) and spliced
+    * into the DuckDB oracle as the same literals, so the ln() never
+    * runs inside either engine — the correction stays a pure integer
+    * lookup on both sides (the q84 no-floats rule applied to the one
+    * formula that genuinely needs a transcendental). */
+  private[operators] val LcTable: IndexedSeq[Long] =
+    (1 to 63).map(v => Math.round(64.0 * StrictMath.log(64.0 / v)))
+
+  private def lcArraySql: String = LcTable.mkString("[", ", ", "]")
+
+  private val lcArraySpark: String = LcTable.mkString("array(", ", ", ")")
+
+  /** Integer-exact HLL estimate per key from full register rows: raw
     * E = α₆₄·64²/Σ2^(−M_j) with α₆₄ = 0.709 carried as 709/1000, the
     * harmonic sum scaled by 2^40 (register rank ≤ 35 keeps every shift
-    * in [5, 40]). Raw-estimate only by design: the small-range
-    * linear-counting correction needs ln() and is deliberately NOT
-    * applied — `v_empty` is emitted so callers (and the drift gate) can
-    * see when the raw regime assumption is off. */
+    * in [5, 40]); when the raw estimate is in the small-range regime
+    * (E ≤ 2.5·64 with empty registers present) the standard
+    * linear-counting estimate m·ln(m/v) replaces it via the
+    * precomputed [[LcTable]] lookup — integer-exact on both engines
+    * because the table is literal. `v_empty` and the raw estimate stay
+    * visible so callers can see which regime produced the number. */
   def hllEstimate(regs: DataFrame): DataFrame =
     regs.groupBy($"k").agg(
         sum(expr("shiftleft(cast(1 as bigint), cast(40 - m as int))")).as("sum_term"),
@@ -113,8 +129,13 @@ object SketchOps {
         max($"m").as("max_rank"))
       .select($"k",
         expr("(cast(2904064 as bigint) * shiftleft(cast(1 as bigint), 40))" +
-          " div (1000 * sum_term)").as("hll_est"),
+          " div (1000 * sum_term)").as("hll_raw"),
         $"v_empty", $"max_rank")
+      .select($"k",
+        expr(s"CASE WHEN hll_raw <= 160 AND v_empty > 0" +
+          s" THEN element_at($lcArraySpark, cast(v_empty as int))" +
+          s" ELSE hll_raw END").as("hll_est"),
+        $"hll_raw", $"v_empty", $"max_rank")
 
   /** q147 — per-source document-cardinality sketch next to the exact
     * count: the monitoring shape a release pipeline runs per snapshot
@@ -128,7 +149,8 @@ object SketchOps {
     val exact = docs.groupBy($"source")
       .agg(countDistinct($"doc_id").as("n_exact"))
     est.join(exact, $"k" === exact("source"))
-      .select($"source", $"n_exact", $"hll_est", $"v_empty", $"max_rank")
+      .select($"source", $"n_exact", $"hll_est", $"hll_raw", $"v_empty",
+        $"max_rank")
   }
 
   // -------------------------------------------------------- sketch overlap
@@ -210,12 +232,19 @@ object SketchOps {
         |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
         |    CAST(max(m) AS BIGINT) AS max_rank
         |  FROM fullr GROUP BY 1),
+        |est AS (SELECT source, v_empty, max_rank,
+        |    (2904064::BIGINT * (1::BIGINT << 40)) // (1000 * sum_term)
+        |      AS hll_raw
+        |  FROM agg),
         |ex AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact
         |  FROM documents GROUP BY 1)
-        |SELECT agg.source, n_exact,
-        |  (2904064::BIGINT * (1::BIGINT << 40)) // (1000 * sum_term) AS hll_est,
-        |  v_empty, max_rank
-        |FROM agg JOIN ex ON agg.source = ex.source""".stripMargin,
+        |SELECT est.source, n_exact,
+        |  CAST(CASE WHEN hll_raw <= 160 AND v_empty > 0
+        |    THEN (LCTABLE)[CAST(v_empty AS INT)] ELSE hll_raw END AS BIGINT)
+        |    AS hll_est,
+        |  hll_raw, v_empty, max_rank
+        |FROM est JOIN ex ON est.source = ex.source"""
+        .stripMargin.replace("LCTABLE", lcArraySql),
     "q148_hll_overlap" ->
       """WITH ev AS (SELECT event_type, user_id FROM events),
         |r AS (SELECT event_type,
@@ -235,20 +264,32 @@ object SketchOps {
         |fullr AS (SELECT spine.event_type, spine.bucket, coalesce(m, 0) AS m
         |  FROM spine LEFT JOIN regs
         |    ON spine.event_type = regs.event_type AND spine.bucket = regs.bucket),
-        |est AS (SELECT event_type,
+        |estr AS (SELECT event_type,
         |    (2904064::BIGINT * (1::BIGINT << 40))
         |      // (1000 * CAST(sum(1::BIGINT << CAST(40 - m AS INT)) AS BIGINT))
-        |      AS hll_est
+        |      AS hll_raw,
+        |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
         |  FROM fullr GROUP BY 1),
+        |est AS (SELECT event_type,
+        |    CAST(CASE WHEN hll_raw <= 160 AND v_empty > 0
+        |      THEN (LCTABLE)[CAST(v_empty AS INT)] ELSE hll_raw END AS BIGINT)
+        |      AS hll_est
+        |  FROM estr),
         |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b, a.bucket,
         |    CASE WHEN a.m >= b.m THEN a.m ELSE b.m END AS m
         |  FROM fullr a JOIN fullr b
         |    ON a.bucket = b.bucket AND a.event_type < b.event_type),
-        |estu AS (SELECT type_a, type_b,
+        |estur AS (SELECT type_a, type_b,
         |    (2904064::BIGINT * (1::BIGINT << 40))
         |      // (1000 * CAST(sum(1::BIGINT << CAST(40 - m AS INT)) AS BIGINT))
-        |      AS est_union
+        |      AS hll_raw,
+        |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
         |  FROM pr GROUP BY 1, 2),
+        |estu AS (SELECT type_a, type_b,
+        |    CAST(CASE WHEN hll_raw <= 160 AND v_empty > 0
+        |      THEN (LCTABLE)[CAST(v_empty AS INT)] ELSE hll_raw END AS BIGINT)
+        |      AS est_union
+        |  FROM estur),
         |mem AS (SELECT DISTINCT event_type, user_id FROM ev),
         |ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
         |    CAST(count(*) AS BIGINT) AS n_exact
@@ -262,6 +303,7 @@ object SketchOps {
         |FROM estu
         |JOIN est ea ON estu.type_a = ea.event_type
         |JOIN est eb ON estu.type_b = eb.event_type
-        |LEFT JOIN ex ON estu.type_a = ex.type_a AND estu.type_b = ex.type_b""".stripMargin,
+        |LEFT JOIN ex ON estu.type_a = ex.type_a AND estu.type_b = ex.type_b"""
+        .stripMargin.replace("LCTABLE", lcArraySql),
   )
 }

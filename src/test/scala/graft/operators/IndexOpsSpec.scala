@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables.load
+import graft.functions.ZOrder
+
+/** Index-artifact laws: the inverted index's exact-df / capped-postings
+  * contract (q149) and the Z-order key algebra (q151) — the quadrant
+  * law that makes tiles a prefix of the key, the box cover used for
+  * pruning, and bit-parity between the mask-spread encoder and the
+  * oracle's Σ ((x>>i)&1)<<2i replay.
+  */
+class IndexOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  // ---------------------------------------------------------------- q149
+
+  test("q149: df counts documents (per-doc dedup), postings sorted, cap accounted") {
+    val docs = Seq(
+      (2L, "x x z", "s"), // x twice in one doc -> df 1 for this doc
+      (1L, "x y", "s"),
+      (3L, "z", "s")).toDF("doc_id", "text", "source")
+    val idx = IndexOps.invertedIndex(docs).collect()
+      .map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("df"), r.getAs[String]("postings"),
+          r.getAs[Boolean]("truncated")))).toMap
+    assert(idx("x") === ((2L, "1,2", false)), "df=2 not 3; postings ascending")
+    assert(idx("y") === ((1L, "1", false)))
+    assert(idx("z") === ((2L, "2,3", false)))
+    // cap: df stays EXACT while postings truncate, and the row says so
+    val capped = IndexOps.invertedIndex(docs, cap = 1).collect()
+      .map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("df"), r.getAs[String]("postings"),
+          r.getAs[Boolean]("truncated")))).toMap
+    assert(capped("x") === ((2L, "1", true)))
+    assert(capped("y") === ((1L, "1", false)))
+  }
+
+  test("q149: index is repartition-invariant on the corpus") {
+    val docs = load(spark, dir, "documents")
+    val a = IndexOps.invertedIndex(docs).collect().toSet
+    val b = IndexOps.invertedIndex(docs.repartition(13)).collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+
+  // ---------------------------------------------------------------- q151
+
+  test("q151: morton encode truth table and oracle-formula parity") {
+    assert(ZOrder.encode(0, 0) === 0L)
+    assert(ZOrder.encode(1, 0) === 1L)
+    assert(ZOrder.encode(0, 1) === 2L)
+    assert(ZOrder.encode(3, 5) === 39L) // 011 ⨯ 101 interleaved
+    assert(ZOrder.encode(0xFFFFL, 0xFFFFL) === 0xFFFFFFFFL)
+    // parity with the oracle's literal bit-sum replay
+    def sumForm(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).sum
+    val probe = Seq(0L, 1L, 2L, 3L, 255L, 256L, 4095L, 14633L, 65535L)
+    for (x <- probe; y <- probe)
+      assert(ZOrder.encode(x, y) === sumForm(x, y), s"($x, $y)")
+  }
+
+  test("q151: quadrant law — tile of the key == key of the coarse dims") {
+    for {
+      s <- Seq(4, 8, 12)
+      x <- Seq(0L, 17L, 255L, 4096L, 65535L)
+      y <- Seq(0L, 300L, 14633L, 65535L)
+    } assert(ZOrder.tile(ZOrder.encode(x, y), s) ===
+      ZOrder.encode(x >> s, y >> s), s"s=$s ($x, $y)")
+  }
+
+  test("q151: box cover is exact on the tile grid") {
+    val (x0, x1, y0, y1, s) = (100L, 900L, 14700L, 15000L, 8)
+    val cover = ZOrder.tilesForBox(x0, x1, y0, y1, s).toSet
+    // complete: every point of the box lands in a covered tile
+    for (x <- x0 to x1 by 57; y <- y0 to y1 by 31)
+      assert(cover.contains(ZOrder.tile(ZOrder.encode(x, y), s)))
+    // tight: every covered tile's quadrant intersects the box
+    assert(cover.size === ((x1 >> s) - (x0 >> s) + 1) * ((y1 >> s) - (y0 >> s) + 1))
+  }
+
+  test("q151: profile rows stay inside their tile's quadrant") {
+    val prof = IndexOps.q151ZorderLayout(spark, dir).collect()
+    assert(prof.nonEmpty)
+    prof.foreach { r =>
+      val t = r.getAs[Long]("ztile")
+      for (c <- Seq("min_x", "max_x"); d <- Seq("min_y", "max_y"))
+        assert(ZOrder.tile(ZOrder.encode(
+          r.getAs[Long](c), r.getAs[Long](d)), 8) === t, s"tile $t $c/$d")
+    }
+  }
+
+  test("q151: tile-partitioned layout prunes a box probe to PartitionFilters") {
+    val ev = load(spark, dir, "events")
+    val laidOut = ev
+      .withColumn("x", $"user_id" % 65536L)
+      .withColumn("y", expr("unix_timestamp(ts) div 3600") % 65536L)
+      .withColumn("ztile", expr("zorder_key(x, y) div 65536"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    laidOut.write.partitionBy("ztile").mode("overwrite").parquet(tmp)
+    // probe: a user-range × hour-range box, translated to tile ids by
+    // the cover — the reader never lists the other tiles' directories
+    val tiles = ZOrder.tilesForBox(0L, 255L, 14600L, 15100L, 8)
+    val probe = spark.read.parquet(tmp)
+      .filter($"ztile".isin(tiles: _*))
+      .filter($"x" <= 255L && $"y" >= 14600L && $"y" <= 15100L)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(!plan.contains("PartitionFilters: []"), plan)
+    assert("PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).get
+      .contains("ztile"), plan)
+    // and the pruned read returns exactly the box's rows
+    val expected = ev.filter($"user_id" % 65536L <= 255L &&
+      expr("unix_timestamp(ts) div 3600") % 65536L >= 14600L &&
+      expr("unix_timestamp(ts) div 3600") % 65536L <= 15100L).count()
+    assert(probe.count() === expected && expected > 0L)
+  }
+}

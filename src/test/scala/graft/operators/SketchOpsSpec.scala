@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables.load
+
+/** Sketch-operator laws (q146-q148): the integer rank rule behind the
+  * exact distributed quantiles, and the HLL register algebra — building
+  * registers shard-wise then merging with bucket-wise max IS the sketch
+  * of the union (the property that makes the sketch mergeable across
+  * executors/partitions/days without re-reading history).
+  */
+class SketchOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  // ---------------------------------------------------------------- q146
+
+  test("q146: rank rule picks the smallest value with 100*cum >= N*p") {
+    // token counts 1..10 in one source: p50 -> 5, p90 -> 9, p99 -> 10
+    val docs = (1 to 10).map { i =>
+      (i.toLong, Seq.fill(i)("w").mkString(" "), "s")
+    }.toDF("doc_id", "text", "source")
+    val q = SketchOps.tokenQuantiles(docs).collect()
+      .map(r => r.getAs[Long]("p") -> r.getAs[Long]("q_value")).toMap
+    assert(q === Map(50L -> 5L, 90L -> 9L, 99L -> 10L))
+  }
+
+  test("q146: quantiles are repartition-invariant (histogram is global)") {
+    val docs = load(spark, dir, "documents")
+    val a = SketchOps.tokenQuantiles(docs).collect().toSet
+    val b = SketchOps.tokenQuantiles(docs.repartition(13)).collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+
+  // ---------------------------------------------------------------- q147
+
+  /** Registers as a comparable map (key, bucket) -> m. */
+  private def regMap(regs: DataFrame): Map[(String, Long), Long] =
+    regs.collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("bucket")) ->
+      r.getAs[Long]("m")).toMap
+
+  test("q147: shard-wise registers + bucket-wise max == union registers") {
+    val docs = load(spark, dir, "documents")
+    val whole = regMap(SketchOps.hllRegisters(docs, $"doc_id", $"source"))
+    val evens = SketchOps.hllRegisters(
+      docs.filter($"doc_id" % 2 === 0), $"doc_id", $"source")
+    val odds = SketchOps.hllRegisters(
+      docs.filter($"doc_id" % 2 === 1), $"doc_id", $"source")
+    // merge = full outer on (k, bucket), max of the two ranks
+    val merged = evens.as("a").join(odds.as("b"),
+        col("a.k") === col("b.k") && col("a.bucket") === col("b.bucket"),
+        "full_outer")
+      .select(coalesce(col("a.k"), col("b.k")).as("k"),
+        coalesce(col("a.bucket"), col("b.bucket")).as("bucket"),
+        greatest(coalesce(col("a.m"), lit(0L)),
+          coalesce(col("b.m"), lit(0L))).as("m"))
+    assert(regMap(merged) === whole, "register max-merge must equal the union sketch")
+  }
+
+  test("q147: every key carries all 64 buckets; singleton key has v_empty = 63") {
+    val one = Seq((42L, "only")).toDF("id", "k")
+    val regs = SketchOps.hllRegisters(one, $"id", $"k")
+    assert(regs.count() === 64L)
+    val est = SketchOps.hllEstimate(regs).collect().head
+    assert(est.getAs[Long]("v_empty") === 63L)
+    // lc[63] = round(64·ln(64/63)) = 1: the corrected estimate of a
+    // singleton is exactly 1
+    assert(est.getAs[Long]("hll_est") === 1L)
+  }
+
+  test("q147: raw estimate lands near the exact count on the corpus") {
+    val out = SketchOps.q147HllCardinality(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Long]("hll_est").toDouble
+      // 64 registers -> ~13% stddev; in the small-range regime (which
+      // sf0.001's ~25 docs/source is, deeply) the estimate is the
+      // linear-counting lookup, which lands well inside 2x
+      assert(est > exact * 0.5 && est < exact * 2.0,
+        s"${r.getAs[String]("source")}: est $est vs exact $exact")
+    }
+  }
+
+  // ---------------------------------------------------------------- q148
+
+  test("q148: subset segment makes the union sketch equal the superset sketch") {
+    // users of type "b" are a subset of type "a" => registers(a U b) ==
+    // registers(a), so est_union == est_a exactly (integer equality)
+    val ev = ((1L to 200L).map(u => ("a", u)) ++ (1L to 50L).map(u => ("b", u)))
+      .toDF("event_type", "user_id")
+    val regs = SketchOps.hllRegisters(ev, $"user_id", $"event_type")
+    val est = SketchOps.hllEstimate(regs).collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Long]("hll_est")).toMap
+    val union = SketchOps.hllEstimate(
+      regs.groupBy($"bucket").agg(max($"m").as("m"))
+        .select(lit("u").as("k"), $"bucket", $"m")).collect().head
+    assert(union.getAs[Long]("hll_est") === est("a"))
+  }
+
+  test("q148: inclusion-exclusion identity holds row-wise on the corpus") {
+    val out = SketchOps.q148HllOverlap(spark, dir)
+    assert(out.filter($"overlap_est" =!= $"est_a" + $"est_b" - $"est_union")
+      .count() === 0L)
+    assert(out.count() > 0L)
+  }
+}
