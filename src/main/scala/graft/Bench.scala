@@ -113,6 +113,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -141,9 +142,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
         if (i % 4 == 0) System.gc()
-        val times = (1 to 2).map { _ =>
+        val times = (1 to 2).map { rep =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          // a failed query must be LOUD: a swallowed throw records a
+          // fail-fast "time" that reads like a pass in BENCH_r*.json
+          try { fn(spark, sfDir).count() } catch {
+            case t: Throwable =>
+              System.err.println(s"[bench] $name rep$rep FAILED: ${t.getMessage}")
+          }
           (System.nanoTime() - t0) / 1e9
         }
         name -> times.min

@@ -22,13 +22,12 @@ object EventStream {
 
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // schema must match the on-disk layout (ts: int64 nanos)
+    // schema must match the on-disk layout (int64 nanos or TIMESTAMP_NTZ
+    // micros depending on the testdata generation — see Tables.normalizeEventTs)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      // integer div (see Tables.loadEvents): Column./ rounds int64 nanos
-      // through double and can land ±1 µs off the exact quotient
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** Watermark + 10-minute tumbling windows; complete mode so the final
