@@ -26,23 +26,45 @@ object IndexOps {
     * wants it materialized in the index row; `df` stays EXACT (it comes
     * from count, not from the capped list) and `truncated` marks every
     * capped row, so nothing is silently dropped (the q64
-    * refuse-or-account rule applied to an artifact). One
-    * map-side-combinable shuffle on token; postings are joined to a
-    * comma string so the artifact is hash-comparable across engines.
+    * refuse-or-account rule applied to an artifact).
     *
     * Per-doc token DEDUP happens before the explode (array_distinct on
     * the token array), so df counts documents, not occurrences — the
     * postings-list invariant.
+    *
+    * SCALE: the postings side is bounded BEFORE any aggregation buffer
+    * exists. `row_number ≤ cap per token ordered by doc_id` is rewritten
+    * by [[graft.plans.TopKRewriteRule]] into the two-stage bounded-heap
+    * [[graft.plans.TopKPerKeyExec]] — each map partition holds at most
+    * `cap` rows per token, the shuffle carries ≤ cap·tokens survivor
+    * rows, and only THEN does `collect_list` run, over a group already
+    * guaranteed ≤ cap. A stop-word whose postings are corpus-sized never
+    * materializes more than `cap` doc_ids anywhere in the plan (the
+    * previous `slice(sort_array(collect_list))` capped the OUTPUT but
+    * buffered the full skewed group on one reducer first). `df` comes
+    * from a separate count aggregate — map-side combinable, 16 bytes a
+    * token — joined back on `token`; both sides hash-partition on token
+    * so the join adds no third shuffle of the corpus.
     */
-  def invertedIndex(docs: DataFrame, cap: Int = 32): DataFrame =
-    docs
+  def invertedIndex(docs: DataFrame, cap: Int = 32): DataFrame = {
+    val tokens = docs
       .select($"doc_id", explode(array_distinct(split($"text", " "))).as("token"))
+    val dfExact = tokens.groupBy($"token").agg(count(lit(1)).as("df"))
+    // bounded-heap top-k per token (smallest `cap` doc_ids) — the rank
+    // column is dropped, so TopKRewriteRule replaces the Window sort
+    val bounded = tokens
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"token").orderBy($"doc_id")))
+      .filter($"rn" <= cap)
+      .select($"token", $"doc_id")
+    val postings = bounded
       .groupBy($"token")
-      .agg(
-        count(lit(1)).as("df"),
-        concat_ws(",", slice(sort_array(collect_list($"doc_id")), 1, cap)
-          .cast("array<string>")).as("postings"))
+      .agg(concat_ws(",", sort_array(collect_list($"doc_id"))
+        .cast("array<string>")).as("postings"))
+    dfExact.join(postings, Seq("token"))
       .select($"token", $"df", $"postings", ($"df" > cap).as("truncated"))
+  }
 
   def q149InvertedIndex(s: SparkSession, dir: String): DataFrame =
     invertedIndex(load(s, dir, "documents"))

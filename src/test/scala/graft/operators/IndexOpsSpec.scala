@@ -48,6 +48,30 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(capped("y") === ((1L, "1", false)))
   }
 
+  test("q149: planted hot token (df >> cap) — exact df, first-cap postings, bounded plan") {
+    graft.plans.TopKPerKey.install(spark)
+    // 500 docs all carry "hot"; each also carries a private rare token
+    val docs = (1L to 500L).map(i => (i, s"hot rare$i", "s"))
+      .toDF("doc_id", "text", "source").repartition(7)
+    val q = IndexOps.invertedIndex(docs)
+    // plan gate: the postings side is bounded by the native grouped
+    // top-k BEFORE collect_list — no Window sort of the raw postings
+    // survives anywhere in the plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), "bounded top-k missing:\n" + plan)
+    assert(!plan.contains("Window"), "unbounded window sort survived:\n" + plan)
+    val idx = q.collect()
+      .map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("df"), r.getAs[String]("postings"),
+          r.getAs[Boolean]("truncated")))).toMap
+    // hot token: df exact at 500, postings = the 32 SMALLEST doc_ids
+    assert(idx("hot") === ((500L, (1L to 32L).mkString(","), true)))
+    // rare tokens untouched by the cap
+    assert(idx("rare1") === ((1L, "1", false)))
+    assert(idx("rare500") === ((1L, "500", false)))
+    assert(idx.size === 501)
+  }
+
   test("q149: index is repartition-invariant on the corpus") {
     val docs = load(spark, dir, "documents")
     val a = IndexOps.invertedIndex(docs).collect().toSet
