@@ -265,6 +265,9 @@ object SparkEntry {
     // Gini concentration of token frequencies as an exact fraction —
     // vocabulary concentration next to q115's Zipf head coverage
     "q153_token_gini" -> (MatchOps.q153TokenGini _),
+    // Z-order layout round-trip: writeZOrdered + tile-cover boxProbe;
+    // oracle is the direct predicate scan of the raw table
+    "q154_zorder_probe" -> (IndexOps.q154ZorderProbe _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

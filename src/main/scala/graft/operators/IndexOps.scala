@@ -105,6 +105,86 @@ object IndexOps {
   def q151ZorderLayout(s: SparkSession, dir: String): DataFrame =
     zorderProfile(load(s, dir, "events"))
 
+  // ------------------------------------------------- layout write + probe
+
+  /** Z-ordered layout WRITE — the production form of the recipe q151
+    * profiles: reduce two dimensions to the 16-bit grid, key every row
+    * with the native codegen `zorder_key`, and persist with `ztile`
+    * (zkey >>> 2·scale — a PREFIX of the key, the quadrant law) as the
+    * directory key and rows z-sorted inside each file.
+    *
+    * Write discipline (the [[graft.streaming.DocumentStream]] store
+    * rule, reused verbatim): tiles shuffle on their mod-`nChunks` class
+    * remapped through [[graft.streaming.DocumentStream.chunkPartitionValues]]
+    * so `repartition(n, ·)` is a BIJECTION from chunk classes to tasks —
+    * no RangePartitioner sampling job over the corpus (the alternative,
+    * `repartitionByRange(zkey)`, scans the frame once more per write),
+    * no birthday-collision empty tasks, and each (task, tile) pair emits
+    * exactly one file, sorted by zkey within, so file- and row-group-
+    * level min/max on zx/zy/zkey stay tight. ONE shuffle total; at
+    * 100 TB the layout cost is the shuffle you were already paying to
+    * sort, minus the sampling prepass.
+    *
+    * Reference analogue: the sorted [heal, time, ds] dense index that
+    * makes HiSS-Cube region queries prune
+    * (`hisscube/processors/metadata_strategy_image.py:351-355`) —
+    * generalized to any two bounded integer dimensions.
+    */
+  def writeZOrdered(df: DataFrame, xCol: Column, yCol: Column, scale: Int,
+      path: String, nChunks: Int = 32): Unit = {
+    require(scale >= 0 && scale <= graft.functions.ZOrder.Bits,
+      s"tile scale $scale outside [0, ${graft.functions.ZOrder.Bits}]")
+    graft.plans.ZOrderExpression.install(df.sparkSession)
+    val keyed = df
+      .withColumn("zx", xCol.cast("long").bitwiseAND(lit(0xFFFFL)))
+      .withColumn("zy", yCol.cast("long").bitwiseAND(lit(0xFFFFL)))
+      .withColumn("zkey", expr("zorder_key(zx, zy)"))
+      .withColumn("ztile", shiftrightunsigned($"zkey", 2 * scale))
+    val slots = graft.streaming.DocumentStream.chunkPartitionValues(nChunks)
+    keyed
+      .repartition(nChunks, element_at(typedLit(slots),
+        (pmod($"ztile".cast("int"), lit(nChunks)) + lit(1)).cast("int")))
+      .sortWithinPartitions($"ztile", $"zkey")
+      .write.partitionBy("ztile").mode("overwrite").parquet(path)
+  }
+
+  /** Box PROBE over a [[writeZOrdered]] layout: translate the
+    * axis-aligned box to its tile cover ([[graft.functions.ZOrder
+    * .tilesForBox]] — driver-side, cover-grid-sized) and read only those
+    * tile directories (partition pruning on `ztile`), with the exact box
+    * residual on zx/zy pushed to parquet row-group min/max — which the
+    * z-sorted write made tight. The reader never lists the other tiles'
+    * directories: probe cost is proportional to the BOX, not the corpus.
+    */
+  def boxProbe(s: SparkSession, path: String,
+      x0: Long, x1: Long, y0: Long, y1: Long, scale: Int): DataFrame = {
+    val tiles = graft.functions.ZOrder.tilesForBox(x0, x1, y0, y1, scale)
+    s.read.parquet(path)
+      .filter($"ztile".isin(tiles: _*))
+      .filter($"zx".between(x0, x1) && $"zy".between(y0, y1))
+  }
+
+  // --------------------------------------------------------------- q154
+
+  /** Gated end-to-end layout round-trip: z-order-write the events table
+    * on (user, hour-of-epoch), probe a user×time box through the tile
+    * cover, and report per-event-type stats of exactly the box's rows.
+    * The oracle is the DIRECT predicate scan of the raw table — proving
+    * tile-pruned read ≡ full scan on result while the plan (gated in
+    * IndexOpsSpec) touches only the cover's directories. */
+  def q154ZorderProbe(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q154")
+      .toString + "/layout"
+    writeZOrdered(load(s, dir, "events"),
+      $"user_id", expr("unix_timestamp(ts) div 3600"), scale = 8, path = tmp)
+    boxProbe(s, tmp, 0L, 63L, 14700L, 14955L, scale = 8)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct($"zx").as("n_users"),
+        min($"zy").as("min_hour"), max($"zy").as("max_hour"))
+  }
+
   // -------------------------------------------------------------- oracles
 
   /** The morton interleave as plain SQL: Σ ((x>>i)&1)<<2i for the x
@@ -137,5 +217,15 @@ object IndexOps {
          |  min(x) AS min_x, max(x) AS max_x,
          |  min(y) AS min_y, max(y) AS max_y
          |FROM z GROUP BY 1""".stripMargin,
+    "q154_zorder_probe" ->
+      """WITH d AS (SELECT event_type, user_id % 65536 AS zx,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 65536 AS zy
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT zx) AS BIGINT) AS n_users,
+        |  min(zy) AS min_hour, max(zy) AS max_hour
+        |FROM d
+        |WHERE zx BETWEEN 0 AND 63 AND zy BETWEEN 14700 AND 14955
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -126,25 +126,30 @@ class IndexOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("q151: tile-partitioned layout prunes a box probe to PartitionFilters") {
+  test("writeZOrdered + boxProbe: probe prunes to PartitionFilters, result ≡ direct scan") {
     val ev = load(spark, dir, "events")
-    val laidOut = ev
-      .withColumn("x", $"user_id" % 65536L)
-      .withColumn("y", expr("unix_timestamp(ts) div 3600") % 65536L)
-      .withColumn("ztile", expr("zorder_key(x, y) div 65536"))
     val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
-    laidOut.write.partitionBy("ztile").mode("overwrite").parquet(tmp)
-    // probe: a user-range × hour-range box, translated to tile ids by
-    // the cover — the reader never lists the other tiles' directories
-    val tiles = ZOrder.tilesForBox(0L, 255L, 14600L, 15100L, 8)
-    val probe = spark.read.parquet(tmp)
-      .filter($"ztile".isin(tiles: _*))
-      .filter($"x" <= 255L && $"y" >= 14600L && $"y" <= 15100L)
+    IndexOps.writeZOrdered(ev,
+      $"user_id", expr("unix_timestamp(ts) div 3600"), scale = 8, path = tmp)
+    // one file per (task, tile): every tile directory holds exactly one
+    // part file (the chunk-bijection write discipline)
+    val root = new java.io.File(tmp)
+    val tileDirs = root.listFiles().filter(_.getName.startsWith("ztile="))
+    assert(tileDirs.nonEmpty)
+    tileDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.startsWith("part-"))
+      assert(parts.length === 1, s"${d.getName}: ${parts.length} files")
+    }
+    val probe = IndexOps.boxProbe(spark, tmp, 0L, 255L, 14600L, 15100L, scale = 8)
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: ["), plan)
     assert(!plan.contains("PartitionFilters: []"), plan)
     assert("PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).get
       .contains("ztile"), plan)
+    // box residual on zx/zy reaches the parquet scan (the FileScan
+    // string truncates the filter list — assert on its visible prefix)
+    assert("PushedFilters: \\[[^\\]]*".r.findFirstIn(plan).exists(f =>
+      f.contains("zx") && !f.endsWith("[]")), plan)
     // and the pruned read returns exactly the box's rows
     val expected = ev.filter($"user_id" % 65536L <= 255L &&
       expr("unix_timestamp(ts) div 3600") % 65536L >= 14600L &&
