@@ -268,6 +268,9 @@ object SparkEntry {
     // Z-order layout round-trip: writeZOrdered + tile-cover boxProbe;
     // oracle is the direct predicate scan of the raw table
     "q154_zorder_probe" -> (IndexOps.q154ZorderProbe _),
+    // HLL registers persisted per release shard, merged bucket-wise;
+    // merge ≡ union exactly so the oracle is the single-pass estimate
+    "q155_hll_persisted_union" -> (SketchOps.q155HllPersistedUnion _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

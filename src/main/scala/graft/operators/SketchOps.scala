@@ -153,6 +153,63 @@ object SketchOps {
         $"max_rank")
   }
 
+  // --------------------------------------------------- sketch persistence
+
+  /** Persist HLL register rows as a parquet artifact — 64 longs per
+    * key, sorted (k, bucket), one file (the artifact is keys×64 rows:
+    * a million segments is 64 M longs ≈ 512 MB, and the per-release
+    * reality is thousands of keys — driver-trivial; raise the coalesce
+    * if a catalog ever outgrows it). This is what makes q147/q148's
+    * monitoring incremental: release N persists its registers once, and
+    * every later comparison reads 64·keys longs instead of rescanning
+    * release N's corpus. */
+  def writeHllSketch(regs: DataFrame, path: String): Unit =
+    regs.select($"k", $"bucket", $"m")
+      .coalesce(1).sortWithinPartitions($"k", $"bucket")
+      .write.mode("overwrite").parquet(path)
+
+  def readHllSketch(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** Sketch UNION of two register sets: bucket-wise max per key —
+    * associative, commutative, idempotent, so any merge tree over any
+    * shard partition of the corpus yields byte-identical registers to a
+    * single pass over the union (the law SketchOpsSpec pins, now
+    * through the persisted path). Keys present in only one side keep
+    * their full 64-bucket spine from that side — a release that gains a
+    * brand-new segment merges cleanly against last release's sketch. */
+  def mergeHllSketches(a: DataFrame, b: DataFrame): DataFrame =
+    a.select($"k", $"bucket", $"m")
+      .union(b.select($"k", $"bucket", $"m"))
+      .groupBy($"k", $"bucket").agg(max($"m").as("m"))
+
+  /** q155 — the release-over-release monitoring loop through the
+    * PERSISTED path: the corpus is split into two disjoint "releases"
+    * (doc_id parity), each release's registers are built, written, and
+    * read back as independent artifacts, merged bucket-wise, and
+    * estimated. Because merge ≡ union exactly (not approximately), the
+    * oracle is the straight single-pass estimate over the whole corpus
+    * — hash equality here IS the store-roundtrip law, gated
+    * cross-engine. At 100 TB each release scans only ITS corpus once;
+    * comparisons forever after are 64-longs-per-key reads. */
+  def q155HllPersistedUnion(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q155").toString
+    writeHllSketch(
+      hllRegisters(docs.filter($"doc_id" % 2 === 0L), $"doc_id", $"source"),
+      s"$tmp/release_a")
+    writeHllSketch(
+      hllRegisters(docs.filter($"doc_id" % 2 === 1L), $"doc_id", $"source"),
+      s"$tmp/release_b")
+    val merged = mergeHllSketches(
+      readHllSketch(s, s"$tmp/release_a"), readHllSketch(s, s"$tmp/release_b"))
+    val exact = docs.groupBy($"source")
+      .agg(countDistinct($"doc_id").as("n_exact"))
+    hllEstimate(merged).join(exact, $"k" === exact("source"))
+      .select($"source", $"n_exact", $"hll_est", $"hll_raw", $"v_empty",
+        $"max_rank")
+  }
+
   // -------------------------------------------------------- sketch overlap
 
   /** q148 — audience overlap between event-type segments via sketch
@@ -193,6 +250,44 @@ object SketchOps {
 
   // -------------------------------------------------------------- oracles
 
+  /** Shared by q147 (direct) and q155 (through persisted shard merge —
+    * merge ≡ union exactly, so both gate against the same single-pass
+    * estimate). */
+  private val hllCardinalitySql: String =
+    """WITH h AS (SELECT source,
+      |    ((doc_id % 1000003) * 2654435761 % 1000003) * 999983
+      |      + (doc_id % 999983) * 1103515245 % 999983 AS h
+      |  FROM documents),
+      |r AS (SELECT source, h % 64 AS bucket,
+      |    CASE WHEN h // 64 = 0 THEN 35
+      |      ELSE 35 - (length(format('{:b}', h // 64)) - 1) END AS rk
+      |  FROM h),
+      |regs AS (SELECT source, bucket, max(rk) AS m FROM r GROUP BY 1, 2),
+      |spine AS (SELECT source, bucket
+      |  FROM (SELECT DISTINCT source FROM documents),
+      |       (SELECT unnest(generate_series(0, 63)) AS bucket)),
+      |fullr AS (SELECT spine.source, spine.bucket, coalesce(m, 0) AS m
+      |  FROM spine LEFT JOIN regs
+      |    ON spine.source = regs.source AND spine.bucket = regs.bucket),
+      |agg AS (SELECT source,
+      |    CAST(sum(1::BIGINT << CAST(40 - m AS INT)) AS BIGINT) AS sum_term,
+      |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
+      |    CAST(max(m) AS BIGINT) AS max_rank
+      |  FROM fullr GROUP BY 1),
+      |est AS (SELECT source, v_empty, max_rank,
+      |    (2904064::BIGINT * (1::BIGINT << 40)) // (1000 * sum_term)
+      |      AS hll_raw
+      |  FROM agg),
+      |ex AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact
+      |  FROM documents GROUP BY 1)
+      |SELECT est.source, n_exact,
+      |  CAST(CASE WHEN hll_raw <= 160 AND v_empty > 0
+      |    THEN (LCTABLE)[CAST(v_empty AS INT)] ELSE hll_raw END AS BIGINT)
+      |    AS hll_est,
+      |  hll_raw, v_empty, max_rank
+      |FROM est JOIN ex ON est.source = ex.source"""
+      .stripMargin.replace("LCTABLE", lcArraySql)
+
   val oracles: Map[String, String] = Map(
     "q146_token_quantiles" ->
       """WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n
@@ -211,40 +306,11 @@ object SketchOps {
     // the same two-LCG recombination as q129, then bucket = h mod 64,
     // rank = 35 - bitlen(h // 64); empty buckets materialized via the
     // source x generate_series(0,63) spine; integer-scaled harmonic sum
-    "q147_hll_cardinality" ->
-      """WITH h AS (SELECT source,
-        |    ((doc_id % 1000003) * 2654435761 % 1000003) * 999983
-        |      + (doc_id % 999983) * 1103515245 % 999983 AS h
-        |  FROM documents),
-        |r AS (SELECT source, h % 64 AS bucket,
-        |    CASE WHEN h // 64 = 0 THEN 35
-        |      ELSE 35 - (length(format('{:b}', h // 64)) - 1) END AS rk
-        |  FROM h),
-        |regs AS (SELECT source, bucket, max(rk) AS m FROM r GROUP BY 1, 2),
-        |spine AS (SELECT source, bucket
-        |  FROM (SELECT DISTINCT source FROM documents),
-        |       (SELECT unnest(generate_series(0, 63)) AS bucket)),
-        |fullr AS (SELECT spine.source, spine.bucket, coalesce(m, 0) AS m
-        |  FROM spine LEFT JOIN regs
-        |    ON spine.source = regs.source AND spine.bucket = regs.bucket),
-        |agg AS (SELECT source,
-        |    CAST(sum(1::BIGINT << CAST(40 - m AS INT)) AS BIGINT) AS sum_term,
-        |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
-        |    CAST(max(m) AS BIGINT) AS max_rank
-        |  FROM fullr GROUP BY 1),
-        |est AS (SELECT source, v_empty, max_rank,
-        |    (2904064::BIGINT * (1::BIGINT << 40)) // (1000 * sum_term)
-        |      AS hll_raw
-        |  FROM agg),
-        |ex AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact
-        |  FROM documents GROUP BY 1)
-        |SELECT est.source, n_exact,
-        |  CAST(CASE WHEN hll_raw <= 160 AND v_empty > 0
-        |    THEN (LCTABLE)[CAST(v_empty AS INT)] ELSE hll_raw END AS BIGINT)
-        |    AS hll_est,
-        |  hll_raw, v_empty, max_rank
-        |FROM est JOIN ex ON est.source = ex.source"""
-        .stripMargin.replace("LCTABLE", lcArraySql),
+    "q147_hll_cardinality" -> hllCardinalitySql,
+    // q155 runs through two persisted register shards merged bucket-wise;
+    // merge ≡ union EXACTLY, so the oracle is the same single-pass
+    // estimate — hash equality gates the store-roundtrip law
+    "q155_hll_persisted_union" -> hllCardinalitySql,
     "q148_hll_overlap" ->
       """WITH ev AS (SELECT event_type, user_id FROM events),
         |r AS (SELECT event_type,

@@ -68,6 +68,32 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(regMap(merged) === whole, "register max-merge must equal the union sketch")
   }
 
+  test("q155: store roundtrip — merge of persisted shards == registers of the union corpus") {
+    val docs = load(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hllstore").toString
+    SketchOps.writeHllSketch(
+      SketchOps.hllRegisters(docs.filter($"doc_id" % 2 === 0), $"doc_id", $"source"),
+      s"$tmp/a")
+    SketchOps.writeHllSketch(
+      SketchOps.hllRegisters(docs.filter($"doc_id" % 2 === 1), $"doc_id", $"source"),
+      s"$tmp/b")
+    val merged = SketchOps.mergeHllSketches(
+      SketchOps.readHllSketch(spark, s"$tmp/a"),
+      SketchOps.readHllSketch(spark, s"$tmp/b"))
+    val whole = regMap(SketchOps.hllRegisters(docs, $"doc_id", $"source"))
+    assert(regMap(merged) === whole,
+      "persisted shard merge must equal the single-pass union sketch")
+    // merge is idempotent: merging a sketch with itself changes nothing
+    assert(regMap(SketchOps.mergeHllSketches(merged, merged)) === whole)
+    // a key present in only one shard keeps its full 64-bucket spine
+    val aOnly = SketchOps.mergeHllSketches(
+      SketchOps.readHllSketch(spark, s"$tmp/a"),
+      SketchOps.readHllSketch(spark, s"$tmp/a").filter(lit(false)))
+    assert(regMap(aOnly) ===
+      regMap(SketchOps.hllRegisters(
+        docs.filter($"doc_id" % 2 === 0), $"doc_id", $"source")))
+  }
+
   test("q147: every key carries all 64 buckets; singleton key has v_empty = 63") {
     val one = Seq((42L, "only")).toDF("id", "k")
     val regs = SketchOps.hllRegisters(one, $"id", $"k")
