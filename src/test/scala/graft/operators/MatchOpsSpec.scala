@@ -80,6 +80,78 @@ class MatchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("blocked resolver: parity with the cross-join resolver on a large vocabulary") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-word vocabulary, lengths 4..11, many first chars
+    def word(seed: Long, len: Int): String = {
+      var h = seed
+      val sb = new StringBuilder
+      for (_ <- 0 until len) {
+        h = (h * 2654435761L + 11L) % 1000003L
+        sb += ('a' + (h % 26)).toChar
+      }
+      sb.toString
+    }
+    val vocabStrs = (1 to 5000).map(i => word(i.toLong, 4 + i % 8)).distinct
+    // dirty: every 5th word with one char deleted at a rotating position,
+    // plus a planted tie ("aaa" is distance 1 from both aaaa and aaab)
+    val dirtyStrs = (vocabStrs.indices.by(5).map { i =>
+      val w = vocabStrs(i)
+      val p = i % w.length
+      w.substring(0, p) + w.substring(p + 1)
+    } :+ "aaa").distinct
+    val vocabDf = (vocabStrs ++ Seq("aaaa", "aaab")).toDF("clean_str")
+    val dirtyDf = dirtyStrs.toDF("dirty_str")
+
+    // completeness law: the blocked candidate set IS the cross-join one
+    val blockedCand = MatchOps.blockedCandidates(dirtyDf, vocabDf, 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val crossCand = dirtyDf.crossJoin(vocabDf)
+      .withColumn("d", levenshtein($"dirty_str", $"clean_str"))
+      .filter($"d" <= 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(blockedCand === crossCand, "blocking lost or invented candidates")
+    assert(crossCand.nonEmpty)
+
+    // resolution parity: unique-min winner + refuse-on-tie, byte-identical
+    val blocked = MatchOps.fuzzyResolveBlocked(dirtyDf, vocabDf).collect()
+      .map(r => r.getAs[String]("dirty_str") ->
+        ((Option(r.getAs[String]("resolved")), r.getAs[Boolean]("ambiguous"))))
+      .toMap
+    val byD = Window.partitionBy($"dirty_str")
+    val expected = dirtyDf.crossJoin(vocabDf)
+      .withColumn("d", levenshtein($"dirty_str", $"clean_str"))
+      .filter($"d" <= 1)
+      .withColumn("dmin", min($"d").over(byD)).filter($"d" === $"dmin")
+      .groupBy($"dirty_str")
+      .agg(count(lit(1)).as("nb"), min($"clean_str").as("best"))
+      .collect().map(r => r.getAs[String]("dirty_str") ->
+        ((if (r.getAs[Long]("nb") == 1L) Some(r.getAs[String]("best")) else None,
+          r.getAs[Long]("nb") > 1L))).toMap
+    assert(blocked === expected, "blocked resolution diverged from cross-join")
+    // the planted tie refuses
+    assert(blocked("aaa") === ((None, true)))
+
+    // degree bound: pairs examined per dirty string <= 6 blocks x the
+    // largest clean block (replayed here with the operator's key formula),
+    // and far below the vocabulary size the cross join would touch
+    val pairs = MatchOps.blockedPairs(dirtyDf, vocabDf, 4)
+    val maxDegree = pairs.groupBy($"dirty_str").count()
+      .agg(max($"count")).collect().head.getLong(0)
+    val maxBlock = vocabDf.distinct()
+      .select($"clean_str", expr("length(clean_str) div 4").as("band"),
+        explode(array_distinct(array(substring($"clean_str", 1, 1),
+          coalesce(nullif(substring($"clean_str", 2, 1), lit("")), lit(" ")))))
+          .as("ck"))
+      .groupBy($"band", $"ck").count()
+      .agg(max($"count")).collect().head.getLong(0)
+    assert(maxDegree <= 6L * maxBlock,
+      s"degree $maxDegree exceeds 6 x max block $maxBlock")
+    assert(maxDegree * 4 < vocabStrs.length,
+      s"degree $maxDegree not meaningfully below vocabulary ${vocabStrs.length}")
+  }
+
   // ---------------------------------------------------------------- q152
 
   test("q152: perfectly linear data yields the exact slope fraction") {
