@@ -139,21 +139,27 @@ object Bench {
     // measured total 59.0 s -> 48.1 s with cleanup on). Forcing the GC
     // BETWEEN queries (rather than the periodicGC timer) keeps the
     // pause outside the timed sections.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+    val attempts = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
         if (i % 4 == 0) System.gc()
+        var ok = true
         val times = (1 to 2).map { rep =>
           val t0 = System.nanoTime()
-          // a failed query must be LOUD: a swallowed throw records a
-          // fail-fast "time" that reads like a pass in BENCH_r*.json
           try { fn(spark, sfDir).count() } catch {
             case t: Throwable =>
+              ok = false
               System.err.println(s"[bench] $name rep$rep FAILED: ${t.getMessage}")
           }
           (System.nanoTime() - t0) / 1e9
         }
-        name -> times.min
+        (name, times.min, ok)
     }
+    // a failed query is EXCLUDED from the times map and named in
+    // `failed` instead: its fail-fast wall-clock would read like a fast
+    // pass to any downstream diff of the per-query artifact
+    val results = attempts.filter(_._3).map(a => a._1 -> a._2)
+    val failed = attempts.filterNot(_._3).map(_._1)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val build = try buildMetrics(spark) catch {
       case t: Throwable =>
         // degrade to {} (the query suite still benches) but say WHY, so a
@@ -164,8 +170,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // measurement provenance: driver-vs-builder environments time the
+    // streaming ladder up to 2x apart (r8's phantom q133/q123
+    // "regressions" were exactly a blind committed-file diff across
+    // environments), so the artifact names its source. The runner sets
+    // SPARK_GRAFT_BENCH_SOURCE ("builder" for in-round local runs);
+    // unset means the driver's harness.
+    val source = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOURCE", "driver")
+    val envJson =
+      s"""{"source":"$source","cpus":$cpus,"reps":2,"stat":"min"}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"build":$build,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","env":$envJson,"failed":$failedJson,"queries":$qs,"build":$build,"sf":"$sfDir"}"""
     // Persist the FULL per-query map as a file artifact: the driver's
     // stdout tail capture holds only the last ~2000 chars, and with
     // 150+ queries the full line is ~5 KB — rounds 4–6 all came back
@@ -187,7 +202,7 @@ object Bench {
     val slow = results.sortBy(-_._2).take(12)
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"queries":$slow%s,"queries_note":"slowest 12 of ${results.size}; full map in bench_qtimes.json","build":$build%s,"sf":"$sfDir%s"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"env":$envJson%s,"failed":$failedJson%s,"queries":$slow%s,"queries_note":"slowest 12 of ${results.size}; full map in bench_qtimes.json","build":$build%s,"sf":"$sfDir%s"}"""
     println(line)
     spark.stop()
   }

@@ -18,9 +18,12 @@ object RangeJoinBench {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // direct read (no Tables.load: that would install the rule)
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("us", expr("ts div 1000")) // ns → µs
+    // direct read (no Tables.load: that would install the rule), but
+    // through the ts normalizer so both testdata generations work
+    // (int64-nanos under nanosAsLong AND TIMESTAMP_NTZ-micros)
+    val ev = graft.Tables.normalizeEventTs(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .withColumn("us", unix_micros($"ts"))
     val W = 3600000000L
     def naive() = {
       val p = ev.filter($"event_type" === "purchase")
