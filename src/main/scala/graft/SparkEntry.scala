@@ -271,6 +271,9 @@ object SparkEntry {
     // HLL registers persisted per release shard, merged bucket-wise;
     // merge ≡ union exactly so the oracle is the single-pass estimate
     "q155_hll_persisted_union" -> (SketchOps.q155HllPersistedUnion _),
+    // blocked fuzzy resolution on a large in-query vocabulary; oracle
+    // resolves by plain cross-join levenshtein — blocked ≡ exhaustive
+    "q156_fuzzy_er_blocked" -> (MatchOps.q156FuzzyErBlocked _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
