@@ -274,6 +274,14 @@ object SparkEntry {
     // blocked fuzzy resolution on a large in-query vocabulary; oracle
     // resolves by plain cross-join levenshtein — blocked ≡ exhaustive
     "q156_fuzzy_er_blocked" -> (MatchOps.q156FuzzyErBlocked _),
+    // cross-release incremental dedup through persisted OR-merged Bloom
+    // sketches + exact verify; oracle is the plain exact semi-join
+    "q157_bloom_incremental_dedup" -> (SketchOps.q157BloomIncrementalDedup _),
+    // file-stats manifest data skipping: pruned read ≡ direct scan
+    "q158_manifest_prune" -> (IndexOps.q158ManifestPrune _),
+    // exact quantiles through persisted sum-merged histogram shards;
+    // merge is exact so the oracle is q146's single-pass SQL
+    "q159_quantiles_persisted" -> (SketchOps.q159QuantilesPersisted _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

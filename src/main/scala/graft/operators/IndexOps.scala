@@ -185,6 +185,76 @@ object IndexOps {
         min($"zy").as("min_hour"), max($"zy").as("max_hour"))
   }
 
+  // ------------------------------------------------- file-stats manifest
+
+  /** Per-FILE min/max statistics manifest over `cols` — data skipping at
+    * file granularity, the layout-free complement of [[writeZOrdered]]'s
+    * directory pruning: Z-order buys pruning by rewriting the data; the
+    * manifest buys it for a layout you already have (any sorted or
+    * partitioned write leaves most files with tight ranges on the sort
+    * key). One column-pruned scan of the table, grouped on
+    * `input_file_name` (one output row per file — at 100 TB / 128 MB
+    * files that is ~800 K rows, a trivially small artifact the planner
+    * reads instead of footers). This is the same contract Delta/Iceberg
+    * keep in their file-stats manifests, built here from plain parquet
+    * with no table format required. */
+  def writeStatsManifest(s: SparkSession, tablePath: String,
+      cols: Seq[String], manifestPath: String): Unit = {
+    val df = s.read.parquet(tablePath)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    df.select(input_file_name().as("file") +: cols.map(col): _*)
+      .groupBy($"file").agg(aggs.head, aggs.tail: _*)
+      .coalesce(1).sortWithinPartitions($"file")
+      .write.mode("overwrite").parquet(manifestPath)
+  }
+
+  /** Read only the files whose [min, max] on `colName` intersects
+    * [lo, hi], with the exact residual predicate applied on top — result
+    * ≡ the full-scan filter (min/max intersection can only OVER-select;
+    * the residual removes the excess), while the scan never opens the
+    * other files. The collect is of MATCHING FILE PATHS only — bounded
+    * by the predicate's file selectivity, the same driver-side listing
+    * cost Spark's own FileIndex pays for the directories it keeps; a
+    * predicate matching everything degrades to the full scan it would
+    * have been anyway. */
+  def statsPrunedRead(s: SparkSession, tablePath: String,
+      manifestPath: String, colName: String, lo: Long, hi: Long): DataFrame = {
+    val files = s.read.parquet(manifestPath)
+      .filter(col(s"max_$colName") >= lo && col(s"min_$colName") <= hi)
+      .select($"file").collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty) s.read.parquet(tablePath).filter(lit(false))
+      else s.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(colName).between(lo, hi))
+  }
+
+  // --------------------------------------------------------------- q158
+
+  /** Gated manifest round-trip: lay the events table out as range-sorted
+    * files on user_id (the layout any bucketed/sorted ingest leaves),
+    * build the stats manifest, and answer a user-range question through
+    * [[statsPrunedRead]]. The oracle is the direct predicate scan of the
+    * raw table — pruned read ≡ full scan on result; IndexOpsSpec gates
+    * that the pruned plan touched strictly fewer files than the layout
+    * holds. */
+  def q158ManifestPrune(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q158").toString
+    val table = s"$tmp/events_sorted"
+    load(s, dir, "events")
+      .repartitionByRange(8, $"user_id")
+      .sortWithinPartitions($"user_id", $"ts")
+      .write.mode("overwrite").parquet(table)
+    writeStatsManifest(s, table, Seq("user_id", "event_id"), s"$tmp/manifest")
+    statsPrunedRead(s, table, s"$tmp/manifest", "user_id", 10L, 40L)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        min($"event_id").as("min_event"), max($"event_id").as("max_event"))
+  }
+
   // -------------------------------------------------------------- oracles
 
   /** The morton interleave as plain SQL: Σ ((x>>i)&1)<<2i for the x
@@ -217,6 +287,14 @@ object IndexOps {
          |  min(x) AS min_x, max(x) AS max_x,
          |  min(y) AS min_y, max(y) AS max_y
          |FROM z GROUP BY 1""".stripMargin,
+    // q158 rewrites nothing semantically: the manifest path must equal
+    // the direct predicate scan, so the oracle IS the direct scan
+    "q158_manifest_prune" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  min(event_id) AS min_event, max(event_id) AS max_event
+        |FROM events WHERE user_id BETWEEN 10 AND 40
+        |GROUP BY 1""".stripMargin,
     "q154_zorder_probe" ->
       """WITH d AS (SELECT event_type, user_id % 65536 AS zx,
         |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 65536 AS zy

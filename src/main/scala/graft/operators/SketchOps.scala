@@ -44,23 +44,8 @@ object SketchOps {
     * of cum ≥ ⌈N·p/100⌉ — no ceil, no floats, no engine-specific
     * quantile interpolation mode).
     */
-  def tokenQuantiles(docs: DataFrame, ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
-    val hist = docs
-      .select($"source", size(split($"text", " ")).cast("long").as("tok_n"))
-      .groupBy($"source", $"tok_n").agg(count(lit(1)).as("c"))
-    val bySrc = Window.partitionBy($"source")
-    val w = hist.select($"source", $"tok_n", $"c",
-      sum($"c").over(bySrc.orderBy($"tok_n")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
-      sum($"c").over(bySrc).as("n_docs"))
-    // the p spine is a literal array — stays broadcast-trivial
-    val spine = explode(array(ps.map(p => lit(p.toLong)): _*)).as("p")
-    w.select($"source", $"tok_n", $"cum", $"n_docs", spine)
-      .filter($"cum" * 100 >= $"n_docs" * $"p")
-      .groupBy($"source", $"p", $"n_docs")
-      .agg(min($"tok_n").as("q_value"))
-      .select($"source", $"p", $"n_docs", $"q_value")
-  }
+  def tokenQuantiles(docs: DataFrame, ps: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    quantilesFromHistogram(tokenHistogram(docs), ps)
 
   def q146TokenQuantiles(s: SparkSession, dir: String): DataFrame =
     tokenQuantiles(load(s, dir, "documents"))
@@ -210,6 +195,190 @@ object SketchOps {
         $"max_rank")
   }
 
+  // ------------------------------------------------------ persisted Bloom
+
+  /** Number of 64-bit words backing an `mBits`-bit Bloom filter. */
+  private def bloomWords(mBits: Long): Long = (mBits + 63) / 64
+
+  /** The k probe positions of a string key as (word, mask) rows: double
+    * hashing pos_j = h1 + (j+1)·h2 + j² over two independent engine
+    * hashes (xxhash64 + murmur3). Purely Column-API — the probe compiles
+    * into whole-stage codegen, unlike q67's deliberate UDF probe of the
+    * opaque `DataFrameStatFunctions` sketch. Determinism is all a Bloom
+    * filter needs; no oracle ever sees these positions because the
+    * exact verify behind the prefilter makes the RESULT hash-exact. */
+  private def bloomPositions(key: Column, mBits: Long, k: Int): Column = {
+    val h1 = xxhash64(key)
+    val h2 = hash(key).cast("long")
+    array((0 until k).map { j =>
+      val pos = pmod(h1 + lit(j + 1L) * h2 + lit(j.toLong * j), lit(mBits))
+      // pos ∈ [0, mBits): word = pos >> 6 ≡ pos div 64, both codegen'd
+      struct(shiftright(pos, 6).as("word"),
+        call_function("shiftleft", lit(1L), (pos % 64L).cast("int")).as("mask"))
+    }: _*)
+  }
+
+  /** Build a Bloom filter over the DISTINCT values of `keyCol` as a
+    * DataFrame of (word, bits) longs — ≤ mBits/64 rows regardless of
+    * corpus size (the default 2^20 bits is 16 K longs ≈ 128 KB, sized
+    * for ~10^5 keys at k = 4; callers with bigger key sets raise mBits,
+    * the artifact stays bits/8 bytes). Words no key touched are absent
+    * (implicitly zero — [[bloomProbe]] left-joins). One shuffle on the
+    * word id, map-side `bit_or` combine, so the build is a single pass
+    * over the corpus producing a fixed-size artifact — same shape as
+    * [[hllRegisters]]. */
+  def buildBloom(df: DataFrame, keyCol: Column,
+      mBits: Long = 1L << 20, k: Int = 4): DataFrame =
+    df.select(keyCol.as("bk")).distinct()
+      .select(explode(bloomPositions($"bk", mBits, k)).as("p"))
+      .groupBy($"p.word".as("word"))
+      .agg(expr("bit_or(p.mask)").as("bits"))
+
+  /** Persist a Bloom artifact — tiny by construction (≤ mBits/64 rows),
+    * one sorted file, same store discipline as [[writeHllSketch]]. */
+  def writeBloom(bloom: DataFrame, path: String): Unit =
+    bloom.select($"word", $"bits")
+      .coalesce(1).sortWithinPartitions($"word")
+      .write.mode("overwrite").parquet(path)
+
+  def readBloom(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** Bloom UNION: word-wise bitwise OR — associative, commutative,
+    * idempotent (the HLL max-merge law with OR as the monoid), so
+    * blooms built per release merge into the history sketch without
+    * ever rescanning old corpora, and merging a release twice is a
+    * no-op. SketchOpsSpec pins merge ≡ build-over-union byte-equality. */
+  def mergeBlooms(a: DataFrame, b: DataFrame): DataFrame =
+    a.select($"word", $"bits").union(b.select($"word", $"bits"))
+      .groupBy($"word").agg(expr("bit_or(bits)").as("bits"))
+
+  /** Rows of `df` whose `keyCol` the Bloom filter MIGHT contain (all k
+    * bits set). No false negatives — a key inserted by [[buildBloom]]
+    * always survives — so `probe → exact verify` is semantics-free
+    * prefiltering. The bloom side is ≤ mBits/64 rows and explicitly
+    * broadcast: the probe is k broadcast-hash lookups per distinct key
+    * inside codegen, no shuffle of `df` at all. */
+  def bloomProbe(df: DataFrame, keyCol: Column, bloom: DataFrame,
+      mBits: Long = 1L << 20, k: Int = 4): DataFrame = {
+    val passed = df.select(keyCol.as("bk")).distinct()
+      .select($"bk", explode(bloomPositions($"bk", mBits, k)).as("p"))
+      .join(broadcast(bloom), $"p.word" === bloom("word"), "left")
+      .withColumn("hit",
+        (coalesce($"bits", lit(0L)).bitwiseAND($"p.mask")) === $"p.mask")
+      .groupBy($"bk").agg(min(when($"hit", 1L).otherwise(0L)).as("all_hit"))
+      .filter($"all_hit" === 1L)
+      .select($"bk")
+    df.join(passed, keyCol === passed("bk"), "left_semi")
+  }
+
+  /** q157 — cross-release incremental dedup through the PERSISTED Bloom
+    * path: history releases A and B each persist a Bloom over their
+    * document texts once; release C probes the OR-merged sketch, and
+    * only the candidates (true dups + the bloom's false positives) go
+    * into an exact text join with history. The exact verify is itself
+    * bloom-prefiltered on the CANDIDATE side — history rows that cannot
+    * match any candidate are dropped before the shuffle — so the join
+    * traffic is bounded by candidate volume, not history volume; the
+    * history scan itself is one column-pruned pass (text only), never a
+    * recompute of A/B's sketches. Because the bloom has no false
+    * negatives and the join removes the false positives, the oracle is
+    * the plain exact semi-join — hash equality gates the whole
+    * prefilter discipline cross-engine. At 100 TB: per-release build is
+    * one pass producing 128 KB; the release-over-release loop reads
+    * blooms, not corpora. */
+  def q157BloomIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q157").toString
+    val relA = docs.filter($"doc_id" % 3 === 0L)
+    val relB = docs.filter($"doc_id" % 3 === 1L)
+    val relC = docs.filter($"doc_id" % 3 === 2L)
+    writeBloom(buildBloom(relA, $"text"), s"$tmp/bloom_a")
+    writeBloom(buildBloom(relB, $"text"), s"$tmp/bloom_b")
+    val history = mergeBlooms(
+      readBloom(s, s"$tmp/bloom_a"), readBloom(s, s"$tmp/bloom_b"))
+    val candidates = bloomProbe(relC, $"text", history)
+    // exact verify, candidate-bloom-prefiltered on the history side
+    val candBloom = buildBloom(candidates, $"text")
+    val histTexts = bloomProbe(
+      relA.select($"text").union(relB.select($"text")), $"text", candBloom)
+      .distinct()
+    val dups = candidates.join(histTexts, Seq("text"), "left_semi")
+    val total = relC.groupBy($"source").agg(count(lit(1)).as("n_release"))
+    val dup = dups.groupBy($"source").agg(count(lit(1)).as("n_dup_history"))
+    total.join(dup, Seq("source"), "left")
+      .na.fill(0L, Seq("n_dup_history"))
+      .select($"source", $"n_release", $"n_dup_history",
+        ($"n_release" - $"n_dup_history").as("n_fresh"))
+  }
+
+  // -------------------------------------------- persisted token histogram
+
+  /** The (source, tok_n) → count histogram — q146's phase 1, exposed as
+    * an artifact: output cardinality ≤ distinct token-counts per source
+    * (value-domain-bounded, corpus-size-free), and counts SUM, so
+    * per-release histograms merge EXACTLY — the third monoid in the
+    * store family (HLL merges by max, Bloom by OR, histograms by sum)
+    * and the only one whose merged estimate is not an estimate at all. */
+  def tokenHistogram(docs: DataFrame): DataFrame =
+    docs.select($"source", size(split($"text", " ")).cast("long").as("tok_n"))
+      .groupBy($"source", $"tok_n").agg(count(lit(1)).as("c"))
+
+  def writeTokenHistogram(hist: DataFrame, path: String): Unit =
+    hist.select($"source", $"tok_n", $"c")
+      .coalesce(1).sortWithinPartitions($"source", $"tok_n")
+      .write.mode("overwrite").parquet(path)
+
+  def readTokenHistogram(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** Histogram UNION: counts add per (source, tok_n). Associative and
+    * commutative (NOT idempotent — a release merged twice double-counts,
+    * which is the correct semantics for counts; the store layout keeps
+    * one artifact per release so the merge tree never revisits one). */
+  def mergeTokenHistograms(a: DataFrame, b: DataFrame): DataFrame =
+    a.select($"source", $"tok_n", $"c")
+      .union(b.select($"source", $"tok_n", $"c"))
+      .groupBy($"source", $"tok_n").agg(sum($"c").as("c"))
+
+  /** q146's phase 2 — the rank window over a histogram, factored out so
+    * the persisted path reuses it verbatim. */
+  def quantilesFromHistogram(hist: DataFrame,
+      ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val bySrc = Window.partitionBy($"source")
+    val w = hist.select($"source", $"tok_n", $"c",
+      sum($"c").over(bySrc.orderBy($"tok_n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum($"c").over(bySrc).as("n_docs"))
+    val spine = explode(array(ps.map(p => lit(p.toLong)): _*)).as("p")
+    w.select($"source", $"tok_n", $"cum", $"n_docs", spine)
+      .filter($"cum" * 100 >= $"n_docs" * $"p")
+      .groupBy($"source", $"p", $"n_docs")
+      .agg(min($"tok_n").as("q_value"))
+      .select($"source", $"p", $"n_docs", $"q_value")
+  }
+
+  /** q159 — exact quantiles through the PERSISTED histogram path: two
+    * disjoint "releases" (doc_id parity) each write their histogram
+    * artifact once; the monitoring query reads and sum-merges the
+    * artifacts and runs the rank window over the merged histogram.
+    * Because histogram merge is exact, the result is BYTE-IDENTICAL to
+    * the single-pass q146 — the oracle is q146's SQL, and hash equality
+    * IS the store-roundtrip law. At 100 TB each release scans its
+    * corpus once; every later length-distribution check reads histogram
+    * rows (≤ distinct lengths × sources per release), not documents. */
+  def q159QuantilesPersisted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q159").toString
+    writeTokenHistogram(tokenHistogram(docs.filter($"doc_id" % 2 === 0L)),
+      s"$tmp/release_a")
+    writeTokenHistogram(tokenHistogram(docs.filter($"doc_id" % 2 === 1L)),
+      s"$tmp/release_b")
+    quantilesFromHistogram(mergeTokenHistograms(
+      readTokenHistogram(s, s"$tmp/release_a"),
+      readTokenHistogram(s, s"$tmp/release_b")))
+  }
+
   // -------------------------------------------------------- sketch overlap
 
   /** q148 — audience overlap between event-type segments via sketch
@@ -311,6 +480,37 @@ object SketchOps {
     // merge ≡ union EXACTLY, so the oracle is the same single-pass
     // estimate — hash equality gates the store-roundtrip law
     "q155_hll_persisted_union" -> hllCardinalitySql,
+    // q157's bloom prefilters are exact-verified, so the oracle carries
+    // no bloom at all: plain semi-join of the new release against
+    // history texts — hash equality proves no-false-negative + FP
+    // removal through the persisted OR-merged path
+    "q157_bloom_incremental_dedup" ->
+      """WITH rel AS (SELECT source, text FROM documents WHERE doc_id % 3 = 2),
+        |hist AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 < 2),
+        |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_release
+        |  FROM rel GROUP BY 1),
+        |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dup_history
+        |  FROM rel WHERE text IN (SELECT text FROM hist) GROUP BY 1)
+        |SELECT t.source, n_release,
+        |  coalesce(n_dup_history, 0) AS n_dup_history,
+        |  n_release - coalesce(n_dup_history, 0) AS n_fresh
+        |FROM t LEFT JOIN d ON t.source = d.source""".stripMargin,
+    // q159 runs through two persisted histogram shards merged by sum;
+    // the merge is exact, so the oracle is q146's single-pass SQL
+    "q159_quantiles_persisted" ->
+      """WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n
+        |  FROM documents),
+        |hist AS (SELECT source, tok_n, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |w AS (SELECT source, tok_n, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY tok_n
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS n_docs FROM hist),
+        |p AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p)
+        |SELECT source, p, CAST(n_docs AS BIGINT) AS n_docs,
+        |  min(tok_n) AS q_value
+        |FROM w, p WHERE cum * 100 >= n_docs * p
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q148_hll_overlap" ->
       """WITH ev AS (SELECT event_type, user_id FROM events),
         |r AS (SELECT event_type,

@@ -156,4 +156,37 @@ class IndexOpsSpec extends AnyFunSuite {
       expr("unix_timestamp(ts) div 3600") % 65536L <= 15100L).count()
     assert(probe.count() === expected && expected > 0L)
   }
+
+  // ---------------------------------------------------------------- q158
+
+  test("q158: manifest-pruned read ≡ direct scan while opening fewer files") {
+    val ev = load(spark, dir, "events")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    ev.repartitionByRange(8, $"user_id")
+      .sortWithinPartitions($"user_id", $"ts")
+      .write.mode("overwrite").parquet(s"$tmp/t")
+    IndexOps.writeStatsManifest(spark, s"$tmp/t",
+      Seq("user_id", "event_id"), s"$tmp/m")
+    val total = spark.read.parquet(s"$tmp/t").inputFiles.length
+    assert(total >= 4, s"layout should split into several files, got $total")
+    // manifest carries one row per file with min/max per requested column
+    val manifest = spark.read.parquet(s"$tmp/m")
+    assert(manifest.count().toInt === total)
+    assert(manifest.columns.toSet ===
+      Set("file", "min_user_id", "max_user_id",
+        "min_event_id", "max_event_id", "n_rows"))
+    val pruned = IndexOps.statsPrunedRead(
+      spark, s"$tmp/t", s"$tmp/m", "user_id", 10L, 40L)
+    // the skip is real: a narrow user range opens a strict subset of files
+    assert(pruned.inputFiles.length < total,
+      s"pruned ${pruned.inputFiles.length} of $total files")
+    // and semantics-free: exactly the direct filter's rows
+    val expect = ev.filter($"user_id".between(10L, 40L)).count()
+    assert(pruned.count() === expect && expect > 0L)
+    // a range outside every file's stats yields an empty, well-typed frame
+    val none = IndexOps.statsPrunedRead(
+      spark, s"$tmp/t", s"$tmp/m", "user_id", 99999999L, 99999999L)
+    assert(none.count() === 0L)
+    assert(none.schema.fieldNames.sameElements(pruned.schema.fieldNames))
+  }
 }

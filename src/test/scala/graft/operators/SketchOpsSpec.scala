@@ -141,4 +141,87 @@ class SketchOpsSpec extends AnyFunSuite {
       .count() === 0L)
     assert(out.count() > 0L)
   }
+
+  // ---------------------------------------------------------------- q157
+
+  private def bloomMap(bloom: DataFrame): Map[Long, Long] =
+    bloom.collect().map(r =>
+      r.getAs[Long]("word") -> r.getAs[Long]("bits")).toMap
+
+  test("q157: bloom has no false negatives — every inserted key probes through") {
+    val keys = (1 to 500).map(i => s"member-$i").toDF("t")
+    val bloom = SketchOps.buildBloom(keys, $"t")
+    assert(SketchOps.bloomProbe(keys, $"t", bloom).count() === 500L)
+  }
+
+  test("q157: bloom probe rejects the vast majority of non-members") {
+    val members = (1 to 500).map(i => s"member-$i").toDF("t")
+    val others = (1 to 2000).map(i => s"stranger-$i").toDF("t")
+    val bloom = SketchOps.buildBloom(members, $"t")
+    val fp = SketchOps.bloomProbe(others, $"t", bloom).count()
+    // m = 2^20 bits, k = 4, n = 500 -> expected FP rate ~(2000/2^20)^4 ≈ 0;
+    // 5% is a loose ceiling that still proves the prefilter filters
+    assert(fp < 100L, s"false-positive count $fp out of 2000 non-members")
+  }
+
+  test("q157: OR-merge of per-release blooms == bloom of the union release") {
+    val a = (1 to 300).map(i => s"doc-a-$i").toDF("t")
+    val b = (1 to 300).map(i => s"doc-b-$i").toDF("t")
+    val merged = SketchOps.mergeBlooms(
+      SketchOps.buildBloom(a, $"t"), SketchOps.buildBloom(b, $"t"))
+    val whole = SketchOps.buildBloom(a.union(b), $"t")
+    assert(bloomMap(merged) === bloomMap(whole),
+      "word-wise OR must equal the union bloom bit-for-bit")
+    // idempotent: merging a bloom with itself changes nothing
+    assert(bloomMap(SketchOps.mergeBlooms(merged, merged)) === bloomMap(whole))
+  }
+
+  test("q157: store roundtrip preserves the bloom bit-for-bit") {
+    val keys = (1 to 400).map(i => s"k-$i").toDF("t")
+    val bloom = SketchOps.buildBloom(keys, $"t")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloomstore").toString
+    SketchOps.writeBloom(bloom, s"$tmp/bf")
+    assert(bloomMap(SketchOps.readBloom(spark, s"$tmp/bf")) === bloomMap(bloom))
+  }
+
+  test("q157: planted cross-release dups are found exactly despite the prefilter") {
+    // history: h-1..h-100; release: 10 planted dups of history + 90 fresh
+    val hist = (1 to 100).map(i => (i.toLong, s"h-$i", "src")).toDF("doc_id", "text", "source")
+    val rel = ((1 to 10).map(i => (1000L + i, s"h-$i", "src")) ++
+      (1 to 90).map(i => (2000L + i, s"fresh-$i", "src")))
+      .toDF("doc_id", "text", "source")
+    val bloom = SketchOps.buildBloom(hist, $"text")
+    val candidates = SketchOps.bloomProbe(rel, $"text", bloom)
+    // no false negatives: all 10 dups are candidates
+    assert(candidates.count() >= 10L)
+    val confirmed = candidates
+      .join(hist.select($"text").distinct(), Seq("text"), "left_semi")
+    // exact verify removes every false positive: exactly the planted 10
+    assert(confirmed.count() === 10L)
+    assert(confirmed.collect().map(_.getAs[String]("text")).toSet ===
+      (1 to 10).map(i => s"h-$i").toSet)
+  }
+
+  // ---------------------------------------------------------------- q159
+
+  test("q159: sum-merge of persisted histogram shards == single-pass histogram") {
+    val docs = load(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-histstore").toString
+    SketchOps.writeTokenHistogram(
+      SketchOps.tokenHistogram(docs.filter($"doc_id" % 2 === 0)), s"$tmp/a")
+    SketchOps.writeTokenHistogram(
+      SketchOps.tokenHistogram(docs.filter($"doc_id" % 2 === 1)), s"$tmp/b")
+    val merged = SketchOps.mergeTokenHistograms(
+      SketchOps.readTokenHistogram(spark, s"$tmp/a"),
+      SketchOps.readTokenHistogram(spark, s"$tmp/b"))
+    val whole = SketchOps.tokenHistogram(docs)
+    def m(df: DataFrame): Map[(String, Long), Long] = df.collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("tok_n")) ->
+        r.getAs[Long]("c")).toMap
+    assert(m(merged) === m(whole),
+      "persisted shard sum-merge must equal the single-pass histogram")
+    // and therefore the quantiles through the store equal q146's
+    assert(SketchOps.q159QuantilesPersisted(spark, dir).collect().toSet ===
+      SketchOps.tokenQuantiles(docs).collect().toSet)
+  }
 }
