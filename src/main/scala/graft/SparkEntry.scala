@@ -282,6 +282,9 @@ object SparkEntry {
     // exact quantiles through persisted sum-merged histogram shards;
     // merge is exact so the oracle is q146's single-pass SQL
     "q159_quantiles_persisted" -> (SketchOps.q159QuantilesPersisted _),
+    // per-key skew diagnostic: exact counts, ppm share, recommended
+    // salt factor — the operator that sizes q94's nSalts
+    "q160_skew_profile" -> (MiningOps.q160SkewProfile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

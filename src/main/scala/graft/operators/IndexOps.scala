@@ -210,25 +210,34 @@ object IndexOps {
       .write.mode("overwrite").parquet(manifestPath)
   }
 
-  /** Read only the files whose [min, max] on `colName` intersects
-    * [lo, hi], with the exact residual predicate applied on top — result
-    * ≡ the full-scan filter (min/max intersection can only OVER-select;
-    * the residual removes the excess), while the scan never opens the
-    * other files. The collect is of MATCHING FILE PATHS only — bounded
-    * by the predicate's file selectivity, the same driver-side listing
-    * cost Spark's own FileIndex pays for the directories it keeps; a
-    * predicate matching everything degrades to the full scan it would
-    * have been anyway. */
-  def statsPrunedRead(s: SparkSession, tablePath: String,
-      manifestPath: String, colName: String, lo: Long, hi: Long): DataFrame = {
+  /** Read only the files whose [min, max] intersects EVERY range of the
+    * conjunction, with the exact residual predicate applied on top —
+    * result ≡ the full-scan filter (min/max intersection can only
+    * OVER-select; the residual removes the excess), while the scan never
+    * opens the other files. The collect is of MATCHING FILE PATHS only —
+    * bounded by the predicate's file selectivity, the same driver-side
+    * listing cost Spark's own FileIndex pays for the directories it
+    * keeps; a predicate matching everything degrades to the full scan it
+    * would have been anyway. */
+  def statsPrunedReadMulti(s: SparkSession, tablePath: String,
+      manifestPath: String, ranges: Seq[(String, Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "at least one (column, lo, hi) range")
+    val keep = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi }.reduce(_ && _)
     val files = s.read.parquet(manifestPath)
-      .filter(col(s"max_$colName") >= lo && col(s"min_$colName") <= hi)
-      .select($"file").collect().map(_.getString(0))
+      .filter(keep).select($"file").collect().map(_.getString(0))
+    val residual = ranges.map { case (c, lo, hi) =>
+      col(c).between(lo, hi) }.reduce(_ && _)
     val base =
       if (files.isEmpty) s.read.parquet(tablePath).filter(lit(false))
       else s.read.parquet(files.toIndexedSeq: _*)
-    base.filter(col(colName).between(lo, hi))
+    base.filter(residual)
   }
+
+  /** Single-range convenience form of [[statsPrunedReadMulti]]. */
+  def statsPrunedRead(s: SparkSession, tablePath: String,
+      manifestPath: String, colName: String, lo: Long, hi: Long): DataFrame =
+    statsPrunedReadMulti(s, tablePath, manifestPath, Seq((colName, lo, hi)))
 
   // --------------------------------------------------------------- q158
 

@@ -176,6 +176,38 @@ object MiningOps {
         sum($"user_events").as("sum_user_events"))
   }
 
+  // --------------------------------------------------------------- q160
+
+  /** Per-key skew profile — the diagnostic that decides WHEN [[saltedJoin]]
+    * is needed and sizes its `nSalts`: the top-`topK` heaviest keys with
+    * their exact row count, corpus share in ppm, and the recommended salt
+    * factor ceil(c · n_keys / n_rows) — how many times heavier than the
+    * mean key this key is, i.e. how many partitions its rows should fan
+    * out over so the hottest salted partition carries ~mean load. All
+    * integer math (ppm + ceil-div), identical on both engines.
+    *
+    * SCALE: the counts table is key-cardinality (map-side combinable),
+    * the totals are three longs broadcast back over it, and the top-k is
+    * TakeOrderedAndProject (per-partition heaps + driver merge of topK
+    * rows) — never a global sort. The profile touches the corpus through
+    * exactly one aggregate; nothing in the plan scales with row count
+    * beyond that first combine. */
+  def skewProfile(df: DataFrame, keyCol: Column, topK: Int = 20): DataFrame = {
+    val counts = df.groupBy(keyCol.as("key")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(
+      sum($"c").as("n_rows"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .select($"key", $"c",
+        expr("c * 1000000 div n_rows").as("share_ppm"),
+        expr("(c * n_keys + n_rows - 1) div n_rows").as("salt_factor"),
+        $"n_rows", $"n_keys")
+      .orderBy($"c".desc, $"key")
+      .limit(topK)
+  }
+
+  def q160SkewProfile(s: SparkSession, dir: String): DataFrame =
+    skewProfile(load(s, dir, "events"), $"user_id")
+
   // ---------------------------------------------------------------- q95
 
   /** Prefix-filtered set-similarity join (the AllPairs/PPJoin family,
@@ -434,6 +466,15 @@ object MiningOps {
   // ------------------------------------------------------------ oracles
 
   val oracles: Map[String, String] = Map(
+    "q160_skew_profile" ->
+      """WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys FROM c)
+        |SELECT key, c, c * 1000000 // n_rows AS share_ppm,
+        |  (c * n_keys + n_rows - 1) // n_rows AS salt_factor,
+        |  n_rows, n_keys
+        |FROM c, t ORDER BY c DESC, key LIMIT 20""".stripMargin,
     "q91_winnowing" ->
       """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS ts FROM documents),
         |ix AS (SELECT doc_id, source, ts,

@@ -188,5 +188,12 @@ class IndexOpsSpec extends AnyFunSuite {
       spark, s"$tmp/t", s"$tmp/m", "user_id", 99999999L, 99999999L)
     assert(none.count() === 0L)
     assert(none.schema.fieldNames.sameElements(pruned.schema.fieldNames))
+    // a conjunction prunes at least as hard as its tightest member and
+    // still equals the direct two-predicate filter
+    val multi = IndexOps.statsPrunedReadMulti(spark, s"$tmp/t", s"$tmp/m",
+      Seq(("user_id", 10L, 40L), ("event_id", 0L, 5000L)))
+    assert(multi.inputFiles.length <= pruned.inputFiles.length)
+    assert(multi.count() === ev.filter($"user_id".between(10L, 40L) &&
+      $"event_id".between(0L, 5000L)).count())
   }
 }

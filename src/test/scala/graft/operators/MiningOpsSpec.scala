@@ -356,4 +356,33 @@ class MiningOpsSpec extends AnyFunSuite {
       .agg(max($"nsalts")).head().getLong(0)
     assert(fanout > 1, "salting must spread a hot key over multiple partitions")
   }
+
+  // ---------------------------------------------------------------- q160
+
+  test("q160: planted hot key gets the right share and salt factor") {
+    // "hot" carries 90 of 100 rows next to 10 singleton keys:
+    // share = 900000 ppm, salt = ceil(90 * 11 / 100) = 10
+    val rows = (Seq.fill(90)("hot") ++ (1 to 10).map(i => s"cold-$i"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("id", "k").repartition(7)
+    val prof = MiningOps.skewProfile(rows, $"k", topK = 3).collect()
+    assert(prof.length === 3)
+    val top = prof.head
+    assert(top.getAs[String]("key") === "hot")
+    assert(top.getAs[Long]("c") === 90L)
+    assert(top.getAs[Long]("share_ppm") === 900000L)
+    assert(top.getAs[Long]("salt_factor") === 10L)
+    assert(top.getAs[Long]("n_rows") === 100L && top.getAs[Long]("n_keys") === 11L)
+    // singleton keys round up to salt factor 1, ties broken by key
+    assert(prof(1).getAs[String]("key") === "cold-1")
+    assert(prof(1).getAs[Long]("salt_factor") === 1L)
+  }
+
+  test("q160: uniform keys all recommend salt factor 1") {
+    val rows = (1 to 60).map(i => (i.toLong, s"k-${i % 6}")).toDF("id", "k")
+    val prof = MiningOps.skewProfile(rows, $"k").collect()
+    assert(prof.length === 6)
+    assert(prof.forall(_.getAs[Long]("salt_factor") === 1L))
+    assert(prof.forall(_.getAs[Long]("share_ppm") === 166666L))
+  }
 }
