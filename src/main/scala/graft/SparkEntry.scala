@@ -285,6 +285,9 @@ object SparkEntry {
     // per-key skew diagnostic: exact counts, ppm share, recommended
     // salt factor — the operator that sizes q94's nSalts
     "q160_skew_profile" -> (MiningOps.q160SkewProfile _),
+    // q67's decontamination through the persisted, mergeable shingle
+    // bloom with a codegen probe; oracle = the same exact containment
+    "q161_bloom_decon_store" -> (SketchOps.q161BloomDeconStore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

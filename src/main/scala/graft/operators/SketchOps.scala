@@ -312,6 +312,39 @@ object SketchOps {
         ($"n_release" - $"n_dup_history").as("n_fresh"))
   }
 
+  /** q161 — decontamination through the PERSISTED shingle Bloom: the
+    * eval suite's distinct 3-token shingles are sketched and written
+    * ONCE ([[writeBloom]]); the corpus shingle stream probes the stored
+    * sketch and only candidates reach the exact broadcast join that
+    * removes false positives. Same semantics as q67 (and the same
+    * oracle — q55's exact containment), but where q67's
+    * `DataFrameStatFunctions.bloomFilter` is an opaque in-memory object
+    * probed through a JVM UDF and rebuilt every run, this sketch is a
+    * parquet artifact: persisted per eval suite, OR-mergeable across
+    * suites ([[mergeBlooms]] — one combined probe for N benchmarks),
+    * and probed in whole-stage codegen. At 100 TB the eval suites are
+    * sketched once, ever; each release pays one corpus shingle pass
+    * against ~128 KB of broadcast bits. */
+  def q161BloomDeconStore(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val bench = docs.filter($"doc_id" < 10)
+      .select(explode(TextOps.shingles($"text")).as("g")).distinct()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q161").toString
+    writeBloom(buildBloom(bench, $"g"), s"$tmp/eval_bloom")
+    val bloom = readBloom(s, s"$tmp/eval_bloom")
+    val corpus = docs.filter($"doc_id" >= 10)
+      .select($"doc_id", $"source", explode(TextOps.shingles($"text")).as("g"))
+    bloomProbe(corpus, $"g", bloom)
+      .join(broadcast(bench), "g")
+      .groupBy($"doc_id", $"source")
+      .agg(countDistinct($"g").as("n_hits"))
+      .filter($"n_hits" >= 3)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_contaminated"),
+        sum($"n_hits").cast("long").as("total_hits"))
+  }
+
   // -------------------------------------------- persisted token histogram
 
   /** The (source, tok_n) → count histogram — q146's phase 1, exposed as
@@ -495,6 +528,10 @@ object SketchOps {
         |  coalesce(n_dup_history, 0) AS n_dup_history,
         |  n_release - coalesce(n_dup_history, 0) AS n_fresh
         |FROM t LEFT JOIN d ON t.source = d.source""".stripMargin,
+    // q161 is q67's semantics through the persisted sketch (no false
+    // negatives + exact verify ⇒ identical result), so its oracle is
+    // the SAME exact-containment SQL q67 gates against
+    "q161_bloom_decon_store" -> TextOps.oracles("q67_bloom_decontaminate"),
     // q159 runs through two persisted histogram shards merged by sum;
     // the merge is exact, so the oracle is q146's single-pass SQL
     "q159_quantiles_persisted" ->

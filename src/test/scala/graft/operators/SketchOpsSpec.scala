@@ -202,6 +202,12 @@ class SketchOpsSpec extends AnyFunSuite {
       (1 to 10).map(i => s"h-$i").toSet)
   }
 
+  test("q161: decon through the persisted sketch ≡ q67's in-memory-bloom decon") {
+    val viaStore = SketchOps.q161BloomDeconStore(spark, dir).collect().toSet
+    val viaBuiltin = TextOps.q67BloomDecontaminate(spark, dir).collect().toSet
+    assert(viaStore === viaBuiltin && viaStore.nonEmpty)
+  }
+
   // ---------------------------------------------------------------- q159
 
   test("q159: sum-merge of persisted histogram shards == single-pass histogram") {
