@@ -288,6 +288,9 @@ object SparkEntry {
     // q67's decontamination through the persisted, mergeable shingle
     // bloom with a codegen probe; oracle = the same exact containment
     "q161_bloom_decon_store" -> (SketchOps.q161BloomDeconStore _),
+    // streaming histogram store: per-batch shards + manifest commits +
+    // a genuine mid-stream fold; oracle = q146's single-pass SQL
+    "q162_hist_stream_store" -> (SketchOps.q162HistStreamStore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -412,6 +412,35 @@ object SketchOps {
       readTokenHistogram(s, s"$tmp/release_b")))
   }
 
+  /** q162 — the streaming histogram store through the oracle gate:
+    * three micro-batches (doc_id mod 3 — deterministic so the oracle
+    * can replay the union) fold their histograms into the store via
+    * [[graft.streaming.HistogramStream.appendShard]], with a genuine
+    * COMPACTION between the second and third batch (two live shards at
+    * that point, so the fold really executes — the q133 non-vacuity
+    * rule; the query ASSERTS the post-compaction manifest names exactly
+    * one folded shard and throws otherwise). The final read sum-merges
+    * the folded shard with batch 2's shard and runs the q146 rank
+    * window, so the oracle is q146's single-pass SQL: hash equality
+    * proves shard-accumulate + manifest-commit + fold + sum-merge-read
+    * reconstruct the exact corpus histogram cross-engine. */
+  def q162HistStreamStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.HistogramStream
+    val docs = load(s, dir, "documents")
+    val store = java.nio.file.Files.createTempDirectory("graft-q162").toString
+    HistogramStream.appendShard(s, store, "batch_0",
+      tokenHistogram(docs.filter($"doc_id" % 3 === 0L)))
+    HistogramStream.appendShard(s, store, "batch_1",
+      tokenHistogram(docs.filter($"doc_id" % 3 === 1L)))
+    HistogramStream.compact(s, store)
+    val afterFold = HistogramStream.liveTags(s, store)
+    require(afterFold == Seq("folded-0"),
+      s"q162 gate is vacuous unless the fold ran: live tags $afterFold")
+    HistogramStream.appendShard(s, store, "batch_2",
+      tokenHistogram(docs.filter($"doc_id" % 3 === 2L)))
+    quantilesFromHistogram(HistogramStream.readHistogram(s, store))
+  }
+
   // -------------------------------------------------------- sketch overlap
 
   /** q148 — audience overlap between event-type segments via sketch
@@ -532,6 +561,22 @@ object SketchOps {
     // negatives + exact verify ⇒ identical result), so its oracle is
     // the SAME exact-containment SQL q67 gates against
     "q161_bloom_decon_store" -> TextOps.oracles("q67_bloom_decontaminate"),
+    // q162 accumulates per-batch shards with a mid-stream fold; every
+    // step is exact, so the oracle is again q146's single-pass SQL
+    "q162_hist_stream_store" ->
+      """WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n
+        |  FROM documents),
+        |hist AS (SELECT source, tok_n, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |w AS (SELECT source, tok_n, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY tok_n
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS n_docs FROM hist),
+        |p AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p)
+        |SELECT source, p, CAST(n_docs AS BIGINT) AS n_docs,
+        |  min(tok_n) AS q_value
+        |FROM w, p WHERE cum * 100 >= n_docs * p
+        |GROUP BY 1, 2, 3""".stripMargin,
     // q159 runs through two persisted histogram shards merged by sum;
     // the merge is exact, so the oracle is q146's single-pass SQL
     "q159_quantiles_persisted" ->

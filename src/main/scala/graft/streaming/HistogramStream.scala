@@ -1,0 +1,190 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.SketchOps
+import graft.syntax._
+
+/** Streaming-maintained EXACT token-histogram store — the q159 sum
+  * monoid kept current by the ingest stream itself: each micro-batch
+  * writes its own histogram SHARD (one `btag=batch_N` partition,
+  * histogram-sized — value domain × sources rows, corpus-size-free),
+  * the read is a sum-merge over live shards, and a compaction folds
+  * accumulated shards into one.
+  *
+  * The store discipline deliberately differs from the signature store
+  * ([[DocumentStream.compactSigStore]]) because the MERGE MONOID
+  * differs: signature rows are idempotent under duplication (probes
+  * `distinct()` them), so that store tolerates transient duplication in
+  * its crash windows. Histogram counts SUM — a transiently duplicated
+  * shard double-counts — so this store adds a manifest COMMIT POINT:
+  * the set of live tags lives in a versioned `_tags-N` file and every
+  * state change commits by renaming a fresh manifest version into place
+  * (atomic on HDFS-like filesystems; readers take the highest N).
+  * Shard data dirs not named by the live manifest are invisible to
+  * readers and swept by the next compaction, so every crash window
+  * leaves a store that reads EXACTLY the committed counts:
+  *
+  *  - append crash between shard write and manifest commit → the shard
+  *    dir exists but is unlisted; the replayed batch overwrites it
+  *    (dynamic partition overwrite keyed by the batch tag) and then
+  *    commits — never a double count;
+  *  - compact crash between the folded-shard rename and the manifest
+  *    commit → the folded dir is unlisted, the old manifest still
+  *    names the old shards — reads unchanged;
+  *  - compact crash after the manifest commit → reads see exactly the
+  *    folded shard; stale old dirs are unlisted and swept later.
+  *
+  * At 100 TB the stream pays one histogram aggregate per batch (the
+  * batch's own rows, map-side combinable) and the artifact stays
+  * value-domain-sized forever; length-distribution monitoring reads the
+  * store, never the corpus — the streaming complement of q159's
+  * per-release batch artifacts.
+  */
+object HistogramStream {
+
+  private def fsOf(spark: SparkSession, store: String) =
+    new Path(store).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private val ManifestRe = raw"_tags-(\d+)".r
+
+  private def manifestVersions(spark: SparkSession, store: String): Seq[(Long, Path)] = {
+    val fs = fsOf(spark, store)
+    val root = new Path(store)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestRe(n) => Some(n.toLong -> st.getPath)
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Live shard tags — the committed state. Metadata-only: one listing
+    * plus one small-file read, zero Spark jobs. */
+  def liveTags(spark: SparkSession, store: String): Seq[String] = {
+    val versions = manifestVersions(spark, store)
+    if (versions.isEmpty) Seq.empty
+    else {
+      val fs = fsOf(spark, store)
+      val in = fs.open(versions.last._2)
+      try {
+        val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+      } finally in.close()
+    }
+  }
+
+  /** Commit a new live-tag set: stage a dot-prefixed temp file, rename
+    * it to the next `_tags-N` — the rename is the commit point. Older
+    * manifest versions are deleted best-effort (readers always take the
+    * highest N, so a failed delete only leaves harmless history). */
+  private def commitTags(spark: SparkSession, store: String, tags: Seq[String]): Unit = {
+    val fs = fsOf(spark, store)
+    val versions = manifestVersions(spark, store)
+    val next = versions.lastOption.map(_._1 + 1).getOrElse(0L)
+    val tmp = new Path(s"$store/._tags-staging")
+    val out = fs.create(tmp, true)
+    try out.write(tags.distinct.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(s"$store/_tags-$next")
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"histogram store manifest commit failed: $tmp -> $dst")
+    versions.foreach { case (_, p) => fs.delete(p, false) }
+  }
+
+  /** Append one micro-batch's histogram as the shard `tag`. Idempotent
+    * under replay: the shard write is a dynamic partition OVERWRITE of
+    * this tag's own directory, and re-committing an already-live tag is
+    * a manifest no-op — the foreachBatch exactly-once recipe applied to
+    * a non-idempotent monoid. */
+  def appendShard(spark: SparkSession, store: String, tag: String,
+      hist: DataFrame): Unit = {
+    hist.select($"source", $"tok_n", $"c").withColumn("btag", lit(tag))
+      .coalesce(1).sortWithinPartitions($"source", $"tok_n")
+      .write.partitionBy("btag")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$store/data")
+    val live = liveTags(spark, store)
+    if (!live.contains(tag)) commitTags(spark, store, live :+ tag)
+  }
+
+  /** The store's current histogram: sum-merge over the LIVE shards only
+    * (partition filter on `btag`, so unlisted crash-residue dirs are
+    * never even read). Empty store → empty frame with the histogram
+    * schema. */
+  def readHistogram(spark: SparkSession, store: String): DataFrame = {
+    val live = liveTags(spark, store)
+    if (live.isEmpty)
+      spark.range(0).select(lit("").as("source"), lit(0L).as("tok_n"),
+        lit(0L).as("c")).filter(lit(false))
+    else
+      spark.read.parquet(s"$store/data")
+        .filter($"btag".isin(live: _*))
+        .groupBy($"source", $"tok_n").agg(sum($"c").as("c"))
+  }
+
+  /** Fold all live shards into one `folded-N` shard. The manifest
+    * commit is the atomic cutover; old shard dirs (and any unlisted
+    * crash residue) are swept afterwards. Already-consolidated stores
+    * return after the metadata check alone — zero Spark jobs. */
+  def compact(spark: SparkSession, store: String): Unit = {
+    val live = liveTags(spark, store)
+    if (live.size <= 1) return
+    val fs = fsOf(spark, store)
+    val FoldRe = raw"folded-(\d+)".r
+    val dataDir = new Path(s"$store/data")
+    val existingTags =
+      if (!fs.exists(dataDir)) Seq.empty
+      else fs.listStatus(dataDir).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("btag="))
+        .map(_.stripPrefix("btag="))
+    val next = "folded-" + (existingTags.collect {
+      case FoldRe(n) => n.toLong }.foldLeft(-1L)(_ max _) + 1)
+    val staging = s"$store/.fold-staging"
+    fs.delete(new Path(staging), true) // stale crash residue
+    readHistogram(spark, store).withColumn("btag", lit(next))
+      .coalesce(1).sortWithinPartitions($"source", $"tok_n")
+      .write.partitionBy("btag").parquet(staging)
+    val src = new Path(s"$staging/btag=$next")
+    val dst = new Path(s"$store/data/btag=$next")
+    if (!fs.rename(src, dst))
+      throw new IllegalStateException(
+        s"histogram store fold rename failed: $src -> $dst — manifest " +
+          "untouched, store still reads the unfolded shards; re-run")
+    commitTags(spark, store, Seq(next)) // the commit point
+    fs.delete(new Path(staging), true)
+    // sweep everything the manifest no longer names (incl. crash residue)
+    existingTags.filterNot(_ == next).foreach { t =>
+      fs.delete(new Path(s"$store/data/btag=$t"), true)
+    }
+  }
+
+  /** The streaming wrapper: documents arriving under `srcDir` fold
+    * their token histogram into the store per micro-batch. Same
+    * checkpoint contract as [[DocumentStream.nearDupDedupedStream]]:
+    * production callers pass `checkpointDir` so batch ids (and with
+    * them the replay idempotency of [[appendShard]]) survive restarts. */
+  def tokenHistogramStream(
+      spark: SparkSession, srcDir: String, store: String,
+      checkpointDir: Option[String] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true").parquet(srcDir).schema
+    val writer = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendShard(spark, store, s"batch_$batchId",
+          SketchOps.tokenHistogram(batch))
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+}

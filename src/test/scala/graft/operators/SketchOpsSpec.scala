@@ -210,6 +210,75 @@ class SketchOpsSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- q159
 
+  // ---------------------------------------------------------------- q162
+
+  private def histMap(df: DataFrame): Map[(String, Long), Long] =
+    df.collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("tok_n")) ->
+      r.getAs[Long]("c")).toMap
+
+  test("q162: streaming wrapper folds arriving batches into the exact corpus histogram") {
+    import graft.streaming.HistogramStream
+    val docs = load(spark, dir, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-histstream")
+    val (src, store) = (s"$base/src", s"$base/store")
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$src/b0.parquet")
+    val q = HistogramStream.tokenHistogramStream(spark, src, store)
+    try {
+      q.processAllAvailable()
+      docs.filter($"doc_id" % 2 === 1).write
+        .mode("append").parquet(s"$src/b1.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(HistogramStream.liveTags(spark, store).size >= 2)
+    assert(histMap(HistogramStream.readHistogram(spark, store)) ===
+      histMap(SketchOps.tokenHistogram(docs)))
+    // compaction folds to one shard without changing a single count
+    HistogramStream.compact(spark, store)
+    assert(HistogramStream.liveTags(spark, store) === Seq("folded-0"))
+    assert(histMap(HistogramStream.readHistogram(spark, store)) ===
+      histMap(SketchOps.tokenHistogram(docs)))
+    // idempotent re-compaction: single live shard, zero work, same state
+    HistogramStream.compact(spark, store)
+    assert(HistogramStream.liveTags(spark, store) === Seq("folded-0"))
+  }
+
+  test("q162: shard replay is idempotent and unlisted crash residue is invisible") {
+    import graft.streaming.HistogramStream
+    val store = java.nio.file.Files.createTempDirectory("graft-histcrash").toString
+    val b0 = Seq((1L, "a b c", "s"), (2L, "a b", "s"))
+      .toDF("doc_id", "text", "source")
+    val expect = histMap(SketchOps.tokenHistogram(b0))
+    HistogramStream.appendShard(spark, store, "batch_0",
+      SketchOps.tokenHistogram(b0))
+    // replay of the same batch tag overwrites, never double-counts
+    HistogramStream.appendShard(spark, store, "batch_0",
+      SketchOps.tokenHistogram(b0))
+    assert(histMap(HistogramStream.readHistogram(spark, store)) === expect)
+    // a shard written but never manifest-committed (the append crash
+    // window) is invisible to readers...
+    SketchOps.tokenHistogram(b0).withColumn("btag", lit("batch_orphan"))
+      .write.partitionBy("btag").mode("append").parquet(s"$store/data")
+    assert(histMap(HistogramStream.readHistogram(spark, store)) === expect)
+    // ...and swept by the next real compaction
+    HistogramStream.appendShard(spark, store, "batch_1",
+      SketchOps.tokenHistogram(b0))
+    HistogramStream.compact(spark, store)
+    val dirs = new java.io.File(s"$store/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === Set("btag=folded-0"), s"crash residue not swept: $dirs")
+    // two committed copies of b0 sum to exactly twice the counts
+    assert(histMap(HistogramStream.readHistogram(spark, store)) ===
+      expect.map { case (k, v) => k -> v * 2 })
+  }
+
+  test("q162: empty store reads as an empty, well-typed histogram") {
+    import graft.streaming.HistogramStream
+    val store = java.nio.file.Files.createTempDirectory("graft-histempty").toString
+    val empty = HistogramStream.readHistogram(spark, store)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === Seq("source", "tok_n", "c"))
+  }
+
   test("q159: sum-merge of persisted histogram shards == single-pass histogram") {
     val docs = load(spark, dir, "documents")
     val tmp = java.nio.file.Files.createTempDirectory("graft-histstore").toString
