@@ -378,6 +378,14 @@ class MiningOpsSpec extends AnyFunSuite {
     assert(prof(1).getAs[Long]("salt_factor") === 1L)
   }
 
+  test("q160: top-k plans as TakeOrderedAndProject, never a global sort") {
+    val rows = (1 to 1000).map(i => (i.toLong, s"k-${i % 50}")).toDF("id", "k")
+    val prof = MiningOps.skewProfile(rows, $"k")
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bounded top-k missing:\n$plan")
+  }
+
   test("q160: uniform keys all recommend salt factor 1") {
     val rows = (1 to 60).map(i => (i.toLong, s"k-${i % 6}")).toDF("id", "k")
     val prof = MiningOps.skewProfile(rows, $"k").collect()

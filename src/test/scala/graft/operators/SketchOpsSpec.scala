@@ -176,6 +176,18 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(bloomMap(SketchOps.mergeBlooms(merged, merged)) === bloomMap(whole))
   }
 
+  test("q157: probe plan broadcasts the bloom — no shuffle of the probed side") {
+    val members = (1 to 500).map(i => s"member-$i").toDF("t")
+    val bloom = SketchOps.buildBloom(members, $"t")
+    val probe = SketchOps.bloomProbe(members, $"t", bloom)
+    probe.collect() // force the AQE final plan
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bloom side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"probe must not sort-merge against the bloom:\n$plan")
+  }
+
   test("q157: store roundtrip preserves the bloom bit-for-bit") {
     val keys = (1 to 400).map(i => s"k-$i").toDF("t")
     val bloom = SketchOps.buildBloom(keys, $"t")
