@@ -291,6 +291,9 @@ object SparkEntry {
     // streaming histogram store: per-batch shards + manifest commits +
     // a genuine mid-stream fold; oracle = q146's single-pass SQL
     "q162_hist_stream_store" -> (SketchOps.q162HistStreamStore _),
+    // release drift report computed from persisted artifacts ONLY;
+    // oracle recomputes both branches from the raw corpus
+    "q163_release_drift" -> (SketchOps.q163ReleaseDrift _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -441,6 +441,42 @@ object SketchOps {
     quantilesFromHistogram(HistogramStream.readHistogram(s, store))
   }
 
+  /** q163 — release-over-release drift monitoring that reads ONLY the
+    * persisted artifacts: release A (even doc_ids) and release B (the
+    * full corpus) each persist their HLL registers and token histogram;
+    * the monitoring query then joins per-source cardinality estimates,
+    * EXACT document counts (free from the histogram — its per-source
+    * count sum is exact), and p50 token lengths FROM THE STORES ALONE —
+    * the corpus is never rescanned after the artifacts exist. The
+    * oracle recomputes every number from the raw table (the integer
+    * HLL replay + the q146 rank rule, per release branch), so hash
+    * equality proves store-only monitoring ≡ corpus-scan monitoring
+    * cross-engine. At 100 TB this is the difference between a nightly
+    * drift report that reads a few hundred KB and one that rescans two
+    * releases. */
+  def q163ReleaseDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val relA = docs.filter($"doc_id" % 2 === 0L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q163").toString
+    writeHllSketch(hllRegisters(relA, $"doc_id", $"source"), s"$tmp/hll_a")
+    writeHllSketch(hllRegisters(docs, $"doc_id", $"source"), s"$tmp/hll_b")
+    writeTokenHistogram(tokenHistogram(relA), s"$tmp/hist_a")
+    writeTokenHistogram(tokenHistogram(docs), s"$tmp/hist_b")
+    // ---- monitoring: artifacts only from here on ----
+    def est(path: String, as: String) =
+      hllEstimate(readHllSketch(s, path))
+        .select($"k".as("source"), $"hll_est".as(as))
+    def p50(path: String, nAs: String, pAs: String) =
+      quantilesFromHistogram(readTokenHistogram(s, path), Seq(50))
+        .select($"source", $"n_docs".as(nAs), $"q_value".as(pAs))
+    p50(s"$tmp/hist_a", "n_docs_a", "p50_a")
+      .join(p50(s"$tmp/hist_b", "n_docs_b", "p50_b"), Seq("source"))
+      .join(est(s"$tmp/hll_a", "hll_a"), Seq("source"))
+      .join(est(s"$tmp/hll_b", "hll_b"), Seq("source"))
+      .select($"source", $"n_docs_a", $"n_docs_b", $"hll_a", $"hll_b",
+        $"p50_a", $"p50_b", ($"p50_b" - $"p50_a").as("p50_shift"))
+  }
+
   // -------------------------------------------------------- sketch overlap
 
   /** q148 — audience overlap between event-type segments via sketch
@@ -519,7 +555,67 @@ object SketchOps {
       |FROM est JOIN ex ON est.source = ex.source"""
       .stripMargin.replace("LCTABLE", lcArraySql)
 
+  /** (source, hll_est) over `documents WHERE where` — the
+    * [[hllCardinalitySql]] estimate branch as a parenthesized subquery
+    * (DuckDB allows a WITH inside a derived table), parameterized by
+    * the release predicate so q163 can replay both branches. */
+  private def hllEstSubSql(where: String): String =
+    s"""(WITH h AS (SELECT source,
+       |    ((doc_id % 1000003) * 2654435761 % 1000003) * 999983
+       |      + (doc_id % 999983) * 1103515245 % 999983 AS h
+       |  FROM documents WHERE $where),
+       |r AS (SELECT source, h % 64 AS bucket,
+       |    CASE WHEN h // 64 = 0 THEN 35
+       |      ELSE 35 - (length(format('{:b}', h // 64)) - 1) END AS rk
+       |  FROM h),
+       |regs AS (SELECT source, bucket, max(rk) AS m FROM r GROUP BY 1, 2),
+       |spine AS (SELECT source, bucket
+       |  FROM (SELECT DISTINCT source FROM documents WHERE $where),
+       |       (SELECT unnest(generate_series(0, 63)) AS bucket)),
+       |fullr AS (SELECT spine.source, spine.bucket, coalesce(m, 0) AS m
+       |  FROM spine LEFT JOIN regs
+       |    ON spine.source = regs.source AND spine.bucket = regs.bucket),
+       |agg AS (SELECT source,
+       |    CAST(sum(1::BIGINT << CAST(40 - m AS INT)) AS BIGINT) AS sum_term,
+       |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+       |  FROM fullr GROUP BY 1),
+       |estr AS (SELECT source, v_empty,
+       |    (2904064::BIGINT * (1::BIGINT << 40)) // (1000 * sum_term)
+       |      AS hll_raw
+       |  FROM agg)
+       |SELECT source, CAST(CASE WHEN hll_raw <= 160 AND v_empty > 0
+       |    THEN (LCTABLE)[CAST(v_empty AS INT)] ELSE hll_raw END AS BIGINT)
+       |    AS hll_est
+       |FROM estr)""".stripMargin.replace("LCTABLE", lcArraySql)
+
+  /** (source, n_docs, p50) over `documents WHERE where` — the q146 rank
+    * rule at p = 50, parameterized by the release predicate. */
+  private def p50SubSql(where: String): String =
+    s"""(WITH t AS (SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n
+       |  FROM documents WHERE $where),
+       |hist AS (SELECT source, tok_n, CAST(count(*) AS BIGINT) AS c
+       |  FROM t GROUP BY 1, 2),
+       |w AS (SELECT source, tok_n, c,
+       |    sum(c) OVER (PARTITION BY source ORDER BY tok_n
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(c) OVER (PARTITION BY source) AS n_docs FROM hist)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, min(tok_n) AS p50
+       |FROM w WHERE cum * 100 >= n_docs * 50 GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // q163's Spark side reads only the persisted artifacts; the oracle
+    // recomputes both release branches from the raw corpus — hash
+    // equality proves store-only monitoring ≡ corpus-scan monitoring
+    "q163_release_drift" ->
+      s"""SELECT pa.source, pa.n_docs AS n_docs_a, pb.n_docs AS n_docs_b,
+         |  ha.hll_est AS hll_a, hb.hll_est AS hll_b,
+         |  pa.p50 AS p50_a, pb.p50 AS p50_b, pb.p50 - pa.p50 AS p50_shift
+         |FROM ${p50SubSql("doc_id % 2 = 0")} pa
+         |JOIN ${p50SubSql("1 = 1")} pb ON pa.source = pb.source
+         |JOIN ${hllEstSubSql("doc_id % 2 = 0")} ha ON pa.source = ha.source
+         |JOIN ${hllEstSubSql("1 = 1")} hb ON pa.source = hb.source"""
+        .stripMargin,
     "q146_token_quantiles" ->
       """WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n
         |  FROM documents),
