@@ -294,6 +294,9 @@ object SparkEntry {
     // release drift report computed from persisted artifacts ONLY;
     // oracle recomputes both branches from the raw corpus
     "q163_release_drift" -> (SketchOps.q163ReleaseDrift _),
+    // out-of-vocabulary rate of a new release against the persisted
+    // exact vocabulary artifact — the tokenizer-drift alarm
+    "q164_oov_rate" -> (SketchOps.q164OovRate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

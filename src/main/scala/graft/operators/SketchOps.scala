@@ -477,6 +477,53 @@ object SketchOps {
         $"p50_a", $"p50_b", ($"p50_b" - $"p50_a").as("p50_shift"))
   }
 
+  // ------------------------------------------------- persisted vocabulary
+
+  /** The exact vocabulary artifact: one row per distinct token with its
+    * document frequency — q149's inverted index WITHOUT the postings,
+    * which makes it vocabulary-sized (Heaps'-law sublinear in the
+    * corpus) and therefore persistable per release. Merge is key-wise
+    * sum on df (the histogram monoid over tokens). */
+  def vocabFrame(docs: DataFrame): DataFrame =
+    docs.select(explode(array_distinct(split($"text", " "))).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+
+  def writeVocab(vocab: DataFrame, path: String): Unit =
+    vocab.select($"token", $"df")
+      .coalesce(1).sortWithinPartitions($"token")
+      .write.mode("overwrite").parquet(path)
+
+  def readVocab(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** q164 — out-of-vocabulary drift against the PERSISTED vocabulary:
+    * release A (even doc_ids) persists its exact vocab once; release B
+    * (odd doc_ids) reports, per source, its distinct-token count, how
+    * many of those tokens A's vocabulary has never seen, and the OOV
+    * rate in ppm — the tokenizer-drift / domain-shift alarm. The B-side
+    * join is against the ARTIFACT (vocabulary-sized, never A's corpus);
+    * the left-anti + distinct counts are exact integers, so the oracle
+    * is a plain two-branch distinct/anti-join replay. At 100 TB the
+    * check costs one token pass over the NEW release plus a
+    * vocabulary-sized join — release A is never touched again. */
+  def q164OovRate(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q164").toString
+    writeVocab(vocabFrame(docs.filter($"doc_id" % 2 === 0L)), s"$tmp/vocab_a")
+    val vocabA = readVocab(s, s"$tmp/vocab_a")
+    val bTokens = docs.filter($"doc_id" % 2 === 1L)
+      .select($"source", explode(array_distinct(split($"text", " "))).as("token"))
+      .distinct()
+    val perSrc = bTokens.groupBy($"source")
+      .agg(countDistinct($"token").as("n_tokens_b"))
+    val oov = bTokens.join(vocabA, Seq("token"), "left_anti")
+      .groupBy($"source").agg(countDistinct($"token").as("n_oov"))
+    perSrc.join(oov, Seq("source"), "left")
+      .na.fill(0L, Seq("n_oov"))
+      .select($"source", $"n_tokens_b", $"n_oov",
+        expr("n_oov * 1000000 div n_tokens_b").as("oov_ppm"))
+  }
+
   // -------------------------------------------------------- sketch overlap
 
   /** q148 — audience overlap between event-type segments via sketch
@@ -673,6 +720,21 @@ object SketchOps {
         |  min(tok_n) AS q_value
         |FROM w, p WHERE cum * 100 >= n_docs * p
         |GROUP BY 1, 2, 3""".stripMargin,
+    // q164's Spark side joins release B against the persisted vocab
+    // artifact; the oracle replays both branches from the corpus
+    "q164_oov_rate" ->
+      """WITH va AS (SELECT DISTINCT unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |bt AS (SELECT DISTINCT source,
+        |    unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |n AS (SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS n_tokens_b
+        |  FROM bt GROUP BY 1),
+        |o AS (SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS n_oov
+        |  FROM bt WHERE token NOT IN (SELECT token FROM va) GROUP BY 1)
+        |SELECT n.source, n_tokens_b, coalesce(n_oov, 0) AS n_oov,
+        |  coalesce(n_oov, 0) * 1000000 // n_tokens_b AS oov_ppm
+        |FROM n LEFT JOIN o ON n.source = o.source""".stripMargin,
     // q159 runs through two persisted histogram shards merged by sum;
     // the merge is exact, so the oracle is q146's single-pass SQL
     "q159_quantiles_persisted" ->

@@ -220,6 +220,25 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(viaStore === viaBuiltin && viaStore.nonEmpty)
   }
 
+  // ---------------------------------------------------------------- q164
+
+  test("q164: planted novel tokens count exactly against the persisted vocab") {
+    import graft.operators.SketchOps._
+    val relA = Seq((1L, "a b c", "s")).toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vocab").toString
+    writeVocab(vocabFrame(relA), s"$tmp/v")
+    val vocabA = readVocab(spark, s"$tmp/v")
+    assert(vocabA.collect().map(r =>
+      r.getAs[String]("token") -> r.getAs[Long]("df")).toMap ===
+      Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    // release B: 4 distinct tokens, 2 novel -> 500000 ppm
+    val bTokens = Seq((2L, "a b x y", "s")).toDF("doc_id", "text", "source")
+      .select($"source", explode(array_distinct(split($"text", " "))).as("token"))
+      .distinct()
+    val oov = bTokens.join(vocabA, Seq("token"), "left_anti")
+    assert(oov.collect().map(_.getAs[String]("token")).toSet === Set("x", "y"))
+  }
+
   // ---------------------------------------------------------------- q159
 
   // ---------------------------------------------------------------- q162
