@@ -297,7 +297,11 @@ object SketchOps {
     writeBloom(buildBloom(relB, $"text"), s"$tmp/bloom_b")
     val history = mergeBlooms(
       readBloom(s, s"$tmp/bloom_a"), readBloom(s, s"$tmp/bloom_b"))
-    val candidates = bloomProbe(relC, $"text", history)
+    // lazy checkpoint: candidates feed BOTH the candidate-bloom build
+    // and the final join — without it the release-C probe would run
+    // twice (a second full pass over the new release at 100 TB);
+    // materialized by the first action, reused by the second
+    val candidates = bloomProbe(relC, $"text", history).localCheckpoint(false)
     // exact verify, candidate-bloom-prefiltered on the history side
     val candBloom = buildBloom(candidates, $"text")
     val histTexts = bloomProbe(

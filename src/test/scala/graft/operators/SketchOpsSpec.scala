@@ -300,6 +300,13 @@ class SketchOpsSpec extends AnyFunSuite {
     // two committed copies of b0 sum to exactly twice the counts
     assert(histMap(HistogramStream.readHistogram(spark, store)) ===
       expect.map { case (k, v) => k -> v * 2 })
+    // the read partition-prunes to live tags: crash residue is never
+    // even listed into the scan
+    val plan = HistogramStream.readHistogram(spark, store)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan)
+      .exists(f => f.contains("btag") && !f.contains("[]")),
+      s"store read must prune on btag:\n$plan")
   }
 
   test("q162: empty store reads as an empty, well-typed histogram") {
