@@ -297,6 +297,11 @@ object SparkEntry {
     // out-of-vocabulary rate of a new release against the persisted
     // exact vocabulary artifact — the tokenizer-drift alarm
     "q164_oov_rate" -> (SketchOps.q164OovRate _),
+    // streaming windowed distinct-user HLL: 64 longs of state per
+    // group on an unbounded stream; oracle = integer HLL replay
+    "q165_stream_hll_windows" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.EventStream.q165StreamHllWindows(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -94,7 +94,7 @@ object SketchOps {
   private[operators] val LcTable: IndexedSeq[Long] =
     (1 to 63).map(v => Math.round(64.0 * StrictMath.log(64.0 / v)))
 
-  private def lcArraySql: String = LcTable.mkString("[", ", ", "]")
+  private[graft] def lcArraySql: String = LcTable.mkString("[", ", ", "]")
 
   private val lcArraySpark: String = LcTable.mkString("array(", ", ", ")")
 

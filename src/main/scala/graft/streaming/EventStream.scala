@@ -174,7 +174,100 @@ object EventStream {
   def q144StreamDedupTtl(spark: SparkSession, dir: String): DataFrame =
     dedupWithinWatermark(spark, dir)
 
+  /** Streaming windowed distinct-user SKETCHES: per (hour, event_type),
+    * the 64-register HLL maintained by the typed
+    * [[graft.functions.HllSketchAggregator]] — the state store holds
+    * exactly 64 longs per group regardless of how many users a group
+    * ever sees, which is the only shape a distinct-count can take on an
+    * unbounded stream (`countDistinct` is disallowed in streaming
+    * precisely because its state is member-set-sized; the TTL dedup
+    * q144 bounds state by TIME, this bounds it by SKETCH — the two
+    * complementary answers). Registers come out of the drained sink,
+    * the integer estimate reuses the batch
+    * [[graft.operators.SketchOps.hllEstimate]] verbatim, and the exact
+    * count joins from a batch pass for the q147 error-in-the-gate
+    * convention. Streaming registers ≡ batch registers byte-for-byte
+    * (same LCG, same max merge), so the oracle is the per-group integer
+    * HLL replay. */
+  def hllWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val name = "hll_" + UUID.randomUUID().toString.replace("-", "")
+    val sketch = udaf(new graft.functions.HllSketchAggregator())
+    val agg = eventStream(spark, dir)
+      .select(expr("unix_timestamp(ts) div 3600").as("hour"),
+        col("event_type"), col("user_id"))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(sketch(col("user_id")).as("regs"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try q.processAllAvailable() finally q.stop()
+    val regRows = spark.table(name)
+      .select(concat_ws("|", col("hour"), col("event_type")).as("k"),
+        posexplode(col("regs")).as(Seq("bucket", "m")))
+      .select(col("k"), col("bucket").cast("long").as("bucket"), col("m"))
+    val est = graft.operators.SketchOps.hllEstimate(regRows)
+      .select(split(col("k"), "\\|").getItem(0).cast("long").as("hour"),
+        split(col("k"), "\\|").getItem(1).as("event_type"),
+        col("hll_est"), col("hll_raw"), col("v_empty"), col("max_rank"))
+    val exact = graft.Tables.load(spark, dir, "events")
+      .select(expr("unix_timestamp(ts) div 3600").as("hour"),
+        col("event_type"), col("user_id"))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(exact, Seq("hour", "event_type"))
+      .select(col("hour"), col("event_type"), col("n_exact"),
+        col("hll_est"), col("hll_raw"), col("v_empty"), col("max_rank"))
+  }
+
+  def q165StreamHllWindows(spark: SparkSession, dir: String): DataFrame =
+    hllWindowed(spark, dir)
+
   val oracles: Map[String, String] = Map(
+    // integer HLL replay per (hour, event_type) — streaming registers
+    // are byte-identical to batch registers, so the estimate gates
+    "q165_stream_hll_windows" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+        |    event_type, user_id FROM events),
+        |h AS (SELECT hour, event_type,
+        |    ((user_id % 1000003) * 2654435761 % 1000003) * 999983
+        |      + (user_id % 999983) * 1103515245 % 999983 AS h FROM e),
+        |r AS (SELECT hour, event_type, h % 64 AS bucket,
+        |    CASE WHEN h // 64 = 0 THEN 35
+        |      ELSE 35 - (length(format('{:b}', h // 64)) - 1) END AS rk
+        |  FROM h),
+        |regs AS (SELECT hour, event_type, bucket, max(rk) AS m
+        |  FROM r GROUP BY 1, 2, 3),
+        |spine AS (SELECT hour, event_type, bucket
+        |  FROM (SELECT DISTINCT hour, event_type FROM e),
+        |       (SELECT unnest(generate_series(0, 63)) AS bucket)),
+        |fullr AS (SELECT spine.hour, spine.event_type, spine.bucket,
+        |    coalesce(m, 0) AS m
+        |  FROM spine LEFT JOIN regs ON spine.hour = regs.hour
+        |    AND spine.event_type = regs.event_type
+        |    AND spine.bucket = regs.bucket),
+        |agg AS (SELECT hour, event_type,
+        |    CAST(sum(1::BIGINT << CAST(40 - m AS INT)) AS BIGINT) AS sum_term,
+        |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
+        |    CAST(max(m) AS BIGINT) AS max_rank
+        |  FROM fullr GROUP BY 1, 2),
+        |est AS (SELECT hour, event_type, v_empty, max_rank,
+        |    (2904064::BIGINT * (1::BIGINT << 40)) // (1000 * sum_term)
+        |      AS hll_raw
+        |  FROM agg),
+        |ex AS (SELECT hour, event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM e GROUP BY 1, 2)
+        |SELECT est.hour, est.event_type, n_exact,
+        |  CAST(CASE WHEN hll_raw <= 160 AND v_empty > 0
+        |    THEN (LCTABLE)[CAST(v_empty AS INT)] ELSE hll_raw END AS BIGINT)
+        |    AS hll_est,
+        |  hll_raw, v_empty, max_rank
+        |FROM est JOIN ex ON est.hour = ex.hour
+        |  AND est.event_type = ex.event_type"""
+        .stripMargin.replace("LCTABLE", graft.operators.SketchOps.lcArraySql),
     // one survivor per (user_id, event_type, 10-min bucket) ⇒ the
     // surviving count IS the distinct key count
     "q144_stream_dedup_ttl" ->

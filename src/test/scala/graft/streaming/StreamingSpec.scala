@@ -26,6 +26,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming.toSeq == batch.toSeq)
   }
 
+  test("HLL aggregator registers are byte-identical to the batch column form") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"))
+    val sketch = udaf(new graft.functions.HllSketchAggregator())
+    val viaAgg = ev.groupBy(col("event_type"))
+      .agg(sketch(col("user_id")).as("regs"))
+      .select(col("event_type"), posexplode(col("regs")).as(Seq("bucket", "m")))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong) -> r.getLong(2)).toMap
+    val viaCols = graft.operators.SketchOps
+      .hllRegisters(ev, col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("m")).toMap
+    assert(viaAgg === viaCols && viaAgg.nonEmpty,
+      "typed-aggregator registers must equal the batch register frame")
+  }
+
   test("streaming exact dedup keeps the same survivors as batch q17") {
     val streaming = DocumentStream.dedupProfile(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
