@@ -188,7 +188,13 @@ object EventStream {
     * count joins from a batch pass for the q147 error-in-the-gate
     * convention. Streaming registers ≡ batch registers byte-for-byte
     * (same LCG, same max merge), so the oracle is the per-group integer
-    * HLL replay. */
+    * HLL replay.
+    *
+    * Complete mode is the bounded-drain gate shape (deterministic final
+    * answer when the file source drains, the q41 pattern); a production
+    * unbounded stream would run Update mode with a foreachBatch upsert
+    * of changed groups' registers into a store — state stays 64
+    * longs/group either way, only the EMISSION policy differs. */
   def hllWindowed(spark: SparkSession, dir: String): DataFrame = {
     val name = "hll_" + UUID.randomUUID().toString.replace("-", "")
     val sketch = udaf(new graft.functions.HllSketchAggregator())
