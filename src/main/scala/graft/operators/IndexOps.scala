@@ -148,6 +148,37 @@ object IndexOps {
       .write.partitionBy("ztile").mode("overwrite").parquet(path)
   }
 
+  /** INCREMENTAL layout maintenance: append a delta (a new ingest
+    * batch) into an existing [[writeZOrdered]] layout. Same key/tile
+    * derivation and chunk-bijection shuffle, but the write APPENDS new
+    * z-sorted files into the affected tile directories instead of
+    * rewriting the layout — the one-file-per-tile invariant relaxes to
+    * one-file-per-(epoch, tile), which [[boxProbe]] already tolerates
+    * (it reads whatever files a covered tile holds; file-level min/max
+    * stay tight because each appended file is still z-sorted). Probe
+    * cost grows with appended epochs per tile, so a periodic
+    * [[writeZOrdered]] re-layout plays the compaction role — the same
+    * accumulate-then-fold lifecycle as the signature and histogram
+    * stores, at layout granularity. Cost per delta: one shuffle of the
+    * DELTA only; the existing layout is never read or touched. */
+  def appendZOrdered(df: DataFrame, xCol: Column, yCol: Column, scale: Int,
+      path: String, nChunks: Int = 32): Unit = {
+    require(scale >= 0 && scale <= graft.functions.ZOrder.Bits,
+      s"tile scale $scale outside [0, ${graft.functions.ZOrder.Bits}]")
+    graft.plans.ZOrderExpression.install(df.sparkSession)
+    val keyed = df
+      .withColumn("zx", xCol.cast("long").bitwiseAND(lit(0xFFFFL)))
+      .withColumn("zy", yCol.cast("long").bitwiseAND(lit(0xFFFFL)))
+      .withColumn("zkey", expr("zorder_key(zx, zy)"))
+      .withColumn("ztile", shiftrightunsigned($"zkey", 2 * scale))
+    val slots = graft.streaming.DocumentStream.chunkPartitionValues(nChunks)
+    keyed
+      .repartition(nChunks, element_at(typedLit(slots),
+        (pmod($"ztile".cast("int"), lit(nChunks)) + lit(1)).cast("int")))
+      .sortWithinPartitions($"ztile", $"zkey")
+      .write.partitionBy("ztile").mode("append").parquet(path)
+  }
+
   /** Box PROBE over a [[writeZOrdered]] layout: translate the
     * axis-aligned box to its tile cover ([[graft.functions.ZOrder
     * .tilesForBox]] — driver-side, cover-grid-sized) and read only those

@@ -157,6 +157,35 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(probe.count() === expected && expected > 0L)
   }
 
+  test("appendZOrdered: delta appends keep probe ≡ direct scan; re-layout folds files") {
+    val ev = load(spark, dir, "events")
+    val base = ev.filter($"event_id" % 2 === 0)
+    val delta = ev.filter($"event_id" % 2 === 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zappend").toString
+    IndexOps.writeZOrdered(base,
+      $"user_id", expr("unix_timestamp(ts) div 3600"), scale = 8, path = tmp)
+    IndexOps.appendZOrdered(delta,
+      $"user_id", expr("unix_timestamp(ts) div 3600"), scale = 8, path = tmp)
+    val probe = IndexOps.boxProbe(spark, tmp, 0L, 255L, 14600L, 15100L, scale = 8)
+    val expected = ev.filter($"user_id" % 65536L <= 255L &&
+      expr("unix_timestamp(ts) div 3600") % 65536L >= 14600L &&
+      expr("unix_timestamp(ts) div 3600") % 65536L <= 15100L).count()
+    assert(probe.count() === expected && expected > 0L,
+      "probe over base+delta must equal the direct scan of the union")
+    // appended epochs leave >1 file in touched tiles; a re-layout of the
+    // full data folds back to the one-file-per-tile invariant
+    val root = new java.io.File(tmp)
+    def maxFilesPerTile: Int = root.listFiles()
+      .filter(_.getName.startsWith("ztile=")).map(
+        _.listFiles().count(_.getName.startsWith("part-"))).max
+    assert(maxFilesPerTile > 1, "delta should append files, not rewrite")
+    IndexOps.writeZOrdered(ev,
+      $"user_id", expr("unix_timestamp(ts) div 3600"), scale = 8, path = tmp)
+    assert(maxFilesPerTile === 1, "re-layout must fold to one file per tile")
+    assert(IndexOps.boxProbe(spark, tmp, 0L, 255L, 14600L, 15100L, scale = 8)
+      .count() === expected)
+  }
+
   // ---------------------------------------------------------------- q158
 
   test("q158: manifest-pruned read ≡ direct scan while opening fewer files") {
