@@ -200,23 +200,31 @@ object SketchOps {
   /** Number of 64-bit words backing an `mBits`-bit Bloom filter. */
   private def bloomWords(mBits: Long): Long = (mBits + 63) / 64
 
-  /** The k probe positions of a string key as (word, mask) rows: double
-    * hashing pos_j = h1 + (j+1)·h2 + j² over two independent engine
-    * hashes (xxhash64 + murmur3). Purely Column-API — the probe compiles
-    * into whole-stage codegen, unlike q67's deliberate UDF probe of the
-    * opaque `DataFrameStatFunctions` sketch. Determinism is all a Bloom
-    * filter needs; no oracle ever sees these positions because the
-    * exact verify behind the prefilter makes the RESULT hash-exact. */
-  private def bloomPositions(key: Column, mBits: Long, k: Int): Column = {
-    val h1 = xxhash64(key)
-    val h2 = hash(key).cast("long")
+  /** The 128-bit hash pair a key reduces to BEFORE any shuffle: bloom
+    * membership depends only on (h1, h2), so every downstream step —
+    * the build's distinct, the probe's distinct, the pass-set join —
+    * moves 16 bytes per key instead of the key itself (a document TEXT
+    * at 100 TB). A pair collision's only effect is one extra bloom
+    * false positive, which the exact verify behind every probe already
+    * removes — the semantics cannot observe it. */
+  private def hashPair(key: Column): Column =
+    struct(xxhash64(key).as("h1"), hash(key).cast("long").as("h2"))
+
+  /** The k probe positions of a hash pair as (word, mask) rows: double
+    * hashing pos_j = h1 + (j+1)·h2 + j². Purely Column-API — the probe
+    * compiles into whole-stage codegen, unlike q67's deliberate UDF
+    * probe of the opaque `DataFrameStatFunctions` sketch. Determinism
+    * is all a Bloom filter needs; no oracle ever sees these positions
+    * because the exact verify behind the prefilter makes the RESULT
+    * hash-exact. */
+  private def bloomPositions(hp: Column, mBits: Long, k: Int): Column =
     array((0 until k).map { j =>
-      val pos = pmod(h1 + lit(j + 1L) * h2 + lit(j.toLong * j), lit(mBits))
+      val pos = pmod(hp.getField("h1") + lit(j + 1L) * hp.getField("h2") +
+        lit(j.toLong * j), lit(mBits))
       // pos ∈ [0, mBits): word = pos >> 6 ≡ pos div 64, both codegen'd
       struct(shiftright(pos, 6).as("word"),
         call_function("shiftleft", lit(1L), (pos % 64L).cast("int")).as("mask"))
     }: _*)
-  }
 
   /** Build a Bloom filter over the DISTINCT values of `keyCol` as a
     * DataFrame of (word, bits) longs — ≤ mBits/64 rows regardless of
@@ -229,8 +237,8 @@ object SketchOps {
     * [[hllRegisters]]. */
   def buildBloom(df: DataFrame, keyCol: Column,
       mBits: Long = 1L << 20, k: Int = 4): DataFrame =
-    df.select(keyCol.as("bk")).distinct()
-      .select(explode(bloomPositions($"bk", mBits, k)).as("p"))
+    df.select(hashPair(keyCol).as("hp")).distinct() // 16-byte shuffle rows
+      .select(explode(bloomPositions($"hp", mBits, k)).as("p"))
       .groupBy($"p.word".as("word"))
       .agg(expr("bit_or(p.mask)").as("bits"))
 
@@ -261,15 +269,17 @@ object SketchOps {
     * inside codegen, no shuffle of `df` at all. */
   def bloomProbe(df: DataFrame, keyCol: Column, bloom: DataFrame,
       mBits: Long = 1L << 20, k: Int = 4): DataFrame = {
-    val passed = df.select(keyCol.as("bk")).distinct()
-      .select($"bk", explode(bloomPositions($"bk", mBits, k)).as("p"))
+    val passed = df.select(hashPair(keyCol).as("hp")).distinct() // 16 B/key
+      .select($"hp", explode(bloomPositions($"hp", mBits, k)).as("p"))
       .join(broadcast(bloom), $"p.word" === bloom("word"), "left")
       .withColumn("hit",
         (coalesce($"bits", lit(0L)).bitwiseAND($"p.mask")) === $"p.mask")
-      .groupBy($"bk").agg(min(when($"hit", 1L).otherwise(0L)).as("all_hit"))
+      .groupBy($"hp").agg(min(when($"hit", 1L).otherwise(0L)).as("all_hit"))
       .filter($"all_hit" === 1L)
-      .select($"bk")
-    df.join(passed, keyCol === passed("bk"), "left_semi")
+      .select($"hp")
+    // the pass-set join also moves only hash pairs; a pair collision
+    // admits one extra row that the caller's exact verify removes
+    df.join(passed, hashPair(keyCol) === passed("hp"), "left_semi")
   }
 
   /** q157 — cross-release incremental dedup through the PERSISTED Bloom
