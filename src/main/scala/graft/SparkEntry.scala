@@ -302,6 +302,10 @@ object SparkEntry {
     "q165_stream_hll_windows" ->
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStream.q165StreamHllWindows(s, d)),
+    // heavy shingles through the persisted sum-merged Count-Min store:
+    // no-false-negative prefilter + exact verify; oracle = exact HAVING
+    "q166_cms_store_heavy" ->
+      ((s: SparkSession, d: String) => SketchOps.q166CmsStoreHeavy(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -359,6 +359,100 @@ object SketchOps {
         sum($"n_hits").cast("long").as("total_hits"))
   }
 
+  // -------------------------------------------------------- persisted CMS
+
+  /** Count-Min sketch over `keyCol` occurrences as a DataFrame of
+    * (row, pos, n) counters — d×w longs regardless of key-domain size
+    * (the default 4×65536 is 2 MB — sized so the overcount floor N/w stays
+    * below useful thresholds as occurrences N grow; widen w with the
+    * corpus, the artifact stays d·w longs), for domains where even the
+    * distinct-key table explodes (shingles/n-grams — tokens are
+    * Heaps'-law bounded, 5-gram space is not). Same hash-pair
+    * discipline as [[buildBloom]]: the shuffle moves (row, pos) ints,
+    * never the keys. CMS never UNDERcounts (collisions only add), so
+    * `threshold probe → exact verify` finds every truly-heavy key —
+    * the bloom no-false-negative argument, for counts. */
+  def buildCms(df: DataFrame, keyCol: Column,
+      w: Int = 65536, d: Int = 4): DataFrame =
+    df.select(hashPair(keyCol).as("hp"))
+      .select(explode(cmsPositions($"hp", w, d)).as("p"))
+      .groupBy($"p.row".as("row"), $"p.pos".as("pos"))
+      .agg(count(lit(1)).as("n"))
+
+  private def cmsPositions(hp: Column, w: Int, d: Int): Column =
+    array((0 until d).map { j =>
+      struct(lit(j).as("row"),
+        pmod(hp.getField("h1") + lit(j + 1L) * hp.getField("h2") +
+          lit(j.toLong * j), lit(w.toLong)).as("pos"))
+    }: _*)
+
+  def writeCms(cms: DataFrame, path: String): Unit =
+    cms.select($"row", $"pos", $"n")
+      .coalesce(1).sortWithinPartitions($"row", $"pos")
+      .write.mode("overwrite").parquet(path)
+
+  def readCms(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** CMS UNION: counter-wise SUM — the count monoid, like the
+    * histogram store (NOT idempotent; one artifact per release). Sums
+    * of per-release counters equal the union sketch exactly, so the
+    * min-over-rows estimate of the merged sketch still never
+    * undercounts the union corpus. */
+  def mergeCms(a: DataFrame, b: DataFrame): DataFrame =
+    a.select($"row", $"pos", $"n").union(b.select($"row", $"pos", $"n"))
+      .groupBy($"row", $"pos").agg(sum($"n").as("n"))
+
+  /** Estimated count per DISTINCT key of `df`: min over the d counters
+    * the key hashes to (missing counter = 0). The cms side is ≤ d×w
+    * rows, broadcast; the probe is d broadcast lookups per distinct
+    * hash pair inside codegen. Returns (hp, est) — callers semi-join
+    * their rows against the surviving pairs, as in [[bloomProbe]]. */
+  private def cmsEstimates(keys: DataFrame, cms: DataFrame,
+      w: Int, d: Int): DataFrame =
+    keys.select($"hp", explode(cmsPositions($"hp", w, d)).as("p"))
+      .join(broadcast(cms),
+        $"p.row" === cms("row") && $"p.pos" === cms("pos"), "left")
+      .groupBy($"hp").agg(min(coalesce($"n", lit(0L))).as("est"))
+
+  /** Rows of `df` whose key's CMS estimate reaches `threshold` — a
+    * superset of the truly-heavy keys (CMS never undercounts), bounded
+    * below corpus size by the sketch's overcount profile. */
+  def cmsHeavyProbe(df: DataFrame, keyCol: Column, cms: DataFrame,
+      threshold: Long, w: Int = 65536, d: Int = 4): DataFrame = {
+    val passed = cmsEstimates(
+        df.select(hashPair(keyCol).as("hp")).distinct(), cms, w, d)
+      .filter($"est" >= threshold).select($"hp")
+    df.join(passed, hashPair(keyCol) === passed("hp"), "left_semi")
+  }
+
+  /** q166 — heavy shingles through the PERSISTED Count-Min path: two
+    * release shards (doc parity) each persist their shingle CMS once;
+    * the merged (counter-sum) sketch prunes the shingle stream to
+    * candidates whose estimate reaches the threshold, and only those
+    * candidates are exactly counted and filtered — no false negatives
+    * (CMS only overcounts), false positives removed by the exact
+    * count, so the oracle is the plain exact HAVING. The shingle
+    * DOMAIN never materializes as a distinct table anywhere: the
+    * sketch is d×w longs, the candidate set is threshold-bounded, and
+    * the exact count groups only candidate-matched occurrences. The
+    * quartet is complete: HLL (max), Bloom (OR), histogram/CMS (sum) —
+    * membership, cardinality, order statistics, and frequency, each
+    * release-mergeable. */
+  def q166CmsStoreHeavy(s: SparkSession, dir: String,
+      threshold: Long = 5L): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val sh = docs.select($"doc_id",
+      explode(TextOps.shingles($"text")).as("g"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q166").toString
+    writeCms(buildCms(sh.filter($"doc_id" % 2 === 0L), $"g"), s"$tmp/cms_a")
+    writeCms(buildCms(sh.filter($"doc_id" % 2 === 1L), $"g"), s"$tmp/cms_b")
+    val cms = mergeCms(readCms(s, s"$tmp/cms_a"), readCms(s, s"$tmp/cms_b"))
+    val candidates = cmsHeavyProbe(sh, $"g", cms, threshold)
+    candidates.groupBy($"g").agg(count(lit(1)).as("n_exact"))
+      .filter($"n_exact" >= threshold)
+  }
+
   // -------------------------------------------- persisted token histogram
 
   /** The (source, tok_n) → count histogram — q146's phase 1, exposed as
@@ -749,6 +843,18 @@ object SketchOps {
         |SELECT n.source, n_tokens_b, coalesce(n_oov, 0) AS n_oov,
         |  coalesce(n_oov, 0) * 1000000 // n_tokens_b AS oov_ppm
         |FROM n LEFT JOIN o ON n.source = o.source""".stripMargin,
+    // q166's CMS prefilter never undercounts and the exact count
+    // removes the overcounts, so the oracle is the plain exact HAVING
+    // over the same shingle derivation (q67's shingle SQL shape)
+    "q166_cms_store_heavy" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
+        |g AS (SELECT doc_id, unnest(s) AS g FROM sh)
+        |SELECT g, CAST(count(*) AS BIGINT) AS n_exact
+        |FROM g GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
     // q159 runs through two persisted histogram shards merged by sum;
     // the merge is exact, so the oracle is q146's single-pass SQL
     "q159_quantiles_persisted" ->

@@ -241,6 +241,47 @@ class SketchOpsSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- q159
 
+  // ---------------------------------------------------------------- q166
+
+  private def cmsMap(cms: DataFrame): Map[(Int, Long), Long] =
+    cms.collect().map(r => (r.getAs[Int]("row"), r.getAs[Long]("pos")) ->
+      r.getAs[Long]("n")).toMap
+
+  test("q166: CMS never undercounts — planted occurrence counts are lower bounds") {
+    // key-i occurs i times; the sketch estimate must be >= i for every i
+    val rows = (1 to 50).flatMap(i => Seq.fill(i)(s"key-$i")).toDF("g")
+    val cms = SketchOps.buildCms(rows, $"g")
+    for (t <- Seq(1L, 10L, 30L, 50L)) {
+      val heavy = SketchOps.cmsHeavyProbe(rows, $"g", cms, t)
+        .select($"g").distinct().collect().map(_.getString(0)).toSet
+      val truly = (t to 50L).map(i => s"key-$i").toSet
+      assert(truly.subsetOf(heavy),
+        s"t=$t: missing truly-heavy keys ${truly.diff(heavy)}")
+    }
+  }
+
+  test("q166: counter-wise sum of per-release sketches == sketch of the union") {
+    val a = (1 to 40).flatMap(i => Seq.fill(3)(s"a-$i")).toDF("g")
+    val b = (1 to 40).flatMap(i => Seq.fill(2)(s"b-$i")).toDF("g")
+    val merged = SketchOps.mergeCms(
+      SketchOps.buildCms(a, $"g"), SketchOps.buildCms(b, $"g"))
+    assert(cmsMap(merged) === cmsMap(SketchOps.buildCms(a.union(b), $"g")))
+  }
+
+  test("q166: store roundtrip preserves counters; probe + exact verify is exact") {
+    val corpus = ((1 to 8).flatMap(i => Seq.fill(10)(s"heavy-$i")) ++
+      (1 to 200).map(i => s"light-$i")).toDF("g")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cmsstore").toString
+    SketchOps.writeCms(SketchOps.buildCms(corpus, $"g"), s"$tmp/cms")
+    val cms = SketchOps.readCms(spark, s"$tmp/cms")
+    assert(cmsMap(cms) === cmsMap(SketchOps.buildCms(corpus, $"g")))
+    val heavy = SketchOps.cmsHeavyProbe(corpus, $"g", cms, 10L)
+      .groupBy($"g").agg(count(lit(1)).as("n")).filter($"n" >= 10L)
+      .collect().map(_.getString(0)).toSet
+    assert(heavy === (1 to 8).map(i => s"heavy-$i").toSet,
+      "exact verify must keep exactly the planted heavy keys")
+  }
+
   // ---------------------------------------------------------------- q162
 
   private def histMap(df: DataFrame): Map[(String, Long), Long] =
