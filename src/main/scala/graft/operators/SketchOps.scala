@@ -577,10 +577,16 @@ object SketchOps {
     def p50(path: String, nAs: String, pAs: String) =
       quantilesFromHistogram(readTokenHistogram(s, path), Seq(50))
         .select($"source", $"n_docs".as(nAs), $"q_value".as(pAs))
-    p50(s"$tmp/hist_a", "n_docs_a", "p50_a")
-      .join(p50(s"$tmp/hist_b", "n_docs_b", "p50_b"), Seq("source"))
-      .join(est(s"$tmp/hll_a", "hll_a"), Seq("source"))
+    // LEFT from the B branch: a source newly appearing in release B is
+    // exactly what a drift report must SURFACE, not drop. A-side stats
+    // coalesce to 0 (n_docs_a = 0 marks the new-source rows
+    // unambiguously, so 0-valued hll_a/p50_a cannot be misread) — the
+    // gate's comparator requires NULL-free integer columns.
+    p50(s"$tmp/hist_b", "n_docs_b", "p50_b")
+      .join(p50(s"$tmp/hist_a", "n_docs_a", "p50_a"), Seq("source"), "left")
       .join(est(s"$tmp/hll_b", "hll_b"), Seq("source"))
+      .join(est(s"$tmp/hll_a", "hll_a"), Seq("source"), "left")
+      .na.fill(0L, Seq("n_docs_a", "p50_a", "hll_a"))
       .select($"source", $"n_docs_a", $"n_docs_b", $"hll_a", $"hll_b",
         $"p50_a", $"p50_b", ($"p50_b" - $"p50_a").as("p50_shift"))
   }
@@ -763,13 +769,15 @@ object SketchOps {
     // recomputes both release branches from the raw corpus — hash
     // equality proves store-only monitoring ≡ corpus-scan monitoring
     "q163_release_drift" ->
-      s"""SELECT pa.source, pa.n_docs AS n_docs_a, pb.n_docs AS n_docs_b,
-         |  ha.hll_est AS hll_a, hb.hll_est AS hll_b,
-         |  pa.p50 AS p50_a, pb.p50 AS p50_b, pb.p50 - pa.p50 AS p50_shift
-         |FROM ${p50SubSql("doc_id % 2 = 0")} pa
-         |JOIN ${p50SubSql("1 = 1")} pb ON pa.source = pb.source
-         |JOIN ${hllEstSubSql("doc_id % 2 = 0")} ha ON pa.source = ha.source
-         |JOIN ${hllEstSubSql("1 = 1")} hb ON pa.source = hb.source"""
+      s"""SELECT pb.source, coalesce(pa.n_docs, 0) AS n_docs_a,
+         |  pb.n_docs AS n_docs_b,
+         |  coalesce(ha.hll_est, 0) AS hll_a, hb.hll_est AS hll_b,
+         |  coalesce(pa.p50, 0) AS p50_a, pb.p50 AS p50_b,
+         |  pb.p50 - coalesce(pa.p50, 0) AS p50_shift
+         |FROM ${p50SubSql("1 = 1")} pb
+         |LEFT JOIN ${p50SubSql("doc_id % 2 = 0")} pa ON pb.source = pa.source
+         |JOIN ${hllEstSubSql("1 = 1")} hb ON pb.source = hb.source
+         |LEFT JOIN ${hllEstSubSql("doc_id % 2 = 0")} ha ON pb.source = ha.source"""
         .stripMargin,
     "q146_token_quantiles" ->
       """WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n
