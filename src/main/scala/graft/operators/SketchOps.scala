@@ -403,27 +403,32 @@ object SketchOps {
     a.select($"row", $"pos", $"n").union(b.select($"row", $"pos", $"n"))
       .groupBy($"row", $"pos").agg(sum($"n").as("n"))
 
-  /** Estimated count per DISTINCT key of `df`: min over the d counters
-    * the key hashes to (missing counter = 0). The cms side is ≤ d×w
-    * rows, broadcast; the probe is d broadcast lookups per distinct
-    * hash pair inside codegen. Returns (hp, est) — callers semi-join
-    * their rows against the surviving pairs, as in [[bloomProbe]]. */
-  private def cmsEstimates(keys: DataFrame, cms: DataFrame,
-      w: Int, d: Int): DataFrame =
-    keys.select($"hp", explode(cmsPositions($"hp", w, d)).as("p"))
-      .join(broadcast(cms),
-        $"p.row" === cms("row") && $"p.pos" === cms("pos"), "left")
-      .groupBy($"hp").agg(min(coalesce($"n", lit(0L))).as("est"))
-
-  /** Rows of `df` whose key's CMS estimate reaches `threshold` — a
-    * superset of the truly-heavy keys (CMS never undercounts), bounded
-    * below corpus size by the sketch's overcount profile. */
+  /** Rows of `df` whose key's CMS estimate (min over the d counters it
+    * hashes to, missing counter = 0) reaches `threshold` — a superset
+    * of the truly-heavy keys (CMS never undercounts), bounded below
+    * corpus size by the sketch's overcount profile.
+    *
+    * The probe is MAP-ONLY: each of the d counter rows becomes one
+    * chained broadcast-hash lookup (the per-row slice of the sketch is
+    * ≤ w longs), the estimate is `least` over the d looked-up counts,
+    * and the filter runs per occurrence inside whole-stage codegen —
+    * no shuffle, no distinct, no grouping anywhere, so the key domain
+    * genuinely never materializes on any wire. */
   def cmsHeavyProbe(df: DataFrame, keyCol: Column, cms: DataFrame,
       threshold: Long, w: Int = 65536, d: Int = 4): DataFrame = {
-    val passed = cmsEstimates(
-        df.select(hashPair(keyCol).as("hp")).distinct(), cms, w, d)
-      .filter($"est" >= threshold).select($"hp")
-    df.join(passed, hashPair(keyCol) === passed("hp"), "left_semi")
+    val hp = hashPair(keyCol)
+    val joined = (0 until d).foldLeft(df) { (acc, j) =>
+      val cj = broadcast(cms.filter(col("row") === j)
+        .select(col("pos").as(s"__cms_pos_$j"), col("n").as(s"__cms_n_$j")))
+      val pos = pmod(hp.getField("h1") + lit(j + 1L) * hp.getField("h2") +
+        lit(j.toLong * j), lit(w.toLong))
+      acc.join(cj, pos === col(s"__cms_pos_$j"), "left")
+    }
+    val est = least((0 until d).map(j =>
+      coalesce(col(s"__cms_n_$j"), lit(0L))): _*)
+    joined.filter(est >= threshold)
+      .drop((0 until d).flatMap(j =>
+        Seq(s"__cms_pos_$j", s"__cms_n_$j")): _*)
   }
 
   /** q166 — heavy shingles through the PERSISTED Count-Min path: two
@@ -433,9 +438,10 @@ object SketchOps {
     * candidates are exactly counted and filtered — no false negatives
     * (CMS only overcounts), false positives removed by the exact
     * count, so the oracle is the plain exact HAVING. The shingle
-    * DOMAIN never materializes as a distinct table anywhere: the
-    * sketch is d×w longs, the candidate set is threshold-bounded, and
-    * the exact count groups only candidate-matched occurrences. The
+    * DOMAIN never materializes anywhere: the sketch is d×w longs, the
+    * probe is map-only broadcast lookups per occurrence (no distinct,
+    * no shuffle), and the one shuffle in the whole query is the exact
+    * count over the threshold-bounded candidates. The
     * quartet is complete: HLL (max), Bloom (OR), histogram/CMS (sum) —
     * membership, cardinality, order statistics, and frequency, each
     * release-mergeable. */

@@ -275,11 +275,17 @@ class SketchOpsSpec extends AnyFunSuite {
     SketchOps.writeCms(SketchOps.buildCms(corpus, $"g"), s"$tmp/cms")
     val cms = SketchOps.readCms(spark, s"$tmp/cms")
     assert(cmsMap(cms) === cmsMap(SketchOps.buildCms(corpus, $"g")))
-    val heavy = SketchOps.cmsHeavyProbe(corpus, $"g", cms, 10L)
+    val probe = SketchOps.cmsHeavyProbe(corpus, $"g", cms, 10L)
+    val heavy = probe
       .groupBy($"g").agg(count(lit(1)).as("n")).filter($"n" >= 10L)
       .collect().map(_.getString(0)).toSet
     assert(heavy === (1 to 8).map(i => s"heavy-$i").toSet,
       "exact verify must keep exactly the planted heavy keys")
+    // the probe itself is map-only: d broadcast lookups, no shuffle
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"probe must not shuffle:\n$plan")
   }
 
   // ---------------------------------------------------------------- q162
