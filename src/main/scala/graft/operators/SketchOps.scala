@@ -264,22 +264,33 @@ object SketchOps {
   /** Rows of `df` whose `keyCol` the Bloom filter MIGHT contain (all k
     * bits set). No false negatives — a key inserted by [[buildBloom]]
     * always survives — so `probe → exact verify` is semantics-free
-    * prefiltering. The bloom side is ≤ mBits/64 rows and explicitly
-    * broadcast: the probe is k broadcast-hash lookups per distinct key
-    * inside codegen, no shuffle of `df` at all. */
+    * prefiltering.
+    *
+    * The probe is MAP-ONLY: each of the k positions becomes one
+    * chained broadcast-hash lookup of the ≤ mBits/64-row bloom, the
+    * bit test runs per occurrence inside whole-stage codegen, and the
+    * conjunction is a plain filter — no shuffle, no distinct, no
+    * grouping; `df` flows through untouched except for the dropped
+    * rows (the [[cmsHeavyProbe]] plan shape, for membership). */
   def bloomProbe(df: DataFrame, keyCol: Column, bloom: DataFrame,
       mBits: Long = 1L << 20, k: Int = 4): DataFrame = {
-    val passed = df.select(hashPair(keyCol).as("hp")).distinct() // 16 B/key
-      .select($"hp", explode(bloomPositions($"hp", mBits, k)).as("p"))
-      .join(broadcast(bloom), $"p.word" === bloom("word"), "left")
-      .withColumn("hit",
-        (coalesce($"bits", lit(0L)).bitwiseAND($"p.mask")) === $"p.mask")
-      .groupBy($"hp").agg(min(when($"hit", 1L).otherwise(0L)).as("all_hit"))
-      .filter($"all_hit" === 1L)
-      .select($"hp")
-    // the pass-set join also moves only hash pairs; a pair collision
-    // admits one extra row that the caller's exact verify removes
-    df.join(passed, hashPair(keyCol) === passed("hp"), "left_semi")
+    val hp = hashPair(keyCol)
+    def pos(j: Int): Column =
+      pmod(hp.getField("h1") + lit(j + 1L) * hp.getField("h2") +
+        lit(j.toLong * j), lit(mBits))
+    val joined = (0 until k).foldLeft(df) { (acc, j) =>
+      val bj = broadcast(bloom.select($"word".as(s"__bf_word_$j"),
+        $"bits".as(s"__bf_bits_$j")))
+      acc.join(bj, shiftright(pos(j), 6) === col(s"__bf_word_$j"), "left")
+    }
+    val allHit = (0 until k).map { j =>
+      (call_function("shiftright",
+        coalesce(col(s"__bf_bits_$j"), lit(0L)),
+        (pos(j) % 64L).cast("int")).bitwiseAND(lit(1L))) === lit(1L)
+    }.reduce(_ && _)
+    joined.filter(allHit)
+      .drop((0 until k).flatMap(j =>
+        Seq(s"__bf_word_$j", s"__bf_bits_$j")): _*)
   }
 
   /** q157 — cross-release incremental dedup through the PERSISTED Bloom

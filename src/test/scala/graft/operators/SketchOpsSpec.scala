@@ -176,9 +176,13 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(bloomMap(SketchOps.mergeBlooms(merged, merged)) === bloomMap(whole))
   }
 
-  test("q157: probe plan broadcasts the bloom — no shuffle of the probed side") {
+  test("q157: probe plan is map-only — broadcast lookups, no shuffle at all") {
     val members = (1 to 500).map(i => s"member-$i").toDF("t")
-    val bloom = SketchOps.buildBloom(members, $"t")
+    // the production shape probes a STORED bloom (built once, read per
+    // release), so the probe plan must not inherit the build's aggregate
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloomplan").toString
+    SketchOps.writeBloom(SketchOps.buildBloom(members, $"t"), s"$tmp/bf")
+    val bloom = SketchOps.readBloom(spark, s"$tmp/bf")
     val probe = SketchOps.bloomProbe(members, $"t", bloom)
     probe.collect() // force the AQE final plan
     val plan = probe.queryExecution.executedPlan.toString
@@ -186,6 +190,8 @@ class SketchOpsSpec extends AnyFunSuite {
       s"bloom side must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"probe must not sort-merge against the bloom:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"probe must not shuffle the probed side:\n$plan")
   }
 
   test("q157: store roundtrip preserves the bloom bit-for-bit") {
