@@ -305,23 +305,29 @@ object CurationOps {
   // ---------------------------------------------------------------- q88
 
   /** Count-min-sketch-prefiltered heavy hitters — the q67 bloom
-    * discipline applied to frequency: a driver-built CMS over one corpus
-    * pass gives every token an OVERestimate, so `estimate ≥ T` passes
-    * every true-heavy token (no false negatives) and the exact count is
-    * recomputed only for the surviving candidates. At 100 TB the sketch
-    * (ε=1e-4 → ~2 MB) replaces a full-vocabulary shuffle with a
-    * scan-side probe + an aggregate over the (tiny) candidate slice;
-    * result is IDENTICAL to the exact query — the sketch is a
-    * prefilter, never the answer. T = total_tokens div 64. */
+    * discipline applied to frequency: a CMS over one corpus pass gives
+    * every token an OVERestimate, so `estimate ≥ T` passes every
+    * true-heavy token (no false negatives) and the exact count is
+    * recomputed only for the surviving candidates. At 100 TB the
+    * sketch (4×65536 counters ≈ 2 MB) replaces a full-vocabulary
+    * shuffle with a scan-side probe + an aggregate over the (tiny)
+    * candidate slice; result is IDENTICAL to the exact query — the
+    * sketch is a prefilter, never the answer. T = total_tokens div 64,
+    * kept IN-PLAN via the column-threshold probe.
+    *
+    * Since round 9 this runs through [[SketchOps.buildCms]] /
+    * [[SketchOps.cmsHeavyProbeCol]] — the probe is d chained broadcast
+    * lookups in whole-stage codegen, retiring the JVM-UDF probe of the
+    * opaque `stat.countMinSketch` object this query originally carried
+    * as a documented exception (and gaining persistence/merge for
+    * free: the same sketch now stores and sum-merges like q166's). */
   def q88CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val tok = load(s, dir, "documents")
       .select(explode(toks($"text")).as("w"))
-    val cms = tok.stat.countMinSketch("w", 1e-4, 0.99, 42)
-    val cmsB = s.sparkContext.broadcast(cms)
-    val est = udf((w: String) => cmsB.value.estimateCount(w))
+    val cms = SketchOps.buildCms(tok, $"w")
     val totals = tok.agg(count(lit(1)).as("total"))
-    tok.crossJoin(broadcast(totals))
-      .filter(est($"w") >= expr("total div 64"))
+    SketchOps.cmsHeavyProbeCol(
+        tok.crossJoin(broadcast(totals)), $"w", cms, expr("total div 64"))
       .groupBy($"w")
       .agg(count(lit(1)).as("cnt"), first($"total").as("total"))
       .filter($"cnt" >= expr("total div 64"))

@@ -426,7 +426,16 @@ object SketchOps {
     * no shuffle, no distinct, no grouping anywhere, so the key domain
     * genuinely never materializes on any wire. */
   def cmsHeavyProbe(df: DataFrame, keyCol: Column, cms: DataFrame,
-      threshold: Long, w: Int = 65536, d: Int = 4): DataFrame = {
+      threshold: Long, w: Int = 65536, d: Int = 4): DataFrame =
+    cmsHeavyProbeCol(df, keyCol, cms, lit(threshold), w, d)
+
+  /** [[cmsHeavyProbe]] with a COLUMN threshold — for data-dependent
+    * cutoffs (q88's `total div 64`) that should stay in-plan instead of
+    * round-tripping through a driver action. The threshold expression
+    * may reference any column of `df` (e.g. a crossJoined broadcast
+    * total). */
+  def cmsHeavyProbeCol(df: DataFrame, keyCol: Column, cms: DataFrame,
+      threshold: Column, w: Int = 65536, d: Int = 4): DataFrame = {
     val hp = hashPair(keyCol)
     val joined = (0 until d).foldLeft(df) { (acc, j) =>
       val cj = broadcast(cms.filter(col("row") === j)
