@@ -7,14 +7,20 @@ import org.apache.spark.sql.functions._
 import graft.Tables.load
 import graft.syntax._
 
-/** Distributed sketch + order-statistics operators: exact distributed
-  * quantiles over a value histogram, a HyperLogLog cardinality sketch
-  * built from the engine-portable LCG hash (completing the repo's
-  * sketch trio next to the Bloom decontamination prefilter and the CMS
-  * heavy-hitter prefilter), and sketch-merge audience overlap — the
-  * 100 TB path for the exact cross-source overlap matrix (q54's shape
-  * is exact but materializes every pair; the sketch version ships 64
-  * integers per segment).
+/** Distributed sketch + order-statistics operators, and the
+  * persisted-artifact store family built on them: exact distributed
+  * quantiles over a value histogram, the engine-portable HyperLogLog
+  * (max-merge), Bloom filters (OR-merge, map-only probe), Count-Min
+  * counters (sum-merge, map-only probe), exact token histograms and
+  * vocabularies (sum-merge) — membership, cardinality, frequency, and
+  * order statistics, each release-mergeable so monitoring and
+  * incremental dedup read artifacts instead of rescanning corpora
+  * (q155, q157-q164, q166; the streaming twins live in
+  * [[graft.streaming.HistogramStream]] and the
+  * [[graft.functions.HllSketchAggregator]]). Sketch-merge audience
+  * overlap (q148) is the 100 TB path for the exact cross-source
+  * overlap matrix (q54's shape is exact but materializes every pair;
+  * the sketch version ships 64 integers per segment).
   *
   * Engine-portable hash discipline (shared with
   * [[CurationOps.epochOrder]], reference `config.ini` has no analogue —
