@@ -226,6 +226,17 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(viaStore === viaBuiltin && viaStore.nonEmpty)
   }
 
+  // ---------------------------------------------------------------- q163
+
+  test("q163: every artifact join broadcasts — no sort-merge over KB-scale stores") {
+    val drift = SketchOps.q163ReleaseDrift(spark, dir)
+    drift.collect() // force the AQE final plan
+    val plan = drift.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"artifact-only monitoring must not sort-merge:\n$plan")
+  }
+
   // ---------------------------------------------------------------- q164
 
   test("q164: planted novel tokens count exactly against the persisted vocab") {
