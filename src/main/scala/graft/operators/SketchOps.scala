@@ -642,6 +642,15 @@ object SketchOps {
   def readVocab(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
+  /** Vocabulary UNION: document frequencies sum per token (the
+    * histogram monoid over the token domain), so per-shard vocabularies
+    * merge into the release vocabulary without rescanning any shard's
+    * corpus — and q164's OOV check composes with sharded history (probe
+    * against the merge of every prior release's artifact). */
+  def mergeVocabs(a: DataFrame, b: DataFrame): DataFrame =
+    a.select($"token", $"df").union(b.select($"token", $"df"))
+      .groupBy($"token").agg(sum($"df").as("df"))
+
   /** q164 — out-of-vocabulary drift against the PERSISTED vocabulary:
     * release A (even doc_ids) persists its exact vocab once; release B
     * (odd doc_ids) reports, per source, its distinct-token count, how

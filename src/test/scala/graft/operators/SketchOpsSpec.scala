@@ -256,6 +256,17 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(oov.collect().map(_.getAs[String]("token")).toSet === Set("x", "y"))
   }
 
+  test("q164: shard vocab sum-merge == vocabulary of the union corpus") {
+    import graft.operators.SketchOps._
+    val docs = load(spark, dir, "documents")
+    val merged = mergeVocabs(
+      vocabFrame(docs.filter($"doc_id" % 2 === 0)),
+      vocabFrame(docs.filter($"doc_id" % 2 === 1)))
+    def m(df: DataFrame) = df.collect().map(r =>
+      r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
+    assert(m(merged) === m(vocabFrame(docs)))
+  }
+
   // ---------------------------------------------------------------- q159
 
   // ---------------------------------------------------------------- q166
