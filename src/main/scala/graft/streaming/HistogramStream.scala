@@ -42,6 +42,14 @@ import graft.syntax._
   * value-domain-sized forever; length-distribution monitoring reads the
   * store, never the corpus — the streaming complement of q159's
   * per-release batch artifacts.
+  *
+  * SINGLE-WRITER store: one streaming query (or one compaction) owns a
+  * store root at a time — the same ownership contract as the signature
+  * store. The manifest commit is a read-modify-write, so two concurrent
+  * writers could each publish a manifest that omits the other's tag;
+  * readers racing a writer are always safe (they see the last committed
+  * manifest), it is only concurrent WRITERS that must be externally
+  * serialized.
   */
 object HistogramStream {
 
