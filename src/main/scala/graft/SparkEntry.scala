@@ -306,6 +306,10 @@ object SparkEntry {
     // no-false-negative prefilter + exact verify; oracle = exact HAVING
     "q166_cms_store_heavy" ->
       ((s: SparkSession, d: String) => SketchOps.q166CmsStoreHeavy(s, d)),
+    // emerging heavy shingles: heavy in the new release, light in the
+    // old — CMS candidates exact-verified on both sides
+    "q167_cms_emerging" ->
+      ((s: SparkSession, d: String) => SketchOps.q167CmsEmerging(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

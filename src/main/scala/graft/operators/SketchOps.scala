@@ -485,6 +485,44 @@ object SketchOps {
       .filter($"n_exact" >= threshold)
   }
 
+  /** q167 — EMERGING heavy shingles: heavy in the new release, below
+    * threshold in the previous one — the "new boilerplate / spam
+    * campaign" alarm, and the monitoring query the per-release CMS
+    * artifacts exist for. Candidates come from the new release's
+    * persisted sketch through the map-only probe (CMS never
+    * undercounts ⇒ no truly-heavy key is missed), the exact new-side
+    * count removes overcount FPs, and the old release is touched by
+    * exactly one column-pruned pass pre-filtered to the (bounded)
+    * heavy key set via a broadcast semi-join — its shuffle carries
+    * only heavy-key occurrences. Nothing anywhere is sized by the
+    * shingle domain. */
+  def cmsEmerging(docs: DataFrame, threshold: Long): DataFrame = {
+    val s = docs.sparkSession
+    val sh = docs.select($"doc_id", explode(TextOps.shingles($"text")).as("g"))
+    val shA = sh.filter($"doc_id" % 2 === 0L) // previous release
+    val shB = sh.filter($"doc_id" % 2 === 1L) // new release
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q167").toString
+    writeCms(buildCms(shB, $"g"), s"$tmp/cms_b")
+    val cmsB = readCms(s, s"$tmp/cms_b")
+    // exact heavy set of the new release; checkpointed — it feeds both
+    // the old-release prefilter and the final join
+    val heavyB = cmsHeavyProbe(shB, $"g", cmsB, threshold)
+      .groupBy($"g").agg(count(lit(1)).as("n_b"))
+      .filter($"n_b" >= threshold)
+      .localCheckpoint(false)
+    val aCounts = shA
+      .join(broadcast(heavyB.select($"g")), Seq("g"), "left_semi")
+      .groupBy($"g").agg(count(lit(1)).as("n_a"))
+    heavyB.join(aCounts, Seq("g"), "left")
+      .na.fill(0L, Seq("n_a"))
+      .filter($"n_a" < threshold)
+      .select($"g", $"n_b", $"n_a")
+  }
+
+  def q167CmsEmerging(s: SparkSession, dir: String,
+      threshold: Long = 3L): DataFrame =
+    cmsEmerging(load(s, dir, "documents"), threshold)
+
   // -------------------------------------------- persisted token histogram
 
   /** The (source, tok_n) → count histogram — q146's phase 1, exposed as
@@ -904,6 +942,23 @@ object SketchOps {
         |g AS (SELECT doc_id, unnest(s) AS g FROM sh)
         |SELECT g, CAST(count(*) AS BIGINT) AS n_exact
         |FROM g GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+    // q167's CMS candidates are exact-verified on both sides, so the
+    // oracle is the plain two-branch exact HAVING + anti-threshold
+    "q167_cms_emerging" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
+        |g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |hb AS (SELECT g, CAST(count(*) AS BIGINT) AS n_b
+        |  FROM g WHERE doc_id % 2 = 1 GROUP BY 1 HAVING count(*) >= 3),
+        |ha AS (SELECT g, CAST(count(*) AS BIGINT) AS n_a
+        |  FROM g WHERE doc_id % 2 = 0 AND g IN (SELECT g FROM hb)
+        |  GROUP BY 1)
+        |SELECT hb.g, n_b, coalesce(n_a, 0) AS n_a
+        |FROM hb LEFT JOIN ha ON hb.g = ha.g
+        |WHERE coalesce(n_a, 0) < 3""".stripMargin,
     // q159 runs through two persisted histogram shards merged by sum;
     // the merge is exact, so the oracle is q146's single-pass SQL
     "q159_quantiles_persisted" ->

@@ -316,6 +316,26 @@ class SketchOpsSpec extends AnyFunSuite {
       s"probe must not shuffle:\n$plan")
   }
 
+  // ---------------------------------------------------------------- q167
+
+  test("q167: planted campaign surfaces as emerging; established boilerplate does not") {
+    val spam = "spam alpha beta gamma"   // 2 shingles, only in the new release
+    val boiler = "old boiler plate text" // heavy in BOTH releases
+    val docs = (
+      Seq((1L, spam), (3L, spam), (5L, spam),
+        (7L, boiler), (9L, boiler), (11L, boiler)) ++    // odd = new
+      Seq((2L, boiler), (4L, boiler), (6L, boiler),
+        (8L, "w x y z"), (10L, "p q r s"))               // even = old
+    ).toDF("doc_id", "text")
+    val out = SketchOps.cmsEmerging(docs, threshold = 3L).collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n_b"), r.getAs[Long]("n_a")))).toMap
+    assert(out === Map(
+      "spam alpha beta" -> ((3L, 0L)),
+      "alpha beta gamma" -> ((3L, 0L))),
+      s"emerging set wrong: $out")
+  }
+
   // ---------------------------------------------------------------- q162
 
   private def histMap(df: DataFrame): Map[(String, Long), Long] =
