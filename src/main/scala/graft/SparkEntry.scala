@@ -310,6 +310,15 @@ object SparkEntry {
     // old — CMS candidates exact-verified on both sides
     "q167_cms_emerging" ->
       ((s: SparkSession, d: String) => SketchOps.q167CmsEmerging(s, d)),
+    // quantiles over UNBOUNDED value domains through the persisted
+    // log-bucket (HDR) histogram store: ≤ ~992 buckets per key forever,
+    // relative error ≤ 1/16, exact integer bucket math on both engines
+    "q168_log_quantiles_persisted" ->
+      ((s: SparkSession, d: String) => SketchOps.q168LogQuantilesPersisted(s, d)),
+    // per-source document cap (domain cap) in deterministic hash-draw
+    // order through the bounded-heap top-k — kept SET pinned exactly
+    "q169_source_cap" ->
+      ((s: SparkSession, d: String) => CurationOps.q169SourceCap(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

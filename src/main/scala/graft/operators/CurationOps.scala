@@ -465,6 +465,45 @@ object CurationOps {
         expr("bit_xor(doc_id)").as("drawn_xor"))
   }
 
+  /** Per-source document cap — web curation's "domain cap": keep at
+    * most `cap` documents per source, chosen by the deterministic
+    * [[epochOrder]] permutation (an unbiased hash-order sample, not
+    * head-of-file bias), so the kept set is REPRODUCIBLE across runs
+    * and engines and STABLE across releases: a document's draw key
+    * never changes, so corpus growth can only displace survivors via
+    * strictly smaller newcomers, never reshuffle them.
+    *
+    * SCALE: `row_number ≤ cap per source ordered by (ord, doc_id)` with
+    * the rank dropped is rewritten by [[graft.plans.TopKRewriteRule]]
+    * into the bounded-heap [[graft.plans.TopKPerKeyExec]] — each map
+    * partition holds ≤ cap rows per source and the shuffle carries only
+    * survivors, where the plain window form would full-sort every
+    * source's documents. That partial-stage bound is CORRECT because
+    * capping is a selection monoid: cap(A ∪ B) = cap(cap(A) ∪ cap(B))
+    * (the law CurationOpsSpec pins), the same property that makes
+    * per-release capping composable — re-capping the union of capped
+    * shards loses nothing. Totals stay EXACT from a separate map-side-
+    * combinable count joined back by broadcast (sources ≪ docs), the
+    * q64 refuse-or-account rule: every drop is visible as
+    * n_source − n_kept. */
+  def sourceCap(docs: DataFrame, cap: Int): DataFrame = {
+    val kept = docs
+      .select($"doc_id", $"source")
+      .withColumn("ord", epochOrder($"doc_id", lit(0L)))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"ord", $"doc_id")))
+      .filter($"rn" <= cap)
+      .select($"source", $"doc_id") // rank dropped → heap rewrite fires
+    val totals = docs.groupBy($"source").agg(count(lit(1)).as("n_source"))
+    kept.join(broadcast(totals), Seq("source"))
+      .select($"source", $"doc_id", $"n_source",
+        least(lit(cap.toLong), $"n_source").as("n_kept"))
+  }
+
+  def q169SourceCap(s: SparkSession, dir: String, cap: Int = 10): DataFrame =
+    sourceCap(load(s, dir, "documents"), cap)
+
   def epochOrder(idCol: Column, epoch: Column): Column = {
     val M = lit(1000003L)
     val lo = idCol % M
@@ -528,6 +567,22 @@ object CurationOps {
         |    * 1000000) // n_chars AS bits_ppm
         |FROM agg""".stripMargin,
     // epoch-0 ordering inlined (epoch term vanishes at epoch = 0)
+    // q169 replays the epoch-0 draw order, the per-source row_number
+    // cap, and the exact totals join — hash equality pins the kept SET
+    // (not just its size) across engines
+    "q169_source_cap" ->
+      """WITH o AS (SELECT doc_id, source,
+        |  ((doc_id % 1000003) * 2654435761 % 1000003) * 1000003
+        |  + ((((doc_id // 1000003) % 1000003)
+        |      + (doc_id % 1000003) * 2654435761 % 1000003) % 1000003)
+        |    * 2654435761 % 1000003 AS ord FROM documents),
+        |r AS (SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source ORDER BY ord, doc_id) AS rn FROM o),
+        |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source
+        |  FROM documents GROUP BY 1)
+        |SELECT r.source, r.doc_id, t.n_source,
+        |  CAST(least(10, t.n_source) AS BIGINT) AS n_kept
+        |FROM r JOIN t ON r.source = t.source WHERE rn <= 10""".stripMargin,
     "q139_token_budget_draw" ->
       """WITH t AS (SELECT doc_id, source,
         |  len(string_split(text,' ')) AS n_tokens FROM documents),

@@ -717,6 +717,119 @@ object SketchOps {
         expr("n_oov * 1000000 div n_tokens_b").as("oov_ppm"))
   }
 
+  // ------------------------------------------- log-bucket (HDR) histogram
+
+  /** HDR-style log₂-bucket index for a non-negative long value: the
+    * quantile store for UNBOUNDED value domains. The exact token
+    * histogram (q146/q159/q162) is the right artifact when the value
+    * domain is small — its cardinality is `distinct values × sources`.
+    * Byte sizes, latencies, or char counts at 100 TB have domains up to
+    * 2^63, where an exact histogram IS the corpus; this bucketing caps
+    * the artifact at ≤ 16·60 + 32 buckets per key FOREVER while keeping
+    * a guaranteed relative error ≤ 1/16 (HdrHistogram's layout with 4
+    * sub-bucket bits; same shape as DDSketch's log-γ buckets, but in
+    * pure integer arithmetic so both engines agree bit-for-bit).
+    *
+    * Index math (s = 4 sub-bucket bits, e = ⌊log₂ v⌋ = bitlen(v) − 1):
+    * values < 32 map to THEMSELVES (exact — small counts never lose
+    * resolution); otherwise the top 5 bits of v land in sub-bucket
+    * m = v >> (e−4) ∈ [16, 32) and bucket = (e−4)·16 + m. The index is
+    * strictly monotone in v, so rank order of buckets ≡ rank order of
+    * values and the q146 rank window applies unchanged. Counts SUM, so
+    * the store merges exactly like the token histogram (associative,
+    * commutative, per-release shards) — the merged QUANTILE is as exact
+    * as the bucketing, i.e. a lower bound within 1/16 of the true value.
+    *
+    * ⌊log₂⌋ is `length(bin(v)) − 1` (the q84 rule); shifts are
+    * `shiftright`/`shiftleft` with in-plan shift amounts — everything
+    * stays inside whole-stage codegen, no UDF, no floats.
+    */
+  private val logBucketSqlExpr: String =
+    """CASE WHEN v < 32 THEN v
+      |  ELSE (length(bin(v)) - 5) * 16
+      |       + shiftright(v, cast(length(bin(v)) - 5 as int)) END"""
+      .stripMargin
+
+  /** Lower-bound representative of a bucket: the smallest v mapping to
+    * it — the inverse of [[logBucketSqlExpr]] from the index alone
+    * (bucket ≥ 32 ⇒ e = bucket div 16 + 3, m = bucket mod 16 + 16,
+    * rep = m << (e−4)), so quantile answers need no corpus access. */
+  private val logRepSqlExpr: String =
+    """CASE WHEN qb < 32 THEN qb
+      |  ELSE shiftleft(qb % 16 + 16, cast(qb div 16 - 1 as int)) END"""
+      .stripMargin
+
+  /** (key, bucket) → count histogram of `valueCol` (non-negative longs)
+    * under the log-bucket index: one map-side-combinable shuffle whose
+    * output cardinality is ≤ ~992 buckets per key no matter the corpus
+    * or the value domain. */
+  def logHistogram(df: DataFrame, keyCol: Column, valueCol: Column): DataFrame =
+    df.select(keyCol.as("source"), valueCol.cast("long").as("v"))
+      .select($"source", expr(logBucketSqlExpr).cast("long").as("bucket"))
+      .groupBy($"source", $"bucket").agg(count(lit(1)).as("c"))
+
+  def writeLogHistogram(hist: DataFrame, path: String): Unit =
+    hist.select($"source", $"bucket", $"c")
+      .coalesce(1).sortWithinPartitions($"source", $"bucket")
+      .write.mode("overwrite").parquet(path)
+
+  def readLogHistogram(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** Histogram UNION: counts add per (source, bucket) — the q159 sum
+    * monoid on the bucketed domain (associative/commutative, NOT
+    * idempotent; one artifact per release keeps the merge tree honest). */
+  def mergeLogHistograms(a: DataFrame, b: DataFrame): DataFrame =
+    a.select($"source", $"bucket", $"c")
+      .union(b.select($"source", $"bucket", $"c"))
+      .groupBy($"source", $"bucket").agg(sum($"c").as("c"))
+
+  /** The q146 rank window over the log-bucket histogram: q(p) is the
+    * smallest bucket with 100·cum ≥ N·p, reported as `q_lo` — the
+    * bucket's lower-bound representative, which is ≤ the true quantile
+    * and > true·16/17 (the 1/16 relative-error contract; exact below
+    * 32). Values < 32 come back EXACT because they are their own
+    * bucket. */
+  def quantilesFromLogHistogram(hist: DataFrame,
+      ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val bySrc = Window.partitionBy($"source")
+    val w = hist.select($"source", $"bucket", $"c",
+      sum($"c").over(bySrc.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum($"c").over(bySrc).as("n_docs"))
+    val spine = explode(array(ps.map(p => lit(p.toLong)): _*)).as("p")
+    w.select($"source", $"bucket", $"cum", $"n_docs", spine)
+      .filter($"cum" * 100 >= $"n_docs" * $"p")
+      .groupBy($"source", $"p", $"n_docs")
+      .agg(min($"bucket").as("qb"))
+      .select($"source", $"p", $"n_docs",
+        expr(logRepSqlExpr).cast("long").as("q_lo"))
+  }
+
+  /** q168 — char-count quantiles through the PERSISTED log-bucket path:
+    * two releases (doc_id parity) each persist their log-histogram of
+    * `n_chars` once; the monitoring query sum-merges the artifacts and
+    * runs the rank window over ≤ ~992 rows per source. The oracle
+    * replays the bucket index, rank rule, and representative inversion
+    * from the raw corpus in one pass — hash equality proves the store
+    * roundtrip AND the cross-engine bucket math at once. At 100 TB this
+    * is the latency/size-distribution monitor for values the exact
+    * histogram cannot hold: artifact size is buckets × sources,
+    * independent of both corpus rows and value range. */
+  def q168LogQuantilesPersisted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q168").toString
+    writeLogHistogram(
+      logHistogram(docs.filter($"doc_id" % 2 === 0L), $"source", $"n_chars"),
+      s"$tmp/release_a")
+    writeLogHistogram(
+      logHistogram(docs.filter($"doc_id" % 2 === 1L), $"source", $"n_chars"),
+      s"$tmp/release_b")
+    quantilesFromLogHistogram(mergeLogHistograms(
+      readLogHistogram(s, s"$tmp/release_a"),
+      readLogHistogram(s, s"$tmp/release_b")))
+  }
+
   // -------------------------------------------------------- sketch overlap
 
   /** q148 — audience overlap between event-type segments via sketch
@@ -844,6 +957,33 @@ object SketchOps {
        |FROM w WHERE cum * 100 >= n_docs * 50 GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q168 runs through two persisted log-bucket shards sum-merged;
+    // the merge is exact on bucket counts, so the oracle replays the
+    // bucket index + rank rule + representative inversion from the raw
+    // corpus in ONE pass — hash equality gates the store roundtrip and
+    // the cross-engine integer bucket math together
+    "q168_log_quantiles_persisted" ->
+      """WITH t AS (SELECT source, n_chars AS v FROM documents),
+        |b AS (SELECT source,
+        |    CAST(CASE WHEN v < 32 THEN v
+        |      ELSE (length(bin(v)) - 5) * 16 + (v >> (length(bin(v)) - 5))
+        |      END AS BIGINT) AS bucket
+        |  FROM t),
+        |hist AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |w AS (SELECT source, bucket, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS n_docs FROM hist),
+        |p AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p),
+        |q AS (SELECT source, p, CAST(n_docs AS BIGINT) AS n_docs,
+        |    min(bucket) AS qb
+        |  FROM w, p WHERE cum * 100 >= n_docs * p GROUP BY 1, 2, 3)
+        |SELECT source, p, n_docs,
+        |  CAST(CASE WHEN qb < 32 THEN qb
+        |    ELSE (qb % 16 + 16) << CAST(qb // 16 - 1 AS INT) END AS BIGINT)
+        |    AS q_lo
+        |FROM q""".stripMargin,
     // q163's Spark side reads only the persisted artifacts; the oracle
     // recomputes both release branches from the raw corpus — hash
     // equality proves store-only monitoring ≡ corpus-scan monitoring

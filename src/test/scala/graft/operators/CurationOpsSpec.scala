@@ -322,4 +322,44 @@ class CurationOpsSpec extends AnyFunSuite {
     // k=1 -> floor(log2 1)=0: bits = 8*3 = 24, strictly above doc 2
     assert(out(4L) == ((8L, 8L, 24L, 3000000L)), out(4L))
   }
+
+  // ---------------------------------------------------------------- q169
+
+  private def keptSet(df: org.apache.spark.sql.DataFrame, cap: Int) =
+    CurationOps.sourceCap(df, cap).select($"source", $"doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("q169: capping is a selection monoid — cap(A∪B) == cap(cap(A) ∪ cap(B))") {
+    val docs = load(spark, dir, "documents").select($"doc_id", $"source")
+    val a = docs.filter($"doc_id" % 2 === 0)
+    val b = docs.filter($"doc_id" % 2 === 1)
+    val direct = keptSet(docs, 7)
+    val cappedShards = CurationOps.sourceCap(a, 7).select($"doc_id", $"source")
+      .union(CurationOps.sourceCap(b, 7).select($"doc_id", $"source"))
+    assert(keptSet(cappedShards, 7) === direct,
+      "re-capping the union of capped shards must lose nothing")
+    // release stability: survivors of the union that come from A are
+    // survivors of A alone (growth displaces, never reshuffles)
+    val aIds = a.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(direct.filter(kv => aIds(kv._2)).subsetOf(keptSet(a, 7)))
+  }
+
+  test("q169: accounting is exact and the cap plans as the bounded-heap top-k") {
+    graft.plans.TopKPerKey.install(spark)
+    val out = CurationOps.q169SourceCap(spark, dir)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), "cap must plan as the bounded heap:\n" + p)
+    assert(!p.contains("Window"), "window full-sort survived the rewrite:\n" + p)
+    val rows = out.collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (_, rs) =>
+      assert(rs.length === 10 && rs.forall(_.getAs[Long]("n_source") === 25L) &&
+        rs.forall(_.getAs[Long]("n_kept") === 10L))
+    }
+    // a cap above the group size keeps whole groups
+    val docs = load(spark, dir, "documents")
+    assert(CurationOps.sourceCap(docs, 1000).count() === docs.count())
+  }
 }

@@ -432,4 +432,77 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(SketchOps.q159QuantilesPersisted(spark, dir).collect().toSet ===
       SketchOps.tokenQuantiles(docs).collect().toSet)
   }
+
+  // ---------------------------------------------------------------- q168
+
+  /** Sweep of values exercising every regime of the log-bucket index:
+    * the exact region [0, 32), every power-of-2 boundary ± 1 up to
+    * 2^62, and odd values deep inside octaves. */
+  private def logSweep: Seq[Long] =
+    (0L until 32L) ++
+      (5 to 62).flatMap(e => Seq((1L << e) - 1, 1L << e, (1L << e) + 1)) ++
+      Seq(100L, 1000L, 123457L, (1L << 40) + 987654321L, Long.MaxValue - 1)
+
+  test("q168: bucket index is monotone and rep inverts to within 1/16 below v") {
+    val df = logSweep.toDF("v")
+      .selectExpr("v",
+        """CAST(CASE WHEN v < 32 THEN v
+          |  ELSE (length(bin(v)) - 5) * 16
+          |       + shiftright(v, cast(length(bin(v)) - 5 as int)) END
+          |AS BIGINT) AS qb""".stripMargin)
+      .selectExpr("v", "qb",
+        """CAST(CASE WHEN qb < 32 THEN qb
+          |  ELSE shiftleft(qb % 16 + 16, cast(qb div 16 - 1 as int)) END
+          |AS BIGINT) AS rep""".stripMargin)
+    val rows = df.collect().map(r =>
+      (r.getAs[Long]("v"), r.getAs[Long]("qb"), r.getAs[Long]("rep")))
+      .sortBy(_._1)
+    rows.foreach { case (v, _, rep) =>
+      assert(rep <= v, s"rep must lower-bound: v=$v rep=$rep")
+      if (v < 32) assert(rep === v, s"exact region: v=$v rep=$rep")
+      else {
+        val width = 1L << (63 - java.lang.Long.numberOfLeadingZeros(v) - 4)
+        assert(v - rep < width, s"1/16 contract: v=$v rep=$rep width=$width")
+      }
+    }
+    // strict monotonicity of the index in v (distinct values may share
+    // a bucket, but the index never DECREASES as v grows)
+    rows.sliding(2).foreach { case Array((v1, b1, _), (v2, b2, _)) =>
+      assert(b1 <= b2, s"monotone: v=$v1->$v2 bucket=$b1->$b2")
+    }
+  }
+
+  test("q168: persisted shard sum-merge == single-pass log histogram; small domains exact") {
+    val docs = load(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-loghist").toString
+    SketchOps.writeLogHistogram(
+      SketchOps.logHistogram(docs.filter($"doc_id" % 2 === 0), $"source", $"n_chars"),
+      s"$tmp/a")
+    SketchOps.writeLogHistogram(
+      SketchOps.logHistogram(docs.filter($"doc_id" % 2 === 1), $"source", $"n_chars"),
+      s"$tmp/b")
+    val merged = SketchOps.mergeLogHistograms(
+      SketchOps.readLogHistogram(spark, s"$tmp/a"),
+      SketchOps.readLogHistogram(spark, s"$tmp/b"))
+    def m(df: DataFrame): Map[(String, Long), Long] = df.collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("c")).toMap
+    assert(m(merged) === m(SketchOps.logHistogram(docs, $"source", $"n_chars")),
+      "persisted shard sum-merge must equal the single-pass log histogram")
+    // values < 32 are their own bucket, so quantiles over a small-value
+    // corpus coincide with the EXACT histogram path's answers
+    val small = (1 to 100).map(i => (i.toLong, "s", (i % 31 + 1).toLong))
+      .toDF("doc_id", "source", "n_chars")
+    val viaLog = SketchOps.quantilesFromLogHistogram(
+        SketchOps.logHistogram(small, $"source", $"n_chars")).collect()
+      .map(r => r.getAs[Long]("p") -> r.getAs[Long]("q_lo")).toMap
+    val exact = SketchOps.quantilesFromHistogram(
+        small.select($"source", $"n_chars".as("tok_n"))
+          .groupBy($"source", $"tok_n").agg(count(lit(1)).as("c"))).collect()
+      .map(r => r.getAs[Long]("p") -> r.getAs[Long]("q_value")).toMap
+    assert(viaLog === exact, "small-value region must be exact")
+    // artifact is bounded: total buckets never exceed 992 per source
+    assert(merged.groupBy($"source").count().collect()
+      .forall(_.getAs[Long]("count") <= 992L))
+  }
 }
