@@ -319,6 +319,11 @@ object SparkEntry {
     // order through the bounded-heap top-k — kept SET pinned exactly
     "q169_source_cap" ->
       ((s: SparkSession, d: String) => CurationOps.q169SourceCap(s, d)),
+    // streaming-maintained CMS store: per-batch d×w counter shards,
+    // genuine mid-stream fold, sum-merge read ≡ union sketch; probe +
+    // exact verify reproduces q166's answer
+    "q170_cms_stream_store" ->
+      ((s: SparkSession, d: String) => SketchOps.q170CmsStreamStore(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -523,6 +523,41 @@ object SketchOps {
       threshold: Long = 3L): DataFrame =
     cmsEmerging(load(s, dir, "documents"), threshold)
 
+  /** q170 — heavy shingles through the STREAMING-maintained CMS store:
+    * three micro-batches (doc_id mod 3) append their d×w-bounded
+    * counter shards via [[graft.streaming.HistogramStream.appendCmsShard]]
+    * with a genuine mid-stream fold between batches 2 and 3 (two live
+    * shards at that point, so the fold really executes — the q133
+    * non-vacuity rule, asserted or the query throws). The final read
+    * sum-merges the folded shard with batch 2's shard; because counter
+    * sums are exact, shard-accumulate + fold + read ≡ the one-shot
+    * union sketch, so the probe + exact verify returns exactly q166's
+    * answer and the oracle is the same plain exact HAVING. At 100 TB
+    * the stream pays one d×w-bounded aggregate per batch and the store
+    * never exceeds shards × d×w counters between folds — corpus-
+    * lifetime frequency monitoring with storage bounded forever. */
+  def q170CmsStreamStore(s: SparkSession, dir: String,
+      threshold: Long = 5L): DataFrame = {
+    import graft.streaming.HistogramStream
+    val docs = load(s, dir, "documents")
+    val sh = docs.select($"doc_id", explode(TextOps.shingles($"text")).as("g"))
+    val store = java.nio.file.Files.createTempDirectory("graft-q170").toString
+    HistogramStream.appendCmsShard(s, store, "batch_0",
+      buildCms(sh.filter($"doc_id" % 3 === 0L), $"g"))
+    HistogramStream.appendCmsShard(s, store, "batch_1",
+      buildCms(sh.filter($"doc_id" % 3 === 1L), $"g"))
+    HistogramStream.compactCms(s, store)
+    val afterFold = HistogramStream.liveTags(s, store)
+    require(afterFold == Seq("folded-0"),
+      s"q170 gate is vacuous unless the fold ran: live tags $afterFold")
+    HistogramStream.appendCmsShard(s, store, "batch_2",
+      buildCms(sh.filter($"doc_id" % 3 === 2L), $"g"))
+    val cms = HistogramStream.readCmsStore(s, store)
+    cmsHeavyProbe(sh, $"g", cms, threshold)
+      .groupBy($"g").agg(count(lit(1)).as("n_exact"))
+      .filter($"n_exact" >= threshold)
+  }
+
   // -------------------------------------------- persisted token histogram
 
   /** The (source, tok_n) → count histogram — q146's phase 1, exposed as
@@ -956,6 +991,20 @@ object SketchOps {
        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, min(tok_n) AS p50
        |FROM w WHERE cum * 100 >= n_docs * 50 GROUP BY 1, 2)""".stripMargin
 
+  /** Shared by q166 (batch per-release CMS shards) and q170 (streaming
+    * CMS store with a mid-stream fold): both paths prune with a sketch
+    * that never undercounts and exact-verify the candidates, so both
+    * gate against the plain exact HAVING over the shingle derivation. */
+  private val cmsHeavyExactSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+      |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+      |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
+      |g AS (SELECT doc_id, unnest(s) AS g FROM sh)
+      |SELECT g, CAST(count(*) AS BIGINT) AS n_exact
+      |FROM g GROUP BY 1 HAVING count(*) >= 5""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // q168 runs through two persisted log-bucket shards sum-merged;
     // the merge is exact on bucket counts, so the oracle replays the
@@ -1073,15 +1122,11 @@ object SketchOps {
     // q166's CMS prefilter never undercounts and the exact count
     // removes the overcounts, so the oracle is the plain exact HAVING
     // over the same shingle derivation (q67's shingle SQL shape)
-    "q166_cms_store_heavy" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
-        |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
-        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
-        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-        |    ELSE [array_to_string(tk, ' ')] END AS s FROM t),
-        |g AS (SELECT doc_id, unnest(s) AS g FROM sh)
-        |SELECT g, CAST(count(*) AS BIGINT) AS n_exact
-        |FROM g GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+    "q166_cms_store_heavy" -> cmsHeavyExactSql,
+    // q170's streaming shard-accumulate + fold + sum-merge read is
+    // exactly the union sketch (counter sums are exact), so the probe +
+    // exact verify reproduces q166's answer — same oracle
+    "q170_cms_stream_store" -> cmsHeavyExactSql,
     // q167's CMS candidates are exact-verified on both sides, so the
     // oracle is the plain two-branch exact HAVING + anti-threshold
     "q167_cms_emerging" ->

@@ -104,15 +104,15 @@ object HistogramStream {
     versions.foreach { case (_, p) => fs.delete(p, false) }
   }
 
-  /** Append one micro-batch's histogram as the shard `tag`. Idempotent
-    * under replay: the shard write is a dynamic partition OVERWRITE of
-    * this tag's own directory, and re-committing an already-live tag is
-    * a manifest no-op — the foreachBatch exactly-once recipe applied to
-    * a non-idempotent monoid. */
-  def appendShard(spark: SparkSession, store: String, tag: String,
-      hist: DataFrame): Unit = {
-    hist.select($"source", $"tok_n", $"c").withColumn("btag", lit(tag))
-      .coalesce(1).sortWithinPartitions($"source", $"tok_n")
+  /** The generic sum-monoid shard core: every store whose merge is a
+    * key-wise SUM (token histogram, Count-Min counters) shares the
+    * shard/manifest/fold discipline verbatim — only the key columns,
+    * the value column, and the empty-store schema differ. `cols` is
+    * keys :+ value; `empty` supplies a well-typed zero-row frame. */
+  private def appendSumShard(spark: SparkSession, store: String, tag: String,
+      frame: DataFrame, cols: Seq[String]): Unit = {
+    frame.select(cols.map(col): _*).withColumn("btag", lit(tag))
+      .coalesce(1).sortWithinPartitions(cols.dropRight(1).map(col): _*)
       .write.partitionBy("btag")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(s"$store/data")
@@ -120,26 +120,19 @@ object HistogramStream {
     if (!live.contains(tag)) commitTags(spark, store, live :+ tag)
   }
 
-  /** The store's current histogram: sum-merge over the LIVE shards only
-    * (partition filter on `btag`, so unlisted crash-residue dirs are
-    * never even read). Empty store → empty frame with the histogram
-    * schema. */
-  def readHistogram(spark: SparkSession, store: String): DataFrame = {
+  private def readSumStore(spark: SparkSession, store: String,
+      cols: Seq[String], empty: => DataFrame): DataFrame = {
     val live = liveTags(spark, store)
-    if (live.isEmpty)
-      spark.range(0).select(lit("").as("source"), lit(0L).as("tok_n"),
-        lit(0L).as("c")).filter(lit(false))
+    if (live.isEmpty) empty
     else
       spark.read.parquet(s"$store/data")
         .filter($"btag".isin(live: _*))
-        .groupBy($"source", $"tok_n").agg(sum($"c").as("c"))
+        .groupBy(cols.dropRight(1).map(col): _*)
+        .agg(sum(col(cols.last)).as(cols.last))
   }
 
-  /** Fold all live shards into one `folded-N` shard. The manifest
-    * commit is the atomic cutover; old shard dirs (and any unlisted
-    * crash residue) are swept afterwards. Already-consolidated stores
-    * return after the metadata check alone — zero Spark jobs. */
-  def compact(spark: SparkSession, store: String): Unit = {
+  private def compactSumStore(spark: SparkSession, store: String,
+      cols: Seq[String], empty: => DataFrame): Unit = {
     val live = liveTags(spark, store)
     if (live.size <= 1) return
     val fs = fsOf(spark, store)
@@ -154,14 +147,14 @@ object HistogramStream {
       case FoldRe(n) => n.toLong }.foldLeft(-1L)(_ max _) + 1)
     val staging = s"$store/.fold-staging"
     fs.delete(new Path(staging), true) // stale crash residue
-    readHistogram(spark, store).withColumn("btag", lit(next))
-      .coalesce(1).sortWithinPartitions($"source", $"tok_n")
+    readSumStore(spark, store, cols, empty).withColumn("btag", lit(next))
+      .coalesce(1).sortWithinPartitions(cols.dropRight(1).map(col): _*)
       .write.partitionBy("btag").parquet(staging)
     val src = new Path(s"$staging/btag=$next")
     val dst = new Path(s"$store/data/btag=$next")
     if (!fs.rename(src, dst))
       throw new IllegalStateException(
-        s"histogram store fold rename failed: $src -> $dst — manifest " +
+        s"sum store fold rename failed: $src -> $dst — manifest " +
           "untouched, store still reads the unfolded shards; re-run")
     commitTags(spark, store, Seq(next)) // the commit point
     fs.delete(new Path(staging), true)
@@ -170,6 +163,64 @@ object HistogramStream {
       fs.delete(new Path(s"$store/data/btag=$t"), true)
     }
   }
+
+  private val HistCols = Seq("source", "tok_n", "c")
+
+  private def histEmpty(spark: SparkSession): DataFrame =
+    spark.range(0).select(lit("").as("source"), lit(0L).as("tok_n"),
+      lit(0L).as("c")).filter(lit(false))
+
+  /** Append one micro-batch's histogram as the shard `tag`. Idempotent
+    * under replay: the shard write is a dynamic partition OVERWRITE of
+    * this tag's own directory, and re-committing an already-live tag is
+    * a manifest no-op — the foreachBatch exactly-once recipe applied to
+    * a non-idempotent monoid. */
+  def appendShard(spark: SparkSession, store: String, tag: String,
+      hist: DataFrame): Unit =
+    appendSumShard(spark, store, tag, hist, HistCols)
+
+  /** The store's current histogram: sum-merge over the LIVE shards only
+    * (partition filter on `btag`, so unlisted crash-residue dirs are
+    * never even read). Empty store → empty frame with the histogram
+    * schema. */
+  def readHistogram(spark: SparkSession, store: String): DataFrame =
+    readSumStore(spark, store, HistCols, histEmpty(spark))
+
+  /** Fold all live shards into one `folded-N` shard. The manifest
+    * commit is the atomic cutover; old shard dirs (and any unlisted
+    * crash residue) are swept afterwards. Already-consolidated stores
+    * return after the metadata check alone — zero Spark jobs. */
+  def compact(spark: SparkSession, store: String): Unit =
+    compactSumStore(spark, store, HistCols, histEmpty(spark))
+
+  // ----------------------------------------------------- CMS twin (q170)
+
+  /** Count-Min counters share the histogram's sum monoid, so the
+    * streaming CMS store is the SAME shard/manifest/fold discipline
+    * over (row, pos, n) — each micro-batch appends its own d×w-bounded
+    * counter shard, the read sum-merges live shards (≡
+    * [[graft.operators.SketchOps.mergeCms]] over the shard frames),
+    * and a fold consolidates. State per shard is ≤ d×w counters no
+    * matter the batch, so a stream can maintain corpus-lifetime
+    * frequency sketches with bounded storage forever — the streaming
+    * complement of q166's per-release batch artifacts. `row` keeps
+    * [[graft.operators.SketchOps.buildCms]]'s integer type so store
+    * reads union/join cleanly with freshly built sketches. */
+  private val CmsCols = Seq("row", "pos", "n")
+
+  private def cmsEmpty(spark: SparkSession): DataFrame =
+    spark.range(0).select(lit(0).as("row"), lit(0L).as("pos"),
+      lit(0L).as("n")).filter(lit(false))
+
+  def appendCmsShard(spark: SparkSession, store: String, tag: String,
+      cms: DataFrame): Unit =
+    appendSumShard(spark, store, tag, cms, CmsCols)
+
+  def readCmsStore(spark: SparkSession, store: String): DataFrame =
+    readSumStore(spark, store, CmsCols, cmsEmpty(spark))
+
+  def compactCms(spark: SparkSession, store: String): Unit =
+    compactSumStore(spark, store, CmsCols, cmsEmpty(spark))
 
   /** The streaming wrapper: documents arriving under `srcDir` fold
     * their token histogram into the store per micro-batch. Same
@@ -191,6 +242,33 @@ object HistogramStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendShard(spark, store, s"batch_$batchId",
           SketchOps.tokenHistogram(batch))
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
+  /** The CMS streaming wrapper: documents arriving under `srcDir` fold
+    * their shingle Count-Min counters into the store per micro-batch —
+    * same foreachBatch/checkpoint contract as [[tokenHistogramStream]],
+    * same replay idempotency from [[appendCmsShard]]'s tag-keyed
+    * overwrite. */
+  def shingleCmsStream(
+      spark: SparkSession, srcDir: String, store: String,
+      checkpointDir: Option[String] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{SketchOps, TextOps}
+    val schema = spark.read
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true").parquet(srcDir).schema
+    val writer = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendCmsShard(spark, store, s"batch_$batchId",
+          SketchOps.buildCms(
+            batch.select(explode(TextOps.shingles($"text")).as("g")), $"g"))
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer.start()

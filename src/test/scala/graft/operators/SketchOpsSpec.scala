@@ -433,6 +433,41 @@ class SketchOpsSpec extends AnyFunSuite {
       SketchOps.tokenQuantiles(docs).collect().toSet)
   }
 
+  // ---------------------------------------------------------------- q170
+
+  test("q170: streaming CMS wrapper accumulates the exact union sketch; fold preserves counters") {
+    import graft.streaming.HistogramStream
+    val docs = load(spark, dir, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-cmsstream")
+    val (src, store) = (s"$base/src", s"$base/store")
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$src/b0.parquet")
+    val q = HistogramStream.shingleCmsStream(spark, src, store)
+    try {
+      q.processAllAvailable()
+      docs.filter($"doc_id" % 2 === 1).write
+        .mode("append").parquet(s"$src/b1.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(HistogramStream.liveTags(spark, store).size >= 2)
+    val whole = cmsMap(SketchOps.buildCms(
+      docs.select(explode(graft.operators.TextOps.shingles($"text")).as("g")),
+      $"g"))
+    assert(cmsMap(HistogramStream.readCmsStore(spark, store)) === whole,
+      "shard-accumulated counters must equal the one-shot union sketch")
+    HistogramStream.compactCms(spark, store)
+    assert(HistogramStream.liveTags(spark, store) === Seq("folded-0"))
+    assert(cmsMap(HistogramStream.readCmsStore(spark, store)) === whole,
+      "fold must not change a single counter")
+  }
+
+  test("q170: empty CMS store reads as an empty, well-typed sketch") {
+    import graft.streaming.HistogramStream
+    val store = java.nio.file.Files.createTempDirectory("graft-cmsempty").toString
+    val empty = HistogramStream.readCmsStore(spark, store)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === Seq("row", "pos", "n"))
+  }
+
   // ---------------------------------------------------------------- q168
 
   /** Sweep of values exercising every regime of the log-bucket index:
