@@ -324,6 +324,10 @@ object SparkEntry {
     // exact verify reproduces q166's answer
     "q170_cms_stream_store" ->
       ((s: SparkSession, d: String) => SketchOps.q170CmsStreamStore(s, d)),
+    // small-cell suppression: k-anonymity release rule for published
+    // corpus stats — under-k cells roll into a mass-conserving residual
+    "q171_kanon_release" ->
+      ((s: SparkSession, d: String) => HygieneOps.q171KAnonRelease(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -465,9 +465,64 @@ object HygieneOps {
       .select($"bench_id", $"train_id", $"n_overlap")
   }
 
+  // ---------------------------------------------------------------- q171
+
+  /** Small-cell suppression — the k-anonymity release rule for
+    * published corpus statistics: an aggregate cell describing fewer
+    * than k documents can identify its members, so released per-(source,
+    * lang) stats suppress every cell with n_docs < k by rolling it into
+    * the source's `__suppressed__` residual. The residual CONSERVES
+    * mass (its counts are the sum of the suppressed cells' — the q64
+    * refuse-or-account rule applied to a privacy gate: nothing is
+    * silently dropped, nothing under-k is released), and `n_cells`
+    * records how many raw cells each released row aggregates, so
+    * auditors can see exactly how much the release coarsened.
+    *
+    * SCALE: one map-side-combinable aggregate over (source, lang) —
+    * cell-domain-sized output — then a re-aggregation of ONLY the
+    * suppressed cells (≤ cells rows, corpus-size-free). The corpus is
+    * read once; the suppression decision never touches it again. The
+    * residual row itself may describe < k documents in total; it is
+    * not a released CELL (its label names no lang), which is the
+    * standard small-cell-suppression contract. */
+  def kAnonRelease(docs: DataFrame, k: Long): DataFrame = {
+    val cells = docs
+      .select($"source", $"lang", size(split($"text", " ")).cast("long").as("tk"))
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"tk").as("n_tokens"))
+    val released = cells.filter($"n_docs" >= k)
+      .select($"source", $"lang", $"n_docs", $"n_tokens", lit(1L).as("n_cells"))
+    val residual = cells.filter($"n_docs" < k)
+      .groupBy($"source")
+      .agg(sum($"n_docs").as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_cells"))
+      .select($"source", lit("__suppressed__").as("lang"),
+        $"n_docs", $"n_tokens", $"n_cells")
+    released.unionByName(residual)
+  }
+
+  def q171KAnonRelease(s: SparkSession, dir: String, k: Long = 5L): DataFrame =
+    kAnonRelease(load(s, dir, "documents"), k)
+
   // ------------------------------------------------------------ oracles
 
   val oracles: Map[String, String] = Map(
+    // q171: replay the cell aggregate, the k split, and the residual
+    // roll-up — hash equality pins released cells AND conserved
+    // suppressed mass
+    "q171_kanon_release" ->
+      """WITH cells AS (SELECT source, lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, n_tokens, CAST(1 AS BIGINT) AS n_cells
+        |FROM cells WHERE n_docs >= 5
+        |UNION ALL
+        |SELECT source, '__suppressed__' AS lang,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_cells
+        |FROM cells WHERE n_docs < 5 GROUP BY 1""".stripMargin,
     "q141_contamination_attribution" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3

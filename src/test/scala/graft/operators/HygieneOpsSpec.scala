@@ -195,4 +195,29 @@ class HygieneOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(diff.toSeq == Seq((1L, 1L, 1L, 1L)), diff.toSeq)
   }
+
+  test("q171: no under-k cell is released and the residual conserves every count") {
+    // planted cells: (s1,en)=5 released at k=5; (s1,de)=2 + (s1,fr)=1
+    // roll into one residual (3 docs, 2 cells); (s2,en)=4 suppressed
+    // alone — its residual stays under k, which is allowed (it is not
+    // a released cell: it names no lang)
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "s1", "en", "a b")) ++
+      Seq((6L, "s1", "de", "c"), (7L, "s1", "de", "d e f"), (8L, "s1", "fr", "g")) ++
+      (9 to 12).map(i => (i.toLong, "s2", "en", "h i"))
+    ).toDF("doc_id", "source", "lang", "text")
+    val out = HygieneOps.kAnonRelease(docs, 5L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out === Map(
+      ("s1", "en") -> ((5L, 10L, 1L)),
+      ("s1", "__suppressed__") -> ((3L, 5L, 2L)),
+      ("s2", "__suppressed__") -> ((4L, 8L, 1L))))
+    // conservation: released + residual doc/token mass == corpus mass
+    assert(out.values.map(_._1).sum === 12L)
+    assert(out.values.map(_._2).sum === 23L)
+    // no released CELL (a row naming a real lang) is under k
+    assert(out.collect { case ((_, l), v) if l != "__suppressed__" => v._1 }
+      .forall(_ >= 5L))
+  }
 }
