@@ -328,6 +328,10 @@ object SparkEntry {
     // corpus stats — under-k cells roll into a mass-conserving residual
     "q171_kanon_release" ->
       ((s: SparkSession, d: String) => HygieneOps.q171KAnonRelease(s, d)),
+    // streaming-maintained log-bucket quantile store: third sum-monoid
+    // rider on the generic shard core; byte-identical to q168's answer
+    "q172_loghist_stream_store" ->
+      ((s: SparkSession, d: String) => SketchOps.q172LogHistStreamStore(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -865,6 +865,30 @@ object SketchOps {
       readLogHistogram(s, s"$tmp/release_b")))
   }
 
+  /** q172 — the log-bucket quantile store maintained by the STREAM:
+    * three micro-batches append their ≤ ~992-buckets-per-key
+    * log-histogram shards of `n_chars` through the generic sum core,
+    * with the genuine mid-stream fold (asserted — the q133 non-vacuity
+    * rule); the read sum-merges and runs the rank window. Every step is
+    * exact on bucket counts, so the result is byte-identical to q168's
+    * single-pass answer and the oracle is the same SQL — streaming
+    * accumulation, fold, and store read all gate on one hash. */
+  def q172LogHistStreamStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.HistogramStream
+    val docs = load(s, dir, "documents")
+    val store = java.nio.file.Files.createTempDirectory("graft-q172").toString
+    def shard(p: Long) =
+      logHistogram(docs.filter($"doc_id" % 3 === p), $"source", $"n_chars")
+    HistogramStream.appendLogHistShard(s, store, "batch_0", shard(0L))
+    HistogramStream.appendLogHistShard(s, store, "batch_1", shard(1L))
+    HistogramStream.compactLogHist(s, store)
+    val afterFold = HistogramStream.liveTags(s, store)
+    require(afterFold == Seq("folded-0"),
+      s"q172 gate is vacuous unless the fold ran: live tags $afterFold")
+    HistogramStream.appendLogHistShard(s, store, "batch_2", shard(2L))
+    quantilesFromLogHistogram(HistogramStream.readLogHistStore(s, store))
+  }
+
   // -------------------------------------------------------- sketch overlap
 
   /** q148 — audience overlap between event-type segments via sketch
@@ -1005,13 +1029,10 @@ object SketchOps {
       |SELECT g, CAST(count(*) AS BIGINT) AS n_exact
       |FROM g GROUP BY 1 HAVING count(*) >= 5""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    // q168 runs through two persisted log-bucket shards sum-merged;
-    // the merge is exact on bucket counts, so the oracle replays the
-    // bucket index + rank rule + representative inversion from the raw
-    // corpus in ONE pass — hash equality gates the store roundtrip and
-    // the cross-engine integer bucket math together
-    "q168_log_quantiles_persisted" ->
+  /** Shared by q168 (batch per-release shards) and q172 (streaming
+    * shard-accumulate + fold): bucket counts merge exactly, so both
+    * store paths reproduce the single-pass answer byte-for-byte. */
+  private val logQuantilesSql: String =
       """WITH t AS (SELECT source, n_chars AS v FROM documents),
         |b AS (SELECT source,
         |    CAST(CASE WHEN v < 32 THEN v
@@ -1032,7 +1053,16 @@ object SketchOps {
         |  CAST(CASE WHEN qb < 32 THEN qb
         |    ELSE (qb % 16 + 16) << CAST(qb // 16 - 1 AS INT) END AS BIGINT)
         |    AS q_lo
-        |FROM q""".stripMargin,
+        |FROM q""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // q168 runs through two persisted log-bucket shards sum-merged;
+    // the oracle replays bucket index + rank rule + representative
+    // inversion from the raw corpus in ONE pass
+    "q168_log_quantiles_persisted" -> logQuantilesSql,
+    // q172 is the same answer through the STREAMING store (exact bucket
+    // sums ⇒ byte-identical) — same oracle
+    "q172_loghist_stream_store" -> logQuantilesSql,
     // q163's Spark side reads only the persisted artifacts; the oracle
     // recomputes both release branches from the raw corpus — hash
     // equality proves store-only monitoring ≡ corpus-scan monitoring

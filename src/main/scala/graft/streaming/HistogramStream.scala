@@ -222,6 +222,29 @@ object HistogramStream {
   def compactCms(spark: SparkSession, store: String): Unit =
     compactSumStore(spark, store, CmsCols, cmsEmpty(spark))
 
+  // ---------------------------------------- log-histogram twin (q172)
+
+  /** The log-bucket histogram ([[graft.operators.SketchOps.logHistogram]])
+    * is the third sum-monoid rider on the same core: a stream can keep
+    * size/latency quantile state current in ≤ ~992-buckets-per-key
+    * shards — the unbounded-value-domain complement of the exact token
+    * histogram stream, at the same crash-safety contract. */
+  private val LogHistCols = Seq("source", "bucket", "c")
+
+  private def logHistEmpty(spark: SparkSession): DataFrame =
+    spark.range(0).select(lit("").as("source"), lit(0L).as("bucket"),
+      lit(0L).as("c")).filter(lit(false))
+
+  def appendLogHistShard(spark: SparkSession, store: String, tag: String,
+      hist: DataFrame): Unit =
+    appendSumShard(spark, store, tag, hist, LogHistCols)
+
+  def readLogHistStore(spark: SparkSession, store: String): DataFrame =
+    readSumStore(spark, store, LogHistCols, logHistEmpty(spark))
+
+  def compactLogHist(spark: SparkSession, store: String): Unit =
+    compactSumStore(spark, store, LogHistCols, logHistEmpty(spark))
+
   /** The streaming wrapper: documents arriving under `srcDir` fold
     * their token histogram into the store per micro-batch. Same
     * checkpoint contract as [[DocumentStream.nearDupDedupedStream]]:

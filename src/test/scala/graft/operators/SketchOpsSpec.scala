@@ -460,6 +460,23 @@ class SketchOpsSpec extends AnyFunSuite {
       "fold must not change a single counter")
   }
 
+  test("q172: log-histogram shards through the generic store fold to the single-pass histogram") {
+    import graft.streaming.HistogramStream
+    val docs = load(spark, dir, "documents")
+    val store = java.nio.file.Files.createTempDirectory("graft-loghstream").toString
+    def shard(p: Long) = SketchOps.logHistogram(
+      docs.filter($"doc_id" % 2 === p), $"source", $"n_chars")
+    HistogramStream.appendLogHistShard(spark, store, "b0", shard(0L))
+    HistogramStream.appendLogHistShard(spark, store, "b1", shard(1L))
+    HistogramStream.compactLogHist(spark, store)
+    assert(HistogramStream.liveTags(spark, store) === Seq("folded-0"))
+    def m(df: DataFrame): Map[(String, Long), Long] = df.collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("c")).toMap
+    assert(m(HistogramStream.readLogHistStore(spark, store)) ===
+      m(SketchOps.logHistogram(docs, $"source", $"n_chars")))
+  }
+
   test("q170: empty CMS store reads as an empty, well-typed sketch") {
     import graft.streaming.HistogramStream
     val store = java.nio.file.Files.createTempDirectory("graft-cmsempty").toString
