@@ -332,6 +332,10 @@ object SparkEntry {
     // rider on the generic shard core; byte-identical to q168's answer
     "q172_loghist_stream_store" ->
       ((s: SparkSession, d: String) => SketchOps.q172LogHistStreamStore(s, d)),
+    // dense global ordinals WITHOUT a single-partition window: bucketed
+    // offsets + partitioned per-bucket numbering ≡ global row_number
+    "q173_dense_ordinals" ->
+      ((s: SparkSession, d: String) => CurationOps.q173DenseOrdinals(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -504,6 +504,48 @@ object CurationOps {
   def q169SourceCap(s: SparkSession, dir: String, cap: Int = 10): DataFrame =
     sourceCap(load(s, dir, "documents"), cap)
 
+  /** Dense global ordinals (0..n−1 in [[epochOrder]] order) WITHOUT the
+    * classic scale-killer: a global `row_number()` is a WindowExec with
+    * an EMPTY partition spec — one task sorts the entire corpus. This
+    * operator gets the identical numbering distributed: the hash-uniform
+    * draw key is range-bucketed by fixed arithmetic (`ord div width` —
+    * deterministic, NO RangePartitioner sampling pass), per-bucket
+    * counts are one map-side-combinable aggregate whose output is ≤
+    * `buckets` rows (the ONE driver collect, bounded by construction),
+    * exclusive prefix offsets are broadcast back, and each bucket
+    * numbers itself with a PARTITIONED window + its offset. Equal draw
+    * keys share a bucket, so (ord, id) tie-breaking inside the bucket
+    * reproduces the global order exactly — the law the gate pins.
+    *
+    * Uniformity note: buckets are equal-width in the KEY domain, which
+    * is hash-uniform regardless of the id distribution — balance needs
+    * no sampling. Epoch streams (q129), split frames, and export
+    * numbering all want exactly this dense stable id. */
+  def denseOrdinals(df: DataFrame, idCol: Column,
+      buckets: Int = 1024): DataFrame = {
+    val M2 = 1000003L * 1000003L // epochOrder range: [0, M²)
+    val width = M2 / buckets + 1
+    val keyed = df
+      .withColumn("ord", epochOrder(idCol, lit(0L)))
+      .withColumn("__b", expr(s"ord div ${width}L"))
+    val counts = keyed.groupBy($"__b").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // counts ≤ buckets rows — the documented driver bound
+    val offs = counts.zip(counts.map(_._2).scanLeft(0L)(_ + _))
+      .map { case ((b, _), off) => (b, off) }.toSeq
+    val offDf = df.sparkSession.createDataFrame(offs).toDF("__b", "__off")
+    keyed.join(broadcast(offDf), Seq("__b"))
+      .withColumn("ordinal",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"__b").orderBy($"ord", idCol)).cast("long")
+          + $"__off" - 1L)
+      .drop("__b", "__off")
+  }
+
+  def q173DenseOrdinals(s: SparkSession, dir: String): DataFrame =
+    denseOrdinals(load(s, dir, "documents").select($"doc_id"), $"doc_id")
+      .select($"doc_id", $"ord", $"ordinal")
+
   def epochOrder(idCol: Column, epoch: Column): Column = {
     val M = lit(1000003L)
     val lo = idCol % M
@@ -567,6 +609,19 @@ object CurationOps {
         |    * 1000000) // n_chars AS bits_ppm
         |FROM agg""".stripMargin,
     // epoch-0 ordering inlined (epoch term vanishes at epoch = 0)
+    // q173's oracle IS the single-partition global row_number the
+    // operator refuses to plan — hash equality proves the bucketed
+    // offset+window numbering reproduces it exactly
+    "q173_dense_ordinals" ->
+      """WITH o AS (SELECT doc_id,
+        |  ((doc_id % 1000003) * 2654435761 % 1000003) * 1000003
+        |  + ((((doc_id // 1000003) % 1000003)
+        |      + (doc_id % 1000003) * 2654435761 % 1000003) % 1000003)
+        |    * 2654435761 % 1000003 AS ord FROM documents)
+        |SELECT doc_id, CAST(ord AS BIGINT) AS ord,
+        |  CAST(row_number() OVER (ORDER BY ord, doc_id) - 1 AS BIGINT)
+        |    AS ordinal
+        |FROM o""".stripMargin,
     // q169 replays the epoch-0 draw order, the per-source row_number
     // cap, and the exact totals join — hash equality pins the kept SET
     // (not just its size) across engines

@@ -362,4 +362,34 @@ class CurationOpsSpec extends AnyFunSuite {
     val docs = load(spark, dir, "documents")
     assert(CurationOps.sourceCap(docs, 1000).count() === docs.count())
   }
+
+  // ---------------------------------------------------------------- q173
+
+  test("q173: ordinals are dense, order-isomorphic, bucket-count-blind — and no global window plans") {
+    val docs = load(spark, dir, "documents").select($"doc_id")
+    val out = CurationOps.denseOrdinals(docs, $"doc_id")
+    out.collect()
+    // the scale gate: every window in the plan is PARTITIONED (on the
+    // bucket key) — the single-task global-sort WindowExec never
+    // appears. String-level because AQE wraps the physical tree.
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("windowspecdefinition(__b"),
+      "expected a bucket-partitioned window:\n" + planStr)
+    assert(!planStr.replace("windowspecdefinition(__b", "")
+        .contains("windowspecdefinition("),
+      "global (unpartitioned) window planned:\n" + planStr)
+    val rows = out.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ord"),
+        r.getAs[Long]("ordinal")))
+    // dense: exactly 0..n-1
+    assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+    // order-isomorphic to (ord, doc_id)
+    assert(rows.sortBy(_._3).map(t => (t._2, t._1)).toSeq ===
+      rows.map(t => (t._2, t._1)).sortBy(identity).toSeq)
+    // numbering is independent of the bucket count (incl. skewed few)
+    val seven = CurationOps.denseOrdinals(docs, $"doc_id", buckets = 7)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ordinal"))
+      .toMap
+    assert(rows.map(t => t._1 -> t._3).toMap === seven)
+  }
 }
