@@ -336,6 +336,10 @@ object SparkEntry {
     // offsets + partitioned per-bucket numbering ≡ global row_number
     "q173_dense_ordinals" ->
       ((s: SparkSession, d: String) => CurationOps.q173DenseOrdinals(s, d)),
+    // small-file compaction (layout OPTIMIZE): fragment layout folded
+    // to ⌈rows/target⌉ files; content-preserving by the direct-scan gate
+    "q174_compact_files" ->
+      ((s: SparkSession, d: String) => IndexOps.q174CompactFiles(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -270,6 +270,56 @@ object IndexOps {
       manifestPath: String, colName: String, lo: Long, hi: Long): DataFrame =
     statsPrunedReadMulti(s, tablePath, manifestPath, Seq((colName, lo, hi)))
 
+  // --------------------------------------------------------------- q174
+
+  /** Small-file compaction — the OPTIMIZE half of layout maintenance,
+    * completing the trio with the Z-order rewrite (q154) and the stats
+    * manifest (q158): streaming ingest and fine-grained partition
+    * writes leave directories of kilobyte files whose open/footer cost
+    * dominates scans; this rewrites a directory into
+    * ⌈rows / targetRowsPerFile⌉ files, optionally re-sorted within
+    * files so row-group min/max stay useful to q158's manifest.
+    *
+    * SCALE: the row count is footer-only (parquet count-star pushdown —
+    * no data read), and the rewrite is ONE shuffle of the directory
+    * being compacted. The operator takes a directory precisely so
+    * callers scope it to the natural compaction unit (one partition
+    * subtree, one store tag) — at 100 TB compaction is per-partition
+    * maintenance rolling across the table, never a whole-table job.
+    * Content is conserved by construction: same rows, new file layout.
+    * Returns the file count written. */
+  def compactFiles(s: SparkSession, inPath: String, outPath: String,
+      targetRowsPerFile: Long, sortCols: Seq[String] = Seq.empty): Int = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val df = s.read.parquet(inPath)
+    val n = df.count()
+    val nFiles = math.max(1L,
+      (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val rep = df.repartition(nFiles)
+    val sorted =
+      if (sortCols.nonEmpty) rep.sortWithinPartitions(sortCols.map(col): _*)
+      else rep
+    sorted.write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
+  /** Gated compaction round-trip: stage the documents table as 64
+    * fragment files (the small-files layout a 64-task write leaves),
+    * compact to ~4, and read the compacted directory back. The oracle
+    * is the direct table scan — compaction must be semantics-free, so
+    * content equality IS the gate; IndexOpsSpec pins the file-count
+    * arithmetic and the sorted-within layout. */
+  def q174CompactFiles(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q174").toString
+    val docs = load(s, dir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(s"$tmp/fragmented")
+    val target = (docs.count() + 3L) / 4L
+    compactFiles(s, s"$tmp/fragmented", s"$tmp/compacted", target,
+      sortCols = Seq("doc_id"))
+    s.read.parquet(s"$tmp/compacted")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+  }
+
   // --------------------------------------------------------------- q158
 
   /** Gated manifest round-trip: lay the events table out as range-sorted
@@ -327,6 +377,10 @@ object IndexOps {
          |  min(x) AS min_x, max(x) AS max_x,
          |  min(y) AS min_y, max(y) AS max_y
          |FROM z GROUP BY 1""".stripMargin,
+    // q174 rewrites nothing semantically: compaction must be
+    // content-preserving, so the oracle is the direct table scan
+    "q174_compact_files" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     // q158 rewrites nothing semantically: the manifest path must equal
     // the direct predicate scan, so the oracle IS the direct scan
     "q158_manifest_prune" ->

@@ -225,4 +225,28 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(multi.count() === ev.filter($"user_id".between(10L, 40L) &&
       $"event_id".between(0L, 5000L)).count())
   }
+
+  test("q174: compaction folds the fragment layout without changing a row") {
+    import graft.Tables.load
+    val docs = load(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    docs.repartition(32).write.parquet(s"$tmp/frag")
+    val before = spark.read.parquet(s"$tmp/frag")
+    assert(before.inputFiles.length === 32)
+    val n = docs.count()
+    val written = IndexOps.compactFiles(spark, s"$tmp/frag",
+      s"$tmp/out", targetRowsPerFile = (n + 3) / 4, sortCols = Seq("doc_id"))
+    val after = spark.read.parquet(s"$tmp/out")
+    assert(written <= 4 && after.inputFiles.length === written)
+    // content-preserving: same multiset of rows
+    assert(after.select($"doc_id", $"text").collect().map(r =>
+        (r.getLong(0), r.getString(1))).sorted.toSeq ===
+      docs.select($"doc_id", $"text").collect().map(r =>
+        (r.getLong(0), r.getString(1))).sorted.toSeq)
+    // a single-row target degenerates to one file per row bounded at n;
+    // an oversized target folds to exactly one file
+    assert(IndexOps.compactFiles(spark, s"$tmp/frag", s"$tmp/one",
+      targetRowsPerFile = n * 10) === 1)
+    assert(spark.read.parquet(s"$tmp/one").inputFiles.length === 1)
+  }
 }
