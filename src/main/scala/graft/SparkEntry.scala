@@ -340,6 +340,10 @@ object SparkEntry {
     // to ⌈rows/target⌉ files; content-preserving by the direct-scan gate
     "q174_compact_files" ->
       ((s: SparkSession, d: String) => IndexOps.q174CompactFiles(s, d)),
+    // end-to-end release pipeline: domain cap -> BOW dedup -> quality
+    // gate -> budget draw, per-source funnel accounting in one flow
+    "q175_release_pipeline" ->
+      ((s: SparkSession, d: String) => CurationOps.q175ReleasePipeline(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -546,6 +546,61 @@ object CurationOps {
     denseOrdinals(load(s, dir, "documents").select($"doc_id"), $"doc_id")
       .select($"doc_id", $"ord", $"ordinal")
 
+  /** q175 — the END-TO-END release pipeline, composing the round-7..9
+    * release operators into one flow with per-source funnel accounting
+    * (the q80 discipline applied to the RELEASE side): domain cap
+    * (q169's bounded-heap hash-draw, cap 15) → canonical bag-of-words
+    * dedup (q83's fingerprint, global min-doc_id survivor) → quality
+    * gate (≥ 30 tokens) → token-budget mixture draw (q139's greedy
+    * exclusive-prefix fill, budget 300). Every stage is the shipped
+    * operator's exact semantics, so the oracle is the composed CTE
+    * chain and hash equality proves the STAGES COMPOSE — each stage's
+    * input is the previous stage's output, not a re-derivation.
+    *
+    * SCALE: composition adds nothing beyond the stages' own plans —
+    * cap is the bounded heap (rank dropped), dedup shuffles once on the
+    * fingerprint, quality is map-only, the draw is one window per
+    * source, and the five funnel counts are map-side-combinable
+    * aggregates left-joined onto the source spine with 0-sentinels
+    * (NULL-free gate rule). sf0.01 funnel per source: 25 → 15 capped →
+    * unique ≤ 15 → quality-gated → budget-drawn. */
+  def q175ReleasePipeline(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val budget = 300L
+    val docs = load(s, dir, "documents")
+    val capped = docs.select($"doc_id", $"source", $"text")
+      .withColumn("ord", epochOrder($"doc_id", lit(0L)))
+      .withColumn("rn", row_number().over(
+        W.partitionBy($"source").orderBy($"ord", $"doc_id")))
+      .filter($"rn" <= 15).drop("rn")
+    val surv = capped
+      .withColumn("cfp",
+        concat_ws(" ", array_sort(array_distinct(split($"text", " ")))))
+      .withColumn("mn", min($"doc_id").over(W.partitionBy($"cfp")))
+      .filter($"doc_id" === $"mn")
+    val qual = surv
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .filter($"n_tokens" >= 30L)
+    val drawn = qual
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(
+        W.partitionBy($"source").orderBy($"ord", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter($"cum_before" < budget)
+    def stage(df: DataFrame, as: String) =
+      df.groupBy($"source").agg(count(lit(1)).as(as))
+    docs.groupBy($"source").agg(count(lit(1)).as("n_source"))
+      .join(stage(capped, "n_capped"), Seq("source"), "left")
+      .join(stage(surv, "n_unique"), Seq("source"), "left")
+      .join(stage(qual, "n_quality"), Seq("source"), "left")
+      .join(drawn.groupBy($"source").agg(
+          count(lit(1)).as("n_drawn"),
+          sum($"n_tokens").as("tokens_drawn"),
+          expr("bit_xor(doc_id)").as("drawn_xor")),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("n_capped", "n_unique", "n_quality", "n_drawn",
+        "tokens_drawn", "drawn_xor"))
+  }
+
   def epochOrder(idCol: Column, epoch: Column): Column = {
     val M = lit(1000003L)
     val lo = idCol % M
@@ -609,6 +664,57 @@ object CurationOps {
         |    * 1000000) // n_chars AS bits_ppm
         |FROM agg""".stripMargin,
     // epoch-0 ordering inlined (epoch term vanishes at epoch = 0)
+    // q175 replays the composed funnel as one CTE chain: cap -> BOW
+    // dedup -> quality -> budget draw, then the five stage counts on a
+    // source spine — hash equality proves the operators COMPOSE
+    "q175_release_pipeline" ->
+      """WITH o AS (SELECT doc_id, source, text,
+        |  ((doc_id % 1000003) * 2654435761 % 1000003) * 1000003
+        |  + ((((doc_id // 1000003) % 1000003)
+        |      + (doc_id % 1000003) * 2654435761 % 1000003) % 1000003)
+        |    * 2654435761 % 1000003 AS ord FROM documents),
+        |capped AS (SELECT doc_id, source, text, ord FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY source ORDER BY ord, doc_id) AS rn FROM o)
+        |  WHERE rn <= 15),
+        |canon AS (SELECT *, array_to_string(
+        |    list_sort(list_distinct(string_split(text, ' '))), ' ') AS cfp
+        |  FROM capped),
+        |surv AS (SELECT doc_id, source, text, ord FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY cfp) AS mn FROM canon)
+        |  WHERE doc_id = mn),
+        |qual AS (SELECT *,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM surv WHERE len(string_split(text, ' ')) >= 30),
+        |drawn AS (SELECT * FROM (
+        |    SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before FROM qual)
+        |  WHERE cum_before < 300),
+        |t0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source
+        |  FROM documents GROUP BY 1),
+        |t1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_capped
+        |  FROM capped GROUP BY 1),
+        |t2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique
+        |  FROM surv GROUP BY 1),
+        |t3 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_quality
+        |  FROM qual GROUP BY 1),
+        |t4 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_drawn,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tokens_drawn,
+        |    CAST(bit_xor(doc_id) AS BIGINT) AS drawn_xor
+        |  FROM drawn GROUP BY 1)
+        |SELECT t0.source, n_source,
+        |  coalesce(n_capped, 0) AS n_capped,
+        |  coalesce(n_unique, 0) AS n_unique,
+        |  coalesce(n_quality, 0) AS n_quality,
+        |  coalesce(n_drawn, 0) AS n_drawn,
+        |  coalesce(tokens_drawn, 0) AS tokens_drawn,
+        |  coalesce(drawn_xor, 0) AS drawn_xor
+        |FROM t0
+        |LEFT JOIN t1 USING (source) LEFT JOIN t2 USING (source)
+        |LEFT JOIN t3 USING (source) LEFT JOIN t4 USING (source)"""
+        .stripMargin,
     // q173's oracle IS the single-partition global row_number the
     // operator refuses to plan — hash equality proves the bucketed
     // offset+window numbering reproduces it exactly

@@ -480,6 +480,7 @@ object SketchOps {
     writeCms(buildCms(sh.filter($"doc_id" % 2 === 0L), $"g"), s"$tmp/cms_a")
     writeCms(buildCms(sh.filter($"doc_id" % 2 === 1L), $"g"), s"$tmp/cms_b")
     val cms = mergeCms(readCms(s, s"$tmp/cms_a"), readCms(s, s"$tmp/cms_b"))
+      .localCheckpoint() // reused by d broadcast builds; ≤ d×w rows
     val candidates = cmsHeavyProbe(sh, $"g", cms, threshold)
     candidates.groupBy($"g").agg(count(lit(1)).as("n_exact"))
       .filter($"n_exact" >= threshold)
@@ -504,6 +505,7 @@ object SketchOps {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q167").toString
     writeCms(buildCms(shB, $"g"), s"$tmp/cms_b")
     val cmsB = readCms(s, s"$tmp/cms_b")
+      .localCheckpoint() // reused by d broadcast builds; ≤ d×w rows
     // exact heavy set of the new release; checkpointed — it feeds both
     // the old-release prefilter and the final join
     val heavyB = cmsHeavyProbe(shB, $"g", cmsB, threshold)
@@ -553,6 +555,7 @@ object SketchOps {
     HistogramStream.appendCmsShard(s, store, "batch_2",
       buildCms(sh.filter($"doc_id" % 3 === 2L), $"g"))
     val cms = HistogramStream.readCmsStore(s, store)
+      .localCheckpoint() // reused by d broadcast builds; ≤ d×w rows
     cmsHeavyProbe(sh, $"g", cms, threshold)
       .groupBy($"g").agg(count(lit(1)).as("n_exact"))
       .filter($"n_exact" >= threshold)

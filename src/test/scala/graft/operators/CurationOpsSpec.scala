@@ -392,4 +392,23 @@ class CurationOpsSpec extends AnyFunSuite {
       .toMap
     assert(rows.map(t => t._1 -> t._3).toMap === seven)
   }
+
+  // ---------------------------------------------------------------- q175
+
+  test("q175: funnel is monotone per source and every stage genuinely cuts somewhere") {
+    val rows = CurationOps.q175ReleasePipeline(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getAs[Long]("n_source"), r.getAs[Long]("n_capped"),
+        r.getAs[Long]("n_unique"), r.getAs[Long]("n_quality"),
+        r.getAs[Long]("n_drawn")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (s0, s1, s2, s3, s4) =>
+      assert(s0 >= s1 && s1 >= s2 && s2 >= s3 && s3 >= s4 && s4 >= 0,
+        s"funnel not monotone: $s0 >= $s1 >= $s2 >= $s3 >= $s4")
+    }
+    // non-vacuity: each boundary strictly cuts for at least one source
+    assert(rows.exists(t => t._1 > t._2), "cap never cut")
+    assert(rows.exists(t => t._2 > t._3), "dedup never cut")
+    assert(rows.exists(t => t._3 > t._4), "quality never cut")
+    assert(rows.exists(t => t._4 > t._5), "draw never cut")
+  }
 }
