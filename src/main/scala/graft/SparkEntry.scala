@@ -344,6 +344,10 @@ object SparkEntry {
     // gate -> budget draw, per-source funnel accounting in one flow
     "q175_release_pipeline" ->
       ((s: SparkSession, d: String) => CurationOps.q175ReleasePipeline(s, d)),
+    // generic bloom semi-join: big-big join prefilter — map-only probe,
+    // no false negatives, exact verify removes the FPs
+    "q176_bloom_semi_join" ->
+      ((s: SparkSession, d: String) => SketchOps.q176BloomSemiJoin(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -299,6 +299,50 @@ object SketchOps {
         Seq(s"__bf_word_$j", s"__bf_bits_$j")): _*)
   }
 
+  /** Generic Bloom semi-join — the big-big join prefilter, packaged:
+    * `left SEMI JOIN right ON leftKey = rightKey` where BOTH sides are
+    * too large to broadcast normally shuffles the full left side on the
+    * key. Here the right side's key set is distilled into a 128 KB
+    * Bloom (the build shuffles 16-byte hash pairs, never right rows),
+    * the left side is probed MAP-ONLY in whole-stage codegen (k
+    * broadcast bit lookups — no false negatives, so no match is lost),
+    * and only the surviving candidates (true matches + the bloom's ~1%
+    * false positives) enter the exact semi join that removes the FPs.
+    * The result is IDENTICAL to the plain semi join — the q67/q157
+    * sketch-prefilter-exact-verify discipline applied to the join
+    * operator itself — while the left side's shuffle volume drops from
+    * |left| to |candidates|. At 100 TB this is the difference between
+    * shuffling the fact table and shuffling its matching slice; Spark's
+    * own runtime row-level-filter does this opportunistically, this
+    * operator guarantees it, with the sketch reusable as a persisted
+    * artifact ([[writeBloom]]) across queries. */
+  def bloomSemiJoin(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column,
+      mBits: Long = 1L << 20, k: Int = 4): DataFrame = {
+    val bloom = buildBloom(right, rightKey, mBits, k)
+      .localCheckpoint() // ≤ mBits/64 rows, reused by k broadcast builds
+    val candidates = bloomProbe(left, leftKey, bloom, mBits, k)
+    candidates.join(right.select(rightKey.as("__bsj_rk")).distinct(),
+      leftKey === col("__bsj_rk"), "left_semi")
+  }
+
+  /** q176 — the bloom semi-join gated on the TPC-H shape it exists
+    * for: orders of customers in nations 0-4 (the right side filtered
+    * to ~1/5 of customers), aggregated per order priority with
+    * integer-only evidence columns. Oracle = the plain semi join with
+    * no bloom anywhere — hash equality proves no-false-negative + exact
+    * FP removal through the prefiltered path. */
+  def q176BloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = load(s, dir, "orders")
+    val cust = load(s, dir, "customer").filter($"c_nationkey" < 5)
+    bloomSemiJoin(orders, $"o_custkey", cust, $"c_custkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"),
+        expr("bit_xor(o_orderkey)").as("keys_xor"))
+  }
+
   /** q157 — cross-release incremental dedup through the PERSISTED Bloom
     * path: history releases A and B each persist a Bloom over their
     * document texts once; release C probes the OR-merged sketch, and
@@ -1160,6 +1204,15 @@ object SketchOps {
     // exactly the union sketch (counter sums are exact), so the probe +
     // exact verify reproduces q166's answer — same oracle
     "q170_cms_stream_store" -> cmsHeavyExactSql,
+    // q176's bloom prefilter is exact-verified, so the oracle carries
+    // no bloom at all: the plain semi join on the raw tables
+    "q176_bloom_semi_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(bit_xor(o_orderkey) AS BIGINT) AS keys_xor
+        |FROM orders WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+        |GROUP BY 1""".stripMargin,
     // q167's CMS candidates are exact-verified on both sides, so the
     // oracle is the plain two-branch exact HAVING + anti-threshold
     "q167_cms_emerging" ->

@@ -433,6 +433,26 @@ class SketchOpsSpec extends AnyFunSuite {
       SketchOps.tokenQuantiles(docs).collect().toSet)
   }
 
+  // ---------------------------------------------------------------- q176
+
+  test("q176: bloom semi-join ≡ plain semi join; empty right side yields empty") {
+    val dirSf = "/root/testdata/sf0.01"
+    val orders = load(spark, dirSf, "orders")
+    val cust = load(spark, dirSf, "customer").filter($"c_nationkey" < 5)
+    val viaBloom = SketchOps.bloomSemiJoin(
+        orders, $"o_custkey", cust, $"c_custkey")
+      .select($"o_orderkey").collect().map(_.getLong(0)).toSet
+    val plain = orders.join(cust, orders("o_custkey") === cust("c_custkey"),
+        "left_semi")
+      .select($"o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(viaBloom === plain && plain.nonEmpty)
+    // the prefilter is a strict subset path: no false negatives means
+    // candidates ⊇ matches; the exact verify must remove every FP
+    val emptyRight = cust.filter(lit(false))
+    assert(SketchOps.bloomSemiJoin(
+      orders, $"o_custkey", emptyRight, $"c_custkey").count() === 0L)
+  }
+
   // ---------------------------------------------------------------- q170
 
   test("q170: streaming CMS wrapper accumulates the exact union sketch; fold preserves counters") {
