@@ -348,6 +348,10 @@ object SparkEntry {
     // no false negatives, exact verify removes the FPs
     "q176_bloom_semi_join" ->
       ((s: SparkSession, d: String) => SketchOps.q176BloomSemiJoin(s, d)),
+    // generic bloom anti-join: misses pass with no join at all, hits
+    // are exact-verified — decontamination as a join operator
+    "q177_bloom_anti_join" ->
+      ((s: SparkSession, d: String) => SketchOps.q177BloomAntiJoin(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -278,8 +278,13 @@ object SketchOps {
     * conjunction is a plain filter — no shuffle, no distinct, no
     * grouping; `df` flows through untouched except for the dropped
     * rows (the [[cmsHeavyProbe]] plan shape, for membership). */
-  def bloomProbe(df: DataFrame, keyCol: Column, bloom: DataFrame,
-      mBits: Long = 1L << 20, k: Int = 4): DataFrame = {
+  /** [[bloomProbe]]'s flag form: the input frame plus a boolean
+    * `flagCol` — true iff every one of the k bloom bits is set (i.e.
+    * "maybe a member"; false is a GUARANTEED non-member). Same map-only
+    * plan; both the semi (keep hits) and anti (keep misses outright,
+    * exact-verify only the hits) join shapes build on this. */
+  def bloomProbeFlag(df: DataFrame, keyCol: Column, bloom: DataFrame,
+      flagCol: String, mBits: Long = 1L << 20, k: Int = 4): DataFrame = {
     val hp = hashPair(keyCol)
     def pos(j: Int): Column =
       pmod(hp.getField("h1") + lit(j + 1L) * hp.getField("h2") +
@@ -294,10 +299,15 @@ object SketchOps {
         coalesce(col(s"__bf_bits_$j"), lit(0L)),
         (pos(j) % 64L).cast("int")).bitwiseAND(lit(1L))) === lit(1L)
     }.reduce(_ && _)
-    joined.filter(allHit)
+    joined.withColumn(flagCol, allHit)
       .drop((0 until k).flatMap(j =>
         Seq(s"__bf_word_$j", s"__bf_bits_$j")): _*)
   }
+
+  def bloomProbe(df: DataFrame, keyCol: Column, bloom: DataFrame,
+      mBits: Long = 1L << 20, k: Int = 4): DataFrame =
+    bloomProbeFlag(df, keyCol, bloom, "__bf_hit", mBits, k)
+      .filter($"__bf_hit").drop("__bf_hit")
 
   /** Generic Bloom semi-join — the big-big join prefilter, packaged:
     * `left SEMI JOIN right ON leftKey = rightKey` where BOTH sides are
@@ -324,6 +334,42 @@ object SketchOps {
     val candidates = bloomProbe(left, leftKey, bloom, mBits, k)
     candidates.join(right.select(rightKey.as("__bsj_rk")).distinct(),
       leftKey === col("__bsj_rk"), "left_semi")
+  }
+
+  /** Generic Bloom ANTI-join — decontamination as a join operator. The
+    * asymmetry with [[bloomSemiJoin]] is what makes it cheap: a bloom
+    * MISS is a guaranteed non-member, so every missing left row passes
+    * straight through with NO join at all (map-only); only the hits
+    * (true members + ~1% FPs) enter the exact anti join that rescues
+    * the FPs. Result ≡ the plain anti join; the shuffle carries only
+    * the hit slice. At 100 TB this is eval-suite decontamination
+    * (q55/q67's semantics) where the corpus-side cost is one map pass
+    * plus a members-sized join — the 99% clean majority never shuffles. */
+  def bloomAntiJoin(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column,
+      mBits: Long = 1L << 20, k: Int = 4): DataFrame = {
+    val bloom = buildBloom(right, rightKey, mBits, k)
+      .localCheckpoint() // ≤ mBits/64 rows, reused by k broadcast builds
+    val flagged = bloomProbeFlag(left, leftKey, bloom, "__baj_hit", mBits, k)
+    val misses = flagged.filter(!$"__baj_hit").drop("__baj_hit")
+    val rescued = flagged.filter($"__baj_hit").drop("__baj_hit")
+      .join(right.select(rightKey.as("__baj_rk")).distinct(),
+        leftKey === col("__baj_rk"), "left_anti")
+    misses.unionByName(rescued)
+  }
+
+  /** q177 — the bloom anti-join on the decontamination shape: orders
+    * whose customer is NOT in the contaminated set (nations 0-4).
+    * Oracle = the plain NOT IN with no bloom anywhere. */
+  def q177BloomAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = load(s, dir, "orders")
+    val cust = load(s, dir, "customer").filter($"c_nationkey" < 5)
+    bloomAntiJoin(orders, $"o_custkey", cust, $"c_custkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"),
+        expr("bit_xor(o_orderkey)").as("keys_xor"))
   }
 
   /** q176 — the bloom semi-join gated on the TPC-H shape it exists
@@ -1211,6 +1257,15 @@ object SketchOps {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         |  CAST(bit_xor(o_orderkey) AS BIGINT) AS keys_xor
         |FROM orders WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+        |GROUP BY 1""".stripMargin,
+    // q177's bloom misses skip the join entirely and the hits are
+    // exact-verified, so the oracle is the plain NOT IN
+    "q177_bloom_anti_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(bit_xor(o_orderkey) AS BIGINT) AS keys_xor
+        |FROM orders WHERE o_custkey NOT IN (
         |  SELECT c_custkey FROM customer WHERE c_nationkey < 5)
         |GROUP BY 1""".stripMargin,
     // q167's CMS candidates are exact-verified on both sides, so the

@@ -453,6 +453,27 @@ class SketchOpsSpec extends AnyFunSuite {
       orders, $"o_custkey", emptyRight, $"c_custkey").count() === 0L)
   }
 
+  test("q177: bloom anti-join ≡ plain anti join; semi + anti partition the left side") {
+    val dirSf = "/root/testdata/sf0.01"
+    val orders = load(spark, dirSf, "orders")
+    val cust = load(spark, dirSf, "customer").filter($"c_nationkey" < 5)
+    val viaBloom = SketchOps.bloomAntiJoin(
+        orders, $"o_custkey", cust, $"c_custkey")
+      .select($"o_orderkey").collect().map(_.getLong(0)).toSet
+    val plain = orders.join(cust, orders("o_custkey") === cust("c_custkey"),
+        "left_anti")
+      .select($"o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(viaBloom === plain && plain.nonEmpty)
+    val semi = SketchOps.bloomSemiJoin(
+        orders, $"o_custkey", cust, $"c_custkey")
+      .select($"o_orderkey").collect().map(_.getLong(0)).toSet
+    assert((semi & viaBloom).isEmpty)
+    assert(semi.size + viaBloom.size === orders.count())
+    // empty right side: every left row is a guaranteed miss
+    assert(SketchOps.bloomAntiJoin(orders, $"o_custkey",
+      cust.filter(lit(false)), $"c_custkey").count() === orders.count())
+  }
+
   // ---------------------------------------------------------------- q170
 
   test("q170: streaming CMS wrapper accumulates the exact union sketch; fold preserves counters") {
