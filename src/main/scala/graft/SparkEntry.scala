@@ -352,6 +352,10 @@ object SparkEntry {
     // are exact-verified — decontamination as a join operator
     "q177_bloom_anti_join" ->
       ((s: SparkSession, d: String) => SketchOps.q177BloomAntiJoin(s, d)),
+    // streaming-maintained bloom store (OR-monoid rider): q157's
+    // incremental dedup with history kept current by ingest itself
+    "q178_bloom_stream_dedup" ->
+      ((s: SparkSession, d: String) => SketchOps.q178BloomStreamDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -433,6 +433,48 @@ object SketchOps {
         ($"n_release" - $"n_dup_history").as("n_fresh"))
   }
 
+  /** q178 — q157's incremental dedup through the STREAMING bloom
+    * store: history releases A and B arrive as two micro-batch shards
+    * appended by the stream, a genuine fold consolidates them
+    * (asserted — the q133 non-vacuity rule; OR is idempotent AND
+    * associative so the fold is exactly [[mergeBlooms]]), and release C
+    * probes the store read. From the probe on, the body is q157's
+    * verbatim (candidate checkpoint, candidate-bloom-prefiltered exact
+    * verify), so the oracle is q157's plain semi join — the stream
+    * maintenance is proven invisible to the result. At 100 TB dedup
+    * history is kept current by ingest itself: no nightly rebuild, one
+    * ≤ 128 KB shard per batch. */
+  def q178BloomStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.HistogramStream
+    val docs = load(s, dir, "documents")
+    val store = java.nio.file.Files.createTempDirectory("graft-q178").toString
+    val relA = docs.filter($"doc_id" % 3 === 0L)
+    val relB = docs.filter($"doc_id" % 3 === 1L)
+    val relC = docs.filter($"doc_id" % 3 === 2L)
+    HistogramStream.appendBloomShard(s, store, "batch_0",
+      buildBloom(relA, $"text"))
+    HistogramStream.appendBloomShard(s, store, "batch_1",
+      buildBloom(relB, $"text"))
+    HistogramStream.compactBloom(s, store)
+    val afterFold = HistogramStream.liveTags(s, store)
+    require(afterFold == Seq("folded-0"),
+      s"q178 gate is vacuous unless the fold ran: live tags $afterFold")
+    val history = HistogramStream.readBloomStore(s, store)
+      .localCheckpoint() // ≤ mBits/64 rows, reused by k broadcast builds
+    val candidates = bloomProbe(relC, $"text", history).localCheckpoint(false)
+    val candBloom = buildBloom(candidates, $"text")
+    val histTexts = bloomProbe(
+      relA.select($"text").union(relB.select($"text")), $"text", candBloom)
+      .distinct()
+    val dups = candidates.join(histTexts, Seq("text"), "left_semi")
+    val total = relC.groupBy($"source").agg(count(lit(1)).as("n_release"))
+    val dup = dups.groupBy($"source").agg(count(lit(1)).as("n_dup_history"))
+    total.join(dup, Seq("source"), "left")
+      .na.fill(0L, Seq("n_dup_history"))
+      .select($"source", $"n_release", $"n_dup_history",
+        ($"n_release" - $"n_dup_history").as("n_fresh"))
+  }
+
   /** q161 — decontamination through the PERSISTED shingle Bloom: the
     * eval suite's distinct 3-token shingles are sketched and written
     * ONCE ([[writeBloom]]); the corpus shingle stream probes the stored
@@ -1148,6 +1190,21 @@ object SketchOps {
         |    AS q_lo
         |FROM q""".stripMargin
 
+  /** Shared by q157 (batch persisted shards) and q178 (streaming bloom
+    * store with a mid-stream fold): both prefilters are exact-verified,
+    * so both gate against the bloom-free plain semi join. */
+  private val oraclesQ157: String =
+    """WITH rel AS (SELECT source, text FROM documents WHERE doc_id % 3 = 2),
+      |hist AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 < 2),
+      |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_release
+      |  FROM rel GROUP BY 1),
+      |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dup_history
+      |  FROM rel WHERE text IN (SELECT text FROM hist) GROUP BY 1)
+      |SELECT t.source, n_release,
+      |  coalesce(n_dup_history, 0) AS n_dup_history,
+      |  n_release - coalesce(n_dup_history, 0) AS n_fresh
+      |FROM t LEFT JOIN d ON t.source = d.source""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // q168 runs through two persisted log-bucket shards sum-merged;
     // the oracle replays bucket index + rank rule + representative
@@ -1196,17 +1253,10 @@ object SketchOps {
     // no bloom at all: plain semi-join of the new release against
     // history texts — hash equality proves no-false-negative + FP
     // removal through the persisted OR-merged path
-    "q157_bloom_incremental_dedup" ->
-      """WITH rel AS (SELECT source, text FROM documents WHERE doc_id % 3 = 2),
-        |hist AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 < 2),
-        |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_release
-        |  FROM rel GROUP BY 1),
-        |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dup_history
-        |  FROM rel WHERE text IN (SELECT text FROM hist) GROUP BY 1)
-        |SELECT t.source, n_release,
-        |  coalesce(n_dup_history, 0) AS n_dup_history,
-        |  n_release - coalesce(n_dup_history, 0) AS n_fresh
-        |FROM t LEFT JOIN d ON t.source = d.source""".stripMargin,
+    "q157_bloom_incremental_dedup" -> oraclesQ157,
+    // q178 is q157's semantics through the stream-maintained store
+    // (OR-fold ≡ mergeBlooms), so its oracle is q157's plain semi join
+    "q178_bloom_stream_dedup" -> oraclesQ157,
     // q161 is q67's semantics through the persisted sketch (no false
     // negatives + exact verify ⇒ identical result), so its oracle is
     // the SAME exact-containment SQL q67 gates against

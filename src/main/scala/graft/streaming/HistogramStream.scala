@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.SketchOps
@@ -120,19 +120,26 @@ object HistogramStream {
     if (!live.contains(tag)) commitTags(spark, store, live :+ tag)
   }
 
+  /** The shard MERGE, parameterized: sum for the count monoids
+    * (histogram, CMS, log-histogram), bitwise OR for Bloom. OR is also
+    * idempotent, so the Bloom rider would tolerate transient shard
+    * duplication — it inherits the manifest discipline anyway because
+    * the machinery is shared and the stricter contract costs nothing. */
   private def readSumStore(spark: SparkSession, store: String,
-      cols: Seq[String], empty: => DataFrame): DataFrame = {
+      cols: Seq[String], empty: => DataFrame,
+      merge: String => Column = n => sum(col(n))): DataFrame = {
     val live = liveTags(spark, store)
     if (live.isEmpty) empty
     else
       spark.read.parquet(s"$store/data")
         .filter($"btag".isin(live: _*))
         .groupBy(cols.dropRight(1).map(col): _*)
-        .agg(sum(col(cols.last)).as(cols.last))
+        .agg(merge(cols.last).as(cols.last))
   }
 
   private def compactSumStore(spark: SparkSession, store: String,
-      cols: Seq[String], empty: => DataFrame): Unit = {
+      cols: Seq[String], empty: => DataFrame,
+      merge: String => Column = n => sum(col(n))): Unit = {
     val live = liveTags(spark, store)
     if (live.size <= 1) return
     val fs = fsOf(spark, store)
@@ -147,7 +154,7 @@ object HistogramStream {
       case FoldRe(n) => n.toLong }.foldLeft(-1L)(_ max _) + 1)
     val staging = s"$store/.fold-staging"
     fs.delete(new Path(staging), true) // stale crash residue
-    readSumStore(spark, store, cols, empty).withColumn("btag", lit(next))
+    readSumStore(spark, store, cols, empty, merge).withColumn("btag", lit(next))
       .coalesce(1).sortWithinPartitions(cols.dropRight(1).map(col): _*)
       .write.partitionBy("btag").parquet(staging)
     val src = new Path(s"$staging/btag=$next")
@@ -221,6 +228,31 @@ object HistogramStream {
 
   def compactCms(spark: SparkSession, store: String): Unit =
     compactSumStore(spark, store, CmsCols, cmsEmpty(spark))
+
+  // ----------------------------------------------- Bloom twin (q178)
+
+  /** Bloom filters are the OR-monoid rider: a stream appends its
+    * per-batch membership sketch and the read is a word-wise OR over
+    * live shards — streaming-maintained incremental-dedup history
+    * (q157's artifact kept current by ingest itself). Each shard is ≤
+    * mBits/64 rows forever. */
+  private val BloomCols = Seq("word", "bits")
+
+  private def bloomMerge(n: String): Column = expr(s"bit_or($n)")
+
+  private def bloomEmpty(spark: SparkSession): DataFrame =
+    spark.range(0).select(lit(0L).as("word"), lit(0L).as("bits"))
+      .filter(lit(false))
+
+  def appendBloomShard(spark: SparkSession, store: String, tag: String,
+      bloom: DataFrame): Unit =
+    appendSumShard(spark, store, tag, bloom, BloomCols)
+
+  def readBloomStore(spark: SparkSession, store: String): DataFrame =
+    readSumStore(spark, store, BloomCols, bloomEmpty(spark), bloomMerge)
+
+  def compactBloom(spark: SparkSession, store: String): Unit =
+    compactSumStore(spark, store, BloomCols, bloomEmpty(spark), bloomMerge)
 
   // ---------------------------------------- log-histogram twin (q172)
 

@@ -474,6 +474,26 @@ class SketchOpsSpec extends AnyFunSuite {
       cust.filter(lit(false)), $"c_custkey").count() === orders.count())
   }
 
+  // ---------------------------------------------------------------- q178
+
+  test("q178: streaming bloom shards OR-fold to the bloom of the union, bit-for-bit") {
+    import graft.streaming.HistogramStream
+    val docs = load(spark, dir, "documents")
+    val store = java.nio.file.Files.createTempDirectory("graft-bloomstream").toString
+    HistogramStream.appendBloomShard(spark, store, "b0",
+      SketchOps.buildBloom(docs.filter($"doc_id" % 2 === 0), $"text"))
+    HistogramStream.appendBloomShard(spark, store, "b1",
+      SketchOps.buildBloom(docs.filter($"doc_id" % 2 === 1), $"text"))
+    def m(df: DataFrame): Map[Long, Long] = df.collect()
+      .map(r => r.getAs[Long]("word") -> r.getAs[Long]("bits")).toMap
+    val whole = m(SketchOps.buildBloom(docs, $"text"))
+    assert(m(HistogramStream.readBloomStore(spark, store)) === whole)
+    HistogramStream.compactBloom(spark, store)
+    assert(HistogramStream.liveTags(spark, store) === Seq("folded-0"))
+    assert(m(HistogramStream.readBloomStore(spark, store)) === whole,
+      "fold must not change a single bit")
+  }
+
   // ---------------------------------------------------------------- q170
 
   test("q170: streaming CMS wrapper accumulates the exact union sketch; fold preserves counters") {
