@@ -356,6 +356,10 @@ object SparkEntry {
     // incremental dedup with history kept current by ingest itself
     "q178_bloom_stream_dedup" ->
       ((s: SparkSession, d: String) => SketchOps.q178BloomStreamDedup(s, d)),
+    // corrupt-record quarantine at the parse boundary: flag, never
+    // drop — conservation is part of the gated result
+    "q179_json_quarantine" ->
+      ((s: SparkSession, d: String) => HygieneOps.q179JsonQuarantine(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -504,9 +504,66 @@ object HygieneOps {
   def q171KAnonRelease(s: SparkSession, dir: String, k: Long = 5L): DataFrame =
     kAnonRelease(load(s, dir, "documents"), k)
 
+  // ---------------------------------------------------------------- q179
+
+  /** Corrupt-record quarantine — the ingest-robustness discipline for
+    * semi-structured columns: parse with `from_json`, never drop. Every
+    * row gets a validity flag (struct parsed AND the required field
+    * present); consumers read the valid slice, auditors read the
+    * quarantine counts, and conservation (n_valid + n_quarantined =
+    * n_events) is part of the gated result — a malformed record can
+    * never silently vanish (the q64 refuse-or-account rule at the parse
+    * boundary). Pure per-row compute inside whole-stage codegen; the
+    * only shuffle is the accounting aggregate. */
+  def jsonFlagged(df: DataFrame, jsonCol: Column, ddl: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    // PERMISSIVE from_json yields a struct of NULL FIELDS for malformed
+    // input, not a null struct — validity must check the fields
+    val fieldsPresent = schema.fieldNames
+      .map(f => $"__parsed".getField(f).isNotNull).reduce(_ && _)
+    df.withColumn("__parsed", from_json(jsonCol, schema))
+      .withColumn("is_valid", $"__parsed".isNotNull && fieldsPresent)
+  }
+
+  /** q179 — quarantine accounting over the event props with corruption
+    * PLANTED deterministically (every 7th event's JSON gets a leading
+    * '{', malformed from byte 0 on both engines — the fixture-derivation
+    * rule, since the synthetic corpus carries no real corruption). */
+  def q179JsonQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .withColumn("p", when($"event_id" % 7 === 0,
+        concat(lit("{"), $"props")).otherwise($"props"))
+    jsonFlagged(ev, $"p", "k INT")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when($"is_valid", 1L).otherwise(0L)).as("n_valid"),
+        sum(when(!$"is_valid", 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when($"is_valid", $"__parsed".getField("k").cast("long"))
+          .otherwise(0L)).as("sum_k"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   val oracles: Map[String, String] = Map(
+    // q179: replay the planted corruption and the validity rule —
+    // conservation is IN the gated columns, so silent drops can't pass
+    "q179_json_quarantine" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN '{' || props ELSE props END AS p
+        |  FROM events),
+        |f AS (SELECT event_type,
+        |    CASE WHEN json_valid(p)
+        |      AND json_extract(p, '$.k') IS NOT NULL THEN 1 ELSE 0 END AS ok,
+        |    CASE WHEN json_valid(p)
+        |      THEN CAST(json_extract_string(p, '$.k') AS BIGINT)
+        |      ELSE 0 END AS k
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(ok) AS BIGINT) AS n_valid,
+        |  CAST(count(*) - sum(ok) AS BIGINT) AS n_quarantined,
+        |  CAST(sum(CASE WHEN ok = 1 THEN k ELSE 0 END) AS BIGINT) AS sum_k
+        |FROM f GROUP BY 1""".stripMargin,
     // q171: replay the cell aggregate, the k split, and the residual
     // roll-up — hash equality pins released cells AND conserved
     // suppressed mass

@@ -220,4 +220,26 @@ class HygieneOpsSpec extends AnyFunSuite {
     assert(out.collect { case ((_, l), v) if l != "__suppressed__" => v._1 }
       .forall(_ >= 5L))
   }
+
+  test("q179: quarantine flags malformed and field-missing JSON; conservation holds") {
+    val rows = Seq(
+      (1L, """{"k": 7}"""),      // valid
+      (2L, """{{"k": 7}"""),     // malformed from byte 0
+      (3L, """{"other": 1}"""),  // parses, required field absent
+      (4L, """not json at all""")
+    ).toDF("id", "p")
+    val out = HygieneOps.jsonFlagged(rows, $"p", "k INT")
+      .select($"id", $"is_valid").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    // gate-shape conservation on the real fixture
+    val acct = HygieneOps.q179JsonQuarantine(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(acct.nonEmpty)
+    acct.foreach { r =>
+      assert(r.getAs[Long]("n_valid") + r.getAs[Long]("n_quarantined") ===
+        r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("n_quarantined") > 0, "planted corruption missing")
+    }
+  }
 }
