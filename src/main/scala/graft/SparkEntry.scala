@@ -360,6 +360,10 @@ object SparkEntry {
     // drop — conservation is part of the gated result
     "q179_json_quarantine" ->
       ((s: SparkSession, d: String) => HygieneOps.q179JsonQuarantine(s, d)),
+    // global ntile from distributed ordinals — quantile assignment
+    // with no empty-partition window; oracle is DuckDB's native ntile
+    "q180_global_ntile" ->
+      ((s: SparkSession, d: String) => CurationOps.q180GlobalNtile(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -546,6 +546,35 @@ object CurationOps {
     denseOrdinals(load(s, dir, "documents").select($"doc_id"), $"doc_id")
       .select($"doc_id", $"ord", $"ordinal")
 
+  /** Global NTILE(k) without a global window — the quantile-ASSIGNMENT
+    * complement of [[denseOrdinals]] (which it builds on): standard SQL
+    * ntile splits n rows into k tiles whose sizes differ by at most
+    * one, the first n mod k tiles taking the extra row. That rule is
+    * pure integer arithmetic on the dense ordinal, so the tile comes
+    * from a map-only expression over the distributed numbering — no
+    * empty-partition WindowExec anywhere — and matches the engines'
+    * native `ntile` exactly (the oracle IS DuckDB's ntile). Corpus-wide
+    * decile tags (quality trims, curriculum buckets, stratified holds)
+    * at all-partitions parallelism. */
+  def globalNtile(df: DataFrame, idCol: Column, k: Int,
+      buckets: Int = 1024): DataFrame = {
+    require(k > 0, "k must be positive")
+    val withOrd = denseOrdinals(df, idCol, buckets)
+    val n = df.count() // one footer-backed count; n also bounds ordinal
+    val size = n / k
+    val rem = n % k
+    val cut = rem * (size + 1)
+    withOrd.withColumn("tile",
+      when($"ordinal" < cut, expr(s"ordinal div ${size + 1}L"))
+        .otherwise(lit(rem) +
+          expr(s"(ordinal - ${cut}L) div ${math.max(size, 1L)}L"))
+        + 1L)
+  }
+
+  def q180GlobalNtile(s: SparkSession, dir: String): DataFrame =
+    globalNtile(load(s, dir, "documents").select($"doc_id"), $"doc_id", 10)
+      .select($"doc_id", $"ordinal", $"tile")
+
   /** q175 — the END-TO-END release pipeline, composing the round-7..9
     * release operators into one flow with per-source funnel accounting
     * (the q80 discipline applied to the RELEASE side): domain cap
@@ -715,6 +744,20 @@ object CurationOps {
         |LEFT JOIN t1 USING (source) LEFT JOIN t2 USING (source)
         |LEFT JOIN t3 USING (source) LEFT JOIN t4 USING (source)"""
         .stripMargin,
+    // q180's oracle is DuckDB's NATIVE ntile over the same total order
+    // — hash equality proves the integer tile formula over distributed
+    // ordinals reproduces the engine's own ntile semantics
+    "q180_global_ntile" ->
+      """WITH o AS (SELECT doc_id,
+        |  ((doc_id % 1000003) * 2654435761 % 1000003) * 1000003
+        |  + ((((doc_id // 1000003) % 1000003)
+        |      + (doc_id % 1000003) * 2654435761 % 1000003) % 1000003)
+        |    * 2654435761 % 1000003 AS ord FROM documents)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY ord, doc_id) - 1 AS BIGINT)
+        |    AS ordinal,
+        |  CAST(ntile(10) OVER (ORDER BY ord, doc_id) AS BIGINT) AS tile
+        |FROM o""".stripMargin,
     // q173's oracle IS the single-partition global row_number the
     // operator refuses to plan — hash equality proves the bucketed
     // offset+window numbering reproduces it exactly

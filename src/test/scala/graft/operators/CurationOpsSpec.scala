@@ -393,6 +393,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.map(t => t._1 -> t._3).toMap === seven)
   }
 
+  // ---------------------------------------------------------------- q180
+
+  test("q180: distributed ntile ≡ Spark's native global ntile; sizes differ by ≤ 1") {
+    val docs = load(spark, dir, "documents").select($"doc_id")
+    val dist = CurationOps.globalNtile(docs, $"doc_id", 7, buckets = 11)
+      .select($"doc_id", $"tile").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = docs
+      .withColumn("ord", CurationOps.epochOrder($"doc_id", lit(0L)))
+      .withColumn("tile", ntile(7).over(
+        org.apache.spark.sql.expressions.Window.orderBy($"ord", $"doc_id"))
+        .cast("long"))
+      .select($"doc_id", $"tile").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === native)
+    val sizes = dist.values.groupBy(identity).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"tile sizes must differ by ≤ 1: $sizes")
+    // degenerate k > n: every row its own tile, numbered by ordinal
+    val tiny = (1L to 3L).toDF("doc_id")
+    val t = CurationOps.globalNtile(tiny, $"doc_id", 10)
+      .select($"ordinal", $"tile").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t === Map(0L -> 1L, 1L -> 2L, 2L -> 3L))
+  }
+
   // ---------------------------------------------------------------- q175
 
   test("q175: funnel is monotone per source and every stage genuinely cuts somewhere") {
