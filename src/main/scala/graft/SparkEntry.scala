@@ -364,6 +364,10 @@ object SparkEntry {
     // with no empty-partition window; oracle is DuckDB's native ntile
     "q180_global_ntile" ->
       ((s: SparkSession, d: String) => CurationOps.q180GlobalNtile(s, d)),
+    // CMS inner-product join-size estimate — the broadcast/salt advisor
+    // input read from two 2 MB sketches instead of either corpus
+    "q181_cms_join_size" ->
+      ((s: SparkSession, d: String) => SketchOps.q181CmsJoinSize(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

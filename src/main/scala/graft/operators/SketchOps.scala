@@ -693,6 +693,80 @@ object SketchOps {
       .filter($"n_exact" >= threshold)
   }
 
+  // ------------------------------------------------- CMS join-size estimate
+
+  /** [[buildCms]] with the SQL-replayable LCG hash (the q147 portable
+    * discipline) instead of the xxhash64 pair: positions for row j are
+    * (h₁ + (j+1)·h₂ + j²) mod w with h₁/h₂ the low/high 2^20 halves of
+    * [[portableHash]] — pure integer arithmetic both engines share, so
+    * a gate whose OUTPUT is a sketch-derived estimate (q181, where no
+    * exact verify can launder the hash away) replays bit-for-bit in
+    * DuckDB. The CMS overestimate theorem holds for ANY deterministic
+    * hash (collisions only add); hash quality affects accuracy only,
+    * which the ε·N error bound and the laws cover. Same (row, pos, n)
+    * schema as [[buildCms]], so [[writeCms]]/[[readCms]]/[[mergeCms]]
+    * serve both families — an artifact is one hash family forever,
+    * which the call sites own (mixing families would silently estimate
+    * garbage, like merging sketches of different widths). */
+  def buildCmsPortable(df: DataFrame, keyCol: Column,
+      w: Int = 65536, d: Int = 4): DataFrame =
+    df.select(portableHash(keyCol).as("h"))
+      .select(($"h" % 1048573L).as("h1"), expr("(h div 1048573) % 1048573").as("h2"))
+      .select(explode(array((0 until d).map { j =>
+        struct(lit(j).as("row"),
+          pmod($"h1" + lit(j + 1L) * $"h2" + lit(j.toLong * j), lit(w.toLong))
+            .as("pos"))
+      }: _*)).as("p"))
+      .groupBy($"p.row".as("row"), $"p.pos".as("pos"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Join-output-cardinality estimate from two CMS sketches — the
+    * Cormode–Muthukrishnan inner-product estimator: for each row j,
+    * Σ_pos nA[j][pos]·nB[j][pos] counts every true joining pair once
+    * PLUS nonnegative collision cross-terms, so min over the d rows
+    * NEVER undercounts |A ⋈ B| and overshoots by ≤ ε·|A|·|B| in
+    * expectation (ε = e/w). This is the shuffle-vs-broadcast-vs-salt
+    * advisor input at 100 TB: the true join size Σ_k cA(k)·cB(k) needs
+    * a key-domain-sized per-key-count join over both corpora, while
+    * this reads two d×w artifacts (2 MB each, e.g. from the persisted
+    * [[writeCms]] store) — the planner learns "this join explodes"
+    * without touching either table. Products accumulate in
+    * decimal(38,0): two 100 TB-corpus counters can each exceed 2^31,
+    * so a long·long product sum would overflow silently.
+    *
+    * Training-data-pipeline surface; the reference's planner has no
+    * analogue (its joins are index-nested over HDF5 region refs). */
+  def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame =
+    a.select($"row", $"pos", $"n".as("na"))
+      .join(broadcast(b.select($"row", $"pos", $"n".as("nb"))), Seq("row", "pos"))
+      .groupBy($"row")
+      .agg(sum($"na".cast("decimal(38,0)") * $"nb").as("ip"))
+      .agg(coalesce(min($"ip"), lit(0)).cast("long").as("est_pairs"))
+
+  /** q181 — join-size advisory on a genuinely many-to-many shape: the
+    * two event-id parity halves of `events` joined on `user_id`. The
+    * gated row carries the two input sizes, the EXACT join size (the
+    * key-domain-sized computation the estimator exists to avoid — in
+    * the gate precisely so the estimate's overshoot is exhibited and
+    * pinned cross-engine, the q147 error-in-the-gate convention), and
+    * the sketch estimate; hash equality proves the full portable-hash
+    * CMS pipeline — LCG, position derivation, counter sums, row-wise
+    * inner products, min — is integer-identical in both engines. */
+  def q181CmsJoinSize(s: SparkSession, dir: String,
+      w: Int = 65536, d: Int = 4): DataFrame = {
+    val ev = load(s, dir, "events")
+    val a = ev.filter($"event_id" % 2 === 0L).select($"user_id".as("k"))
+    val b = ev.filter($"event_id" % 2 === 1L).select($"user_id".as("k"))
+    val est = cmsInnerProduct(
+      buildCmsPortable(a, $"k", w, d), buildCmsPortable(b, $"k", w, d))
+    val exact = a.groupBy($"k").agg(count(lit(1)).as("na"))
+      .join(b.groupBy($"k").agg(count(lit(1)).as("nb")), "k")
+      .agg(coalesce(sum($"na".cast("decimal(38,0)") * $"nb"), lit(0))
+        .cast("long").as("exact_pairs"))
+    a.agg(count(lit(1)).as("n_a")).crossJoin(b.agg(count(lit(1)).as("n_b")))
+      .crossJoin(exact).crossJoin(est)
+  }
+
   // -------------------------------------------- persisted token histogram
 
   /** The (source, tok_n) → count histogram — q146's phase 1, exposed as
@@ -1210,6 +1284,36 @@ object SketchOps {
     // the oracle replays bucket index + rank rule + representative
     // inversion from the raw corpus in ONE pass
     "q168_log_quantiles_persisted" -> logQuantilesSql,
+    // q181's gated value IS a sketch-derived estimate (no exact verify
+    // can launder the hash away), so the oracle replays the ENTIRE
+    // portable-hash CMS pipeline — LCG, position derivation, counter
+    // sums, row-wise inner products, min — in pure integer SQL; the
+    // exact join size rides alongside so the overshoot is pinned too
+    "q181_cms_join_size" ->
+      """WITH a AS (SELECT user_id AS k FROM events WHERE event_id % 2 = 0),
+        |b AS (SELECT user_id AS k FROM events WHERE event_id % 2 = 1),
+        |ha AS (SELECT ((k % 1000003) * 2654435761 % 1000003) * 999983
+        |    + (k % 999983) * 1103515245 % 999983 AS h FROM a),
+        |hb AS (SELECT ((k % 1000003) * 2654435761 % 1000003) * 999983
+        |    + (k % 999983) * 1103515245 % 999983 AS h FROM b),
+        |pa AS (SELECT j,
+        |    (h % 1048573 + (j + 1) * ((h // 1048573) % 1048573) + j * j)
+        |      % 65536 AS pos, CAST(count(*) AS BIGINT) AS n
+        |  FROM ha, (SELECT unnest(generate_series(0, 3)) AS j) GROUP BY 1, 2),
+        |pb AS (SELECT j,
+        |    (h % 1048573 + (j + 1) * ((h // 1048573) % 1048573) + j * j)
+        |      % 65536 AS pos, CAST(count(*) AS BIGINT) AS n
+        |  FROM hb, (SELECT unnest(generate_series(0, 3)) AS j) GROUP BY 1, 2),
+        |ip AS (SELECT pa.j, sum(pa.n * pb.n) AS ip
+        |  FROM pa JOIN pb ON pa.j = pb.j AND pa.pos = pb.pos GROUP BY 1),
+        |ex AS (SELECT coalesce(sum(ca.n * cb.n), 0) AS exact_pairs
+        |  FROM (SELECT k, count(*) AS n FROM a GROUP BY 1) ca
+        |  JOIN (SELECT k, count(*) AS n FROM b GROUP BY 1) cb USING (k))
+        |SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+        |  CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+        |  CAST((SELECT exact_pairs FROM ex) AS BIGINT) AS exact_pairs,
+        |  CAST(coalesce((SELECT min(ip) FROM ip), 0) AS BIGINT) AS est_pairs"""
+        .stripMargin,
     // q172 is the same answer through the STREAMING store (exact bucket
     // sums ⇒ byte-identical) — same oracle
     "q172_loghist_stream_store" -> logQuantilesSql,

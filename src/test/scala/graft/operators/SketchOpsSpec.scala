@@ -316,6 +316,57 @@ class SketchOpsSpec extends AnyFunSuite {
       s"probe must not shuffle:\n$plan")
   }
 
+  // ---------------------------------------------------------------- q181
+
+  private def ip(a: DataFrame, b: DataFrame): Long =
+    SketchOps.cmsInnerProduct(
+      SketchOps.buildCmsPortable(a, $"k"), SketchOps.buildCmsPortable(b, $"k"))
+      .collect().head.getAs[Long]("est_pairs")
+
+  test("q181: inner-product estimate never undercounts the true join size") {
+    // many-to-many: key i occurs i times on A, (51-i) times on B
+    val a = (1L to 50L).flatMap(i => Seq.fill(i.toInt)(i)).toDF("k")
+    val b = (1L to 50L).flatMap(i => Seq.fill(51 - i.toInt)(i)).toDF("k")
+    val exact = (1L to 50L).map(i => i * (51L - i)).sum
+    assert(ip(a, b) >= exact, "CMS inner product must be an overestimate")
+  }
+
+  test("q181: single shared key is estimated exactly (no collisions possible)") {
+    // every row hashes to the same d positions, so each row's inner
+    // product is exactly nA*nB and the min is too
+    val a = Seq.fill(7)(42L).toDF("k")
+    val b = Seq.fill(11)(42L).toDF("k")
+    assert(ip(a, b) === 77L)
+  }
+
+  test("q181: disjoint key sets estimate collisions only, never below zero") {
+    val a = (1L to 100L).toDF("k")
+    val b = (10001L to 10100L).toDF("k")
+    val est = ip(a, b)
+    assert(est >= 0L, "estimate of an empty join must be nonnegative")
+  }
+
+  test("q181: portable sketches sum-merge like the xxhash family") {
+    val a = (1L to 200L).toDF("k")
+    val b = (150L to 400L).toDF("k")
+    val merged = SketchOps.mergeCms(
+      SketchOps.buildCmsPortable(a, $"k"), SketchOps.buildCmsPortable(b, $"k"))
+    assert(cmsMap(merged) ===
+      cmsMap(SketchOps.buildCmsPortable(a.union(b), $"k")))
+  }
+
+  test("q181: inner product through the persisted store == direct") {
+    val a = (1L to 300L).flatMap(i => Seq.fill((i % 3 + 1).toInt)(i)).toDF("k")
+    val b = (200L to 500L).toDF("k")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cmsip").toString
+    SketchOps.writeCms(SketchOps.buildCmsPortable(a, $"k"), s"$tmp/a")
+    SketchOps.writeCms(SketchOps.buildCmsPortable(b, $"k"), s"$tmp/b")
+    val stored = SketchOps.cmsInnerProduct(
+      SketchOps.readCms(spark, s"$tmp/a"), SketchOps.readCms(spark, s"$tmp/b"))
+      .collect().head.getAs[Long]("est_pairs")
+    assert(stored === ip(a, b))
+  }
+
   // ---------------------------------------------------------------- q167
 
   test("q167: planted campaign surfaces as emerging; established boilerplate does not") {
