@@ -368,6 +368,10 @@ object SparkEntry {
     // input read from two 2 MB sketches instead of either corpus
     "q181_cms_join_size" ->
       ((s: SparkSession, d: String) => SketchOps.q181CmsJoinSize(s, d)),
+    // incremental stats-manifest maintenance: delta files statted and
+    // appended without rescanning the table; gate plants a stale-miss
+    "q182_manifest_append" ->
+      ((s: SparkSession, d: String) => IndexOps.q182ManifestAppend(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -241,6 +241,47 @@ object IndexOps {
       .write.mode("overwrite").parquet(manifestPath)
   }
 
+  /** Incremental complement of [[writeStatsManifest]] — the
+    * nightly-ingest maintenance path: stat ONLY files the manifest does
+    * not cover yet and APPEND their rows. A 100 TB table's manifest is
+    * ~800 K rows, but last night's delta is a few hundred files; the
+    * full rebuild re-reads 100 TB for min/max while this opens just the
+    * new files (0 data files when already current — the no-op is free).
+    * New files come from one driver-side directory listing (the cost
+    * Spark's own FileIndex pays anyway) diffed against the manifest's
+    * `file` column by BASENAME — part-file names embed the writing
+    * task's UUID so they are globally unique, and basename matching is
+    * immune to listing-vs-`input_file_name` URI-scheme drift. Appended
+    * stats land as their own parquet part under the manifest directory
+    * (plain mode=append), which [[statsPrunedRead]] is blind to — it
+    * reads the directory. Returns the count of newly statted files.
+    *
+    * Same correctness contract as the full build: the manifest is
+    * semantics-free (pruning can only over-select; the residual
+    * predicate removes the excess), so a STALE manifest is the one
+    * failure mode — q182's gate plants exactly that scenario and the
+    * oracle's direct scan catches a missed delta file. */
+  def appendStatsManifest(s: SparkSession, tablePath: String,
+      cols: Seq[String], manifestPath: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val have = s.read.parquet(manifestPath).select($"file")
+      .collect().map(r => r.getString(0).split('/').last).toSet
+    val fs = new Path(tablePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fresh = fs.listStatus(new Path(tablePath)).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !have.contains(p.getName))
+    if (fresh.isEmpty) return 0
+    val df = s.read.parquet(fresh.map(_.toString).toIndexedSeq: _*)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    df.select(input_file_name().as("file") +: cols.map(col): _*)
+      .groupBy($"file").agg(aggs.head, aggs.tail: _*)
+      .coalesce(1).sortWithinPartitions($"file")
+      .write.mode("append").parquet(manifestPath)
+    fresh.length
+  }
+
   /** Read only the files whose [min, max] intersects EVERY range of the
     * conjunction, with the exact residual predicate applied on top —
     * result ≡ the full-scan filter (min/max intersection can only
@@ -269,6 +310,39 @@ object IndexOps {
   def statsPrunedRead(s: SparkSession, tablePath: String,
       manifestPath: String, colName: String, lo: Long, hi: Long): DataFrame =
     statsPrunedReadMulti(s, tablePath, manifestPath, Seq((colName, lo, hi)))
+
+  /** q182 — the incremental-manifest gate, planting the one failure
+    * mode [[appendStatsManifest]] can have: the base table (user_id
+    * NOT ≡ 0 mod 5) is manifested, a DELTA batch (user_id ≡ 0 mod 5 —
+    * deliberately INSIDE the probe range, so a stale manifest would
+    * drop users 10, 15 … 40 from the answer) appends as its own files,
+    * the manifest is incrementally appended, and the pruned read must
+    * reproduce the direct scan of the WHOLE table. The append statting
+    * zero files would make the gate vacuous — required non-zero or the
+    * query throws (the q133 non-vacuity rule). */
+  def q182ManifestAppend(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q182").toString
+    val table = s"$tmp/events_inc"
+    val ev = load(s, dir, "events")
+    ev.filter($"user_id" % 5 =!= 0L)
+      .repartitionByRange(6, $"user_id")
+      .sortWithinPartitions($"user_id", $"ts")
+      .write.mode("overwrite").parquet(table)
+    writeStatsManifest(s, table, Seq("user_id", "event_id"), s"$tmp/manifest")
+    ev.filter($"user_id" % 5 === 0L)
+      .repartitionByRange(2, $"user_id")
+      .sortWithinPartitions($"user_id", $"ts")
+      .write.mode("append").parquet(table)
+    val nNew = appendStatsManifest(
+      s, table, Seq("user_id", "event_id"), s"$tmp/manifest")
+    require(nNew > 0, "q182 gate is vacuous unless the append statted new files")
+    statsPrunedRead(s, table, s"$tmp/manifest", "user_id", 10L, 40L)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        min($"event_id").as("min_event"), max($"event_id").as("max_event"))
+  }
 
   // --------------------------------------------------------------- q174
 
@@ -384,6 +458,16 @@ object IndexOps {
     // q158 rewrites nothing semantically: the manifest path must equal
     // the direct predicate scan, so the oracle IS the direct scan
     "q158_manifest_prune" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  min(event_id) AS min_event, max(event_id) AS max_event
+        |FROM events WHERE user_id BETWEEN 10 AND 40
+        |GROUP BY 1""".stripMargin,
+    // q182 is the same semantics-free contract through the INCREMENTAL
+    // manifest — base + delta must answer like the raw table, so the
+    // oracle is q158's direct scan verbatim; a stale manifest would
+    // drop the delta's in-range users and hash-mismatch
+    "q182_manifest_append" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  min(event_id) AS min_event, max(event_id) AS max_event

@@ -226,6 +226,50 @@ class IndexOpsSpec extends AnyFunSuite {
       $"event_id".between(0L, 5000L)).count())
   }
 
+  // ---------------------------------------------------------------- q182
+
+  test("q182: incremental append ≡ full rebuild; already-current is a free no-op") {
+    val ev = load(spark, dir, "events")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-apmanifest").toString
+    ev.filter($"user_id" % 5 =!= 0L)
+      .repartitionByRange(6, $"user_id")
+      .sortWithinPartitions($"user_id", $"ts")
+      .write.mode("overwrite").parquet(s"$tmp/t")
+    IndexOps.writeStatsManifest(spark, s"$tmp/t",
+      Seq("user_id", "event_id"), s"$tmp/m")
+    val baseFiles = spark.read.parquet(s"$tmp/t").inputFiles.length
+    ev.filter($"user_id" % 5 === 0L)
+      .repartitionByRange(2, $"user_id")
+      .sortWithinPartitions($"user_id", $"ts")
+      .write.mode("append").parquet(s"$tmp/t")
+    val total = spark.read.parquet(s"$tmp/t").inputFiles.length
+    assert(total > baseFiles, "delta batch must land as its own files")
+    // append stats exactly the delta's files
+    val nNew = IndexOps.appendStatsManifest(spark, s"$tmp/t",
+      Seq("user_id", "event_id"), s"$tmp/m")
+    assert(nNew === total - baseFiles)
+    // appended manifest row-set == a from-scratch rebuild (keyed by
+    // basename: the rebuild re-stats the same physical files)
+    def rows(p: String) = spark.read.parquet(p).collect().map { r =>
+      (r.getAs[String]("file").split('/').last,
+        r.getAs[Long]("min_user_id"), r.getAs[Long]("max_user_id"),
+        r.getAs[Long]("min_event_id"), r.getAs[Long]("max_event_id"),
+        r.getAs[Long]("n_rows"))
+    }.toSet
+    IndexOps.writeStatsManifest(spark, s"$tmp/t",
+      Seq("user_id", "event_id"), s"$tmp/m2")
+    assert(rows(s"$tmp/m") === rows(s"$tmp/m2"))
+    // a second append finds nothing, stats nothing, changes nothing
+    val before = rows(s"$tmp/m")
+    assert(IndexOps.appendStatsManifest(spark, s"$tmp/t",
+      Seq("user_id", "event_id"), s"$tmp/m") === 0)
+    assert(rows(s"$tmp/m") === before)
+    // pruned read through the appended manifest ≡ the direct filter
+    val pruned = IndexOps.statsPrunedRead(
+      spark, s"$tmp/t", s"$tmp/m", "user_id", 10L, 40L)
+    assert(pruned.count() === ev.filter($"user_id".between(10L, 40L)).count())
+  }
+
   test("q174: compaction folds the fragment layout without changing a row") {
     import graft.Tables.load
     val docs = load(spark, dir, "documents")
