@@ -372,6 +372,10 @@ object SparkEntry {
     // appended without rescanning the table; gate plants a stale-miss
     "q182_manifest_append" ->
       ((s: SparkSession, d: String) => IndexOps.q182ManifestAppend(s, d)),
+    // multi-probe LSH: Hamming-1 probe ring recovers single-probe's
+    // recall loss without multiplying index tables — one equi-join
+    "q183_multiprobe_recall" ->
+      ((s: SparkSession, d: String) => VectorOps.q183MultiProbeRecall(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

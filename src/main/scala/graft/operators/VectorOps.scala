@@ -944,6 +944,64 @@ object VectorOps {
         count(when($"same_bucket", lit(1))).as("n_bucket"))
   }
 
+  /** Multi-probe LSH candidate generation (Lv et al., VLDB 2007): probe
+    * not just the query's own signature bucket but every bucket at
+    * Hamming distance 1 — a near-neighbor that lost ONE plane's coin
+    * flip lands there, which is the dominant miss mode of single-probe
+    * LSH. The 100 TB shape is the point: recall is recovered WITHOUT
+    * multiplying index tables (the classic L-tables remedy multiplies
+    * storage and build passes by L), and the plan stays ONE equi-join —
+    * each probe explodes to its nPlanes+1 bucket keys (map-side,
+    * nPlanes+1 rows per probe) joined on the data side's signature.
+    * Candidate volume grows only by the neighbor buckets' occupancy
+    * (≈ (nPlanes+1)× the expected bucket size). No dedup pass is
+    * needed: a vector has ONE signature and the probed keys are
+    * pairwise distinct, so each (probe, vector) pair matches at most
+    * once — the q81 exactly-one-bucket discipline. */
+  def multiProbeCandidates(data: DataFrame, probes: DataFrame,
+      nPlanes: Int): DataFrame = {
+    val keys = probes.select($"pid", $"psig",
+      explode(array(($"psig" +: (0 until nPlanes).map(p =>
+        $"psig".bitwiseXOR(lit(1L << p)))): _*)).as("bsig"))
+    data.join(keys, data("sig") === keys("bsig")).drop("bsig")
+  }
+
+  /** q183 — multi-probe recall measurement, q72's harness extended with
+    * the Hamming-1 probe ring: per probe vector, exact top-10 recall
+    * and candidate volume under single-probe (own bucket) vs
+    * multi-probe. The candidates come through [[multiProbeCandidates]]'
+    * equi-join — the scale path IS the measured path; the exact
+    * all-pairs ranking exists only because the gate's job is to measure
+    * recall against ground truth (5 probes × corpus, broadcast-bounded,
+    * the q72 convention). Multi-probe counts dominate single-probe
+    * counts row-by-row — a law AnnSpec pins and the gate exhibits. */
+  def q183MultiProbeRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+      .withColumn("sig", signatureCol($"embedding", 64, 6))
+    val probes = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("pid"), $"sig".as("psig"), $"embedding".as("pemb"))
+    val cands = multiProbeCandidates(
+        emb.select($"vec_id", $"sig"),
+        probes.select($"pid", $"psig"), 6)
+      .filter($"vec_id" =!= $"pid")
+      .select($"pid", $"vec_id", ($"sig" === $"psig").as("own_bucket"))
+    val scored = emb.join(broadcast(probes), $"vec_id" =!= $"pid")
+      .select($"pid", $"vec_id",
+        floor(cosine($"embedding", $"pemb") * 1e6 + 0.5).cast("long").as("cs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pid").orderBy($"cs".desc, $"vec_id")
+    scored.withColumn("rk", row_number().over(w))
+      .join(cands, Seq("pid", "vec_id"), "left")
+      .groupBy($"pid")
+      .agg(
+        count(when($"rk" <= 10 && coalesce($"own_bucket", lit(false)), lit(1)))
+          .as("n_topk_single"),
+        count(when($"rk" <= 10 && $"own_bucket".isNotNull, lit(1)))
+          .as("n_topk_multi"),
+        count(when(coalesce($"own_bucket", lit(false)), lit(1))).as("n_single"),
+        count(when($"own_bucket".isNotNull, lit(1))).as("n_multi"))
+  }
+
   /** Semantic decontamination scoring — the embedding-space complement
     * of n-gram decontamination (q55/q67): an eval item paraphrased into
     * the training set shares no shingles but sits next to it in
@@ -1172,6 +1230,29 @@ object VectorOps {
          |rk AS (SELECT pid, vec_id, row_number() OVER (PARTITION BY pid ORDER BY cs DESC, vec_id) AS rk FROM cs)
          |SELECT pid, CAST(count(CASE WHEN rk.rk <= 10 AND sb.same THEN 1 END) AS BIGINT) AS n_topk_in_bucket,
          |CAST(count(CASE WHEN sb.same THEN 1 END) AS BIGINT) AS n_bucket
+         |FROM rk JOIN sb USING (pid, vec_id) GROUP BY 1""".stripMargin,
+    // q183 replays q72's signature + exact-rank harness with the
+    // Hamming-1 probe ring via xor/bit_count — membership in the
+    // multi-probe candidate set is bit_count(xor(sig, psig)) <= 1,
+    // which must equal the Spark side's bucket-explode equi-join
+    "q183_multiprobe_recall" ->
+      s"""WITH s AS (SELECT vec_id, ${signatureSql("embedding", 64, 6)} AS sig, embedding FROM embeddings),
+         |p AS (SELECT vec_id AS pid, sig AS psig FROM s WHERE vec_id < 5),
+         |u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |  generate_subscripts(embedding,1) AS i FROM embeddings),
+         |cs AS (SELECT p.pid, a.vec_id,
+         |  CAST(floor(sum(a.v*b.v)/(sqrt(sum(a.v*a.v))*sqrt(sum(b.v*b.v))) * 1e6 + 0.5) AS BIGINT) AS cs
+         |  FROM p JOIN u a ON a.vec_id != p.pid JOIN u b ON b.vec_id = p.pid AND b.i = a.i
+         |  GROUP BY 1,2),
+         |sb AS (SELECT p.pid, s.vec_id, s.sig = p.psig AS own,
+         |  bit_count(xor(s.sig, p.psig)) <= 1 AS probed
+         |  FROM p JOIN s ON s.vec_id != p.pid),
+         |rk AS (SELECT pid, vec_id, row_number() OVER (PARTITION BY pid ORDER BY cs DESC, vec_id) AS rk FROM cs)
+         |SELECT pid,
+         |CAST(count(CASE WHEN rk.rk <= 10 AND sb.own THEN 1 END) AS BIGINT) AS n_topk_single,
+         |CAST(count(CASE WHEN rk.rk <= 10 AND sb.probed THEN 1 END) AS BIGINT) AS n_topk_multi,
+         |CAST(count(CASE WHEN sb.own THEN 1 END) AS BIGINT) AS n_single,
+         |CAST(count(CASE WHEN sb.probed THEN 1 END) AS BIGINT) AS n_multi
          |FROM rk JOIN sb USING (pid, vec_id) GROUP BY 1""".stripMargin,
     "q57_kmeans_iter" ->
       """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

@@ -498,4 +498,41 @@ class AnnSpec extends AnyFunSuite {
     assert(out.head._2 == top10.count(_._3))
     assert(out.head._3 == scored.count(_._3))
   }
+
+  // ---------------------------------------------------------------- q183
+
+  test("q183: bucket-explode equi-join candidates ≡ Hamming<=1 membership") {
+    val emb = load(spark, dir, "embeddings")
+      .withColumn("sig", VectorOps.signatureCol($"embedding", 64, 6))
+    val probes = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("pid"), $"sig".as("psig"))
+    val viaJoin = VectorOps.multiProbeCandidates(
+        emb.select($"vec_id", $"sig"), probes, 6)
+      .select($"pid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaHamming = emb.select($"vec_id", $"sig").crossJoin(probes)
+      .filter(expr("bit_count(sig ^ psig) <= 1"))
+      .select($"pid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaJoin === viaHamming && viaJoin.nonEmpty)
+  }
+
+  test("q183: multi-probe dominates single-probe, probe ring finds 1-flip neighbors") {
+    val out = VectorOps.q183MultiProbeRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    for ((pid, tkS, tkM, nS, nM) <- out) {
+      assert(tkM >= tkS, s"probe $pid: multi top-k recall below single")
+      assert(nM >= nS, s"probe $pid: multi candidates below single")
+      assert(tkM <= 10L && tkS <= tkM && nS <= nM)
+    }
+    // a planted vector whose signature differs from the probe's in
+    // exactly one plane is a multi-probe candidate, never single-probe
+    val probes = Seq((100L, 5L)).toDF("pid", "psig")
+    val data = Seq((1L, 5L), (2L, 5L ^ 8L), (3L, 5L ^ 24L)).toDF("vec_id", "sig")
+    val cand = VectorOps.multiProbeCandidates(data, probes, 6)
+      .select($"vec_id", ($"sig" === $"psig").as("own")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(cand === Map(1L -> true, 2L -> false), cand.toString)
+  }
 }
