@@ -376,6 +376,10 @@ object SparkEntry {
     // recall loss without multiplying index tables — one equi-join
     "q183_multiprobe_recall" ->
       ((s: SparkSession, d: String) => VectorOps.q183MultiProbeRecall(s, d)),
+    // perceptual image dedup: integer-exact aHash over the REAL PNG
+    // decode path, bit_xor fold pins every hash value cross-engine
+    "q184_image_ahash" ->
+      ((s: SparkSession, d: String) => MultimodalOps.q184ImageAHashDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

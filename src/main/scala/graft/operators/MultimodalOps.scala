@@ -131,6 +131,71 @@ object MultimodalOps {
         sum(col("pixel_sum")).cast("long").as("sum_lum"))
   }
 
+  /** 64-bit average-hash (aHash) over a decoded grayscale raster — the
+    * perceptual-dedup fingerprint: pool the grid into 8×8 cells by
+    * integer bucketing (cell = (y·8 div h, x·8 div w) — every pixel in
+    * exactly one cell, uneven tails absorbed), set bit c iff cell c's
+    * mean ≥ the global mean. Both comparisons are cleared of division
+    * (s_c·N ≥ S·n_c, all nonnegative longs), so the hash is
+    * INTEGER-EXACT and engine-replayable — no float mean anywhere. The
+    * hash is brightness-shift invariant by construction (adding δ to
+    * every pixel adds δ·n_c·N to both sides) — the property that makes
+    * it perceptual rather than cryptographic: re-encodes, format
+    * conversions, and global exposure changes keep the fingerprint
+    * while md5-style exact hashing loses it. Cells with no pixels
+    * (h < 8 leaves cy gaps) contribute 0 on both engines. */
+  def aHash(px: Array[Int], w: Int, h: Int): Long = {
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < px.length) {
+      val c = ((i / w) * 8 / h) * 8 + ((i % w) * 8 / w)
+      sums(c) += px(i); cnts(c) += 1; total += px(i)
+      i += 1
+    }
+    val n = px.length.toLong
+    var hash = 0L
+    var c = 0
+    while (c < 64) {
+      if (cnts(c) > 0 && sums(c) * n >= total * cnts(c)) hash |= (1L << c)
+      c += 1
+    }
+    hash
+  }
+
+  /** q184 — perceptual image dedup: every document's REAL PNG payload
+    * is decoded and aHash-fingerprinted per partition (no shuffle until
+    * the group), then grouped by (source, ahash) — images whose 8×8
+    * luminance structure collides are one perceptual group, the binary
+    * exact-dedup's (q17) robust sibling. Gated per source: doc count,
+    * distinct fingerprints, collision groups/docs, and the bit_xor fold
+    * of the fingerprints themselves — the fold pins every HASH VALUE
+    * cross-engine, so the whole decode → pool → threshold pipeline is
+    * hash-gated through the real codec (the q29 construction: the
+    * raster is the text's bytes, so the oracle rebuilds each raster
+    * from character codes in SQL). At 100 TB: decode is embarrassingly
+    * parallel, the group key is 8 bytes, and the aggregate is
+    * map-side-combinable — the same shape as exact dedup. */
+  def q184ImageAHashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = mediaTable(s, dir).mapPartitions { rows =>
+      rows.map(r => (r.doc_id, aHash(decodePixels(r.media), r.width, r.height)))
+    }.toDF("doc_id", "ahash")
+    hashed.join(load(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("source"), col("ahash"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("k")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_hashes"),
+        count(when(col("k") > 1, lit(1))).as("n_dup_groups"),
+        coalesce(sum(when(col("k") > 1, col("k"))), lit(0)).cast("long")
+          .as("n_dup_docs"),
+        expr("CAST(bit_xor(ahash) AS BIGINT)").as("hash_fold"))
+  }
+
   /** Frame-sampling shape op: split each payload into fixed-size "frames"
     * and explode — the video-frame-sample plumbing (byte-slicing layer;
     * content-agnostic by design). */
@@ -316,6 +381,43 @@ object MultimodalOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // q184 rebuilds every raster from character codes (the q29
+    // construction: pixel i of a doc's image is byte i of its text,
+    // zero-padded to the 16-wide grid), pools 8×8 cells by the same
+    // integer bucketing, clears the mean comparison of division, and
+    // bit_or's the cell masks — bit 63's mask is the explicit
+    // Long.MinValue literal because DuckDB refuses 1<<63. The bit_xor
+    // fold pins every hash VALUE, not just the group structure.
+    "q184_image_ahash" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |    CAST(greatest((length(text) + 15) // 16, 1) AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, source, h,
+        |    ((i - 1) // 16) AS y, ((i - 1) % 16) AS x,
+        |    CASE WHEN i <= length(text)
+        |      THEN unicode(substr(text, CAST(i AS INT), 1)) ELSE 0 END AS v
+        |  FROM (SELECT doc_id, source, text, h,
+        |          unnest(generate_series(1, h * 16)) AS i FROM d)),
+        |cells AS (SELECT doc_id, source,
+        |    ((y * 8) // h) * 8 + ((x * 8) // 16) AS c,
+        |    sum(v) AS s, count(*) AS nc
+        |  FROM px GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, sum(s) AS ts, sum(nc) AS tn
+        |  FROM cells GROUP BY 1),
+        |bits AS (SELECT cells.doc_id, source,
+        |    CAST(bit_or(CASE WHEN s * tn >= ts * nc THEN
+        |        CASE WHEN c = 63 THEN (-9223372036854775807 - 1)
+        |          ELSE CAST(1 AS BIGINT) << CAST(c AS INT) END
+        |      ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM cells JOIN tot USING (doc_id) GROUP BY 1, 2),
+        |g AS (SELECT source, ahash, count(*) AS k FROM bits GROUP BY 1, 2)
+        |SELECT source, CAST(sum(k) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_hashes,
+        |  CAST(count(CASE WHEN k > 1 THEN 1 END) AS BIGINT) AS n_dup_groups,
+        |  CAST(coalesce(sum(CASE WHEN k > 1 THEN k END), 0) AS BIGINT)
+        |    AS n_dup_docs,
+        |  CAST(bit_xor(ahash) AS BIGINT) AS hash_fold
+        |FROM g GROUP BY 1""".stripMargin,
     // sampled-frame geometry and luminance recomputed from the text:
     // frame f holds chars [64f, 64f+64); sampled iff f even; a frame of
     // s bytes decodes to 16·max(1,ceil(s/16)) pixels (encodePng geometry)

@@ -125,4 +125,41 @@ class MultimodalSpec extends AnyFunSuite {
     val sampledLum = Seq(0, 2).map(f => MultimodalOps.decodePixels(frames(f)).sum).sum
     assert(sampledLum == 64 * 'a'.toInt + 64 * 'c'.toInt)
   }
+
+  // ---------------------------------------------------------------- q184
+
+  test("q184: aHash is invariant to a global brightness shift") {
+    // 16x16 gradient raster; +40 to every pixel must not flip any bit
+    // (s_c·N >= S·n_c gains δ·n_c·N on both sides)
+    val base = Array.tabulate(256)(i => (i * 200) / 256)
+    val shifted = base.map(_ + 40)
+    assert(MultimodalOps.aHash(base, 16, 16) ===
+      MultimodalOps.aHash(shifted, 16, 16))
+  }
+
+  test("q184: aHash survives a PNG encode/decode roundtrip; structure matters") {
+    val text = ("the quick brown fox " * 20).getBytes("UTF-8")
+    val (png, w, h) = MultimodalOps.encodePng(text)
+    val direct = MultimodalOps.aHash(
+      text.map(_ & 0xff).padTo(w * h, 0), w, h)
+    val decoded = MultimodalOps.aHash(MultimodalOps.decodePixels(png), w, h)
+    assert(direct === decoded, "lossless codec must preserve the fingerprint")
+    // opposite gradients have opposite bright halves => different hashes
+    val up = Array.tabulate(256)(i => i)
+    val down = up.reverse
+    assert(MultimodalOps.aHash(up, 16, 16) !==
+      MultimodalOps.aHash(down, 16, 16))
+  }
+
+  test("q184: gated counts conserve the corpus and bound collisions") {
+    val dir = "/root/testdata/sf0.001"
+    val out = MultimodalOps.q184ImageAHashDedup(spark, dir).collect()
+    val docs = graft.Tables.load(spark, dir, "documents")
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    for (r <- out) {
+      assert(r.getAs[Long]("n_hashes") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_dup_docs") >= 2 * r.getAs[Long]("n_dup_groups")
+        || r.getAs[Long]("n_dup_groups") === 0L)
+    }
+  }
 }
