@@ -380,6 +380,10 @@ object SparkEntry {
     // decode path, bit_xor fold pins every hash value cross-engine
     "q184_image_ahash" ->
       ((s: SparkSession, d: String) => MultimodalOps.q184ImageAHashDedup(s, d)),
+    // perceptual near-dup pairs: pigeonhole-exact banded Hamming join,
+    // oracle is the brute-force all-pairs scan with no banding
+    "q185_image_neardup" ->
+      ((s: SparkSession, d: String) => MultimodalOps.q185ImageNearDup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

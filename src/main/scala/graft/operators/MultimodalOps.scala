@@ -196,6 +196,70 @@ object MultimodalOps {
         expr("CAST(bit_xor(ahash) AS BIGINT)").as("hash_fold"))
   }
 
+  /** Banded Hamming near-dup pairs over 64-bit fingerprints —
+    * pigeonhole-EXACT blocking: split the hash into maxHam+1 equal bit
+    * bands; hashes within Hamming distance maxHam differ in ≤ maxHam
+    * bands, so they SHARE at least one band value untouched — every
+    * true pair is a candidate, zero false negatives BY THEOREM (the
+    * q95/q156 exactness-by-construction discipline; the minhash
+    * banding idea, but here lossless because Hamming, unlike Jaccard,
+    * pigeonholes). The self-join runs on (band_idx, band_value) —
+    * candidate volume is Σ band-bucket-choose-2, never all-pairs —
+    * then the exact bit_count verify drops false candidates and
+    * `distinct` collapses multi-band matches (a pair sharing two bands
+    * is one pair). At 100 TB this is the image-side MinHash+LSH: one
+    * explode (4 rows/doc), one shuffle on a ≤ 16-bit-value key, exact
+    * verify only within buckets. */
+  def aHashNearDupPairs(hashed: DataFrame, maxHam: Int = 3): DataFrame = {
+    require(maxHam >= 0 && 64 % (maxHam + 1) == 0,
+      s"band count ${maxHam + 1} must divide 64")
+    val nb = maxHam + 1
+    val width = 64 / nb
+    val mask = (1L << width) - 1
+    val banded = hashed.select(col("doc_id"), col("ahash"),
+        explode(array((0 until nb).map { b =>
+          struct(lit(b).as("bi"),
+            expr(s"shiftrightunsigned(ahash, ${b * width}) & $mask").as("bv"))
+        }: _*)).as("band"))
+      .select(col("doc_id"), col("ahash"),
+        col("band.bi").as("bi"), col("band.bv").as("bv"))
+    val a = banded.select(col("doc_id").as("ia"), col("ahash").as("ha"),
+      col("bi"), col("bv"))
+    val b = banded.select(col("doc_id").as("ib"), col("ahash").as("hb"),
+      col("bi"), col("bv"))
+    a.join(b, Seq("bi", "bv")).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), col("ha"), col("hb")).distinct()
+      .filter(expr(s"bit_count(ha ^ hb) <= $maxHam"))
+      .withColumn("ham", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+  }
+
+  /** q185 — perceptual NEAR-dup image pairs (q184 finds exact
+    * fingerprint collisions; this finds fingerprints within Hamming 3 —
+    * images whose 8×8 luminance structure differs in at most three
+    * cells). Gated: pair count, same-source pairs, the distance
+    * spectrum d0..d3, and a bit_xor fold of the pair identities — the
+    * fold pins WHICH pairs were found, so a banding bug that drops one
+    * candidate hash-mismatches even if the counts happened to survive. */
+  def q185ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = mediaTable(s, dir).mapPartitions { rows =>
+      rows.map(r => (r.doc_id, aHash(decodePixels(r.media), r.width, r.height)))
+    }.toDF("doc_id", "ahash")
+    val src = load(s, dir, "documents").select(col("doc_id"), col("source"))
+    aHashNearDupPairs(hashed, 3)
+      .join(src.select(col("doc_id").as("ia"), col("source").as("sa")), "ia")
+      .join(src.select(col("doc_id").as("ib"), col("source").as("sb")), "ib")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(col("sa") === col("sb"), lit(1))).as("n_same_source"),
+        count(when(col("ham") === 0L, lit(1))).as("n_d0"),
+        count(when(col("ham") === 1L, lit(1))).as("n_d1"),
+        count(when(col("ham") === 2L, lit(1))).as("n_d2"),
+        count(when(col("ham") === 3L, lit(1))).as("n_d3"),
+        expr("CAST(coalesce(bit_xor(ia ^ (ib * 2654435761)), 0) AS BIGINT)")
+          .as("pair_fold"))
+  }
+
   /** Frame-sampling shape op: split each payload into fixed-size "frames"
     * and explode — the video-frame-sample plumbing (byte-slicing layer;
     * content-agnostic by design). */
@@ -380,36 +444,41 @@ object MultimodalOps {
         sum(col("sum_lum")).cast("long").as("sum_lum"))
   }
 
+  /** Shared oracle prefix: rebuild every document's aHash from
+    * character codes (the q29 construction: pixel i of a doc's image
+    * is byte i of its text, zero-padded to the 16-wide grid), pool 8×8
+    * cells by the same integer bucketing, clear the mean comparison of
+    * division, and bit_or the cell masks — bit 63's mask is the
+    * explicit Long.MinValue literal because DuckDB refuses 1<<63.
+    * Yields `bits(doc_id, source, ahash)`. */
+  private val aHashBitsSql: String =
+    """WITH d AS (SELECT doc_id, source, text,
+      |    CAST(greatest((length(text) + 15) // 16, 1) AS BIGINT) AS h
+      |  FROM documents),
+      |px AS (SELECT doc_id, source, h,
+      |    ((i - 1) // 16) AS y, ((i - 1) % 16) AS x,
+      |    CASE WHEN i <= length(text)
+      |      THEN unicode(substr(text, CAST(i AS INT), 1)) ELSE 0 END AS v
+      |  FROM (SELECT doc_id, source, text, h,
+      |          unnest(generate_series(1, h * 16)) AS i FROM d)),
+      |cells AS (SELECT doc_id, source,
+      |    ((y * 8) // h) * 8 + ((x * 8) // 16) AS c,
+      |    sum(v) AS s, count(*) AS nc
+      |  FROM px GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, sum(s) AS ts, sum(nc) AS tn
+      |  FROM cells GROUP BY 1),
+      |bits AS (SELECT cells.doc_id, source,
+      |    CAST(bit_or(CASE WHEN s * tn >= ts * nc THEN
+      |        CASE WHEN c = 63 THEN (-9223372036854775807 - 1)
+      |          ELSE CAST(1 AS BIGINT) << CAST(c AS INT) END
+      |      ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM cells JOIN tot USING (doc_id) GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // q184 rebuilds every raster from character codes (the q29
-    // construction: pixel i of a doc's image is byte i of its text,
-    // zero-padded to the 16-wide grid), pools 8×8 cells by the same
-    // integer bucketing, clears the mean comparison of division, and
-    // bit_or's the cell masks — bit 63's mask is the explicit
-    // Long.MinValue literal because DuckDB refuses 1<<63. The bit_xor
-    // fold pins every hash VALUE, not just the group structure.
+    // q184: the bit_xor fold pins every hash VALUE, not just the
+    // group structure (raster replay: see aHashBitsSql)
     "q184_image_ahash" ->
-      """WITH d AS (SELECT doc_id, source, text,
-        |    CAST(greatest((length(text) + 15) // 16, 1) AS BIGINT) AS h
-        |  FROM documents),
-        |px AS (SELECT doc_id, source, h,
-        |    ((i - 1) // 16) AS y, ((i - 1) % 16) AS x,
-        |    CASE WHEN i <= length(text)
-        |      THEN unicode(substr(text, CAST(i AS INT), 1)) ELSE 0 END AS v
-        |  FROM (SELECT doc_id, source, text, h,
-        |          unnest(generate_series(1, h * 16)) AS i FROM d)),
-        |cells AS (SELECT doc_id, source,
-        |    ((y * 8) // h) * 8 + ((x * 8) // 16) AS c,
-        |    sum(v) AS s, count(*) AS nc
-        |  FROM px GROUP BY 1, 2, 3),
-        |tot AS (SELECT doc_id, sum(s) AS ts, sum(nc) AS tn
-        |  FROM cells GROUP BY 1),
-        |bits AS (SELECT cells.doc_id, source,
-        |    CAST(bit_or(CASE WHEN s * tn >= ts * nc THEN
-        |        CASE WHEN c = 63 THEN (-9223372036854775807 - 1)
-        |          ELSE CAST(1 AS BIGINT) << CAST(c AS INT) END
-        |      ELSE 0 END) AS BIGINT) AS ahash
-        |  FROM cells JOIN tot USING (doc_id) GROUP BY 1, 2),
+      s"""$aHashBitsSql,
         |g AS (SELECT source, ahash, count(*) AS k FROM bits GROUP BY 1, 2)
         |SELECT source, CAST(sum(k) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_hashes,
@@ -418,6 +487,28 @@ object MultimodalOps {
         |    AS n_dup_docs,
         |  CAST(bit_xor(ahash) AS BIGINT) AS hash_fold
         |FROM g GROUP BY 1""".stripMargin,
+    // q185's oracle is the BRUTE-FORCE all-pairs Hamming scan with no
+    // banding anywhere in the SQL — the pigeonhole theorem (≤ 3
+    // differing bits cannot touch all 4 bands) makes the banded join
+    // provably lossless, so hash equality proves blocked ≡ exhaustive
+    // (the q156 discipline applied to perceptual image dedup)
+    "q185_image_neardup" ->
+      s"""$aHashBitsSql,
+        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    a.source AS sa, b.source AS sb,
+        |    bit_count(xor(a.ahash, b.ahash)) AS ham
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(CASE WHEN sa = sb THEN 1 END) AS BIGINT)
+        |    AS n_same_source,
+        |  CAST(count(CASE WHEN ham = 0 THEN 1 END) AS BIGINT) AS n_d0,
+        |  CAST(count(CASE WHEN ham = 1 THEN 1 END) AS BIGINT) AS n_d1,
+        |  CAST(count(CASE WHEN ham = 2 THEN 1 END) AS BIGINT) AS n_d2,
+        |  CAST(count(CASE WHEN ham = 3 THEN 1 END) AS BIGINT) AS n_d3,
+        |  CAST(coalesce(bit_xor(xor(ia, ib * 2654435761)), 0) AS BIGINT)
+        |    AS pair_fold
+        |FROM p""".stripMargin,
     // sampled-frame geometry and luminance recomputed from the text:
     // frame f holds chars [64f, 64f+64); sampled iff f even; a frame of
     // s bytes decodes to 16·max(1,ceil(s/16)) pixels (encodePng geometry)

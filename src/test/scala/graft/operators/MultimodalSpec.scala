@@ -151,6 +151,42 @@ class MultimodalSpec extends AnyFunSuite {
       MultimodalOps.aHash(down, 16, 16))
   }
 
+  // ---------------------------------------------------------------- q185
+
+  test("q185: banded join ≡ brute-force Hamming<=3 on the real corpus") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val hashed = MultimodalOps.mediaTable(spark, dir).mapPartitions { rows =>
+      rows.map(r => (r.doc_id,
+        MultimodalOps.aHash(MultimodalOps.decodePixels(r.media), r.width, r.height)))
+    }.toDF("doc_id", "ahash")
+    val banded = MultimodalOps.aHashNearDupPairs(hashed, 3)
+      .select($"ia", $"ib").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(banded.length === banded.distinct.length, "no duplicate pairs")
+    val hs = hashed.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(banded.toSet === brute, "pigeonhole blocking must be lossless")
+  }
+
+  test("q185: one flip per band defeats banding only beyond the radius") {
+    import spark.implicits._
+    val base = 0x0123456789ABCDEFL
+    // 3 flips: bits 0, 16, 32 -> bands 0,1,2 differ, band 3 shared => found
+    val within = base ^ ((1L << 0) | (1L << 16) | (1L << 32))
+    // 4 flips, one per band: no shared band AND ham=4 > radius => excluded
+    val beyond = base ^ ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48))
+    val hashed = Seq((1L, base), (2L, within), (3L, beyond))
+      .toDF("doc_id", "ahash")
+    val pairs = MultimodalOps.aHashNearDupPairs(hashed, 3)
+      .select($"ia", $"ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2) ham=3 found; (2,3) ham=1 found; (1,3) ham=4 one flip per
+    // band — no shared band, beyond the radius — excluded
+    assert(pairs === Set((1L, 2L), (2L, 3L)), pairs.toString)
+  }
+
   test("q184: gated counts conserve the corpus and bound collisions") {
     val dir = "/root/testdata/sf0.001"
     val out = MultimodalOps.q184ImageAHashDedup(spark, dir).collect()
