@@ -384,6 +384,10 @@ object SparkEntry {
     // oracle is the brute-force all-pairs scan with no banding
     "q185_image_neardup" ->
       ((s: SparkSession, d: String) => MultimodalOps.q185ImageNearDup(s, d)),
+    // exact percentile tagging from the persisted histogram artifact —
+    // map-only over the corpus, no corpus-wide window anywhere
+    "q186_percentile_tag" ->
+      ((s: SparkSession, d: String) => SketchOps.q186PercentileTag(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

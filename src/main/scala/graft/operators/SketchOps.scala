@@ -813,6 +813,45 @@ object SketchOps {
       .select($"source", $"p", $"n_docs", $"q_value")
   }
 
+  /** Percentile ASSIGNMENT from a histogram artifact — q146 INVERTED:
+    * q146 maps percentile → value; this maps every document's value →
+    * exact percentile (ppm), and does it MAP-ONLY over the corpus. The
+    * classic plan is a corpus-wide `cume_dist` window — a full shuffle
+    * and sort of every row per source; here the cumulative counts live
+    * on the HISTOGRAM (≤ distinct lengths × sources rows — the q146
+    * discipline), which broadcasts, so tagging is one broadcast-hash
+    * lookup per row inside whole-stage codegen. pct_ppm =
+    * (10⁶ · #{docs in source with tok_n ≤ mine}) div n_docs — ties
+    * share a percentile by construction (histogram cum counts peers),
+    * matching SQL RANGE-frame cume semantics exactly, in integers.
+    * With the histogram read from [[writeTokenHistogram]]'s store, the
+    * corpus is touched once for tagging and never for the
+    * distribution. */
+  def percentileFromHistogram(docs: DataFrame, hist: DataFrame): DataFrame = {
+    val bySrc = Window.partitionBy($"source")
+    val cum = hist.select($"source", $"tok_n",
+      sum($"c").over(bySrc.orderBy($"tok_n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum($"c").over(bySrc).as("n_docs"))
+    docs.select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("tok_n"))
+      .join(broadcast(cum), Seq("source", "tok_n"))
+      .select($"doc_id", $"source", $"tok_n",
+        expr("(1000000 * cum) div n_docs").as("pct_ppm"))
+  }
+
+  /** q186 — percentile tagging through the persisted histogram store:
+    * the histogram is written once (its artifact), read back, and every
+    * document gets its exact in-source length percentile from the
+    * broadcast artifact — no corpus-wide window anywhere (plan-gated in
+    * SketchOpsSpec: the only WindowExec runs over the histogram). */
+  def q186PercentileTag(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q186").toString
+    writeTokenHistogram(tokenHistogram(docs), s"$tmp/hist")
+    percentileFromHistogram(docs, readTokenHistogram(s, s"$tmp/hist"))
+  }
+
   /** q159 — exact quantiles through the PERSISTED histogram path: two
     * disjoint "releases" (doc_id parity) each write their histogram
     * artifact once; the monitoring query reads and sum-merges the
@@ -1284,6 +1323,18 @@ object SketchOps {
     // the oracle replays bucket index + rank rule + representative
     // inversion from the raw corpus in ONE pass
     "q168_log_quantiles_persisted" -> logQuantilesSql,
+    // q186's oracle is the corpus-wide RANGE-frame cume window the
+    // operator refuses to plan — hash equality proves the broadcast
+    // histogram lookup reproduces engine cume_dist semantics exactly
+    "q186_percentile_tag" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n
+        |  FROM documents)
+        |SELECT doc_id, source, tok_n,
+        |  (1000000 * count(*) OVER (PARTITION BY source ORDER BY tok_n
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |    // count(*) OVER (PARTITION BY source) AS pct_ppm
+        |FROM t""".stripMargin,
     // q181's gated value IS a sketch-derived estimate (no exact verify
     // can launder the hash away), so the oracle replays the ENTIRE
     // portable-hash CMS pipeline — LCG, position derivation, counter

@@ -316,6 +316,36 @@ class SketchOpsSpec extends AnyFunSuite {
       s"probe must not shuffle:\n$plan")
   }
 
+  // ---------------------------------------------------------------- q186
+
+  test("q186: percentile tags are exact, tie-sharing, and span to 1e6") {
+    // source s: lengths 1,2,2,4 -> cume 1,3,3,4 of 4
+    val docs = Seq(
+      (1L, "w", "s"), (2L, "w w", "s"), (3L, "x x", "s"),
+      (4L, "a b c d", "s")).toDF("doc_id", "text", "source")
+    val hist = SketchOps.tokenHistogram(docs)
+    val out = SketchOps.percentileFromHistogram(docs, hist).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pct_ppm")).toMap
+    assert(out === Map(1L -> 250000L, 2L -> 750000L, 3L -> 750000L,
+      4L -> 1000000L))
+  }
+
+  test("q186: no corpus-wide window — the only WindowExec runs on the histogram") {
+    val docs = load(spark, dir, "documents")
+    val tagged = SketchOps.percentileFromHistogram(
+      docs, SketchOps.tokenHistogram(docs))
+    // every doc tagged exactly once; max percentile is exactly 1e6
+    assert(tagged.count() === docs.count())
+    assert(tagged.agg(max($"pct_ppm")).head.getLong(0) === 1000000L)
+    // the window operates on histogram rows, never document rows: its
+    // child's row count is the histogram's, far below the corpus
+    val plan = tagged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tagging must be a broadcast lookup:\n$plan")
+    val histRows = SketchOps.tokenHistogram(docs).count()
+    assert(histRows < docs.count(), "histogram must be smaller than corpus")
+  }
+
   // ---------------------------------------------------------------- q181
 
   private def ip(a: DataFrame, b: DataFrame): Long =
