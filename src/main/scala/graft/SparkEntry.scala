@@ -388,6 +388,10 @@ object SparkEntry {
     // map-only over the corpus, no corpus-wide window anywhere
     "q186_percentile_tag" ->
       ((s: SparkSession, d: String) => SketchOps.q186PercentileTag(s, d)),
+    // pack boundary map: where every document lands in its packed
+    // sequences — the cross-document attention-mask input
+    "q187_pack_boundaries" ->
+      ((s: SparkSession, d: String) => TextOps.q187PackBoundaries(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1510,6 +1510,36 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("n_tokens"))
   }
 
+  /** q187 — pack BOUNDARY map: q70 reports per-pack totals; training
+    * also needs WHERE each document lands so the attention mask can
+    * block cross-document attention inside a packed sequence. One row
+    * per (document, pack) segment: a document starting at global
+    * offset s with n tokens spans packs ⌊s/L⌋..⌊(s+n−1)/L⌋; its segment
+    * in pack p starts at max(s, pL) − pL and runs to min(s+n, (p+1)L).
+    * Segments TILE each pack exactly (no gaps, no overlaps — a law),
+    * so the mask is reconstructible from this table alone. Same plan
+    * as q70 — one source-keyed window for the running offset — plus a
+    * map-side explode of ⌈n/L⌉+1 segment rows per doc; at 100 TB the
+    * window partitions by (source, shard) like q70's. */
+  def q187PackBoundaries(s: SparkSession, dir: String,
+      packLen: Int = 256): DataFrame = {
+    val L = packLen.toLong
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    load(s, dir, "documents")
+      .select($"source", $"doc_id", size(toks($"text")).cast("long").as("n_tok"))
+      .filter($"n_tok" > 0)
+      .withColumn("start_off", sum($"n_tok").over(w) - $"n_tok")
+      .select($"source", $"doc_id", $"n_tok", $"start_off",
+        explode(sequence(expr(s"start_off div $L"),
+          expr(s"(start_off + n_tok - 1) div $L"))).as("pack_id"))
+      .select($"source", $"pack_id", $"doc_id",
+        (greatest($"start_off", $"pack_id" * L) - $"pack_id" * L)
+          .as("pos_in_pack"),
+        (least($"start_off" + $"n_tok", ($"pack_id" + 1L) * L) -
+          greatest($"start_off", $"pack_id" * L)).as("seg_len"))
+  }
+
   /** Prefix-duplication groups — head-overlap dedup (mirrored posts,
     * templated boilerplate openings): documents sharing their first five
     * tokens, with the min-doc_id survivor. Hash-groupBy on the prefix —
@@ -1686,6 +1716,25 @@ object TextOps {
         |CAST(coalesce(sum(CASE WHEN nd >= 2 THEN nd END), 0) AS BIGINT) AS n_shared_occurrences,
         |CAST((count(CASE WHEN nd >= 2 THEN 1 END) * 1000000) // count(*) AS BIGINT) AS dup_ppm
         |FROM g""".stripMargin,
+    // q187 replays the same running-offset window, then expands each
+    // doc to its pack span and clips the segment bounds — pure integer
+    // min/max arithmetic on both engines
+    "q187_pack_boundaries" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+        |      - n_tok AS BIGINT) AS start_off
+        |  FROM d WHERE n_tok > 0),
+        |seg AS (SELECT source, doc_id, n_tok, start_off,
+        |    unnest(generate_series(start_off // 256,
+        |      (start_off + n_tok - 1) // 256)) AS pack_id FROM c)
+        |SELECT source, CAST(pack_id AS BIGINT) AS pack_id, doc_id,
+        |  CAST(greatest(start_off, pack_id * 256) - pack_id * 256 AS BIGINT)
+        |    AS pos_in_pack,
+        |  CAST(least(start_off + n_tok, (pack_id + 1) * 256)
+        |    - greatest(start_off, pack_id * 256) AS BIGINT) AS seg_len
+        |FROM seg""".stripMargin,
     "q70_seq_packing" ->
       """WITH d AS (SELECT source, doc_id, len(string_split(text,' ')) AS n_tok FROM documents),
         |c AS (SELECT source, doc_id, n_tok,

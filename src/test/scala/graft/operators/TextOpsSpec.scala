@@ -215,6 +215,35 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q187: segments tile every pack — no gaps, no overlaps, tokens conserved") {
+    import spark.implicits._
+    val segs = TextOps.q187PackBoundaries(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(segs.nonEmpty)
+    // per-doc conservation: the segments of a doc sum to its token count
+    val perDoc = segs.groupBy(t => (t._1, t._3)).view
+      .mapValues(_.map(_._5).sum).toMap
+    val truth = load(spark, dir, "documents")
+      .select($"source", $"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(perDoc === truth.filter(_._2 > 0L))
+    // per-pack tiling: sorted segments are contiguous from 0; every pack
+    // but each source's last is exactly full
+    for (((src, pid), rows) <- segs.groupBy(t => (t._1, t._2))) {
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.head._4 === 0L, s"$src pack $pid starts at offset 0")
+      for (pair <- sorted.sliding(2) if pair.length == 2)
+        assert(pair(0)._4 + pair(0)._5 === pair(1)._4,
+          s"$src pack $pid gap/overlap at ${pair(1)._4}")
+      val fill = sorted.map(_._5).sum
+      val lastPack = segs.filter(_._1 == src).map(_._2).max
+      assert(fill === 256L || pid === lastPack,
+        s"$src pack $pid holds $fill of 256")
+      assert(sorted.forall(t => t._4 >= 0L && t._4 < 256L))
+    }
+  }
+
   test("containment hot-shingle guard: strict refuses loudly, lossy accounts, raised cap is exact") {
     import spark.implicits._
     // a boilerplate 3-gram planted in every doc (df = 12) + two true
