@@ -392,6 +392,10 @@ object SparkEntry {
     // sequences — the cross-document attention-mask input
     "q187_pack_boundaries" ->
       ((s: SparkSession, d: String) => TextOps.q187PackBoundaries(s, d)),
+    // perceptual image decontamination: corpus never shuffles — the
+    // benchmark's band rows broadcast, verify only on band collisions
+    "q188_image_decon" ->
+      ((s: SparkSession, d: String) => MultimodalOps.q188ImageDecon(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -210,19 +210,26 @@ object MultimodalOps {
     * is one pair). At 100 TB this is the image-side MinHash+LSH: one
     * explode (4 rows/doc), one shuffle on a ≤ 16-bit-value key, exact
     * verify only within buckets. */
-  def aHashNearDupPairs(hashed: DataFrame, maxHam: Int = 3): DataFrame = {
+  /** (doc_id, ahash) → one row per hash band: (doc_id, ahash, bi, bv)
+    * with bv the band's bit slice — the shared blocking key of
+    * [[aHashNearDupPairs]] and [[q188ImageDecon]]. */
+  private def bandRows(hashed: DataFrame, maxHam: Int): DataFrame = {
     require(maxHam >= 0 && 64 % (maxHam + 1) == 0,
       s"band count ${maxHam + 1} must divide 64")
     val nb = maxHam + 1
     val width = 64 / nb
     val mask = (1L << width) - 1
-    val banded = hashed.select(col("doc_id"), col("ahash"),
+    hashed.select(col("doc_id"), col("ahash"),
         explode(array((0 until nb).map { b =>
           struct(lit(b).as("bi"),
             expr(s"shiftrightunsigned(ahash, ${b * width}) & $mask").as("bv"))
         }: _*)).as("band"))
       .select(col("doc_id"), col("ahash"),
         col("band.bi").as("bi"), col("band.bv").as("bv"))
+  }
+
+  def aHashNearDupPairs(hashed: DataFrame, maxHam: Int = 3): DataFrame = {
+    val banded = bandRows(hashed, maxHam)
     val a = banded.select(col("doc_id").as("ia"), col("ahash").as("ha"),
       col("bi"), col("bv"))
     val b = banded.select(col("doc_id").as("ib"), col("ahash").as("hb"),
@@ -258,6 +265,42 @@ object MultimodalOps {
         count(when(col("ham") === 3L, lit(1))).as("n_d3"),
         expr("CAST(coalesce(bit_xor(ia ^ (ib * 2654435761)), 0) AS BIGINT)")
           .as("pair_fold"))
+  }
+
+  /** q188 — perceptual image DECONTAMINATION: corpus images within
+    * Hamming 3 of any benchmark image are flagged — the image-side
+    * q55/q74 (paraphrase-robust eval-leakage removal, here
+    * re-encode/exposure-robust). Benchmark = the q55 split
+    * (doc_id < 10). The plan is the decontamination shape at its best:
+    * the benchmark's band rows BROADCAST (benchmarks are small by
+    * definition), so the corpus is never shuffled at all — each corpus
+    * image explodes to its 4 band rows map-side, probes the broadcast
+    * band table, and only band-collision candidates pay the bit_count
+    * verify; `distinct` collapses to flagged doc_ids. Per-source
+    * accounting rides a 0-sentinel source spine (NULL-free gate rule).
+    * Pigeonhole exactness (see [[aHashNearDupPairs]]) means zero false
+    * negatives — the oracle's brute-force EXISTS scan agrees exactly. */
+  def q188ImageDecon(s: SparkSession, dir: String, maxHam: Int = 3): DataFrame = {
+    import s.implicits._
+    val hashed = mediaTable(s, dir).mapPartitions { rows =>
+      rows.map(r => (r.doc_id, aHash(decodePixels(r.media), r.width, r.height)))
+    }.toDF("doc_id", "ahash")
+    val bench = broadcast(bandRows(hashed.filter(col("doc_id") < 10), maxHam)
+      .select(col("bi"), col("bv"), col("ahash").as("bh")))
+    val flagged = bandRows(hashed.filter(col("doc_id") >= 10), maxHam)
+      .join(bench, Seq("bi", "bv"))
+      .filter(expr(s"bit_count(ahash ^ bh) <= $maxHam"))
+      .select(col("doc_id")).distinct()
+    val src = load(s, dir, "documents").select(col("doc_id"), col("source"))
+    val spine = src.filter(col("doc_id") >= 10)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val hits = flagged.join(src, "doc_id").groupBy(col("source"))
+      .agg(count(lit(1)).as("n_flagged"),
+        expr("CAST(bit_xor(doc_id) AS BIGINT)").as("flag_fold"))
+    spine.join(hits, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("flag_fold"), lit(0L)).as("flag_fold"))
   }
 
   /** Frame-sampling shape op: split each payload into fixed-size "frames"
@@ -509,6 +552,24 @@ object MultimodalOps {
         |  CAST(coalesce(bit_xor(xor(ia, ib * 2654435761)), 0) AS BIGINT)
         |    AS pair_fold
         |FROM p""".stripMargin,
+    // q188's oracle: brute-force EXISTS over the rebuilt hashes, no
+    // banding/broadcast anywhere — pigeonhole exactness proven by hash
+    // equality; 0-sentinel spine keeps sources without flags NULL-free
+    "q188_image_decon" ->
+      s"""$aHashBitsSql,
+        |bm AS (SELECT ahash FROM bits WHERE doc_id < 10),
+        |c AS (SELECT doc_id, source, ahash FROM bits WHERE doc_id >= 10),
+        |f AS (SELECT doc_id, source FROM c WHERE EXISTS
+        |  (SELECT 1 FROM bm WHERE bit_count(xor(c.ahash, bm.ahash)) <= 3)),
+        |sp AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM c GROUP BY 1),
+        |h AS (SELECT source, CAST(count(*) AS BIGINT) AS n_flagged,
+        |    CAST(bit_xor(doc_id) AS BIGINT) AS flag_fold
+        |  FROM f GROUP BY 1)
+        |SELECT sp.source, sp.n_docs,
+        |  coalesce(h.n_flagged, 0) AS n_flagged,
+        |  coalesce(h.flag_fold, 0) AS flag_fold
+        |FROM sp LEFT JOIN h USING (source)""".stripMargin,
     // sampled-frame geometry and luminance recomputed from the text:
     // frame f holds chars [64f, 64f+64); sampled iff f even; a frame of
     // s bytes decodes to 16·max(1,ceil(s/16)) pixels (encodePng geometry)

@@ -187,6 +187,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L), (2L, 3L)), pairs.toString)
   }
 
+  // ---------------------------------------------------------------- q188
+
+  test("q188: broadcast-banded decon ≡ brute force; planted dup flagged") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = MultimodalOps.q188ImageDecon(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // brute-force truth from collected hashes
+    val hs = MultimodalOps.mediaTable(spark, dir).mapPartitions { rows =>
+      rows.map(r => (r.doc_id,
+        MultimodalOps.aHash(MultimodalOps.decodePixels(r.media), r.width, r.height)))
+    }.toDF("doc_id", "ahash").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bench = hs.filter(_._1 < 10).map(_._2)
+    val flagged = hs.filter(_._1 >= 10).filter { case (_, h) =>
+      bench.exists(b => java.lang.Long.bitCount(h ^ b) <= 3) }.map(_._1).toSet
+    val srcOf = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrc = flagged.groupBy(srcOf)
+    for ((src, (_, nFlag, fold)) <- out) {
+      val expect = bySrc.getOrElse(src, Set.empty)
+      assert(nFlag === expect.size.toLong, s"$src flag count")
+      assert(fold === expect.foldLeft(0L)(_ ^ _), s"$src flag fold")
+    }
+    // the corpus side must reach the verify WITHOUT an exchange: the
+    // benchmark band table broadcasts
+    val plan = MultimodalOps.q188ImageDecon(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("q184: gated counts conserve the corpus and bound collisions") {
     val dir = "/root/testdata/sf0.001"
     val out = MultimodalOps.q184ImageAHashDedup(spark, dir).collect()
