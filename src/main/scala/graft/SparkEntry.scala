@@ -396,6 +396,10 @@ object SparkEntry {
     // benchmark's band rows broadcast, verify only on band collisions
     "q188_image_decon" ->
       ((s: SparkSession, d: String) => MultimodalOps.q188ImageDecon(s, d)),
+    // cross-release percentile drift: new docs tagged with their place
+    // in the OLD release's persisted distribution, as-of matched
+    "q189_percentile_drift" ->
+      ((s: SparkSession, d: String) => SketchOps.q189PercentileDrift(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

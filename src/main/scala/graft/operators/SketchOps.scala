@@ -852,6 +852,56 @@ object SketchOps {
     percentileFromHistogram(docs, readTokenHistogram(s, s"$tmp/hist"))
   }
 
+  /** q189 — cross-release percentile DRIFT: release B's documents
+    * tagged with their percentile in release A's distribution, read
+    * from A's persisted histogram — "where would the new corpus fall
+    * in the old one": stationary ingest keeps the mean tag near
+    * 500 000 ppm and the ≥ p90 share near 10%; a drifting tokenizer,
+    * domain mix, or truncation bug shows up as mass piling into one
+    * tail. Unlike [[percentileFromHistogram]]'s same-release equi-join,
+    * a B length may be ABSENT from A's histogram, so the match is
+    * AS-OF (greatest A length ≤ mine) through
+    * [[AsofOps.asofJoin]]'s union + carry-forward plan — ONE shuffle
+    * on source, no per-row histogram expansion, no range-join blowup;
+    * a B doc below A's minimum carries NULL → percentile 0 (the
+    * NULL-free 0-sentinel rule — "below everything old" is exactly
+    * what 0 means). Sources absent from release A are excluded here by
+    * the inner n_a join — q164's OOV report is the operator that
+    * SURFACES new sources; this one measures shift where comparison is
+    * defined. A never rescans: the tagging reads its histogram
+    * artifact. */
+  def q189PercentileDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q189").toString
+    // release split by ingest BLOCK (doc_id div 20), not parity: the
+    // fixture assigns source = doc_id mod 20, so a parity split would
+    // make the releases source-DISJOINT and the comparison vacuous —
+    // exactly the n_a-join exclusion this query documents
+    writeTokenHistogram(
+      tokenHistogram(docs.filter(expr("(doc_id div 20) % 2") === 0L)),
+      s"$tmp/hist_a")
+    val bySrc = Window.partitionBy($"source")
+    val cum = readTokenHistogram(s, s"$tmp/hist_a")
+      .select($"source", $"tok_n",
+        sum($"c").over(bySrc.orderBy($"tok_n")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+        sum($"c").over(bySrc).as("n_a"))
+    val b = docs.filter(expr("(doc_id div 20) % 2") === 1L)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("tok_n"))
+    val nA = cum.groupBy($"source").agg(max($"n_a").as("n_a_src"))
+    AsofOps.asofJoin(b, cum.drop("n_a"), Seq("source"), "tok_n", Seq("cum"))
+      .join(nA, "source")
+      .select($"source",
+        expr("(1000000 * coalesce(cum, 0)) div n_a_src").as("pct"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_b"),
+        count(when($"pct" >= 900000L, lit(1))).as("n_above_p90"),
+        count(when($"pct" <= 100000L, lit(1))).as("n_below_p10"),
+        sum($"pct").cast("long").as("sum_pct"))
+  }
+
   /** q159 — exact quantiles through the PERSISTED histogram path: two
     * disjoint "releases" (doc_id parity) each write their histogram
     * artifact once; the monitoring query reads and sum-merges the
@@ -1335,6 +1385,33 @@ object SketchOps {
         |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |    // count(*) OVER (PARTITION BY source) AS pct_ppm
         |FROM t""".stripMargin,
+    // q189 replays the cross-release tagging as a correlated count —
+    // #{A docs in my source with tok_n <= mine} — with no asof/window
+    // machinery, so hash equality proves the carry-forward plan
+    // implements exactly the <=-count semantics, incl. the 0 sentinel
+    "q189_percentile_drift" ->
+      """WITH a AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n
+        |  FROM documents WHERE (doc_id // 20) % 2 = 0),
+        |b AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n
+        |  FROM documents WHERE (doc_id // 20) % 2 = 1),
+        |na AS (SELECT source, CAST(count(*) AS BIGINT) AS n_a
+        |  FROM a GROUP BY 1),
+        |tag AS (SELECT b.doc_id, b.source,
+        |    (SELECT count(*) FROM a
+        |      WHERE a.source = b.source AND a.tok_n <= b.tok_n) AS cum
+        |  FROM b),
+        |sel AS (SELECT tag.source,
+        |    (1000000 * cum) // n_a AS pct
+        |  FROM tag JOIN na USING (source))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_b,
+        |  CAST(count(CASE WHEN pct >= 900000 THEN 1 END) AS BIGINT)
+        |    AS n_above_p90,
+        |  CAST(count(CASE WHEN pct <= 100000 THEN 1 END) AS BIGINT)
+        |    AS n_below_p10,
+        |  CAST(sum(pct) AS BIGINT) AS sum_pct
+        |FROM sel GROUP BY 1""".stripMargin,
     // q181's gated value IS a sketch-derived estimate (no exact verify
     // can launder the hash away), so the oracle replays the ENTIRE
     // portable-hash CMS pipeline — LCG, position derivation, counter

@@ -346,6 +346,45 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(histRows < docs.count(), "histogram must be smaller than corpus")
   }
 
+  // ---------------------------------------------------------------- q189
+
+  test("q189: as-of tagging matches the <=-count definition, 0 below the min") {
+    // A lengths per source s: {2, 4, 6}; B docs of lengths 1,2,3,4,5,6,7
+    val a = Seq((0L, "w w", "s"), (2L, "w w w w", "s"),
+      (4L, "w w w w w w", "s")).toDF("doc_id", "text", "source")
+    val b = (1 to 7).map(i =>
+      (2L * i + 1L, Seq.fill(i)("w").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val docs = a.union(b)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q189t").toString
+    SketchOps.writeTokenHistogram(SketchOps.tokenHistogram(a), s"$tmp/h")
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+    val cum = SketchOps.readTokenHistogram(spark, s"$tmp/h")
+      .select($"source", $"tok_n",
+        sum($"c").over(bySrc.orderBy($"tok_n").rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)).as("cum"))
+    val bb = b.select($"doc_id", $"source",
+      size(split($"text", " ")).cast("long").as("tok_n"))
+    val tagged = AsofOps.asofJoin(bb, cum, Seq("source"), "tok_n", Seq("cum"))
+      .select($"doc_id", coalesce($"cum", lit(0L)).as("cum")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // len 1 -> below all A lengths -> 0; len 2,3 -> 1; 4,5 -> 2; 6,7 -> 3
+    assert(tagged === Map(3L -> 0L, 5L -> 1L, 7L -> 1L, 9L -> 2L,
+      11L -> 2L, 13L -> 3L, 15L -> 3L))
+  }
+
+  test("q189: the block split is non-vacuous — every source has both releases") {
+    val out = SketchOps.q189PercentileDrift(spark, dir).collect()
+    assert(out.nonEmpty, "source-disjoint release split would gut the gate")
+    val docs = load(spark, dir, "documents")
+    val nSources = docs.select($"source").distinct().count()
+    // at least half the sources must be comparable across the releases
+    assert(out.length * 2 >= nSources, s"${out.length} of $nSources compared")
+    for (r <- out)
+      assert(r.getAs[Long]("sum_pct") <= r.getAs[Long]("n_b") * 1000000L)
+  }
+
   // ---------------------------------------------------------------- q181
 
   private def ip(a: DataFrame, b: DataFrame): Long =
