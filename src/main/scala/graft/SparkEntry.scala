@@ -400,6 +400,11 @@ object SparkEntry {
     // in the OLD release's persisted distribution, as-of matched
     "q189_percentile_drift" ->
       ((s: SparkSession, d: String) => SketchOps.q189PercentileDrift(s, d)),
+    // join-plan advisor: CMS join size + both skew profiles + the
+    // strategy CASE, all gated — advice proven engine-identical
+    "q190_join_advisor" ->
+      ((s: SparkSession, d: String) =>
+        SketchOps.q190JoinAdvisor(s, d, broadcastRows = 1000L, saltCut = 2L)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

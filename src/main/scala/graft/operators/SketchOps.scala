@@ -767,6 +767,51 @@ object SketchOps {
       .crossJoin(exact).crossJoin(est)
   }
 
+  /** q190 — the JOIN-PLAN ADVISOR: everything a planner (human or
+    * rule) needs to choose broadcast / plain shuffle / salted for
+    * A ⋈ B, from artifacts and bounded aggregates only — the q181
+    * estimator and q160 skew profile COMPOSED into a decision:
+    *
+    *   - n_a / n_b: side sizes (one count each);
+    *   - est_pairs: the CMS inner-product join size — sketch-only,
+    *     never the per-key-count join (q181);
+    *   - hot_share_a/b (ppm) + salt_a/b: each side's heaviest key and
+    *     its recommended salt factor (q160's top-1 row);
+    *   - strategy: integer-threshold CASE — 'broadcast_b' when the
+    *     build side is small (row-count stand-in for the byte
+    *     threshold), else 'salted' when either side's hot key
+    *     recommends fanout ≥ 4, else 'shuffle'.
+    *
+    * Every number is exact-integer or sketch-deterministic, so the
+    * RECOMMENDATION itself is gated cross-engine — an advisor whose
+    * advice differs between engines is worse than none. At 100 TB the
+    * whole report is two footer counts, two map-side-combinable
+    * aggregates with top-1 TakeOrdered, and a 2 MB-sketch join. */
+  def joinAdvisor(a: DataFrame, b: DataFrame,
+      broadcastRows: Long = 100000L, saltCut: Long = 4L): DataFrame = {
+    val est = cmsInnerProduct(
+      buildCmsPortable(a, col("k")), buildCmsPortable(b, col("k")))
+    def hot(df: DataFrame, tag: String): DataFrame =
+      MiningOps.skewProfile(df, col("k"), topK = 1)
+        .select(col("share_ppm").as(s"hot_share_$tag"),
+          col("salt_factor").as(s"salt_$tag"))
+    a.agg(count(lit(1)).as("n_a")).crossJoin(b.agg(count(lit(1)).as("n_b")))
+      .crossJoin(est).crossJoin(hot(a, "a")).crossJoin(hot(b, "b"))
+      .withColumn("strategy",
+        when($"n_b" <= broadcastRows, lit("broadcast_b"))
+          .when(greatest($"salt_a", $"salt_b") >= saltCut, lit("salted"))
+          .otherwise(lit("shuffle")))
+  }
+
+  def q190JoinAdvisor(s: SparkSession, dir: String,
+      broadcastRows: Long = 100000L, saltCut: Long = 4L): DataFrame = {
+    val ev = load(s, dir, "events")
+    joinAdvisor(
+      ev.filter($"event_id" % 2 === 0L).select($"user_id".as("k")),
+      ev.filter($"event_id" % 2 === 1L).select($"user_id".as("k")),
+      broadcastRows, saltCut)
+  }
+
   // -------------------------------------------- persisted token histogram
 
   /** The (source, tok_n) → count histogram — q146's phase 1, exposed as
@@ -1412,6 +1457,49 @@ object SketchOps {
         |    AS n_below_p10,
         |  CAST(sum(pct) AS BIGINT) AS sum_pct
         |FROM sel GROUP BY 1""".stripMargin,
+    // q190 replays q181's sketch replay PLUS both sides' top-1 skew
+    // rows PLUS the strategy CASE — the RECOMMENDATION is the gated
+    // value, so advice is proven engine-identical
+    "q190_join_advisor" ->
+      """WITH a AS (SELECT user_id AS k FROM events WHERE event_id % 2 = 0),
+        |b AS (SELECT user_id AS k FROM events WHERE event_id % 2 = 1),
+        |ha AS (SELECT ((k % 1000003) * 2654435761 % 1000003) * 999983
+        |    + (k % 999983) * 1103515245 % 999983 AS h FROM a),
+        |hb AS (SELECT ((k % 1000003) * 2654435761 % 1000003) * 999983
+        |    + (k % 999983) * 1103515245 % 999983 AS h FROM b),
+        |pa AS (SELECT j,
+        |    (h % 1048573 + (j + 1) * ((h // 1048573) % 1048573) + j * j)
+        |      % 65536 AS pos, CAST(count(*) AS BIGINT) AS n
+        |  FROM ha, (SELECT unnest(generate_series(0, 3)) AS j) GROUP BY 1, 2),
+        |pb AS (SELECT j,
+        |    (h % 1048573 + (j + 1) * ((h // 1048573) % 1048573) + j * j)
+        |      % 65536 AS pos, CAST(count(*) AS BIGINT) AS n
+        |  FROM hb, (SELECT unnest(generate_series(0, 3)) AS j) GROUP BY 1, 2),
+        |ip AS (SELECT pa.j, sum(pa.n * pb.n) AS ip
+        |  FROM pa JOIN pb ON pa.j = pb.j AND pa.pos = pb.pos GROUP BY 1),
+        |ca AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM a GROUP BY 1),
+        |cb AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        |ta AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys FROM ca),
+        |tb AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys FROM cb),
+        |sa AS (SELECT c * 1000000 // n_rows AS hot_share_a,
+        |    (c * n_keys + n_rows - 1) // n_rows AS salt_a
+        |  FROM ca, ta ORDER BY c DESC, k LIMIT 1),
+        |sb AS (SELECT c * 1000000 // n_rows AS hot_share_b,
+        |    (c * n_keys + n_rows - 1) // n_rows AS salt_b
+        |  FROM cb, tb ORDER BY c DESC, k LIMIT 1)
+        |SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+        |  CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+        |  CAST(coalesce((SELECT min(ip) FROM ip), 0) AS BIGINT) AS est_pairs,
+        |  CAST(hot_share_a AS BIGINT) AS hot_share_a,
+        |  CAST(salt_a AS BIGINT) AS salt_a,
+        |  CAST(hot_share_b AS BIGINT) AS hot_share_b,
+        |  CAST(salt_b AS BIGINT) AS salt_b,
+        |  CASE WHEN (SELECT count(*) FROM b) <= 1000 THEN 'broadcast_b'
+        |    WHEN greatest(salt_a, salt_b) >= 2 THEN 'salted'
+        |    ELSE 'shuffle' END AS strategy
+        |FROM sa, sb""".stripMargin,
     // q181's gated value IS a sketch-derived estimate (no exact verify
     // can launder the hash away), so the oracle replays the ENTIRE
     // portable-hash CMS pipeline — LCG, position derivation, counter

@@ -346,6 +346,30 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(histRows < docs.count(), "histogram must be smaller than corpus")
   }
 
+  // ---------------------------------------------------------------- q190
+
+  test("q190: the advisor picks each strategy exactly at its threshold") {
+    def adv(a: Seq[Long], b: Seq[Long]): String =
+      SketchOps.joinAdvisor(a.toDF("k"), b.toDF("k"),
+        broadcastRows = 10L, saltCut = 4L)
+        .collect().head.getAs[String]("strategy")
+    // small build side wins regardless of skew
+    assert(adv((1L to 100L) ++ Seq.fill(50)(7L), 1L to 10L) === "broadcast_b")
+    // hot key on the big probe side: 60 of 110 rows on key 7 over ~51
+    // keys -> salt factor ~28 >= 4
+    assert(adv((1L to 50L) ++ Seq.fill(60)(7L), 1L to 11L) === "salted")
+    // uniform both sides, build side above the broadcast cut
+    assert(adv(1L to 100L, 1L to 50L) === "shuffle")
+  }
+
+  test("q190: est_pairs in the advisory is the q181 estimator verbatim") {
+    val a = (1L to 200L).flatMap(i => Seq.fill((i % 3 + 1).toInt)(i)).toDF("k")
+    val b = (100L to 300L).toDF("k")
+    val viaAdvisor = SketchOps.joinAdvisor(a, b)
+      .collect().head.getAs[Long]("est_pairs")
+    assert(viaAdvisor === ip(a, b))
+  }
+
   // ---------------------------------------------------------------- q189
 
   test("q189: as-of tagging matches the <=-count definition, 0 below the min") {
