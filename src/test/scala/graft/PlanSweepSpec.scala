@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repo-wide plan hygiene: EVERY SparkEntry query is planned at
+  * sf0.001 and swept for the two classic scale-killers —
+  *
+  *   - `CartesianProduct`: an unbounded pair blowup nothing should
+  *     ever plan (single-row-aggregate cross joins broadcast into
+  *     BroadcastNestedLoopJoin and are fine; a real CartesianProduct
+  *     means two distributed sides multiplied);
+  *   - unpartitioned `WindowExec`: a window whose partition spec is
+  *     empty sorts the whole input on ONE task — the q173 failure mode
+  *     — detected by the first windowspecdefinition argument being an
+  *     ordering (no partition columns before it).
+  *
+  * Global windows are allowed only on PROVABLY BOUNDED frames, each
+  * whitelisted here with its bound. New queries get swept
+  * automatically — adding a scale-killer fails this suite, not a
+  * review.
+  */
+class PlanSweepSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  /** query → why its global window is bounded (and how). */
+  val allowedGlobalWindows: Map[String, String] = Map(
+    "q82_bigram_lift" ->
+      "rank re-derived over the <= 20 post-TakeOrdered survivors only",
+    "q85_bm25" ->
+      "rank re-derived over the <= 10 post-TakeOrdered survivors only",
+    "q115_head_coverage" ->
+      "cumulative window over the vocabulary count table (Heaps'-law bounded)",
+    "q127_pq_adc" ->
+      "rank over the ADC candidate set (bounded by nprobe buckets x k)",
+    "q135_pq_rerank" ->
+      "rank over the re-rank candidate set (bounded by rerankFrom)",
+    "q138_ivfpq_rerank" ->
+      "rank over the composed IVF-PQ candidate set (bounded by rerankFrom)")
+
+  test("every query plans free of CartesianProduct and unbounded global windows") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try {
+        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct"))
+          failures += s"$name: CartesianProduct planned"
+        val gw = tools.PlanSweep.globalWindows(p)
+        if (gw > 0 && !allowedGlobalWindows.contains(name))
+          failures += s"$name: $gw unpartitioned window(s) planned"
+      } catch {
+        case e: Throwable => failures += s"$name: threw ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
