@@ -405,6 +405,10 @@ object SparkEntry {
     "q190_join_advisor" ->
       ((s: SparkSession, d: String) =>
         SketchOps.q190JoinAdvisor(s, d, broadcastRows = 1000L, saltCut = 2L)),
+    // streaming first-seen registry: perceptual dedup history kept by
+    // ingest; min-merge ≡ the one-shot batch survivor assignment
+    "q191_image_registry_stream" ->
+      ((s: SparkSession, d: String) => MultimodalOps.q191ImageRegistryStream(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

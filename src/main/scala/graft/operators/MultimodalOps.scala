@@ -164,6 +164,22 @@ object MultimodalOps {
     hash
   }
 
+  /** (doc_id, text) → (doc_id, ahash) through the REAL codec: encode
+    * the document's bytes as a PNG, decode it back, fingerprint the
+    * decoded raster — one per-partition pass, no shuffle, shared by
+    * q184/q185/q188 and the streaming registry
+    * ([[graft.streaming.HistogramStream.imageRegistryStream]]). */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val (png, w, h) = encodePng(text.getBytes("UTF-8"))
+          (id, aHash(decodePixels(png), w, h))
+        }
+      }.toDF("doc_id", "ahash")
+  }
+
   /** q184 — perceptual image dedup: every document's REAL PNG payload
     * is decoded and aHash-fingerprinted per partition (no shuffle until
     * the group), then grouped by (source, ahash) — images whose 8×8
@@ -178,10 +194,7 @@ object MultimodalOps {
     * parallel, the group key is 8 bytes, and the aggregate is
     * map-side-combinable — the same shape as exact dedup. */
   def q184ImageAHashDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val hashed = mediaTable(s, dir).mapPartitions { rows =>
-      rows.map(r => (r.doc_id, aHash(decodePixels(r.media), r.width, r.height)))
-    }.toDF("doc_id", "ahash")
+    val hashed = fingerprints(load(s, dir, "documents"))
     hashed.join(load(s, dir, "documents").select(col("doc_id"), col("source")),
         "doc_id")
       .groupBy(col("source"), col("ahash"))
@@ -248,10 +261,7 @@ object MultimodalOps {
     * fold pins WHICH pairs were found, so a banding bug that drops one
     * candidate hash-mismatches even if the counts happened to survive. */
   def q185ImageNearDup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val hashed = mediaTable(s, dir).mapPartitions { rows =>
-      rows.map(r => (r.doc_id, aHash(decodePixels(r.media), r.width, r.height)))
-    }.toDF("doc_id", "ahash")
+    val hashed = fingerprints(load(s, dir, "documents"))
     val src = load(s, dir, "documents").select(col("doc_id"), col("source"))
     aHashNearDupPairs(hashed, 3)
       .join(src.select(col("doc_id").as("ia"), col("source").as("sa")), "ia")
@@ -281,10 +291,7 @@ object MultimodalOps {
     * Pigeonhole exactness (see [[aHashNearDupPairs]]) means zero false
     * negatives — the oracle's brute-force EXISTS scan agrees exactly. */
   def q188ImageDecon(s: SparkSession, dir: String, maxHam: Int = 3): DataFrame = {
-    import s.implicits._
-    val hashed = mediaTable(s, dir).mapPartitions { rows =>
-      rows.map(r => (r.doc_id, aHash(decodePixels(r.media), r.width, r.height)))
-    }.toDF("doc_id", "ahash")
+    val hashed = fingerprints(load(s, dir, "documents"))
     val bench = broadcast(bandRows(hashed.filter(col("doc_id") < 10), maxHam)
       .select(col("bi"), col("bv"), col("ahash").as("bh")))
     val flagged = bandRows(hashed.filter(col("doc_id") >= 10), maxHam)
@@ -301,6 +308,49 @@ object MultimodalOps {
       .select(col("source"), col("n_docs"),
         coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
         coalesce(col("flag_fold"), lit(0L)).as("flag_fold"))
+  }
+
+  /** q191 — perceptual dedup AT INGEST through the streaming
+    * first-seen registry: three micro-batches (doc_id mod 3) append
+    * their (ahash → min doc_id) shards via
+    * [[graft.streaming.HistogramStream.appendRegistryShard]], with a
+    * REAL mid-stream fold between batches 2 and 3 (asserted live or
+    * the query throws — the q133 non-vacuity rule). Because min() is
+    * associative, commutative, and idempotent, the folded registry
+    * assigns every fingerprint the GLOBALLY smallest doc_id regardless
+    * of batch order, interleaving, or replay — so streaming ingest
+    * reaches exactly the survivor assignment a one-shot batch job
+    * computes, which is what the oracle replays. Gated per source:
+    * docs, canonical count, docs deduped against history, and the
+    * bit_xor fold of canonical ids (pins the ASSIGNMENT, not just its
+    * size). At 100 TB each batch pays one fingerprint pass + one
+    * batch-sized min-aggregate; the registry holds one row per
+    * distinct fingerprint — the dedup history itself, partition-
+    * filtered to live tags on every read. */
+  def q191ImageRegistryStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.HistogramStream
+    val docs = load(s, dir, "documents")
+    val store = java.nio.file.Files.createTempDirectory("graft-q191").toString
+    def shard(part: Long): DataFrame =
+      fingerprints(docs.filter(col("doc_id") % 3 === part))
+        .groupBy(col("ahash")).agg(min(col("doc_id")).as("first_id"))
+    HistogramStream.appendRegistryShard(s, store, "batch_0", shard(0L))
+    HistogramStream.appendRegistryShard(s, store, "batch_1", shard(1L))
+    HistogramStream.compactRegistry(s, store)
+    val afterFold = HistogramStream.liveTags(s, store)
+    require(afterFold == Seq("folded-0"),
+      s"q191 gate is vacuous unless the fold ran: live tags $afterFold")
+    HistogramStream.appendRegistryShard(s, store, "batch_2", shard(2L))
+    val reg = HistogramStream.readRegistry(s, store)
+    fingerprints(docs).join(reg, "ahash")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("first_id")).as("n_canonical"),
+        count(when(col("doc_id") =!= col("first_id"), lit(1)))
+          .as("n_deduped"),
+        expr("CAST(bit_xor(DISTINCT first_id) AS BIGINT)").as("canon_fold"))
   }
 
   /** Frame-sampling shape op: split each payload into fixed-size "frames"
@@ -570,6 +620,22 @@ object MultimodalOps {
         |  coalesce(h.n_flagged, 0) AS n_flagged,
         |  coalesce(h.flag_fold, 0) AS flag_fold
         |FROM sp LEFT JOIN h USING (source)""".stripMargin,
+    // q191: min-merge means shard-accumulate + fold + read ≡ the
+    // one-shot batch assignment, so the oracle is the plain global
+    // min-per-fingerprint replay — hash equality proves the streaming
+    // registry reaches the batch survivor assignment exactly
+    "q191_image_registry_stream" ->
+      s"""$aHashBitsSql,
+        |canon AS (SELECT ahash, min(doc_id) AS first_id
+        |  FROM bits GROUP BY 1),
+        |j AS (SELECT bits.doc_id, bits.source, canon.first_id
+        |  FROM bits JOIN canon USING (ahash))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT first_id) AS BIGINT) AS n_canonical,
+        |  CAST(count(CASE WHEN doc_id <> first_id THEN 1 END) AS BIGINT)
+        |    AS n_deduped,
+        |  CAST(bit_xor(DISTINCT first_id) AS BIGINT) AS canon_fold
+        |FROM j GROUP BY 1""".stripMargin,
     // sampled-frame geometry and luminance recomputed from the text:
     // frame f holds chars [64f, 64f+64); sampled iff f even; a frame of
     // s bytes decodes to 16·max(1,ceil(s/16)) pixels (encodePng geometry)

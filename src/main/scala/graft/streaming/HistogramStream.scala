@@ -277,6 +277,64 @@ object HistogramStream {
   def compactLogHist(spark: SparkSession, store: String): Unit =
     compactSumStore(spark, store, LogHistCols, logHistEmpty(spark))
 
+  // ------------------------------------------------ first-seen registry
+
+  /** FIRST-SEEN REGISTRY — the fourth monoid on the shard core: per
+    * fingerprint, the minimum doc_id ever seen with it. min() is
+    * associative, commutative, and IDEMPOTENT (like the Bloom OR), so
+    * shard duplication in a crash window could never corrupt it — it
+    * inherits the stricter manifest contract anyway because the
+    * machinery is shared. This is the store that gives ingest a STABLE
+    * CANONICAL ID: however batches arrive, interleave, or replay, a
+    * fingerprint's canonical id is the globally smallest doc that ever
+    * carried it — so streaming dedup-at-ingest assigns the same
+    * survivor a one-shot batch job would (q191's gate). Registry
+    * cardinality = distinct fingerprints (the dedup history itself);
+    * reads partition-filter to live tags like every rider. */
+  private val RegCols = Seq("ahash", "first_id")
+
+  private def regEmpty(spark: SparkSession): DataFrame =
+    spark.range(0).select(lit(0L).as("ahash"), lit(0L).as("first_id"))
+      .filter(lit(false))
+
+  def appendRegistryShard(spark: SparkSession, store: String, tag: String,
+      reg: DataFrame): Unit =
+    appendSumShard(spark, store, tag, reg, RegCols)
+
+  def readRegistry(spark: SparkSession, store: String): DataFrame =
+    readSumStore(spark, store, RegCols, regEmpty(spark),
+      n => min(col(n)))
+
+  def compactRegistry(spark: SparkSession, store: String): Unit =
+    compactSumStore(spark, store, RegCols, regEmpty(spark),
+      n => min(col(n)))
+
+  /** Streaming wrapper: documents arriving under `srcDir` are PNG-
+    * fingerprinted per micro-batch (the q184 aHash over the real
+    * codec) and their (ahash, min doc_id) shard joins the registry —
+    * perceptual dedup history maintained by ingest itself. */
+  def imageRegistryStream(
+      spark: SparkSession, srcDir: String, store: String,
+      checkpointDir: Option[String] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.MultimodalOps
+    val schema = spark.read
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true").parquet(srcDir).schema
+    val writer = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendRegistryShard(spark, store, s"batch_$batchId",
+          MultimodalOps.fingerprints(batch)
+            .groupBy($"ahash").agg(min($"doc_id").as("first_id")))
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
   /** The streaming wrapper: documents arriving under `srcDir` fold
     * their token histogram into the store per micro-batch. Same
     * checkpoint contract as [[DocumentStream.nearDupDedupedStream]]:

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.min
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Real-codec semantics of the multimodal path: the payloads are actual
@@ -217,6 +218,57 @@ class MultimodalSpec extends AnyFunSuite {
     val plan = MultimodalOps.q188ImageDecon(spark, dir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  // ---------------------------------------------------------------- q191
+
+  test("q191: registry min-merge is order-blind, fold-stable, replay-idempotent") {
+    import spark.implicits._
+    import graft.streaming.HistogramStream
+    def regMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s1 = Seq((10L, 100L), (20L, 200L)).toDF("ahash", "first_id")
+    val s2 = Seq((10L, 50L), (30L, 300L)).toDF("ahash", "first_id")
+    val expect = Map(10L -> 50L, 20L -> 200L, 30L -> 300L)
+    // order-blind
+    val a = java.nio.file.Files.createTempDirectory("graft-rega").toString
+    HistogramStream.appendRegistryShard(spark, a, "b0", s1)
+    HistogramStream.appendRegistryShard(spark, a, "b1", s2)
+    val b = java.nio.file.Files.createTempDirectory("graft-regb").toString
+    HistogramStream.appendRegistryShard(spark, b, "b0", s2)
+    HistogramStream.appendRegistryShard(spark, b, "b1", s1)
+    assert(regMap(HistogramStream.readRegistry(spark, a)) === expect)
+    assert(regMap(HistogramStream.readRegistry(spark, b)) === expect)
+    // fold preserves every assignment; idempotent re-fold
+    HistogramStream.compactRegistry(spark, a)
+    assert(HistogramStream.liveTags(spark, a) === Seq("folded-0"))
+    assert(regMap(HistogramStream.readRegistry(spark, a)) === expect)
+    // replaying a shard (same tag) changes nothing — min is idempotent
+    HistogramStream.appendRegistryShard(spark, b, "b1", s1)
+    assert(regMap(HistogramStream.readRegistry(spark, b)) === expect)
+  }
+
+  test("q191: the streaming wrapper reaches the one-shot batch assignment") {
+    import spark.implicits._
+    import graft.streaming.HistogramStream
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-regstream")
+    val (src, store) = (s"$base/src", s"$base/store")
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$src/b0.parquet")
+    val q = HistogramStream.imageRegistryStream(spark, src, store)
+    try {
+      q.processAllAvailable()
+      docs.filter($"doc_id" % 2 === 1).write
+        .mode("append").parquet(s"$src/b1.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = HistogramStream.readRegistry(spark, store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = MultimodalOps.fingerprints(docs)
+      .groupBy($"ahash").agg(min($"doc_id").as("first_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch && batch.nonEmpty)
   }
 
   test("q184: gated counts conserve the corpus and bound collisions") {
