@@ -409,6 +409,10 @@ object SparkEntry {
     // ingest; min-merge ≡ the one-shot batch survivor assignment
     "q191_image_registry_stream" ->
       ((s: SparkSession, d: String) => MultimodalOps.q191ImageRegistryStream(s, d)),
+    // media integrity audit: decode-vs-metadata, flag never drop,
+    // conservation in the gated row (q179 for binary payloads)
+    "q192_media_audit" ->
+      ((s: SparkSession, d: String) => MultimodalOps.q192MediaAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

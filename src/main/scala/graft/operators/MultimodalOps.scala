@@ -353,6 +353,45 @@ object MultimodalOps {
         expr("CAST(bit_xor(DISTINCT first_id) AS BIGINT)").as("canon_fold"))
   }
 
+  /** q192 — multimodal INTEGRITY AUDIT at the binary-payload boundary,
+    * the q179 discipline (flag, never drop; conservation in the gated
+    * result) applied to media: every row's payload is actually decoded
+    * and checked against its DECLARED metadata — decodability, decoded
+    * geometry == declared (width, height), payload size == declared
+    * n_bytes. The fixture plants real corruption: every 7th document's
+    * payload is truncated to 12 bytes (a torn write — PNG magic intact,
+    * stream unreadable) and every 11th non-truncated row under-declares
+    * its n_bytes by 1 (metadata rot — payload fine, bookkeeping wrong),
+    * so both failure AXES (payload vs metadata) are exercised and
+    * distinguishable in the output. Conservation n_ok + n_torn +
+    * n_meta_rot = n_rows is part of the gated row — a silently vanished
+    * record cannot pass. Per-partition decode, one accounting
+    * aggregate; the audit reads each payload once. */
+  def q192MediaAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val audited = mediaTable(s, dir).map { r =>
+      val torn = r.doc_id % 7 == 0L
+      val media = if (torn) r.media.take(12) else r.media
+      val declaredBytes =
+        if (!torn && r.doc_id % 11 == 0L) r.n_bytes - 1 else r.n_bytes
+      val decodedOk =
+        try { decodePixels(media).length == r.width * r.height }
+        catch { case _: Throwable => false }
+      val status =
+        if (!decodedOk) "torn"
+        else if (declaredBytes != media.length) "meta_rot"
+        else "ok"
+      (r.doc_id, status)
+    }.toDF("doc_id", "status")
+    audited.join(load(s, dir, "documents").select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when($"status" === "ok", lit(1))).as("n_ok"),
+        count(when($"status" === "torn", lit(1))).as("n_torn"),
+        count(when($"status" === "meta_rot", lit(1))).as("n_meta_rot"))
+  }
+
   /** Frame-sampling shape op: split each payload into fixed-size "frames"
     * and explode — the video-frame-sample plumbing (byte-slicing layer;
     * content-agnostic by design). */
@@ -636,6 +675,23 @@ object MultimodalOps {
         |    AS n_deduped,
         |  CAST(bit_xor(DISTINCT first_id) AS BIGINT) AS canon_fold
         |FROM j GROUP BY 1""".stripMargin,
+    // q192 replays the PLANTED corruption rule; the Spark side earns
+    // its match only if the real decoder rejects exactly the truncated
+    // payloads (else they'd misclassify as meta_rot) and accepts the
+    // intact ones (else meta_rot rows would misclassify as torn)
+    "q192_media_audit" ->
+      """WITH st AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'torn'
+        |      WHEN doc_id % 11 = 0 THEN 'meta_rot'
+        |      ELSE 'ok' END AS status
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN status = 'ok' THEN 1 END) AS BIGINT) AS n_ok,
+        |  CAST(count(CASE WHEN status = 'torn' THEN 1 END) AS BIGINT)
+        |    AS n_torn,
+        |  CAST(count(CASE WHEN status = 'meta_rot' THEN 1 END) AS BIGINT)
+        |    AS n_meta_rot
+        |FROM st GROUP BY 1""".stripMargin,
     // sampled-frame geometry and luminance recomputed from the text:
     // frame f holds chars [64f, 64f+64); sampled iff f even; a frame of
     // s bytes decodes to 16·max(1,ceil(s/16)) pixels (encodePng geometry)

@@ -220,6 +220,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  // ---------------------------------------------------------------- q192
+
+  test("q192: audit conserves rows and classifies both planted failure axes") {
+    val dir = "/root/testdata/sf0.001"
+    val out = MultimodalOps.q192MediaAudit(spark, dir).collect()
+    val n = graft.Tables.load(spark, dir, "documents").count()
+    assert(out.map(_.getAs[Long]("n_rows")).sum === n)
+    for (r <- out)
+      assert(r.getAs[Long]("n_ok") + r.getAs[Long]("n_torn") +
+        r.getAs[Long]("n_meta_rot") === r.getAs[Long]("n_rows"),
+        s"conservation broken for ${r.getString(0)}")
+    // both planted axes fire somewhere on the corpus
+    assert(out.map(_.getAs[Long]("n_torn")).sum > 0L)
+    assert(out.map(_.getAs[Long]("n_meta_rot")).sum > 0L)
+  }
+
   // ---------------------------------------------------------------- q191
 
   test("q191: registry min-merge is order-blind, fold-stable, replay-idempotent") {
