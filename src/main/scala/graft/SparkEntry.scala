@@ -413,6 +413,10 @@ object SparkEntry {
     // conservation in the gated row (q179 for binary payloads)
     "q192_media_audit" ->
       ((s: SparkSession, d: String) => MultimodalOps.q192MediaAudit(s, d)),
+    // embedding centroid drift per label: integer-exact division-
+    // cleared L1 between release centroids — the vector-side q189
+    "q193_centroid_drift" ->
+      ((s: SparkSession, d: String) => VectorOps.q193CentroidDrift(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

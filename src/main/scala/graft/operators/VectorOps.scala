@@ -944,6 +944,35 @@ object VectorOps {
         count(when($"same_bucket", lit(1))).as("n_bucket"))
   }
 
+  /** q193 — per-label embedding CENTROID DRIFT between releases, the
+    * vector-side complement of q189's length-percentile drift: a
+    * retrained encoder, a changed normalization, or a shifted domain
+    * mix moves class centroids long before individual-pair metrics
+    * notice. Everything is exact-integer: components scale to
+    * floor(v·10⁶ + ½) (the q57 rule), per-dim per-release SUMS
+    * accumulate as longs, and the drift is division-cleared —
+    * drift_num = Σ_d |sumA_d·n_b − sumB_d·n_a| = n_a·n_b·L1(meanA,
+    * meanB) scaled — so both engines compute the same integer. One
+    * posexplode (64 dim-rows per vector, map-side-combinable into a
+    * (label, dim)-keyed partial agg — dim count is bounded, this is a
+    * fan-out into a combiner, not a blowup), then a labels×dims-sized
+    * comparison. */
+  def q193CentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"),
+        posexplode($"embedding").as(Seq("dim", "v")))
+      .select($"vec_id", $"label", $"dim",
+        floor($"v" * 1e6 + 0.5).cast("long").as("sv"))
+    def sums(rel: Long) = emb.filter($"vec_id" % 2 === rel)
+      .groupBy($"label", $"dim")
+      .agg(sum($"sv").as(s"s$rel"), countDistinct($"vec_id").as(s"n$rel"))
+    sums(0L).join(sums(1L), Seq("label", "dim"))
+      .groupBy($"label")
+      .agg(
+        max($"n0").as("n_a"), max($"n1").as("n_b"),
+        sum(abs($"s0" * $"n1" - $"s1" * $"n0")).cast("long").as("drift_num"))
+  }
+
   /** Multi-probe LSH candidate generation (Lv et al., VLDB 2007): probe
     * not just the query's own signature bucket but every bucket at
     * Hamming distance 1 — a near-neighbor that lost ONE plane's coin
@@ -1231,6 +1260,24 @@ object VectorOps {
          |SELECT pid, CAST(count(CASE WHEN rk.rk <= 10 AND sb.same THEN 1 END) AS BIGINT) AS n_topk_in_bucket,
          |CAST(count(CASE WHEN sb.same THEN 1 END) AS BIGINT) AS n_bucket
          |FROM rk JOIN sb USING (pid, vec_id) GROUP BY 1""".stripMargin,
+    // q193 replays scale → per-dim sums → division-cleared L1 in
+    // integer SQL (unnest + generate_subscripts, the q57 pattern)
+    "q193_centroid_drift" ->
+      """WITH u AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+        |      AS BIGINT) AS sv
+        |  FROM embeddings),
+        |a AS (SELECT label, dim, CAST(sum(sv) AS BIGINT) AS s0,
+        |    CAST(count(DISTINCT vec_id) AS BIGINT) AS n0
+        |  FROM u WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+        |b AS (SELECT label, dim, CAST(sum(sv) AS BIGINT) AS s1,
+        |    CAST(count(DISTINCT vec_id) AS BIGINT) AS n1
+        |  FROM u WHERE vec_id % 2 = 1 GROUP BY 1, 2)
+        |SELECT label, CAST(max(n0) AS BIGINT) AS n_a,
+        |  CAST(max(n1) AS BIGINT) AS n_b,
+        |  CAST(sum(abs(s0 * n1 - s1 * n0)) AS BIGINT) AS drift_num
+        |FROM a JOIN b USING (label, dim) GROUP BY 1""".stripMargin,
     // q183 replays q72's signature + exact-rank harness with the
     // Hamming-1 probe ring via xor/bit_count — membership in the
     // multi-probe candidate set is bit_count(xor(sig, psig)) <= 1,

@@ -499,6 +499,31 @@ class AnnSpec extends AnyFunSuite {
     assert(out.head._3 == scored.count(_._3))
   }
 
+  // ---------------------------------------------------------------- q193
+
+  test("q193: identical releases pin drift to zero; a planted shift is caught") {
+    import spark.implicits._
+    // even/odd twins share the same vector (pairs keyed by vec_id/2),
+    // one label — the two parity releases have identical centroids
+    val same = (0L until 40L).map { i =>
+      (i, Array.fill(4)(((i / 2) % 5).toFloat / 10f), 1)
+    }.toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q193").toString
+    same.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val zero = VectorOps.q193CentroidDrift(spark, tmp).collect()
+    assert(zero.length === 1 && zero.head.getAs[Long]("drift_num") === 0L,
+      zero.mkString(","))
+    // shift every odd (release-B) vector by +0.5 in dim 0 only:
+    // drift_num = n_a*n_b*500000 exactly (one dim, scale 1e6)
+    val shifted = same.as[(Long, Array[Float], Int)].map { case (id, e, l) =>
+      if (id % 2 == 1) (id, e.updated(0, e(0) + 0.5f), l) else (id, e, l)
+    }.toDF("vec_id", "embedding", "label")
+    shifted.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = VectorOps.q193CentroidDrift(spark, tmp).collect().head
+    val (na, nb) = (out.getAs[Long]("n_a"), out.getAs[Long]("n_b"))
+    assert(out.getAs[Long]("drift_num") === na * nb * 500000L)
+  }
+
   // ---------------------------------------------------------------- q183
 
   test("q183: bucket-explode equi-join candidates ≡ Hamming<=1 membership") {
