@@ -417,6 +417,14 @@ object SparkEntry {
     // cleared L1 between release centroids — the vector-side q189
     "q193_centroid_drift" ->
       ((s: SparkSession, d: String) => VectorOps.q193CentroidDrift(s, d)),
+    // BPE round-0 pair stats: one corpus shuffle to the word-frequency
+    // table, then vocabulary-sized pair counting (Heaps'-law cliff)
+    "q194_bpe_pairs" ->
+      ((s: SparkSession, d: String) => TokenizerOps.q194BpePairs(s, d)),
+    // BPE merge training, 4 rounds: argmax + double-space greedy merge
+    // per round, all on the vocabulary; one-row driver collect per round
+    "q195_bpe_merges" ->
+      ((s: SparkSession, d: String) => TokenizerOps.q195BpeMerges(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -427,5 +435,5 @@ object SparkEntry {
       graft.streaming.EventStream.oracles ++ MiscOps.oracles ++ AsofOps.oracles ++
       CurationOps.oracles ++ MiningOps.oracles ++ InsightOps.oracles ++
       HygieneOps.oracles ++ SketchOps.oracles ++ IndexOps.oracles ++
-      MatchOps.oracles
+      MatchOps.oracles ++ TokenizerOps.oracles
 }

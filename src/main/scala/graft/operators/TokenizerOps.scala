@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.syntax._
+
+/** Tokenizer-induction operators: the corpus→vocabulary reduction and
+  * byte-pair-encoding (BPE) training loop that every LLM data pipeline
+  * runs before a single training token is emitted (Sennrich et al.,
+  * ACL 2016 — the algorithm behind GPT-2/LLaMA tokenizers).
+  *
+  * The scale discipline is a single Zipf/Heaps'-law cliff: the corpus
+  * is touched EXACTLY ONCE (one shuffle: word → weighted frequency),
+  * and every subsequent step — pair counting, argmax selection, merge
+  * application, k training rounds — runs on the WORD-FREQUENCY TABLE,
+  * whose row count grows like the vocabulary (Heaps' law: ~ O(N^0.5)
+  * of corpus tokens), not the corpus. This is exactly how industrial
+  * BPE trainers (HuggingFace tokenizers, SentencePiece) are
+  * structured, re-expressed as Spark aggregations: at 100 TB the word
+  * count is one map-side-combinable shuffle of (word, 1) partials and
+  * the whole training loop then fits in vocabulary-sized jobs.
+  */
+object TokenizerOps {
+
+  /** Word-frequency table: the one corpus-wide pass. Map-side
+    * combinable (partial counts per word per partition), hash shuffle
+    * on the word — the canonical Heaps'-law reduction. */
+  private def wordFreq(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 1)
+      .groupBy($"w")
+      .agg(count(lit(1)).as("wf"))
+
+  /** Adjacent symbol pairs of a space-separated symbol string `wsCol`,
+    * weighted by `wf`: explode over positions 1..n-1 (bounded fan-out:
+    * symbols per word ≤ word length), then a (l_sym, r_sym) hash agg.
+    * Runs on the vocabulary, never the corpus. */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select($"wf", split($"ws", " ").as("syms"))
+      .filter(size($"syms") >= 2)
+      .select($"wf",
+        explode(sequence(lit(1), size($"syms") - 1)).as("i"),
+        $"syms")
+      .select(
+        element_at($"syms", $"i").as("l_sym"),
+        element_at($"syms", $"i" + 1).as("r_sym"),
+        $"wf")
+      .groupBy($"l_sym", $"r_sym")
+      .agg(sum($"wf").as("pair_count"))
+
+  /** Char-split a word into a space-separated symbol string:
+    * "table" → "t a b l e". regexp_replace + trim rather than
+    * split-by-empty so the Spark side and the DuckDB oracle share one
+    * derivation (both engines' `(.)` → `$1 ` semantics agree). */
+  private def spaced(c: org.apache.spark.sql.Column) =
+    trim(regexp_replace(c, "(.)", "$1 "))
+
+  // --------------------------------------------------------------- q194
+
+  /** q194 — BPE round-0 pair statistics: the weighted adjacent
+    * character-pair distribution over the word-frequency table, the
+    * input to the first merge decision. One corpus shuffle
+    * ([[wordFreq]]), then vocabulary-sized pair explode + agg; output
+    * is the pair vocabulary (alphabet², tiny). The gate pins the exact
+    * weighted counts — the quantity whose argmax IS the first BPE
+    * merge. */
+  def q194BpePairs(s: SparkSession, dir: String): DataFrame =
+    pairCounts(wordFreq(s, dir).select(spaced($"w").as("ws"), $"wf"))
+
+  // --------------------------------------------------------------- q195
+
+  /** q195 — BPE merge training, `k` rounds. Per round: weighted pair
+    * counts over the current symbolized vocabulary, argmax winner
+    * (count desc, then (l, r) lexicographic — the deterministic
+    * tie-break both engines replay), then the merge applied to every
+    * word by leftmost non-overlapping replacement — the classic greedy
+    * BPE application order, realized with the double-space trick so
+    * plain `replace` (identical leftmost-non-overlap semantics on
+    * Spark and DuckDB, no regex) applies it exactly: double every
+    * boundary space, replace " l  r " with " lr ", collapse. Every
+    * boundary carries exactly two spaces so adjacent matches never
+    * steal each other's separator (the " a a a " + merge(a,a) → "aa a"
+    * case is law-tested).
+    *
+    * Output: one row per round — round, winning pair, its weighted
+    * count, and the distinct-symbol inventory size after the merge.
+    *
+    * Scale shape: the corpus is read once ([[wordFreq]]); each round
+    * is a vocabulary-sized agg plus a ONE-ROW driver collect (the
+    * argmax — the same driver-held merge list every industrial BPE
+    * trainer keeps; k rounds ⇒ k rows held on the driver, bounded by
+    * construction). The vocabulary DataFrame is re-derived per round
+    * by stacking `replace` steps onto one lineage — k is small (the
+    * merge-table budget, 10s of thousands in production), and each
+    * round's plan is a scan of the cached word-freq table, never the
+    * corpus. */
+  def q195BpeMerges(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val wf0 = wordFreq(s, dir)
+    var vocab = wf0.select(spaced($"w").as("ws"), $"wf")
+    // k vocabulary-sized rounds; the corpus shuffle above happened once
+    val rows = (1 to k).map { round =>
+      val top = pairCounts(vocab)
+        .orderBy($"pair_count".desc, $"l_sym", $"r_sym")
+        .limit(1)
+        .collect() // bounded: exactly one row (the argmax)
+      val (l, r, cnt) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      val doubled = concat(lit(" "), regexp_replace(
+        concat($"ws", lit(" ")), " ", "  "))
+      // " l  r " → " lr ": every boundary carries two spaces, a match
+      // consumes one from each side and re-emits one — neighbors keep
+      // a full separator, so leftmost-non-overlap replace IS greedy BPE
+      val merged = trim(replace(
+        replace(doubled, lit(s" $l  $r "), lit(s" $l$r ")),
+        lit("  "), lit(" ")))
+      vocab = vocab.select(merged.as("ws"), $"wf")
+      val nSyms = vocab
+        .select(explode(split($"ws", " ")).as("sym"))
+        .agg(count_distinct($"sym"))
+        .collect()(0).getLong(0) // bounded: one scalar per round
+      (round.toLong, l, r, cnt, nSyms)
+    }
+    s.createDataFrame(rows)
+      .toDF("round", "l_sym", "r_sym", "pair_count", "n_syms")
+  }
+
+  /** DuckDB replay of [[q195BpeMerges]], generated: round i's merge
+    * winner is embedded via scalar subqueries over the previous
+    * round's pair CTE, so the chained CTEs replay the driver loop
+    * exactly — same double-space replace, same tie-break. */
+  private def bpeMergesSql(k: Int): String = {
+    def pairsCte(v: String, p: String): String =
+      s"""$p AS (SELECT sy[i] AS l_sym, sy[i+1] AS r_sym,
+         |    CAST(sum(wf) AS BIGINT) AS pair_count
+         |  FROM (SELECT string_split(ws, ' ') AS sy, wf FROM $v)
+         |    , unnest(generate_series(1, len(sy)-1)) AS u(i)
+         |  WHERE len(sy) >= 2 GROUP BY 1, 2)""".stripMargin
+    def winCte(p: String, w: String): String =
+      s"""$w AS (SELECT l_sym, r_sym, pair_count FROM $p
+         |  ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1)""".stripMargin
+    def mergeCte(v: String, w: String, v2: String): String =
+      s"""$v2 AS (SELECT trim(replace(replace(
+         |    ' ' || replace(ws || ' ', ' ', '  '),
+         |    ' ' || (SELECT l_sym FROM $w) || '  ' || (SELECT r_sym FROM $w) || ' ',
+         |    ' ' || (SELECT l_sym FROM $w) || (SELECT r_sym FROM $w) || ' '),
+         |    '  ', ' ')) AS ws, wf FROM $v)""".stripMargin
+    val base =
+      """wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wf
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 1 GROUP BY 1),
+        |v0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS ws, wf
+        |  FROM wf)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      Seq(
+        pairsCte(s"v${i - 1}", s"p$i"),
+        winCte(s"p$i", s"w$i"),
+        mergeCte(s"v${i - 1}", s"w$i", s"v$i"),
+        s"""n$i AS (SELECT CAST(count(DISTINCT sym) AS BIGINT) AS n_syms
+           |  FROM (SELECT unnest(string_split(ws, ' ')) AS sym FROM v$i))""".stripMargin
+      ).mkString(",\n")
+    }.mkString(",\n")
+    val out = (1 to k).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, l_sym, r_sym, pair_count,
+         |  (SELECT n_syms FROM n$i) AS n_syms FROM w$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $base,\n$rounds\n$out"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q194_bpe_pairs" ->
+      """WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wf
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 1 GROUP BY 1),
+        |v AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS ws, wf FROM wf),
+        |p AS (SELECT sy[i] AS l_sym, sy[i+1] AS r_sym, wf
+        |  FROM (SELECT string_split(ws, ' ') AS sy, wf FROM v)
+        |    , unnest(generate_series(1, len(sy)-1)) AS u(i)
+        |  WHERE len(sy) >= 2)
+        |SELECT l_sym, r_sym, CAST(sum(wf) AS BIGINT) AS pair_count
+        |FROM p GROUP BY 1, 2""".stripMargin,
+    "q195_bpe_merges" -> bpeMergesSql(4)
+  )
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE trainer laws (q194/q195): the pair-count reduction, the
+  * greedy leftmost merge discipline (including the self-adjacent
+  * " a a a " case the double-space trick exists for), deterministic
+  * tie-break, and symbol-inventory evolution.
+  */
+class TokenizerOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  // ---------------------------------------------------------------- q194
+
+  test("q194: pair counts equal hand-computed weighted adjacency") {
+    // corpus-free replay on the real table: recompute the weighted pair
+    // counts with a driver-side reference implementation and compare
+    import graft.Tables.load
+    val docs = load(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val wf = scala.collection.mutable.Map.empty[String, Long]
+    docs.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .foreach(w => wf(w) = wf.getOrElse(w, 0L) + 1L)
+    val ref = scala.collection.mutable.Map.empty[(String, String), Long]
+    wf.foreach { case (w, f) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1, 2))
+        ref(k) = ref.getOrElse(k, 0L) + f
+      }
+    }
+    val got = TokenizerOps.q194BpePairs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === ref.toMap)
+  }
+
+  // ---------------------------------------------------------------- q195
+
+  test("q195: merges are greedy-leftmost (the 'a a a' law) and argmax-correct") {
+    import spark.implicits._
+    // planted vocabulary where the top pair is self-adjacent: "aaa" x5
+    // must merge (a,a) -> "aa a" (leftmost, non-overlapping), never
+    // "a aa" and never a double consume
+    val docs = Seq.fill(5)("aaa").toDF("text")
+    docs.createOrReplaceTempView("tok_docs")
+    // replay the operator's internals on the planted frame via a temp
+    // dir is heavier than needed; drive the merge expression directly
+    val wf = docs.selectExpr("text as w", "cast(1 as bigint) as wf")
+    // round 1 winner over {"a a a" x5}: pair (a,a) count 10
+    val merged = wf.selectExpr(
+      """trim(replace(replace(
+        |  ' ' || replace(concat(regexp_replace(w, '(.)', '$1 ')) , ' ', '  '),
+        |  ' a  a ', ' aa '), '  ', ' ')) as ws""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(merged.forall(_ == "aa a"), s"got ${merged.head}")
+  }
+
+  test("q195: four rounds on real data — winners deterministic, " +
+    "symbol inventory moves by at most 2 per merge") {
+    val out = TokenizerOps.q195BpeMerges(spark, dir, k = 4)
+      .orderBy("round").collect()
+    assert(out.length === 4)
+    // each merge introduces exactly one new symbol and can retire at
+    // most two (when all occurrences of l/r are consumed): |Δn_syms|<=2
+    val ns = out.map(_.getAs[Long]("n_syms"))
+    ns.sliding(2).foreach { case Array(a, b) =>
+      assert(math.abs(b - a) <= 2, s"inventory jump $a -> $b")
+    case _ => ()
+    }
+    // winner pair is never empty and count is positive
+    out.foreach { r =>
+      assert(r.getAs[String]("l_sym").nonEmpty)
+      assert(r.getAs[String]("r_sym").nonEmpty)
+      assert(r.getAs[Long]("pair_count") > 0)
+    }
+    // determinism: a second run returns the identical table
+    val again = TokenizerOps.q195BpeMerges(spark, dir, k = 4)
+      .orderBy("round").collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+}
