@@ -425,6 +425,10 @@ object SparkEntry {
     // per round, all on the vocabulary; one-row driver collect per round
     "q195_bpe_merges" ->
       ((s: SparkSession, d: String) => TokenizerOps.q195BpeMerges(s, d)),
+    // phrase search: the match runs inside the row (array filter over
+    // positions) — zero exchanges, no posexplode self-join
+    "q196_phrase_search" ->
+      ((s: SparkSession, d: String) => IndexOps.q196PhraseSearch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

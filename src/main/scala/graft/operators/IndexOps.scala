@@ -419,6 +419,43 @@ object IndexOps {
         min($"event_id").as("min_event"), max($"event_id").as("max_event"))
   }
 
+  // --------------------------------------------------------------- q196
+
+  /** Phrase search — exact adjacent-bigram match ("first second" as
+    * consecutive tokens), the retrieval consumer the q149 inverted
+    * index exists for. Per matching document: occurrence count
+    * (overlapping occurrences counted — "a a a" contains (a,a) twice)
+    * and the first match position (1-based).
+    *
+    * SCALE: this is deliberately NOT the textbook positional-index
+    * self-join (posexplode → shuffle on (doc_id, pos) → join pos+1 —
+    * two corpus-wide shuffles and an L× row blow-up before the first
+    * filter). The match runs entirely INSIDE the row: one codegen'd
+    * map pass evaluates `filter(sequence(1, n-1), i → tok[i]=A ∧
+    * tok[i+1]=B)` over the token array, so the plan is scan → project
+    * → filter with ZERO exchanges (plan-gated in IndexOpsSpec) and the
+    * corpus is read exactly once with only `doc_id`/`text` columns. At
+    * 100 TB the composition with the index is the standard two-phase
+    * retrieval: semi-join the corpus against the rarer token's
+    * postings first (df from q149 picks which), then run this verifier
+    * over the surviving fraction — the verifier itself never shuffles
+    * either way. */
+  def phraseSearch(docs: DataFrame, first: String, second: String): DataFrame =
+    docs
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id",
+        filter(sequence(lit(1), size($"toks") - 1),
+          i => element_at($"toks", i) === lit(first) &&
+            element_at($"toks", i + 1) === lit(second)).as("pos"))
+      .filter(size($"pos") > 0)
+      .select($"doc_id",
+        size($"pos").cast("long").as("n_hits"),
+        element_at($"pos", 1).cast("long").as("first_pos"))
+
+  def q196PhraseSearch(s: SparkSession, dir: String): DataFrame =
+    phraseSearch(load(s, dir, "documents"), "table", "hash")
+
   // -------------------------------------------------------------- oracles
 
   /** The morton interleave as plain SQL: Σ ((x>>i)&1)<<2i for the x
@@ -473,6 +510,17 @@ object IndexOps {
         |  min(event_id) AS min_event, max(event_id) AS max_event
         |FROM events WHERE user_id BETWEEN 10 AND 40
         |GROUP BY 1""".stripMargin,
+    // q196 replays the in-row scan as the flat positional form (unnest
+    // + 1-based list index); overlap counting falls out of counting
+    // every position i independently
+    "q196_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |p AS (SELECT doc_id, i
+        |  FROM t, unnest(generate_series(1, len(l)-1)) AS u(i)
+        |  WHERE len(l) >= 2 AND l[i] = 'table' AND l[i+1] = 'hash')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(i) AS BIGINT) AS first_pos
+        |FROM p GROUP BY 1""".stripMargin,
     "q154_zorder_probe" ->
       """WITH d AS (SELECT event_type, user_id % 65536 AS zx,
         |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 65536 AS zy

@@ -293,4 +293,30 @@ class IndexOpsSpec extends AnyFunSuite {
       targetRowsPerFile = n * 10) === 1)
     assert(spark.read.parquet(s"$tmp/one").inputFiles.length === 1)
   }
+
+  // ---------------------------------------------------------------- q196
+
+  test("q196: overlapping occurrences count; first_pos is 1-based leftmost") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a"),        // (a,a) at 1 and 2 — overlap counts
+      (2L, "x y x y"),      // (x,y) at 1 and 3
+      (3L, "a"),            // too short, dropped by the size guard
+      (4L, "b a a b")       // (a,a) at 2
+    ).toDF("doc_id", "text")
+    val aa = IndexOps.phraseSearch(docs, "a", "a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(aa.toSeq === Seq((1L, 2L, 1L), (4L, 1L, 2L)))
+    val xy = IndexOps.phraseSearch(docs, "x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(xy === Seq((2L, 2L, 1L)))
+  }
+
+  test("q196: the plan has zero exchanges — the match never shuffles") {
+    import graft.Tables.load
+    val q = IndexOps.phraseSearch(load(spark, dir, "documents"), "table", "hash")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"phrase search shuffled:\n$plan")
+    assert(q.count() > 0, "gate is vacuous with zero phrase hits")
+  }
 }
