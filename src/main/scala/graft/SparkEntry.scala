@@ -429,6 +429,11 @@ object SparkEntry {
     // positions) — zero exchanges, no posexplode self-join
     "q196_phrase_search" ->
       ((s: SparkSession, d: String) => IndexOps.q196PhraseSearch(s, d)),
+    // co-engagement triangles: adaptive p90 hot-bucket refusal
+    // (accounted in-row), weight-thresholded edges, degree-oriented
+    // wedge join — O(m^1.5), never deg² at a celebrity node
+    "q197_triangles" ->
+      ((s: SparkSession, d: String) => InsightOps.q197Triangles(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -307,7 +307,133 @@ object InsightOps {
   def q110ActivityStreaks(s: SparkSession, dir: String): DataFrame =
     activityStreaks(load(s, dir, "events"))
 
+  // --------------------------------------------------------------- q197
+
+  /** q197 — triangle counting on the user CO-ENGAGEMENT graph: users
+    * are linked when they act in the same (event_type, hour) bucket at
+    * least `minShared` times, and each user's triangle participation
+    * count is the classic clustering/community signal (a user whose
+    * neighbors also know each other sits inside a community; a hub
+    * with zero triangles is a broadcast artifact or a bot).
+    *
+    * Every quadratic step is bounded, in order:
+    *  1. HOT-BUCKET GUARD, adaptive: bucket occupancy is profiled and
+    *     buckets above the p90 occupancy are REFUSED and counted into
+    *     the gated row (`n_hot_buckets` — the q64 refuse-or-account
+    *     rule). The percentile position is integer-exact
+    *     (`(9n+9) div 10` — no 0.9·n float, which rounds differently
+    *     than DuckDB would on exact decades) and computed by a
+    *     row_number over the OCCUPANCY table, which is bucket-count-
+    *     sized (|event types| × hours — thousands per year), never the
+    *     corpus: the q146 histogram-first discipline. A flash-crowd
+    *     hour therefore cannot make pair generation quadratic in the
+    *     crowd — it self-excludes at any scale.
+    *  2. Pair generation is key-local on the bucket (≤ cap² per
+    *     bucket) and the edge WEIGHT THRESHOLD (`w ≥ minShared`
+    *     distinct shared buckets) prunes coincidental co-presence
+    *     before any further step — random co-occurrence grows with
+    *     density, the threshold is what keeps the graph sparse.
+    *  3. Triangle enumeration is DEGREE-ORIENTED (Schank/Suri-
+    *     Vassilvitskii): each undirected edge points from its
+    *     lower-(deg, id) endpoint, wedges are generated only at the
+    *     LOW-degree apex and closed by an equi-join on the oriented
+    *     (b, c) edge — Σ d_oriented² = O(m^1.5) wedge rows instead of
+    *     Σ d² (a single celebrity node no longer produces deg²
+    *     wedges). Each triangle materializes exactly once because the
+    *     (deg, id) order is total.
+    * The edge artifact is localCheckpointed (lazily) before fanning
+    * into the three-way self-join, so the corpus scan and bucket
+    * profile run once, not three times. */
+  def triangleCounts(ev: DataFrame, minShared: Long = 3L): DataFrame = {
+    val bu = ev.select(
+        concat_ws("|", $"event_type",
+          expr("unix_timestamp(ts) div 3600").cast("string")).as("b"),
+        $"user_id")
+      .distinct()
+    val occ = bu.groupBy($"b").agg(count(lit(1)).as("occ"))
+    // adaptive cap: the occupancy value at integer-exact position
+    // ceil(9n/10) of (occ, b) ascending — bucket-count-sized window
+    val ranked = occ.select($"b", $"occ",
+      row_number().over(Window.orderBy($"occ", $"b")).as("rn"),
+      count(lit(1)).over(Window.partitionBy()).as("n"))
+    val cap = ranked
+      .filter($"rn" === expr("(n * 9 + 9) div 10"))
+      .select($"occ".as("cap"))
+    val withCap = occ.crossJoin(broadcast(cap))
+    val hot = withCap.filter($"occ" > $"cap")
+      .agg(count(lit(1)).as("n_hot_buckets"))
+    val ku = bu.join(withCap.filter($"occ" <= $"cap").select($"b"), "b")
+    val edges = ku.as("l").join(ku.as("r"),
+        col("l.b") === col("r.b") && col("l.user_id") < col("r.user_id"))
+      .groupBy(col("l.user_id").as("u"), col("r.user_id").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= minShared)
+      .select($"u", $"v")
+    val deg = edges.select($"u".as("node"))
+      .union(edges.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val low = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
+    val oriented = edges
+      .join(deg.select($"node".as("u"), $"deg".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
+      .select(
+        when(low, $"u").otherwise($"v").as("src"),
+        when(low, $"v").otherwise($"u").as("dst"),
+        when(low, $"dv").otherwise($"du").as("ddst"))
+      .localCheckpoint(false) // lazy: cut before the three-way reuse
+    val tri = oriented.as("x")
+      .join(oriented.as("y"),
+        col("x.src") === col("y.src") &&
+          (col("x.ddst") < col("y.ddst") ||
+            (col("x.ddst") === col("y.ddst") && col("x.dst") < col("y.dst"))))
+      .join(oriented.as("z"),
+        col("z.src") === col("x.dst") && col("z.dst") === col("y.dst"))
+      .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+    tri.select($"a".as("user_id"))
+      .union(tri.select($"b"))
+      .union(tri.select($"c"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(hot))
+  }
+
+  def q197Triangles(s: SparkSession, dir: String): DataFrame =
+    triangleCounts(load(s, dir, "events"))
+
   val oracles: Map[String, String] = Map(
+    "q197_triangles" ->
+      """WITH bu AS (SELECT DISTINCT event_type || '|' ||
+        |    CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS VARCHAR) AS b,
+        |    user_id FROM events),
+        |occ AS (SELECT b, CAST(count(*) AS BIGINT) AS occ FROM bu GROUP BY 1),
+        |rk AS (SELECT occ, row_number() OVER (ORDER BY occ, b) AS rn,
+        |  count(*) OVER () AS n FROM occ),
+        |cap AS (SELECT occ AS cap FROM rk WHERE rn = (9 * n + 9) // 10),
+        |hot AS (SELECT CAST(count(*) AS BIGINT) AS n_hot_buckets FROM occ
+        |  WHERE occ > (SELECT cap FROM cap)),
+        |ku AS (SELECT bu.b, bu.user_id FROM bu
+        |  JOIN (SELECT b FROM occ WHERE occ <= (SELECT cap FROM cap)) k USING (b)),
+        |ed AS (SELECT u, v FROM (
+        |    SELECT l.user_id AS u, r.user_id AS v, count(*) AS w
+        |    FROM ku l JOIN ku r ON l.b = r.b AND l.user_id < r.user_id
+        |    GROUP BY 1, 2) WHERE w >= 3),
+        |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed) GROUP BY 1),
+        |oe AS (SELECT
+        |    CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+        |    CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
+        |    CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddst
+        |  FROM (SELECT ed.u, ed.v, a.deg AS du, c.deg AS dv
+        |    FROM ed JOIN dg a ON a.node = ed.u JOIN dg c ON c.node = ed.v)),
+        |tr AS (SELECT x.src AS a, x.dst AS b2, y.dst AS c FROM oe x
+        |  JOIN oe y ON x.src = y.src AND (x.ddst < y.ddst OR
+        |    (x.ddst = y.ddst AND x.dst < y.dst))
+        |  JOIN oe z ON z.src = x.dst AND z.dst = y.dst),
+        |pu AS (SELECT a AS user_id FROM tr UNION ALL SELECT b2 FROM tr
+        |  UNION ALL SELECT c FROM tr)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_triangles,
+        |  (SELECT n_hot_buckets FROM hot) AS n_hot_buckets
+        |FROM pu GROUP BY 1""".stripMargin,
     "q105_session_paths" ->
       """WITH r AS (SELECT user_id, event_type,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn

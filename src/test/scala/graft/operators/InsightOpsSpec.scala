@@ -3,6 +3,7 @@ package graft.operators
 import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{lit, to_timestamp}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Fourth analytics batch (q105-q108): path-order determinism, the
@@ -221,5 +222,26 @@ class InsightOpsSpec extends AnyFunSuite {
     assert(got === Set(
       (1L, 3L, 2L, "2024-01-01"),
       (2L, 1L, 1L, "2024-02-10")))
+  }
+  // ---------------------------------------------------------------- q197
+
+  test("q197: planted triangle found once per member; sub-threshold and " +
+    "flash-crowd edges refused (hot bucket accounted)") {
+    // buckets are (type, hour); users 1,2,3 share 3 buckets (edge weight
+    // 3 = threshold) -> one triangle. Users 1,4 share only 2 buckets
+    // (below threshold). Hour 6 is a flash crowd of 20 users: occupancy
+    // profile is twenty 1s, two 2s, three 3s, one 20 -> n=26, p90
+    // position (9*26+9)/10 = 24 -> cap 3 -> the crowd bucket is refused.
+    val rows =
+      (for (h <- 1L to 3L; u <- Seq(1L, 2L, 3L)) yield (u, h)) ++
+      (for (h <- 4L to 5L; u <- Seq(1L, 4L)) yield (u, h)) ++
+      (for (u <- 10L to 29L) yield (u, 6L)) ++
+      (for (u <- 50L to 69L) yield (u, 100L + u))
+    val ev = rows.toDF("user_id", "h")
+      .select($"user_id", lit("x").as("event_type"),
+        to_timestamp($"h" * 3600).as("ts"))
+    val got = InsightOps.triangleCounts(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq === Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)))
   }
 }
