@@ -434,6 +434,11 @@ object SparkEntry {
     // wedge join — O(m^1.5), never deg² at a celebrity node
     "q197_triangles" ->
       ((s: SparkSession, d: String) => InsightOps.q197Triangles(s, d)),
+    // Fellegi–Sunter linkage: multi-pass composite blocking equi-joins,
+    // integer agreement weights, unique-max else refuse, every record
+    // accounted (link/possible/nonlink/ambiguous/nocandidate)
+    "q198_linkage_score" ->
+      ((s: SparkSession, d: String) => MatchOps.q198LinkageScore(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

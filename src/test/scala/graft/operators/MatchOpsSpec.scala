@@ -194,4 +194,24 @@ class MatchOpsSpec extends AnyFunSuite {
       assert(num >= 0L && num < den, s"${r.getAs[String]("source")}: $num/$den")
     }
   }
+
+  // ---------------------------------------------------------------- q198
+
+  test("q198: every dirty record lands in exactly one decision class; " +
+    "links are all correct; every class is exercised") {
+    val out = MatchOps.q198LinkageScore(spark, dir).collect()
+      .map(r => r.getAs[String]("decision") ->
+        (r.getAs[Long]("n_records"), r.getAs[Long]("n_correct"))).toMap
+    val total = graft.Tables.load(spark, dir, "customer").count()
+    // conservation: one decision per dirty record, none silently dropped
+    assert(out.values.map(_._1).sum === total)
+    // the link class must be pure (its threshold exists to make it so)
+    val (nLink, nLinkCorrect) = out("link")
+    assert(nLink > 0 && nLinkCorrect === nLink)
+    // non-vacuity: the planted corruptions exercise the decision space
+    assert(out.contains("possible") || out.contains("nonlink"))
+    // refusals and blocking misses are accounted classes, never errors
+    out.get("ambiguous").foreach { case (_, c) => assert(c === 0L) }
+    out.get("nocandidate").foreach { case (_, c) => assert(c === 0L) }
+  }
 }
