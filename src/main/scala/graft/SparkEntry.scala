@@ -439,6 +439,11 @@ object SparkEntry {
     // accounted (link/possible/nonlink/ambiguous/nocandidate)
     "q198_linkage_score" ->
       ((s: SparkSession, d: String) => MatchOps.q198LinkageScore(s, d)),
+    // U-shaped multi-touch attribution: integer basis points summing to
+    // exactly 10000 per conversion; key-local touch join; untouched
+    // purchases accounted, never dropped
+    "q199_attribution" ->
+      ((s: SparkSession, d: String) => MiningOps.q199Attribution(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -465,7 +465,89 @@ object MiningOps {
 
   // ------------------------------------------------------------ oracles
 
+  // ---------------------------------------------------------------- q199
+
+  /** q199 — position-based (U-shaped) multi-touch attribution: every
+    * purchase's value is split across the click/view touches of the
+    * SAME user in the trailing 7 days — 40% to the first touch, 40% to
+    * the last, 20% spread over the middles — and credit rolls up per
+    * touch type. The split is INTEGER-EXACT in basis points: first and
+    * last get 4000 each, middles get 2000 div (n−2) with the remainder
+    * assigned to the EARLIEST middle (deterministic, no float, and the
+    * per-conversion credits sum to exactly 10000 — the conservation
+    * law MiningOpsSpec pins); single-touch takes 10000, two-touch
+    * 5000/5000. Credit is reported scaled: value-micros × bps (Σ per
+    * conversion = 10⁴ × value-micros exactly).
+    *
+    * SCALE: the touch join has an equi conjunct on user_id — it
+    * shuffles both sides on the user and evaluates the 7-day band
+    * inside the key (key-local fan-out bounded by a user's weekly
+    * touch count, never corpus²). Position/count run in ONE window
+    * partitioned by the conversion id — conversion-local state, same
+    * bound. Purchases with zero touches are kept through the left join
+    * and accounted in the `untouched` row (value retained, not
+    * attributed — the refuse-or-account rule for attribution). */
+  def q199Attribution(s: SparkSession, dir: String): DataFrame = {
+    val W = 604800000000L // 7 days in µs
+    val ev = load(s, dir, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("pid"), $"user_id",
+        unix_micros($"ts").as("pus"),
+        floor($"value" * 1e6 + 0.5).cast("long").as("vmicros"))
+    val t = ev.filter($"event_type".isin("click", "view"))
+      .select($"user_id", $"event_id".as("tid"),
+        $"event_type".as("touch_type"), unix_micros($"ts").as("tus"))
+    val joined = p.join(t,
+      p("user_id") === t("user_id") &&
+        $"tus" <= $"pus" && $"tus" > $"pus" - W, "left")
+    val byConv = Window.partitionBy($"pid")
+    val pos = joined
+      .withColumn("n", count($"tid").over(byConv))
+      .withColumn("rn", row_number().over(byConv.orderBy($"tus", $"tid")))
+    val bps = when($"n" === 1, 10000L)
+      .when($"n" === 2, 5000L)
+      .when($"rn" === 1 || $"rn" === $"n", 4000L)
+      .otherwise(expr("2000 div (n - 2)") +
+        when($"rn" === 2, lit(2000L) - expr("(2000 div (n - 2)) * (n - 2)"))
+          .otherwise(0L))
+    pos.select(
+        coalesce($"touch_type", lit("untouched")).as("touch_type"),
+        when($"tid".isNotNull, bps).otherwise(10000L).as("bps"),
+        $"vmicros")
+      .groupBy($"touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum($"vmicros" * $"bps").as("credit_scaled"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q199_attribution" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pus,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vmicros
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS tid, event_type AS touch_type,
+        |    epoch_us(ts) AS tus
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.pid, p.vmicros, t.tid, t.touch_type, t.tus
+        |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+        |    AND t.tus <= p.pus AND t.tus > p.pus - 604800000000),
+        |w AS (SELECT pid, vmicros, tid, touch_type,
+        |    count(tid) OVER (PARTITION BY pid) AS n,
+        |    row_number() OVER (PARTITION BY pid ORDER BY tus, tid) AS rn
+        |  FROM j),
+        |b AS (SELECT
+        |    CASE WHEN tid IS NULL THEN 'untouched' ELSE touch_type END
+        |      AS touch_type,
+        |    CASE WHEN tid IS NULL THEN 10000
+        |         WHEN n = 1 THEN 10000
+        |         WHEN n = 2 THEN 5000
+        |         WHEN rn = 1 OR rn = n THEN 4000
+        |         ELSE 2000 // (n - 2) + CASE WHEN rn = 2
+        |           THEN 2000 - (2000 // (n - 2)) * (n - 2) ELSE 0 END
+        |    END AS bps, vmicros
+        |  FROM w)
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(vmicros * bps) AS BIGINT) AS credit_scaled
+        |FROM b GROUP BY 1""".stripMargin,
     "q160_skew_profile" ->
       """WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS c
         |  FROM events GROUP BY 1),

@@ -393,4 +393,20 @@ class MiningOpsSpec extends AnyFunSuite {
     assert(prof.forall(_.getAs[Long]("salt_factor") === 1L))
     assert(prof.forall(_.getAs[Long]("share_ppm") === 166666L))
   }
+
+  // ---------------------------------------------------------------- q199
+
+  test("q199: attribution conserves value exactly — total credit is " +
+    "10000 bps times total purchase micros") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, dir, "events")
+    val totalMicros = ev.filter(col("event_type") === "purchase")
+      .select(sum(floor(col("value") * 1e6 + 0.5).cast("long")))
+      .collect()(0).getLong(0)
+    val out = MiningOps.q199Attribution(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("credit_scaled")).sum === totalMicros * 10000L)
+    // the planted window is wide enough that all three classes appear
+    val types = out.map(_.getAs[String]("touch_type")).toSet
+    assert(types.contains("click") && types.contains("view"))
+  }
 }
