@@ -444,6 +444,10 @@ object SparkEntry {
     // purchases accounted, never dropped
     "q199_attribution" ->
       ((s: SparkSession, d: String) => MiningOps.q199Attribution(s, d)),
+    // snapshot lifecycle: staged-rename commits, metadata-only version
+    // discovery, newest-last retention with the expiry accounted in-row
+    "q200_snapshot_expiry" ->
+      ((s: SparkSession, d: String) => IndexOps.q200SnapshotExpiry(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -419,6 +419,109 @@ object IndexOps {
         min($"event_id").as("min_event"), max($"event_id").as("max_event"))
   }
 
+  // ------------------------------------------------- snapshot lifecycle
+
+  /** Versioned SNAPSHOT STORE — the release-lifecycle complement of the
+    * stats manifest (coverage), compaction (file sizing), and Z-order
+    * (clustering): each release lands as an immutable `snap=N`
+    * partition, readers pin a version, and retention expires old
+    * versions without ever making the newest unreadable. This is the
+    * Iceberg/Delta `expire_snapshots` contract rebuilt on plain
+    * parquet + FS renames.
+    *
+    * Write discipline (the [[graft.streaming.DocumentStream]]
+    * compaction rule, reused): the snapshot is written under a
+    * dot-prefixed staging root and FS-RENAMED into place — a crash
+    * before the rename leaves the store exactly as it was (stale
+    * staging is swept on the next write), a crash after leaves a fully
+    * committed snapshot; no reader ever sees a half-written version.
+    * Versions are discovered from directory METADATA (one listing, zero
+    * Spark jobs — the storeTags discipline). */
+  def writeSnapshot(df: DataFrame, store: String): Long = {
+    val s = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = s"$store/.snap-staging"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true) // crash residue
+    val v = snapshotVersions(s, store).sorted.lastOption.getOrElse(0L) + 1L
+    df.write.mode("overwrite").parquet(s"$staging/snap=$v")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(store))
+    val src = new org.apache.hadoop.fs.Path(s"$staging/snap=$v")
+    val dst = new org.apache.hadoop.fs.Path(s"$store/snap=$v")
+    if (!fs.rename(src, dst))
+      throw new IllegalStateException(
+        s"writeSnapshot: staging rename $src -> $dst failed — store " +
+          "left unchanged (stale staging will be swept)")
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    v
+  }
+
+  /** Live versions, from one directory listing (no Spark jobs). */
+  def snapshotVersions(s: SparkSession, store: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+      .filter(_.startsWith("snap=")).map(_.stripPrefix("snap=").toLong)
+  }
+
+  /** Read one pinned version (default: the newest). Reads the version
+    * DIRECTORY, so it keeps working however many files the snapshot
+    * holds and is immune to concurrent expiry of OTHER versions. */
+  def readSnapshot(s: SparkSession, store: String,
+      version: Option[Long] = None): DataFrame = {
+    val live = snapshotVersions(s, store)
+    require(live.nonEmpty, s"readSnapshot: no snapshots under $store")
+    val v = version.getOrElse(live.max)
+    require(live.contains(v),
+      s"readSnapshot: snap=$v not in live versions ${live.sorted}")
+    s.read.parquet(s"$store/snap=$v")
+  }
+
+  /** Retention: delete every version except the newest `keep`,
+    * NEWEST-LAST so a crash mid-expiry can only have removed versions
+    * that were already scheduled to go (the newest `keep` are never
+    * touched). Also sweeps stale staging. Returns the expired versions
+    * (ascending) — callers account what they dropped, never guess. */
+  def expireSnapshots(s: SparkSession, store: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, s"expireSnapshots: keep=$keep must retain at least 1")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/.snap-staging"), true)
+    val doomed = snapshotVersions(s, store).sorted.dropRight(keep)
+    doomed.foreach { v =>
+      if (!fs.delete(new org.apache.hadoop.fs.Path(s"$store/snap=$v"), true))
+        throw new IllegalStateException(
+          s"expireSnapshots: failed to delete snap=$v — store still " +
+            "readable; re-run to finish retention")
+    }
+    doomed
+  }
+
+  /** q200 — snapshot lifecycle gate: three growing releases of the
+    * documents corpus land as snapshots, retention keeps the newest
+    * two, and the answer is read through the PINNED LATEST version —
+    * with the live-version count and the expired count in the gated
+    * row (the accounting that proves retention actually ran and the
+    * newest snapshot survived it). The oracle replays release 3's
+    * membership rule straight from the base table. */
+  def q200SnapshotExpiry(s: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files.createTempDirectory("graft-q200")
+      .toString + "/snaps"
+    val docs = load(s, dir, "documents")
+    (1L to 3L).foreach(v =>
+      writeSnapshot(docs.filter($"doc_id" % 4 < v), store))
+    val expired = expireSnapshots(s, store, keep = 2)
+    require(expired == Seq(1L),
+      s"q200 gate is vacuous unless exactly snap=1 expires (got $expired)")
+    val live = snapshotVersions(s, store)
+    readSnapshot(s, store) // pinned latest = snap=3
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .withColumn("n_live_snapshots", lit(live.length.toLong))
+      .withColumn("n_expired", lit(expired.length.toLong))
+  }
+
   // --------------------------------------------------------------- q196
 
   /** Phrase search — exact adjacent-bigram match ("first second" as
@@ -509,6 +612,16 @@ object IndexOps {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  min(event_id) AS min_event, max(event_id) AS max_event
         |FROM events WHERE user_id BETWEEN 10 AND 40
+        |GROUP BY 1""".stripMargin,
+    // q200: retention is semantics-free for the surviving versions, so
+    // the oracle replays release 3's membership rule on the base table;
+    // the lifecycle constants are pinned by the require + the literals
+    "q200_snapshot_expiry" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(2 AS BIGINT) AS n_live_snapshots,
+        |  CAST(1 AS BIGINT) AS n_expired
+        |FROM documents WHERE doc_id % 4 < 3
         |GROUP BY 1""".stripMargin,
     // q196 replays the in-row scan as the flat positional form (unnest
     // + 1-based list index); overlap counting falls out of counting

@@ -319,4 +319,38 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"phrase search shuffled:\n$plan")
     assert(q.count() > 0, "gate is vacuous with zero phrase hits")
   }
+
+  // ------------------------------------------------- snapshot lifecycle
+
+  test("q200: versions are monotone, reads pin, retention keeps the " +
+    "newest and sweeps staging residue") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-snap")
+      .toString + "/s"
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val d2 = Seq((3L, "c")).toDF("id", "v")
+    assert(IndexOps.writeSnapshot(d1, store) === 1L)
+    assert(IndexOps.writeSnapshot(d2, store) === 2L)
+    // plant crash residue; the next write must sweep it and commit v3
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$store/.snap-staging/snap=99"))
+    assert(IndexOps.writeSnapshot(d1.union(d2), store) === 3L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/.snap-staging")))
+    assert(IndexOps.snapshotVersions(spark, store).sorted === Seq(1L, 2L, 3L))
+    // pinned read of an OLD version is exact
+    assert(IndexOps.readSnapshot(spark, store, Some(2L))
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // retention: newest 2 survive, v1 reported expired
+    assert(IndexOps.expireSnapshots(spark, store, keep = 2) === Seq(1L))
+    assert(IndexOps.snapshotVersions(spark, store).sorted === Seq(2L, 3L))
+    assert(IndexOps.readSnapshot(spark, store).count() === 3L)
+    // expired versions refuse to read; keep < 1 refuses outright
+    intercept[IllegalArgumentException](
+      IndexOps.readSnapshot(spark, store, Some(1L)))
+    intercept[IllegalArgumentException](
+      IndexOps.expireSnapshots(spark, store, keep = 0))
+    // idempotent: nothing left to expire
+    assert(IndexOps.expireSnapshots(spark, store, keep = 2) === Seq.empty)
+  }
 }
