@@ -448,6 +448,10 @@ object SparkEntry {
     // discovery, newest-last retention with the expiry accounted in-row
     "q200_snapshot_expiry" ->
       ((s: SparkSession, d: String) => IndexOps.q200SnapshotExpiry(s, d)),
+    // Matryoshka prefix-dim retrieval: prefix shortlist + full re-rank,
+    // recall dominance pinned; prefix column = 4x less data first pass
+    "q201_matryoshka_recall" ->
+      ((s: SparkSession, d: String) => VectorOps.q201MatryoshkaRecall(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -973,6 +973,56 @@ object VectorOps {
         sum(abs($"s0" * $"n1" - $"s1" * $"n0")).cast("long").as("drift_num"))
   }
 
+  /** q201 — Matryoshka (prefix-dimension) retrieval recall: rank by the
+    * FIRST 16 of 64 dimensions, shortlist the prefix top-30, re-rank
+    * the shortlist with full-dimension cosine, and measure both recalls
+    * against the exact full-dimension top-10 — the MRL evaluation
+    * (Kusupati et al., NeurIPS 2022) that decides whether truncated
+    * embeddings can drive the first retrieval pass. Integer-scaled
+    * scores, vec_id tie-breaks, exact ranks (the q72/q135 harness
+    * convention — the all-pairs ranking exists to provide ground truth
+    * at gate scale).
+    *
+    * The DOMINANCE LAW is structural, and AnnSpec pins it: any true
+    * top-10 item the prefix top-10 captures is also captured by the
+    * shortlist re-rank (it sits in the shortlist, and only 9 items in
+    * the whole corpus out-score it on full cosine), so
+    * n_topk_rerank ≥ n_topk_prefix row by row.
+    *
+    * SCALE: prefix-first is the same two-phase shape as q135's
+    * PQ→exact re-rank with the cheap pass now a PREFIX of the stored
+    * vector — 4× less data per candidate and no codebook artifact to
+    * maintain; at 100 TB the prefix lives as its own column (column
+    * pruning reads 16 dims, not 64) and the full vector is fetched
+    * only for the ≤ 30-row shortlist per probe. */
+  def q201MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val probes = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("pid"), $"embedding".as("pemb"))
+    val scored = emb.join(broadcast(probes), $"vec_id" =!= $"pid")
+      .select($"pid", $"vec_id",
+        floor(cosine($"embedding", $"pemb") * 1e6 + 0.5)
+          .cast("long").as("cs_full"),
+        floor(cosine(slice($"embedding", 1, 16), slice($"pemb", 1, 16))
+          * 1e6 + 0.5).cast("long").as("cs_pre"))
+    val byFull = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pid").orderBy($"cs_full".desc, $"vec_id")
+    val byPre = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pid").orderBy($"cs_pre".desc, $"vec_id")
+    val rk = scored
+      .withColumn("rkf", row_number().over(byFull))
+      .withColumn("rkp", row_number().over(byPre))
+    val direct = rk.groupBy($"pid")
+      .agg(count(when($"rkf" <= 10 && $"rkp" <= 10, lit(1)))
+        .as("n_topk_prefix"))
+    val rerank = rk.filter($"rkp" <= 30)
+      .withColumn("rkr", row_number().over(byFull))
+      .groupBy($"pid")
+      .agg(count(when($"rkf" <= 10 && $"rkr" <= 10, lit(1)))
+        .as("n_topk_rerank"))
+    direct.join(rerank, Seq("pid"))
+  }
+
   /** Multi-probe LSH candidate generation (Lv et al., VLDB 2007): probe
     * not just the query's own signature bucket but every bucket at
     * Hamming distance 1 — a near-neighbor that lost ONE plane's coin
@@ -1278,6 +1328,38 @@ object VectorOps {
         |  CAST(max(n1) AS BIGINT) AS n_b,
         |  CAST(sum(abs(s0 * n1 - s1 * n0)) AS BIGINT) AS drift_num
         |FROM a JOIN b USING (label, dim) GROUP BY 1""".stripMargin,
+    // q201 replays the full- and prefix-cosine rankings from the same
+    // per-dimension join (prefix terms CASE-gated on i <= 16), then the
+    // shortlist re-rank as a second row_number over the filtered set
+    "q201_matryoshka_recall" ->
+      """WITH p AS (SELECT vec_id AS pid FROM embeddings WHERE vec_id < 5),
+        |u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |  generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |cs AS (SELECT p.pid, a.vec_id,
+        |  CAST(floor(sum(a.v*b.v) /
+        |    (sqrt(sum(a.v*a.v)) * sqrt(sum(b.v*b.v))) * 1e6 + 0.5)
+        |    AS BIGINT) AS cs_full,
+        |  CAST(floor(sum(CASE WHEN a.i <= 16 THEN a.v*b.v ELSE 0 END) /
+        |    (sqrt(sum(CASE WHEN a.i <= 16 THEN a.v*a.v ELSE 0 END)) *
+        |     sqrt(sum(CASE WHEN a.i <= 16 THEN b.v*b.v ELSE 0 END)))
+        |    * 1e6 + 0.5) AS BIGINT) AS cs_pre
+        |  FROM p JOIN u a ON a.vec_id != p.pid
+        |    JOIN u b ON b.vec_id = p.pid AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT pid, vec_id, cs_full,
+        |  row_number() OVER (PARTITION BY pid ORDER BY cs_full DESC, vec_id)
+        |    AS rkf,
+        |  row_number() OVER (PARTITION BY pid ORDER BY cs_pre DESC, vec_id)
+        |    AS rkp FROM cs),
+        |a1 AS (SELECT pid, CAST(count(CASE WHEN rkf <= 10 AND rkp <= 10
+        |    THEN 1 END) AS BIGINT) AS n_topk_prefix FROM rk GROUP BY 1),
+        |rr AS (SELECT pid, rkf, row_number() OVER (PARTITION BY pid
+        |    ORDER BY cs_full DESC, vec_id) AS rkr
+        |  FROM rk WHERE rkp <= 30),
+        |a2 AS (SELECT pid, CAST(count(CASE WHEN rkf <= 10 AND rkr <= 10
+        |    THEN 1 END) AS BIGINT) AS n_topk_rerank FROM rr GROUP BY 1)
+        |SELECT pid, n_topk_prefix, n_topk_rerank
+        |FROM a1 JOIN a2 USING (pid)""".stripMargin,
     // q183 replays q72's signature + exact-rank harness with the
     // Hamming-1 probe ring via xor/bit_count — membership in the
     // multi-probe candidate set is bit_count(xor(sig, psig)) <= 1,

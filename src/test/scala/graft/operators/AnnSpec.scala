@@ -560,4 +560,19 @@ class AnnSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(cand === Map(1L -> true, 2L -> false), cand.toString)
   }
+
+  // ---------------------------------------------------------------- q201
+
+  test("q201: shortlist re-rank dominates prefix-direct recall row by row") {
+    val out = VectorOps.q201MatryoshkaRecall(spark, dir).collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      val (p, rr) = (r.getAs[Long]("n_topk_prefix"),
+        r.getAs[Long]("n_topk_rerank"))
+      assert(rr >= p, s"pid ${r.get(0)}: rerank $rr < prefix $p")
+      assert(rr <= 10L && p >= 0L)
+    }
+    // non-vacuity: the prefix pass retrieves something somewhere
+    assert(out.map(_.getAs[Long]("n_topk_rerank")).sum > 0L)
+  }
 }
