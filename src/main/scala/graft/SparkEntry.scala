@@ -452,6 +452,9 @@ object SparkEntry {
     // recall dominance pinned; prefix column = 4x less data first pass
     "q201_matryoshka_recall" ->
       ((s: SparkSession, d: String) => VectorOps.q201MatryoshkaRecall(s, d)),
+    // Spearman rank correlation per source, histogram-first ranks —
+    // the corpus is never sorted; division-cleared integer fraction
+    "q202_spearman" -> (MatchOps.q202Spearman _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

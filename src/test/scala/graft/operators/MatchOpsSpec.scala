@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.Tables.load
@@ -213,5 +214,68 @@ class MatchOpsSpec extends AnyFunSuite {
     // refusals and blocking misses are accounted classes, never errors
     out.get("ambiguous").foreach { case (_, c) => assert(c === 0L) }
     out.get("nocandidate").foreach { case (_, c) => assert(c === 0L) }
+  }
+
+  // ---------------------------------------------------------------- q202
+
+  test("q202: hand-computed tie fixture pins the average-rank arithmetic") {
+    // x=[1,2,2,3], y=[5,5,7,9]: 2·avgranks rx=[2,5,5,8], ry=[3,3,6,8]
+    // → n=4, num=4·115−20·20=60, den_x=den_y=4·118−400=72 (ρ=5/6)
+    val df = Seq((1L, 5L), (2L, 5L), (2L, 7L), (3L, 9L))
+      .toDF("x", "y")
+      .select(lit("s").as("source"),
+        $"x".as("n_chars"),
+        // text with exactly y distinct single-char tokens
+        concat_ws(" ", sequence(lit(1L), $"y").cast("array<string>")).as("text"))
+    val r = MatchOps.spearman(df).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n") === 4L)
+    assert(row.getAs[Long]("num") === 60L)
+    assert(row.getAs[Long]("den_x") === 72L)
+    assert(row.getAs[Long]("den_y") === 72L)
+  }
+
+  test("q202: perfect monotone relation pins rho = 1 exactly") {
+    val df = (1 to 20).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+      .select(lit("s").as("source"), $"x".as("n_chars"),
+        concat_ws(" ", sequence(lit(1L), $"y").cast("array<string>")).as("text"))
+    val row = MatchOps.spearman(df).collect()(0)
+    assert(row.getAs[Long]("num") === row.getAs[Long]("den_x"))
+    assert(row.getAs[Long]("den_x") === row.getAs[Long]("den_y"))
+    assert(row.getAs[Long]("num") > 0L)
+  }
+
+  test("q202: histogram-first ranks match the corpus-window definition") {
+    // independent implementation: avg rank via rank() + peer count
+    // windows OVER THE CORPUS — the plan the operator refuses
+    import org.apache.spark.sql.expressions.Window
+    val docs = load(spark, dir, "documents")
+    val d = docs.select($"source", $"n_chars".cast("long").as("x"),
+      size(array_distinct(split($"text", " "))).cast("long").as("y"))
+    def rk2(c: String) =
+      lit(2L) * (org.apache.spark.sql.functions.rank()
+        .over(Window.partitionBy($"source").orderBy(col(c))).cast("long") - 1L) +
+        count(lit(1)).over(Window.partitionBy($"source", col(c))) + 1L
+    val naive = d
+      .withColumn("rx", rk2("x")).withColumn("ry", rk2("y"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum($"rx").as("sx"), sum($"ry").as("sy"),
+        sum($"rx" * $"rx").as("sxx"), sum($"ry" * $"ry").as("syy"),
+        sum($"rx" * $"ry").as("sxy"))
+      .select($"source", $"n",
+        ($"n" * $"sxy" - $"sx" * $"sy").as("num"),
+        ($"n" * $"sxx" - $"sx" * $"sx").as("den_x"),
+        ($"n" * $"syy" - $"sy" * $"sy").as("den_y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("num"),
+          r.getAs[Long]("den_x"), r.getAs[Long]("den_y"))).toMap
+    val hist = MatchOps.spearman(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("num"),
+          r.getAs[Long]("den_x"), r.getAs[Long]("den_y"))).toMap
+    assert(hist === naive)
+    assert(hist.nonEmpty)
   }
 }
