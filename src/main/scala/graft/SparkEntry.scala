@@ -455,6 +455,9 @@ object SparkEntry {
     // Spearman rank correlation per source, histogram-first ranks —
     // the corpus is never sorted; division-cleared integer fraction
     "q202_spearman" -> (MatchOps.q202Spearman _),
+    // chi-square residual table lang x source: full zero-cell grid,
+    // cleared (N n - ra cb)^2 per cell — cells-sized after one agg
+    "q203_chi_square" -> (MatchOps.q203ChiSquare _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -278,4 +278,40 @@ class MatchOpsSpec extends AnyFunSuite {
     assert(hist === naive)
     assert(hist.nonEmpty)
   }
+
+  // ---------------------------------------------------------------- q203
+
+  test("q203: exact independence pins every cell deviation to 0") {
+    // every (a, b) combo appears exactly twice -> n = ra*cb/N exactly
+    val rows = for { a <- Seq("x", "y"); b <- Seq("p", "q", "r"); _ <- 1 to 2 }
+      yield (a, b)
+    val df = rows.toDF("lang", "source")
+    val out = MatchOps.chiSquare(df, "lang", "source").collect()
+    assert(out.length === 6)
+    out.foreach(r => assert(r.getAs[Long]("dev_num") === 0L, r.toString))
+  }
+
+  test("q203: absent combo is a real zero cell with dev = (ra*cb)^2") {
+    // (y, q) never occurs; marginals ra(y)=2, cb(q)=2, N=8
+    val df = Seq(("x", "p"), ("x", "p"), ("x", "q"), ("x", "q"),
+      ("x", "p"), ("x", "p"), ("y", "p"), ("y", "p")).toDF("lang", "source")
+    val out = MatchOps.chiSquare(df, "lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("dev_num"), r.getAs[Long]("den"))).toMap
+    assert(out.contains(("y", "q")))
+    val (n0, dev0, den0) = out(("y", "q"))
+    assert(n0 === 0L)
+    assert(den0 === 4L)       // ra=2, cb=2
+    assert(dev0 === 16L)      // (8*0 - 4)^2
+  }
+
+  test("q203: grid marginals conserve the corpus on real data") {
+    val out = MatchOps.q203ChiSquare(spark, dir).collect()
+    val nTotal = out.head.getAs[Long]("n_total")
+    assert(out.map(_.getAs[Long]("n")).sum === nTotal)
+    // each lang's ra equals the sum of its row's cells
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("n")).sum === rows.head.getAs[Long]("ra"))
+    }
+  }
 }
