@@ -458,6 +458,9 @@ object SparkEntry {
     // chi-square residual table lang x source: full zero-cell grid,
     // cleared (N n - ra cb)^2 per cell — cells-sized after one agg
     "q203_chi_square" -> (MatchOps.q203ChiSquare _),
+    // skip-gram co-occurrence pairs, in-row window generation —
+    // one exchange total, sized by the pair vocabulary
+    "q204_skipgram_pairs" -> (TokenizerOps.q204SkipGrams _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

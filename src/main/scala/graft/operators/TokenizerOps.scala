@@ -170,7 +170,54 @@ object TokenizerOps {
     s"WITH $base,\n$rounds\n$out"
   }
 
+  // --------------------------------------------------------------- q204
+
+  /** q204 — skip-gram (center, context) pair counts, window ±`w`: the
+    * co-occurrence table word2vec/GloVe-style embedding training reads
+    * (Mikolov et al., NIPS 2013). Pair generation runs INSIDE the row
+    * (the q196 zero-pre-shuffle discipline): one indexed `transform`
+    * over the bound token array emits each position's ≤ 2w window
+    * neighbors as structs, flattened and exploded map-side — the plan
+    * is scan → project → generate → partial agg → ONE exchange on the
+    * pair key → final agg (plan-gated). The textbook positional
+    * self-join (posexplode → shuffle on (doc, pos) → band join) pays
+    * two corpus shuffles and materializes the corpus×L position table
+    * before its first filter; here fan-out is bounded by 2w per token
+    * and the only shuffle carries map-combined partial counts, sized
+    * by the PAIR VOCABULARY (Heaps-law bounded), not the corpus.
+    * Aggregation state per key is a single counter — no buffers. */
+  def skipGramPairs(docs: DataFrame, w: Int = 2): DataFrame =
+    docs
+      .select(split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(toks, (t, i) ->
+           |  transform(
+           |    filter(sequence(greatest(0, i - $w),
+           |                    least(size(toks) - 1, i + $w)),
+           |           j -> j != i),
+           |    j -> struct(t AS center, toks[j] AS context))))""".stripMargin))
+        .as("p"))
+      .groupBy($"p.center".as("center"), $"p.context".as("context"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def q204SkipGrams(s: SparkSession, dir: String): DataFrame =
+    skipGramPairs(load(s, dir, "documents"))
+
   val oracles: Map[String, String] = Map(
+    // q204 replays the windowed pair generation as a double lateral
+    // unnest (1-based list indexing) + the same pair aggregate
+    "q204_skipgram_pairs" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (SELECT l[i] AS center, l[j] AS context
+        |  FROM t,
+        |    unnest(generate_series(1, len(l))) AS u(i),
+        |    unnest(generate_series(greatest(1, i - 2),
+        |                           least(len(l), i + 2))) AS v(j)
+        |  WHERE j != i)
+        |SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "q194_bpe_pairs" ->
       """WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wf
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

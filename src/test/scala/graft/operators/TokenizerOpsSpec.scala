@@ -85,4 +85,36 @@ class TokenizerOpsSpec extends AnyFunSuite {
       .orderBy("round").collect()
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  // ---------------------------------------------------------------- q204
+
+  test("q204: window pairs on a tiny fixture are the exact multiset") {
+    import spark.implicits._
+    val df = Seq("a b c").toDF("text")
+    val out = TokenizerOps.skipGramPairs(df, w = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = Map(("a", "b") -> 1L, ("a", "c") -> 1L, ("b", "a") -> 1L,
+      ("b", "c") -> 1L, ("c", "a") -> 1L, ("c", "b") -> 1L)
+    assert(out === want)
+    // w = 1 drops the distance-2 pairs
+    val narrow = TokenizerOps.skipGramPairs(Seq("a b c").toDF("text"), w = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(narrow === Set(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")))
+  }
+
+  test("q204: the symmetric window makes the pair table symmetric") {
+    val out = TokenizerOps.q204SkipGrams(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case ((c, x), n) =>
+      assert(out.get((x, c)).contains(n), s"asymmetric pair ($c, $x)")
+    }
+  }
+
+  test("q204: plan pays exactly one exchange (in-row generation)") {
+    val plan = TokenizerOps.q204SkipGrams(spark, dir)
+      .queryExecution.executedPlan.toString
+    val n = "(?i)exchange".r.findAllIn(plan).length
+    assert(n === 1, s"expected one exchange, got $n:\n$plan")
+  }
 }
