@@ -461,6 +461,9 @@ object SparkEntry {
     // skip-gram co-occurrence pairs, in-row window generation —
     // one exchange total, sized by the pair vocabulary
     "q204_skipgram_pairs" -> (TokenizerOps.q204SkipGrams _),
+    // deterministic synchronous label propagation (min-label ties)
+    // over the q197 co-engagement graph; k edge-list rounds
+    "q205_label_prop" -> (InsightOps.q205LabelProp _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

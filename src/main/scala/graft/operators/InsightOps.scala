@@ -344,7 +344,12 @@ object InsightOps {
     * The edge artifact is localCheckpointed (lazily) before fanning
     * into the three-way self-join, so the corpus scan and bucket
     * profile run once, not three times. */
-  def triangleCounts(ev: DataFrame, minShared: Long = 3L): DataFrame = {
+  /** Co-engagement edge list (u < v, undirected) with the adaptive
+    * hot-bucket guard, shared by the q197 triangle counter and the
+    * q205 label propagator: returns (edges, 1-row hot-bucket
+    * accounting). See [[triangleCounts]] for the boundedness argument
+    * of each step. */
+  private def coEdges(ev: DataFrame, minShared: Long): (DataFrame, DataFrame) = {
     val bu = ev.select(
         concat_ws("|", $"event_type",
           expr("unix_timestamp(ts) div 3600").cast("string")).as("b"),
@@ -369,6 +374,11 @@ object InsightOps {
       .agg(count(lit(1)).as("w"))
       .filter($"w" >= minShared)
       .select($"u", $"v")
+    (edges, hot)
+  }
+
+  def triangleCounts(ev: DataFrame, minShared: Long = 3L): DataFrame = {
+    val (edges, hot) = coEdges(ev, minShared)
     val deg = edges.select($"u".as("node"))
       .union(edges.select($"v".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
@@ -400,7 +410,93 @@ object InsightOps {
   def q197Triangles(s: SparkSession, dir: String): DataFrame =
     triangleCounts(load(s, dir, "events"))
 
+  // --------------------------------------------------------------- q205
+
+  /** q205 — community detection by SYNCHRONOUS label propagation
+    * (Raghavan et al., Phys. Rev. E 2007) over the q197 co-engagement
+    * graph, made fully deterministic: label₀(v) = v, and each of `k`
+    * rounds relabels every vertex with the most frequent label among
+    * its neighbors, ties broken by SMALLEST label — the (count desc,
+    * label asc) total order both engines replay, where the textbook
+    * algorithm's random tie-break would make the gate unverifiable.
+    *
+    * SCALE: each round is one edge-list join (neighbor labels) + a
+    * per-vertex top-1. The top-1 is a rank-dropped row_number ≤ 1 over
+    * the (vertex, label) neighborhood table — TopKRewriteRule plans it
+    * as the bounded-heap [[graft.plans.TopKPerKeyExec]], so per-vertex
+    * state is one row per distinct neighbor label, bounded by degree
+    * (which the q197 hot-bucket guard + weight threshold already
+    * bound). The symmetric edge list is lazily localCheckpointed once
+    * and reused by all k rounds — the corpus scan and bucket profile
+    * never re-run per round. k is a constant (community diameters in
+    * co-engagement graphs are short); at larger k, checkpoint every
+    * few rounds to cut lineage — same cost model as q48's Lloyd
+    * rounds. Every vertex with an edge lands in the output; the
+    * hot-bucket refusal rides the gated rows (the q197 accounting). */
+  def labelPropagation(ev: DataFrame, minShared: Long = 3L,
+      k: Int = 3): DataFrame = {
+    val (edges, hot) = coEdges(ev, minShared)
+    val sym = edges
+      .union(edges.select($"v".as("u"), $"u".as("v")))
+      .localCheckpoint(false) // lazy: materialized once, read k times
+    var labels = sym.select($"u".as("node")).distinct()
+      .withColumn("label", $"node")
+    (1 to k).foreach { _ =>
+      val nb = sym
+        .join(labels.select($"node".as("v"), $"label"), "v")
+        .groupBy($"u", $"label").agg(count(lit(1)).as("c"))
+      val win = Window.partitionBy($"u").orderBy($"c".desc, $"label")
+      labels = nb
+        .withColumn("rn", row_number().over(win))
+        .filter($"rn" === 1)
+        .select($"u".as("node"), $"label")
+    }
+    labels.select($"node".as("user_id"), $"label")
+      .crossJoin(broadcast(hot))
+  }
+
+  def q205LabelProp(s: SparkSession, dir: String): DataFrame =
+    labelPropagation(load(s, dir, "events"))
+
+  /** The q197 oracle's shared edge-derivation CTE block (bucket guard +
+    * thresholded co-engagement edges), reused verbatim by q205. */
+  private val coEdgeCtes: String =
+    """bu AS (SELECT DISTINCT event_type || '|' ||
+      |    CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS VARCHAR) AS b,
+      |    user_id FROM events),
+      |occ AS (SELECT b, CAST(count(*) AS BIGINT) AS occ FROM bu GROUP BY 1),
+      |rk AS (SELECT occ, row_number() OVER (ORDER BY occ, b) AS rn,
+      |  count(*) OVER () AS n FROM occ),
+      |cap AS (SELECT occ AS cap FROM rk WHERE rn = (9 * n + 9) // 10),
+      |hot AS (SELECT CAST(count(*) AS BIGINT) AS n_hot_buckets FROM occ
+      |  WHERE occ > (SELECT cap FROM cap)),
+      |ku AS (SELECT bu.b, bu.user_id FROM bu
+      |  JOIN (SELECT b FROM occ WHERE occ <= (SELECT cap FROM cap)) k USING (b)),
+      |ed AS (SELECT u, v FROM (
+      |    SELECT l.user_id AS u, r.user_id AS v, count(*) AS w
+      |    FROM ku l JOIN ku r ON l.b = r.b AND l.user_id < r.user_id
+      |    GROUP BY 1, 2) WHERE w >= 3)""".stripMargin
+
+  /** Generated k-round label-propagation replay over [[coEdgeCtes]]. */
+  private def labelPropSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""n$i AS (SELECT s.u, l.label, count(*) AS c
+         |  FROM sym s JOIN l${i - 1} l ON l.node = s.v GROUP BY 1, 2),
+         |l$i AS (SELECT u AS node, label FROM (SELECT u, label,
+         |    row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+         |  FROM n$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coEdgeCtes,
+       |sym AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+       |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+       |$rounds
+       |SELECT node AS user_id, CAST(label AS BIGINT) AS label,
+       |  (SELECT n_hot_buckets FROM hot) AS n_hot_buckets
+       |FROM l$k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q205_label_prop" -> labelPropSql(3),
     "q197_triangles" ->
       """WITH bu AS (SELECT DISTINCT event_type || '|' ||
         |    CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS VARCHAR) AS b,

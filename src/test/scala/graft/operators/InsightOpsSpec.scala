@@ -244,4 +244,30 @@ class InsightOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     assert(got.toSeq === Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)))
   }
+
+  // ---------------------------------------------------------------- q205
+
+  test("q205: two planted cliques each converge to their min-id label") {
+    // clique {1,2,3} co-present in 3 'x' buckets; clique {10,11,12} in
+    // 3 'y' buckets — disconnected, so propagation must NOT mix them
+    val rows =
+      (for (h <- 1L to 3L; u <- Seq(1L, 2L, 3L)) yield (u, "x", h)) ++
+      (for (h <- 1L to 3L; u <- Seq(10L, 11L, 12L)) yield (u, "y", h))
+    val ev = rows.toDF("user_id", "event_type", "h")
+      .select($"user_id", $"event_type", to_timestamp($"h" * 3600).as("ts"))
+    val got = InsightOps.labelPropagation(ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("q205: every edge-bearing vertex labeled exactly once, label is a vertex") {
+    val out = InsightOps.q205LabelProp(spark, "/root/testdata/sf0.001").collect()
+    val users = out.map(_.getLong(0))
+    assert(users.length === users.distinct.length)
+    assert(out.nonEmpty)
+    val userSet = users.toSet
+    out.foreach(r => assert(userSet.contains(r.getLong(1)),
+      s"label ${r.getLong(1)} is not a labeled vertex"))
+  }
 }
