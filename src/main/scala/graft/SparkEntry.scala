@@ -464,6 +464,9 @@ object SparkEntry {
     // deterministic synchronous label propagation (min-label ties)
     // over the q197 co-engagement graph; k edge-list rounds
     "q205_label_prop" -> (InsightOps.q205LabelProp _),
+    // minhash estimator audit: portable-LCG signatures, estimated vs
+    // exact Jaccard per inverted-index candidate pair
+    "q206_minhash_error" -> (SketchOps.q206MinhashError _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

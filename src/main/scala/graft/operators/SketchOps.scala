@@ -1398,6 +1398,57 @@ object SketchOps {
         |    AS q_lo
         |FROM q""".stripMargin
 
+  // ------------------------------------------------ minhash error audit
+
+  /** q206 — MinHash ESTIMATOR AUDIT: per candidate set pair, the
+    * estimated Jaccard (matching signature components out of k) next to
+    * the exact one — the measurement that calibrates how much to trust
+    * the q23 LSH pipeline's signatures at a given k, run over integer
+    * sets (an order's part set) so the signature arithmetic is the
+    * SQL-replayable LCG family (the q181 portable-hash rule: a gate
+    * whose OUTPUT is sketch-derived cannot launder its hash through an
+    * exact verify, so the hash must be cross-engine). Per-seed
+    * permutation hash h_j(p) = (H(p)·(2j+1) + j·10007) mod 999999937 —
+    * H the 2^40 two-round LCG recombination, intermediates < 2^46.
+    *
+    * Candidate pairs come from the inverted-index join on shared
+    * elements (the q18/q49 shape: only pairs with inter ≥ 1 exist,
+    * never all-pairs), probe-bounded on the smaller id; signatures are
+    * k min-aggregates over ONE element explode (the q23 relational
+    * minhash plan). At 100 TB both sides shuffle on element / set id
+    * only; pair fan-out is bounded by element co-occurrence degree,
+    * the same bound the near-dup pipeline lives under. */
+  def minhashErrorAudit(items: DataFrame, k: Int = 16,
+      probeBound: Long = 100L): DataFrame = {
+    val sigAggs = count(lit(1)).as("n") +:
+      (0 until k).map(j => min(
+        (portableHash($"elem") * (2 * j + 1) + j * 10007L) % 999999937L)
+        .as(s"m$j"))
+    val sigs = items.groupBy($"set_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val inter = items.as("a")
+      .join(items.as("b"),
+        col("a.elem") === col("b.elem") &&
+          col("a.set_id") < col("b.set_id"))
+      .filter(col("a.set_id") < probeBound)
+      .groupBy(col("a.set_id").as("sa"), col("b.set_id").as("sb"))
+      .agg(count(lit(1)).as("inter"))
+    val matches = (0 until k)
+      .map(j => when(col(s"ga.m$j") === col(s"gb.m$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    inter
+      .join(sigs.as("ga"), $"sa" === col("ga.set_id"))
+      .join(sigs.as("gb"), $"sb" === col("gb.set_id"))
+      .select($"sa", $"sb", $"inter",
+        col("ga.n").as("n_a"), col("gb.n").as("n_b"),
+        matches.as("n_match"), lit(k.toLong).as("k"))
+  }
+
+  def q206MinhashError(s: SparkSession, dir: String): DataFrame =
+    minhashErrorAudit(
+      load(s, dir, "lineitem")
+        .select($"l_orderkey".as("set_id"), $"l_partkey".as("elem"))
+        .distinct())
+
   /** Shared by q157 (batch persisted shards) and q178 (streaming bloom
     * store with a mid-stream fold): both prefilters are exact-verified,
     * so both gate against the bloom-free plain semi join. */
@@ -1414,6 +1465,30 @@ object SketchOps {
       |FROM t LEFT JOIN d ON t.source = d.source""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q206 replays the portable per-seed minhash minima, the
+    // inverted-index intersection, and the component-match count —
+    // every signature VALUE is pinned cross-engine (no exact-verify
+    // laundering possible: the estimate IS the output)
+    "q206_minhash_error" -> {
+      val h = "((e % 1000003) * 2654435761 % 1000003) * 999983 + " +
+        "(e % 999983) * 1103515245 % 999983"
+      val minsFixed = (0 until 16).map(j =>
+        s"min((($h) * ${2 * j + 1} + ${j * 10007}) % 999999937) AS m$j")
+      val eqs = (0 until 16).map(j =>
+        s"CASE WHEN ga.m$j = gb.m$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS set_id, l_partkey AS e
+         |  FROM lineitem),
+         |sg AS (SELECT set_id, CAST(count(*) AS BIGINT) AS n,
+         |    ${minsFixed.mkString(",\n    ")}
+         |  FROM it GROUP BY 1),
+         |iv AS (SELECT a.set_id AS sa, b.set_id AS sb,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM it a JOIN it b ON a.e = b.e AND a.set_id < b.set_id
+         |  WHERE a.set_id < 100 GROUP BY 1, 2)
+         |SELECT sa, sb, inter, ga.n AS n_a, gb.n AS n_b,
+         |  CAST($eqs AS BIGINT) AS n_match, CAST(16 AS BIGINT) AS k
+         |FROM iv JOIN sg ga ON ga.set_id = sa JOIN sg gb ON gb.set_id = sb""".stripMargin
+    },
     // q168 runs through two persisted log-bucket shards sum-merged;
     // the oracle replays bucket index + rank rule + representative
     // inversion from the raw corpus in ONE pass

@@ -762,4 +762,39 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(merged.groupBy($"source").count().collect()
       .forall(_.getAs[Long]("count") <= 992L))
   }
+
+  // ---------------------------------------------------------------- q206
+
+  test("q206: identical sets estimate 16/16; partial overlap bounded; " +
+    "disjoint sets never pair") {
+    val items = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (2L, 30L), // identical to set 1
+      (3L, 10L), (3L, 99L),            // overlaps 1/2 in one element
+      (4L, 777L), (4L, 888L)           // disjoint from everything
+    ).toDF("set_id", "elem")
+    val out = SketchOps.minhashErrorAudit(items)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("inter"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_match"))).toMap
+    // disjoint set 4 appears in no pair (inverted-index join)
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
+    val (i12, na12, nb12, m12) = out((1L, 2L))
+    assert((i12, na12, nb12, m12) === (3L, 3L, 3L, 16L))
+    val (i13, _, _, m13) = out((1L, 3L))
+    assert(i13 === 1L && m13 >= 0L && m13 < 16L,
+      s"partial overlap must not estimate identity: $m13")
+  }
+
+  test("q206: real-data audit rows are sane and identical-set rows pin 16") {
+    val out = SketchOps.q206MinhashError(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (inter, na, nb, m) = (r.getAs[Long]("inter"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("n_match"))
+      assert(inter >= 1L && inter <= math.min(na, nb))
+      assert(m >= 0L && m <= 16L)
+      if (inter == na && inter == nb) assert(m === 16L)
+    }
+  }
 }
