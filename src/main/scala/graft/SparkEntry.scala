@@ -467,6 +467,12 @@ object SparkEntry {
     // minhash estimator audit: portable-LCG signatures, estimated vs
     // exact Jaccard per inverted-index candidate pair
     "q206_minhash_error" -> (SketchOps.q206MinhashError _),
+    // exact connected components (hybrid union-find / star contraction)
+    // on the co-engagement graph — the partition q205 refines
+    "q207_graph_components" -> (InsightOps.q207Components _),
+    // source-pair cosine over tf vectors, division-cleared; disjoint
+    // vocabularies are absent rows (similarity exactly 0)
+    "q208_source_similarity" -> (CurationOps.q208SourceSimilarity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

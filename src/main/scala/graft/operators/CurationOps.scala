@@ -654,7 +654,60 @@ object CurationOps {
       .select($"epoch", $"rank".cast("long").as("rank"), $"doc_id", $"ord")
   }
 
+  // --------------------------------------------------------------- q208
+
+  /** q208 — source-to-source similarity matrix over token-frequency
+    * vectors, as division-cleared integers: per source pair, the dot
+    * product Σ tf_a(t)·tf_b(t) and both squared norms (cos² =
+    * dot²/(ss_a·ss_b) — the q202 no-floats rule), the "which domains
+    * duplicate each other's vocabulary" input to mixture design that
+    * q139's budget draw consumes downstream. Pairs with DISJOINT
+    * vocabularies are deliberately absent (similarity exactly 0): the
+    * pair table comes from the inverted-index join on the token — only
+    * co-occurring vocabulary ever pairs, so the plan is one corpus
+    * shuffle to (source, token) counts, then vocabulary-sized joins
+    * with per-token fan-out ≤ |sources|² — never corpus², never a
+    * dense sources×vocab matrix. Dot/norm sums accumulate in
+    * decimal(38,0) (tf² reaches n² per token) and present BIGINT —
+    * exact < 2^63, shard past it (the q202 note). */
+  def sourceSimilarity(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select($"source", explode(split($"text", " ")).as("t"))
+      .groupBy($"source", $"t").agg(count(lit(1)).as("c"))
+    val dec = "decimal(38,0)"
+    val norms = tf.groupBy($"source")
+      .agg(sum($"c".cast(dec) * $"c").as("ss"))
+    tf.as("a")
+      .join(tf.as("b"),
+        col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(col("a.c").cast(dec) * col("b.c")).as("dotd"))
+      .join(norms.select($"source".as("src_a"), $"ss".as("ssa")), "src_a")
+      .join(norms.select($"source".as("src_b"), $"ss".as("ssb")), "src_b")
+      .select($"src_a", $"src_b", $"dotd".cast("long").as("dot"),
+        $"ssa".cast("long").as("ss_a"), $"ssb".cast("long").as("ss_b"))
+  }
+
+  def q208SourceSimilarity(s: SparkSession, dir: String): DataFrame =
+    sourceSimilarity(load(s, dir, "documents"))
+
   val oracles: Map[String, String] = Map(
+    // q208 replays tf → inverted-index pair dot + norms in HUGEINT
+    "q208_source_similarity" ->
+      """WITH tf AS (SELECT source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |c AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM tf GROUP BY 1, 2),
+        |n AS (SELECT source, sum(CAST(c AS HUGEINT) * c) AS ss
+        |  FROM c GROUP BY 1),
+        |d AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    sum(CAST(a.c AS HUGEINT) * b.c) AS dotd
+        |  FROM c a JOIN c b ON a.t = b.t AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(dotd AS BIGINT) AS dot,
+        |  CAST(na.ss AS BIGINT) AS ss_a, CAST(nb.ss AS BIGINT) AS ss_b
+        |FROM d JOIN n na ON na.source = src_a
+        |  JOIN n nb ON nb.source = src_b""".stripMargin,
     // parallel unnests zip positionally in DuckDB — w1/w2 stay aligned
     "q132_bigram_surprise" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),

@@ -458,6 +458,27 @@ object InsightOps {
   def q205LabelProp(s: SparkSession, dir: String): DataFrame =
     labelPropagation(load(s, dir, "events"))
 
+  // --------------------------------------------------------------- q207
+
+  /** q207 — EXACT connected components of the co-engagement graph,
+    * labels = component min id: the ground-truth partition q205's
+    * k-round propagation refines (LPA can split a component into
+    * communities; it can never merge two components — the refinement
+    * law InsightOpsSpec pins between the two queries). Reuses
+    * [[TextOps.clusterMembersFromPairs]]'s hybrid solve verbatim:
+    * bounded driver union-find for local-sized graphs,
+    * large-star/small-star contraction (Kiveris et al.) above —
+    * O(log n) rounds regardless of component DIAMETER, which plain
+    * min-propagation cannot promise on chain-shaped co-engagement
+    * graphs. Edge derivation and hot-bucket accounting are q197's. */
+  def q207Components(s: SparkSession, dir: String): DataFrame = {
+    val (edges, hot) = coEdges(load(s, dir, "events"), 3L)
+    graft.operators.TextOps.clusterMembersFromPairs(
+        edges.select($"u".as("id_a"), $"v".as("id_b")))
+      .select($"doc_id".as("user_id"), $"cluster_id".as("component"))
+      .crossJoin(broadcast(hot))
+  }
+
   /** The q197 oracle's shared edge-derivation CTE block (bucket guard +
     * thresholded co-engagement edges), reused verbatim by q205. */
   private val coEdgeCtes: String =
@@ -497,6 +518,22 @@ object InsightOps {
 
   val oracles: Map[String, String] = Map(
     "q205_label_prop" -> labelPropSql(3),
+    // q207: min-label components via the q123 recursive-CTE precedent
+    // over the shared edge derivation
+    "q207_graph_components" ->
+      s"""WITH $coEdgeCtes,
+         |eg AS (SELECT u AS src, v AS dst FROM ed
+         |  UNION ALL SELECT v, u FROM ed),
+         |nodes AS (SELECT DISTINCT src AS id FROM eg),
+         |cc AS (
+         |  WITH RECURSIVE r(id, lbl) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT e.dst, r.lbl FROM r JOIN eg e ON r.id = e.src)
+         |  SELECT id, min(lbl) AS label FROM r GROUP BY 1)
+         |SELECT id AS user_id, CAST(label AS BIGINT) AS component,
+         |  (SELECT n_hot_buckets FROM hot) AS n_hot_buckets
+         |FROM cc""".stripMargin,
     "q197_triangles" ->
       """WITH bu AS (SELECT DISTINCT event_type || '|' ||
         |    CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS VARCHAR) AS b,

@@ -436,4 +436,33 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.exists(t => t._3 > t._4), "quality never cut")
     assert(rows.exists(t => t._4 > t._5), "draw never cut")
   }
+
+  // ---------------------------------------------------------------- q208
+
+  test("q208: identical sources pin cos = 1; disjoint vocab pairs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x y y z"), ("a", "x z"),
+      ("b", "x y y z"), ("b", "x z"),     // identical to a
+      ("c", "q q r")                       // disjoint vocabulary
+    ).toDF("source", "text")
+    val out = CurationOps.sourceSimilarity(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("dot"), r.getAs[Long]("ss_a"), r.getAs[Long]("ss_b"))).toMap
+    val (d, sa, sb) = out(("a", "b"))
+    assert(d * d === sa * sb, s"identical sources must be cos=1: $d $sa $sb")
+    assert(!out.keySet.exists { case (x, y) => x == "c" || y == "c" })
+  }
+
+  test("q208: Cauchy-Schwarz holds on real data and pairs are canonical") {
+    val out = CurationOps.q208SourceSimilarity(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, s"pair not canonical: $a $b")
+      val (d, sa, sb) = (r.getAs[Long]("dot"), r.getAs[Long]("ss_a"),
+        r.getAs[Long]("ss_b"))
+      assert(d > 0L && BigInt(d) * BigInt(d) <= BigInt(sa) * BigInt(sb))
+    }
+  }
 }

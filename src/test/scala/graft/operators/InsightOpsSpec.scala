@@ -270,4 +270,20 @@ class InsightOpsSpec extends AnyFunSuite {
     out.foreach(r => assert(userSet.contains(r.getLong(1)),
       s"label ${r.getLong(1)} is not a labeled vertex"))
   }
+
+  // ---------------------------------------------------------------- q207
+
+  test("q207: LPA labels refine exact components (never merge across)") {
+    val comp = InsightOps.q207Components(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpa = InsightOps.q205LabelProp(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.keySet === lpa.keySet)
+    // same LPA label ⇒ same component, and component id ≤ any LPA label
+    lpa.groupBy(_._2).values.foreach { members =>
+      val comps = members.keys.map(comp).toSet
+      assert(comps.size === 1, s"LPA label spans components $comps")
+    }
+    comp.foreach { case (u, c) => assert(c <= lpa(u) && c <= u) }
+  }
 }
