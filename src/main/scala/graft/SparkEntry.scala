@@ -473,6 +473,9 @@ object SparkEntry {
     // source-pair cosine over tf vectors, division-cleared; disjoint
     // vocabularies are absent rows (similarity exactly 0)
     "q208_source_similarity" -> (CurationOps.q208SourceSimilarity _),
+    // salted skew join, result-identical to the plain join (oracle is
+    // the unsalted SQL) — the operator q190's advisor recommends
+    "q209_salted_join" -> (RelationalOps.q209SaltedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

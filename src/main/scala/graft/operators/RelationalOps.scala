@@ -252,8 +252,69 @@ object RelationalOps {
       .agg(count(lit(1)).as("n"), countDistinct($"run").as("n_runs"))
       .select($"camcol".cast("long").as("camcol"), $"n", $"n_runs")
 
+  // --------------------------------------------------------------- q209
+
+  /** Salted equi-join — the skew mitigation [[SketchOps.joinAdvisor]]
+    * (q190) RECOMMENDS, shipped as the operator that executes it: the
+    * probe side's rows scatter across `factor` salt classes by a
+    * deterministic row-local hash, the build side replicates `factor`×
+    * (a map-side explode — `factor` is small, single digits), and the
+    * join runs on (key, salt) so a hot key's probe rows land on
+    * `factor` DIFFERENT reducers instead of one straggler. Result ≡
+    * the plain equi-join row-for-row (every probe row meets exactly
+    * one replica of each matching build row — the salt classes
+    * partition the probe side), which is exactly what the q209 gate
+    * pins: the oracle is the UNSALTED SQL join.
+    *
+    * `saltExpr` must be row-deterministic (replays identically) but
+    * need not relate to the key — a row id is ideal. Catalyst stays
+    * free to broadcast a small build side (salting is then harmless:
+    * replicas ride the same broadcast); the operator matters precisely
+    * when neither side broadcasts and one key carries a constant
+    * fraction of the probe side — the case where an unsalted
+    * shuffle join cannot finish at 100 TB no matter the cluster. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      saltExpr: Column, factor: Int): DataFrame = {
+    require(factor >= 1, s"salt factor $factor must be >= 1")
+    val salted = probe
+      .withColumn("__salt", pmod(saltExpr.cast("long"), lit(factor.toLong)))
+    val replicated = build.withColumn("__salt",
+      explode(array((0 until factor).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** q209 gate — a genuinely skew-shaped join: every event against its
+    * user's activity profile (user event totals — the classic
+    * fact⋈aggregated-dim shape where one power user is the hot key),
+    * salted by event_id at factor 8. The gated aggregate carries an
+    * LCG pair fold over (event_id, user total) so row-level pairing is
+    * pinned, not just counts; the oracle joins UNSALTED. */
+  def q209SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.load(s, dir, "events")
+    val dim = ev.groupBy($"user_id").agg(count(lit(1)).as("n_user_events"))
+    saltedJoin(ev.select($"event_id", $"user_id", $"event_type"),
+        dim, "user_id", $"event_id", factor = 8)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"n_user_events").as("sum_user_events"),
+        sum((($"event_id" * 31L + $"n_user_events") % 1000003L) *
+          2654435761L % 1000003L).as("pair_fold"))
+  }
+
   // Shared oracle SQL (DuckDB dialect) for the queries above.
   val oracles: Map[String, String] = Map(
+    // q209's oracle is the UNSALTED join — hash equality proves the
+    // salt scatter/replicate transform is invisible to the result
+    "q209_salted_join" ->
+      """WITH dim AS (SELECT user_id, CAST(count(*) AS BIGINT)
+        |    AS n_user_events FROM events GROUP BY 1)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_user_events) AS BIGINT) AS sum_user_events,
+        |  CAST(sum(((e.event_id * 31 + n_user_events) % 1000003)
+        |    * 2654435761 % 1000003) AS BIGINT) AS pair_fold
+        |FROM events e JOIN dim USING (user_id)
+        |GROUP BY 1""".stripMargin,
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         |round(sum(l_extendedprice),2) AS sum_price, round(avg(l_discount),6) AS avg_disc,

@@ -343,4 +343,39 @@ class PlanSpec extends AnyFunSuite {
         s"pixel column '$pixel' reached the scan: ${cols.get}")
     assert(df.count() == 55) // 11 committed spectra x 5 zooms
   }
+
+  // ---------------------------------------------------------------- q209
+
+  test("q209: salted join equals the plain join row-for-row at any factor") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type")
+    val dim = ev.groupBy($"user_id").agg(count(lit(1)).as("n_user_events"))
+    val plain = ev.join(dim, "user_id")
+      .select($"event_id", $"user_id", $"n_user_events")
+    for (f <- Seq(1, 3, 8)) {
+      val salted = graft.operators.RelationalOps
+        .saltedJoin(ev, dim, "user_id", $"event_id", f)
+        .select($"event_id", $"user_id", $"n_user_events")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"factor $f diverges from the plain join")
+    }
+  }
+
+  test("q209: with broadcast off, the shuffle join keys carry the salt") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ev = graft.Tables.load(spark, dir, "events")
+        .select($"event_id", $"user_id", $"event_type")
+      val dim = ev.groupBy($"user_id").agg(count(lit(1)).as("n_user_events"))
+      val p = plan(graft.operators.RelationalOps
+        .saltedJoin(ev, dim, "user_id", $"event_id", 8))
+      assert(!p.contains("BroadcastHashJoin"), s"broadcast despite -1:\n$p")
+      assert(p.contains("__salt"), s"salt key absent from the join plan:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
