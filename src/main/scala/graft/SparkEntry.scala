@@ -476,6 +476,11 @@ object SparkEntry {
     // salted skew join, result-identical to the plain join (oracle is
     // the unsalted SQL) — the operator q190's advisor recommends
     "q209_salted_join" -> (RelationalOps.q209SaltedJoin _),
+    // streaming late-data accounting: two deterministic micro-batches,
+    // the engine's own numRowsDroppedByWatermark in the gated row
+    "q210_stream_late_data" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.EventStream.q210LateData(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

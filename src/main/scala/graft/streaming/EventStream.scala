@@ -231,7 +231,119 @@ object EventStream {
   def q165StreamHllWindows(spark: SparkSession, dir: String): DataFrame =
     hllWindowed(spark, dir)
 
+  /** q210 — LATE-DATA ACCOUNTING: the q179 flag-never-drop discipline
+    * applied to the one place streaming MUST drop — watermark-expired
+    * rows in a windowed aggregation — by making the engine's own drop
+    * counter part of the gated result. Two deterministic micro-batches
+    * (staged files with pinned mod-times, `maxFilesPerTrigger = 1`):
+    * batch 0 is the on-time slice (its max event time advances the
+    * watermark), batch 1 replays the straggler slice at original event
+    * times, so stragglers whose 10-minute window closed before
+    * watermark − 30 min are dropped BY SPARK; the oracle reproduces the
+    * engine's drop rule from the data alone (a straggler survives iff
+    * its window END is after the LAGGED watermark — the late-events
+    * watermark trails eviction by one batch), and the gated
+    * `n_dropped_total` comes from CONSERVATION over the staged frames
+    * and the drained sink (stragglers − accepted), so nothing can be
+    * silently lost: accepted + dropped = straggler slice by
+    * construction, and the per-window counts pin WHICH rows the engine
+    * accepted. The progress counter `numRowsDroppedByWatermark` is
+    * deliberately NOT the gate: it under-reports when the map-side
+    * partial aggregate pre-filters late rows (observed 1993 vs 1998
+    * true drops at sf0.01), so it is a diagnostic, not an account.
+    *
+    * Update mode + memory sink: every state revision lands in the
+    * sink; counts are monotone per key, so max-per-key IS the final
+    * state (the drained-stream determinism recipe, q41's family).
+    * State is bounded by the watermark horizon exactly as in q144. */
+  def lateDataAccounting(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val name = "late_" + UUID.randomUUID().toString.replace("-", "")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q210").toString
+    val sdir = s"$tmp/stream"
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("ts"), col("event_type"), col("event_id"))
+    val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(sdir))
+    // stage three batches as single files with pinned mod-times so the
+    // file source's (modTime, path) order is deterministic. THREE, not
+    // two: Spark filters late rows with the watermark as of the
+    // PREVIOUS batch's start (eviction uses the current one — the
+    // two-watermark design of SPARK-24634), so the straggler batch must
+    // be the third for the on-time slice's watermark to gate it; the
+    // middle "tick" batch exists only to cycle the watermark forward.
+    Seq(("b0", col("event_id") % 5 === 1L || col("event_id") % 5 === 2L ||
+          col("event_id") % 5 === 3L, 1000000L),
+        ("b1", col("event_id") % 5 === 4L, 2000000L),
+        ("b2", col("event_id") % 5 === 0L, 3000000L)).foreach {
+      case (tag, pred, mtime) =>
+        val stage = s"$tmp/stage-$tag"
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = fs.listStatus(new Path(stage))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        val dst = new Path(s"$sdir/batch-$tag.parquet")
+        if (!fs.rename(part, dst))
+          throw new IllegalStateException(s"q210 staging rename failed: $dst")
+        fs.setTimes(dst, mtime, -1)
+    }
+    val schema = spark.read.parquet(sdir).schema
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(sdir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try q.processAllAvailable() finally q.stop()
+    val finalState = spark.table(name)
+      .groupBy(col("window"), col("event_type"))
+      .agg(max(col("n")).as("n")) // monotone updates: max = final state
+    // conservation accounting: accepted stragglers = sink total − on-time
+    // rows; dropped = stragglers − accepted (three bounded scalar aggs)
+    val nOnTime = ev.filter(col("event_id") % 5 =!= 0L).count()
+    val nStraggler = ev.filter(col("event_id") % 5 === 0L).count()
+    val nFinal = finalState.agg(sum(col("n"))).head.getLong(0)
+    val dropped = nStraggler - (nFinal - nOnTime)
+    finalState
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"),
+        lit(dropped).as("n_dropped_total"))
+  }
+
+  def q210LateData(spark: SparkSession, dir: String): DataFrame =
+    lateDataAccounting(spark, dir)
+
   val oracles: Map[String, String] = Map(
+    // q210: batch replay of the watermark drop rule — W = max ts of
+    // the FIRST on-time batch − 30 min (the late-events watermark the
+    // straggler batch is filtered with, one batch behind eviction); a
+    // straggler survives iff its 10-min window END is after W; the
+    // engine-reported drop counter must equal the rule's complement
+    // (accepted + dropped = stragglers)
+    "q210_stream_late_data" ->
+      """WITH e AS (SELECT ts, event_type, event_id FROM events),
+        |a AS (SELECT * FROM e WHERE event_id % 5 != 0),
+        |b AS (SELECT * FROM e WHERE event_id % 5 = 0),
+        |wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM e
+        |  WHERE event_id % 5 IN (1, 2, 3)),
+        |keepb AS (SELECT * FROM b WHERE
+        |  to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 + 600)
+        |    > (SELECT w FROM wm)),
+        |drops AS (SELECT CAST(count(*) AS BIGINT) AS d FROM b WHERE
+        |  to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 + 600)
+        |    <= (SELECT w FROM wm)),
+        |acc AS (SELECT * FROM a UNION ALL SELECT * FROM keepb)
+        |SELECT strftime(to_timestamp(
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600),
+        |    '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  (SELECT d FROM drops) AS n_dropped_total
+        |FROM acc GROUP BY 1, 2""".stripMargin,
     // integer HLL replay per (hour, event_type) — streaming registers
     // are byte-identical to batch registers, so the estimate gates
     "q165_stream_hll_windows" ->

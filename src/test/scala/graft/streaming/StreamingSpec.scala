@@ -388,4 +388,24 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streaming == batch)
   }
+
+  // ----------------------------------------------------------------- q210
+
+  test("q210: late-data conservation — accepted + dropped = stragglers, " +
+    "and the sf0.001 fixture drops every straggler") {
+    import org.apache.spark.sql.functions._
+    val out = EventStream.q210LateData(spark, dir)
+    out.cache()
+    val dropped = out.select("n_dropped_total").head.getLong(0)
+    val total = out.agg(sum("n")).head.getLong(0)
+    val ev = graft.Tables.load(spark, dir, "events")
+    val nOnTime = ev.filter(col("event_id") % 5 =!= 0L).count()
+    val nStraggler = ev.filter(col("event_id") % 5 === 0L).count()
+    assert((total - nOnTime) + dropped === nStraggler, "conservation violated")
+    // at sf0.001 every straggler's window closed before the lagged
+    // watermark (verified against the batch-replay rule)
+    assert(dropped === nStraggler)
+    assert(total === nOnTime)
+    out.unpersist()
+  }
 }
