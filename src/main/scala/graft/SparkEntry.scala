@@ -481,6 +481,42 @@ object SparkEntry {
     "q210_stream_late_data" ->
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStream.q210LateData(s, d)),
+    // k-core by iterative peeling (converge-or-throw); oracle is the
+    // peel loop unrolled to the round cap
+    "q211_kcore" -> (InsightOps.q211KCore _),
+    // stream-static broadcast enrichment before the windowed agg —
+    // no join state, left-join + UNKNOWN fill accounts dimension misses
+    "q212_stream_enrich" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.EventStream.q212StreamEnrich(s, d)),
+    // SCD Type-2 validity intervals with run-length compression; one
+    // user_id shuffle, both windows share a single sort
+    "q213_scd2" -> (WarehouseOps.q213Scd2 _),
+    // one-pass table profiler (nulls/distinct/min/max per column);
+    // float min/max abstain rather than diverge on rendering
+    "q214_table_profile" -> (WarehouseOps.q214TableProfile _),
+    // exact MAD per source: histogram-first twice, broadcast medians,
+    // the corpus is scanned twice and shuffled never
+    "q215_mad" -> (SketchOps.q215Mad _),
+    // integer-exact EWMA (alpha=1/2 as power-of-2 weights) at each
+    // user's last active hour, over the hourly histogram
+    "q216_ewma" -> (MiningOps.q216Ewma _),
+    // golden-record survivorship: field-level modal vote per canonical
+    // cluster, deterministic tie-break, disagreement accounted
+    "q217_golden_record" -> (WarehouseOps.q217GoldenRecord _),
+    // exact MRR@10 of the LSH index vs brute force, reciprocal ranks
+    // scaled by lcm(1..10) so the gate is integer
+    "q218_ann_mrr" -> (VectorOps.q218AnnMrr _),
+    // dynamic-partition-overwrite backfill; untouched partitions are
+    // verified by file listing, not trusted
+    "q219_partition_overwrite" -> (WarehouseOps.q219PartitionOverwrite _),
+    // l-diversity release check: homogeneous cells suppressed with
+    // mass conserved — q171's rule on sensitive-value diversity
+    "q220_ldiversity" -> (WarehouseOps.q220LDiversity _),
+    // BPE encode at corpus scale: merges trained then applied once per
+    // distinct word, token economics per source
+    "q221_bpe_encode" ->
+      ((s: SparkSession, d: String) => TokenizerOps.q221BpeEncode(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -491,5 +527,5 @@ object SparkEntry {
       graft.streaming.EventStream.oracles ++ MiscOps.oracles ++ AsofOps.oracles ++
       CurationOps.oracles ++ MiningOps.oracles ++ InsightOps.oracles ++
       HygieneOps.oracles ++ SketchOps.oracles ++ IndexOps.oracles ++
-      MatchOps.oracles ++ TokenizerOps.oracles
+      MatchOps.oracles ++ TokenizerOps.oracles ++ WarehouseOps.oracles
 }

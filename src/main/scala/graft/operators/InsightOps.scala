@@ -479,6 +479,68 @@ object InsightOps {
       .crossJoin(broadcast(hot))
   }
 
+  // --------------------------------------------------------------- q211
+
+  /** k-core decomposition by iterative peeling (Matula & Beck, 1983):
+    * repeatedly delete nodes whose degree in the SURVIVING subgraph is
+    * < k until stable; what remains is the k-core — the standard
+    * "dense engaged nucleus" extraction over the q197 co-engagement
+    * graph, and the graph-side analogue of the q64 refuse-or-account
+    * loop (peel until the invariant holds, never sample it).
+    *
+    * SCALE: each round is one map-side-combinable degree aggregate
+    * plus two semi-joins restricting the edge list — all shuffles on
+    * node/edge keys, state is the (shrinking) edge list itself, and
+    * `localCheckpoint` cuts the lineage so round r's plan never
+    * replays rounds 1..r-1. Convergence is detected by edge COUNT
+    * (restriction is monotone, so equal count ⇒ identical set — the
+    * count is a scalar the loop already materializes). Rounds to
+    * converge is bounded by the peeling depth, not graph size; the
+    * loop REFUSES (throws) past `maxRounds` rather than returning an
+    * unconverged core (q51's converge-or-throw discipline). */
+  def kCore(edges0: DataFrame, k: Long, maxRounds: Int): DataFrame = {
+    var cur = edges0.localCheckpoint(false)
+    var n = cur.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val deg = cur.select($"u".as("node"))
+        .unionAll(cur.select($"v".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter($"deg" >= k).select($"node")
+      val next = cur
+        .join(keep.select($"node".as("u")), "u", "left_semi")
+        .join(keep.select($"node".as("v")), "v", "left_semi")
+        .select($"u", $"v")
+        .localCheckpoint(false)
+      val m = next.count()
+      converged = m == n
+      n = m
+      cur = next
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore: no fixpoint within $maxRounds peeling rounds")
+    cur.select($"u".as("node")).unionAll(cur.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** q211 — the 3-core of the co-engagement graph with the shared
+    * hot-bucket accounting; every surviving user's in-core degree is
+    * the gated value. Oracle: the peeling loop unrolled to
+    * [[KCoreRounds]] rounds (a fixpoint is a no-op for the extra
+    * rounds, so the unroll depth only needs to DOMINATE the true
+    * peeling depth — the Spark side throws if it ever exceeds it). */
+  val KCoreRounds = 16
+
+  def q211KCore(s: SparkSession, dir: String): DataFrame = {
+    val (edges, hot) = coEdges(load(s, dir, "events"), 3L)
+    kCore(edges, k = 3L, maxRounds = KCoreRounds)
+      .select($"node".as("user_id"), $"core_deg")
+      .crossJoin(broadcast(hot))
+  }
+
   /** The q197 oracle's shared edge-derivation CTE block (bucket guard +
     * thresholded co-engagement edges), reused verbatim by q205. */
   private val coEdgeCtes: String =
@@ -516,7 +578,34 @@ object InsightOps {
        |FROM l$k""".stripMargin
   }
 
+  /** Generated k-core peeling replay over [[coEdgeCtes]], unrolled to
+    * `rounds` (no-op past the fixpoint). Every per-round CTE is
+    * MATERIALIZED: each references its predecessor several times, and
+    * inlining would expand the chain exponentially (observed as
+    * DuckDB re-opening the base parquet thousands of times). */
+  private def kCoreSql(k: Long, rounds: Int): String = {
+    val iter = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+         |  (SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+         |  GROUP BY 1),
+         |a$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+         |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+         |  WHERE u IN (SELECT node FROM a$i)
+         |    AND v IN (SELECT node FROM a$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coEdgeCtes,
+       |e0 AS MATERIALIZED (SELECT u, v FROM ed),
+       |$iter,
+       |dfin AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+       |  (SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       |  GROUP BY 1)
+       |SELECT node AS user_id, deg AS core_deg,
+       |  (SELECT n_hot_buckets FROM hot) AS n_hot_buckets
+       |FROM dfin""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q211_kcore" -> kCoreSql(3L, KCoreRounds),
     "q205_label_prop" -> labelPropSql(3),
     // q207: min-label components via the q123 recursive-CTE precedent
     // over the shared edge derivation

@@ -139,6 +139,40 @@ object MiningOps {
       .select($"event_id", $"user_id", $"n_24h")
   }
 
+  // --------------------------------------------------------------- q216
+
+  /** Integer-exact EWMA activity score at each user's last active
+    * hour: score = Σ_{d=0..31} c_{last−d} · 2^(31−d) over hourly event
+    * counts — exponential smoothing with α = 1/2 carried entirely in
+    * scaled integers (a float EWMA recursion is summation-order
+    * fragile; weights that are powers of two make the smoothed value
+    * ONE exact integer on both engines). The recency-weighted activity
+    * feature every engagement model wants, with q93's trailing-window
+    * semantics upgraded from flat counts to exponential decay.
+    *
+    * SCALE: histogram-first (the q146 discipline applied to time) —
+    * the corpus collapses to (user, hour) counts in one map-side-
+    * combinable shuffle, and the weighting runs on the HOURLY table
+    * with a ≤ 32-row window per user (equi-join on user + bounded hour
+    * band), never on events. Long bound: c · 2^31 per term, 32 terms —
+    * safe below ~2^27 events per user-hour. */
+  def ewmaLastHour(events: DataFrame): DataFrame = {
+    val hc = events
+      .select($"user_id", expr("unix_timestamp(ts) div 3600").as("h"))
+      .groupBy($"user_id", $"h").agg(count(lit(1)).as("c"))
+    val lh = hc.groupBy($"user_id").agg(max($"h").as("lh"))
+    hc.join(lh, "user_id")
+      .filter($"h" >= $"lh" - 31 && $"h" <= $"lh")
+      .groupBy($"user_id", $"lh")
+      .agg(sum($"c" *
+        expr("shiftleft(cast(1 as bigint), cast(31 - (lh - h) as int))"))
+        .as("ewma_scaled"))
+      .select($"user_id", $"lh".as("last_hour"), $"ewma_scaled")
+  }
+
+  def q216Ewma(s: SparkSession, dir: String): DataFrame =
+    ewmaLastHour(load(s, dir, "events"))
+
   // ---------------------------------------------------------------- q94
 
   /** Skew-salted equi-join: the fact side gets a deterministic salt in
@@ -593,6 +627,20 @@ object MiningOps {
         |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS n_24h FROM e)
         |SELECT event_id, user_id, CAST(n_24h AS BIGINT) AS n_24h
         |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    // q216: hourly histogram → last hour per user → 32-term power-of-2
+    // weighted sum, all in BIGINTs (floor-epoch div ≡ unix_timestamp div)
+    "q216_ewma" ->
+      """WITH hc AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |lh AS (SELECT user_id, max(h) AS lh FROM hc GROUP BY 1)
+        |SELECT hc.user_id, lh AS last_hour,
+        |  CAST(sum(c * (1::BIGINT << CAST(31 - (lh - h) AS INT))) AS BIGINT)
+        |    AS ewma_scaled
+        |FROM hc JOIN lh ON hc.user_id = lh.user_id
+        |WHERE h >= lh - 31 AND h <= lh
+        |GROUP BY 1, 2""".stripMargin,
     // the salt never reaches the output: the oracle is the PLAIN join
     "q94_salted_join" ->
       """WITH d AS (SELECT user_id, count(*) AS user_events FROM events GROUP BY 1)

@@ -56,6 +56,47 @@ object SketchOps {
   def q146TokenQuantiles(s: SparkSession, dir: String): DataFrame =
     tokenQuantiles(load(s, dir, "documents"))
 
+  // ------------------------------------------------------------------ MAD
+
+  /** Exact per-source median via the q146 histogram-first discipline:
+    * collapse values to a (source, v) histogram, rank-window over the
+    * histogram, q(50) = smallest v with 2·cum ≥ n (the pinned integer
+    * rank rule). Input contract: a (source, v) frame, v integral. */
+  private def medianFromValues(vals: DataFrame): DataFrame = {
+    val bySrc = Window.partitionBy($"source")
+    vals.groupBy($"source", $"v").agg(count(lit(1)).as("c"))
+      .select($"source", $"v", $"c",
+        sum($"c").over(bySrc.orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+        sum($"c").over(bySrc).as("n"))
+      .filter($"cum" * 2 >= $"n")
+      .groupBy($"source", $"n").agg(min($"v").as("med"))
+  }
+
+  /** q215 — median absolute deviation (MAD) of document length per
+    * source: the ROBUST dispersion statistic (a single 100 MB outlier
+    * document moves a stddev arbitrarily; it moves the MAD not at
+    * all), the robust-quality-monitoring complement of q146's
+    * quantiles and q106's exact-integer z-test. Exact and
+    * histogram-first TWICE: median from the length histogram, then
+    * |x − median| collapsed to a second histogram for the deviation
+    * median — the rank window never touches the corpus either time,
+    * and the per-source medians broadcast for the deviation pass (the
+    * corpus is scanned twice, shuffled never — both shuffles carry
+    * histograms sized by the value domain). Integer-exact end to end:
+    * the q146 rank rule avoids engine interpolation modes, so the gate
+    * is a hash match, not a tolerance. */
+  def madPerSource(vals: DataFrame): DataFrame = {
+    val med = medianFromValues(vals)
+    val dev = vals.join(broadcast(med.select($"source", $"med")), "source")
+      .select($"source", abs($"v" - $"med").as("v"))
+    med.select($"source", $"n".as("n_docs"), $"med".as("median"))
+      .join(medianFromValues(dev).select($"source", $"med".as("mad")), "source")
+  }
+
+  def q215Mad(s: SparkSession, dir: String): DataFrame =
+    madPerSource(load(s, dir, "documents").select($"source", $"n_chars".as("v")))
+
   // ------------------------------------------------------------------ HLL
 
   /** Two-round overflow-safe LCG recombination → uniform-ish key in
@@ -1622,6 +1663,30 @@ object SketchOps {
          |JOIN ${hllEstSubSql("1 = 1")} hb ON pb.source = hb.source
          |LEFT JOIN ${hllEstSubSql("doc_id % 2 = 0")} ha ON pb.source = ha.source"""
         .stripMargin,
+    // q215: the q146 rank rule (2·cum ≥ n) applied twice — once to the
+    // length histogram, once to the |x − median| deviation histogram
+    "q215_mad" ->
+      """WITH v AS (SELECT source, n_chars AS v FROM documents),
+        |h1 AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM v GROUP BY 1, 2),
+        |w1 AS (SELECT source, v, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS n FROM h1),
+        |m1 AS (SELECT source, CAST(n AS BIGINT) AS n_docs, min(v) AS median
+        |  FROM w1 WHERE cum * 2 >= n GROUP BY 1, 2),
+        |d AS (SELECT v.source, abs(v.v - m1.median) AS v
+        |  FROM v JOIN m1 USING (source)),
+        |h2 AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2),
+        |w2 AS (SELECT source, v, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS n FROM h2),
+        |m2 AS (SELECT source, min(v) AS mad
+        |  FROM w2 WHERE cum * 2 >= n GROUP BY 1)
+        |SELECT m1.source, n_docs, median, mad
+        |FROM m1 JOIN m2 ON m1.source = m2.source""".stripMargin,
     "q146_token_quantiles" ->
       """WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n
         |  FROM documents),

@@ -71,6 +71,36 @@ object TokenizerOps {
   def q194BpePairs(s: SparkSession, dir: String): DataFrame =
     pairCounts(wordFreq(s, dir).select(spaced($"w").as("ws"), $"wf"))
 
+  /** One BPE merge applied by leftmost non-overlapping replacement via
+    * the double-space trick (see [[q195BpeMerges]]): every boundary
+    * carries two spaces, so adjacent matches never steal each other's
+    * separator and plain `replace` IS greedy BPE application —
+    * identical semantics on Spark and DuckDB, no regex. */
+  private def applyMerge(ws: org.apache.spark.sql.Column,
+      l: String, r: String): org.apache.spark.sql.Column = {
+    val doubled = concat(lit(" "), regexp_replace(
+      concat(ws, lit(" ")), " ", "  "))
+    trim(replace(
+      replace(doubled, lit(s" $l  $r "), lit(s" $l$r ")),
+      lit("  "), lit(" ")))
+  }
+
+  /** Train `k` BPE merges on a word-frequency table: per round, argmax
+    * pair (count desc, (l, r) asc) + merge application — the q195 loop
+    * without the per-round inventory job, returning the merge TABLE
+    * (the artifact a tokenizer ships). k one-row driver collects. */
+  def trainMerges(wf0: DataFrame, k: Int): Seq[(String, String)] = {
+    var vocab = wf0.select(spaced($"w").as("ws"), $"wf")
+    (1 to k).map { _ =>
+      val top = pairCounts(vocab)
+        .orderBy($"pair_count".desc, $"l_sym", $"r_sym")
+        .limit(1).collect() // bounded: exactly one row (the argmax)
+      val (l, r) = (top(0).getString(0), top(0).getString(1))
+      vocab = vocab.select(applyMerge($"ws", l, r).as("ws"), $"wf")
+      (l, r)
+    }
+  }
+
   // --------------------------------------------------------------- q195
 
   /** q195 — BPE merge training, `k` rounds. Per round: weighted pair
@@ -109,15 +139,10 @@ object TokenizerOps {
         .collect() // bounded: exactly one row (the argmax)
       val (l, r, cnt) =
         (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-      val doubled = concat(lit(" "), regexp_replace(
-        concat($"ws", lit(" ")), " ", "  "))
       // " l  r " → " lr ": every boundary carries two spaces, a match
       // consumes one from each side and re-emits one — neighbors keep
       // a full separator, so leftmost-non-overlap replace IS greedy BPE
-      val merged = trim(replace(
-        replace(doubled, lit(s" $l  $r "), lit(s" $l$r ")),
-        lit("  "), lit(" ")))
-      vocab = vocab.select(merged.as("ws"), $"wf")
+      vocab = vocab.select(applyMerge($"ws", l, r).as("ws"), $"wf")
       val nSyms = vocab
         .select(explode(split($"ws", " ")).as("sym"))
         .agg(count_distinct($"sym"))
@@ -170,6 +195,97 @@ object TokenizerOps {
     s"WITH $base,\n$rounds\n$out"
   }
 
+  // --------------------------------------------------------------- q221
+
+  /** q221 — BPE ENCODE: apply the trained merge table to the corpus
+    * and report per-source token economics — words, chars, and BPE
+    * tokens after the merges (chars/tokens is the compression ratio
+    * every tokenizer eval reports, and bytes-per-token per SOURCE is a
+    * live quality signal: a source whose text is mostly markup or
+    * numerals compresses worse under merges trained on the whole mix).
+    * This closes the tokenizer lifecycle: q194 round-0 stats → q195
+    * merge training → ENCODE at corpus scale.
+    *
+    * SCALE: encoding is per-word deterministic, so it runs ONCE PER
+    * DISTINCT WORD (Heaps'-law vocabulary, not the corpus): the
+    * (source, word) frequency table is the only corpus-wide shuffle
+    * (map-side combinable), the merge chain is a stack of codegen'd
+    * `replace` projections over the distinct-word table, and the
+    * encoded lengths hash-join back on the word key. The merge table
+    * itself is driver-held (k rows — the artifact tokenizers ship) and
+    * enters the plan as literals, exactly like a broadcast of the
+    * merges. A per-document UDF encode would re-derive every duplicate
+    * word's segmentation; this shape never does. */
+  def q221BpeEncode(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val merges = trainMerges(wordFreq(s, dir), k)
+    val sw = load(s, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 1)
+      .groupBy($"source", $"w").agg(count(lit(1)).as("wf"))
+    var enc = sw.select($"w").distinct().select($"w", spaced($"w").as("ws"))
+    merges.foreach { case (l, r) =>
+      enc = enc.select($"w", applyMerge($"ws", l, r).as("ws"))
+    }
+    val nsyms = enc.select($"w",
+      size(split($"ws", " ")).cast("long").as("n_syms"))
+    sw.join(nsyms, "w")
+      .groupBy($"source")
+      .agg(sum($"wf").as("n_words"),
+        sum($"wf" * length($"w")).as("n_chars"),
+        sum($"wf" * $"n_syms").as("n_bpe_tokens"))
+  }
+
+  /** DuckDB replay of [[q221BpeEncode]]: the q195 training CTEs give
+    * winners w1..wk; a second chain e0..ek applies them to the
+    * distinct-word table CARRYING the original word, so encoded
+    * lengths join back exactly like the Spark plan. */
+  private def bpeEncodeSql(k: Int): String = {
+    def pairsCte(v: String, p: String): String =
+      s"""$p AS (SELECT sy[i] AS l_sym, sy[i+1] AS r_sym,
+         |    CAST(sum(wf) AS BIGINT) AS pair_count
+         |  FROM (SELECT string_split(ws, ' ') AS sy, wf FROM $v)
+         |    , unnest(generate_series(1, len(sy)-1)) AS u(i)
+         |  WHERE len(sy) >= 2 GROUP BY 1, 2)""".stripMargin
+    def winCte(p: String, w: String): String =
+      s"""$w AS (SELECT l_sym, r_sym FROM $p
+         |  ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1)""".stripMargin
+    def mergeExpr(col: String, w: String): String =
+      s"""trim(replace(replace(
+         |    ' ' || replace($col || ' ', ' ', '  '),
+         |    ' ' || (SELECT l_sym FROM $w) || '  ' || (SELECT r_sym FROM $w) || ' ',
+         |    ' ' || (SELECT l_sym FROM $w) || (SELECT r_sym FROM $w) || ' '),
+         |    '  ', ' '))""".stripMargin
+    val base =
+      """wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wf
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 1 GROUP BY 1),
+        |v0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS ws, wf
+        |  FROM wf)""".stripMargin
+    val train = (1 to k).map { i =>
+      Seq(pairsCte(s"v${i - 1}", s"p$i"), winCte(s"p$i", s"w$i"),
+        s"v$i AS (SELECT ${mergeExpr("ws", s"w$i")} AS ws, wf FROM v${i - 1})"
+      ).mkString(",\n")
+    }.mkString(",\n")
+    val encChain = (1 to k).map { i =>
+      s"e$i AS (SELECT w, ${mergeExpr("ws", s"w$i")} AS ws FROM e${i - 1})"
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$train,
+       |sv AS (SELECT source, w, CAST(count(*) AS BIGINT) AS wf
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+       |    FROM documents)
+       |  WHERE len(w) >= 1 GROUP BY 1, 2),
+       |e0 AS (SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS ws
+       |  FROM (SELECT DISTINCT w FROM sv)),
+       |$encChain,
+       |ns AS (SELECT w, CAST(len(string_split(ws, ' ')) AS BIGINT) AS n_syms
+       |  FROM e$k)
+       |SELECT source, CAST(sum(wf) AS BIGINT) AS n_words,
+       |  CAST(sum(wf * len(w)) AS BIGINT) AS n_chars,
+       |  CAST(sum(wf * n_syms) AS BIGINT) AS n_bpe_tokens
+       |FROM sv JOIN ns USING (w) GROUP BY 1""".stripMargin
+  }
+
   // --------------------------------------------------------------- q204
 
   /** q204 — skip-gram (center, context) pair counts, window ±`w`: the
@@ -205,6 +321,9 @@ object TokenizerOps {
     skipGramPairs(load(s, dir, "documents"))
 
   val oracles: Map[String, String] = Map(
+    // q221: train w1..w4 in CTEs, apply the same chain to the distinct
+    // word table (carrying w), join the encoded lengths back
+    "q221_bpe_encode" -> bpeEncodeSql(4),
     // q204 replays the windowed pair generation as a double lateral
     // unnest (1-based list indexing) + the same pair aggregate
     "q204_skipgram_pairs" ->

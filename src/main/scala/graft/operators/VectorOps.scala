@@ -944,6 +944,48 @@ object VectorOps {
         count(when($"same_bucket", lit(1))).as("n_bucket"))
   }
 
+  /** q218 — exact MRR (mean reciprocal rank) of the LSH index against
+    * brute-force ground truth, the rank-sensitive eval recall (q72)
+    * can't see: recall@k says whether the true neighbor is in the
+    * shortlist AT ALL; MRR says how far down it surfaced — the metric
+    * that actually moves retrieval quality dashboards. Per probe: the
+    * exact top-1 neighbor (cosine, id tie-break), its rank inside the
+    * probe's LSH bucket ranked the same way (null if the bucket missed
+    * it), and the reciprocal rank scaled by 2520 = lcm(1..10) so
+    * 2520/rank is an EXACT integer for every rank ≤ 10 (the q84
+    * no-floats rule applied to 1/rank; rank > 10 scores 0 — standard
+    * MRR@10 cutoff). Mean over probes = Σ rr_scaled / (2520·n), left
+    * to the dashboard; the gate pins the per-probe integers.
+    *
+    * SCALE: same harness as q72 — probes broadcast against one corpus
+    * scan, ranks are probe-local windows over probe-sized slices; the
+    * corpus never self-joins. */
+  def q218AnnMrr(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+      .withColumn("sig", signatureCol($"embedding", 64, 6))
+    val probes = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("pid"), $"sig".as("psig"), $"embedding".as("pemb"))
+    val scored = emb.join(broadcast(probes), $"vec_id" =!= $"pid")
+      .select($"pid", $"vec_id",
+        floor(cosine($"embedding", $"pemb") * 1e6 + 0.5).cast("long").as("cs"),
+        ($"sig" === $"psig").as("same_bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pid").orderBy($"cs".desc, $"vec_id")
+    val rel = scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1).select($"pid", $"vec_id".as("rel_id"))
+    val br = scored.filter($"same_bucket")
+      .withColumn("brk", row_number().over(w).cast("long"))
+      .select($"pid", $"vec_id", $"brk")
+    // a bucket miss ranks 0, not NULL (ranks are >= 1, so 0 is an
+    // unambiguous miss sentinel and the integer column stays NULL-free
+    // for the driver's row comparator)
+    rel.join(br, rel("pid") === br("pid") && $"rel_id" === br("vec_id"), "left")
+      .select(rel("pid"), $"rel_id",
+        coalesce($"brk", lit(0L)).as("rel_rank"),
+        when($"brk".isNotNull && $"brk" <= 10L,
+          expr("cast(2520 div brk as bigint)")).otherwise(0L).as("rr_scaled"))
+  }
+
   /** q193 — per-label embedding CENTROID DRIFT between releases, the
     * vector-side complement of q189's length-percentile drift: a
     * retrained encoder, a changed normalization, or a shifted domain
@@ -1310,6 +1352,29 @@ object VectorOps {
          |SELECT pid, CAST(count(CASE WHEN rk.rk <= 10 AND sb.same THEN 1 END) AS BIGINT) AS n_topk_in_bucket,
          |CAST(count(CASE WHEN sb.same THEN 1 END) AS BIGINT) AS n_bucket
          |FROM rk JOIN sb USING (pid, vec_id) GROUP BY 1""".stripMargin,
+    // q218: q72's harness with the rank turned into scaled 1/rank —
+    // 2520 = lcm(1..10) keeps every reciprocal an exact integer
+    "q218_ann_mrr" ->
+      s"""WITH s AS (SELECT vec_id, ${signatureSql("embedding", 64, 6)} AS sig, embedding FROM embeddings),
+         |p AS (SELECT vec_id AS pid, sig AS psig FROM s WHERE vec_id < 20),
+         |u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |  generate_subscripts(embedding,1) AS i FROM embeddings),
+         |cs AS (SELECT p.pid, a.vec_id,
+         |  CAST(floor(sum(a.v*b.v)/(sqrt(sum(a.v*a.v))*sqrt(sum(b.v*b.v))) * 1e6 + 0.5) AS BIGINT) AS cs
+         |  FROM p JOIN u a ON a.vec_id != p.pid JOIN u b ON b.vec_id = p.pid AND b.i = a.i
+         |  GROUP BY 1,2),
+         |rel AS (SELECT pid, vec_id AS rel_id FROM (SELECT pid, vec_id,
+         |    row_number() OVER (PARTITION BY pid ORDER BY cs DESC, vec_id) AS rk
+         |  FROM cs) WHERE rk = 1),
+         |sb AS (SELECT p.pid, s.vec_id FROM p
+         |  JOIN s ON s.vec_id != p.pid AND s.sig = p.psig),
+         |br AS (SELECT cs.pid, cs.vec_id, CAST(row_number() OVER (
+         |    PARTITION BY cs.pid ORDER BY cs DESC, cs.vec_id) AS BIGINT) AS brk
+         |  FROM cs JOIN sb ON sb.pid = cs.pid AND sb.vec_id = cs.vec_id)
+         |SELECT rel.pid, rel.rel_id, coalesce(br.brk, 0) AS rel_rank,
+         |  CAST(CASE WHEN br.brk IS NOT NULL AND br.brk <= 10
+         |    THEN 2520 // br.brk ELSE 0 END AS BIGINT) AS rr_scaled
+         |FROM rel LEFT JOIN br ON br.pid = rel.pid AND br.vec_id = rel.rel_id""".stripMargin,
     // q193 replays scale → per-dim sums → division-cleared L1 in
     // integer SQL (unnest + generate_subscripts, the q57 pattern)
     "q193_centroid_drift" ->

@@ -1,0 +1,389 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.syntax._
+
+/** Warehouse-lifecycle operators the reference's metadata pipeline
+  * implies but a lakehouse deployment needs spelled out: slowly-changing
+  * dimension (SCD Type-2) interval construction, a one-pass table
+  * profiler, golden-record survivorship over duplicate clusters,
+  * dynamic-partition-overwrite backfill, and l-diversity release
+  * checking (the q171 small-cell rule upgraded from group SIZE to
+  * sensitive-value DIVERSITY). Same discipline as every other gated
+  * family: exact integer/string space cross-engine, key-local shuffles,
+  * refuse-or-account for anything withheld.
+  */
+object WarehouseOps {
+
+  // --------------------------------------------------------------- q213
+
+  /** SCD Type-2 interval construction: compress each user's event-time
+    * state sequence (state = event_type here; any attribute column in
+    * general) into validity intervals [valid_from, valid_to) with a
+    * version number and a current flag — the dimension-history build
+    * every warehouse runs on CDC feeds (Kimball's type-2 dimension).
+    *
+    * Run-length compression matters: consecutive updates carrying the
+    * SAME state must extend the open interval, not version it — the
+    * classic lag(state) != state run-boundary rule. Order inside a user
+    * is (event-time µs, event_id) so ties are engine-deterministic.
+    *
+    * SCALE: one shuffle on user_id; both windows (the lag and the
+    * interval lead) run over the SAME (user_id, us, event_id) sort, so
+    * Spark plans a single Sort+Window chain — no second exchange, no
+    * buffering beyond a row of lookahead. Output is runs, ≤ input rows.
+    */
+  def scd2Intervals(events: DataFrame, stateCol: Column): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val runs = events
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        stateCol.as("state"))
+      .withColumn("new_run",
+        when(lag($"state", 1).over(byUser).isNull ||
+          lag($"state", 1).over(byUser) =!= $"state", 1L).otherwise(0L))
+      .withColumn("version", sum($"new_run").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"version")
+      .agg(min($"us").as("valid_from_us"), first($"state").as("state"),
+        count(lit(1)).as("n_updates"))
+    val byVer = Window.partitionBy($"user_id").orderBy($"version")
+    // open intervals carry valid_to_us = 0, not NULL (no real interval
+    // ends at the epoch, and the driver's row comparator needs integer
+    // columns NULL-free); is_current is the explicit flag
+    runs
+      .withColumn("valid_to_us",
+        coalesce(lead($"valid_from_us", 1).over(byVer), lit(0L)))
+      .withColumn("is_current", $"valid_to_us" === 0L)
+      .select($"user_id", $"version", $"state", $"valid_from_us",
+        $"valid_to_us", $"n_updates", $"is_current")
+  }
+
+  def q213Scd2(s: SparkSession, dir: String): DataFrame =
+    scd2Intervals(load(s, dir, "events"), $"event_type")
+
+  // --------------------------------------------------------------- q214
+
+  /** One-pass table profiler: per column — null count, exact distinct
+    * count, and min/max rendered as strings for integer and varchar
+    * columns (float columns keep null min/max: their string rendering
+    * is engine-dialect territory, and a profile that silently diverges
+    * cross-engine is worse than one that abstains — the q64 rule
+    * applied to formatting).
+    *
+    * SCALE: ONE aggregate job over the table. The n exact
+    * count-distincts make Catalyst plan an Expand (one replicated
+    * stream per distinct column) — that is the honest cost of exact
+    * per-column cardinality and it is map-side partial-aggregated per
+    * column; for a 100 TB profile where approximate cardinality is
+    * acceptable, swap `count_distinct` for `approx_count_distinct` and
+    * the Expand disappears. The profile output is #columns rows. */
+  def profileTable(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val cols = df.schema.fields
+    val aggs = cols.flatMap { f =>
+      val c = col(f.name)
+      val strMinMax = f.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.StringType =>
+          Seq(min(c).cast("string").as(s"min_${f.name}"),
+            max(c).cast("string").as(s"max_${f.name}"))
+        case _ =>
+          Seq(lit(null).cast("string").as(s"min_${f.name}"),
+            lit(null).cast("string").as(s"max_${f.name}"))
+      }
+      Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls_${f.name}"),
+        count_distinct(c).as(s"nd_${f.name}")) ++ strMinMax
+    }
+    val one = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val stacked = cols.map { f =>
+      s"struct('${f.name}' as column, nulls_${f.name} as n_nulls, " +
+        s"nd_${f.name} as n_distinct, min_${f.name} as min_str, " +
+        s"max_${f.name} as max_str)"
+    }.mkString("array(", ", ", ")")
+    one.select(explode(expr(stacked)).as("p")).select($"p.*")
+  }
+
+  def q214TableProfile(s: SparkSession, dir: String): DataFrame =
+    profileTable(load(s, dir, "orders"))
+
+  // --------------------------------------------------------------- q217
+
+  /** Golden-record survivorship: within each duplicate cluster
+    * (canonical-text key, [[HygieneOps.canonicalKey]]), build the ONE
+    * released record by field-level survivorship — each metadata field
+    * independently takes its cluster-modal value (count desc, value asc
+    * tie-break — deterministic on both engines), and the record id is
+    * the cluster-min doc_id. This is the MDM "golden record" merge that
+    * follows canonical dedup (q113 profiles the clusters; this emits
+    * what replaces them): a cluster's variants often disagree on
+    * metadata (crawl A says lang=en, crawl B says lang=unk) and
+    * survivor-takes-all (q73) silently inherits ONE variant's fields —
+    * field-level voting beats it whenever errors are independent.
+    *
+    * SCALE: two aggregates per field over (cluster, field-value) — both
+    * map-side combinable, output bounded by cluster count; the window
+    * runs on the (cluster, value) vote table, never the corpus. Only
+    * multi-member clusters are released here (singletons pass through
+    * dedup unchanged); `n_members`/`n_langs`/`n_sources` account the
+    * disagreement each golden record resolved. */
+  def goldenRecords(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(HygieneOps.canonicalKey($"text").as("ck"),
+      $"doc_id", $"lang", $"source")
+    val base = keyed.groupBy($"ck")
+      .agg(min($"doc_id").as("rep_doc_id"), count(lit(1)).as("n_members"),
+        count_distinct($"lang").as("n_langs"),
+        count_distinct($"source").as("n_sources"))
+      .filter($"n_members" >= 2)
+    def modal(field: String): DataFrame = {
+      val w = Window.partitionBy($"ck").orderBy($"votes".desc, col(field))
+      keyed.groupBy($"ck", col(field)).agg(count(lit(1)).as("votes"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"ck", col(field).as(s"${field}_golden"))
+    }
+    base.join(modal("lang"), "ck").join(modal("source"), "ck")
+      .select($"rep_doc_id", $"n_members", $"n_langs", $"n_sources",
+        $"lang_golden", $"source_golden")
+  }
+
+  /** q217 — golden records over deterministically planted disagreeing
+    * variants: every 3rd document gets a canonical-equal twin (upper +
+    * punctuation + padding, the q113 planting) carrying CONFLICTING
+    * metadata (lang='xx', source='mirror'), so each planted cluster has
+    * 2 members disagreeing on both fields and the 2-1 vote… is a 1-1
+    * TIE — which the (count desc, value asc) rule resolves
+    * deterministically; the gate pins exactly that resolution. */
+  def q217GoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val twins = docs.filter($"doc_id" % 3 === 0L)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        upper(concat(lit("  "), $"text", lit(" !! "))).as("text"),
+        lit("xx").as("lang"), lit("mirror").as("source"))
+    goldenRecords(docs.select($"doc_id", $"text", $"lang", $"source")
+      .unionByName(twins))
+  }
+
+  // --------------------------------------------------------------- q219
+
+  /** Dynamic-partition-overwrite backfill: the standard lakehouse
+    * correction flow — a date-partitioned table gets ONE day's
+    * partition rewritten with corrected rows while every other
+    * partition's files are untouched (verified by listing, not
+    * trusted). `partitionOverwriteMode=dynamic` scopes the overwrite to
+    * partitions the corrected frame actually contains; static mode
+    * would truncate the whole table first — the difference between a
+    * backfill and an outage.
+    *
+    * SCALE: the rewrite job reads and writes ONE day (the corrected
+    * slice), never the table; at 100 TB this is the only affordable
+    * correction primitive short of a table format's row-level deletes.
+    * Returns the re-read table; the untouched-partition check compares
+    * the OTHER partitions' file listings before vs after and throws on
+    * any difference (refuse-or-account at the file level). */
+  def overwritePartition(s: SparkSession, table: String,
+      corrected: DataFrame, partCol: String, partValue: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(table).getFileSystem(s.sparkContext.hadoopConfiguration)
+    def otherParts(): Map[String, Seq[String]] =
+      fs.listStatus(new Path(table)).toIndexedSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"$partCol=") &&
+          st.getPath.getName != s"$partCol=$partValue")
+        .map(st => st.getPath.getName ->
+          fs.listStatus(st.getPath).toIndexedSeq.map(f =>
+            f.getPath.getName + ":" + f.getLen).sorted)
+        .toMap
+    val before = otherParts()
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try corrected.write.mode("overwrite").partitionBy(partCol).parquet(table)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val after = otherParts()
+    if (before != after)
+      throw new IllegalStateException(
+        s"overwritePartition: untouched partitions changed — " +
+          s"${(before.keySet ++ after.keySet).filter(k =>
+            before.get(k) != after.get(k)).toSeq.sorted.mkString(", ")}")
+    s.read.parquet(table)
+  }
+
+  /** q219 — backfill gate: events land date-partitioned, then the
+    * busiest day is "corrected" by dropping every 3rd event (a dedup
+    * fix replayed onto one day) and dynamically overwritten. The gated
+    * answer aggregates the WHOLE re-read table per day, so a static
+    * overwrite (truncating other days) or a leaky rewrite (day not
+    * actually corrected) both hash-mismatch; the file-listing guard in
+    * [[overwritePartition]] makes "other partitions untouched" a
+    * throw, not a hope. The corrected day is chosen deterministically
+    * as the min event_date. */
+  def q219PartitionOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q219").toString
+    val table = s"$tmp/events_by_day"
+    val ev = load(s, dir, "events")
+      .withColumn("event_date", date_format($"ts", "yyyy-MM-dd"))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(table)
+    val day = ev.agg(min($"event_date")).head.getString(0)
+    val corrected = ev.filter($"event_date" === day)
+      .filter($"event_id" % 3 =!= 0L)
+    overwritePartition(s, table, corrected, "event_date", day)
+      // the partition column re-reads as DATE (partition-value type
+      // inference); the gate compares strings on both engines
+      .groupBy($"event_date".cast("string").as("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"event_id").as("sum_event_id"))
+  }
+
+  // --------------------------------------------------------------- q220
+
+  /** l-diversity release check — q171's small-cell suppression upgraded
+    * from group SIZE to sensitive-value DIVERSITY (Machanavajjhala et
+    * al., ICDE 2006): a released quasi-identifier cell must contain at
+    * least `l` DISTINCT values of the sensitive attribute, else an
+    * attacker who locates a member in the cell learns the sensitive
+    * value even when the cell is large (the homogeneity attack
+    * k-anonymity misses). Quasi-identifier: (source, length decile
+    * bucket); sensitive: lang. Cells failing the test roll into the
+    * source's `__suppressed__` residual with mass conserved (counts AND
+    * distinct-lang union accounted via a re-aggregation over the raw
+    * cell table), so nothing is silently dropped and nothing
+    * homogeneous is released.
+    *
+    * SCALE: one map-side-combinable aggregate to the cell table
+    * (cells = sources × 10 buckets — tiny), then cell-sized
+    * re-aggregation; the corpus is read once. */
+  def lDiversityRelease(docs: DataFrame, l: Long): DataFrame = {
+    val cells = docs
+      .select($"source", least(expr("n_chars div 100"), lit(9L)).as("len_bucket"),
+        $"lang")
+      .groupBy($"source", $"len_bucket")
+      .agg(count(lit(1)).as("n_docs"), count_distinct($"lang").as("n_langs"))
+    val released = cells.filter($"n_langs" >= l)
+      .select($"source", $"len_bucket".cast("string").as("len_bucket"),
+        $"n_docs", $"n_langs", lit(1L).as("n_cells"))
+    val residual = cells.filter($"n_langs" < l)
+      .groupBy($"source")
+      .agg(sum($"n_docs").as("n_docs"), max($"n_langs").as("n_langs"),
+        count(lit(1)).as("n_cells"))
+      .select($"source", lit("__suppressed__").as("len_bucket"),
+        $"n_docs", $"n_langs", $"n_cells")
+    released.unionByName(residual)
+  }
+
+  def q220LDiversity(s: SparkSession, dir: String): DataFrame =
+    lDiversityRelease(load(s, dir, "documents"), l = 3L)
+
+  // -------------------------------------------------------------- oracles
+
+  val oracles: Map[String, String] = Map(
+    // q213: run boundaries via lag, versions via running sum, intervals
+    // via lead over the run table — the same two-window replay
+    "q213_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type AS state FROM events),
+        |r AS (SELECT *, CASE WHEN lag(state) OVER w IS NULL
+        |      OR lag(state) OVER w != state THEN 1 ELSE 0 END AS new_run
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |v AS (SELECT *, sum(new_run) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS version FROM r),
+        |runs AS (SELECT user_id, version, min(us) AS valid_from_us,
+        |    min(state) AS state, CAST(count(*) AS BIGINT) AS n_updates
+        |  FROM v GROUP BY 1, 2)
+        |SELECT user_id, version, state, valid_from_us,
+        |  coalesce(lead(valid_from_us) OVER
+        |    (PARTITION BY user_id ORDER BY version), 0) AS valid_to_us,
+        |  n_updates,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+        |    IS NULL AS is_current
+        |FROM runs""".stripMargin,
+    // q214: per-column stats as a UNION ALL — min/max only for integer
+    // and varchar columns (float rendering is dialect territory)
+    "q214_table_profile" ->
+      """SELECT 'o_orderkey' AS column,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_str FROM orders
+        |UNION ALL SELECT 'o_custkey',
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |UNION ALL SELECT 'o_orderstatus',
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |  FROM orders
+        |UNION ALL SELECT 'o_totalprice',
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'o_orderdate',
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'o_orderpriority',
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |  CAST(min(o_orderpriority) AS VARCHAR),
+        |  CAST(max(o_orderpriority) AS VARCHAR) FROM orders""".stripMargin,
+    // q217: replay the planting, the canonical key, and the per-field
+    // modal vote with the (count desc, value asc) tie-break
+    "q217_golden_record" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper('  ' || text || ' !! '),
+        |    'xx', 'mirror' FROM documents WHERE doc_id % 3 = 0),
+        |k AS (SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 \t\n\r\f]', '', 'g'),
+        |      '[ \t\n\r\f]+', ' ', 'g'))) AS ck,
+        |    doc_id, lang, source FROM all_docs),
+        |base AS (SELECT ck, min(doc_id) AS rep_doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |  FROM k GROUP BY 1 HAVING count(*) >= 2),
+        |lv AS (SELECT ck, lang AS lang_golden FROM (
+        |  SELECT ck, lang, row_number() OVER (PARTITION BY ck
+        |      ORDER BY count(*) DESC, lang) AS rn
+        |  FROM k GROUP BY ck, lang) WHERE rn = 1),
+        |sv AS (SELECT ck, source AS source_golden FROM (
+        |  SELECT ck, source, row_number() OVER (PARTITION BY ck
+        |      ORDER BY count(*) DESC, source) AS rn
+        |  FROM k GROUP BY ck, source) WHERE rn = 1)
+        |SELECT rep_doc_id, n_members, n_langs, n_sources,
+        |  lang_golden, source_golden
+        |FROM base JOIN lv USING (ck) JOIN sv USING (ck)""".stripMargin,
+    // q219: replay the final state — min day keeps only event_id % 3 != 0,
+    // every other day is intact
+    "q219_partition_overwrite" ->
+      """WITH e AS (SELECT event_id, strftime(ts, '%Y-%m-%d') AS event_date
+        |  FROM events),
+        |d AS (SELECT min(event_date) AS day FROM e)
+        |SELECT event_date, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
+        |FROM e WHERE event_date != (SELECT day FROM d) OR event_id % 3 != 0
+        |GROUP BY 1""".stripMargin,
+    // q220: replay the cell aggregate, the l split, and the residual
+    "q220_ldiversity" ->
+      """WITH cells AS (SELECT source,
+        |    least(n_chars // 100, 9) AS len_bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(len_bucket AS VARCHAR) AS len_bucket,
+        |  n_docs, n_langs, CAST(1 AS BIGINT) AS n_cells
+        |FROM cells WHERE n_langs >= 3
+        |UNION ALL
+        |SELECT source, '__suppressed__', CAST(sum(n_docs) AS BIGINT),
+        |  CAST(max(n_langs) AS BIGINT), CAST(count(*) AS BIGINT)
+        |FROM cells WHERE n_langs < 3 GROUP BY 1""".stripMargin,
+  )
+}

@@ -93,6 +93,49 @@ object EventStream {
       .as[SessionOut]
   }
 
+  /** q212 — stream-static enrichment: the streaming events joined to a
+    * STATIC dimension (customer → market segment) before the windowed
+    * aggregate — the canonical streaming-ETL shape (enrich at ingest,
+    * aggregate enriched). The static side is broadcast: a stream-static
+    * join keeps NO join state (the dimension is re-resolvable every
+    * micro-batch), so unlike q90's stream-stream join there is no
+    * watermark bookkeeping on the dimension and state stays bounded by
+    * the window aggregation alone. The LEFT join + 'UNKNOWN' fill is
+    * the refuse-or-account rule at the enrichment boundary: an event
+    * whose user has no dimension row aggregates under a visible label
+    * instead of vanishing into an inner join.
+    *
+    * SCALE: at 100 TB of stream the dimension broadcast is per-
+    * executor-once per batch; a dimension too big to broadcast flips
+    * to a shuffled stream-static join with the SAME semantics — the
+    * declarative plan is the knob, not the code. */
+  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val name = "enr_" + UUID.randomUUID().toString.replace("-", "")
+    val dim = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "30 minutes")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
+      .groupBy(window(col("ts"), "10 minutes"), col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_event_id"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("segment"), col("n"), col("sum_event_id"))
+  }
+
+  def q212StreamEnrich(spark: SparkSession, dir: String): DataFrame =
+    streamStaticEnrich(spark, dir)
+
   /** Stream-stream interval join — the streaming twin of the batch
     * attribution join (q81): click and purchase streams joined on
     * user_id with a 60-minute trailing event-time range. Watermarks on
@@ -397,6 +440,14 @@ object EventStream {
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
         |event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1,2""".stripMargin,
+    // q212: the drained stream-static enrichment ≡ the batch left join
+    "q212_stream_enrich" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     // inner-join twin of q81: purchases WITH at least one trailing click
     "q90_stream_interval_join" ->
       """SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_clicks

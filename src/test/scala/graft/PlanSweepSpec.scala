@@ -43,7 +43,15 @@ class PlanSweepSpec extends AnyFunSuite {
     "q135_pq_rerank" ->
       "rank over the re-rank candidate set (bounded by rerankFrom)",
     "q138_ivfpq_rerank" ->
-      "rank over the composed IVF-PQ candidate set (bounded by rerankFrom)")
+      "rank over the composed IVF-PQ candidate set (bounded by rerankFrom)",
+    "q197_triangles" ->
+      "coEdges p90 rank over the bucket-occupancy table (event_type x hour buckets, domain-bounded)",
+    "q205_label_prop" ->
+      "coEdges p90 rank over the bucket-occupancy table (event_type x hour buckets, domain-bounded)",
+    "q207_graph_components" ->
+      "coEdges p90 rank over the bucket-occupancy table (event_type x hour buckets, domain-bounded)",
+    "q211_kcore" ->
+      "coEdges p90 rank over the bucket-occupancy table (event_type x hour buckets, domain-bounded)")
 
   test("every query plans free of CartesianProduct and unbounded global windows") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

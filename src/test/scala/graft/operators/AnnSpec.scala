@@ -575,4 +575,16 @@ class AnnSpec extends AnyFunSuite {
     // non-vacuity: the prefix pass retrieves something somewhere
     assert(out.map(_.getAs[Long]("n_topk_rerank")).sum > 0L)
   }
+
+  test("q218: reciprocal ranks are exact 2520/rank integers, misses score 0") {
+    val out = VectorOps.q218AnnMrr(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val rr = r.getAs[Long]("rr_scaled")
+      val rank = r.getAs[Long]("rel_rank")
+      if (rank >= 1L && rank <= 10L)
+        assert(rr === 2520L / rank && 2520L % rank === 0L)
+      else assert(rr === 0L) // miss sentinel 0 or rank past the cutoff
+    }
+  }
 }

@@ -286,4 +286,33 @@ class InsightOpsSpec extends AnyFunSuite {
     }
     comp.foreach { case (u, c) => assert(c <= lpa(u) && c <= u) }
   }
+
+  test("q211: planted 4-clique survives 3-core peeling, pendant chain peels away") {
+    import spark.implicits._
+    // 4-clique on 1-4 (every degree 3) + chain 4-10-11-12 (degrees < 3)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 10L), (10L, 11L), (11L, 12L)).toDF("u", "v")
+    val core = InsightOps.kCore(edges, k = 3L, maxRounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("core_deg")).toMap
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("q211: long chains need DEEP peeling — the round cap refuses below depth") {
+    import spark.implicits._
+    // a path peels one endpoint pair per round: depth ~ n/2
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("u", "v")
+    // k=2 on a path: fully peels (no cycle) — needs ~6 rounds, fits 16
+    val core = InsightOps.kCore(path, k = 2L, maxRounds = 16).collect()
+    assert(core.isEmpty)
+    // but an insufficient cap must throw, not return a half-peeled graph
+    intercept[IllegalStateException] {
+      InsightOps.kCore(path, k = 2L, maxRounds = 2)
+    }
+  }
+
+  test("q211: every core member's in-core degree is >= k on real data") {
+    val out = InsightOps.q211KCore(spark, "/root/testdata/sf0.001").collect()
+    out.foreach(r => assert(r.getAs[Long]("core_deg") >= 3L))
+  }
 }

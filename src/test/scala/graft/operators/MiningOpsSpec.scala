@@ -409,4 +409,22 @@ class MiningOpsSpec extends AnyFunSuite {
     val types = out.map(_.getAs[String]("touch_type")).toSet
     assert(types.contains("click") && types.contains("view"))
   }
+
+  test("q216: EWMA weights decay by exact powers of two; stale hours score 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: 2 events at hour H, 3 at H-1, 5 at H-31, 7 at H-32 (stale)
+    val h0 = 400000L // hour index; ts = h*3600 seconds epoch
+    def at(h: Long, n: Int, u: Long) =
+      (1 to n).map(i => (u, h * 3600L + i))
+    val rows = at(h0, 2, 1L) ++ at(h0 - 1, 3, 1L) ++
+      at(h0 - 31, 5, 1L) ++ at(h0 - 32, 7, 1L)
+    val ev = rows.toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = MiningOps.ewmaLastHour(ev).collect()
+    assert(out.length === 1)
+    val expected = 2L * (1L << 31) + 3L * (1L << 30) + 5L * (1L << 0)
+    assert(out.head.getAs[Long]("last_hour") === h0)
+    assert(out.head.getAs[Long]("ewma_scaled") === expected)
+  }
 }

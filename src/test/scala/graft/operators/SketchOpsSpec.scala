@@ -797,4 +797,31 @@ class SketchOpsSpec extends AnyFunSuite {
       if (inter == na && inter == nb) assert(m === 16L)
     }
   }
+
+  test("q215: MAD pins the rank rule and shrugs off the outlier stddev can't") {
+    import spark.implicits._
+    // values [1,2,3,100]: median = smallest v with 2*cum >= 4 -> 2;
+    // deviations [1,0,1,98] -> sorted cum [0:1, 1:3, 98:4] -> MAD = 1.
+    // (sample stddev here is ~48.8 — one outlier owns it; MAD ignores it)
+    val vals = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 100L))
+      .toDF("source", "v")
+    val out = SketchOps.madPerSource(vals).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("median") === 2L)
+    assert(out.head.getAs[Long]("mad") === 1L)
+    assert(out.head.getAs[Long]("n_docs") === 4L)
+  }
+
+  test("q215: constant values have MAD 0; shifting values shifts only the median") {
+    import spark.implicits._
+    val const = Seq(("c", 7L), ("c", 7L), ("c", 7L)).toDF("source", "v")
+    val c = SketchOps.madPerSource(const).collect().head
+    assert(c.getAs[Long]("median") === 7L && c.getAs[Long]("mad") === 0L)
+    val base = Seq(("s", 1L), ("s", 3L), ("s", 6L)).toDF("source", "v")
+    val shifted = base.select($"source", ($"v" + 1000L).as("v"))
+    val (b, sh) = (SketchOps.madPerSource(base).collect().head,
+      SketchOps.madPerSource(shifted).collect().head)
+    assert(sh.getAs[Long]("median") === b.getAs[Long]("median") + 1000L)
+    assert(sh.getAs[Long]("mad") === b.getAs[Long]("mad"))
+  }
 }

@@ -117,4 +117,34 @@ class TokenizerOpsSpec extends AnyFunSuite {
     val n = "(?i)exchange".r.findAllIn(plan).length
     assert(n === 1, s"expected one exchange, got $n:\n$plan")
   }
+
+  test("q221: token economics bound chars from both sides and conserve words") {
+    import org.apache.spark.sql.functions._
+    val out = TokenizerOps.q221BpeEncode(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, c, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_bpe_tokens"))
+      // one token per word at least; one per char at most
+      assert(w <= t && t <= c, s"economics violated: w=$w t=$t c=$c")
+    }
+    // the 4 trained merges must compress the corpus as a whole
+    assert(out.map(_.getAs[Long]("n_bpe_tokens")).sum <
+      out.map(_.getAs[Long]("n_chars")).sum)
+    val totalWords = graft.Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1).count()
+    assert(out.map(_.getAs[Long]("n_words")).sum === totalWords)
+  }
+
+  test("q221: merge application is frequency-monotone — each trained merge " +
+    "never increases any word's token count") {
+    import spark.implicits._
+    val merges = TokenizerOps.trainMerges(
+      Seq(("ab", 5L), ("abab", 3L), ("ba", 2L)).toDF("w", "wf"), k = 2)
+    assert(merges.length === 2)
+    // pairs: (a,b) weight 5+3*2+... ab: a-b x1 *5; abab: a-b x2, b-a x1;
+    // ba: b-a x1 -> (a,b)=11 wins round 1
+    assert(merges.head === ("a", "b"))
+  }
 }

@@ -389,6 +389,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming == batch)
   }
 
+  test("q212: stream-static enrichment equals the batch left join, " +
+    "dimension misses surface as UNKNOWN") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.q212StreamEnrich(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sum_event_id")))).toMap
+    val ev = graft.Tables.load(spark, dir, "events")
+    val dim = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val batch = ev.join(dim, Seq("user_id"), "left")
+      .select(
+        date_format(expr("timestamp_micros(unix_micros(ts) div 600000000 " +
+          "* 600000000)"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        coalesce(col("segment"), lit("UNKNOWN")).as("segment"),
+        col("event_id"))
+      .groupBy("win_start", "segment")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sum_event_id")))).toMap
+    assert(streamed === batch)
+  }
+
   // ----------------------------------------------------------------- q210
 
   test("q210: late-data conservation — accepted + dropped = stragglers, " +
