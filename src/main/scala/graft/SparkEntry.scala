@@ -517,6 +517,48 @@ object SparkEntry {
     // distinct word, token economics per source
     "q221_bpe_encode" ->
       ((s: SparkSession, d: String) => TokenizerOps.q221BpeEncode(s, d)),
+    // integer CUSUM drift detection (prefix-sum identity, two shared
+    // running windows); catches sustained drift q106's 2-sigma misses
+    "q222_cusum" -> (InsightOps.q222Cusum _),
+    // order-independent table checksum: xor + mod-sum folds of
+    // md5-derived 60-bit row keys — migration verification in one pass
+    "q224_table_checksum" -> (HygieneOps.q224TableChecksum _),
+    // p99 winsorization with clipped-mass accounting, histogram-first
+    "q227_winsorize" -> (SketchOps.q227Winsorize _),
+    // burst debounce per (user, type): first-of-burst survivors,
+    // conservation + id fold in the gated row
+    "q229_debounce" -> (MiningOps.q229Debounce _),
+    // DSIR-style importance selection: integer-log likelihood ratio of
+    // target vs corpus unigram LMs, top-k most target-like docs
+    "q223_dsir_select" ->
+      ((s: SparkSession, d: String) => CurationOps.q223DsirSelect(s, d)),
+    // Apriori-pruned frequent triples: prune docs to >= 10% items
+    // BEFORE any combination is generated (downward closure)
+    "q225_itemset_triples" ->
+      ((s: SparkSession, d: String) => MiningOps.q225ItemsetTriples(s, d)),
+    // exact stratified split: floor-quota per stratum by the epoch-0
+    // permutation rank; membership pinned by xor fold
+    "q228_stratified_split" -> (CurationOps.q228StratifiedSplit _),
+    // Hamilton largest-remainder apportionment: parts sum to the
+    // budget exactly, deterministic remainder tie-break
+    "q226_apportion" -> (CurationOps.q226Apportion _),
+    // native session_window streaming sessions == the relational gap
+    // rule (merge semantics proven against the lag definition)
+    "q230_stream_session_window" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.EventStream.q230StreamSessionWindow(s, d)),
+    // int8-quantized retrieval recall vs float ground truth — the
+    // quantized ranking is all-integer (q61 grid, raw int dot)
+    "q231_int8_recall" -> (VectorOps.q231Int8Recall _),
+    // token-balanced shard cuts via the q173 distributed prefix-sum
+    // (no global single-task window, no sampling pass)
+    "q232_shard_cut" -> (CurationOps.q232ShardCut _),
+    // index-anchored two-phase phrase retrieval; oracle is the direct
+    // scan — anchor prefilter proven lossless
+    "q233_phrase_anchored" -> (IndexOps.q233PhraseRetrieveAnchored _),
+    // language-ID confusion matrix — per-class eval table over the
+    // q20 heuristic vs labels
+    "q234_lang_confusion" -> (TextOps.q234LangConfusion _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

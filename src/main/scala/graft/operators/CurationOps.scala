@@ -465,6 +465,166 @@ object CurationOps {
         expr("bit_xor(doc_id)").as("drawn_xor"))
   }
 
+  // --------------------------------------------------------------- q223
+
+  /** q223 — importance-ranked domain selection (the DSIR recipe, Xie
+    * et al., NeurIPS 2023, reduced to its integer core): score every
+    * NON-target document by how target-like its unigram distribution
+    * is — Σ_t [⌊log₂(ct(t)+1)⌋ − ⌊log₂(ca(t)+1)⌋] + len·K with
+    * K = ⌊log₂ Na⌋ − ⌊log₂ Nt⌋ — and take the top `k`. ct/ca are
+    * token occurrence counts in the target domain (min source, the
+    * deterministic pick) vs the whole corpus, so the score is the
+    * integer-log likelihood ratio of the two unigram LMs (q132's
+    * surprise machinery pointed at DOMAIN selection instead of
+    * anomaly): positive means the target LM likes the document more
+    * than the corpus LM. The add-1 keeps every log argument ≥ 1, and
+    * the q84 rule (⌊log₂ x⌋ = bitlen−1) keeps both engines exact.
+    *
+    * SCALE: two vocabulary-sized count aggregates (map-combinable),
+    * the per-token score table joined back to the token stream on the
+    * token key (broadcast at vocab scale, hash join beyond), one
+    * per-doc aggregate, TakeOrdered for the top-k — the corpus is
+    * scanned twice and sorted never. Na/Nt are one scalar agg. */
+  def dsirSelect(docs: DataFrame, k: Int): DataFrame = {
+    val tgt = docs.agg(min($"source")).head.getString(0) // 1-row scalar
+    val toksT = docs
+      .select($"doc_id", $"source", explode(toks($"text")).as("t"))
+      .filter(length($"t") >= 1)
+    def il2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val totals = toksT.agg(count(lit(1)).as("na"),
+      sum(when($"source" === tgt, 1L).otherwise(0L)).as("nt")).head
+    val kOff = (63 - java.lang.Long.numberOfLeadingZeros(totals.getLong(0))) -
+      (63 - java.lang.Long.numberOfLeadingZeros(totals.getLong(1)))
+    val ct = toksT.filter($"source" === tgt)
+      .groupBy($"t").agg(count(lit(1)).as("ct"))
+    val ca = toksT.groupBy($"t").agg(count(lit(1)).as("ca"))
+    val sc = ca.join(ct, Seq("t"), "left").na.fill(0L, Seq("ct"))
+      .select($"t", (il2($"ct" + 1) - il2($"ca" + 1)).as("sc"))
+    toksT.filter($"source" =!= tgt)
+      .join(sc, "t") // inner keeps all: every corpus token has ca >= 1
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_tokens"), sum($"sc").as("sum_s"))
+      .select($"doc_id", $"source", $"n_tokens",
+        ($"sum_s" + $"n_tokens" * lit(kOff.toLong)).as("score"))
+      .orderBy($"score".desc, $"doc_id").limit(k)
+  }
+
+  def q223DsirSelect(s: SparkSession, dir: String, k: Int = 100): DataFrame =
+    dsirSelect(load(s, dir, "documents"), k)
+
+  // --------------------------------------------------------------- q228
+
+  /** q228 — EXACT stratified split: per stratum (source), exactly
+    * ⌊n·p/100⌋ documents go to validation, chosen by the deterministic
+    * [[epochOrder]] rank — the guarantee q131's hash-threshold split
+    * deliberately trades away (a hash threshold gives each stratum
+    * p ± binomial noise; model-eval tables want the floor exactly).
+    * Assignment is rank ≤ ⌊n·p/100⌋ in the integer form
+    * 100·rn ≤ n·p; the gated row pins the val MEMBERSHIP (xor fold),
+    * not just counts.
+    *
+    * SCALE: one shuffle on the stratum key, partition-local sort for
+    * the rank — the price of exact counts (any exact-quota split must
+    * order each stratum); when approximate is acceptable, use q131's
+    * map-only hash split instead. Both windows share one sort. */
+  def stratifiedSplit(docs: DataFrame, valPct: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"ord", $"doc_id")
+    val n = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+    docs.select($"doc_id", $"source")
+      .withColumn("ord", epochOrder($"doc_id", lit(0L)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_total", count(lit(1)).over(n))
+      .withColumn("is_val", $"rn" * 100 <= $"n_total" * valPct)
+      .groupBy($"source")
+      .agg(max($"n_total").as("n_total"),
+        sum(when($"is_val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(!$"is_val", 1L).otherwise(0L)).as("n_train"),
+        expr("bit_xor(case when is_val then doc_id else 0 end)")
+          .as("val_xor"))
+  }
+
+  def q228StratifiedSplit(s: SparkSession, dir: String): DataFrame =
+    stratifiedSplit(load(s, dir, "documents"), valPct = 20)
+
+  // --------------------------------------------------------------- q226
+
+  /** q226 — exact largest-remainder apportionment (Hamilton's method):
+    * split an integer budget across sources proportionally to integer
+    * weights so the parts sum to the budget EXACTLY — the allocation
+    * primitive mixture recipes need before q139's greedy fill can
+    * execute (floats hand every engine a different ±1; this never
+    * does). base_i = ⌊B·w_i/Σw⌋, then the Σbase..B shortfall goes one
+    * unit each to the largest remainders (remainder desc, source asc —
+    * the deterministic tie-break).
+    *
+    * SCALE: runs entirely on the WEIGHTS table (one row per mixture
+    * component — dozens, not documents). The windows partition on a
+    * constant, which is the honest way to say "this table is one
+    * component-sized group": bounded by construction, never
+    * corpus-sized. Long bound: w·B < 2^63 — document token counts ×
+    * token budgets stay under it until ~10^9 × 10^9. */
+  def apportion(weights: DataFrame, budget: Long): DataFrame = {
+    val one = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val ranked = weights.select($"source", $"w",
+        sum($"w").over(one).as("tot"))
+      .select($"source", $"w",
+        expr(s"(w * ${budget}L) div tot").as("base"),
+        expr(s"(w * ${budget}L) % tot").as("rem"))
+      .withColumn("rk", row_number().over(
+        one.orderBy($"rem".desc, $"source")).cast("long"))
+      .withColumn("shortfall", lit(budget) - sum($"base").over(one))
+    ranked.select($"source", $"w",
+      ($"base" + when($"rk" <= $"shortfall", 1L).otherwise(0L)).as("alloc"))
+  }
+
+  def q226Apportion(s: SparkSession, dir: String): DataFrame =
+    apportion(
+      load(s, dir, "documents").groupBy($"source")
+        .agg(count(lit(1)).as("w")),
+      budget = 9973L) // prime: guarantees live remainders
+
+  // --------------------------------------------------------------- q232
+
+  /** q232 — token-balanced shard boundaries: cut the [[epochOrder]]
+    * document stream into shards of ~`budget` tokens each (the
+    * training-shard planning step before a WebDataset/packed export) —
+    * shard k = the docs whose EXCLUSIVE running token total lies in
+    * [k·B, (k+1)·B). The running total is computed WITHOUT the global
+    * single-task window via the q173 dense-ordinal discipline:
+    * fixed-arithmetic range buckets on the hash-uniform draw key
+    * (no sampling pass), per-bucket token sums (ONE driver collect,
+    * ≤ buckets rows), exclusive prefix offsets broadcast back, and a
+    * PARTITIONED window adds the in-bucket prefix. Per-shard output:
+    * doc/token counts — conservation (Σ = corpus) is the gate's law. */
+  def shardCut(docs: DataFrame, budget: Long,
+      buckets: Int = 1024): DataFrame = {
+    val M2 = 1000003L * 1000003L
+    val width = M2 / buckets + 1
+    val keyed = docs
+      .select($"doc_id", size(toks($"text")).cast("long").as("ntok"))
+      .withColumn("ord", epochOrder($"doc_id", lit(0L)))
+      .withColumn("__b", expr(s"ord div ${width}L"))
+    val sums = keyed.groupBy($"__b").agg(sum($"ntok").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // sums ≤ buckets rows — the documented driver bound
+    val offs = sums.zip(sums.map(_._2).scanLeft(0L)(_ + _))
+      .map { case ((b, _), off) => (b, off) }.toSeq
+    val offDf = docs.sparkSession.createDataFrame(offs).toDF("__b", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"__b").orderBy($"ord", $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    keyed.join(broadcast(offDf), Seq("__b"))
+      .withColumn("cum_before",
+        $"__off" + coalesce(sum($"ntok").over(w), lit(0L)))
+      .withColumn("shard_id", expr(s"cum_before div ${budget}L"))
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"))
+  }
+
+  def q232ShardCut(s: SparkSession, dir: String): DataFrame =
+    shardCut(load(s, dir, "documents"), budget = 2000L)
+
   /** Per-source document cap — web curation's "domain cap": keep at
     * most `cap` documents per source, chosen by the deterministic
     * [[epochOrder]] permutation (an unbiased hash-order sample, not
@@ -692,6 +852,89 @@ object CurationOps {
     sourceSimilarity(load(s, dir, "documents"))
 
   val oracles: Map[String, String] = Map(
+    // q223: the integer-log likelihood-ratio replay — same add-1,
+    // same bitlen-1 logs, same K offset from the scalar totals
+    "q223_dsir_select" ->
+      """WITH tgt AS (SELECT min(source) AS s FROM documents),
+        |tk AS (SELECT doc_id, source, t
+        |  FROM (SELECT doc_id, source,
+        |      unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) >= 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN source = (SELECT s FROM tgt)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nt FROM tk),
+        |ct AS (SELECT t, CAST(count(*) AS BIGINT) AS ct FROM tk
+        |  WHERE source = (SELECT s FROM tgt) GROUP BY 1),
+        |ca AS (SELECT t, CAST(count(*) AS BIGINT) AS ca FROM tk GROUP BY 1),
+        |sc AS (SELECT ca.t,
+        |    (length(bin(coalesce(ct, 0) + 1)) - 1)
+        |      - (length(bin(ca + 1)) - 1) AS sc
+        |  FROM ca LEFT JOIN ct ON ca.t = ct.t),
+        |ds AS (SELECT tk.doc_id, tk.source,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(sc) AS BIGINT) AS sum_s
+        |  FROM tk JOIN sc ON tk.t = sc.t
+        |  WHERE tk.source != (SELECT s FROM tgt) GROUP BY 1, 2)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(sum_s + n_tokens * ((length(bin((SELECT na FROM nn))) - 1)
+        |    - (length(bin((SELECT nt FROM nn))) - 1)) AS BIGINT) AS score
+        |FROM ds ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+    // q226: base + largest-remainder top-up, same tie-break
+    "q226_apportion" ->
+      """WITH w AS (SELECT source, CAST(count(*) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT source, w, (SELECT sum(w) FROM w) AS tot FROM w),
+        |b AS (SELECT source, w, (w * 9973) // tot AS base,
+        |    (w * 9973) % tot AS rem FROM t),
+        |r AS (SELECT source, w, base,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT)
+        |      AS rk,
+        |    9973 - (SELECT sum(base) FROM b) AS shortfall FROM b)
+        |SELECT source, w,
+        |  CAST(base + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM r""".stripMargin,
+    // q232: the oracle IS the naive single-window global prefix (the
+    // q173 precedent) — the distributed bucket form must reproduce it
+    "q232_shard_cut" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    (((doc_id % 1000003) * 2654435761 % 1000003)) * 1000003
+        |    + ((((doc_id // 1000003) % 1000003)
+        |        + ((doc_id % 1000003) * 2654435761 % 1000003)) % 1000003)
+        |      * 2654435761 % 1000003 AS ord
+        |  FROM documents),
+        |c AS (SELECT doc_id, ntok,
+        |    coalesce(sum(ntok) OVER (ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM d)
+        |SELECT cum_before // 2000 AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1""".stripMargin,
+    // q228: the epoch-0 permutation rank (q129's ord expression) with
+    // the exact floor-quota rule 100*rn <= n*p
+    "q228_stratified_split" ->
+      """WITH o AS (SELECT doc_id, source,
+        |    (((doc_id % 1000003) * 2654435761 % 1000003)) * 1000003
+        |    + ((((doc_id // 1000003) % 1000003)
+        |        + ((doc_id % 1000003) * 2654435761 % 1000003)) % 1000003)
+        |      * 2654435761 % 1000003 AS ord
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY ord, doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_total
+        |  FROM o)
+        |SELECT source, max(n_total) AS n_total,
+        |  CAST(sum(CASE WHEN rn * 100 <= n_total * 20 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_val,
+        |  CAST(sum(CASE WHEN rn * 100 <= n_total * 20 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_train,
+        |  bit_xor(CASE WHEN rn * 100 <= n_total * 20 THEN doc_id
+        |    ELSE 0 END) AS val_xor
+        |FROM r GROUP BY 1""".stripMargin,
     // q208 replays tf → inverted-index pair dot + norms in HUGEINT
     "q208_source_similarity" ->
       """WITH tf AS (SELECT source, unnest(string_split(text, ' ')) AS t

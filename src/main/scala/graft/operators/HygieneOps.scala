@@ -504,6 +504,38 @@ object HygieneOps {
   def q171KAnonRelease(s: SparkSession, dir: String, k: Long = 5L): DataFrame =
     kAnonRelease(load(s, dir, "documents"), k)
 
+  // ---------------------------------------------------------------- q224
+
+  /** Order-independent table checksum — the migration-verification
+    * primitive: after a rewrite (compaction q174, Z-order q154,
+    * backfill q219, engine migration), prove content equality without
+    * sorting or joining either copy. Each row contributes a 60-bit key
+    * derived from md5 of its content (15 hex chars → exact BIGINT on
+    * both engines); two independent folds make collisions practically
+    * impossible to engineer by accident: `bit_xor` (order-free,
+    * self-inverse — detects any odd multiset difference) and a sum of
+    * key mod 1e9+7 (detects the even/duplicate differences XOR is
+    * blind to). Long bound: n_rows · 1e9 per group — safe to ~9·10⁹
+    * rows per key; the xor fold never overflows.
+    *
+    * SCALE: one map-side-combinable aggregate pass, 3 longs per group
+    * out. Comparing two 100 TB copies costs two independent scans and
+    * a groups-sized diff — no shuffle joins anything. */
+  def tableChecksum(df: DataFrame, keyCol: Column,
+      contentCol: Column): DataFrame =
+    df.select(keyCol.as("k"),
+        conv(substring(md5(contentCol), 1, 15), 16, 10)
+          .cast("long").as("rk"))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(rk)").as("xor_fold"),
+        sum($"rk" % 1000000007L).as("sum_fold"))
+
+  def q224TableChecksum(s: SparkSession, dir: String): DataFrame =
+    tableChecksum(load(s, dir, "documents"), $"source",
+      concat_ws("|", $"doc_id", $"text", $"lang"))
+      .select($"k".as("source"), $"n_rows", $"xor_fold", $"sum_fold")
+
   // ---------------------------------------------------------------- q179
 
   /** Corrupt-record quarantine — the ingest-robustness discipline for
@@ -625,6 +657,17 @@ object HygieneOps {
         |  CAST(max(sz) AS BIGINT) AS max_group,
         |  CAST(sum(sz - 1) AS BIGINT) AS n_redundant
         |FROM g""".stripMargin,
+    // q224: 60-bit md5-derived row keys, xor + mod-sum folds — both
+    // engines parse the same 15 hex chars into the same BIGINT
+    "q224_table_checksum" ->
+      """WITH k AS (SELECT source,
+        |    CAST(concat('0x', substring(md5(
+        |      concat_ws('|', doc_id, text, lang)), 1, 15)) AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  bit_xor(rk) AS xor_fold,
+        |  CAST(sum(rk % 1000000007) AS BIGINT) AS sum_fold
+        |FROM k GROUP BY 1""".stripMargin,
     "q130_integrity" ->
       """WITH d AS (SELECT doc_id FROM documents),
         |v AS (SELECT vec_id FROM embeddings)

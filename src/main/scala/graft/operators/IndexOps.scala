@@ -559,6 +559,35 @@ object IndexOps {
   def q196PhraseSearch(s: SparkSession, dir: String): DataFrame =
     phraseSearch(load(s, dir, "documents"), "table", "hash")
 
+  // --------------------------------------------------------------- q233
+
+  /** q233 — index-anchored phrase retrieval: the two-phase composition
+    * q196's scaladoc promises, executed — the q149 index artifact's df
+    * statistics pick the RARER phrase token (a 2-row driver read of
+    * the index, the retrieval planner's move), the corpus prefilters
+    * to documents containing that anchor (in-row `array_contains`, no
+    * shuffle — at 100 TB this is the semi-join against the anchor's
+    * postings; with in-row evaluation the scan prunes instead), and
+    * the zero-exchange q196 verifier runs over the surviving fraction
+    * only. The prefilter is provably lossless: a phrase match contains
+    * both tokens, so filtering on either cannot drop a match — which
+    * is exactly what the oracle checks (it is the DIRECT phrase scan
+    * with no anchor anywhere in the SQL). */
+  def q233PhraseRetrieveAnchored(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val (first, second) = ("merge", "group")
+    val df2 = invertedIndex(docs)
+      .filter($"token".isin(first, second))
+      .select($"token", $"df").collect() // bounded: <= 2 rows
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val anchor =
+      if (df2.getOrElse(first, 0L) <= df2.getOrElse(second, 0L)) first
+      else second
+    phraseSearch(
+      docs.filter(array_contains(split($"text", " "), anchor)),
+      first, second)
+  }
+
   // -------------------------------------------------------------- oracles
 
   /** The morton interleave as plain SQL: Σ ((x>>i)&1)<<2i for the x
@@ -623,6 +652,16 @@ object IndexOps {
         |  CAST(1 AS BIGINT) AS n_expired
         |FROM documents WHERE doc_id % 4 < 3
         |GROUP BY 1""".stripMargin,
+    // q233: the DIRECT phrase scan with no anchor prefilter anywhere —
+    // hash equality proves the index-anchored two-phase plan lossless
+    "q233_phrase_anchored" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |p AS (SELECT doc_id, i
+        |  FROM t, unnest(generate_series(1, len(l)-1)) AS u(i)
+        |  WHERE len(l) >= 2 AND l[i] = 'merge' AND l[i+1] = 'group')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(i) AS BIGINT) AS first_pos
+        |FROM p GROUP BY 1""".stripMargin,
     // q196 replays the in-row scan as the flat positional form (unnest
     // + 1-based list index); overlap counting falls out of counting
     // every position i independently

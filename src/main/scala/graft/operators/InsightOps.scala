@@ -541,6 +541,58 @@ object InsightOps {
       .crossJoin(broadcast(hot))
   }
 
+  // --------------------------------------------------------------- q222
+
+  /** CUSUM change detection over hourly event counts, per event type
+    * (Page, 1954) — the sequential complement of q106's pointwise 2σ
+    * test: a single spiked hour trips q106, but a SUSTAINED small
+    * drift (every hour slightly above reference) never does; CUSUM
+    * accumulates exactly that. Entirely integer-exact via the
+    * prefix-sum identity: S_t = max(0, S_{t−1} + d_t) is NOT a window
+    * expression, but S_t = P_t − min(0, min_{j≤t} P_j) with
+    * P_t = Σ_{j≤t} d_t IS — two running windows over the same
+    * (type, hour) sort. d = c − ref − slack, ref = the type's median
+    * hourly count by the q146 rank rule (2·cum ≥ n), slack the
+    * tolerated drift per hour.
+    *
+    * SCALE: histogram-first twice — the corpus collapses to (type,
+    * hour) counts (map-side combinable), the median runs on the
+    * count-of-counts histogram, and the CUSUM windows run on the
+    * hourly table partitioned by type (hours per type is
+    * time-range-bounded, never corpus-bounded). Output is one
+    * accounting row per type; the first flagged hour uses sentinel 0
+    * when the type never trips (no real hour is 0). Observed hours
+    * only: an absent hour contributes no negative drift (gap-fill
+    * with q103's spans first if silence should count). */
+  def cusumHourly(events: DataFrame, slack: Long, theta: Long): DataFrame = {
+    val hc = events
+      .select($"event_type", expr("unix_timestamp(ts) div 3600").as("h"))
+      .groupBy($"event_type", $"h").agg(count(lit(1)).as("c"))
+    val byType = Window.partitionBy($"event_type")
+    val med = hc.groupBy($"event_type", $"c").agg(count(lit(1)).as("n"))
+      .select($"event_type", $"c",
+        sum($"n").over(byType.orderBy($"c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+        sum($"n").over(byType).as("tot"))
+      .filter($"cum" * 2 >= $"tot")
+      .groupBy($"event_type").agg(min($"c").as("ref"))
+    val run = byType.orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hc.join(broadcast(med), "event_type")
+      .withColumn("d", $"c" - $"ref" - slack)
+      .withColumn("psum", sum($"d").over(run))
+      .withColumn("s", $"psum" - least(lit(0L), min($"psum").over(run)))
+      .groupBy($"event_type")
+      .agg(max($"ref").as("ref"), count(lit(1)).as("n_hours"),
+        max($"s").as("max_s"),
+        sum(when($"s" >= theta, 1L).otherwise(0L)).as("n_flagged"),
+        coalesce(min(when($"s" >= theta, $"h")), lit(0L))
+          .as("first_flag_hour"))
+  }
+
+  def q222Cusum(s: SparkSession, dir: String): DataFrame =
+    cusumHourly(load(s, dir, "events"), slack = 1L, theta = 16L)
+
   /** The q197 oracle's shared edge-derivation CTE block (bucket guard +
     * thresholded co-engagement edges), reused verbatim by q205. */
   private val coEdgeCtes: String =
@@ -605,6 +657,36 @@ object InsightOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // q222: median ref from the count-of-counts histogram, then the
+    // prefix-sum CUSUM identity in two running windows
+    "q222_cusum" ->
+      """WITH hc AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |hh AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS n
+        |  FROM hc GROUP BY 1, 2),
+        |w AS (SELECT event_type, c,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY event_type) AS tot FROM hh),
+        |med AS (SELECT event_type, min(c) AS ref FROM w
+        |  WHERE cum * 2 >= tot GROUP BY 1),
+        |p AS (SELECT hc.event_type, h, c, ref,
+        |    sum(c - ref - 1) OVER (PARTITION BY hc.event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS psum
+        |  FROM hc JOIN med ON hc.event_type = med.event_type),
+        |s AS (SELECT event_type, h, c, ref,
+        |    psum - least(0, min(psum) OVER (PARTITION BY event_type
+        |      ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS s
+        |  FROM p)
+        |SELECT event_type, max(ref) AS ref,
+        |  CAST(count(*) AS BIGINT) AS n_hours, max(s) AS max_s,
+        |  CAST(sum(CASE WHEN s >= 16 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  coalesce(min(CASE WHEN s >= 16 THEN h END), 0) AS first_flag_hour
+        |FROM s GROUP BY 1""".stripMargin,
     "q211_kcore" -> kCoreSql(3L, KCoreRounds),
     "q205_label_prop" -> labelPropSql(3),
     // q207: min-label components via the q123 recursive-CTE precedent

@@ -173,6 +173,112 @@ object MiningOps {
   def q216Ewma(s: SparkSession, dir: String): DataFrame =
     ewmaLastHour(load(s, dir, "events"))
 
+  // --------------------------------------------------------------- q229
+
+  /** Event debouncing — collapse bursts of the same (user, type) into
+    * their first event when successive occurrences arrive within
+    * `gapSec`: the instrumentation-noise cleaner (double-clicks, retry
+    * storms, duplicated beacons) every event pipeline runs before
+    * counting anything. Burst boundaries are the q213 run rule applied
+    * to TIME: a new burst starts when the gap to the previous event
+    * exceeds the threshold (lag + running sum of boundary flags), and
+    * the survivor is the burst's first event ((us, event_id) order, so
+    * ties are engine-deterministic). Conservation is part of the gated
+    * row: kept + collapsed = total per type, and an event_id fold pins
+    * WHICH events survived, not just how many.
+    *
+    * SCALE: one shuffle on (user_id, event_type); both windows (the
+    * lag and the burst-id running sum) share that sort. Output is one
+    * accounting row per event type. */
+  def debounce(events: DataFrame, gapSec: Long): DataFrame = {
+    val byKey = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"us", $"event_id")
+    events
+      .select($"user_id", $"event_type", $"event_id",
+        unix_micros($"ts").as("us"))
+      .withColumn("new_burst",
+        when(lag($"us", 1).over(byKey).isNull ||
+          $"us" - lag($"us", 1).over(byKey) > gapSec * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"new_burst").as("n_kept"),
+        (count(lit(1)) - sum($"new_burst")).as("n_collapsed"),
+        sum(when($"new_burst" === 1L, $"event_id").otherwise(0L))
+          .as("kept_id_fold"))
+  }
+
+  def q229Debounce(s: SparkSession, dir: String): DataFrame =
+    debounce(load(s, dir, "events"), gapSec = 600L)
+
+  // --------------------------------------------------------------- q225
+
+  /** q225 — frequent token TRIPLES with Apriori pruning (Agrawal &
+    * Srikant, VLDB 1994), extending q109's pairs one level: a triple
+    * can only be frequent if every item in it is (the downward-closure
+    * property), so each document's item list is pruned to the
+    * FREQUENT vocabulary before any combination is generated — the
+    * step that turns an O(|doc|³) explosion into O(m³) where m is the
+    * per-doc frequent-item count (support ≥ 10% caps the frequent
+    * vocabulary hard by Zipf: ~30 items on this corpus).
+    *
+    * SCALE: the df aggregate is map-combinable; the per-doc frequent
+    * list is bounded by the frequent vocabulary (the collect_list
+    * buffer is ≤ |frequent items| by construction — this is the
+    * q149 lesson honored: prune BEFORE the buffer, not after); triple
+    * generation runs in-row (the q204 discipline) with its fan-out
+    * map-side combined into a key space ≤ C(|frequent|, 3); top-k is
+    * a TakeOrdered, never a global sort. */
+  def itemsetTriples(docs: DataFrame, topK: Int): DataFrame = {
+    val nDocs = docs.count()
+    val dt = docs
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("t"))
+      .filter(length($"t") >= 1)
+    val freq = dt.groupBy($"t").agg(count(lit(1)).as("df"))
+      .filter($"df" * 10 >= nDocs)
+    // dictionary-encode the frequent vocabulary (Zipf-capped — 30 items
+    // here) so the hot path never touches a string: the first cut of
+    // this operator generated 10M 3-string structs and spent 12 s
+    // hashing them; packed-long triples aggregate in ~1/6 of that.
+    // Ids are assigned in token order, so sorting ids ≡ sorting tokens
+    // and i<j<k enumerates the same canonical triples. 20-bit fields
+    // bound the dictionary at 2^20 — refused loudly, never truncated.
+    val dict = freq.select($"t",
+      row_number().over(Window.orderBy($"t")).cast("long").as("tid"))
+    val nFreq = dict.count()
+    require(nFreq < (1L << 20),
+      s"itemsetTriples: frequent vocabulary $nFreq exceeds the 20-bit " +
+        "dictionary — raise the support threshold")
+    val fl = dt.join(broadcast(dict), "t")
+      .groupBy($"doc_id").agg(array_sort(collect_list($"tid")).as("ids"))
+      .filter(size($"ids") >= 3) // also guards the ascending sequences
+    // index sequences + element_at (O(1)) — a slice() inside a lambda
+    // would copy O(m) per index (higher-order lambdas re-evaluate
+    // arguments per element; no CSE)
+    val packed = fl.select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 2), i ->
+          |  flatten(transform(sequence(i + 1, size(ids) - 1), j ->
+          |    transform(sequence(j + 1, size(ids)), k ->
+          |      element_at(ids, i) * 1099511627776L
+          |        + element_at(ids, j) * 1048576L
+          |        + element_at(ids, k))))))""".stripMargin)).as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("support"))
+    def tok(idCol: Column, alias: String) =
+      broadcast(dict.select($"tid".as(s"${alias}_id"), $"t".as(alias)))
+    packed
+      .select(expr("p div 1099511627776").as("a_id"),
+        expr("p div 1048576 % 1048576").as("b_id"),
+        ($"p" % 1048576L).as("c_id"), $"support")
+      .join(tok($"tid", "a"), "a_id").join(tok($"tid", "b"), "b_id")
+      .join(tok($"tid", "c"), "c_id")
+      .select($"a", $"b", $"c", $"support")
+      .orderBy($"support".desc, $"a", $"b", $"c").limit(topK)
+  }
+
+  def q225ItemsetTriples(s: SparkSession, dir: String,
+      topK: Int = 50): DataFrame =
+    itemsetTriples(load(s, dir, "documents"), topK)
+
   // ---------------------------------------------------------------- q94
 
   /** Skew-salted equi-join: the fact side gets a deterministic salt in
@@ -627,6 +733,43 @@ object MiningOps {
         |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS n_24h FROM e)
         |SELECT event_id, user_id, CAST(n_24h AS BIGINT) AS n_24h
         |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    // q225: prune to >= 10% items, in-row i<j<k generation replayed as
+    // three chained lateral series, top-50 by (support, lexicographic)
+    "q225_itemset_triples" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |dt AS (SELECT doc_id, t
+        |  FROM (SELECT doc_id,
+        |      unnest(list_distinct(string_split(text, ' '))) AS t
+        |    FROM documents)
+        |  WHERE len(t) >= 1),
+        |f AS (SELECT t FROM (SELECT t, count(*) AS df FROM dt GROUP BY 1)
+        |  WHERE df * 10 >= (SELECT n FROM n)),
+        |fl AS (SELECT doc_id, list_sort(list(t)) AS items
+        |  FROM dt JOIN f USING (t) GROUP BY 1),
+        |tr AS (SELECT items[i] AS a, items[j] AS b, items[k] AS c
+        |  FROM fl,
+        |    unnest(generate_series(1, len(items))) AS u(i),
+        |    unnest(generate_series(i + 1, len(items))) AS v(j),
+        |    unnest(generate_series(j + 1, len(items))) AS w2(k))
+        |SELECT a, b, c, CAST(count(*) AS BIGINT) AS support
+        |FROM tr GROUP BY 1, 2, 3
+        |ORDER BY support DESC, a, b, c LIMIT 50""".stripMargin,
+    // q229: the burst-boundary lag rule replayed; survivors pinned by
+    // the id fold, conservation by construction
+    "q229_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(ts) AS us FROM events),
+        |b AS (SELECT event_type, event_id,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 600000000 THEN 1 ELSE 0 END AS nb
+        |  FROM e WINDOW w AS (PARTITION BY user_id, event_type
+        |    ORDER BY us, event_id))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(nb) AS BIGINT) AS n_kept,
+        |  CAST(count(*) - sum(nb) AS BIGINT) AS n_collapsed,
+        |  CAST(sum(CASE WHEN nb = 1 THEN event_id ELSE 0 END) AS BIGINT)
+        |    AS kept_id_fold
+        |FROM b GROUP BY 1""".stripMargin,
     // q216: hourly histogram → last hour per user → 32-term power-of-2
     // weighted sum, all in BIGINTs (floor-epoch div ≡ unix_timestamp div)
     "q216_ewma" ->

@@ -97,6 +97,43 @@ object SketchOps {
   def q215Mad(s: SparkSession, dir: String): DataFrame =
     madPerSource(load(s, dir, "documents").select($"source", $"n_chars".as("v")))
 
+  // ------------------------------------------------------------ winsorize
+
+  /** q227 — winsorization at p99 per source with clipped-mass
+    * accounting: heavy-tail features (document length here) get their
+    * outliers CLIPPED to the 99th percentile rather than dropped — the
+    * standard feature-cleaning step before means/regressions that a
+    * handful of giant documents would otherwise own. The cap comes
+    * from the value histogram by the q146 rank rule (smallest v with
+    * 100·cum ≥ 99·n — integer, no interpolation), and the output
+    * accounts exactly what clipping did: rows touched and mass before
+    * vs after (the q64 refuse-or-account rule for a mutating cleaner —
+    * nothing is silently rewritten).
+    *
+    * SCALE: histogram-first like q215 — one map-combinable shuffle to
+    * the histogram, rank window on the histogram, caps broadcast back
+    * over one more corpus scan. Never a corpus-wide sort. */
+  def winsorize(vals: DataFrame, pct: Int): DataFrame = {
+    val bySrc = Window.partitionBy($"source")
+    val cap = vals.groupBy($"source", $"v").agg(count(lit(1)).as("c"))
+      .select($"source", $"v",
+        sum($"c").over(bySrc.orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+        sum($"c").over(bySrc).as("n"))
+      .filter($"cum" * 100 >= $"n" * pct)
+      .groupBy($"source").agg(min($"v").as("cap"))
+    vals.join(broadcast(cap), "source")
+      .groupBy($"source")
+      .agg(max($"cap").as("cap"), count(lit(1)).as("n_docs"),
+        sum(when($"v" > $"cap", 1L).otherwise(0L)).as("n_clipped"),
+        sum($"v").as("sum_before"),
+        sum(least($"v", $"cap")).as("sum_after"))
+  }
+
+  def q227Winsorize(s: SparkSession, dir: String): DataFrame =
+    winsorize(load(s, dir, "documents").select($"source", $"n_chars".as("v")),
+      pct = 99)
+
   // ------------------------------------------------------------------ HLL
 
   /** Two-round overflow-safe LCG recombination → uniform-ish key in
@@ -1663,6 +1700,25 @@ object SketchOps {
          |JOIN ${hllEstSubSql("1 = 1")} hb ON pb.source = hb.source
          |LEFT JOIN ${hllEstSubSql("doc_id % 2 = 0")} ha ON pb.source = ha.source"""
         .stripMargin,
+    // q227: p99 cap from the histogram (100·cum ≥ 99·n), clipped mass
+    // accounted — rows touched, mass before vs after
+    "q227_winsorize" ->
+      """WITH v AS (SELECT source, n_chars AS v FROM documents),
+        |h AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM v GROUP BY 1, 2),
+        |w AS (SELECT source, v, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS n FROM h),
+        |cap AS (SELECT source, min(v) AS cap FROM w
+        |  WHERE cum * 100 >= n * 99 GROUP BY 1)
+        |SELECT v.source, max(cap) AS cap,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN v > cap THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped,
+        |  CAST(sum(v) AS BIGINT) AS sum_before,
+        |  CAST(sum(least(v, cap)) AS BIGINT) AS sum_after
+        |FROM v JOIN cap ON v.source = cap.source GROUP BY 1""".stripMargin,
     // q215: the q146 rank rule (2·cum ≥ n) applied twice — once to the
     // length histogram, once to the |x − median| deviation histogram
     "q215_mad" ->

@@ -89,6 +89,18 @@ object TextOps {
         when(pred === $"lang", 1L).otherwise(0L).as("is_match"))
   }
 
+  /** q234 — classifier evaluation: the CONFUSION MATRIX of the q20
+    * language-ID heuristic against the labeled `lang` column — the
+    * eval table every quality/language classifier in a curation
+    * pipeline ships with (per-class precision/recall read straight off
+    * the rows; q20's per-document is_match only gives accuracy). One
+    * map-side-combinable aggregate over (true, predicted); output is
+    * classes², corpus-size-free. */
+  def q234LangConfusion(s: SparkSession, dir: String): DataFrame =
+    q20LangId(s, dir)
+      .groupBy($"lang".as("true_lang"), $"pred".as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
   /** Word-3-gram shingles of a document (distinct). Documents shorter
     * than 3 tokens yield their whole text as the single shingle.
     *
@@ -2175,6 +2187,22 @@ object TextOps {
         |round(CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) AS DOUBLE)
         |  /len(string_split(text,' ')),4) AS stop_ratio
         |FROM documents""".stripMargin,
+    // q234: q20's prediction CASE wrapped in the (true, pred) aggregate
+    "q234_lang_confusion" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) AS en,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) AS de,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et'))) AS fr,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y'))) AS es
+        |  FROM documents),
+        |p AS (SELECT lang,
+        |  CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |       WHEN fr >= es AND fr > 0 THEN 'fr'
+        |       WHEN es > 0 THEN 'es' ELSE 'unk' END AS pred FROM f)
+        |SELECT lang AS true_lang, pred AS pred_lang,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "q20_langid" ->
       """WITH f AS (SELECT doc_id, lang,
         |  len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) AS en,

@@ -986,6 +986,51 @@ object VectorOps {
           expr("cast(2520 div brk as bigint)")).otherwise(0L).as("rr_scaled"))
   }
 
+  /** q231 — quantized-retrieval recall: how many of the float top-10
+    * cosine neighbors survive when search runs on the int8-quantized
+    * vectors (q61's per-vector min/max 255-level grid) ranked by raw
+    * integer dot — the eval that decides whether a deployment can
+    * serve from the 4×-smaller quantized index. The quantized ranking
+    * is ENTIRELY integer (products of 0..255 codes summed — exact on
+    * both engines with no float in sight), so the gate needs float
+    * tolerance only where q72 already proved it (the scaled-cosine
+    * ground truth). Per probe: overlap count of the two top-10 sets
+    * and the quantized winner's id.
+    *
+    * SCALE: q72's broadcast-probe harness — probes (with their code
+    * arrays) broadcast against one corpus scan; both rankings are
+    * probe-local windows; the corpus never self-joins. */
+  def q231Int8Recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding",
+        array_min($"embedding").cast("double").as("vmin"),
+        array_max($"embedding").cast("double").as("vmax"))
+      .select($"vec_id", $"embedding",
+        when($"vmax" === $"vmin",
+          expr("transform(embedding, v -> 0L)"))
+          .otherwise(expr(
+            "transform(embedding, v -> cast(floor((cast(v as double) - vmin)" +
+              " * 255.0 / (vmax - vmin) + 0.5) as bigint))")).as("qv"))
+    val probes = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("pid"), $"embedding".as("pemb"), $"qv".as("pqv"))
+    val scored = emb.join(broadcast(probes), $"vec_id" =!= $"pid")
+      .select($"pid", $"vec_id",
+        floor(cosine($"embedding", $"pemb") * 1e6 + 0.5).cast("long").as("cs"),
+        expr("aggregate(zip_with(qv, pqv, (x, y) -> x * y), 0L," +
+          " (acc, v) -> acc + v)").as("idot"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pid").orderBy($"cs".desc, $"vec_id")
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pid").orderBy($"idot".desc, $"vec_id")
+    scored
+      .withColumn("frk", row_number().over(wf))
+      .withColumn("qrk", row_number().over(wq))
+      .groupBy($"pid")
+      .agg(
+        count(when($"frk" <= 10 && $"qrk" <= 10, lit(1))).as("n_overlap"),
+        min(when($"qrk" === 1, $"vec_id")).as("q_top1"))
+  }
+
   /** q193 — per-label embedding CENTROID DRIFT between releases, the
     * vector-side complement of q189's length-percentile drift: a
     * retrained encoder, a changed normalization, or a shifted domain
@@ -1352,6 +1397,35 @@ object VectorOps {
          |SELECT pid, CAST(count(CASE WHEN rk.rk <= 10 AND sb.same THEN 1 END) AS BIGINT) AS n_topk_in_bucket,
          |CAST(count(CASE WHEN sb.same THEN 1 END) AS BIGINT) AS n_bucket
          |FROM rk JOIN sb USING (pid, vec_id) GROUP BY 1""".stripMargin,
+    // q231: q72's harness with the q61 quantization grid — the int
+    // ranking replays exactly; only the float ground truth needs the
+    // proven scaled-cosine form
+    "q231_int8_recall" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin,
+        |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v, vmin, vmax FROM m),
+        |q AS (SELECT vec_id, i, CASE WHEN vmax = vmin THEN 0
+        |  ELSE CAST(floor((v - vmin) * 255.0 / (vmax - vmin) + 0.5) AS BIGINT)
+        |  END AS qv, v FROM u),
+        |p AS (SELECT vec_id AS pid FROM embeddings WHERE vec_id < 10),
+        |sc AS (SELECT p.pid, a.vec_id,
+        |  CAST(floor(sum(a.v*b.v)/(sqrt(sum(a.v*a.v))*sqrt(sum(b.v*b.v))) * 1e6 + 0.5) AS BIGINT) AS cs,
+        |  CAST(sum(a.qv * b.qv) AS BIGINT) AS idot
+        |  FROM p JOIN q a ON a.vec_id != p.pid
+        |  JOIN q b ON b.vec_id = p.pid AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT pid, vec_id,
+        |  row_number() OVER (PARTITION BY pid ORDER BY cs DESC, vec_id) AS frk,
+        |  row_number() OVER (PARTITION BY pid ORDER BY idot DESC, vec_id) AS qrk
+        |  FROM sc)
+        |SELECT pid,
+        |  CAST(count(CASE WHEN frk <= 10 AND qrk <= 10 THEN 1 END) AS BIGINT)
+        |    AS n_overlap,
+        |  min(CASE WHEN qrk = 1 THEN vec_id END) AS q_top1
+        |FROM rk GROUP BY 1""".stripMargin,
     // q218: q72's harness with the rank turned into scaled 1/rank —
     // 2520 = lcm(1..10) keeps every reciprocal an exact integer
     "q218_ann_mrr" ->

@@ -136,6 +136,43 @@ object EventStream {
   def q212StreamEnrich(spark: SparkSession, dir: String): DataFrame =
     streamStaticEnrich(spark, dir)
 
+  /** q230 — NATIVE session windows: `session_window(ts, gap)` is the
+    * engine's own merging-window state machine, the declarative twin
+    * of the hand-rolled `flatMapGroupsWithState` sessionizer above —
+    * windows merge as late members arrive and state is the engine's
+    * session store, not custom tuples. Complete mode (no watermark
+    * needed for a drained verification stream) so the final merged
+    * sessions are deterministic. The oracle replays the gap rule
+    * relationally: a session's end is its last event + gap, a new one
+    * starts when the gap to the previous event exceeds 30 min —
+    * proving the native operator's merge semantics equal the lag-rule
+    * definition. At 100 TB the same query runs Append mode with a
+    * watermark so session state expires; Complete is the
+    * deterministic-verification harness, not the production mode. */
+  def sessionWindowCounts(spark: SparkSession, dir: String): DataFrame = {
+    val name = "sw_" + UUID.randomUUID().toString.replace("-", "")
+    val agg = eventStream(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("sess_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("sess_end"),
+        col("user_id"), col("n"))
+  }
+
+  def q230StreamSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowCounts(spark, dir)
+
   /** Stream-stream interval join — the streaming twin of the batch
     * attribution join (q81): click and purchase streams joined on
     * user_id with a 60-minute trailing event-time range. Watermarks on
@@ -440,6 +477,21 @@ object EventStream {
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
         |event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1,2""".stripMargin,
+    // q230: native session_window ≡ the relational gap rule — session
+    // id by lag boundary, start = first event, end = last event + gap
+    "q230_stream_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    |b AS (SELECT user_id, us, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS nb
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sgrp AS (SELECT user_id, us, sum(nb) OVER (PARTITION BY user_id
+        |    ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+        |SELECT strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S')
+        |    AS sess_start,
+        |  strftime(make_timestamp(max(us) + 1800000000),
+        |    '%Y-%m-%d %H:%M:%S') AS sess_end,
+        |  user_id, CAST(count(*) AS BIGINT) AS n
+        |FROM sgrp GROUP BY user_id, sid""".stripMargin,
     // q212: the drained stream-static enrichment ≡ the batch left join
     "q212_stream_enrich" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,

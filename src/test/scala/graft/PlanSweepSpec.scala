@@ -51,7 +51,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "q207_graph_components" ->
       "coEdges p90 rank over the bucket-occupancy table (event_type x hour buckets, domain-bounded)",
     "q211_kcore" ->
-      "coEdges p90 rank over the bucket-occupancy table (event_type x hour buckets, domain-bounded)")
+      "coEdges p90 rank over the bucket-occupancy table (event_type x hour buckets, domain-bounded)",
+    "q225_itemset_triples" ->
+      "dictionary id assignment over the frequent vocabulary (>= 10% support, Zipf-capped; require < 2^20)",
+    "q226_apportion" ->
+      "windows over the WEIGHTS table (one row per mixture component — dozens, never corpus-sized)")
 
   test("every query plans free of CartesianProduct and unbounded global windows") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

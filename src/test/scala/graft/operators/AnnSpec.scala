@@ -587,4 +587,16 @@ class AnnSpec extends AnyFunSuite {
       else assert(rr === 0L) // miss sentinel 0 or rank past the cutoff
     }
   }
+
+  test("q231: overlap counts are in [0,10] and quantized search is non-vacuous") {
+    val out = VectorOps.q231Int8Recall(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ov = r.getAs[Long]("n_overlap")
+      assert(ov >= 0L && ov <= 10L)
+      assert(r.getAs[Long]("q_top1") >= 0L)
+    }
+    // 255-level quantization preserves most of the top-10 on average
+    assert(out.map(_.getAs[Long]("n_overlap")).sum > 0L)
+  }
 }

@@ -465,4 +465,87 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(d > 0L && BigInt(d) * BigInt(d) <= BigInt(sa) * BigInt(sb))
     }
   }
+
+  test("q223: a target-vocabulary document outranks a corpus-common one") {
+    // target = min(source) = 'aa' is all 'zebra'; 'common' never appears
+    // there but dominates the rest of the corpus. Integer-log scores:
+    // s(zebra) = il2(9) - il2(13) = 0, s(common) = il2(1) - il2(17) = -4,
+    // K = il2(28) - il2(8) = 1 -> doc3 scores 4, doc4 scores -12
+    val docs = Seq(
+      (1L, "aa", "zebra zebra zebra zebra zebra zebra zebra zebra"),
+      (3L, "bb", "zebra zebra zebra zebra"), // target-like candidate
+      (4L, "bb", "common common common common"), // corpus-like candidate
+      (5L, "cc", "common common common common common common " +
+        "common common common common common common"))
+      .toDF("doc_id", "source", "text")
+    val out = CurationOps.dsirSelect(docs, k = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+    assert(!out.contains(1L), "target docs selected")
+    assert(out(3L) === 4L && out(4L) === -12L, s"pinned scores moved: $out")
+    assert(out(3L) > out(4L), s"zebra doc must outrank common doc: $out")
+  }
+
+  test("q228: every stratum gets exactly floor(n*p/100) validation rows, " +
+    "assignment is deterministic") {
+    val docs = load(spark, dir, "documents")
+    val out = CurationOps.stratifiedSplit(docs, valPct = 20)
+    val rows = out.collect()
+    rows.foreach { r =>
+      val (n, v, t) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_val"),
+        r.getAs[Long]("n_train"))
+      assert(v === n * 20L / 100L, s"${r.getString(0)}: quota violated")
+      assert(v + t === n)
+    }
+    // determinism: a second run folds the identical val membership
+    val again = CurationOps.stratifiedSplit(docs, valPct = 20).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("val_xor")).toMap
+    rows.foreach(r =>
+      assert(again(r.getString(0)) === r.getAs[Long]("val_xor")))
+  }
+
+  test("q226: allocations sum to the budget exactly and stay within 1 of " +
+    "proportional; equal remainders break ties by source") {
+    val w = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("source", "w")
+    val out = CurationOps.apportion(w, budget = 10L).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    // 10/3: base 3 each, shortfall 1, equal remainders -> 'a' wins
+    assert(out === Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    val docs = load(spark, dir, "documents").groupBy(col("source"))
+      .agg(count(lit(1)).as("w"))
+    val rows = CurationOps.apportion(docs, budget = 9973L).collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum === 9973L)
+    val tot = rows.map(_.getAs[Long]("w")).sum
+    rows.foreach { r =>
+      val ideal = r.getAs[Long]("w") * 9973L
+      val alloc = r.getAs[Long]("alloc")
+      assert(alloc === ideal / tot || alloc === ideal / tot + 1L)
+    }
+  }
+
+  test("q232: shards conserve the corpus, ids are contiguous, and the " +
+    "bucketed prefix equals the naive global recompute") {
+    val docs = load(spark, dir, "documents")
+    val out = CurationOps.shardCut(docs, budget = 2000L).collect()
+      .map(r => r.getAs[Long]("shard_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    val totalTok = docs
+      .select(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    assert(out.values.map(_._2).sum === totalTok)
+    assert(out.keys.toSeq.sorted === (0L until out.size.toLong))
+    // naive recompute: single-partition global prefix in epochOrder
+    import org.apache.spark.sql.expressions.Window
+    val naive = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      .withColumn("ord", CurationOps.epochOrder(col("doc_id"), lit(0L)))
+      .coalesce(1)
+      .withColumn("cb", coalesce(sum(col("ntok")).over(
+        Window.orderBy(col("ord"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(expr("cb div 2000").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .collect()
+      .map(r => r.getAs[Long]("shard_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    assert(out === naive)
+  }
 }

@@ -242,4 +242,27 @@ class HygieneOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_quarantined") > 0, "planted corruption missing")
     }
   }
+
+  test("q224: checksum is order-independent and any single-row mutation moves it") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), col("doc_id"), col("text"), col("lang"))
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      HygieneOps.tableChecksum(df, col("source"),
+          concat_ws("|", col("doc_id"), col("text"), col("lang")))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[Long]("n_rows"), r.getAs[Long]("xor_fold"),
+            r.getAs[Long]("sum_fold")))).toMap
+    val base = sums(docs)
+    // order independence: a reshuffled copy folds identically
+    assert(sums(docs.repartition(13)) === base)
+    // sensitivity: flip one row's lang
+    val mutated = docs.withColumn("lang",
+      when(col("doc_id") === 0L, lit("__flip__")).otherwise(col("lang")))
+    val mut = sums(mutated)
+    assert(mut !== base)
+    // only the mutated row's group moved
+    assert(base.count { case (k, v) => mut(k) != v } === 1)
+  }
 }

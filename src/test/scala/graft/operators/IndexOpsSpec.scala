@@ -353,4 +353,13 @@ class IndexOpsSpec extends AnyFunSuite {
     // idempotent: nothing left to expire
     assert(IndexOps.expireSnapshots(spark, store, keep = 2) === Seq.empty)
   }
+
+  test("q233: the anchored two-phase retrieval equals the direct phrase scan") {
+    val direct = IndexOps.phraseSearch(
+      graft.Tables.load(spark, dir, "documents"), "merge", "group")
+    val anchored = IndexOps.q233PhraseRetrieveAnchored(spark, dir)
+    assert(anchored.exceptAll(direct).isEmpty &&
+      direct.exceptAll(anchored).isEmpty)
+    assert(direct.count() > 0, "phrase absent — gate vacuous")
+  }
 }

@@ -315,4 +315,25 @@ class InsightOpsSpec extends AnyFunSuite {
     val out = InsightOps.q211KCore(spark, "/root/testdata/sf0.001").collect()
     out.foreach(r => assert(r.getAs[Long]("core_deg") >= 3L))
   }
+
+  test("q222: the prefix-sum identity reproduces hand-run CUSUM on a pinned drift") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hourly counts [3,3,3,3,10,10,10]: ref (median) = 3, slack 1 ->
+    // d = [-1,-1,-1,-1,6,6,6], P = [-1,-2,-3,-4,2,8,14],
+    // S = P - min(0, runmin P) = [0,0,0,0,6,12,18] -> max 18, one hour >= 16
+    val counts = Seq(3, 3, 3, 3, 10, 10, 10)
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      (1 to c).map(i => ("x", 400000L * 3600L + h * 3600L + i))
+    }
+    val ev = rows.toDF("event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = InsightOps.cusumHourly(ev, slack = 1L, theta = 16L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("ref") === 3L)
+    assert(r.getAs[Long]("max_s") === 18L)
+    assert(r.getAs[Long]("n_flagged") === 1L)
+    assert(r.getAs[Long]("first_flag_hour") === 400006L)
+  }
 }

@@ -427,4 +427,47 @@ class MiningOpsSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("last_hour") === h0)
     assert(out.head.getAs[Long]("ewma_scaled") === expected)
   }
+
+  test("q229: bursts collapse to their first event; conservation and id fold pin survivors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1 'click': t=0,1,2 (one burst), t=700,701 (second burst)
+    val rows = Seq((1L, 10L, 0L), (1L, 11L, 1L), (1L, 12L, 2L),
+      (1L, 13L, 700L), (1L, 14L, 701L))
+    val ev = rows.toDF("user_id", "event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withColumn("event_type", lit("click"))
+    val out = MiningOps.debounce(ev, gapSec = 600L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_events") === 5L)
+    assert(r.getAs[Long]("n_kept") === 2L)
+    assert(r.getAs[Long]("n_collapsed") === 3L)
+    assert(r.getAs[Long]("kept_id_fold") === 10L + 13L)
+  }
+
+  test("q229: conservation holds per type on real data") {
+    val out = MiningOps.q229Debounce(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_collapsed") ===
+        r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("n_kept") >= 1L)
+    }
+  }
+
+  test("q225: downward closure on a pinned corpus — the shared triple wins") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c"), (3L, "a b"), (4L, "c d"))
+      .toDF("doc_id", "text")
+    val out = MiningOps.itemsetTriples(docs, topK = 10).collect()
+    // df: a=3 b=3 c=3 d=2, all >= 10% of 4 docs -> all frequent
+    // triples: doc1 {abc,abd,acd,bcd}, doc2 {abc} -> abc support 2
+    val top = out.head
+    assert((top.getString(0), top.getString(1), top.getString(2),
+      top.getAs[Long]("support")) === (("a", "b", "c", 2L)))
+    assert(out.length === 4)
+    out.tail.foreach(r => assert(r.getAs[Long]("support") === 1L))
+  }
 }

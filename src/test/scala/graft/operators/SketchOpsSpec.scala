@@ -824,4 +824,16 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(sh.getAs[Long]("median") === b.getAs[Long]("median") + 1000L)
     assert(sh.getAs[Long]("mad") === b.getAs[Long]("mad"))
   }
+
+  test("q227: p99 cap on 1..100 clips exactly the top value, mass accounted") {
+    import spark.implicits._
+    val vals = (1L to 100L).map(("a", _)).toDF("source", "v")
+    val r = SketchOps.winsorize(vals, pct = 99).collect().head
+    // cap = smallest v with 100*cum >= 99*100 -> 99; only 100 clips
+    assert(r.getAs[Long]("cap") === 99L)
+    assert(r.getAs[Long]("n_clipped") === 1L)
+    assert(r.getAs[Long]("sum_before") === 5050L)
+    assert(r.getAs[Long]("sum_after") === 5049L)
+    assert(r.getAs[Long]("n_docs") === 100L)
+  }
 }

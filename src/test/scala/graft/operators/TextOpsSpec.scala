@@ -342,4 +342,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(res.map(_.getLong(2)).sum <= docs.count() * 1000L)
     if (sizes.nonEmpty) assert(res.map(_.getLong(2)).sum < docs.count() * 1000L)
   }
+
+  test("q234: confusion-matrix mass equals the corpus; diagonal equals q20 accuracy") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = TextOps.q234LangConfusion(spark, dir).collect()
+    val nDocs = graft.Tables.load(spark, dir, "documents").count()
+    assert(out.map(_.getAs[Long]("n")).sum === nDocs)
+    val diag = out.filter(r =>
+      r.getAs[String]("true_lang") == r.getAs[String]("pred_lang"))
+      .map(_.getAs[Long]("n")).sum
+    val matches = TextOps.q20LangId(spark, dir)
+      .agg(sum(col("is_match"))).head.getLong(0)
+    assert(diag === matches)
+  }
 }

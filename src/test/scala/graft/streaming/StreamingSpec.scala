@@ -412,6 +412,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("q230: native session windows conserve events and respect the gap") {
+    import org.apache.spark.sql.functions._
+    val out = EventStream.q230StreamSessionWindow(spark, dir)
+    val ev = graft.Tables.load(spark, dir, "events")
+    // conservation: every event is in exactly one session
+    assert(out.agg(sum("n")).head.getLong(0) === ev.count())
+    // per user, sessions partition the user's events
+    val perUser = out.groupBy("user_id").agg(sum("n").as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    val evUser = ev.groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    assert(perUser === evUser)
+    // every session spans at least the gap (end = last event + 30 min)
+    out.collect().foreach { r =>
+      assert(r.getAs[String]("sess_end") > r.getAs[String]("sess_start"))
+      assert(r.getAs[Long]("n") >= 1L)
+    }
+  }
+
   // ----------------------------------------------------------------- q210
 
   test("q210: late-data conservation — accepted + dropped = stragglers, " +
