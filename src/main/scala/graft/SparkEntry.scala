@@ -559,6 +559,23 @@ object SparkEntry {
     // language-ID confusion matrix — per-class eval table over the
     // q20 heuristic vs labels
     "q234_lang_confusion" -> (TextOps.q234LangConfusion _),
+    // deterministic random walks (DeepWalk corpus generation) — LCG
+    // steps over sorted neighbor lists, k joins, no convergence loop
+    "q235_random_walks" -> (InsightOps.q235RandomWalks _),
+    // seasonal hour-of-day median baseline, c > 2*med exceedance —
+    // the robust complement of q106's global-mean z-test
+    "q236_seasonal_residual" -> (InsightOps.q236SeasonalResidual _),
+    // canonical star join, money as integer cents, plan-gated to
+    // three broadcasts + one aggregate shuffle
+    "q237_star_join" -> (RelationalOps.q237StarJoin _),
+    // cumulative user growth from first-seen days — exact running
+    // distinct without windowed distinct state
+    "q238_cumulative_users" -> (InsightOps.q238CumulativeUsers _),
+    // declarative data-contract audit: predicate + referential checks,
+    // report-never-filter
+    "q239_constraint_audit" -> (HygieneOps.q239ConstraintAudit _),
+    // funnel view->click latency quantiles, histogram-first
+    "q240_funnel_latency" -> (MiningOps.q240FunnelLatency _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

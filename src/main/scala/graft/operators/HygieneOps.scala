@@ -536,6 +536,53 @@ object HygieneOps {
       concat_ws("|", $"doc_id", $"text", $"lang"))
       .select($"k".as("source"), $"n_rows", $"xor_fold", $"sum_fold")
 
+  // ---------------------------------------------------------------- q239
+
+  /** Declarative data-contract audit: evaluate a list of named
+    * constraints — row predicates and referential checks — and emit
+    * one accounting row each (rows checked, violations), never
+    * filtering anything: the contract gate REPORTS, the caller decides
+    * (the q179 flag-never-drop discipline promoted to a framework).
+    * Row predicates are one map-combinable conditional count per
+    * table scan; referential checks are left-anti joins (broadcast
+    * when the referenced keyset is dim-sized). This is the
+    * Deequ/Great-Expectations core re-expressed as plain aggregates. */
+  def constraintCounts(df: DataFrame, name: String,
+      violation: Column): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        sum(when(violation, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit(name).as("check_name"), $"n_rows", $"n_violations")
+
+  def referentialViolations(fact: DataFrame, factKey: Column,
+      dim: DataFrame, dimKey: Column, name: String): DataFrame = {
+    val misses = fact.join(broadcast(dim.select(dimKey.as("__k"))),
+        factKey === $"__k", "left_anti")
+    fact.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(misses.agg(count(lit(1)).as("n_violations")))
+      .select(lit(name).as("check_name"), $"n_rows", $"n_violations")
+  }
+
+  /** q239 — the contract audit over the star schema: price positivity,
+    * order-date window, event-value range, and two referential checks
+    * (orders→customer, customer→nation). All pass on the healthy
+    * corpus — zero violations IS the assertion; the spec plants
+    * breakage to prove the counts move. */
+  def q239ConstraintAudit(s: SparkSession, dir: String): DataFrame = {
+    val orders = load(s, dir, "orders")
+    val cust = load(s, dir, "customer")
+    val nation = load(s, dir, "nation")
+    val ev = load(s, dir, "events")
+    constraintCounts(orders, "orders_price_positive", $"o_totalprice" <= 0)
+      .unionByName(constraintCounts(ev, "events_value_range",
+        $"value" < 0 || $"value" > 1000000))
+      .unionByName(constraintCounts(orders, "orders_key_not_null",
+        $"o_orderkey".isNull))
+      .unionByName(referentialViolations(orders, $"o_custkey",
+        cust, $"c_custkey", "orders_customer_fk"))
+      .unionByName(referentialViolations(cust, $"c_nationkey",
+        nation, $"n_nationkey", "customer_nation_fk"))
+  }
+
   // ---------------------------------------------------------------- q179
 
   /** Corrupt-record quarantine — the ingest-robustness discipline for
@@ -657,6 +704,26 @@ object HygieneOps {
         |  CAST(max(sz) AS BIGINT) AS max_group,
         |  CAST(sum(sz - 1) AS BIGINT) AS n_redundant
         |FROM g""".stripMargin,
+    // q239: each constraint replayed as its own aggregate
+    "q239_constraint_audit" ->
+      """SELECT 'orders_price_positive' AS check_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations FROM orders
+        |UNION ALL SELECT 'events_value_range', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN value < 0 OR value > 1000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) FROM events
+        |UNION ALL SELECT 'orders_key_not_null', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |UNION ALL SELECT 'orders_customer_fk',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL SELECT 'customer_nation_fk',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))""".stripMargin,
     // q224: 60-bit md5-derived row keys, xor + mod-sum folds — both
     // engines parse the same 15 hex chars into the same BIGINT
     "q224_table_checksum" ->

@@ -593,6 +593,118 @@ object InsightOps {
   def q222Cusum(s: SparkSession, dir: String): DataFrame =
     cusumHourly(load(s, dir, "events"), slack = 1L, theta = 16L)
 
+  // --------------------------------------------------------------- q235
+
+  /** q235 — deterministic random walks on the co-engagement graph: the
+    * corpus-generation step of DeepWalk/node2vec graph embeddings
+    * (Perozzi et al., KDD 2014) — walks become sentences, q204's
+    * skip-grams become the co-occurrence table an embedding trains on.
+    * "Random" is a portable LCG of (walker, step) over the SORTED
+    * neighbor list, so both engines take the identical step and the
+    * gate is a hash match, not a distribution test.
+    *
+    * SCALE: adjacency is one groupBy (the collect_list buffer is
+    * degree-bounded — the co-engagement edge builder's hot-bucket
+    * guard caps degrees upstream); each step is ONE hash join of the
+    * walker frontier against the adjacency table (broadcast when the
+    * graph is dim-sized, shuffled when not); `steps` is a small
+    * constant (walk length), so the whole generation is `steps` joins
+    * — never an iteration-to-convergence. Walkers that reach a
+    * dead-end node (no out-edges — impossible on the symmetrized
+    * graph, possible in general) keep their shorter path via the left
+    * join + coalesce. */
+  def randomWalks(edges: DataFrame, steps: Int): DataFrame = {
+    val sym = edges.select($"u", $"v")
+      .unionAll(edges.select($"v".as("u"), $"u".as("v")))
+    val adj = sym.groupBy($"u".as("node"))
+      .agg(sort_array(collect_list($"v")).as("nbrs"))
+    var walk = adj.select($"node".as("walker"), $"node".as("cur"),
+      $"node".cast("string").as("path"))
+    (1 to steps).foreach { t =>
+      val stepHash =
+        (($"walker" % 1000003L) * 2654435761L + lit(t.toLong) * 999983L) %
+          1000003L
+      walk = walk.join(adj.withColumnRenamed("node", "cur"), Seq("cur"), "left")
+        .withColumn("nxt",
+          element_at($"nbrs", (pmod(stepHash, size($"nbrs")) + 1).cast("int")))
+        .select($"walker",
+          coalesce($"nxt", $"cur").as("cur"),
+          concat($"path", lit(">"),
+            coalesce($"nxt", $"cur").cast("string")).as("path"))
+    }
+    walk.select($"walker", $"cur".as("end_node"), $"path")
+  }
+
+  def q235RandomWalks(s: SparkSession, dir: String): DataFrame = {
+    val (edges, hot) = coEdges(load(s, dir, "events"), 3L)
+    randomWalks(edges, steps = 4).crossJoin(broadcast(hot))
+  }
+
+  // --------------------------------------------------------------- q236
+
+  /** q236 — seasonal-residual anomaly detection: q106 flags hours that
+    * deviate from the TYPE's global mean, which mislabels every rush
+    * hour; this compares each (type, date, hour-of-day) cell against
+    * the type's MEDIAN FOR THAT HOUR-OF-DAY (the seasonal baseline),
+    * flagging cells with count > 2·median — integer-exact, no σ, no
+    * floats, robust to the outliers that pollute a mean baseline (the
+    * q215 argument applied to seasonality). Output: per type, cells
+    * observed/flagged and the worst exceedance (c − 2·med), with the
+    * worst cell pinned.
+    *
+    * SCALE: counts collapse to (type, date, hod) cells (map-side
+    * combinable), baselines to (type, hod) medians via the q146 rank
+    * rule over the cell histogram — everything after the first
+    * aggregate is calendar-sized. */
+  def seasonalResidual(events: DataFrame): DataFrame = {
+    val cells = events
+      .select($"event_type", to_date($"ts").cast("string").as("day"),
+        (hour($"ts")).cast("long").as("hod"))
+      .groupBy($"event_type", $"day", $"hod")
+      .agg(count(lit(1)).as("c"))
+    val byKey = Window.partitionBy($"event_type", $"hod")
+    val med = cells.groupBy($"event_type", $"hod", $"c")
+      .agg(count(lit(1)).as("n"))
+      .select($"event_type", $"hod", $"c",
+        sum($"n").over(byKey.orderBy($"c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+        sum($"n").over(byKey).as("tot"))
+      .filter($"cum" * 2 >= $"tot")
+      .groupBy($"event_type", $"hod").agg(min($"c").as("med"))
+    cells.join(med, Seq("event_type", "hod"))
+      .withColumn("exceed", $"c" - $"med" * 2)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when($"exceed" > 0, 1L).otherwise(0L)).as("n_flagged"),
+        max($"exceed").as("max_exceed"))
+  }
+
+  def q236SeasonalResidual(s: SparkSession, dir: String): DataFrame =
+    seasonalResidual(load(s, dir, "events"))
+
+  // --------------------------------------------------------------- q238
+
+  /** q238 — cumulative-user growth: per day, new users (first-seen
+    * that day) and the running distinct-user total — the growth curve
+    * every analytics dashboard opens with. Exact WITHOUT windowed
+    * count-distinct state: first-seen day per user is one aggregate,
+    * daily new-user counts another, and the cumulative total is a
+    * running sum over the DAY table — a global window, allowed because
+    * the table is calendar-bounded (one row per day, sweep-listed). */
+  def cumulativeUsers(events: DataFrame): DataFrame = {
+    val firstSeen = events
+      .select($"user_id", to_date($"ts").cast("string").as("day"))
+      .groupBy($"user_id").agg(min($"day").as("day"))
+    firstSeen.groupBy($"day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum($"new_users").over(
+        Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"day", $"new_users", $"cum_users")
+  }
+
+  def q238CumulativeUsers(s: SparkSession, dir: String): DataFrame =
+    cumulativeUsers(load(s, dir, "events"))
+
   /** The q197 oracle's shared edge-derivation CTE block (bucket guard +
     * thresholded co-engagement edges), reused verbatim by q205. */
   private val coEdgeCtes: String =
@@ -656,7 +768,63 @@ object InsightOps {
        |FROM dfin""".stripMargin
   }
 
+  /** Generated k-step walk replay over [[coEdgeCtes]]. */
+  private def randomWalkSql(steps: Int): String = {
+    val rounds = (1 to steps).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT walker, nxt AS cur,
+         |    path || '>' || CAST(nxt AS VARCHAR) AS path FROM (
+         |  SELECT w${t - 1}.walker, w${t - 1}.path,
+         |    a.nbrs[CAST(((w${t - 1}.walker % 1000003) * 2654435761
+         |      + $t * 999983) % 1000003 % len(a.nbrs) AS BIGINT) + 1] AS nxt
+         |  FROM w${t - 1} JOIN adj a ON a.node = w${t - 1}.cur))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coEdgeCtes,
+       |sym AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+       |adj AS MATERIALIZED (SELECT u AS node, list_sort(list(v)) AS nbrs
+       |  FROM sym GROUP BY 1),
+       |w0 AS (SELECT node AS walker, node AS cur,
+       |  CAST(node AS VARCHAR) AS path FROM adj),
+       |$rounds
+       |SELECT walker, cur AS end_node, path,
+       |  (SELECT n_hot_buckets FROM hot) AS n_hot_buckets
+       |FROM w$steps""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q235_random_walks" -> randomWalkSql(4),
+    // q236: seasonal (type, hour-of-day) median baseline via the rank
+    // rule, exceedance c - 2*med, per-type accounting
+    "q236_seasonal_residual" ->
+      """WITH cells AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |h AS (SELECT event_type, hod, c, CAST(count(*) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1, 2, 3),
+        |w AS (SELECT event_type, hod, c,
+        |    sum(n) OVER (PARTITION BY event_type, hod ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY event_type, hod) AS tot FROM h),
+        |med AS (SELECT event_type, hod, min(c) AS med FROM w
+        |  WHERE cum * 2 >= tot GROUP BY 1, 2)
+        |SELECT cells.event_type, CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(CASE WHEN c - 2 * med > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  max(c - 2 * med) AS max_exceed
+        |FROM cells JOIN med ON cells.event_type = med.event_type
+        |  AND cells.hod = med.hod
+        |GROUP BY 1""".stripMargin,
+    // q238: first-seen day -> daily new users -> running total
+    "q238_cumulative_users" ->
+      """WITH fs AS (SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM fs GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM d""".stripMargin,
     // q222: median ref from the count-of-counts histogram, then the
     // prefix-sum CUSUM identity in two running windows
     "q222_cusum" ->

@@ -279,6 +279,43 @@ object MiningOps {
       topK: Int = 50): DataFrame =
     itemsetTriples(load(s, dir, "documents"), topK)
 
+  // --------------------------------------------------------------- q240
+
+  /** q240 — funnel latency quantiles: exact p50/p90/p99 of the
+    * view→click conversion delay (q92's first-view/first-click
+    * semantics), computed histogram-first (the q146 rule) over
+    * whole-second deltas — time-to-convert is THE funnel health metric
+    * and a mean would be owned by the stragglers. The quantile window
+    * runs over the delay histogram — a global window, allowed because
+    * the histogram is bounded by the distinct-delay domain
+    * (sweep-listed with that bound). */
+  def q240FunnelLatency(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("v_us"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"us" > $"v_us")
+      .groupBy($"user_id").agg(min($"us").as("c_us"))
+    val hist = v.join(c, "user_id")
+      .select(expr("(c_us - v_us) div 1000000").as("d"))
+      .groupBy($"d").agg(count(lit(1)).as("n"))
+    hist
+      .select($"d", $"n",
+        sum($"n").over(Window.orderBy($"d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+        sum($"n").over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).as("tot"))
+      .crossJoin(broadcast(
+        s.range(0, 3).select(
+          element_at(typedLit(Seq(50L, 90L, 99L)), ($"id" + 1).cast("int"))
+            .as("p"))))
+      .filter($"cum" * 100 >= $"tot" * $"p")
+      .groupBy($"p")
+      .agg(max($"tot").as("n_users"), min($"d").as("q_sec"))
+  }
+
   // ---------------------------------------------------------------- q94
 
   /** Skew-salted equi-join: the fact side gets a deterministic salt in
@@ -733,6 +770,24 @@ object MiningOps {
         |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS n_24h FROM e)
         |SELECT event_id, user_id, CAST(n_24h AS BIGINT) AS n_24h
         |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    // q240: q92's first-view/first-click chain, whole-second deltas,
+    // the q146 rank rule over the delay histogram
+    "q240_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us > v_us GROUP BY 1),
+        |d AS (SELECT (c_us - v_us) // 1000000 AS d FROM v JOIN c USING (user_id)),
+        |h AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |w AS (SELECT d, n,
+        |    sum(n) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER () AS tot FROM h),
+        |p AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p)
+        |SELECT p, CAST(max(tot) AS BIGINT) AS n_users, min(d) AS q_sec
+        |FROM w, p WHERE cum * 100 >= tot * p
+        |GROUP BY 1""".stripMargin,
     // q225: prune to >= 10% items, in-row i<j<k generation replayed as
     // three chained lateral series, top-50 by (support, lexicographic)
     "q225_itemset_triples" ->

@@ -302,8 +302,51 @@ object RelationalOps {
           2654435761L % 1000003L).as("pair_fold"))
   }
 
+  // --------------------------------------------------------------- q237
+
+  /** q237 — the canonical STAR JOIN (the TPC-H Q5/Q10 family shape):
+    * the fact table against three dimension hops (customer → nation →
+    * region), revenue per (region, order priority). Money stays exact
+    * as integer CENTS — floor(price·100 + ½) — because summing doubles
+    * is summation-order nondeterministic and a revenue report that
+    * drifts by a cent per run is wrong on both engines differently.
+    *
+    * SCALE: the plan this SHOULD be — and is plan-gated to be — is
+    * three BroadcastHashJoins (every dimension chain is
+    * driver-small: customer rows ≪ fact rows, nation/region are
+    * constants-sized) feeding ONE shuffle, the final aggregate. At
+    * 100 TB the fact side never shuffles for the joins; if customer
+    * outgrows the broadcast threshold, AQE downgrades that hop to a
+    * shuffled hash join and the aggregate shuffle is unchanged — the
+    * declarative plan is the knob. */
+  def q237StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    val cust = graft.Tables.load(s, dir, "customer")
+    val nation = graft.Tables.load(s, dir, "nation")
+    val region = graft.Tables.load(s, dir, "region")
+    orders
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+          .as("revenue_cents"))
+  }
+
   // Shared oracle SQL (DuckDB dialect) for the queries above.
   val oracles: Map[String, String] = Map(
+    // q237: the same three-hop star with money in integer cents
+    "q237_star_join" ->
+      """SELECT r_name, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
     // q209's oracle is the UNSALTED join — hash equality proves the
     // salt scatter/replicate transform is invisible to the result
     "q209_salted_join" ->

@@ -378,4 +378,14 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("__salt"), s"salt key absent from the join plan:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q237 star join: three broadcast hops, the fact side never " +
+    "shuffles before the aggregate") {
+    val p = plan(RelationalOps.q237StarJoin(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly ONE shuffle in the whole plan — the aggregate's; no join
+    // repartitions the fact table
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
 }

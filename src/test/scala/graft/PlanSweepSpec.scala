@@ -55,7 +55,13 @@ class PlanSweepSpec extends AnyFunSuite {
     "q225_itemset_triples" ->
       "dictionary id assignment over the frequent vocabulary (>= 10% support, Zipf-capped; require < 2^20)",
     "q226_apportion" ->
-      "windows over the WEIGHTS table (one row per mixture component — dozens, never corpus-sized)")
+      "windows over the WEIGHTS table (one row per mixture component — dozens, never corpus-sized)",
+    "q235_random_walks" ->
+      "coEdges p90 rank re-planned once per walk step (bucket-occupancy table, domain-bounded)",
+    "q238_cumulative_users" ->
+      "running sum over the DAY table (one row per calendar day)",
+    "q240_funnel_latency" ->
+      "rank over the conversion-delay histogram (distinct-delay domain, q146-bounded)")
 
   test("every query plans free of CartesianProduct and unbounded global windows") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -265,4 +265,29 @@ class HygieneOpsSpec extends AnyFunSuite {
     // only the mutated row's group moved
     assert(base.count { case (k, v) => mut(k) != v } === 1)
   }
+
+  test("q239: the healthy corpus audits clean; planted breakage moves the counts") {
+    import spark.implicits._
+    val out = HygieneOps.q239ConstraintAudit(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getAs[String]("check_name") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_violations")))).toMap
+    assert(out.size === 5)
+    out.foreach { case (name, (n, v)) =>
+      assert(n > 0L, s"$name checked nothing")
+      assert(v === 0L, s"$name: unexpected violations on healthy data")
+    }
+    // plant: two negative prices trip the predicate check
+    val dirty = Seq((1L, -5.0), (2L, 10.0), (3L, -0.5))
+      .toDF("o_orderkey", "o_totalprice")
+    val planted = HygieneOps.constraintCounts(
+      dirty, "price_positive", col("o_totalprice") <= 0).collect().head
+    assert(planted.getAs[Long]("n_violations") === 2L)
+    // plant: an orphan key trips the referential check
+    val fact = Seq(1L, 2L, 99L).toDF("k")
+    val dim = Seq(1L, 2L, 3L).toDF("dk")
+    val ref = HygieneOps.referentialViolations(
+      fact, col("k"), dim, col("dk"), "fk").collect().head
+    assert(ref.getAs[Long]("n_violations") === 1L)
+  }
 }

@@ -316,6 +316,57 @@ class InsightOpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Long]("core_deg") >= 3L))
   }
 
+  test("q235: every walk takes real edges, has full length, and is deterministic") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("u", "v")
+    val sym = edges.collect().flatMap(r =>
+      Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    val out = InsightOps.randomWalks(edges, steps = 4).collect()
+    assert(out.length === 4) // one walk per node
+    out.foreach { r =>
+      val hops = r.getAs[String]("path").split(">").map(_.toLong)
+      assert(hops.length === 5)
+      assert(hops.head === r.getAs[Long]("walker"))
+      assert(hops.last === r.getAs[Long]("end_node"))
+      hops.sliding(2).foreach { case Array(a, b) =>
+        assert(sym.contains((a, b)), s"phantom edge $a>$b")
+      }
+    }
+    val again = InsightOps.randomWalks(edges, steps = 4).collect()
+      .map(r => r.getAs[Long]("walker") -> r.getAs[String]("path")).toMap
+    out.foreach(r =>
+      assert(again(r.getAs[Long]("walker")) === r.getAs[String]("path")))
+  }
+
+  test("q236: a planted spike exceeds twice its hour-of-day median, steady hours don't") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 7 days, hod 0: one event per day except day 4 which gets 5
+    val rows = (0 until 7).flatMap { d =>
+      val n = if (d == 4) 5 else 1
+      (1 to n).map(i => ("x", d * 86400L + i))
+    }
+    val ev = rows.toDF("event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = InsightOps.seasonalResidual(ev).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_cells") === 7L)
+    assert(out.head.getAs[Long]("n_flagged") === 1L) // 5 > 2*1
+    assert(out.head.getAs[Long]("max_exceed") === 3L)
+  }
+
+  test("q238: new users sum to the distinct-user total; the curve is monotone") {
+    val out = InsightOps.q238CumulativeUsers(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getAs[String]("day"))
+    val total = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("new_users")).sum === total)
+    assert(out.last.getAs[Long]("cum_users") === total)
+    assert(out.map(_.getAs[Long]("cum_users")).toSeq ===
+      out.map(_.getAs[Long]("new_users")).scanLeft(0L)(_ + _).tail.toSeq)
+  }
+
   test("q222: the prefix-sum identity reproduces hand-run CUSUM on a pinned drift") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -456,6 +456,25 @@ class MiningOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q240: pinned conversion delays hit the rank-rule quantiles exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 4 users: view at t=0, click at +1s (x3) and +10s (x1)
+    // p50: smallest d with 100*cum >= 50*4 -> d=1; p90/p99 -> d=10
+    val rows = (1 to 4).flatMap { u =>
+      val delta = if (u == 4) 10L else 1L
+      Seq((u.toLong, "view", u * 10000L), (u.toLong, "click", u * 10000L + delta))
+    }
+    val ev = rows.toDF("user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q240").toString
+    ev.select(col("user_id"), col("event_type"), col("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = MiningOps.q240FunnelLatency(spark, tmp).collect()
+      .map(r => r.getAs[Long]("p") -> r.getAs[Long]("q_sec")).toMap
+    assert(out === Map(50L -> 1L, 90L -> 10L, 99L -> 10L))
+  }
+
   test("q225: downward closure on a pinned corpus — the shared triple wins") {
     import spark.implicits._
     val docs = Seq(
