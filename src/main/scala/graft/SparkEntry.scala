@@ -576,6 +576,15 @@ object SparkEntry {
     "q239_constraint_audit" -> (HygieneOps.q239ConstraintAudit _),
     // funnel view->click latency quantiles, histogram-first
     "q240_funnel_latency" -> (MiningOps.q240FunnelLatency _),
+    // degree assortativity as a division-cleared exact fraction —
+    // do hubs engage with hubs?
+    "q241_assortativity" -> (InsightOps.q241Assortativity _),
+    // modularity of the q205 communities as the exact fraction
+    // sum(4m e_c - d_c^2) / 4m^2 — scores what q205 found
+    "q242_modularity" -> (InsightOps.q242Modularity _),
+    // summary-table rewrite: a custom optimizer rule serves the plain
+    // fact aggregate from a registered rollup artifact; plan-required
+    "q243_summary_rewrite" -> (IndexOps.q243SummaryRewrite _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -216,6 +216,46 @@ object IndexOps {
         min($"zy").as("min_hour"), max($"zy").as("max_hour"))
   }
 
+  // --------------------------------------------------------------- q243
+
+  /** q243 — the summary-table rewrite, end to end: build a (source,
+    * lang) summary of the documents corpus, register it with
+    * [[graft.plans.SummaryRewrite]], and run a PLAIN aggregate over the
+    * FACT table — the optimizer rule swaps the fact scan for a
+    * re-aggregation of the summary (count → Σcnt, sum → Σsum_x: the
+    * rollup property), and the query itself never mentions the
+    * artifact. Non-vacuity is enforced in-query (the q133 rule): the
+    * physical plan MUST read the summary path and MUST NOT read the
+    * fact path, else the gate throws — so the green hash proves both
+    * that the rewrite fired and that it is exact. The oracle is the
+    * plain fact-table SQL with no summary anywhere. */
+  def q243SummaryRewrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q243")
+      .toString + "/docs_by_source_lang"
+    SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("docs_by_source_lang",
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    try {
+      val q = load(s, dir, "documents")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("docs_by_source_lang"),
+        "q243 gate is vacuous: the rewrite did not fire (summary " +
+          "path absent from the physical plan)")
+      require(!phys.contains("documents.parquet"),
+        "q243 gate broken: the fact table is still scanned")
+      // materialize the result inside the registration window: the
+      // driver may re-execute the returned frame after deregistration,
+      // and the gate must pin the REWRITTEN plan's rows
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("docs_by_source_lang")
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -652,6 +692,13 @@ object IndexOps {
         |  CAST(1 AS BIGINT) AS n_expired
         |FROM documents WHERE doc_id % 4 < 3
         |GROUP BY 1""".stripMargin,
+    // q243: the plain fact aggregate — no summary anywhere in the SQL;
+    // hash equality + the in-query plan requires prove the rewrite
+    // both fired and is exact
+    "q243_summary_rewrite" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     // q233: the DIRECT phrase scan with no anchor prefilter anywhere —
     // hash equality proves the index-anchored two-phase plan lossless
     "q233_phrase_anchored" ->

@@ -705,6 +705,85 @@ object InsightOps {
   def q238CumulativeUsers(s: SparkSession, dir: String): DataFrame =
     cumulativeUsers(load(s, dir, "events"))
 
+  // --------------------------------------------------------------- q241
+
+  /** q241 — degree assortativity of the co-engagement graph (Newman,
+    * 2002): do heavy users engage with heavy users? Pearson r over
+    * edge-endpoint degree pairs, DIVISION-CLEARED (the q152 rule):
+    * with both orientations of every edge, Σx = Σy and Σx² = Σy², so
+    * r = num/den with num = M·Σxy − (Σx)² and den = M·Σx² − (Σx)²
+    * (M = 2m) — two exact integers, no sqrt, no float. Positive num
+    * means assortative (hubs stick together), negative means hubs
+    * touch the periphery — a one-row structural fingerprint that
+    * shifts under bot rings and engagement farming.
+    *
+    * SCALE: degrees are one map-combinable aggregate; the degree pair
+    * table is two hash joins of edges against the degree dim; the
+    * moments collapse in a single scalar aggregate. Long bound:
+    * M·Σxy < 2^63 holds while m·d̄³ < 9·10¹⁸ — widen to decimal(38,0)
+    * past that (both engines stay exact). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val sym = edges.unionAll(edges.select($"v".as("u"), $"u".as("v")))
+    val deg = sym.groupBy($"u".as("node")).agg(count(lit(1)).as("d"))
+    sym
+      .join(deg.select($"node".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"d".as("dv")), "v")
+      .agg(count(lit(1)).as("m2"), sum($"du").as("sx"),
+        sum($"du" * $"dv").as("sxy"), sum($"du" * $"du").as("sxx"))
+      .select(expr("m2 div 2").as("m"),
+        ($"m2" * $"sxy" - $"sx" * $"sx").as("assort_num"),
+        ($"m2" * $"sxx" - $"sx" * $"sx").as("assort_den"))
+  }
+
+  def q241Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val (edges, hot) = coEdges(load(s, dir, "events"), 3L)
+    assortativity(edges).crossJoin(broadcast(hot))
+  }
+
+  // --------------------------------------------------------------- q242
+
+  /** q242 — MODULARITY of the q205 label-propagation partition: the
+    * standard community-quality score Q = Σ_c [e_c/m − (d_c/2m)²],
+    * carried as the exact fraction q_num/q_den with
+    * q_num = Σ_c (4m·e_c − d_c²) and q_den = 4m² — the number that
+    * says whether the communities q205 found are real structure or
+    * noise (Q near 0), with no float between the engines. Closes the
+    * community loop: q205 finds, q207 bounds (components), q242
+    * SCORES.
+    *
+    * SCALE: intra-community edge counts are two hash joins of the
+    * edge list against the label dim; degree mass per community is a
+    * labels-sized aggregate; everything after the joins is
+    * community-count-sized. */
+  /** Core: modularity of a partition `lab` = (node, label) over an
+    * undirected edge list (u < v). */
+  def modularityOf(edges: DataFrame, lab: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint(false)
+    val m = e.count()
+    val sym = e.unionAll(e.select($"v".as("u"), $"u".as("v")))
+    val deg = sym.groupBy($"u".as("node")).agg(count(lit(1)).as("d"))
+    val ein = e
+      .join(lab.select($"node".as("u"), $"label".as("lu")), "u")
+      .join(lab.select($"node".as("v"), $"label".as("lv")), "v")
+      .filter($"lu" === $"lv")
+      .groupBy($"lu".as("label")).agg(count(lit(1)).as("e_in"))
+    val dc = lab.join(deg, "node")
+      .groupBy($"label").agg(sum($"d").as("d_c"))
+    dc.join(ein, Seq("label"), "left").na.fill(0L, Seq("e_in"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(lit(4L * m) * $"e_in" - $"d_c" * $"d_c").as("q_num"))
+      .select($"n_communities", lit(m).as("m"), $"q_num",
+        lit(4L * m * m).as("q_den"))
+  }
+
+  def q242Modularity(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    val (edges, hot) = coEdges(ev, 3L)
+    val lab = labelPropagation(ev)
+      .select($"user_id".as("node"), $"label")
+    modularityOf(edges, lab).crossJoin(broadcast(hot))
+  }
+
   /** The q197 oracle's shared edge-derivation CTE block (bucket guard +
     * thresholded co-engagement edges), reused verbatim by q205. */
   private val coEdgeCtes: String =
@@ -725,7 +804,10 @@ object InsightOps {
       |    GROUP BY 1, 2) WHERE w >= 3)""".stripMargin
 
   /** Generated k-round label-propagation replay over [[coEdgeCtes]]. */
-  private def labelPropSql(k: Int): String = {
+  /** The label-propagation CTE chain (sym, l0..lk) over [[coEdgeCtes]],
+    * factored so the modularity oracle (q242) replays the exact same
+    * partition the q205 gate pins. */
+  private def labelPropCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""n$i AS (SELECT s.u, l.label, count(*) AS c
          |  FROM sym s JOIN l${i - 1} l ON l.node = s.v GROUP BY 1, 2),
@@ -733,14 +815,17 @@ object InsightOps {
          |    row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
          |  FROM n$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $coEdgeCtes,
-       |sym AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+    s"""sym AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def labelPropSql(k: Int): String =
+    s"""WITH $coEdgeCtes,
+       |${labelPropCtes(k)}
        |SELECT node AS user_id, CAST(label AS BIGINT) AS label,
        |  (SELECT n_hot_buckets FROM hot) AS n_hot_buckets
        |FROM l$k""".stripMargin
-  }
 
   /** Generated k-core peeling replay over [[coEdgeCtes]], unrolled to
     * `rounds` (no-op past the fixpoint). Every per-round CTE is
@@ -792,6 +877,43 @@ object InsightOps {
 
   val oracles: Map[String, String] = Map(
     "q235_random_walks" -> randomWalkSql(4),
+    // q241: division-cleared Pearson over both edge orientations
+    "q241_assortativity" ->
+      s"""WITH $coEdgeCtes,
+         |sym AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+         |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+         |  FROM sym GROUP BY 1),
+         |p AS (SELECT a.d AS du, b.d AS dv FROM sym
+         |  JOIN deg a ON a.node = sym.u JOIN deg b ON b.node = sym.v),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+         |    CAST(sum(du) AS BIGINT) AS sx,
+         |    CAST(sum(du * dv) AS BIGINT) AS sxy,
+         |    CAST(sum(du * du) AS BIGINT) AS sxx FROM p)
+         |SELECT m2 // 2 AS m, m2 * sxy - sx * sx AS assort_num,
+         |  m2 * sxx - sx * sx AS assort_den,
+         |  (SELECT n_hot_buckets FROM hot) AS n_hot_buckets
+         |FROM s""".stripMargin,
+    // q242: the q205 partition replayed, then Q as the exact fraction
+    // q_num = sum(4m e_c - d_c^2), q_den = 4m^2
+    "q242_modularity" ->
+      s"""WITH $coEdgeCtes,
+         |${labelPropCtes(3)},
+         |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+         |  FROM sym GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed),
+         |ein AS (SELECT a.label, CAST(count(*) AS BIGINT) AS e_in FROM ed
+         |  JOIN l3 a ON a.node = ed.u JOIN l3 b ON b.node = ed.v
+         |  WHERE a.label = b.label GROUP BY 1),
+         |dc AS (SELECT l3.label, CAST(sum(d) AS BIGINT) AS d_c
+         |  FROM l3 JOIN deg ON deg.node = l3.node GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         |  (SELECT m FROM mm) AS m,
+         |  CAST(sum(4 * (SELECT m FROM mm) * coalesce(e_in, 0)
+         |    - d_c * d_c) AS BIGINT) AS q_num,
+         |  CAST(4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS BIGINT)
+         |    AS q_den,
+         |  (SELECT n_hot_buckets FROM hot) AS n_hot_buckets
+         |FROM dc LEFT JOIN ein USING (label)""".stripMargin,
     // q236: seasonal (type, hour-of-day) median baseline via the rank
     // rule, exceedance c - 2*med, per-type accounting
     "q236_seasonal_residual" ->

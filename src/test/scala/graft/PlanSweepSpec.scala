@@ -61,7 +61,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "q238_cumulative_users" ->
       "running sum over the DAY table (one row per calendar day)",
     "q240_funnel_latency" ->
-      "rank over the conversion-delay histogram (distinct-delay domain, q146-bounded)")
+      "rank over the conversion-delay histogram (distinct-delay domain, q146-bounded)",
+    "q241_assortativity" ->
+      "coEdges p90 rank, re-planned per degree-join branch (bucket-occupancy table, domain-bounded)",
+    "q242_modularity" ->
+      "coEdges p90 rank, re-planned per edge/label branch (bucket-occupancy table, domain-bounded)")
 
   test("every query plans free of CartesianProduct and unbounded global windows") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

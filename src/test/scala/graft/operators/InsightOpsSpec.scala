@@ -367,6 +367,33 @@ class InsightOpsSpec extends AnyFunSuite {
       out.map(_.getAs[Long]("new_users")).scanLeft(0L)(_ + _).tail.toSeq)
   }
 
+  test("q241: a star graph is perfectly disassortative (r = -1 exactly)") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val r = InsightOps.assortativity(star).collect().head
+    // M=6, sx=12, sxy=18, sxx=30 -> num=-36, den=36 -> r = -1
+    assert(r.getAs[Long]("m") === 3L)
+    assert(r.getAs[Long]("assort_num") === -36L)
+    assert(r.getAs[Long]("assort_den") === 36L)
+  }
+
+  test("q242: two equal cliques under the perfect partition score Q = 1/2") {
+    import spark.implicits._
+    val cliques = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("u", "v")
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 2L), (5L, 2L), (6L, 2L)).toDF("node", "label")
+    val r = InsightOps.modularityOf(cliques, lab).collect().head
+    // per clique: 4m*e_c - d_c^2 = 72 - 36 = 36; q = 72/144 = 1/2
+    assert(r.getAs[Long]("n_communities") === 2L)
+    assert(r.getAs[Long]("q_num") === 72L)
+    assert(r.getAs[Long]("q_den") === 144L)
+    // the everything-in-one-community partition scores exactly 0
+    val one = lab.select($"node", lit(0L).as("label"))
+    val r0 = InsightOps.modularityOf(cliques, one).collect().head
+    assert(r0.getAs[Long]("q_num") === 0L)
+  }
+
   test("q222: the prefix-sum identity reproduces hand-run CUSUM on a pinned drift") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
