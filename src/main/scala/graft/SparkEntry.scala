@@ -585,6 +585,12 @@ object SparkEntry {
     // summary-table rewrite: a custom optimizer rule serves the plain
     // fact aggregate from a registered rollup artifact; plan-required
     "q243_summary_rewrite" -> (IndexOps.q243SummaryRewrite _),
+    // stream -> mergeable partial shards -> folded rollup -> optimizer
+    // rewrite: ingest maintains the artifact, queries stay unchanged
+    "q244_streaming_summary" -> (IndexOps.q244StreamingSummary _),
+    // decode -> nearest 2x resize -> real-codec re-encode roundtrip;
+    // resized pixel/lum accounting gate-exact from the fixture bytes
+    "q245_image_resize" -> (MultimodalOps.q245ImageResize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -256,6 +256,80 @@ object IndexOps {
     } finally SummaryRewrite.deregister("docs_by_source_lang")
   }
 
+  // --------------------------------------------------------------- q244
+
+  /** q244 — STREAMING summary maintenance feeding the q243 rewrite:
+    * the document stream appends per-batch PARTIAL aggregates (the
+    * count/sum partials are a sum-monoid, so shard-append + fold ≡ the
+    * full rebuild — the same law every store in
+    * [[graft.streaming.HistogramStream]] rides), the shards fold into
+    * the [[graft.plans.SummaryRewrite]] naming contract, and a PLAIN
+    * fact aggregate is then served from the artifact by the optimizer
+    * rule. Stream → mergeable artifact → optimizer: ingest keeps the
+    * rollup current, the rule keeps queries unchanged, and at 100 TB
+    * the dashboard aggregate reads kilobytes while the fact table only
+    * ever pays one pass per batch AT ingest.
+    *
+    * Non-vacuity (the q133 rule): ≥ 2 shard files must exist (the
+    * stream really produced multiple partials), the rewritten plan
+    * must scan the folded summary and must not scan the fact table. */
+  def q244StreamingSummary(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import graft.plans.SummaryRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q244").toString
+    val sdir = s"$tmp/stream"
+    val fs = new Path(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(sdir))
+    val docs = load(s, dir, "documents")
+    Seq(("b0", $"doc_id" % 2 === 0L, 1000000L),
+        ("b1", $"doc_id" % 2 === 1L, 2000000L)).foreach {
+      case (tag, pred, mtime) =>
+        val stage = s"$tmp/stage-$tag"
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = fs.listStatus(new Path(stage))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        val dst = new Path(s"$sdir/batch-$tag.parquet")
+        if (!fs.rename(part, dst))
+          throw new IllegalStateException(s"q244 staging rename failed: $dst")
+        fs.setTimes(dst, mtime, -1)
+    }
+    val schema = s.read.parquet(sdir).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(sdir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy($"source", $"lang")
+          .agg(count(lit(1)).as("cnt"), sum($"n_chars").as("sum_n_chars"))
+          .coalesce(1).write.mode("append").parquet(s"$tmp/shards"): Unit
+      }
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val nShards = fs.listStatus(new Path(s"$tmp/shards"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    require(nShards >= 2,
+      s"q244 gate is vacuous: expected >= 2 partial shards, got $nShards")
+    // fold to the rewrite's naming contract: partials sum-merge
+    val mv = s"$tmp/docs_by_source_lang"
+    s.read.parquet(s"$tmp/shards")
+      .groupBy($"source", $"lang")
+      .agg(sum($"cnt").as("cnt"), sum($"sum_n_chars").as("sum_n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(mv)
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q244_docs_by_source_lang",
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    try {
+      val agg = docs.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      val phys = agg.queryExecution.executedPlan.toString
+      require(phys.contains("docs_by_source_lang"),
+        "q244 gate is vacuous: the rewrite did not fire")
+      require(!phys.contains("documents.parquet"),
+        "q244 gate broken: the fact table is still scanned")
+      val rows = agg.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally SummaryRewrite.deregister("q244_docs_by_source_lang")
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -697,6 +771,12 @@ object IndexOps {
     // both fired and is exact
     "q243_summary_rewrite" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // q244: the plain fact SQL again — streaming shard maintenance,
+    // the fold, and the rewrite must all be invisible to the answer
+    "q244_streaming_summary" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
     // q233: the DIRECT phrase scan with no anchor prefilter anywhere —

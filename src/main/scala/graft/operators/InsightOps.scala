@@ -436,6 +436,13 @@ object InsightOps {
   def labelPropagation(ev: DataFrame, minShared: Long = 3L,
       k: Int = 3): DataFrame = {
     val (edges, hot) = coEdges(ev, minShared)
+    labelPropagationFromEdges(edges, k).crossJoin(broadcast(hot))
+  }
+
+  /** The k-round propagation itself, on a precomputed edge list — so
+    * consumers that already derived edges (q242's modularity) never
+    * pay the co-engagement self-join twice. */
+  def labelPropagationFromEdges(edges: DataFrame, k: Int): DataFrame = {
     val sym = edges
       .union(edges.select($"v".as("u"), $"u".as("v")))
       .localCheckpoint(false) // lazy: materialized once, read k times
@@ -452,7 +459,6 @@ object InsightOps {
         .select($"u".as("node"), $"label")
     }
     labels.select($"node".as("user_id"), $"label")
-      .crossJoin(broadcast(hot))
   }
 
   def q205LabelProp(s: SparkSession, dir: String): DataFrame =
@@ -779,9 +785,11 @@ object InsightOps {
   def q242Modularity(s: SparkSession, dir: String): DataFrame = {
     val ev = load(s, dir, "events")
     val (edges, hot) = coEdges(ev, 3L)
-    val lab = labelPropagation(ev)
+    // one edge derivation serves both the propagation and the score
+    val e = edges.localCheckpoint(false)
+    val lab = labelPropagationFromEdges(e, k = 3)
       .select($"user_id".as("node"), $"label")
-    modularityOf(edges, lab).crossJoin(broadcast(hot))
+    modularityOf(e, lab).crossJoin(broadcast(hot))
   }
 
   /** The q197 oracle's shared edge-derivation CTE block (bucket guard +

@@ -131,6 +131,67 @@ object MultimodalOps {
         sum(col("pixel_sum")).cast("long").as("sum_lum"))
   }
 
+  // --------------------------------------------------------------- q245
+
+  /** Nearest-neighbor 2× downsample of a decoded raster: out(x, y) =
+    * in(2x, 2y) over the ⌈w/2⌉×⌈h/2⌉ grid — the thumbnail/preprocess
+    * step every vision pipeline runs before feature extraction. Pure
+    * integer sampling (no interpolation) so the resized luminance sum
+    * is exactly replayable by the oracle from the fixture bytes. */
+  def resizeHalf(px: Array[Int], w: Int, h: Int): (Array[Int], Int, Int) = {
+    val w2 = (w + 1) / 2
+    val h2 = (h + 1) / 2
+    val out = new Array[Int](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) { out(y * w2 + x) = px((2 * y) * w + 2 * x); x += 1 }
+      y += 1
+    }
+    (out, w2, h2)
+  }
+
+  /** q245 — decode → 2× nearest resize → RE-ENCODE through the real
+    * codec → feature account: per source, image count, resized pixel
+    * count, resized luminance sum (both gate-exact against the fixture
+    * bytes), plus the decode(encode(resized)) == resized roundtrip
+    * asserted in-flight (a corrupted re-encode throws, never ships).
+    * Per-partition mapPartitions batches — the mapInPandas shape with
+    * a real JDK codec; no shuffle until the final accounting agg. */
+  def q245ImageResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = mediaTable(s, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val px = decodePixels(r.media)
+        val (small, w2, h2) = resizeHalf(px, r.width, r.height)
+        // real-codec roundtrip: re-encode the thumbnail, decode back
+        val bytes = new Array[Byte](small.length)
+        var i = 0
+        while (i < small.length) { bytes(i) = small(i).toByte; i += 1 }
+        val img = new BufferedImage(w2, h2, BufferedImage.TYPE_BYTE_GRAY)
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) {
+            img.getRaster.setSample(x, y, 0, small(y * w2 + x)); x += 1
+          }
+          y += 1
+        }
+        val out = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", out)
+        val back = decodePixels(out.toByteArray)
+        require(java.util.Arrays.equals(back, small),
+          s"q245: thumbnail codec roundtrip corrupted doc ${r.doc_id}")
+        (r.doc_id, w2.toLong * h2, small.map(_.toLong).sum)
+      }
+    }.toDF("doc_id", "n_px_resized", "lum_resized")
+    feats.join(load(s, dir, "documents"), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_px_resized")).as("sum_px_resized"),
+        sum(col("lum_resized")).as("sum_lum_resized"))
+  }
+
   /** 64-bit average-hash (aHash) over a decoded grayscale raster — the
     * perceptual-dedup fingerprint: pool the grid into 8×8 cells by
     * integer bucketing (cell = (y·8 div h, x·8 div w) — every pixel in
@@ -734,6 +795,19 @@ object MultimodalOps {
         |CAST(sum(16 * greatest(1, CAST(ceil(strlen(text) / 16.0) AS BIGINT))) AS BIGINT) AS sum_pixels,
         |CAST(sum(list_aggregate(list_transform(generate_series(1, strlen(text)),
         |  i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum')) AS BIGINT) AS sum_lum
+        |FROM documents GROUP BY 1""".stripMargin,
+    // q245: resized (x, y) samples the padded raster at (2x, 2y) —
+    // only 0-based positions with even row AND even column survive,
+    // zeros from padding contribute nothing
+    "q245_image_resize" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_media,
+        |CAST(sum(8 * ((greatest(1, CAST(ceil(strlen(text) / 16.0) AS BIGINT)) + 1) // 2)) AS BIGINT)
+        |  AS sum_px_resized,
+        |CAST(sum(coalesce(list_aggregate(list_transform(
+        |  list_filter(generate_series(1, strlen(text)),
+        |    i -> ((i-1) // 16) % 2 = 0 AND ((i-1) % 16) % 2 = 0),
+        |  i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum'), 0)) AS BIGINT)
+        |  AS sum_lum_resized
         |FROM documents GROUP BY 1""".stripMargin,
     "q32_frame_sample" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_frames,

@@ -298,4 +298,15 @@ class MultimodalSpec extends AnyFunSuite {
         || r.getAs[Long]("n_dup_groups") === 0L)
     }
   }
+
+  test("q245: nearest 2x resize samples exactly the even-grid corners") {
+    // 3x3 raster 0..8: out = in(2x, 2y) over a 2x2 grid -> 0, 2, 6, 8
+    val (out, w2, h2) = MultimodalOps.resizeHalf((0 to 8).toArray, 3, 3)
+    assert((w2, h2) === ((2, 2)))
+    assert(out.toSeq === Seq(0, 2, 6, 8))
+    // odd-even mix: 4x3 -> 2x2, samples (0,0),(2,0),(0,2),(2,2)
+    val (o2, a, b) = MultimodalOps.resizeHalf((0 to 11).toArray, 4, 3)
+    assert((a, b) === ((2, 2)))
+    assert(o2.toSeq === Seq(0, 2, 8, 10))
+  }
 }
