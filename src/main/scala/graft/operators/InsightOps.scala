@@ -609,20 +609,29 @@ object InsightOps {
     * neighbor list, so both engines take the identical step and the
     * gate is a hash match, not a distribution test.
     *
-    * SCALE: adjacency is one groupBy (the collect_list buffer is
-    * degree-bounded — the co-engagement edge builder's hot-bucket
-    * guard caps degrees upstream); each step is ONE hash join of the
-    * walker frontier against the adjacency table (broadcast when the
-    * graph is dim-sized, shuffled when not); `steps` is a small
-    * constant (walk length), so the whole generation is `steps` joins
-    * — never an iteration-to-convergence. Walkers that reach a
-    * dead-end node (no out-edges — impossible on the symmetrized
-    * graph, possible in general) keep their shorter path via the left
-    * join + coalesce. */
-  def randomWalks(edges: DataFrame, steps: Int): DataFrame = {
+    * SCALE: the adjacency buffer is bounded IN-PLAN, not by hope — a
+    * hub's neighbor list is truncated to the `maxDeg` smallest ids
+    * BEFORE aggregation via the bounded-heap rewrite
+    * (`row_number ≤ maxDeg per node`, the q149 lesson: cap before the
+    * buffer, never after), so no collect_list ever holds more than
+    * maxDeg values and the truncation is deterministic — the oracle
+    * replays the same first-maxDeg-sorted-neighbors rule, so capped
+    * walks stay hash-exact. Each step is ONE hash join of the walker
+    * frontier against the adjacency table; `steps` is a small constant
+    * (walk length), so generation is `steps` joins — never an
+    * iteration-to-convergence. Walkers at a dead-end node (impossible
+    * on the symmetrized graph, possible in general) keep their shorter
+    * path via the left join + coalesce. */
+  def randomWalks(edges: DataFrame, steps: Int,
+      maxDeg: Int = 256): DataFrame = {
     val sym = edges.select($"u", $"v")
       .unionAll(edges.select($"v".as("u"), $"u".as("v")))
-    val adj = sym.groupBy($"u".as("node"))
+    val bounded = sym
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"u").orderBy($"v")))
+      .filter($"rn" <= maxDeg)
+      .select($"u", $"v") // rank dropped -> bounded-heap rewrite fires
+    val adj = bounded.groupBy($"u".as("node"))
       .agg(sort_array(collect_list($"v")).as("nbrs"))
     var walk = adj.select($"node".as("walker"), $"node".as("cur"),
       $"node".cast("string").as("path"))
@@ -873,8 +882,8 @@ object InsightOps {
     }.mkString(",\n")
     s"""WITH $coEdgeCtes,
        |sym AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
-       |adj AS MATERIALIZED (SELECT u AS node, list_sort(list(v)) AS nbrs
-       |  FROM sym GROUP BY 1),
+       |adj AS MATERIALIZED (SELECT u AS node,
+       |  (list_sort(list(v)))[1:256] AS nbrs FROM sym GROUP BY 1),
        |w0 AS (SELECT node AS walker, node AS cur,
        |  CAST(node AS VARCHAR) AS path FROM adj),
        |$rounds

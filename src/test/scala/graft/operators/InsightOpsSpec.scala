@@ -367,6 +367,20 @@ class InsightOpsSpec extends AnyFunSuite {
       out.map(_.getAs[Long]("new_users")).scanLeft(0L)(_ + _).tail.toSeq)
   }
 
+  test("q235: a hub's walk space truncates to the maxDeg smallest neighbor ids") {
+    import spark.implicits._
+    val edges = (1L to 10L).map((0L, _)).toDF("u", "v")
+    val out = InsightOps.randomWalks(edges, steps = 4, maxDeg = 4).collect()
+    out.foreach { r =>
+      val hops = r.getAs[String]("path").split(">").map(_.toLong)
+      hops.sliding(2).foreach { case Array(a, b) =>
+        if (a == 0L) assert(b >= 1L && b <= 4L,
+          s"hub stepped outside its truncated list: $a>$b")
+        else assert(b === 0L) // leaves' only neighbor is the hub
+      }
+    }
+  }
+
   test("q241: a star graph is perfectly disassortative (r = -1 exactly)") {
     import spark.implicits._
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
