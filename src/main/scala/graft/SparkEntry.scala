@@ -591,6 +591,15 @@ object SparkEntry {
     // decode -> nearest 2x resize -> real-codec re-encode roundtrip;
     // resized pixel/lum accounting gate-exact from the fixture bytes
     "q245_image_resize" -> (MultimodalOps.q245ImageResize _),
+    // exact A/B readout: the two-proportion z-test cleared of every
+    // division, compared as two integers
+    "q246_ab_test" -> (MiningOps.q246AbTest _),
+    // right-to-be-forgotten propagation across tables, deletion
+    // accounted with conservation + a hashed residue check
+    "q247_forget_users" -> (HygieneOps.q247ForgetUsers _),
+    // deterministic cross-table pseudonymization; referential
+    // preservation proven in the token domain
+    "q248_pseudonymize" -> (HygieneOps.q248Pseudonymize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

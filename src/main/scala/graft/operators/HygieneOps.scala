@@ -583,6 +583,66 @@ object HygieneOps {
         nation, $"n_nationkey", "customer_nation_fk"))
   }
 
+  // ---------------------------------------------------------------- q247
+
+  /** q247 — right-to-be-forgotten propagation: delete every trace of a
+    * user set across the fact tables and ACCOUNT the deletion — per
+    * table, rows before / removed / after with conservation (before =
+    * removed + after), plus a residue check folded into the gated row
+    * (rows still referencing a forgotten user AFTER the delete — must
+    * be 0, and the gate hashes it so a leaky propagation cannot pass).
+    * The compliance op every data platform needs: deletion is an
+    * anti-join per table (broadcast when the forget-set is
+    * request-sized, as it always is), accounting is one aggregate per
+    * table, and nothing about it is corpus-shaped. */
+  def forgetUsers(tables: Seq[(String, DataFrame, Column)],
+      forget: DataFrame): DataFrame = {
+    val f = broadcast(forget.select($"fid"))
+    tables.map { case (name, df, keyCol) =>
+      val kept = df.join(f, keyCol === $"fid", "left_anti")
+      val before = df.count()
+      val after = kept.count()
+      val residue = kept.join(f, keyCol === $"fid", "left_semi").count()
+      forget.sparkSession.range(1).select(
+        lit(name).as("table_name"), lit(before).as("n_before"),
+        lit(before - after).as("n_removed"), lit(after).as("n_after"),
+        lit(residue).as("n_residue"))
+    }.reduce(_ unionByName _)
+  }
+
+  def q247ForgetUsers(s: SparkSession, dir: String): DataFrame = {
+    val forget = load(s, dir, "events").select($"user_id").distinct()
+      .filter($"user_id" % 9 === 0L).select($"user_id".as("fid"))
+    forgetUsers(Seq(
+      ("events", load(s, dir, "events"), $"user_id"),
+      ("orders", load(s, dir, "orders"), $"o_custkey"),
+      ("customer", load(s, dir, "customer"), $"c_custkey")), forget)
+  }
+
+  // ---------------------------------------------------------------- q248
+
+  /** q248 — deterministic pseudonymization: replace the user key with
+    * an md5-derived pseudonym CONSISTENTLY across tables, so joins
+    * still work but the raw identifier never leaves the boundary (the
+    * GDPR-pseudonymization contract: same input → same token, token →
+    * input infeasible). The gate proves REFERENTIAL PRESERVATION, the
+    * property that makes pseudonymized exports analytically useful:
+    * the (events ⋈ orders on user key) group sizes are IDENTICAL
+    * before and after tokenization — computed entirely in the
+    * pseudonym domain on the Spark side and replayed by the oracle
+    * with the same md5 derivation. Tokenization is a per-row codegen'd
+    * expression: no lookup table to secure, no shuffle. */
+  def pseudonymize(c: Column): Column = md5(concat(lit("u|"), c))
+
+  def q248Pseudonymize(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .select(pseudonymize($"user_id").as("token"))
+    val ord = load(s, dir, "orders")
+      .select(pseudonymize($"o_custkey").as("token"))
+    ev.groupBy($"token").agg(count(lit(1)).as("n_events"))
+      .join(ord.groupBy($"token").agg(count(lit(1)).as("n_orders")), "token")
+  }
+
   // ---------------------------------------------------------------- q179
 
   /** Corrupt-record quarantine — the ingest-robustness discipline for
@@ -704,6 +764,41 @@ object HygieneOps {
         |  CAST(max(sz) AS BIGINT) AS max_group,
         |  CAST(sum(sz - 1) AS BIGINT) AS n_redundant
         |FROM g""".stripMargin,
+    // q247: per-table before/removed/after replay; residue is 0 by the
+    // anti-join's definition — hashed so a leaky propagation can't pass
+    "q247_forget_users" ->
+      """WITH f AS (SELECT DISTINCT user_id AS fid FROM events
+        |  WHERE user_id % 9 = 0)
+        |SELECT 'events' AS table_name,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_before,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events
+        |    WHERE user_id IN (SELECT fid FROM f)) AS n_removed,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events
+        |    WHERE user_id NOT IN (SELECT fid FROM f)) AS n_after,
+        |  CAST(0 AS BIGINT) AS n_residue
+        |UNION ALL SELECT 'orders',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    WHERE o_custkey IN (SELECT fid FROM f)),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    WHERE o_custkey NOT IN (SELECT fid FROM f)),
+        |  CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'customer',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |    WHERE c_custkey IN (SELECT fid FROM f)),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |    WHERE c_custkey NOT IN (SELECT fid FROM f)),
+        |  CAST(0 AS BIGINT)""".stripMargin,
+    // q248: the same md5 derivation on both sides — group sizes in the
+    // pseudonym domain prove referential preservation
+    "q248_pseudonymize" ->
+      """WITH e AS (SELECT md5('u|' || user_id) AS token,
+        |    CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1),
+        |o AS (SELECT md5('u|' || o_custkey) AS token,
+        |    CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1)
+        |SELECT e.token, n_events, n_orders
+        |FROM e JOIN o ON e.token = o.token""".stripMargin,
     // q239: each constraint replayed as its own aggregate
     "q239_constraint_audit" ->
       """SELECT 'orders_price_positive' AS check_name,

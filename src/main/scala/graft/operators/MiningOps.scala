@@ -211,6 +211,46 @@ object MiningOps {
   def q229Debounce(s: SparkSession, dir: String): DataFrame =
     debounce(load(s, dir, "events"), gapSec = 600L)
 
+  // --------------------------------------------------------------- q246
+
+  /** q246 — A/B-test readout with an EXACT two-proportion z-test:
+    * variants split users by id parity, conversion = the user ever
+    * purchased, and the 2σ significance test is cleared of every
+    * division — (c₁n₂ − c₂n₁)²·N > 4·C·(N−C)·n₁·n₂ with C = c₁+c₂,
+    * N = n₁+n₂ is algebraically z² > 4 under the pooled-variance
+    * two-proportion test, compared as two exact integers (the q106
+    * discipline applied to experimentation: a float z that flips at
+    * the 15th digit is a shipped/not-shipped decision made by
+    * summation order). Output: both arms' counts and the two cleared
+    * sides, so dashboards can re-derive z² to any precision they want.
+    *
+    * SCALE: two aggregates over user-level reductions (distinct users
+    * per arm, converted users per arm) — the corpus collapses to four
+    * longs. Long bound: (c·n)²·N — safe to ~10⁵ users per arm at
+    * BIGINT; widen to decimal(38,0) beyond (exact on both engines). */
+  def q246AbTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    val users = ev.select($"user_id").distinct()
+      .select($"user_id", ($"user_id" % 2).as("arm"))
+    val conv = ev.filter($"event_type" === "purchase")
+      .select($"user_id").distinct().withColumn("converted", lit(1L))
+    val arms = users.join(conv, Seq("user_id"), "left")
+      .na.fill(0L, Seq("converted"))
+      .groupBy($"arm")
+      .agg(count(lit(1)).as("n"), sum($"converted").as("c"))
+    val a0 = arms.filter($"arm" === 0L)
+      .select($"n".as("n1"), $"c".as("c1"))
+    val a1 = arms.filter($"arm" === 1L)
+      .select($"n".as("n2"), $"c".as("c2"))
+    a0.crossJoin(a1)
+      .select($"n1", $"c1", $"n2", $"c2",
+        (($"c1" * $"n2" - $"c2" * $"n1") * ($"c1" * $"n2" - $"c2" * $"n1") *
+          ($"n1" + $"n2")).as("lhs"),
+        (lit(4L) * ($"c1" + $"c2") *
+          ($"n1" + $"n2" - $"c1" - $"c2") * $"n1" * $"n2").as("rhs"))
+      .withColumn("significant_2sigma", $"lhs" > $"rhs")
+  }
+
   // --------------------------------------------------------------- q225
 
   /** q225 — frequent token TRIPLES with Apriori pruning (Agrawal &
@@ -770,6 +810,29 @@ object MiningOps {
         |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS n_24h FROM e)
         |SELECT event_id, user_id, CAST(n_24h AS BIGINT) AS n_24h
         |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    // q246: user-level reduction to four longs, then the cleared
+    // two-proportion inequality
+    "q246_ab_test" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |cv AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |arms AS (SELECT u.user_id % 2 AS arm,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM u LEFT JOIN cv ON u.user_id = cv.user_id GROUP BY 1),
+        |w AS (SELECT
+        |  (SELECT n FROM arms WHERE arm = 0) AS n1,
+        |  (SELECT c FROM arms WHERE arm = 0) AS c1,
+        |  (SELECT n FROM arms WHERE arm = 1) AS n2,
+        |  (SELECT c FROM arms WHERE arm = 1) AS c2)
+        |SELECT n1, c1, n2, c2,
+        |  (c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1 + n2) AS lhs,
+        |  4 * (c1 + c2) * (n1 + n2 - c1 - c2) * n1 * n2 AS rhs,
+        |  (c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1 + n2)
+        |    > 4 * (c1 + c2) * (n1 + n2 - c1 - c2) * n1 * n2
+        |    AS significant_2sigma
+        |FROM w""".stripMargin,
     // q240: q92's first-view/first-click chain, whole-second deltas,
     // the q146 rank rule over the delay histogram
     "q240_funnel_latency" ->

@@ -290,4 +290,32 @@ class HygieneOpsSpec extends AnyFunSuite {
       fact, col("k"), dim, col("dk"), "fk").collect().head
     assert(ref.getAs[Long]("n_violations") === 1L)
   }
+
+  test("q247: deletion conserves rows per table and leaves zero residue") {
+    val out = HygieneOps.q247ForgetUsers(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_removed") + r.getAs[Long]("n_after") ===
+        r.getAs[Long]("n_before"), r.getAs[String]("table_name"))
+      assert(r.getAs[Long]("n_residue") === 0L)
+    }
+    // the forget-set is non-empty, so events must actually shrink
+    assert(out.find(_.getAs[String]("table_name") == "events").get
+      .getAs[Long]("n_removed") > 0L)
+  }
+
+  test("q248: tokenization is total, deterministic, and collision-free here") {
+    val out = HygieneOps.q248Pseudonymize(spark, "/root/testdata/sf0.001")
+      .collect()
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val nUsersWithOrders = ev.select(col("user_id")).distinct()
+      .join(graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+        .select(col("o_custkey").as("user_id")).distinct(), "user_id")
+      .count()
+    // one token row per user that has both events and orders — a
+    // collision would merge rows, a non-deterministic token would drop
+    assert(out.length.toLong === nUsersWithOrders)
+    assert(out.map(_.getAs[String]("token")).distinct.length === out.length)
+  }
 }

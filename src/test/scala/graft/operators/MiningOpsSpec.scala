@@ -456,6 +456,22 @@ class MiningOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q246: the cleared inequality agrees with the float z-squared test") {
+    val r = MiningOps.q246AbTest(spark, dir).collect().head
+    val (n1, c1, n2, c2) = (r.getAs[Long]("n1").toDouble,
+      r.getAs[Long]("c1").toDouble, r.getAs[Long]("n2").toDouble,
+      r.getAs[Long]("c2").toDouble)
+    assert(n1 > 0 && n2 > 0)
+    val p = (c1 + c2) / (n1 + n2)
+    val z2 = math.pow(c1 / n1 - c2 / n2, 2) /
+      (p * (1 - p) * (1 / n1 + 1 / n2))
+    if (math.abs(z2 - 4.0) > 1e-6)
+      assert(r.getAs[Boolean]("significant_2sigma") === (z2 > 4.0),
+        s"integer test disagrees with z^2=$z2")
+    // conservation: arms partition the users, conversions bounded
+    assert(c1 <= n1 && c2 <= n2)
+  }
+
   test("q240: pinned conversion delays hit the rank-rule quantiles exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
