@@ -600,6 +600,9 @@ object SparkEntry {
     // deterministic cross-table pseudonymization; referential
     // preservation proven in the token domain
     "q248_pseudonymize" -> (HygieneOps.q248Pseudonymize _),
+    // exact contribution analysis: star revenue shares in ppm summing
+    // to exactly 10^6 via Hamilton apportionment (q237 ∘ q226)
+    "q249_revenue_share" -> (RelationalOps.q249RevenueShare _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -334,8 +334,48 @@ object RelationalOps {
           .as("revenue_cents"))
   }
 
+  // --------------------------------------------------------------- q249
+
+  /** q249 — contribution analysis ("share of total") done EXACTLY: each
+    * region's revenue share in ppm, allocated by q226's
+    * largest-remainder apportionment so the shares SUM TO 10⁶ exactly
+    * — the property every BI pie chart silently violates when it
+    * rounds percentages independently (99.9998% or 100.0002% totals).
+    * Composition gate: q237's star revenue (integer cents) feeds
+    * q226's Hamilton allocation with budget 10⁶. */
+  def q249RevenueShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = q237StarJoin(s, dir)
+      .groupBy($"r_name")
+      .agg(sum($"revenue_cents").as("w"))
+    CurationOps.apportion(
+        rev.select($"r_name".as("source"), $"w"), budget = 1000000L)
+      .select($"source".as("region"), $"w".as("revenue_cents"),
+        $"alloc".as("share_ppm"))
+  }
+
   // Shared oracle SQL (DuckDB dialect) for the queries above.
   val oracles: Map[String, String] = Map(
+    // q249: star revenue per region + the Hamilton replay at 10^6
+    "q249_revenue_share" ->
+      """WITH rev AS (SELECT r_name,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS w
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1),
+        |t AS (SELECT r_name, w, (SELECT sum(w) FROM rev) AS tot FROM rev),
+        |b AS (SELECT r_name, w, (w * 1000000) // tot AS base,
+        |    (w * 1000000) % tot AS rem FROM t),
+        |r AS (SELECT r_name, w, base,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, r_name) AS BIGINT)
+        |      AS rk,
+        |    1000000 - (SELECT sum(base) FROM b) AS shortfall FROM b)
+        |SELECT r_name AS region, w AS revenue_cents,
+        |  CAST(base + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END
+        |    AS BIGINT) AS share_ppm
+        |FROM r""".stripMargin,
     // q237: the same three-hop star with money in integer cents
     "q237_star_join" ->
       """SELECT r_name, o_orderpriority,

@@ -388,4 +388,10 @@ class PlanSpec extends AnyFunSuite {
     // repartitions the fact table
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
+
+  test("q249: region shares sum to exactly one million ppm") {
+    val out = RelationalOps.q249RevenueShare(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("share_ppm")).sum === 1000000L)
+  }
 }

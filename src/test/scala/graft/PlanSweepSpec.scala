@@ -65,7 +65,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "q241_assortativity" ->
       "coEdges p90 rank, re-planned per degree-join branch (bucket-occupancy table, domain-bounded)",
     "q242_modularity" ->
-      "coEdges p90 rank, re-planned per edge/label branch (bucket-occupancy table, domain-bounded)")
+      "coEdges p90 rank, re-planned per edge/label branch (bucket-occupancy table, domain-bounded)",
+    "q249_revenue_share" ->
+      "apportionment windows over the per-region revenue table (one row per region)")
 
   test("every query plans free of CartesianProduct and unbounded global windows") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
