@@ -250,7 +250,8 @@ object IndexOps {
         "q243 gate broken: the fact table is still scanned")
       // materialize the result inside the registration window: the
       // driver may re-execute the returned frame after deregistration,
-      // and the gate must pin the REWRITTEN plan's rows
+      // and the gate must pin the REWRITTEN plan's rows (bounded: one
+      // row per source — mixture-component-sized, never corpus-sized)
       val rows = q.collect().toIndexedSeq
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
     } finally SummaryRewrite.deregister("docs_by_source_lang")
@@ -325,6 +326,7 @@ object IndexOps {
         "q244 gate is vacuous: the rewrite did not fire")
       require(!phys.contains("documents.parquet"),
         "q244 gate broken: the fact table is still scanned")
+      // bounded: one row per lang (the q243 materialization rule)
       val rows = agg.collect().toIndexedSeq
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), agg.schema)
     } finally SummaryRewrite.deregister("q244_docs_by_source_lang")
