@@ -64,6 +64,21 @@ class SummaryRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("fires on the GLOBAL (no grouping) aggregate — the empty coarsening") {
+    withSummary {
+      val q = docs.agg(count(lit(1)).as("n"), sum($"n_chars").as("sc"))
+      assert(usesMv(q), "global aggregate did not rewrite")
+      val got = q.collect().head
+      SummaryRewrite.deregister("spec_mv")
+      val direct = docs
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("sc"))
+        .collect().head
+      SummaryRewrite.register("spec_mv",
+        SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+      assert(got.toSeq === direct.toSeq)
+    }
+  }
+
   test("refuses filters, non-key groupings, and non-derivable aggregates") {
     withSummary {
       // a filter between scan and aggregate changes the counts
