@@ -8,9 +8,17 @@ runs each oracle against the testdata parquet in DuckDB, and compares
 row counts, column names, and value multisets (doubles rounded to 9 sig
 figs before hashing to tolerate summation-order noise far below our
 explicit round()s).
+
+Type-faithful: the DuckDB side is fetched via fetch_arrow_table(), the
+same path the driver's hasher uses, and any decimal/hugeint column in an
+oracle result is an immediate FAIL — Spark never emits one, so such a
+column (e.g. an uncast DuckDB window sum(), which widens BIGINT →
+HUGEINT → Arrow decimal128) would hash-mismatch at the driver even when
+fetchall()'s int coercion makes the values look equal locally.
 """
 import json, sys, glob, math
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -51,11 +59,20 @@ def main(sf_dir, out_dir):
         srows = [tuple(r[c] for c in spark_tbl.column_names)
                  for r in spark_tbl.to_pylist()]
         try:
-            res = con.execute(oracle[name])
-            dcols = [d[0].lower() for d in res.description]
-            drows = res.fetchall()
+            duck_tbl = con.execute(oracle[name]).fetch_arrow_table()
+            dcols = [c.lower() for c in duck_tbl.column_names]
+            drows = [tuple(r[c] for c in duck_tbl.column_names)
+                     for r in duck_tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        bad_types = [
+            (f.name, str(f.type)) for f in duck_tbl.schema
+            if pa.types.is_decimal(f.type) or str(f.type) == "int128"]
+        if bad_types:
+            print(f"FAIL {name}: oracle emits decimal/hugeint columns "
+                  f"{bad_types} — Spark never does; CAST them (AS BIGINT)")
             n_fail += 1
             continue
         if sorted(scols) != sorted(dcols):

@@ -909,7 +909,7 @@ object CurationOps {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |      AS cum_before
         |  FROM d)
-        |SELECT cum_before // 2000 AS shard_id,
+        |SELECT CAST(cum_before // 2000 AS BIGINT) AS shard_id,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(ntok) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1""".stripMargin,

@@ -989,7 +989,8 @@ object InsightOps {
         |      AS s
         |  FROM p)
         |SELECT event_type, max(ref) AS ref,
-        |  CAST(count(*) AS BIGINT) AS n_hours, max(s) AS max_s,
+        |  CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(max(s) AS BIGINT) AS max_s,
         |  CAST(sum(CASE WHEN s >= 16 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_flagged,
         |  coalesce(min(CASE WHEN s >= 16 THEN h END), 0) AS first_flag_hour

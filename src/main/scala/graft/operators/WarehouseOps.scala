@@ -48,7 +48,7 @@ object WarehouseOps {
       .withColumn("version", sum($"new_run").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"user_id", $"version")
-      .agg(min($"us").as("valid_from_us"), first($"state").as("state"),
+      .agg(min($"us").as("valid_from_us"), min($"state").as("state"),
         count(lit(1)).as("n_updates"))
     val byVer = Window.partitionBy($"user_id").orderBy($"version")
     // open intervals carry valid_to_us = 0, not NULL (no real interval
@@ -290,8 +290,9 @@ object WarehouseOps {
         |r AS (SELECT *, CASE WHEN lag(state) OVER w IS NULL
         |      OR lag(state) OVER w != state THEN 1 ELSE 0 END AS new_run
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |v AS (SELECT *, sum(new_run) OVER (PARTITION BY user_id
-        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS version FROM r),
+        |v AS (SELECT *, CAST(sum(new_run) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS version FROM r),
         |runs AS (SELECT user_id, version, min(us) AS valid_from_us,
         |    min(state) AS state, CAST(count(*) AS BIGINT) AS n_updates
         |  FROM v GROUP BY 1, 2)
