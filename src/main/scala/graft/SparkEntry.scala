@@ -603,6 +603,15 @@ object SparkEntry {
     // exact contribution analysis: star revenue shares in ppm summing
     // to exactly 10^6 via Hamilton apportionment (q237 ∘ q226)
     "q249_revenue_share" -> (RelationalOps.q249RevenueShare _),
+    // key-only-filtered rollup served by the summary rewrite: the
+    // predicate is pushed onto the summary scan; plan-required
+    "q250_summary_filtered" -> (IndexOps.q250SummaryFiltered _),
+    // covering-summary selection among two registered rollups, with
+    // min/max partial re-aggregation; plan-required
+    "q251_summary_minmax" -> (IndexOps.q251SummaryMinMax _),
+    // summary committed twice through the snapshot store, consumed by
+    // a FRESH session resolving the newest version; plan-required
+    "q252_summary_store" -> (IndexOps.q252SummaryStore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

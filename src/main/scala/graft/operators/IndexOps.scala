@@ -332,6 +332,144 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q244_docs_by_source_lang")
   }
 
+  // --------------------------------------------------------------- q250
+
+  /** q250 — FILTERED rollup served by the summary: the single most
+    * common dashboard shape (`WHERE source = 'web' GROUP BY lang`)
+    * rewrites because the predicate references only summary KEYS — it
+    * partitions whole summary rows, so it is pushed verbatim onto the
+    * summary scan (the Spark analogue of HiSS-Cube's windowed zoom
+    * read: `metadata_strategy_cube_visualization.py:57-72` reads one
+    * zoom table SLICE, not the whole cube). At 100 TB the filter
+    * multiplies the rewrite's win: the query reads the handful of
+    * summary rows the predicate keeps, not even the whole summary.
+    *
+    * Non-vacuity (the q133 rule): the physical plan must read the
+    * summary path, must NOT read the fact path, and must carry the
+    * pushed key predicate — so the green hash proves the filtered
+    * rewrite fired AND is exact against the plain fact-table oracle. */
+  def q250SummaryFiltered(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q250")
+      .toString + "/docs_by_source_lang"
+    SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q250_docs_by_source_lang",
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    try {
+      val q = load(s, dir, "documents")
+        .filter($"source".isin("src1", "src3", "src7"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("docs_by_source_lang"),
+        "q250 gate is vacuous: the filtered rewrite did not fire")
+      require(!phys.contains("documents.parquet"),
+        "q250 gate broken: the fact table is still scanned")
+      require(phys.contains("src1"),
+        "q250 gate broken: the key predicate vanished from the plan")
+      // bounded: one row per lang of one source (q243 materialization)
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q250_docs_by_source_lang")
+  }
+
+  // --------------------------------------------------------------- q251
+
+  /** q251 — covering-summary SELECTION with MIN/MAX measures: two
+    * summaries are registered — a narrow (source)-keyed one that wins
+    * every tie-break (fewer keys, earlier name) and a (source, lang)
+    * one carrying `min_/max_n_chars` partials. The profiler-style
+    * rollup grouped on lang with min/max measures can only be served
+    * by the wide summary (the narrow one neither covers `lang` nor
+    * carries the partials), so a green hash proves selection skips
+    * non-covering candidates instead of silently falling back to the
+    * fact scan — the exact failure mode the registry's first-match
+    * lookup used to have. min(x) → min(min_x) / max(x) → max(max_x)
+    * are associative partials like cnt/sum: re-aggregation is exact. */
+  def q251SummaryMinMax(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q251").toString
+    SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
+      keys = Seq("source"), sumCols = Seq("n_chars"),
+      mvPath = s"$tmp/narrow")
+    SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = s"$tmp/wide", minMaxCols = Seq("n_chars"))
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q251_a_narrow",
+      SummaryRewrite.Summary("documents.parquet", s"$tmp/narrow",
+        Set("source")))
+    SummaryRewrite.register("q251_b_wide",
+      SummaryRewrite.Summary("documents.parquet", s"$tmp/wide",
+        Set("source", "lang")))
+    try {
+      val q = load(s, dir, "documents")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("/wide"),
+        "q251 gate is vacuous: the covering summary was not selected")
+      require(!phys.contains("/narrow") && !phys.contains("documents.parquet"),
+        "q251 gate broken: non-covering summary or fact table scanned")
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally {
+      SummaryRewrite.deregister("q251_a_narrow")
+      SummaryRewrite.deregister("q251_b_wide")
+    }
+  }
+
+  // --------------------------------------------------------------- q252
+
+  /** q252 — summary served from the versioned SNAPSHOT STORE, across
+    * sessions: the artifact is committed through [[writeSnapshot]]'s
+    * FS-rename discipline (two commits — the rule must resolve the
+    * NEWEST, proving a streaming maintainer's next commit is picked up
+    * with zero re-registration), and the consuming aggregate runs in a
+    * FRESH session state (`newSession`: new experimental-rule list,
+    * new relation cache) — the store plus the registration are the
+    * only things the sessions share, which is exactly the production
+    * shape: one maintenance job, many dashboard sessions. Snapshot v1
+    * is built from half the corpus so newest-wins is hash-visible: a
+    * stale read cannot match the full-corpus oracle. */
+  def q252SummaryStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val store = java.nio.file.Files.createTempDirectory("graft-q252")
+      .toString + "/mvstore"
+    // v1: PARTIAL corpus (stale); v2: full corpus (current)
+    val v1 = writeSnapshot(
+      SummaryRewrite.summaryFrame(
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter($"doc_id" % 2 === 0L),
+        keys = Seq("source", "lang"), sumCols = Seq("n_chars")).coalesce(1),
+      store)
+    val v2 = SummaryRewrite.buildSummarySnapshot(s,
+      s"$dir/documents.parquet", keys = Seq("source", "lang"),
+      sumCols = Seq("n_chars"), store = store)
+    require(v1 == 1L && v2 == 2L,
+      s"q252 gate is vacuous: expected commits 1,2 got $v1,$v2")
+    SummaryRewrite.registerStore("q252_docs_by_source_lang",
+      "documents.parquet", store, Set("source", "lang"))
+    try {
+      val s2 = s.newSession()
+      SummaryRewrite.install(s2)
+      val q = load(s2, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("snap=2"),
+        "q252 gate is vacuous: newest store commit not read " +
+          "(rewrite absent or stale version resolved)")
+      require(!phys.contains("documents.parquet"),
+        "q252 gate broken: the fact table is still scanned")
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q252_docs_by_source_lang")
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -779,6 +917,27 @@ object IndexOps {
     // the fold, and the rewrite must all be invisible to the answer
     "q244_streaming_summary" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // q250: the plain FILTERED fact SQL — the key-only predicate, the
+    // summary, and the pushdown are all invisible to the answer
+    "q250_summary_filtered" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE source IN ('src1', 'src3', 'src7')
+        |GROUP BY 1""".stripMargin,
+    // q251: plain profiler-style rollup; min/max re-aggregation from
+    // the min_/max_ partials must be exact
+    "q251_summary_minmax" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // q252: plain fact SQL over the FULL corpus — a stale snap=1 read
+    // (half the corpus) cannot hash-match, so newest-wins is proven by
+    // value equality, not just the plan gate
+    "q252_summary_store" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
     // q233: the DIRECT phrase scan with no anchor prefilter anywhere —

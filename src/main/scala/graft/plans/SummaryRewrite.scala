@@ -2,75 +2,136 @@ package graft.plans
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.SparkSession
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.LongType
 
 /** Summary-table (materialized-view) REWRITE — the optimizer extension
-  * that turns `fact.groupBy(keys).agg(count/sum)` into a re-aggregation
-  * of a registered, much smaller summary artifact whenever the query's
-  * grouping is a COARSENING of the summary's keys and every measure is
-  * derivable from the summary's partial aggregates (count → Σcnt,
-  * sum(x) → Σsum_x — both are associative partials, so re-aggregating
-  * the finer-grained summary is EXACTLY the fact aggregate; this is the
+  * that turns `fact.groupBy(keys).agg(count/sum/min/max)` into a
+  * re-aggregation of a registered, much smaller summary artifact
+  * whenever the query's grouping is a COARSENING of the summary's keys
+  * and every measure is derivable from the summary's partial aggregates
+  * (count → Σcnt, sum(x) → Σsum_x, min(x) → min(min_x), max(x) →
+  * max(max_x) — all associative partials, so re-aggregating the
+  * finer-grained summary is EXACTLY the fact aggregate; this is the
   * classic rollup property every cube engine exploits, HiSS-Cube's own
   * pre-binned zoom pyramid included — `metadata_strategy.py`'s coarser
   * zooms are precisely pre-aggregations served in place of raw pixels).
   *
+  * KEY-ONLY FILTERS are served too: `Aggregate(keys, aggs,
+  * Filter(pred, scan))` rewrites when `pred` references only summary
+  * key columns — the predicate partitions whole summary rows, so it is
+  * pushed verbatim onto the summary scan. This is the most common
+  * dashboard shape (`WHERE source = 'web' GROUP BY lang`), and the
+  * Spark analogue of HiSS-Cube serving a zoom-level WINDOWED read from
+  * the pre-aggregated slice rather than raw data
+  * (`metadata_strategy_cube_visualization.py:57-72` reads one zoom
+  * table slice, not the whole cube).
+  *
+  * COVERING-SUMMARY SELECTION: all registered summaries of the fact
+  * are candidates; the rule picks the smallest (fewest keys, then
+  * registration name for determinism) whose key set covers the
+  * grouping keys AND the filter's references AND whose schema carries
+  * every needed measure. A registered summary that does not cover a
+  * query can never capture it away from one that does.
+  *
   * At 100 TB this rewrite is the difference between scanning the fact
   * table and scanning kilobytes: a (source, lang) summary of a document
   * corpus is ~sources×langs rows, and every dashboard aggregate
-  * grouped on any SUBSET of those keys is served from it, exactly,
-  * with zero query changes — the rule rewrites the logical plan, so
-  * Catalyst's own pruning/pushdown then applies to the summary scan.
+  * grouped on any SUBSET of those keys — optionally under a key-only
+  * predicate — is served from it, exactly, with zero query changes.
+  * The rule rewrites the logical plan, so Catalyst's own
+  * pruning/pushdown then applies to the summary scan.
   *
   * Soundness guardrails (each refuses the rewrite, never corrupts it):
-  * the child must be the registered fact relation (path match) under
-  * at most a column-pruning Project with NO filter in between (a
-  * filtered aggregate is NOT derivable from key-grouped partials
-  * unless the predicate is key-only — deliberately out of scope);
-  * every grouping expression must be a bare summary-key attribute;
-  * every aggregate must be COUNT(*)/COUNT(1) or SUM(attr) with the
-  * matching `cnt`/`sum_<attr>` column present in the summary schema.
-  * Output attribute ids are preserved via aliases, so the rewritten
-  * subtree is a drop-in replacement for parent operators.
+  * the child must be the registered fact relation (path-BOUNDARY
+  * match, so `documents.parquet` cannot claim `raw_documents.parquet`)
+  * under at most column-pruning Projects and deterministic,
+  * subquery-free Filters whose references are all summary keys; every
+  * grouping expression must be a bare attribute covered by the chosen
+  * summary's keys; every aggregate must be COUNT(*)/COUNT(1),
+  * SUM(attr), MIN(attr) or MAX(attr) with the matching
+  * `cnt`/`sum_<attr>`/`min_<attr>`/`max_<attr>` column present in the
+  * summary schema; and every rewritten output expression must have
+  * EXACTLY the original's dataType (`cnt` must be LongType) — a
+  * decimal measure whose re-aggregation would widen precision refuses
+  * rather than corrupting the resolved schema. Output attribute ids
+  * are preserved via aliases, so the rewritten subtree is a drop-in
+  * replacement for parent operators.
   */
 object SummaryRewrite {
 
   /** A registered summary: the fact table's path suffix it summarizes,
-    * the summary parquet path, and the key columns it is grouped by.
-    * Measure columns follow the naming contract: `cnt` for row counts,
-    * `sum_<col>` for each summed measure. */
+    * where the summary artifact lives, and the key columns it is
+    * grouped by. Measure columns follow the naming contract: `cnt` for
+    * row counts, `sum_<col>` / `min_<col>` / `max_<col>` per measure.
+    *
+    * `store` (when set) points at an [[graft.operators.IndexOps]]
+    * snapshot store instead of a fixed path: the rule resolves the
+    * NEWEST committed `snap=N` at rewrite time (one driver-side
+    * directory listing, zero Spark jobs), so a summary maintained by a
+    * streaming job — or rebuilt in a different session — is picked up
+    * without re-registration, and readers never see a half-written
+    * version (the store's FS-rename commit discipline). */
   final case class Summary(factPathSuffix: String, mvPath: String,
-      keys: Set[String])
+      keys: Set[String], store: Option[String] = None)
 
   private val registry = new ConcurrentHashMap[String, Summary]()
 
   def register(name: String, summary: Summary): Unit =
     registry.put(name, summary)
 
+  /** Register a summary served from a snapshot STORE (see
+    * [[Summary.store]]); the mvPath is resolved per query to the
+    * newest committed version. */
+  def registerStore(name: String, factPathSuffix: String, store: String,
+      keys: Set[String]): Unit =
+    registry.put(name, Summary(factPathSuffix, "", keys, Some(store)))
+
   def deregister(name: String): Unit = registry.remove(name)
 
   def clear(): Unit = registry.clear()
 
-  /** Build + persist a summary artifact honoring the naming contract:
-    * one row per key combination, `cnt`, and `sum_<col>` per measure.
-    * One map-side-combinable shuffle over the fact table — paid once,
-    * amortized over every rewritten query. */
-  def buildSummary(spark: SparkSession, factPath: String,
-      keys: Seq[String], sumCols: Seq[String], mvPath: String): Unit = {
+  /** The summary frame honoring the naming contract: one row per key
+    * combination, `cnt`, `sum_<col>`, and `min_<col>`/`max_<col>` per
+    * measure. One map-side-combinable shuffle over the fact table —
+    * paid once, amortized over every rewritten query. */
+  def summaryFrame(fact: DataFrame, keys: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions._
-    val fact = spark.read.parquet(factPath)
     val aggs = count(lit(1)).as("cnt") +:
-      sumCols.map(c => sum(col(c)).as(s"sum_$c"))
-    fact.groupBy(keys.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+      (sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+        minMaxCols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))))
+    fact.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Build + persist a summary artifact at a fixed path. */
+  def buildSummary(spark: SparkSession, factPath: String,
+      keys: Seq[String], sumCols: Seq[String], mvPath: String,
+      minMaxCols: Seq[String] = Seq.empty): Unit =
+    summaryFrame(spark.read.parquet(factPath), keys, sumCols, minMaxCols)
       .coalesce(1)
       .write.mode("overwrite").parquet(mvPath)
-  }
+
+  /** Build + commit a summary into a snapshot store via the FS-rename
+    * discipline ([[graft.operators.IndexOps.writeSnapshot]]); returns
+    * the committed version. Pair with [[registerStore]] so queries in
+    * ANY session (the store outlives the SparkSession) read the newest
+    * commit. */
+  def buildSummarySnapshot(spark: SparkSession, factPath: String,
+      keys: Seq[String], sumCols: Seq[String], store: String,
+      minMaxCols: Seq[String] = Seq.empty): Long =
+    graft.operators.IndexOps.writeSnapshot(
+      summaryFrame(spark.read.parquet(factPath), keys, sumCols, minMaxCols)
+        .coalesce(1),
+      store)
 
   case class SummaryRewriteRule(spark: SparkSession)
       extends Rule[LogicalPlan] {
@@ -81,48 +142,100 @@ object SummaryRewrite {
         case _ => Seq.empty
       }
 
-    /** The fact relation under at most an attribute-only Project
-      * (column pruning) — anything else (Filter, computed columns)
-      * refuses the rewrite. */
-    private def bareRelation(plan: LogicalPlan): Option[LogicalRelation] =
-      plan match {
-        case rel: LogicalRelation => Some(rel)
-        case Project(projectList, rel: LogicalRelation)
-            if projectList.forall(_.isInstanceOf[AttributeReference]) =>
-          Some(rel)
-        case _ => None
-      }
+    /** The fact relation under at most attribute-only Projects (column
+      * pruning) and deterministic, subquery-free Filters — anything
+      * else (computed columns, nondeterminism) refuses the rewrite.
+      * Stacked filters conjoin; whether each predicate is KEY-ONLY is
+      * judged per candidate summary later. */
+    private case class Shape(rel: LogicalRelation, pred: Option[Expression])
 
-    private def matching(rel: LogicalRelation): Option[Summary] = {
+    private def decompose(plan: LogicalPlan): Option[Shape] = plan match {
+      case rel: LogicalRelation => Some(Shape(rel, None))
+      case Project(projectList, child)
+          if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        decompose(child)
+      case Filter(cond, child)
+          if cond.deterministic &&
+            !cond.exists(_.isInstanceOf[PlanExpression[_]]) =>
+        decompose(child).map(sh =>
+          sh.copy(pred = sh.pred.map(And(cond, _)).orElse(Some(cond))))
+      case _ => None
+    }
+
+    /** All registered summaries of this relation whose keys cover the
+      * needed columns, smallest first (fewest keys, then registration
+      * name — deterministic under any registration order). Path match
+      * is boundary-anchored: `documents.parquet` matches
+      * `.../documents.parquet` but never `.../raw_documents.parquet`. */
+    private def candidates(rel: LogicalRelation,
+        needed: Set[String]): Seq[Summary] = {
       val paths = relationPaths(rel)
-      val it = registry.values().iterator()
-      while (it.hasNext) {
-        val s = it.next()
-        if (paths.exists(_.endsWith(s.factPathSuffix))) return Some(s)
-      }
-      None
+      import scala.jdk.CollectionConverters._
+      registry.entrySet().asScala.toSeq
+        .map(e => (e.getKey, e.getValue))
+        .filter { case (_, s) =>
+          paths.exists(p =>
+            p == s.factPathSuffix || p.endsWith("/" + s.factPathSuffix)) &&
+            needed.subsetOf(s.keys)
+        }
+        .sortBy { case (name, s) => (s.keys.size, name) }
+        .map(_._2)
+    }
+
+    /** Newest committed artifact for the summary — fixed path, or the
+      * latest snapshot version when store-backed (None when the store
+      * has no committed snapshot yet: refuse, the fact scan answers). */
+    private def resolveMvPath(s: Summary): Option[String] = s.store match {
+      case None => Some(s.mvPath)
+      case Some(st) =>
+        val live = graft.operators.IndexOps.snapshotVersions(spark, st)
+        if (live.isEmpty) None else Some(s"$st/snap=${live.max}")
     }
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
       case agg @ Aggregate(groupExprs, aggExprs, child, hint) =>
         val rewritten = for {
-          rel <- bareRelation(child)
-          summary <- matching(rel)
+          shape <- decompose(child)
           groupAttrs <- sequence(groupExprs.map {
-            case a: AttributeReference if summary.keys.contains(a.name) =>
-              Some(a)
+            case a: AttributeReference => Some(a)
             case _ => None
           })
-          mvPlan = spark.read.parquet(summary.mvPath)
-            .queryExecution.analyzed
-          mvAttrs = mvPlan.output.map(a => a.name -> a).toMap
-          if groupAttrs.forall(a => mvAttrs.contains(a.name))
-          if mvAttrs.contains("cnt")
-          newAggs <- sequence(aggExprs.map(rewriteAgg(_, mvAttrs)))
-        } yield Aggregate(
-          groupAttrs.map(a => mvAttrs(a.name)), newAggs, mvPlan, hint)
+          needed = groupAttrs.map(_.name).toSet ++
+            shape.pred.toSeq.flatMap(_.references.toSeq.map(_.name))
+          result <- candidates(shape.rel, needed).view
+            .flatMap(s => tryRewrite(s, groupAttrs, aggExprs,
+              shape.pred, hint))
+            .headOption
+        } yield result
         rewritten.getOrElse(agg)
     }
+
+    /** Attempt the rewrite against ONE candidate summary; any missing
+      * measure column, type mismatch, or unreadable artifact refuses
+      * this candidate (the next — or the fact scan — answers). */
+    private def tryRewrite(summary: Summary, groupAttrs: Seq[AttributeReference],
+        aggExprs: Seq[NamedExpression], pred: Option[Expression],
+        hint: Option[AggregateHint]): Option[Aggregate] = for {
+      path <- resolveMvPath(summary)
+      mvPlan <- Try(spark.read.parquet(path).queryExecution.analyzed).toOption
+      mvAttrs = mvPlan.output.map(a => a.name -> a).toMap
+      if groupAttrs.forall(a => mvAttrs.contains(a.name))
+      if pred.forall(_.references.toSeq.forall(r => mvAttrs.contains(r.name)))
+      cnt <- mvAttrs.get("cnt")
+      if cnt.dataType == LongType
+      // type-preservation contract: the substituted expression must
+      // resolve to EXACTLY the original dataType, or parents would see
+      // a corrupted schema (e.g. decimal Sum re-aggregation widens)
+      newAggs <- sequence(aggExprs.map(e =>
+        rewriteAgg(e, mvAttrs).filter(_.dataType == e.dataType)))
+      newChild = pred match {
+        case Some(p) => Filter(p.transform {
+          case a: AttributeReference => mvAttrs(a.name)
+        }, mvPlan)
+        case None => mvPlan
+      }
+    } yield Aggregate(
+      groupAttrs.map(a => mvAttrs(a.name)), newAggs, newChild, hint)
 
     private def sequence[T](xs: Seq[Option[T]]): Option[Seq[T]] =
       if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
@@ -138,6 +251,8 @@ object SummaryRewrite {
         Some(Alias(mv(a.name), a.name)(exprId = a.exprId))
       case Alias(ae: AggregateExpression, name)
           if !ae.isDistinct && ae.filter.isEmpty =>
+        def agg(fn: AggregateFunction): Expression =
+          AggregateExpression(fn, Complete, isDistinct = false)
         ae.aggregateFunction match {
           case c: Count
               // COUNT(*) / COUNT(<non-null constant>) — a null-able or
@@ -147,16 +262,23 @@ object SummaryRewrite {
             // rows exist, so the sum is never null — coalesce keeps
             // the original non-nullable contract explicit
             Some(Alias(
-              Coalesce(Seq(
-                AggregateExpression(Sum(mv("cnt")), Complete,
-                  isDistinct = false),
-                Literal(0L))),
+              Coalesce(Seq(agg(Sum(mv("cnt"))), Literal(0L))),
               name)(exprId = e.exprId))
           case s: Sum => s.child match {
             case a: AttributeReference if mv.contains(s"sum_${a.name}") =>
-              Some(Alias(
-                AggregateExpression(
-                  Sum(mv(s"sum_${a.name}")), Complete, isDistinct = false),
+              Some(Alias(agg(Sum(mv(s"sum_${a.name}"))),
+                name)(exprId = e.exprId))
+            case _ => None
+          }
+          case m: Min => m.child match {
+            case a: AttributeReference if mv.contains(s"min_${a.name}") =>
+              Some(Alias(agg(Min(mv(s"min_${a.name}"))),
+                name)(exprId = e.exprId))
+            case _ => None
+          }
+          case m: Max => m.child match {
+            case a: AttributeReference if mv.contains(s"max_${a.name}") =>
+              Some(Alias(agg(Max(mv(s"max_${a.name}"))),
                 name)(exprId = e.exprId))
             case _ => None
           }

@@ -79,12 +79,44 @@ class SummaryRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("refuses filters, non-key groupings, and non-derivable aggregates") {
+  test("fires under a KEY-ONLY filter, pushed onto the summary scan") {
     withSummary {
-      // a filter between scan and aggregate changes the counts
+      val shapes = Seq(
+        docs.filter($"source" === "src1").groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("sc")),
+        // conjunction of key predicates, grouping on the filtered key
+        docs.filter($"source" =!= "src1" && $"lang" =!= "de")
+          .groupBy($"source").agg(count(lit(1)).as("n")),
+        // filter + GLOBAL aggregate (empty coarsening)
+        docs.filter($"lang" === "en")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("sc")))
+      shapes.zipWithIndex.foreach { case (q, i) =>
+        assert(usesMv(q), s"key-only filtered shape $i did not rewrite")
+        SummaryRewrite.deregister("spec_mv")
+        val expect = q.collect().map(_.toSeq).toSet
+        SummaryRewrite.register("spec_mv",
+          SummaryRewrite.Summary("documents.parquet", mv,
+            Set("source", "lang")))
+        assert(q.collect().map(_.toSeq).toSet === expect, s"shape $i")
+      }
+    }
+  }
+
+  test("refuses non-key filters, non-key groupings, non-derivable aggregates") {
+    withSummary {
+      // a NON-KEY filter between scan and aggregate changes the counts
       val filtered = docs.filter($"n_chars" > 100)
         .groupBy($"source").agg(count(lit(1)).as("n"))
-      assert(!usesMv(filtered), "filtered aggregate must not rewrite")
+      assert(!usesMv(filtered), "non-key-filtered aggregate must not rewrite")
+      // a mixed predicate (key AND non-key) is still non-key
+      val mixed = docs.filter($"source" === "src1" && $"n_chars" > 100)
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+      assert(!usesMv(mixed), "mixed-filter aggregate must not rewrite")
+      // a nondeterministic key-only filter must not be replayed
+      // (rand() < 0.5 — an always-true rand bound would be folded away)
+      val nondet = docs.filter($"source" === "src1" && rand() < 0.5)
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+      assert(!usesMv(nondet), "nondeterministic filter must not rewrite")
       // grouping on a non-key column is not derivable
       val nonKey = docs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       assert(!usesMv(nonKey), "non-key grouping must not rewrite")
@@ -107,5 +139,139 @@ class SummaryRewriteSpec extends AnyFunSuite {
     }
     val after = docs.groupBy($"source").agg(count(lit(1)).as("n"))
     assert(!usesMv(after))
+  }
+
+  test("MIN/MAX measures rewrite from min_/max_ summary columns, exactly") {
+    val mmMv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/mm"
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = mmMv, minMaxCols = Seq("n_chars", "doc_id"))
+    SummaryRewrite.register("spec_mm",
+      SummaryRewrite.Summary("documents.parquet", mmMv,
+        Set("source", "lang")))
+    try {
+      val q = docs.groupBy($"source").agg(
+        min($"n_chars").as("lo"), max($"n_chars").as("hi"),
+        max($"doc_id").as("last_id"), count(lit(1)).as("n"))
+      assert(usesMv(q), "min/max rollup did not rewrite")
+      SummaryRewrite.deregister("spec_mm")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_mm",
+        SummaryRewrite.Summary("documents.parquet", mmMv,
+          Set("source", "lang")))
+      assert(q.collect().map(_.toSeq).toSet === expect)
+      // a min over a column with no min_ partial refuses
+      val noPartial = docs.groupBy($"source").agg(min($"text").as("t"))
+      assert(!usesMv(noPartial), "min without min_ column must not rewrite")
+    } finally SummaryRewrite.deregister("spec_mm")
+  }
+
+  test("covering-summary selection: a non-covering first summary never " +
+      "captures the query; the covering one fires") {
+    // 'a_narrow' sorts FIRST by name and has FEWER keys — it would win
+    // every tie-break — but it does not cover a grouping on lang, so
+    // the (source, lang) summary must serve that query.
+    val narrowMv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/narrow"
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source"), sumCols = Seq("n_chars"), mvPath = narrowMv)
+    SummaryRewrite.register("a_narrow",
+      SummaryRewrite.Summary("documents.parquet", narrowMv, Set("source")))
+    SummaryRewrite.register("b_wide",
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    try {
+      val byLang = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+      val plan = byLang.queryExecution.executedPlan.toString
+      assert(plan.contains("/mv") && !plan.contains("/narrow") &&
+        !plan.contains("documents.parquet"),
+        "grouping on lang must be served by the covering (source,lang) " +
+          s"summary, got:\n$plan")
+      // and the smaller summary wins where it DOES cover
+      val bySource = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      val plan2 = bySource.queryExecution.executedPlan.toString
+      assert(plan2.contains("/narrow"),
+        s"source grouping should pick the smaller summary, got:\n$plan2")
+      SummaryRewrite.deregister("a_narrow")
+      SummaryRewrite.deregister("b_wide")
+      val expect = byLang.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("b_wide",
+        SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+      assert(byLang.collect().map(_.toSeq).toSet === expect)
+    } finally {
+      SummaryRewrite.deregister("a_narrow")
+      SummaryRewrite.deregister("b_wide")
+    }
+  }
+
+  test("path match is boundary-anchored: a suffix summary never claims " +
+      "a different table") {
+    // register a summary for a FAKE fact whose name is a string suffix
+    // of documents.parquet's path tail — it must not capture documents
+    SummaryRewrite.register("spec_sfx",
+      SummaryRewrite.Summary("uments.parquet", mv, Set("source", "lang")))
+    try {
+      val q = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      assert(!usesMv(q), "suffix-only path match must not fire")
+    } finally SummaryRewrite.deregister("spec_sfx")
+  }
+
+  test("type mismatch refuses: an int-typed cnt never substitutes") {
+    val badMv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/bad"
+    spark.read.parquet(mv)
+      .withColumn("cnt", col("cnt").cast("int"))
+      .write.parquet(badMv)
+    SummaryRewrite.register("spec_bad",
+      SummaryRewrite.Summary("documents.parquet", badMv,
+        Set("source", "lang")))
+    try {
+      val q = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      assert(!usesMv(q), "non-long cnt must refuse the rewrite")
+    } finally SummaryRewrite.deregister("spec_bad")
+  }
+
+  test("snapshot-store summary: registration survives rebuilds and " +
+      "sessions; newest commit is read") {
+    SummaryRewrite.install(spark) // standalone-run safe (mv is lazy)
+    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/mvstore"
+    val v1 = SummaryRewrite.buildSummarySnapshot(spark,
+      s"$dir/documents.parquet", keys = Seq("source", "lang"),
+      sumCols = Seq("n_chars"), store = store)
+    assert(v1 === 1L)
+    SummaryRewrite.registerStore("spec_store", "documents.parquet",
+      store, Set("source", "lang"))
+    try {
+      // def, not val: queryExecution memoizes per DataFrame, and the
+      // point here is that a FRESH query resolves the newest commit
+      def q = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      val p1 = q.queryExecution.executedPlan.toString
+      assert(p1.contains("snap=1") && !p1.contains("documents.parquet"),
+        s"store-backed rewrite should read snap=1, got:\n$p1")
+      // a second commit is picked up WITHOUT re-registration
+      val v2 = SummaryRewrite.buildSummarySnapshot(spark,
+        s"$dir/documents.parquet", keys = Seq("source", "lang"),
+        sumCols = Seq("n_chars"), store = store)
+      assert(v2 === 2L)
+      val p2 = q.queryExecution.executedPlan.toString
+      assert(p2.contains("snap=2"), s"newest commit must win, got:\n$p2")
+      // cross-session: a FRESH session state (new experimental-rule
+      // list) installs the rule and reads the store written above —
+      // the artifact + registration outlive the writing session's state
+      val s2 = spark.newSession()
+      SummaryRewrite.install(s2)
+      val q2 = graft.Tables.load(s2, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val p3 = q2.queryExecution.executedPlan.toString
+      assert(p3.contains("snap=2") && !p3.contains("documents.parquet"),
+        s"fresh session must serve from the committed store, got:\n$p3")
+      SummaryRewrite.deregister("spec_store")
+      val expect = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+        .collect().map(_.toSeq).toSet
+      SummaryRewrite.registerStore("spec_store", "documents.parquet",
+        store, Set("source", "lang"))
+      assert(q.collect().map(_.toSeq).toSet === expect)
+    } finally SummaryRewrite.deregister("spec_store")
   }
 }
