@@ -588,9 +588,17 @@ object HygieneOps {
   /** q247 — right-to-be-forgotten propagation: delete every trace of a
     * user set across the fact tables and ACCOUNT the deletion — per
     * table, rows before / removed / after with conservation (before =
-    * removed + after), plus a residue check folded into the gated row
-    * (rows still referencing a forgotten user AFTER the delete — must
-    * be 0, and the gate hashes it so a leaky propagation cannot pass).
+    * removed + after), plus a residue check folded into the gated row.
+    * n_residue = n_matched − n_removed, where n_matched is counted by
+    * an INDEPENDENT semi-join scan against the forget set and
+    * n_removed falls out of the anti-join that produced the kept
+    * frame: the two joins derive the same partition of the table from
+    * different plans, so an anti-join that leaks (keeps a row whose
+    * key matches — e.g. a null-semantics divergence) yields residue
+    * > 0 and an over-delete yields residue < 0; the gate hashes it, so
+    * either failure mode breaks the green row. (A semi-join against
+    * the just-anti-joined frame would be 0 by construction — that is
+    * the tautology this accounting deliberately avoids.)
     * The compliance op every data platform needs: deletion is an
     * anti-join per table (broadcast when the forget-set is
     * request-sized, as it always is), accounting is one aggregate per
@@ -602,11 +610,11 @@ object HygieneOps {
       val kept = df.join(f, keyCol === $"fid", "left_anti")
       val before = df.count()
       val after = kept.count()
-      val residue = kept.join(f, keyCol === $"fid", "left_semi").count()
+      val matched = df.join(f, keyCol === $"fid", "left_semi").count()
       forget.sparkSession.range(1).select(
         lit(name).as("table_name"), lit(before).as("n_before"),
         lit(before - after).as("n_removed"), lit(after).as("n_after"),
-        lit(residue).as("n_residue"))
+        lit(matched - (before - after)).as("n_residue"))
     }.reduce(_ unionByName _)
   }
 

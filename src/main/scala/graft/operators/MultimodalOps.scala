@@ -165,9 +165,6 @@ object MultimodalOps {
         val px = decodePixels(r.media)
         val (small, w2, h2) = resizeHalf(px, r.width, r.height)
         // real-codec roundtrip: re-encode the thumbnail, decode back
-        val bytes = new Array[Byte](small.length)
-        var i = 0
-        while (i < small.length) { bytes(i) = small(i).toByte; i += 1 }
         val img = new BufferedImage(w2, h2, BufferedImage.TYPE_BYTE_GRAY)
         var y = 0
         while (y < h2) {

@@ -78,12 +78,17 @@ object WarehouseOps {
     * count-distincts make Catalyst plan an Expand (one replicated
     * stream per distinct column) — that is the honest cost of exact
     * per-column cardinality and it is map-side partial-aggregated per
-    * column; for a 100 TB profile where approximate cardinality is
-    * acceptable, swap `count_distinct` for `approx_count_distinct` and
-    * the Expand disappears. The profile output is #columns rows. */
-  def profileTable(df: DataFrame): DataFrame = {
+    * column. `approx = true` is the 100 TB escape hatch: n_distinct
+    * becomes `approx_count_distinct` (HLL++, default rsd 0.05), the
+    * Expand DISAPPEARS (every measure partial-aggregates over ONE
+    * stream of the input — n× less aggregate input), and null counts
+    * plus min/max stay exact. The profile output is #columns rows
+    * either way. */
+  def profileTable(df: DataFrame, approx: Boolean = false): DataFrame = {
     val s = df.sparkSession
     val cols = df.schema.fields
+    def nd(c: org.apache.spark.sql.Column) =
+      if (approx) approx_count_distinct(c) else count_distinct(c)
     val aggs = cols.flatMap { f =>
       val c = col(f.name)
       val strMinMax = f.dataType match {
@@ -97,7 +102,7 @@ object WarehouseOps {
             lit(null).cast("string").as(s"max_${f.name}"))
       }
       Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls_${f.name}"),
-        count_distinct(c).as(s"nd_${f.name}")) ++ strMinMax
+        nd(c).as(s"nd_${f.name}")) ++ strMinMax
     }
     val one = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
     val stacked = cols.map { f =>

@@ -79,6 +79,35 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(out("s") === ((1L, 1L, "x", "x")))
   }
 
+  test("q214 approx mode: the Expand disappears, nulls/min/max stay " +
+    "exact, and cardinality error is within the HLL++ contract") {
+    val orders = load(spark, dir, "orders")
+    val exactPlan = WarehouseOps.profileTable(orders)
+      .queryExecution.executedPlan.toString
+    val approxDf = WarehouseOps.profileTable(orders, approx = true)
+    val approxPlan = approxDf.queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "exact profile should pay the Expand (the law's premise)")
+    assert(!approxPlan.contains("Expand"),
+      s"approx profile must not plan an Expand:\n$approxPlan")
+    val exact = WarehouseOps.profileTable(orders).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    val approx = approxDf.collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.keySet.foreach { c =>
+      val (e, a) = (exact(c), approx(c))
+      // everything except n_distinct is computed identically
+      assert(a.getAs[Long]("n_nulls") === e.getAs[Long]("n_nulls"), c)
+      assert(a.getAs[String]("min_str") === e.getAs[String]("min_str"), c)
+      assert(a.getAs[String]("max_str") === e.getAs[String]("max_str"), c)
+      // HLL++ default rsd = 0.05; allow 5 sigma on this corpus
+      val (en, an) = (e.getAs[Long]("n_distinct"), a.getAs[Long]("n_distinct"))
+      assert(math.abs(an - en) <= math.max(1L, (0.25 * en).toLong),
+        s"$c: approx $an vs exact $en out of bound")
+    }
+  }
+
   // ---------------------------------------------------------------- q217
 
   test("q217: planted 1-1 metadata ties resolve by value order, and " +
