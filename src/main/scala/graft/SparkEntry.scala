@@ -612,6 +612,12 @@ object SparkEntry {
     // summary committed twice through the snapshot store, consumed by
     // a FRESH session resolving the newest version; plan-required
     "q252_summary_store" -> (IndexOps.q252SummaryStore _),
+    // approx profiler: no-Expand plan gate + in-query HLL error bound
+    // over every column; hashed output is the exact profile
+    "q253_profile_approx" -> (WarehouseOps.q253ProfileApprox _),
+    // algebraic AVG (Σsum/Σcnt) under a key filter, served by the
+    // summary rewrite; plan-required
+    "q254_summary_avg" -> (IndexOps.q254SummaryAvg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

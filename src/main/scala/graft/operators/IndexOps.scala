@@ -271,9 +271,16 @@ object IndexOps {
     * the dashboard aggregate reads kilobytes while the fact table only
     * ever pays one pass per batch AT ingest.
     *
+    * The fold lands through [[writeSnapshot]]'s FS-rename commit and
+    * is registered store-backed, so the maintenance loop and every
+    * other summary producer share one crash-safe commit path and the
+    * next fold is picked up with zero re-registration (q252 proves
+    * the cross-session read of the same discipline).
+    *
     * Non-vacuity (the q133 rule): ≥ 2 shard files must exist (the
     * stream really produced multiple partials), the rewritten plan
-    * must scan the folded summary and must not scan the fact table. */
+    * must scan the folded summary through a store commit (`snap=`)
+    * and must not scan the fact table. */
   def q244StreamingSummary(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     import graft.plans.SummaryRewrite
@@ -309,21 +316,30 @@ object IndexOps {
       .count(_.getPath.getName.endsWith(".parquet"))
     require(nShards >= 2,
       s"q244 gate is vacuous: expected >= 2 partial shards, got $nShards")
-    // fold to the rewrite's naming contract: partials sum-merge
-    val mv = s"$tmp/docs_by_source_lang"
-    s.read.parquet(s"$tmp/shards")
-      .groupBy($"source", $"lang")
-      .agg(sum($"cnt").as("cnt"), sum($"sum_n_chars").as("sum_n_chars"))
-      .coalesce(1).write.mode("overwrite").parquet(mv)
+    // fold to the rewrite's naming contract, COMMITTED through the
+    // snapshot store's FS-rename discipline: the maintenance job and
+    // every other summary producer share one crash-safe commit path,
+    // and the store-backed registration resolves this (and any later)
+    // commit without re-registration
+    val store = s"$tmp/docs_by_source_lang"
+    val v = writeSnapshot(
+      s.read.parquet(s"$tmp/shards")
+        .groupBy($"source", $"lang")
+        .agg(sum($"cnt").as("cnt"), sum($"sum_n_chars").as("sum_n_chars"))
+        .coalesce(1),
+      store)
+    require(v == 1L, s"q244: expected first store commit, got snap=$v")
     SummaryRewrite.install(s)
-    SummaryRewrite.register("q244_docs_by_source_lang",
-      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    SummaryRewrite.registerStore("q244_docs_by_source_lang",
+      "documents.parquet", store, Set("source", "lang"))
     try {
       val agg = docs.groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
       val phys = agg.queryExecution.executedPlan.toString
       require(phys.contains("docs_by_source_lang"),
         "q244 gate is vacuous: the rewrite did not fire")
+      require(phys.contains("snap="),
+        "q244 gate broken: the summary is not read from a store commit")
       require(!phys.contains("documents.parquet"),
         "q244 gate broken: the fact table is still scanned")
       // bounded: one row per lang (the q243 materialization rule)
@@ -468,6 +484,45 @@ object IndexOps {
       val rows = q.collect().toIndexedSeq
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
     } finally SummaryRewrite.deregister("q252_docs_by_source_lang")
+  }
+
+  // --------------------------------------------------------------- q254
+
+  /** q254 — AVG under a key filter, served by the summary: the mean is
+    * not a distributive aggregate, but it IS algebraic — avg(x) =
+    * Σsum_x / Σcnt over the same two partials the count/sum rewrites
+    * ride — so the single most common dashboard statistic costs the
+    * fact table nothing once a summary exists. The Long sum partial
+    * re-aggregates exactly and the division happens once per output
+    * group, which matches DuckDB's exact integer-avg semantics (and
+    * Spark's own double-accumulated Average everywhere the sum is
+    * exactly representable). Plan-gated like q250: summary read under
+    * the pushed key predicate, fact never scanned. */
+  def q254SummaryAvg(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q254")
+      .toString + "/docs_by_source_lang"
+    SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q254_docs_by_source_lang",
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    try {
+      val q = load(s, dir, "documents")
+        .filter($"lang".isin("en", "zh"))
+        .groupBy($"source")
+        .agg(avg($"n_chars").as("avg_chars"), count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("docs_by_source_lang"),
+        "q254 gate is vacuous: the avg rewrite did not fire")
+      require(!phys.contains("documents.parquet"),
+        "q254 gate broken: the fact table is still scanned")
+      require(phys.contains("zh"),
+        "q254 gate broken: the key predicate vanished from the plan")
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q254_docs_by_source_lang")
   }
 
   // ------------------------------------------------- file-stats manifest
@@ -940,6 +995,14 @@ object IndexOps {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    // q254: plain filtered avg/count/sum SQL — DuckDB's exact integer
+    // avg (hugeint sum, one division) matches the rewrite's exact-Long
+    // Σsum_x / Σcnt derivation
+    "q254_summary_avg" ->
+      """SELECT source, avg(n_chars) AS avg_chars,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'zh') GROUP BY 1""".stripMargin,
     // q233: the DIRECT phrase scan with no anchor prefilter anywhere —
     // hash equality proves the index-anchored two-phase plan lossless
     "q233_phrase_anchored" ->

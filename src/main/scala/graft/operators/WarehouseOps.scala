@@ -116,6 +116,40 @@ object WarehouseOps {
   def q214TableProfile(s: SparkSession, dir: String): DataFrame =
     profileTable(load(s, dir, "orders"))
 
+  // --------------------------------------------------------------- q253
+
+  /** q253 — the profiler's 100 TB escape hatch, gated: the approx
+    * profile (`approx_count_distinct`) must plan WITHOUT the Expand
+    * the exact profile pays (the in-plan property that makes it
+    * affordable on a wide fact table — one input stream instead of
+    * one replicated stream per column), its non-cardinality measures
+    * must be computed through the same exact path, and its HLL++
+    * cardinalities must sit within bound of the exact ones — checked
+    * in-query over every column, so a drifting sketch breaks the run,
+    * not a dashboard. The gated output is the EXACT profile (approx
+    * values are engine-specific and never hashed); the oracle replays
+    * it column by column. */
+  def q253ProfileApprox(s: SparkSession, dir: String): DataFrame = {
+    val orders = load(s, dir, "orders")
+    val approxDf = profileTable(orders, approx = true)
+    val exactDf = profileTable(orders)
+    val physA = approxDf.queryExecution.executedPlan.toString
+    require(!physA.contains("Expand"),
+      "q253 gate broken: the approx profile still plans an Expand")
+    require(exactDf.queryExecution.executedPlan.toString.contains("Expand"),
+      "q253 gate vacuous: the exact baseline lost its Expand " +
+        "(the premise the escape hatch is measured against)")
+    val joined = exactDf.join(
+      approxDf.select($"column", $"n_distinct".as("nd_approx")), "column")
+    // HLL++ default rsd 0.05; 5 sigma + slack-of-1 on this corpus
+    val viol = joined.filter(
+      abs($"nd_approx" - $"n_distinct") >
+        greatest(lit(1L), ($"n_distinct" / lit(4L)))).count()
+    require(viol == 0L,
+      s"q253 gate broken: $viol columns outside the HLL error bound")
+    exactDf
+  }
+
   // --------------------------------------------------------------- q217
 
   /** Golden-record survivorship: within each duplicate cluster
@@ -311,6 +345,39 @@ object WarehouseOps {
     // q214: per-column stats as a UNION ALL — min/max only for integer
     // and varchar columns (float rendering is dialect territory)
     "q214_table_profile" ->
+      """SELECT 'o_orderkey' AS column,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_str FROM orders
+        |UNION ALL SELECT 'o_custkey',
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |UNION ALL SELECT 'o_orderstatus',
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |  FROM orders
+        |UNION ALL SELECT 'o_totalprice',
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'o_orderdate',
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'o_orderpriority',
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |  CAST(min(o_orderpriority) AS VARCHAR),
+        |  CAST(max(o_orderpriority) AS VARCHAR) FROM orders""".stripMargin,
+    // q253: the gated OUTPUT is the exact profile (identical SQL shape
+    // to q214) — the approx machinery is proven by the in-query plan
+    // gate (no Expand) and the in-query HLL error bound, both of which
+    // throw rather than hash
+    "q253_profile_approx" ->
       """SELECT 'o_orderkey' AS column,
         |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Summary-table (materialized-view) REWRITE — the optimizer extension
   * that turns `fact.groupBy(keys).agg(count/sum/min/max)` into a
@@ -56,7 +56,8 @@ import org.apache.spark.sql.types.LongType
   * subquery-free Filters whose references are all summary keys; every
   * grouping expression must be a bare attribute covered by the chosen
   * summary's keys; every aggregate must be COUNT(*)/COUNT(1),
-  * SUM(attr), MIN(attr) or MAX(attr) with the matching
+  * SUM(attr), MIN(attr), MAX(attr), or AVG(attr) — the last derived
+  * as Σsum_attr / Σcnt over a Long partial — with the matching
   * `cnt`/`sum_<attr>`/`min_<attr>`/`max_<attr>` column present in the
   * summary schema; and every rewritten output expression must have
   * EXACTLY the original's dataType (`cnt` must be LongType) — a
@@ -279,6 +280,24 @@ object SummaryRewrite {
           case m: Max => m.child match {
             case a: AttributeReference if mv.contains(s"max_${a.name}") =>
               Some(Alias(agg(Max(mv(s"max_${a.name}"))),
+                name)(exprId = e.exprId))
+            case _ => None
+          }
+          // AVG(x) = Σsum_x / Σcnt — derivable from the same two
+          // partials the count/sum rewrites ride. Long measures only
+          // (the guard below): the quotient is then DoubleType like
+          // the original, and the exact-Long Σsum_x matches DuckDB's
+          // exact integer-avg semantics (Spark's unrewritten Average
+          // accumulates integral sums in double — bit-identical while
+          // the total stays under 2^53, i.e. everywhere it is exact).
+          case av: Average => av.child match {
+            case a: AttributeReference
+                if mv.contains(s"sum_${a.name}") &&
+                  mv(s"sum_${a.name}").dataType == LongType =>
+              Some(Alias(
+                Divide(
+                  Cast(agg(Sum(mv(s"sum_${a.name}"))), DoubleType),
+                  Cast(agg(Sum(mv("cnt"))), DoubleType)),
                 name)(exprId = e.exprId))
             case _ => None
           }

@@ -120,9 +120,10 @@ class SummaryRewriteSpec extends AnyFunSuite {
       // grouping on a non-key column is not derivable
       val nonKey = docs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       assert(!usesMv(nonKey), "non-key grouping must not rewrite")
-      // avg is not in the measure contract (would need cnt-weighting)
-      val avgQ = docs.groupBy($"source").agg(avg($"n_chars").as("a"))
-      assert(!usesMv(avgQ), "avg must not rewrite")
+      // avg of a column with NO sum partial in the summary refuses
+      // (avg n_chars DOES rewrite — the dedicated law below)
+      val avgQ = docs.groupBy($"source").agg(avg($"doc_id").as("a"))
+      assert(!usesMv(avgQ), "avg without a sum partial must not rewrite")
       // count(column) skips nulls — not derivable from cnt
       val countCol = docs.groupBy($"source").agg(count($"lang").as("n"))
       assert(!usesMv(countCol), "count(col) must not rewrite")
@@ -139,6 +140,20 @@ class SummaryRewriteSpec extends AnyFunSuite {
     }
     val after = docs.groupBy($"source").agg(count(lit(1)).as("n"))
     assert(!usesMv(after))
+  }
+
+  test("AVG rewrites as sum-partial over cnt, bit-equal to the fact plan") {
+    withSummary {
+      val q = docs.groupBy($"source")
+        .agg(avg($"n_chars").as("a"), count(lit(1)).as("n"))
+      assert(usesMv(q), "avg over a summed measure did not rewrite")
+      SummaryRewrite.deregister("spec_mv")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_mv",
+        SummaryRewrite.Summary("documents.parquet", mv,
+          Set("source", "lang")))
+      assert(q.collect().map(_.toSeq).toSet === expect)
+    }
   }
 
   test("MIN/MAX measures rewrite from min_/max_ summary columns, exactly") {
