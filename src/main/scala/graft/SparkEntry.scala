@@ -618,6 +618,12 @@ object SparkEntry {
     // algebraic AVG (Σsum/Σcnt) under a key filter, served by the
     // summary rewrite; plan-required
     "q254_summary_avg" -> (IndexOps.q254SummaryAvg _),
+    // share-of-total window + integer ppm ABOVE the summary-served
+    // rollup: the rewrite composes under parent operators
+    "q255_summary_share" -> (IndexOps.q255SummaryShare _),
+    // Gopher-style within-document duplicate-2-gram quality profile;
+    // in-row gram array (no explode), one aggregate on source
+    "q256_dup_ngram" -> (CurationOps.q256DupNgram _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -432,6 +432,44 @@ object CurationOps {
   def q145CharEntropy(s: SparkSession, dir: String): DataFrame =
     charEntropyProfile(load(s, dir, "documents"))
 
+  /** WITHIN-document repetition quality — the Gopher/FineWeb
+    * duplicate-n-gram family (Rae et al. 2021 §A1.1: "fraction of
+    * characters in duplicate n-grams"; here the word-2-gram variant
+    * the corpus shape supports): per document, dup_permille =
+    * ⌊(g − distinct(g))·1000 / g⌋ over its word-2-gram multiset — 0
+    * for fully novel text, → 1000 for a loop — then per source: docs,
+    * docs flagged at the Gopher-style ≥ threshold, and the summed
+    * per-mille mass. Catches the looping/boilerplate failure mode
+    * that CROSS-doc dedup (q23/q64/q87) structurally cannot: the
+    * repetition is inside one row.
+    *
+    * SCALE: the gram array never leaves its row — built by a
+    * higher-order `transform` over the split (no explode, no shuffle
+    * of gram strings), consumed in-row by size/array_distinct, then
+    * ONE map-side-combinable aggregate on source. Per-row cost is
+    * O(words); corpus cost is one scan. Integer per-mille floor-div
+    * keeps the hash float-free on both engines. */
+  def dupNgramProfile(docs: DataFrame, flagPermille: Long): DataFrame = {
+    val per = docs
+      .select($"source", split($"text", " ").as("w"))
+      .withColumn("n2", (size($"w") - 1).cast("long"))
+      .filter($"n2" >= 1L)
+      .withColumn("grams", expr(
+        "transform(sequence(1, int(n2)), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+      .select($"source", $"n2",
+        expr("((n2 - size(array_distinct(grams))) * 1000) div n2")
+          .as("dup_permille"))
+    per.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when($"dup_permille" >= flagPermille, 1L).otherwise(0L))
+        .as("n_flagged"),
+      sum($"dup_permille").as("sum_dup_permille"))
+  }
+
+  def q256DupNgram(s: SparkSession, dir: String): DataFrame =
+    dupNgramProfile(load(s, dir, "documents"), flagPermille = 100L)
+
   /** Greedy per-source TOKEN-BUDGET draw — the mixture-realization step
     * of a pretraining data recipe: each source contributes documents in
     * the deterministic [[epochOrder]] permutation until its token
@@ -852,6 +890,24 @@ object CurationOps {
     sourceSimilarity(load(s, dir, "documents"))
 
   val oracles: Map[String, String] = Map(
+    // q256: the word-2-gram dup fraction replayed with DuckDB's
+    // 1-based list ops — same ≥2-word filter, same per-mille floor
+    "q256_dup_ngram" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (SELECT source, CAST(len(w) - 1 AS BIGINT) AS n2,
+        |    list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i + 1]) AS grams
+        |  FROM d WHERE len(w) >= 2),
+        |m AS (SELECT source,
+        |    ((n2 - len(list_distinct(grams))) * 1000) // n2
+        |      AS dup_permille
+        |  FROM g)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN dup_permille >= 100 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flagged,
+        |  CAST(sum(dup_permille) AS BIGINT) AS sum_dup_permille
+        |FROM m GROUP BY 1""".stripMargin,
     // q223: the integer-log likelihood-ratio replay — same add-1,
     // same bitlen-1 logs, same K offset from the scalar totals
     "q223_dsir_select" ->

@@ -525,6 +525,47 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q254_docs_by_source_lang")
   }
 
+  // --------------------------------------------------------------- q255
+
+  /** q255 — the rewritten aggregate COMPOSES: a share-of-total window
+    * and an integer ppm derivation sit ABOVE the summary-served
+    * rollup, untouched by the rule (the rewrite swaps the Aggregate's
+    * subtree in place, exprIds preserved, so parent operators never
+    * know). This is the actual shape dashboards ship — rollup + share
+    * of total — and the window runs over the AGGREGATED rows
+    * (summary-sized, here one per source), never the fact table, so
+    * the empty-frame window that would be a scale-killer on raw data
+    * is free here. Share is floor(n·10⁶ / total): exact integer ppm,
+    * no float division near the hash. */
+  def q255SummaryShare(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q255")
+      .toString + "/docs_by_source_lang"
+    SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q255_docs_by_source_lang",
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    try {
+      val base = load(s, dir, "documents")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      val q = base
+        .withColumn("total",
+          sum($"n_docs").over(org.apache.spark.sql.expressions.Window
+            .partitionBy()))
+        .withColumn("share_ppm", expr("(n_docs * 1000000) div total"))
+        .drop("total")
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("docs_by_source_lang"),
+        "q255 gate is vacuous: the rewrite did not fire under the window")
+      require(!phys.contains("documents.parquet"),
+        "q255 gate broken: the fact table is still scanned")
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q255_docs_by_source_lang")
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -1003,6 +1044,17 @@ object IndexOps {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('en', 'zh') GROUP BY 1""".stripMargin,
+    // q255: rollup + share-of-total — the window and the ppm floor-div
+    // replayed over the plain fact rollup; the summary is invisible
+    "q255_summary_share" ->
+      """WITH b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n_docs, sum_chars,
+        |  CAST((n_docs * 1000000)
+        |    // (SELECT CAST(sum(n_docs) AS BIGINT) FROM b) AS BIGINT)
+        |    AS share_ppm
+        |FROM b""".stripMargin,
     // q233: the DIRECT phrase scan with no anchor prefilter anywhere —
     // hash equality proves the index-anchored two-phase plan lossless
     "q233_phrase_anchored" ->

@@ -548,4 +548,21 @@ class CurationOpsSpec extends AnyFunSuite {
         ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
     assert(out === naive)
   }
+
+  test("q256: dup-2-gram per-mille pins the loop, the novel text, and " +
+    "the one-word exclusion") {
+    val docs = Seq(
+      (1L, "a b a b a b", "s"),   // grams: ab ba ab ba ab -> 5 total, 2 distinct -> 600
+      (2L, "p q r s t", "s"),     // 4 grams all distinct -> 0
+      (3L, "x x x x", "s"),       // 3 grams, 1 distinct -> (2*1000) div 3 = 666
+      (4L, "solo", "s"))          // < 2 words: excluded from the profile
+      .toDF("doc_id", "text", "source")
+    val out = CurationOps.dupNgramProfile(docs, flagPermille = 100L)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") === 3L)          // doc 4 excluded
+    assert(r.getAs[Long]("n_flagged") === 2L)       // 600 and 666
+    assert(r.getAs[Long]("sum_dup_permille") === 600L + 0L + 666L)
+  }
 }
