@@ -624,6 +624,9 @@ object SparkEntry {
     // Gopher-style within-document duplicate-2-gram quality profile;
     // in-row gram array (no explode), one aggregate on source
     "q256_dup_ngram" -> (CurationOps.q256DupNgram _),
+    // percentile_approx gated by its own rank-error contract against
+    // the exact histogram; hashed output is the exact quantile table
+    "q257_quantile_approx" -> (SketchOps.q257QuantileApprox _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

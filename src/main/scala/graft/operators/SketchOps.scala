@@ -56,6 +56,48 @@ object SketchOps {
   def q146TokenQuantiles(s: SparkSession, dir: String): DataFrame =
     tokenQuantiles(load(s, dir, "documents"))
 
+  // ---------------------------------------------------------------- q257
+
+  /** q257 — the quantile 100 TB escape hatch, gated like q253: Spark's
+    * `percentile_approx` (Greenwald-Khanna style summary, mergeable,
+    * ONE pass, no per-source histogram shuffle at all) must land every
+    * approximate quantile within the sketch's own rank contract —
+    * rank error ≤ n/accuracy — verified in-query by ranking each
+    * approximate value against the exact histogram: cum_≤(v) must
+    * reach the target rank minus tolerance and cum_<(v) must not
+    * overshoot it plus tolerance. A sketch that drifts outside its
+    * advertised bound throws; nothing approximate is ever hashed —
+    * the gated output is the exact q146 quantile table. At 100 TB the
+    * histogram-first exact plan needs a bounded value domain; the
+    * sketch needs nothing, which is why both live in the library. */
+  def q257QuantileApprox(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val toks = docs.select($"source",
+      size(split($"text", " ")).cast("long").as("tok_n"))
+    val acc = 10000
+    val appr = toks.groupBy($"source")
+      .agg(percentile_approx($"tok_n",
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(acc)).as("qa"))
+      .select($"source", explode(arrays_zip(
+        array(lit(50L), lit(90L), lit(99L)).as("p"),
+        $"qa".as("qa"))).as("z"))
+      .select($"source", $"z.p".as("p"), $"z.qa".as("qa_value"))
+    val hist = toks.groupBy($"source", $"tok_n").agg(count(lit(1)).as("c"))
+    val ranked = appr.join(hist, "source")
+      .groupBy($"source", $"p", $"qa_value")
+      .agg(sum(when($"tok_n" <= $"qa_value", $"c").otherwise(0L)).as("cum_le"),
+        sum(when($"tok_n" < $"qa_value", $"c").otherwise(0L)).as("cum_lt"),
+        sum($"c").as("n"))
+    val eps = 1.0 / acc
+    val viol = ranked.filter(
+      !($"cum_le" >= $"n" * ($"p" / 100.0 - eps) - 1.0 &&
+        $"cum_lt" <= $"n" * ($"p" / 100.0 + eps) + 1.0)).count()
+    require(viol == 0L,
+      s"q257 gate broken: $viol approximate quantiles outside the " +
+        s"sketch's rank-error contract (accuracy=$acc)")
+    tokenQuantiles(docs)
+  }
+
   // ------------------------------------------------------------------ MAD
 
   /** Exact per-source median via the q146 histogram-first discipline:
@@ -1743,6 +1785,23 @@ object SketchOps {
         |  FROM w2 WHERE cum * 2 >= n GROUP BY 1)
         |SELECT m1.source, n_docs, median, mad
         |FROM m1 JOIN m2 ON m1.source = m2.source""".stripMargin,
+    // q257: the gated OUTPUT is the exact quantile table (q146's SQL)
+    // — the percentile_approx sketch is proven in-query by the
+    // rank-error bound, which throws rather than hashes
+    "q257_quantile_approx" ->
+      """WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n
+        |  FROM documents),
+        |hist AS (SELECT source, tok_n, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |w AS (SELECT source, tok_n, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY tok_n
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS n_docs FROM hist),
+        |p AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p)
+        |SELECT source, p, CAST(n_docs AS BIGINT) AS n_docs,
+        |  min(tok_n) AS q_value
+        |FROM w, p WHERE cum * 100 >= n_docs * p
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q146_token_quantiles" ->
       """WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n
         |  FROM documents),

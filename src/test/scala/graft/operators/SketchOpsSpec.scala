@@ -836,4 +836,13 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("sum_after") === 5049L)
     assert(r.getAs[Long]("n_docs") === 100L)
   }
+
+  test("q257: the approx gate passes on the corpus and the gated output " +
+    "IS the exact q146 table") {
+    val out = SketchOps.q257QuantileApprox(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val exact = SketchOps.q146TokenQuantiles(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(out === exact)
+  }
 }
