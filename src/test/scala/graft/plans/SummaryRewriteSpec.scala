@@ -142,6 +142,24 @@ class SummaryRewriteSpec extends AnyFunSuite {
     assert(!usesMv(after))
   }
 
+  test("HAVING and ORDER BY compose above the rewritten aggregate") {
+    withSummary {
+      val q = docs.groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("sc"))
+        .filter($"n" >= 2)           // HAVING: a Filter ABOVE the agg
+        .orderBy($"sc".desc)
+      assert(usesMv(q), "HAVING/ORDER BY above the aggregate must not " +
+        "block the rewrite (they sit on the substituted subtree's output)")
+      SummaryRewrite.deregister("spec_mv")
+      // set-compare: ORDER BY ties would make a list-compare flaky
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_mv",
+        SummaryRewrite.Summary("documents.parquet", mv,
+          Set("source", "lang")))
+      assert(q.collect().map(_.toSeq).toSet === expect)
+    }
+  }
+
   test("AVG rewrites as sum-partial over cnt, bit-equal to the fact plan") {
     withSummary {
       val q = docs.groupBy($"source")
