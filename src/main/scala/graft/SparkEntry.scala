@@ -627,6 +627,9 @@ object SparkEntry {
     // percentile_approx gated by its own rank-error contract against
     // the exact histogram; hashed output is the exact quantile table
     "q257_quantile_approx" -> (SketchOps.q257QuantileApprox _),
+    // batch incremental summary maintenance: monoid delta fold into
+    // the snapshot store, equivalence-gated vs a full rebuild
+    "q258_summary_delta" -> (IndexOps.q258SummaryDeltaMerge _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -566,6 +566,63 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q255_docs_by_source_lang")
   }
 
+  // --------------------------------------------------------------- q258
+
+  /** q258 — BATCH incremental summary maintenance: snapshot v1 is
+    * built from half the corpus, the other half arrives as a delta,
+    * and [[graft.plans.SummaryRewrite.mergeDelta]] folds v1 with the
+    * delta's partials into a committed v2 — the monoid law
+    * fold(old, partial(delta)) ≡ rebuild(union) made operational: the
+    * fact table is scanned once per half (never re-scanned for the
+    * merge, which shuffles two summary-sized frames), and the answer
+    * grouped on the FULL key set is served from v2 by the store-backed
+    * rewrite. A stale v1 read (half the corpus) or a broken fold
+    * cannot hash-match the full-corpus oracle, and the in-query
+    * equivalence gate compares the folded v2 against a from-scratch
+    * rebuild row-for-row (summary-sized collect, ≤ sources×langs
+    * rows) before anything is served. */
+  def q258SummaryDeltaMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val store = java.nio.file.Files.createTempDirectory("graft-q258")
+      .toString + "/docs_by_source_lang"
+    val factPath = s"$dir/documents.parquet"
+    val v1 = writeSnapshot(
+      SummaryRewrite.summaryFrame(
+        s.read.parquet(factPath).filter($"doc_id" % 2 === 0L),
+        keys = Seq("source", "lang"), sumCols = Seq("n_chars")).coalesce(1),
+      store)
+    val v2 = SummaryRewrite.mergeDelta(s, store,
+      s.read.parquet(factPath).filter($"doc_id" % 2 === 1L),
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"))
+    require(v1 == 1L && v2 == 2L,
+      s"q258 gate is vacuous: expected commits 1,2 got $v1,$v2")
+    // equivalence gate: folded v2 ≡ from-scratch rebuild (both
+    // summary-sized; bounded collect, one row per (source, lang))
+    val folded = readSnapshot(s, store).collect()
+      .map(_.toSeq).toSet
+    val rebuilt = SummaryRewrite.summaryFrame(
+      s.read.parquet(factPath),
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars")).collect()
+      .map(_.toSeq).toSet
+    require(folded == rebuilt,
+      "q258 gate broken: delta fold diverges from the full rebuild")
+    SummaryRewrite.install(s)
+    SummaryRewrite.registerStore("q258_docs_by_source_lang",
+      "documents.parquet", store, Set("source", "lang"))
+    try {
+      val q = load(s, dir, "documents")
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("snap=2"),
+        "q258 gate is vacuous: the merged commit is not read")
+      require(!phys.contains("documents.parquet"),
+        "q258 gate broken: the fact table is still scanned")
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q258_docs_by_source_lang")
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -1055,6 +1112,12 @@ object IndexOps {
         |    // (SELECT CAST(sum(n_docs) AS BIGINT) FROM b) AS BIGINT)
         |    AS share_ppm
         |FROM b""".stripMargin,
+    // q258: plain full-corpus rollup on the full key set — a stale v1
+    // or a broken fold cannot match; the merge is invisible
+    "q258_summary_delta" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     // q233: the DIRECT phrase scan with no anchor prefilter anywhere —
     // hash equality proves the index-anchored two-phase plan lossless
     "q233_phrase_anchored" ->

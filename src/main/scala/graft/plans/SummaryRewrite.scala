@@ -134,6 +134,34 @@ object SummaryRewrite {
         .coalesce(1),
       store)
 
+  /** BATCH incremental maintenance: fold the latest committed summary
+    * with the delta's partials and commit the result as the next
+    * snapshot — the cnt/sum/min/max columns are all monoids, so
+    * fold(old, partial(delta)) ≡ rebuild(old_fact ∪ delta), and the
+    * fact table is only ever scanned for the DELTA. The fold itself
+    * shuffles two summary-sized frames (keys-cardinality rows), not
+    * the corpus: at 100 TB this is the difference between a nightly
+    * full rebuild and a per-batch kilobyte merge. Readers keep the
+    * previous snapshot until the FS-rename commit lands ([[
+    * graft.operators.IndexOps.writeSnapshot]]); a store-backed
+    * registration serves the new version on its next query. */
+  def mergeDelta(spark: SparkSession, store: String, deltaFact: DataFrame,
+      keys: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty): Long = {
+    import org.apache.spark.sql.functions._
+    val delta = summaryFrame(deltaFact, keys, sumCols, minMaxCols)
+    val latest = graft.operators.IndexOps.readSnapshot(spark, store)
+    val foldAggs = sum(col("cnt")).as("cnt") +:
+      (sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
+        minMaxCols.flatMap(c => Seq(
+          min(col(s"min_$c")).as(s"min_$c"),
+          max(col(s"max_$c")).as(s"max_$c"))))
+    val folded = latest.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(foldAggs.head, foldAggs.tail: _*)
+    graft.operators.IndexOps.writeSnapshot(folded.coalesce(1), store)
+  }
+
   case class SummaryRewriteRule(spark: SparkSession)
       extends Rule[LogicalPlan] {
 

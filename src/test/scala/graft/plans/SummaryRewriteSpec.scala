@@ -264,6 +264,30 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.deregister("spec_bad")
   }
 
+  test("mergeDelta: fold(old, partial(delta)) equals the full rebuild, " +
+      "min/max included, and commits the next version") {
+    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/deltastore"
+    val fact = spark.read.parquet(s"$dir/documents.parquet")
+    val v1 = graft.operators.IndexOps.writeSnapshot(
+      SummaryRewrite.summaryFrame(fact.filter(col("doc_id") % 3 === 0),
+        Seq("source", "lang"), Seq("n_chars"), Seq("n_chars")).coalesce(1),
+      store)
+    val v2 = SummaryRewrite.mergeDelta(spark, store,
+      fact.filter(col("doc_id") % 3 =!= 0),
+      Seq("source", "lang"), Seq("n_chars"), Seq("n_chars"))
+    assert((v1, v2) === ((1L, 2L)))
+    val folded = graft.operators.IndexOps.readSnapshot(spark, store)
+      .collect().map(_.toSeq).toSet
+    val rebuilt = SummaryRewrite.summaryFrame(fact,
+      Seq("source", "lang"), Seq("n_chars"), Seq("n_chars"))
+      .collect().map(_.toSeq).toSet
+    assert(folded === rebuilt)
+    // v1 remains readable (pinned) — commits never mutate history
+    assert(graft.operators.IndexOps
+      .readSnapshot(spark, store, Some(1L)).count() > 0)
+  }
+
   test("snapshot-store summary: registration survives rebuilds and " +
       "sessions; newest commit is read") {
     SummaryRewrite.install(spark) // standalone-run safe (mv is lazy)
