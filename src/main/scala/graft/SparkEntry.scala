@@ -630,6 +630,9 @@ object SparkEntry {
     // batch incremental summary maintenance: monoid delta fold into
     // the snapshot store, equivalence-gated vs a full rebuild
     "q258_summary_delta" -> (IndexOps.q258SummaryDeltaMerge _),
+    // Theil-Sen robust daily-volume trend: in-row pairwise slope
+    // median, integer floor-permille, cross-engine exact
+    "q259_theil_sen" -> (InsightOps.q259TheilSen _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

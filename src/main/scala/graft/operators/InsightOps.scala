@@ -599,6 +599,52 @@ object InsightOps {
   def q222Cusum(s: SparkSession, dir: String): DataFrame =
     cusumHourly(load(s, dir, "events"), slack = 1L, theta = 16L)
 
+  // --------------------------------------------------------------- q259
+
+  /** q259 — Theil-Sen robust trend of daily event volume, per type:
+    * the median of all pairwise slopes (Theil 1950 / Sen 1968), the
+    * robust-REGRESSION member of the family MAD (q215) and CUSUM
+    * (q222) anchor — a single spiked day moves an OLS slope
+    * arbitrarily, it moves the pairwise-slope median not at all
+    * (29.3% breakdown point). Built integer-exact and cross-engine
+    * deterministic:
+    *
+    *  - slopes in FLOOR per-mille via the positive-offset trick
+    *    `(dy·1000 + K·dx) div dx − K` (dx > 0, K = 10⁶) — Spark's
+    *    `div` truncates toward zero and DuckDB's `//` floors, so a
+    *    negative numerator would diverge between engines; adding
+    *    K·dx makes every numerator positive, where the two agree;
+    *  - the median by the pinned q146 rank rule (1-based index
+    *    ⌈n/2⌉ of the sorted multiset — no interpolation mode).
+    *
+    * SCALE: the corpus collapses to (type, day) counts in ONE
+    * map-combinable aggregate; the C(days,2) pair fan-out happens
+    * IN-ROW on the per-type day array (days is calendar-bounded —
+    * 30 here, 365 a year — so ≤ ~66k slopes per row at a full year),
+    * via nested higher-order transforms with no explode and no
+    * shuffle of pairs. Output is one row per event type. */
+  def theilSenDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .select($"event_type", expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy($"event_type", $"d").agg(count(lit(1)).as("c"))
+    daily.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"d", $"c"))).as("pts"),
+        count(lit(1)).as("n_days"))
+      .withColumn("slopes", expr(
+        """flatten(transform(sequence(1, int(n_days) - 1), j ->
+          |  transform(sequence(0, j - 1), i ->
+          |    ((pts[j].c - pts[i].c) * 1000
+          |      + 1000000 * (pts[j].d - pts[i].d))
+          |      div (pts[j].d - pts[i].d) - 1000000)))""".stripMargin))
+      .withColumn("n_pairs", size($"slopes").cast("long"))
+      .withColumn("slope_permille", expr(
+        "element_at(array_sort(slopes), int((n_pairs + 1) div 2))"))
+      .select($"event_type", $"n_days", $"n_pairs", $"slope_permille")
+  }
+
+  def q259TheilSen(s: SparkSession, dir: String): DataFrame =
+    theilSenDaily(load(s, dir, "events"))
+
   // --------------------------------------------------------------- q235
 
   /** q235 — deterministic random walks on the co-engagement graph: the
@@ -893,6 +939,30 @@ object InsightOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // q259: pairwise floor-permille slopes with the same positive
+    // offset (DuckDB // floors; the offset keeps numerators positive
+    // where // and Spark's div agree), median by the q146 rank index
+    "q259_theil_sen" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS d FROM events),
+        |daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |arr AS (SELECT event_type,
+        |    list_sort(list({'d': d, 'c': c})) AS pts,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1),
+        |sl AS (SELECT event_type, n_days,
+        |    flatten(list_transform(generate_series(2, len(pts)), j ->
+        |      list_transform(generate_series(1, j - 1), i ->
+        |        ((pts[j].c - pts[i].c) * 1000
+        |          + 1000000 * (pts[j].d - pts[i].d))
+        |          // (pts[j].d - pts[i].d) - 1000000))) AS slopes
+        |  FROM arr)
+        |SELECT event_type, n_days,
+        |  CAST(len(slopes) AS BIGINT) AS n_pairs,
+        |  CAST(list_sort(slopes)[CAST((len(slopes) + 1) // 2 AS BIGINT)]
+        |    AS BIGINT) AS slope_permille
+        |FROM sl""".stripMargin,
     "q235_random_walks" -> randomWalkSql(4),
     // q241: division-cleared Pearson over both edge orientations
     "q241_assortativity" ->

@@ -428,4 +428,28 @@ class InsightOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_flagged") === 1L)
     assert(r.getAs[Long]("first_flag_hour") === 400006L)
   }
+
+  test("q259: Theil-Sen shrugs off the spiked day and floors negative " +
+    "slopes exactly") {
+    // type a: days 0..3, counts 10,12,14,1000 — five of six pairwise
+    // slopes are 2 or huge; the MEDIAN stays 2000 permille (OLS would
+    // be dragged to ~+300/day by the spike)
+    // type b: day 0 count 10, day 3 count 3 — dy=-7 over dx=3:
+    // floor(-7000/3) = -2334 (truncation would give -2333; the
+    // positive-offset trick pins FLOOR on both engines)
+    def rows(t: String, dcs: Seq[(Long, Long)]) = dcs.flatMap {
+      case (d, c) => (0L until c).map(k =>
+        (t, d * 86400L + k)) // k < 86400 keeps events inside day d
+    }
+    val ev = (rows("a", Seq((0L, 10L), (1L, 12L), (2L, 14L), (3L, 1000L))) ++
+      rows("b", Seq((0L, 10L), (3L, 3L))))
+      .toDF("event_type", "s")
+      .select($"event_type", to_timestamp($"s").as("ts"))
+    val out = InsightOps.theilSenDaily(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("slope_permille")))).toMap
+    assert(out("a") === ((4L, 6L, 2000L)))
+    assert(out("b") === ((2L, 1L, -2334L)))
+  }
 }
