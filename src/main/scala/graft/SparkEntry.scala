@@ -633,6 +633,9 @@ object SparkEntry {
     // Theil-Sen robust daily-volume trend: in-row pairwise slope
     // median, integer floor-permille, cross-engine exact
     "q259_theil_sen" -> (InsightOps.q259TheilSen _),
+    // star-join rewrite: partial-aggregation pushdown through the
+    // orders ⋈ customer join from a persisted summary; plan-required
+    "q260_summary_star" -> (IndexOps.q260SummaryStarJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -623,6 +623,53 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q258_docs_by_source_lang")
   }
 
+  // --------------------------------------------------------------- q260
+
+  /** q260 — the STAR-JOIN rewrite end to end: orders ⋈ customer
+    * grouped by nation is served from a per-customer orders summary —
+    * the classic partial-aggregation pushdown through a star join,
+    * from a PERSISTED partial. All fact rows sharing o_custkey have
+    * the same customer matches, so collapsing them into their summary
+    * row multiplies every joined group identically: count(*) = Σcnt·m,
+    * max(o_orderkey) = max(max_o_orderkey), and min(c_custkey) — a
+    * DIM measure — is multiplicity-insensitive and passes through
+    * untouched. At 100 TB: the fact scan disappears and the join
+    * shrinks to #customers × dim; TPC-H's canonical customer-order
+    * shapes (Q5/Q10-style) all ride this.
+    *
+    * Non-vacuity: the plan must read the summary, must NOT read the
+    * orders fact, and MUST still read the customer dim. */
+  def q260SummaryStarJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q260")
+      .toString + "/orders_by_cust"
+    SummaryRewrite.buildSummary(s, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq.empty, mvPath = mv,
+      minMaxCols = Seq("o_orderkey"))
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q260_orders_by_cust",
+      SummaryRewrite.Summary("orders.parquet", mv, Set("o_custkey")))
+    try {
+      val q = load(s, dir, "orders")
+        .join(load(s, dir, "customer"),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          max($"o_orderkey").as("max_orderkey"),
+          min($"c_custkey").as("first_cust"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("orders_by_cust"),
+        "q260 gate is vacuous: the star rewrite did not fire")
+      require(!phys.contains("orders.parquet"),
+        "q260 gate broken: the fact table is still scanned")
+      require(phys.contains("customer.parquet"),
+        "q260 gate broken: the dim side vanished")
+      // bounded: one row per nation
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q260_orders_by_cust")
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -1118,6 +1165,14 @@ object IndexOps {
       """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // q260: the plain star-join SQL — the pushdown through the join is
+    // invisible to the answer, unique dim keys or not
+    "q260_summary_star" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_orderkey,
+        |  CAST(min(c_custkey) AS BIGINT) AS first_cust
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     // q233: the DIRECT phrase scan with no anchor prefilter anywhere —
     // hash equality proves the index-anchored two-phase plan lossless
     "q233_phrase_anchored" ->

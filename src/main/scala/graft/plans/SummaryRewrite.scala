@@ -7,6 +7,7 @@ import scala.util.Try
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -33,6 +34,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * the pre-aggregated slice rather than raw data
   * (`metadata_strategy_cube_visualization.py:57-72` reads one zoom
   * table slice, not the whole cube).
+  *
+  * STAR JOINS are served too: `Aggregate(g, a, fact ⋈ dim)` rewrites
+  * to `Aggregate(g, a', summary ⋈ dim)` when the inner equi-join runs
+  * entirely on summary keys — all fact rows sharing a key have the
+  * same dim matches, so the fact collapse multiplies every joined
+  * group identically and count/sum/min/max/avg re-derive exactly
+  * (dim-side measures only MIN/MAX, the multiplicity-insensitive
+  * ones). The classic partial-aggregation pushdown through a star
+  * join, from a persisted partial (q260).
   *
   * COVERING-SUMMARY SELECTION: all registered summaries of the fact
   * are candidates; the rule picks the smallest (fewest keys, then
@@ -163,7 +173,7 @@ object SummaryRewrite {
   }
 
   case class SummaryRewriteRule(spark: SparkSession)
-      extends Rule[LogicalPlan] {
+      extends Rule[LogicalPlan] with PredicateHelper {
 
     private def relationPaths(rel: LogicalRelation): Seq[String] =
       rel.relation match {
@@ -223,7 +233,7 @@ object SummaryRewrite {
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
       case agg @ Aggregate(groupExprs, aggExprs, child, hint) =>
-        val rewritten = for {
+        val direct = for {
           shape <- decompose(child)
           groupAttrs <- sequence(groupExprs.map {
             case a: AttributeReference => Some(a)
@@ -236,8 +246,107 @@ object SummaryRewrite {
               shape.pred, hint))
             .headOption
         } yield result
-        rewritten.getOrElse(agg)
+        direct
+          .orElse(stripProjects(child) match {
+            case j: Join => tryJoinRewrite(groupExprs, aggExprs, j, hint)
+            case _ => None
+          })
+          .getOrElse(agg)
     }
+
+    private def stripProjects(plan: LogicalPlan): LogicalPlan = plan match {
+      case Project(pl, child)
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        stripProjects(child)
+      case other => other
+    }
+
+    /** STAR-JOIN rewrite — `Aggregate(g, a, fact ⋈ dim)` becomes
+      * `Aggregate(g, a', summary ⋈ dim)` when the inner equi-join runs
+      * entirely on summary KEYS: all fact rows sharing a key have the
+      * same dim matches, so collapsing them into their summary row
+      * multiplies every joined group identically — count(*) = Σcnt·m,
+      * sum(x) = Σsum_x·m, min/max multiplicity-insensitive, avg a
+      * ratio of the two sums — and the rewritten aggregate is EXACT
+      * for any dim side, unique keys or not. This is the classic
+      * partial-aggregation pushdown through a star join, served from
+      * a PERSISTED partial: the 100 TB fact scan disappears and the
+      * join shrinks to summary-size × dim.
+      *
+      * Soundness: Inner join only; every conjunct a fact-key = dim
+      * EqualTo; grouping attrs from the dim side or fact summary keys;
+      * dim-side measures only MIN/MAX (multiplicity-insensitive —
+      * count/sum/avg over dim change with fact collapse and refuse);
+      * fact-side measures the usual cnt/sum/min/max/avg derivations;
+      * mixed fact×dim expressions refuse. Both orientations tried. */
+    private def tryJoinRewrite(groupExprs: Seq[Expression],
+        aggExprs: Seq[NamedExpression], join: Join,
+        hint: Option[AggregateHint]): Option[Aggregate] = {
+      val Join(l, r, joinType, condOpt, jhint) = join
+      if (joinType != Inner) return None
+      val cond = condOpt.getOrElse(return None)
+      Seq((l, r, true), (r, l, false)).view.flatMap {
+        case (factSide, dimSide, factOnLeft) =>
+          for {
+            shape <- decompose(factSide)
+            factOut = factSide.outputSet
+            dimOut = dimSide.outputSet
+            // every conjunct: fact-attr = dim-attr (either order)
+            pairs <- sequence(splitConjunctivePredicates(cond).map {
+              case EqualTo(a: AttributeReference, b: AttributeReference)
+                  if factOut.contains(a) && dimOut.contains(b) =>
+                Some(a)
+              case EqualTo(b: AttributeReference, a: AttributeReference)
+                  if factOut.contains(a) && dimOut.contains(b) =>
+                Some(a)
+              case _ => None
+            })
+            groupAttrs <- sequence(groupExprs.map {
+              case a: AttributeReference
+                  if dimOut.contains(a) || factOut.contains(a) =>
+                Some(a)
+              case _ => None
+            })
+            needed = (groupAttrs.filter(factOut.contains).map(_.name) ++
+              pairs.map(_.name) ++
+              shape.pred.toSeq.flatMap(_.references.toSeq.map(_.name))).toSet
+            result <- candidates(shape.rel, needed).view.flatMap { s =>
+              tryJoinCandidate(s, groupAttrs, aggExprs, shape.pred,
+                factOut, dimOut, dimSide, cond, factOnLeft, jhint, hint)
+            }.headOption
+          } yield result
+      }.headOption
+    }
+
+    private def tryJoinCandidate(summary: Summary,
+        groupAttrs: Seq[AttributeReference],
+        aggExprs: Seq[NamedExpression], pred: Option[Expression],
+        factOut: AttributeSet, dimOut: AttributeSet, dimSide: LogicalPlan,
+        cond: Expression, factOnLeft: Boolean, jhint: JoinHint,
+        hint: Option[AggregateHint]): Option[Aggregate] = for {
+      path <- resolveMvPath(summary)
+      mvPlan <- Try(spark.read.parquet(path).queryExecution.analyzed).toOption
+      mvAttrs = mvPlan.output.map(a => a.name -> a).toMap
+      if groupAttrs.forall(a =>
+        dimOut.contains(a) || mvAttrs.contains(a.name))
+      if pred.forall(_.references.toSeq.forall(r => mvAttrs.contains(r.name)))
+      cnt <- mvAttrs.get("cnt")
+      if cnt.dataType == LongType
+      newAggs <- sequence(aggExprs.map(e =>
+        rewriteAgg(e, mvAttrs, dimOut).filter(_.dataType == e.dataType)))
+      remap = (ex: Expression) => ex.transform {
+        case a: AttributeReference if factOut.contains(a) => mvAttrs(a.name)
+      }
+      factPlan = pred match {
+        case Some(p) => Filter(remap(p), mvPlan)
+        case None => mvPlan
+      }
+      newJoin = if (factOnLeft)
+        Join(factPlan, dimSide, Inner, Some(remap(cond)), jhint)
+      else Join(dimSide, factPlan, Inner, Some(remap(cond)), jhint)
+      newGroup = groupAttrs.map(a =>
+        if (dimOut.contains(a)) a else mvAttrs(a.name))
+    } yield Aggregate(newGroup, newAggs, newJoin, hint)
 
     /** Attempt the rewrite against ONE candidate summary; any missing
       * measure column, type mismatch, or unreadable artifact refuses
@@ -273,15 +382,31 @@ object SummaryRewrite {
       * name and exprId so the subtree drops into the parent plan.
       * Matching goes through the AggregateExpression's function field
       * (not positional patterns — Sum carries an evalMode in Spark 4). */
-    private def rewriteAgg(e: NamedExpression,
-        mv: Map[String, Attribute]): Option[NamedExpression] = e match {
-      // grouping key passed through
+    private def rewriteAgg(e: NamedExpression, mv: Map[String, Attribute],
+        dimOut: AttributeSet = AttributeSet.empty): Option[NamedExpression] =
+      e match {
+      // dim-side grouping attr passed through unchanged (join path)
+      case a: AttributeReference if dimOut.contains(a) => Some(a)
+      // fact grouping key passed through via the summary column
       case a: AttributeReference if mv.contains(a.name) =>
         Some(Alias(mv(a.name), a.name)(exprId = a.exprId))
       case Alias(ae: AggregateExpression, name)
           if !ae.isDistinct && ae.filter.isEmpty =>
         def agg(fn: AggregateFunction): Expression =
           AggregateExpression(fn, Complete, isDistinct = false)
+        // MIN/MAX over DIM attrs are multiplicity-insensitive: a dim
+        // row reaches a group iff >= 1 fact row (= its summary row,
+        // cnt >= 1) matches, so the value SET per group is unchanged
+        // by the fact collapse. count/sum/avg over dim attrs change
+        // with row multiplicity and fall through to refusal.
+        val dimSafe = ae.aggregateFunction match {
+          case m: Min => m.child.references.nonEmpty &&
+            m.child.references.subsetOf(dimOut)
+          case m: Max => m.child.references.nonEmpty &&
+            m.child.references.subsetOf(dimOut)
+          case _ => false
+        }
+        if (dimSafe) return Some(e)
         ae.aggregateFunction match {
           case c: Count
               // COUNT(*) / COUNT(<non-null constant>) — a null-able or

@@ -288,6 +288,66 @@ class SummaryRewriteSpec extends AnyFunSuite {
       .readSnapshot(spark, store, Some(1L)).count() > 0)
   }
 
+  test("star join: aggregate over fact JOIN dim is served from the " +
+      "summary, exactly — fact and dim measures") {
+    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/orders_by_cust"
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq.empty, mvPath = omv,
+      minMaxCols = Seq("o_orderkey"))
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_star",
+      SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+    try {
+      def q = graft.Tables.load(spark, dir, "orders")
+        .join(graft.Tables.load(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("o_orderkey")).as("max_orderkey"), // fact min/max
+          min(col("c_custkey")).as("first_cust"))    // dim min/max
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("orders_by_cust") && !p.contains("orders.parquet"),
+        s"star rewrite did not fire / fact still scanned:\n$p")
+      assert(p.contains("customer.parquet"),
+        "the dim side must still be scanned")
+      SummaryRewrite.deregister("spec_star")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_star",
+        SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+      assert(q.collect().map(_.toSeq).toSet === expect)
+
+      // refusals — each would be wrong under the fact collapse
+      val leftJ = graft.Tables.load(spark, dir, "orders")
+        .join(graft.Tables.load(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      assert(leftJ.queryExecution.executedPlan.toString
+        .contains("orders.parquet"), "outer join must not rewrite")
+      val cntDim = graft.Tables.load(spark, dir, "orders")
+        .join(graft.Tables.load(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(count(col("c_name")).as("n"))
+      assert(cntDim.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "count over a dim column is multiplicity-sensitive; must refuse")
+      val sumDim = graft.Tables.load(spark, dir, "orders")
+        .join(graft.Tables.load(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(sum(col("c_custkey")).as("n"))
+      assert(sumDim.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "sum over a dim column must refuse")
+      val nonKey = graft.Tables.load(spark, dir, "orders")
+        .join(graft.Tables.load(spark, dir, "customer"),
+          col("o_orderkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      assert(nonKey.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "a join on a non-summary-key must refuse")
+    } finally SummaryRewrite.deregister("spec_star")
+  }
+
   test("snapshot-store summary: registration survives rebuilds and " +
       "sessions; newest commit is read") {
     SummaryRewrite.install(spark) // standalone-run safe (mv is lazy)
