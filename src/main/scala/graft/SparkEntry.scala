@@ -636,6 +636,9 @@ object SparkEntry {
     // star-join rewrite: partial-aggregation pushdown through the
     // orders ⋈ customer join from a persisted summary; plan-required
     "q260_summary_star" -> (IndexOps.q260SummaryStarJoin _),
+    // ROLLUP lattice as a union of three rewritten aggregates — the
+    // whole hierarchy from three summary reads; plan-required
+    "q261_summary_rollup" -> (IndexOps.q261SummaryRollup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -670,6 +670,57 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q260_orders_by_cust")
   }
 
+  // --------------------------------------------------------------- q261
+
+  /** q261 — ROLLUP served from the summary BY COMPOSITION: the rollup
+    * lattice (source, lang) → (source) → () is the union of three
+    * plain aggregates, and each member is exactly the shape the
+    * rewrite rule serves — so the whole hierarchy reads the summary
+    * three times (kilobytes) and the fact table never. No engine
+    * surgery for Expand needed: compose existing ops (the preference
+    * order the Spark-first design mandates), let the rule catch each
+    * member. Emits Spark/DuckDB-compatible rollup rows: NULL key
+    * columns for rolled-up levels plus an explicit lvl discriminator
+    * (0 = leaf, 1 = per-source, 2 = grand total) — the grouping-id
+    * convention made hash-stable.
+    *
+    * Non-vacuity: the composed plan must read the summary and must
+    * not read the fact. At 100 TB a rollup over the fact would pay
+    * the scan once per Expand copy; this pays three summary reads. */
+  def q261SummaryRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q261")
+      .toString + "/docs_by_source_lang"
+    SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q261_docs_by_source_lang",
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    try {
+      val docs = load(s, dir, "documents")
+      def level(keys: Seq[String], lvl: Long) = {
+        val base = docs.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        Seq("source", "lang").foldLeft(base) { (df, k) =>
+          if (keys.contains(k)) df
+          else df.withColumn(k, lit(null).cast("string"))
+        }.withColumn("lvl", lit(lvl))
+          .select($"source", $"lang", $"lvl", $"n_docs", $"sum_chars")
+      }
+      val q = level(Seq("source", "lang"), 0L)
+        .unionByName(level(Seq("source"), 1L))
+        .unionByName(level(Seq.empty, 2L))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("docs_by_source_lang"),
+        "q261 gate is vacuous: the rollup members did not rewrite")
+      require(!phys.contains("documents.parquet"),
+        "q261 gate broken: the fact table is still scanned")
+      // bounded: the rollup lattice of a (source, lang) summary
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q261_docs_by_source_lang")
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -1173,6 +1224,16 @@ object IndexOps {
         |  CAST(min(c_custkey) AS BIGINT) AS first_cust
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+    // q261: DuckDB's native GROUP BY ROLLUP with the same explicit
+    // level discriminator — the composed union must equal the real
+    // rollup lattice, NULLs included
+    "q261_summary_rollup" ->
+      """SELECT source, lang,
+        |  CAST(CASE WHEN source IS NULL AND lang IS NULL THEN 2
+        |    WHEN lang IS NULL THEN 1 ELSE 0 END AS BIGINT) AS lvl,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
     // q233: the DIRECT phrase scan with no anchor prefilter anywhere —
     // hash equality proves the index-anchored two-phase plan lossless
     "q233_phrase_anchored" ->

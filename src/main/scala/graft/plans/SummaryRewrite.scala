@@ -390,6 +390,10 @@ object SummaryRewrite {
       // fact grouping key passed through via the summary column
       case a: AttributeReference if mv.contains(a.name) =>
         Some(Alias(mv(a.name), a.name)(exprId = a.exprId))
+      // constant output columns (CollapseProject folds literal
+      // level/label columns into the aggregate list) are trivially
+      // preserved — no references, nothing to derive
+      case al @ Alias(c, _) if c.foldable && c.deterministic => Some(al)
       case Alias(ae: AggregateExpression, name)
           if !ae.isDistinct && ae.filter.isEmpty =>
         def agg(fn: AggregateFunction): Expression =
