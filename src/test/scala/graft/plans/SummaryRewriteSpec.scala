@@ -317,6 +317,32 @@ class SummaryRewriteSpec extends AnyFunSuite {
         SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
       assert(q.collect().map(_.toSeq).toSet === expect)
 
+      // filtered star variants: a KEY-ONLY fact filter rides the
+      // summary, a dim filter stays verbatim on the dim side
+      def starF = graft.Tables.load(spark, dir, "orders")
+        .filter(col("o_custkey") % 2 === 0)
+        .join(graft.Tables.load(spark, dir, "customer")
+          .filter(col("c_nationkey") < 10),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      val pf = starF.queryExecution.executedPlan.toString
+      assert(pf.contains("orders_by_cust") && !pf.contains("orders.parquet"),
+        s"filtered star did not rewrite:\n$pf")
+      SummaryRewrite.deregister("spec_star")
+      val expectF = starF.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_star",
+        SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+      assert(starF.collect().map(_.toSeq).toSet === expectF)
+      // a NON-key fact filter refuses
+      val nonKeyF = graft.Tables.load(spark, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 0)
+        .join(graft.Tables.load(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      assert(nonKeyF.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "non-key fact filter under the join must refuse")
+
       // refusals — each would be wrong under the fact collapse
       val leftJ = graft.Tables.load(spark, dir, "orders")
         .join(graft.Tables.load(spark, dir, "customer"),
