@@ -231,6 +231,30 @@ object SummaryRewrite {
         if (live.isEmpty) None else Some(s"$st/snap=${live.max}")
     }
 
+    private val mvRelCache =
+      new ConcurrentHashMap[String, LogicalRelation]()
+
+    /** The summary's analyzed relation. Store-backed paths are
+      * IMMUTABLE by construction (a new commit is a new `snap=N`
+      * directory), so their footer read is cached per path — the
+      * serving-layer latency win for a long-lived dashboard session.
+      * Every use gets `newInstance()` (fresh exprIds, zero IO) so two
+      * rewrites in ONE plan — a union of rollup members, a self-join —
+      * can never collide on attribute ids. Fixed mvPath registrations
+      * may be rebuilt in place and are re-read per query. */
+    private def mvPlanFor(path: String,
+        immutable: Boolean): Option[LogicalPlan] =
+      if (!immutable)
+        Try(spark.read.parquet(path).queryExecution.analyzed).toOption
+      else Option(mvRelCache.get(path)).map(_.newInstance()).orElse {
+        Try(spark.read.parquet(path).queryExecution.analyzed).toOption.map {
+          case lr: LogicalRelation =>
+            mvRelCache.put(path, lr)
+            lr.newInstance()
+          case other => other
+        }
+      }
+
     override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
       case agg @ Aggregate(groupExprs, aggExprs, child, hint) =>
         val direct = for {
@@ -325,7 +349,7 @@ object SummaryRewrite {
         cond: Expression, factOnLeft: Boolean, jhint: JoinHint,
         hint: Option[AggregateHint]): Option[Aggregate] = for {
       path <- resolveMvPath(summary)
-      mvPlan <- Try(spark.read.parquet(path).queryExecution.analyzed).toOption
+      mvPlan <- mvPlanFor(path, summary.store.isDefined)
       mvAttrs = mvPlan.output.map(a => a.name -> a).toMap
       if groupAttrs.forall(a =>
         dimOut.contains(a) || mvAttrs.contains(a.name))
@@ -355,7 +379,7 @@ object SummaryRewrite {
         aggExprs: Seq[NamedExpression], pred: Option[Expression],
         hint: Option[AggregateHint]): Option[Aggregate] = for {
       path <- resolveMvPath(summary)
-      mvPlan <- Try(spark.read.parquet(path).queryExecution.analyzed).toOption
+      mvPlan <- mvPlanFor(path, summary.store.isDefined)
       mvAttrs = mvPlan.output.map(a => a.name -> a).toMap
       if groupAttrs.forall(a => mvAttrs.contains(a.name))
       if pred.forall(_.references.toSeq.forall(r => mvAttrs.contains(r.name)))

@@ -374,6 +374,32 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.deregister("spec_star")
   }
 
+  test("cached store relation: two rewrites in ONE plan get fresh " +
+      "exprIds and stay exact") {
+    SummaryRewrite.install(spark)
+    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/cachestore"
+    SummaryRewrite.buildSummarySnapshot(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), store = store)
+    SummaryRewrite.registerStore("spec_cache", "documents.parquet",
+      store, Set("source", "lang"))
+    try {
+      def u = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n")).withColumn("lvl", lit(0L))
+        .unionByName(docs.agg(count(lit(1)).as("n"))
+          .withColumn("source", lit("__all__")).withColumn("lvl", lit(1L))
+          .select(col("source"), col("n"), col("lvl")))
+      val p = u.queryExecution.executedPlan.toString
+      assert(p.contains("snap=1") && !p.contains("documents.parquet"),
+        s"both union members should rewrite through the cache:\n$p")
+      SummaryRewrite.deregister("spec_cache")
+      val expect = u.collect().map(_.toSeq).toSet
+      SummaryRewrite.registerStore("spec_cache", "documents.parquet",
+        store, Set("source", "lang"))
+      assert(u.collect().map(_.toSeq).toSet === expect)
+    } finally SummaryRewrite.deregister("spec_cache")
+  }
+
   test("snapshot-store summary: registration survives rebuilds and " +
       "sessions; newest commit is read") {
     SummaryRewrite.install(spark) // standalone-run safe (mv is lazy)
