@@ -354,6 +354,10 @@ object SummaryRewrite {
       if groupAttrs.forall(a =>
         dimOut.contains(a) || mvAttrs.contains(a.name))
       if pred.forall(_.references.toSeq.forall(r => mvAttrs.contains(r.name)))
+      // a registration whose declared keys are absent from the summary
+      // FILE must refuse, not throw inside the condition remap
+      if cond.references.toSeq.filter(factOut.contains)
+        .forall(r => mvAttrs.contains(r.name))
       cnt <- mvAttrs.get("cnt")
       if cnt.dataType == LongType
       newAggs <- sequence(aggExprs.map(e =>
