@@ -139,15 +139,21 @@ object WarehouseOps {
     require(exactDf.queryExecution.executedPlan.toString.contains("Expand"),
       "q253 gate vacuous: the exact baseline lost its Expand " +
         "(the premise the escape hatch is measured against)")
-    val joined = exactDf.join(
-      approxDf.select($"column", $"n_distinct".as("nd_approx")), "column")
+    // each profile executes exactly ONCE (#columns rows each — bounded
+    // collects); the error bound is checked driver-side on those rows
+    val exactRows = exactDf.collect()
+    val approxNd = approxDf.select($"column", $"n_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     // HLL++ default rsd 0.05; 5 sigma + slack-of-1 on this corpus
-    val viol = joined.filter(
-      abs($"nd_approx" - $"n_distinct") >
-        greatest(lit(1L), ($"n_distinct" / lit(4L)))).count()
-    require(viol == 0L,
+    val viol = exactRows.count { r =>
+      val en = r.getAs[Long]("n_distinct")
+      val an = approxNd(r.getAs[String]("column"))
+      math.abs(an - en) > math.max(1L, en / 4L)
+    }
+    require(viol == 0,
       s"q253 gate broken: $viol columns outside the HLL error bound")
-    exactDf
+    s.createDataFrame(
+      s.sparkContext.parallelize(exactRows.toIndexedSeq, 1), exactDf.schema)
   }
 
   // --------------------------------------------------------------- q217
