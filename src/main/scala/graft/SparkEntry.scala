@@ -639,6 +639,9 @@ object SparkEntry {
     // ROLLUP lattice as a union of three rewritten aggregates — the
     // whole hierarchy from three summary reads; plan-required
     "q261_summary_rollup" -> (IndexOps.q261SummaryRollup _),
+    // summary audit: recompute-and-diff, planted drift must be caught
+    // (non-vacuity), accounting row oracle-derived from the lattice
+    "q262_summary_audit" -> (IndexOps.q262SummaryAudit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -721,6 +721,50 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q261_docs_by_source_lang")
   }
 
+  // --------------------------------------------------------------- q262
+
+  /** q262 — the summary AUDIT, gated: recompute-and-diff proves the
+    * healthy artifact exact (zero discrepancy rows), then a PLANTED
+    * drift — the lattice-min key dropped, every remaining 'en' key's
+    * cnt shifted by 7 — must be caught row-for-row, or the gate
+    * throws (the q133 non-vacuity rule: an audit that cannot catch a
+    * planted fault proves nothing). Output is the accounting row the
+    * monitoring cadence stores: keys checked, healthy diff (0), and
+    * the planted diff count, which the oracle derives independently
+    * from the key lattice. Completes the serving-layer lifecycle:
+    * build → serve → maintain → AUDIT. */
+  def q262SummaryAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q262").toString
+    val mv = s"$tmp/docs_by_source_lang"
+    val factPath = s"$dir/documents.parquet"
+    SummaryRewrite.buildSummary(s, factPath,
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
+    val healthy = SummaryRewrite.auditSummary(s, factPath,
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")),
+      Seq("n_chars")).count()
+    val rows = s.read.parquet(mv)
+    val nKeys = rows.count()
+    val minKey = rows.select($"source", $"lang")
+      .orderBy($"source", $"lang").head()
+    val drifted = s"$tmp/drifted"
+    rows.filter(!($"source" === minKey.getString(0) &&
+        $"lang" === minKey.getString(1)))
+      .withColumn("cnt",
+        $"cnt" + when($"lang" === "en", 7L).otherwise(0L))
+      .write.parquet(drifted)
+    val planted = SummaryRewrite.auditSummary(s, factPath,
+      SummaryRewrite.Summary("documents.parquet", drifted,
+        Set("source", "lang")),
+      Seq("n_chars")).count()
+    require(planted > 0L,
+      "q262 gate is vacuous: the audit did not catch the planted drift")
+    s.range(1).select(
+      lit(nKeys).as("n_keys"),
+      lit(healthy).as("n_diff_healthy"),
+      lit(planted).as("n_diff_planted"))
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -1234,6 +1278,19 @@ object IndexOps {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+    // q262: the planted-drift arithmetic replayed from the key
+    // lattice — dropped min key surfaces once, plus every remaining
+    // 'en' key whose cnt shifted
+    "q262_summary_audit" ->
+      """WITH k AS (SELECT DISTINCT source, lang FROM documents),
+        |mn AS (SELECT source, lang FROM k
+        |  ORDER BY source, lang LIMIT 1)
+        |SELECT CAST((SELECT count(*) FROM k) AS BIGINT) AS n_keys,
+        |  CAST(0 AS BIGINT) AS n_diff_healthy,
+        |  CAST((SELECT count(*) FROM k WHERE lang = 'en'
+        |      AND NOT (source = (SELECT source FROM mn)
+        |        AND lang = (SELECT lang FROM mn))) + 1 AS BIGINT)
+        |    AS n_diff_planted""".stripMargin,
     // q233: the DIRECT phrase scan with no anchor prefilter anywhere —
     // hash equality proves the index-anchored two-phase plan lossless
     "q233_phrase_anchored" ->

@@ -172,6 +172,41 @@ object SummaryRewrite {
     graft.operators.IndexOps.writeSnapshot(folded.coalesce(1), store)
   }
 
+  /** Freshness/integrity AUDIT of a registered summary: recompute the
+    * partials from the fact and diff against the artifact, returning
+    * per-key discrepancy rows (empty = the summary is exact). This is
+    * the monitoring complement of the lifecycle — build
+    * ([[buildSummary]]/[[buildSummarySnapshot]]), serve (the rule),
+    * maintain ([[mergeDelta]], streaming fold), audit (here): a
+    * summary that drifted (missed delta, manual fact edit) serves
+    * WRONG dashboards silently, and the audit is the one pass that
+    * proves it didn't. Cost: one fact scan + a summary-sized join —
+    * the same price as one unserved rollup, paid on the monitoring
+    * cadence, not per query. Full-outer on the keys so both phantom
+    * summary rows and missing fact groups surface. */
+  def auditSummary(spark: SparkSession, factPath: String,
+      summary: Summary, sumCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keys = summary.keys.toSeq.sorted
+    val expect = summaryFrame(spark.read.parquet(factPath), keys, sumCols)
+    val mvPath = summary.store match {
+      case Some(st) =>
+        val live = graft.operators.IndexOps.snapshotVersions(spark, st)
+        require(live.nonEmpty, s"auditSummary: empty store $st")
+        s"$st/snap=${live.max}"
+      case None => summary.mvPath
+    }
+    val got = spark.read.parquet(mvPath)
+    val measures = "cnt" +: sumCols.map(c => s"sum_$c")
+    val e = expect.select(keys.map(col) ++
+      measures.map(m => col(m).as(s"expect_$m")): _*)
+    val g = got.select(keys.map(col) ++
+      measures.map(m => col(m).as(s"got_$m")): _*)
+    e.join(g, keys, "full_outer")
+      .filter(measures.map(m =>
+        !(col(s"expect_$m") <=> col(s"got_$m"))).reduce(_ || _))
+  }
+
   case class SummaryRewriteRule(spark: SparkSession)
       extends Rule[LogicalPlan] with PredicateHelper {
 

@@ -374,6 +374,39 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.deregister("spec_star")
   }
 
+  test("auditSummary: exact summary yields zero rows; a drifted one " +
+      "names the broken keys") {
+    val fresh = SummaryRewrite.Summary("documents.parquet", mv,
+      Set("source", "lang"))
+    assert(SummaryRewrite.auditSummary(spark, s"$dir/documents.parquet",
+      fresh, Seq("n_chars")).count() === 0L)
+    // drift: drop one (source, lang) row and corrupt another's cnt
+    val drifted = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/drifted"
+    val rows = spark.read.parquet(mv)
+    val firstKey = rows.select(col("source"), col("lang"))
+      .orderBy(col("source"), col("lang")).head()
+    rows.filter(!(col("source") === firstKey.getString(0) &&
+        col("lang") === firstKey.getString(1)))
+      .withColumn("cnt",
+        col("cnt") + when(col("lang") === "en", 7L).otherwise(0L))
+      .write.parquet(drifted)
+    val bad = SummaryRewrite.Summary("documents.parquet", drifted,
+      Set("source", "lang"))
+    val diff = SummaryRewrite.auditSummary(spark, s"$dir/documents.parquet",
+      bad, Seq("n_chars")).collect()
+    assert(diff.nonEmpty, "drifted summary must surface discrepancies")
+    // the dropped key surfaces with a NULL got_cnt (full-outer)
+    assert(diff.exists(r => r.getAs[String]("source") == firstKey.getString(0)
+      && r.getAs[String]("lang") == firstKey.getString(1)
+      && r.isNullAt(r.fieldIndex("got_cnt"))))
+    // every corrupted-en row surfaces with got = expect + 7
+    assert(diff.exists(r => r.getAs[String]("lang") == "en"
+      && !r.isNullAt(r.fieldIndex("got_cnt"))
+      && r.getAs[Long]("got_cnt") ==
+        r.getAs[Long]("expect_cnt") + 7L))
+  }
+
   test("cached store relation: two rewrites in ONE plan get fresh " +
       "exprIds and stay exact") {
     SummaryRewrite.install(spark)
