@@ -407,6 +407,22 @@ class SummaryRewriteSpec extends AnyFunSuite {
         r.getAs[Long]("expect_cnt") + 7L))
   }
 
+  test("store-backed registration with NO committed snapshot refuses; " +
+      "the fact scan answers") {
+    SummaryRewrite.install(spark)
+    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/emptystore"
+    SummaryRewrite.registerStore("spec_empty", "documents.parquet",
+      store, Set("source", "lang"))
+    try {
+      val q = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("documents.parquet") && !p.contains("emptystore"),
+        s"empty store must fall back to the fact scan:\n$p")
+      assert(q.count() > 0)
+    } finally SummaryRewrite.deregister("spec_empty")
+  }
+
   test("cached store relation: two rewrites in ONE plan get fresh " +
       "exprIds and stay exact") {
     SummaryRewrite.install(spark)
