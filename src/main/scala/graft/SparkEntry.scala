@@ -642,6 +642,9 @@ object SparkEntry {
     // summary audit: recompute-and-diff, planted drift must be caught
     // (non-vacuity), accounting row oracle-derived from the lattice
     "q262_summary_audit" -> (IndexOps.q262SummaryAudit _),
+    // two engine extensions in ONE plan: summary-served rollup under
+    // the native TopKPerKey leaderboard; both plan-required
+    "q263_summary_topk" -> (IndexOps.q263SummaryTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -765,6 +765,51 @@ object IndexOps {
       lit(planted).as("n_diff_planted"))
   }
 
+  // --------------------------------------------------------------- q263
+
+  /** q263 — TWO engine extensions composing in ONE plan: the top-2
+    * sources per language, where the aggregate is served by the
+    * summary REWRITE and the `row_number() <= k` idiom above it is
+    * served by the native [[graft.plans.TopKPerKey]] operator — the
+    * plan must carry BOTH (summary scan + TopKPerKey node) and the
+    * fact table neither. This is the leaderboard dashboard at 100 TB:
+    * the fact scan is gone, and the top-k runs its bounded heap over
+    * summary-sized input instead of materializing the full rank
+    * window. Extensions that fire only in isolation are demos;
+    * composing is what makes them an engine. */
+  def q263SummaryTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q263")
+      .toString + "/docs_by_source_lang"
+    SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q263_docs_by_source_lang",
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"n_docs".desc, $"source")
+      val q = load(s, dir, "documents")
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 2)
+        // rank column dropped: the rows-only contract that lets the
+        // native operator replace the whole sort+window
+        .select($"lang", $"source", $"n_docs")
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("docs_by_source_lang"),
+        "q263 gate is vacuous: the summary rewrite did not fire")
+      require(phys.contains("TopKPerKey"),
+        "q263 gate is vacuous: the native top-k did not fire")
+      require(!phys.contains("documents.parquet"),
+        "q263 gate broken: the fact table is still scanned")
+      // bounded: two rows per language
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q263_docs_by_source_lang")
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -1291,6 +1336,14 @@ object IndexOps {
         |      AND NOT (source = (SELECT source FROM mn)
         |        AND lang = (SELECT lang FROM mn))) + 1 AS BIGINT)
         |    AS n_diff_planted""".stripMargin,
+    // q263: the plain rollup + rank window — both extensions invisible
+    "q263_summary_topk" ->
+      """WITH b AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, source, n_docs,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_docs DESC, source) AS rk FROM b)
+        |SELECT lang, source, n_docs FROM r WHERE rk <= 2""".stripMargin,
     // q233: the DIRECT phrase scan with no anchor prefilter anywhere —
     // hash equality proves the index-anchored two-phase plan lossless
     "q233_phrase_anchored" ->
