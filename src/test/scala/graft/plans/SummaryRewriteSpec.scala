@@ -134,6 +134,62 @@ class SummaryRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("exhaustive lattice: every grouping × key-filter × measure-set " +
+      "combination fires and is exact") {
+    val mmMv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/lattice"
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = mmMv, minMaxCols = Seq("n_chars"))
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_lattice",
+      SummaryRewrite.Summary("documents.parquet", mmMv,
+        Set("source", "lang")))
+    try {
+      val groupings: Seq[Seq[String]] =
+        Seq(Seq("source", "lang"), Seq("source"), Seq("lang"), Seq.empty)
+      val filters: Seq[(String, DataFrame => DataFrame)] = Seq(
+        ("none", identity[DataFrame] _),
+        ("src", (d: DataFrame) => d.filter(col("source") === "src1")),
+        ("lang", (d: DataFrame) => d.filter(col("lang") =!= "en")),
+        ("both", (d: DataFrame) =>
+          d.filter(col("source") =!= "src1" && col("lang") === "en")))
+      val measureSets: Seq[Seq[org.apache.spark.sql.Column]] = Seq(
+        Seq(count(lit(1)).as("n")),
+        Seq(sum(col("n_chars")).as("sc")),
+        Seq(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi")),
+        Seq(avg(col("n_chars")).as("a"), count(lit(1)).as("n")),
+        Seq(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"),
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"),
+          avg(col("n_chars")).as("a")))
+      var checked = 0
+      for (g <- groupings; (fname, f) <- filters; ms <- measureSets) {
+        def q = {
+          val filtered = f(docs)
+          val grouped =
+            if (g.isEmpty) filtered.groupBy()
+            else filtered.groupBy(g.map(col): _*)
+          grouped.agg(ms.head, ms.tail: _*)
+        }
+        val label = s"group=$g filter=$fname measures=${ms.size}"
+        assert(usesMv2(q, "lattice"), s"did not fire: $label")
+        SummaryRewrite.deregister("spec_lattice")
+        val expect = q.collect().map(_.toSeq).toSet
+        SummaryRewrite.register("spec_lattice",
+          SummaryRewrite.Summary("documents.parquet", mmMv,
+            Set("source", "lang")))
+        assert(q.collect().map(_.toSeq).toSet === expect, s"diverged: $label")
+        checked += 1
+      }
+      assert(checked === groupings.size * filters.size * measureSets.size)
+    } finally SummaryRewrite.deregister("spec_lattice")
+  }
+
+  private def usesMv2(df: DataFrame, marker: String): Boolean = {
+    val p = df.queryExecution.executedPlan.toString
+    p.contains(marker) && !p.contains("documents.parquet")
+  }
+
   test("deregistration restores the fact scan") {
     withSummary {
       assert(usesMv(docs.groupBy($"source").agg(count(lit(1)).as("n"))))
