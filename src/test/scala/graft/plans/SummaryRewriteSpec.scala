@@ -505,6 +505,60 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.deregister("spec_cache")
   }
 
+  test("exhaustive star lattice: orientation × filter × grouping × " +
+      "measure-set combinations fire and are exact") {
+    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/starlattice"
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"), mvPath = omv,
+      minMaxCols = Seq("o_orderkey"))
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_starlat",
+      SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+    try {
+      def orders = graft.Tables.load(spark, dir, "orders")
+      def cust = graft.Tables.load(spark, dir, "customer")
+      val joinCond = col("o_custkey") === col("c_custkey")
+      val shapes: Seq[(String, () => DataFrame)] = for {
+        (oname, joined) <- Seq[(String, () => DataFrame)](
+          ("fact-left", () => orders.join(cust, joinCond)),
+          ("fact-right", () => cust.join(orders, joinCond)),
+          ("fact-filtered", () =>
+            orders.filter(col("o_custkey") % 2 === 0).join(cust, joinCond)),
+          ("dim-filtered", () =>
+            orders.join(cust.filter(col("c_nationkey") < 12), joinCond)))
+        (gname, grouping) <- Seq(
+          ("dim", Seq("c_nationkey")),
+          ("factkey", Seq("o_custkey")),
+          ("both", Seq("c_nationkey", "o_custkey")))
+        (mname, ms) <- Seq[(String, Seq[org.apache.spark.sql.Column])](
+          ("count", Seq(count(lit(1)).as("n"))),
+          ("factminmax", Seq(min(col("o_orderkey")).as("lo"),
+            max(col("o_orderkey")).as("hi"))),
+          ("dimminmax", Seq(min(col("c_custkey")).as("dlo"),
+            count(lit(1)).as("n"))),
+          ("sumavg", Seq(sum(col("o_orderkey")).as("s"),
+            avg(col("o_orderkey")).as("a"), count(lit(1)).as("n"))))
+      } yield (s"$oname/$gname/$mname", () =>
+        joined().groupBy(grouping.map(col): _*).agg(ms.head, ms.tail: _*))
+      var checked = 0
+      shapes.foreach { case (label, mk) =>
+        def q = mk()
+        val p = q.queryExecution.executedPlan.toString
+        assert(p.contains("starlattice") && !p.contains("orders.parquet"),
+          s"did not fire: $label\n$p")
+        assert(p.contains("customer.parquet"), s"dim vanished: $label")
+        SummaryRewrite.deregister("spec_starlat")
+        val expect = q.collect().map(_.toSeq).toSet
+        SummaryRewrite.register("spec_starlat",
+          SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+        assert(q.collect().map(_.toSeq).toSet === expect, s"diverged: $label")
+        checked += 1
+      }
+      assert(checked === 48)
+    } finally SummaryRewrite.deregister("spec_starlat")
+  }
+
   test("snapshot-store summary: registration survives rebuilds and " +
       "sessions; newest commit is read") {
     SummaryRewrite.install(spark) // standalone-run safe (mv is lazy)
