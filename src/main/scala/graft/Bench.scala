@@ -139,11 +139,20 @@ object Bench {
     // measured total 59.0 s -> 48.1 s with cleanup on). Forcing the GC
     // BETWEEN queries (rather than the periodicGC timer) keeps the
     // pause outside the timed sections.
-    val attempts = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+    // local-iteration knobs (the driver sets neither): ONLY narrows to
+    // a comma-separated query list, REPS raises the rep count — the
+    // SCALE.md drift-watch methodology (3-rep builder-local isolation
+    // runs) as a first-class switch instead of throwaway mains
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val attempts = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .zipWithIndex.map {
       case ((name, fn), i) =>
         if (i % 4 == 0) System.gc()
         var ok = true
-        val times = (1 to 2).map { rep =>
+        val times = (1 to reps).map { rep =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch {
             case t: Throwable =>
@@ -178,7 +187,7 @@ object Bench {
     // unset means the driver's harness.
     val source = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOURCE", "driver")
     val envJson =
-      s"""{"source":"$source","cpus":$cpus,"reps":2,"stat":"min"}"""
+      s"""{"source":"$source","cpus":$cpus,"reps":$reps,"stat":"min"}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","env":$envJson,"failed":$failedJson,"queries":$qs,"build":$build,"sf":"$sfDir"}"""
     // Persist the FULL per-query map as a file artifact: the driver's

@@ -645,6 +645,16 @@ object SparkEntry {
     // two engine extensions in ONE plan: summary-served rollup under
     // the native TopKPerKey leaderboard; both plan-required
     "q263_summary_topk" -> (IndexOps.q263SummaryTopK _),
+    // on-disk catalog: fresh registry + install(catalogDir) alone must
+    // serve from the store; dead entries refuse cleanly; plan-required
+    "q264_summary_catalog" -> (IndexOps.q264SummaryCatalog _),
+    // COUNT(DISTINCT key) from summary rows (the q13 shape, persisted)
+    "q265_summary_distinct" -> (IndexOps.q265SummaryDistinct _),
+    // GROUP BY year/month over a day-keyed summary — coarsening of a
+    // coarsening (the reference's id >> 2 multi-resolution lattice)
+    "q266_summary_coarsen" -> (IndexOps.q266SummaryCoarsen _),
+    // left-outer star pushdown (the SFR left-merge shape, persisted)
+    "q267_summary_star_outer" -> (IndexOps.q267SummaryStarOuter _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -697,6 +697,16 @@ object IndexOps {
     SummaryRewrite.register("q261_docs_by_source_lang",
       SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
     try {
+      // the composed union derives lvl from which members carry real
+      // key values; a real NULL source/lang in the fact would mislabel
+      // leaf rows AND double-count against GROUP BY ROLLUP's own NULL
+      // rows — assert non-null keys on the SUMMARY (summary-sized,
+      // zero fact cost: group keys preserve NULLs as a group, so the
+      // summary has a null key row iff the fact has null key rows)
+      require(s.read.parquet(mv)
+          .filter($"source".isNull || $"lang".isNull).count() == 0L,
+        "q261 precondition broken: NULL rollup keys in the fact — the " +
+          "explicit-lvl union would mislabel them")
       val docs = load(s, dir, "documents")
       def level(keys: Seq[String], lvl: Long) = {
         val base = docs.groupBy(keys.map(col): _*)
@@ -724,25 +734,32 @@ object IndexOps {
   // --------------------------------------------------------------- q262
 
   /** q262 — the summary AUDIT, gated: recompute-and-diff proves the
-    * healthy artifact exact (zero discrepancy rows), then a PLANTED
-    * drift — the lattice-min key dropped, every remaining 'en' key's
-    * cnt shifted by 7 — must be caught row-for-row, or the gate
-    * throws (the q133 non-vacuity rule: an audit that cannot catch a
-    * planted fault proves nothing). Output is the accounting row the
-    * monitoring cadence stores: keys checked, healthy diff (0), and
-    * the planted diff count, which the oracle derives independently
-    * from the key lattice. Completes the serving-layer lifecycle:
-    * build → serve → maintain → AUDIT. */
+    * healthy artifact exact (zero discrepancy rows) across ALL partial
+    * columns — cnt, sum_, AND min_/max_ — then a PLANTED drift — the
+    * lattice-min key dropped, every remaining 'en' key's cnt shifted
+    * by 7, every remaining 'de' key's min_n_chars lowered by 1 — must
+    * be caught row-for-row, or the gate throws (the q133 non-vacuity
+    * rule: an audit that cannot catch a planted fault proves nothing).
+    * The min-drift leg is the round-11 widening: an audit that only
+    * diffs cnt/sum_ would report the de-drifted artifact HEALTHY while
+    * it serves wrong MIN rollups — the in-query scopeGap gate proves
+    * the narrow audit really is blind to it (else the wide audit is
+    * vacuously passing). Output is the accounting row the monitoring
+    * cadence stores: keys checked, healthy diff (0), and the planted
+    * diff count, which the oracle derives independently from the key
+    * lattice. Completes the serving-layer lifecycle: build → serve →
+    * maintain → AUDIT. */
   def q262SummaryAudit(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
     val tmp = java.nio.file.Files.createTempDirectory("graft-q262").toString
     val mv = s"$tmp/docs_by_source_lang"
     val factPath = s"$dir/documents.parquet"
     SummaryRewrite.buildSummary(s, factPath,
-      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv,
+      minMaxCols = Seq("n_chars"))
     val healthy = SummaryRewrite.auditSummary(s, factPath,
       SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")),
-      Seq("n_chars")).count()
+      Seq("n_chars"), Seq("n_chars")).count()
     val rows = s.read.parquet(mv)
     val nKeys = rows.count()
     val minKey = rows.select($"source", $"lang")
@@ -752,13 +769,23 @@ object IndexOps {
         $"lang" === minKey.getString(1)))
       .withColumn("cnt",
         $"cnt" + when($"lang" === "en", 7L).otherwise(0L))
+      .withColumn("min_n_chars",
+        $"min_n_chars" - when($"lang" === "de", 1L).otherwise(0L))
       .write.parquet(drifted)
-    val planted = SummaryRewrite.auditSummary(s, factPath,
-      SummaryRewrite.Summary("documents.parquet", drifted,
-        Set("source", "lang")),
-      Seq("n_chars")).count()
+    val bad = SummaryRewrite.Summary("documents.parquet", drifted,
+      Set("source", "lang"))
+    val planted = SummaryRewrite.auditSummary(s, factPath, bad,
+      Seq("n_chars"), Seq("n_chars")).count()
     require(planted > 0L,
       "q262 gate is vacuous: the audit did not catch the planted drift")
+    // scope gate: the cnt/sum_-only audit must MISS exactly the
+    // min-drifted 'de' keys (one diff count apart), proving the
+    // min/max widening is load-bearing, not decorative
+    val narrow = SummaryRewrite.auditSummary(s, factPath, bad,
+      Seq("n_chars")).count()
+    require(narrow < planted,
+      s"q262 gate is vacuous: narrow audit ($narrow) already sees " +
+        s"every planted drift ($planted) — the min/max leg proves nothing")
     s.range(1).select(
       lit(nKeys).as("n_keys"),
       lit(healthy).as("n_diff_healthy"),
@@ -808,6 +835,197 @@ object IndexOps {
       val rows = q.collect().toIndexedSeq
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
     } finally SummaryRewrite.deregister("q263_docs_by_source_lang")
+  }
+
+  // --------------------------------------------------------------- q264
+
+  /** q264 — the summary CATALOG end to end: registrations persisted on
+    * disk and consumed by a registry that starts EMPTY. The in-memory
+    * registry is process-local; the production shape is one
+    * maintenance job and many dashboard JVMs, and a fresh process must
+    * not silently full-scan facts that have summaries — so the
+    * producer publishes `cat=N.json` (FS-rename committed, newest
+    * wins) beside the artifacts and the consumer's ONLY call is
+    * `SummaryRewrite.install(session, catalogDir)`. Simulated here as
+    * the strongest in-process equivalent: `clear()` wipes every
+    * registration (the fresh-JVM state), a NEW session installs from
+    * the catalog path alone, and the aggregate must still plan-provably
+    * serve from the store's newest commit. The published catalog also
+    * carries an entry whose artifact was never written — it must
+    * refuse CLEANLY (the unreadable-artifact guard), proving a
+    * half-garbage catalog cannot poison queries. Reference analogue:
+    * HiSS-Cube's zoom tables are self-describing inside the one H5
+    * file (`metadata_strategy_cube_visualization.py:57-72`) — no
+    * in-memory registry survives the process there either. */
+  def q264SummaryCatalog(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q264").toString
+    val store = s"$tmp/docs_store"
+    val catDir = s"$tmp/catalog"
+    val v = SummaryRewrite.buildSummarySnapshot(s, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), store = store)
+    require(v == 1L, s"q264: expected first store commit, got snap=$v")
+    val cv = SummaryRewrite.publishCatalog(s, catDir, Map(
+      // dead entry sorts FIRST (fewer keys, earlier name): it must
+      // refuse cleanly and fall through to the live store entry
+      "a_dead" -> SummaryRewrite.Summary("documents.parquet",
+        s"$tmp/never-written", Set("source")),
+      "b_docs_by_source_lang" -> SummaryRewrite.Summary(
+        "documents.parquet", "", Set("source", "lang"), Some(store))))
+    require(cv == 1L, s"q264: expected first catalog commit, got cat=$cv")
+    SummaryRewrite.clear() // the fresh-process state: ZERO registrations
+    val s2 = s.newSession()
+    val n = SummaryRewrite.install(s2, catDir)
+    require(n == 2,
+      s"q264 gate is vacuous: expected 2 catalog entries loaded, got $n")
+    try {
+      val q = load(s2, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("snap=1"),
+        "q264 gate is vacuous: the catalog-loaded store entry did not serve")
+      require(!phys.contains("documents.parquet"),
+        "q264 gate broken: the fact table is still scanned")
+      require(!phys.contains("never-written"),
+        "q264 gate broken: the dead catalog entry reached the plan")
+      // bounded: one row per source (the q243 materialization rule)
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.clear()
+  }
+
+  // --------------------------------------------------------------- q265
+
+  /** q265 — COUNT(DISTINCT key) served by the summary: the summary
+    * carries every key combination present in the fact (a group
+    * exists iff ≥ 1 fact row does), so the distinct set of a KEY
+    * column per coarser group equals the summary rows' set and
+    * `count(distinct lang)` re-runs verbatim over summary rows —
+    * alongside the usual Σcnt / Σsum derivations, all in ONE
+    * fact-scan-free plan. This is the q13 shape (distinct targets per
+    * spatial cell — reference `metadata_strategy_cube_ml.py:537-545`)
+    * served from a persisted partial: at 100 TB the expensive
+    * distinct (normally an extra shuffle of the raw keys) collapses
+    * to a distinct over kilobytes. One distinct GROUP only — two or
+    * more are expanded by RewriteDistinctAggregates before the rule
+    * runs and correctly refuse. */
+  def q265SummaryDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q265")
+      .toString + "/docs_by_source_lang"
+    SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q265_docs_by_source_lang",
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    try {
+      val q = load(s, dir, "documents")
+        .groupBy($"source")
+        .agg(countDistinct($"lang").as("n_langs"),
+          count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("docs_by_source_lang"),
+        "q265 gate is vacuous: the distinct rewrite did not fire")
+      require(!phys.contains("documents.parquet"),
+        "q265 gate broken: the fact table is still scanned")
+      // bounded: one row per source
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q265_docs_by_source_lang")
+  }
+
+  // --------------------------------------------------------------- q266
+
+  /** q266 — grouping-EXPRESSION coarsening served by the summary:
+    * `GROUP BY year(date), month(date)` over a DAY-keyed summary — a
+    * coarsening of a coarsening, because every calendar bucket is a
+    * deterministic function of the finer key. This is exactly the
+    * reference's multi-resolution read (every coarser HEALPix cell is
+    * `id >> 2` of the finer one, `astrometry.py:211-224`) landed on
+    * the time hierarchy every dashboard uses. The optimizer hoists
+    * the grouping expressions into a Project
+    * (PullOutGroupingExpressions); the rule inlines those aliases and
+    * judges the UNDERLYING references against the summary keys, so
+    * the date summary (~thousands of rows) serves every year/month/
+    * week rollup of a 100 TB orders fact with zero query changes.
+    * min/max ride along (order-insensitive over doubles, hash-safe —
+    * a re-aggregated double SUM would not be). */
+  def q266SummaryCoarsen(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q266")
+      .toString + "/orders_by_day"
+    SummaryRewrite.buildSummary(s, s"$dir/orders.parquet",
+      keys = Seq("o_orderdate"), sumCols = Seq.empty, mvPath = mv,
+      minMaxCols = Seq("o_totalprice"))
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q266_orders_by_day",
+      SummaryRewrite.Summary("orders.parquet", mv, Set("o_orderdate")))
+    try {
+      val q = load(s, dir, "orders")
+        .groupBy(year($"o_orderdate").as("yr"),
+          month($"o_orderdate").as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          min($"o_totalprice").as("min_price"),
+          max($"o_totalprice").as("max_price"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("orders_by_day"),
+        "q266 gate is vacuous: the coarsening rewrite did not fire")
+      require(!phys.contains("orders.parquet"),
+        "q266 gate broken: the fact table is still scanned")
+      // bounded: one row per calendar month in the corpus
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q266_orders_by_day")
+  }
+
+  // --------------------------------------------------------------- q267
+
+  /** q267 — LEFT-OUTER star rewrite: fact ⟕ dim with the fact on the
+    * PRESERVED side derives with the same Σcnt multiplicity rule —
+    * each summary row null-extends exactly like its cnt fact rows, so
+    * the null-dim group (orders whose customer fails the dim filter)
+    * is counted identically on both sides. This is the reference's
+    * own J1/SFR left-merge shape (`sfr.py:42-48`: left merge keeps
+    * unmatched rows) served from a persisted partial; a dim-preserved
+    * outer join refuses (an unmatched dim row counts 1 under COUNT(*)
+    * but its null summary row adds nothing to Σcnt — the spec law).
+    * The NULL dim key is coalesced to -1 ABOVE the aggregate (a
+    * Project on summary-sized rows), keeping the gated output
+    * NULL-free per the driver comparator's contract. */
+  def q267SummaryStarOuter(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q267")
+      .toString + "/orders_by_cust"
+    SummaryRewrite.buildSummary(s, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq.empty, mvPath = mv,
+      minMaxCols = Seq("o_orderkey"))
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q267_orders_by_cust",
+      SummaryRewrite.Summary("orders.parquet", mv, Set("o_custkey")))
+    try {
+      val q = load(s, dir, "orders")
+        .join(load(s, dir, "customer").filter($"c_nationkey" < 5),
+          $"o_custkey" === $"c_custkey", "left")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          max($"o_orderkey").as("max_orderkey"))
+        .select(coalesce($"c_nationkey", lit(-1)).as("nation"),
+          $"n_orders", $"max_orderkey")
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("orders_by_cust"),
+        "q267 gate is vacuous: the left-outer star rewrite did not fire")
+      require(!phys.contains("orders.parquet"),
+        "q267 gate broken: the fact table is still scanned")
+      require(phys.contains("customer.parquet"),
+        "q267 gate broken: the dim side vanished")
+      // bounded: one row per nation + the null-extended group
+      val rows = q.collect().toIndexedSeq
+      require(rows.exists(_.getInt(0) == -1),
+        "q267 gate is vacuous: no null-extended group — the outer join " +
+          "degenerated to inner")
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q267_orders_by_cust")
   }
 
   // ------------------------------------------------- file-stats manifest
@@ -1313,29 +1531,64 @@ object IndexOps {
         |  CAST(min(c_custkey) AS BIGINT) AS first_cust
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
-    // q261: DuckDB's native GROUP BY ROLLUP with the same explicit
-    // level discriminator — the composed union must equal the real
-    // rollup lattice, NULLs included
+    // q261: DuckDB's native GROUP BY ROLLUP with the level derived
+    // from GROUPING() — the rollup-aware discriminator (0 = leaf,
+    // 1 = lang rolled, 3 = both rolled), immune to real NULL key
+    // values (which the Spark side separately asserts absent) — the
+    // composed union must equal the real rollup lattice
     "q261_summary_rollup" ->
       """SELECT source, lang,
-        |  CAST(CASE WHEN source IS NULL AND lang IS NULL THEN 2
-        |    WHEN lang IS NULL THEN 1 ELSE 0 END AS BIGINT) AS lvl,
+        |  CAST(CASE GROUPING(source, lang) WHEN 0 THEN 0
+        |    WHEN 1 THEN 1 WHEN 3 THEN 2 END AS BIGINT) AS lvl,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
     // q262: the planted-drift arithmetic replayed from the key
     // lattice — dropped min key surfaces once, plus every remaining
-    // 'en' key whose cnt shifted
+    // 'en' key whose cnt shifted, plus every remaining 'de' key whose
+    // min_n_chars partial drifted (the round-11 min/max audit leg)
     "q262_summary_audit" ->
       """WITH k AS (SELECT DISTINCT source, lang FROM documents),
         |mn AS (SELECT source, lang FROM k
         |  ORDER BY source, lang LIMIT 1)
         |SELECT CAST((SELECT count(*) FROM k) AS BIGINT) AS n_keys,
         |  CAST(0 AS BIGINT) AS n_diff_healthy,
-        |  CAST((SELECT count(*) FROM k WHERE lang = 'en'
+        |  CAST((SELECT count(*) FROM k WHERE lang IN ('en', 'de')
         |      AND NOT (source = (SELECT source FROM mn)
         |        AND lang = (SELECT lang FROM mn))) + 1 AS BIGINT)
         |    AS n_diff_planted""".stripMargin,
+    // q264: plain rollup SQL — the catalog machinery is invisible to
+    // the answer; only the plan gates see it
+    "q264_summary_catalog" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // q265: plain count(distinct)/count/sum SQL — the summary serving
+    // the distinct is invisible to the answer
+    "q265_summary_distinct" ->
+      """SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // q266: the calendar rollup straight off the fact — the day
+    // summary serving it is invisible
+    "q266_summary_coarsen" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    // q267: the plain left-join SQL with the same -1 null sentinel —
+    // the pushdown through the outer join is invisible to the answer
+    "q267_summary_star_outer" ->
+      """SELECT CAST(coalesce(c_nationkey, -1) AS INTEGER) AS nation,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_orderkey
+        |FROM orders LEFT JOIN
+        |  (SELECT * FROM customer WHERE c_nationkey < 5) c
+        |  ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     // q263: the plain rollup + rank window — both extensions invisible
     "q263_summary_topk" ->
       """WITH b AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs

@@ -609,13 +609,19 @@ object InsightOps {
     * (29.3% breakdown point). Built integer-exact and cross-engine
     * deterministic:
     *
-    *  - slopes in FLOOR per-mille via the positive-offset trick
-    *    `(dy·1000 + K·dx) div dx − K` (dx > 0, K = 10⁶) — Spark's
-    *    `div` truncates toward zero and DuckDB's `//` floors, so a
-    *    negative numerator would diverge between engines; adding
-    *    K·dx makes every numerator positive, where the two agree;
+    *  - slopes in TRUE FLOOR per-mille: `dy·1000 div dx` when the
+    *    numerator is non-negative (truncation = floor there), else
+    *    `(dy·1000 − dx + 1) div dx` — exact floor under TRUNCATING
+    *    integer division (which both Spark's `div` and DuckDB's `//`
+    *    are, verified empirically: `-5 // 3 = -1` in DuckDB), with NO
+    *    domain bound on the slope (the earlier positive-offset trick
+    *    silently required slope ≥ −10⁶ permille);
     *  - the median by the pinned q146 rank rule (1-based index
-    *    ⌈n/2⌉ of the sorted multiset — no interpolation mode).
+    *    ⌈n/2⌉ of the sorted multiset — no interpolation mode);
+    *  - a type with a SINGLE observed day has no pairs and no trend:
+    *    n_pairs = 0, slope_permille = NULL (the unguarded fan-out
+    *    would evaluate sequence(1, 0) — descending in Spark — and
+    *    index out of bounds under ANSI mode).
     *
     * SCALE: the corpus collapses to (type, day) counts in ONE
     * map-combinable aggregate; the C(days,2) pair fan-out happens
@@ -631,14 +637,22 @@ object InsightOps {
       .agg(sort_array(collect_list(struct($"d", $"c"))).as("pts"),
         count(lit(1)).as("n_days"))
       .withColumn("slopes", expr(
-        """flatten(transform(sequence(1, int(n_days) - 1), j ->
-          |  transform(sequence(0, j - 1), i ->
-          |    ((pts[j].c - pts[i].c) * 1000
-          |      + 1000000 * (pts[j].d - pts[i].d))
-          |      div (pts[j].d - pts[i].d) - 1000000)))""".stripMargin))
+        """CASE WHEN n_days >= 2 THEN
+          |  flatten(transform(sequence(1, int(n_days) - 1), j ->
+          |    transform(sequence(0, j - 1), i ->
+          |      CASE WHEN pts[j].c >= pts[i].c
+          |        THEN ((pts[j].c - pts[i].c) * 1000)
+          |          div (pts[j].d - pts[i].d)
+          |        ELSE ((pts[j].c - pts[i].c) * 1000
+          |          - (pts[j].d - pts[i].d) + 1)
+          |          div (pts[j].d - pts[i].d)
+          |      END)))
+          |ELSE cast(array() as array<bigint>) END""".stripMargin))
       .withColumn("n_pairs", size($"slopes").cast("long"))
       .withColumn("slope_permille", expr(
-        "element_at(array_sort(slopes), int((n_pairs + 1) div 2))"))
+        """CASE WHEN n_pairs >= 1
+          |  THEN element_at(array_sort(slopes), int((n_pairs + 1) div 2))
+          |  ELSE CAST(NULL AS BIGINT) END""".stripMargin))
       .select($"event_type", $"n_days", $"n_pairs", $"slope_permille")
   }
 
@@ -939,9 +953,11 @@ object InsightOps {
   }
 
   val oracles: Map[String, String] = Map(
-    // q259: pairwise floor-permille slopes with the same positive
-    // offset (DuckDB // floors; the offset keeps numerators positive
-    // where // and Spark's div agree), median by the q146 rank index
+    // q259: pairwise TRUE-FLOOR permille slopes — the same explicit
+    // floor CASE as the Spark side (both engines' integer division
+    // truncates toward zero; the CASE makes both a floor, with no
+    // slope-domain bound), median by the q146 rank index, single-day
+    // types guarded to n_pairs = 0 / NULL slope
     "q259_theil_sen" ->
       """WITH e AS (SELECT event_type,
         |    epoch_us(ts) // 86400000000 AS d FROM events),
@@ -952,16 +968,23 @@ object InsightOps {
         |    CAST(count(*) AS BIGINT) AS n_days
         |  FROM daily GROUP BY 1),
         |sl AS (SELECT event_type, n_days,
-        |    flatten(list_transform(generate_series(2, len(pts)), j ->
-        |      list_transform(generate_series(1, j - 1), i ->
-        |        ((pts[j].c - pts[i].c) * 1000
-        |          + 1000000 * (pts[j].d - pts[i].d))
-        |          // (pts[j].d - pts[i].d) - 1000000))) AS slopes
+        |    CASE WHEN n_days >= 2 THEN
+        |      flatten(list_transform(generate_series(2, len(pts)), j ->
+        |        list_transform(generate_series(1, j - 1), i ->
+        |          CASE WHEN pts[j].c >= pts[i].c
+        |            THEN ((pts[j].c - pts[i].c) * 1000)
+        |              // (pts[j].d - pts[i].d)
+        |            ELSE ((pts[j].c - pts[i].c) * 1000
+        |              - (pts[j].d - pts[i].d) + 1)
+        |              // (pts[j].d - pts[i].d)
+        |          END)))
+        |    ELSE [] END AS slopes
         |  FROM arr)
         |SELECT event_type, n_days,
         |  CAST(len(slopes) AS BIGINT) AS n_pairs,
-        |  CAST(list_sort(slopes)[CAST((len(slopes) + 1) // 2 AS BIGINT)]
-        |    AS BIGINT) AS slope_permille
+        |  CAST(CASE WHEN len(slopes) >= 1
+        |    THEN list_sort(slopes)[CAST((len(slopes) + 1) // 2 AS BIGINT)]
+        |    ELSE NULL END AS BIGINT) AS slope_permille
         |FROM sl""".stripMargin,
     "q235_random_walks" -> randomWalkSql(4),
     // q241: division-cleared Pearson over both edge orientations

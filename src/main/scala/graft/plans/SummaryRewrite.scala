@@ -7,11 +7,22 @@ import scala.util.Try
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Marker contract for DSv2 `Scan` implementations that NEVER consume
+  * pushed filters or aggregates — `pushedFilters()` is empty and every
+  * predicate stays residual (pushdown may prune LISTINGS as an
+  * optimization, never rows semantically). Only such a scan's
+  * `DataSourceV2ScanRelation` may be treated as a bare table read by
+  * [[SummaryRewrite]]: a scan that consumed a filter would make the
+  * rewrite silently drop that predicate. The graft FITS scans
+  * ([[graft.sources.fits]]) carry this contract. */
+trait ResidualOnlyScan
 
 /** Summary-table (materialized-view) REWRITE — the optimizer extension
   * that turns `fact.groupBy(keys).agg(count/sum/min/max)` into a
@@ -35,14 +46,36 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * (`metadata_strategy_cube_visualization.py:57-72` reads one zoom
   * table slice, not the whole cube).
   *
+  * GROUPING-EXPRESSION COARSENING: `GROUP BY f(keys)` rewrites for any
+  * deterministic, aggregate-free f whose references are all summary
+  * keys — a coarsening of a coarsening. This is exactly HiSS-Cube's
+  * multi-resolution read: every coarser zoom cell is a deterministic
+  * function of the finer one (`astrometry.py:211-224` — parent
+  * HEALPix cell = `id >> 2`), and the calendar hierarchy (day summary
+  * serving `GROUP BY year(date)`) is the same lattice walk.
+  *
+  * COUNT(DISTINCT k) over summary KEYS is served too: the summary
+  * carries every key combination present in the fact (a group exists
+  * iff ≥ 1 fact row does), so the distinct set of key columns per
+  * coarser group equals the summary rows' set — `count(distinct k)`
+  * re-runs verbatim over summary rows, fact-scan-free. The q13 shape
+  * (distinct targets per spatial cell — reference
+  * `metadata_strategy_cube_ml.py:537-545`) rides this.
+  *
   * STAR JOINS are served too: `Aggregate(g, a, fact ⋈ dim)` rewrites
-  * to `Aggregate(g, a', summary ⋈ dim)` when the inner equi-join runs
+  * to `Aggregate(g, a', summary ⋈ dim)` when the equi-join runs
   * entirely on summary keys — all fact rows sharing a key have the
   * same dim matches, so the fact collapse multiplies every joined
   * group identically and count/sum/min/max/avg re-derive exactly
-  * (dim-side measures only MIN/MAX, the multiplicity-insensitive
-  * ones). The classic partial-aggregation pushdown through a star
-  * join, from a persisted partial (q260).
+  * (dim-side measures only the multiplicity-insensitive ones: MIN/MAX
+  * and DISTINCT aggregates, which depend on the value SET alone).
+  * LEFT/RIGHT OUTER joins with the fact on the PRESERVED side derive
+  * with the same Σcnt rule — each summary row null-extends exactly
+  * like its fact rows (the reference's own J1/SFR left-merge shape,
+  * `sfr.py:42-48`); a dim-preserved outer join refuses (an unmatched
+  * dim row counts 1 under COUNT(*) but its null summary row
+  * contributes nothing to Σcnt). The classic partial-aggregation
+  * pushdown through a star join, from a persisted partial (q260).
   *
   * COVERING-SUMMARY SELECTION: all registered summaries of the fact
   * are candidates; the rule picks the smallest (fewest keys, then
@@ -64,12 +97,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * match, so `documents.parquet` cannot claim `raw_documents.parquet`)
   * under at most column-pruning Projects and deterministic,
   * subquery-free Filters whose references are all summary keys; every
-  * grouping expression must be a bare attribute covered by the chosen
-  * summary's keys; every aggregate must be COUNT(*)/COUNT(1),
-  * SUM(attr), MIN(attr), MAX(attr), or AVG(attr) — the last derived
-  * as Σsum_attr / Σcnt over a Long partial — with the matching
-  * `cnt`/`sum_<attr>`/`min_<attr>`/`max_<attr>` column present in the
-  * summary schema; and every rewritten output expression must have
+  * grouping expression must be deterministic, aggregate-free, and
+  * reference only the chosen summary's keys (bare key attributes are
+  * the degenerate case); every aggregate must be COUNT(*)/COUNT(1),
+  * SUM(attr), MIN(attr), MAX(attr), AVG(attr), or COUNT(DISTINCT
+  * key attrs) — AVG derived as Σsum_attr / Σcnt over a Long partial —
+  * with the matching `cnt`/`sum_<attr>`/`min_<attr>`/`max_<attr>`
+  * column present in the summary schema; measure children must be
+  * FACT-side attributes (a dim column whose NAME collides with a
+  * summarized fact measure refuses rather than silently serving the
+  * fact partial); and every rewritten output expression must have
   * EXACTLY the original's dataType (`cnt` must be LongType) — a
   * decimal measure whose re-aggregation would widen precision refuses
   * rather than corrupting the resolved schema. Output attribute ids
@@ -109,6 +146,138 @@ object SummaryRewrite {
 
   def clear(): Unit = registry.clear()
 
+  // ------------------------------------------------------------ catalog
+
+  /** On-disk registration CATALOG — what makes the serving layer an
+    * engine feature instead of a single-JVM demo. The registry above
+    * is process-local; the production shape is one maintenance job and
+    * many dashboard JVMs, and a fresh process must not silently
+    * full-scan facts that have summaries. The catalog persists the
+    * registration METADATA (name, fact suffix, keys, artifact
+    * location) beside the artifacts themselves, under the same
+    * FS-rename commit discipline as snapshot stores: each publish
+    * lands as an immutable `cat=N.json` (staged dot-prefixed, renamed
+    * into place), readers resolve the newest committed version with
+    * one directory listing, and a crash mid-publish leaves the
+    * previous catalog intact. Reference analogue: HiSS-Cube's zoom
+    * tables are self-describing inside the one H5 file
+    * (`metadata_strategy_cube_visualization.py:57-72` reads them by
+    * path convention, no in-memory registry).
+    *
+    * A catalog entry whose artifact has since vanished refuses
+    * CLEANLY at rewrite time (the unreadable-artifact guard): the
+    * fact scan answers, nothing throws. */
+  def publishCatalog(spark: SparkSession, catalogDir: String,
+      entries: Map[String, Summary]): Long = {
+    val json = entries.toSeq.sortBy(_._1).map { case (n, s) =>
+      val store = s.store
+        .map(st => s""","store":${jstr(st)}""").getOrElse("")
+      s"""{"name":${jstr(n)},"factPathSuffix":${jstr(s.factPathSuffix)},""" +
+        s""""mvPath":${jstr(s.mvPath)},""" +
+        s""""keys":[${s.keys.toSeq.sorted.map(jstr).mkString(",")}]$store}"""
+    }.mkString("[", ",\n ", "]")
+    val dir = new org.apache.hadoop.fs.Path(catalogDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$catalogDir/.cat-staging"), true)
+    val v = catalogVersions(spark, catalogDir).sorted.lastOption
+      .getOrElse(0L) + 1L
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$catalogDir/.cat-staging/cat=$v.json")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(s"$catalogDir/cat=$v.json")
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"publishCatalog: staging rename $tmp -> $dst failed — catalog " +
+          "left unchanged (stale staging will be swept)")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$catalogDir/.cat-staging"), true)
+    v
+  }
+
+  /** Publish the CURRENT in-memory registrations (the producer-side
+    * convenience: register → build → publish). */
+  def publishCatalog(spark: SparkSession, catalogDir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    publishCatalog(spark, catalogDir,
+      registry.entrySet().asScala.map(e => e.getKey -> e.getValue).toMap)
+  }
+
+  /** Load the newest committed catalog version into the registry and
+    * returns the number of entries registered (0 when the catalog has
+    * no committed version yet — a fresh consumer before the first
+    * publish simply serves from fact scans). */
+  def loadCatalog(spark: SparkSession, catalogDir: String): Int = {
+    val live = catalogVersions(spark, catalogDir)
+    if (live.isEmpty) return 0
+    val p = new org.apache.hadoop.fs.Path(s"$catalogDir/cat=${live.max}.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val raw = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
+        .foreach(n => buf.write(chunk, 0, n))
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+    val entries = parseCatalog(raw)
+    entries.foreach { case (n, s) => register(n, s) }
+    entries.size
+  }
+
+  /** Consumer-side one-call install: load the newest catalog AND add
+    * the rule to the session — the fresh-process entry point. */
+  def install(spark: SparkSession, catalogDir: String): Int = {
+    val n = loadCatalog(spark, catalogDir)
+    install(spark)
+    n
+  }
+
+  /** Committed catalog versions, one directory listing. */
+  def catalogVersions(spark: SparkSession, catalogDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(catalogDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("cat=") && n.endsWith(".json"))
+      .map(_.stripPrefix("cat=").stripSuffix(".json").toLong)
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Minimal JSON reader for the catalog's own writer format (json4s
+    * ships with Spark but a 12-field flat schema does not need an AST;
+    * the parser rejects anything the writer cannot have produced). */
+  private[plans] def parseCatalog(raw: String): Seq[(String, Summary)] = {
+    val obj = """\{[^{}]*\}""".r
+    obj.findAllIn(raw).toSeq.map { o =>
+      def field(k: String): Option[String] = {
+        val m = ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+        m.findFirstMatchIn(o).map(_.group(1))
+          .map(_.replace("\\\"", "\"").replace("\\\\", "\\"))
+      }
+      val keysArr = """"keys"\s*:\s*\[([^\]]*)\]""".r
+      val keys = keysArr.findFirstMatchIn(o).map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSet
+      val name = field("name").getOrElse(
+        throw new IllegalArgumentException(s"catalog entry missing name: $o"))
+      name -> Summary(
+        field("factPathSuffix").getOrElse(
+          throw new IllegalArgumentException(
+            s"catalog entry missing factPathSuffix: $o")),
+        field("mvPath").getOrElse(""), keys, field("store"))
+    }
+  }
+
+  // -------------------------------------------------- build / maintain
+
   /** The summary frame honoring the naming contract: one row per key
     * combination, `cnt`, `sum_<col>`, and `min_<col>`/`max_<col>` per
     * measure. One map-side-combinable shuffle over the fact table —
@@ -146,21 +315,35 @@ object SummaryRewrite {
 
   /** BATCH incremental maintenance: fold the latest committed summary
     * with the delta's partials and commit the result as the next
-    * snapshot — the cnt/sum/min/max columns are all monoids, so
-    * fold(old, partial(delta)) ≡ rebuild(old_fact ∪ delta), and the
-    * fact table is only ever scanned for the DELTA. The fold itself
-    * shuffles two summary-sized frames (keys-cardinality rows), not
-    * the corpus: at 100 TB this is the difference between a nightly
-    * full rebuild and a per-batch kilobyte merge. Readers keep the
-    * previous snapshot until the FS-rename commit lands ([[
+    * snapshot — the cnt/sum/min/max columns are all monoids under
+    * UNION, so fold(old, partial(delta)) ≡ rebuild(old_fact ∪ delta),
+    * and the fact table is only ever scanned for the DELTA. The fold
+    * itself shuffles two summary-sized frames (keys-cardinality rows),
+    * not the corpus: at 100 TB this is the difference between a
+    * nightly full rebuild and a per-batch kilobyte merge. Readers keep
+    * the previous snapshot until the FS-rename commit lands ([[
     * graft.operators.IndexOps.writeSnapshot]]); a store-backed
-    * registration serves the new version on its next query. */
+    * registration serves the new version on its next query.
+    *
+    * APPEND-ONLY by contract: cnt/sum would at least fold a
+    * retraction (negative-cnt) delta visibly negative, but min/max
+    * would silently fold too WIDE — min/max are monoids under union,
+    * not under deletion. The delta built here is a count and cannot
+    * go negative; a doctored STORE snapshot could, so the fold
+    * `require`s every latest-snapshot cnt partial positive (one pass
+    * over a summary-sized frame) and throws loudly instead of serving
+    * a wrong artifact. Deletions = rebuild, by design. */
   def mergeDelta(spark: SparkSession, store: String, deltaFact: DataFrame,
       keys: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Seq.empty): Long = {
     import org.apache.spark.sql.functions._
     val delta = summaryFrame(deltaFact, keys, sumCols, minMaxCols)
     val latest = graft.operators.IndexOps.readSnapshot(spark, store)
+    val nonPos = latest.filter(col("cnt") <= 0L).count()
+    require(nonPos == 0L,
+      s"mergeDelta: $nonPos non-positive cnt partials in the latest " +
+        s"snapshot of $store — a retraction cannot be folded (min/max " +
+        "partials are union-monoids only); rebuild the summary instead")
     val foldAggs = sum(col("cnt")).as("cnt") +:
       (sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
         minMaxCols.flatMap(c => Seq(
@@ -180,15 +363,19 @@ object SummaryRewrite {
     * maintain ([[mergeDelta]], streaming fold), audit (here): a
     * summary that drifted (missed delta, manual fact edit) serves
     * WRONG dashboards silently, and the audit is the one pass that
-    * proves it didn't. Cost: one fact scan + a summary-sized join —
-    * the same price as one unserved rollup, paid on the monitoring
-    * cadence, not per query. Full-outer on the keys so both phantom
-    * summary rows and missing fact groups surface. */
+    * proves it didn't. ALL partial columns are audited — cnt, sum_,
+    * AND min_/max_ (a drifted min partial serves wrong MIN rollups
+    * just as silently as a drifted cnt). Cost: one fact scan + a
+    * summary-sized join — the same price as one unserved rollup, paid
+    * on the monitoring cadence, not per query. Full-outer on the keys
+    * so both phantom summary rows and missing fact groups surface. */
   def auditSummary(spark: SparkSession, factPath: String,
-      summary: Summary, sumCols: Seq[String]): DataFrame = {
+      summary: Summary, sumCols: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions._
     val keys = summary.keys.toSeq.sorted
-    val expect = summaryFrame(spark.read.parquet(factPath), keys, sumCols)
+    val expect = summaryFrame(spark.read.parquet(factPath), keys, sumCols,
+      minMaxCols)
     val mvPath = summary.store match {
       case Some(st) =>
         val live = graft.operators.IndexOps.snapshotVersions(spark, st)
@@ -197,7 +384,8 @@ object SummaryRewrite {
       case None => summary.mvPath
     }
     val got = spark.read.parquet(mvPath)
-    val measures = "cnt" +: sumCols.map(c => s"sum_$c")
+    val measures = "cnt" +: (sumCols.map(c => s"sum_$c") ++
+      minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c")))
     val e = expect.select(keys.map(col) ++
       measures.map(m => col(m).as(s"expect_$m")): _*)
     val g = got.select(keys.map(col) ++
@@ -210,40 +398,90 @@ object SummaryRewrite {
   case class SummaryRewriteRule(spark: SparkSession)
       extends Rule[LogicalPlan] with PredicateHelper {
 
-    private def relationPaths(rel: LogicalRelation): Seq[String] =
-      rel.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
-        case _ => Seq.empty
+    /** The fact relation under at most Projects and deterministic,
+      * subquery-free Filters — Project entries may be bare attributes
+      * (column pruning) or deterministic aggregate-free ALIASES (the
+      * optimizer's own PullOutGroupingExpressions hoists `GROUP BY
+      * f(key)` into exactly such a Project), which are collected into
+      * a substitution so the grouping can be judged against the
+      * UNDERLYING fact columns. Anything else (nondeterminism,
+      * subqueries) refuses the rewrite. Stacked filters conjoin;
+      * whether each predicate is KEY-ONLY is judged per candidate
+      * summary later. Both read paths match: V1 `LogicalRelation`/
+      * `HadoopFsRelation`, DSv2 `DataSourceV2Relation`, and a
+      * post-pushdown `DataSourceV2ScanRelation` whose scan carries the
+      * [[ResidualOnlyScan]] contract (a scan that may CONSUME pushed
+      * filters must refuse — the rewrite would silently drop the
+      * predicate) — the fact identity is its path(s) either way. */
+    private case class Shape(paths: Seq[String], pred: Option[Expression],
+        subst: Map[ExprId, Expression])
+
+    /** Replace references to hoisted Project aliases with their
+      * defining expressions (values are pre-inlined: one pass). */
+    private def inline(e: Expression,
+        subst: Map[ExprId, Expression]): Expression =
+      if (subst.isEmpty) e
+      else e.transform {
+        case a: AttributeReference if subst.contains(a.exprId) =>
+          subst(a.exprId)
       }
 
-    /** The fact relation under at most attribute-only Projects (column
-      * pruning) and deterministic, subquery-free Filters — anything
-      * else (computed columns, nondeterminism) refuses the rewrite.
-      * Stacked filters conjoin; whether each predicate is KEY-ONLY is
-      * judged per candidate summary later. */
-    private case class Shape(rel: LogicalRelation, pred: Option[Expression])
+    private def safeProjectEntry(ne: NamedExpression): Boolean = ne match {
+      case _: AttributeReference => true
+      case a: Alias => a.child.deterministic &&
+        !a.child.exists(_.isInstanceOf[AggregateExpression]) &&
+        !a.child.exists(_.isInstanceOf[PlanExpression[_]])
+      case _ => false
+    }
+
+    private def v2Paths(rel: DataSourceV2Relation): Seq[String] =
+      Option(rel.options.get("path")).toSeq ++
+        Option(rel.options.get("paths")).toSeq.flatMap(parseCatalogPaths)
 
     private def decompose(plan: LogicalPlan): Option[Shape] = plan match {
-      case rel: LogicalRelation => Some(Shape(rel, None))
+      case rel: LogicalRelation =>
+        rel.relation match {
+          case fs: HadoopFsRelation =>
+            Some(Shape(fs.location.rootPaths.map(_.toString), None, Map.empty))
+          case _ => None
+        }
+      case rel: DataSourceV2Relation =>
+        val paths = v2Paths(rel)
+        if (paths.isEmpty) None else Some(Shape(paths, None, Map.empty))
+      case sr: DataSourceV2ScanRelation
+          if sr.scan.isInstanceOf[ResidualOnlyScan] =>
+        val paths = v2Paths(sr.relation)
+        if (paths.isEmpty) None else Some(Shape(paths, None, Map.empty))
       case Project(projectList, child)
-          if projectList.forall(_.isInstanceOf[AttributeReference]) =>
-        decompose(child)
+          if projectList.forall(safeProjectEntry) =>
+        decompose(child).map { sh =>
+          sh.copy(subst = sh.subst ++ projectList.collect {
+            case a: Alias => a.exprId -> inline(a.child, sh.subst)
+          })
+        }
       case Filter(cond, child)
           if cond.deterministic &&
             !cond.exists(_.isInstanceOf[PlanExpression[_]]) =>
-        decompose(child).map(sh =>
-          sh.copy(pred = sh.pred.map(And(cond, _)).orElse(Some(cond))))
+        decompose(child).map { sh =>
+          val c = inline(cond, sh.subst)
+          sh.copy(pred = sh.pred.map(And(c, _)).orElse(Some(c)))
+        }
       case _ => None
     }
+
+    /** DSv2 multi-path reads carry a JSON string array in the `paths`
+      * option; only the writer format DataFrameReader produces. */
+    private def parseCatalogPaths(json: String): Seq[String] =
+      """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(json)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
 
     /** All registered summaries of this relation whose keys cover the
       * needed columns, smallest first (fewest keys, then registration
       * name — deterministic under any registration order). Path match
       * is boundary-anchored: `documents.parquet` matches
       * `.../documents.parquet` but never `.../raw_documents.parquet`. */
-    private def candidates(rel: LogicalRelation,
+    private def candidates(paths: Seq[String],
         needed: Set[String]): Seq[Summary] = {
-      val paths = relationPaths(rel)
       import scala.jdk.CollectionConverters._
       registry.entrySet().asScala.toSeq
         .map(e => (e.getKey, e.getValue))
@@ -290,38 +528,62 @@ object SummaryRewrite {
         }
       }
 
+    /** A grouping expression the rewrite can carry: deterministic,
+      * aggregate- and subquery-free — its references are checked
+      * against the candidate's keys later (per summary). */
+    private def carriableGrouping(ge: Expression): Boolean =
+      ge.deterministic &&
+        !ge.exists(_.isInstanceOf[AggregateExpression]) &&
+        !ge.exists(_.isInstanceOf[PlanExpression[_]])
+
     override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-      case agg @ Aggregate(groupExprs, aggExprs, child, hint) =>
+      case agg @ Aggregate(groupExprs0, aggExprs0, child, hint) =>
         val direct = for {
           shape <- decompose(child)
-          groupAttrs <- sequence(groupExprs.map {
-            case a: AttributeReference => Some(a)
-            case _ => None
-          })
-          needed = groupAttrs.map(_.name).toSet ++
-            shape.pred.toSeq.flatMap(_.references.toSeq.map(_.name))
-          result <- candidates(shape.rel, needed).view
-            .flatMap(s => tryRewrite(s, groupAttrs, aggExprs,
+          groupExprs = groupExprs0.map(inline(_, shape.subst))
+          aggExprsI = aggExprs0.map(e => inline(e, shape.subst))
+          if aggExprsI.forall(_.isInstanceOf[NamedExpression])
+          aggExprs = aggExprsI.map(_.asInstanceOf[NamedExpression])
+          if groupExprs.forall(carriableGrouping)
+          needed = (groupExprs.flatMap(_.references.toSeq.map(_.name)) ++
+            shape.pred.toSeq.flatMap(_.references.toSeq.map(_.name))).toSet
+          result <- candidates(shape.paths, needed).view
+            .flatMap(s => tryRewrite(s, groupExprs, aggExprs,
               shape.pred, hint))
             .headOption
         } yield result
         direct
-          .orElse(stripProjects(child) match {
-            case j: Join => tryJoinRewrite(groupExprs, aggExprs, j, hint)
-            case _ => None
-          })
+          .orElse {
+            val (below, subst) = stripProjects(child)
+            below match {
+              case j: Join =>
+                val gs = groupExprs0.map(inline(_, subst))
+                val asI = aggExprs0.map(e => inline(e, subst))
+                if (asI.forall(_.isInstanceOf[NamedExpression]))
+                  tryJoinRewrite(gs,
+                    asI.map(_.asInstanceOf[NamedExpression]), j, hint)
+                else None
+              case _ => None
+            }
+          }
           .getOrElse(agg)
     }
 
-    private def stripProjects(plan: LogicalPlan): LogicalPlan = plan match {
-      case Project(pl, child)
-          if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        stripProjects(child)
-      case other => other
-    }
+    /** Strip Projects above the Join, collecting hoisted-alias
+      * substitutions exactly like [[decompose]] does. */
+    private def stripProjects(
+        plan: LogicalPlan): (LogicalPlan, Map[ExprId, Expression]) =
+      plan match {
+        case Project(pl, child) if pl.forall(safeProjectEntry) =>
+          val (below, subst) = stripProjects(child)
+          (below, subst ++ pl.collect {
+            case a: Alias => a.exprId -> inline(a.child, subst)
+          })
+        case other => (other, Map.empty)
+      }
 
     /** STAR-JOIN rewrite — `Aggregate(g, a, fact ⋈ dim)` becomes
-      * `Aggregate(g, a', summary ⋈ dim)` when the inner equi-join runs
+      * `Aggregate(g, a', summary ⋈ dim)` when the equi-join runs
       * entirely on summary KEYS: all fact rows sharing a key have the
       * same dim matches, so collapsing them into their summary row
       * multiplies every joined group identically — count(*) = Σcnt·m,
@@ -332,19 +594,34 @@ object SummaryRewrite {
       * a PERSISTED partial: the 100 TB fact scan disappears and the
       * join shrinks to summary-size × dim.
       *
-      * Soundness: Inner join only; every conjunct a fact-key = dim
-      * EqualTo; grouping attrs from the dim side or fact summary keys;
-      * dim-side measures only MIN/MAX (multiplicity-insensitive —
-      * count/sum/avg over dim change with fact collapse and refuse);
-      * fact-side measures the usual cnt/sum/min/max/avg derivations;
-      * mixed fact×dim expressions refuse. Both orientations tried. */
+      * Join types: Inner (both orientations) and LEFT/RIGHT OUTER with
+      * the fact on the PRESERVED side — a fact key with zero dim
+      * matches null-extends its one summary row exactly like its cnt
+      * fact rows (same multiplicity argument, m = max(matches, 1),
+      * null dim attrs group identically on both sides). A
+      * dim-preserved outer join refuses: an unmatched dim row counts 1
+      * under COUNT(*) but its null-extended summary row contributes
+      * nothing to Σcnt. FullOuter combines both failure modes and
+      * refuses.
+      *
+      * Soundness: every conjunct a fact-key = dim EqualTo; grouping
+      * attrs from the dim side or fact summary keys; dim-side measures
+      * only the multiplicity-insensitive MIN/MAX and DISTINCT
+      * aggregates (count/sum/avg over dim change with fact collapse
+      * and refuse); fact-side measures the usual cnt/sum/min/max/avg
+      * derivations; mixed fact×dim expressions refuse. */
     private def tryJoinRewrite(groupExprs: Seq[Expression],
         aggExprs: Seq[NamedExpression], join: Join,
         hint: Option[AggregateHint]): Option[Aggregate] = {
       val Join(l, r, joinType, condOpt, jhint) = join
-      if (joinType != Inner) return None
+      val orientations = joinType match {
+        case Inner => Seq((l, r, true), (r, l, false))
+        case LeftOuter => Seq((l, r, true)) // fact must be preserved
+        case RightOuter => Seq((r, l, false))
+        case _ => return None
+      }
       val cond = condOpt.getOrElse(return None)
-      Seq((l, r, true), (r, l, false)).view.flatMap {
+      orientations.view.flatMap {
         case (factSide, dimSide, factOnLeft) =>
           for {
             shape <- decompose(factSide)
@@ -360,34 +637,35 @@ object SummaryRewrite {
                 Some(a)
               case _ => None
             })
-            groupAttrs <- sequence(groupExprs.map {
-              case a: AttributeReference
-                  if dimOut.contains(a) || factOut.contains(a) =>
-                Some(a)
-              case _ => None
-            })
-            needed = (groupAttrs.filter(factOut.contains).map(_.name) ++
+            if groupExprs.forall(ge => carriableGrouping(ge) &&
+              ge.references.toSeq.forall(ref =>
+                dimOut.contains(ref) || factOut.contains(ref)))
+            needed = (groupExprs.flatMap(_.references.toSeq
+                .filter(factOut.contains).map(_.name)) ++
               pairs.map(_.name) ++
               shape.pred.toSeq.flatMap(_.references.toSeq.map(_.name))).toSet
-            result <- candidates(shape.rel, needed).view.flatMap { s =>
-              tryJoinCandidate(s, groupAttrs, aggExprs, shape.pred,
-                factOut, dimOut, dimSide, cond, factOnLeft, jhint, hint)
+            result <- candidates(shape.paths, needed).view.flatMap { s =>
+              tryJoinCandidate(s, groupExprs, aggExprs, shape.pred,
+                factOut, dimOut, dimSide, cond, joinType, factOnLeft,
+                jhint, hint)
             }.headOption
           } yield result
       }.headOption
     }
 
     private def tryJoinCandidate(summary: Summary,
-        groupAttrs: Seq[AttributeReference],
+        groupExprs: Seq[Expression],
         aggExprs: Seq[NamedExpression], pred: Option[Expression],
         factOut: AttributeSet, dimOut: AttributeSet, dimSide: LogicalPlan,
-        cond: Expression, factOnLeft: Boolean, jhint: JoinHint,
+        cond: Expression, joinType: org.apache.spark.sql.catalyst.plans.JoinType,
+        factOnLeft: Boolean, jhint: JoinHint,
         hint: Option[AggregateHint]): Option[Aggregate] = for {
       path <- resolveMvPath(summary)
       mvPlan <- mvPlanFor(path, summary.store.isDefined)
       mvAttrs = mvPlan.output.map(a => a.name -> a).toMap
-      if groupAttrs.forall(a =>
-        dimOut.contains(a) || mvAttrs.contains(a.name))
+      if groupExprs.forall(_.references.toSeq.forall(ref =>
+        dimOut.contains(ref) ||
+          (summary.keys.contains(ref.name) && mvAttrs.contains(ref.name))))
       if pred.forall(_.references.toSeq.forall(r => mvAttrs.contains(r.name)))
       // a registration whose declared keys are absent from the summary
       // FILE must refuse, not throw inside the condition remap
@@ -396,7 +674,8 @@ object SummaryRewrite {
       cnt <- mvAttrs.get("cnt")
       if cnt.dataType == LongType
       newAggs <- sequence(aggExprs.map(e =>
-        rewriteAgg(e, mvAttrs, dimOut).filter(_.dataType == e.dataType)))
+        rewriteAgg(e, mvAttrs, summary.keys, dimOut)
+          .filter(_.dataType == e.dataType)))
       remap = (ex: Expression) => ex.transform {
         case a: AttributeReference if factOut.contains(a) => mvAttrs(a.name)
       }
@@ -405,22 +684,22 @@ object SummaryRewrite {
         case None => mvPlan
       }
       newJoin = if (factOnLeft)
-        Join(factPlan, dimSide, Inner, Some(remap(cond)), jhint)
-      else Join(dimSide, factPlan, Inner, Some(remap(cond)), jhint)
-      newGroup = groupAttrs.map(a =>
-        if (dimOut.contains(a)) a else mvAttrs(a.name))
+        Join(factPlan, dimSide, joinType, Some(remap(cond)), jhint)
+      else Join(dimSide, factPlan, joinType, Some(remap(cond)), jhint)
+      newGroup = groupExprs.map(remap)
     } yield Aggregate(newGroup, newAggs, newJoin, hint)
 
     /** Attempt the rewrite against ONE candidate summary; any missing
       * measure column, type mismatch, or unreadable artifact refuses
       * this candidate (the next — or the fact scan — answers). */
-    private def tryRewrite(summary: Summary, groupAttrs: Seq[AttributeReference],
+    private def tryRewrite(summary: Summary, groupExprs: Seq[Expression],
         aggExprs: Seq[NamedExpression], pred: Option[Expression],
         hint: Option[AggregateHint]): Option[Aggregate] = for {
       path <- resolveMvPath(summary)
       mvPlan <- mvPlanFor(path, summary.store.isDefined)
       mvAttrs = mvPlan.output.map(a => a.name -> a).toMap
-      if groupAttrs.forall(a => mvAttrs.contains(a.name))
+      if groupExprs.forall(_.references.toSeq.forall(r =>
+        summary.keys.contains(r.name) && mvAttrs.contains(r.name)))
       if pred.forall(_.references.toSeq.forall(r => mvAttrs.contains(r.name)))
       cnt <- mvAttrs.get("cnt")
       if cnt.dataType == LongType
@@ -428,15 +707,17 @@ object SummaryRewrite {
       // resolve to EXACTLY the original dataType, or parents would see
       // a corrupted schema (e.g. decimal Sum re-aggregation widens)
       newAggs <- sequence(aggExprs.map(e =>
-        rewriteAgg(e, mvAttrs).filter(_.dataType == e.dataType)))
+        rewriteAgg(e, mvAttrs, summary.keys)
+          .filter(_.dataType == e.dataType)))
+      remap = (ex: Expression) => ex.transform {
+        case a: AttributeReference if mvAttrs.contains(a.name) =>
+          mvAttrs(a.name)
+      }
       newChild = pred match {
-        case Some(p) => Filter(p.transform {
-          case a: AttributeReference => mvAttrs(a.name)
-        }, mvPlan)
+        case Some(p) => Filter(remap(p), mvPlan)
         case None => mvPlan
       }
-    } yield Aggregate(
-      groupAttrs.map(a => mvAttrs(a.name)), newAggs, newChild, hint)
+    } yield Aggregate(groupExprs.map(remap), newAggs, newChild, hint)
 
     private def sequence[T](xs: Seq[Option[T]]): Option[Seq[T]] =
       if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
@@ -444,36 +725,63 @@ object SummaryRewrite {
     /** Rewrite one output expression of the aggregate, preserving its
       * name and exprId so the subtree drops into the parent plan.
       * Matching goes through the AggregateExpression's function field
-      * (not positional patterns — Sum carries an evalMode in Spark 4). */
+      * (not positional patterns — Sum carries an evalMode in Spark 4).
+      * Measure children must be FACT-side (`!dimOut.contains`) — a
+      * dim attribute whose NAME collides with a summarized fact
+      * measure must refuse, never silently serve the fact partial. */
     private def rewriteAgg(e: NamedExpression, mv: Map[String, Attribute],
+        keys: Set[String],
         dimOut: AttributeSet = AttributeSet.empty): Option[NamedExpression] =
       e match {
       // dim-side grouping attr passed through unchanged (join path)
       case a: AttributeReference if dimOut.contains(a) => Some(a)
       // fact grouping key passed through via the summary column
-      case a: AttributeReference if mv.contains(a.name) =>
+      case a: AttributeReference
+          if keys.contains(a.name) && mv.contains(a.name) =>
         Some(Alias(mv(a.name), a.name)(exprId = a.exprId))
       // constant output columns (CollapseProject folds literal
       // level/label columns into the aggregate list) are trivially
       // preserved — no references, nothing to derive
       case al @ Alias(c, _) if c.foldable && c.deterministic => Some(al)
-      case Alias(ae: AggregateExpression, name)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        def agg(fn: AggregateFunction): Expression =
-          AggregateExpression(fn, Complete, isDistinct = false)
-        // MIN/MAX over DIM attrs are multiplicity-insensitive: a dim
-        // row reaches a group iff >= 1 fact row (= its summary row,
-        // cnt >= 1) matches, so the value SET per group is unchanged
-        // by the fact collapse. count/sum/avg over dim attrs change
-        // with row multiplicity and fall through to refusal.
+      case Alias(ae: AggregateExpression, name) if ae.filter.isEmpty =>
+        def agg(fn: AggregateFunction, distinct: Boolean = false): Expression =
+          AggregateExpression(fn, Complete, isDistinct = distinct)
+        // Value-SET aggregates over DIM attrs are multiplicity-
+        // insensitive: a dim row reaches a group iff >= 1 fact row
+        // (= its summary row, cnt >= 1) matches, so the value SET per
+        // group is unchanged by the fact collapse — MIN/MAX always,
+        // and count/sum/avg when DISTINCT. Multiplicity-sensitive
+        // aggregates over dim attrs fall through to refusal.
         val dimSafe = ae.aggregateFunction match {
           case m: Min => m.child.references.nonEmpty &&
             m.child.references.subsetOf(dimOut)
           case m: Max => m.child.references.nonEmpty &&
             m.child.references.subsetOf(dimOut)
+          case f @ (_: Count | _: Sum | _: Average) if ae.isDistinct =>
+            f.references.nonEmpty && f.references.subsetOf(dimOut)
           case _ => false
         }
         if (dimSafe) return Some(e)
+        if (ae.isDistinct) {
+          // COUNT(DISTINCT key...) over summary KEYS: the summary has
+          // every key combination present in the fact, so the distinct
+          // tuple set per coarser group equals the summary rows' set —
+          // re-run the distinct count verbatim over summary key columns
+          return ae.aggregateFunction match {
+            case c: Count
+                if c.children.nonEmpty && c.children.forall {
+                  case a: AttributeReference => !dimOut.contains(a) &&
+                    keys.contains(a.name) && mv.contains(a.name)
+                  case _ => false
+                } =>
+              val remapped = c.children.map {
+                case a: AttributeReference => mv(a.name)
+              }
+              Some(Alias(agg(Count(remapped), distinct = true),
+                name)(exprId = e.exprId))
+            case _ => None
+          }
+        }
         ae.aggregateFunction match {
           case c: Count
               // COUNT(*) / COUNT(<non-null constant>) — a null-able or
@@ -486,19 +794,22 @@ object SummaryRewrite {
               Coalesce(Seq(agg(Sum(mv("cnt"))), Literal(0L))),
               name)(exprId = e.exprId))
           case s: Sum => s.child match {
-            case a: AttributeReference if mv.contains(s"sum_${a.name}") =>
+            case a: AttributeReference
+                if !dimOut.contains(a) && mv.contains(s"sum_${a.name}") =>
               Some(Alias(agg(Sum(mv(s"sum_${a.name}"))),
                 name)(exprId = e.exprId))
             case _ => None
           }
           case m: Min => m.child match {
-            case a: AttributeReference if mv.contains(s"min_${a.name}") =>
+            case a: AttributeReference
+                if !dimOut.contains(a) && mv.contains(s"min_${a.name}") =>
               Some(Alias(agg(Min(mv(s"min_${a.name}"))),
                 name)(exprId = e.exprId))
             case _ => None
           }
           case m: Max => m.child match {
-            case a: AttributeReference if mv.contains(s"max_${a.name}") =>
+            case a: AttributeReference
+                if !dimOut.contains(a) && mv.contains(s"max_${a.name}") =>
               Some(Alias(agg(Max(mv(s"max_${a.name}"))),
                 name)(exprId = e.exprId))
             case _ => None
@@ -512,7 +823,7 @@ object SummaryRewrite {
           // the total stays under 2^53, i.e. everywhere it is exact).
           case av: Average => av.child match {
             case a: AttributeReference
-                if mv.contains(s"sum_${a.name}") &&
+                if !dimOut.contains(a) && mv.contains(s"sum_${a.name}") &&
                   mv(s"sum_${a.name}").dataType == LongType =>
               Some(Alias(
                 Divide(
@@ -523,6 +834,23 @@ object SummaryRewrite {
           }
           case _ => None
         }
+      // grouping-EXPRESSION outputs (and compositions of grouping
+      // expressions — the only non-aggregate shapes the analyzer
+      // admits into an Aggregate's output): deterministic,
+      // aggregate-free, references all summary keys (or dim attrs in
+      // the join path) — remapped verbatim, a coarsening of a
+      // coarsening (HEALPix parent = id >> 2, year(date), …)
+      case al @ Alias(ex, name)
+          if ex.deterministic &&
+            !ex.exists(_.isInstanceOf[AggregateExpression]) &&
+            !ex.exists(_.isInstanceOf[PlanExpression[_]]) &&
+            ex.references.nonEmpty &&
+            ex.references.toSeq.forall(r => dimOut.contains(r) ||
+              (keys.contains(r.name) && mv.contains(r.name))) =>
+        Some(Alias(ex.transform {
+          case a: AttributeReference if !dimOut.contains(a) &&
+              mv.contains(a.name) => mv(a.name)
+        }, name)(exprId = al.exprId))
       case _ => None
     }
   }

@@ -214,7 +214,8 @@ class FitsScan(
     path: String, glob: String, zoomCnt: Int,
     required: StructType, zoomEq: Option[Int],
     hconf: SerializableHadoopConf, listPar: Int,
-    prune: SpecPrune = SpecPrune.none) extends Scan with Batch {
+    prune: SpecPrune = SpecPrune.none)
+    extends Scan with Batch with graft.plans.ResidualOnlyScan {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -578,7 +579,8 @@ class ImageFitsScan(
     darkVars: Seq[graft.functions.PhotometryKernels.CcdConfigRow],
     required: StructType, zoomEq: Option[Int],
     hconf: SerializableHadoopConf, listPar: Int,
-    prune: FramePrune = FramePrune.none) extends Scan with Batch {
+    prune: FramePrune = FramePrune.none)
+    extends Scan with Batch with graft.plans.ResidualOnlyScan {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

@@ -452,4 +452,31 @@ class InsightOpsSpec extends AnyFunSuite {
     assert(out("a") === ((4L, 6L, 2000L)))
     assert(out("b") === ((2L, 1L, -2334L)))
   }
+
+  test("q259: a single-day type yields n_pairs 0 / NULL slope (no ANSI " +
+    "crash), and a decline steeper than -1000/day floors exactly") {
+    def rows(t: String, dcs: Seq[(Long, Long)]) = dcs.flatMap {
+      case (d, c) => (0L until c).map(k => (t, d * 86400L + k))
+    }
+    // c: ONE observed day — the unguarded fan-out would evaluate
+    // sequence(1, 0) (descending) and pts[1] out of bounds
+    // d: dy=-5000 over dx=1 — slope -5,000,000 permille, far below
+    // the old positive-offset trick's silent -10^6 domain bound;
+    // dy=-5000 over dx=3: floor(-5000000/3) = -1666667 (truncation
+    // would give -1666666)
+    val ev = (rows("c", Seq((5L, 7L))) ++
+      rows("d", Seq((0L, 5003L), (1L, 3L), (3L, 3L))))
+      .toDF("event_type", "s")
+      .select($"event_type", to_timestamp($"s").as("ts"))
+    val out = InsightOps.theilSenDaily(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs"),
+          if (r.isNullAt(r.fieldIndex("slope_permille"))) None
+          else Some(r.getAs[Long]("slope_permille"))))).toMap
+    assert(out("c") === ((1L, 0L, None)))
+    // d's three pairwise slopes: (0,1): -5000000; (0,3):
+    // floor(-5000000/3) = -1666667; (1,3): 0 — median (rank 2) is
+    // -1666667, which only a TRUE floor produces
+    assert(out("d") === ((3L, 3L, Some(-1666667L))))
+  }
 }

@@ -399,13 +399,42 @@ class SummaryRewriteSpec extends AnyFunSuite {
         .contains("orders.parquet"),
         "non-key fact filter under the join must refuse")
 
-      // refusals — each would be wrong under the fact collapse
-      val leftJ = graft.Tables.load(spark, dir, "orders")
-        .join(graft.Tables.load(spark, dir, "customer"),
+      // fact-PRESERVED outer join fires and is exact: each summary row
+      // null-extends exactly like its cnt fact rows. The dim side is
+      // filtered so null-extension is non-vacuous (unmatched keys
+      // exist and group under NULL c_nationkey).
+      def leftJ = graft.Tables.load(spark, dir, "orders")
+        .join(graft.Tables.load(spark, dir, "customer")
+          .filter(col("c_nationkey") < 5),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"),
+          max(col("o_orderkey")).as("hi"))
+      val pl = leftJ.queryExecution.executedPlan.toString
+      assert(pl.contains("orders_by_cust") && !pl.contains("orders.parquet"),
+        s"fact-preserved left-outer star must rewrite:\n$pl")
+      SummaryRewrite.deregister("spec_star")
+      val expectL = leftJ.collect().map(_.toSeq).toSet
+      assert(expectL.exists(_.head == null),
+        "left-outer law vacuous: no null-extended group present")
+      SummaryRewrite.register("spec_star",
+        SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+      assert(leftJ.collect().map(_.toSeq).toSet === expectL,
+        "left-outer star rewrite diverged")
+      // dim-PRESERVED outer join refuses: an unmatched dim row counts
+      // 1 under COUNT(*) but its null summary row adds nothing to Σcnt
+      val dimLeft = graft.Tables.load(spark, dir, "customer")
+        .join(graft.Tables.load(spark, dir, "orders"),
           col("o_custkey") === col("c_custkey"), "left")
         .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
-      assert(leftJ.queryExecution.executedPlan.toString
-        .contains("orders.parquet"), "outer join must not rewrite")
+      assert(dimLeft.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "dim-preserved outer join must not rewrite")
+      val fullJ = graft.Tables.load(spark, dir, "orders")
+        .join(graft.Tables.load(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "full")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      assert(fullJ.queryExecution.executedPlan.toString
+        .contains("orders.parquet"), "full outer join must not rewrite")
       val cntDim = graft.Tables.load(spark, dir, "orders")
         .join(graft.Tables.load(spark, dir, "customer"),
           col("o_custkey") === col("c_custkey"))
@@ -557,6 +586,333 @@ class SummaryRewriteSpec extends AnyFunSuite {
       }
       assert(checked === 48)
     } finally SummaryRewrite.deregister("spec_starlat")
+  }
+
+  test("star join: a dim column whose NAME collides with a summarized " +
+      "fact measure refuses SUM/AVG, while dim MIN/MAX still serves") {
+    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/collide"
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"), mvPath = omv,
+      minMaxCols = Seq("o_orderkey"))
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_collide",
+      SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+    try {
+      // the dim side carries a column NAMED o_orderkey (value: a dim
+      // quantity, NOT the fact measure) — sum_o_orderkey exists in the
+      // summary, so a name-only match would silently serve the fact
+      // partial for the dim aggregate
+      def dim = graft.Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          (col("c_custkey") * 10).as("o_orderkey"))
+      val d1 = dim
+      val sumDim = graft.Tables.load(spark, dir, "orders")
+        .join(d1, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(sum(d1("o_orderkey")).as("s"))
+      assert(sumDim.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "SUM over a colliding dim column must refuse the star rewrite")
+      val d2 = dim
+      val avgDim = graft.Tables.load(spark, dir, "orders")
+        .join(d2, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(avg(d2("o_orderkey")).as("a"))
+      assert(avgDim.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "AVG over a colliding dim column must refuse the star rewrite")
+      // MIN/MAX over the colliding dim column are value-set aggregates:
+      // they pass through (dim side intact) and stay exact
+      val d3 = dim
+      def minDim = graft.Tables.load(spark, dir, "orders")
+        .join(d3, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(min(d3("o_orderkey")).as("lo"),
+          count(lit(1)).as("n"))
+      val p = minDim.queryExecution.executedPlan.toString
+      assert(p.contains("/collide") && !p.contains("orders.parquet"),
+        s"dim MIN over a colliding name should still serve:\n$p")
+      SummaryRewrite.deregister("spec_collide")
+      val expect = minDim.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_collide",
+        SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+      assert(minDim.collect().map(_.toSeq).toSet === expect)
+    } finally SummaryRewrite.deregister("spec_collide")
+  }
+
+  test("COUNT(DISTINCT key) derives from summary rows; non-key distinct " +
+      "refuses; dim-side distinct passes through — all exact") {
+    withSummary {
+      // direct path: single-distinct-group mix (distinct + plain aggs)
+      def q = docs.groupBy($"source").agg(
+        countDistinct($"lang").as("n_langs"),
+        count(lit(1)).as("n_docs"), sum($"n_chars").as("sc"))
+      assert(usesMv(q), "count(distinct key) did not rewrite")
+      SummaryRewrite.deregister("spec_mv")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_mv",
+        SummaryRewrite.Summary("documents.parquet", mv,
+          Set("source", "lang")))
+      assert(q.collect().map(_.toSeq).toSet === expect)
+      // two-column distinct tuple over keys also derives
+      def q2 = docs.agg(countDistinct($"source", $"lang").as("n_cells"))
+      assert(usesMv(q2), "count(distinct k1, k2) did not rewrite")
+      SummaryRewrite.deregister("spec_mv")
+      val e2 = q2.collect().head.toSeq
+      SummaryRewrite.register("spec_mv",
+        SummaryRewrite.Summary("documents.parquet", mv,
+          Set("source", "lang")))
+      assert(q2.collect().head.toSeq === e2)
+      // a NON-key distinct column is not derivable (summary rows
+      // collapse doc_ids) — must refuse
+      val nonKey = docs.groupBy($"source")
+        .agg(countDistinct($"doc_id").as("n"))
+      assert(!usesMv(nonKey), "count(distinct non-key) must not rewrite")
+      // sum(distinct measure) is not derivable either
+      val sumD = docs.groupBy($"source")
+        .agg(sum_distinct($"n_chars").as("s"))
+      assert(!usesMv(sumD), "sum(distinct measure) must not rewrite")
+    }
+  }
+
+  test("star join: distinct aggregates over DIM attrs pass through " +
+      "(value-set, multiplicity-insensitive) and stay exact") {
+    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/stardist"
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq.empty, mvPath = omv)
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_stardist",
+      SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+    try {
+      // ONE distinct group per query: two or more distinct groups are
+      // rewritten to an Expand by RewriteDistinctAggregates before
+      // this rule runs, and correctly refuse (the documented limit)
+      def qDim = graft.Tables.load(spark, dir, "orders")
+        .join(graft.Tables.load(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(
+          countDistinct(col("c_mktsegment")).as("n_seg"), // dim distinct
+          count(lit(1)).as("n"))
+      def qKey = graft.Tables.load(spark, dir, "orders")
+        .join(graft.Tables.load(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(
+          countDistinct(col("o_custkey")).as("n_cust"),   // fact KEY distinct
+          count(lit(1)).as("n"))
+      Seq(("dim", () => qDim), ("key", () => qKey)).foreach {
+        case (label, mk) =>
+          def q = mk()
+          val p = q.queryExecution.executedPlan.toString
+          assert(p.contains("stardist") && !p.contains("orders.parquet"),
+            s"distinct-over-$label star did not rewrite:\n$p")
+          SummaryRewrite.deregister("spec_stardist")
+          val expect = q.collect().map(_.toSeq).toSet
+          SummaryRewrite.register("spec_stardist",
+            SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+          assert(q.collect().map(_.toSeq).toSet === expect,
+            s"distinct-over-$label diverged")
+      }
+    } finally SummaryRewrite.deregister("spec_stardist")
+  }
+
+  test("grouping-EXPRESSION coarsening: GROUP BY f(keys) rewrites for " +
+      "deterministic f, exactly; non-key expressions refuse") {
+    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/coarsen"
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"), mvPath = omv,
+      minMaxCols = Seq("o_orderkey"))
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_coarsen",
+      SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+    try {
+      def orders = graft.Tables.load(spark, dir, "orders")
+      // the HEALPix-parent shape: bucket = key >> k (astrometry.py:
+      // 211-224 — parent cell = id >> 2), here an arithmetic div
+      val shapes: Seq[(String, () => DataFrame)] = Seq(
+        ("div", () => orders.groupBy(expr("o_custkey div 100").as("b"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("s"))),
+        ("shift", () => orders
+          .groupBy(expr("shiftright(o_custkey, 2)").as("b"))
+          .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("lo"))),
+        ("mod+filter", () => orders.filter(col("o_custkey") % 2 === 0)
+          .groupBy((col("o_custkey") % 10).as("b"))
+          .agg(count(lit(1)).as("n"), avg(col("o_orderkey")).as("a"))),
+        ("two-exprs", () => orders
+          .groupBy(expr("o_custkey div 100").as("hi"),
+            (col("o_custkey") % 100).as("lo"))
+          .agg(count(lit(1)).as("n"))))
+      shapes.foreach { case (label, mk) =>
+        def q = mk()
+        val p = q.queryExecution.executedPlan.toString
+        assert(p.contains("/coarsen") && !p.contains("orders.parquet"),
+          s"expression grouping did not fire: $label\n$p")
+        SummaryRewrite.deregister("spec_coarsen")
+        val expect = q.collect().map(_.toSeq).toSet
+        SummaryRewrite.register("spec_coarsen",
+          SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+        assert(q.collect().map(_.toSeq).toSet === expect,
+          s"expression grouping diverged: $label")
+      }
+      // an expression over a NON-key column is not a coarsening
+      val nonKey = orders.groupBy(expr("o_orderkey div 100").as("b"))
+        .agg(count(lit(1)).as("n"))
+      assert(nonKey.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "f(non-key) grouping must not rewrite")
+      // a nondeterministic grouping expression must not be replayed
+      val nondet = orders.groupBy((col("o_custkey") + rand()).as("b"))
+        .agg(count(lit(1)).as("n"))
+      assert(nondet.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "nondeterministic grouping must not rewrite")
+    } finally SummaryRewrite.deregister("spec_coarsen")
+  }
+
+  test("catalog: publish → clear → load restores registrations across " +
+      "a fresh registry; dead artifacts refuse cleanly; newest wins") {
+    SummaryRewrite.install(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val catDir = s"$tmp/catalog"
+    val store = s"$tmp/catstore"
+    SummaryRewrite.buildSummarySnapshot(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), store = store)
+    // v1: a catalog pointing at a DEAD fixed path (simulates an
+    // artifact deleted after publish) plus the live store entry
+    val v1 = SummaryRewrite.publishCatalog(spark, catDir, Map(
+      "cat_dead" -> SummaryRewrite.Summary("documents.parquet",
+        s"$tmp/never-written", Set("source")),
+      "cat_live" -> SummaryRewrite.Summary("documents.parquet", "",
+        Set("source", "lang"), Some(store))))
+    assert(v1 === 1L)
+    // the consumer-side shape: a FRESH registry (new process simulated
+    // by clear()) + one install(catalogDir) call
+    SummaryRewrite.clear()
+    val n = SummaryRewrite.install(spark, catDir)
+    assert(n === 2, s"expected 2 catalog entries registered, got $n")
+    try {
+      // grouping on source: the dead entry (fewer keys) wins the
+      // tie-break but its artifact is unreadable — the rule must fall
+      // through to the live store entry, never throw
+      def q = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("snap=1") && !p.contains("documents.parquet"),
+        s"catalog-loaded store entry must serve after the dead one " +
+          s"refuses:\n$p")
+      SummaryRewrite.clear()
+      val expect = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+        .collect().map(_.toSeq).toSet
+      SummaryRewrite.install(spark, catDir)
+      assert(q.collect().map(_.toSeq).toSet === expect)
+      // a second publish is a NEW immutable version; newest wins
+      val v2 = SummaryRewrite.publishCatalog(spark, catDir, Map(
+        "cat_live" -> SummaryRewrite.Summary("documents.parquet", "",
+          Set("source", "lang"), Some(store))))
+      assert(v2 === 2L)
+      SummaryRewrite.clear()
+      assert(SummaryRewrite.install(spark, catDir) === 1)
+      // an empty catalog dir registers nothing and does not throw
+      SummaryRewrite.clear()
+      assert(SummaryRewrite.install(spark, s"$tmp/no-such-catalog") === 0)
+    } finally SummaryRewrite.clear()
+  }
+
+  test("catalog JSON roundtrips names and paths with quotes and " +
+      "backslashes") {
+    val entries = Map(
+      "q\"uoted" -> SummaryRewrite.Summary("a\\b.parquet",
+        "/tmp/x\"y", Set("k1", "k2")),
+      "plain" -> SummaryRewrite.Summary("t.parquet", "", Set("k"),
+        Some("/tmp/st")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/jsoncat"
+    SummaryRewrite.publishCatalog(spark, tmp, entries)
+    SummaryRewrite.clear()
+    try {
+      assert(SummaryRewrite.loadCatalog(spark, tmp) === 2)
+    } finally SummaryRewrite.clear()
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/cat=1.json")), "UTF-8")
+    val parsed = SummaryRewrite.parseCatalog(raw).toMap
+    assert(parsed === entries)
+  }
+
+  test("mergeDelta refuses a retraction (non-positive cnt) snapshot " +
+      "instead of folding min/max silently wrong") {
+    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/retrstore"
+    val fact = spark.read.parquet(s"$dir/documents.parquet")
+    graft.operators.IndexOps.writeSnapshot(
+      SummaryRewrite.summaryFrame(fact, Seq("source"), Seq("n_chars"),
+        Seq("n_chars"))
+        .withColumn("cnt",
+          when(col("source") === "src1", lit(-2L)).otherwise(col("cnt")))
+        .coalesce(1),
+      store)
+    val ex = intercept[IllegalArgumentException] {
+      SummaryRewrite.mergeDelta(spark, store, fact.limit(10),
+        Seq("source"), Seq("n_chars"), Seq("n_chars"))
+    }
+    assert(ex.getMessage.contains("retraction"))
+  }
+
+  test("auditSummary covers min_/max_ partials: a min-only drift is " +
+      "caught with minMaxCols and provably invisible without") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val good = s"$tmp/mmaudit"
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = good, minMaxCols = Seq("n_chars"))
+    val summary0 = SummaryRewrite.Summary("documents.parquet", good,
+      Set("source", "lang"))
+    assert(SummaryRewrite.auditSummary(spark, s"$dir/documents.parquet",
+      summary0, Seq("n_chars"), Seq("n_chars")).count() === 0L)
+    // drift ONLY a min_ partial — cnt and sum_ stay exact
+    val drifted = s"$tmp/mmdrift"
+    spark.read.parquet(good)
+      .withColumn("min_n_chars",
+        when(col("lang") === "en", col("min_n_chars") - 1)
+          .otherwise(col("min_n_chars")))
+      .write.parquet(drifted)
+    val bad = SummaryRewrite.Summary("documents.parquet", drifted,
+      Set("source", "lang"))
+    val caught = SummaryRewrite.auditSummary(spark,
+      s"$dir/documents.parquet", bad, Seq("n_chars"), Seq("n_chars"))
+      .collect()
+    assert(caught.nonEmpty && caught.forall(
+      _.getAs[String]("lang") == "en"),
+      "min-only drift must surface exactly the drifted keys")
+    // the OLD audit scope (cnt + sum_ only) cannot see it — the law
+    // that documents why minMaxCols must be passed
+    assert(SummaryRewrite.auditSummary(spark, s"$dir/documents.parquet",
+      bad, Seq("n_chars")).count() === 0L)
+  }
+
+  test("DSv2 fact: a summary over the FITS source's DataSourceV2Relation " +
+      "serves the aggregate; the FITS scan disappears") {
+    SummaryRewrite.install(spark)
+    val specDir = "/root/reference/data/raw/galaxy_small/spectra"
+    def fits = spark.read
+      .format("graft.sources.fits.FitsDataSource").load(specDir)
+    val mvP = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/fitsmv"
+    SummaryRewrite.summaryFrame(fits, Seq("plateid"), Seq("mjd"))
+      .coalesce(1).write.parquet(mvP)
+    SummaryRewrite.register("spec_dsv2",
+      SummaryRewrite.Summary("galaxy_small/spectra", mvP, Set("plateid")))
+    try {
+      def q = fits.groupBy(col("plateid"))
+        .agg(count(lit(1)).as("n"), sum(col("mjd")).as("sm"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("fitsmv") && !p.contains("graft.fits"),
+        s"DSv2 fact did not rewrite / FITS still scanned:\n$p")
+      SummaryRewrite.deregister("spec_dsv2")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_dsv2",
+        SummaryRewrite.Summary("galaxy_small/spectra", mvP, Set("plateid")))
+      assert(q.collect().map(_.toSeq).toSet === expect)
+    } finally SummaryRewrite.deregister("spec_dsv2")
   }
 
   test("snapshot-store summary: registration survives rebuilds and " +
