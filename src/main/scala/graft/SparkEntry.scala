@@ -655,6 +655,12 @@ object SparkEntry {
     "q266_summary_coarsen" -> (IndexOps.q266SummaryCoarsen _),
     // left-outer star pushdown (the SFR left-merge shape, persisted)
     "q267_summary_star_outer" -> (IndexOps.q267SummaryStarOuter _),
+    // NATIVE rollup (Aggregate-over-Expand) served by the summary —
+    // the real GROUP BY ROLLUP plan, not q261's manual composition
+    "q268_summary_native_rollup" -> (IndexOps.q268SummaryNativeRollup _),
+    // lattice derivation: coarser summary rolled up from the finer
+    // artifact (zero fact access), then served by covering selection
+    "q269_summary_derive" -> (IndexOps.q269SummaryDerive _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

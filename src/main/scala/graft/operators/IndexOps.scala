@@ -1028,6 +1028,111 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q267_orders_by_cust")
   }
 
+  // --------------------------------------------------------------- q268
+
+  /** q268 — NATIVE ROLLUP served by the summary: the real
+    * `df.rollup(...)` / `GROUP BY ROLLUP` plan — Aggregate over
+    * EXPAND — rewrites directly (q261's union-of-aggregates stays as
+    * the composition alternative; this catches what users actually
+    * write). The Expand's fact child becomes the summary scan and its
+    * measure pass-throughs become PARTIAL columns, so each summary row
+    * expands into every grouping set exactly like its cnt fact rows
+    * would — per set the re-aggregation is the same monoid fold, and
+    * the lattice costs sets × summary-rows instead of sets × corpus.
+    * At 100 TB an Expand multiplies the fact SCAN by the set count;
+    * here it multiplies kilobytes. grouping_id() passes through as
+    * the literal position (same bit convention as DuckDB's
+    * GROUPING()). NULL rolled-up keys live only in STRING columns
+    * (driver comparator contract); gid/counts are non-null. */
+  def q268SummaryNativeRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q268")
+      .toString + "/docs_by_source_lang"
+    SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv,
+      minMaxCols = Seq("n_chars"))
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q268_docs_by_source_lang",
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    try {
+      val q = load(s, dir, "documents")
+        .rollup($"source", $"lang")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"), min($"n_chars").as("min_chars"),
+          max($"n_chars").as("max_chars"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("docs_by_source_lang"),
+        "q268 gate is vacuous: the native rollup rewrite did not fire")
+      require(!phys.contains("documents.parquet"),
+        "q268 gate broken: the fact table is still scanned")
+      require(phys.contains("Expand"),
+        "q268 gate broken: the Expand vanished — not the native shape")
+      // bounded: the rollup lattice of a (source, lang) summary
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q268_docs_by_source_lang")
+  }
+
+  // --------------------------------------------------------------- q269
+
+  /** q269 — summary LATTICE derivation: the coarser (source) summary
+    * is rolled up FROM the finer (source, lang) artifact —
+    * [[graft.plans.SummaryRewrite.rollupSummary]], partial-monoid
+    * folds, zero fact access — then registered beside it, and the
+    * covering-selection rule picks the SMALLER derived artifact for a
+    * source-grouped query (fewer keys wins). This is the reference's
+    * own pyramid economics (each zoom level computed from the previous
+    * one, never from raw — `astrometry.py:211-224`) applied to the
+    * serving lattice: ONE fact scan materializes the finest summary,
+    * every ancestor derives from kilobytes. In-query equivalence gate:
+    * the derived artifact equals a from-scratch
+    * `summaryFrame(fact, Seq("source"))` row-for-row (both
+    * summary-sized) before anything is served; plan gates prove the
+    * DERIVED artifact (not the finer one, not the fact) answers. */
+  def q269SummaryDerive(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q269").toString
+    val fine = s"$tmp/fine_by_source_lang"
+    val coarse = s"$tmp/derived_by_source"
+    val factPath = s"$dir/documents.parquet"
+    SummaryRewrite.buildSummary(s, factPath,
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = fine,
+      minMaxCols = Seq("n_chars"))
+    SummaryRewrite.rollupSummary(s.read.parquet(fine), Seq("source"),
+        sumCols = Seq("n_chars"), minMaxCols = Seq("n_chars"))
+      .coalesce(1).write.parquet(coarse)
+    // equivalence gate: derived ≡ from-scratch (both summary-sized)
+    val derived = s.read.parquet(coarse).collect().map(_.toSeq).toSet
+    val scratch = SummaryRewrite.summaryFrame(s.read.parquet(factPath),
+      Seq("source"), Seq("n_chars"), Seq("n_chars"))
+      .collect().map(_.toSeq).toSet
+    require(derived == scratch,
+      "q269 gate broken: lattice derivation diverges from the fact build")
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q269_a_derived",
+      SummaryRewrite.Summary("documents.parquet", coarse, Set("source")))
+    SummaryRewrite.register("q269_b_fine",
+      SummaryRewrite.Summary("documents.parquet", fine,
+        Set("source", "lang")))
+    try {
+      val q = load(s, dir, "documents")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+          max($"n_chars").as("max_chars"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("derived_by_source"),
+        "q269 gate is vacuous: the derived summary did not serve")
+      require(!phys.contains("fine_by_source_lang") &&
+          !phys.contains("documents.parquet"),
+        "q269 gate broken: finer summary or fact scanned instead")
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally {
+      SummaryRewrite.deregister("q269_a_derived")
+      SummaryRewrite.deregister("q269_b_fine")
+    }
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -1557,6 +1662,24 @@ object IndexOps {
         |      AND NOT (source = (SELECT source FROM mn)
         |        AND lang = (SELECT lang FROM mn))) + 1 AS BIGINT)
         |    AS n_diff_planted""".stripMargin,
+    // q268: DuckDB's native ROLLUP with GROUPING() — same bitmask
+    // convention as Spark's grouping_id() (leaf 0, lang-rolled 1,
+    // both 3); the Expand-level rewrite must be invisible
+    "q268_summary_native_rollup" ->
+      """SELECT source, lang,
+        |  CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+    // q269: plain per-source rollup SQL — the lattice derivation and
+    // covering selection are invisible to the answer
+    "q269_summary_derive" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     // q264: plain rollup SQL — the catalog machinery is invisible to
     // the answer; only the plan gates see it
     "q264_summary_catalog" ->

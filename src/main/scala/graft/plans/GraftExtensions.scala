@@ -53,5 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: trailing-window theta join →
     // bucket-expansion equi-join (see RangeJoin.scala)
     ext.injectOptimizerRule(_ => RangeJoinRewriteRule)
+    // summary-table serving (see SummaryRewrite.scala): config-driven
+    // sessions get the rewrite with zero programmatic install — pair
+    // with SummaryRewrite.loadCatalog/registerStore for registrations
+    // (the rule no-ops while the registry is empty)
+    ext.injectOptimizerRule(session =>
+      SummaryRewrite.SummaryRewriteRule(session))
   }
 }

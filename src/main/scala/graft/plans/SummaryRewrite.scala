@@ -313,6 +313,34 @@ object SummaryRewrite {
         .coalesce(1),
       store)
 
+  /** Derive a COARSER summary from a finer one — the lattice build
+    * path that never touches the fact: cnt/sum_/min_/max_ are all
+    * monoids, so folding the finer summary's partials over the coarser
+    * key set yields EXACTLY `summaryFrame(fact, coarserKeys, …)` (the
+    * law in SummaryRewriteSpec). At 100 TB this is how the whole
+    * rollup lattice gets materialized for the price of ONE fact scan:
+    * build the finest summary once, derive every ancestor from
+    * kilobytes — the reference's pyramid build does precisely this,
+    * each zoom level computed from the previous one, never from raw
+    * (`processors/data_strategy_cube_ml.py` halves the previous zoom's
+    * arrays; `astrometry.py:211-224` parents the previous level's
+    * cells). The coarser keys must be a subset of the finer summary's
+    * key columns; the measure lists name the BASE fact columns (the
+    * artifact's `sum_<col>`/`min_<col>`/`max_<col>` naming contract
+    * carries through unchanged, so the derived artifact registers and
+    * serves like any other). */
+  def rollupSummary(finer: DataFrame, coarserKeys: Seq[String],
+      sumCols: Seq[String], minMaxCols: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val foldAggs = sum(col("cnt")).as("cnt") +:
+      (sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
+        minMaxCols.flatMap(c => Seq(
+          min(col(s"min_$c")).as(s"min_$c"),
+          max(col(s"max_$c")).as(s"max_$c"))))
+    finer.groupBy(coarserKeys.map(col): _*)
+      .agg(foldAggs.head, foldAggs.tail: _*)
+  }
+
   /** BATCH incremental maintenance: fold the latest committed summary
     * with the delta's partials and commit the result as the next
     * snapshot — the cnt/sum/min/max columns are all monoids under
@@ -563,10 +591,215 @@ object SummaryRewrite {
                   tryJoinRewrite(gs,
                     asI.map(_.asInstanceOf[NamedExpression]), j, hint)
                 else None
+              case ex: Expand =>
+                tryExpandRewrite(groupExprs0, aggExprs0, ex, hint)
               case _ => None
             }
           }
           .getOrElse(agg)
+    }
+
+    /** NATIVE ROLLUP / CUBE / GROUPING SETS rewrite — `Aggregate(keys +
+      * grouping_id, aggs, Expand(projections, fact))` is served from
+      * the summary by replacing the Expand's child with the summary
+      * scan and its measure pass-throughs with PARTIAL columns: each
+      * summary row expands into every grouping set exactly like its
+      * cnt fact rows would, and per set the re-aggregation is the same
+      * monoid fold the plain rewrite rides — so the whole lattice
+      * costs sets × summary-rows instead of sets × corpus (the Expand
+      * multiplies the SCAN at 100 TB; here it multiplies kilobytes).
+      * This serves the real `GROUP BY ROLLUP(...)` shape natively —
+      * q261's union-of-aggregates composition stays as the manual
+      * alternative, this rule catches what users actually write.
+      *
+      * Position discipline (refuse anything else): each Expand output
+      * column is (a) a LITERAL position (the grouping_id — all entries
+      * foldable, kept verbatim), (b) a KEY position (entries are one
+      * attribute or null-literals; the attribute — inlined through
+      * hoisted aliases, so ROLLUP over f(key) coarsenings compose —
+      * must reference only summary keys; entries remapped onto the
+      * summary, output attr kept so the Aggregate above is untouched),
+      * or (c) a MEASURE pass-through (every entry the same attribute,
+      * which IS the output attr, referenced only inside aggregate
+      * functions; replaced by fresh partial columns appended to every
+      * projection — one per needed partial, so `sum(x)` and `min(x)`
+      * over the same column never collide). Aggregates derive exactly
+      * like the direct path: COUNT(*) → Σcnt (coalesced), SUM → Σsum_,
+      * MIN/MAX → min_/max_, AVG → Σsum_/Σcnt (Long); distinct /
+      * filtered aggregates refuse. Key-only Filters below the Expand
+      * push onto the summary scan like everywhere else. */
+    private def tryExpandRewrite(groupExprs: Seq[Expression],
+        aggExprs: Seq[NamedExpression], expand: Expand,
+        hint: Option[AggregateHint]): Option[Aggregate] = {
+      val Expand(projections, output, child) = expand
+      if (projections.isEmpty) return None
+      val shape = decompose(child).getOrElse(return None)
+
+      // how each Expand output attr is used by the Aggregate above:
+      // inside aggregate functions vs outside (grouping + pass-through)
+      val aggFuncRefs = AttributeSet(aggExprs.flatMap(_.collect {
+        case ae: AggregateExpression => ae.references.toSeq
+      }.flatten))
+      val nonAggRefs = AttributeSet(
+        groupExprs.flatMap(_.references.toSeq) ++
+          aggExprs.flatMap(e =>
+            e.transform { case _: AggregateExpression => Literal(null) }
+              .references.toSeq))
+
+      // classify positions; Left = refusal
+      // lit: Seq[Int]; key: Seq[(idx, inlined base expr)];
+      // measure: Seq[(idx, base attr)]
+      var keyPos = Seq.empty[(Int, Expression)]
+      var measurePos = Seq.empty[(Int, AttributeReference)]
+      var keptIdx = Seq.empty[Int]
+      output.indices.foreach { i =>
+        val entries = projections.map(_(i))
+        val out = output(i)
+        val attrs = entries.collect {
+          case a: AttributeReference => a
+        }.distinct
+        val nonAttrs = entries.filterNot(_.isInstanceOf[AttributeReference])
+        if (entries.forall(_.foldable)) keptIdx :+= i
+        else if (attrs.size == 1 &&
+            nonAttrs.forall(e => e.foldable && e.eval() == null) &&
+            !aggFuncRefs.contains(out)) {
+          val base = inline(attrs.head, shape.subst)
+          if (!base.deterministic ||
+              base.exists(_.isInstanceOf[AggregateExpression]) ||
+              base.exists(_.isInstanceOf[PlanExpression[_]])) return None
+          keyPos :+= (i -> base)
+          keptIdx :+= i
+        } else if (attrs.size == 1 && nonAttrs.isEmpty &&
+            attrs.head.exprId == out.exprId && !nonAggRefs.contains(out))
+          measurePos :+= (i -> attrs.head)
+        else return None
+      }
+      val keyBase = keyPos.toMap
+      val measureBase = measurePos.map { case (i, a) => output(i) -> a }.toMap
+
+      val needed =
+        (keyPos.flatMap(_._2.references.toSeq.map(_.name)) ++
+          shape.pred.toSeq.flatMap(_.references.toSeq.map(_.name))).toSet
+
+      candidates(shape.paths, needed).view.flatMap { summary =>
+        for {
+          path <- resolveMvPath(summary)
+          mvPlan <- mvPlanFor(path, summary.store.isDefined)
+          mvAttrs = mvPlan.output.map(a => a.name -> a).toMap
+          if keyPos.forall(_._2.references.toSeq.forall(r =>
+            summary.keys.contains(r.name) && mvAttrs.contains(r.name)))
+          if shape.pred.forall(_.references.toSeq.forall(r =>
+            mvAttrs.contains(r.name)))
+          cnt <- mvAttrs.get("cnt")
+          if cnt.dataType == LongType
+          result <- buildExpandRewrite(groupExprs, aggExprs, shape.pred,
+            projections, output, keptIdx, keyBase, measureBase, mvPlan,
+            mvAttrs, hint)
+        } yield result
+      }.headOption
+    }
+
+    /** Assemble the rewritten Aggregate-over-Expand-over-summary; any
+      * missing partial column or type mismatch refuses. */
+    private def buildExpandRewrite(groupExprs: Seq[Expression],
+        aggExprs: Seq[NamedExpression], pred: Option[Expression],
+        projections: Seq[Seq[Expression]], output: Seq[Attribute],
+        keptIdx: Seq[Int], keyBase: Map[Int, Expression],
+        measureBase: Map[Attribute, AttributeReference],
+        mvPlan: LogicalPlan, mvAttrs: Map[String, Attribute],
+        hint: Option[AggregateHint]): Option[Aggregate] = {
+      val remap = (ex: Expression) => ex.transform {
+        case a: AttributeReference if mvAttrs.contains(a.name) =>
+          mvAttrs(a.name)
+      }
+      // fresh pass-through columns, one per needed PARTIAL (dedup'd),
+      // appended to every projection so sum(x)+min(x) never collide
+      var partialCols = Seq.empty[(String, AttributeReference)]
+      def partialAttr(name: String): Option[AttributeReference] =
+        partialCols.find(_._1 == name).map(p => Some(p._2)).getOrElse {
+          mvAttrs.get(name).map { src =>
+            val fresh = AttributeReference(name, src.dataType,
+              nullable = true)()
+            partialCols :+= (name -> fresh)
+            fresh
+          }
+        }
+      def agg(fn: AggregateFunction): Expression =
+        AggregateExpression(fn, Complete, isDistinct = false)
+      // base fact column name behind a measure pass-through, if bare
+      def baseName(a: Attribute): Option[String] =
+        measureBase.get(a).map(_.name)
+      val keptAttrs = AttributeSet(keptIdx.map(output))
+      val newAggs = sequence(aggExprs.map {
+        case a: AttributeReference if keptAttrs.contains(a) => Some(a)
+        case al @ Alias(c, _) if c.foldable && c.deterministic => Some(al)
+        case e @ Alias(ae: AggregateExpression, name)
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          (ae.aggregateFunction match {
+            case c: Count if c.children.forall(ch =>
+                ch.foldable && ch.eval() != null) =>
+              partialAttr("cnt").map(p =>
+                Coalesce(Seq(agg(Sum(p)), Literal(0L))))
+            case s: Sum => s.child match {
+              case a: AttributeReference => baseName(a)
+                .flatMap(b => partialAttr(s"sum_$b")).map(p => agg(Sum(p)))
+              case _ => None
+            }
+            case m: Min => m.child match {
+              case a: AttributeReference => baseName(a)
+                .flatMap(b => partialAttr(s"min_$b")).map(p => agg(Min(p)))
+              case _ => None
+            }
+            case m: Max => m.child match {
+              case a: AttributeReference => baseName(a)
+                .flatMap(b => partialAttr(s"max_$b")).map(p => agg(Max(p)))
+              case _ => None
+            }
+            case av: Average => av.child match {
+              case a: AttributeReference => baseName(a).flatMap { b =>
+                mvAttrs.get(s"sum_$b")
+                  .filter(_.dataType == LongType)
+                  .flatMap(_ => for {
+                    ps <- partialAttr(s"sum_$b")
+                    pc <- partialAttr("cnt")
+                  } yield Divide(Cast(agg(Sum(ps)), DoubleType),
+                    Cast(agg(Sum(pc)), DoubleType)))
+              }
+              case _ => None
+            }
+            case _ => None
+          }).map(ex => Alias(ex, name)(exprId = e.exprId))
+        // non-aggregate outputs over kept (key/gid) attrs pass through
+        case al @ Alias(ex, _)
+            if ex.deterministic &&
+              !ex.exists(_.isInstanceOf[AggregateExpression]) &&
+              ex.references.subsetOf(keptAttrs) =>
+          Some(al)
+        case _ => None
+      })
+      newAggs.flatMap { as =>
+        if (as.zip(aggExprs).exists { case (n, o) => n.dataType != o.dataType })
+          None
+        else if (!groupExprs.forall(_.references.subsetOf(keptAttrs)))
+          None
+        else {
+          val factPlan = pred match {
+            case Some(p) => Filter(remap(p), mvPlan)
+            case None => mvPlan
+          }
+          val newProjections = projections.map { proj =>
+            keptIdx.map { i =>
+              proj(i) match {
+                case _: AttributeReference => remap(keyBase(i))
+                case other => other // null literal / gid literal
+              }
+            } ++ partialCols.map { case (n, _) => mvAttrs(n) }
+          }
+          val newOutput = keptIdx.map(output) ++ partialCols.map(_._2)
+          val newExpand = Expand(newProjections, newOutput, factPlan)
+          Some(Aggregate(groupExprs, as, newExpand, hint))
+        }
+      }
     }
 
     /** Strip Projects above the Join, collecting hoisted-alias

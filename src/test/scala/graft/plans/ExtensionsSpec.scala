@@ -36,5 +36,31 @@ class ExtensionsSpec extends AnyFunSuite {
     val sh = spark.sql("SELECT simhash64('a b c') AS s, simhash64('a b c') AS t").head()
     assert(sh.getLong(0) == sh.getLong(1))
     assert(sh.getLong(0) != 0L)
+
+    // the summary rule is injected too: a registered summary serves a
+    // plain SQL aggregate with NO programmatic install() call
+    val dir = "/root/testdata/sf0.001"
+    val mv = java.nio.file.Files.createTempDirectory("graft-extspec")
+      .toString + "/extmv"
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
+    SummaryRewrite.register("ext_mv",
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    try {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView("ext_docs")
+      def q = spark.sql(
+        "SELECT source, count(*) AS n, sum(n_chars) AS sc " +
+          "FROM ext_docs GROUP BY source")
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("extmv") && !p.contains("documents.parquet"),
+        s"config-injected summary rule did not fire:\n$p")
+      SummaryRewrite.deregister("ext_mv")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("ext_mv",
+        SummaryRewrite.Summary("documents.parquet", mv,
+          Set("source", "lang")))
+      assert(q.collect().map(_.toSeq).toSet === expect)
+    } finally SummaryRewrite.deregister("ext_mv")
   }
 }

@@ -915,6 +915,123 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.deregister("spec_dsv2")
   }
 
+  test("NATIVE rollup/cube/grouping-sets (Expand) rewrite: every lattice " +
+      "shape fires and is exact; non-derivable shapes refuse") {
+    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/expandmv"
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = omv, minMaxCols = Seq("n_chars"))
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_expand",
+      SummaryRewrite.Summary("documents.parquet", omv,
+        Set("source", "lang")))
+    try {
+      val shapes: Seq[(String, () => DataFrame)] = Seq(
+        ("rollup", () => docs.rollup($"source", $"lang")
+          .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+            sum($"n_chars").as("sc"))),
+        ("cube", () => docs.cube($"source", $"lang")
+          .agg(count(lit(1)).as("n"), min($"n_chars").as("lo"),
+            max($"n_chars").as("hi"))),
+        ("rollup+avg", () => docs.rollup($"source")
+          .agg(avg($"n_chars").as("a"), count(lit(1)).as("n"))),
+        ("filtered rollup", () => docs.filter($"source" =!= "src1")
+          .rollup($"source", $"lang").agg(count(lit(1)).as("n"))),
+        ("sum+min same measure", () => docs.rollup($"lang")
+          .agg(sum($"n_chars").as("sc"), min($"n_chars").as("lo"))))
+      shapes.foreach { case (label, mk) =>
+        def q = mk()
+        val p = q.queryExecution.executedPlan.toString
+        assert(p.contains("expandmv") && !p.contains("documents.parquet"),
+          s"Expand rewrite did not fire: $label\n$p")
+        assert(p.contains("Expand"), s"Expand vanished: $label")
+        SummaryRewrite.deregister("spec_expand")
+        val expect = q.collect().map(_.toSeq).toSet
+        SummaryRewrite.register("spec_expand",
+          SummaryRewrite.Summary("documents.parquet", omv,
+            Set("source", "lang")))
+        assert(q.collect().map(_.toSeq).toSet === expect,
+          s"Expand rewrite diverged: $label")
+      }
+      // refusals: a non-key rollup column; an unknown measure; a
+      // distinct aggregate under the Expand; a non-key filter below
+      val nonKey = docs.rollup($"source", $"doc_id")
+        .agg(count(lit(1)).as("n"))
+      assert(nonKey.queryExecution.executedPlan.toString
+        .contains("documents.parquet"),
+        "rollup over a non-key column must refuse")
+      val unknownMeasure = docs.rollup($"source")
+        .agg(sum(length($"text")).as("s"))
+      assert(unknownMeasure.queryExecution.executedPlan.toString
+        .contains("documents.parquet"),
+        "rollup with an unknown measure must refuse")
+      val distinctAgg = docs.rollup($"source")
+        .agg(countDistinct($"doc_id").as("n"))
+      assert(distinctAgg.queryExecution.executedPlan.toString
+        .contains("documents.parquet"),
+        "distinct aggregate under Expand must refuse")
+      val nonKeyFilter = docs.filter($"n_chars" > 100).rollup($"source")
+        .agg(count(lit(1)).as("n"))
+      assert(nonKeyFilter.queryExecution.executedPlan.toString
+        .contains("documents.parquet"),
+        "non-key filter below the Expand must refuse")
+    } finally SummaryRewrite.deregister("spec_expand")
+  }
+
+  test("rollupSummary: every coarsening derived from the finer summary " +
+      "equals the from-scratch fact build, min/max included") {
+    val fact = spark.read.parquet(s"$dir/documents.parquet")
+    val fine = SummaryRewrite.summaryFrame(fact, Seq("source", "lang"),
+      Seq("n_chars"), Seq("n_chars"))
+    Seq(Seq("source"), Seq("lang"), Seq.empty).foreach { coarser =>
+      val derived = SummaryRewrite.rollupSummary(fine, coarser,
+        Seq("n_chars"), Seq("n_chars")).collect().map(_.toSeq).toSet
+      val scratch = SummaryRewrite.summaryFrame(fact, coarser,
+        Seq("n_chars"), Seq("n_chars")).collect().map(_.toSeq).toSet
+      assert(derived === scratch, s"lattice derivation diverged: $coarser")
+    }
+  }
+
+  test("star join: a filter written ABOVE the join still rewrites — " +
+      "Catalyst pushes it to the sides before the rule runs") {
+    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/abovefilter"
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq.empty, mvPath = omv)
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_above",
+      SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+    try {
+      // the user-written shape: join first, one mixed WHERE after —
+      // the dim conjunct must land on the dim side, the fact-KEY
+      // conjunct must ride the summary scan
+      def q = graft.Tables.load(spark, dir, "orders")
+        .join(graft.Tables.load(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("c_nationkey") < 12 && col("o_custkey") % 2 === 0)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("abovefilter") && !p.contains("orders.parquet"),
+        s"above-join mixed filter did not rewrite:\n$p")
+      SummaryRewrite.deregister("spec_above")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_above",
+        SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+      assert(q.collect().map(_.toSeq).toSet === expect)
+      // a fact NON-key conjunct above the join still refuses after
+      // pushdown (it lands on the fact side below the join)
+      val nonKey = graft.Tables.load(spark, dir, "orders")
+        .join(graft.Tables.load(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderkey") % 2 === 0)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      assert(nonKey.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "non-key fact filter above the join must refuse")
+    } finally SummaryRewrite.deregister("spec_above")
+  }
+
   test("snapshot-store summary: registration survives rebuilds and " +
       "sessions; newest commit is read") {
     SummaryRewrite.install(spark) // standalone-run safe (mv is lazy)
