@@ -132,6 +132,40 @@ object SummaryRewrite {
 
   private val registry = new ConcurrentHashMap[String, Summary]()
 
+  /** Trace sink for [[explainServing]] — null (disabled) outside an
+    * explain call, so the rule's hot path pays one thread-local read. */
+  private val traceBuf =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[String]]()
+
+  private[plans] def note(msg: => String): Unit = {
+    val b = traceBuf.get()
+    if (b != null) b += msg
+  }
+
+  /** Serving DIAGNOSTICS — the operability complement of the rule:
+    * re-optimizes the frame with tracing on and returns, per aggregate
+    * the rule examined, what served it or WHY each registered candidate
+    * refused (no committed snapshot, unreadable artifact, uncovered
+    * grouping column, a non-derivable measure by name, …). This is the
+    * first question every dashboard owner asks — "why is this query
+    * scanning the fact?" — answered from the rule's own guards, not a
+    * re-implementation that could drift. Driver-side only; the traced
+    * optimization is exactly one extra planning pass, no jobs run. */
+  def explainServing(df: DataFrame): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    traceBuf.set(buf)
+    try {
+      // fresh QueryExecution: the frame's own optimizedPlan is
+      // memoized and would skip the rule on a second call
+      df.sparkSession.sessionState.executePlan(df.queryExecution.logical)
+        .optimizedPlan
+    } finally traceBuf.remove()
+    if (buf.isEmpty)
+      Seq("no aggregate was examined (no Aggregate node, or the rule " +
+        "is not installed in this session)")
+    else buf.distinct.toSeq // the rule may run several optimizer passes
+  }
+
   def register(name: String, summary: Summary): Unit =
     registry.put(name, summary)
 
@@ -423,6 +457,65 @@ object SummaryRewrite {
         !(col(s"expect_$m") <=> col(s"got_$m"))).reduce(_ || _))
   }
 
+  /** Monitoring SWEEP: audit every entry of an on-disk catalog against
+    * its fact table — the one call a scheduled integrity job makes.
+    * `factRoot` resolves each entry's `factPathSuffix` (the catalog
+    * stores table identity relative to the data root, exactly so the
+    * same catalog can be audited against any environment's root).
+    * Returns one accounting row per entry: name, keys audited,
+    * discrepancy count, and a status ('ok' | 'drift' | 'missing' when
+    * the artifact is unreadable — the audit reports, never throws, so
+    * one rotted entry cannot hide the others' results). Measure
+    * columns are derived from the ARTIFACT schema (`sum_`/`min_`/
+    * `max_` naming contract), so the sweep needs no per-entry
+    * configuration. Cost: one fact scan per entry on the monitoring
+    * cadence — the q262 economics, fleet-wide. */
+  def auditCatalog(spark: SparkSession, catalogDir: String,
+      factRoot: String): Seq[(String, Long, Long, String)] = {
+    val live = catalogVersions(spark, catalogDir)
+    if (live.isEmpty) return Seq.empty
+    val loaded = {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$catalogDir/cat=${live.max}.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
+          .foreach(n => buf.write(chunk, 0, n))
+        parseCatalog(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+    loaded.sortBy(_._1).map { case (name, summary) =>
+      val factPath = s"$factRoot/${summary.factPathSuffix}"
+      val attempt = Try {
+        val mvPath = summary.store match {
+          case Some(st) =>
+            val versions =
+              graft.operators.IndexOps.snapshotVersions(spark, st)
+            require(versions.nonEmpty, s"empty store $st")
+            s"$st/snap=${versions.max}"
+          case None => summary.mvPath
+        }
+        val schema = spark.read.parquet(mvPath).schema.fieldNames
+        val sumCols = schema.collect {
+          case f if f.startsWith("sum_") => f.stripPrefix("sum_") }
+        val minMaxCols = schema.collect {
+          case f if f.startsWith("min_") => f.stripPrefix("min_") }
+        val nKeys = summary.keys.size.toLong
+        val diffs = auditSummary(spark, factPath, summary,
+          sumCols.toSeq, minMaxCols.toSeq).count()
+        (nKeys, diffs)
+      }
+      attempt.toOption match {
+        case Some((nKeys, 0L)) => (name, nKeys, 0L, "ok")
+        case Some((nKeys, d)) => (name, nKeys, d, "drift")
+        case None => (name, summary.keys.size.toLong, -1L, "missing")
+      }
+    }
+  }
+
   case class SummaryRewriteRule(spark: SparkSession)
       extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -509,17 +602,25 @@ object SummaryRewrite {
       * is boundary-anchored: `documents.parquet` matches
       * `.../documents.parquet` but never `.../raw_documents.parquet`. */
     private def candidates(paths: Seq[String],
-        needed: Set[String]): Seq[Summary] = {
+        needed: Set[String]): Seq[(String, Summary)] = {
       import scala.jdk.CollectionConverters._
-      registry.entrySet().asScala.toSeq
+      val all = registry.entrySet().asScala.toSeq
         .map(e => (e.getKey, e.getValue))
-        .filter { case (_, s) =>
-          paths.exists(p =>
-            p == s.factPathSuffix || p.endsWith("/" + s.factPathSuffix)) &&
-            needed.subsetOf(s.keys)
-        }
-        .sortBy { case (name, s) => (s.keys.size, name) }
-        .map(_._2)
+      val matching = all.filter { case (_, s) =>
+        paths.exists(p =>
+          p == s.factPathSuffix || p.endsWith("/" + s.factPathSuffix))
+      }
+      val covering = matching.filter { case (_, s) =>
+        needed.subsetOf(s.keys)
+      }
+      matching.diff(covering).foreach { case (n, s) =>
+        note(s"candidate '$n': keys ${s.keys.toSeq.sorted.mkString(",")} " +
+          s"do not cover needed columns ${needed.toSeq.sorted.mkString(",")}")
+      }
+      if (matching.isEmpty && all.nonEmpty)
+        note(s"no registered summary matches fact path(s) " +
+          paths.mkString(", "))
+      covering.sortBy { case (name, s) => (s.keys.size, name) }
     }
 
     /** Newest committed artifact for the summary — fixed path, or the
@@ -532,6 +633,13 @@ object SummaryRewrite {
         if (live.isEmpty) None else Some(s"$st/snap=${live.max}")
     }
 
+    /** Bounded: a long-lived dashboard session with a streaming
+      * maintainer sees a NEW immutable `snap=N` path per commit, so an
+      * unbounded cache would grow with every maintenance cycle. 256
+      * footer-read plans is far beyond any real summary count; on
+      * overflow the cache clears (the next query re-reads one footer —
+      * correctness is untouched, the cache is latency-only). */
+    private val mvRelCacheLimit = 256
     private val mvRelCache =
       new ConcurrentHashMap[String, LogicalRelation]()
 
@@ -550,6 +658,7 @@ object SummaryRewrite {
       else Option(mvRelCache.get(path)).map(_.newInstance()).orElse {
         Try(spark.read.parquet(path).queryExecution.analyzed).toOption.map {
           case lr: LogicalRelation =>
+            if (mvRelCache.size >= mvRelCacheLimit) mvRelCache.clear()
             mvRelCache.put(path, lr)
             lr.newInstance()
           case other => other
@@ -576,8 +685,8 @@ object SummaryRewrite {
           needed = (groupExprs.flatMap(_.references.toSeq.map(_.name)) ++
             shape.pred.toSeq.flatMap(_.references.toSeq.map(_.name))).toSet
           result <- candidates(shape.paths, needed).view
-            .flatMap(s => tryRewrite(s, groupExprs, aggExprs,
-              shape.pred, hint))
+            .flatMap { case (n, s) => tryRewrite(n, s, groupExprs,
+              aggExprs, shape.pred, hint) }
             .headOption
         } yield result
         direct
@@ -681,8 +790,8 @@ object SummaryRewrite {
         (keyPos.flatMap(_._2.references.toSeq.map(_.name)) ++
           shape.pred.toSeq.flatMap(_.references.toSeq.map(_.name))).toSet
 
-      candidates(shape.paths, needed).view.flatMap { summary =>
-        for {
+      candidates(shape.paths, needed).view.flatMap { case (n, summary) =>
+        val r = for {
           path <- resolveMvPath(summary)
           mvPlan <- mvPlanFor(path, summary.store.isDefined)
           mvAttrs = mvPlan.output.map(a => a.name -> a).toMap
@@ -696,6 +805,12 @@ object SummaryRewrite {
             projections, output, keptIdx, keyBase, measureBase, mvPlan,
             mvAttrs, hint)
         } yield result
+        if (r.isEmpty)
+          note(s"candidate '$n': rollup/cube (Expand) shape not " +
+            "derivable (needs key-covered rollup columns and derivable " +
+            "pass-through measures)")
+        else note(s"rollup/cube aggregate SERVED by summary '$n'")
+        r
       }.headOption
     }
 
@@ -877,10 +992,17 @@ object SummaryRewrite {
                 .filter(factOut.contains).map(_.name)) ++
               pairs.map(_.name) ++
               shape.pred.toSeq.flatMap(_.references.toSeq.map(_.name))).toSet
-            result <- candidates(shape.paths, needed).view.flatMap { s =>
-              tryJoinCandidate(s, groupExprs, aggExprs, shape.pred,
-                factOut, dimOut, dimSide, cond, joinType, factOnLeft,
-                jhint, hint)
+            result <- candidates(shape.paths, needed).view.flatMap {
+              case (n, s) =>
+                val r = tryJoinCandidate(s, groupExprs, aggExprs,
+                  shape.pred, factOut, dimOut, dimSide, cond, joinType,
+                  factOnLeft, jhint, hint)
+                if (r.isEmpty)
+                  note(s"candidate '$n': star-join shape not derivable " +
+                    "(needs all-key equi-join, derivable fact measures, " +
+                    "multiplicity-insensitive dim measures)")
+                else note(s"star-join aggregate SERVED by summary '$n'")
+                r
             }.headOption
           } yield result
       }.headOption
@@ -924,33 +1046,56 @@ object SummaryRewrite {
 
     /** Attempt the rewrite against ONE candidate summary; any missing
       * measure column, type mismatch, or unreadable artifact refuses
-      * this candidate (the next — or the fact scan — answers). */
-    private def tryRewrite(summary: Summary, groupExprs: Seq[Expression],
+      * this candidate (the next — or the fact scan — answers), with
+      * the reason traced for [[explainServing]]. */
+    private def tryRewrite(name: String, summary: Summary,
+        groupExprs: Seq[Expression],
         aggExprs: Seq[NamedExpression], pred: Option[Expression],
-        hint: Option[AggregateHint]): Option[Aggregate] = for {
-      path <- resolveMvPath(summary)
-      mvPlan <- mvPlanFor(path, summary.store.isDefined)
-      mvAttrs = mvPlan.output.map(a => a.name -> a).toMap
-      if groupExprs.forall(_.references.toSeq.forall(r =>
-        summary.keys.contains(r.name) && mvAttrs.contains(r.name)))
-      if pred.forall(_.references.toSeq.forall(r => mvAttrs.contains(r.name)))
-      cnt <- mvAttrs.get("cnt")
-      if cnt.dataType == LongType
+        hint: Option[AggregateHint]): Option[Aggregate] = {
+      def refuse(reason: String): Option[Aggregate] = {
+        note(s"candidate '$name': $reason")
+        None
+      }
+      val path = resolveMvPath(summary).getOrElse(
+        return refuse("store has no committed snapshot yet"))
+      val mvPlan = mvPlanFor(path, summary.store.isDefined).getOrElse(
+        return refuse(s"artifact unreadable at $path"))
+      val mvAttrs = mvPlan.output.map(a => a.name -> a).toMap
+      if (!groupExprs.forall(_.references.toSeq.forall(r =>
+          summary.keys.contains(r.name) && mvAttrs.contains(r.name))))
+        return refuse("a grouping column is not a declared key present " +
+          "in the artifact")
+      if (!pred.forall(_.references.toSeq.forall(r =>
+          mvAttrs.contains(r.name))))
+        return refuse("the filter references a column absent from the " +
+          "artifact")
+      val cnt = mvAttrs.getOrElse("cnt",
+        return refuse("artifact has no 'cnt' column"))
+      if (cnt.dataType != LongType)
+        return refuse("artifact 'cnt' column is not LongType")
       // type-preservation contract: the substituted expression must
       // resolve to EXACTLY the original dataType, or parents would see
       // a corrupted schema (e.g. decimal Sum re-aggregation widens)
-      newAggs <- sequence(aggExprs.map(e =>
-        rewriteAgg(e, mvAttrs, summary.keys)
-          .filter(_.dataType == e.dataType)))
-      remap = (ex: Expression) => ex.transform {
+      val rewritten = aggExprs.map(e =>
+        e -> rewriteAgg(e, mvAttrs, summary.keys)
+          .filter(_.dataType == e.dataType))
+      rewritten.find(_._2.isEmpty).foreach { case (e, _) =>
+        return refuse(s"output '${e.name}' is not derivable from the " +
+          "artifact (needs a matching cnt/sum_/min_/max_ partial of the " +
+          "same type; distinct only over keys; no filter clauses)")
+      }
+      val newAggs = rewritten.map(_._2.get)
+      val remap = (ex: Expression) => ex.transform {
         case a: AttributeReference if mvAttrs.contains(a.name) =>
           mvAttrs(a.name)
       }
-      newChild = pred match {
+      val newChild = pred match {
         case Some(p) => Filter(remap(p), mvPlan)
         case None => mvPlan
       }
-    } yield Aggregate(groupExprs.map(remap), newAggs, newChild, hint)
+      note(s"aggregate SERVED by summary '$name' (artifact: $path)")
+      Some(Aggregate(groupExprs.map(remap), newAggs, newChild, hint))
+    }
 
     private def sequence[T](xs: Seq[Option[T]]): Option[Seq[T]] =
       if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None

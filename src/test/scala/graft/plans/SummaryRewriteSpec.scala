@@ -1032,6 +1032,66 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.deregister("spec_above")
   }
 
+  test("explainServing names the serving summary, the failing guard, " +
+      "and uncovered candidates — from the rule's own trace") {
+    withSummary {
+      // served: the trace names the summary and the artifact
+      val served = SummaryRewrite.explainServing(
+        docs.groupBy($"source").agg(count(lit(1)).as("n")))
+      assert(served.exists(l => l.contains("SERVED") &&
+        l.contains("spec_mv")), s"missing served line: $served")
+      // non-derivable measure: the trace names the OUTPUT column
+      val refused = SummaryRewrite.explainServing(
+        docs.groupBy($"source").agg(sum(length($"text")).as("weird")))
+      assert(refused.exists(l => l.contains("spec_mv") &&
+        l.contains("'weird'") && l.contains("not derivable")),
+        s"missing refusal reason: $refused")
+      // uncovered grouping: the candidate is reported with its keys
+      val uncovered = SummaryRewrite.explainServing(
+        docs.groupBy($"doc_id").agg(count(lit(1)).as("n")))
+      assert(uncovered.exists(l => l.contains("spec_mv") &&
+        l.contains("do not cover")), s"missing coverage line: $uncovered")
+    }
+    // no registrations at all: wrong-path note or empty-trace message
+    val bare = SummaryRewrite.explainServing(
+      docs.groupBy($"source").agg(count(lit(1)).as("n")))
+    assert(bare.nonEmpty)
+  }
+
+  test("auditCatalog sweeps every entry: ok / drift / missing " +
+      "statuses from one call") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val factRoot = dir
+    val good = s"$tmp/sweep_good"
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = good, minMaxCols = Seq("n_chars"))
+    val drifted = s"$tmp/sweep_drift"
+    spark.read.parquet(good)
+      .withColumn("max_n_chars",
+        when(col("lang") === "en", col("max_n_chars") + 3)
+          .otherwise(col("max_n_chars")))
+      .write.parquet(drifted)
+    val catDir = s"$tmp/sweep_catalog"
+    SummaryRewrite.publishCatalog(spark, catDir, Map(
+      "s_ok" -> SummaryRewrite.Summary("documents.parquet", good,
+        Set("source", "lang")),
+      "s_drift" -> SummaryRewrite.Summary("documents.parquet", drifted,
+        Set("source", "lang")),
+      "s_missing" -> SummaryRewrite.Summary("documents.parquet",
+        s"$tmp/nowhere", Set("source"))))
+    val report = SummaryRewrite.auditCatalog(spark, catDir, factRoot)
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(report("s_ok") === ((0L, "ok")))
+    assert(report("s_drift")._2 === "drift" && report("s_drift")._1 > 0L,
+      s"max_ drift not caught: $report")
+    assert(report("s_missing") === ((-1L, "missing")))
+    // empty catalog dir: empty report, no throw
+    assert(SummaryRewrite.auditCatalog(spark, s"$tmp/no-cat", factRoot)
+      .isEmpty)
+  }
+
   test("snapshot-store summary: registration survives rebuilds and " +
       "sessions; newest commit is read") {
     SummaryRewrite.install(spark) // standalone-run safe (mv is lazy)
