@@ -779,9 +779,16 @@ object SummaryRewrite {
           keyPos :+= (i -> base)
           keptIdx :+= i
         } else if (attrs.size == 1 && nonAttrs.isEmpty &&
-            attrs.head.exprId == out.exprId && !nonAggRefs.contains(out))
-          measurePos :+= (i -> attrs.head)
-        else return None
+            attrs.head.exprId == out.exprId && !nonAggRefs.contains(out)) {
+          // partials are keyed by the BASE scan column: a renamed
+          // measure resolves through the hoisted alias to its true
+          // column; a COMPUTED alias (whose name could shadow a real
+          // measure's partial) resolves to an expression and refuses
+          inline(attrs.head, shape.subst) match {
+            case ar: AttributeReference => measurePos :+= (i -> ar)
+            case _ => return None
+          }
+        } else return None
       }
       val keyBase = keyPos.toMap
       val measureBase = measurePos.map { case (i, a) => output(i) -> a }.toMap
@@ -973,6 +980,15 @@ object SummaryRewrite {
         case (factSide, dimSide, factOnLeft) =>
           for {
             shape <- decompose(factSide)
+            // fact-side ALIASED projections refuse here: unlike the
+            // direct path, the join path matches measures by NAME
+            // against factSide.output, so a computed column aliased to
+            // a summarized measure's name (e.g. `(x*7) AS o_orderkey`)
+            // would silently serve the real column's partial. Column
+            // pruning (attr-only projects) is still fine; hoisted
+            // grouping aliases sit ABOVE the join and are inlined by
+            // stripProjects before this runs.
+            if shape.subst.isEmpty
             factOut = factSide.outputSet
             dimOut = dimSide.outputSet
             // every conjunct: fact-attr = dim-attr (either order)

@@ -1092,6 +1092,75 @@ class SummaryRewriteSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("alias shadowing refuses: a computed column RENAMED to a " +
+      "summarized measure's name never serves the real partial") {
+    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/shadow"
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"), mvPath = omv,
+      minMaxCols = Seq("o_orderkey"))
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_shadow",
+      SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+    try {
+      def orders = graft.Tables.load(spark, dir, "orders")
+      // DIRECT path: sum over a computed column renamed to o_orderkey
+      // — the inline resolves it to the computing expression, which is
+      // not a bare column, so no partial matches
+      val direct = orders
+        .select($"o_custkey", ($"o_custkey" * 7).as("o_orderkey"))
+        .groupBy($"o_custkey").agg(sum($"o_orderkey").as("s"))
+      assert(direct.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "direct path must refuse a shadowing computed measure")
+      // and the honest RENAME still serves (inline resolves to the
+      // true base column)
+      def renamed = orders
+        .select($"o_custkey", $"o_orderkey".as("ok2"))
+        .groupBy($"o_custkey").agg(sum($"ok2").as("s"))
+      // renamed column's partial is keyed by the BASE name, so the
+      // direct path derives sum(ok2) from sum_o_orderkey
+      val pr = renamed.queryExecution.executedPlan.toString
+      assert(pr.contains("/shadow") && !pr.contains("orders.parquet"),
+        s"honest rename should still serve from the base partial:\n$pr")
+      SummaryRewrite.deregister("spec_shadow")
+      val expectR = renamed.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_shadow",
+        SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+      assert(renamed.collect().map(_.toSeq).toSet === expectR)
+      // JOIN path: fact-side computed column aliased to the measure
+      // name — the aliased fact-side projection refuses wholesale
+      val joined = orders
+        .select($"o_custkey", ($"o_custkey" * 7).as("o_orderkey"))
+        .join(graft.Tables.load(spark, dir, "customer"),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_nationkey").agg(sum($"o_orderkey").as("s"))
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "join path must refuse an aliased fact-side projection")
+      // EXPAND path: rollup over the shadowing computed measure
+      val rolled = orders
+        .select($"o_custkey", ($"o_custkey" * 7).as("o_orderkey"))
+        .rollup($"o_custkey").agg(sum($"o_orderkey").as("s"))
+      assert(rolled.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "expand path must refuse a shadowing computed measure")
+      // EXPAND path: the honest rename serves via the base partial
+      def rolledRename = orders
+        .select($"o_custkey", $"o_orderkey".as("ok2"))
+        .rollup($"o_custkey").agg(sum($"ok2").as("s"),
+          count(lit(1)).as("n"))
+      val prr = rolledRename.queryExecution.executedPlan.toString
+      assert(prr.contains("/shadow") && !prr.contains("orders.parquet"),
+        s"expand path should serve the renamed measure:\n$prr")
+      SummaryRewrite.deregister("spec_shadow")
+      val expectRR = rolledRename.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_shadow",
+        SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+      assert(rolledRename.collect().map(_.toSeq).toSet === expectRR)
+    } finally SummaryRewrite.deregister("spec_shadow")
+  }
+
   test("snapshot-store summary: registration survives rebuilds and " +
       "sessions; newest commit is read") {
     SummaryRewrite.install(spark) // standalone-run safe (mv is lazy)
