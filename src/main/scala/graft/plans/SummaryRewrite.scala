@@ -203,6 +203,15 @@ object SummaryRewrite {
     * fact scan answers, nothing throws. */
   def publishCatalog(spark: SparkSession, catalogDir: String,
       entries: Map[String, Summary]): Long = {
+    // the reader splits entries on braces (a flat writer format, not a
+    // general JSON parser) — refuse garbage at WRITE time, loudly
+    entries.foreach { case (n, s) =>
+      val fields = Seq(n, s.factPathSuffix, s.mvPath,
+        s.store.getOrElse("")) ++ s.keys
+      require(fields.forall(f => !f.contains('{') && !f.contains('}')),
+        s"publishCatalog: entry '$n' contains a brace — not " +
+          "representable in the catalog's flat format")
+    }
     val json = entries.toSeq.sortBy(_._1).map { case (n, s) =>
       val store = s.store
         .map(st => s""","store":${jstr(st)}""").getOrElse("")

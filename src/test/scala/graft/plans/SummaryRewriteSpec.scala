@@ -161,7 +161,9 @@ class SummaryRewriteSpec extends AnyFunSuite {
         Seq(avg(col("n_chars")).as("a"), count(lit(1)).as("n")),
         Seq(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"),
           min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"),
-          avg(col("n_chars")).as("a")))
+          avg(col("n_chars")).as("a")),
+        // single-distinct-group over a KEY column beside plain aggs
+        Seq(countDistinct(col("lang")).as("nd"), count(lit(1)).as("n")))
       var checked = 0
       for (g <- groupings; (fname, f) <- filters; ms <- measureSets) {
         def q = {
@@ -389,6 +391,23 @@ class SummaryRewriteSpec extends AnyFunSuite {
       SummaryRewrite.register("spec_star",
         SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
       assert(starF.collect().map(_.toSeq).toSet === expectF)
+      // a MIXED fact×dim grouping expression serves: all fact rows
+      // with one key produce the same value for any given dim row,
+      // so the collapse is exact for mixed groupings too
+      def mixedG = graft.Tables.load(spark, dir, "orders")
+        .join(graft.Tables.load(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy((col("c_nationkey") * 100 + col("o_custkey") % 7)
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val pmx = mixedG.queryExecution.executedPlan.toString
+      assert(pmx.contains("orders_by_cust") && !pmx.contains("orders.parquet"),
+        s"mixed fact-key × dim grouping expression did not rewrite:\n$pmx")
+      SummaryRewrite.deregister("spec_star")
+      val expectMx = mixedG.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_star",
+        SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+      assert(mixedG.collect().map(_.toSeq).toSet === expectMx)
       // a NON-key fact filter refuses
       val nonKeyF = graft.Tables.load(spark, dir, "orders")
         .filter(col("o_orderkey") % 2 === 0)
