@@ -819,7 +819,7 @@ object SummaryRewrite {
           if cnt.dataType == LongType
           result <- buildExpandRewrite(groupExprs, aggExprs, shape.pred,
             projections, output, keptIdx, keyBase, measureBase, mvPlan,
-            mvAttrs, hint)
+            mvAttrs, summary.keys, hint)
         } yield result
         if (r.isEmpty)
           note(s"candidate '$n': rollup/cube (Expand) shape not " +
@@ -838,6 +838,7 @@ object SummaryRewrite {
         keptIdx: Seq[Int], keyBase: Map[Int, Expression],
         measureBase: Map[Attribute, AttributeReference],
         mvPlan: LogicalPlan, mvAttrs: Map[String, Attribute],
+        keys: Set[String],
         hint: Option[AggregateHint]): Option[Aggregate] = {
       val remap = (ex: Expression) => ex.transform {
         case a: AttributeReference if mvAttrs.contains(a.name) =>
@@ -864,6 +865,25 @@ object SummaryRewrite {
       val newAggs = sequence(aggExprs.map {
         case a: AttributeReference if keptAttrs.contains(a) => Some(a)
         case al @ Alias(c, _) if c.foldable && c.deterministic => Some(al)
+        // COUNT(DISTINCT key...) per grouping set: the summary's key
+        // column rides along as a pass-through (mvAttrs carries it by
+        // its own name), and the distinct key set of summary rows per
+        // set equals the fact's — same argument as the direct path
+        case e @ Alias(ae: AggregateExpression, name)
+            if ae.isDistinct && ae.filter.isEmpty =>
+          (ae.aggregateFunction match {
+            case c: Count if c.children.nonEmpty && c.children.forall {
+                case a: AttributeReference =>
+                  baseName(a).exists(keys.contains)
+                case _ => false
+              } =>
+              sequence(c.children.map {
+                case a: AttributeReference =>
+                  baseName(a).flatMap(partialAttr)
+              }).map(ks => AggregateExpression(Count(ks), Complete,
+                isDistinct = true))
+            case _ => None
+          }).map(ex => Alias(ex, name)(exprId = e.exprId))
         case e @ Alias(ae: AggregateExpression, name)
             if !ae.isDistinct && ae.filter.isEmpty =>
           (ae.aggregateFunction match {

@@ -958,7 +958,11 @@ class SummaryRewriteSpec extends AnyFunSuite {
         ("filtered rollup", () => docs.filter($"source" =!= "src1")
           .rollup($"source", $"lang").agg(count(lit(1)).as("n"))),
         ("sum+min same measure", () => docs.rollup($"lang")
-          .agg(sum($"n_chars").as("sc"), min($"n_chars").as("lo"))))
+          .agg(sum($"n_chars").as("sc"), min($"n_chars").as("lo"))),
+        // COUNT(DISTINCT key) per grouping set: the key rides along as
+        // a pass-through and the distinct set per set is the summary's
+        ("distinct key", () => docs.rollup($"source")
+          .agg(countDistinct($"lang").as("nd"), count(lit(1)).as("n"))))
       shapes.foreach { case (label, mk) =>
         def q = mk()
         val p = q.queryExecution.executedPlan.toString
