@@ -1186,24 +1186,27 @@ object SummaryRewrite {
         }
         if (dimSafe) return Some(e)
         if (ae.isDistinct) {
-          // COUNT(DISTINCT key...) over summary KEYS: the summary has
+          // DISTINCT aggregates over summary KEYS: the summary has
           // every key combination present in the fact, so the distinct
           // tuple set per coarser group equals the summary rows' set —
-          // re-run the distinct count verbatim over summary key columns
-          return ae.aggregateFunction match {
-            case c: Count
-                if c.children.nonEmpty && c.children.forall {
-                  case a: AttributeReference => !dimOut.contains(a) &&
-                    keys.contains(a.name) && mv.contains(a.name)
-                  case _ => false
-                } =>
-              val remapped = c.children.map {
-                case a: AttributeReference => mv(a.name)
-              }
-              Some(Alias(agg(Count(remapped), distinct = true),
-                name)(exprId = e.exprId))
+          // any value-SET aggregate (count/sum/avg distinct) re-runs
+          // verbatim over summary key columns
+          def keyAttr(ex: Expression): Option[Attribute] = ex match {
+            case a: AttributeReference if !dimOut.contains(a) &&
+                keys.contains(a.name) && mv.contains(a.name) =>
+              Some(mv(a.name))
             case _ => None
           }
+          return (ae.aggregateFunction match {
+            case c: Count if c.children.nonEmpty =>
+              sequence(c.children.map(keyAttr))
+                .map(ks => agg(Count(ks), distinct = true))
+            case s: Sum =>
+              keyAttr(s.child).map(k => agg(Sum(k), distinct = true))
+            case av: Average =>
+              keyAttr(av.child).map(k => agg(Average(k), distinct = true))
+            case _ => None
+          }).map(ex => Alias(ex, name)(exprId = e.exprId))
         }
         ae.aggregateFunction match {
           case c: Count

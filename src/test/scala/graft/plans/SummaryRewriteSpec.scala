@@ -690,6 +690,25 @@ class SummaryRewriteSpec extends AnyFunSuite {
         .agg(sum_distinct($"n_chars").as("s"))
       assert(!usesMv(sumD), "sum(distinct measure) must not rewrite")
     }
+    // SUM/AVG DISTINCT over a NUMERIC key are value-set aggregates too
+    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/distkey"
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq.empty, mvPath = omv)
+    SummaryRewrite.register("spec_distkey",
+      SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+    try {
+      def qd = graft.Tables.load(spark, dir, "orders")
+        .agg(sum_distinct(col("o_custkey")).as("sk"))
+      val p = qd.queryExecution.executedPlan.toString
+      assert(p.contains("distkey") && !p.contains("orders.parquet"),
+        s"sum(distinct key) did not rewrite:\n$p")
+      SummaryRewrite.deregister("spec_distkey")
+      val expect = qd.collect().head.toSeq
+      SummaryRewrite.register("spec_distkey",
+        SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+      assert(qd.collect().head.toSeq === expect)
+    } finally SummaryRewrite.deregister("spec_distkey")
   }
 
   test("star join: distinct aggregates over DIM attrs pass through " +
