@@ -661,6 +661,15 @@ object SparkEntry {
     // lattice derivation: coarser summary rolled up from the finer
     // artifact (zero fact access), then served by covering selection
     "q269_summary_derive" -> (IndexOps.q269SummaryDerive _),
+    // catalog freshness: a cat=2 published AFTER the consumer installed
+    // serves on its next query — drops deregister, adds serve; no restart
+    "q270_summary_fresh" -> (IndexOps.q270SummaryFresh _),
+    // size-aware artifact layout: a high-cardinality summary lands
+    // multi-file (gated) and still plan-provably serves
+    "q271_summary_multifile" -> (IndexOps.q271SummaryMultifile _),
+    // multiple distinct aggregates in one query served through the
+    // RewriteDistinctAggregates Expand shape; plan-required
+    "q272_summary_multidistinct" -> (IndexOps.q272SummaryMultiDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

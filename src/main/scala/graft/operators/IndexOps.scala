@@ -1098,9 +1098,10 @@ object IndexOps {
     SummaryRewrite.buildSummary(s, factPath,
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = fine,
       minMaxCols = Seq("n_chars"))
-    SummaryRewrite.rollupSummary(s.read.parquet(fine), Seq("source"),
-        sumCols = Seq("n_chars"), minMaxCols = Seq("n_chars"))
-      .coalesce(1).write.parquet(coarse)
+    SummaryRewrite.writeSummary(
+      SummaryRewrite.rollupSummary(s.read.parquet(fine), Seq("source"),
+        sumCols = Seq("n_chars"), minMaxCols = Seq("n_chars")),
+      Seq("source"), coarse)
     // equivalence gate: derived ≡ from-scratch (both summary-sized)
     val derived = s.read.parquet(coarse).collect().map(_.toSeq).toSet
     val scratch = SummaryRewrite.summaryFrame(s.read.parquet(factPath),
@@ -1131,6 +1132,168 @@ object IndexOps {
       SummaryRewrite.deregister("q269_a_derived")
       SummaryRewrite.deregister("q269_b_fine")
     }
+  }
+
+  // --------------------------------------------------------------- q270
+
+  /** q270 — catalog FRESHNESS for long-lived consumers: a dashboard
+    * JVM that installed from `cat=1` must see a `cat=2` published
+    * AFTER it installed — without restart, without re-install. The
+    * consumer session is BOUND to the catalog at [[graft.plans
+    * .SummaryRewrite.loadCatalog]] time; every optimization pass
+    * re-resolves the newest committed version (one driver-side
+    * listing, the same cost class as the store-backed snapshot
+    * resolution — at 100 TB this is metadata, never data). The gate
+    * proves BOTH refresh directions: cat=1 carries a 1-key by-source
+    * entry that WINS covering selection (fewest keys); cat=2 DROPS it
+    * and publishes a 2-key by-(source,lang) entry at a different
+    * path — so the second query can only serve from the new artifact
+    * if the dropped registration was deregistered (else the stale
+    * 1-key entry would still win) AND the new one was picked up.
+    * Reference analogue: HiSS-Cube readers always see the current H5
+    * state — reads go by path at query time, no cached registry
+    * (`metadata_strategy_cube_visualization.py:57-72`). */
+  def q270SummaryFresh(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q270").toString
+    val catDir = s"$tmp/catalog"
+    val factPath = s"$dir/documents.parquet"
+    // producer, epoch 1: a by-source summary (1 key — wins selection)
+    SummaryRewrite.buildSummary(s, factPath, keys = Seq("source"),
+      sumCols = Seq("n_chars"), mvPath = s"$tmp/freshv1_by_source")
+    SummaryRewrite.publishCatalog(s, catDir, Map(
+      "docs_summary" -> SummaryRewrite.Summary("documents.parquet",
+        s"$tmp/freshv1_by_source", Set("source"))))
+    // consumer: fresh registry, fresh session, installs from disk alone
+    SummaryRewrite.clear()
+    val s2 = s.newSession()
+    val n = SummaryRewrite.install(s2, catDir)
+    require(n == 1, s"q270: expected 1 catalog entry loaded, got $n")
+    try {
+      def q = graft.Tables.load(s2, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val p1 = q.queryExecution.executedPlan.toString
+      require(p1.contains("freshv1_by_source"),
+        "q270 gate is vacuous: the epoch-1 entry did not serve")
+      // producer, epoch 2 (AFTER the consumer installed): the by-source
+      // entry is DROPPED, a by-(source,lang) entry replaces it
+      SummaryRewrite.buildSummary(s, factPath, keys = Seq("source", "lang"),
+        sumCols = Seq("n_chars"), mvPath = s"$tmp/freshv2_by_source_lang")
+      SummaryRewrite.publishCatalog(s, catDir, Map(
+        "docs_summary_v2" -> SummaryRewrite.Summary("documents.parquet",
+          s"$tmp/freshv2_by_source_lang", Set("source", "lang"))))
+      val p2 = q.queryExecution.executedPlan.toString
+      require(p2.contains("freshv2_by_source_lang"),
+        "q270 gate is vacuous: the consumer did not pick up cat=2")
+      require(!p2.contains("freshv1_by_source"),
+        "q270 gate broken: the DROPPED cat=1 entry still serves — the " +
+          "published deregistration was not applied")
+      require(!p2.contains("documents.parquet"),
+        "q270 gate broken: the fact table is still scanned")
+      // bounded: one row per source (the q243 materialization rule)
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.clear()
+  }
+
+  // --------------------------------------------------------------- q271
+
+  /** q271 — size-aware artifact layout at HIGH-cardinality keys: a
+    * per-custkey summary of a 100 TB orders fact is fact-key-
+    * cardinality rows and must never funnel through one task and one
+    * unsplittable file — the build lays out via `repartitionByRange
+    * (keys)` sized by AQE (kilobyte summaries coalesce to one file;
+    * big ones keep a parallel ranged write), and the REWRITE is
+    * layout-agnostic. Forced here by tiny AQE partition targets so the
+    * artifact is provably multi-file at test scale (the file-count
+    * gate is the non-vacuity proof), then a bucketed coarsening
+    * (`o_custkey % 7` — a deterministic function of the key) must
+    * plan-provably serve from the multi-file artifact. Reference
+    * analogue: the reference never funnels through one writer either —
+    * chunked datasets, `metadata_strategy_image.py:317-322`. */
+  def q271SummaryMultifile(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q271")
+      .toString + "/orders_by_cust_ranged"
+    // tiny AQE targets: the high-cardinality artifact must split
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2048")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "1024")
+    try SummaryRewrite.buildSummary(s, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"), mvPath = mv,
+      minMaxCols = Seq("o_totalprice"))
+    finally {
+      s.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      s.conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    }
+    val nFiles = new java.io.File(mv).listFiles()
+      .count(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    require(nFiles > 1,
+      s"q271 gate is vacuous: expected a multi-file artifact, got $nFiles " +
+        "file(s) — the single-writer funnel is back")
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q271_orders_by_cust",
+      SummaryRewrite.Summary("orders.parquet", mv, Set("o_custkey")))
+    try {
+      val q = load(s, dir, "orders")
+        .groupBy(expr("o_custkey % 7").as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_orderkey").as("sum_okey"),
+          min($"o_totalprice").as("min_price"),
+          max($"o_totalprice").as("max_price"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("orders_by_cust_ranged"),
+        "q271 gate is vacuous: the multi-file summary did not serve")
+      require(!phys.contains("orders.parquet"),
+        "q271 gate broken: the fact table is still scanned")
+      // bounded: 7 buckets
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q271_orders_by_cust")
+  }
+
+  // --------------------------------------------------------------- q272
+
+  /** q272 — MULTIPLE distinct aggregates served by the summary:
+    * `count(distinct source), count(distinct lang), count(distinct
+    * source, lang)` in ONE aggregate. The optimizer's
+    * RewriteDistinctAggregates expands this into a double aggregation
+    * over an Expand (one projection per distinct group) BEFORE the
+    * serving rule runs — and the inner distinct-collecting aggregate
+    * is exactly the rule's Expand shape with every position a KEY or
+    * the gid literal, so the Expand's fact child becomes the summary
+    * scan: each distinct group's tuple set over summary rows equals
+    * the fact's (the summary carries every key combination present),
+    * and the multiplication that at 100 TB runs groups × corpus runs
+    * groups × kilobytes. A distinct over a NON-key column refuses by
+    * the same key-coverage guard (the spec law). */
+  def q272SummaryMultiDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q272")
+      .toString + "/docs_by_source_lang"
+    SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q272_docs_by_source_lang",
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    try {
+      val q = load(s, dir, "documents")
+        .agg(countDistinct($"source").as("n_sources"),
+          countDistinct($"lang").as("n_langs"),
+          countDistinct($"source", $"lang").as("n_pairs"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("docs_by_source_lang"),
+        "q272 gate is vacuous: the multi-distinct rewrite did not fire")
+      require(!phys.contains("documents.parquet"),
+        "q272 gate broken: the fact table is still scanned")
+      require(phys.contains("Expand"),
+        "q272 gate broken: no Expand — not the multi-distinct shape " +
+          "(RewriteDistinctAggregates did not run?)")
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q272_docs_by_source_lang")
   }
 
   // ------------------------------------------------- file-stats manifest
@@ -1712,6 +1875,31 @@ object IndexOps {
         |  (SELECT * FROM customer WHERE c_nationkey < 5) c
         |  ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+    // q270: plain per-source rollup SQL — the catalog epochs are
+    // invisible to the answer; only the plan gates see them
+    "q270_summary_fresh" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // q271: the bucketed coarsening straight off the fact — the
+    // multi-file ranged artifact serving it is invisible
+    "q271_summary_multifile" ->
+      """SELECT o_custkey % 7 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    // q272: the three distincts off the fact (DuckDB has no multi-arg
+    // count(DISTINCT a, b) — the pair set is counted via a subquery);
+    // the summary serving the Expand is invisible to the answer
+    "q272_summary_multidistinct" ->
+      """SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST((SELECT count(*) FROM
+        |    (SELECT DISTINCT source, lang FROM documents)) AS BIGINT)
+        |    AS n_pairs
+        |FROM documents""".stripMargin,
     // q263: the plain rollup + rank window — both extensions invisible
     "q263_summary_topk" ->
       """WITH b AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs

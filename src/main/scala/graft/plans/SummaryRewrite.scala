@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, LongType}
 
 /** Marker contract for DSv2 `Scan` implementations that NEVER consume
   * pushed filters or aggregates — `pushedFilters()` is empty and every
@@ -60,7 +60,12 @@ trait ResidualOnlyScan
   * coarser group equals the summary rows' set — `count(distinct k)`
   * re-runs verbatim over summary rows, fact-scan-free. The q13 shape
   * (distinct targets per spatial cell — reference
-  * `metadata_strategy_cube_ml.py:537-545`) rides this.
+  * `metadata_strategy_cube_ml.py:537-545`) rides this. MULTIPLE
+  * distinct aggregates in one query serve through the Expand path:
+  * RewriteDistinctAggregates expands them into a double aggregation
+  * whose inner distinct-collecting aggregate is exactly the
+  * Aggregate-over-Expand shape below, with every position a key or
+  * the gid literal (q272).
   *
   * STAR JOINS are served too: `Aggregate(g, a, fact ⋈ dim)` rewrites
   * to `Aggregate(g, a', summary ⋈ dim)` when the equi-join runs
@@ -94,8 +99,10 @@ trait ResidualOnlyScan
   *
   * Soundness guardrails (each refuses the rewrite, never corrupts it):
   * the child must be the registered fact relation (path-BOUNDARY
-  * match, so `documents.parquet` cannot claim `raw_documents.parquet`)
-  * under at most column-pruning Projects and deterministic,
+  * match, so `documents.parquet` cannot claim `raw_documents.parquet`;
+  * or exact TABLE-name match for catalog reads — see
+  * [[SummaryRewrite.Summary]]) under at most column-pruning Projects
+  * and deterministic,
   * subquery-free Filters whose references are all summary keys; every
   * grouping expression must be deterministic, aggregate-free, and
   * reference only the chosen summary's keys (bare key attributes are
@@ -103,7 +110,11 @@ trait ResidualOnlyScan
   * SUM(attr), MIN(attr), MAX(attr), AVG(attr), or COUNT(DISTINCT
   * key attrs) — AVG derived as Σsum_attr / Σcnt over a Long partial —
   * with the matching `cnt`/`sum_<attr>`/`min_<attr>`/`max_<attr>`
-  * column present in the summary schema; measure children must be
+  * column present in the summary schema; SUM over a FLOATING-POINT
+  * partial refuses (re-associated float adds can differ from the fact
+  * scan in the last ulp — exactness is the contract; integral
+  * partials are exact under any association, and float MIN/MAX are
+  * order-insensitive and serve); measure children must be
   * FACT-side attributes (a dim column whose NAME collides with a
   * summarized fact measure refuses rather than silently serving the
   * fact partial); and every rewritten output expression must have
@@ -126,11 +137,34 @@ object SummaryRewrite {
     * directory listing, zero Spark jobs), so a summary maintained by a
     * streaming job — or rebuilt in a different session — is picked up
     * without re-registration, and readers never see a half-written
-    * version (the store's FS-rename commit discipline). */
+    * version (the store's FS-rename commit discipline).
+    *
+    * `table` (when set) identifies the fact by CATALOG TABLE name
+    * instead of (or besides) a path: real deployments name tables, and
+    * a fact read as `spark.table("orders")` — a V1 catalog table or a
+    * DSv2 relation with no `path` option — carries no root path the
+    * suffix match could see. The match is case-insensitive (Spark's
+    * resolution default) against the scan's table name and its
+    * qualified `catalog.db.table` string, so `"orders"` and
+    * `"spark_catalog.default.orders"` both bind; a scan of a DIFFERENT
+    * table can never match (exact-name equality, no suffixing). An
+    * empty `factPathSuffix` disables the path match entirely. */
   final case class Summary(factPathSuffix: String, mvPath: String,
-      keys: Set[String], store: Option[String] = None)
+      keys: Set[String], store: Option[String] = None,
+      table: Option[String] = None)
 
   private val registry = new ConcurrentHashMap[String, Summary]()
+
+  /** The catalog a long-lived consumer is BOUND to: directory, the
+    * version its registrations were loaded from, and the entry names
+    * that load owns (so a later version that DROPS an entry
+    * deregisters it — a published deregistration must stop serving).
+    * One bound catalog per process (latest [[loadCatalog]] wins);
+    * [[clear]] unbinds. */
+  private final case class BoundCatalog(dir: String, version: Long,
+      names: Set[String])
+  @volatile private var bound: Option[BoundCatalog] = None
+  private val boundLock = new Object
 
   /** Trace sink for [[explainServing]] — null (disabled) outside an
     * explain call, so the rule's hot path pays one thread-local read. */
@@ -178,7 +212,10 @@ object SummaryRewrite {
 
   def deregister(name: String): Unit = registry.remove(name)
 
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = {
+    registry.clear()
+    bound = None
+  }
 
   // ------------------------------------------------------------ catalog
 
@@ -203,21 +240,27 @@ object SummaryRewrite {
     * fact scan answers, nothing throws. */
   def publishCatalog(spark: SparkSession, catalogDir: String,
       entries: Map[String, Summary]): Long = {
-    // the reader splits entries on braces (a flat writer format, not a
-    // general JSON parser) — refuse garbage at WRITE time, loudly
+    // the reader splits entries on braces and key arrays on brackets
+    // (a flat writer format, not a general JSON parser) — refuse
+    // garbage at WRITE time, loudly. Commas/quotes/backslashes in key
+    // names ARE representable: keys are written escaped and read back
+    // by a quote-respecting tokenizer (the hostile-key roundtrip law).
     entries.foreach { case (n, s) =>
       val fields = Seq(n, s.factPathSuffix, s.mvPath,
-        s.store.getOrElse("")) ++ s.keys
-      require(fields.forall(f => !f.contains('{') && !f.contains('}')),
-        s"publishCatalog: entry '$n' contains a brace — not " +
+        s.store.getOrElse(""), s.table.getOrElse("")) ++ s.keys
+      require(fields.forall(f => !f.exists("{}[]".contains(_))),
+        s"publishCatalog: entry '$n' contains a brace or bracket — not " +
           "representable in the catalog's flat format")
     }
     val json = entries.toSeq.sortBy(_._1).map { case (n, s) =>
       val store = s.store
         .map(st => s""","store":${jstr(st)}""").getOrElse("")
+      val table = s.table
+        .map(t => s""","table":${jstr(t)}""").getOrElse("")
       s"""{"name":${jstr(n)},"factPathSuffix":${jstr(s.factPathSuffix)},""" +
         s""""mvPath":${jstr(s.mvPath)},""" +
-        s""""keys":[${s.keys.toSeq.sorted.map(jstr).mkString(",")}]$store}"""
+        s""""keys":[${s.keys.toSeq.sorted.map(jstr).mkString(",")}]""" +
+        s"""$store$table}"""
     }.mkString("[", ",\n ", "]")
     val dir = new org.apache.hadoop.fs.Path(catalogDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -249,11 +292,31 @@ object SummaryRewrite {
   /** Load the newest committed catalog version into the registry and
     * returns the number of entries registered (0 when the catalog has
     * no committed version yet — a fresh consumer before the first
-    * publish simply serves from fact scans). */
+    * publish simply serves from fact scans). The session is also BOUND
+    * to the catalog: every later optimization pass re-resolves the
+    * newest committed version (one driver-side listing, the same cost
+    * class as the store-backed `resolveMvPath` listing), so a
+    * long-lived dashboard JVM picks up a `cat=N+1` published AFTER it
+    * installed — new summaries serve, dropped entries STOP serving —
+    * with no restart and no re-install. Reference analogue: HiSS-Cube
+    * readers always see the current H5 state
+    * (`metadata_strategy_cube_visualization.py:57-72` reads by path at
+    * query time, no cached registry). */
   def loadCatalog(spark: SparkSession, catalogDir: String): Int = {
     val live = catalogVersions(spark, catalogDir)
     if (live.isEmpty) return 0
-    val p = new org.apache.hadoop.fs.Path(s"$catalogDir/cat=${live.max}.json")
+    val entries = readCatalogVersion(spark, catalogDir, live.max)
+    boundLock.synchronized {
+      entries.foreach { case (n, s) => register(n, s) }
+      bound = Some(BoundCatalog(catalogDir, live.max,
+        entries.map(_._1).toSet))
+    }
+    entries.size
+  }
+
+  private def readCatalogVersion(spark: SparkSession, catalogDir: String,
+      version: Long): Seq[(String, Summary)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$catalogDir/cat=$version.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     val raw = try {
@@ -263,9 +326,38 @@ object SummaryRewrite {
         .foreach(n => buf.write(chunk, 0, n))
       new String(buf.toByteArray, "UTF-8")
     } finally in.close()
-    val entries = parseCatalog(raw)
-    entries.foreach { case (n, s) => register(n, s) }
-    entries.size
+    parseCatalog(raw)
+  }
+
+  /** Re-resolve the bound catalog's newest committed version; when a
+    * newer `cat=N` exists, swap the previous load's registrations for
+    * the new entry set (names the new version dropped DEREGISTER —
+    * a published deregistration stops serving; registrations made
+    * programmatically outside the catalog are untouched). Called by
+    * the rule per optimization pass — a no-op single volatile read
+    * when no catalog is bound, one directory listing when one is.
+    * Any listing/read failure leaves the current registrations as
+    * they are (serving from the last good catalog beats throwing
+    * inside the optimizer). */
+  private[plans] def refreshBoundCatalog(spark: SparkSession): Unit = {
+    val b = bound.getOrElse(return)
+    val newest = Try(catalogVersions(spark, b.dir))
+      .toOption.flatMap(_.sorted.lastOption).getOrElse(return)
+    if (newest <= b.version) return
+    boundLock.synchronized {
+      // re-check under the lock: another query thread may have won
+      bound.filter(cur => cur.dir == b.dir && newest > cur.version)
+        .foreach { cur =>
+          Try(readCatalogVersion(spark, b.dir, newest)).foreach { entries =>
+            val names = entries.map(_._1).toSet
+            (cur.names -- names).foreach(deregister)
+            entries.foreach { case (n, s) => register(n, s) }
+            bound = Some(BoundCatalog(b.dir, newest, names))
+            note(s"catalog refreshed to cat=$newest " +
+              s"(${entries.size} entries)")
+          }
+        }
+    }
   }
 
   /** Consumer-side one-call install: load the newest catalog AND add
@@ -294,20 +386,28 @@ object SummaryRewrite {
       case c => c.toString
     } + "\""
 
+  /** One escaped-JSON-string unescape — shared by every reader of the
+    * catalog's writer format ([[jstr]] is the only producer). */
+  private def junstr(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
   /** Minimal JSON reader for the catalog's own writer format (json4s
     * ships with Spark but a 12-field flat schema does not need an AST;
-    * the parser rejects anything the writer cannot have produced). */
+    * the parser rejects anything the writer cannot have produced).
+    * Key names are tokenized as QUOTED STRINGS, not split on commas —
+    * a key named `a,b`, `a"b`, or `a\b` roundtrips exactly (the
+    * hostile-key law); braces/brackets are refused at write time. */
   private[plans] def parseCatalog(raw: String): Seq[(String, Summary)] = {
     val obj = """\{[^{}]*\}""".r
+    val quoted = """"((?:[^"\\]|\\.)*)"""".r
     obj.findAllIn(raw).toSeq.map { o =>
       def field(k: String): Option[String] = {
         val m = ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-        m.findFirstMatchIn(o).map(_.group(1))
-          .map(_.replace("\\\"", "\"").replace("\\\\", "\\"))
+        m.findFirstMatchIn(o).map(_.group(1)).map(junstr)
       }
       val keysArr = """"keys"\s*:\s*\[([^\]]*)\]""".r
       val keys = keysArr.findFirstMatchIn(o).map(_.group(1)).getOrElse("")
-        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      val keySet = quoted.findAllMatchIn(keys).map(m => junstr(m.group(1)))
         .filter(_.nonEmpty).toSet
       val name = field("name").getOrElse(
         throw new IllegalArgumentException(s"catalog entry missing name: $o"))
@@ -315,7 +415,8 @@ object SummaryRewrite {
         field("factPathSuffix").getOrElse(
           throw new IllegalArgumentException(
             s"catalog entry missing factPathSuffix: $o")),
-        field("mvPath").getOrElse(""), keys, field("store"))
+        field("mvPath").getOrElse(""), keySet, field("store"),
+        field("table"))
     }
   }
 
@@ -335,12 +436,36 @@ object SummaryRewrite {
     fact.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Size-aware artifact LAYOUT — the scale path of every summary
+    * write. Dashboard-shape summaries (source×lang, calendar days) are
+    * kilobytes and belong in ONE file; a HIGH-CARDINALITY summary (per
+    * user, per order key) of a 100 TB fact is fact-key-cardinality
+    * rows and must never funnel through one task and one unsplittable
+    * write. A driver-side count to pick between the two would compute
+    * the aggregate twice, so the layout is decided where Spark already
+    * decides it: `repartitionByRange(keys)` WITHOUT an explicit
+    * partition count, which AQE sizes at runtime from the actual
+    * shuffle bytes — a kilobyte summary coalesces to one partition
+    * (one file), a multi-GB one keeps a parallel ranged write whose
+    * key-clustered files give the serving scan per-file min/max
+    * pruning under key filters. The rewrite itself is layout-agnostic
+    * (`spark.read.parquet` over 1 or N files — the multi-file law);
+    * the range sample re-reads only the aggregate's reduce side (the
+    * fact-scan map stage is reused across jobs). Reference analogue:
+    * the reference never funnels through one writer either — chunked
+    * datasets, `metadata_strategy_image.py:317-322`. */
+  private def layout(df: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (keys.isEmpty) df.coalesce(1)
+    else df.repartitionByRange(keys.map(col): _*)
+  }
+
   /** Build + persist a summary artifact at a fixed path. */
   def buildSummary(spark: SparkSession, factPath: String,
       keys: Seq[String], sumCols: Seq[String], mvPath: String,
       minMaxCols: Seq[String] = Seq.empty): Unit =
-    summaryFrame(spark.read.parquet(factPath), keys, sumCols, minMaxCols)
-      .coalesce(1)
+    layout(summaryFrame(spark.read.parquet(factPath), keys, sumCols,
+        minMaxCols), keys)
       .write.mode("overwrite").parquet(mvPath)
 
   /** Build + commit a summary into a snapshot store via the FS-rename
@@ -352,8 +477,8 @@ object SummaryRewrite {
       keys: Seq[String], sumCols: Seq[String], store: String,
       minMaxCols: Seq[String] = Seq.empty): Long =
     graft.operators.IndexOps.writeSnapshot(
-      summaryFrame(spark.read.parquet(factPath), keys, sumCols, minMaxCols)
-        .coalesce(1),
+      layout(summaryFrame(spark.read.parquet(factPath), keys, sumCols,
+        minMaxCols), keys),
       store)
 
   /** Derive a COARSER summary from a finer one — the lattice build
@@ -423,8 +548,14 @@ object SummaryRewrite {
     val folded = latest.unionByName(delta)
       .groupBy(keys.map(col): _*)
       .agg(foldAggs.head, foldAggs.tail: _*)
-    graft.operators.IndexOps.writeSnapshot(folded.coalesce(1), store)
+    graft.operators.IndexOps.writeSnapshot(layout(folded, keys), store)
   }
+
+  /** Persist a derived summary frame ([[rollupSummary]]'s output, or
+    * any frame honoring the naming contract) under the same size-aware
+    * layout the builders use. */
+  def writeSummary(df: DataFrame, keys: Seq[String], mvPath: String): Unit =
+    layout(df, keys).write.mode("overwrite").parquet(mvPath)
 
   /** Freshness/integrity AUDIT of a registered summary: recompute the
     * partials from the fact and diff against the artifact, returning
@@ -483,19 +614,7 @@ object SummaryRewrite {
       factRoot: String): Seq[(String, Long, Long, String)] = {
     val live = catalogVersions(spark, catalogDir)
     if (live.isEmpty) return Seq.empty
-    val loaded = {
-      val p = new org.apache.hadoop.fs.Path(
-        s"$catalogDir/cat=${live.max}.json")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
-          .foreach(n => buf.write(chunk, 0, n))
-        parseCatalog(new String(buf.toByteArray, "UTF-8"))
-      } finally in.close()
-    }
+    val loaded = readCatalogVersion(spark, catalogDir, live.max)
     loaded.sortBy(_._1).map { case (name, summary) =>
       val factPath = s"$factRoot/${summary.factPathSuffix}"
       val attempt = Try {
@@ -542,9 +661,11 @@ object SummaryRewrite {
       * post-pushdown `DataSourceV2ScanRelation` whose scan carries the
       * [[ResidualOnlyScan]] contract (a scan that may CONSUME pushed
       * filters must refuse — the rewrite would silently drop the
-      * predicate) — the fact identity is its path(s) either way. */
-    private case class Shape(paths: Seq[String], pred: Option[Expression],
-        subst: Map[ExprId, Expression])
+      * predicate) — the fact identity is its path(s), and for catalog
+      * reads (`spark.table`) its TABLE name(s): the bare name and the
+      * qualified string, both lowercased for the match. */
+    private case class Shape(paths: Seq[String], tables: Seq[String],
+        pred: Option[Expression], subst: Map[ExprId, Expression])
 
     /** Replace references to hoisted Project aliases with their
       * defining expressions (values are pre-inlined: one pass). */
@@ -568,20 +689,40 @@ object SummaryRewrite {
       Option(rel.options.get("path")).toSeq ++
         Option(rel.options.get("paths")).toSeq.flatMap(parseCatalogPaths)
 
+    /** Table-identity strings of a catalog-read relation: the bare
+      * table name and the fully-qualified `catalog.db.table` string,
+      * lowercased (Spark resolves identifiers case-insensitively by
+      * default — a summary registered for `Orders` must bind the scan
+      * of `orders`). */
+    private def v1Tables(rel: LogicalRelation): Seq[String] =
+      rel.catalogTable.toSeq.flatMap(ct =>
+        Seq(ct.identifier.table, ct.identifier.unquotedString))
+        .map(_.toLowerCase(java.util.Locale.ROOT))
+
+    private def v2Tables(rel: DataSourceV2Relation): Seq[String] =
+      rel.identifier.toSeq.flatMap(id =>
+        Seq(id.name, (id.namespace :+ id.name).mkString(".")))
+        .map(_.toLowerCase(java.util.Locale.ROOT))
+
     private def decompose(plan: LogicalPlan): Option[Shape] = plan match {
       case rel: LogicalRelation =>
         rel.relation match {
           case fs: HadoopFsRelation =>
-            Some(Shape(fs.location.rootPaths.map(_.toString), None, Map.empty))
+            Some(Shape(fs.location.rootPaths.map(_.toString),
+              v1Tables(rel), None, Map.empty))
           case _ => None
         }
       case rel: DataSourceV2Relation =>
         val paths = v2Paths(rel)
-        if (paths.isEmpty) None else Some(Shape(paths, None, Map.empty))
+        val tables = v2Tables(rel)
+        if (paths.isEmpty && tables.isEmpty) None
+        else Some(Shape(paths, tables, None, Map.empty))
       case sr: DataSourceV2ScanRelation
           if sr.scan.isInstanceOf[ResidualOnlyScan] =>
         val paths = v2Paths(sr.relation)
-        if (paths.isEmpty) None else Some(Shape(paths, None, Map.empty))
+        val tables = v2Tables(sr.relation)
+        if (paths.isEmpty && tables.isEmpty) None
+        else Some(Shape(paths, tables, None, Map.empty))
       case Project(projectList, child)
           if projectList.forall(safeProjectEntry) =>
         decompose(child).map { sh =>
@@ -609,15 +750,22 @@ object SummaryRewrite {
       * needed columns, smallest first (fewest keys, then registration
       * name — deterministic under any registration order). Path match
       * is boundary-anchored: `documents.parquet` matches
-      * `.../documents.parquet` but never `.../raw_documents.parquet`. */
-    private def candidates(paths: Seq[String],
+      * `.../documents.parquet` but never `.../raw_documents.parquet`.
+      * Table match is exact-name equality (bare or qualified,
+      * case-insensitive) — a table-registered summary can never claim
+      * a scan of a DIFFERENT table, and an empty factPathSuffix
+      * disables the path match entirely. */
+    private def candidates(shape: Shape,
         needed: Set[String]): Seq[(String, Summary)] = {
       import scala.jdk.CollectionConverters._
       val all = registry.entrySet().asScala.toSeq
         .map(e => (e.getKey, e.getValue))
       val matching = all.filter { case (_, s) =>
-        paths.exists(p =>
-          p == s.factPathSuffix || p.endsWith("/" + s.factPathSuffix))
+        (s.factPathSuffix.nonEmpty && shape.paths.exists(p =>
+          p == s.factPathSuffix ||
+            p.endsWith("/" + s.factPathSuffix))) ||
+        s.table.exists(t =>
+          shape.tables.contains(t.toLowerCase(java.util.Locale.ROOT)))
       }
       val covering = matching.filter { case (_, s) =>
         needed.subsetOf(s.keys)
@@ -627,8 +775,8 @@ object SummaryRewrite {
           s"do not cover needed columns ${needed.toSeq.sorted.mkString(",")}")
       }
       if (matching.isEmpty && all.nonEmpty)
-        note(s"no registered summary matches fact path(s) " +
-          paths.mkString(", "))
+        note(s"no registered summary matches fact path(s)/table(s) " +
+          (shape.paths ++ shape.tables).mkString(", "))
       covering.sortBy { case (name, s) => (s.keys.size, name) }
     }
 
@@ -682,7 +830,12 @@ object SummaryRewrite {
         !ge.exists(_.isInstanceOf[AggregateExpression]) &&
         !ge.exists(_.isInstanceOf[PlanExpression[_]])
 
-    override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      // bound-catalog freshness: a long-lived consumer re-resolves the
+      // newest committed cat=N per optimization pass (no-op volatile
+      // read when nothing is bound; one driver-side listing when bound)
+      refreshBoundCatalog(spark)
+      plan transform {
       case agg @ Aggregate(groupExprs0, aggExprs0, child, hint) =>
         val direct = for {
           shape <- decompose(child)
@@ -693,7 +846,7 @@ object SummaryRewrite {
           if groupExprs.forall(carriableGrouping)
           needed = (groupExprs.flatMap(_.references.toSeq.map(_.name)) ++
             shape.pred.toSeq.flatMap(_.references.toSeq.map(_.name))).toSet
-          result <- candidates(shape.paths, needed).view
+          result <- candidates(shape, needed).view
             .flatMap { case (n, s) => tryRewrite(n, s, groupExprs,
               aggExprs, shape.pred, hint) }
             .headOption
@@ -715,6 +868,7 @@ object SummaryRewrite {
             }
           }
           .getOrElse(agg)
+      }
     }
 
     /** NATIVE ROLLUP / CUBE / GROUPING SETS rewrite — `Aggregate(keys +
@@ -806,7 +960,7 @@ object SummaryRewrite {
         (keyPos.flatMap(_._2.references.toSeq.map(_.name)) ++
           shape.pred.toSeq.flatMap(_.references.toSeq.map(_.name))).toSet
 
-      candidates(shape.paths, needed).view.flatMap { case (n, summary) =>
+      candidates(shape, needed).view.flatMap { case (n, summary) =>
         val r = for {
           path <- resolveMvPath(summary)
           mvPlan <- mvPlanFor(path, summary.store.isDefined)
@@ -892,7 +1046,10 @@ object SummaryRewrite {
               partialAttr("cnt").map(p =>
                 Coalesce(Seq(agg(Sum(p)), Literal(0L))))
             case s: Sum => s.child match {
+              // float partials refuse — see rewriteAgg's Sum case
               case a: AttributeReference => baseName(a)
+                .filter(b => mvAttrs.get(s"sum_$b")
+                  .exists(at => !fpType(at.dataType)))
                 .flatMap(b => partialAttr(s"sum_$b")).map(p => agg(Sum(p)))
               case _ => None
             }
@@ -1037,7 +1194,7 @@ object SummaryRewrite {
                 .filter(factOut.contains).map(_.name)) ++
               pairs.map(_.name) ++
               shape.pred.toSeq.flatMap(_.references.toSeq.map(_.name))).toSet
-            result <- candidates(shape.paths, needed).view.flatMap {
+            result <- candidates(shape, needed).view.flatMap {
               case (n, s) =>
                 val r = tryJoinCandidate(s, groupExprs, aggExprs,
                   shape.pred, factOut, dimOut, dimSide, cond, joinType,
@@ -1145,6 +1302,12 @@ object SummaryRewrite {
     private def sequence[T](xs: Seq[Option[T]]): Option[Seq[T]] =
       if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 
+    /** Floating-point partials refuse SUM derivation (see the Sum case
+      * in [[rewriteAgg]]): re-associated float adds are not the fact
+      * scan's bits. */
+    private def fpType(t: DataType): Boolean =
+      t == DoubleType || t == FloatType
+
     /** Rewrite one output expression of the aggregate, preserving its
       * name and exprId so the subtree drops into the parent plan.
       * Matching goes through the AggregateExpression's function field
@@ -1219,9 +1382,18 @@ object SummaryRewrite {
             Some(Alias(
               Coalesce(Seq(agg(Sum(mv("cnt"))), Literal(0L))),
               name)(exprId = e.exprId))
+          // SUM over a FLOATING-POINT measure refuses: Σsum_x
+          // re-associates the adds, and float addition is not
+          // associative — the served value could differ from the fact
+          // scan in the last ulp, and "exactly the fact answer" is the
+          // rewrite's whole contract (integral partials are exact under
+          // any association; decimal widening already refuses via the
+          // type-preservation guard). Build a Long-measure summary, or
+          // query the fact.
           case s: Sum => s.child match {
             case a: AttributeReference
-                if !dimOut.contains(a) && mv.contains(s"sum_${a.name}") =>
+                if !dimOut.contains(a) && mv.contains(s"sum_${a.name}") &&
+                  !fpType(mv(s"sum_${a.name}").dataType) =>
               Some(Alias(agg(Sum(mv(s"sum_${a.name}"))),
                 name)(exprId = e.exprId))
             case _ => None
@@ -1281,11 +1453,21 @@ object SummaryRewrite {
     }
   }
 
+  /** Add the rule to the session — a no-op when it is already there,
+    * whether via a previous `install` (extraOptimizations) or via
+    * config-driven [[GraftExtensions]] (injected into the optimizer's
+    * operator-optimization batch): a session built with the extension
+    * that also calls `install` must not run the rule twice per
+    * optimization pass. Idempotent either way (the rewritten plan no
+    * longer matches any registration) — this is purely the wasted
+    * planning pass. */
   def install(spark: SparkSession): Unit = {
-    val rule = SummaryRewriteRule(spark)
-    if (!spark.experimental.extraOptimizations.exists(
+    val injected = Try(spark.sessionState.optimizer
+      .extendedOperatorOptimizationRules
+      .exists(_.isInstanceOf[SummaryRewriteRule])).getOrElse(false)
+    if (!injected && !spark.experimental.extraOptimizations.exists(
         _.isInstanceOf[SummaryRewriteRule]))
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ rule
+        spark.experimental.extraOptimizations :+ SummaryRewriteRule(spark)
   }
 }

@@ -61,6 +61,21 @@ class ExtensionsSpec extends AnyFunSuite {
         SummaryRewrite.Summary("documents.parquet", mv,
           Set("source", "lang")))
       assert(q.collect().map(_.toSeq).toSet === expect)
+
+      // install() on an extension-built session is a NO-OP: the rule is
+      // already injected into the optimizer's operator-optimization
+      // batch, and adding it to extraOptimizations too would run it
+      // twice per optimization pass (a wasted planning pass per query)
+      assert(spark.sessionState.optimizer.extendedOperatorOptimizationRules
+        .exists(_.isInstanceOf[SummaryRewrite.SummaryRewriteRule]),
+        "precondition: the extension did not inject the rule")
+      SummaryRewrite.install(spark)
+      assert(!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[SummaryRewrite.SummaryRewriteRule]),
+        "install() must not double-register the injected rule")
+      // and the rewrite still fires through the injected instance alone
+      val p2 = q.queryExecution.executedPlan.toString
+      assert(p2.contains("extmv") && !p2.contains("documents.parquet"))
     } finally SummaryRewrite.deregister("ext_mv")
   }
 }

@@ -1246,4 +1246,224 @@ class SummaryRewriteSpec extends AnyFunSuite {
       assert(q.collect().map(_.toSeq).toSet === expect)
     } finally SummaryRewrite.deregister("spec_store")
   }
+
+  test("catalog JSON roundtrips HOSTILE key names (commas, quotes, " +
+      "backslashes) and the table field exactly") {
+    val entries = Map(
+      "hostile" -> SummaryRewrite.Summary("t.parquet", "/tmp/m",
+        Set("a,b", "a\"b", "a\\b", "plain")),
+      "tabled" -> SummaryRewrite.Summary("", "/tmp/m2", Set("k"),
+        table = Some("my_catalog.db.orders")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/hostilecat"
+    SummaryRewrite.publishCatalog(spark, tmp, entries)
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/cat=1.json")), "UTF-8")
+    val parsed = SummaryRewrite.parseCatalog(raw).toMap
+    assert(parsed === entries,
+      "a key named a,b / a\"b / a\\b must parse back as ONE key — " +
+        "comma-splitting or unapplied unescaping corrupts registrations")
+    // braces/brackets stay unrepresentable and refuse at WRITE time
+    val ex = intercept[IllegalArgumentException] {
+      SummaryRewrite.publishCatalog(spark, tmp, Map(
+        "bad" -> SummaryRewrite.Summary("t.parquet", "/tmp/m",
+          Set("a[b"))))
+    }
+    assert(ex.getMessage.contains("not representable"))
+  }
+
+  test("size-aware layout: dashboard-shape summaries land as ONE file; " +
+      "a high-cardinality summary is multi-file and still serves exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    def nFiles(p: String): Int = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    // kilobyte summary: AQE coalesces the ranged write to one file
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = s"$tmp/one_file")
+    assert(nFiles(s"$tmp/one_file") === 1,
+      "a kilobyte summary must not shatter into many tiny files")
+    // high-cardinality summary under tiny AQE targets: multi-file
+    val big = s"$tmp/ranged_by_cust"
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2048")
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1024")
+    try SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"), mvPath = big)
+    finally {
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.unset(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    }
+    assert(nFiles(big) > 1, "the high-cardinality artifact must split — " +
+      "a per-key summary of a 100 TB fact cannot build through one task")
+    // the rewrite is layout-agnostic: the multi-file artifact serves,
+    // plan-provably and exactly
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_ranged",
+      SummaryRewrite.Summary("orders.parquet", big, Set("o_custkey")))
+    try {
+      def q = graft.Tables.load(spark, dir, "orders")
+        .groupBy(expr("o_custkey % 10").as("b"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("so"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("ranged_by_cust") && !p.contains("orders.parquet"),
+        s"multi-file summary did not serve:\n$p")
+      SummaryRewrite.deregister("spec_ranged")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_ranged",
+        SummaryRewrite.Summary("orders.parquet", big, Set("o_custkey")))
+      assert(q.collect().map(_.toSeq).toSet === expect)
+    } finally SummaryRewrite.deregister("spec_ranged")
+  }
+
+  test("SUM over a floating-point measure refuses (re-associated float " +
+      "adds are not the fact's bits); min/max/count still serve") {
+    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/dblsum"
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq("o_totalprice"), mvPath = omv,
+      minMaxCols = Seq("o_totalprice"))
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_dblsum",
+      SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+    try {
+      def orders = graft.Tables.load(spark, dir, "orders")
+      // direct path: the double sum_ partial must refuse
+      val sumQ = orders.groupBy($"o_custkey")
+        .agg(sum($"o_totalprice").as("s"))
+      assert(sumQ.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "SUM over a Double measure must refuse — ulp reassociation")
+      // expand path: same refusal under ROLLUP
+      val rolled = orders.rollup($"o_custkey")
+        .agg(sum($"o_totalprice").as("s"))
+      assert(rolled.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "Expand-path SUM over a Double measure must refuse")
+      // the SAME artifact serves the order-insensitive derivations
+      def okQ = orders.groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n"), min($"o_totalprice").as("lo"),
+          max($"o_totalprice").as("hi"))
+      val p = okQ.queryExecution.executedPlan.toString
+      assert(p.contains("dblsum") && !p.contains("orders.parquet"),
+        s"min/max/count over the double measure should still serve:\n$p")
+      SummaryRewrite.deregister("spec_dblsum")
+      val expect = okQ.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_dblsum",
+        SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+      assert(okQ.collect().map(_.toSeq).toSet === expect)
+    } finally SummaryRewrite.deregister("spec_dblsum")
+  }
+
+  test("table-identity fact: a spark.table read serves from a summary " +
+      "registered by TABLE name; a different table refuses") {
+    SummaryRewrite.install(spark)
+    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/tblmv"
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = omv)
+    // two catalog tables over DIFFERENT data
+    spark.sql("DROP TABLE IF EXISTS spec_docs_tbl")
+    spark.sql("DROP TABLE IF EXISTS spec_orders_tbl")
+    spark.sql(s"CREATE TABLE spec_docs_tbl USING parquet " +
+      s"LOCATION '$dir/documents.parquet'")
+    spark.sql(s"CREATE TABLE spec_orders_tbl USING parquet " +
+      s"LOCATION '$dir/orders.parquet'")
+    // registered by table name ONLY — empty factPathSuffix disables the
+    // path match, so serving can only come from the identifier
+    SummaryRewrite.register("spec_tbl", SummaryRewrite.Summary(
+      "", omv, Set("source", "lang"), table = Some("SPEC_docs_tbl")))
+    try {
+      def q = spark.table("spec_docs_tbl").groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("sc"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("tblmv") && !p.contains("documents.parquet"),
+        s"table-identified fact did not serve (case-insensitive):\n$p")
+      SummaryRewrite.deregister("spec_tbl")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_tbl", SummaryRewrite.Summary(
+        "", omv, Set("source", "lang"), table = Some("SPEC_docs_tbl")))
+      assert(q.collect().map(_.toSeq).toSet === expect)
+      // a DIFFERENT table never matches a table registration — exact
+      // name equality, no suffixing (and the empty path suffix must not
+      // accidentally match either)
+      val other = spark.table("spec_orders_tbl")
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      assert(other.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "a different table must not be claimed by the registration")
+    } finally {
+      SummaryRewrite.deregister("spec_tbl")
+      spark.sql("DROP TABLE IF EXISTS spec_docs_tbl")
+      spark.sql("DROP TABLE IF EXISTS spec_orders_tbl")
+    }
+  }
+
+  test("bound-catalog freshness: a deregistration published in cat=N+1 " +
+      "stops serving without re-install") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val catDir = s"$tmp/freshcat"
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = s"$tmp/freshmv")
+    SummaryRewrite.publishCatalog(spark, catDir, Map(
+      "fresh_docs" -> SummaryRewrite.Summary("documents.parquet",
+        s"$tmp/freshmv", Set("source", "lang"))))
+    SummaryRewrite.clear()
+    assert(SummaryRewrite.install(spark, catDir) === 1)
+    try {
+      def q = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      assert(q.queryExecution.executedPlan.toString.contains("freshmv"),
+        "the cat=1 entry should serve")
+      // the producer publishes an EMPTY cat=2: every catalog-owned
+      // registration must stop serving on the consumer's next query
+      SummaryRewrite.publishCatalog(spark, catDir,
+        Map.empty[String, SummaryRewrite.Summary])
+      val p2 = q.queryExecution.executedPlan.toString
+      assert(!p2.contains("freshmv") && p2.contains("documents.parquet"),
+        s"a published deregistration must stop serving:\n$p2")
+    } finally SummaryRewrite.clear()
+  }
+
+  test("multiple distinct aggregates over keys serve through the " +
+      "RewriteDistinctAggregates Expand; a non-key distinct refuses") {
+    withSummary {
+      // three distinct groups -> Expand with three projections; all
+      // positions keys or the gid literal -> the inner distinct
+      // aggregate rewrites onto the summary
+      def q = docs.groupBy($"source")
+        .agg(countDistinct($"lang").as("nl"),
+          countDistinct($"lang", $"source").as("nls"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(usesMv(q), s"multi-distinct over keys did not serve:\n$p")
+      assert(p.contains("Expand"), "not the multi-distinct Expand shape")
+      SummaryRewrite.deregister("spec_mv")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_mv",
+        SummaryRewrite.Summary("documents.parquet", mv,
+          Set("source", "lang")))
+      assert(q.collect().map(_.toSeq).toSet === expect)
+      // global variant (the q272 shape)
+      def g = docs.agg(countDistinct($"source").as("ns"),
+        countDistinct($"lang").as("nl"),
+        countDistinct($"source", $"lang").as("np"))
+      assert(usesMv(g), "global multi-distinct did not serve")
+      SummaryRewrite.deregister("spec_mv")
+      val expectG = g.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_mv",
+        SummaryRewrite.Summary("documents.parquet", mv,
+          Set("source", "lang")))
+      assert(g.collect().map(_.toSeq).toSet === expectG)
+      // one non-key distinct group poisons nothing — it refuses
+      val bad = docs.groupBy($"source")
+        .agg(countDistinct($"lang").as("nl"),
+          countDistinct($"doc_id").as("nd"))
+      assert(!usesMv(bad),
+        "a non-key distinct column must refuse the whole rewrite")
+    }
+  }
 }
