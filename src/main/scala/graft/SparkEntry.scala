@@ -670,6 +670,13 @@ object SparkEntry {
     // multiple distinct aggregates in one query served through the
     // RewriteDistinctAggregates Expand shape; plan-required
     "q272_summary_multidistinct" -> (IndexOps.q272SummaryMultiDistinct _),
+    // NULL-safe avg/count(col) from the cnt_<col> non-null-count
+    // partial, gated on a fact with planted NULLs (values, not plans,
+    // are what catch a Σcnt-derived average)
+    "q273_summary_nullsafe" -> (IndexOps.q273SummaryNullsafe _),
+    // mixed regular + multi-distinct aggregate served through
+    // null-masked partial pass-throughs; plan-required
+    "q274_summary_mixed_distinct" -> (IndexOps.q274SummaryMixedDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

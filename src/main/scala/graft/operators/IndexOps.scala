@@ -1296,6 +1296,103 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q272_docs_by_source_lang")
   }
 
+  // --------------------------------------------------------------- q273
+
+  /** q273 — NULL-safe AVG/COUNT(col) serving: `avg(x)` and `count(x)`
+    * skip NULLs, so deriving avg as Σsum_x / Σcnt (the ROW count) is
+    * silently WRONG the moment the measure column has a NULL — a
+    * latent corruption class no plan gate can see, only values. The
+    * summary therefore carries `cnt_<col>` (the per-key NON-NULL
+    * count) beside `sum_<col>`, avg derives as Σsum_x / Σcnt_x and
+    * count(x) as Σcnt_x — exact for any data. Gated on a fact with
+    * planted NULLs (every doc_id % 5), with an in-query non-vacuity
+    * proof that the nulls actually bite (some group has n_docs ≠
+    * n_vals — exactly where the old derivation would have corrupted).
+    * An artifact WITHOUT cnt_<col> refuses avg/count(col) rather than
+    * guessing (the spec law). */
+  def q273SummaryNullsafe(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q273").toString
+    val factPath = s"$tmp/nulled_docs.parquet"
+    val mv = s"$tmp/mv_nullsafe"
+    load(s, dir, "documents")
+      .select($"doc_id", $"source", $"lang",
+        when($"doc_id" % 5 === 0, lit(null)).otherwise($"n_chars")
+          .as("n_chars"))
+      .write.parquet(factPath)
+    SummaryRewrite.buildSummary(s, factPath,
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q273_nulled_docs",
+      SummaryRewrite.Summary("nulled_docs.parquet", mv,
+        Set("source", "lang")))
+    try {
+      val q = s.read.parquet(factPath)
+        .groupBy($"source")
+        .agg(avg($"n_chars").as("avg_chars"),
+          count($"n_chars").as("n_vals"),
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("mv_nullsafe"),
+        "q273 gate is vacuous: the null-safe rewrite did not fire")
+      require(!phys.contains("nulled_docs.parquet"),
+        "q273 gate broken: the fact table is still scanned")
+      // bounded: one row per source
+      val rows = q.collect().toIndexedSeq
+      val (iVals, iDocs) = (q.schema.fieldIndex("n_vals"),
+        q.schema.fieldIndex("n_docs"))
+      require(rows.exists(r => r.getLong(iVals) != r.getLong(iDocs)),
+        "q273 gate is vacuous: no group has NULL measures — the " +
+          "Σcnt-vs-Σcnt_x distinction is not exercised")
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q273_nulled_docs")
+  }
+
+  // --------------------------------------------------------------- q274
+
+  /** q274 — MIXED regular + multi-distinct serving: `count(distinct
+    * lang), count(distinct lang, source), count(*), sum(x), avg(x)`
+    * in ONE aggregate. RewriteDistinctAggregates expands this with
+    * the regular measures alive only in the gid-0 projection and
+    * NULL in the distinct-group projections — so the rewrite's
+    * partial pass-throughs carry each measure position's null MASK
+    * (summary partials exactly where the fact measure was, typed
+    * nulls elsewhere), making every inner group's re-aggregation see
+    * the same row multiset collapsed; nothing relies on the outer
+    * FILTER clauses discarding anything. At 100 TB this is the full
+    * dashboard header row — uniques, totals, averages — in one
+    * fact-scan-free plan. */
+  def q274SummaryMixedDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q274")
+      .toString + "/docs_by_source_lang"
+    SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q274_docs_by_source_lang",
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    try {
+      val q = load(s, dir, "documents")
+        .groupBy($"source")
+        .agg(countDistinct($"lang").as("n_langs"),
+          countDistinct($"lang", $"source").as("n_pairs"),
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          avg($"n_chars").as("avg_chars"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("docs_by_source_lang"),
+        "q274 gate is vacuous: the mixed-distinct rewrite did not fire")
+      require(!phys.contains("documents.parquet"),
+        "q274 gate broken: the fact table is still scanned")
+      require(phys.contains("Expand"),
+        "q274 gate broken: no Expand — not the mixed multi-distinct shape")
+      // bounded: one row per source
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q274_docs_by_source_lang")
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -1900,6 +1997,30 @@ object IndexOps {
         |    (SELECT DISTINCT source, lang FROM documents)) AS BIGINT)
         |    AS n_pairs
         |FROM documents""".stripMargin,
+    // q273: the planted-NULL fact replayed as a CTE off documents —
+    // DuckDB's avg/count(col) skip nulls exactly like Spark's, so a
+    // Σcnt-derived (row-count) average could never hash-match
+    "q273_summary_nullsafe" ->
+      """WITH f AS (SELECT source,
+        |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END
+        |      AS n_chars
+        |  FROM documents)
+        |SELECT source, avg(n_chars) AS avg_chars,
+        |  CAST(count(n_chars) AS BIGINT) AS n_vals,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM f GROUP BY 1""".stripMargin,
+    // q274: the mixed header row off the fact (per source group,
+    // count(DISTINCT lang, source) = count(DISTINCT lang) — source is
+    // fixed, and DuckDB has no multi-arg count(DISTINCT))
+    "q274_summary_mixed_distinct" ->
+      """SELECT source,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_pairs,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  avg(n_chars) AS avg_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     // q263: the plain rollup + rank window — both extensions invisible
     "q263_summary_topk" ->
       """WITH b AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs

@@ -107,9 +107,13 @@ trait ResidualOnlyScan
   * grouping expression must be deterministic, aggregate-free, and
   * reference only the chosen summary's keys (bare key attributes are
   * the degenerate case); every aggregate must be COUNT(*)/COUNT(1),
-  * SUM(attr), MIN(attr), MAX(attr), AVG(attr), or COUNT(DISTINCT
-  * key attrs) — AVG derived as Σsum_attr / Σcnt over a Long partial —
-  * with the matching `cnt`/`sum_<attr>`/`min_<attr>`/`max_<attr>`
+  * COUNT(attr), SUM(attr), MIN(attr), MAX(attr), AVG(attr), or
+  * COUNT(DISTINCT key attrs) — COUNT(attr) derived as Σcnt_attr and
+  * AVG as Σsum_attr / Σcnt_attr, both over the NON-NULL-count partial
+  * (avg/count(col) skip NULLs, so the row-count Σcnt would silently
+  * serve a wrong value over a nullable measure; an artifact without
+  * `cnt_<attr>` refuses both) — with the matching
+  * `cnt`/`sum_<attr>`/`cnt_<attr>`/`min_<attr>`/`max_<attr>`
   * column present in the summary schema; SUM over a FLOATING-POINT
   * partial refuses (re-associated float adds can differ from the fact
   * scan in the last ulp — exactness is the contract; integral
@@ -423,14 +427,20 @@ object SummaryRewrite {
   // -------------------------------------------------- build / maintain
 
   /** The summary frame honoring the naming contract: one row per key
-    * combination, `cnt`, `sum_<col>`, and `min_<col>`/`max_<col>` per
-    * measure. One map-side-combinable shuffle over the fact table —
-    * paid once, amortized over every rewritten query. */
+    * combination, `cnt` (row count), and per measure `sum_<col>` +
+    * `cnt_<col>` (NON-NULL count — what makes AVG and COUNT(col)
+    * derivable when the measure has NULLs: Spark's avg/count(col)
+    * skip nulls, so Σsum_x / Σcnt would silently serve a WRONG
+    * average over a nullable measure; Σsum_x / Σcnt_x is exact for
+    * any data) and `min_<col>`/`max_<col>`. One map-side-combinable
+    * shuffle over the fact table — paid once, amortized over every
+    * rewritten query. */
   def summaryFrame(fact: DataFrame, keys: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions._
     val aggs = count(lit(1)).as("cnt") +:
-      (sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+      (sumCols.flatMap(c => Seq(sum(col(c)).as(s"sum_$c"),
+        count(col(c)).as(s"cnt_$c"))) ++
         minMaxCols.flatMap(c =>
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))))
     fact.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -500,13 +510,28 @@ object SummaryRewrite {
   def rollupSummary(finer: DataFrame, coarserKeys: Seq[String],
       sumCols: Seq[String], minMaxCols: Seq[String] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions._
-    val foldAggs = sum(col("cnt")).as("cnt") +:
-      (sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
+    finer.groupBy(coarserKeys.map(col): _*)
+      .agg(foldAggs(finer, sumCols, minMaxCols).head,
+        foldAggs(finer, sumCols, minMaxCols).tail: _*)
+  }
+
+  /** The monoid fold of every partial column: Σcnt, Σsum_/Σcnt_ per
+    * measure (cnt_ only when the frame carries it — pre-`cnt_` era
+    * artifacts fold without, and AVG/COUNT(col) simply refuse on them),
+    * min-of-min / max-of-max. Shared by [[rollupSummary]] and
+    * [[mergeDelta]] so the two lifecycle paths can never drift. */
+  private def foldAggs(frame: DataFrame, sumCols: Seq[String],
+      minMaxCols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    val have = frame.schema.fieldNames.toSet
+    sum(col("cnt")).as("cnt") +:
+      (sumCols.flatMap(c =>
+        Seq(sum(col(s"sum_$c")).as(s"sum_$c")) ++
+          (if (have(s"cnt_$c")) Seq(sum(col(s"cnt_$c")).as(s"cnt_$c"))
+           else Seq.empty)) ++
         minMaxCols.flatMap(c => Seq(
           min(col(s"min_$c")).as(s"min_$c"),
           max(col(s"max_$c")).as(s"max_$c"))))
-    finer.groupBy(coarserKeys.map(col): _*)
-      .agg(foldAggs.head, foldAggs.tail: _*)
   }
 
   /** BATCH incremental maintenance: fold the latest committed summary
@@ -540,14 +565,14 @@ object SummaryRewrite {
       s"mergeDelta: $nonPos non-positive cnt partials in the latest " +
         s"snapshot of $store — a retraction cannot be folded (min/max " +
         "partials are union-monoids only); rebuild the summary instead")
-    val foldAggs = sum(col("cnt")).as("cnt") +:
-      (sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
-        minMaxCols.flatMap(c => Seq(
-          min(col(s"min_$c")).as(s"min_$c"),
-          max(col(s"max_$c")).as(s"max_$c"))))
-    val folded = latest.unionByName(delta)
+    // a pre-cnt_ snapshot folds with the delta's cnt_ columns dropped
+    // (allowMissingColumns would null-poison the sums instead)
+    val unioned = latest.unionByName(
+      delta.select(latest.schema.fieldNames.map(col): _*))
+    val aggs = foldAggs(latest, sumCols, minMaxCols)
+    val folded = unioned
       .groupBy(keys.map(col): _*)
-      .agg(foldAggs.head, foldAggs.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
     graft.operators.IndexOps.writeSnapshot(layout(folded, keys), store)
   }
 
@@ -586,7 +611,13 @@ object SummaryRewrite {
       case None => summary.mvPath
     }
     val got = spark.read.parquet(mvPath)
-    val measures = "cnt" +: (sumCols.map(c => s"sum_$c") ++
+    val gotCols = got.schema.fieldNames.toSet
+    // cnt_ legs audit only where the artifact carries them (pre-cnt_
+    // artifacts stay auditable); the expect side always computes them,
+    // extra expect columns are simply not compared
+    val measures = "cnt" +: (sumCols.flatMap(c =>
+      Seq(s"sum_$c") ++
+        (if (gotCols(s"cnt_$c")) Seq(s"cnt_$c") else Seq.empty)) ++
       minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c")))
     val e = expect.select(keys.map(col) ++
       measures.map(m => col(m).as(s"expect_$m")): _*)
@@ -891,15 +922,23 @@ object SummaryRewrite {
       * hoisted aliases, so ROLLUP over f(key) coarsenings compose —
       * must reference only summary keys; entries remapped onto the
       * summary, output attr kept so the Aggregate above is untouched),
-      * or (c) a MEASURE pass-through (every entry the same attribute,
-      * which IS the output attr, referenced only inside aggregate
-      * functions; replaced by fresh partial columns appended to every
-      * projection — one per needed partial, so `sum(x)` and `min(x)`
-      * over the same column never collide). Aggregates derive exactly
-      * like the direct path: COUNT(*) → Σcnt (coalesced), SUM → Σsum_,
-      * MIN/MAX → min_/max_, AVG → Σsum_/Σcnt (Long); distinct /
-      * filtered aggregates refuse. Key-only Filters below the Expand
-      * push onto the summary scan like everywhere else. */
+      * or (c) a MEASURE position (entries one attribute or
+      * null-literals, referenced only inside aggregate functions;
+      * replaced by fresh partial columns carrying the attribute's
+      * per-projection NULL MASK — non-null exactly in the projections
+      * the original measure was, so the per-group aggregation sees the
+      * same row multiset collapsed; one partial per (column, position),
+      * so `sum(x)` and `min(x)` over the same column never collide).
+      * The mask is what makes RewriteDistinctAggregates' MIXED shape
+      * (`count(distinct a), count(*), sum(x)` — regular measures live
+      * only in the gid-0 projection) servable alongside the pure
+      * ROLLUP shape (measures in every projection). Aggregates derive
+      * exactly like the direct path: COUNT(*) → Σcnt (coalesced),
+      * COUNT(col) → Σcnt_col, SUM → Σsum_ (integral partials only),
+      * MIN/MAX → min_/max_, AVG → Σsum_/Σcnt_col (Long); filtered
+      * aggregates and distinct over non-keys refuse. Key-only Filters
+      * below the Expand push onto the summary scan like everywhere
+      * else. */
     private def tryExpandRewrite(groupExprs: Seq[Expression],
         aggExprs: Seq[NamedExpression], expand: Expand,
         hint: Option[AggregateHint]): Option[Aggregate] = {
@@ -918,11 +957,12 @@ object SummaryRewrite {
             e.transform { case _: AggregateExpression => Literal(null) }
               .references.toSeq))
 
-      // classify positions; Left = refusal
-      // lit: Seq[Int]; key: Seq[(idx, inlined base expr)];
-      // measure: Seq[(idx, base attr)]
+      // classify positions; any other shape refuses
+      // lit: kept verbatim; key: (idx, inlined base expr);
+      // measure: (idx, base attr) + its per-projection non-null mask
       var keyPos = Seq.empty[(Int, Expression)]
       var measurePos = Seq.empty[(Int, AttributeReference)]
+      var measureMask = Map.empty[Int, Seq[Boolean]]
       var keptIdx = Seq.empty[Int]
       output.indices.foreach { i =>
         val entries = projections.map(_(i))
@@ -931,30 +971,34 @@ object SummaryRewrite {
           case a: AttributeReference => a
         }.distinct
         val nonAttrs = entries.filterNot(_.isInstanceOf[AttributeReference])
+        val nullsOnly = nonAttrs.forall(e => e.foldable && e.eval() == null)
         if (entries.forall(_.foldable)) keptIdx :+= i
-        else if (attrs.size == 1 &&
-            nonAttrs.forall(e => e.foldable && e.eval() == null) &&
-            !aggFuncRefs.contains(out)) {
+        else if (attrs.size == 1 && nullsOnly && !aggFuncRefs.contains(out)) {
           val base = inline(attrs.head, shape.subst)
           if (!base.deterministic ||
               base.exists(_.isInstanceOf[AggregateExpression]) ||
               base.exists(_.isInstanceOf[PlanExpression[_]])) return None
           keyPos :+= (i -> base)
           keptIdx :+= i
-        } else if (attrs.size == 1 && nonAttrs.isEmpty &&
-            attrs.head.exprId == out.exprId && !nonAggRefs.contains(out)) {
+        } else if (attrs.size == 1 && nullsOnly && !nonAggRefs.contains(out)) {
           // partials are keyed by the BASE scan column: a renamed
           // measure resolves through the hoisted alias to its true
           // column; a COMPUTED alias (whose name could shadow a real
-          // measure's partial) resolves to an expression and refuses
+          // measure's partial) resolves to an expression and refuses.
+          // The mask records which projections carry the measure (all
+          // of them in the ROLLUP shape; only the regular-aggregate
+          // one in RewriteDistinctAggregates' mixed shape)
           inline(attrs.head, shape.subst) match {
-            case ar: AttributeReference => measurePos :+= (i -> ar)
+            case ar: AttributeReference =>
+              measurePos :+= (i -> ar)
+              measureMask += i ->
+                entries.map(_.isInstanceOf[AttributeReference])
             case _ => return None
           }
         } else return None
       }
       val keyBase = keyPos.toMap
-      val measureBase = measurePos.map { case (i, a) => output(i) -> a }.toMap
+      val measureBase = measurePos.map { case (i, a) => output(i) -> ((i, a)) }.toMap
 
       val needed =
         (keyPos.flatMap(_._2.references.toSeq.map(_.name)) ++
@@ -972,8 +1016,8 @@ object SummaryRewrite {
           cnt <- mvAttrs.get("cnt")
           if cnt.dataType == LongType
           result <- buildExpandRewrite(groupExprs, aggExprs, shape.pred,
-            projections, output, keptIdx, keyBase, measureBase, mvPlan,
-            mvAttrs, summary.keys, hint)
+            projections, output, keptIdx, keyBase, measureBase,
+            measureMask, mvPlan, mvAttrs, summary.keys, hint)
         } yield result
         if (r.isEmpty)
           note(s"candidate '$n': rollup/cube (Expand) shape not " +
@@ -985,12 +1029,21 @@ object SummaryRewrite {
     }
 
     /** Assemble the rewritten Aggregate-over-Expand-over-summary; any
-      * missing partial column or type mismatch refuses. */
+      * missing partial column or type mismatch refuses. Each partial
+      * pass-through column is bound to its measure POSITION's null
+      * mask: it carries the summary column exactly in the projections
+      * where the original measure attribute appeared and a typed null
+      * elsewhere, so every per-group aggregation over the rewritten
+      * Expand sees the same row multiset the fact-based Expand fed it
+      * (null-masked partials are what make the mixed
+      * regular+distinct shape exact WITHOUT relying on the parent
+      * aggregate's FILTER clauses to discard anything). */
     private def buildExpandRewrite(groupExprs: Seq[Expression],
         aggExprs: Seq[NamedExpression], pred: Option[Expression],
         projections: Seq[Seq[Expression]], output: Seq[Attribute],
         keptIdx: Seq[Int], keyBase: Map[Int, Expression],
-        measureBase: Map[Attribute, AttributeReference],
+        measureBase: Map[Attribute, (Int, AttributeReference)],
+        measureMask: Map[Int, Seq[Boolean]],
         mvPlan: LogicalPlan, mvAttrs: Map[String, Attribute],
         keys: Set[String],
         hint: Option[AggregateHint]): Option[Aggregate] = {
@@ -998,42 +1051,47 @@ object SummaryRewrite {
         case a: AttributeReference if mvAttrs.contains(a.name) =>
           mvAttrs(a.name)
       }
-      // fresh pass-through columns, one per needed PARTIAL (dedup'd),
-      // appended to every projection so sum(x)+min(x) never collide
-      var partialCols = Seq.empty[(String, AttributeReference)]
-      def partialAttr(name: String): Option[AttributeReference] =
-        partialCols.find(_._1 == name).map(p => Some(p._2)).getOrElse {
-          mvAttrs.get(name).map { src =>
-            val fresh = AttributeReference(name, src.dataType,
-              nullable = true)()
-            partialCols :+= (name -> fresh)
-            fresh
+      // fresh pass-through columns, one per needed (PARTIAL, position)
+      // pair — so sum(x)+min(x) never collide, and the same partial
+      // behind two positions with different masks stays distinct.
+      // pos = -1 means mask-free (present in every projection): the
+      // global cnt and distinct-key pass-throughs.
+      var partialCols = Seq.empty[(String, Int, AttributeReference)]
+      def partialAttr(name: String, pos: Int): Option[AttributeReference] =
+        partialCols.find(p => p._1 == name && p._2 == pos)
+          .map(p => Some(p._3)).getOrElse {
+            mvAttrs.get(name).map { src =>
+              val fresh = AttributeReference(name, src.dataType,
+                nullable = true)()
+              partialCols :+= ((name, pos, fresh))
+              fresh
+            }
           }
-        }
       def agg(fn: AggregateFunction): Expression =
         AggregateExpression(fn, Complete, isDistinct = false)
-      // base fact column name behind a measure pass-through, if bare
-      def baseName(a: Attribute): Option[String] =
-        measureBase.get(a).map(_.name)
+      // (position, base fact column) behind a measure pass-through
+      def baseOf(a: Attribute): Option[(Int, String)] =
+        measureBase.get(a).map { case (i, b) => (i, b.name) }
       val keptAttrs = AttributeSet(keptIdx.map(output))
       val newAggs = sequence(aggExprs.map {
         case a: AttributeReference if keptAttrs.contains(a) => Some(a)
         case al @ Alias(c, _) if c.foldable && c.deterministic => Some(al)
         // COUNT(DISTINCT key...) per grouping set: the summary's key
-        // column rides along as a pass-through (mvAttrs carries it by
-        // its own name), and the distinct key set of summary rows per
-        // set equals the fact's — same argument as the direct path
+        // column rides along as a mask-free pass-through (mvAttrs
+        // carries it by its own name), and the distinct key set of
+        // summary rows per set equals the fact's — same argument as
+        // the direct path
         case e @ Alias(ae: AggregateExpression, name)
             if ae.isDistinct && ae.filter.isEmpty =>
           (ae.aggregateFunction match {
             case c: Count if c.children.nonEmpty && c.children.forall {
                 case a: AttributeReference =>
-                  baseName(a).exists(keys.contains)
+                  baseOf(a).exists(b => keys.contains(b._2))
                 case _ => false
               } =>
               sequence(c.children.map {
                 case a: AttributeReference =>
-                  baseName(a).flatMap(partialAttr)
+                  baseOf(a).flatMap(b => partialAttr(b._2, -1))
               }).map(ks => AggregateExpression(Count(ks), Complete,
                 isDistinct = true))
             case _ => None
@@ -1043,35 +1101,51 @@ object SummaryRewrite {
           (ae.aggregateFunction match {
             case c: Count if c.children.forall(ch =>
                 ch.foldable && ch.eval() != null) =>
-              partialAttr("cnt").map(p =>
+              partialAttr("cnt", -1).map(p =>
                 Coalesce(Seq(agg(Sum(p)), Literal(0L))))
+            // COUNT(col) skips nulls -> Σcnt_col (the non-null count
+            // partial), masked to the measure's projections
+            case c: Count => c.children match {
+              case Seq(a: AttributeReference) =>
+                baseOf(a).flatMap { case (pos, b) =>
+                  partialAttr(s"cnt_$b", pos).map(p =>
+                    Coalesce(Seq(agg(Sum(p)), Literal(0L))))
+                }
+              case _ => None
+            }
             case s: Sum => s.child match {
               // float partials refuse — see rewriteAgg's Sum case
-              case a: AttributeReference => baseName(a)
-                .filter(b => mvAttrs.get(s"sum_$b")
-                  .exists(at => !fpType(at.dataType)))
-                .flatMap(b => partialAttr(s"sum_$b")).map(p => agg(Sum(p)))
+              case a: AttributeReference => baseOf(a)
+                .filter { case (_, b) => mvAttrs.get(s"sum_$b")
+                  .exists(at => !fpType(at.dataType)) }
+                .flatMap { case (pos, b) => partialAttr(s"sum_$b", pos) }
+                .map(p => agg(Sum(p)))
               case _ => None
             }
             case m: Min => m.child match {
-              case a: AttributeReference => baseName(a)
-                .flatMap(b => partialAttr(s"min_$b")).map(p => agg(Min(p)))
+              case a: AttributeReference => baseOf(a)
+                .flatMap { case (pos, b) => partialAttr(s"min_$b", pos) }
+                .map(p => agg(Min(p)))
               case _ => None
             }
             case m: Max => m.child match {
-              case a: AttributeReference => baseName(a)
-                .flatMap(b => partialAttr(s"max_$b")).map(p => agg(Max(p)))
+              case a: AttributeReference => baseOf(a)
+                .flatMap { case (pos, b) => partialAttr(s"max_$b", pos) }
+                .map(p => agg(Max(p)))
               case _ => None
             }
+            // AVG = Σsum_col / Σcnt_col (the non-null count — see
+            // rewriteAgg's Average case), both masked to the position
             case av: Average => av.child match {
-              case a: AttributeReference => baseName(a).flatMap { b =>
-                mvAttrs.get(s"sum_$b")
-                  .filter(_.dataType == LongType)
-                  .flatMap(_ => for {
-                    ps <- partialAttr(s"sum_$b")
-                    pc <- partialAttr("cnt")
-                  } yield Divide(Cast(agg(Sum(ps)), DoubleType),
-                    Cast(agg(Sum(pc)), DoubleType)))
+              case a: AttributeReference => baseOf(a).flatMap {
+                case (pos, b) =>
+                  mvAttrs.get(s"sum_$b")
+                    .filter(_.dataType == LongType)
+                    .flatMap(_ => for {
+                      ps <- partialAttr(s"sum_$b", pos)
+                      pc <- partialAttr(s"cnt_$b", pos)
+                    } yield Divide(Cast(agg(Sum(ps)), DoubleType),
+                      Cast(agg(Sum(pc)), DoubleType)))
               }
               case _ => None
             }
@@ -1095,15 +1169,19 @@ object SummaryRewrite {
             case Some(p) => Filter(remap(p), mvPlan)
             case None => mvPlan
           }
-          val newProjections = projections.map { proj =>
-            keptIdx.map { i =>
-              proj(i) match {
-                case _: AttributeReference => remap(keyBase(i))
-                case other => other // null literal / gid literal
+          val newProjections = projections.zipWithIndex.map {
+            case (proj, j) =>
+              keptIdx.map { i =>
+                proj(i) match {
+                  case _: AttributeReference => remap(keyBase(i))
+                  case other => other // null literal / gid literal
+                }
+              } ++ partialCols.map { case (n, pos, _) =>
+                if (pos < 0 || measureMask(pos)(j)) mvAttrs(n)
+                else Literal(null, mvAttrs(n).dataType)
               }
-            } ++ partialCols.map { case (n, _) => mvAttrs(n) }
           }
-          val newOutput = keptIdx.map(output) ++ partialCols.map(_._2)
+          val newOutput = keptIdx.map(output) ++ partialCols.map(_._3)
           val newExpand = Expand(newProjections, newOutput, factPlan)
           Some(Aggregate(groupExprs, as, newExpand, hint))
         }
@@ -1373,8 +1451,7 @@ object SummaryRewrite {
         }
         ae.aggregateFunction match {
           case c: Count
-              // COUNT(*) / COUNT(<non-null constant>) — a null-able or
-              // column argument changes semantics and refuses rewrite
+              // COUNT(*) / COUNT(<non-null constant>)
               if c.children.forall(ch => ch.foldable && ch.eval() != null) =>
             // COUNT(*) -> SUM(cnt); groups only exist where summary
             // rows exist, so the sum is never null — coalesce keeps
@@ -1382,6 +1459,16 @@ object SummaryRewrite {
             Some(Alias(
               Coalesce(Seq(agg(Sum(mv("cnt"))), Literal(0L))),
               name)(exprId = e.exprId))
+          // COUNT(col) skips NULLs — derivable from the cnt_<col>
+          // non-null-count partial (NOT from cnt, which counts rows)
+          case c: Count => c.children match {
+            case Seq(a: AttributeReference)
+                if !dimOut.contains(a) && mv.contains(s"cnt_${a.name}") =>
+              Some(Alias(
+                Coalesce(Seq(agg(Sum(mv(s"cnt_${a.name}"))), Literal(0L))),
+                name)(exprId = e.exprId))
+            case _ => None
+          }
           // SUM over a FLOATING-POINT measure refuses: Σsum_x
           // re-associates the adds, and float addition is not
           // associative — the served value could differ from the fact
@@ -1412,21 +1499,25 @@ object SummaryRewrite {
                 name)(exprId = e.exprId))
             case _ => None
           }
-          // AVG(x) = Σsum_x / Σcnt — derivable from the same two
-          // partials the count/sum rewrites ride. Long measures only
-          // (the guard below): the quotient is then DoubleType like
-          // the original, and the exact-Long Σsum_x matches DuckDB's
-          // exact integer-avg semantics (Spark's unrewritten Average
-          // accumulates integral sums in double — bit-identical while
-          // the total stays under 2^53, i.e. everywhere it is exact).
+          // AVG(x) = Σsum_x / Σcnt_x — the NON-NULL count partial, not
+          // the row count: avg skips nulls, so a nullable measure
+          // served over Σcnt would be silently wrong (an artifact
+          // without cnt_<col> — pre-cnt_ era — refuses AVG rather than
+          // guessing). Long measures only (the guard below): the
+          // quotient is then DoubleType like the original, and the
+          // exact-Long Σsum_x matches DuckDB's exact integer-avg
+          // semantics (Spark's unrewritten Average accumulates
+          // integral sums in double — bit-identical while the total
+          // stays under 2^53, i.e. everywhere it is exact).
           case av: Average => av.child match {
             case a: AttributeReference
                 if !dimOut.contains(a) && mv.contains(s"sum_${a.name}") &&
-                  mv(s"sum_${a.name}").dataType == LongType =>
+                  mv(s"sum_${a.name}").dataType == LongType &&
+                  mv.contains(s"cnt_${a.name}") =>
               Some(Alias(
                 Divide(
                   Cast(agg(Sum(mv(s"sum_${a.name}"))), DoubleType),
-                  Cast(agg(Sum(mv("cnt"))), DoubleType)),
+                  Cast(agg(Sum(mv(s"cnt_${a.name}"))), DoubleType)),
                 name)(exprId = e.exprId))
             case _ => None
           }

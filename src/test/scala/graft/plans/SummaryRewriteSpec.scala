@@ -1466,4 +1466,107 @@ class SummaryRewriteSpec extends AnyFunSuite {
         "a non-key distinct column must refuse the whole rewrite")
     }
   }
+
+  test("NULL-safe derivations: avg/count(col) over a measure WITH nulls " +
+      "serve exactly via cnt_<col>; an artifact without it refuses") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val factPath = s"$tmp/nullfact.parquet"
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"),
+        when(col("doc_id") % 3 === 0, lit(null))
+          .otherwise(col("n_chars")).as("n_chars"))
+      .write.parquet(factPath)
+    val fact = spark.read.parquet(factPath)
+    assert(fact.filter(col("n_chars").isNull).count() > 0,
+      "precondition: the fact must actually have NULL measures")
+    val omv = s"$tmp/nullmv"
+    SummaryRewrite.buildSummary(spark, factPath,
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = omv)
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_nulls",
+      SummaryRewrite.Summary("nullfact.parquet", omv, Set("source", "lang")))
+    try {
+      def q = fact.groupBy($"source")
+        .agg(avg($"n_chars").as("a"), count($"n_chars").as("cv"),
+          count(lit(1)).as("n"), sum($"n_chars").as("sc"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("nullmv") && !p.contains("nullfact.parquet"),
+        s"null-measure avg/count(col) did not serve:\n$p")
+      SummaryRewrite.deregister("spec_nulls")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_nulls",
+        SummaryRewrite.Summary("nullfact.parquet", omv,
+          Set("source", "lang")))
+      val got = q.collect().map(_.toSeq).toSet
+      assert(got === expect,
+        "avg/count over a NULLABLE measure diverged — the Σcnt_x " +
+          "(non-null count) partial is load-bearing")
+      // the distinction is exercised: some group's count(col) < count(*)
+      assert(expect.exists(r => r(2) != r(1)),
+        "law is vacuous: no group has NULL measures")
+      // a pre-cnt_ artifact (sum/cnt only) must REFUSE avg and
+      // count(col) — deriving avg from the row count would be wrong —
+      // while count(*)/sum still serve from it
+      val legacy = s"$tmp/legacymv"
+      spark.read.parquet(omv)
+        .drop("cnt_n_chars").write.parquet(legacy)
+      SummaryRewrite.register("spec_nulls",
+        SummaryRewrite.Summary("nullfact.parquet", legacy,
+          Set("source", "lang")))
+      val avgQ = fact.groupBy($"source").agg(avg($"n_chars").as("a"))
+      assert(avgQ.queryExecution.executedPlan.toString
+        .contains("nullfact.parquet"),
+        "avg over a cnt_-less artifact must refuse (Σcnt is the row " +
+          "count, not the non-null count)")
+      val cntQ = fact.groupBy($"source").agg(count($"n_chars").as("cv"))
+      assert(cntQ.queryExecution.executedPlan.toString
+        .contains("nullfact.parquet"),
+        "count(col) over a cnt_-less artifact must refuse")
+      val okQ = fact.groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("sc"))
+      assert(okQ.queryExecution.executedPlan.toString.contains("legacymv"),
+        "count(*)/sum must still serve from the legacy artifact")
+    } finally SummaryRewrite.deregister("spec_nulls")
+  }
+
+  test("mixed regular + multi-distinct: count(*)/sum/avg beside two " +
+      "distinct groups serve via null-masked partials, exactly") {
+    withSummary {
+      def q = docs.groupBy($"source")
+        .agg(countDistinct($"lang").as("nl"),
+          countDistinct($"lang", $"source").as("nls"),
+          count(lit(1)).as("n"), sum($"n_chars").as("sc"),
+          avg($"n_chars").as("a"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(usesMv(q), s"mixed regular+distinct did not serve:\n$p")
+      assert(p.contains("Expand"), "not the expanded mixed shape")
+      SummaryRewrite.deregister("spec_mv")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_mv",
+        SummaryRewrite.Summary("documents.parquet", mv,
+          Set("source", "lang")))
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "mixed-shape values diverged — the null MASK on partial " +
+          "pass-throughs is load-bearing")
+      // global variant too
+      def g = docs.agg(countDistinct($"source").as("ns"),
+        countDistinct($"lang").as("nl"), count(lit(1)).as("n"),
+        sum($"n_chars").as("sc"))
+      assert(usesMv(g), "global mixed shape did not serve")
+      SummaryRewrite.deregister("spec_mv")
+      val expectG = g.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_mv",
+        SummaryRewrite.Summary("documents.parquet", mv,
+          Set("source", "lang")))
+      assert(g.collect().map(_.toSeq).toSet === expectG)
+      // a non-derivable regular measure refuses the whole rewrite
+      val bad = docs.groupBy($"source")
+        .agg(countDistinct($"lang").as("nl"),
+          countDistinct($"lang", $"source").as("nls"),
+          sum(length($"text")).as("s"))
+      assert(!usesMv(bad),
+        "an unknown regular measure must refuse the mixed rewrite")
+    }
+  }
 }
