@@ -677,6 +677,9 @@ object SparkEntry {
     // mixed regular + multi-distinct aggregate served through
     // null-masked partial pass-throughs; plan-required
     "q274_summary_mixed_distinct" -> (IndexOps.q274SummaryMixedDistinct _),
+    // conditional-dashboard pivot: FILTER (WHERE key-pred) aggregates
+    // + CASE measures over keys + distinct-over-expression, one plan
+    "q275_summary_pivot" -> (IndexOps.q275SummaryPivot _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1393,6 +1393,55 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q274_docs_by_source_lang")
   }
 
+  // --------------------------------------------------------------- q275
+
+  /** q275 — the CONDITIONAL-dashboard (pivot) row served from the
+    * summary: `count(*) FILTER (WHERE key-pred)`, `sum(CASE WHEN
+    * key-pred THEN 1 ELSE 0 END)`, and distinct-over-key-EXPRESSION
+    * aggregates in one query. Two derivation families close it:
+    * FILTER clauses over key predicates are replayed onto the partial
+    * inputs (the predicate partitions whole summary rows — the same
+    * argument as the plan-level key filter), and measure EXPRESSIONS
+    * over keys derive from cnt (`sum(f(keys)) = Σ cnt·f` — every fact
+    * row of a summary row contributes the same f value; min/max/
+    * distinct take the preserved value set verbatim). This is the
+    * manual-pivot shape every BI tool emits; at 100 TB each pivot
+    * column previously forced the fact scan the plain rollup had
+    * already eliminated. */
+  def q275SummaryPivot(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q275")
+      .toString + "/docs_by_source_lang"
+    SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q275_docs_by_source_lang",
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    try {
+      val q = load(s, dir, "documents")
+        .groupBy($"source")
+        .agg(
+          expr("count(*) FILTER (WHERE lang = 'en')").as("n_en"),
+          expr("sum(n_chars) FILTER (WHERE lang = 'de')").as("chars_de"),
+          sum(when($"lang" === "en", 1).otherwise(0)).as("n_en_case"),
+          countDistinct(substring($"lang", 1, 1)).as("n_first"),
+          count(lit(1)).as("n_docs"))
+        // groups with no 'de' docs sum to NULL — coalesce ABOVE the
+        // rewritten aggregate (driver comparator: no non-string NULLs)
+        .select($"source", $"n_en",
+          coalesce($"chars_de", lit(0L)).as("chars_de"),
+          $"n_en_case", $"n_first", $"n_docs")
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("docs_by_source_lang"),
+        "q275 gate is vacuous: the pivot rewrite did not fire")
+      require(!phys.contains("documents.parquet"),
+        "q275 gate broken: the fact table is still scanned")
+      // bounded: one row per source
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q275_docs_by_source_lang")
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -2020,6 +2069,19 @@ object IndexOps {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  avg(n_chars) AS avg_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // q275: the pivot row off the fact — DuckDB's FILTER clause and
+    // CASE sums replay identically; the serving is invisible
+    "q275_summary_pivot" ->
+      """SELECT source,
+        |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+        |  CAST(coalesce(sum(n_chars) FILTER (WHERE lang = 'de'), 0)
+        |    AS BIGINT) AS chars_de,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_en_case,
+        |  CAST(count(DISTINCT substring(lang, 1, 1)) AS BIGINT)
+        |    AS n_first,
+        |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
     // q263: the plain rollup + rank window — both extensions invisible
     "q263_summary_topk" ->

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Marker contract for DSv2 `Scan` implementations that NEVER consume
   * pushed filters or aggregates — `pushedFilters()` is empty and every
@@ -959,10 +959,20 @@ object SummaryRewrite {
 
       // classify positions; any other shape refuses
       // lit: kept verbatim; key: (idx, inlined base expr);
-      // measure: (idx, base attr) + its per-projection non-null mask
+      // measure: (idx, base attr) + its per-projection non-null mask;
+      // key-EXPRESSION: (idx, per-projection inlined entries) — a
+      // position whose entries are null-or-deterministic expressions
+      // over keys (RewriteDistinctAggregates materializes a distinct
+      // aggregate's FILTER predicate as exactly this), remapped
+      // verbatim per projection; sound ONLY under value-SET consumers
+      // (Min/Max), because the expression is key-determined and the
+      // summary preserves every key combination — so the value SET
+      // per inner group survives the collapse even when the expr's
+      // keys are not all in that group's grouping columns.
       var keyPos = Seq.empty[(Int, Expression)]
       var measurePos = Seq.empty[(Int, AttributeReference)]
       var measureMask = Map.empty[Int, Seq[Boolean]]
+      var exprPos = Map.empty[Int, Seq[Expression]]
       var keptIdx = Seq.empty[Int]
       output.indices.foreach { i =>
         val entries = projections.map(_(i))
@@ -995,13 +1005,36 @@ object SummaryRewrite {
                 entries.map(_.isInstanceOf[AttributeReference])
             case _ => return None
           }
-        } else return None
+        } else {
+          // key-expression position: null-or-expression entries whose
+          // references must all be summary keys (enforced via
+          // `needed` coverage below), with Min/Max-only aggregate
+          // consumers (grouping references are fine — kept positions
+          // are groupable like keys)
+          val inlined = entries.map(inline(_, shape.subst))
+          val wellFormed = inlined.forall(en =>
+            (en.foldable && en.eval() == null) ||
+              (en.deterministic &&
+                !en.exists(_.isInstanceOf[AggregateExpression]) &&
+                !en.exists(_.isInstanceOf[PlanExpression[_]]) &&
+                en.references.nonEmpty))
+          val minMaxOnly = aggExprs.forall(_.collect {
+            case ae: AggregateExpression if ae.references.contains(out) => ae
+          }.forall(ae => !ae.isDistinct && ae.filter.isEmpty &&
+            (ae.aggregateFunction.isInstanceOf[Min] ||
+              ae.aggregateFunction.isInstanceOf[Max])))
+          if (!wellFormed || !minMaxOnly) return None
+          exprPos += i -> inlined
+          keptIdx :+= i
+        }
       }
       val keyBase = keyPos.toMap
       val measureBase = measurePos.map { case (i, a) => output(i) -> ((i, a)) }.toMap
 
       val needed =
         (keyPos.flatMap(_._2.references.toSeq.map(_.name)) ++
+          exprPos.values.flatten
+            .flatMap(_.references.toSeq.map(_.name)) ++
           shape.pred.toSeq.flatMap(_.references.toSeq.map(_.name))).toSet
 
       candidates(shape, needed).view.flatMap { case (n, summary) =>
@@ -1011,12 +1044,14 @@ object SummaryRewrite {
           mvAttrs = mvPlan.output.map(a => a.name -> a).toMap
           if keyPos.forall(_._2.references.toSeq.forall(r =>
             summary.keys.contains(r.name) && mvAttrs.contains(r.name)))
+          if exprPos.values.flatten.forall(_.references.toSeq.forall(r =>
+            summary.keys.contains(r.name) && mvAttrs.contains(r.name)))
           if shape.pred.forall(_.references.toSeq.forall(r =>
             mvAttrs.contains(r.name)))
           cnt <- mvAttrs.get("cnt")
           if cnt.dataType == LongType
           result <- buildExpandRewrite(groupExprs, aggExprs, shape.pred,
-            projections, output, keptIdx, keyBase, measureBase,
+            projections, output, keptIdx, keyBase, exprPos, measureBase,
             measureMask, mvPlan, mvAttrs, summary.keys, hint)
         } yield result
         if (r.isEmpty)
@@ -1042,6 +1077,7 @@ object SummaryRewrite {
         aggExprs: Seq[NamedExpression], pred: Option[Expression],
         projections: Seq[Seq[Expression]], output: Seq[Attribute],
         keptIdx: Seq[Int], keyBase: Map[Int, Expression],
+        exprPos: Map[Int, Seq[Expression]],
         measureBase: Map[Attribute, (Int, AttributeReference)],
         measureMask: Map[Int, Seq[Boolean]],
         mvPlan: LogicalPlan, mvAttrs: Map[String, Attribute],
@@ -1073,6 +1109,35 @@ object SummaryRewrite {
       def baseOf(a: Attribute): Option[(Int, String)] =
         measureBase.get(a).map { case (i, b) => (i, b.name) }
       val keptAttrs = AttributeSet(keptIdx.map(output))
+      // FILTER clause carried onto the rewritten aggregate: sound when
+      // the predicate is key-determined per summary row — every
+      // reference is a kept position or a masked pass-through of a
+      // summary KEY (remapped to a key pass-through at the same
+      // position; RewriteDistinctAggregates materializes regular
+      // aggregates' FILTER predicates as exactly such masked refs).
+      // Returns Some(newFilter) when carryable, None to refuse.
+      def exFilter(ae: AggregateExpression): Option[Option[Expression]] =
+        ae.filter match {
+          case None => Some(None)
+          case Some(f) if f.deterministic &&
+              !f.exists(_.isInstanceOf[AggregateExpression]) &&
+              !f.exists(_.isInstanceOf[PlanExpression[_]]) &&
+              f.references.nonEmpty &&
+              f.references.toSeq.forall(r => keptAttrs.contains(r) ||
+                measureBase.get(r).exists { case (_, b) =>
+                  keys.contains(b.name) && mvAttrs.contains(b.name) }) =>
+            var ok = true
+            val f2 = f.transform {
+              case a: AttributeReference if measureBase.contains(a) =>
+                val (pos, b) = measureBase(a)
+                partialAttr(b.name, pos) match {
+                  case Some(p) => p
+                  case None => ok = false; a
+                }
+            }
+            if (ok) Some(Some(f2)) else None
+          case _ => None
+        }
       val newAggs = sequence(aggExprs.map {
         case a: AttributeReference if keptAttrs.contains(a) => Some(a)
         case al @ Alias(c, _) if c.foldable && c.deterministic => Some(al)
@@ -1096,61 +1161,75 @@ object SummaryRewrite {
                 isDistinct = true))
             case _ => None
           }).map(ex => Alias(ex, name)(exprId = e.exprId))
-        case e @ Alias(ae: AggregateExpression, name)
-            if !ae.isDistinct && ae.filter.isEmpty =>
-          (ae.aggregateFunction match {
-            case c: Count if c.children.forall(ch =>
-                ch.foldable && ch.eval() != null) =>
-              partialAttr("cnt", -1).map(p =>
-                Coalesce(Seq(agg(Sum(p)), Literal(0L))))
-            // COUNT(col) skips nulls -> Σcnt_col (the non-null count
-            // partial), masked to the measure's projections
-            case c: Count => c.children match {
-              case Seq(a: AttributeReference) =>
-                baseOf(a).flatMap { case (pos, b) =>
-                  partialAttr(s"cnt_$b", pos).map(p =>
-                    Coalesce(Seq(agg(Sum(p)), Literal(0L))))
+        case e @ Alias(ae: AggregateExpression, name) if !ae.isDistinct =>
+          exFilter(ae).flatMap { fOpt =>
+            def fagg(fn: AggregateFunction): Expression =
+              AggregateExpression(fn, Complete, isDistinct = false,
+                filter = fOpt)
+            // Min/Max over a KEPT position (key or key-expression)
+            // passes through with the carried filter: the column
+            // survives in the rewritten Expand, and the value SET per
+            // group is preserved by the collapse (the classifier
+            // admitted the position only under value-set consumers)
+            val fn = ae.aggregateFunction
+            if ((fn.isInstanceOf[Min] || fn.isInstanceOf[Max]) &&
+                fn.references.nonEmpty &&
+                fn.references.subsetOf(keptAttrs))
+              Some(fagg(fn))
+            else fn match {
+              case c: Count if c.children.forall(ch =>
+                  ch.foldable && ch.eval() != null) =>
+                partialAttr("cnt", -1).map(p =>
+                  Coalesce(Seq(fagg(Sum(p)), Literal(0L))))
+              // COUNT(col) skips nulls -> Σcnt_col (the non-null count
+              // partial), masked to the measure's projections
+              case c: Count => c.children match {
+                case Seq(a: AttributeReference) =>
+                  baseOf(a).flatMap { case (pos, b) =>
+                    partialAttr(s"cnt_$b", pos).map(p =>
+                      Coalesce(Seq(fagg(Sum(p)), Literal(0L))))
+                  }
+                case _ => None
+              }
+              case s: Sum => s.child match {
+                // float partials refuse — see rewriteAgg's Sum case
+                case a: AttributeReference => baseOf(a)
+                  .filter { case (_, b) => mvAttrs.get(s"sum_$b")
+                    .exists(at => !fpType(at.dataType)) }
+                  .flatMap { case (pos, b) => partialAttr(s"sum_$b", pos) }
+                  .map(p => fagg(Sum(p)))
+                case _ => None
+              }
+              case m: Min => m.child match {
+                case a: AttributeReference => baseOf(a)
+                  .flatMap { case (pos, b) => partialAttr(s"min_$b", pos) }
+                  .map(p => fagg(Min(p)))
+                case _ => None
+              }
+              case m: Max => m.child match {
+                case a: AttributeReference => baseOf(a)
+                  .flatMap { case (pos, b) => partialAttr(s"max_$b", pos) }
+                  .map(p => fagg(Max(p)))
+                case _ => None
+              }
+              // AVG = Σsum_col / Σcnt_col (the non-null count — see
+              // rewriteAgg's Average case), both masked to the position
+              case av: Average => av.child match {
+                case a: AttributeReference => baseOf(a).flatMap {
+                  case (pos, b) =>
+                    mvAttrs.get(s"sum_$b")
+                      .filter(_.dataType == LongType)
+                      .flatMap(_ => for {
+                        ps <- partialAttr(s"sum_$b", pos)
+                        pc <- partialAttr(s"cnt_$b", pos)
+                      } yield Divide(Cast(fagg(Sum(ps)), DoubleType),
+                        Cast(fagg(Sum(pc)), DoubleType)))
                 }
-              case _ => None
-            }
-            case s: Sum => s.child match {
-              // float partials refuse — see rewriteAgg's Sum case
-              case a: AttributeReference => baseOf(a)
-                .filter { case (_, b) => mvAttrs.get(s"sum_$b")
-                  .exists(at => !fpType(at.dataType)) }
-                .flatMap { case (pos, b) => partialAttr(s"sum_$b", pos) }
-                .map(p => agg(Sum(p)))
-              case _ => None
-            }
-            case m: Min => m.child match {
-              case a: AttributeReference => baseOf(a)
-                .flatMap { case (pos, b) => partialAttr(s"min_$b", pos) }
-                .map(p => agg(Min(p)))
-              case _ => None
-            }
-            case m: Max => m.child match {
-              case a: AttributeReference => baseOf(a)
-                .flatMap { case (pos, b) => partialAttr(s"max_$b", pos) }
-                .map(p => agg(Max(p)))
-              case _ => None
-            }
-            // AVG = Σsum_col / Σcnt_col (the non-null count — see
-            // rewriteAgg's Average case), both masked to the position
-            case av: Average => av.child match {
-              case a: AttributeReference => baseOf(a).flatMap {
-                case (pos, b) =>
-                  mvAttrs.get(s"sum_$b")
-                    .filter(_.dataType == LongType)
-                    .flatMap(_ => for {
-                      ps <- partialAttr(s"sum_$b", pos)
-                      pc <- partialAttr(s"cnt_$b", pos)
-                    } yield Divide(Cast(agg(Sum(ps)), DoubleType),
-                      Cast(agg(Sum(pc)), DoubleType)))
+                case _ => None
               }
               case _ => None
             }
-            case _ => None
-          }).map(ex => Alias(ex, name)(exprId = e.exprId))
+          }.map(ex => Alias(ex, name)(exprId = e.exprId))
         // non-aggregate outputs over kept (key/gid) attrs pass through
         case al @ Alias(ex, _)
             if ex.deterministic &&
@@ -1172,7 +1251,12 @@ object SummaryRewrite {
           val newProjections = projections.zipWithIndex.map {
             case (proj, j) =>
               keptIdx.map { i =>
-                proj(i) match {
+                if (exprPos.contains(i)) {
+                  // key-expression position: per-projection entry,
+                  // remapped (null-literal entries kept verbatim)
+                  val en = exprPos(i)(j)
+                  if (en.foldable) en else remap(en)
+                } else proj(i) match {
                   case _: AttributeReference => remap(keyBase(i))
                   case other => other // null literal / gid literal
                 }
@@ -1407,16 +1491,17 @@ object SummaryRewrite {
       // level/label columns into the aggregate list) are trivially
       // preserved — no references, nothing to derive
       case al @ Alias(c, _) if c.foldable && c.deterministic => Some(al)
-      case Alias(ae: AggregateExpression, name) if ae.filter.isEmpty =>
-        def agg(fn: AggregateFunction, distinct: Boolean = false): Expression =
-          AggregateExpression(fn, Complete, isDistinct = distinct)
+      case Alias(ae: AggregateExpression, name) =>
         // Value-SET aggregates over DIM attrs are multiplicity-
         // insensitive: a dim row reaches a group iff >= 1 fact row
         // (= its summary row, cnt >= 1) matches, so the value SET per
         // group is unchanged by the fact collapse — MIN/MAX always,
         // and count/sum/avg when DISTINCT. Multiplicity-sensitive
-        // aggregates over dim attrs fall through to refusal.
-        val dimSafe = ae.aggregateFunction match {
+        // aggregates over dim attrs fall through to refusal. A FILTER
+        // clause keeps the pass-through sound only when it, too, is
+        // dim-only (a fact-side filter would reference attrs the
+        // rewritten plan no longer has).
+        val dimSafe = (ae.aggregateFunction match {
           case m: Min => m.child.references.nonEmpty &&
             m.child.references.subsetOf(dimOut)
           case m: Max => m.child.references.nonEmpty &&
@@ -1424,28 +1509,70 @@ object SummaryRewrite {
           case f @ (_: Count | _: Sum | _: Average) if ae.isDistinct =>
             f.references.nonEmpty && f.references.subsetOf(dimOut)
           case _ => false
-        }
+        }) && ae.filter.forall(f => f.deterministic &&
+          !f.exists(_.isInstanceOf[PlanExpression[_]]) &&
+          f.references.nonEmpty && f.references.subsetOf(dimOut))
         if (dimSafe) return Some(e)
+        // FILTER (WHERE p) over fact KEYS only is replayed onto every
+        // derived input: p partitions whole summary rows (the same
+        // argument as the plan-level key filter), so wrapping each
+        // aggregate-function input in If(p', input, null) feeds the
+        // aggregation exactly the partials of the rows that pass —
+        // count(*) FILTER p → Σ(If(p', cnt, null)), etc. This is the
+        // conditional-dashboard shape (`count(*) FILTER (WHERE
+        // source = 'web')` per lang). Any other filter refuses.
+        val wrap: Expression => Expression = ae.filter match {
+          case None => identity
+          case Some(f) if f.deterministic &&
+              !f.exists(_.isInstanceOf[AggregateExpression]) &&
+              !f.exists(_.isInstanceOf[PlanExpression[_]]) &&
+              f.references.nonEmpty &&
+              f.references.toSeq.forall(r => !dimOut.contains(r) &&
+                keys.contains(r.name) && mv.contains(r.name)) =>
+            val f2 = f.transform { case a: AttributeReference
+                if mv.contains(a.name) => mv(a.name) }
+            (c: Expression) => If(f2, c, Literal(null, c.dataType))
+          case _ => return None
+        }
+        def agg(fn: AggregateFunction, distinct: Boolean = false): Expression =
+          AggregateExpression(
+            fn.mapChildren(wrap).asInstanceOf[AggregateFunction],
+            Complete, isDistinct = distinct)
+        // a deterministic expression over fact KEYS only (bare key
+        // attribute = the degenerate case), remapped onto the summary:
+        // its value is CONSTANT across every fact row of a summary
+        // row, which is what makes whole measure EXPRESSIONS over
+        // keys derivable — sum(f(keys)) = Σ cnt·f, count(f(keys)) =
+        // Σ cnt over rows where f is non-null, min/max/distinct over
+        // the summary rows' value set verbatim
+        def keyExpr(ex: Expression): Option[Expression] =
+          if (ex.deterministic &&
+              !ex.exists(_.isInstanceOf[AggregateExpression]) &&
+              !ex.exists(_.isInstanceOf[PlanExpression[_]]) &&
+              ex.references.nonEmpty &&
+              ex.references.toSeq.forall(r => !dimOut.contains(r) &&
+                keys.contains(r.name) && mv.contains(r.name)))
+            Some(ex.transform { case a: AttributeReference
+              if mv.contains(a.name) => mv(a.name) })
+          else None
+        def integral(t: DataType): Boolean = t match {
+          case IntegerType | LongType | ShortType | ByteType => true
+          case _ => false
+        }
         if (ae.isDistinct) {
-          // DISTINCT aggregates over summary KEYS: the summary has
-          // every key combination present in the fact, so the distinct
-          // tuple set per coarser group equals the summary rows' set —
-          // any value-SET aggregate (count/sum/avg distinct) re-runs
-          // verbatim over summary key columns
-          def keyAttr(ex: Expression): Option[Attribute] = ex match {
-            case a: AttributeReference if !dimOut.contains(a) &&
-                keys.contains(a.name) && mv.contains(a.name) =>
-              Some(mv(a.name))
-            case _ => None
-          }
+          // DISTINCT aggregates over summary KEYS (or expressions of
+          // them): the summary has every key combination present in
+          // the fact, so the distinct value set per coarser group
+          // equals the one over summary rows — any value-SET aggregate
+          // (count/sum/avg distinct) re-runs verbatim
           return (ae.aggregateFunction match {
             case c: Count if c.children.nonEmpty =>
-              sequence(c.children.map(keyAttr))
+              sequence(c.children.map(keyExpr))
                 .map(ks => agg(Count(ks), distinct = true))
             case s: Sum =>
-              keyAttr(s.child).map(k => agg(Sum(k), distinct = true))
+              keyExpr(s.child).map(k => agg(Sum(k), distinct = true))
             case av: Average =>
-              keyAttr(av.child).map(k => agg(Average(k), distinct = true))
+              keyExpr(av.child).map(k => agg(Average(k), distinct = true))
             case _ => None
           }).map(ex => Alias(ex, name)(exprId = e.exprId))
         }
@@ -1460,14 +1587,24 @@ object SummaryRewrite {
               Coalesce(Seq(agg(Sum(mv("cnt"))), Literal(0L))),
               name)(exprId = e.exprId))
           // COUNT(col) skips NULLs — derivable from the cnt_<col>
-          // non-null-count partial (NOT from cnt, which counts rows)
+          // non-null-count partial (NOT from cnt, which counts rows);
+          // COUNT(f(keys)...) — rows where every child is non-null —
+          // derivable from cnt gated on the children's nullity, which
+          // is constant per summary row
           case c: Count => c.children match {
             case Seq(a: AttributeReference)
                 if !dimOut.contains(a) && mv.contains(s"cnt_${a.name}") =>
               Some(Alias(
                 Coalesce(Seq(agg(Sum(mv(s"cnt_${a.name}"))), Literal(0L))),
                 name)(exprId = e.exprId))
-            case _ => None
+            case cs => sequence(cs.map(keyExpr)).map { ks =>
+              val allNotNull = ks.map(IsNotNull(_): Expression).reduce(And)
+              Alias(
+                Coalesce(Seq(agg(Sum(
+                  If(allNotNull, mv("cnt"), Literal(null, LongType)))),
+                  Literal(0L))),
+                name)(exprId = e.exprId)
+            }
           }
           // SUM over a FLOATING-POINT measure refuses: Σsum_x
           // re-associates the adds, and float addition is not
@@ -1476,13 +1613,19 @@ object SummaryRewrite {
           // rewrite's whole contract (integral partials are exact under
           // any association; decimal widening already refuses via the
           // type-preservation guard). Build a Long-measure summary, or
-          // query the fact.
+          // query the fact. SUM over an integral key EXPRESSION is
+          // Σ cnt·f — every fact row of a summary row contributes the
+          // same f value.
           case s: Sum => s.child match {
             case a: AttributeReference
                 if !dimOut.contains(a) && mv.contains(s"sum_${a.name}") &&
                   !fpType(mv(s"sum_${a.name}").dataType) =>
               Some(Alias(agg(Sum(mv(s"sum_${a.name}"))),
                 name)(exprId = e.exprId))
+            case child if integral(child.dataType) =>
+              keyExpr(child).map(k =>
+                Alias(agg(Sum(Multiply(mv("cnt"), Cast(k, LongType)))),
+                  name)(exprId = e.exprId))
             case _ => None
           }
           case m: Min => m.child match {
@@ -1490,14 +1633,16 @@ object SummaryRewrite {
                 if !dimOut.contains(a) && mv.contains(s"min_${a.name}") =>
               Some(Alias(agg(Min(mv(s"min_${a.name}"))),
                 name)(exprId = e.exprId))
-            case _ => None
+            case child => keyExpr(child).map(k =>
+              Alias(agg(Min(k)), name)(exprId = e.exprId))
           }
           case m: Max => m.child match {
             case a: AttributeReference
                 if !dimOut.contains(a) && mv.contains(s"max_${a.name}") =>
               Some(Alias(agg(Max(mv(s"max_${a.name}"))),
                 name)(exprId = e.exprId))
-            case _ => None
+            case child => keyExpr(child).map(k =>
+              Alias(agg(Max(k)), name)(exprId = e.exprId))
           }
           // AVG(x) = Σsum_x / Σcnt_x — the NON-NULL count partial, not
           // the row count: avg skips nulls, so a nullable measure
@@ -1508,7 +1653,8 @@ object SummaryRewrite {
           // exact-Long Σsum_x matches DuckDB's exact integer-avg
           // semantics (Spark's unrewritten Average accumulates
           // integral sums in double — bit-identical while the total
-          // stays under 2^53, i.e. everywhere it is exact).
+          // stays under 2^53, i.e. everywhere it is exact). AVG over
+          // an integral key EXPRESSION is Σ cnt·f / Σ cnt[f non-null].
           case av: Average => av.child match {
             case a: AttributeReference
                 if !dimOut.contains(a) && mv.contains(s"sum_${a.name}") &&
@@ -1519,16 +1665,57 @@ object SummaryRewrite {
                   Cast(agg(Sum(mv(s"sum_${a.name}"))), DoubleType),
                   Cast(agg(Sum(mv(s"cnt_${a.name}"))), DoubleType)),
                 name)(exprId = e.exprId))
+            case child if integral(child.dataType) =>
+              keyExpr(child).map(k =>
+                Alias(
+                  Divide(
+                    Cast(agg(Sum(Multiply(mv("cnt"), Cast(k, LongType)))),
+                      DoubleType),
+                    Cast(agg(Sum(If(IsNotNull(k), mv("cnt"),
+                      Literal(null, LongType)))), DoubleType)),
+                  name)(exprId = e.exprId))
             case _ => None
           }
           case _ => None
         }
+      // COMPOSED outputs — expressions OVER aggregates
+      // (`coalesce(sum(x) FILTER ..., 0)`, `sum(a) / count(*)`,
+      // ratios, CASE over counts — CollapseProject folds the user's
+      // post-aggregation Project into the aggregate list, so these
+      // are what the rule actually sees): derive each embedded
+      // AggregateExpression independently through this same
+      // dispatcher; the GLUE must be deterministic, subquery-free,
+      // and reference only keys (remapped) or dim attrs. Exact
+      // because each aggregate is exact and the glue is a pure
+      // function of exact inputs.
+      case al @ Alias(ex, name)
+          if ex.exists(_.isInstanceOf[AggregateExpression]) &&
+            !ex.isInstanceOf[AggregateExpression] &&
+            ex.deterministic &&
+            !ex.exists(_.isInstanceOf[PlanExpression[_]]) =>
+        def rw(expr: Expression): Option[Expression] = expr match {
+          case ae: AggregateExpression =>
+            rewriteAgg(Alias(ae, "t")(), mv, keys, dimOut).collect {
+              case Alias(d, _) => d
+              case a: Attribute => a
+            }
+          case a: AttributeReference =>
+            if (dimOut.contains(a)) Some(a)
+            else if (keys.contains(a.name) && mv.contains(a.name))
+              Some(mv(a.name))
+            else None
+          case other if other.deterministic =>
+            sequence(other.children.map(rw))
+              .map(cs => other.withNewChildren(cs))
+          case _ => None
+        }
+        rw(ex).filter(_.dataType == ex.dataType)
+          .map(d => Alias(d, name)(exprId = al.exprId))
       // grouping-EXPRESSION outputs (and compositions of grouping
-      // expressions — the only non-aggregate shapes the analyzer
-      // admits into an Aggregate's output): deterministic,
-      // aggregate-free, references all summary keys (or dim attrs in
-      // the join path) — remapped verbatim, a coarsening of a
-      // coarsening (HEALPix parent = id >> 2, year(date), …)
+      // expressions): deterministic, aggregate-free, references all
+      // summary keys (or dim attrs in the join path) — remapped
+      // verbatim, a coarsening of a coarsening (HEALPix parent =
+      // id >> 2, year(date), …)
       case al @ Alias(ex, name)
           if ex.deterministic &&
             !ex.exists(_.isInstanceOf[AggregateExpression]) &&

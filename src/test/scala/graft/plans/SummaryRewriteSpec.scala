@@ -124,9 +124,11 @@ class SummaryRewriteSpec extends AnyFunSuite {
       // (avg n_chars DOES rewrite — the dedicated law below)
       val avgQ = docs.groupBy($"source").agg(avg($"doc_id").as("a"))
       assert(!usesMv(avgQ), "avg without a sum partial must not rewrite")
-      // count(column) skips nulls — not derivable from cnt
-      val countCol = docs.groupBy($"source").agg(count($"lang").as("n"))
-      assert(!usesMv(countCol), "count(col) must not rewrite")
+      // count(column) skips nulls — a non-key measure with no
+      // cnt_<col> partial is not derivable (count over a KEY or a
+      // cnt_-carrying measure IS — the null-safe laws below)
+      val countCol = docs.groupBy($"source").agg(count($"text").as("n"))
+      assert(!usesMv(countCol), "count(non-key col) must not rewrite")
       // sum of a column the summary does not carry
       val sumOther = docs.groupBy($"source")
         .agg(sum(length($"text")).as("n"))
@@ -1147,14 +1149,23 @@ class SummaryRewriteSpec extends AnyFunSuite {
     try {
       def orders = graft.Tables.load(spark, dir, "orders")
       // DIRECT path: sum over a computed column renamed to o_orderkey
-      // — the inline resolves it to the computing expression, which is
-      // not a bare column, so no partial matches
-      val direct = orders
+      // — the inline resolves it to the computing EXPRESSION, so the
+      // real sum_o_orderkey partial can never be claimed; since the
+      // expression is over KEYS it now derives as Σ cnt·f — the
+      // VALUE equality below is the real shadowing gate (a plan that
+      // served the stale partial would diverge)
+      def direct = orders
         .select($"o_custkey", ($"o_custkey" * 7).as("o_orderkey"))
         .groupBy($"o_custkey").agg(sum($"o_orderkey").as("s"))
-      assert(direct.queryExecution.executedPlan.toString
-        .contains("orders.parquet"),
-        "direct path must refuse a shadowing computed measure")
+      val pd = direct.queryExecution.executedPlan.toString
+      assert(pd.contains("/shadow") && !pd.contains("orders.parquet"),
+        s"key-expression shadow should serve via cnt-weighted f:\n$pd")
+      SummaryRewrite.deregister("spec_shadow")
+      val expectD = direct.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_shadow",
+        SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+      assert(direct.collect().map(_.toSeq).toSet === expectD,
+        "computed-column values diverged — the stale partial leaked")
       // and the honest RENAME still serves (inline resolves to the
       // true base column)
       def renamed = orders
@@ -1567,6 +1578,114 @@ class SummaryRewriteSpec extends AnyFunSuite {
           sum(length($"text")).as("s"))
       assert(!usesMv(bad),
         "an unknown regular measure must refuse the mixed rewrite")
+    }
+  }
+
+  test("FILTER (WHERE key-pred) aggregates serve — replayed onto the " +
+      "partials; non-key filter clauses refuse") {
+    val fmv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/filtermv"
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = fmv, minMaxCols = Seq("n_chars"))
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_filter",
+      SummaryRewrite.Summary("documents.parquet", fmv,
+        Set("source", "lang")))
+    try {
+      def served(df: DataFrame): Boolean = {
+        val p = df.queryExecution.executedPlan.toString
+        p.contains("filtermv") && !p.contains("documents.parquet")
+      }
+      // the full conditional-dashboard row: plain filtered aggregates
+      // AND a filtered distinct (the latter forces the
+      // RewriteDistinctAggregates Expand with masked filter refs)
+      def q = docs.groupBy($"lang").agg(
+        expr("count(*) FILTER (WHERE source = 'src1')").as("n1"),
+        expr("sum(n_chars) FILTER (WHERE source <> 'src1')").as("sc"),
+        expr("min(n_chars) FILTER (WHERE source = 'src2')").as("lo"),
+        expr("avg(n_chars) FILTER (WHERE source = 'src1')").as("a"),
+        expr("count(DISTINCT source) FILTER (WHERE source <> 'src3')")
+          .as("nd"),
+        count(lit(1)).as("n"))
+      assert(served(q), "key-filtered aggregates did not serve")
+      SummaryRewrite.deregister("spec_filter")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_filter",
+        SummaryRewrite.Summary("documents.parquet", fmv,
+          Set("source", "lang")))
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "FILTER-clause replay diverged from the fact answer")
+      // a filter clause over a MEASURE (non-key) must refuse
+      val bad = docs.groupBy($"lang").agg(
+        expr("count(*) FILTER (WHERE n_chars > 100)").as("n"))
+      assert(!served(bad), "non-key FILTER clause must refuse")
+      // (a NONDETERMINISTIC filter clause never reaches the rule —
+      // Spark's analyzer rejects it; the rule's determinism guard is
+      // defense-in-depth for programmatically-built plans)
+    } finally SummaryRewrite.deregister("spec_filter")
+  }
+
+  test("measure EXPRESSIONS over keys serve: sum/count/min/max/avg/" +
+      "distinct of f(keys); non-key or float expressions refuse") {
+    withSummary {
+      def q = docs.groupBy($"source").agg(
+        sum(when($"lang" === "en", 1).otherwise(0)).as("n_en"),
+        sum(length($"lang").cast("long")).as("lang_len_sum"),
+        count(when($"lang" === "de", 1)).as("n_de"),
+        min(upper($"lang")).as("first_lang"),
+        max(length($"lang")).as("max_len"),
+        avg(length($"lang")).as("avg_len"),
+        countDistinct(substring($"lang", 1, 1)).as("n_first"),
+        count(lit(1)).as("n"))
+      assert(usesMv(q), "key-expression measures did not serve")
+      SummaryRewrite.deregister("spec_mv")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_mv",
+        SummaryRewrite.Summary("documents.parquet", mv,
+          Set("source", "lang")))
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "key-expression derivations diverged — Σ cnt·f is load-bearing")
+      // expression over a NON-key column refuses
+      val bad = docs.groupBy($"source")
+        .agg(sum(when($"n_chars" > 100, 1).otherwise(0)).as("s"))
+      assert(!usesMv(bad), "non-key expression measure must refuse")
+      // float-typed key expression refuses SUM (reassociation)
+      val fp = docs.groupBy($"source")
+        .agg(sum(length($"lang") * lit(0.5)).as("s"))
+      assert(!usesMv(fp), "float key-expression SUM must refuse")
+      // (a NONDETERMINISTIC measure never reaches the rule — Spark's
+      // analyzer rejects nondeterministic aggregate arguments outright)
+    }
+  }
+
+  test("COMPOSED outputs serve: expressions over aggregates " +
+      "(coalesce, ratios, key glue) derive per-aggregate, exactly") {
+    withSummary {
+      // the CollapseProject shape: a user .select over the aggregate
+      // is folded INTO the aggregate list before the rule runs
+      def q = docs.groupBy($"source").agg(
+          expr("sum(n_chars) FILTER (WHERE lang = 'zz')").as("raw_zz"),
+          count(lit(1)).as("n"),
+          sum($"n_chars").as("sc"))
+        .select($"source",
+          coalesce($"raw_zz", lit(0L)).as("zz"),
+          ($"sc" / $"n").as("ratio"),
+          concat($"source", lit("!")).as("tagged"),
+          $"n")
+      assert(usesMv(q), "composed outputs did not serve")
+      SummaryRewrite.deregister("spec_mv")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_mv",
+        SummaryRewrite.Summary("documents.parquet", mv,
+          Set("source", "lang")))
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "composed-output derivation diverged")
+      // an embedded NON-derivable aggregate refuses the whole output
+      val bad = docs.groupBy($"source")
+        .agg(coalesce(sum(length($"text")), lit(0L)).as("s"))
+      assert(!usesMv(bad),
+        "a non-derivable aggregate inside glue must refuse")
     }
   }
 }
