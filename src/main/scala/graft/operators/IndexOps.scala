@@ -307,7 +307,8 @@ object IndexOps {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.groupBy($"source", $"lang")
-          .agg(count(lit(1)).as("cnt"), sum($"n_chars").as("sum_n_chars"))
+          .agg(count(lit(1)).as("cnt"), sum($"n_chars").as("sum_n_chars"),
+            count($"n_chars").as("cnt_n_chars"))
           .coalesce(1).write.mode("append").parquet(s"$tmp/shards"): Unit
       }
       .option("checkpointLocation", s"$tmp/ckpt").start()
@@ -325,7 +326,8 @@ object IndexOps {
     val v = writeSnapshot(
       s.read.parquet(s"$tmp/shards")
         .groupBy($"source", $"lang")
-        .agg(sum($"cnt").as("cnt"), sum($"sum_n_chars").as("sum_n_chars"))
+        .agg(sum($"cnt").as("cnt"), sum($"sum_n_chars").as("sum_n_chars"),
+          sum($"cnt_n_chars").as("cnt_n_chars"))
         .coalesce(1),
       store)
     require(v == 1L, s"q244: expected first store commit, got snap=$v")
@@ -333,8 +335,12 @@ object IndexOps {
     SummaryRewrite.registerStore("q244_docs_by_source_lang",
       "documents.parquet", store, Set("source", "lang"))
     try {
+      // avg rides the streamed cnt_<col> partial (the null-safe
+      // derivation), proving stream-maintained artifacts carry the
+      // FULL naming contract, not just count/sum
       val agg = docs.groupBy($"lang")
-        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+          avg($"n_chars").as("avg_chars"))
       val phys = agg.queryExecution.executedPlan.toString
       require(phys.contains("docs_by_source_lang"),
         "q244 gate is vacuous: the rewrite did not fire")
@@ -1889,7 +1895,8 @@ object IndexOps {
     // the fold, and the rewrite must all be invisible to the answer
     "q244_streaming_summary" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  avg(n_chars) AS avg_chars
         |FROM documents GROUP BY 1""".stripMargin,
     // q250: the plain FILTERED fact SQL — the key-only predicate, the
     // summary, and the pushdown are all invisible to the answer

@@ -107,9 +107,17 @@ trait ResidualOnlyScan
   * grouping expression must be deterministic, aggregate-free, and
   * reference only the chosen summary's keys (bare key attributes are
   * the degenerate case); every aggregate must be COUNT(*)/COUNT(1),
-  * COUNT(attr), SUM(attr), MIN(attr), MAX(attr), AVG(attr), or
-  * COUNT(DISTINCT key attrs) — COUNT(attr) derived as Σcnt_attr and
-  * AVG as Σsum_attr / Σcnt_attr, both over the NON-NULL-count partial
+  * COUNT(attr), SUM(attr), MIN(attr), MAX(attr), AVG(attr),
+  * COUNT/SUM/AVG(DISTINCT key exprs), APPROX_COUNT_DISTINCT(key
+  * expr) (HLL is value-set pure — bit-identical over summary rows),
+  * any of those over a deterministic EXPRESSION of keys (sum(f(keys))
+  * = Σ cnt·f, integral f; count(f) = Σ cnt over non-null f; min/max/
+  * distinct over the preserved value set), optionally under a
+  * key-only FILTER (WHERE …) clause (replayed onto the partial
+  * inputs), or a COMPOSED expression over such aggregates with
+  * deterministic key/dim glue (`coalesce(sum(x) FILTER …, 0)`,
+  * ratios) — COUNT(attr) derived as Σcnt_attr and AVG as
+  * Σsum_attr / Σcnt_attr, both over the NON-NULL-count partial
   * (avg/count(col) skip NULLs, so the row-count Σcnt would silently
   * serve a wrong value over a nullable measure; an artifact without
   * `cnt_<attr>` refuses both) — with the matching
@@ -1676,6 +1684,15 @@ object SummaryRewrite {
                   name)(exprId = e.exprId))
             case _ => None
           }
+          // approx_count_distinct over a key (expression): HLL is a
+          // pure function of the value SET — multiplicities never
+          // touch the registers — and the summary preserves the set,
+          // so the sketch re-runs over summary rows BIT-identically
+          // (same hashes, same registers, same estimate)
+          case h: HyperLogLogPlusPlus =>
+            keyExpr(h.child).map(k =>
+              Alias(agg(h.withNewChildren(Seq(k))
+                .asInstanceOf[AggregateFunction]), name)(exprId = e.exprId))
           case _ => None
         }
       // COMPOSED outputs — expressions OVER aggregates

@@ -1688,4 +1688,26 @@ class SummaryRewriteSpec extends AnyFunSuite {
         "a non-derivable aggregate inside glue must refuse")
     }
   }
+
+  test("approx_count_distinct over keys serves BIT-identically (HLL is " +
+      "value-set pure); over a non-key it refuses") {
+    withSummary {
+      def q = docs.groupBy($"source")
+        .agg(approx_count_distinct($"lang").as("ad"),
+          approx_count_distinct(concat($"lang", $"source")).as("ade"),
+          count(lit(1)).as("n"))
+      assert(usesMv(q), "HLL over keys did not serve")
+      SummaryRewrite.deregister("spec_mv")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_mv",
+        SummaryRewrite.Summary("documents.parquet", mv,
+          Set("source", "lang")))
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "HLL sketch over summary rows diverged — it must be the same " +
+          "register set (multiplicity-free)")
+      val bad = docs.groupBy($"source")
+        .agg(approx_count_distinct($"n_chars").as("ad"))
+      assert(!usesMv(bad), "HLL over a non-key measure must refuse")
+    }
+  }
 }
