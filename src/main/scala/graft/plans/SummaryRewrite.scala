@@ -476,6 +476,11 @@ object SummaryRewrite {
     import org.apache.spark.sql.functions.col
     if (keys.isEmpty) df.coalesce(1)
     else df.repartitionByRange(keys.map(col): _*)
+      // sorted within each ranged partition: every parquet ROW GROUP
+      // gets tight key min/max stats, so key-filtered serving reads
+      // skip row groups inside big artifacts, not just whole files
+      // (a summary-rows sort — cheap at build, paid once)
+      .sortWithinPartitions(keys.map(col): _*)
   }
 
   /** Build + persist a summary artifact at a fixed path. */

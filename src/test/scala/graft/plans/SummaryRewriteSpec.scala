@@ -1327,6 +1327,16 @@ class SummaryRewriteSpec extends AnyFunSuite {
       SummaryRewrite.register("spec_ranged",
         SummaryRewrite.Summary("orders.parquet", big, Set("o_custkey")))
       assert(q.collect().map(_.toSeq).toSet === expect)
+      // a KEY-filtered read of the multi-file artifact pushes the
+      // predicate into the parquet scan — with the key-ranged,
+      // key-sorted layout that is file AND row-group skipping
+      val filtered = graft.Tables.load(spark, dir, "orders")
+        .filter(col("o_custkey") === 7L)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      val pf = filtered.queryExecution.executedPlan.toString
+      assert(pf.contains("ranged_by_cust") &&
+        pf.contains("PushedFilters") && pf.contains("EqualTo(o_custkey,7)"),
+        s"key filter not pushed into the ranged artifact scan:\n$pf")
     } finally SummaryRewrite.deregister("spec_ranged")
   }
 
