@@ -110,7 +110,10 @@ trait ResidualOnlyScan
   * COUNT(attr), SUM(attr), MIN(attr), MAX(attr), AVG(attr),
   * COUNT/SUM/AVG(DISTINCT key exprs), APPROX_COUNT_DISTINCT(key
   * expr) (HLL is value-set pure — bit-identical over summary rows),
-  * any of those over a deterministic EXPRESSION of keys (sum(f(keys))
+  * PERCENTILE/MEDIAN(key expr) (exact, via the frequency argument —
+  * percentile(k, p, cnt) replays the multiplicities the collapse
+  * removed), any of those over a deterministic EXPRESSION of keys
+  * (sum(f(keys))
   * = Σ cnt·f, integral f; count(f) = Σ cnt over non-null f; min/max/
   * distinct over the preserved value set), optionally under a
   * key-only FILTER (WHERE …) clause (replayed onto the partial
@@ -1698,6 +1701,28 @@ object SummaryRewrite {
             keyExpr(h.child).map(k =>
               Alias(agg(h.withNewChildren(Seq(k))
                 .asInstanceOf[AggregateFunction]), name)(exprId = e.exprId))
+          // EXACT percentile/median over a key (expression): Spark's
+          // Percentile takes a FREQUENCY argument, and cnt is exactly
+          // the multiplicity the collapse removed — percentile(k, p)
+          // over the fact ≡ percentile(k, p, cnt) over summary rows
+          // (same value→count multiset, same interpolation). Median
+          // arrives here too (it is replaced by percentile 0.5
+          // upstream). The frequency must still be the DEFAULT 1 on
+          // the original (a user-supplied frequency is not a row
+          // count and refuses).
+          case p: Percentile
+              if p.frequencyExpression.foldable &&
+                p.frequencyExpression.eval() == 1L &&
+                p.percentageExpression.foldable =>
+            // only the VALUE child takes the filter wrap (a null child
+            // row is skipped regardless of its frequency); the
+            // percentage must stay a foldable literal
+            keyExpr(p.child).map(k =>
+              Alias(AggregateExpression(
+                p.withNewChildren(Seq(wrap(k),
+                  p.percentageExpression, mv("cnt")))
+                  .asInstanceOf[AggregateFunction],
+                Complete, isDistinct = false), name)(exprId = e.exprId))
           case _ => None
         }
       // COMPOSED outputs — expressions OVER aggregates

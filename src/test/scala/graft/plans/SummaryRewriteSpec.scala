@@ -1720,4 +1720,72 @@ class SummaryRewriteSpec extends AnyFunSuite {
       assert(!usesMv(bad), "HLL over a non-key measure must refuse")
     }
   }
+
+  test("EXACT percentile/median over keys serves via the frequency " +
+      "argument (percentile(k, p, cnt)); non-key and custom-frequency " +
+      "refuse") {
+    val pmv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/pctmv"
+    // a NUMERIC key so percentile resolves: orders by custkey
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"), mvPath = pmv)
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_pct",
+      SummaryRewrite.Summary("orders.parquet", pmv, Set("o_custkey")))
+    try {
+      def orders = graft.Tables.load(spark, dir, "orders")
+      def q = orders.groupBy(expr("o_custkey % 3").as("b"))
+        .agg(expr("percentile(o_custkey, 0.5)").as("med"),
+          expr("median(o_custkey)").as("med2"),
+          expr("percentile(o_custkey, 0.9) FILTER (WHERE o_custkey % 2 = 0)")
+            .as("p90even"),
+          count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("pctmv") && !p.contains("orders.parquet"),
+        s"percentile over a key did not serve:\n$p")
+      SummaryRewrite.deregister("spec_pct")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_pct",
+        SummaryRewrite.Summary("orders.parquet", pmv, Set("o_custkey")))
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "frequency-weighted percentile diverged — cnt must replay the " +
+          "exact multiplicities the collapse removed")
+      // percentile over a non-key measure refuses (no value partial)
+      val bad = orders.groupBy(expr("o_custkey % 3").as("b"))
+        .agg(expr("percentile(o_orderkey, 0.5)").as("m"))
+      assert(bad.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "percentile over a non-key measure must refuse")
+      // a user-supplied frequency is NOT a row count — refuse
+      val custom = orders.groupBy(expr("o_custkey % 3").as("b"))
+        .agg(expr("percentile(o_custkey, 0.5, 2)").as("m"))
+      assert(custom.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "custom-frequency percentile must refuse")
+    } finally SummaryRewrite.deregister("spec_pct")
+  }
+
+  test("rollup + FILTER aggregates compose in the Expand path " +
+      "(filter refs remapped to masked key pass-throughs)") {
+    withSummary {
+      def q = docs.rollup($"source").agg(
+        expr("count(*) FILTER (WHERE lang = 'en')").as("n_en"),
+        expr("sum(n_chars) FILTER (WHERE lang <> 'en')").as("sc"),
+        count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(usesMv(q), s"rollup + FILTER did not serve:\n$p")
+      assert(p.contains("Expand"), "not the rollup Expand shape")
+      SummaryRewrite.deregister("spec_mv")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_mv",
+        SummaryRewrite.Summary("documents.parquet", mv,
+          Set("source", "lang")))
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "rollup + FILTER replay diverged")
+      // a non-key FILTER under the rollup refuses
+      val bad = docs.rollup($"source").agg(
+        expr("count(*) FILTER (WHERE n_chars > 100)").as("n"))
+      assert(!usesMv(bad), "non-key FILTER under rollup must refuse")
+    }
+  }
 }
