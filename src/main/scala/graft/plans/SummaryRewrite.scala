@@ -170,16 +170,33 @@ object SummaryRewrite {
 
   private val registry = new ConcurrentHashMap[String, Summary]()
 
-  /** The catalog a long-lived consumer is BOUND to: directory, the
-    * version its registrations were loaded from, and the entry names
-    * that load owns (so a later version that DROPS an entry
-    * deregisters it — a published deregistration must stop serving).
-    * One bound catalog per process (latest [[loadCatalog]] wins);
-    * [[clear]] unbinds. */
+  /** The catalogs this process is BOUND to, one per catalog DIRECTORY:
+    * the version each load resolved and the entry names that load owns
+    * (so a later version that DROPS an entry deregisters it — a
+    * published deregistration must stop serving). Two consumers in one
+    * JVM bound to DIFFERENT directories refresh independently; entry
+    * NAMES still share the one flat registry, so two catalogs
+    * publishing the same entry name race (last refresh wins) — name
+    * catalogs' entries distinctly. [[clear]] unbinds everything. */
   private final case class BoundCatalog(dir: String, version: Long,
       names: Set[String])
-  @volatile private var bound: Option[BoundCatalog] = None
+  private val bound = new ConcurrentHashMap[String, BoundCatalog]()
   private val boundLock = new Object
+
+  /** Freshness-listing rate limit: a bound consumer re-lists its
+    * catalog directory at most once per TTL (the rule sits in
+    * fixed-point optimizer batches, so one query plans the rule many
+    * times — and on an object store each listing is a paid LIST call;
+    * a ~1 s TTL keeps the freshness contract at epsilon cost). A
+    * same-JVM [[publishCatalog]] invalidates its directory's stamp, so
+    * producer-then-query in one process is immediately fresh; other
+    * JVMs see the new version within the TTL. Test hooks: the clock is
+    * injectable and [[listingCount]] counts actual listings. */
+  private[plans] var refreshTtlNanos: Long = 1000000000L
+  private[plans] var nanoClock: () => Long = () => System.nanoTime()
+  private[plans] val listingCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private val lastListNanos = new ConcurrentHashMap[String, java.lang.Long]()
 
   /** Trace sink for [[explainServing]] — null (disabled) outside an
     * explain call, so the rule's hot path pays one thread-local read. */
@@ -229,7 +246,8 @@ object SummaryRewrite {
 
   def clear(): Unit = {
     registry.clear()
-    bound = None
+    bound.clear()
+    lastListNanos.clear()
   }
 
   // ------------------------------------------------------------ catalog
@@ -293,6 +311,9 @@ object SummaryRewrite {
         s"publishCatalog: staging rename $tmp -> $dst failed — catalog " +
           "left unchanged (stale staging will be swept)")
     fs.delete(new org.apache.hadoop.fs.Path(s"$catalogDir/.cat-staging"), true)
+    // a same-JVM consumer bound to this directory must see cat=v on its
+    // very next query: drop the freshness-listing TTL stamp
+    lastListNanos.remove(catalogDir)
     v
   }
 
@@ -323,8 +344,9 @@ object SummaryRewrite {
     val entries = readCatalogVersion(spark, catalogDir, live.max)
     boundLock.synchronized {
       entries.foreach { case (n, s) => register(n, s) }
-      bound = Some(BoundCatalog(catalogDir, live.max,
+      bound.put(catalogDir, BoundCatalog(catalogDir, live.max,
         entries.map(_._1).toSet))
+      lastListNanos.put(catalogDir, nanoClock())
     }
     entries.size
   }
@@ -344,34 +366,47 @@ object SummaryRewrite {
     parseCatalog(raw)
   }
 
-  /** Re-resolve the bound catalog's newest committed version; when a
-    * newer `cat=N` exists, swap the previous load's registrations for
-    * the new entry set (names the new version dropped DEREGISTER —
-    * a published deregistration stops serving; registrations made
-    * programmatically outside the catalog are untouched). Called by
-    * the rule per optimization pass — a no-op single volatile read
-    * when no catalog is bound, one directory listing when one is.
+  /** Re-resolve every bound catalog's newest committed version; when a
+    * newer `cat=N` exists for a directory, swap that load's
+    * registrations for the new entry set (names the new version
+    * dropped DEREGISTER — a published deregistration stops serving;
+    * registrations made programmatically outside catalogs are
+    * untouched). Called by the rule per optimization pass — a no-op
+    * map read when nothing is bound; at most one directory listing per
+    * dir per [[refreshTtlNanos]] when bound (the TTL is what keeps a
+    * high-QPS dashboard from paying an object-store LIST per planning
+    * pass; a same-JVM publish bypasses it via stamp invalidation).
     * Any listing/read failure leaves the current registrations as
     * they are (serving from the last good catalog beats throwing
     * inside the optimizer). */
   private[plans] def refreshBoundCatalog(spark: SparkSession): Unit = {
-    val b = bound.getOrElse(return)
-    val newest = Try(catalogVersions(spark, b.dir))
-      .toOption.flatMap(_.sorted.lastOption).getOrElse(return)
-    if (newest <= b.version) return
-    boundLock.synchronized {
-      // re-check under the lock: another query thread may have won
-      bound.filter(cur => cur.dir == b.dir && newest > cur.version)
-        .foreach { cur =>
-          Try(readCatalogVersion(spark, b.dir, newest)).foreach { entries =>
-            val names = entries.map(_._1).toSet
-            (cur.names -- names).foreach(deregister)
-            entries.foreach { case (n, s) => register(n, s) }
-            bound = Some(BoundCatalog(b.dir, newest, names))
-            note(s"catalog refreshed to cat=$newest " +
-              s"(${entries.size} entries)")
+    if (bound.isEmpty) return
+    import scala.jdk.CollectionConverters._
+    bound.values.asScala.toSeq.foreach { b =>
+      val now = nanoClock()
+      val last = lastListNanos.get(b.dir)
+      if (last == null || now - last >= refreshTtlNanos) {
+        lastListNanos.put(b.dir, now)
+        listingCount.incrementAndGet()
+        val newest = Try(catalogVersions(spark, b.dir))
+          .toOption.flatMap(_.sorted.lastOption)
+        newest.filter(_ > b.version).foreach { v =>
+          boundLock.synchronized {
+            // re-check under the lock: another query thread may have won
+            Option(bound.get(b.dir)).filter(cur => v > cur.version)
+              .foreach { cur =>
+                Try(readCatalogVersion(spark, b.dir, v)).foreach { entries =>
+                  val names = entries.map(_._1).toSet
+                  (cur.names -- names).foreach(deregister)
+                  entries.foreach { case (n, s) => register(n, s) }
+                  bound.put(b.dir, BoundCatalog(b.dir, v, names))
+                  note(s"catalog ${b.dir} refreshed to cat=$v " +
+                    s"(${entries.size} entries)")
+                }
+              }
           }
         }
+      }
     }
   }
 
@@ -402,9 +437,34 @@ object SummaryRewrite {
     } + "\""
 
   /** One escaped-JSON-string unescape — shared by every reader of the
-    * catalog's writer format ([[jstr]] is the only producer). */
-  private def junstr(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
+    * catalog's writer format ([[jstr]] is the only producer, so the
+    * alphabet is exactly `\"`, `\\`, and `\uXXXX` for control
+    * characters: a column name with an embedded newline/tab — legal in
+    * Spark via backticks — must roundtrip EXACTLY, or the registration
+    * silently mis-registers and the summary refuses forever). A
+    * single left-to-right scan, so `\\u0041` stays the literal text
+    * `A` (the backslash is consumed first). */
+  private def junstr(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other =>
+            sb.append(other)
+            i += 2
+        }
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
 
   /** Minimal JSON reader for the catalog's own writer format (json4s
     * ships with Spark but a 12-field flat schema does not need an AST;
@@ -477,7 +537,19 @@ object SummaryRewrite {
     * datasets, `metadata_strategy_image.py:317-322`. */
   private def layout(df: DataFrame, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // the size-aware path NEEDS AQE: repartitionByRange with no
+    // explicit count is sized by runtime shuffle bytes only when
+    // adaptive execution is on — with AQE off it falls back to
+    // spark.sql.shuffle.partitions and a kilobyte summary would land
+    // as hundreds of tiny files. AQE is Spark's default since 3.2;
+    // a session that disabled it gets the pre-AQE single-file write
+    // (correct, sorted for row-group stats, but single-task — re-enable
+    // AQE for high-cardinality summary builds).
+    val aqe = Try(df.sparkSession.conf.get("spark.sql.adaptive.enabled")
+      .toBoolean).getOrElse(true)
     if (keys.isEmpty) df.coalesce(1)
+    else if (!aqe)
+      df.coalesce(1).sortWithinPartitions(keys.map(col): _*)
     else df.repartitionByRange(keys.map(col): _*)
       // sorted within each ranged partition: every parquet ROW GROUP
       // gets tight key min/max stats, so key-filtered serving reads
@@ -614,11 +686,19 @@ object SummaryRewrite {
     * so both phantom summary rows and missing fact groups surface. */
   def auditSummary(spark: SparkSession, factPath: String,
       summary: Summary, sumCols: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty): DataFrame =
+    auditSummaryFrame(spark, spark.read.parquet(factPath), summary,
+      sumCols, minMaxCols)
+
+  /** [[auditSummary]] over an already-resolved fact frame — what a
+    * TABLE-identified registration (`spark.table("orders")`, no path)
+    * audits through. */
+  def auditSummaryFrame(spark: SparkSession, fact: DataFrame,
+      summary: Summary, sumCols: Seq[String],
       minMaxCols: Seq[String] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions._
     val keys = summary.keys.toSeq.sorted
-    val expect = summaryFrame(spark.read.parquet(factPath), keys, sumCols,
-      minMaxCols)
+    val expect = summaryFrame(fact, keys, sumCols, minMaxCols)
     val mvPath = summary.store match {
       case Some(st) =>
         val live = graft.operators.IndexOps.snapshotVersions(spark, st)
@@ -651,42 +731,61 @@ object SummaryRewrite {
     * same catalog can be audited against any environment's root).
     * Returns one accounting row per entry: name, keys audited,
     * discrepancy count, and a status ('ok' | 'drift' | 'missing' when
-    * the artifact is unreadable — the audit reports, never throws, so
-    * one rotted entry cannot hide the others' results). Measure
-    * columns are derived from the ARTIFACT schema (`sum_`/`min_`/
-    * `max_` naming contract), so the sweep needs no per-entry
-    * configuration. Cost: one fact scan per entry on the monitoring
-    * cadence — the q262 economics, fleet-wide. */
+    * the fact or artifact is unreadable | 'unauditable' when the entry
+    * carries no fact identity this sweep can resolve — the audit
+    * reports, never throws, so one rotted entry cannot hide the
+    * others' results). Path-identified entries resolve against
+    * `factRoot`; TABLE-identified entries (empty `factPathSuffix`,
+    * `table` set) resolve through `spark.table` — never against
+    * `"$factRoot/"`, which would audit the wrong directory or report
+    * a bogus 'missing'. Measure columns are derived from the ARTIFACT
+    * schema (`sum_`/`min_`/`max_` naming contract), so the sweep needs
+    * no per-entry configuration. Cost: one fact scan per entry on the
+    * monitoring cadence — the q262 economics, fleet-wide. */
   def auditCatalog(spark: SparkSession, catalogDir: String,
       factRoot: String): Seq[(String, Long, Long, String)] = {
     val live = catalogVersions(spark, catalogDir)
     if (live.isEmpty) return Seq.empty
     val loaded = readCatalogVersion(spark, catalogDir, live.max)
     loaded.sortBy(_._1).map { case (name, summary) =>
-      val factPath = s"$factRoot/${summary.factPathSuffix}"
-      val attempt = Try {
-        val mvPath = summary.store match {
-          case Some(st) =>
-            val versions =
-              graft.operators.IndexOps.snapshotVersions(spark, st)
-            require(versions.nonEmpty, s"empty store $st")
-            s"$st/snap=${versions.max}"
-          case None => summary.mvPath
+      val nKeys = summary.keys.size.toLong
+      val fact: Option[DataFrame] =
+        if (summary.factPathSuffix.nonEmpty)
+          Try(spark.read.parquet(s"$factRoot/${summary.factPathSuffix}"))
+            .toOption
+        else summary.table.flatMap(t => Try(spark.table(t)).toOption)
+      if (summary.factPathSuffix.isEmpty && summary.table.isEmpty)
+        (name, nKeys, -1L, "unauditable")
+      else if (fact.isEmpty && summary.factPathSuffix.isEmpty)
+        // table-identified but the table is not in THIS session's
+        // catalog: the entry is fine, this sweep just can't see it
+        (name, nKeys, -1L, "unauditable")
+      else {
+        val attempt = fact.flatMap { f =>
+          Try {
+            val mvPath = summary.store match {
+              case Some(st) =>
+                val versions =
+                  graft.operators.IndexOps.snapshotVersions(spark, st)
+                require(versions.nonEmpty, s"empty store $st")
+                s"$st/snap=${versions.max}"
+              case None => summary.mvPath
+            }
+            val schema = spark.read.parquet(mvPath).schema.fieldNames
+            val sumCols = schema.collect {
+              case fn if fn.startsWith("sum_") => fn.stripPrefix("sum_") }
+            val minMaxCols = schema.collect {
+              case fn if fn.startsWith("min_") => fn.stripPrefix("min_") }
+            val diffs = auditSummaryFrame(spark, f, summary,
+              sumCols.toSeq, minMaxCols.toSeq).count()
+            diffs
+          }.toOption
         }
-        val schema = spark.read.parquet(mvPath).schema.fieldNames
-        val sumCols = schema.collect {
-          case f if f.startsWith("sum_") => f.stripPrefix("sum_") }
-        val minMaxCols = schema.collect {
-          case f if f.startsWith("min_") => f.stripPrefix("min_") }
-        val nKeys = summary.keys.size.toLong
-        val diffs = auditSummary(spark, factPath, summary,
-          sumCols.toSeq, minMaxCols.toSeq).count()
-        (nKeys, diffs)
-      }
-      attempt.toOption match {
-        case Some((nKeys, 0L)) => (name, nKeys, 0L, "ok")
-        case Some((nKeys, d)) => (name, nKeys, d, "drift")
-        case None => (name, summary.keys.size.toLong, -1L, "missing")
+        attempt match {
+          case Some(0L) => (name, nKeys, 0L, "ok")
+          case Some(d) => (name, nKeys, d, "drift")
+          case None => (name, nKeys, -1L, "missing")
+        }
       }
     }
   }
@@ -1742,10 +1841,15 @@ object SummaryRewrite {
             !ex.exists(_.isInstanceOf[PlanExpression[_]]) =>
         def rw(expr: Expression): Option[Expression] = expr match {
           case ae: AggregateExpression =>
+            // each EMBEDDED aggregate's derived type must match ITS
+            // original, not just the composed result: type-erasing glue
+            // (cast(sum(dec) as string)) would otherwise hide a widened
+            // decimal re-aggregation whose extra overflow headroom can
+            // return a value where the fact scan overflows to NULL
             rewriteAgg(Alias(ae, "t")(), mv, keys, dimOut).collect {
               case Alias(d, _) => d
               case a: Attribute => a
-            }
+            }.filter(_.dataType == ae.dataType)
           case a: AttributeReference =>
             if (dimOut.contains(a)) Some(a)
             else if (keys.contains(a.name) && mv.contains(a.name))

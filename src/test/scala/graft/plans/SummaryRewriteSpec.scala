@@ -1262,7 +1262,12 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "backslashes) and the table field exactly") {
     val entries = Map(
       "hostile" -> SummaryRewrite.Summary("t.parquet", "/tmp/m",
-        Set("a,b", "a\"b", "a\\b", "plain")),
+        // control characters (newline/tab — legal in Spark column
+        // names via backticks) must roundtrip EXACTLY: jstr writes
+        // them \uXXXX and junstr must decode them back, not hand the
+        // registration the literal 6-char text "	". A literal
+        // backslash-u text key must survive too (escaping order).
+        Set("a,b", "a\"b", "a\\b", "plain", "a\nb", "a\tb", "a\\u0041b")),
       "tabled" -> SummaryRewrite.Summary("", "/tmp/m2", Set("k"),
         table = Some("my_catalog.db.orders")))
     val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
@@ -1787,5 +1792,190 @@ class SummaryRewriteSpec extends AnyFunSuite {
         expr("count(*) FILTER (WHERE n_chars > 100)").as("n"))
       assert(!usesMv(bad), "non-key FILTER under rollup must refuse")
     }
+  }
+
+  test("catalog freshness listing is TTL-rate-limited (back-to-back " +
+      "optimizations list at most once); a same-JVM publish bypasses " +
+      "the TTL so the freshness law stays green") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val catDir = s"$tmp/ttlcat"
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = s"$tmp/ttlmv")
+    SummaryRewrite.publishCatalog(spark, catDir, Map(
+      "ttl_docs" -> SummaryRewrite.Summary("documents.parquet",
+        s"$tmp/ttlmv", Set("source", "lang"))))
+    SummaryRewrite.clear()
+    // frozen injectable clock: every optimization lands inside the TTL
+    val oldClock = SummaryRewrite.nanoClock
+    val oldTtl = SummaryRewrite.refreshTtlNanos
+    var now = 0L
+    SummaryRewrite.nanoClock = () => now
+    SummaryRewrite.refreshTtlNanos = 1000000000L
+    try {
+      assert(SummaryRewrite.install(spark, catDir) === 1)
+      def q = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      val before = SummaryRewrite.listingCount.get()
+      assert(q.queryExecution.executedPlan.toString.contains("ttlmv"))
+      assert(q.queryExecution.executedPlan.toString.contains("ttlmv"))
+      val listed = SummaryRewrite.listingCount.get() - before
+      assert(listed <= 1,
+        s"two back-to-back optimizations paid $listed freshness " +
+          "listings — a high-QPS dashboard would pay an object-store " +
+          "LIST per planning pass")
+      // the TTL must not trade away same-JVM freshness: a publish
+      // invalidates its directory's stamp, so the very next query sees
+      // cat=2 even with the clock frozen
+      SummaryRewrite.publishCatalog(spark, catDir,
+        Map.empty[String, SummaryRewrite.Summary])
+      val p2 = q.queryExecution.executedPlan.toString
+      assert(!p2.contains("ttlmv") && p2.contains("documents.parquet"),
+        s"publish must bypass the TTL — stale serving after cat=2:\n$p2")
+      // an expired TTL lists again (cross-JVM publishes surface within
+      // one TTL window)
+      now += 2L * SummaryRewrite.refreshTtlNanos
+      val beforeExpiry = SummaryRewrite.listingCount.get()
+      q.queryExecution.executedPlan
+      assert(SummaryRewrite.listingCount.get() > beforeExpiry,
+        "an expired TTL must re-list — cross-JVM freshness")
+    } finally {
+      SummaryRewrite.nanoClock = oldClock
+      SummaryRewrite.refreshTtlNanos = oldTtl
+      SummaryRewrite.clear()
+    }
+  }
+
+  test("per-directory catalog binding: two catalogs bound in one JVM " +
+      "refresh independently — neither steals the other's freshness") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val (catA, catB) = (s"$tmp/catA", s"$tmp/catB")
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = s"$tmp/mvdocsA")
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"),
+      mvPath = s"$tmp/mvordersB")
+    SummaryRewrite.publishCatalog(spark, catA, Map(
+      "bindA_docs" -> SummaryRewrite.Summary("documents.parquet",
+        s"$tmp/mvdocsA", Set("source", "lang"))))
+    SummaryRewrite.publishCatalog(spark, catB, Map(
+      "bindB_orders" -> SummaryRewrite.Summary("orders.parquet",
+        s"$tmp/mvordersB", Set("o_custkey"))))
+    SummaryRewrite.clear()
+    assert(SummaryRewrite.install(spark, catA) === 1)
+    assert(SummaryRewrite.install(spark, catB) === 1)
+    try {
+      def qd = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      def qo = graft.Tables.load(spark, dir, "orders")
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      assert(qd.queryExecution.executedPlan.toString.contains("mvdocsA"))
+      assert(qo.queryExecution.executedPlan.toString.contains("mvordersB"))
+      // catalog A publishes an empty cat=2: A's entry stops serving,
+      // B's binding is UNTOUCHED (the single-binding footgun this law
+      // pins: a shared volatile would have let A's load steal B's)
+      SummaryRewrite.publishCatalog(spark, catA,
+        Map.empty[String, SummaryRewrite.Summary])
+      val pd = qd.queryExecution.executedPlan.toString
+      assert(!pd.contains("mvdocsA") && pd.contains("documents.parquet"),
+        s"catalog A's deregistration must stop serving:\n$pd")
+      assert(qo.queryExecution.executedPlan.toString.contains("mvordersB"),
+        "catalog B must keep serving after A's publish")
+      // and the reverse direction
+      SummaryRewrite.publishCatalog(spark, catB,
+        Map.empty[String, SummaryRewrite.Summary])
+      assert(qo.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "catalog B's deregistration must stop serving")
+    } finally SummaryRewrite.clear()
+  }
+
+  test("auditCatalog resolves TABLE-identified entries via spark.table " +
+      "(status ok), and reports 'unauditable' — never a bogus " +
+      "'missing' — when the identity cannot be resolved") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val catDir = s"$tmp/audcat"
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = s"$tmp/audmv")
+    spark.sql("DROP TABLE IF EXISTS spec_audit_tbl")
+    spark.sql("CREATE TABLE spec_audit_tbl USING parquet " +
+      s"LOCATION '$dir/documents.parquet'")
+    try {
+      SummaryRewrite.publishCatalog(spark, catDir, Map(
+        // table-identified, resolvable: must audit to 'ok'
+        "aud_tbl" -> SummaryRewrite.Summary("", s"$tmp/audmv",
+          Set("source", "lang"), table = Some("spec_audit_tbl")),
+        // table-identified, NOT resolvable in this session: the sweep
+        // cannot see it — 'unauditable', not 'missing' (the artifact
+        // is fine; auditing "$factRoot/" would be the old bug)
+        "aud_ghost" -> SummaryRewrite.Summary("", s"$tmp/audmv",
+          Set("source", "lang"), table = Some("spec_no_such_table"))))
+      val rows = SummaryRewrite.auditCatalog(spark, catDir, dir)
+        .map(r => r._1 -> r._4).toMap
+      assert(rows("aud_tbl") === "ok",
+        s"a resolvable table-identified entry must audit clean: $rows")
+      assert(rows("aud_ghost") === "unauditable",
+        s"an unresolvable identity must be 'unauditable': $rows")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spec_audit_tbl")
+    }
+  }
+
+  test("composed glue cannot hide a widened embedded re-aggregation: " +
+      "cast(sum(decimal) as string) refuses (extra overflow headroom)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val factPath = s"$tmp/decfact.parquet"
+    docs.select($"source", $"lang",
+      $"n_chars".cast("decimal(12,2)").as("d")).write.parquet(factPath)
+    SummaryRewrite.buildSummary(spark, factPath,
+      keys = Seq("source", "lang"), sumCols = Seq("d"),
+      mvPath = s"$tmp/decmv")
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_dec",
+      SummaryRewrite.Summary("decfact.parquet", s"$tmp/decmv",
+        Set("source", "lang")))
+    try {
+      def fact = spark.read.parquet(factPath)
+      // bare: the type-preservation guard already refuses (sum over
+      // decimal(22,2) partials re-widens to decimal(32,2))
+      val bare = fact.groupBy($"source").agg(sum($"d").as("s"))
+      assert(bare.queryExecution.executedPlan.toString
+        .contains("decfact.parquet"),
+        "bare decimal SUM must refuse — re-aggregation widens")
+      // composed: type-erasing glue must not smuggle the widened
+      // partial through (the fact scan can overflow to NULL where the
+      // wider re-aggregation returns a value)
+      val glued = fact.groupBy($"source")
+        .agg(sum($"d").cast("string").as("s"))
+      assert(glued.queryExecution.executedPlan.toString
+        .contains("decfact.parquet"),
+        "cast(sum(decimal) as string) must refuse — each embedded " +
+          "aggregate's derived type must match its own original")
+      // count beside it still serves (the artifact is fine)
+      val ok = fact.groupBy($"source").agg(count(lit(1)).as("n"))
+      assert(ok.queryExecution.executedPlan.toString.contains("decmv"),
+        "count over the same artifact should still serve")
+    } finally SummaryRewrite.deregister("spec_dec")
+  }
+
+  test("layout degrades to ONE sorted file when AQE is disabled " +
+      "(repartitionByRange would shatter into shuffle.partitions files)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"),
+      mvPath = s"$tmp/noaqe")
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val n = new java.io.File(s"$tmp/noaqe").listFiles()
+      .count(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    assert(n === 1,
+      s"AQE-off build wrote $n files — the documented fallback is the " +
+        "pre-AQE single sorted file, not a tiny-file shatter")
   }
 }
