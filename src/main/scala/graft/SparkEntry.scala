@@ -680,6 +680,10 @@ object SparkEntry {
     // conditional-dashboard pivot: FILTER (WHERE key-pred) aggregates
     // + CASE measures over keys + distinct-over-expression, one plan
     "q275_summary_pivot" -> (IndexOps.q275SummaryPivot _),
+    // approx_count_distinct over a NON-key measure served from a
+    // persisted hll_<p>_ register partial, bit-identical to the
+    // direct sketch (gated); output is the exact uniques statement
+    "q276_summary_hll_measure" -> (IndexOps.q276SummaryHllMeasure _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1448,6 +1448,78 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q275_docs_by_source_lang")
   }
 
+  // --------------------------------------------------------------- q276
+
+  /** q276 — `approx_count_distinct` over a non-key MEASURE served from
+    * a persisted HLL register partial: "uniques per day" where the
+    * unique column is NOT a summary key is the single most common
+    * dashboard aggregate, and plain cnt/sum partials cannot carry it —
+    * the summary artifact therefore stores `hll_<p>_<col>` register
+    * words ([[graft.plans.HllSummary]], built with Spark's own
+    * HyperLogLogPlusPlusHelper), and the rewrite folds them with the
+    * SAME max-merge + bias-corrected query the direct sketch runs.
+    * The exactness contract is BIT-identity, gated here: the served
+    * estimate must equal the direct fact-scan sketch long-for-long
+    * (register max-merge is associative — same hashes, same words,
+    * same estimate), with the usual plan proofs (artifact serves, fact
+    * not scanned). At 100 TB the artifact is keys-cardinality rows ×
+    * ~(2^p/10) longs — kilobytes for dashboard keys — versus a full
+    * corpus scan per uniques panel. The gated OUTPUT is the exact
+    * per-source distinct count (the oracle-able statement of the same
+    * question, the q257 validate-approx-in-gate pattern), plus the
+    * in-gate proof that the estimate lands within the sketch's
+    * advertised error of it. */
+  def q276SummaryHllMeasure(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q276")
+      .toString + "/docs_by_source_lang_hll"
+    SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv,
+      hllCols = Seq("doc_id"))
+    // the direct sketch FIRST (nothing registered): the reference bits
+    def sketchQ = load(s, dir, "documents").groupBy($"source")
+      .agg(approx_count_distinct($"doc_id").as("u"))
+    val direct = sketchQ.collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    require(
+      sketchQ.queryExecution.executedPlan.toString.contains("documents.parquet"),
+      "q276 setup broken: the direct sketch should scan the fact")
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q276_docs_hll",
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    try {
+      val phys = sketchQ.queryExecution.executedPlan.toString
+      require(phys.contains("docs_by_source_lang_hll"),
+        "q276 gate is vacuous: the hll register partial did not serve")
+      require(!phys.contains("documents.parquet"),
+        "q276 gate broken: the fact table is still scanned")
+      // bounded: one row per source
+      val served = sketchQ.collect().map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+      require(served == direct,
+        s"q276 gate broken: served sketch is not bit-identical to the " +
+          s"direct sketch (served=$served direct=$direct)")
+      // exact uniques for the oracle + the estimate-vs-exact error
+      // stated in-gate (~1.04/sqrt(2^p) rsd; 5 sigma is generous and
+      // deterministic here — both sides are fixed given the data)
+      val exact = load(s, dir, "documents").groupBy($"source")
+        .agg(countDistinct($"doc_id").as("n_exact"),
+          count(lit(1)).as("n_docs"))
+      val exactMap = exact.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rsd = 1.04 / math.sqrt(math.pow(2.0,
+        graft.plans.HllSummary.pFor(0.05).toDouble))
+      exactMap.foreach { case (src, n) =>
+        val est = served(src)
+        require(math.abs(est - n) <= math.max(5.0 * rsd * n, 16.0),
+          s"q276 gate broken: estimate $est for $src is outside 5σ of " +
+            s"exact $n (rsd=$rsd)")
+      }
+      val rows = exact.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), exact.schema)
+    } finally SummaryRewrite.deregister("q276_docs_hll")
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -2088,6 +2160,15 @@ object IndexOps {
         |    AS n_en_case,
         |  CAST(count(DISTINCT substring(lang, 1, 1)) AS BIGINT)
         |    AS n_first,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    // q276: the exact uniques-per-source off the fact — the served
+    // SKETCH is validated in-gate (bit-identity vs the direct sketch +
+    // 5σ of exact); only the exact statement is oracle-able (DuckDB's
+    // approx_count_distinct is a different algorithm)
+    "q276_summary_hll_measure" ->
+      """SELECT source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
     // q263: the plain rollup + rank window — both extensions invisible

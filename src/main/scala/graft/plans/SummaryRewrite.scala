@@ -503,17 +503,37 @@ object SummaryRewrite {
     * derivable when the measure has NULLs: Spark's avg/count(col)
     * skip nulls, so Σsum_x / Σcnt would silently serve a WRONG
     * average over a nullable measure; Σsum_x / Σcnt_x is exact for
-    * any data) and `min_<col>`/`max_<col>`. One map-side-combinable
-    * shuffle over the fact table — paid once, amortized over every
-    * rewritten query. */
+    * any data) and `min_<col>`/`max_<col>`. `hllCols` measures
+    * additionally carry `hll_<p>_<col>` HLL++ REGISTER-WORD partials
+    * (p derived from `hllRsd`, default = `approx_count_distinct`'s
+    * own 0.05), which is what lets `approx_count_distinct(col)` over a
+    * NON-key measure serve fact-scan-free and bit-identical to the
+    * direct sketch ([[HllSummary]]) — register max-merge is
+    * associative, so the per-group partials fold to the exact
+    * registers one fact pass builds. One map-side-combinable shuffle
+    * over the fact table — paid once, amortized over every rewritten
+    * query. */
   def summaryFrame(fact: DataFrame, keys: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Seq.empty): DataFrame = {
+      minMaxCols: Seq[String] = Seq.empty,
+      hllCols: Seq[String] = Seq.empty,
+      hllRsd: Double = 0.05): DataFrame =
+    summaryFrameP(fact, keys, sumCols, minMaxCols,
+      hllCols.map(c => c -> HllSummary.pFor(hllRsd)))
+
+  /** [[summaryFrame]] with per-column sketch precision — what the
+    * maintenance paths use to rebuild delta partials matching an
+    * EXISTING artifact's `hll_<p>_<col>` schema exactly. */
+  private def summaryFrameP(fact: DataFrame, keys: Seq[String],
+      sumCols: Seq[String], minMaxCols: Seq[String],
+      hllPs: Seq[(String, Int)]): DataFrame = {
     import org.apache.spark.sql.functions._
     val aggs = count(lit(1)).as("cnt") +:
       (sumCols.flatMap(c => Seq(sum(col(c)).as(s"sum_$c"),
         count(col(c)).as(s"cnt_$c"))) ++
         minMaxCols.flatMap(c =>
-          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))))
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+        hllPs.map { case (c, p) =>
+          HllSummary.partialWords(col(c), p).as(HllSummary.colName(p, c)) })
     fact.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -561,9 +581,11 @@ object SummaryRewrite {
   /** Build + persist a summary artifact at a fixed path. */
   def buildSummary(spark: SparkSession, factPath: String,
       keys: Seq[String], sumCols: Seq[String], mvPath: String,
-      minMaxCols: Seq[String] = Seq.empty): Unit =
+      minMaxCols: Seq[String] = Seq.empty,
+      hllCols: Seq[String] = Seq.empty,
+      hllRsd: Double = 0.05): Unit =
     layout(summaryFrame(spark.read.parquet(factPath), keys, sumCols,
-        minMaxCols), keys)
+        minMaxCols, hllCols, hllRsd), keys)
       .write.mode("overwrite").parquet(mvPath)
 
   /** Build + commit a summary into a snapshot store via the FS-rename
@@ -573,10 +595,12 @@ object SummaryRewrite {
     * commit. */
   def buildSummarySnapshot(spark: SparkSession, factPath: String,
       keys: Seq[String], sumCols: Seq[String], store: String,
-      minMaxCols: Seq[String] = Seq.empty): Long =
+      minMaxCols: Seq[String] = Seq.empty,
+      hllCols: Seq[String] = Seq.empty,
+      hllRsd: Double = 0.05): Long =
     graft.operators.IndexOps.writeSnapshot(
       layout(summaryFrame(spark.read.parquet(factPath), keys, sumCols,
-        minMaxCols), keys),
+        minMaxCols, hllCols, hllRsd), keys),
       store)
 
   /** Derive a COARSER summary from a finer one — the lattice build
@@ -606,8 +630,11 @@ object SummaryRewrite {
   /** The monoid fold of every partial column: Σcnt, Σsum_/Σcnt_ per
     * measure (cnt_ only when the frame carries it — pre-`cnt_` era
     * artifacts fold without, and AVG/COUNT(col) simply refuse on them),
-    * min-of-min / max-of-max. Shared by [[rollupSummary]] and
-    * [[mergeDelta]] so the two lifecycle paths can never drift. */
+    * min-of-min / max-of-max, and register max-merge for every
+    * `hll_<p>_<col>` sketch partial the frame carries (max-merge is
+    * the HLL union — associative, so the folded artifact serves the
+    * same bits a from-scratch build would). Shared by [[rollupSummary]]
+    * and [[mergeDelta]] so the two lifecycle paths can never drift. */
   private def foldAggs(frame: DataFrame, sumCols: Seq[String],
       minMaxCols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions._
@@ -619,8 +646,21 @@ object SummaryRewrite {
            else Seq.empty)) ++
         minMaxCols.flatMap(c => Seq(
           min(col(s"min_$c")).as(s"min_$c"),
-          max(col(s"max_$c")).as(s"max_$c"))))
+          max(col(s"max_$c")).as(s"max_$c"))) ++
+        hllColsOf(frame).map { case (name, _, p) =>
+          HllSummary.mergeWords(col(name), p).as(name) })
   }
+
+  /** The `hll_<p>_<col>` sketch-partial columns a summary frame
+    * carries: (column name, base measure, p). */
+  private def hllColsOf(frame: DataFrame): Seq[(String, String, Int)] =
+    frame.schema.fields.toSeq.collect {
+      case f if HllSummary.isWordsType(f.dataType) =>
+        f.name match {
+          case HllSummary.NamePattern(p, base) => Some((f.name, base, p.toInt))
+          case _ => None
+        }
+    }.flatten
 
   /** BATCH incremental maintenance: fold the latest committed summary
     * with the delta's partials and commit the result as the next
@@ -646,8 +686,12 @@ object SummaryRewrite {
       keys: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Seq.empty): Long = {
     import org.apache.spark.sql.functions._
-    val delta = summaryFrame(deltaFact, keys, sumCols, minMaxCols)
     val latest = graft.operators.IndexOps.readSnapshot(spark, store)
+    // delta sketch partials mirror the LATEST artifact's hll_<p>_
+    // schema (per-column p parsed from the names), so the fold below
+    // never mixes register widths
+    val delta = summaryFrameP(deltaFact, keys, sumCols, minMaxCols,
+      hllColsOf(latest).map { case (_, base, p) => base -> p })
     val nonPos = latest.filter(col("cnt") <= 0L).count()
     require(nonPos == 0L,
       s"mergeDelta: $nonPos non-positive cnt partials in the latest " +
@@ -698,7 +742,6 @@ object SummaryRewrite {
       minMaxCols: Seq[String] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions._
     val keys = summary.keys.toSeq.sorted
-    val expect = summaryFrame(fact, keys, sumCols, minMaxCols)
     val mvPath = summary.store match {
       case Some(st) =>
         val live = graft.operators.IndexOps.snapshotVersions(spark, st)
@@ -708,13 +751,21 @@ object SummaryRewrite {
     }
     val got = spark.read.parquet(mvPath)
     val gotCols = got.schema.fieldNames.toSet
+    // sketch partials audit too — a drifted register serves a wrong
+    // approx_count_distinct just as silently as a drifted cnt; the
+    // expect side rebuilds them at the artifact's own per-column p
+    // (parsed from the hll_<p>_ names), exact array equality
+    val hllPs = hllColsOf(got)
+    val expect = summaryFrameP(fact, keys, sumCols, minMaxCols,
+      hllPs.map { case (_, base, p) => base -> p })
     // cnt_ legs audit only where the artifact carries them (pre-cnt_
     // artifacts stay auditable); the expect side always computes them,
     // extra expect columns are simply not compared
     val measures = "cnt" +: (sumCols.flatMap(c =>
       Seq(s"sum_$c") ++
         (if (gotCols(s"cnt_$c")) Seq(s"cnt_$c") else Seq.empty)) ++
-      minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c")))
+      minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
+      hllPs.map(_._1))
     val e = expect.select(keys.map(col) ++
       measures.map(m => col(m).as(s"expect_$m")): _*)
     val g = got.select(keys.map(col) ++
@@ -1795,11 +1846,27 @@ object SummaryRewrite {
           // pure function of the value SET — multiplicities never
           // touch the registers — and the summary preserves the set,
           // so the sketch re-runs over summary rows BIT-identically
-          // (same hashes, same registers, same estimate)
+          // (same hashes, same registers, same estimate). Over a
+          // non-key MEASURE it serves from the artifact's
+          // hll_<p>_<col> register-word partial when one was built
+          // ([[HllSummary]]): the precision is in the column NAME, so
+          // the query's own rsd resolves its p — a mismatched rsd
+          // finds no column and refuses — and the register max-merge
+          // reproduces the direct sketch's words exactly (the same
+          // helper hashes, the same bias-corrected query)
           case h: HyperLogLogPlusPlus =>
             keyExpr(h.child).map(k =>
               Alias(agg(h.withNewChildren(Seq(k))
                 .asInstanceOf[AggregateFunction]), name)(exprId = e.exprId))
+              .orElse(h.child match {
+                case a: AttributeReference if !dimOut.contains(a) =>
+                  val p = HllSummary.pFor(h.relativeSD)
+                  mv.get(HllSummary.colName(p, a.name))
+                    .filter(reg => HllSummary.isWordsType(reg.dataType))
+                    .map(reg => Alias(agg(HllMergeEstimate(reg, p)),
+                      name)(exprId = e.exprId))
+                case _ => None
+              })
           // EXACT percentile/median over a key (expression): Spark's
           // Percentile takes a FREQUENCY argument, and cnt is exactly
           // the multiplicity the collapse removed — percentile(k, p)

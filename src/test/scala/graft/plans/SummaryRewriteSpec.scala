@@ -1962,6 +1962,144 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.deregister("spec_dec")
   }
 
+  test("approx_count_distinct over a non-key MEASURE serves from the " +
+      "hll_<p>_ register partial BIT-identically; mismatched rsd and a " +
+      "partial-less artifact refuse") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val hmv = s"$tmp/hllmv"
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = hmv,
+      hllCols = Seq("doc_id"))
+    // the artifact carries the register words under the precision-named
+    // column (p in the name is the plan-time rsd contract)
+    val p005 = HllSummary.pFor(0.05)
+    assert(spark.read.parquet(hmv).schema.fieldNames
+      .contains(s"hll_${p005}_doc_id"))
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_hll",
+      SummaryRewrite.Summary("documents.parquet", hmv,
+        Set("source", "lang")))
+    try {
+      def q = docs.groupBy($"source")
+        .agg(approx_count_distinct($"doc_id").as("u"),
+          count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("hllmv") && !p.contains("documents.parquet"),
+        s"HLL measure partial did not serve:\n$p")
+      SummaryRewrite.deregister("spec_hll")
+      val direct = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_hll",
+        SummaryRewrite.Summary("documents.parquet", hmv,
+          Set("source", "lang")))
+      assert(q.collect().map(_.toSeq).toSet === direct,
+        "served sketch is not bit-identical to the direct sketch — " +
+          "register max-merge must reproduce the one-pass registers")
+      // key-only FILTER replays onto the register partial too
+      def filt = docs.groupBy($"source")
+        .agg(expr("approx_count_distinct(doc_id) FILTER (WHERE lang = 'en')")
+          .as("u"))
+      assert(filt.queryExecution.executedPlan.toString.contains("hllmv"),
+        "filtered sketch over the partial should serve")
+      SummaryRewrite.deregister("spec_hll")
+      val directF = filt.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_hll",
+        SummaryRewrite.Summary("documents.parquet", hmv,
+          Set("source", "lang")))
+      assert(filt.collect().map(_.toSeq).toSet === directF)
+      // a mismatched rsd derives a different p, finds no hll_<p'>_
+      // column, and refuses — never serves the wrong precision
+      val mism = docs.groupBy($"source")
+        .agg(approx_count_distinct($"doc_id", 0.01).as("u"))
+      assert(mism.queryExecution.executedPlan.toString
+        .contains("documents.parquet"),
+        "a mismatched-rsd sketch must refuse (no hll_<p'>_ partial)")
+      // a measure with NO register partial refuses (n_chars has
+      // sum_/cnt_ partials only)
+      val none = docs.groupBy($"source")
+        .agg(approx_count_distinct($"n_chars").as("u"))
+      assert(none.queryExecution.executedPlan.toString
+        .contains("documents.parquet"),
+        "a partial-less measure sketch must refuse")
+    } finally SummaryRewrite.deregister("spec_hll")
+  }
+
+  test("hll partials fold exactly through rollupSummary and mergeDelta: " +
+      "derived and merged artifacts serve the direct sketch's bits; " +
+      "a drifted register is caught by the audit") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val fine = s"$tmp/hllfine"
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = fine, hllCols = Seq("doc_id"))
+    // rollup lattice: (source,lang) -> (source), registers max-merged
+    val coarse = s"$tmp/hllcoarse"
+    SummaryRewrite.writeSummary(
+      SummaryRewrite.rollupSummary(spark.read.parquet(fine),
+        Seq("source"), sumCols = Seq("n_chars")),
+      Seq("source"), coarse)
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_hllroll",
+      SummaryRewrite.Summary("documents.parquet", coarse, Set("source")))
+    try {
+      def q = docs.groupBy($"source")
+        .agg(approx_count_distinct($"doc_id").as("u"))
+      assert(q.queryExecution.executedPlan.toString.contains("hllcoarse"),
+        "the derived coarser artifact should serve the sketch")
+      SummaryRewrite.deregister("spec_hllroll")
+      val direct = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_hllroll",
+        SummaryRewrite.Summary("documents.parquet", coarse, Set("source")))
+      assert(q.collect().map(_.toSeq).toSet === direct,
+        "rollup-derived registers diverged from the direct sketch")
+    } finally SummaryRewrite.deregister("spec_hllroll")
+    // mergeDelta: seed with half the fact, fold the other half in —
+    // the merged registers must be the whole fact's
+    val store = s"$tmp/hllstore"
+    val whole = spark.read.parquet(s"$dir/documents.parquet")
+    graft.operators.IndexOps.writeSnapshot(
+      SummaryRewrite.summaryFrame(whole.filter($"doc_id" % 2 === 0),
+        Seq("source", "lang"), Seq("n_chars"), hllCols = Seq("doc_id")),
+      store)
+    SummaryRewrite.mergeDelta(spark, store, whole.filter($"doc_id" % 2 === 1),
+      Seq("source", "lang"), Seq("n_chars"))
+    SummaryRewrite.registerStore("spec_hllmerge", "documents.parquet",
+      store, Set("source", "lang"))
+    try {
+      def q = docs.groupBy($"lang")
+        .agg(approx_count_distinct($"doc_id").as("u"))
+      assert(q.queryExecution.executedPlan.toString.contains("hllstore"),
+        "the merged snapshot should serve the sketch")
+      SummaryRewrite.deregister("spec_hllmerge")
+      val direct = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.registerStore("spec_hllmerge", "documents.parquet",
+        store, Set("source", "lang"))
+      assert(q.collect().map(_.toSeq).toSet === direct,
+        "mergeDelta-folded registers diverged from the direct sketch")
+    } finally SummaryRewrite.deregister("spec_hllmerge")
+    // audit: zeroed registers are drift, caught like any partial
+    val p005 = HllSummary.pFor(0.05)
+    val drifted = s"$tmp/hlldrift"
+    spark.read.parquet(fine)
+      .withColumn(s"hll_${p005}_doc_id",
+        expr(s"transform(hll_${p005}_doc_id, x -> cast(0 as bigint))"))
+      .write.parquet(drifted)
+    val diffs = SummaryRewrite.auditSummary(spark,
+      s"$dir/documents.parquet",
+      SummaryRewrite.Summary("documents.parquet", drifted,
+        Set("source", "lang")),
+      sumCols = Seq("n_chars")).count()
+    assert(diffs > 0, "zeroed hll registers must surface as drift")
+    val clean = SummaryRewrite.auditSummary(spark,
+      s"$dir/documents.parquet",
+      SummaryRewrite.Summary("documents.parquet", fine,
+        Set("source", "lang")),
+      sumCols = Seq("n_chars")).count()
+    assert(clean === 0, "an exact artifact must audit clean, hll legs " +
+      "included")
+  }
+
   test("layout degrades to ONE sorted file when AQE is disabled " +
       "(repartitionByRange would shatter into shuffle.partitions files)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
