@@ -684,6 +684,10 @@ object SparkEntry {
     // persisted hll_<p>_ register partial, bit-identical to the
     // direct sketch (gated); output is the exact uniques statement
     "q276_summary_hll_measure" -> (IndexOps.q276SummaryHllMeasure _),
+    // aggregate over a UNION of registered facts (multi-epoch corpora):
+    // each branch's summary substitutes independently, one uncovered
+    // epoch refuses the whole rewrite; both proofs in-gate
+    "q277_summary_union" -> (IndexOps.q277SummaryUnion _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

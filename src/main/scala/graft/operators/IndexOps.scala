@@ -1520,6 +1520,68 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q276_docs_hll")
   }
 
+  // --------------------------------------------------------------- q277
+
+  /** q277 — aggregate over a UNION of registered facts: multi-epoch
+    * corpora (`read.parquet(jan) union read.parquet(feb)`) are the
+    * realistic 100 TB deployment shape, and every partial the summary
+    * contract stores (cnt/sum_/cnt_/min_/max_/hll_) is a monoid under
+    * union — Σ over branches of exact per-branch partials IS the
+    * aggregate over the concatenated facts, distinct-over-keys
+    * included (the union of per-epoch key sets is the concatenation's
+    * key set). The rewrite substitutes each branch's summary scan
+    * independently and unions them; ONE uncovered epoch refuses the
+    * whole rewrite (gated here: with only epoch 1 registered the fact
+    * union must scan; with both registered the plan must read both
+    * artifacts and neither fact). At 100 TB this turns a two-epoch
+    * dashboard refresh from 2× corpus scans into 2× kilobyte reads.
+    * Values oracle-checked against the whole table (epoch1 ∪ epoch2 =
+    * documents by construction). */
+  def q277SummaryUnion(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q277").toString
+    val (e1, e2) = (s"$tmp/epoch1/docs.parquet", s"$tmp/epoch2/docs.parquet")
+    val docs = load(s, dir, "documents")
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+    docs.filter($"doc_id" % 2 === 0).write.parquet(e1)
+    docs.filter($"doc_id" % 2 === 1).write.parquet(e2)
+    SummaryRewrite.buildSummary(s, e1, keys = Seq("source", "lang"),
+      sumCols = Seq("n_chars"), mvPath = s"$tmp/mv_epoch1",
+      minMaxCols = Seq("n_chars"))
+    SummaryRewrite.buildSummary(s, e2, keys = Seq("source", "lang"),
+      sumCols = Seq("n_chars"), mvPath = s"$tmp/mv_epoch2",
+      minMaxCols = Seq("n_chars"))
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q277_epoch1", SummaryRewrite.Summary(
+      "epoch1/docs.parquet", s"$tmp/mv_epoch1", Set("source", "lang")))
+    try {
+      def q = s.read.parquet(e1).union(s.read.parquet(e2))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          max($"n_chars").as("max_chars"),
+          countDistinct($"lang").as("n_langs"))
+      // refusal first: epoch 2 has no covering summary yet — the whole
+      // union must scan facts (a half-served union would double-count
+      // nothing and miss everything of epoch 2)
+      require(q.queryExecution.executedPlan.toString.contains("docs.parquet"),
+        "q277 setup broken: an uncovered epoch must force the fact scan")
+      SummaryRewrite.register("q277_epoch2", SummaryRewrite.Summary(
+        "epoch2/docs.parquet", s"$tmp/mv_epoch2", Set("source", "lang")))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("mv_epoch1") && phys.contains("mv_epoch2"),
+        "q277 gate is vacuous: both epoch summaries must serve")
+      require(!phys.contains("docs.parquet"),
+        "q277 gate broken: an epoch fact is still scanned")
+      // bounded: one row per source
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally {
+      SummaryRewrite.deregister("q277_epoch1")
+      SummaryRewrite.deregister("q277_epoch2")
+    }
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -2170,6 +2232,15 @@ object IndexOps {
       """SELECT source,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact,
         |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    // q277: the per-source rollup off the WHOLE table — the two epochs
+    // union back to exactly `documents` (even/odd doc_id split), so
+    // the two-artifact serving is invisible to the answer
+    "q277_summary_union" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents GROUP BY 1""".stripMargin,
     // q263: the plain rollup + rank window — both extensions invisible
     "q263_summary_topk" ->

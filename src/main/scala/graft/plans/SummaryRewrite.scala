@@ -67,6 +67,21 @@ trait ResidualOnlyScan
   * Aggregate-over-Expand shape below, with every position a key or
   * the gid literal (q272).
   *
+  * UNIONS of facts are served too: `Aggregate(g, a, Union(branches))`
+  * rewrites when EVERY branch independently resolves to a registered
+  * fact with a covering summary (multi-epoch corpora — `read.parquet
+  * (jan) union read.parquet(feb)`): every stored partial is a monoid
+  * under union, so Σ over branches of exact per-branch partials is
+  * exactly the aggregate over the concatenated facts. One uncovered
+  * branch refuses the whole rewrite.
+  *
+  * APPROX_COUNT_DISTINCT over a non-key MEASURE is served from a
+  * persisted `hll_<p>_<col>` register-word partial when the artifact
+  * carries one ([[HllSummary]] — built with Spark's own HLL++ helper,
+  * so the served estimate is BIT-identical to the direct sketch; the
+  * precision lives in the column name, so a mismatched rsd refuses at
+  * plan time against the schema).
+  *
   * STAR JOINS are served too: `Aggregate(g, a, fact ⋈ dim)` rewrites
   * to `Aggregate(g, a', summary ⋈ dim)` when the equi-join runs
   * entirely on summary keys — all fact rows sharing a key have the
@@ -1061,6 +1076,13 @@ object SummaryRewrite {
                 else None
               case ex: Expand =>
                 tryExpandRewrite(groupExprs0, aggExprs0, ex, hint)
+              case un: Union =>
+                val gs = groupExprs0.map(inline(_, subst))
+                val asI = aggExprs0.map(e => inline(e, subst))
+                if (asI.forall(_.isInstanceOf[NamedExpression]))
+                  tryUnionRewrite(gs,
+                    asI.map(_.asInstanceOf[NamedExpression]), un, hint)
+                else None
               case _ => None
             }
           }
@@ -1184,12 +1206,21 @@ object SummaryRewrite {
                 !en.exists(_.isInstanceOf[AggregateExpression]) &&
                 !en.exists(_.isInstanceOf[PlanExpression[_]]) &&
                 en.references.nonEmpty))
-          val minMaxOnly = aggExprs.forall(_.collect {
+          // admissible consumers of a key-expression position: value-SET
+          // aggregates (Min/Max — the set survives the collapse) and
+          // the cnt-WEIGHTED family (Sum/Average/Count — Σ cnt·f, the
+          // value is key-determined so constant per summary row; the
+          // build derives or refuses per aggregate, filters via the
+          // kept-position exFilter path). Distinct stays refused here
+          // (it rides the key-position path).
+          val consumersOk = aggExprs.forall(_.collect {
             case ae: AggregateExpression if ae.references.contains(out) => ae
-          }.forall(ae => !ae.isDistinct && ae.filter.isEmpty &&
-            (ae.aggregateFunction.isInstanceOf[Min] ||
-              ae.aggregateFunction.isInstanceOf[Max])))
-          if (!wellFormed || !minMaxOnly) return None
+          }.forall(ae => !ae.isDistinct &&
+            (ae.aggregateFunction match {
+              case _: Min | _: Max | _: Sum | _: Average | _: Count => true
+              case _ => false
+            })))
+          if (!wellFormed || !consumersOk) return None
           exprPos += i -> inlined
           keptIdx :+= i
         }
@@ -1304,6 +1335,42 @@ object SummaryRewrite {
             if (ok) Some(Some(f2)) else None
           case _ => None
         }
+      // a deterministic expression whose references are all
+      // KEY-DETERMINED in the rewritten Expand — kept positions (keys,
+      // gid, key-expressions) stay as-is, measure pass-throughs of
+      // summary KEY columns remap to their masked key pass-through.
+      // Per (summary row, projection) such an expression is CONSTANT
+      // across the collapsed fact rows (null-masked refs included: the
+      // fact Expand fed the same null to every fact row), which is
+      // what makes the cnt-weighted derivations below exact:
+      // sum(f) = Σ cnt·f, count(f) = Σ cnt over non-null f,
+      // avg(f) = their ratio — the direct path's keyExpr family,
+      // brought to the ROLLUP/CUBE shape.
+      def keyDetermined(ex: Expression): Option[Expression] = {
+        if (!ex.deterministic ||
+            ex.exists(_.isInstanceOf[AggregateExpression]) ||
+            ex.exists(_.isInstanceOf[PlanExpression[_]]) ||
+            ex.references.isEmpty) None
+        else {
+          var ok = true
+          val r = ex.transform {
+            case a: AttributeReference if keptAttrs.contains(a) => a
+            case a: AttributeReference =>
+              measureBase.get(a).filter { case (_, b) =>
+                keys.contains(b.name) && mvAttrs.contains(b.name) } match {
+                case Some((pos, b)) =>
+                  partialAttr(b.name, pos).getOrElse { ok = false; a }
+                case None => ok = false; a
+              }
+          }
+          if (ok) Some(r) else None
+        }
+      }
+      def integral(t: org.apache.spark.sql.types.DataType): Boolean =
+        t match {
+          case IntegerType | LongType | ShortType | ByteType => true
+          case _ => false
+        }
       val newAggs = sequence(aggExprs.map {
         case a: AttributeReference if keptAttrs.contains(a) => Some(a)
         case al @ Alias(c, _) if c.foldable && c.deterministic => Some(al)
@@ -1342,21 +1409,40 @@ object SummaryRewrite {
                 fn.references.nonEmpty &&
                 fn.references.subsetOf(keptAttrs))
               Some(fagg(fn))
-            else fn match {
+            else {
+              // cnt-weighted derivations over key-determined
+              // expressions (the Σ cnt·f family — `sum(CASE WHEN
+              // lang='en' THEN 1 ELSE 0 END)` under ROLLUP(source))
+              def weightedSum(child: Expression): Option[Expression] =
+                if (!integral(child.dataType)) None
+                else for {
+                  f <- keyDetermined(child)
+                  cnt <- partialAttr("cnt", -1)
+                } yield fagg(Sum(Multiply(cnt, Cast(f, LongType))))
+              def weightedCnt(children: Seq[Expression]): Option[Expression] =
+                for {
+                  ks <- sequence(children.map(keyDetermined))
+                  cnt <- partialAttr("cnt", -1)
+                } yield Coalesce(Seq(fagg(Sum(If(
+                  ks.map(IsNotNull(_): Expression).reduce(And),
+                  cnt, Literal(null, LongType)))), Literal(0L)))
+              fn match {
               case c: Count if c.children.forall(ch =>
                   ch.foldable && ch.eval() != null) =>
                 partialAttr("cnt", -1).map(p =>
                   Coalesce(Seq(fagg(Sum(p)), Literal(0L))))
               // COUNT(col) skips nulls -> Σcnt_col (the non-null count
-              // partial), masked to the measure's projections
-              case c: Count => c.children match {
+              // partial), masked to the measure's projections; a
+              // key-determined child falls back to Σ cnt gated on its
+              // nullity (constant per summary row)
+              case c: Count => (c.children match {
                 case Seq(a: AttributeReference) =>
                   baseOf(a).flatMap { case (pos, b) =>
                     partialAttr(s"cnt_$b", pos).map(p =>
                       Coalesce(Seq(fagg(Sum(p)), Literal(0L))))
                   }
                 case _ => None
-              }
+              }).orElse(weightedCnt(c.children))
               case s: Sum => s.child match {
                 // float partials refuse — see rewriteAgg's Sum case
                 case a: AttributeReference => baseOf(a)
@@ -1364,23 +1450,28 @@ object SummaryRewrite {
                     .exists(at => !fpType(at.dataType)) }
                   .flatMap { case (pos, b) => partialAttr(s"sum_$b", pos) }
                   .map(p => fagg(Sum(p)))
-                case _ => None
+                  .orElse(weightedSum(a))
+                case child => weightedSum(child)
               }
               case m: Min => m.child match {
                 case a: AttributeReference => baseOf(a)
                   .flatMap { case (pos, b) => partialAttr(s"min_$b", pos) }
                   .map(p => fagg(Min(p)))
-                case _ => None
+                  .orElse(keyDetermined(a).map(k => fagg(Min(k))))
+                case child => keyDetermined(child).map(k => fagg(Min(k)))
               }
               case m: Max => m.child match {
                 case a: AttributeReference => baseOf(a)
                   .flatMap { case (pos, b) => partialAttr(s"max_$b", pos) }
                   .map(p => fagg(Max(p)))
-                case _ => None
+                  .orElse(keyDetermined(a).map(k => fagg(Max(k))))
+                case child => keyDetermined(child).map(k => fagg(Max(k)))
               }
               // AVG = Σsum_col / Σcnt_col (the non-null count — see
-              // rewriteAgg's Average case), both masked to the position
-              case av: Average => av.child match {
+              // rewriteAgg's Average case), both masked to the
+              // position; a key-determined child derives as
+              // Σ cnt·f / Σ cnt[f non-null]
+              case av: Average => (av.child match {
                 case a: AttributeReference => baseOf(a).flatMap {
                   case (pos, b) =>
                     mvAttrs.get(s"sum_$b")
@@ -1392,8 +1483,19 @@ object SummaryRewrite {
                         Cast(fagg(Sum(pc)), DoubleType)))
                 }
                 case _ => None
+              }).orElse {
+                if (!integral(av.child.dataType)) None
+                else for {
+                  f <- keyDetermined(av.child)
+                  cnt <- partialAttr("cnt", -1)
+                } yield Divide(
+                  Cast(fagg(Sum(Multiply(cnt, Cast(f, LongType)))),
+                    DoubleType),
+                  Cast(fagg(Sum(If(IsNotNull(f), cnt,
+                    Literal(null, LongType)))), DoubleType))
               }
               case _ => None
+              }
             }
           }.map(ex => Alias(ex, name)(exprId = e.exprId))
         // non-aggregate outputs over kept (key/gid) attrs pass through
@@ -1436,6 +1538,133 @@ object SummaryRewrite {
           Some(Aggregate(groupExprs, as, newExpand, hint))
         }
       }
+    }
+
+    /** UNION-of-facts rewrite — `Aggregate(g, a, Union(branches))`
+      * where EVERY branch independently resolves to a registered fact
+      * with a covering summary. Multi-epoch corpora are the realistic
+      * 100 TB deployment shape: `read.parquet(jan) union
+      * read.parquet(feb)` (multi-path single reads already match via
+      * rootPaths; an explicit Union node lands here). Each branch's
+      * summary scan substitutes independently and the branches union:
+      * cnt/sum_/cnt_/min_/max_/hll_ partials are all monoids under
+      * UNION, so Σ over branches of exact per-branch partials is
+      * EXACTLY the aggregate over the concatenated facts — including
+      * distinct-over-keys (the union of key-combination sets is the
+      * concatenation's key set), frequency-weighted percentiles
+      * (multiset sum), and HLL register merges. A branch that reads
+      * the same fact twice double-counts exactly like the fact union
+      * does.
+      *
+      * Soundness guardrails: positional semantics only (`byName`
+      * refuses); every branch decomposes with NO computed aliases
+      * (column-pruning projects and key-only filters fine — a
+      * computed column could shadow a measure by name) and every
+      * branch's column names must agree POSITIONALLY with the union
+      * output (same-schema epochs — the name is the only cross-branch
+      * identity the naming contract has); measures derive against
+      * branch 0's artifact and every other branch's artifact must
+      * carry the SAME required partial columns with the SAME types;
+      * per-branch key-only filters push onto that branch's summary
+      * scan. Any failure refuses the whole rewrite — one uncovered
+      * epoch means the fact union answers. */
+    private def tryUnionRewrite(groupExprs: Seq[Expression],
+        aggExprs: Seq[NamedExpression], u: Union,
+        hint: Option[AggregateHint]): Option[Aggregate] = {
+      if (u.byName || u.children.size < 2) return None
+      val shapesOpt = u.children.map(decompose)
+      if (shapesOpt.exists(_.isEmpty)) {
+        if (shapesOpt.exists(_.isDefined))
+          note("union: a branch does not decompose to a bare fact scan")
+        return None
+      }
+      val shapes = shapesOpt.map(_.get)
+      if (shapes.exists(_.subst.nonEmpty)) {
+        note("union: a branch carries computed projections — measures " +
+          "are matched by NAME across branches, so aliases refuse")
+        return None
+      }
+      val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+      if (!u.children.forall(c =>
+          c.output.map(a => lower(a.name)) ==
+            u.output.map(a => lower(a.name)))) {
+        note("union: branch column names disagree positionally")
+        return None
+      }
+      if (!groupExprs.forall(carriableGrouping)) return None
+      val groupRefNames =
+        groupExprs.flatMap(_.references.toSeq.map(_.name)).toSet
+      // per-branch artifact resolution: first covering candidate whose
+      // artifact is readable and carries the branch's filter columns
+      def resolved(i: Int): Seq[(String, LogicalPlan,
+          Map[String, Attribute], Set[String])] = {
+        val needed = groupRefNames ++
+          shapes(i).pred.toSeq.flatMap(_.references.toSeq.map(_.name))
+        candidates(shapes(i), needed).flatMap { case (n, s) =>
+          for {
+            path <- resolveMvPath(s)
+            plan <- mvPlanFor(path, s.store.isDefined)
+            attrs = plan.output.map(a => a.name -> a).toMap
+            if shapes(i).pred.forall(_.references.toSeq.forall(r =>
+              attrs.contains(r.name)))
+            if groupRefNames.forall(attrs.contains)
+            cnt <- attrs.get("cnt")
+            if cnt.dataType == LongType
+          } yield (n, plan, attrs, s.keys)
+        }
+      }
+      val result = resolved(0).view.flatMap {
+        case (n0, plan0, attrs0, keys0) =>
+          val rewritten = sequence(aggExprs.map(e =>
+            rewriteAgg(e, attrs0, keys0).filter(_.dataType == e.dataType)))
+          rewritten.flatMap { newAggs =>
+            val remap0 = (ex: Expression) => ex.transform {
+              case a: AttributeReference if attrs0.contains(a.name) =>
+                attrs0(a.name)
+            }
+            val newGroup = groupExprs.map(remap0)
+            // every partial/key column the rewritten aggregate reads —
+            // the cross-branch schema contract
+            val required = AttributeSet(
+              newAggs.flatMap(_.references.toSeq) ++
+                newGroup.flatMap(_.references.toSeq))
+              .toSeq.map(_.name).distinct.sorted
+            val others = u.children.indices.drop(1).map { i =>
+              resolved(i).find { case (_, _, attrs, _) =>
+                required.forall(nm => attrs.get(nm)
+                  .exists(_.dataType == attrs0(nm).dataType))
+              }
+            }
+            if (required.isEmpty) None
+            else if (others.exists(_.isEmpty)) {
+              note(s"union: candidate '$n0' derives the measures but " +
+                "another branch has no artifact carrying the same " +
+                "partials — refusing (one uncovered epoch scans all)")
+              None
+            } else {
+              val branchPlans =
+                ((n0, plan0, attrs0, keys0) +: others.map(_.get))
+                  .zip(shapes).map { case ((_, plan, attrs, _), sh) =>
+                    val remapI = (ex: Expression) => ex.transform {
+                      case a: AttributeReference if attrs.contains(a.name) =>
+                        attrs(a.name)
+                    }
+                    val filtered = sh.pred match {
+                      case Some(p) => Filter(remapI(p), plan)
+                      case None => plan
+                    }
+                    Project(required.map(nm => attrs(nm)), filtered)
+                  }
+              note(s"union aggregate SERVED by summary '$n0' on branch " +
+                s"0 (+${others.size} more branches)")
+              Some(Aggregate(newGroup, newAggs,
+                Union(branchPlans.toIndexedSeq), hint))
+            }
+          }
+      }.headOption
+      if (result.isEmpty)
+        note("union: no candidate combination serves every branch")
+      result
     }
 
     /** Strip Projects above the Join, collecting hoisted-alias

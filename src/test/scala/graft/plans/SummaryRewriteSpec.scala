@@ -1794,6 +1794,45 @@ class SummaryRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("rollup pivot: Σ cnt·f measures over keys serve in the Expand " +
+      "path (sum/avg/count/min of CASE over a key), exact vs fact; a " +
+      "non-key expression refuses") {
+    withSummary {
+      // the BI pivot row under a NATIVE ROLLUP: each aggregate's child
+      // is an expression of the lang KEY (a measure pass-through of a
+      // key column, null-masked per projection), derived as Σ cnt·f /
+      // Σ cnt[f non-null] — the direct path's keyExpr family on the
+      // Expand shape
+      def q = docs.rollup($"source").agg(
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_en_case"),
+        avg(when($"lang" === "en", 1L).otherwise(0L)).as("share_en"),
+        count(when($"lang" === "de", lit(1))).as("n_de"),
+        min(length($"lang")).as("min_langlen"),
+        expr("sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) " +
+          "FILTER (WHERE lang <> 'zz')").as("n_en_filtered"),
+        count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(usesMv(q), s"rollup Σ cnt·f did not serve:\n$p")
+      assert(p.contains("Expand"), "not the rollup Expand shape")
+      SummaryRewrite.deregister("spec_mv")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_mv",
+        SummaryRewrite.Summary("documents.parquet", mv,
+          Set("source", "lang")))
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "Σ cnt·f over the Expand diverged from the fact rollup")
+      // an expression over a NON-key measure refuses (n_chars is not
+      // key-determined — its per-row values are gone from the summary)
+      val bad = docs.rollup($"source").agg(
+        sum(when($"n_chars" > 100, 1L).otherwise(0L)).as("n_big"))
+      assert(!usesMv(bad), "non-key expression measure must refuse")
+      // float result types refuse too (sum of a double expression)
+      val badF = docs.rollup($"source").agg(
+        sum(when($"lang" === "en", 1.5).otherwise(0.0)).as("s"))
+      assert(!usesMv(badF), "non-integral Σ cnt·f must refuse")
+    }
+  }
+
   test("catalog freshness listing is TTL-rate-limited (back-to-back " +
       "optimizations list at most once); a same-JVM publish bypasses " +
       "the TTL so the freshness law stays green") {
@@ -2098,6 +2137,83 @@ class SummaryRewriteSpec extends AnyFunSuite {
       sumCols = Seq("n_chars")).count()
     assert(clean === 0, "an exact artifact must audit clean, hll legs " +
       "included")
+  }
+
+  test("aggregate over a UNION of registered facts serves every branch " +
+      "from its own summary (3 epochs), exactly, with per-branch filter " +
+      "push; an uncovered branch, a computed alias, or a positional " +
+      "rename refuses") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+    val epochs = (0 to 2).map { i =>
+      val p = s"$tmp/ep$i/d.parquet"
+      docsAll.filter($"doc_id" % 3 === i).write.parquet(p)
+      SummaryRewrite.buildSummary(spark, p, keys = Seq("source", "lang"),
+        sumCols = Seq("n_chars"), mvPath = s"$tmp/mvu$i",
+        minMaxCols = Seq("n_chars"))
+      p
+    }
+    SummaryRewrite.install(spark)
+    def reg(i: Int): Unit = SummaryRewrite.register(s"spec_u$i",
+      SummaryRewrite.Summary(s"ep$i/d.parquet", s"$tmp/mvu$i",
+        Set("source", "lang")))
+    (0 to 2).foreach(reg)
+    try {
+      def un = spark.read.parquet(epochs(0))
+        .union(spark.read.parquet(epochs(1)))
+        .union(spark.read.parquet(epochs(2)))
+      def q = un.groupBy($"lang")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("sc"),
+          countDistinct($"source").as("ns"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(Seq("mvu0", "mvu1", "mvu2").forall(p.contains) &&
+        !p.contains("d.parquet"),
+        s"3-epoch union did not serve all branches:\n$p")
+      (0 to 2).foreach(i => SummaryRewrite.deregister(s"spec_u$i"))
+      val expect = q.collect().map(_.toSeq).toSet
+      (0 to 2).foreach(reg)
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "union-of-summaries diverged from the fact union")
+      // a key-only filter ABOVE the union pushes into every branch's
+      // summary scan
+      def qf = un.filter($"source" === "src1").groupBy($"lang")
+        .agg(count(lit(1)).as("n"), max($"n_chars").as("mx"))
+      val pf = qf.queryExecution.executedPlan.toString
+      assert(Seq("mvu0", "mvu1", "mvu2").forall(pf.contains) &&
+        !pf.contains("d.parquet"),
+        s"filtered union did not serve:\n$pf")
+      (0 to 2).foreach(i => SummaryRewrite.deregister(s"spec_u$i"))
+      val expectF = qf.collect().map(_.toSeq).toSet
+      (0 to 2).foreach(reg)
+      assert(qf.collect().map(_.toSeq).toSet === expectF)
+      // ONE uncovered epoch refuses the WHOLE rewrite — a half-served
+      // union would silently miss the uncovered epoch's rows
+      SummaryRewrite.deregister("spec_u2")
+      assert(q.queryExecution.executedPlan.toString.contains("d.parquet"),
+        "an uncovered branch must force the whole fact union")
+      reg(2)
+      // a computed alias inside a branch refuses (name-shadowing risk)
+      val aliased = spark.read.parquet(epochs(0))
+        .select($"doc_id", $"source", $"lang",
+          ($"n_chars" + 0L).as("n_chars"))
+        .union(spark.read.parquet(epochs(1)))
+        .union(spark.read.parquet(epochs(2)))
+        .groupBy($"lang").agg(sum($"n_chars").as("sc"))
+      assert(aliased.queryExecution.executedPlan.toString
+        .contains("d.parquet"),
+        "a computed branch projection must refuse")
+      // a positional rename refuses (names are the cross-branch
+      // identity): branch 1 swaps source/lang positions
+      val swapped = spark.read.parquet(epochs(0))
+        .union(spark.read.parquet(epochs(1))
+          .select($"doc_id", $"lang", $"source", $"n_chars"))
+        .groupBy($"lang").agg(count(lit(1)).as("n"))
+      assert(swapped.queryExecution.executedPlan.toString
+        .contains("d.parquet"),
+        "positionally disagreeing branch names must refuse")
+    } finally (0 to 2).foreach(i => SummaryRewrite.deregister(s"spec_u$i"))
   }
 
   test("layout degrades to ONE sorted file when AQE is disabled " +
