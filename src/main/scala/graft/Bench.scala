@@ -146,7 +146,25 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val attempts = SparkEntry.queries.toSeq.sortBy(_._1)
+    // ORDER is the drift-watch control the suite never had: per-query
+    // times in a ~250-query suite drift with POSITION (GC pressure,
+    // shuffle-file pileup), not identity — running the same tree
+    // reversed/shuffled separates "q133 got slower" from "whatever
+    // runs late got slower". sorted (default) | reversed |
+    // shuffled[:seed] (deterministic Fisher-Yates on the given seed).
+    val order = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "sorted")
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = order.split(":") match {
+      case Array("sorted") => sorted
+      case Array("reversed") => sorted.reverse
+      case Array("shuffled") => new scala.util.Random(42L).shuffle(sorted)
+      case Array("shuffled", seed) =>
+        new scala.util.Random(seed.toLong).shuffle(sorted)
+      case other =>
+        System.err.println(s"[bench] unknown order '$order', using sorted")
+        sorted
+    }
+    val attempts = ordered
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex.map {
       case ((name, fn), i) =>
@@ -187,7 +205,7 @@ object Bench {
     // unset means the driver's harness.
     val source = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOURCE", "driver")
     val envJson =
-      s"""{"source":"$source","cpus":$cpus,"reps":$reps,"stat":"min"}"""
+      s"""{"source":"$source","cpus":$cpus,"reps":$reps,"stat":"min","order":"$order"}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","env":$envJson,"failed":$failedJson,"queries":$qs,"build":$build,"sf":"$sfDir"}"""
     // Persist the FULL per-query map as a file artifact: the driver's
