@@ -688,6 +688,10 @@ object SparkEntry {
     // each branch's summary substitutes independently, one uncovered
     // epoch refuses the whole rewrite; both proofs in-gate
     "q277_summary_union" -> (IndexOps.q277SummaryUnion _),
+    // ROLLUP × uniques: approx_count_distinct over an hll register
+    // partial served through the rewritten Expand, bit-identical to
+    // the fact rollup sketch (gated); exact statement oracled
+    "q278_summary_rollup_uniques" -> (IndexOps.q278SummaryRollupUniques _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -302,13 +302,20 @@ object IndexOps {
         fs.setTimes(dst, mtime, -1)
     }
     val schema = s.read.parquet(sdir).schema
+    // per-batch partials carry the FULL naming contract, hll register
+    // words included: the streamed sketch partial is the same
+    // union-monoid as cnt/sum, so shard-append + max-merge fold ≡ the
+    // one-pass fact sketch — streaming "uniques per key" maintenance
+    val hp = graft.plans.HllSummary.pFor(0.05)
+    val hllCol = graft.plans.HllSummary.colName(hp, "doc_id")
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(sdir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.groupBy($"source", $"lang")
           .agg(count(lit(1)).as("cnt"), sum($"n_chars").as("sum_n_chars"),
-            count($"n_chars").as("cnt_n_chars"))
+            count($"n_chars").as("cnt_n_chars"),
+            graft.plans.HllSummary.partialWords($"doc_id", hp).as(hllCol))
           .coalesce(1).write.mode("append").parquet(s"$tmp/shards"): Unit
       }
       .option("checkpointLocation", s"$tmp/ckpt").start()
@@ -323,11 +330,17 @@ object IndexOps {
     // and the store-backed registration resolves this (and any later)
     // commit without re-registration
     val store = s"$tmp/docs_by_source_lang"
+    // the direct sketch BEFORE anything is registered — the streamed
+    // fold below must reproduce its bits
+    val directSketch = docs.groupBy($"lang")
+      .agg(approx_count_distinct($"doc_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val v = writeSnapshot(
       s.read.parquet(s"$tmp/shards")
         .groupBy($"source", $"lang")
         .agg(sum($"cnt").as("cnt"), sum($"sum_n_chars").as("sum_n_chars"),
-          sum($"cnt_n_chars").as("cnt_n_chars"))
+          sum($"cnt_n_chars").as("cnt_n_chars"),
+          graft.plans.HllSummary.mergeWords(col(hllCol), hp).as(hllCol))
         .coalesce(1),
       store)
     require(v == 1L, s"q244: expected first store commit, got snap=$v")
@@ -348,6 +361,20 @@ object IndexOps {
         "q244 gate broken: the summary is not read from a store commit")
       require(!phys.contains("documents.parquet"),
         "q244 gate broken: the fact table is still scanned")
+      // the streamed register partial serves uniques-per-lang
+      // BIT-identically to the direct sketch: per-batch partial +
+      // shard max-merge is the same register union one fact pass does
+      val sketchQ = docs.groupBy($"lang")
+        .agg(approx_count_distinct($"doc_id").as("u"))
+      val sphys = sketchQ.queryExecution.executedPlan.toString
+      require(sphys.contains("docs_by_source_lang") &&
+          !sphys.contains("documents.parquet"),
+        "q244 gate is vacuous: the streamed sketch partial did not serve")
+      val served = sketchQ.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(served == directSketch,
+        s"q244 gate broken: stream-maintained sketch diverged from the " +
+          s"direct sketch (served=$served direct=$directSketch)")
       // bounded: one row per lang (the q243 materialization rule)
       val rows = agg.collect().toIndexedSeq
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), agg.schema)
@@ -1233,9 +1260,13 @@ object IndexOps {
       s.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
       s.conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionSize")
     }
-    val nFiles = new java.io.File(mv).listFiles()
-      .count(f => f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet"))
+    // Hadoop FS API, not java.io.File — the gate's file-count probe
+    // must work against whatever store the artifact landed on
+    val mvFs = new org.apache.hadoop.fs.Path(mv)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val nFiles = mvFs.listStatus(new org.apache.hadoop.fs.Path(mv))
+      .count(f => f.getPath.getName.startsWith("part-") &&
+        f.getPath.getName.endsWith(".parquet"))
     require(nFiles > 1,
       s"q271 gate is vacuous: expected a multi-file artifact, got $nFiles " +
         "file(s) — the single-writer funnel is back")
@@ -1582,6 +1613,58 @@ object IndexOps {
     }
   }
 
+  // --------------------------------------------------------------- q278
+
+  /** q278 — the ROLLUP uniques dashboard served through the Expand:
+    * `GROUP BY ROLLUP(source) ... approx_count_distinct(doc_id)` is
+    * the grouping-set × uniques matrix every BI tool emits, and the
+    * Expand multiplies the SCAN at 100 TB — here it multiplies
+    * kilobytes: the measure's `hll_<p>_doc_id` register partial rides
+    * the rewritten Expand masked to its position and merges per
+    * grouping set, BIT-identical to the fact rollup's sketch (register
+    * max-merge per set ≡ the set's one-pass registers — gated, not a
+    * tolerance). Output is the exact statement (count(distinct) per
+    * rollup set) for the DuckDB oracle, the q257/q276 pattern. */
+  def q278SummaryRollupUniques(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q278")
+      .toString + "/docs_by_source_lang_hllroll"
+    SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv,
+      hllCols = Seq("doc_id"))
+    def sketchQ = load(s, dir, "documents").rollup($"source")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        approx_count_distinct($"doc_id").as("u"),
+        sum($"n_chars").as("sum_chars"))
+    // the direct rollup sketch FIRST (nothing registered)
+    val direct = sketchQ.collect().map(_.toSeq).toSet
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q278_docs_hllroll",
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    try {
+      val phys = sketchQ.queryExecution.executedPlan.toString
+      require(phys.contains("docs_by_source_lang_hllroll"),
+        "q278 gate is vacuous: the rollup sketch rewrite did not fire")
+      require(!phys.contains("documents.parquet"),
+        "q278 gate broken: the fact table is still scanned")
+      require(phys.contains("Expand"),
+        "q278 gate broken: the Expand vanished — not the native rollup")
+      // bounded: sources + 1 total row
+      val served = sketchQ.collect().map(_.toSeq).toSet
+      require(served == direct,
+        "q278 gate broken: rollup-served sketch is not bit-identical " +
+          "to the direct fact rollup sketch")
+      // exact statement for the oracle (NULL rolled-up key is a string
+      // column — comparator-safe, the q268 contract)
+      val exact = load(s, dir, "documents").rollup($"source")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+          countDistinct($"doc_id").as("n_uniq"),
+          sum($"n_chars").as("sum_chars"))
+      val rows = exact.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), exact.schema)
+    } finally SummaryRewrite.deregister("q278_docs_hllroll")
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -1819,6 +1902,9 @@ object IndexOps {
         s"writeSnapshot: staging rename $src -> $dst failed — store " +
           "left unchanged (stale staging will be swept)")
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    // same-JVM serving consumers see this commit on their next query
+    // (the rule's newest-snapshot listing is TTL-cached)
+    graft.plans.SummaryRewrite.invalidateStoreListing(store)
     v
   }
 
@@ -1861,6 +1947,10 @@ object IndexOps {
           s"expireSnapshots: failed to delete snap=$v — store still " +
             "readable; re-run to finish retention")
     }
+    // the serving layer's cached newest-version listing may point at a
+    // doomed snapshot for one TTL otherwise (refusal-only, but free to
+    // drop here)
+    graft.plans.SummaryRewrite.invalidateStoreListing(store)
     doomed
   }
 
@@ -2242,6 +2332,14 @@ object IndexOps {
         |  CAST(max(n_chars) AS BIGINT) AS max_chars,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents GROUP BY 1""".stripMargin,
+    // q278: the exact rollup-uniques statement — the served SKETCH is
+    // gated in-query (bit-identity vs the direct fact rollup sketch)
+    "q278_summary_rollup_uniques" ->
+      """SELECT source, CAST(GROUPING(source) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_uniq,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (source)""".stripMargin,
     // q263: the plain rollup + rank window — both extensions invisible
     "q263_summary_topk" ->
       """WITH b AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs

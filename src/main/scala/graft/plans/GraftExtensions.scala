@@ -27,6 +27,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL literals arrive as DECIMAL/INT — cast here, where the Column
     // helpers (which cast for the programmatic path) are bypassed
     def d(e: Expression) = Cast(e, DoubleType)
+    def intLit(e: Expression): Int = {
+      require(e.foldable, s"precision argument must be a literal: $e")
+      e.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"precision argument must be integral, got $other")
+      }
+    }
     ext.injectFunction(fn("healpix_cell", classOf[HealpixAng2Pix],
       exprs => HealpixAng2Pix(d(exprs(0)), d(exprs(1)), Cast(exprs(2), IntegerType))))
     ext.injectFunction(fn("healpix_disc", classOf[HealpixQueryDisc],
@@ -46,6 +55,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => SimHash64Expr(exprs.head)))
     ext.injectFunction(fn("sorted_intersect_count", classOf[SortedIntersectCountExpr],
       exprs => SortedIntersectCountExpr(exprs(0), exprs(1))))
+    // HLL register-word partials for summary artifacts (HllSummary):
+    // a pure-SQL producer can build and fold sketch columns with
+    // graft_hll_partial(col, p) / graft_hll_merge(words, p)
+    ext.injectFunction(fn("graft_hll_partial", classOf[HllPartialWords],
+      exprs => HllPartialWords(exprs(0), intLit(exprs(1)))))
+    ext.injectFunction(fn("graft_hll_merge", classOf[HllMergeWords],
+      exprs => HllMergeWords(exprs(0), intLit(exprs(1)))))
     // whole-operator extension: filtered-row_number top-k → bounded-heap
     // physical operator (see TopKPerKey.scala)
     ext.injectOptimizerRule(_ => TopKRewriteRule)

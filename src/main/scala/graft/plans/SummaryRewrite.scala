@@ -213,6 +213,28 @@ object SummaryRewrite {
     new java.util.concurrent.atomic.AtomicLong(0L)
   private val lastListNanos = new ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Store-backed artifact resolution pays the SAME object-store LIST
+    * class as the catalog refresh — once per candidate per optimizer
+    * pass without a cache — so the newest-snapshot listing is
+    * TTL-cached identically: a same-JVM [[graft.operators.IndexOps
+    * .writeSnapshot]] (or expiry) invalidates its store's stamp via
+    * [[invalidateStoreListing]], other JVMs' commits surface within
+    * one TTL window. The cached value is only the newest VERSION
+    * number; a stale entry can at worst refuse (snapshot expired
+    * under it — the unreadable-artifact guard answers from the fact)
+    * for one TTL, never serve wrong data (snapshots are immutable). */
+  private[plans] val storeListingCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private val storeListCache =
+    new ConcurrentHashMap[String, (Long, Option[Long])]()
+
+  /** Drop a store's cached newest-snapshot listing (called by the
+    * snapshot writers so same-JVM commit-then-query is immediate). */
+  def invalidateStoreListing(store: String): Unit = {
+    storeListCache.remove(store)
+    ()
+  }
+
   /** Trace sink for [[explainServing]] — null (disabled) outside an
     * explain call, so the rule's hot path pays one thread-local read. */
   private val traceBuf =
@@ -263,6 +285,7 @@ object SummaryRewrite {
     registry.clear()
     bound.clear()
     lastListNanos.clear()
+    storeListCache.clear()
   }
 
   // ------------------------------------------------------------ catalog
@@ -994,12 +1017,25 @@ object SummaryRewrite {
 
     /** Newest committed artifact for the summary — fixed path, or the
       * latest snapshot version when store-backed (None when the store
-      * has no committed snapshot yet: refuse, the fact scan answers). */
+      * has no committed snapshot yet: refuse, the fact scan answers).
+      * The store listing is TTL-cached ([[SummaryRewrite
+      * .invalidateStoreListing]]) so a dashboard pays ≤ 1 LIST per
+      * TTL per store, not one per candidate per optimizer pass. */
     private def resolveMvPath(s: Summary): Option[String] = s.store match {
       case None => Some(s.mvPath)
       case Some(st) =>
-        val live = graft.operators.IndexOps.snapshotVersions(spark, st)
-        if (live.isEmpty) None else Some(s"$st/snap=${live.max}")
+        val now = nanoClock()
+        val newest = Option(storeListCache.get(st))
+          .filter { case (stamp, _) => now - stamp < refreshTtlNanos }
+          .map(_._2)
+          .getOrElse {
+            storeListingCount.incrementAndGet()
+            val live = graft.operators.IndexOps.snapshotVersions(spark, st)
+            val n = if (live.isEmpty) None else Some(live.max)
+            storeListCache.put(st, (now, n))
+            n
+          }
+        newest.map(v => s"$st/snap=$v")
     }
 
     /** Bounded: a long-lived dashboard session with a streaming
@@ -1218,6 +1254,9 @@ object SummaryRewrite {
           }.forall(ae => !ae.isDistinct &&
             (ae.aggregateFunction match {
               case _: Min | _: Max | _: Sum | _: Average | _: Count => true
+              // value-set pure / frequency-replayable (see the build
+              // derivations below)
+              case _: HyperLogLogPlusPlus | _: Percentile => true
               case _ => false
             })))
           if (!wellFormed || !consumersOk) return None
@@ -1494,6 +1533,44 @@ object SummaryRewrite {
                   Cast(fagg(Sum(If(IsNotNull(f), cnt,
                     Literal(null, LongType)))), DoubleType))
               }
+              // approx_count_distinct: over a key-determined child the
+              // sketch re-runs verbatim (value-SET pure — the collapse
+              // preserves the set per projection, null masks included);
+              // over a measure attr it merges the hll_<p>_ register
+              // partial masked to the position — both bit-identical to
+              // the fact sketch (see rewriteAgg's HLL branch)
+              case h: HyperLogLogPlusPlus =>
+                keyDetermined(h.child).map(k =>
+                  fagg(h.withNewChildren(Seq(k))
+                    .asInstanceOf[AggregateFunction]))
+                .orElse(h.child match {
+                  case a: AttributeReference =>
+                    baseOf(a).flatMap { case (pos, b) =>
+                      val p = HllSummary.pFor(h.relativeSD)
+                      mvAttrs.get(HllSummary.colName(p, b))
+                        .filter(at => HllSummary.isWordsType(at.dataType))
+                        .flatMap(_ =>
+                          partialAttr(HllSummary.colName(p, b), pos))
+                        .map(reg => fagg(HllMergeEstimate(reg, p)))
+                    }
+                  case _ => None
+                })
+              // EXACT percentile/median over a key-determined child:
+              // cnt is the multiplicity the collapse removed, replayed
+              // through the frequency argument (the direct path's
+              // derivation on the Expand shape); a null child value is
+              // skipped regardless of frequency, so the masked
+              // projections contribute nothing — like the fact's
+              case pct: Percentile
+                  if pct.frequencyExpression.foldable &&
+                    pct.frequencyExpression.eval() == 1L &&
+                    pct.percentageExpression.foldable =>
+                for {
+                  k <- keyDetermined(pct.child)
+                  cnt <- partialAttr("cnt", -1)
+                } yield fagg(pct.withNewChildren(
+                  Seq(k, pct.percentageExpression, cnt))
+                  .asInstanceOf[AggregateFunction])
               case _ => None
               }
             }

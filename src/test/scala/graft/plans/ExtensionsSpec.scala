@@ -76,6 +76,23 @@ class ExtensionsSpec extends AnyFunSuite {
       // and the rewrite still fires through the injected instance alone
       val p2 = q.queryExecution.executedPlan.toString
       assert(p2.contains("extmv") && !p2.contains("documents.parquet"))
+
+      // the hll sketch-partial aggregates are SQL-reachable too: a
+      // pure-SQL producer can build register words and fold them, and
+      // the fold of per-source partials is BIT-equal to the global
+      // partial (the union-monoid law, in SQL)
+      val whole = spark.sql(
+        "SELECT graft_hll_partial(doc_id, 9) AS w FROM ext_docs")
+        .head().getSeq[Long](0)
+      assert(whole.nonEmpty, "graft_hll_partial returned no words")
+      val folded = spark.sql(
+        "WITH p AS (SELECT source, graft_hll_partial(doc_id, 9) AS w " +
+          "FROM ext_docs GROUP BY source) " +
+          "SELECT graft_hll_merge(w, 9) AS m FROM p")
+        .head().getSeq[Long](0)
+      assert(folded === whole,
+        "merge of per-source register partials must be bit-equal to " +
+          "the global partial")
     } finally SummaryRewrite.deregister("ext_mv")
   }
 }

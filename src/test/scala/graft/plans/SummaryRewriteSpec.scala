@@ -1833,6 +1833,79 @@ class SummaryRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("rollup sketches and percentiles: approx_count_distinct over a " +
+      "key and over an hll-measure serve under native ROLLUP " +
+      "bit-identically; percentile/median over keys replay cnt through " +
+      "the frequency argument; mismatched rsd refuses in the Expand " +
+      "path too") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    // part A: documents with an hll_<p>_doc_id register partial
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = s"$tmp/hllroll", hllCols = Seq("doc_id"))
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_hllroll2",
+      SummaryRewrite.Summary("documents.parquet", s"$tmp/hllroll",
+        Set("source", "lang")))
+    try {
+      def q = docs.rollup($"source")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          approx_count_distinct($"doc_id").as("u_measure"),
+          approx_count_distinct($"lang").as("u_key"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("hllroll") && !p.contains("documents.parquet") &&
+        p.contains("Expand"),
+        s"rollup sketch did not serve through the Expand:\n$p")
+      SummaryRewrite.deregister("spec_hllroll2")
+      val direct = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_hllroll2",
+        SummaryRewrite.Summary("documents.parquet", s"$tmp/hllroll",
+          Set("source", "lang")))
+      assert(q.collect().map(_.toSeq).toSet === direct,
+        "rollup sketches diverged from the fact rollup — both the " +
+          "key sketch and the register-partial merge must be " +
+          "bit-identical")
+      // mismatched rsd refuses in the Expand path too
+      val mism = docs.rollup($"source")
+        .agg(approx_count_distinct($"doc_id", 0.01).as("u"))
+      assert(!mism.queryExecution.executedPlan.toString.contains("hllroll"),
+        "mismatched-rsd rollup sketch must refuse")
+    } finally SummaryRewrite.deregister("spec_hllroll2")
+    // part B: exact percentile/median over a NUMERIC key under rollup
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"),
+      mvPath = s"$tmp/pctroll")
+    SummaryRewrite.register("spec_pctroll",
+      SummaryRewrite.Summary("orders.parquet", s"$tmp/pctroll",
+        Set("o_custkey")))
+    try {
+      def orders = graft.Tables.load(spark, dir, "orders")
+      def q = orders.rollup(expr("o_custkey % 3").as("b"))
+        .agg(expr("percentile(o_custkey, 0.5)").as("med"),
+          expr("median(o_custkey)").as("med2"),
+          count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("pctroll") && !p.contains("orders.parquet") &&
+        p.contains("Expand"),
+        s"rollup percentile did not serve:\n$p")
+      SummaryRewrite.deregister("spec_pctroll")
+      val direct = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_pctroll",
+        SummaryRewrite.Summary("orders.parquet", s"$tmp/pctroll",
+          Set("o_custkey")))
+      assert(q.collect().map(_.toSeq).toSet === direct,
+        "rollup percentile diverged — cnt must replay the exact " +
+          "multiplicities per grouping set")
+      // a user-supplied frequency refuses under rollup too
+      val custom = orders.rollup(expr("o_custkey % 3").as("b"))
+        .agg(expr("percentile(o_custkey, 0.5, 2)").as("m"))
+      assert(!custom.queryExecution.executedPlan.toString
+        .contains("pctroll"),
+        "custom-frequency rollup percentile must refuse")
+    } finally SummaryRewrite.deregister("spec_pctroll")
+  }
+
   test("catalog freshness listing is TTL-rate-limited (back-to-back " +
       "optimizations list at most once); a same-JVM publish bypasses " +
       "the TTL so the freshness law stays green") {
@@ -1883,6 +1956,120 @@ class SummaryRewriteSpec extends AnyFunSuite {
       SummaryRewrite.refreshTtlNanos = oldTtl
       SummaryRewrite.clear()
     }
+  }
+
+  test("store-backed resolution is TTL-rate-limited like the catalog " +
+      "refresh; a same-JVM writeSnapshot bypasses the TTL") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val store = s"$tmp/ttlstore"
+    graft.operators.IndexOps.writeSnapshot(
+      SummaryRewrite.summaryFrame(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        Seq("source", "lang"), Seq("n_chars")),
+      store)
+    SummaryRewrite.install(spark)
+    SummaryRewrite.registerStore("spec_ttlstore", "documents.parquet",
+      store, Set("source", "lang"))
+    val oldClock = SummaryRewrite.nanoClock
+    val oldTtl = SummaryRewrite.refreshTtlNanos
+    var now = 0L
+    SummaryRewrite.nanoClock = () => now
+    SummaryRewrite.refreshTtlNanos = 1000000000L
+    try {
+      def q = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      val before = SummaryRewrite.storeListingCount.get()
+      assert(q.queryExecution.executedPlan.toString.contains("snap=1"))
+      assert(q.queryExecution.executedPlan.toString.contains("snap=1"))
+      val listed = SummaryRewrite.storeListingCount.get() - before
+      assert(listed <= 1,
+        s"two back-to-back optimizations paid $listed store listings — " +
+          "a dashboard would pay an object-store LIST per candidate " +
+          "per planning pass")
+      // a new commit must serve on the very next query (same-JVM
+      // writeSnapshot invalidates the stamp; the TTL only bounds
+      // CROSS-JVM staleness)
+      graft.operators.IndexOps.writeSnapshot(
+        SummaryRewrite.summaryFrame(
+          spark.read.parquet(s"$dir/documents.parquet"),
+          Seq("source", "lang"), Seq("n_chars")),
+        store)
+      assert(q.queryExecution.executedPlan.toString.contains("snap=2"),
+        "a same-JVM snapshot commit must bypass the listing TTL")
+    } finally {
+      SummaryRewrite.nanoClock = oldClock
+      SummaryRewrite.refreshTtlNanos = oldTtl
+      SummaryRewrite.deregister("spec_ttlstore")
+    }
+  }
+
+  test("hll measure partials serve through the star-join and union " +
+      "paths, bit-identically (register merge is idempotent under the " +
+      "join's row multiplication and a monoid under union)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    // star join: orders summarized by o_custkey with an o_orderkey
+    // sketch; dim = customer
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"),
+      mvPath = s"$tmp/hllstar", hllCols = Seq("o_orderkey"))
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_hllstar",
+      SummaryRewrite.Summary("orders.parquet", s"$tmp/hllstar",
+        Set("o_custkey")))
+    try {
+      def orders = graft.Tables.load(spark, dir, "orders")
+      def customer = graft.Tables.load(spark, dir, "customer")
+      def q = orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_nationkey")
+        .agg(approx_count_distinct($"o_orderkey").as("u"),
+          count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("hllstar") && !p.contains("orders.parquet"),
+        s"star-join sketch did not serve:\n$p")
+      SummaryRewrite.deregister("spec_hllstar")
+      val direct = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_hllstar",
+        SummaryRewrite.Summary("orders.parquet", s"$tmp/hllstar",
+          Set("o_custkey")))
+      assert(q.collect().map(_.toSeq).toSet === direct,
+        "star-join sketch diverged — register max-merge must be " +
+          "idempotent under the dim-match multiplication")
+    } finally SummaryRewrite.deregister("spec_hllstar")
+    // union: two epochs, each with its own sketch-carrying artifact
+    val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+    (0 to 1).foreach { i =>
+      docsAll.filter($"doc_id" % 2 === i)
+        .write.parquet(s"$tmp/hep$i/d.parquet")
+      SummaryRewrite.buildSummary(spark, s"$tmp/hep$i/d.parquet",
+        keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+        mvPath = s"$tmp/hllu$i", hllCols = Seq("doc_id"))
+      SummaryRewrite.register(s"spec_hllu$i",
+        SummaryRewrite.Summary(s"hep$i/d.parquet", s"$tmp/hllu$i",
+          Set("source", "lang")))
+    }
+    try {
+      def q = spark.read.parquet(s"$tmp/hep0/d.parquet")
+        .union(spark.read.parquet(s"$tmp/hep1/d.parquet"))
+        .groupBy($"lang")
+        .agg(approx_count_distinct($"doc_id").as("u"),
+          count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("hllu0") && p.contains("hllu1") &&
+        !p.contains("d.parquet"),
+        s"union sketch did not serve:\n$p")
+      (0 to 1).foreach(i => SummaryRewrite.deregister(s"spec_hllu$i"))
+      val direct = q.collect().map(_.toSeq).toSet
+      (0 to 1).foreach(i => SummaryRewrite.register(s"spec_hllu$i",
+        SummaryRewrite.Summary(s"hep$i/d.parquet", s"$tmp/hllu$i",
+          Set("source", "lang"))))
+      assert(q.collect().map(_.toSeq).toSet === direct,
+        "union sketch diverged — per-epoch registers must merge to " +
+          "the concatenation's registers")
+    } finally (0 to 1).foreach(i =>
+      SummaryRewrite.deregister(s"spec_hllu$i"))
   }
 
   test("per-directory catalog binding: two catalogs bound in one JVM " +
