@@ -692,6 +692,10 @@ object SparkEntry {
     // partial served through the rewritten Expand, bit-identical to
     // the fact rollup sketch (gated); exact statement oracled
     "q278_summary_rollup_uniques" -> (IndexOps.q278SummaryRollupUniques _),
+    // the composed shape: native ROLLUP over a UNION of epochs with a
+    // sketch measure — both serving dimensions in one plan (gated
+    // bit-identical); exact statement oracled
+    "q279_summary_union_rollup" -> (IndexOps.q279SummaryUnionRollup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

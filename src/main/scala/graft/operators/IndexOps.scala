@@ -1665,6 +1665,70 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q278_docs_hllroll")
   }
 
+  // --------------------------------------------------------------- q279
+
+  /** q279 — the composed shape: native ROLLUP over a UNION of
+    * registered facts, sketches included. A multi-epoch corpus queried
+    * as a BI matrix (`epoch1 ∪ epoch2 GROUP BY ROLLUP(source)` with
+    * count/sum/uniques) is q277's union serving and q278's
+    * Expand serving in ONE plan: each epoch's summary scan substitutes
+    * under the rewritten Expand, partials fold per grouping set across
+    * epochs (union-monoids), and the hll register merge composes
+    * across BOTH dimensions — bit-identical to the fact-union rollup
+    * sketch (gated). At 100 TB: grouping-sets × epochs × kilobytes
+    * instead of grouping-sets × corpus. Exact statement oracled
+    * against the whole table (the epochs partition `documents`). */
+  def q279SummaryUnionRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q279").toString
+    val (e1, e2) = (s"$tmp/uepoch1/docs.parquet", s"$tmp/uepoch2/docs.parquet")
+    val docs = load(s, dir, "documents")
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+    docs.filter($"doc_id" % 2 === 0).write.parquet(e1)
+    docs.filter($"doc_id" % 2 === 1).write.parquet(e2)
+    SummaryRewrite.buildSummary(s, e1, keys = Seq("source", "lang"),
+      sumCols = Seq("n_chars"), mvPath = s"$tmp/mv_uepoch1",
+      hllCols = Seq("doc_id"))
+    SummaryRewrite.buildSummary(s, e2, keys = Seq("source", "lang"),
+      sumCols = Seq("n_chars"), mvPath = s"$tmp/mv_uepoch2",
+      hllCols = Seq("doc_id"))
+    def sketchQ = s.read.parquet(e1).union(s.read.parquet(e2))
+      .rollup($"source")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        approx_count_distinct($"doc_id").as("u"))
+    // the direct fact-union rollup sketch FIRST (nothing registered)
+    val direct = sketchQ.collect().map(_.toSeq).toSet
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q279_uepoch1", SummaryRewrite.Summary(
+      "uepoch1/docs.parquet", s"$tmp/mv_uepoch1", Set("source", "lang")))
+    SummaryRewrite.register("q279_uepoch2", SummaryRewrite.Summary(
+      "uepoch2/docs.parquet", s"$tmp/mv_uepoch2", Set("source", "lang")))
+    try {
+      val phys = sketchQ.queryExecution.executedPlan.toString
+      require(phys.contains("mv_uepoch1") && phys.contains("mv_uepoch2"),
+        "q279 gate is vacuous: both epoch summaries must serve the rollup")
+      require(!phys.contains("docs.parquet"),
+        "q279 gate broken: an epoch fact is still scanned")
+      require(phys.contains("Expand"),
+        "q279 gate broken: the Expand vanished — not the native rollup")
+      val served = sketchQ.collect().map(_.toSeq).toSet
+      require(served == direct,
+        "q279 gate broken: rollup-over-union sketch is not bit-identical" +
+          " to the direct fact-union rollup")
+      // exact statement for the oracle
+      val exact = load(s, dir, "documents").rollup($"source")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          countDistinct($"doc_id").as("n_uniq"))
+      val rows = exact.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), exact.schema)
+    } finally {
+      SummaryRewrite.deregister("q279_uepoch1")
+      SummaryRewrite.deregister("q279_uepoch2")
+    }
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -2339,6 +2403,15 @@ object IndexOps {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_uniq,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (source)""".stripMargin,
+    // q279: the exact rollup statement off the whole table (the two
+    // epochs partition documents); the composed union-rollup SKETCH is
+    // gated in-query
+    "q279_summary_union_rollup" ->
+      """SELECT source, CAST(GROUPING(source) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_uniq
         |FROM documents GROUP BY ROLLUP (source)""".stripMargin,
     // q263: the plain rollup + rank window — both extensions invisible
     "q263_summary_topk" ->

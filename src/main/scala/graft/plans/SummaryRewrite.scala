@@ -1070,6 +1070,51 @@ object SummaryRewrite {
         }
       }
 
+    /** Union branches may carry bare-attribute RENAME aliases in their
+      * pushed-down projects (PullOutGroupingExpressions copies grouping
+      * attrs under fresh exprIds and PushProjectionThroughUnion lands
+      * them inside the branches): those are column-IDENTITY and safe
+      * for by-name matching as long as each alias preserves its
+      * column's name. Any computed alias — or a rename to a DIFFERENT
+      * name — refuses (the shadowing class). */
+    private def renameOnlySubst(u: Union, shapes: Seq[Shape]): Boolean = {
+      val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+      u.children.zip(shapes).forall { case (c, sh) =>
+        sh.subst.forall { case (id, e) =>
+          e match {
+            case ar: AttributeReference =>
+              c.output.find(_.exprId == id)
+                .forall(o => lower(o.name) == lower(ar.name))
+            case _ => false
+          }
+        }
+      }
+    }
+
+    /** Whether a column name is a PARTIAL under the artifact naming
+      * contract. Cross-branch (union) serving matches columns by name,
+      * so each required name must be the SAME kind on every branch:
+      * partial-named requirements must not be declared KEYS of a
+      * branch's summary (a key column named `sum_x` would be served as
+      * a partial — refuse the ambiguity), and non-partial requirements
+      * must BE keys (the key-determined-value arguments hold per
+      * branch only for that branch's own grouping columns). */
+    private def isPartialName(n: String): Boolean =
+      n == "cnt" || n.startsWith("sum_") || n.startsWith("cnt_") ||
+        n.startsWith("min_") || n.startsWith("max_") ||
+        HllSummary.NamePattern.pattern.matcher(n).matches()
+
+    /** Branch-i acceptance for union serving: the candidate's artifact
+      * carries every required column with exactly the reference type,
+      * with the name-kind discipline above. */
+    private def branchCarries(required: Seq[String],
+        refTypes: Map[String, DataType],
+        attrs: Map[String, Attribute], keys: Set[String]): Boolean =
+      required.forall { nm =>
+        attrs.get(nm).exists(_.dataType == refTypes(nm)) &&
+          (if (isPartialName(nm)) !keys.contains(nm) else keys.contains(nm))
+      }
+
     /** A grouping expression the rewrite can carry: deterministic,
       * aggregate- and subquery-free — its references are checked
       * against the candidate's keys later (per summary). */
@@ -1168,7 +1213,31 @@ object SummaryRewrite {
         hint: Option[AggregateHint]): Option[Aggregate] = {
       val Expand(projections, output, child) = expand
       if (projections.isEmpty) return None
-      val shape = decompose(child).getOrElse(return None)
+      // the Expand's fact may itself be a UNION of registered facts
+      // (ROLLUP over a multi-epoch corpus): classify and derive
+      // against branch 0's artifact, then substitute a union of
+      // per-branch canonical scans for the fact (the tryUnionRewrite
+      // discipline: positional names, no computed branch aliases, one
+      // uncovered epoch refuses everything). Bare-key rollups only:
+      // a hoisted grouping-alias project gets pushed INTO the union
+      // branches by the optimizer and refuses as a computed alias.
+      val unionOpt: Option[(Union, Seq[Shape])] = child match {
+        case u: Union if !u.byName && u.children.size >= 2 =>
+          val shapesOpt = u.children.map(decompose)
+          if (shapesOpt.exists(_.isEmpty)) return None
+          val shapes = shapesOpt.map(_.get)
+          if (!renameOnlySubst(u, shapes)) return None
+          val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+          if (!u.children.forall(c =>
+              c.output.map(a => lower(a.name)) ==
+                u.output.map(a => lower(a.name)))) return None
+          Some((u, shapes))
+        case _ => None
+      }
+      val shape = unionOpt match {
+        case Some((_, shapes)) => shapes.head
+        case None => decompose(child).getOrElse(return None)
+      }
 
       // how each Expand output attr is used by the Aggregate above:
       // inside aggregate functions vs outside (grouping + pass-through)
@@ -1286,9 +1355,11 @@ object SummaryRewrite {
             mvAttrs.contains(r.name)))
           cnt <- mvAttrs.get("cnt")
           if cnt.dataType == LongType
-          result <- buildExpandRewrite(groupExprs, aggExprs, shape.pred,
+          mkChild = expandChildBuilder(unionOpt, shape, summary, mvPlan,
+            mvAttrs)
+          result <- buildExpandRewrite(groupExprs, aggExprs, mkChild,
             projections, output, keptIdx, keyBase, exprPos, measureBase,
-            measureMask, mvPlan, mvAttrs, summary.keys, hint)
+            measureMask, mvAttrs, summary.keys, hint)
         } yield result
         if (r.isEmpty)
           note(s"candidate '$n': rollup/cube (Expand) shape not " +
@@ -1297,6 +1368,70 @@ object SummaryRewrite {
         else note(s"rollup/cube aggregate SERVED by summary '$n'")
         r
       }.headOption
+    }
+
+    /** The rewritten Expand's CHILD for one branch-0 candidate: the
+      * single-fact case filters the artifact scan; the union case
+      * resolves, per remaining branch, a covering candidate whose
+      * artifact carries every referenced column with the same type and
+      * name-kind ([[branchCarries]]), pushes that branch's key-only
+      * filter onto its scan, and unions the canonical projections —
+      * refusing everything when any branch is uncovered. */
+    private def expandChildBuilder(unionOpt: Option[(Union, Seq[Shape])],
+        shape: Shape, summary0: Summary, mvPlan0: LogicalPlan,
+        mvAttrs0: Map[String, Attribute])
+        : Seq[Attribute] => Option[LogicalPlan] = {
+      val remap0 = (ex: Expression) => ex.transform {
+        case a: AttributeReference if mvAttrs0.contains(a.name) =>
+          mvAttrs0(a.name)
+      }
+      unionOpt match {
+        case None => _ =>
+          Some(shape.pred.map(p => Filter(remap0(p), mvPlan0))
+            .getOrElse(mvPlan0))
+        case Some((u, shapes)) => refs => {
+          val required = refs.map(_.name).distinct.sorted
+          val refTypes = required.map(nm => nm -> mvAttrs0(nm).dataType)
+            .toMap
+          if (required.isEmpty ||
+              !branchCarries(required, refTypes, mvAttrs0, summary0.keys))
+            None
+          else {
+            val p0 = shapes.head.pred.map(p => Filter(remap0(p), mvPlan0))
+              .getOrElse(mvPlan0)
+            val proj0 = Project(required.map(mvAttrs0(_)), p0)
+            val others = u.children.indices.drop(1).map { i =>
+              val needs = required.filterNot(isPartialName).toSet ++
+                shapes(i).pred.toSeq
+                  .flatMap(_.references.toSeq.map(_.name))
+              candidates(shapes(i), needs).view.flatMap { case (_, s) =>
+                for {
+                  path <- resolveMvPath(s)
+                  plan <- mvPlanFor(path, s.store.isDefined)
+                  attrs = plan.output.map(a => a.name -> a).toMap
+                  if shapes(i).pred.forall(_.references.toSeq.forall(r =>
+                    attrs.contains(r.name)))
+                  if branchCarries(required, refTypes, attrs, s.keys)
+                } yield {
+                  val remapI = (ex: Expression) => ex.transform {
+                    case a: AttributeReference if attrs.contains(a.name) =>
+                      attrs(a.name)
+                  }
+                  val pi = shapes(i).pred
+                    .map(p => Filter(remapI(p), plan)).getOrElse(plan)
+                  Project(required.map(nm => attrs(nm)), pi)
+                }
+              }.headOption
+            }
+            if (others.exists(_.isEmpty)) {
+              note("expand-over-union: a branch has no artifact " +
+                "carrying the required partials — refusing (one " +
+                "uncovered epoch scans all)")
+              None
+            } else Some(Union((proj0 +: others.map(_.get)).toIndexedSeq))
+          }
+        }
+      }
     }
 
     /** Assemble the rewritten Aggregate-over-Expand-over-summary; any
@@ -1310,13 +1445,14 @@ object SummaryRewrite {
       * regular+distinct shape exact WITHOUT relying on the parent
       * aggregate's FILTER clauses to discard anything). */
     private def buildExpandRewrite(groupExprs: Seq[Expression],
-        aggExprs: Seq[NamedExpression], pred: Option[Expression],
+        aggExprs: Seq[NamedExpression],
+        mkChild: Seq[Attribute] => Option[LogicalPlan],
         projections: Seq[Seq[Expression]], output: Seq[Attribute],
         keptIdx: Seq[Int], keyBase: Map[Int, Expression],
         exprPos: Map[Int, Seq[Expression]],
         measureBase: Map[Attribute, (Int, AttributeReference)],
         measureMask: Map[Int, Seq[Boolean]],
-        mvPlan: LogicalPlan, mvAttrs: Map[String, Attribute],
+        mvAttrs: Map[String, Attribute],
         keys: Set[String],
         hint: Option[AggregateHint]): Option[Aggregate] = {
       val remap = (ex: Expression) => ex.transform {
@@ -1589,10 +1725,6 @@ object SummaryRewrite {
         else if (!groupExprs.forall(_.references.subsetOf(keptAttrs)))
           None
         else {
-          val factPlan = pred match {
-            case Some(p) => Filter(remap(p), mvPlan)
-            case None => mvPlan
-          }
           val newProjections = projections.zipWithIndex.map {
             case (proj, j) =>
               keptIdx.map { i =>
@@ -1610,9 +1742,13 @@ object SummaryRewrite {
                 else Literal(null, mvAttrs(n).dataType)
               }
           }
-          val newOutput = keptIdx.map(output) ++ partialCols.map(_._3)
-          val newExpand = Expand(newProjections, newOutput, factPlan)
-          Some(Aggregate(groupExprs, as, newExpand, hint))
+          val childRefs = AttributeSet(
+            newProjections.flatten.flatMap(_.references.toSeq)).toSeq
+          mkChild(childRefs).map { factPlan =>
+            val newOutput = keptIdx.map(output) ++ partialCols.map(_._3)
+            val newExpand = Expand(newProjections, newOutput, factPlan)
+            Aggregate(groupExprs, as, newExpand, hint)
+          }
         }
       }
     }
@@ -1656,9 +1792,10 @@ object SummaryRewrite {
         return None
       }
       val shapes = shapesOpt.map(_.get)
-      if (shapes.exists(_.subst.nonEmpty)) {
+      if (!renameOnlySubst(u, shapes)) {
         note("union: a branch carries computed projections — measures " +
-          "are matched by NAME across branches, so aliases refuse")
+          "are matched by NAME across branches, so non-rename aliases " +
+          "refuse")
         return None
       }
       val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
@@ -1706,13 +1843,15 @@ object SummaryRewrite {
               newAggs.flatMap(_.references.toSeq) ++
                 newGroup.flatMap(_.references.toSeq))
               .toSeq.map(_.name).distinct.sorted
+            val refTypes = required.map(nm => nm -> attrs0(nm).dataType)
+              .toMap
             val others = u.children.indices.drop(1).map { i =>
-              resolved(i).find { case (_, _, attrs, _) =>
-                required.forall(nm => attrs.get(nm)
-                  .exists(_.dataType == attrs0(nm).dataType))
+              resolved(i).find { case (_, _, attrs, keys) =>
+                branchCarries(required, refTypes, attrs, keys)
               }
             }
-            if (required.isEmpty) None
+            if (required.isEmpty ||
+                !branchCarries(required, refTypes, attrs0, keys0)) None
             else if (others.exists(_.isEmpty)) {
               note(s"union: candidate '$n0' derives the measures but " +
                 "another branch has no artifact carrying the same " +

@@ -2072,6 +2072,62 @@ class SummaryRewriteSpec extends AnyFunSuite {
       SummaryRewrite.deregister(s"spec_hllu$i"))
   }
 
+  test("native ROLLUP over a UNION of registered facts serves — the " +
+      "multi-epoch BI matrix; an uncovered branch refuses everything") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+    (0 to 1).foreach { i =>
+      docsAll.filter($"doc_id" % 2 === i)
+        .write.parquet(s"$tmp/rep$i/d.parquet")
+      SummaryRewrite.buildSummary(spark, s"$tmp/rep$i/d.parquet",
+        keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+        mvPath = s"$tmp/rollu$i", hllCols = Seq("doc_id"))
+    }
+    SummaryRewrite.install(spark)
+    def reg(i: Int): Unit = SummaryRewrite.register(s"spec_rollu$i",
+      SummaryRewrite.Summary(s"rep$i/d.parquet", s"$tmp/rollu$i",
+        Set("source", "lang")))
+    (0 to 1).foreach(reg)
+    try {
+      def un = spark.read.parquet(s"$tmp/rep0/d.parquet")
+        .union(spark.read.parquet(s"$tmp/rep1/d.parquet"))
+      def q = un.rollup($"source")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum($"n_chars").as("sc"),
+          approx_count_distinct($"doc_id").as("u"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("rollu0") && p.contains("rollu1") &&
+        !p.contains("d.parquet") && p.contains("Expand"),
+        s"rollup over union did not serve both branches:\n$p")
+      (0 to 1).foreach(i => SummaryRewrite.deregister(s"spec_rollu$i"))
+      val direct = q.collect().map(_.toSeq).toSet
+      (0 to 1).foreach(reg)
+      assert(q.collect().map(_.toSeq).toSet === direct,
+        "rollup-over-union diverged from the fact union rollup " +
+          "(sketch included — register merges compose across epochs " +
+          "and grouping sets)")
+      // a key-only filter above the union still serves (pushed into
+      // each branch below the Expand)
+      def qf = un.filter($"lang" === "en").rollup($"source")
+        .agg(count(lit(1)).as("n"))
+      val pf = qf.queryExecution.executedPlan.toString
+      assert(pf.contains("rollu0") && pf.contains("rollu1") &&
+        !pf.contains("d.parquet"),
+        s"filtered rollup over union did not serve:\n$pf")
+      (0 to 1).foreach(i => SummaryRewrite.deregister(s"spec_rollu$i"))
+      val expectF = qf.collect().map(_.toSeq).toSet
+      (0 to 1).foreach(reg)
+      assert(qf.collect().map(_.toSeq).toSet === expectF)
+      // one uncovered epoch refuses the whole rollup
+      SummaryRewrite.deregister("spec_rollu1")
+      assert(q.queryExecution.executedPlan.toString.contains("d.parquet"),
+        "an uncovered branch must force the fact union under rollup")
+    } finally (0 to 1).foreach(i =>
+      SummaryRewrite.deregister(s"spec_rollu$i"))
+  }
+
   test("per-directory catalog binding: two catalogs bound in one JVM " +
       "refresh independently — neither steals the other's freshness") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
@@ -2381,10 +2437,12 @@ class SummaryRewriteSpec extends AnyFunSuite {
       assert(q.queryExecution.executedPlan.toString.contains("d.parquet"),
         "an uncovered branch must force the whole fact union")
       reg(2)
-      // a computed alias inside a branch refuses (name-shadowing risk)
+      // a computed alias inside a branch refuses (name-shadowing risk;
+      // abs() stays an expression after constant folding — `+ 0L`
+      // would fold back to a bare rename, which rightly SERVES)
       val aliased = spark.read.parquet(epochs(0))
         .select($"doc_id", $"source", $"lang",
-          ($"n_chars" + 0L).as("n_chars"))
+          abs($"n_chars").as("n_chars"))
         .union(spark.read.parquet(epochs(1)))
         .union(spark.read.parquet(epochs(2)))
         .groupBy($"lang").agg(sum($"n_chars").as("sc"))
