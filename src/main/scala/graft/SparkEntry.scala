@@ -696,6 +696,10 @@ object SparkEntry {
     // sketch measure — both serving dimensions in one plan (gated
     // bit-identical); exact statement oracled
     "q279_summary_union_rollup" -> (IndexOps.q279SummaryUnionRollup _),
+    // workload-driven advisor: adviseSummaries over the dashboard's
+    // frames -> buildAdvice -> all three queries plan-provably serve;
+    // unservable shapes named (all gated in-query)
+    "q280_summary_advisor" -> (IndexOps.q280SummaryAdvisor _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

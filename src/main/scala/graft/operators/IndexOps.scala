@@ -1729,6 +1729,69 @@ object IndexOps {
     }
   }
 
+  // --------------------------------------------------------------- q280
+
+  /** q280 — the workload-driven summary ADVISOR closing the serving
+    * lifecycle (advise → build → serve → maintain → audit → explain):
+    * point [[graft.plans.SummaryRewrite.adviseSummaries]] at the
+    * dashboard's actual DataFrames and it emits the one registration
+    * whose keys are the union of every observed grouping/filter/
+    * distinct column, with sum/min-max/hll partials for the observed
+    * measures — then `buildAdvice` makes good on it: all three
+    * dashboard queries plan-provably serve from the advised artifact
+    * (gated), an unservable join aggregate is NAMED in the notes
+    * (gated non-vacuity), and the served values match the fact scan.
+    * At 100 TB this is the operator's planning loop: no guessing
+    * which summary to build — the workload says. Output is the first
+    * dashboard query's exact result (plain SQL oracle). */
+  def q280SummaryAdvisor(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q280")
+      .toString + "/advised_docs"
+    def q1 = load(s, dir, "documents").groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+    def q2 = load(s, dir, "documents").filter($"lang" === "en")
+      .groupBy($"source")
+      .agg(avg($"n_chars").as("avg_chars"), max($"n_chars").as("max_chars"))
+    def q3 = load(s, dir, "documents").groupBy($"lang")
+      .agg(approx_count_distinct($"doc_id").as("u"),
+        countDistinct($"source").as("n_sources"))
+    val qJoin = load(s, dir, "orders")
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
+    val direct1 = q1.collect().map(_.toSeq).toSet
+    val direct2 = q2.collect().map(_.toSeq).toSet
+    val direct3 = q3.collect().map(_.toSeq).toSet
+    val (advs, notes) =
+      SummaryRewrite.adviseSummaries(s, Seq(q1, q2, q3, qJoin))
+    val advice = advs.find(_.fact.endsWith("documents.parquet")).getOrElse(
+      throw new IllegalStateException(
+        s"q280 gate broken: no documents advice in $advs"))
+    require(advice.keys == Set("source", "lang") && advice.covered == 3,
+      s"q280 gate broken: unexpected advice $advice")
+    require(notes.exists(_.contains("not over a bare fact")),
+      s"q280 gate is vacuous: the join aggregate must be named " +
+        s"unservable ($notes)")
+    SummaryRewrite.install(s)
+    SummaryRewrite.buildAdvice(s, advice, "q280_advised", mv)
+    try {
+      Seq("q1" -> (() => q1), "q2" -> (() => q2), "q3" -> (() => q3))
+        .foreach { case (nm, mk) =>
+          val p = mk().queryExecution.executedPlan.toString
+          require(p.contains("advised_docs") &&
+              !p.contains("documents.parquet"),
+            s"q280 gate is vacuous: advised summary did not serve $nm")
+        }
+      require(q1.collect().map(_.toSeq).toSet == direct1 &&
+          q2.collect().map(_.toSeq).toSet == direct2 &&
+          q3.collect().map(_.toSeq).toSet == direct3,
+        "q280 gate broken: advised serving diverged from the fact scans")
+      // bounded: one row per source
+      val rows = q1.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q1.schema)
+    } finally SummaryRewrite.deregister("q280_advised")
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -2413,6 +2476,12 @@ object IndexOps {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_uniq
         |FROM documents GROUP BY ROLLUP (source)""".stripMargin,
+    // q280: the first dashboard query's plain rollup — the advisor,
+    // the build, and the three serving proofs are all gated in-query
+    "q280_summary_advisor" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     // q263: the plain rollup + rank window — both extensions invisible
     "q263_summary_topk" ->
       """WITH b AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs

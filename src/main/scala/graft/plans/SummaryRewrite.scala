@@ -269,6 +269,177 @@ object SummaryRewrite {
     else buf.distinct.toSeq // the rule may run several optimizer passes
   }
 
+  /** A proposed registration from [[adviseSummaries]]: build ONE
+    * summary per fact, keyed by the union of every observed grouping /
+    * filter / distinct / percentile / key-expression column (a
+    * summary serves every COARSENING of its keys, so the union covers
+    * each query), carrying sum partials for sum/avg/count(col)
+    * measures, min/max partials, and hll register partials for
+    * approx_count_distinct measures. `covered` counts the aggregates
+    * the proposal serves. Cardinality judgment stays with the
+    * operator: keys the advisor unions can be high-cardinality (a
+    * filter on doc_id keys doc_id) — prune what you know is
+    * unreasonable before building. */
+  final case class Advice(fact: String, table: Option[String],
+      keys: Set[String], sumCols: Seq[String], minMaxCols: Seq[String],
+      hllCols: Seq[String], hllRsd: Double, covered: Int)
+
+  /** Workload-driven summary ADVISOR — the planning complement of the
+    * lifecycle (advise → build → serve → maintain → audit → explain):
+    * given the dashboard's actual DataFrames, emit the registrations
+    * that would serve them, plus a note per aggregate the serving
+    * layer cannot cover (join/union/expand shapes — register
+    * per-branch summaries by hand — and non-derivable measures).
+    * Analysis-only: no Spark jobs run; each query pays one extra
+    * optimization pass. Run BEFORE registering — an already-served
+    * query would be analyzed post-rewrite. */
+  def adviseSummaries(spark: SparkSession,
+      queries: Seq[DataFrame]): (Seq[Advice], Seq[String]) = {
+    val rule = SummaryRewriteRule(spark)
+    val notes = scala.collection.mutable.ArrayBuffer[String]()
+    final case class Obs(fact: String, table: Option[String],
+        keys: Set[String], sums: Set[String], minMax: Set[String],
+        hll: Set[String], hllRsd: Option[Double])
+    val obs = scala.collection.mutable.ArrayBuffer[Obs]()
+    queries.zipWithIndex.foreach { case (df, qi) =>
+      val plan = spark.sessionState.executePlan(df.queryExecution.logical)
+        .optimizedPlan
+      val aggs = plan.collect { case a: Aggregate => a }
+      if (aggs.isEmpty) notes += s"query $qi: no aggregate to serve"
+      aggs.foreach {
+        case Aggregate(g0, a0, child, _) =>
+          rule.decompose(child) match {
+            case None =>
+              notes += (s"query $qi: aggregate is not over a bare fact " +
+                "scan (join/union/rollup shapes serve, but advise " +
+                "their per-fact summaries from the plain per-fact " +
+                "aggregates)")
+            case Some(shape) =>
+              val g = g0.map(rule.inline(_, shape.subst))
+              if (!g.forall(rule.carriableGrouping))
+                notes += s"query $qi: nondeterministic/nested grouping"
+              else {
+                var keys = (g.flatMap(_.references.toSeq.map(_.name)) ++
+                  shape.pred.toSeq
+                    .flatMap(_.references.toSeq.map(_.name))).toSet
+                var sums = Set.empty[String]
+                var minMax = Set.empty[String]
+                var hll = Set.empty[String]
+                var hllRsd = Option.empty[Double]
+                var ok = true
+                def miss(what: String): Unit = {
+                  notes += s"query $qi: $what is not derivable from a " +
+                    "summary — this aggregate will keep scanning the fact"
+                  ok = false
+                }
+                // an expression measure is served by keying its refs
+                def keyable(e: Expression): Boolean =
+                  e.deterministic && e.references.nonEmpty &&
+                    !e.exists(_.isInstanceOf[PlanExpression[_]])
+                def keyRefs(e: Expression): Unit =
+                  keys ++= e.references.toSeq.map(_.name)
+                a0.flatMap(_.collect {
+                  case ae: AggregateExpression => ae
+                }).map(ae => rule.inline(ae, shape.subst)
+                  .asInstanceOf[AggregateExpression]).foreach { ae =>
+                  ae.filter.foreach { f =>
+                    if (keyable(f)) keyRefs(f) else miss("a FILTER clause")
+                  }
+                  if (ae.isDistinct) {
+                    val fn = ae.aggregateFunction
+                    if (fn.references.nonEmpty && fn.deterministic)
+                      keys ++= fn.references.toSeq.map(_.name)
+                    else miss("a distinct aggregate over no columns")
+                  } else ae.aggregateFunction match {
+                    case c: Count if c.children.forall(ch =>
+                        ch.foldable && ch.eval() != null) => ()
+                    case c: Count => c.children.foreach {
+                      case a: AttributeReference => sums += a.name
+                      case e if keyable(e) => keyRefs(e)
+                      case _ => miss("a COUNT over this expression")
+                    }
+                    case s: Sum => s.child match {
+                      case a: AttributeReference => sums += a.name
+                      case e if keyable(e) => keyRefs(e)
+                      case _ => miss("a SUM over this expression")
+                    }
+                    case av: Average => av.child match {
+                      case a: AttributeReference => sums += a.name
+                      case e if keyable(e) => keyRefs(e)
+                      case _ => miss("an AVG over this expression")
+                    }
+                    case m: Min => m.child match {
+                      case a: AttributeReference => minMax += a.name
+                      case e if keyable(e) => keyRefs(e)
+                      case _ => miss("a MIN over this expression")
+                    }
+                    case m: Max => m.child match {
+                      case a: AttributeReference => minMax += a.name
+                      case e if keyable(e) => keyRefs(e)
+                      case _ => miss("a MAX over this expression")
+                    }
+                    case h: HyperLogLogPlusPlus => h.child match {
+                      case a: AttributeReference =>
+                        hll += a.name
+                        if (hllRsd.exists(_ != h.relativeSD))
+                          notes += (s"query $qi: conflicting " +
+                            "approx_count_distinct rsd values — one " +
+                            "artifact carries one precision per column")
+                        else hllRsd = Some(h.relativeSD)
+                      case e if keyable(e) => keyRefs(e)
+                      case _ => miss("an approx_count_distinct over " +
+                        "this expression")
+                    }
+                    case p: Percentile
+                        if p.frequencyExpression.foldable &&
+                          p.frequencyExpression.eval() == 1L &&
+                          p.percentageExpression.foldable =>
+                      if (keyable(p.child)) keyRefs(p.child)
+                      else miss("a percentile over this expression")
+                    case other =>
+                      miss(s"aggregate ${other.prettyName}")
+                  }
+                }
+                if (ok) {
+                  val fact = shape.paths.headOption.getOrElse("")
+                  val table = shape.tables.headOption
+                  if (fact.isEmpty && table.isEmpty)
+                    notes += s"query $qi: fact has no path or table identity"
+                  else obs += Obs(fact, table, keys, sums, minMax, hll,
+                    hllRsd)
+                }
+              }
+          }
+      }
+    }
+    val advices = obs.groupBy(o => (o.fact, o.table)).toSeq
+      .sortBy(_._1._1).map { case ((fact, table), os) =>
+        Advice(fact, table,
+          os.flatMap(_.keys).toSet,
+          os.flatMap(_.sums).toSet.toSeq.sorted,
+          os.flatMap(_.minMax).toSet.toSeq.sorted,
+          os.flatMap(_.hll).toSet.toSeq.sorted,
+          os.flatMap(_.hllRsd).headOption.getOrElse(0.05),
+          os.size)
+      }
+    (advices, notes.toSeq)
+  }
+
+  /** Build + register one [[Advice]] (path-identified facts; a
+    * table-identified advice builds from `spark.table` yourself and
+    * registers with [[Summary.table]]). */
+  def buildAdvice(spark: SparkSession, advice: Advice, name: String,
+      mvPath: String): Unit = {
+    require(advice.fact.nonEmpty,
+      "buildAdvice: this advice is table-identified — build from " +
+        "spark.table and register manually")
+    buildSummary(spark, advice.fact, advice.keys.toSeq.sorted,
+      advice.sumCols, mvPath, advice.minMaxCols, advice.hllCols,
+      advice.hllRsd)
+    register(name, Summary(advice.fact, mvPath, advice.keys,
+      table = advice.table))
+  }
+
   def register(name: String, summary: Summary): Unit =
     registry.put(name, summary)
 
@@ -899,12 +1070,12 @@ object SummaryRewrite {
       * predicate) — the fact identity is its path(s), and for catalog
       * reads (`spark.table`) its TABLE name(s): the bare name and the
       * qualified string, both lowercased for the match. */
-    private case class Shape(paths: Seq[String], tables: Seq[String],
+    private[plans] case class Shape(paths: Seq[String], tables: Seq[String],
         pred: Option[Expression], subst: Map[ExprId, Expression])
 
     /** Replace references to hoisted Project aliases with their
       * defining expressions (values are pre-inlined: one pass). */
-    private def inline(e: Expression,
+    private[plans] def inline(e: Expression,
         subst: Map[ExprId, Expression]): Expression =
       if (subst.isEmpty) e
       else e.transform {
@@ -939,7 +1110,7 @@ object SummaryRewrite {
         Seq(id.name, (id.namespace :+ id.name).mkString(".")))
         .map(_.toLowerCase(java.util.Locale.ROOT))
 
-    private def decompose(plan: LogicalPlan): Option[Shape] = plan match {
+    private[plans] def decompose(plan: LogicalPlan): Option[Shape] = plan match {
       case rel: LogicalRelation =>
         rel.relation match {
           case fs: HadoopFsRelation =>
@@ -1118,7 +1289,7 @@ object SummaryRewrite {
     /** A grouping expression the rewrite can carry: deterministic,
       * aggregate- and subquery-free — its references are checked
       * against the candidate's keys later (per summary). */
-    private def carriableGrouping(ge: Expression): Boolean =
+    private[plans] def carriableGrouping(ge: Expression): Boolean =
       ge.deterministic &&
         !ge.exists(_.isInstanceOf[AggregateExpression]) &&
         !ge.exists(_.isInstanceOf[PlanExpression[_]])

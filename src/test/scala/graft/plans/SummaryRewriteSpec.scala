@@ -2128,6 +2128,51 @@ class SummaryRewriteSpec extends AnyFunSuite {
       SummaryRewrite.deregister(s"spec_rollu$i"))
   }
 
+  test("adviseSummaries: one advised registration serves every observed " +
+      "dashboard query; unservable shapes are named in the notes") {
+    val q1 = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sc"))
+    val q2 = docs.filter($"lang" === "en").groupBy($"source")
+      .agg(avg($"n_chars").as("ac"), max($"n_chars").as("mx"))
+    val q3 = docs.groupBy($"lang")
+      .agg(approx_count_distinct($"doc_id").as("u"),
+        countDistinct($"source").as("ns"))
+    val qJoin = graft.Tables.load(spark, dir, "orders")
+      .join(graft.Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
+    val (advs, notes) =
+      SummaryRewrite.adviseSummaries(spark, Seq(q1, q2, q3, qJoin))
+    val a = advs.find(_.fact.endsWith("documents.parquet"))
+      .getOrElse(fail(s"no documents advice in $advs"))
+    assert(a.keys === Set("source", "lang"),
+      "keys must be the union of grouping + filter + distinct columns")
+    assert(a.sumCols === Seq("n_chars") && a.minMaxCols === Seq("n_chars"))
+    assert(a.hllCols === Seq("doc_id") && a.covered === 3)
+    assert(notes.exists(_.contains("not over a bare fact")),
+      s"the join query must be named unservable: $notes")
+    // the proposal makes good on itself: build + register, all three
+    // dashboard queries plan-serve and stay exact
+    val mvA = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/advised"
+    SummaryRewrite.install(spark)
+    SummaryRewrite.buildAdvice(spark, a, "spec_advice", mvA)
+    try {
+      Seq(("q1", () => q1), ("q2", () => q2), ("q3", () => q3)).foreach {
+        case (nm, mk) =>
+          val p = mk().queryExecution.executedPlan.toString
+          assert(p.contains("advised") && !p.contains("documents.parquet"),
+            s"advised summary did not serve $nm:\n$p")
+          SummaryRewrite.deregister("spec_advice")
+          val expect = mk().collect().map(_.toSeq).toSet
+          SummaryRewrite.register("spec_advice", SummaryRewrite.Summary(
+            a.fact, mvA, a.keys, table = a.table))
+          assert(mk().collect().map(_.toSeq).toSet === expect,
+            s"advised serving diverged for $nm")
+      }
+    } finally SummaryRewrite.deregister("spec_advice")
+  }
+
   test("per-directory catalog binding: two catalogs bound in one JVM " +
       "refresh independently — neither steals the other's freshness") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
