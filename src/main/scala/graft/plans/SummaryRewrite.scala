@@ -2108,8 +2108,30 @@ object SummaryRewrite {
       val cond = condOpt.getOrElse(return None)
       orientations.view.flatMap {
         case (factSide, dimSide, factOnLeft) =>
+          // the fact side may itself be a UNION of registered facts
+          // (multi-epoch star schema): validated like tryUnionRewrite,
+          // the per-branch canonical scans substitute under the join —
+          // Join(Union(b1, b2), dim) distributes over the union, so
+          // each branch's multiplicity argument holds independently
+          val factUnion: Option[(Union, Seq[Shape])] = factSide match {
+            case u: Union if !u.byName && u.children.size >= 2 =>
+              val shapesOpt = u.children.map(decompose)
+              if (shapesOpt.exists(_.isEmpty)) None
+              else {
+                val shapes = shapesOpt.map(_.get)
+                val lower = (s: String) =>
+                  s.toLowerCase(java.util.Locale.ROOT)
+                if (renameOnlySubst(u, shapes) &&
+                    u.children.forall(c =>
+                      c.output.map(a => lower(a.name)) ==
+                        u.output.map(a => lower(a.name))))
+                  Some((u, shapes))
+                else None
+              }
+            case _ => None
+          }
           for {
-            shape <- decompose(factSide)
+            shape <- factUnion.map(_._2.head).orElse(decompose(factSide))
             // fact-side ALIASED projections refuse here: unlike the
             // direct path, the join path matches measures by NAME
             // against factSide.output, so a computed column aliased to
@@ -2117,8 +2139,9 @@ object SummaryRewrite {
             // would silently serve the real column's partial. Column
             // pruning (attr-only projects) is still fine; hoisted
             // grouping aliases sit ABOVE the join and are inlined by
-            // stripProjects before this runs.
-            if shape.subst.isEmpty
+            // stripProjects before this runs. (Union facts already
+            // enforce rename-only substs above.)
+            if factUnion.isDefined || shape.subst.isEmpty
             factOut = factSide.outputSet
             dimOut = dimSide.outputSet
             // every conjunct: fact-attr = dim-attr (either order)
@@ -2141,8 +2164,8 @@ object SummaryRewrite {
             result <- candidates(shape, needed).view.flatMap {
               case (n, s) =>
                 val r = tryJoinCandidate(s, groupExprs, aggExprs,
-                  shape.pred, factOut, dimOut, dimSide, cond, joinType,
-                  factOnLeft, jhint, hint)
+                  shape, factUnion, factOut, dimOut, dimSide, cond,
+                  joinType, factOnLeft, jhint, hint)
                 if (r.isEmpty)
                   note(s"candidate '$n': star-join shape not derivable " +
                     "(needs all-key equi-join, derivable fact measures, " +
@@ -2156,7 +2179,8 @@ object SummaryRewrite {
 
     private def tryJoinCandidate(summary: Summary,
         groupExprs: Seq[Expression],
-        aggExprs: Seq[NamedExpression], pred: Option[Expression],
+        aggExprs: Seq[NamedExpression], shape: Shape,
+        factUnion: Option[(Union, Seq[Shape])],
         factOut: AttributeSet, dimOut: AttributeSet, dimSide: LogicalPlan,
         cond: Expression, joinType: org.apache.spark.sql.catalyst.plans.JoinType,
         factOnLeft: Boolean, jhint: JoinHint,
@@ -2164,6 +2188,7 @@ object SummaryRewrite {
       path <- resolveMvPath(summary)
       mvPlan <- mvPlanFor(path, summary.store.isDefined)
       mvAttrs = mvPlan.output.map(a => a.name -> a).toMap
+      pred = shape.pred
       if groupExprs.forall(_.references.toSeq.forall(ref =>
         dimOut.contains(ref) ||
           (summary.keys.contains(ref.name) && mvAttrs.contains(ref.name))))
@@ -2180,14 +2205,21 @@ object SummaryRewrite {
       remap = (ex: Expression) => ex.transform {
         case a: AttributeReference if factOut.contains(a) => mvAttrs(a.name)
       }
-      factPlan = pred match {
-        case Some(p) => Filter(remap(p), mvPlan)
-        case None => mvPlan
-      }
-      newJoin = if (factOnLeft)
-        Join(factPlan, dimSide, joinType, Some(remap(cond)), jhint)
-      else Join(dimSide, factPlan, joinType, Some(remap(cond)), jhint)
       newGroup = groupExprs.map(remap)
+      newCond = remap(cond)
+      // the fact child: a filtered artifact scan, or (union fact) the
+      // union of per-branch canonical scans — shared with the Expand
+      // path so the two compositions can never drift
+      mvOut = AttributeSet(mvPlan.output)
+      childRefs = AttributeSet(
+        newAggs.flatMap(_.references.toSeq) ++
+          newGroup.flatMap(_.references.toSeq) ++
+          newCond.references.toSeq).toSeq.filter(mvOut.contains)
+      factPlan <- expandChildBuilder(factUnion, shape, summary, mvPlan,
+        mvAttrs)(childRefs)
+      newJoin = if (factOnLeft)
+        Join(factPlan, dimSide, joinType, Some(newCond), jhint)
+      else Join(dimSide, factPlan, joinType, Some(newCond), jhint)
     } yield Aggregate(newGroup, newAggs, newJoin, hint)
 
     /** Attempt the rewrite against ONE candidate summary; any missing

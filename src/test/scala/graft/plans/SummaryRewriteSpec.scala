@@ -2173,6 +2173,50 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.deregister("spec_advice")
   }
 
+  test("star join over a UNION fact: each epoch's summary substitutes " +
+      "under the join (multi-epoch star schema); an uncovered epoch " +
+      "refuses") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    (0 to 1).foreach { i =>
+      orders.filter($"o_orderkey" % 2 === i)
+        .write.parquet(s"$tmp/oep$i/o.parquet")
+      SummaryRewrite.buildSummary(spark, s"$tmp/oep$i/o.parquet",
+        keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"),
+        mvPath = s"$tmp/starun$i", minMaxCols = Seq("o_totalprice"))
+    }
+    SummaryRewrite.install(spark)
+    def reg(i: Int): Unit = SummaryRewrite.register(s"spec_starun$i",
+      SummaryRewrite.Summary(s"oep$i/o.parquet", s"$tmp/starun$i",
+        Set("o_custkey")))
+    (0 to 1).foreach(reg)
+    try {
+      def customer = graft.Tables.load(spark, dir, "customer")
+      def q = spark.read.parquet(s"$tmp/oep0/o.parquet")
+        .union(spark.read.parquet(s"$tmp/oep1/o.parquet"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("so"),
+          max($"o_totalprice").as("mx"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("starun0") && p.contains("starun1") &&
+        !p.contains("o.parquet"),
+        s"union-fact star join did not serve both epochs:\n$p")
+      (0 to 1).foreach(i => SummaryRewrite.deregister(s"spec_starun$i"))
+      val direct = q.collect().map(_.toSeq).toSet
+      (0 to 1).foreach(reg)
+      assert(q.collect().map(_.toSeq).toSet === direct,
+        "union-fact star join diverged — the join must distribute " +
+          "over the epoch union exactly")
+      // one uncovered epoch refuses the whole join rewrite
+      SummaryRewrite.deregister("spec_starun1")
+      assert(q.queryExecution.executedPlan.toString.contains("o.parquet"),
+        "an uncovered epoch must force the fact union under the join")
+    } finally (0 to 1).foreach(i =>
+      SummaryRewrite.deregister(s"spec_starun$i"))
+  }
+
   test("per-directory catalog binding: two catalogs bound in one JVM " +
       "refresh independently — neither steals the other's freshness") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
