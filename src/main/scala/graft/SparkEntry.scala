@@ -700,6 +700,10 @@ object SparkEntry {
     // frames -> buildAdvice -> all three queries plan-provably serve;
     // unservable shapes named (all gated in-query)
     "q280_summary_advisor" -> (IndexOps.q280SummaryAdvisor _),
+    // the distinct-family over a non-key measure served EXACTLY from a
+    // persisted hist_<col> value-histogram partial (posexplode_outer +
+    // null-masked companions); fact-scan-free by in-gate plan proof
+    "q281_summary_hist_distinct" -> (IndexOps.q281SummaryHistDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1792,6 +1792,60 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q280_advised")
   }
 
+  // --------------------------------------------------------------- q281
+
+  /** q281 — the DISTINCT-family over a non-key MEASURE served EXACTLY
+    * from a persisted `hist_<col>` value-histogram partial
+    * ([[graft.plans.HistSummary]]): `count(DISTINCT m)`,
+    * `sum/avg(DISTINCT m)`, and exact `percentile/median(m)` are what
+    * HLL registers fundamentally cannot answer (they keep cardinality,
+    * not the multiset), and what dashboards ask right next to "uniques
+    * per day" — "distinct price points per source", "median document
+    * length". The artifact stores the exact value→count map per key
+    * group (cap-refused at build for high-cardinality measures — this
+    * is the low-cardinality exact path; q276's sketch is the
+    * high-cardinality estimate path); the rewrite explodes it with
+    * `posexplode_outer` so Spark's OWN distinct/percentile aggregates
+    * consume the exact multiset, while every OTHER partial in the same
+    * query (count(*), sum_, min_/max_, avg) is null-masked to one
+    * entry per summary row — the mixed-dashboard row stays exact, plan
+    * fact-scan-free by `require`d proof. At 100 TB: the histogram is
+    * keys-cardinality × per-group-distinct entries (kilobytes for
+    * status/length/bucket measures) versus a corpus scan + shuffle per
+    * DISTINCT panel — and unlike a DISTINCT pre-join, it keeps
+    * serving under every coarsening of the keys. */
+  def q281SummaryHistDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q281")
+      .toString + "/docs_hist_chars"
+    SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv,
+      histCols = Seq("n_chars"))
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q281_docs_hist",
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    try {
+      def q = load(s, dir, "documents").groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"n_chars").as("n_uniq"),
+        sum_distinct($"n_chars").as("sum_uniq"),
+        expr("percentile(n_chars, 0.5)").as("med_chars"),
+        expr("percentile(n_chars, 0.9)").as("p90_chars"),
+        max($"n_chars").as("max_chars"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("docs_hist_chars"),
+        "q281 gate is vacuous: the histogram partial did not serve")
+      require(!phys.contains("documents.parquet"),
+        "q281 gate broken: the fact table is still scanned")
+      require(phys.contains("Generate"),
+        "q281 gate broken: hist serving must explode the map (no " +
+          "Generate in the plan)")
+      // bounded: one row per source
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q281_docs_hist")
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -2449,6 +2503,18 @@ object IndexOps {
       """SELECT source,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact,
         |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    // q281: the distinct-family + exact percentiles over the n_chars
+    // measure — served from the hist_<col> partial, oracled off the
+    // fact directly (the served values are EXACT, not estimates)
+    "q281_summary_hist_distinct" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT n_chars) AS BIGINT) AS n_uniq,
+        |  CAST(sum(DISTINCT n_chars) AS BIGINT) AS sum_uniq,
+        |  quantile_cont(n_chars, 0.5) AS med_chars,
+        |  quantile_cont(n_chars, 0.9) AS p90_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM documents GROUP BY 1""".stripMargin,
     // q277: the per-source rollup off the WHOLE table — the two epochs
     // union back to exactly `documents` (even/odd doc_id split), so

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType}
 
 /** Marker contract for DSv2 `Scan` implementations that NEVER consume
   * pushed filters or aggregates — `pushedFilters()` is empty and every
@@ -282,7 +282,8 @@ object SummaryRewrite {
     * unreasonable before building. */
   final case class Advice(fact: String, table: Option[String],
       keys: Set[String], sumCols: Seq[String], minMaxCols: Seq[String],
-      hllCols: Seq[String], hllRsd: Double, covered: Int)
+      hllCols: Seq[String], hllRsd: Double, covered: Int,
+      histCols: Seq[String] = Seq.empty)
 
   /** Workload-driven summary ADVISOR — the planning complement of the
     * lifecycle (advise → build → serve → maintain → audit → explain):
@@ -299,7 +300,7 @@ object SummaryRewrite {
     val notes = scala.collection.mutable.ArrayBuffer[String]()
     final case class Obs(fact: String, table: Option[String],
         keys: Set[String], sums: Set[String], minMax: Set[String],
-        hll: Set[String], hllRsd: Option[Double])
+        hll: Set[String], hllRsd: Option[Double], hist: Set[String])
     val obs = scala.collection.mutable.ArrayBuffer[Obs]()
     queries.zipWithIndex.foreach { case (df, qi) =>
       val plan = spark.sessionState.executePlan(df.queryExecution.logical)
@@ -326,6 +327,7 @@ object SummaryRewrite {
                 var minMax = Set.empty[String]
                 var hll = Set.empty[String]
                 var hllRsd = Option.empty[Double]
+                var hist = Set.empty[String]
                 var ok = true
                 def miss(what: String): Unit = {
                   notes += s"query $qi: $what is not derivable from a " +
@@ -346,10 +348,31 @@ object SummaryRewrite {
                     if (keyable(f)) keyRefs(f) else miss("a FILTER clause")
                   }
                   if (ae.isDistinct) {
-                    val fn = ae.aggregateFunction
-                    if (fn.references.nonEmpty && fn.deterministic)
-                      keys ++= fn.references.toSeq.map(_.name)
-                    else miss("a distinct aggregate over no columns")
+                    // a DISTINCT over one bare measure column advises a
+                    // hist_<col> histogram partial, NOT a key: keying a
+                    // distinct column multiplies the artifact's ROW
+                    // count by its cardinality, while the histogram
+                    // keeps group-cardinality rows and bounds the cost
+                    // inside each map (cap-refused at build) — the
+                    // 100 TB difference between a summary and a copy
+                    // of the fact. Distinct over key EXPRESSIONS still
+                    // keys the referenced columns (hist serves bare
+                    // attrs only).
+                    ae.aggregateFunction match {
+                      case c: Count if c.children.exists(
+                          _.isInstanceOf[AttributeReference]) &&
+                          c.children.size == 1 =>
+                        hist += c.children.head
+                          .asInstanceOf[AttributeReference].name
+                      case s: Sum if s.child.isInstanceOf[AttributeReference] =>
+                        hist += s.child.asInstanceOf[AttributeReference].name
+                      case av: Average
+                          if av.child.isInstanceOf[AttributeReference] =>
+                        hist += av.child.asInstanceOf[AttributeReference].name
+                      case fn if fn.references.nonEmpty && fn.deterministic =>
+                        keys ++= fn.references.toSeq.map(_.name)
+                      case _ => miss("a distinct aggregate over no columns")
+                    }
                   } else ae.aggregateFunction match {
                     case c: Count if c.children.forall(ch =>
                         ch.foldable && ch.eval() != null) => ()
@@ -394,8 +417,14 @@ object SummaryRewrite {
                         if p.frequencyExpression.foldable &&
                           p.frequencyExpression.eval() == 1L &&
                           p.percentageExpression.foldable =>
-                      if (keyable(p.child)) keyRefs(p.child)
-                      else miss("a percentile over this expression")
+                      // exact percentile over a bare measure: the
+                      // histogram replays the multiset through the
+                      // frequency argument — same reasoning as distinct
+                      p.child match {
+                        case a: AttributeReference => hist += a.name
+                        case e if keyable(e) => keyRefs(e)
+                        case _ => miss("a percentile over this expression")
+                      }
                     case other =>
                       miss(s"aggregate ${other.prettyName}")
                   }
@@ -406,7 +435,7 @@ object SummaryRewrite {
                   if (fact.isEmpty && table.isEmpty)
                     notes += s"query $qi: fact has no path or table identity"
                   else obs += Obs(fact, table, keys, sums, minMax, hll,
-                    hllRsd)
+                    hllRsd, hist)
                 }
               }
           }
@@ -414,13 +443,18 @@ object SummaryRewrite {
     }
     val advices = obs.groupBy(o => (o.fact, o.table)).toSeq
       .sortBy(_._1._1).map { case ((fact, table), os) =>
+        val keysU = os.flatMap(_.keys).toSet
         Advice(fact, table,
-          os.flatMap(_.keys).toSet,
+          keysU,
           os.flatMap(_.sums).toSet.toSeq.sorted,
           os.flatMap(_.minMax).toSet.toSeq.sorted,
           os.flatMap(_.hll).toSet.toSeq.sorted,
           os.flatMap(_.hllRsd).headOption.getOrElse(0.05),
-          os.size)
+          os.size,
+          // a column another query already KEYS serves its distinct/
+          // percentile through the key path — the histogram would be
+          // redundant bytes
+          (os.flatMap(_.hist).toSet -- keysU).toSeq.sorted)
       }
     (advices, notes.toSeq)
   }
@@ -435,7 +469,7 @@ object SummaryRewrite {
         "spark.table and register manually")
     buildSummary(spark, advice.fact, advice.keys.toSeq.sorted,
       advice.sumCols, mvPath, advice.minMaxCols, advice.hllCols,
-      advice.hllRsd)
+      advice.hllRsd, advice.histCols)
     register(name, Summary(advice.fact, mvPath, advice.keys,
       table = advice.table))
   }
@@ -719,22 +753,38 @@ object SummaryRewrite {
     * NON-key measure serve fact-scan-free and bit-identical to the
     * direct sketch ([[HllSummary]]) — register max-merge is
     * associative, so the per-group partials fold to the exact
-    * registers one fact pass builds. One map-side-combinable shuffle
+    * registers one fact pass builds. `histCols` measures carry
+    * `hist_<col>` EXACT value→count histogram partials
+    * ([[HistSummary]] — map<T,bigint> of the group's non-null values,
+    * refused loudly at `histCap` distinct values per group), which is
+    * what lets the whole distinct-family over a NON-key measure serve
+    * fact-scan-free and exact: count/sum/avg(DISTINCT col), exact
+    * percentile/median(col), and approx_count_distinct(col)
+    * bit-identical (the sketch is a pure function of the value SET,
+    * which the histogram preserves). One map-side-combinable shuffle
     * over the fact table — paid once, amortized over every rewritten
     * query. */
   def summaryFrame(fact: DataFrame, keys: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Seq.empty,
       hllCols: Seq[String] = Seq.empty,
-      hllRsd: Double = 0.05): DataFrame =
+      hllRsd: Double = 0.05,
+      histCols: Seq[String] = Seq.empty,
+      histCap: Int = HistSummary.DefaultCap): DataFrame =
     summaryFrameP(fact, keys, sumCols, minMaxCols,
-      hllCols.map(c => c -> HllSummary.pFor(hllRsd)))
+      hllCols.map(c => c -> HllSummary.pFor(hllRsd)),
+      histCols.map(c => c -> histCap))
 
-  /** [[summaryFrame]] with per-column sketch precision — what the
-    * maintenance paths use to rebuild delta partials matching an
-    * EXISTING artifact's `hll_<p>_<col>` schema exactly. */
+  /** [[summaryFrame]] with per-column sketch precision / histogram
+    * caps — what the maintenance paths use to rebuild delta partials
+    * matching an EXISTING artifact's `hll_<p>_<col>`/`hist_<col>`
+    * schema exactly (mirror rebuilds pass an UNCAPPED histogram: the
+    * cap is a build-POLICY gate at partial creation, not a schema
+    * property — a mirror that refused what the artifact already
+    * committed to carrying could never audit or maintain it). */
   private def summaryFrameP(fact: DataFrame, keys: Seq[String],
       sumCols: Seq[String], minMaxCols: Seq[String],
-      hllPs: Seq[(String, Int)]): DataFrame = {
+      hllPs: Seq[(String, Int)],
+      histCaps: Seq[(String, Int)] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions._
     val aggs = count(lit(1)).as("cnt") +:
       (sumCols.flatMap(c => Seq(sum(col(c)).as(s"sum_$c"),
@@ -742,7 +792,9 @@ object SummaryRewrite {
         minMaxCols.flatMap(c =>
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
         hllPs.map { case (c, p) =>
-          HllSummary.partialWords(col(c), p).as(HllSummary.colName(p, c)) })
+          HllSummary.partialWords(col(c), p).as(HllSummary.colName(p, c)) } ++
+        histCaps.map { case (c, cap) =>
+          HistSummary.partialHist(col(c), cap).as(HistSummary.colName(c)) })
     fact.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -792,9 +844,11 @@ object SummaryRewrite {
       keys: Seq[String], sumCols: Seq[String], mvPath: String,
       minMaxCols: Seq[String] = Seq.empty,
       hllCols: Seq[String] = Seq.empty,
-      hllRsd: Double = 0.05): Unit =
+      hllRsd: Double = 0.05,
+      histCols: Seq[String] = Seq.empty,
+      histCap: Int = HistSummary.DefaultCap): Unit =
     layout(summaryFrame(spark.read.parquet(factPath), keys, sumCols,
-        minMaxCols, hllCols, hllRsd), keys)
+        minMaxCols, hllCols, hllRsd, histCols, histCap), keys)
       .write.mode("overwrite").parquet(mvPath)
 
   /** Build + commit a summary into a snapshot store via the FS-rename
@@ -806,10 +860,12 @@ object SummaryRewrite {
       keys: Seq[String], sumCols: Seq[String], store: String,
       minMaxCols: Seq[String] = Seq.empty,
       hllCols: Seq[String] = Seq.empty,
-      hllRsd: Double = 0.05): Long =
+      hllRsd: Double = 0.05,
+      histCols: Seq[String] = Seq.empty,
+      histCap: Int = HistSummary.DefaultCap): Long =
     graft.operators.IndexOps.writeSnapshot(
       layout(summaryFrame(spark.read.parquet(factPath), keys, sumCols,
-        minMaxCols, hllCols, hllRsd), keys),
+        minMaxCols, hllCols, hllRsd, histCols, histCap), keys),
       store)
 
   /** Derive a COARSER summary from a finer one — the lattice build
@@ -857,7 +913,14 @@ object SummaryRewrite {
           min(col(s"min_$c")).as(s"min_$c"),
           max(col(s"max_$c")).as(s"max_$c"))) ++
         hllColsOf(frame).map { case (name, _, p) =>
-          HllSummary.mergeWords(col(name), p).as(name) })
+          HllSummary.mergeWords(col(name), p).as(name) } ++
+        // histogram folds are UNCAPPED faithful merges (count-sum is
+        // the map monoid): the cap gates partial CREATION; a fold of
+        // committed artifacts must reproduce their union exactly, and
+        // a rollup to coarser keys that concentrates values is an
+        // explicit operator decision whose artifact size is observable
+        histColsOf(frame).map { case (name, _) =>
+          HistSummary.mergeHist(col(name), Int.MaxValue).as(name) })
   }
 
   /** The `hll_<p>_<col>` sketch-partial columns a summary frame
@@ -867,6 +930,17 @@ object SummaryRewrite {
       case f if HllSummary.isWordsType(f.dataType) =>
         f.name match {
           case HllSummary.NamePattern(p, base) => Some((f.name, base, p.toInt))
+          case _ => None
+        }
+    }.flatten
+
+  /** The `hist_<col>` histogram-partial columns a summary frame
+    * carries: (column name, base measure). */
+  private def histColsOf(frame: DataFrame): Seq[(String, String)] =
+    frame.schema.fields.toSeq.collect {
+      case f if HistSummary.isHistType(f.dataType) =>
+        f.name match {
+          case HistSummary.NamePattern(base) => Some((f.name, base))
           case _ => None
         }
     }.flatten
@@ -896,11 +970,14 @@ object SummaryRewrite {
       minMaxCols: Seq[String] = Seq.empty): Long = {
     import org.apache.spark.sql.functions._
     val latest = graft.operators.IndexOps.readSnapshot(spark, store)
-    // delta sketch partials mirror the LATEST artifact's hll_<p>_
-    // schema (per-column p parsed from the names), so the fold below
-    // never mixes register widths
+    // delta sketch/histogram partials mirror the LATEST artifact's
+    // hll_<p>_/hist_ schema (parsed from the names), so the fold below
+    // never mixes register widths or drops a histogram; the delta
+    // histogram build is uncapped (mirror rebuilds reproduce what the
+    // artifact committed to — the cap gated the ORIGINAL build)
     val delta = summaryFrameP(deltaFact, keys, sumCols, minMaxCols,
-      hllColsOf(latest).map { case (_, base, p) => base -> p })
+      hllColsOf(latest).map { case (_, base, p) => base -> p },
+      histColsOf(latest).map { case (_, base) => base -> Int.MaxValue })
     val nonPos = latest.filter(col("cnt") <= 0L).count()
     require(nonPos == 0L,
       s"mergeDelta: $nonPos non-positive cnt partials in the latest " +
@@ -965,8 +1042,14 @@ object SummaryRewrite {
     // expect side rebuilds them at the artifact's own per-column p
     // (parsed from the hll_<p>_ names), exact array equality
     val hllPs = hllColsOf(got)
+    // histogram partials audit too (uncapped expect rebuild — the cap
+    // gated the original build, the audit must reproduce faithfully);
+    // eval sorts entries by value, so map_entries arrays compare
+    // exactly (maps themselves are not <=>-comparable in Spark)
+    val histPs = histColsOf(got)
     val expect = summaryFrameP(fact, keys, sumCols, minMaxCols,
-      hllPs.map { case (_, base, p) => base -> p })
+      hllPs.map { case (_, base, p) => base -> p },
+      histPs.map { case (_, base) => base -> Int.MaxValue })
     // cnt_ legs audit only where the artifact carries them (pre-cnt_
     // artifacts stay auditable); the expect side always computes them,
     // extra expect columns are simply not compared
@@ -974,11 +1057,14 @@ object SummaryRewrite {
       Seq(s"sum_$c") ++
         (if (gotCols(s"cnt_$c")) Seq(s"cnt_$c") else Seq.empty)) ++
       minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
-      hllPs.map(_._1))
+      hllPs.map(_._1) ++ histPs.map(_._1))
+    val histNames = histPs.map(_._1).toSet
+    val cmp = (m: String, c: org.apache.spark.sql.Column) =>
+      if (histNames(m)) map_entries(c) else c
     val e = expect.select(keys.map(col) ++
-      measures.map(m => col(m).as(s"expect_$m")): _*)
+      measures.map(m => cmp(m, col(m)).as(s"expect_$m")): _*)
     val g = got.select(keys.map(col) ++
-      measures.map(m => col(m).as(s"got_$m")): _*)
+      measures.map(m => cmp(m, col(m)).as(s"got_$m")): _*)
     e.join(g, keys, "full_outer")
       .filter(measures.map(m =>
         !(col(s"expect_$m") <=> col(s"got_$m"))).reduce(_ || _))
@@ -1273,6 +1359,7 @@ object SummaryRewrite {
     private def isPartialName(n: String): Boolean =
       n == "cnt" || n.startsWith("sum_") || n.startsWith("cnt_") ||
         n.startsWith("min_") || n.startsWith("max_") ||
+        n.startsWith("hist_") ||
         HllSummary.NamePattern.pattern.matcher(n).matches()
 
     /** Branch-i acceptance for union serving: the candidate's artifact
@@ -2000,20 +2087,26 @@ object SummaryRewrite {
       }
       val result = resolved(0).view.flatMap {
         case (n0, plan0, attrs0, keys0) =>
-          val rewritten = sequence(aggExprs.map(e =>
-            rewriteAgg(e, attrs0, keys0).filter(_.dataType == e.dataType)))
-          rewritten.flatMap { newAggs =>
-            val remap0 = (ex: Expression) => ex.transform {
-              case a: AttributeReference if attrs0.contains(a.name) =>
-                attrs0(a.name)
-            }
-            val newGroup = groupExprs.map(remap0)
-            // every partial/key column the rewritten aggregate reads —
-            // the cross-branch schema contract
-            val required = AttributeSet(
+          val remap0 = (ex: Expression) => ex.transform {
+            case a: AttributeReference if attrs0.contains(a.name) =>
+              attrs0(a.name)
+          }
+          val newGroup = groupExprs.map(remap0)
+          // resolve every remaining branch against the cross-branch
+          // schema contract and assemble the final plan; `extra` names
+          // columns the aggregates consume through a wrapper node (the
+          // hist explosion) rather than by direct reference, `wrap`
+          // installs that node ABOVE the union (branch-0's attrs are
+          // the union's output, so one Generate serves every epoch —
+          // partials fold across branches exactly like the flat union)
+          def assemble(newAggs: Seq[NamedExpression],
+              extra: Seq[String],
+              wrap: LogicalPlan => LogicalPlan): Option[Aggregate] = {
+            val required = (AttributeSet(
               newAggs.flatMap(_.references.toSeq) ++
                 newGroup.flatMap(_.references.toSeq))
-              .toSeq.map(_.name).distinct.sorted
+              .toSeq.map(_.name).filter(attrs0.contains) ++ extra)
+              .distinct.sorted
             val refTypes = required.map(nm => nm -> attrs0(nm).dataType)
               .toMap
             val others = u.children.indices.drop(1).map { i =>
@@ -2045,8 +2138,32 @@ object SummaryRewrite {
               note(s"union aggregate SERVED by summary '$n0' on branch " +
                 s"0 (+${others.size} more branches)")
               Some(Aggregate(newGroup, newAggs,
-                Union(branchPlans.toIndexedSeq), hint))
+                wrap(Union(branchPlans.toIndexedSeq)), hint))
             }
+          }
+          val plain = sequence(aggExprs.map(e =>
+            rewriteAgg(e, attrs0, keys0).filter(_.dataType == e.dataType)))
+            .flatMap(assemble(_, Seq.empty, identity))
+          plain.orElse {
+            // the hist explosion over a UNION fact: every branch must
+            // carry the same-typed hist_<col> (branchCarries), the
+            // count-sum map monoid folds across epochs through the
+            // single Generate above the union
+            histCandidatesOf(attrs0).view.flatMap {
+              case (histName, base, histAttr, valueType) =>
+                val (posA, kA, vA) = histEntryAttrs(valueType)
+                val ctx = HistCtx(base, kA, vA)
+                sequence(aggExprs.map(e =>
+                  rewriteAgg(e, attrs0, keys0, hist = Some(ctx))
+                    .filter(_.dataType == e.dataType)))
+                  .filter(_.exists(_.exists(ex => ex == kA || ex == vA)))
+                  .flatMap { newAggs =>
+                    assemble(maskToFirstEntry(newAggs, posA, attrs0),
+                      Seq(histName),
+                      child => Generate(PosExplode(histAttr), Seq.empty,
+                        outer = true, None, Seq(posA, kA, vA), child))
+                  }
+            }.headOption
           }
       }.headOption
       if (result.isEmpty)
@@ -2251,28 +2368,129 @@ object SummaryRewrite {
         return refuse("artifact has no 'cnt' column"))
       if (cnt.dataType != LongType)
         return refuse("artifact 'cnt' column is not LongType")
+      val remap = (ex: Expression) => ex.transform {
+        case a: AttributeReference if mvAttrs.contains(a.name) =>
+          mvAttrs(a.name)
+      }
+      val filteredMv = pred match {
+        case Some(p) => Filter(remap(p), mvPlan)
+        case None => mvPlan
+      }
       // type-preservation contract: the substituted expression must
       // resolve to EXACTLY the original dataType, or parents would see
       // a corrupted schema (e.g. decimal Sum re-aggregation widens)
       val rewritten = aggExprs.map(e =>
         e -> rewriteAgg(e, mvAttrs, summary.keys)
           .filter(_.dataType == e.dataType))
-      rewritten.find(_._2.isEmpty).foreach { case (e, _) =>
-        return refuse(s"output '${e.name}' is not derivable from the " +
-          "artifact (needs a matching cnt/sum_/min_/max_ partial of the " +
-          "same type; distinct only over keys; no filter clauses)")
+      if (rewritten.forall(_._2.isDefined)) {
+        note(s"aggregate SERVED by summary '$name' (artifact: $path)")
+        return Some(Aggregate(groupExprs.map(remap),
+          rewritten.map(_._2.get), filteredMv, hint))
       }
-      val newAggs = rewritten.map(_._2.get)
-      val remap = (ex: Expression) => ex.transform {
-        case a: AttributeReference if mvAttrs.contains(a.name) =>
-          mvAttrs(a.name)
+      // the plain partials cannot serve some output — try the
+      // HISTOGRAM path: explode ONE hist_<col> map into (pos, value,
+      // count) entry rows so the distinct-family/percentile/sketch
+      // over that measure re-run on the exact value→count multiset,
+      // while every OTHER aggregate's partial reference is null-MASKED
+      // to the first entry per summary row (coalesce(pos,0)=0 — the
+      // explosion replicates summary rows, and an unmasked Σcnt would
+      // overcount by the histogram's size; outer explode keeps
+      // all-null-measure groups as a single pos-null row that carries
+      // the partials). One map per query by design: a second exploded
+      // histogram would cross-product the entries — refuse loudly
+      // instead (split the dashboard query, or key one column).
+      histRewrite(name, summary, groupExprs, aggExprs, mvAttrs,
+        filteredMv, remap, hint).orElse {
+        refuse(s"output '${rewritten.find(_._2.isEmpty).get._1.name}' " +
+          "is not derivable from the artifact (needs a matching " +
+          "cnt/sum_/min_/max_/hll_/hist_ partial of the same type; " +
+          "distinct/percentile over keys or hist-carried measures; " +
+          "no cross-measure hist pairs)")
       }
-      val newChild = pred match {
-        case Some(p) => Filter(remap(p), mvPlan)
-        case None => mvPlan
+    }
+
+    /** The histogram serving path of [[tryRewrite]]: pick the first
+      * `hist_<col>` artifact column (name order — deterministic) that
+      * lets EVERY output rewrite, and serve over
+      * `Generate(PosExplode(hist_col), outer)` with non-hist partial
+      * references masked to one entry per summary row. Exactness: the
+      * hist aggregates consume the exact value→count multiset
+      * ([[HistSummary]]); the masked aggregates see exactly one
+      * un-nulled partial per summary row (pos 0, or the pos-null row
+      * of an empty histogram under OUTER explode), which is the
+      * un-exploded input; Percentile/HLL ignore null-frequency/null-
+      * register rows by Spark's own update semantics. */
+    private def histRewrite(name: String, summary: Summary,
+        groupExprs: Seq[Expression], aggExprs: Seq[NamedExpression],
+        mvAttrs: Map[String, Attribute], filteredMv: LogicalPlan,
+        remap: Expression => Expression,
+        hint: Option[AggregateHint]): Option[Aggregate] = {
+      histCandidatesOf(mvAttrs).view.flatMap {
+        case (histName, base, histAttr, valueType) =>
+          val (posA, kA, vA) = histEntryAttrs(valueType)
+          val ctx = HistCtx(base, kA, vA)
+          val rewritten = sequence(aggExprs.map(e =>
+            rewriteAgg(e, mvAttrs, summary.keys, hist = Some(ctx))
+              .filter(_.dataType == e.dataType)))
+          rewritten.flatMap { newAggs =>
+            // the hist attempt must have been NEEDED: at least one
+            // output actually consumes the exploded entries, or the
+            // plain refusal had a different cause and the explosion
+            // would only add a pointless Generate
+            if (!newAggs.exists(_.exists(ex => ex == kA || ex == vA)))
+              None
+            else {
+              val masked = maskToFirstEntry(newAggs, posA, mvAttrs)
+              val gen = Generate(PosExplode(histAttr), Seq.empty,
+                outer = true, None, Seq(posA, kA, vA), filteredMv)
+              note(s"aggregate SERVED by summary '$name' via $histName " +
+                "histogram explosion")
+              Some(Aggregate(groupExprs.map(remap), masked, gen, hint))
+            }
+          }
+      }.headOption
+    }
+
+    /** `hist_<col>` columns of an artifact's attribute map: (column
+      * name, base measure, attribute, value type) — name-sorted so
+      * the candidate order is deterministic. */
+    private def histCandidatesOf(attrs: Map[String, Attribute])
+        : Seq[(String, String, Attribute, DataType)] =
+      attrs.toSeq.sortBy(_._1).flatMap {
+        case (n, at) if HistSummary.isHistType(at.dataType) =>
+          n match {
+            case HistSummary.NamePattern(base) =>
+              Seq((n, base, at, at.dataType.asInstanceOf[MapType].keyType))
+            case _ => Seq.empty
+          }
+        case _ => Seq.empty
       }
-      note(s"aggregate SERVED by summary '$name' (artifact: $path)")
-      Some(Aggregate(groupExprs.map(remap), newAggs, newChild, hint))
+
+    /** Fresh (pos, value, count) attributes for one histogram
+      * explosion — PosExplode's element schema over map<T,bigint>. */
+    private def histEntryAttrs(valueType: DataType)
+        : (AttributeReference, AttributeReference, AttributeReference) =
+      (AttributeReference("__hist_pos", IntegerType, nullable = true)(),
+        AttributeReference("__hist_value", valueType, nullable = true)(),
+        AttributeReference("__hist_count", LongType, nullable = true)())
+
+    /** Null-mask every artifact PARTIAL reference in `aggs` to the
+      * first entry per summary row — exactly one un-nulled partial
+      * per summary row survives the explosion: pos 0 of a non-empty
+      * histogram, or the pos-null row an OUTER explode emits for an
+      * empty one. transformUp, not transformDown: the replacement
+      * embeds the original attribute, and a downward transform would
+      * descend into it and wrap forever. */
+    private def maskToFirstEntry(aggs: Seq[NamedExpression],
+        posA: Attribute,
+        attrs: Map[String, Attribute]): Seq[NamedExpression] = {
+      val pos0 = EqualTo(Coalesce(Seq(posA, Literal(0))), Literal(0))
+      aggs.map(_.transformUp {
+        case a: AttributeReference
+            if isPartialName(a.name) &&
+              attrs.get(a.name).exists(_.exprId == a.exprId) =>
+          If(pos0, a, Literal(null, a.dataType))
+      }.asInstanceOf[NamedExpression])
     }
 
     private def sequence[T](xs: Seq[Option[T]]): Option[Seq[T]] =
@@ -2291,9 +2509,19 @@ object SummaryRewrite {
       * Measure children must be FACT-side (`!dimOut.contains`) — a
       * dim attribute whose NAME collides with a summarized fact
       * measure must refuse, never silently serve the fact partial. */
+    /** Histogram-serving context for [[rewriteAgg]]: the measure
+      * column whose `hist_<col>` map the rewritten plan explodes, and
+      * the exploded entry attributes (value `k`, multiplicity `v`) —
+      * what lets the distinct-family/percentile/sketch branches below
+      * substitute Spark's OWN aggregates over the exact value→count
+      * multiset ([[HistSummary]]). */
+    private case class HistCtx(col: String, k: AttributeReference,
+        v: AttributeReference)
+
     private def rewriteAgg(e: NamedExpression, mv: Map[String, Attribute],
         keys: Set[String],
-        dimOut: AttributeSet = AttributeSet.empty): Option[NamedExpression] =
+        dimOut: AttributeSet = AttributeSet.empty,
+        hist: Option[HistCtx] = None): Option[NamedExpression] =
       e match {
       // dim-side grouping attr passed through unchanged (join path)
       case a: AttributeReference if dimOut.contains(a) => Some(a)
@@ -2369,6 +2597,18 @@ object SummaryRewrite {
             Some(ex.transform { case a: AttributeReference
               if mv.contains(a.name) => mv(a.name) })
           else None
+        // the HISTOGRAM value attribute for a bare reference to the
+        // hist-served measure column: the exploded `hist_<col>` entry
+        // value carries the EXACT distinct-value multiset of the
+        // group (one entry row per (summary row, value), multiplicity
+        // in the companion count attr), so value-SET aggregates re-run
+        // verbatim over it and multiset aggregates replay through the
+        // count ([[HistSummary]])
+        def histVal(ex: Expression): Option[Expression] = (hist, ex) match {
+          case (Some(h), a: AttributeReference)
+              if !dimOut.contains(a) && a.name == h.col => Some(h.k)
+          case _ => None
+        }
         def integral(t: DataType): Boolean = t match {
           case IntegerType | LongType | ShortType | ByteType => true
           case _ => false
@@ -2379,14 +2619,26 @@ object SummaryRewrite {
           // the fact, so the distinct value set per coarser group
           // equals the one over summary rows — any value-SET aggregate
           // (count/sum/avg distinct) re-runs verbatim
+          // ... and over the HIST-served measure: the exploded entry
+          // values are exactly the group's distinct-value set (dedup
+          // across summary rows is the distinct aggregate's own job,
+          // same as over keys), so count/sum/avg DISTINCT re-run
+          // verbatim on the value attribute
           return (ae.aggregateFunction match {
             case c: Count if c.children.nonEmpty =>
               sequence(c.children.map(keyExpr))
                 .map(ks => agg(Count(ks), distinct = true))
+                .orElse(c.children match {
+                  case Seq(one) => histVal(one)
+                    .map(k => agg(Count(Seq(k)), distinct = true))
+                  case _ => None
+                })
             case s: Sum =>
-              keyExpr(s.child).map(k => agg(Sum(k), distinct = true))
+              keyExpr(s.child).orElse(histVal(s.child))
+                .map(k => agg(Sum(k), distinct = true))
             case av: Average =>
-              keyExpr(av.child).map(k => agg(Average(k), distinct = true))
+              keyExpr(av.child).orElse(histVal(av.child))
+                .map(k => agg(Average(k), distinct = true))
             case _ => None
           }).map(ex => Alias(ex, name)(exprId = e.exprId))
         }
@@ -2405,7 +2657,7 @@ object SummaryRewrite {
           // COUNT(f(keys)...) — rows where every child is non-null —
           // derivable from cnt gated on the children's nullity, which
           // is constant per summary row
-          case c: Count => c.children match {
+          case c: Count => (c.children match {
             case Seq(a: AttributeReference)
                 if !dimOut.contains(a) && mv.contains(s"cnt_${a.name}") =>
               Some(Alias(
@@ -2419,7 +2671,16 @@ object SummaryRewrite {
                   Literal(0L))),
                 name)(exprId = e.exprId)
             }
-          }
+          }).orElse(c.children match {
+            // COUNT(m) over the hist-served measure without a cnt_
+            // partial: Σ of the entry multiplicities is exactly the
+            // group's non-null count (each (summary row, value) entry
+            // appears once in the explosion)
+            case Seq(one) => histVal(one).map(_ =>
+              Alias(Coalesce(Seq(agg(Sum(hist.get.v)), Literal(0L))),
+                name)(exprId = e.exprId))
+            case _ => None
+          })
           // SUM over a FLOATING-POINT measure refuses: Σsum_x
           // re-associates the adds, and float addition is not
           // associative — the served value could differ from the fact
@@ -2442,12 +2703,16 @@ object SummaryRewrite {
                   name)(exprId = e.exprId))
             case _ => None
           }
+          // MIN/MAX are value-SET aggregates, so beside the min_/max_
+          // partials they also serve from the hist-carried value set
+          // (an artifact built with histCols but no minMaxCols — the
+          // histogram IS the finer partial)
           case m: Min => m.child match {
             case a: AttributeReference
                 if !dimOut.contains(a) && mv.contains(s"min_${a.name}") =>
               Some(Alias(agg(Min(mv(s"min_${a.name}"))),
                 name)(exprId = e.exprId))
-            case child => keyExpr(child).map(k =>
+            case child => keyExpr(child).orElse(histVal(child)).map(k =>
               Alias(agg(Min(k)), name)(exprId = e.exprId))
           }
           case m: Max => m.child match {
@@ -2455,7 +2720,7 @@ object SummaryRewrite {
                 if !dimOut.contains(a) && mv.contains(s"max_${a.name}") =>
               Some(Alias(agg(Max(mv(s"max_${a.name}"))),
                 name)(exprId = e.exprId))
-            case child => keyExpr(child).map(k =>
+            case child => keyExpr(child).orElse(histVal(child)).map(k =>
               Alias(agg(Max(k)), name)(exprId = e.exprId))
           }
           // AVG(x) = Σsum_x / Σcnt_x — the NON-NULL count partial, not
@@ -2515,6 +2780,15 @@ object SummaryRewrite {
                       name)(exprId = e.exprId))
                 case _ => None
               })
+              // ... and from the hist_<col> EXACT histogram when no
+              // register partial matches: the exploded values are the
+              // group's exact value set, and the sketch is set-pure —
+              // re-running it over the entry values is bit-identical
+              // at ANY rsd (no per-precision column to match)
+              .orElse(histVal(h.child).map(k =>
+                Alias(agg(h.withNewChildren(Seq(k))
+                  .asInstanceOf[AggregateFunction]),
+                  name)(exprId = e.exprId)))
           // EXACT percentile/median over a key (expression): Spark's
           // Percentile takes a FREQUENCY argument, and cnt is exactly
           // the multiplicity the collapse removed — percentile(k, p)
@@ -2537,6 +2811,18 @@ object SummaryRewrite {
                   p.percentageExpression, mv("cnt")))
                   .asInstanceOf[AggregateFunction],
                 Complete, isDistinct = false), name)(exprId = e.exprId))
+              // ... and over the hist-served MEASURE: the entry
+              // multiplicity is exactly the count the collapse
+              // removed — percentile(m, pct) over the fact ≡
+              // percentile(value, pct, count) over the exploded
+              // histogram (same value→count multiset, same
+              // interpolation)
+              .orElse(histVal(p.child).map(k =>
+                Alias(AggregateExpression(
+                  p.withNewChildren(Seq(wrap(k),
+                    p.percentageExpression, hist.get.v))
+                    .asInstanceOf[AggregateFunction],
+                  Complete, isDistinct = false), name)(exprId = e.exprId)))
           case _ => None
         }
       // COMPOSED outputs — expressions OVER aggregates
@@ -2561,7 +2847,7 @@ object SummaryRewrite {
             // (cast(sum(dec) as string)) would otherwise hide a widened
             // decimal re-aggregation whose extra overflow headroom can
             // return a value where the fact scan overflows to NULL
-            rewriteAgg(Alias(ae, "t")(), mv, keys, dimOut).collect {
+            rewriteAgg(Alias(ae, "t")(), mv, keys, dimOut, hist).collect {
               case Alias(d, _) => d
               case a: Attribute => a
             }.filter(_.dataType == ae.dataType)

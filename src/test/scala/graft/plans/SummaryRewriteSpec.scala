@@ -2137,18 +2137,26 @@ class SummaryRewriteSpec extends AnyFunSuite {
     val q3 = docs.groupBy($"lang")
       .agg(approx_count_distinct($"doc_id").as("u"),
         countDistinct($"source").as("ns"))
+    val q4 = docs.groupBy($"source")
+      .agg(countDistinct($"n_chars").as("uc"),
+        expr("median(n_chars)").as("mc"))
     val qJoin = graft.Tables.load(spark, dir, "orders")
       .join(graft.Tables.load(spark, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
     val (advs, notes) =
-      SummaryRewrite.adviseSummaries(spark, Seq(q1, q2, q3, qJoin))
+      SummaryRewrite.adviseSummaries(spark, Seq(q1, q2, q3, q4, qJoin))
     val a = advs.find(_.fact.endsWith("documents.parquet"))
       .getOrElse(fail(s"no documents advice in $advs"))
     assert(a.keys === Set("source", "lang"),
-      "keys must be the union of grouping + filter + distinct columns")
+      "keys must be the union of grouping + filter columns — distinct " +
+        "over a keyed column (q3's source) adds no key and no hist")
     assert(a.sumCols === Seq("n_chars") && a.minMaxCols === Seq("n_chars"))
-    assert(a.hllCols === Seq("doc_id") && a.covered === 3)
+    assert(a.hllCols === Seq("doc_id") && a.covered === 4)
+    assert(a.histCols === Seq("n_chars"),
+      "distinct/percentile over a bare non-key measure must advise a " +
+        "hist_<col> partial, not a key (keying a distinct column " +
+        "multiplies the artifact rows by its cardinality)")
     assert(notes.exists(_.contains("not over a bare fact")),
       s"the join query must be named unservable: $notes")
     // the proposal makes good on itself: build + register, all three
@@ -2158,7 +2166,8 @@ class SummaryRewriteSpec extends AnyFunSuite {
     SummaryRewrite.install(spark)
     SummaryRewrite.buildAdvice(spark, a, "spec_advice", mvA)
     try {
-      Seq(("q1", () => q1), ("q2", () => q2), ("q3", () => q3)).foreach {
+      Seq(("q1", () => q1), ("q2", () => q2), ("q3", () => q3),
+        ("q4", () => q4)).foreach {
         case (nm, mk) =>
           val p = mk().queryExecution.executedPlan.toString
           assert(p.contains("advised") && !p.contains("documents.parquet"),
@@ -2565,5 +2574,242 @@ class SummaryRewriteSpec extends AnyFunSuite {
     assert(n === 1,
       s"AQE-off build wrote $n files — the documented fallback is the " +
         "pre-AQE single sorted file, not a tiny-file shatter")
+  }
+
+  // ------------------------------------------------ hist_<col> partials
+
+  /** A controlled histogram fixture: planted duplicates, planted
+    * NULLs, and an ALL-NULL group (the outer-explode case), plus a
+    * second plain measure to prove the null-mask keeps every
+    * non-hist partial exact under the explosion. */
+  private lazy val histFix: (String, String) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val fact = s"$tmp/histfix.parquet"
+    import spark.implicits._
+    Seq[(String, java.lang.Long, Long)](
+      ("a", 1L, 10L), ("a", 1L, 20L), ("a", 2L, 30L), ("a", null, 40L),
+      ("b", null, 50L), ("b", null, 60L),
+      ("c", 5L, 70L), ("c", 7L, 80L), ("c", 7L, 90L), ("c", 7L, 100L))
+      .toDF("g", "m", "w").write.parquet(fact)
+    SummaryRewrite.buildSummary(spark, fact, keys = Seq("g"),
+      sumCols = Seq("m", "w"), mvPath = s"$tmp/histmv",
+      minMaxCols = Seq("m"), histCols = Seq("m"))
+    SummaryRewrite.install(spark)
+    (fact, s"$tmp/histmv")
+  }
+
+  private def withHist[T](body: DataFrame => T): T = {
+    val (fact, mvp) = histFix
+    SummaryRewrite.register("spec_hist",
+      SummaryRewrite.Summary("histfix.parquet", mvp, Set("g")))
+    try body(spark.read.parquet(fact))
+    finally SummaryRewrite.deregister("spec_hist")
+  }
+
+  test("hist build carries the exact value→count map per group, " +
+      "sorted by value; NULLs are excluded like count(col)'s") {
+    val (fact, _) = histFix
+    val hf = SummaryRewrite.summaryFrame(spark.read.parquet(fact),
+      Seq("g"), Seq.empty, histCols = Seq("m"))
+    val rows = hf.select($"g", map_entries($"hist_m").as("e"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (e.getLong(0), e.getLong(1)))).toMap
+    assert(rows("a") === Seq((1L, 2L), (2L, 1L)),
+      "group a must histogram {1→2, 2→1} in value order")
+    assert(rows("b") === Seq.empty,
+      "an all-NULL group must carry an EMPTY histogram, not a null row")
+    assert(rows("c") === Seq((5L, 1L), (7L, 3L)))
+  }
+
+  test("the distinct-family over a hist measure serves fact-scan-free " +
+      "and EXACT, mixed with null-masked plain partials (count(*)/sum/" +
+      "min/max/avg stay exact under the explosion; outer explode keeps " +
+      "the all-null group)") {
+    withHist { fact =>
+      def q = fact.groupBy($"g").agg(
+        count(lit(1)).as("n"),
+        count($"m").as("nm"),
+        countDistinct($"m").as("dm"),
+        sum_distinct($"m").as("sdm"),
+        expr("avg(DISTINCT m)").as("adm"),
+        expr("percentile(m, 0.5)").as("med"),
+        expr("median(m)").as("med2"),
+        approx_count_distinct($"m").as("apx"),
+        min($"m").as("mn"), max($"m").as("mx"),
+        avg($"m").as("am"), sum($"w").as("sw"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("histmv") && !p.contains("histfix.parquet"),
+        s"hist serving did not fire:\n$p")
+      assert(p.contains("Generate"),
+        "hist serving must explode the histogram map")
+      SummaryRewrite.deregister("spec_hist")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_hist",
+        SummaryRewrite.Summary("histfix.parquet",
+          histFix._2, Set("g")))
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "hist-served results diverged from the fact scan — the " +
+          "explosion must replay the exact value→count multiset and " +
+          "the mask must feed each plain partial exactly once")
+    }
+  }
+
+  test("hist serving under a KEY filter, in composed glue, and with " +
+      "FILTER clauses over keys") {
+    withHist { fact =>
+      def q = fact.filter($"g" =!= "b").groupBy($"g").agg(
+        (countDistinct($"m") * lit(100) / count(lit(1))).as("upermille"),
+        expr("percentile(m, 0.9) FILTER (WHERE g = 'a')").as("p90a"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("histmv") && !p.contains("histfix.parquet"),
+        s"composed/filtered hist serving did not fire:\n$p")
+      SummaryRewrite.deregister("spec_hist")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_hist",
+        SummaryRewrite.Summary("histfix.parquet",
+          histFix._2, Set("g")))
+      assert(q.collect().map(_.toSeq).toSet === expect)
+    }
+  }
+
+  test("hist refusals: two exploded measures in one query; an artifact " +
+      "without the histogram; a non-derivable companion aggregate") {
+    withHist { fact =>
+      // w carries no hist partial: pairing its distinct with m's
+      // would need two explosions — refuse, the fact answers
+      val two = fact.groupBy($"g")
+        .agg(countDistinct($"m").as("dm"), countDistinct($"w").as("dw"))
+      assert(two.queryExecution.executedPlan.toString
+        .contains("histfix.parquet"),
+        "a second distinct measure without its own servable path must " +
+          "refuse")
+      // sum over a FLOAT measure stays refused in hist mode too
+      val fl = fact.groupBy($"g")
+        .agg(countDistinct($"m").as("dm"),
+          sum($"w" * lit(0.5)).as("bad"))
+      assert(fl.queryExecution.executedPlan.toString
+        .contains("histfix.parquet"),
+        "a non-derivable companion aggregate must refuse the whole query")
+    }
+    // plain artifact (no hist_): the distinct-family keeps refusing
+    withSummary {
+      val q = docs.groupBy($"source").agg(countDistinct($"n_chars").as("d"))
+      assert(!usesMv(q),
+        "distinct over a measure must refuse on a hist-less artifact")
+    }
+  }
+
+  test("hist folds: rollupSummary derives the coarser histogram " +
+      "exactly; mergeDelta(old, delta) equals the full rebuild; audit " +
+      "covers hist partials (a drifted map surfaces)") {
+    val (fact, _) = histFix
+    val f = spark.read.parquet(fact)
+    val finer = SummaryRewrite.summaryFrame(f, Seq("g", "w"), Seq("m"),
+      histCols = Seq("m"))
+    val rolled = SummaryRewrite.rollupSummary(finer, Seq("g"),
+      Seq("m")).select($"g", map_entries($"hist_m").as("e"))
+    val direct = SummaryRewrite.summaryFrame(f, Seq("g"), Seq("m"),
+      histCols = Seq("m")).select($"g", map_entries($"hist_m").as("e"))
+    assert(rolled.collect().map(_.toSeq).toSet ===
+      direct.collect().map(_.toSeq).toSet,
+      "the histogram fold must equal the from-scratch build")
+    // store lifecycle: first half, then merge the second half
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val store = s"$tmp/histstore"
+    graft.operators.IndexOps.writeSnapshot(
+      SummaryRewrite.summaryFrame(f.filter($"w" <= 50), Seq("g"),
+        Seq("m"), histCols = Seq("m")), store)
+    SummaryRewrite.mergeDelta(spark, store, f.filter($"w" > 50),
+      Seq("g"), Seq("m"))
+    val sum = SummaryRewrite.Summary("histfix.parquet", "",
+      Set("g"), store = Some(store))
+    assert(SummaryRewrite.auditSummaryFrame(spark, f, sum,
+      Seq("m")).count() === 0L,
+      "fold(old, partial(delta)) must audit clean against the fact")
+    // a drifted histogram surfaces: doctor one map entry
+    val latest = graft.operators.IndexOps.readSnapshot(spark, store)
+    val doctored = latest.withColumn("hist_m",
+      when($"g" === "a", map(lit(1L), lit(99L)))
+        .otherwise($"hist_m"))
+    val v = graft.operators.IndexOps.writeSnapshot(doctored, store)
+    assert(SummaryRewrite.auditSummaryFrame(spark, f, sum,
+      Seq("m")).count() > 0L,
+      s"a doctored hist partial (snap=$v) must surface in the audit")
+  }
+
+  test("hist serving over a UNION of registered facts: one Generate " +
+      "above the union folds the per-epoch histograms (count-sum map " +
+      "monoid); an epoch without the histogram refuses the whole " +
+      "rewrite") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val (fact, _) = histFix
+    val f = spark.read.parquet(fact)
+    (0 to 1).foreach { i =>
+      // w is 10..100 in tens: split epochs on the tens digit's parity
+      f.filter(($"w" / 10) % 2 === i).write
+        .parquet(s"$tmp/hep$i/hf.parquet")
+    }
+    // epoch 0 carries the histogram; epoch 1 gets TWO artifacts — one
+    // without (registered first by name) and one with
+    SummaryRewrite.buildSummary(spark, s"$tmp/hep0/hf.parquet",
+      keys = Seq("g"), sumCols = Seq("m"), mvPath = s"$tmp/hu0",
+      histCols = Seq("m"))
+    SummaryRewrite.buildSummary(spark, s"$tmp/hep1/hf.parquet",
+      keys = Seq("g"), sumCols = Seq("m"), mvPath = s"$tmp/hu1plain")
+    SummaryRewrite.buildSummary(spark, s"$tmp/hep1/hf.parquet",
+      keys = Seq("g"), sumCols = Seq("m"), mvPath = s"$tmp/hu1hist",
+      histCols = Seq("m"))
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_hu0", SummaryRewrite.Summary(
+      "hep0/hf.parquet", s"$tmp/hu0", Set("g")))
+    SummaryRewrite.register("spec_hu1a", SummaryRewrite.Summary(
+      "hep1/hf.parquet", s"$tmp/hu1plain", Set("g")))
+    try {
+      def q = spark.read.parquet(s"$tmp/hep0/hf.parquet")
+        .union(spark.read.parquet(s"$tmp/hep1/hf.parquet"))
+        .groupBy($"g").agg(
+          count(lit(1)).as("n"),
+          countDistinct($"m").as("dm"),
+          expr("percentile(m, 0.5)").as("med"),
+          sum($"m").as("sm"))
+      // epoch 1's only artifact lacks hist_m: the whole union refuses
+      assert(q.queryExecution.executedPlan.toString.contains("hf.parquet"),
+        "an epoch without the histogram partial must refuse the union")
+      SummaryRewrite.register("spec_hu1b", SummaryRewrite.Summary(
+        "hep1/hf.parquet", s"$tmp/hu1hist", Set("g")))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("hu0") && p.contains("hu1hist") &&
+        !p.contains("hf.parquet"),
+        s"union hist serving did not pick the hist-carrying epoch-1 " +
+          s"artifact:\n$p")
+      val expectDirect = {
+        SummaryRewrite.deregister("spec_hu0")
+        val e = q.collect().map(_.toSeq).toSet
+        SummaryRewrite.register("spec_hu0", SummaryRewrite.Summary(
+          "hep0/hf.parquet", s"$tmp/hu0", Set("g")))
+        e
+      }
+      assert(q.collect().map(_.toSeq).toSet === expectDirect,
+        "union hist serving diverged from the fact-union scan")
+    } finally Seq("spec_hu0", "spec_hu1a", "spec_hu1b")
+      .foreach(SummaryRewrite.deregister)
+  }
+
+  test("hist cap refuses loudly at build time — never a silently " +
+      "truncated histogram") {
+    val (fact, _) = histFix
+    val err = intercept[Exception] {
+      SummaryRewrite.summaryFrame(spark.read.parquet(fact), Seq("g"),
+        Seq.empty, histCols = Seq("w"), histCap = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("cap")),
+      s"cap overflow must name the cap, got: ${messages(err)}")
   }
 }
