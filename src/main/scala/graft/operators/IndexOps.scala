@@ -1840,6 +1840,26 @@ object IndexOps {
       require(phys.contains("Generate"),
         "q281 gate broken: hist serving must explode the map (no " +
           "Generate in the plan)")
+      // the same histogram serves EXACT percentiles under native
+      // ROLLUP too (per grouping set, partials first-entry-masked) —
+      // proved in-gate against the fact rollup, the q278 pattern
+      def rq = load(s, dir, "documents").rollup($"source").agg(
+        count(lit(1)).as("n"),
+        expr("percentile(n_chars, 0.5)").as("med"),
+        max($"n_chars").as("mx"))
+      val rp = rq.queryExecution.executedPlan.toString
+      require(rp.contains("docs_hist_chars") &&
+          !rp.contains("documents.parquet") && rp.contains("Expand"),
+        "q281 gate broken: rollup hist serving did not fire")
+      val served = rq.collect().map(_.toSeq).toSet
+      SummaryRewrite.deregister("q281_docs_hist")
+      val direct = rq.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("q281_docs_hist",
+        SummaryRewrite.Summary("documents.parquet", mv,
+          Set("source", "lang")))
+      require(served == direct,
+        "q281 gate broken: rollup hist serving diverged from the fact " +
+          "rollup")
       // bounded: one row per source
       val rows = q.collect().toIndexedSeq
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)

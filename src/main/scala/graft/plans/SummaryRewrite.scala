@@ -1738,6 +1738,47 @@ object SummaryRewrite {
       // (position, base fact column) behind a measure pass-through
       def baseOf(a: Attribute): Option[(Int, String)] =
         measureBase.get(a).map { case (i, b) => (i, b.name) }
+      // ONE hist_<col> explosion per rewritten Expand (a second map
+      // would cross-product the entries — the flat path's law, here):
+      // lazily pinned by the first hist-needing measure; the exploded
+      // (value, count) ride the Expand as per-POSITION pass-throughs
+      // under the measure's own null mask, and every partial-NAMED
+      // pass-through gets the first-entry mask (coalesce(pos,0)=0) at
+      // projection level so the entry replication never double-counts
+      // a partial. Min/Max/approx_count_distinct/exact-percentile over
+      // a hist-carried measure thereby serve under native ROLLUP/CUBE.
+      var histGen: Option[(String, AttributeReference, AttributeReference,
+        AttributeReference)] = None
+      var histPasses =
+        Seq.empty[(Int, Boolean, AttributeReference, AttributeReference)]
+      def histAttr(b: String, pos: Int,
+          wantCount: Boolean): Option[AttributeReference] = {
+        val histName = HistSummary.colName(b)
+        mvAttrs.get(histName)
+          .filter(at => HistSummary.isHistType(at.dataType)) match {
+          case Some(at) =>
+            histGen match {
+              case Some((n, _, _, _)) if n != histName => None
+              case _ =>
+                if (histGen.isEmpty) {
+                  val vt = at.dataType.asInstanceOf[MapType].keyType
+                  val (p, k, v) = histEntryAttrs(vt)
+                  histGen = Some((histName, p, k, v))
+                }
+                val (_, _, kA, vA) = histGen.get
+                histPasses.find(h => h._1 == pos && h._2 == wantCount)
+                  .map(h => Some(h._3)).getOrElse {
+                    val src = if (wantCount) vA else kA
+                    val fresh = AttributeReference(
+                      (if (wantCount) "__hist_cnt_" else "__hist_val_") + b,
+                      src.dataType, nullable = true)()
+                    histPasses :+= ((pos, wantCount, fresh, src))
+                    Some(fresh)
+                  }
+            }
+          case None => None
+        }
+      }
       val keptAttrs = AttributeSet(keptIdx.map(output))
       // FILTER clause carried onto the rewritten aggregate: sound when
       // the predicate is key-determined per summary row — every
@@ -1761,6 +1802,9 @@ object SummaryRewrite {
               case a: AttributeReference if measureBase.contains(a) =>
                 val (pos, b) = measureBase(a)
                 partialAttr(b.name, pos) match {
+                  // a KEY pass-through: never pos0-masked below, so
+                  // the predicate stays constant per summary row on
+                  // every exploded entry row
                   case Some(p) => p
                   case None => ok = false; a
                 }
@@ -1891,6 +1935,11 @@ object SummaryRewrite {
                   .flatMap { case (pos, b) => partialAttr(s"min_$b", pos) }
                   .map(p => fagg(Min(p)))
                   .orElse(keyDetermined(a).map(k => fagg(Min(k))))
+                  // value-SET aggregate: the hist entry values ARE the
+                  // set, masked to the measure's projections
+                  .orElse(baseOf(a).flatMap { case (pos, b) =>
+                    histAttr(b, pos, wantCount = false)
+                      .map(k => fagg(Min(k))) })
                 case child => keyDetermined(child).map(k => fagg(Min(k)))
               }
               case m: Max => m.child match {
@@ -1898,6 +1947,9 @@ object SummaryRewrite {
                   .flatMap { case (pos, b) => partialAttr(s"max_$b", pos) }
                   .map(p => fagg(Max(p)))
                   .orElse(keyDetermined(a).map(k => fagg(Max(k))))
+                  .orElse(baseOf(a).flatMap { case (pos, b) =>
+                    histAttr(b, pos, wantCount = false)
+                      .map(k => fagg(Max(k))) })
                 case child => keyDetermined(child).map(k => fagg(Max(k)))
               }
               // AVG = Σsum_col / Σcnt_col (the non-null count — see
@@ -1947,6 +1999,13 @@ object SummaryRewrite {
                           partialAttr(HllSummary.colName(p, b), pos))
                         .map(reg => fagg(HllMergeEstimate(reg, p)))
                     }
+                    // ... and from the exact histogram at ANY rsd (the
+                    // sketch is value-set pure; the masked entry values
+                    // are the exact set per projection)
+                    .orElse(baseOf(a).flatMap { case (pos, b) =>
+                      histAttr(b, pos, wantCount = false).map(k =>
+                        fagg(h.withNewChildren(Seq(k))
+                          .asInstanceOf[AggregateFunction])) })
                   case _ => None
                 })
               // EXACT percentile/median over a key-determined child:
@@ -1959,12 +2018,28 @@ object SummaryRewrite {
                   if pct.frequencyExpression.foldable &&
                     pct.frequencyExpression.eval() == 1L &&
                     pct.percentageExpression.foldable =>
-                for {
+                (for {
                   k <- keyDetermined(pct.child)
                   cnt <- partialAttr("cnt", -1)
                 } yield fagg(pct.withNewChildren(
                   Seq(k, pct.percentageExpression, cnt))
-                  .asInstanceOf[AggregateFunction])
+                  .asInstanceOf[AggregateFunction]))
+                // EXACT percentile/median over a hist measure under
+                // ROLLUP/CUBE: the masked entry (value, count) replay
+                // the multiset per grouping set through the frequency
+                // argument — the flat hist path on the Expand shape
+                .orElse(pct.child match {
+                  case a: AttributeReference =>
+                    baseOf(a).flatMap { case (pos, b) =>
+                      for {
+                        k <- histAttr(b, pos, wantCount = false)
+                        v <- histAttr(b, pos, wantCount = true)
+                      } yield fagg(pct.withNewChildren(
+                        Seq(k, pct.percentageExpression, v))
+                        .asInstanceOf[AggregateFunction])
+                    }
+                  case _ => None
+                })
               case _ => None
               }
             }
@@ -1983,6 +2058,16 @@ object SummaryRewrite {
         else if (!groupExprs.forall(_.references.subsetOf(keptAttrs)))
           None
         else {
+          // with a hist explosion below the Expand, every partial-NAMED
+          // pass-through is masked to the FIRST entry per summary row
+          // (pos 0, or the pos-null row of an empty histogram under
+          // OUTER explode) so entry replication never double-counts a
+          // partial; KEY pass-throughs stay unmasked (constant per
+          // summary row — value-set and predicate consumers need them
+          // on every entry row)
+          val pos0 = histGen.map { case (_, posA, _, _) =>
+            EqualTo(Coalesce(Seq(posA, Literal(0))), Literal(0))
+          }
           val newProjections = projections.zipWithIndex.map {
             case (proj, j) =>
               keptIdx.map { i =>
@@ -1996,15 +2081,39 @@ object SummaryRewrite {
                   case other => other // null literal / gid literal
                 }
               } ++ partialCols.map { case (n, pos, _) =>
-                if (pos < 0 || measureMask(pos)(j)) mvAttrs(n)
+                if (pos < 0 || measureMask(pos)(j)) pos0 match {
+                  case Some(p0) if isPartialName(n) =>
+                    If(p0, mvAttrs(n), Literal(null, mvAttrs(n).dataType))
+                  case _ => mvAttrs(n)
+                }
                 else Literal(null, mvAttrs(n).dataType)
+              } ++ histPasses.map { case (pos, _, _, src) =>
+                if (measureMask(pos)(j)) src
+                else Literal(null, src.dataType)
               }
           }
-          val childRefs = AttributeSet(
+          val mvIds = mvAttrs.values.map(_.exprId).toSet
+          val childRefs = (AttributeSet(
             newProjections.flatten.flatMap(_.references.toSeq)).toSeq
+            .filter(a => mvIds.contains(a.exprId)) ++
+            histGen.map { case (n, _, _, _) => mvAttrs(n) }).distinct
           mkChild(childRefs).map { factPlan =>
-            val newOutput = keptIdx.map(output) ++ partialCols.map(_._3)
-            val newExpand = Expand(newProjections, newOutput, factPlan)
+            val genPlan = histGen match {
+              case Some((n, posA, kA, vA)) =>
+                // factPlan is the canonical scan (or the union of
+                // per-branch scans — the hist column rides the
+                // cross-branch contract like any partial), so ONE
+                // Generate serves every epoch
+                Generate(PosExplode(
+                  factPlan.output.find(_.name == n)
+                    .getOrElse(mvAttrs(n))),
+                  Seq.empty, outer = true, None, Seq(posA, kA, vA),
+                  factPlan)
+              case None => factPlan
+            }
+            val newOutput = keptIdx.map(output) ++ partialCols.map(_._3) ++
+              histPasses.map(_._3)
+            val newExpand = Expand(newProjections, newOutput, genPlan)
             Aggregate(groupExprs, as, newExpand, hint)
           }
         }

@@ -2799,6 +2799,76 @@ class SummaryRewriteSpec extends AnyFunSuite {
       .foreach(SummaryRewrite.deregister)
   }
 
+  test("hist serving under native ROLLUP/CUBE: exact percentile/median, " +
+      "min/max, and approx_count_distinct over a hist measure serve per " +
+      "grouping set, partials first-entry-masked; and the same under " +
+      "ROLLUP over a UNION of epochs") {
+    withHist { fact =>
+      def q = fact.rollup($"g").agg(
+        count(lit(1)).as("n"),
+        expr("percentile(m, 0.5)").as("med"),
+        expr("median(m)").as("med2"),
+        min($"m").as("mn"), max($"m").as("mx"),
+        approx_count_distinct($"m").as("apx"),
+        sum($"w").as("sw"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("histmv") && !p.contains("histfix.parquet"),
+        s"rollup hist serving did not fire:\n$p")
+      assert(p.contains("Expand") && p.contains("Generate"),
+        "rollup hist serving must keep the Expand AND explode the map")
+      SummaryRewrite.deregister("spec_hist")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_hist",
+        SummaryRewrite.Summary("histfix.parquet", histFix._2, Set("g")))
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "rollup hist serving diverged from the fact rollup — per-set " +
+          "multisets or the first-entry mask are wrong")
+      // min/max/percentile over the OTHER measure (w, no hist partial,
+      // no min_/max_) must refuse the whole rollup
+      val bad = fact.rollup($"g")
+        .agg(expr("percentile(w, 0.5)").as("mw"))
+      assert(bad.queryExecution.executedPlan.toString
+        .contains("histfix.parquet"),
+        "a non-hist measure percentile under rollup must refuse")
+    }
+    // ROLLUP over a UNION of epochs, hist measure served across both
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val (fct, _) = histFix
+    val f = spark.read.parquet(fct)
+    (0 to 1).foreach { i =>
+      f.filter(($"w" / 10) % 2 === i).write
+        .parquet(s"$tmp/hrep$i/hr.parquet")
+      SummaryRewrite.buildSummary(spark, s"$tmp/hrep$i/hr.parquet",
+        keys = Seq("g"), sumCols = Seq("m"), mvPath = s"$tmp/hru$i",
+        histCols = Seq("m"))
+      SummaryRewrite.register(s"spec_hru$i", SummaryRewrite.Summary(
+        s"hrep$i/hr.parquet", s"$tmp/hru$i", Set("g")))
+    }
+    try {
+      def q = spark.read.parquet(s"$tmp/hrep0/hr.parquet")
+        .union(spark.read.parquet(s"$tmp/hrep1/hr.parquet"))
+        .rollup($"g").agg(
+          count(lit(1)).as("n"),
+          expr("percentile(m, 0.5)").as("med"),
+          max($"m").as("mx"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("hru0") && p.contains("hru1") &&
+        !p.contains("hr.parquet"),
+        s"rollup-over-union hist serving did not fire:\n$p")
+      val expect = {
+        SummaryRewrite.deregister("spec_hru0")
+        val e = q.collect().map(_.toSeq).toSet
+        SummaryRewrite.register("spec_hru0", SummaryRewrite.Summary(
+          "hrep0/hr.parquet", s"$tmp/hru0", Set("g")))
+        e
+      }
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "rollup-over-union hist serving diverged — per-epoch histograms " +
+          "must fold per grouping set")
+    } finally (0 to 1).foreach(i => SummaryRewrite.deregister(s"spec_hru$i"))
+  }
+
   test("hist cap refuses loudly at build time — never a silently " +
       "truncated histogram") {
     val (fact, _) = histFix
