@@ -308,6 +308,7 @@ object IndexOps {
     // one-pass fact sketch — streaming "uniques per key" maintenance
     val hp = graft.plans.HllSummary.pFor(0.05)
     val hllCol = graft.plans.HllSummary.colName(hp, "doc_id")
+    val histCol = graft.plans.HistSummary.colName("n_chars")
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(sdir)
       .writeStream
@@ -315,7 +316,8 @@ object IndexOps {
         batch.groupBy($"source", $"lang")
           .agg(count(lit(1)).as("cnt"), sum($"n_chars").as("sum_n_chars"),
             count($"n_chars").as("cnt_n_chars"),
-            graft.plans.HllSummary.partialWords($"doc_id", hp).as(hllCol))
+            graft.plans.HllSummary.partialWords($"doc_id", hp).as(hllCol),
+            graft.plans.HistSummary.partialHist($"n_chars").as(histCol))
           .coalesce(1).write.mode("append").parquet(s"$tmp/shards"): Unit
       }
       .option("checkpointLocation", s"$tmp/ckpt").start()
@@ -335,12 +337,17 @@ object IndexOps {
     val directSketch = docs.groupBy($"lang")
       .agg(approx_count_distinct($"doc_id").as("u"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val directUniq = docs.groupBy($"lang")
+      .agg(countDistinct($"n_chars").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val v = writeSnapshot(
       s.read.parquet(s"$tmp/shards")
         .groupBy($"source", $"lang")
         .agg(sum($"cnt").as("cnt"), sum($"sum_n_chars").as("sum_n_chars"),
           sum($"cnt_n_chars").as("cnt_n_chars"),
-          graft.plans.HllSummary.mergeWords(col(hllCol), hp).as(hllCol))
+          graft.plans.HllSummary.mergeWords(col(hllCol), hp).as(hllCol),
+          graft.plans.HistSummary.mergeHist(col(histCol), Int.MaxValue)
+            .as(histCol))
         .coalesce(1),
       store)
     require(v == 1L, s"q244: expected first store commit, got snap=$v")
@@ -375,6 +382,21 @@ object IndexOps {
       require(served == directSketch,
         s"q244 gate broken: stream-maintained sketch diverged from the " +
           s"direct sketch (served=$served direct=$directSketch)")
+      // the streamed HISTOGRAM partial serves the EXACT distinct count
+      // (shard count-sum merge is the same map monoid one fact pass
+      // folds) — the full r14 contract rides the stream too
+      val uniqQ = docs.groupBy($"lang")
+        .agg(countDistinct($"n_chars").as("u"))
+      val uphys = uniqQ.queryExecution.executedPlan.toString
+      require(uphys.contains("docs_by_source_lang") &&
+          !uphys.contains("documents.parquet"),
+        "q244 gate is vacuous: the streamed hist partial did not serve")
+      val servedUniq = uniqQ.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(servedUniq == directUniq,
+        s"q244 gate broken: stream-maintained histogram diverged from " +
+          s"the exact distinct count (served=$servedUniq " +
+          s"direct=$directUniq)")
       // bounded: one row per lang (the q243 materialization rule)
       val rows = agg.collect().toIndexedSeq
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), agg.schema)

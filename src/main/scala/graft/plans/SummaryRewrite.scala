@@ -2425,9 +2425,36 @@ object SummaryRewrite {
         .forall(r => mvAttrs.contains(r.name))
       cnt <- mvAttrs.get("cnt")
       if cnt.dataType == LongType
-      newAggs <- sequence(aggExprs.map(e =>
-        rewriteAgg(e, mvAttrs, summary.keys, dimOut)
-          .filter(_.dataType == e.dataType)))
+      // plain partials first; on refusal, the hist explosion (the fact
+      // side becomes Generate(posexplode_outer(hist_m), scan) UNDER
+      // the join — join keys are summary keys, constant per entry row,
+      // so each entry joins exactly like its summary row; dim-side
+      // distinct/min-max pass-throughs are value-SET aggregates and
+      // replication-safe; fact partials get the first-entry mask). If
+      // a dim key matches multiple dim rows, entries replicate per dim
+      // row exactly like the fact rows they stand for — consistent
+      // with the unrewritten plan by the same multiplicity argument.
+      attempt <- {
+        val plain = sequence(aggExprs.map(e =>
+          rewriteAgg(e, mvAttrs, summary.keys, dimOut)
+            .filter(_.dataType == e.dataType))).map(a =>
+          (a, Option.empty[(String, AttributeReference,
+            AttributeReference, AttributeReference)]))
+        plain.orElse {
+          histCandidatesOf(mvAttrs).view.flatMap {
+            case (histName, base, _, valueType) =>
+              val (posA, kA, vA) = histEntryAttrs(valueType)
+              val ctx = HistCtx(base, kA, vA)
+              sequence(aggExprs.map(e =>
+                rewriteAgg(e, mvAttrs, summary.keys, dimOut,
+                  hist = Some(ctx)).filter(_.dataType == e.dataType)))
+                .filter(_.exists(_.exists(ex => ex == kA || ex == vA)))
+                .map(a => (maskToFirstEntry(a, posA, mvAttrs),
+                  Some((histName, posA, kA, vA))))
+          }.headOption
+        }
+      }
+      (newAggs, histOpt) = attempt
       remap = (ex: Expression) => ex.transform {
         case a: AttributeReference if factOut.contains(a) => mvAttrs(a.name)
       }
@@ -2437,12 +2464,20 @@ object SummaryRewrite {
       // union of per-branch canonical scans — shared with the Expand
       // path so the two compositions can never drift
       mvOut = AttributeSet(mvPlan.output)
-      childRefs = AttributeSet(
+      childRefs = (AttributeSet(
         newAggs.flatMap(_.references.toSeq) ++
           newGroup.flatMap(_.references.toSeq) ++
-          newCond.references.toSeq).toSeq.filter(mvOut.contains)
-      factPlan <- expandChildBuilder(factUnion, shape, summary, mvPlan,
+          newCond.references.toSeq).toSeq.filter(mvOut.contains) ++
+        histOpt.map { case (n, _, _, _) => mvAttrs(n) }).distinct
+      factPlan0 <- expandChildBuilder(factUnion, shape, summary, mvPlan,
         mvAttrs)(childRefs)
+      factPlan = histOpt match {
+        case Some((n, posA, kA, vA)) =>
+          Generate(PosExplode(
+            factPlan0.output.find(_.name == n).getOrElse(mvAttrs(n))),
+            Seq.empty, outer = true, None, Seq(posA, kA, vA), factPlan0)
+        case None => factPlan0
+      }
       newJoin = if (factOnLeft)
         Join(factPlan, dimSide, joinType, Some(newCond), jhint)
       else Join(dimSide, factPlan, joinType, Some(newCond), jhint)

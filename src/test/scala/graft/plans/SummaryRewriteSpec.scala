@@ -2869,6 +2869,45 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally (0 to 1).foreach(i => SummaryRewrite.deregister(s"spec_hru$i"))
   }
 
+  test("hist serving through the star join: distinct/percentile over " +
+      "the fact measure serve with the explosion UNDER the join; dim " +
+      "groupings and dim distinct pass-throughs stay exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    // orders fact keyed by custkey with an o_orderkey histogram;
+    // customer dim hops to nation
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"),
+      mvPath = s"$tmp/histstar", histCols = Seq("o_orderkey"))
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_histstar", SummaryRewrite.Summary(
+      "orders.parquet", s"$tmp/histstar", Set("o_custkey")))
+    try {
+      def orders = graft.Tables.load(spark, dir, "orders")
+      def customer = graft.Tables.load(spark, dir, "customer")
+      // ONE distinct group only: a second distinct column would be
+      // expanded by RewriteDistinctAggregates upstream of the rule
+      // (the documented double-aggregation limit)
+      def q = orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_nationkey").agg(
+          count(lit(1)).as("n"),
+          countDistinct($"o_orderkey").as("uo"),
+          expr("percentile(o_orderkey, 0.5)").as("med"),
+          min($"c_mktsegment").as("seg0"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("histstar") && !p.contains("orders.parquet") &&
+        p.contains("Generate"),
+        s"star-join hist serving did not fire:\n$p")
+      SummaryRewrite.deregister("spec_histstar")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_histstar", SummaryRewrite.Summary(
+        "orders.parquet", s"$tmp/histstar", Set("o_custkey")))
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "star-join hist serving diverged from the fact join")
+    } finally SummaryRewrite.deregister("spec_histstar")
+  }
+
   test("hist cap refuses loudly at build time — never a silently " +
       "truncated histogram") {
     val (fact, _) = histFix
