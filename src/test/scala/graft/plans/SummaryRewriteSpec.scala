@@ -2908,6 +2908,81 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.deregister("spec_histstar")
   }
 
+  test("hist value types: decimal and string measures build, fold, " +
+      "and serve distinct counts exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    val fact = s"$tmp/typefix.parquet"
+    Seq(("a", "x", BigDecimal("1.50")), ("a", "x", BigDecimal("1.50")),
+      ("a", "y", BigDecimal("2.25")), ("b", "y", BigDecimal("9.75")))
+      .toDF("g", "s", "d")
+      .select(col("g"), col("s"), col("d").cast("decimal(10,2)").as("d"))
+      .write.parquet(fact)
+    SummaryRewrite.buildSummary(spark, fact, keys = Seq("g"),
+      sumCols = Seq.empty, mvPath = s"$tmp/typemv",
+      histCols = Seq("s", "d"))
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_typehist",
+      SummaryRewrite.Summary("typefix.parquet", s"$tmp/typemv", Set("g")))
+    try {
+      def qs = spark.read.parquet(fact).groupBy($"g")
+        .agg(countDistinct($"s").as("us"))
+      def qd = spark.read.parquet(fact).groupBy($"g")
+        .agg(countDistinct($"d").as("ud"))
+      Seq(("string", () => qs), ("decimal", () => qd)).foreach {
+        case (nm, mk) =>
+          val p = mk().queryExecution.executedPlan.toString
+          assert(p.contains("typemv") && !p.contains("typefix.parquet"),
+            s"$nm hist serving did not fire:\n$p")
+          SummaryRewrite.deregister("spec_typehist")
+          val expect = mk().collect().map(_.toSeq).toSet
+          SummaryRewrite.register("spec_typehist",
+            SummaryRewrite.Summary("typefix.parquet", s"$tmp/typemv",
+              Set("g")))
+          assert(mk().collect().map(_.toSeq).toSet === expect,
+            s"$nm hist serving diverged")
+      }
+    } finally SummaryRewrite.deregister("spec_typehist")
+  }
+
+  test("hist through a star join over a UNION fact: the full " +
+      "composition — explosion under the join over per-epoch artifacts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    (0 to 1).foreach { i =>
+      orders.filter($"o_orderkey" % 2 === i)
+        .write.parquet(s"$tmp/hsep$i/o.parquet")
+      SummaryRewrite.buildSummary(spark, s"$tmp/hsep$i/o.parquet",
+        keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"),
+        mvPath = s"$tmp/hsu$i", histCols = Seq("o_orderkey"))
+      SummaryRewrite.register(s"spec_hsu$i", SummaryRewrite.Summary(
+        s"hsep$i/o.parquet", s"$tmp/hsu$i", Set("o_custkey")))
+    }
+    SummaryRewrite.install(spark)
+    try {
+      def customer = graft.Tables.load(spark, dir, "customer")
+      def q = spark.read.parquet(s"$tmp/hsep0/o.parquet")
+        .union(spark.read.parquet(s"$tmp/hsep1/o.parquet"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_nationkey").agg(
+          count(lit(1)).as("n"),
+          countDistinct($"o_orderkey").as("uo"),
+          expr("percentile(o_orderkey, 0.5)").as("med"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("hsu0") && p.contains("hsu1") &&
+        !p.contains("o.parquet") && p.contains("Generate"),
+        s"star-over-union hist serving did not fire:\n$p")
+      SummaryRewrite.deregister("spec_hsu0")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_hsu0", SummaryRewrite.Summary(
+        "hsep0/o.parquet", s"$tmp/hsu0", Set("o_custkey")))
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "star-over-union hist serving diverged from the fact plan")
+    } finally (0 to 1).foreach(i => SummaryRewrite.deregister(s"spec_hsu$i"))
+  }
+
   test("hist cap refuses loudly at build time — never a silently " +
       "truncated histogram") {
     val (fact, _) = histFix
