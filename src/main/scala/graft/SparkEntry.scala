@@ -704,6 +704,11 @@ object SparkEntry {
     // persisted hist_<col> value-histogram partial (posexplode_outer +
     // null-masked companions); fact-scan-free by in-gate plan proof
     "q281_summary_hist_distinct" -> (IndexOps.q281SummaryHistDistinct _),
+    // the dashboard header: multi-distinct (hist measure + key) beside
+    // totals, served through the RewriteDistinctAggregates double
+    // aggregation with an outer-aggregate audit
+    "q282_summary_hist_multidistinct" ->
+      (IndexOps.q282SummaryHistMultiDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

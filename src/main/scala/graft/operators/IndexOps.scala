@@ -1888,6 +1888,59 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q281_docs_hist")
   }
 
+  // --------------------------------------------------------------- q282
+
+  /** q282 — the dashboard HEADER row: uniques over a hist MEASURE and
+    * a key, beside plain totals, in one statement —
+    * `count(DISTINCT n_chars), count(DISTINCT lang), count(*),
+    * sum(n_chars)` per source. Spark expands multi-distinct into the
+    * RewriteDistinctAggregates DOUBLE AGGREGATION (outer gid-filtered
+    * aggregates over an inner that GROUPS BY each distinct column),
+    * which the measure-position machinery cannot serve: the distinct
+    * measure is a GROUPING column of the inner aggregate. The rule
+    * audits the OUTER aggregate (every consumer gid-filtered;
+    * hist-projection readers null-skipping over the value column
+    * alone — exactly what the Spark rewrite emits), then serves the
+    * inner with a HIST-VALUE grouping position: the kept entry
+    * sources the exploded histogram value, so grouping over entries
+    * yields exactly the per-key distinct value set, while the key
+    * distinct and the regular totals ride the existing paths. The
+    * audit is what keeps the two bounded divergences (phantom/missing
+    * null-value groups; first-entry regular values at hist
+    * projections) provably invisible. At 100 TB this is the LAST
+    * everyday dashboard statement that still scanned the fact:
+    * uniques-by-measure next to totals, one kilobyte artifact. */
+  def q282SummaryHistMultiDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q282")
+      .toString + "/docs_hist_header"
+    SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv,
+      histCols = Seq("n_chars"))
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q282_docs_hist_header",
+      SummaryRewrite.Summary("documents.parquet", mv, Set("source", "lang")))
+    try {
+      def q = load(s, dir, "documents").groupBy($"source").agg(
+        countDistinct($"n_chars").as("n_uniq_chars"),
+        countDistinct($"lang").as("n_langs"),
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("docs_hist_header"),
+        "q282 gate is vacuous: the double-aggregation rewrite did not " +
+          "fire")
+      require(!phys.contains("documents.parquet"),
+        "q282 gate broken: the fact table is still scanned")
+      require(phys.contains("Generate") && phys.contains("Expand"),
+        "q282 gate broken: the served plan must explode the histogram " +
+          "under the distinct Expand")
+      // bounded: one row per source
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q282_docs_hist_header")
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -2557,6 +2610,15 @@ object IndexOps {
         |  quantile_cont(n_chars, 0.5) AS med_chars,
         |  quantile_cont(n_chars, 0.9) AS p90_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // q282: the dashboard header — multi-distinct (hist measure + key)
+    // beside plain totals, exact off the fact
+    "q282_summary_hist_multidistinct" ->
+      """SELECT source,
+        |  CAST(count(DISTINCT n_chars) AS BIGINT) AS n_uniq_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
     // q277: the per-source rollup off the WHOLE table — the two epochs
     // union back to exactly `documents` (even/odd doc_id split), so

@@ -1415,6 +1415,8 @@ object SummaryRewrite {
                 else None
               case ex: Expand =>
                 tryExpandRewrite(groupExprs0, aggExprs0, ex, hint)
+              case inner: Aggregate if subst.isEmpty =>
+                tryDistinctHistRewrite(groupExprs0, aggExprs0, inner, hint)
               case un: Union =>
                 val gs = groupExprs0.map(inline(_, subst))
                 val asI = aggExprs0.map(e => inline(e, subst))
@@ -1427,6 +1429,127 @@ object SummaryRewrite {
           }
           .getOrElse(agg)
       }
+    }
+
+    /** The DOUBLE-AGGREGATION shape — `Aggregate(outer, Aggregate(inner,
+      * Expand(fact)))`, what RewriteDistinctAggregates emits for
+      * multi-distinct and mixed regular+distinct queries — with a
+      * DISTINCT column that is a hist-carried MEASURE, not a key:
+      * `count(DISTINCT m), count(*), sum(w)` where m rides `hist_m`.
+      * The inner aggregate GROUPS BY the distinct column, so the
+      * measure-position machinery cannot serve it; instead the
+      * position becomes a HIST-VALUE grouping position — the kept
+      * entry sources the exploded value, and grouping over entries
+      * yields exactly the per-key distinct value set.
+      *
+      * This is sound ONLY with an audit of the OUTER aggregate,
+      * because the rewritten inner's row set and regular-aggregate
+      * values at the hist projections differ from the fact's in two
+      * bounded ways: (a) a phantom (key, NULL-value) group can appear
+      * (the OUTER explode's empty-map row) and the fact's own
+      * null-value group can be missing (histograms carry non-null
+      * values only); (b) regular partial values at hist-projection
+      * groups are first-entry artifacts, not per-value aggregates
+      * (sum(w) per distinct m value is not derivable from a histogram
+      * at all). Both are invisible iff every outer aggregate is
+      * gid-FILTERED and (for filters selecting a hist projection)
+      * null-skipping over the hist value column alone — which is
+      * precisely the shape RewriteDistinctAggregates emits:
+      * `First(regular_result) FILTER (gid = 0)` and
+      * `Count/Sum/Avg/Min/Max(value_col) FILTER (gid = k)`. The audit
+      * verifies exactly that, names the positions the inner rewrite
+      * may serve via histogram ([[tryExpandRewrite]]'s `allowedHist`),
+      * and refuses anything else — an unfiltered outer aggregate, a
+      * filter mixing consumers, a hist value in the outer GROUP BY. */
+    private def tryDistinctHistRewrite(outerGroup: Seq[Expression],
+        outerAggs: Seq[NamedExpression], inner: Aggregate,
+        hint: Option[AggregateHint]): Option[LogicalPlan] = {
+      val ex = inner.child match {
+        case e: Expand => e
+        case _ => return None
+      }
+      val Expand(projections, output, _) = ex
+      if (projections.isEmpty) return None
+      // inner outputs: grouping pass-throughs (bare Expand attrs) vs
+      // aggregate results
+      val innerGroupOuts = inner.aggregateExpressions.collect {
+        case a: Attribute => a
+      }
+      val posOf = output.map(_.exprId).zipWithIndex.toMap
+      if (!innerGroupOuts.forall(o => posOf.contains(o.exprId)))
+        return None
+      // the gid column: an all-int-literal Expand position the inner
+      // groups by — the grouping-set discriminator every outer filter
+      // keys on
+      def intLit(e: Expression): Option[Long] = e match {
+        case Literal(v: Int, IntegerType) => Some(v.toLong)
+        case Literal(v: Long, LongType) => Some(v)
+        case _ => None
+      }
+      val gidCands = innerGroupOuts.filter { o =>
+        projections.forall(p => intLit(p(posOf(o.exprId))).isDefined)
+      }
+      // outer aggregates: every one must carry EqualTo(gid, lit) —
+      // collect (agg, gid value); bare grouping pass-throughs are fine
+      val outerAes = outerAggs.flatMap(_.collect {
+        case ae: AggregateExpression => ae
+      })
+      if (outerAes.isEmpty) return None
+      val gidOpt = gidCands.find(g =>
+        outerAes.forall(_.filter.exists {
+          case EqualTo(a: AttributeReference, l) =>
+            a.exprId == g.exprId && intLit(l).isDefined
+          case EqualTo(l, a: AttributeReference) =>
+            a.exprId == g.exprId && intLit(l).isDefined
+          case _ => false
+        }))
+      val gid = gidOpt.getOrElse(return None)
+      val gidPos = posOf(gid.exprId)
+      def gidOf(j: Int): Long = intLit(projections(j)(gidPos)).get
+      def filterGid(ae: AggregateExpression): Long = ae.filter.get match {
+        case EqualTo(_: AttributeReference, l) => intLit(l).get
+        case EqualTo(l, _) => intLit(l).get
+      }
+      // live projections per inner grouping output
+      def live(o: Attribute): Set[Int] =
+        projections.indices.filter(j =>
+          projections(j)(posOf(o.exprId))
+            .isInstanceOf[AttributeReference]).toSet
+      val outerGroupRefs = AttributeSet(
+        outerGroup.flatMap(_.references.toSeq))
+      // a grouping output may serve via HISTOGRAM iff: never in the
+      // outer GROUP BY, and every outer aggregate whose filter selects
+      // one of its live projections is null-skipping over THAT column
+      // alone (phantom/missing null-value groups and bogus regular
+      // values at those projections are then provably invisible)
+      def nullSkipping(fn: AggregateFunction): Boolean = fn match {
+        case c: Count => c.children.nonEmpty
+        case _: Sum | _: Average | _: Min | _: Max => true
+        case _: HyperLogLogPlusPlus => true
+        case _ => false
+      }
+      val allowedHist = AttributeSet(innerGroupOuts.filter { o =>
+        o.exprId != gid.exprId && !outerGroupRefs.contains(o) && {
+          val lv = live(o)
+          outerAes.forall { ae =>
+            val sel = projections.indices
+              .filter(j => gidOf(j) == filterGid(ae)).toSet
+            sel.intersect(lv).isEmpty || (
+              nullSkipping(ae.aggregateFunction) && !ae.isDistinct &&
+                ae.aggregateFunction.references.toSeq
+                  .forall(_.exprId == o.exprId) &&
+                ae.aggregateFunction.references.nonEmpty)
+          }
+        }
+      }.toSeq)
+      if (allowedHist.isEmpty) return None
+      tryExpandRewrite(inner.groupingExpressions,
+        inner.aggregateExpressions, ex, inner.hint, allowedHist)
+        .map { newInner =>
+          note("double-aggregation (distinct over a hist measure) " +
+            "SERVED — inner Expand rewritten, outer audit passed")
+          Aggregate(outerGroup, outerAggs, newInner, hint)
+        }
     }
 
     /** NATIVE ROLLUP / CUBE / GROUPING SETS rewrite — `Aggregate(keys +
@@ -1468,7 +1591,8 @@ object SummaryRewrite {
       * else. */
     private def tryExpandRewrite(groupExprs: Seq[Expression],
         aggExprs: Seq[NamedExpression], expand: Expand,
-        hint: Option[AggregateHint]): Option[Aggregate] = {
+        hint: Option[AggregateHint],
+        allowedHist: AttributeSet = AttributeSet.empty): Option[Aggregate] = {
       val Expand(projections, output, child) = expand
       if (projections.isEmpty) return None
       // the Expand's fact may itself be a UNION of registered facts
@@ -1594,8 +1718,19 @@ object SummaryRewrite {
       val keyBase = keyPos.toMap
       val measureBase = measurePos.map { case (i, a) => output(i) -> ((i, a)) }.toMap
 
+      // a HIST-ELIGIBLE grouping position (verified by the caller's
+      // outer-aggregate audit — [[tryDistinctHistRewrite]]) may serve
+      // from a hist_<col> partial when a candidate's keys do not cover
+      // it, so its references stay OUT of the mandatory `needed` set;
+      // per candidate it either rides the key path (covered) or the
+      // histogram (carried), or the candidate refuses.
+      val histEligible: Set[Int] = keyPos.collect {
+        case (i, base: AttributeReference)
+            if allowedHist.contains(output(i)) => i
+      }.toSet
       val needed =
-        (keyPos.flatMap(_._2.references.toSeq.map(_.name)) ++
+        (keyPos.filterNot(kp => histEligible(kp._1))
+          .flatMap(_._2.references.toSeq.map(_.name)) ++
           exprPos.values.flatten
             .flatMap(_.references.toSeq.map(_.name)) ++
           shape.pred.toSeq.flatMap(_.references.toSeq.map(_.name))).toSet
@@ -1605,8 +1740,23 @@ object SummaryRewrite {
           path <- resolveMvPath(summary)
           mvPlan <- mvPlanFor(path, summary.store.isDefined)
           mvAttrs = mvPlan.output.map(a => a.name -> a).toMap
-          if keyPos.forall(_._2.references.toSeq.forall(r =>
-            summary.keys.contains(r.name) && mvAttrs.contains(r.name)))
+          // per candidate: a hist-eligible position whose refs the keys
+          // cover rides the KEY path; otherwise it must be a bare attr
+          // whose hist_<col> the artifact carries with the exact type
+          covered = (kp: (Int, Expression)) =>
+            kp._2.references.toSeq.forall(r =>
+              summary.keys.contains(r.name) && mvAttrs.contains(r.name))
+          histValPos = keyPos.filterNot(covered).collect {
+            case (i, base: AttributeReference) if histEligible(i) &&
+                mvAttrs.get(HistSummary.colName(base.name)).exists(at =>
+                  HistSummary.isHistType(at.dataType) &&
+                    at.dataType.asInstanceOf[MapType].keyType ==
+                      base.dataType) =>
+              i -> base
+          }.toMap
+          if keyPos.forall(kp => covered(kp) || histValPos.contains(kp._1))
+          // ONE histogram per rewritten Expand
+          if histValPos.values.map(_.name).toSet.size <= 1
           if exprPos.values.flatten.forall(_.references.toSeq.forall(r =>
             summary.keys.contains(r.name) && mvAttrs.contains(r.name)))
           if shape.pred.forall(_.references.toSeq.forall(r =>
@@ -1617,7 +1767,7 @@ object SummaryRewrite {
             mvAttrs)
           result <- buildExpandRewrite(groupExprs, aggExprs, mkChild,
             projections, output, keptIdx, keyBase, exprPos, measureBase,
-            measureMask, mvAttrs, summary.keys, hint)
+            measureMask, mvAttrs, summary.keys, hint, histValPos)
         } yield result
         if (r.isEmpty)
           note(s"candidate '$n': rollup/cube (Expand) shape not " +
@@ -1712,7 +1862,9 @@ object SummaryRewrite {
         measureMask: Map[Int, Seq[Boolean]],
         mvAttrs: Map[String, Attribute],
         keys: Set[String],
-        hint: Option[AggregateHint]): Option[Aggregate] = {
+        hint: Option[AggregateHint],
+        histValPos: Map[Int, AttributeReference] = Map.empty)
+        : Option[Aggregate] = {
       val remap = (ex: Expression) => ex.transform {
         case a: AttributeReference if mvAttrs.contains(a.name) =>
           mvAttrs(a.name)
@@ -1751,34 +1903,45 @@ object SummaryRewrite {
         AttributeReference)] = None
       var histPasses =
         Seq.empty[(Int, Boolean, AttributeReference, AttributeReference)]
-      def histAttr(b: String, pos: Int,
-          wantCount: Boolean): Option[AttributeReference] = {
+      def pinHist(b: String): Option[(AttributeReference,
+          AttributeReference, AttributeReference)] = {
         val histName = HistSummary.colName(b)
         mvAttrs.get(histName)
-          .filter(at => HistSummary.isHistType(at.dataType)) match {
-          case Some(at) =>
+          .filter(at => HistSummary.isHistType(at.dataType))
+          .flatMap { at =>
             histGen match {
               case Some((n, _, _, _)) if n != histName => None
-              case _ =>
-                if (histGen.isEmpty) {
-                  val vt = at.dataType.asInstanceOf[MapType].keyType
-                  val (p, k, v) = histEntryAttrs(vt)
-                  histGen = Some((histName, p, k, v))
-                }
-                val (_, _, kA, vA) = histGen.get
-                histPasses.find(h => h._1 == pos && h._2 == wantCount)
-                  .map(h => Some(h._3)).getOrElse {
-                    val src = if (wantCount) vA else kA
-                    val fresh = AttributeReference(
-                      (if (wantCount) "__hist_cnt_" else "__hist_val_") + b,
-                      src.dataType, nullable = true)()
-                    histPasses :+= ((pos, wantCount, fresh, src))
-                    Some(fresh)
-                  }
+              case Some((_, p, k, v)) => Some((p, k, v))
+              case None =>
+                val vt = at.dataType.asInstanceOf[MapType].keyType
+                val (p, k, v) = histEntryAttrs(vt)
+                histGen = Some((histName, p, k, v))
+                Some((p, k, v))
             }
-          case None => None
-        }
+          }
       }
+      def histAttr(b: String, pos: Int,
+          wantCount: Boolean): Option[AttributeReference] =
+        pinHist(b).flatMap { case (_, kA, vA) =>
+          histPasses.find(h => h._1 == pos && h._2 == wantCount)
+            .map(h => Some(h._3)).getOrElse {
+              val src = if (wantCount) vA else kA
+              val fresh = AttributeReference(
+                (if (wantCount) "__hist_cnt_" else "__hist_val_") + b,
+                src.dataType, nullable = true)()
+              histPasses :+= ((pos, wantCount, fresh, src))
+              Some(fresh)
+            }
+        }
+      // HIST-VALUE grouping positions (the verified double-aggregation
+      // shape): pin the explosion up front — the kept entry sources
+      // the exploded value so the inner aggregate GROUPS BY the exact
+      // value set; [[tryExpandRewrite]] validated carriage and the
+      // one-map rule against this candidate's artifact
+      histValPos.values.headOption.foreach { base =>
+        if (pinHist(base.name).isEmpty) return None
+      }
+      val histOuts = AttributeSet(histValPos.keys.toSeq.map(output))
       val keptAttrs = AttributeSet(keptIdx.map(output))
       // FILTER clause carried onto the rewritten aggregate: sound when
       // the predicate is key-determined per summary row — every
@@ -1794,7 +1957,10 @@ object SummaryRewrite {
               !f.exists(_.isInstanceOf[AggregateExpression]) &&
               !f.exists(_.isInstanceOf[PlanExpression[_]]) &&
               f.references.nonEmpty &&
-              f.references.toSeq.forall(r => keptAttrs.contains(r) ||
+              // hist-value outputs vary per ENTRY, not per summary
+              // row — a predicate over one is not key-determined
+              f.references.toSeq.forall(r =>
+                (keptAttrs.contains(r) && !histOuts.contains(r)) ||
                 measureBase.get(r).exists { case (_, b) =>
                   keys.contains(b.name) && mvAttrs.contains(b.name) }) =>
             var ok = true
@@ -1831,7 +1997,8 @@ object SummaryRewrite {
         else {
           var ok = true
           val r = ex.transform {
-            case a: AttributeReference if keptAttrs.contains(a) => a
+            case a: AttributeReference
+                if keptAttrs.contains(a) && !histOuts.contains(a) => a
             case a: AttributeReference =>
               measureBase.get(a).filter { case (_, b) =>
                 keys.contains(b.name) && mvAttrs.contains(b.name) } match {
@@ -2071,7 +2238,13 @@ object SummaryRewrite {
           val newProjections = projections.zipWithIndex.map {
             case (proj, j) =>
               keptIdx.map { i =>
-                if (exprPos.contains(i)) {
+                if (histValPos.contains(i)) proj(i) match {
+                  // hist-value grouping position: the exploded VALUE
+                  // where the original distinct column was live, the
+                  // original null literal elsewhere
+                  case _: AttributeReference => histGen.get._3
+                  case other => other
+                } else if (exprPos.contains(i)) {
                   // key-expression position: per-projection entry,
                   // remapped (null-literal entries kept verbatim)
                   val en = exprPos(i)(j)

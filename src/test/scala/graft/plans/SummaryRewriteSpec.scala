@@ -2983,6 +2983,69 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally (0 to 1).foreach(i => SummaryRewrite.deregister(s"spec_hsu$i"))
   }
 
+  test("distinct over a hist measure through the DOUBLE-AGGREGATION " +
+      "shape (RewriteDistinctAggregates): multi-distinct + regulars " +
+      "serve when the outer audit passes; an uncovered distinct " +
+      "column refuses") {
+    // mixed shape on the histfix: two distinct groups (m → histogram,
+    // g → key) + regular measures — Spark expands this into
+    // Aggregate(outer) over Aggregate(inner) over Expand
+    withHist { fact =>
+      def q = fact.groupBy($"g").agg(
+        countDistinct($"m").as("dm"),
+        countDistinct($"g").as("dg"),
+        count(lit(1)).as("n"),
+        sum($"w").as("sw"),
+        avg($"m").as("am"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("histmv") && !p.contains("histfix.parquet") &&
+        p.contains("Generate") && p.contains("Expand"),
+        s"double-aggregation hist serving did not fire:\n$p")
+      SummaryRewrite.deregister("spec_hist")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_hist",
+        SummaryRewrite.Summary("histfix.parquet", histFix._2, Set("g")))
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "double-aggregation hist serving diverged from the fact plan — " +
+          "the outer audit admitted something the inner rewrite got " +
+          "wrong")
+      // w carries no histogram: its distinct group is uncoverable and
+      // the whole query must scan the fact
+      val bad = fact.groupBy($"g").agg(
+        countDistinct($"m").as("dm"), countDistinct($"w").as("dw"),
+        count(lit(1)).as("n"))
+      assert(bad.queryExecution.executedPlan.toString
+        .contains("histfix.parquet"),
+        "an uncovered distinct column must refuse the double-agg shape")
+    }
+    // the richer dashboard header on real data: uniques over a hist
+    // measure AND a key, with regulars, per source
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = s"$tmp/dahist", histCols = Seq("n_chars"))
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_dahist", SummaryRewrite.Summary(
+      "documents.parquet", s"$tmp/dahist", Set("source", "lang")))
+    try {
+      def q = docs.groupBy($"source").agg(
+        countDistinct($"n_chars").as("uc"),
+        countDistinct($"lang").as("ul"),
+        count(lit(1)).as("n"),
+        sum($"n_chars").as("sc"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("dahist") && !p.contains("documents.parquet"),
+        s"documents double-agg hist serving did not fire:\n$p")
+      SummaryRewrite.deregister("spec_dahist")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_dahist", SummaryRewrite.Summary(
+        "documents.parquet", s"$tmp/dahist", Set("source", "lang")))
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "documents double-agg hist serving diverged")
+    } finally SummaryRewrite.deregister("spec_dahist")
+  }
+
   test("hist cap refuses loudly at build time — never a silently " +
       "truncated histogram") {
     val (fact, _) = histFix
