@@ -709,6 +709,10 @@ object SparkEntry {
     // aggregation with an outer-aggregate audit
     "q282_summary_hist_multidistinct" ->
       (IndexOps.q282SummaryHistMultiDistinct _),
+    // trainable quality classifier: distributed full-batch GD with
+    // integer-cleared gradients and a rational sigmoid — the whole
+    // training trajectory replayed long-for-long by the DuckDB oracle
+    "q283_lr_quality" -> (CurationOps.q283LrQuality _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

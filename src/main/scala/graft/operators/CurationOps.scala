@@ -889,7 +889,153 @@ object CurationOps {
   def q208SourceSimilarity(s: SparkSession, dir: String): DataFrame =
     sourceSimilarity(load(s, dir, "documents"))
 
+  // ---------------------------------------- trainable quality classifier
+
+  /** Distributed full-batch gradient descent for a logistic-style
+    * quality classifier — the trainable complement of the heuristic
+    * quality scores (q28-family): a CCNet-style "does this document
+    * look like the reference corpus" filter, reduced to the engine's
+    * integer-clearing discipline so training is EXACTLY replayable in
+    * any engine (the q106/q246 rule applied to learning):
+    *
+    *  - features live on a fixed 1e-4 grid (floor-quantized ratios),
+    *    weights on a 1e-6 grid (scaled longs);
+    *  - the squashing function is the RATIONAL fast sigmoid
+    *    `0.5 + z/(2(1+|z|))` — no exp(), whose libm bits differ
+    *    across engines;
+    *  - per-row gradient contributions are floor-quantized to LONGS,
+    *    so the distributed Σ is exact under any partitioning/order
+    *    (a plain double Σ would drift in the last ulp and diverge
+    *    from the oracle after a few iterations);
+    *  - the weight step `trunc(lr·Σg/n)` is one IEEE multiply +
+    *    divide + truncation on exact-long inputs — bit-stable.
+    *
+    * Each iteration is ONE map-side-combinable aggregate job over the
+    * feature frame (collect = 1+xCols longs, bound stated); at 100 TB
+    * full-batch GD is k passes over the corpus — cache the (tiny)
+    * feature projection, or subsample per iteration; the exactness
+    * contract is per-pass and does not care which. */
+  def trainLogistic(feats: DataFrame, xCols: Seq[String], yCol: String,
+      iters: Int, lr: Double): Array[Long] = {
+    import org.apache.spark.sql.functions._
+    val n = feats.count()
+    require(n > 0, "trainLogistic: empty training frame")
+    var w = Array.fill(xCols.size + 1)(0L)
+    (0 until iters).foreach { _ =>
+      val z = xCols.zipWithIndex.foldLeft(lit(w(0)): Column) {
+        case (acc, (c, i)) => acc + lit(w(i + 1)) * col(c)
+      } / 1000000.0
+      val p = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+      val gCols = (lit(1.0): Column) +: xCols.map(col(_): Column)
+      val aggs = gCols.zipWithIndex.map { case (x, i) =>
+        sum(floor(lit(1000000.0) * (p - col(yCol)) * x).cast("long"))
+          .as(s"g$i")
+      }
+      // bounded collect: 1 + xCols.size longs per iteration
+      val g = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
+      w = w.indices.map(i => w(i) - (lr * g.getLong(i) / n).toLong).toArray
+    }
+    w
+  }
+
+  /** Score a feature frame with [[trainLogistic]] weights: the same
+    * fast-sigmoid probability, predicted positive at p > 0.5. */
+  def scoreLogistic(feats: DataFrame, xCols: Seq[String],
+      w: Array[Long]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val z = xCols.zipWithIndex.foldLeft(lit(w(0)): Column) {
+      case (acc, (c, i)) => acc + lit(w(i + 1)) * col(c)
+    } / 1000000.0
+    feats.withColumn("p", lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z))))
+  }
+
+  /** The document-table featurization shared with the q283 oracle:
+    * label = lang is 'en'; features = clipped length, space ratio,
+    * digit ratio — each floor-quantized to the 1e-4 grid so both
+    * engines see identical doubles. */
+  def lrDocFeatures(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.select($"source",
+      when($"lang" === "en", 1).otherwise(0).as("y"),
+      (least($"n_chars", lit(10000L)) / 10000.0).as("x1"),
+      (floor(lit(10000.0) * (length($"text") -
+        length(regexp_replace($"text", " ", ""))) /
+        greatest(length($"text"), lit(1))) / 10000.0).as("x2"),
+      (floor(lit(10000.0) * (length($"text") -
+        length(translate($"text", "0123456789", ""))) /
+        greatest(length($"text"), lit(1))) / 10000.0).as("x3"))
+  }
+
+  /** q283 — the trained classifier over documents: 8 full-batch GD
+    * iterations at lr=1, then per-source scoring counts WITH the
+    * final scaled weights in every row — the DuckDB oracle replays
+    * the whole training loop as a recursive CTE and must match the
+    * weights LONG-for-long (the hash covers the entire optimization
+    * trajectory, not just the final counts). */
+  def q283LrQuality(s: SparkSession, dir: String): DataFrame = {
+    val feats = lrDocFeatures(load(s, dir, "documents"))
+    feats.cache()
+    try {
+      val w = trainLogistic(feats, Seq("x1", "x2", "x3"), "y",
+        iters = 8, lr = 1.0)
+      scoreLogistic(feats, Seq("x1", "x2", "x3"), w)
+        .groupBy($"source").agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(when($"p" > 0.5, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(($"p" > 0.5) === ($"y" === 1), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select($"source", $"n_docs", $"n_pos", $"n_correct",
+          lit(w(0)).as("w0"), lit(w(1)).as("w1"),
+          lit(w(2)).as("w2"), lit(w(3)).as("w3"))
+    } finally { feats.unpersist(); () }
+  }
+
   val oracles: Map[String, String] = Map(
+    // q283: the ENTIRE training loop replayed as a recursive CTE —
+    // same quantized features, same rational sigmoid, same exact-long
+    // gradient sums, same truncated step; the weights must match
+    // long-for-long after 8 iterations
+    "q283_lr_quality" ->
+      """WITH RECURSIVE feats AS (
+        |  SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    least(n_chars, 10000) / 10000.0 AS x1,
+        |    floor(10000.0 * (length(text) - length(replace(text, ' ', ''))) / greatest(length(text), 1)) / 10000.0 AS x2,
+        |    floor(10000.0 * (length(text) - length(translate(text, '0123456789', ''))) / greatest(length(text), 1)) / 10000.0 AS x3
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM feats),
+        |steps AS (
+        |  SELECT 0 AS it, CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+        |         CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3
+        |  UNION ALL
+        |  SELECT it + 1,
+        |    w0 - CAST(trunc(1.0 * g.g0 / (SELECT n FROM n)) AS BIGINT),
+        |    w1 - CAST(trunc(1.0 * g.g1 / (SELECT n FROM n)) AS BIGINT),
+        |    w2 - CAST(trunc(1.0 * g.g2 / (SELECT n FROM n)) AS BIGINT),
+        |    w3 - CAST(trunc(1.0 * g.g3 / (SELECT n FROM n)) AS BIGINT)
+        |  FROM steps, LATERAL (
+        |    SELECT
+        |      sum(CAST(floor(1000000.0 * (p - y) * 1.0) AS BIGINT)) AS g0,
+        |      sum(CAST(floor(1000000.0 * (p - y) * x1) AS BIGINT)) AS g1,
+        |      sum(CAST(floor(1000000.0 * (p - y) * x2) AS BIGINT)) AS g2,
+        |      sum(CAST(floor(1000000.0 * (p - y) * x3) AS BIGINT)) AS g3
+        |    FROM (
+        |      SELECT y, x1, x2, x3, 0.5 + z / (2.0 * (1.0 + abs(z))) AS p
+        |      FROM (SELECT y, x1, x2, x3,
+        |        (w0 + w1 * x1 + w2 * x2 + w3 * x3) / 1000000.0 AS z
+        |        FROM feats))) g
+        |  WHERE it < 8),
+        |final AS (SELECT * FROM steps WHERE it = 8)
+        |SELECT f.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN p > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN (p > 0.5) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  max(w.w0) AS w0, max(w.w1) AS w1, max(w.w2) AS w2, max(w.w3) AS w3
+        |FROM (
+        |  SELECT source, y, 0.5 + z / (2.0 * (1.0 + abs(z))) AS p
+        |  FROM (SELECT source, y,
+        |    (w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3) / 1000000.0 AS z
+        |    FROM feats, final w)) f, final w
+        |GROUP BY 1""".stripMargin,
     // q256: the word-2-gram dup fraction replayed with DuckDB's
     // 1-based list ops — same ≥2-word filter, same per-mille floor
     "q256_dup_ngram" ->

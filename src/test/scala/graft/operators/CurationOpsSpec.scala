@@ -565,4 +565,35 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_flagged") === 2L)       // 600 and 666
     assert(r.getAs[Long]("sum_dup_permille") === 600L + 0L + 666L)
   }
+
+  // --------------------------------------------------------------- q283
+
+  test("q283: trainLogistic LEARNS a separable fixture to 100% " +
+      "accuracy, and the integer-cleared gradients make the weights " +
+      "invariant under repartitioning") {
+    // separable on x1: y = 1 iff x1 >= 0.6 (quantized grid values)
+    val rows = (0 until 400).map { i =>
+      val x1 = (i % 10) / 10.0
+      (if (x1 >= 0.6) 1 else 0, x1, ((i * 7) % 10) / 10.0)
+    }
+    val feats = rows.toDF("y", "x1", "x2")
+    val w = CurationOps.trainLogistic(feats, Seq("x1", "x2"), "y",
+      iters = 40, lr = 8.0)
+    val scored = CurationOps.scoreLogistic(feats, Seq("x1", "x2"), w)
+    val acc = scored.filter((col("p") > 0.5) === (col("y") === 1)).count()
+    assert(acc === 400L,
+      s"separable fixture must train to 100% (got $acc/400, " +
+        s"w=${w.toSeq})")
+    // partition invariance: the per-row quantized-long gradients sum
+    // exactly under ANY layout — a plain double sum would drift
+    val w13 = CurationOps.trainLogistic(feats.repartition(13),
+      Seq("x1", "x2"), "y", iters = 40, lr = 8.0)
+    assert(w.toSeq === w13.toSeq,
+      "weights must be bit-identical under repartitioning")
+    // prediction threshold never fires without signal: zero iterations
+    // = zero weights = p exactly 0.5 everywhere
+    val w0 = CurationOps.trainLogistic(feats, Seq("x1", "x2"), "y",
+      iters = 0, lr = 1.0)
+    assert(w0.toSeq === Seq(0L, 0L, 0L))
+  }
 }
