@@ -713,6 +713,9 @@ object SparkEntry {
     // integer-cleared gradients and a rational sigmoid — the whole
     // training trajectory replayed long-for-long by the DuckDB oracle
     "q283_lr_quality" -> (CurationOps.q283LrQuality _),
+    // the classifier's exact evaluation: cumulative PR cells per
+    // probability bucket, integers end-to-end
+    "q284_pr_curve" -> (CurationOps.q284PrCurve _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -990,6 +990,46 @@ object CurationOps {
     } finally { feats.unpersist(); () }
   }
 
+  /** EXACT precision/recall table for a scored frame: bucket the
+    * probability on the 1e-3 grid (floor — the same quantization
+    * discipline as the features), then cumulative TP/FP from the top
+    * bucket down and FN against the total positives — every cell an
+    * exact integer, so the curve is engine-independent (precision/
+    * recall ratios are the reader's division, not the engine's). The
+    * bucket table is ≤ 1001 rows, so the unpartitioned cumulative
+    * window is a bounded driver-scale frame (the q146 economics), not
+    * a corpus sort. */
+  def prCurve(scored: DataFrame, yCol: String = "y"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val b = scored
+      .withColumn("bucket", floor($"p" * 1000.0).cast("long"))
+      .groupBy($"bucket").agg(
+        sum(when(col(yCol) === 1, 1L).otherwise(0L)).as("pos"),
+        count(lit(1)).as("n"))
+    val w = Window.orderBy($"bucket".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    b.select($"bucket",
+      sum($"pos").over(w).as("tp"),
+      (sum($"n").over(w) - sum($"pos").over(w)).as("fp"),
+      (sum($"pos").over(tot) - sum($"pos").over(w)).as("fn"))
+  }
+
+  /** q284 — the classifier's exact evaluation table: train (q283's
+    * loop), score, and emit the cumulative PR cells per probability
+    * bucket. The oracle replays training AND the curve — integers
+    * end-to-end. */
+  def q284PrCurve(s: SparkSession, dir: String): DataFrame = {
+    val feats = lrDocFeatures(load(s, dir, "documents"))
+    feats.cache()
+    try {
+      val w = trainLogistic(feats, Seq("x1", "x2", "x3"), "y",
+        iters = 8, lr = 1.0)
+      prCurve(scoreLogistic(feats, Seq("x1", "x2", "x3"), w))
+    } finally { feats.unpersist(); () }
+  }
+
   val oracles: Map[String, String] = Map(
     // q283: the ENTIRE training loop replayed as a recursive CTE —
     // same quantized features, same rational sigmoid, same exact-long
@@ -1036,6 +1076,53 @@ object CurationOps {
         |    (w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3) / 1000000.0 AS z
         |    FROM feats, final w)) f, final w
         |GROUP BY 1""".stripMargin,
+    // q284: training replayed again, then the exact cumulative PR
+    // cells per 1e-3 probability bucket — integers end-to-end
+    "q284_pr_curve" ->
+      """WITH RECURSIVE feats AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    least(n_chars, 10000) / 10000.0 AS x1,
+        |    floor(10000.0 * (length(text) - length(replace(text, ' ', ''))) / greatest(length(text), 1)) / 10000.0 AS x2,
+        |    floor(10000.0 * (length(text) - length(translate(text, '0123456789', ''))) / greatest(length(text), 1)) / 10000.0 AS x3
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM feats),
+        |steps AS (
+        |  SELECT 0 AS it, CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+        |         CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3
+        |  UNION ALL
+        |  SELECT it + 1,
+        |    w0 - CAST(trunc(1.0 * g.g0 / (SELECT n FROM n)) AS BIGINT),
+        |    w1 - CAST(trunc(1.0 * g.g1 / (SELECT n FROM n)) AS BIGINT),
+        |    w2 - CAST(trunc(1.0 * g.g2 / (SELECT n FROM n)) AS BIGINT),
+        |    w3 - CAST(trunc(1.0 * g.g3 / (SELECT n FROM n)) AS BIGINT)
+        |  FROM steps, LATERAL (
+        |    SELECT
+        |      sum(CAST(floor(1000000.0 * (p - y) * 1.0) AS BIGINT)) AS g0,
+        |      sum(CAST(floor(1000000.0 * (p - y) * x1) AS BIGINT)) AS g1,
+        |      sum(CAST(floor(1000000.0 * (p - y) * x2) AS BIGINT)) AS g2,
+        |      sum(CAST(floor(1000000.0 * (p - y) * x3) AS BIGINT)) AS g3
+        |    FROM (
+        |      SELECT y, x1, x2, x3, 0.5 + z / (2.0 * (1.0 + abs(z))) AS p
+        |      FROM (SELECT y, x1, x2, x3,
+        |        (w0 + w1 * x1 + w2 * x2 + w3 * x3) / 1000000.0 AS z
+        |        FROM feats))) g
+        |  WHERE it < 8),
+        |final AS (SELECT * FROM steps WHERE it = 8),
+        |buckets AS (
+        |  SELECT CAST(floor(p * 1000.0) AS BIGINT) AS bucket,
+        |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
+        |    count(*) AS n
+        |  FROM (SELECT y, 0.5 + z / (2.0 * (1.0 + abs(z))) AS p
+        |    FROM (SELECT y,
+        |      (w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3) / 1000000.0 AS z
+        |      FROM feats, final w))
+        |  GROUP BY 1)
+        |SELECT bucket,
+        |  CAST(sum(pos) OVER (ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |  CAST(sum(n) OVER (ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - sum(pos) OVER (ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+        |  CAST(sum(pos) OVER () - sum(pos) OVER (ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fn
+        |FROM buckets""".stripMargin,
     // q256: the word-2-gram dup fraction replayed with DuckDB's
     // 1-based list ops — same ≥2-word filter, same per-mille floor
     "q256_dup_ngram" ->
