@@ -2922,8 +2922,13 @@ object SummaryRewrite {
         // verbatim over it and multiset aggregates replay through the
         // count ([[HistSummary]])
         def histVal(ex: Expression): Option[Expression] = (hist, ex) match {
+          // the map's VALUE type must be the measure's exact type: a
+          // mis-registered artifact whose hist_<col> was built from a
+          // differently-typed column would serve a wrong distinct set
+          // (Count's own result type would not catch it)
           case (Some(h), a: AttributeReference)
-              if !dimOut.contains(a) && a.name == h.col => Some(h.k)
+              if !dimOut.contains(a) && a.name == h.col &&
+                h.k.dataType == a.dataType => Some(h.k)
           case _ => None
         }
         def integral(t: DataType): Boolean = t match {

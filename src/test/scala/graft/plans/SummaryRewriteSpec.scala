@@ -3046,6 +3046,33 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.deregister("spec_dahist")
   }
 
+  test("a mistyped hist_<col> map refuses: the value type must be the " +
+      "measure's exact type (a mis-registered artifact must never " +
+      "serve a wrong distinct set)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val (fact, _) = histFix
+    val f = spark.read.parquet(fact)
+    // a doctored artifact: hist_m carries STRING values (a different
+    // column's histogram renamed), cnt/sum_ intact
+    SummaryRewrite.summaryFrame(f, Seq("g"), Seq("m"))
+      .withColumn("hist_m", map(lit("1"), lit(2L)))
+      .write.parquet(s"$tmp/badhist")
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_badhist", SummaryRewrite.Summary(
+      "histfix.parquet", s"$tmp/badhist", Set("g")))
+    try {
+      val q = f.groupBy($"g").agg(countDistinct($"m").as("dm"))
+      assert(q.queryExecution.executedPlan.toString
+        .contains("histfix.parquet"),
+        "a string-valued hist_m must refuse to serve a LONG measure")
+      // the plain partials still serve through the same artifact
+      val ok = f.groupBy($"g").agg(count(lit(1)).as("n"))
+      assert(ok.queryExecution.executedPlan.toString.contains("badhist"),
+        "the non-hist aggregates must still serve")
+    } finally SummaryRewrite.deregister("spec_badhist")
+  }
+
   test("hist cap refuses loudly at build time — never a silently " +
       "truncated histogram") {
     val (fact, _) = histFix
