@@ -111,11 +111,23 @@ object HistSummary {
   }
 
   /** Defensive copy of a value that may live in a reused eval buffer
-    * (UnsafeRow-backed UTF8String / Decimal). */
+    * (UnsafeRow-backed UTF8String / Decimal), plus float-point KEY
+    * normalization matching Spark's own aggregation-key semantics
+    * (NormalizeFloatingNumbers): -0.0 groups with 0.0 and every NaN
+    * bit pattern is one NaN — boxed equals() distinguishes both, and
+    * an unnormalized histogram would overcount the distinct set. */
   private[plans] def copyValue(v: Any): Any = v match {
     case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
     case d: org.apache.spark.sql.types.Decimal =>
       org.apache.spark.sql.types.Decimal(d.toJavaBigDecimal)
+    case d: java.lang.Double =>
+      if (d.isNaN) java.lang.Double.valueOf(Double.NaN)
+      else if (d.doubleValue() == 0.0d) java.lang.Double.valueOf(0.0d)
+      else d
+    case f: java.lang.Float =>
+      if (f.isNaN) java.lang.Float.valueOf(Float.NaN)
+      else if (f.floatValue() == 0.0f) java.lang.Float.valueOf(0.0f)
+      else f
     case other => other
   }
 }
@@ -132,6 +144,29 @@ sealed trait HistAggregate
 
   /** The histogram's VALUE type (= the measure column's type). */
   protected def keyType: DataType
+
+  /** Floating-point buffer keys ride their CANONICAL BITS (boxed
+    * long/int): Scala's `==` on boxed NaN follows primitive semantics
+    * (NaN ≠ NaN), so a HashMap keyed by the boxed double would never
+    * merge NaN rows; doubleToLongBits canonicalizes every NaN pattern
+    * and [[HistSummary.copyValue]] has already normalized -0.0. */
+  protected def toKey(v: Any): Any = keyType match {
+    case DoubleType =>
+      java.lang.Long.valueOf(java.lang.Double.doubleToLongBits(
+        v.asInstanceOf[java.lang.Double].doubleValue()))
+    case FloatType =>
+      java.lang.Integer.valueOf(java.lang.Float.floatToIntBits(
+        v.asInstanceOf[java.lang.Float].floatValue()))
+    case _ => v
+  }
+
+  protected def fromKey(k: Any): Any = keyType match {
+    case DoubleType => java.lang.Double.valueOf(
+      java.lang.Double.longBitsToDouble(k.asInstanceOf[java.lang.Long]))
+    case FloatType => java.lang.Float.valueOf(
+      java.lang.Float.intBitsToFloat(k.asInstanceOf[java.lang.Integer]))
+    case _ => k
+  }
 
   override def createAggregationBuffer(): mutable.HashMap[Any, Long] =
     mutable.HashMap.empty[Any, Long]
@@ -157,7 +192,8 @@ sealed trait HistAggregate
 
   override def eval(buf: mutable.HashMap[Any, Long]): Any = {
     val ord = TypeUtils.getInterpretedOrdering(keyType)
-    val entries = buf.toArray.sortBy(_._1)(ord.asInstanceOf[Ordering[Any]])
+    val entries = buf.toArray.map { case (k, c) => (fromKey(k), c) }
+      .sortBy(_._1)(ord.asInstanceOf[Ordering[Any]])
     new ArrayBasedMapData(
       new GenericArrayData(entries.map(_._1)),
       new GenericArrayData(entries.map(e => e._2: Any)))
@@ -177,7 +213,7 @@ sealed trait HistAggregate
     val row = new org.apache.spark.sql.catalyst.expressions
       .GenericInternalRow(2)
     buf.foreach { case (k, c) =>
-      row.update(0, k)
+      row.update(0, fromKey(k))
       row.update(1, c)
       val unsafe = rowProj.apply(row)
       out.writeInt(unsafe.getSizeInBytes)
@@ -196,7 +232,7 @@ sealed trait HistAggregate
       val rowBytes = new Array[Byte](sz)
       in.readFully(rowBytes)
       rowBuf.pointTo(rowBytes, sz)
-      buf.update(HistSummary.copyValue(rowBuf.get(0, keyType)),
+      buf.update(toKey(HistSummary.copyValue(rowBuf.get(0, keyType))),
         rowBuf.getLong(1))
       sz = in.readInt()
     }
@@ -220,7 +256,7 @@ case class HistPartial(child: Expression, cap: Int,
   override def update(buf: mutable.HashMap[Any, Long],
       input: InternalRow): mutable.HashMap[Any, Long] = {
     val v = child.eval(input)
-    if (v != null) bump(buf, HistSummary.copyValue(v), 1L)
+    if (v != null) bump(buf, toKey(HistSummary.copyValue(v)), 1L)
     buf
   }
 
@@ -258,7 +294,7 @@ case class HistMerge(child: Expression, cap: Int,
       val vals = m.valueArray()
       var i = 0
       while (i < m.numElements()) {
-        bump(buf, HistSummary.copyValue(keys.get(i, keyType)),
+        bump(buf, toKey(HistSummary.copyValue(keys.get(i, keyType))),
           vals.getLong(i))
         i += 1
       }

@@ -67,7 +67,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "q242_modularity" ->
       "coEdges p90 rank, re-planned per edge/label branch (bucket-occupancy table, domain-bounded)",
     "q249_revenue_share" ->
-      "apportionment windows over the per-region revenue table (one row per region)")
+      "apportionment windows over the per-region revenue table (one row per region)",
+    "q284_pr_curve" ->
+      ("cumulative TP/FP over the probability-bucket table (floor-bucketed " +
+        "on the 1e-3 grid -> <= 1001 rows by construction)"))
 
   test("every query plans free of CartesianProduct and unbounded global windows") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
