@@ -2488,25 +2488,73 @@ object SummaryRewrite {
       * nothing to Σcnt. FullOuter combines both failure modes and
       * refuses.
       *
-      * Soundness: every conjunct a fact-key = dim EqualTo; grouping
-      * attrs from the dim side or fact summary keys; dim-side measures
-      * only the multiplicity-insensitive MIN/MAX and DISTINCT
-      * aggregates (count/sum/avg over dim change with fact collapse
-      * and refuse); fact-side measures the usual cnt/sum/min/max/avg
-      * derivations; mixed fact×dim expressions refuse. */
-    private def tryJoinRewrite(groupExprs: Seq[Expression],
-        aggExprs: Seq[NamedExpression], join: Join,
+      * MULTI-dimension stars (and snowflakes) serve too: the join may
+      * be a NESTED tree — `((fact ⋈ date_dim) ⋈ cust_dim) ⋈ nation` —
+      * peeled one dimension level at a time until the remaining side
+      * decomposes to a registered fact (or fact union). The
+      * multiplicity argument composes level by level: every join
+      * predicate that touches the FACT references summary keys only,
+      * so the dim-match set of a summary row is exactly its fact
+      * rows' common match set at every level, and dim-to-dim
+      * (snowflake) or dim-local conjuncts are untouched by the
+      * rewrite. Projects BETWEEN the joins (column pruning, hoisted
+      * aliases) strip with their substitutions inlined, exactly like
+      * the direct path.
+      *
+      * Soundness: every conjunct either a fact-attr = dim-attr EqualTo
+      * (the fact attr must be a summary key) or a deterministic
+      * dim-only residual (snowflake links, dim-local predicates);
+      * grouping attrs from the dim sides or fact summary keys;
+      * dim-side measures only the multiplicity-insensitive MIN/MAX
+      * and DISTINCT aggregates (count/sum/avg over dim change with
+      * fact collapse and refuse); fact-side measures the usual
+      * cnt/sum/min/max/avg derivations; mixed fact×dim expressions
+      * refuse. */
+    private final case class DimLevel(dim: LogicalPlan,
+        joinType: org.apache.spark.sql.catalyst.plans.JoinType,
+        cond: Expression, factOnLeft: Boolean, jhint: JoinHint)
+
+    /** Peel depth cap: a star query joining more dimensions than this
+      * refuses (bounded planning time on pathological join towers). */
+    private val MaxStarDepth = 8
+
+    private def tryJoinRewrite(groupExprs0: Seq[Expression],
+        aggExprs0: Seq[NamedExpression], join: Join,
         hint: Option[AggregateHint]): Option[Aggregate] = {
-      val Join(l, r, joinType, condOpt, jhint) = join
-      val orientations = joinType match {
-        case Inner => Seq((l, r, true), (r, l, false))
-        case LeftOuter => Seq((l, r, true)) // fact must be preserved
-        case RightOuter => Seq((r, l, false))
-        case _ => return None
-      }
-      val cond = condOpt.getOrElse(return None)
-      orientations.view.flatMap {
-        case (factSide, dimSide, factOnLeft) =>
+      // every candidate flattening of the join tree: (fact side, dims
+      // innermost-first, hoisted-alias substitutions from Projects
+      // BETWEEN the joins). Lazy — the first flattening that serves
+      // wins, and refused branches never build deeper candidates.
+      def peel(plan: LogicalPlan, depth: Int): LazyList[
+          (LogicalPlan, List[DimLevel], Map[ExprId, Expression])] =
+        plan match {
+          case Join(l, r, jt, Some(cond), jh) if depth > 0 =>
+            val orients = jt match {
+              case Inner => Seq((l, r, true), (r, l, false))
+              case LeftOuter => Seq((l, r, true)) // fact preserved
+              case RightOuter => Seq((r, l, false))
+              case _ => Seq.empty
+            }
+            LazyList.from(orients).flatMap { case (fs, ds, fol) =>
+              val lvl = DimLevel(ds, jt, cond, fol, jh)
+              val (below, subst) = stripProjects(fs)
+              ((below, List(lvl), subst)) #:: (below match {
+                case inner: Join => peel(inner, depth - 1).map {
+                  case (f, dims, s2) => (f, dims :+ lvl, subst ++ s2)
+                }
+                case _ => LazyList.empty[
+                  (LogicalPlan, List[DimLevel], Map[ExprId, Expression])]
+              })
+            }
+          case _ => LazyList.empty
+        }
+      peel(join, MaxStarDepth).flatMap { case (factSide, dims0, subst) =>
+        val groupExprs = groupExprs0.map(inline(_, subst))
+        val aggExprsI = aggExprs0.map(e => inline(e, subst))
+        if (!aggExprsI.forall(_.isInstanceOf[NamedExpression])) None
+        else {
+          val aggExprs = aggExprsI.map(_.asInstanceOf[NamedExpression])
+          val dims = dims0.map(d => d.copy(cond = inline(d.cond, subst)))
           // the fact side may itself be a UNION of registered facts
           // (multi-epoch star schema): validated like tryUnionRewrite,
           // the per-branch canonical scans substitute under the join —
@@ -2531,28 +2579,37 @@ object SummaryRewrite {
           }
           for {
             shape <- factUnion.map(_._2.head).orElse(decompose(factSide))
-            // fact-side ALIASED projections refuse here: unlike the
-            // direct path, the join path matches measures by NAME
-            // against factSide.output, so a computed column aliased to
-            // a summarized measure's name (e.g. `(x*7) AS o_orderkey`)
-            // would silently serve the real column's partial. Column
-            // pruning (attr-only projects) is still fine; hoisted
-            // grouping aliases sit ABOVE the join and are inlined by
-            // stripProjects before this runs. (Union facts already
-            // enforce rename-only substs above.)
+            // fact-side Projects were stripped by peel() and their
+            // aliases INLINED into the aggregates/groupings/conditions,
+            // so a computed column renamed to a measure's name resolves
+            // to its computing EXPRESSION — it can never claim the real
+            // column's partial by name. This is exactly the direct
+            // path's shadowing discipline (the law's VALUE-equality
+            // gate covers the join path too). Union facts enforce
+            // rename-only substs above; any residual decompose subst
+            // (a Project shape peel didn't strip) still refuses.
             if factUnion.isDefined || shape.subst.isEmpty
             factOut = factSide.outputSet
-            dimOut = dimSide.outputSet
-            // every conjunct: fact-attr = dim-attr (either order)
-            pairs <- sequence(splitConjunctivePredicates(cond).map {
-              case EqualTo(a: AttributeReference, b: AttributeReference)
-                  if factOut.contains(a) && dimOut.contains(b) =>
-                Some(a)
-              case EqualTo(b: AttributeReference, a: AttributeReference)
-                  if factOut.contains(a) && dimOut.contains(b) =>
-                Some(a)
-              case _ => None
-            })
+            dimOut = AttributeSet(dims.flatMap(_.dim.output))
+            // conjuncts across ALL levels: fact-attr = dim-attr pairs
+            // (the fact attr lands in `needed`, so it must be a
+            // summary KEY), or deterministic residuals that never
+            // touch the fact (dim-dim snowflake links, dim-local
+            // predicates) — those the rewrite leaves untouched
+            pairs <- sequence(
+              dims.flatMap(l => splitConjunctivePredicates(l.cond)).map {
+                case EqualTo(a: AttributeReference, b: AttributeReference)
+                    if factOut.contains(a) && dimOut.contains(b) =>
+                  Some(Some(a))
+                case EqualTo(b: AttributeReference, a: AttributeReference)
+                    if factOut.contains(a) && dimOut.contains(b) =>
+                  Some(Some(a))
+                case c if c.deterministic &&
+                    !c.exists(_.isInstanceOf[PlanExpression[_]]) &&
+                    c.references.toSeq.forall(r => !factOut.contains(r)) =>
+                  Some(None)
+                case _ => None
+              }).map(_.flatten)
             if groupExprs.forall(ge => carriableGrouping(ge) &&
               ge.references.toSeq.forall(ref =>
                 dimOut.contains(ref) || factOut.contains(ref)))
@@ -2563,8 +2620,7 @@ object SummaryRewrite {
             result <- candidates(shape, needed).view.flatMap {
               case (n, s) =>
                 val r = tryJoinCandidate(s, groupExprs, aggExprs,
-                  shape, factUnion, factOut, dimOut, dimSide, cond,
-                  joinType, factOnLeft, jhint, hint)
+                  shape, factUnion, factOut, dimOut, dims, hint)
                 if (r.isEmpty)
                   note(s"candidate '$n': star-join shape not derivable " +
                     "(needs all-key equi-join, derivable fact measures, " +
@@ -2573,6 +2629,7 @@ object SummaryRewrite {
                 r
             }.headOption
           } yield result
+        }
       }.headOption
     }
 
@@ -2580,9 +2637,8 @@ object SummaryRewrite {
         groupExprs: Seq[Expression],
         aggExprs: Seq[NamedExpression], shape: Shape,
         factUnion: Option[(Union, Seq[Shape])],
-        factOut: AttributeSet, dimOut: AttributeSet, dimSide: LogicalPlan,
-        cond: Expression, joinType: org.apache.spark.sql.catalyst.plans.JoinType,
-        factOnLeft: Boolean, jhint: JoinHint,
+        factOut: AttributeSet, dimOut: AttributeSet,
+        dims: List[DimLevel],
         hint: Option[AggregateHint]): Option[Aggregate] = for {
       path <- resolveMvPath(summary)
       mvPlan <- mvPlanFor(path, summary.store.isDefined)
@@ -2594,8 +2650,8 @@ object SummaryRewrite {
       if pred.forall(_.references.toSeq.forall(r => mvAttrs.contains(r.name)))
       // a registration whose declared keys are absent from the summary
       // FILE must refuse, not throw inside the condition remap
-      if cond.references.toSeq.filter(factOut.contains)
-        .forall(r => mvAttrs.contains(r.name))
+      if dims.forall(_.cond.references.toSeq.filter(factOut.contains)
+        .forall(r => mvAttrs.contains(r.name)))
       cnt <- mvAttrs.get("cnt")
       if cnt.dataType == LongType
       // plain partials first; on refusal, the hist explosion (the fact
@@ -2632,7 +2688,7 @@ object SummaryRewrite {
         case a: AttributeReference if factOut.contains(a) => mvAttrs(a.name)
       }
       newGroup = groupExprs.map(remap)
-      newCond = remap(cond)
+      newConds = dims.map(l => remap(l.cond))
       // the fact child: a filtered artifact scan, or (union fact) the
       // union of per-branch canonical scans — shared with the Expand
       // path so the two compositions can never drift
@@ -2640,7 +2696,7 @@ object SummaryRewrite {
       childRefs = (AttributeSet(
         newAggs.flatMap(_.references.toSeq) ++
           newGroup.flatMap(_.references.toSeq) ++
-          newCond.references.toSeq).toSeq.filter(mvOut.contains) ++
+          newConds.flatMap(_.references.toSeq)).toSeq.filter(mvOut.contains) ++
         histOpt.map { case (n, _, _, _) => mvAttrs(n) }).distinct
       factPlan0 <- expandChildBuilder(factUnion, shape, summary, mvPlan,
         mvAttrs)(childRefs)
@@ -2651,9 +2707,13 @@ object SummaryRewrite {
             Seq.empty, outer = true, None, Seq(posA, kA, vA), factPlan0)
         case None => factPlan0
       }
-      newJoin = if (factOnLeft)
-        Join(factPlan, dimSide, joinType, Some(newCond), jhint)
-      else Join(dimSide, factPlan, joinType, Some(newCond), jhint)
+      // rebuild the join tree innermost-first around the summary scan;
+      // dim sides, join types, and residual conjuncts are untouched
+      newJoin = dims.zip(newConds).foldLeft(factPlan) {
+        case (p, (lvl, c)) =>
+          if (lvl.factOnLeft) Join(p, lvl.dim, lvl.joinType, Some(c), lvl.jhint)
+          else Join(lvl.dim, p, lvl.joinType, Some(c), lvl.jhint)
+      }
     } yield Aggregate(newGroup, newAggs, newJoin, hint)
 
     /** Attempt the rewrite against ONE candidate summary; any missing

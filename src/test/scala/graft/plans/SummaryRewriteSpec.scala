@@ -480,6 +480,84 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.deregister("spec_star")
   }
 
+  test("multi-dimension star / snowflake: nested joins peel level by " +
+      "level and serve from the summary; non-key links refuse") {
+    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/orders_by_cust_md"
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq.empty, mvPath = omv,
+      minMaxCols = Seq("o_orderkey"))
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_star_md",
+      SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+    def orders = graft.Tables.load(spark, dir, "orders")
+    def customer = graft.Tables.load(spark, dir, "customer")
+    def nation = graft.Tables.load(spark, dir, "nation")
+    def region = graft.Tables.load(spark, dir, "region")
+    try {
+      // a 3-level snowflake: the fact joins customer on a summary KEY;
+      // customer→nation and nation→region are dim-dim links the
+      // rewrite leaves untouched. Only level 1 touches the fact.
+      def q = orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("o_orderkey")).as("max_orderkey"), // fact partial
+          min(col("n_name")).as("first_nation"))     // dim value-set
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("orders_by_cust_md") &&
+        !p.contains("orders.parquet"),
+        s"snowflake rewrite did not fire / fact still scanned:\n$p")
+      assert(p.contains("customer.parquet") && p.contains("nation.parquet")
+        && p.contains("region.parquet"),
+        "every dim level must still be scanned")
+      SummaryRewrite.deregister("spec_star_md")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_star_md",
+        SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "snowflake star rewrite diverged")
+
+      // a dim-LOCAL predicate in the ON clause is a residual conjunct
+      // the rewrite carries verbatim
+      def qc = orders
+        .join(customer, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") < 10)
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      val pc = qc.queryExecution.executedPlan.toString
+      assert(pc.contains("orders_by_cust_md") &&
+        !pc.contains("orders.parquet"),
+        s"dim-local ON-clause conjunct should ride untouched:\n$pc")
+      SummaryRewrite.deregister("spec_star_md")
+      val expectC = qc.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_star_md",
+        SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+      assert(qc.collect().map(_.toSeq).toSet === expectC)
+
+      // an OUTER level joining a non-key fact attr refuses the whole
+      // rewrite — the dim-match set would not be key-determined
+      val badLink = orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("o_orderkey") % 25 === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      assert(badLink.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "an outer level touching a non-key fact attr must refuse")
+
+      // a dim-preserved outer level anywhere in the tree refuses
+      val dimKept = customer
+        .join(orders, col("o_custkey") === col("c_custkey"), "left")
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      assert(dimKept.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "a dim-preserved outer join at an inner level must refuse")
+    } finally SummaryRewrite.deregister("spec_star_md")
+  }
+
   test("auditSummary: exact summary yields zero rows; a drifted one " +
       "names the broken keys") {
     val fresh = SummaryRewrite.Summary("documents.parquet", mv,
@@ -1182,15 +1260,25 @@ class SummaryRewriteSpec extends AnyFunSuite {
         SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
       assert(renamed.collect().map(_.toSeq).toSet === expectR)
       // JOIN path: fact-side computed column aliased to the measure
-      // name — the aliased fact-side projection refuses wholesale
-      val joined = orders
+      // name — peel() strips the fact-leaf Project and INLINES the
+      // alias, so the reference resolves to the computing expression
+      // (o_custkey*7, a key expression served as Σ cnt·f), never the
+      // stale sum_o_orderkey partial by name. The VALUE equality
+      // against the deregistered plan is the shadowing gate.
+      def joined = orders
         .select($"o_custkey", ($"o_custkey" * 7).as("o_orderkey"))
         .join(graft.Tables.load(spark, dir, "customer"),
           $"o_custkey" === $"c_custkey")
         .groupBy($"c_nationkey").agg(sum($"o_orderkey").as("s"))
-      assert(joined.queryExecution.executedPlan.toString
-        .contains("orders.parquet"),
-        "join path must refuse an aliased fact-side projection")
+      val pj = joined.queryExecution.executedPlan.toString
+      assert(pj.contains("/shadow") && !pj.contains("orders.parquet"),
+        s"join-path key-expression shadow should serve via cnt-weighted f:\n$pj")
+      SummaryRewrite.deregister("spec_shadow")
+      val expectJ = joined.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_shadow",
+        SummaryRewrite.Summary("orders.parquet", omv, Set("o_custkey")))
+      assert(joined.collect().map(_.toSeq).toSet === expectJ,
+        "join-path computed-column values diverged — the stale partial leaked")
       // EXPAND path: rollup over the shadowing computed measure
       val rolled = orders
         .select($"o_custkey", ($"o_custkey" * 7).as("o_orderkey"))
@@ -3071,6 +3159,23 @@ class SummaryRewriteSpec extends AnyFunSuite {
       assert(ok.queryExecution.executedPlan.toString.contains("badhist"),
         "the non-hist aggregates must still serve")
     } finally SummaryRewrite.deregister("spec_badhist")
+  }
+
+  test("hist float keys normalize like Spark's aggregation keys: " +
+      "-0.0 groups with 0.0 and NaN is one value") {
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    val f = Seq(("a", 0.0d), ("a", -0.0d), ("a", Double.NaN),
+      ("a", Double.NaN), ("a", 1.5d))
+      .toDF("g", "m")
+    val hf = SummaryRewrite.summaryFrame(f, Seq("g"), Seq.empty,
+      histCols = Seq("m"))
+    val entries = hf.select(map_entries(col("hist_m")).as("e"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(entries.size === 3,
+      s"expected {0.0→2, 1.5→1, NaN→2}, got $entries")
+    val direct = f.groupBy(col("g"))
+      .agg(countDistinct(col("m")).as("d")).collect()(0).getLong(1)
+    assert(direct === 3L, "Spark's own distinct agrees (sanity)")
   }
 
   test("hist cap refuses loudly at build time — never a silently " +
