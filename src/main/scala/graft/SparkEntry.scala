@@ -716,6 +716,10 @@ object SparkEntry {
     // the classifier's exact evaluation: cumulative PR cells per
     // probability bucket, integers end-to-end
     "q284_pr_curve" -> (CurationOps.q284PrCurve _),
+    // TPC-H revenue sum(price*(1-discount)) served from an expression
+    // partial, through a 2-dim (snowflake) star — plan-gated, refusal
+    // gated first
+    "q285_summary_expr_star" -> (IndexOps.q285SummaryExprStar _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

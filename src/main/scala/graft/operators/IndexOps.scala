@@ -1941,6 +1941,76 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q282_docs_hist_header")
   }
 
+  // --------------------------------------------------------------- q285
+
+  /** q285 — EXPRESSION measures through a MULTI-dimension star: the
+    * canonical TPC-H revenue statement `sum(price * (1 - discount))`
+    * (integer-cents cleared) served from a `sumx_<name>` partial the
+    * artifact stores for the REGISTERED expression, composed with the
+    * round's nested-join peel — lineitem ⋈ supplier ⋈ nation, two
+    * dimension levels, the second a snowflake link the rewrite leaves
+    * untouched. The serve side matches the query's aggregate child
+    * SEMANTICALLY against the registered SQL (parsed, bound to the
+    * query's own attributes, analyzer-coerced, constant-folded) — a
+    * different expression refuses (gated). At 100 TB the difference:
+    * the revenue dashboard's nightly refresh reads a kilobyte-scale
+    * per-(suppkey, returnflag) artifact instead of re-scanning every
+    * line item, and no column of the expression had to become a key.
+    * Refusal is gated FIRST (unregistered → both facts scan). */
+  def q285SummaryExprStar(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val revenueSql = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)" +
+      " * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))"
+    val qtySql = "CAST(l_quantity AS BIGINT)"
+    val mv = java.nio.file.Files.createTempDirectory("graft-q285")
+      .toString + "/lineitem_rev_by_supp_flag"
+    SummaryRewrite.buildSummary(s, s"$dir/lineitem.parquet",
+      keys = Seq("l_suppkey", "l_returnflag"), sumCols = Seq.empty,
+      mvPath = mv,
+      exprCols = Seq("revenue" -> revenueSql, "qty" -> qtySql))
+    def q = load(s, dir, "lineitem")
+      .join(load(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(load(s, dir, "nation"), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"l_returnflag")
+      .agg(expr(s"sum($revenueSql)").as("revenue_cents"),
+        expr(s"max($revenueSql)").as("max_item_cents"),
+        expr(s"sum($qtySql)").as("qty"),
+        count(lit(1)).as("n_items"))
+    // refusal first: nothing registered → the fact scans
+    require(q.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "q285 setup broken: unregistered query should scan the fact")
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q285_lineitem_rev",
+      SummaryRewrite.Summary("lineitem.parquet", mv,
+        Set("l_suppkey", "l_returnflag"),
+        exprs = Map("revenue" -> revenueSql, "qty" -> qtySql)))
+    try {
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("lineitem_rev_by_supp_flag"),
+        "q285 gate is vacuous: the expression-measure star did not serve")
+      require(!phys.contains("lineitem.parquet"),
+        "q285 gate broken: the fact table is still scanned")
+      require(phys.contains("supplier.parquet") &&
+        phys.contains("nation.parquet"),
+        "q285 gate broken: both dimension levels must still be scanned")
+      // a DIFFERENT expression must refuse back to the fact — the
+      // semantic match never guesses
+      val other = load(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(expr("sum(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS " +
+          "BIGINT) * (100 + CAST(FLOOR(l_discount * 100 + 0.5) AS " +
+          "BIGINT)))").as("not_revenue"))
+      require(other.queryExecution.executedPlan.toString
+        .contains("lineitem.parquet"),
+        "q285 gate broken: a non-registered expression must refuse")
+      // bounded: one row per (nation, returnflag) — materialized while
+      // registered, so the emitted values provably came off the artifact
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q285_lineitem_rev")
+  }
+
   // ------------------------------------------------- file-stats manifest
 
   /** Per-FILE min/max statistics manifest over `cols` — data skipping at
@@ -2611,6 +2681,24 @@ object IndexOps {
         |  quantile_cont(n_chars, 0.9) AS p90_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    // q285: the TPC-H revenue statement through the supplier→nation
+    // star, integer-cents cleared — the expression replays verbatim in
+    // DuckDB (floor on doubles is engine-independent), so the
+    // expression-partial serving is invisible to the answer
+    "q285_summary_expr_star" ->
+      """SELECT n_name, l_returnflag,
+        |  CAST(sum(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS revenue_cents,
+        |  CAST(max(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS max_item_cents,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
     // q282: the dashboard header — multi-distinct (hist measure + key)
     // beside plain totals, exact off the fact
     "q282_summary_hist_multidistinct" ->

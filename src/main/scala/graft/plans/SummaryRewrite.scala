@@ -178,10 +178,22 @@ object SummaryRewrite {
     * qualified `catalog.db.table` string, so `"orders"` and
     * `"spark_catalog.default.orders"` both bind; a scan of a DIFFERENT
     * table can never match (exact-name equality, no suffixing). An
-    * empty `factPathSuffix` disables the path match entirely. */
+    * empty `factPathSuffix` disables the path match entirely.
+    *
+    * `exprs` names EXPRESSION measures: each (name → SQL over fact
+    * columns) entry declares that the artifact carries
+    * `sumx_<name>`/`cntx_<name>`/`minx_<name>`/`maxx_<name>` partials
+    * built from that expression — what serves the canonical dashboard
+    * measure `sum(l_extendedprice * (1 - l_discount))` without keying
+    * any of its columns. The serve side matches a query's aggregate
+    * child SEMANTICALLY against the registered SQL (parsed, bound to
+    * the query's own fact attributes by name, type-coerced through
+    * the analyzer, constant-folded) — a structural mismatch refuses,
+    * never guesses. */
   final case class Summary(factPathSuffix: String, mvPath: String,
       keys: Set[String], store: Option[String] = None,
-      table: Option[String] = None)
+      table: Option[String] = None,
+      exprs: Map[String, String] = Map.empty)
 
   private val registry = new ConcurrentHashMap[String, Summary]()
 
@@ -234,6 +246,15 @@ object SummaryRewrite {
     storeListCache.remove(store)
     ()
   }
+
+  /** Memo for the expression-measure semantic match: (registered SQL,
+    * canonicalized query child) → matched. The rule sits in fixed-point
+    * optimizer batches, so the same (sql, child) pair is probed many
+    * times per query — parse/analyze/fold once, not per pass. Bounded
+    * by a clear-at-size guard (keys die with their query's exprIds, so
+    * an LRU would buy nothing). */
+  private[plans] val exprMatchCache =
+    new ConcurrentHashMap[(String, Expression), java.lang.Boolean]()
 
   /** Trace sink for [[explainServing]] — null (disabled) outside an
     * explain call, so the rule's hot path pays one thread-local read. */
@@ -523,20 +544,28 @@ object SummaryRewrite {
     // by a quote-respecting tokenizer (the hostile-key roundtrip law).
     entries.foreach { case (n, s) =>
       val fields = Seq(n, s.factPathSuffix, s.mvPath,
-        s.store.getOrElse(""), s.table.getOrElse("")) ++ s.keys
+        s.store.getOrElse(""), s.table.getOrElse("")) ++ s.keys ++
+        s.exprs.keys ++ s.exprs.values
       require(fields.forall(f => !f.exists("{}[]".contains(_))),
         s"publishCatalog: entry '$n' contains a brace or bracket — not " +
-          "representable in the catalog's flat format")
+          "representable in the catalog's flat format (expression SQL " +
+          "included: spell array/map literals as array()/map())")
     }
     val json = entries.toSeq.sortBy(_._1).map { case (n, s) =>
       val store = s.store
         .map(st => s""","store":${jstr(st)}""").getOrElse("")
       val table = s.table
         .map(t => s""","table":${jstr(t)}""").getOrElse("")
+      // expression measures ride as two PARALLEL flat arrays (the
+      // reader zips them) — the flat format has no nested structures
+      val exprSorted = s.exprs.toSeq.sortBy(_._1)
+      val exprs = if (exprSorted.isEmpty) "" else
+        s""","exprNames":[${exprSorted.map(e => jstr(e._1)).mkString(",")}]""" +
+          s""","exprSqls":[${exprSorted.map(e => jstr(e._2)).mkString(",")}]"""
       s"""{"name":${jstr(n)},"factPathSuffix":${jstr(s.factPathSuffix)},""" +
         s""""mvPath":${jstr(s.mvPath)},""" +
         s""""keys":[${s.keys.toSeq.sorted.map(jstr).mkString(",")}]""" +
-        s"""$store$table}"""
+        s"""$store$table$exprs}"""
     }.mkString("[", ",\n ", "]")
     val dir = new org.apache.hadoop.fs.Path(catalogDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -723,10 +752,17 @@ object SummaryRewrite {
         val m = ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
         m.findFirstMatchIn(o).map(_.group(1)).map(junstr)
       }
-      val keysArr = """"keys"\s*:\s*\[([^\]]*)\]""".r
-      val keys = keysArr.findFirstMatchIn(o).map(_.group(1)).getOrElse("")
-      val keySet = quoted.findAllMatchIn(keys).map(m => junstr(m.group(1)))
-        .filter(_.nonEmpty).toSet
+      def arr(k: String): Seq[String] = {
+        val a = ("\"" + k + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+        val body = a.findFirstMatchIn(o).map(_.group(1)).getOrElse("")
+        quoted.findAllMatchIn(body).map(m => junstr(m.group(1))).toSeq
+      }
+      val keySet = arr("keys").filter(_.nonEmpty).toSet
+      val exprNames = arr("exprNames")
+      val exprSqls = arr("exprSqls")
+      require(exprNames.size == exprSqls.size,
+        s"catalog entry has ${exprNames.size} exprNames but " +
+          s"${exprSqls.size} exprSqls: $o")
       val name = field("name").getOrElse(
         throw new IllegalArgumentException(s"catalog entry missing name: $o"))
       name -> Summary(
@@ -734,7 +770,7 @@ object SummaryRewrite {
           throw new IllegalArgumentException(
             s"catalog entry missing factPathSuffix: $o")),
         field("mvPath").getOrElse(""), keySet, field("store"),
-        field("table"))
+        field("table"), exprNames.zip(exprSqls).toMap)
     }
   }
 
@@ -769,10 +805,11 @@ object SummaryRewrite {
       hllCols: Seq[String] = Seq.empty,
       hllRsd: Double = 0.05,
       histCols: Seq[String] = Seq.empty,
-      histCap: Int = HistSummary.DefaultCap): DataFrame =
+      histCap: Int = HistSummary.DefaultCap,
+      exprCols: Seq[(String, String)] = Seq.empty): DataFrame =
     summaryFrameP(fact, keys, sumCols, minMaxCols,
       hllCols.map(c => c -> HllSummary.pFor(hllRsd)),
-      histCols.map(c => c -> histCap))
+      histCols.map(c => c -> histCap), exprCols)
 
   /** [[summaryFrame]] with per-column sketch precision / histogram
     * caps — what the maintenance paths use to rebuild delta partials
@@ -784,8 +821,13 @@ object SummaryRewrite {
   private def summaryFrameP(fact: DataFrame, keys: Seq[String],
       sumCols: Seq[String], minMaxCols: Seq[String],
       hllPs: Seq[(String, Int)],
-      histCaps: Seq[(String, Int)] = Seq.empty): DataFrame = {
+      histCaps: Seq[(String, Int)] = Seq.empty,
+      exprCols: Seq[(String, String)] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions._
+    // expression measures: sumx_/cntx_/minx_/maxx_ partials of an
+    // arbitrary deterministic SQL expression over fact columns — the
+    // name is the artifact contract, the SQL is matched semantically
+    // at serve time ([[Summary.exprs]])
     val aggs = count(lit(1)).as("cnt") +:
       (sumCols.flatMap(c => Seq(sum(col(c)).as(s"sum_$c"),
         count(col(c)).as(s"cnt_$c"))) ++
@@ -794,7 +836,10 @@ object SummaryRewrite {
         hllPs.map { case (c, p) =>
           HllSummary.partialWords(col(c), p).as(HllSummary.colName(p, c)) } ++
         histCaps.map { case (c, cap) =>
-          HistSummary.partialHist(col(c), cap).as(HistSummary.colName(c)) })
+          HistSummary.partialHist(col(c), cap).as(HistSummary.colName(c)) } ++
+        exprCols.flatMap { case (n, sql) =>
+          Seq(sum(expr(sql)).as(s"sumx_$n"), count(expr(sql)).as(s"cntx_$n"),
+            min(expr(sql)).as(s"minx_$n"), max(expr(sql)).as(s"maxx_$n")) })
     fact.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -846,9 +891,10 @@ object SummaryRewrite {
       hllCols: Seq[String] = Seq.empty,
       hllRsd: Double = 0.05,
       histCols: Seq[String] = Seq.empty,
-      histCap: Int = HistSummary.DefaultCap): Unit =
+      histCap: Int = HistSummary.DefaultCap,
+      exprCols: Seq[(String, String)] = Seq.empty): Unit =
     layout(summaryFrame(spark.read.parquet(factPath), keys, sumCols,
-        minMaxCols, hllCols, hllRsd, histCols, histCap), keys)
+        minMaxCols, hllCols, hllRsd, histCols, histCap, exprCols), keys)
       .write.mode("overwrite").parquet(mvPath)
 
   /** Build + commit a summary into a snapshot store via the FS-rename
@@ -862,10 +908,11 @@ object SummaryRewrite {
       hllCols: Seq[String] = Seq.empty,
       hllRsd: Double = 0.05,
       histCols: Seq[String] = Seq.empty,
-      histCap: Int = HistSummary.DefaultCap): Long =
+      histCap: Int = HistSummary.DefaultCap,
+      exprCols: Seq[(String, String)] = Seq.empty): Long =
     graft.operators.IndexOps.writeSnapshot(
       layout(summaryFrame(spark.read.parquet(factPath), keys, sumCols,
-        minMaxCols, hllCols, hllRsd, histCols, histCap), keys),
+        minMaxCols, hllCols, hllRsd, histCols, histCap, exprCols), keys),
       store)
 
   /** Derive a COARSER summary from a finer one — the lattice build
@@ -920,7 +967,16 @@ object SummaryRewrite {
         // a rollup to coarser keys that concentrates values is an
         // explicit operator decision whose artifact size is observable
         histColsOf(frame).map { case (name, _) =>
-          HistSummary.mergeHist(col(name), Int.MaxValue).as(name) })
+          HistSummary.mergeHist(col(name), Int.MaxValue).as(name) } ++
+        // expression-measure partials fold by their own monoid,
+        // schema-driven like the sketches (Σ sumx, Σ cntx,
+        // min-of-minx, max-of-maxx)
+        frame.schema.fieldNames.toSeq.collect {
+          case n if n.startsWith("sumx_") || n.startsWith("cntx_") =>
+            sum(col(n)).as(n)
+          case n if n.startsWith("minx_") => min(col(n)).as(n)
+          case n if n.startsWith("maxx_") => max(col(n)).as(n)
+        })
   }
 
   /** The `hll_<p>_<col>` sketch-partial columns a summary frame
@@ -967,9 +1023,22 @@ object SummaryRewrite {
     * a wrong artifact. Deletions = rebuild, by design. */
   def mergeDelta(spark: SparkSession, store: String, deltaFact: DataFrame,
       keys: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Seq.empty): Long = {
+      minMaxCols: Seq[String] = Seq.empty,
+      exprCols: Seq[(String, String)] = Seq.empty): Long = {
     import org.apache.spark.sql.functions._
     val latest = graft.operators.IndexOps.readSnapshot(spark, store)
+    // expression-measure partials cannot be rebuilt from the schema
+    // alone (the SQL lives in the registration, not the column name):
+    // the caller must supply the same name→SQL map the artifact was
+    // built with, or the fold would silently drop the measure
+    val missingExpr = latest.schema.fieldNames.toSeq
+      .filter(_.startsWith("sumx_")).map(_.stripPrefix("sumx_"))
+      .filterNot(exprCols.map(_._1).toSet)
+    require(missingExpr.isEmpty,
+      s"mergeDelta: the latest snapshot of $store carries expression " +
+        s"partials ${missingExpr.map("sumx_" + _).mkString(", ")} but " +
+        "exprCols does not name them — pass the registered (name, sql) " +
+        "pairs so the delta rebuilds the same partials")
     // delta sketch/histogram partials mirror the LATEST artifact's
     // hll_<p>_/hist_ schema (parsed from the names), so the fold below
     // never mixes register widths or drops a histogram; the delta
@@ -977,7 +1046,8 @@ object SummaryRewrite {
     // artifact committed to — the cap gated the ORIGINAL build)
     val delta = summaryFrameP(deltaFact, keys, sumCols, minMaxCols,
       hllColsOf(latest).map { case (_, base, p) => base -> p },
-      histColsOf(latest).map { case (_, base) => base -> Int.MaxValue })
+      histColsOf(latest).map { case (_, base) => base -> Int.MaxValue },
+      exprCols)
     val nonPos = latest.filter(col("cnt") <= 0L).count()
     require(nonPos == 0L,
       s"mergeDelta: $nonPos non-positive cnt partials in the latest " +
@@ -1047,9 +1117,15 @@ object SummaryRewrite {
     // eval sorts entries by value, so map_entries arrays compare
     // exactly (maps themselves are not <=>-comparable in Spark)
     val histPs = histColsOf(got)
+    // expression partials audit where BOTH the artifact carries them
+    // and the registration names their SQL (an unregistered sumx_
+    // column can never serve, so it is not an integrity risk)
+    val exprPs = summary.exprs.toSeq.sortBy(_._1)
+      .filter { case (n, _) => gotCols(s"sumx_$n") }
     val expect = summaryFrameP(fact, keys, sumCols, minMaxCols,
       hllPs.map { case (_, base, p) => base -> p },
-      histPs.map { case (_, base) => base -> Int.MaxValue })
+      histPs.map { case (_, base) => base -> Int.MaxValue },
+      exprPs)
     // cnt_ legs audit only where the artifact carries them (pre-cnt_
     // artifacts stay auditable); the expect side always computes them,
     // extra expect columns are simply not compared
@@ -1057,7 +1133,10 @@ object SummaryRewrite {
       Seq(s"sum_$c") ++
         (if (gotCols(s"cnt_$c")) Seq(s"cnt_$c") else Seq.empty)) ++
       minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
-      hllPs.map(_._1) ++ histPs.map(_._1))
+      hllPs.map(_._1) ++ histPs.map(_._1) ++
+      exprPs.flatMap { case (n, _) =>
+        Seq(s"sumx_$n", s"cntx_$n", s"minx_$n", s"maxx_$n")
+          .filter(gotCols) })
     val histNames = histPs.map(_._1).toSet
     val cmp = (m: String, c: org.apache.spark.sql.Column) =>
       if (histNames(m)) map_entries(c) else c
@@ -1360,6 +1439,8 @@ object SummaryRewrite {
       n == "cnt" || n.startsWith("sum_") || n.startsWith("cnt_") ||
         n.startsWith("min_") || n.startsWith("max_") ||
         n.startsWith("hist_") ||
+        n.startsWith("sumx_") || n.startsWith("cntx_") ||
+        n.startsWith("minx_") || n.startsWith("maxx_") ||
         HllSummary.NamePattern.pattern.matcher(n).matches()
 
     /** Branch-i acceptance for union serving: the candidate's artifact
@@ -2351,7 +2432,7 @@ object SummaryRewrite {
       // per-branch artifact resolution: first covering candidate whose
       // artifact is readable and carries the branch's filter columns
       def resolved(i: Int): Seq[(String, LogicalPlan,
-          Map[String, Attribute], Set[String])] = {
+          Map[String, Attribute], Set[String], Map[String, String])] = {
         val needed = groupRefNames ++
           shapes(i).pred.toSeq.flatMap(_.references.toSeq.map(_.name))
         candidates(shapes(i), needed).flatMap { case (n, s) =>
@@ -2364,11 +2445,11 @@ object SummaryRewrite {
             if groupRefNames.forall(attrs.contains)
             cnt <- attrs.get("cnt")
             if cnt.dataType == LongType
-          } yield (n, plan, attrs, s.keys)
+          } yield (n, plan, attrs, s.keys, s.exprs)
         }
       }
       val result = resolved(0).view.flatMap {
-        case (n0, plan0, attrs0, keys0) =>
+        case (n0, plan0, attrs0, keys0, exprs0) =>
           val remap0 = (ex: Expression) => ex.transform {
             case a: AttributeReference if attrs0.contains(a.name) =>
               attrs0(a.name)
@@ -2391,9 +2472,22 @@ object SummaryRewrite {
               .distinct.sorted
             val refTypes = required.map(nm => nm -> attrs0(nm).dataType)
               .toMap
+            // expression partials ride the cross-branch contract
+            // one step stricter than name+type: the OTHER branch's
+            // registration must bind the same SQL to the name, or an
+            // epoch whose sumx_<n> means a different expression would
+            // silently fold into the total
+            val usedExprNames = required.collect {
+              case nm if nm.startsWith("sumx_") => nm.stripPrefix("sumx_")
+              case nm if nm.startsWith("cntx_") => nm.stripPrefix("cntx_")
+              case nm if nm.startsWith("minx_") => nm.stripPrefix("minx_")
+              case nm if nm.startsWith("maxx_") => nm.stripPrefix("maxx_")
+            }.distinct
             val others = u.children.indices.drop(1).map { i =>
-              resolved(i).find { case (_, _, attrs, keys) =>
-                branchCarries(required, refTypes, attrs, keys)
+              resolved(i).find { case (_, _, attrs, keys, exprsI) =>
+                branchCarries(required, refTypes, attrs, keys) &&
+                  usedExprNames.forall(en =>
+                    exprsI.get(en) == exprs0.get(en))
               }
             }
             if (required.isEmpty ||
@@ -2405,8 +2499,8 @@ object SummaryRewrite {
               None
             } else {
               val branchPlans =
-                ((n0, plan0, attrs0, keys0) +: others.map(_.get))
-                  .zip(shapes).map { case ((_, plan, attrs, _), sh) =>
+                ((n0, plan0, attrs0, keys0, exprs0) +: others.map(_.get))
+                  .zip(shapes).map { case ((_, plan, attrs, _, _), sh) =>
                     val remapI = (ex: Expression) => ex.transform {
                       case a: AttributeReference if attrs.contains(a.name) =>
                         attrs(a.name)
@@ -2424,7 +2518,8 @@ object SummaryRewrite {
             }
           }
           val plain = sequence(aggExprs.map(e =>
-            rewriteAgg(e, attrs0, keys0).filter(_.dataType == e.dataType)))
+            rewriteAgg(e, attrs0, keys0, exprs = exprs0)
+              .filter(_.dataType == e.dataType)))
             .flatMap(assemble(_, Seq.empty, identity))
           plain.orElse {
             // the hist explosion over a UNION fact: every branch must
@@ -2436,7 +2531,8 @@ object SummaryRewrite {
                 val (posA, kA, vA) = histEntryAttrs(valueType)
                 val ctx = HistCtx(base, kA, vA)
                 sequence(aggExprs.map(e =>
-                  rewriteAgg(e, attrs0, keys0, hist = Some(ctx))
+                  rewriteAgg(e, attrs0, keys0, hist = Some(ctx),
+                      exprs = exprs0)
                     .filter(_.dataType == e.dataType)))
                   .filter(_.exists(_.exists(ex => ex == kA || ex == vA)))
                   .flatMap { newAggs =>
@@ -2665,7 +2761,8 @@ object SummaryRewrite {
       // with the unrewritten plan by the same multiplicity argument.
       attempt <- {
         val plain = sequence(aggExprs.map(e =>
-          rewriteAgg(e, mvAttrs, summary.keys, dimOut)
+          rewriteAgg(e, mvAttrs, summary.keys, dimOut,
+              exprs = summary.exprs)
             .filter(_.dataType == e.dataType))).map(a =>
           (a, Option.empty[(String, AttributeReference,
             AttributeReference, AttributeReference)]))
@@ -2676,7 +2773,8 @@ object SummaryRewrite {
               val ctx = HistCtx(base, kA, vA)
               sequence(aggExprs.map(e =>
                 rewriteAgg(e, mvAttrs, summary.keys, dimOut,
-                  hist = Some(ctx)).filter(_.dataType == e.dataType)))
+                  hist = Some(ctx), exprs = summary.exprs)
+                  .filter(_.dataType == e.dataType)))
                 .filter(_.exists(_.exists(ex => ex == kA || ex == vA)))
                 .map(a => (maskToFirstEntry(a, posA, mvAttrs),
                   Some((histName, posA, kA, vA))))
@@ -2757,7 +2855,7 @@ object SummaryRewrite {
       // resolve to EXACTLY the original dataType, or parents would see
       // a corrupted schema (e.g. decimal Sum re-aggregation widens)
       val rewritten = aggExprs.map(e =>
-        e -> rewriteAgg(e, mvAttrs, summary.keys)
+        e -> rewriteAgg(e, mvAttrs, summary.keys, exprs = summary.exprs)
           .filter(_.dataType == e.dataType))
       if (rewritten.forall(_._2.isDefined)) {
         note(s"aggregate SERVED by summary '$name' (artifact: $path)")
@@ -2807,7 +2905,8 @@ object SummaryRewrite {
           val (posA, kA, vA) = histEntryAttrs(valueType)
           val ctx = HistCtx(base, kA, vA)
           val rewritten = sequence(aggExprs.map(e =>
-            rewriteAgg(e, mvAttrs, summary.keys, hist = Some(ctx))
+            rewriteAgg(e, mvAttrs, summary.keys, hist = Some(ctx),
+                exprs = summary.exprs)
               .filter(_.dataType == e.dataType)))
           rewritten.flatMap { newAggs =>
             // the hist attempt must have been NEEDED: at least one
@@ -2895,10 +2994,70 @@ object SummaryRewrite {
     private case class HistCtx(col: String, k: AttributeReference,
         v: AttributeReference)
 
+    /** Semantic match of a registered expression-measure SQL against a
+      * query's aggregate child: the SQL is parsed, its attributes
+      * bound BY NAME to the child's own references (so exprIds line up
+      * and semanticEquals is meaningful), type-coerced through the
+      * session analyzer on a throwaway LocalRelation probe — the same
+      * coercion the query side went through — and constant-folded (the
+      * optimizer folds the analyzer's literal casts in the query
+      * plan). Anything that fails to parse, bind, or analyze, and any
+      * structural mismatch after folding, returns false: the match
+      * refuses, never guesses. Driver-side only, no jobs; memoized
+      * across fixed-point passes. */
+    private def exprMatches(sql: String, child: Expression): Boolean = {
+      if (!child.deterministic ||
+          child.exists(_.isInstanceOf[AggregateExpression]) ||
+          child.exists(_.isInstanceOf[PlanExpression[_]])) return false
+      val key = (sql, child.canonicalized)
+      val cached = SummaryRewrite.exprMatchCache.get(key)
+      if (cached != null) return cached.booleanValue()
+      val res = Try {
+        val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+        val byName = child.references.toSeq
+          .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+        var bound = true
+        val boundExpr = parsed.transformUp {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            byName.get(ua.nameParts.mkString(".")
+                .toLowerCase(java.util.Locale.ROOT)) match {
+              case Some(a) => a
+              case None => bound = false; ua
+            }
+        }
+        bound && {
+          val probe = Project(Seq(Alias(boundExpr, "__expr_probe")()),
+            LocalRelation(child.references.toSeq))
+          // normalize with the expression-level optimizer rules the
+          // QUERY side went through (the full optimizer would collapse
+          // the probe Project into its LocalRelation): fold the
+          // analyzer's literal casts, drop redundant casts (FLOOR
+          // already returns BIGINT — the query side lost the user's
+          // CAST to SimplifyCasts), simplify conditionals/booleans.
+          // Three passes reach the small expressions' fixpoint; a
+          // residual difference refuses, never mis-serves.
+          import org.apache.spark.sql.catalyst.optimizer._
+          val rules: Seq[Rule[LogicalPlan]] = Seq(ConstantFolding,
+            SimplifyCasts, NullPropagation, SimplifyConditionals,
+            BooleanSimplification, ReorderAssociativeOperator)
+          val analyzed = spark.sessionState.analyzer.execute(probe)
+          val folded = (1 to 3).foldLeft(analyzed)((p, _) =>
+            rules.foldLeft(p)((q, r) => r(q)))
+          folded.asInstanceOf[Project].projectList.head
+            .asInstanceOf[Alias].child.semanticEquals(child)
+        }
+      }.getOrElse(false)
+      if (SummaryRewrite.exprMatchCache.size() > 10000)
+        SummaryRewrite.exprMatchCache.clear()
+      SummaryRewrite.exprMatchCache.put(key, java.lang.Boolean.valueOf(res))
+      res
+    }
+
     private def rewriteAgg(e: NamedExpression, mv: Map[String, Attribute],
         keys: Set[String],
         dimOut: AttributeSet = AttributeSet.empty,
-        hist: Option[HistCtx] = None): Option[NamedExpression] =
+        hist: Option[HistCtx] = None,
+        exprs: Map[String, String] = Map.empty): Option[NamedExpression] =
       e match {
       // dim-side grouping attr passed through unchanged (join path)
       case a: AttributeReference if dimOut.contains(a) => Some(a)
@@ -2991,6 +3150,18 @@ object SummaryRewrite {
                 h.k.dataType == a.dataType => Some(h.k)
           case _ => None
         }
+        // a registered EXPRESSION measure: the aggregate child matches
+        // a (name → SQL) registration semantically and the artifact
+        // carries the sumx_<name> family — the computed-measure
+        // analogue of sum_<col>, what serves the canonical
+        // `sum(price * (1 - discount))` without keying its columns
+        def exprName(ex: Expression): Option[String] =
+          if (exprs.isEmpty ||
+              ex.references.toSeq.exists(dimOut.contains)) None
+          else exprs.collectFirst {
+            case (n, sql) if mv.contains(s"sumx_$n") &&
+                exprMatches(sql, ex) => n
+          }
         def integral(t: DataType): Boolean = t match {
           case IntegerType | LongType | ShortType | ByteType => true
           case _ => false
@@ -3061,6 +3232,11 @@ object SummaryRewrite {
             case Seq(one) => histVal(one).map(_ =>
               Alias(Coalesce(Seq(agg(Sum(hist.get.v)), Literal(0L))),
                 name)(exprId = e.exprId))
+              // COUNT(expr) over a registered expression measure:
+              // Σ cntx_<n> is the exact non-null count of the expr
+              .orElse(exprName(one).flatMap(n => mv.get(s"cntx_$n")).map(
+                p => Alias(Coalesce(Seq(agg(Sum(p)), Literal(0L))),
+                  name)(exprId = e.exprId)))
             case _ => None
           })
           // SUM over a FLOATING-POINT measure refuses: Σsum_x
@@ -3073,7 +3249,7 @@ object SummaryRewrite {
           // query the fact. SUM over an integral key EXPRESSION is
           // Σ cnt·f — every fact row of a summary row contributes the
           // same f value.
-          case s: Sum => s.child match {
+          case s: Sum => (s.child match {
             case a: AttributeReference
                 if !dimOut.contains(a) && mv.contains(s"sum_${a.name}") &&
                   !fpType(mv(s"sum_${a.name}").dataType) =>
@@ -3084,7 +3260,13 @@ object SummaryRewrite {
                 Alias(agg(Sum(Multiply(mv("cnt"), Cast(k, LongType)))),
                   name)(exprId = e.exprId))
             case _ => None
-          }
+          }).orElse(
+            // registered expression measure: Σ sumx_<n> (float partials
+            // refuse exactly like sum_ — re-associated adds)
+            exprName(s.child)
+              .map(n => mv(s"sumx_$n"))
+              .filterNot(p => fpType(p.dataType))
+              .map(p => Alias(agg(Sum(p)), name)(exprId = e.exprId)))
           // MIN/MAX are value-SET aggregates, so beside the min_/max_
           // partials they also serve from the hist-carried value set
           // (an artifact built with histCols but no minMaxCols — the
@@ -3094,16 +3276,18 @@ object SummaryRewrite {
                 if !dimOut.contains(a) && mv.contains(s"min_${a.name}") =>
               Some(Alias(agg(Min(mv(s"min_${a.name}"))),
                 name)(exprId = e.exprId))
-            case child => keyExpr(child).orElse(histVal(child)).map(k =>
-              Alias(agg(Min(k)), name)(exprId = e.exprId))
+            case child => keyExpr(child).orElse(histVal(child))
+              .orElse(exprName(child).flatMap(n => mv.get(s"minx_$n")))
+              .map(k => Alias(agg(Min(k)), name)(exprId = e.exprId))
           }
           case m: Max => m.child match {
             case a: AttributeReference
                 if !dimOut.contains(a) && mv.contains(s"max_${a.name}") =>
               Some(Alias(agg(Max(mv(s"max_${a.name}"))),
                 name)(exprId = e.exprId))
-            case child => keyExpr(child).orElse(histVal(child)).map(k =>
-              Alias(agg(Max(k)), name)(exprId = e.exprId))
+            case child => keyExpr(child).orElse(histVal(child))
+              .orElse(exprName(child).flatMap(n => mv.get(s"maxx_$n")))
+              .map(k => Alias(agg(Max(k)), name)(exprId = e.exprId))
           }
           // AVG(x) = Σsum_x / Σcnt_x — the NON-NULL count partial, not
           // the row count: avg skips nulls, so a nullable measure
@@ -3116,7 +3300,7 @@ object SummaryRewrite {
           // integral sums in double — bit-identical while the total
           // stays under 2^53, i.e. everywhere it is exact). AVG over
           // an integral key EXPRESSION is Σ cnt·f / Σ cnt[f non-null].
-          case av: Average => av.child match {
+          case av: Average => (av.child match {
             case a: AttributeReference
                 if !dimOut.contains(a) && mv.contains(s"sum_${a.name}") &&
                   mv(s"sum_${a.name}").dataType == LongType &&
@@ -3136,7 +3320,21 @@ object SummaryRewrite {
                       Literal(null, LongType)))), DoubleType)),
                   name)(exprId = e.exprId))
             case _ => None
-          }
+          }).orElse(
+            // AVG(expr) over a registered expression measure:
+            // Σ sumx / Σ cntx — Long sums only, the same exactness
+            // contract as the avg-over-sum_ branch above
+            exprName(av.child).flatMap { n =>
+              (mv.get(s"sumx_$n"), mv.get(s"cntx_$n")) match {
+                case (Some(sx), Some(cx)) if sx.dataType == LongType =>
+                  Some(Alias(
+                    Divide(
+                      Cast(agg(Sum(sx)), DoubleType),
+                      Cast(agg(Sum(cx)), DoubleType)),
+                    name)(exprId = e.exprId))
+                case _ => None
+              }
+            })
           // approx_count_distinct over a key (expression): HLL is a
           // pure function of the value SET — multiplicities never
           // touch the registers — and the summary preserves the set,
@@ -3229,7 +3427,8 @@ object SummaryRewrite {
             // (cast(sum(dec) as string)) would otherwise hide a widened
             // decimal re-aggregation whose extra overflow headroom can
             // return a value where the fact scan overflows to NULL
-            rewriteAgg(Alias(ae, "t")(), mv, keys, dimOut, hist).collect {
+            rewriteAgg(Alias(ae, "t")(), mv, keys, dimOut, hist,
+              exprs).collect {
               case Alias(d, _) => d
               case a: Attribute => a
             }.filter(_.dataType == ae.dataType)

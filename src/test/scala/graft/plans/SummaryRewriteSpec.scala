@@ -3161,6 +3161,148 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.deregister("spec_badhist")
   }
 
+  test("expression measures: sum/avg/count/min/max of a registered " +
+      "fact expression serve from sumx_/cntx_/minx_/maxx_ partials; " +
+      "an unregistered or float expression refuses") {
+    val sql = "n_chars * 2 + length(lang)"
+    val nullableSql =
+      "CASE WHEN n_chars % 3 = 0 THEN NULL ELSE n_chars * 2 END"
+    val emv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/exprmv"
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source"), sumCols = Seq.empty, mvPath = emv,
+      exprCols = Seq("nc2" -> sql, "ncn" -> nullableSql,
+        "ncf" -> "n_chars * 0.5"))
+    SummaryRewrite.install(spark)
+    def reg(): Unit = SummaryRewrite.register("spec_expr",
+      SummaryRewrite.Summary("documents.parquet", emv, Set("source"),
+        exprs = Map("nc2" -> sql, "ncn" -> nullableSql,
+          "ncf" -> "n_chars * 0.5")))
+    reg()
+    try {
+      // the computed-measure dashboard row: every aggregate family
+      // over the same expression, plus a FILTER-clause replay
+      def q = docs.groupBy($"source").agg(
+        sum(expr(sql)).as("s"),
+        avg(expr(sql)).as("a"),
+        count(expr(nullableSql)).as("c"),
+        min(expr(sql)).as("lo"),
+        max(expr(sql)).as("hi"),
+        expr(s"sum($sql) FILTER (WHERE source <> 'web')").as("sf"))
+      assert(usesMv(q), "expression measures did not serve:\n" +
+        q.queryExecution.executedPlan.toString)
+      SummaryRewrite.deregister("spec_expr")
+      val expect = q.collect().map(_.toSeq).toSet
+      // the nullable expression must actually bite, or the cntx leg
+      // of the law is vacuous
+      val nNull = docs.filter(expr(nullableSql).isNull).count()
+      assert(nNull > 0, "law vacuous: nullable expression never NULL")
+      reg()
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "expression-measure serving diverged from the fact scan")
+
+      // an expression that does NOT match any registration refuses
+      val other = docs.groupBy($"source")
+        .agg(sum(expr("n_chars * 3")).as("s"))
+      assert(!usesMv(other),
+        "an unregistered expression must refuse (no partial to serve)")
+      // a FLOAT-typed registered expression refuses SUM (re-associated
+      // adds are not the fact's bits) but serves MIN/MAX (exact)
+      val fsum = docs.groupBy($"source")
+        .agg(sum(expr("n_chars * 0.5")).as("s"))
+      assert(!usesMv(fsum), "float sumx must refuse SUM")
+      val fmm = docs.groupBy($"source")
+        .agg(min(expr("n_chars * 0.5")).as("lo"),
+          max(expr("n_chars * 0.5")).as("hi"))
+      assert(usesMv(fmm), "float minx/maxx are exact and must serve")
+      SummaryRewrite.deregister("spec_expr")
+      val expectF = fmm.collect().map(_.toSeq).toSet
+      reg()
+      assert(fmm.collect().map(_.toSeq).toSet === expectF)
+      // a dim attr in the expression refuses in the join path (the
+      // partial is fact-side only)
+      val joined = docs.join(
+        graft.Tables.load(spark, dir, "documents").select(
+          $"source".as("src2"), $"lang".as("lang2")).distinct(),
+        $"source" === $"src2")
+        .groupBy($"lang2").agg(sum(expr("n_chars * 2 + length(lang2)"))
+          .as("s"))
+      assert(!usesMv(joined),
+        "an expression over dim attrs must not claim the fact partial")
+    } finally SummaryRewrite.deregister("spec_expr")
+  }
+
+  test("expression measures ride the lifecycle: catalog roundtrip, " +
+      "mergeDelta fold == rebuild, audit catches a doctored partial") {
+    val sql = "n_chars * 2 + length(lang)"
+    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/exprstore"
+    val fact = spark.read.parquet(s"$dir/documents.parquet")
+    graft.operators.IndexOps.writeSnapshot(
+      SummaryRewrite.summaryFrame(fact.filter(col("doc_id") % 3 === 0),
+        Seq("source"), Seq.empty, exprCols = Seq("nc2" -> sql))
+        .coalesce(1), store)
+    // fold the remaining two thirds in; the folded artifact must be
+    // bit-equal to a from-scratch build (sumx/cntx Σ, minx min, maxx max)
+    SummaryRewrite.mergeDelta(spark, store,
+      fact.filter(col("doc_id") % 3 =!= 0), Seq("source"), Seq.empty,
+      exprCols = Seq("nc2" -> sql))
+    val folded = graft.operators.IndexOps.readSnapshot(spark, store)
+      .collect().map(_.toSeq).toSet
+    val rebuilt = SummaryRewrite.summaryFrame(fact, Seq("source"),
+      Seq.empty, exprCols = Seq("nc2" -> sql))
+      .collect().map(_.toSeq).toSet
+    assert(folded === rebuilt,
+      "mergeDelta fold of expression partials diverged from rebuild")
+    // a fold that would silently drop the expression partial refuses
+    val e = intercept[IllegalArgumentException] {
+      SummaryRewrite.mergeDelta(spark, store,
+        fact.limit(5), Seq("source"), Seq.empty)
+    }
+    assert(e.getMessage.contains("sumx_nc2"),
+      s"refusal must name the dropped partial, got: ${e.getMessage}")
+    // catalog roundtrip carries the exprs map exactly
+    val catDir = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/exprcat"
+    val entry = SummaryRewrite.Summary("documents.parquet", "",
+      Set("source"), store = Some(store),
+      exprs = Map("nc2" -> sql, "w,eird" -> "a + \"b\""))
+    SummaryRewrite.publishCatalog(spark, catDir, Map("spec_ecat" -> entry))
+    SummaryRewrite.clear()
+    try {
+      assert(SummaryRewrite.loadCatalog(spark, catDir) === 1)
+      assert(SummaryRewrite.explainServing(
+        docs.groupBy($"source").agg(count(lit(1)).as("n"))) != null)
+      // the loaded registration must equal the published one, exprs
+      // included (the flat-format parallel arrays zip back)
+      val served = docs.groupBy($"source")
+        .agg(sum(expr(sql)).as("s"), count(lit(1)).as("n"))
+      assert(usesMv(served) || served.queryExecution.executedPlan
+        .toString.contains("exprstore"),
+        "catalog-loaded expression registration did not serve:\n" +
+          served.queryExecution.executedPlan.toString)
+      // a brace in the expression SQL refuses at publish time
+      val bad = intercept[IllegalArgumentException] {
+        SummaryRewrite.publishCatalog(spark, catDir, Map("b" ->
+          SummaryRewrite.Summary("x", "y", Set("k"),
+            exprs = Map("m" -> "map {1:2}"))))
+      }
+      assert(bad.getMessage.contains("brace"))
+    } finally SummaryRewrite.clear()
+    // audit: a doctored sumx partial surfaces
+    val reg2 = SummaryRewrite.Summary("documents.parquet", "",
+      Set("source"), store = Some(store), exprs = Map("nc2" -> sql))
+    assert(SummaryRewrite.auditSummaryFrame(spark, fact, reg2,
+      Seq.empty).count() === 0, "exact expression artifact must audit clean")
+    val latestV = graft.operators.IndexOps
+      .snapshotVersions(spark, store).max
+    val doctored = graft.operators.IndexOps.readSnapshot(spark, store)
+      .withColumn("sumx_nc2", col("sumx_nc2") + lit(7L))
+    graft.operators.IndexOps.writeSnapshot(doctored.coalesce(1), store)
+    assert(SummaryRewrite.auditSummaryFrame(spark, fact, reg2,
+      Seq.empty).count() > 0, "doctored sumx partial must surface")
+  }
+
   test("hist float keys normalize like Spark's aggregation keys: " +
       "-0.0 groups with 0.0 and NaN is one value") {
     import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
