@@ -720,6 +720,9 @@ object SparkEntry {
     // partial, through a 2-dim (snowflake) star — plan-gated, refusal
     // gated first
     "q285_summary_expr_star" -> (IndexOps.q285SummaryExprStar _),
+    // CDC-maintained summary: insert + DELETE batch retracts partials
+    // (hist per-value, min/max re-derived), still serving fact-scan-free
+    "q286_summary_cdc" -> (IndexOps.q286SummaryCdc _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

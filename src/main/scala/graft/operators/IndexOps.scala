@@ -1967,7 +1967,8 @@ object IndexOps {
     SummaryRewrite.buildSummary(s, s"$dir/lineitem.parquet",
       keys = Seq("l_suppkey", "l_returnflag"), sumCols = Seq.empty,
       mvPath = mv,
-      exprCols = Seq("revenue" -> revenueSql, "qty" -> qtySql))
+      exprCols = Seq("revenue" -> revenueSql, "qty" -> qtySql),
+      exprMinMax = Seq("revenue" -> revenueSql))
     def q = load(s, dir, "lineitem")
       .join(load(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
       .join(load(s, dir, "nation"), $"s_nationkey" === $"n_nationkey")
@@ -2009,6 +2010,71 @@ object IndexOps {
       val rows = q.collect().toIndexedSeq
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
     } finally SummaryRewrite.deregister("q285_lineitem_rev")
+  }
+
+  // --------------------------------------------------------------- q286
+
+  /** q286 — CDC-maintained summary: the artifact follows a fact table
+    * through an insert + DELETE batch (`SummaryRewrite.applyCdc`) and
+    * keeps serving exactly — counts/sums retract, the `hist_` partial
+    * retracts per value (a fully-deleted value leaves the distinct
+    * set), min/max re-derive from the retracted histogram. This closes
+    * mergeDelta's documented "deletions = rebuild": at 100 TB a
+    * right-to-be-forgotten batch or a late-data correction costs one
+    * batch scan + summary-sized joins instead of a fact rescan, and a
+    * WRONG delete batch refuses before commit (negative-evidence
+    * sweep). In-gate: deletions provably bite (some source's distinct
+    * n_chars count FALLS), the served plan reads the artifact and not
+    * the fact, and the values hash-match DuckDB over the post-CDC
+    * table. */
+  def q286SummaryCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q286").toString
+    val (factPath, store) = (s"$tmp/cdc_docs.parquet", s"$tmp/cdc_store")
+    val docs = load(s, dir, "documents")
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+    val evens = docs.filter($"doc_id" % 2 === 0)
+    val odds = docs.filter($"doc_id" % 2 === 1)
+    val deletes = evens.filter($"n_chars" % 7 === 0)
+    evens.write.parquet(factPath)
+    graft.operators.IndexOps.writeSnapshot(
+      SummaryRewrite.summaryFrame(s.read.parquet(factPath),
+        Seq("source"), Seq("n_chars"), minMaxCols = Seq("n_chars"),
+        histCols = Seq("n_chars")).coalesce(1), store)
+    // deletions must bite a distinct set, or the hist-retraction leg
+    // of the gate is vacuous
+    val preUniq = evens.groupBy($"source")
+      .agg(countDistinct($"n_chars").as("u")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap // <= 20 sources
+    SummaryRewrite.applyCdc(s, store, odds, deletes,
+      Seq("source"), Seq("n_chars"), minMaxCols = Seq("n_chars"))
+    // the table applies its own CDC too (that is what CDC means);
+    // the artifact must keep matching it without a rebuild
+    evens.unionByName(odds).exceptAll(deletes)
+      .write.mode("overwrite").parquet(factPath)
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q286_cdc_docs",
+      SummaryRewrite.Summary("cdc_docs.parquet", "",
+        Set("source"), store = Some(store)))
+    try {
+      def q = s.read.parquet(factPath).groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        countDistinct($"n_chars").as("n_uniq"),
+        max($"n_chars").as("max_chars"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("cdc_store"),
+        "q286 gate is vacuous: the CDC-maintained artifact did not serve")
+      require(!phys.contains("cdc_docs.parquet"),
+        "q286 gate broken: the fact table is still scanned")
+      val rows = q.collect().toIndexedSeq // <= 20 sources
+      val postUniq = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+      require(preUniq.exists { case (src, u) =>
+        postUniq.get(src).exists(_ < u) },
+        "q286 gate is vacuous: no source's distinct set shrank — the " +
+          "delete batch did not bite")
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q286_cdc_docs")
   }
 
   // ------------------------------------------------- file-stats manifest
@@ -2699,6 +2765,18 @@ object IndexOps {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2""".stripMargin,
+    // q286: the post-CDC rollup off the reconstructed table — the
+    // final state is documents minus (even doc_id AND n_chars % 7 = 0),
+    // so DuckDB replays it as a WHERE clause; the retraction-maintained
+    // serving is invisible to the answer
+    "q286_summary_cdc" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT n_chars) AS BIGINT) AS n_uniq,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents
+        |WHERE NOT (doc_id % 2 = 0 AND n_chars % 7 = 0)
+        |GROUP BY 1""".stripMargin,
     // q282: the dashboard header — multi-distinct (hist measure + key)
     // beside plain totals, exact off the fact
     "q282_summary_hist_multidistinct" ->

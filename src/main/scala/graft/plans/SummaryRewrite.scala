@@ -304,7 +304,9 @@ object SummaryRewrite {
   final case class Advice(fact: String, table: Option[String],
       keys: Set[String], sumCols: Seq[String], minMaxCols: Seq[String],
       hllCols: Seq[String], hllRsd: Double, covered: Int,
-      histCols: Seq[String] = Seq.empty)
+      histCols: Seq[String] = Seq.empty,
+      exprCols: Seq[(String, String)] = Seq.empty,
+      exprMinMax: Seq[(String, String)] = Seq.empty)
 
   /** Workload-driven summary ADVISOR — the planning complement of the
     * lifecycle (advise → build → serve → maintain → audit → explain):
@@ -321,7 +323,8 @@ object SummaryRewrite {
     val notes = scala.collection.mutable.ArrayBuffer[String]()
     final case class Obs(fact: String, table: Option[String],
         keys: Set[String], sums: Set[String], minMax: Set[String],
-        hll: Set[String], hllRsd: Option[Double], hist: Set[String])
+        hll: Set[String], hllRsd: Option[Double], hist: Set[String],
+        exprS: Set[(String, String)], exprM: Set[(String, String)])
     val obs = scala.collection.mutable.ArrayBuffer[Obs]()
     queries.zipWithIndex.foreach { case (df, qi) =>
       val plan = spark.sessionState.executePlan(df.queryExecution.logical)
@@ -349,6 +352,8 @@ object SummaryRewrite {
                 var hll = Set.empty[String]
                 var hllRsd = Option.empty[Double]
                 var hist = Set.empty[String]
+                var exprS = Set.empty[(String, String)]
+                var exprM = Set.empty[(String, String)]
                 var ok = true
                 def miss(what: String): Unit = {
                   notes += s"query $qi: $what is not derivable from a " +
@@ -361,6 +366,20 @@ object SummaryRewrite {
                     !e.exists(_.isInstanceOf[PlanExpression[_]])
                 def keyRefs(e: Expression): Unit =
                   keys ++= e.references.toSeq.map(_.name)
+                // ... or by an expression-indexed partial: keying the
+                // referenced columns multiplies artifact rows by their
+                // joint cardinality (the fact, rebuilt), while a
+                // sumx_/cntx_ family adds four columns. The advised
+                // name is a stable slug of the canonical SQL; serve
+                // re-matches the SQL semantically.
+                def exprEntry(e: Expression): (String, String) =
+                  (f"e${e.sql.hashCode & 0x7fffffff}%08x", e.sql)
+                def fp(t: DataType): Boolean =
+                  t == DoubleType || t == FloatType
+                def integral(t: DataType): Boolean = t match {
+                  case IntegerType | LongType | ShortType | ByteType => true
+                  case _ => false
+                }
                 a0.flatMap(_.collect {
                   case ae: AggregateExpression => ae
                 }).map(ae => rule.inline(ae, shape.subst)
@@ -399,27 +418,37 @@ object SummaryRewrite {
                         ch.foldable && ch.eval() != null) => ()
                     case c: Count => c.children.foreach {
                       case a: AttributeReference => sums += a.name
+                      case e if keyable(e) && c.children.size == 1 =>
+                        exprS += exprEntry(e)
                       case e if keyable(e) => keyRefs(e)
                       case _ => miss("a COUNT over this expression")
                     }
                     case s: Sum => s.child match {
                       case a: AttributeReference => sums += a.name
-                      case e if keyable(e) => keyRefs(e)
+                      case e if keyable(e) && fp(e.dataType) =>
+                        miss("a SUM over a floating-point expression " +
+                          "(re-associated adds are not the fact's bits " +
+                          "— clear to integer units)")
+                      case e if keyable(e) => exprS += exprEntry(e)
                       case _ => miss("a SUM over this expression")
                     }
                     case av: Average => av.child match {
                       case a: AttributeReference => sums += a.name
-                      case e if keyable(e) => keyRefs(e)
+                      case e if keyable(e) && !integral(e.dataType) =>
+                        miss("an AVG over a non-integral expression " +
+                          "(the exact Long-sum derivation needs " +
+                          "integer units)")
+                      case e if keyable(e) => exprS += exprEntry(e)
                       case _ => miss("an AVG over this expression")
                     }
                     case m: Min => m.child match {
                       case a: AttributeReference => minMax += a.name
-                      case e if keyable(e) => keyRefs(e)
+                      case e if keyable(e) => exprM += exprEntry(e)
                       case _ => miss("a MIN over this expression")
                     }
                     case m: Max => m.child match {
                       case a: AttributeReference => minMax += a.name
-                      case e if keyable(e) => keyRefs(e)
+                      case e if keyable(e) => exprM += exprEntry(e)
                       case _ => miss("a MAX over this expression")
                     }
                     case h: HyperLogLogPlusPlus => h.child match {
@@ -456,7 +485,7 @@ object SummaryRewrite {
                   if (fact.isEmpty && table.isEmpty)
                     notes += s"query $qi: fact has no path or table identity"
                   else obs += Obs(fact, table, keys, sums, minMax, hll,
-                    hllRsd, hist)
+                    hllRsd, hist, exprS, exprM)
                 }
               }
           }
@@ -475,7 +504,9 @@ object SummaryRewrite {
           // a column another query already KEYS serves its distinct/
           // percentile through the key path — the histogram would be
           // redundant bytes
-          (os.flatMap(_.hist).toSet -- keysU).toSeq.sorted)
+          (os.flatMap(_.hist).toSet -- keysU).toSeq.sorted,
+          os.flatMap(_.exprS).toMap.toSeq.sortBy(_._1),
+          os.flatMap(_.exprM).toMap.toSeq.sortBy(_._1))
       }
     (advices, notes.toSeq)
   }
@@ -490,9 +521,11 @@ object SummaryRewrite {
         "spark.table and register manually")
     buildSummary(spark, advice.fact, advice.keys.toSeq.sorted,
       advice.sumCols, mvPath, advice.minMaxCols, advice.hllCols,
-      advice.hllRsd, advice.histCols)
+      advice.hllRsd, advice.histCols,
+      exprCols = advice.exprCols, exprMinMax = advice.exprMinMax)
     register(name, Summary(advice.fact, mvPath, advice.keys,
-      table = advice.table))
+      table = advice.table,
+      exprs = (advice.exprCols ++ advice.exprMinMax).toMap))
   }
 
   def register(name: String, summary: Summary): Unit =
@@ -806,10 +839,11 @@ object SummaryRewrite {
       hllRsd: Double = 0.05,
       histCols: Seq[String] = Seq.empty,
       histCap: Int = HistSummary.DefaultCap,
-      exprCols: Seq[(String, String)] = Seq.empty): DataFrame =
+      exprCols: Seq[(String, String)] = Seq.empty,
+      exprMinMax: Seq[(String, String)] = Seq.empty): DataFrame =
     summaryFrameP(fact, keys, sumCols, minMaxCols,
       hllCols.map(c => c -> HllSummary.pFor(hllRsd)),
-      histCols.map(c => c -> histCap), exprCols)
+      histCols.map(c => c -> histCap), exprCols, exprMinMax)
 
   /** [[summaryFrame]] with per-column sketch precision / histogram
     * caps — what the maintenance paths use to rebuild delta partials
@@ -822,12 +856,17 @@ object SummaryRewrite {
       sumCols: Seq[String], minMaxCols: Seq[String],
       hllPs: Seq[(String, Int)],
       histCaps: Seq[(String, Int)] = Seq.empty,
-      exprCols: Seq[(String, String)] = Seq.empty): DataFrame = {
+      exprCols: Seq[(String, String)] = Seq.empty,
+      exprMinMax: Seq[(String, String)] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions._
-    // expression measures: sumx_/cntx_/minx_/maxx_ partials of an
-    // arbitrary deterministic SQL expression over fact columns — the
-    // name is the artifact contract, the SQL is matched semantically
-    // at serve time ([[Summary.exprs]])
+    // expression measures: sumx_/cntx_ (exprCols) and minx_/maxx_
+    // (exprMinMax) partials of an arbitrary deterministic SQL
+    // expression over fact columns — the name is the artifact
+    // contract, the SQL is matched semantically at serve time
+    // ([[Summary.exprs]]). The two lists split like sumCols vs
+    // minMaxCols: min/max partials are union-monoids only (applyCdc
+    // cannot retract them), so a CDC-maintained artifact registers
+    // sums without them
     val aggs = count(lit(1)).as("cnt") +:
       (sumCols.flatMap(c => Seq(sum(col(c)).as(s"sum_$c"),
         count(col(c)).as(s"cnt_$c"))) ++
@@ -838,8 +877,11 @@ object SummaryRewrite {
         histCaps.map { case (c, cap) =>
           HistSummary.partialHist(col(c), cap).as(HistSummary.colName(c)) } ++
         exprCols.flatMap { case (n, sql) =>
-          Seq(sum(expr(sql)).as(s"sumx_$n"), count(expr(sql)).as(s"cntx_$n"),
-            min(expr(sql)).as(s"minx_$n"), max(expr(sql)).as(s"maxx_$n")) })
+          Seq(sum(expr(sql)).as(s"sumx_$n"),
+            count(expr(sql)).as(s"cntx_$n")) } ++
+        exprMinMax.flatMap { case (n, sql) =>
+          Seq(min(expr(sql)).as(s"minx_$n"),
+            max(expr(sql)).as(s"maxx_$n")) })
     fact.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -892,9 +934,11 @@ object SummaryRewrite {
       hllRsd: Double = 0.05,
       histCols: Seq[String] = Seq.empty,
       histCap: Int = HistSummary.DefaultCap,
-      exprCols: Seq[(String, String)] = Seq.empty): Unit =
+      exprCols: Seq[(String, String)] = Seq.empty,
+      exprMinMax: Seq[(String, String)] = Seq.empty): Unit =
     layout(summaryFrame(spark.read.parquet(factPath), keys, sumCols,
-        minMaxCols, hllCols, hllRsd, histCols, histCap, exprCols), keys)
+        minMaxCols, hllCols, hllRsd, histCols, histCap, exprCols,
+        exprMinMax), keys)
       .write.mode("overwrite").parquet(mvPath)
 
   /** Build + commit a summary into a snapshot store via the FS-rename
@@ -909,10 +953,12 @@ object SummaryRewrite {
       hllRsd: Double = 0.05,
       histCols: Seq[String] = Seq.empty,
       histCap: Int = HistSummary.DefaultCap,
-      exprCols: Seq[(String, String)] = Seq.empty): Long =
+      exprCols: Seq[(String, String)] = Seq.empty,
+      exprMinMax: Seq[(String, String)] = Seq.empty): Long =
     graft.operators.IndexOps.writeSnapshot(
       layout(summaryFrame(spark.read.parquet(factPath), keys, sumCols,
-        minMaxCols, hllCols, hllRsd, histCols, histCap, exprCols), keys),
+        minMaxCols, hllCols, hllRsd, histCols, histCap, exprCols,
+        exprMinMax), keys),
       store)
 
   /** Derive a COARSER summary from a finer one — the lattice build
@@ -1031,12 +1077,15 @@ object SummaryRewrite {
     // alone (the SQL lives in the registration, not the column name):
     // the caller must supply the same name→SQL map the artifact was
     // built with, or the fold would silently drop the measure
+    val haveM = latest.schema.fieldNames.toSet
     val missingExpr = latest.schema.fieldNames.toSeq
-      .filter(_.startsWith("sumx_")).map(_.stripPrefix("sumx_"))
-      .filterNot(exprCols.map(_._1).toSet)
+      .collect {
+        case n if n.startsWith("sumx_") => n.stripPrefix("sumx_")
+        case n if n.startsWith("minx_") => n.stripPrefix("minx_")
+      }.distinct.filterNot(exprCols.map(_._1).toSet)
     require(missingExpr.isEmpty,
       s"mergeDelta: the latest snapshot of $store carries expression " +
-        s"partials ${missingExpr.map("sumx_" + _).mkString(", ")} but " +
+        s"partials for ${missingExpr.mkString(", ")} but " +
         "exprCols does not name them — pass the registered (name, sql) " +
         "pairs so the delta rebuilds the same partials")
     // delta sketch/histogram partials mirror the LATEST artifact's
@@ -1047,7 +1096,8 @@ object SummaryRewrite {
     val delta = summaryFrameP(deltaFact, keys, sumCols, minMaxCols,
       hllColsOf(latest).map { case (_, base, p) => base -> p },
       histColsOf(latest).map { case (_, base) => base -> Int.MaxValue },
-      exprCols)
+      exprCols.filter { case (n, _) => haveM(s"sumx_$n") },
+      exprCols.filter { case (n, _) => haveM(s"minx_$n") })
     val nonPos = latest.filter(col("cnt") <= 0L).count()
     require(nonPos == 0L,
       s"mergeDelta: $nonPos non-positive cnt partials in the latest " +
@@ -1062,6 +1112,171 @@ object SummaryRewrite {
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     graft.operators.IndexOps.writeSnapshot(layout(folded, keys), store)
+  }
+
+  /** CDC incremental maintenance — [[mergeDelta]] plus RETRACTION: fold
+    * an insert batch in and a delete batch OUT, committing the next
+    * snapshot, with the artifact provably equal to a from-scratch
+    * rebuild over `(fact ∪ inserts) ∖ deletes` (an update is a
+    * delete+insert pair). The delete rows must be EXACT copies of fact
+    * rows being removed — the partials then cancel exactly:
+    *
+    *   - `cnt`/`cnt_`/`sum_`/`sumx_`/`cntx_` subtract (group monoids);
+    *     a non-null-count hitting 0 NULLs its sum (rebuild semantics);
+    *   - `hist_<col>` subtracts per value and prunes zeroed entries —
+    *     the histogram is what makes DELETION of distinct counts,
+    *     percentiles, and min/max exactly maintainable at all;
+    *   - `min_`/`max_` of a hist-carried column re-derive from the
+    *     retracted histogram (delete the max row and the artifact max
+    *     FALLS — the one move a min/max monoid cannot do);
+    *   - `min_`/`max_` WITHOUT a histogram, `minx_`/`maxx_`, and
+    *     `hll_` registers are NOT retractable: with a non-empty delete
+    *     batch they refuse loudly, or — `dropUnretractable = true` —
+    *     are DROPPED from the artifact (an explicit capability loss:
+    *     those aggregates go back to the fact; serving checks the
+    *     schema, so nothing mis-serves).
+    *
+    * Soundness is enforced, not assumed: a delete for a key group the
+    * artifact does not carry, a histogram value going negative, a
+    * row count going negative, or a vanished group (cnt 0) with a
+    * non-zero residual partial all refuse BEFORE the commit — a wrong
+    * delete batch can never produce a silently wrong artifact. Cost:
+    * one scan per batch + summary-sized joins, against the 100 TB
+    * alternative (mergeDelta's documented "deletions = rebuild"). */
+  def applyCdc(spark: SparkSession, store: String,
+      inserts: DataFrame, deletes: DataFrame,
+      keys: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty,
+      exprCols: Seq[(String, String)] = Seq.empty,
+      dropUnretractable: Boolean = false): Long = {
+    import org.apache.spark.sql.functions._
+    val latest = graft.operators.IndexOps.readSnapshot(spark, store)
+    val have = latest.schema.fieldNames.toSet
+    val missingExpr = latest.schema.fieldNames.toSeq
+      .collect {
+        case n if n.startsWith("sumx_") => n.stripPrefix("sumx_")
+        case n if n.startsWith("minx_") => n.stripPrefix("minx_")
+      }.distinct.filterNot(exprCols.map(_._1).toSet)
+    require(missingExpr.isEmpty,
+      s"applyCdc: snapshot carries ${missingExpr.mkString(", ")} " +
+        "expression partials absent from exprCols — pass the registered " +
+        "(name, sql) pairs")
+    val hists = histColsOf(latest).map(_._2).toSet
+    val unretractable =
+      minMaxCols.filterNot(hists)
+        .flatMap(c => Seq(s"min_$c", s"max_$c")).filter(have) ++
+        hllColsOf(latest).map(_._1) ++
+        latest.schema.fieldNames.toSeq.filter(n =>
+          n.startsWith("minx_") || n.startsWith("maxx_")) ++
+        // a pre-cnt_ era sum partial cannot retract either: the
+        // NULL-on-zero rule (sum of no non-null values is NULL) needs
+        // the non-null count beside it
+        sumCols.filter(c => have(s"sum_$c") && !have(s"cnt_$c"))
+          .map(c => s"sum_$c")
+    val hasDeletes = !deletes.isEmpty
+    require(!hasDeletes || unretractable.isEmpty || dropUnretractable,
+      s"applyCdc: partials ${unretractable.mkString(", ")} are not " +
+        "retractable (min/max without a histogram, expression min/max, " +
+        "HLL registers) — rebuild the summary, key the column, carry a " +
+        "hist_ partial, or pass dropUnretractable = true to shed them")
+    val dropped =
+      if (hasDeletes && dropUnretractable) unretractable.toSet
+      else Set.empty[String]
+    val keptMinMax = minMaxCols.filter(c =>
+      hists(c) || !dropped(s"min_$c"))
+    val keptSum = sumCols.filterNot(c => dropped(s"sum_$c"))
+    val base = latest.select(latest.schema.fieldNames
+      .filterNot(dropped).map(col).toIndexedSeq: _*)
+    // 1) fold the inserts in (mergeDelta's discipline, shared helpers)
+    val baseCols = base.schema.fieldNames.toSet
+    val insDelta = summaryFrameP(inserts, keys, keptSum, keptMinMax,
+      hllColsOf(base).map { case (_, b, p) => b -> p },
+      histColsOf(base).map { case (_, b) => b -> Int.MaxValue },
+      exprCols.filter { case (n, _) => baseCols(s"sumx_$n") },
+      exprCols.filter { case (n, _) => baseCols(s"minx_$n") })
+      .select(base.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val aggs = foldAggs(base, keptSum, keptMinMax)
+    val merged = base.unionByName(insDelta)
+      .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    if (!hasDeletes)
+      return graft.operators.IndexOps.writeSnapshot(
+        layout(merged, keys), store)
+    // 2) subtract the delete batch's partials
+    val delDelta0 = summaryFrameP(deletes, keys, keptSum, Seq.empty,
+      Seq.empty,
+      histColsOf(base).map { case (_, b) => b -> Int.MaxValue },
+      exprCols.filter { case (n, _) => baseCols(s"sumx_$n") })
+    val dCols = delDelta0.schema.fieldNames.filterNot(keys.contains)
+    val delDelta = delDelta0.select(keys.map(col) ++
+      dCols.map(n => col(n).as(s"__d_$n")): _*)
+    val joined = merged.join(delDelta, keys, "full_outer")
+    // a delete for a key group the artifact does not carry is a wrong
+    // batch, not a no-op
+    val phantom = joined.filter(col("cnt").isNull).count()
+    require(phantom == 0L,
+      s"applyCdc: $phantom delete key group(s) not present in the " +
+        "artifact — the delete batch does not describe this fact")
+    val d = (n: String) => coalesce(col(s"__d_$n"), lit(0L))
+    val subtracted = joined.select(
+      keys.map(col) ++ base.schema.fieldNames.filterNot(keys.contains)
+        .map {
+          case "cnt" => (col("cnt") - d("cnt")).as("cnt")
+          case n if n.startsWith("cnt_") || n.startsWith("cntx_") =>
+            (col(n) - d(n)).as(n)
+          case n if n.startsWith("sum_") || n.startsWith("sumx_") =>
+            // a group whose non-null count hits 0 must NULL its sum —
+            // rebuild semantics (sum of no non-null values is NULL)
+            val cntCol = if (n.startsWith("sum_")) s"cnt_${n.drop(4)}"
+              else s"cntx_${n.drop(5)}"
+            when(col(cntCol) - d(cntCol) === 0L, lit(null))
+              .otherwise(col(n) - coalesce(col(s"__d_$n"),
+                lit(0).cast(latest.schema(n).dataType)))
+              .cast(latest.schema(n).dataType).as(n)
+          case n if n.startsWith("hist_") =>
+            when(col(s"__d_$n").isNull, col(n)).otherwise(
+              map_filter(
+                map_zip_with(col(n), col(s"__d_$n"),
+                  (_, a, b) => coalesce(a, lit(0L)) - coalesce(b, lit(0L))),
+                (_, v) => v =!= 0L)).as(n)
+          case n if n.startsWith("min_") && hists(n.drop(4)) =>
+            lit(null).as(n) // re-derived from the histogram below
+          case n if n.startsWith("max_") && hists(n.drop(4)) =>
+            lit(null).as(n)
+          case n => col(n).as(n)
+        }: _*)
+    // negative-evidence sweep BEFORE commit: any histogram value going
+    // negative (a delete of a value the group never had), any negative
+    // count, or a vanished group with residual non-null counts refuses
+    val histNames = histColsOf(base).map(_._1)
+    val negHist = histNames.map(n =>
+      exists(map_values(col(n)), _ < 0L)).foldLeft(lit(false))(_ || _)
+    val cntNames = "cnt" +: subtracted.schema.fieldNames.toSeq
+      .filter(n => n.startsWith("cnt_") || n.startsWith("cntx_"))
+    val negCnt = cntNames.map(col(_) < 0L).reduce(_ || _)
+    val residual = cntNames.map(col(_) =!= 0L).reduce(_ || _) ||
+      histNames.map(n => size(col(n)) =!= 0).foldLeft(lit(false))(_ || _)
+    val bad = subtracted
+      .filter(negHist || negCnt || (col("cnt") === 0L && residual))
+      .count()
+    require(bad == 0L,
+      s"applyCdc: $bad key group(s) fail the retraction invariants " +
+        "(negative histogram value, negative count, or a vanished group " +
+        "with residual partials) — the delete batch does not describe " +
+        "this fact; artifact left unchanged")
+    // 3) vanished groups drop; hist-backed min/max re-derive from the
+    // retracted histograms (exact: the histogram IS the value multiset)
+    val result0 = subtracted.filter(col("cnt") > 0L)
+    val result = keptMinMax.filter(hists).foldLeft(result0) { (df, c) =>
+      df.withColumn(s"min_$c",
+          array_min(map_keys(col(s"hist_$c")))
+            .cast(latest.schema(s"min_$c").dataType))
+        .withColumn(s"max_$c",
+          array_max(map_keys(col(s"hist_$c")))
+            .cast(latest.schema(s"max_$c").dataType))
+    }
+    graft.operators.IndexOps.writeSnapshot(
+      layout(result.select(base.schema.fieldNames.map(col)
+        .toIndexedSeq: _*), keys), store)
   }
 
   /** Persist a derived summary frame ([[rollupSummary]]'s output, or
@@ -1121,11 +1336,12 @@ object SummaryRewrite {
     // and the registration names their SQL (an unregistered sumx_
     // column can never serve, so it is not an integrity risk)
     val exprPs = summary.exprs.toSeq.sortBy(_._1)
-      .filter { case (n, _) => gotCols(s"sumx_$n") }
+      .filter { case (n, _) => gotCols(s"sumx_$n") || gotCols(s"minx_$n") }
     val expect = summaryFrameP(fact, keys, sumCols, minMaxCols,
       hllPs.map { case (_, base, p) => base -> p },
       histPs.map { case (_, base) => base -> Int.MaxValue },
-      exprPs)
+      exprPs.filter { case (n, _) => gotCols(s"sumx_$n") },
+      exprPs.filter { case (n, _) => gotCols(s"minx_$n") })
     // cnt_ legs audit only where the artifact carries them (pre-cnt_
     // artifacts stay auditable); the expect side always computes them,
     // extra expect columns are simply not compared
@@ -3159,8 +3375,8 @@ object SummaryRewrite {
           if (exprs.isEmpty ||
               ex.references.toSeq.exists(dimOut.contains)) None
           else exprs.collectFirst {
-            case (n, sql) if mv.contains(s"sumx_$n") &&
-                exprMatches(sql, ex) => n
+            case (n, sql) if (mv.contains(s"sumx_$n") ||
+                mv.contains(s"minx_$n")) && exprMatches(sql, ex) => n
           }
         def integral(t: DataType): Boolean = t match {
           case IntegerType | LongType | ShortType | ByteType => true

@@ -2228,19 +2228,28 @@ class SummaryRewriteSpec extends AnyFunSuite {
     val q4 = docs.groupBy($"source")
       .agg(countDistinct($"n_chars").as("uc"),
         expr("median(n_chars)").as("mc"))
+    val q5 = docs.groupBy($"source")
+      .agg(sum(expr("n_chars * 2 + length(lang)")).as("se"),
+        min(expr("n_chars * 2 + length(lang)")).as("me"))
     val qJoin = graft.Tables.load(spark, dir, "orders")
       .join(graft.Tables.load(spark, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
     val (advs, notes) =
-      SummaryRewrite.adviseSummaries(spark, Seq(q1, q2, q3, q4, qJoin))
+      SummaryRewrite.adviseSummaries(spark, Seq(q1, q2, q3, q4, q5, qJoin))
     val a = advs.find(_.fact.endsWith("documents.parquet"))
       .getOrElse(fail(s"no documents advice in $advs"))
     assert(a.keys === Set("source", "lang"),
       "keys must be the union of grouping + filter columns — distinct " +
         "over a keyed column (q3's source) adds no key and no hist")
     assert(a.sumCols === Seq("n_chars") && a.minMaxCols === Seq("n_chars"))
-    assert(a.hllCols === Seq("doc_id") && a.covered === 4)
+    assert(a.hllCols === Seq("doc_id") && a.covered === 5)
+    assert(a.exprCols.size === 1 && a.exprMinMax.size === 1 &&
+      a.exprCols.head._1 === a.exprMinMax.head._1,
+      "a computed measure must advise an expression partial, NOT keys " +
+        s"(keying n_chars rebuilds the fact): $a")
+    assert(!a.keys.contains("n_chars"),
+      "the expression's referenced measure must not become a key")
     assert(a.histCols === Seq("n_chars"),
       "distinct/percentile over a bare non-key measure must advise a " +
         "hist_<col> partial, not a key (keying a distinct column " +
@@ -2255,7 +2264,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
     SummaryRewrite.buildAdvice(spark, a, "spec_advice", mvA)
     try {
       Seq(("q1", () => q1), ("q2", () => q2), ("q3", () => q3),
-        ("q4", () => q4)).foreach {
+        ("q4", () => q4), ("q5", () => q5)).foreach {
         case (nm, mk) =>
           val p = mk().queryExecution.executedPlan.toString
           assert(p.contains("advised") && !p.contains("documents.parquet"),
@@ -2263,7 +2272,8 @@ class SummaryRewriteSpec extends AnyFunSuite {
           SummaryRewrite.deregister("spec_advice")
           val expect = mk().collect().map(_.toSeq).toSet
           SummaryRewrite.register("spec_advice", SummaryRewrite.Summary(
-            a.fact, mvA, a.keys, table = a.table))
+            a.fact, mvA, a.keys, table = a.table,
+            exprs = (a.exprCols ++ a.exprMinMax).toMap))
           assert(mk().collect().map(_.toSeq).toSet === expect,
             s"advised serving diverged for $nm")
       }
@@ -3172,7 +3182,8 @@ class SummaryRewriteSpec extends AnyFunSuite {
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
       keys = Seq("source"), sumCols = Seq.empty, mvPath = emv,
       exprCols = Seq("nc2" -> sql, "ncn" -> nullableSql,
-        "ncf" -> "n_chars * 0.5"))
+        "ncf" -> "n_chars * 0.5"),
+      exprMinMax = Seq("nc2" -> sql, "ncf" -> "n_chars * 0.5"))
     SummaryRewrite.install(spark)
     def reg(): Unit = SummaryRewrite.register("spec_expr",
       SummaryRewrite.Summary("documents.parquet", emv, Set("source"),
@@ -3259,7 +3270,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       SummaryRewrite.mergeDelta(spark, store,
         fact.limit(5), Seq("source"), Seq.empty)
     }
-    assert(e.getMessage.contains("sumx_nc2"),
+    assert(e.getMessage.contains("nc2"),
       s"refusal must name the dropped partial, got: ${e.getMessage}")
     // catalog roundtrip carries the exprs map exactly
     val catDir = java.nio.file.Files.createTempDirectory("graft-mvspec")
@@ -3301,6 +3312,121 @@ class SummaryRewriteSpec extends AnyFunSuite {
     graft.operators.IndexOps.writeSnapshot(doctored.coalesce(1), store)
     assert(SummaryRewrite.auditSummaryFrame(spark, fact, reg2,
       Seq.empty).count() > 0, "doctored sumx partial must surface")
+  }
+
+  test("applyCdc: inserts fold in, deletes retract out — the artifact " +
+      "equals a from-scratch rebuild, hist-backed min/max FALL, a " +
+      "fully-deleted value leaves the distinct set, a vanished group " +
+      "drops") {
+    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/cdcstore"
+    val fact = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val sql = "n_chars * 2"
+    def build(f: DataFrame) = SummaryRewrite.summaryFrame(f,
+      Seq("source"), Seq("n_chars"), minMaxCols = Seq("n_chars"),
+      histCols = Seq("n_chars"), exprCols = Seq("nc2" -> sql))
+    graft.operators.IndexOps.writeSnapshot(
+      build(fact.filter(col("doc_id") % 2 === 0)).coalesce(1), store)
+    // CDC batch: insert the odd rows EXCEPT one source entirely, and
+    // delete from the even rows (a) every row of one source (the group
+    // vanishes), (b) the row holding each remaining source's MAX
+    // n_chars (hist-backed max must FALL, the monoid-impossible move)
+    val srcs = fact.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val (goneSrc, keepSrcs) = (srcs.head, srcs.tail)
+    val inserts = fact.filter(col("doc_id") % 2 === 1 &&
+      col("source") =!= goneSrc)
+    val evens = fact.filter(col("doc_id") % 2 === 0)
+    val maxRows = evens.filter(col("source") =!= goneSrc)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("__rk") === 1).drop("__rk")
+    val deletes = evens.filter(col("source") === goneSrc)
+      .unionByName(maxRows)
+    val reg = SummaryRewrite.Summary("documents.parquet", "",
+      Set("source"), store = Some(store), exprs = Map("nc2" -> sql))
+    // the new logical fact; exceptAll is exact multiset subtraction
+    val newFact = evens.unionByName(inserts).exceptAll(deletes)
+    SummaryRewrite.applyCdc(spark, store, inserts, deletes,
+      Seq("source"), Seq("n_chars"), minMaxCols = Seq("n_chars"),
+      exprCols = Seq("nc2" -> sql))
+    // bit-exactness: the audit (which rebuilds EVERY partial from the
+    // new fact, map_entries compared) must be clean
+    assert(SummaryRewrite.auditSummaryFrame(spark, newFact, reg,
+      Seq("n_chars"), Seq("n_chars")).count() === 0,
+      "applyCdc artifact diverged from a from-scratch rebuild")
+    val after = graft.operators.IndexOps.readSnapshot(spark, store)
+    // the vanished group dropped; the max actually FELL somewhere
+    assert(after.filter(col("source") === goneSrc).count() === 0,
+      "a fully-deleted key group must vanish from the artifact")
+    val maxBefore = evens.filter(col("source") =!= goneSrc)
+      .groupBy(col("source")).agg(max(col("n_chars")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxAfter = after.select(col("source"), col("max_n_chars"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // doc_id parity correlates with source in the fixture, so only
+    // sources present BEFORE the CDC batch can witness a falling max
+    assert(keepSrcs.filter(maxBefore.contains).exists(s0 =>
+        maxAfter.get(s0).exists(_ < maxBefore(s0))),
+      "law vacuous: no hist-backed max actually fell under deletion")
+    // over-retraction refuses loudly: delete a row the fact never had
+    val bogus = fact.limit(1).withColumn("doc_id", lit(-999999L))
+      .withColumn("n_chars", lit(424242L))
+    val e1 = intercept[IllegalArgumentException] {
+      SummaryRewrite.applyCdc(spark, store, inserts.limit(0), bogus,
+        Seq("source"), Seq("n_chars"), minMaxCols = Seq("n_chars"),
+        exprCols = Seq("nc2" -> sql))
+    }
+    assert(e1.getMessage.contains("retraction invariants") ||
+      e1.getMessage.contains("delete batch"),
+      s"over-retraction must refuse, got: ${e1.getMessage}")
+  }
+
+  test("applyCdc refusals: min/max without a histogram and hll " +
+      "registers refuse deletes; dropUnretractable sheds them " +
+      "explicitly; an empty delete batch behaves like mergeDelta") {
+    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/cdcstore2"
+    val fact = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    graft.operators.IndexOps.writeSnapshot(
+      SummaryRewrite.summaryFrame(fact.filter(col("doc_id") % 2 === 0),
+        Seq("source"), Seq("n_chars"), minMaxCols = Seq("n_chars"),
+        hllCols = Seq("doc_id")).coalesce(1), store)
+    val del = fact.filter(col("doc_id") % 2 === 0).limit(3)
+    val e = intercept[IllegalArgumentException] {
+      SummaryRewrite.applyCdc(spark, store, fact.limit(0), del,
+        Seq("source"), Seq("n_chars"), minMaxCols = Seq("n_chars"))
+    }
+    assert(e.getMessage.contains("not") &&
+      e.getMessage.contains("retractable") &&
+      e.getMessage.contains("min_n_chars"),
+      s"refusal must name the unretractable partials: ${e.getMessage}")
+    // explicit shed: min/max and the hll register drop, counts retract
+    SummaryRewrite.applyCdc(spark, store, fact.limit(0), del,
+      Seq("source"), Seq("n_chars"), minMaxCols = Seq("n_chars"),
+      dropUnretractable = true)
+    val after = graft.operators.IndexOps.readSnapshot(spark, store)
+    assert(!after.schema.fieldNames.exists(n => n.startsWith("min_") ||
+      n.startsWith("max_") || n.startsWith("hll_")),
+      "dropUnretractable must shed the unretractable partials")
+    val newFact = fact.filter(col("doc_id") % 2 === 0).exceptAll(del)
+    val reg = SummaryRewrite.Summary("documents.parquet", "",
+      Set("source"), store = Some(store))
+    assert(SummaryRewrite.auditSummaryFrame(spark, newFact, reg,
+      Seq("n_chars")).count() === 0,
+      "retained partials must still equal the rebuild")
+    // empty delete batch = mergeDelta (inserts fold, nothing shed)
+    SummaryRewrite.applyCdc(spark, store,
+      fact.filter(col("doc_id") % 2 === 1), fact.limit(0),
+      Seq("source"), Seq("n_chars"))
+    val newFact2 = newFact.unionByName(
+      fact.filter(col("doc_id") % 2 === 1))
+    assert(SummaryRewrite.auditSummaryFrame(spark, newFact2, reg,
+      Seq("n_chars")).count() === 0,
+      "empty-delete applyCdc must fold like mergeDelta")
   }
 
   test("hist float keys normalize like Spark's aggregation keys: " +
