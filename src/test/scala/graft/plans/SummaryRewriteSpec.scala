@@ -3314,6 +3314,47 @@ class SummaryRewriteSpec extends AnyFunSuite {
       Seq.empty).count() > 0, "doctored sumx partial must surface")
   }
 
+  test("serving composes downstream: HAVING, ORDER BY ... LIMIT " +
+      "(top-k dashboards), and window functions over a served " +
+      "aggregate all read the artifact") {
+    withSummary {
+      // HAVING — a Filter above the rewritten Aggregate
+      def having = docs.groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("sc"))
+        .filter($"n" > 5)
+      assert(usesMv(having), "HAVING over a served aggregate must " +
+        "still read the artifact:\n" +
+        having.queryExecution.executedPlan.toString)
+      // top-k — TakeOrdered over the served aggregate
+      def topk = docs.groupBy($"source")
+        .agg(sum($"n_chars").as("sc"))
+        .orderBy($"sc".desc, $"source").limit(3)
+      assert(usesMv(topk), "ORDER BY ... LIMIT over a served " +
+        "aggregate must still read the artifact")
+      // window — rank() over the served aggregate's output
+      def ranked = docs.groupBy($"source")
+        .agg(sum($"n_chars").as("sc"))
+        .withColumn("rk", rank().over(org.apache.spark.sql.expressions
+          .Window.partitionBy(lit(1)).orderBy($"sc".desc)))
+      assert(usesMv(ranked), "a window over a served aggregate must " +
+        "still read the artifact")
+      // having/ranked compare as sets (grouped output order is not a
+      // contract); topk's explicit ORDER BY + tiebreak compares ordered
+      SummaryRewrite.deregister("spec_mv")
+      val expectH = having.collect().map(_.toSeq).toSet
+      val expectT = topk.collect().map(_.toSeq).toIndexedSeq
+      val expectR = ranked.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_mv", SummaryRewrite.Summary(
+        "documents.parquet", mv, Set("source", "lang")))
+      assert(having.collect().map(_.toSeq).toSet === expectH,
+        "downstream composition diverged for HAVING")
+      assert(topk.collect().map(_.toSeq).toIndexedSeq === expectT,
+        "downstream composition diverged for top-k")
+      assert(ranked.collect().map(_.toSeq).toSet === expectR,
+        "downstream composition diverged for the window")
+    }
+  }
+
   test("applyCdc: inserts fold in, deletes retract out — the artifact " +
       "equals a from-scratch rebuild, hist-backed min/max FALL, a " +
       "fully-deleted value leaves the distinct set, a vanished group " +
