@@ -3355,6 +3355,50 @@ class SummaryRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("replaceable aggregates and bare set shapes serve: count_if/" +
+      "bool_or/bool_and/every/any over key expressions, SELECT " +
+      "DISTINCT, and custom GROUPING SETS") {
+    withSummary {
+      // RuntimeReplaceableAggregates lower to Count/Min/Max before the
+      // rule runs, so the key-expression branches serve them
+      def flags = docs.groupBy($"source").agg(
+        expr("count_if(lang = 'en')").as("n_en"),
+        expr("bool_or(lang = 'en')").as("has_en"),
+        expr("bool_and(length(lang) = 2)").as("all_iso2"),
+        expr("every(length(source) > 0)").as("nonempty"))
+      assert(usesMv(flags), "replaceable aggregates over key " +
+        "expressions must serve:\n" +
+        flags.queryExecution.executedPlan.toString)
+      SummaryRewrite.deregister("spec_mv")
+      val expectF = flags.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_mv", SummaryRewrite.Summary(
+        "documents.parquet", mv, Set("source", "lang")))
+      assert(flags.collect().map(_.toSeq).toSet === expectF)
+      // SELECT DISTINCT over keys = Aggregate(keys, keys) — the
+      // summary has every key combination present in the fact
+      def dist = docs.select($"source", $"lang").distinct()
+      assert(usesMv(dist), "SELECT DISTINCT over keys must serve")
+      SummaryRewrite.deregister("spec_mv")
+      val expectD = dist.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_mv", SummaryRewrite.Summary(
+        "documents.parquet", mv, Set("source", "lang")))
+      assert(dist.collect().map(_.toSeq).toSet === expectD)
+      // custom GROUPING SETS — the same Expand shape as rollup/cube
+      def gsets = spark.sql(
+        s"""SELECT source, lang, count(*) AS n, sum(n_chars) AS sc
+           |FROM parquet.`$dir/documents.parquet`
+           |GROUP BY GROUPING SETS ((source), (lang))""".stripMargin)
+      assert(usesMv(gsets),
+        "custom GROUPING SETS must serve through the Expand path:\n" +
+          gsets.queryExecution.executedPlan.toString)
+      SummaryRewrite.deregister("spec_mv")
+      val expectG = gsets.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_mv", SummaryRewrite.Summary(
+        "documents.parquet", mv, Set("source", "lang")))
+      assert(gsets.collect().map(_.toSeq).toSet === expectG)
+    }
+  }
+
   test("applyCdc: inserts fold in, deletes retract out — the artifact " +
       "equals a from-scratch rebuild, hist-backed min/max FALL, a " +
       "fully-deleted value leaves the distinct set, a vanished group " +
