@@ -723,6 +723,9 @@ object SparkEntry {
     // CDC-maintained summary: insert + DELETE batch retracts partials
     // (hist per-value, min/max re-derived), still serving fact-scan-free
     "q286_summary_cdc" -> (IndexOps.q286SummaryCdc _),
+    // snapshot-diff change feed (Delta-CDF from plain parquet versions)
+    // feeding applyCdc: version swap without an artifact rebuild
+    "q287_snapshot_cdc" -> (WarehouseOps.q287SnapshotCdc _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -324,9 +324,93 @@ object WarehouseOps {
   def q220LDiversity(s: SparkSession, dir: String): DataFrame =
     lDiversityRelease(load(s, dir, "documents"), l = 3L)
 
+  // --------------------------------------------------------------- q287
+
+  /** Change feed from two table VERSIONS — Delta/Iceberg's CDF
+    * computed from plain parquet snapshots: (inserts, deletes) as
+    * exact MULTISET differences (`exceptAll` both ways — a row
+    * appearing twice in the new version and once in the old yields
+    * exactly one insert, so duplicated rows reconcile correctly).
+    * This is the missing producer for [[graft.plans.SummaryRewrite
+    * .applyCdc]]: snapshot-diff → CDC batch → artifact maintenance,
+    * with no upstream change-capture infrastructure required.
+    *
+    * SCALE: two hash-distinct-style shuffles over the two versions
+    * (exceptAll is a single shuffle each under AQE) — the price of
+    * not having a real change feed; when an upstream CDF exists, feed
+    * applyCdc directly and skip this. The diff is usually tiny
+    * relative to the versions — everything downstream is
+    * batch-sized. */
+  def cdcDiff(oldVersion: DataFrame, newVersion: DataFrame)
+      : (DataFrame, DataFrame) =
+    (newVersion.exceptAll(oldVersion), oldVersion.exceptAll(newVersion))
+
+  /** q287 — the full loop: snapshot-diff CDC keeps a summary artifact
+    * exact across a table version change WITHOUT rebuilding it. v0 and
+    * v1 are overlapping filters of documents (the diff has BOTH
+    * inserts and deletes — gated non-vacuous both ways); the artifact
+    * built from v0 follows to v1 through `cdcDiff` → `applyCdc`, the
+    * post-change rollup (distinct counts included — the hist partial
+    * retracts) serves fact-scan-free, and the values hash-match DuckDB
+    * over v1's defining predicate. At 100 TB: a nightly table swap
+    * costs two diff shuffles + summary-sized joins instead of a fact
+    * rescan per registered summary. */
+  def q287SnapshotCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q287").toString
+    val (factPath, store) = (s"$tmp/vdocs.parquet", s"$tmp/vstore")
+    val docs = load(s, dir, "documents")
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+    val v0 = docs.filter($"n_chars" % 5 =!= 0)
+    val v1 = docs.filter($"n_chars" % 3 =!= 0)
+    v0.write.parquet(factPath)
+    graft.operators.IndexOps.writeSnapshot(
+      SummaryRewrite.summaryFrame(s.read.parquet(factPath),
+        Seq("source"), Seq("n_chars"), minMaxCols = Seq("n_chars"),
+        histCols = Seq("n_chars")).coalesce(1), store)
+    val (ins, del) = cdcDiff(v0, v1)
+    val (nIns, nDel) = (ins.count(), del.count())
+    require(nIns > 0 && nDel > 0,
+      s"q287 gate is vacuous: the version diff must have both inserts " +
+        s"($nIns) and deletes ($nDel)")
+    SummaryRewrite.applyCdc(s, store, ins, del,
+      Seq("source"), Seq("n_chars"), minMaxCols = Seq("n_chars"))
+    v1.write.mode("overwrite").parquet(factPath)
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q287_vdocs",
+      SummaryRewrite.Summary("vdocs.parquet", "",
+        Set("source"), store = Some(store)))
+    try {
+      def q = s.read.parquet(factPath).groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        countDistinct($"n_chars").as("n_uniq"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("vstore"),
+        "q287 gate is vacuous: the diff-maintained artifact did not serve")
+      require(!phys.contains("vdocs.parquet"),
+        "q287 gate broken: the fact table is still scanned")
+      val rows = q.collect().toIndexedSeq // <= 20 sources
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q287_vdocs")
+  }
+
   // -------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    // q287: the post-change rollup off v1's defining predicate — the
+    // snapshot-diff CDC maintenance is invisible to the answer
+    "q287_snapshot_cdc" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT n_chars) AS BIGINT) AS n_uniq,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents
+        |WHERE n_chars % 3 <> 0
+        |GROUP BY 1""".stripMargin,
     // q213: run boundaries via lag, versions via running sum, intervals
     // via lead over the run table — the same two-window replay
     "q213_scd2" ->

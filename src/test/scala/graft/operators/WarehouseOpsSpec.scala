@@ -190,4 +190,31 @@ class WarehouseOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_langs") < 3L)
     }
   }
+
+  // ---------------------------------------------------------------- q287
+
+  test("q287: cdcDiff is an exact MULTISET diff — duplicated rows " +
+      "reconcile, and applying the diff to the old version yields the " +
+      "new one") {
+    val v0 = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("c", 3L))
+      .toDF("k", "v")
+    val v1 = Seq(("a", 1L), ("a", 1L), ("a", 1L), ("c", 3L), ("d", 4L))
+      .toDF("k", "v")
+    val (ins, del) = WarehouseOps.cdcDiff(v0, v1)
+    // ("a",1) went 2 -> 3: exactly ONE insert; ("b",2) left: one delete
+    assert(ins.collect().map(_.toSeq).toSeq.sortBy(_.toString) ===
+      Seq(Seq("a", 1L), Seq("d", 4L)).sortBy(_.toString),
+      "multiset inserts must count copies, not values")
+    assert(del.collect().map(_.toSeq).toSeq === Seq(Seq("b", 2L)))
+    // reconciliation: v0 + ins - del == v1 as a multiset
+    val recon = v0.unionByName(ins).exceptAll(del)
+      .groupBy($"k", $"v").count()
+    val want = v1.groupBy($"k", $"v").count()
+    assert(recon.collect().map(_.toSeq).toSet ===
+      want.collect().map(_.toSeq).toSet,
+      "old + inserts - deletes must reconstruct the new version exactly")
+    // identical versions diff to empty both ways
+    val (i2, d2) = WarehouseOps.cdcDiff(v1, v1)
+    assert(i2.isEmpty && d2.isEmpty)
+  }
 }
