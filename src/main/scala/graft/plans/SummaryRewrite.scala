@@ -2064,7 +2064,8 @@ object SummaryRewrite {
             mvAttrs)
           result <- buildExpandRewrite(groupExprs, aggExprs, mkChild,
             projections, output, keptIdx, keyBase, exprPos, measureBase,
-            measureMask, mvAttrs, summary.keys, hint, histValPos)
+            measureMask, mvAttrs, summary.keys, hint, histValPos,
+            summary.exprs)
         } yield result
         if (r.isEmpty)
           note(s"candidate '$n': rollup/cube (Expand) shape not " +
@@ -2160,7 +2161,8 @@ object SummaryRewrite {
         mvAttrs: Map[String, Attribute],
         keys: Set[String],
         hint: Option[AggregateHint],
-        histValPos: Map[Int, AttributeReference] = Map.empty)
+        histValPos: Map[Int, AttributeReference] = Map.empty,
+        exprs: Map[String, String] = Map.empty)
         : Option[Aggregate] = {
       val remap = (ex: Expression) => ex.transform {
         case a: AttributeReference if mvAttrs.contains(a.name) =>
@@ -2312,6 +2314,35 @@ object SummaryRewrite {
           case IntegerType | LongType | ShortType | ByteType => true
           case _ => false
         }
+      // a registered EXPRESSION measure on the Expand shape: every
+      // reference of the aggregate child is a measure pass-through,
+      // all at positions sharing ONE mask (the partial is exactly as
+      // live as its inputs — in plain ROLLUP every measure mask is
+      // all-true; in the mixed-distinct shape regular measures share
+      // the gid-0 mask), and the child REBASED onto the base fact
+      // columns matches the registered SQL semantically. Returns the
+      // registration name and a representative position whose mask
+      // gates the partial pass-through.
+      def exprNameX(child: Expression): Option[(String, Int)] = {
+        if (exprs.isEmpty || !child.deterministic ||
+            child.exists(_.isInstanceOf[AggregateExpression]) ||
+            child.exists(_.isInstanceOf[PlanExpression[_]]) ||
+            child.references.isEmpty) return None
+        val refs = child.references.toSeq
+        val bases = refs.map(measureBase.get)
+        if (bases.exists(_.isEmpty)) return None
+        val poss = bases.flatten.map(_._1)
+        if (poss.map(measureMask).distinct.size != 1) return None
+        val rebased = child.transform {
+          case a: AttributeReference if measureBase.contains(a) =>
+            measureBase(a)._2
+        }
+        exprs.collectFirst {
+          case (nm, sql) if (mvAttrs.contains(s"sumx_$nm") ||
+              mvAttrs.contains(s"minx_$nm")) &&
+              exprMatches(sql, rebased) => (nm, poss.head)
+        }
+      }
       val newAggs = sequence(aggExprs.map {
         case a: AttributeReference if keptAttrs.contains(a) => Some(a)
         case al @ Alias(c, _) if c.foldable && c.deterministic => Some(al)
@@ -2384,7 +2415,14 @@ object SummaryRewrite {
                   }
                 case _ => None
               }).orElse(weightedCnt(c.children))
-              case s: Sum => s.child match {
+                .orElse(c.children match {
+                  case Seq(one) => exprNameX(one).flatMap {
+                    case (nm, pos) => partialAttr(s"cntx_$nm", pos).map(
+                      p => Coalesce(Seq(fagg(Sum(p)), Literal(0L))))
+                  }
+                  case _ => None
+                })
+              case s: Sum => (s.child match {
                 // float partials refuse — see rewriteAgg's Sum case
                 case a: AttributeReference => baseOf(a)
                   .filter { case (_, b) => mvAttrs.get(s"sum_$b")
@@ -2393,7 +2431,12 @@ object SummaryRewrite {
                   .map(p => fagg(Sum(p)))
                   .orElse(weightedSum(a))
                 case child => weightedSum(child)
-              }
+              }).orElse(exprNameX(s.child).flatMap { case (nm, pos) =>
+                mvAttrs.get(s"sumx_$nm")
+                  .filterNot(at => fpType(at.dataType))
+                  .flatMap(_ => partialAttr(s"sumx_$nm", pos))
+                  .map(p => fagg(Sum(p)))
+              })
               case m: Min => m.child match {
                 case a: AttributeReference => baseOf(a)
                   .flatMap { case (pos, b) => partialAttr(s"min_$b", pos) }
@@ -2405,6 +2448,8 @@ object SummaryRewrite {
                     histAttr(b, pos, wantCount = false)
                       .map(k => fagg(Min(k))) })
                 case child => keyDetermined(child).map(k => fagg(Min(k)))
+                  .orElse(exprNameX(child).flatMap { case (nm, pos) =>
+                    partialAttr(s"minx_$nm", pos).map(p => fagg(Min(p))) })
               }
               case m: Max => m.child match {
                 case a: AttributeReference => baseOf(a)
@@ -2415,6 +2460,8 @@ object SummaryRewrite {
                     histAttr(b, pos, wantCount = false)
                       .map(k => fagg(Max(k))) })
                 case child => keyDetermined(child).map(k => fagg(Max(k)))
+                  .orElse(exprNameX(child).flatMap { case (nm, pos) =>
+                    partialAttr(s"maxx_$nm", pos).map(p => fagg(Max(p))) })
               }
               // AVG = Σsum_col / Σcnt_col (the non-null count — see
               // rewriteAgg's Average case), both masked to the
@@ -2442,7 +2489,15 @@ object SummaryRewrite {
                     DoubleType),
                   Cast(fagg(Sum(If(IsNotNull(f), cnt,
                     Literal(null, LongType)))), DoubleType))
-              }
+              }.orElse(exprNameX(av.child).flatMap { case (nm, pos) =>
+                mvAttrs.get(s"sumx_$nm")
+                  .filter(_.dataType == LongType)
+                  .flatMap(_ => for {
+                    ps <- partialAttr(s"sumx_$nm", pos)
+                    pc <- partialAttr(s"cntx_$nm", pos)
+                  } yield Divide(Cast(fagg(Sum(ps)), DoubleType),
+                    Cast(fagg(Sum(pc)), DoubleType)))
+              })
               // approx_count_distinct: over a key-determined child the
               // sketch re-runs verbatim (value-SET pure — the collapse
               // preserves the set per projection, null masks included);

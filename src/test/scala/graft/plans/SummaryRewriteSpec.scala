@@ -3243,6 +3243,54 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.deregister("spec_expr")
   }
 
+  test("expression measures serve under native ROLLUP/CUBE: the " +
+      "Expand path rebases measure pass-throughs and rides the " +
+      "sumx_/cntx_/minx_/maxx_ partials per grouping set") {
+    val sql = "n_chars * 2 + length(lang)"
+    val emv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/exprmv_rollup"
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source"), sumCols = Seq.empty, mvPath = emv,
+      exprCols = Seq("nc2" -> sql), exprMinMax = Seq("nc2" -> sql))
+    SummaryRewrite.install(spark)
+    def reg(): Unit = SummaryRewrite.register("spec_expr_ru",
+      SummaryRewrite.Summary("documents.parquet", emv, Set("source"),
+        exprs = Map("nc2" -> sql)))
+    reg()
+    try {
+      def q = docs.rollup($"source").agg(
+        sum(expr(sql)).as("s"),
+        avg(expr(sql)).as("a"),
+        count(expr(sql)).as("c"),
+        min(expr(sql)).as("lo"),
+        max(expr(sql)).as("hi"),
+        count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("exprmv_rollup") && !p.contains("documents.parquet"),
+        s"rollup over expression measures did not serve:\n$p")
+      assert(p.contains("Expand"), "the native rollup Expand must survive")
+      SummaryRewrite.deregister("spec_expr_ru")
+      val expect = q.collect().map(_.toSeq).toSet
+      reg()
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "rollup expression-measure serving diverged")
+      // an unregistered expression under rollup refuses
+      val other = docs.rollup($"source")
+        .agg(sum(expr("n_chars * 3")).as("s"))
+      assert(other.queryExecution.executedPlan.toString
+        .contains("documents.parquet"),
+        "an unregistered expression must refuse under rollup")
+      // cube composes the same way
+      def qc = docs.cube($"source").agg(sum(expr(sql)).as("s"))
+      assert(qc.queryExecution.executedPlan.toString
+        .contains("exprmv_rollup"), "cube over the expression must serve")
+      SummaryRewrite.deregister("spec_expr_ru")
+      val expectC = qc.collect().map(_.toSeq).toSet
+      reg()
+      assert(qc.collect().map(_.toSeq).toSet === expectC)
+    } finally SummaryRewrite.deregister("spec_expr_ru")
+  }
+
   test("expression measures ride the lifecycle: catalog roundtrip, " +
       "mergeDelta fold == rebuild, audit catches a doctored partial") {
     val sql = "n_chars * 2 + length(lang)"
