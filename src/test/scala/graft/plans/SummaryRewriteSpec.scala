@@ -3291,6 +3291,55 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.deregister("spec_expr_ru")
   }
 
+  test("expression measures over a UNION of facts: per-epoch sumx " +
+      "partials fold across branches; an epoch binding a DIFFERENT " +
+      "SQL to the same name refuses the whole rewrite") {
+    val sql = "n_chars * 2 + length(lang)"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    (0 to 1).foreach { i =>
+      docsAll.filter(col("doc_id") % 2 === i)
+        .write.parquet(s"$tmp/xep$i/d.parquet")
+      SummaryRewrite.buildSummary(spark, s"$tmp/xep$i/d.parquet",
+        keys = Seq("source"), sumCols = Seq.empty,
+        mvPath = s"$tmp/xunion$i", exprCols = Seq("nc2" -> sql))
+    }
+    SummaryRewrite.install(spark)
+    def reg(i: Int, theSql: String): Unit =
+      SummaryRewrite.register(s"spec_xu$i",
+        SummaryRewrite.Summary(s"xep$i/d.parquet", s"$tmp/xunion$i",
+          Set("source"), exprs = Map("nc2" -> theSql)))
+    (0 to 1).foreach(reg(_, sql))
+    try {
+      def un = spark.read.parquet(s"$tmp/xep0/d.parquet")
+        .unionAll(spark.read.parquet(s"$tmp/xep1/d.parquet"))
+      def q = un.groupBy(col("source"))
+        .agg(sum(expr(sql)).as("s"), count(expr(sql)).as("c"),
+          count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("xunion0") && p.contains("xunion1") &&
+        !p.contains("d.parquet"),
+        s"union expression measures did not serve both epochs:\n$p")
+      // the epochs partition documents, so the union aggregate equals
+      // the whole-table one — checked against the unregistered plan
+      (0 to 1).foreach(i => SummaryRewrite.deregister(s"spec_xu$i"))
+      val expect = q.collect().map(_.toSeq).toSet
+      (0 to 1).foreach(reg(_, sql))
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "union expression-measure serving diverged")
+      // an epoch binding a DIFFERENT SQL to the same partial name must
+      // refuse the WHOLE rewrite: its sumx_nc2 bytes mean a different
+      // expression, and folding them would be silently wrong
+      SummaryRewrite.deregister("spec_xu1")
+      reg(1, "n_chars * 3")
+      assert(q.queryExecution.executedPlan.toString.contains("d.parquet"),
+        "a cross-branch expression-SQL mismatch must refuse")
+    } finally (0 to 1).foreach(i =>
+      SummaryRewrite.deregister(s"spec_xu$i"))
+  }
+
   test("expression measures ride the lifecycle: catalog roundtrip, " +
       "mergeDelta fold == rebuild, audit catches a doctored partial") {
     val sql = "n_chars * 2 + length(lang)"
