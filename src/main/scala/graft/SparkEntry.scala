@@ -726,6 +726,9 @@ object SparkEntry {
     // snapshot-diff change feed (Delta-CDF from plain parquet versions)
     // feeding applyCdc: version swap without an artifact rebuild
     "q287_snapshot_cdc" -> (WarehouseOps.q287SnapshotCdc _),
+    // expression partials under native ROLLUP: the revenue pivot with
+    // subtotals, Expand-path served, fact-scan-free by plan proof
+    "q288_summary_expr_rollup" -> (IndexOps.q288SummaryExprRollup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2012,6 +2012,54 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q285_lineitem_rev")
   }
 
+  // --------------------------------------------------------------- q288
+
+  /** q288 — the expression-measure REVENUE dashboard under native
+    * ROLLUP: `sum/avg/max(price·(1−discount))` with subtotal rows and
+    * GROUPING() ids, served from the `sumx_/cntx_/maxx_` partials per
+    * grouping set through the Expand path (q285's direct/star shape
+    * composed with the rollup dimension). Plan gates: the artifact is
+    * read, the fact is not, and the native rollup Expand survives the
+    * rewrite. At 100 TB this is the pivot-table-with-totals refresh
+    * reading kilobytes. */
+  def q288SummaryExprRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val revenueSql = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)" +
+      " * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))"
+    val mv = java.nio.file.Files.createTempDirectory("graft-q288")
+      .toString + "/lineitem_rev_rollup"
+    SummaryRewrite.buildSummary(s, s"$dir/lineitem.parquet",
+      keys = Seq("l_returnflag", "l_linestatus"), sumCols = Seq.empty,
+      mvPath = mv, exprCols = Seq("revenue" -> revenueSql),
+      exprMinMax = Seq("revenue" -> revenueSql))
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q288_lineitem_rev_rollup",
+      SummaryRewrite.Summary("lineitem.parquet", mv,
+        Set("l_returnflag", "l_linestatus"),
+        exprs = Map("revenue" -> revenueSql)))
+    try {
+      def q = load(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(grouping($"l_returnflag").cast("long").as("g_flag"),
+          grouping($"l_linestatus").cast("long").as("g_status"),
+          expr(s"sum($revenueSql)").as("revenue_cents"),
+          expr(s"avg($revenueSql)").as("avg_item_cents"),
+          expr(s"max($revenueSql)").as("max_item_cents"),
+          count(lit(1)).as("n_items"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("lineitem_rev_rollup"),
+        "q288 gate is vacuous: the rollup expression partials did not " +
+          "serve")
+      require(!phys.contains("lineitem.parquet"),
+        "q288 gate broken: the fact table is still scanned")
+      require(phys.contains("Expand"),
+        "q288 gate broken: the native rollup Expand must survive")
+      // bounded: (flags × statuses) + subtotals + grand total
+      val rows = q.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q288_lineitem_rev_rollup")
+  }
+
   // --------------------------------------------------------------- q286
 
   /** q286 — CDC-maintained summary: the artifact follows a fact table
@@ -2777,6 +2825,25 @@ object IndexOps {
         |FROM documents
         |WHERE NOT (doc_id % 2 = 0 AND n_chars % 7 = 0)
         |GROUP BY 1""".stripMargin,
+    // q288: the rollup revenue dashboard off the fact — DuckDB's
+    // ROLLUP + GROUPING() + the cents-cleared expression replay
+    // identically; avg is exact-integer-sum / exact-count in both
+    "q288_summary_expr_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |  CAST(sum(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS revenue_cents,
+        |  avg(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+        |    AS avg_item_cents,
+        |  CAST(max(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS max_item_cents,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     // q282: the dashboard header — multi-distinct (hist measure + key)
     // beside plain totals, exact off the fact
     "q282_summary_hist_multidistinct" ->
