@@ -729,6 +729,9 @@ object SparkEntry {
     // expression partials under native ROLLUP: the revenue pivot with
     // subtotals, Expand-path served, fact-scan-free by plan proof
     "q288_summary_expr_rollup" -> (IndexOps.q288SummaryExprRollup _),
+    // exact distinct/percentiles of a computed measure via the
+    // expression histogram — median revenue without keying its columns
+    "q289_summary_expr_hist" -> (IndexOps.q289SummaryExprHist _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

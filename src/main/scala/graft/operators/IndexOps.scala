@@ -2012,6 +2012,60 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q285_lineitem_rev")
   }
 
+  // --------------------------------------------------------------- q289
+
+  /** q289 — the distinct family and EXACT percentiles of a COMPUTED
+    * measure: `hist_<name>` built from the registered revenue
+    * expression carries the exact value→count multiset of
+    * `price·(1−discount)` per (returnflag, linestatus), so
+    * `count(DISTINCT revenue)`, `median(revenue)`,
+    * `percentile(revenue, .9)`, and `max(revenue)` serve
+    * fact-scan-free and EXACT for any coarsening — without keying
+    * price or discount (whose joint cardinality is the fact itself).
+    * The serve-side name guard is gated in the spec: a bare column
+    * merely NAMED like the expression can never claim the histogram.
+    * At 100 TB: "median order-line revenue by flag" reads kilobytes. */
+  def q289SummaryExprHist(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val revenueSql = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)" +
+      " * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))"
+    val mv = java.nio.file.Files.createTempDirectory("graft-q289")
+      .toString + "/lineitem_rev_hist"
+    SummaryRewrite.buildSummary(s, s"$dir/lineitem.parquet",
+      keys = Seq("l_returnflag", "l_linestatus"), sumCols = Seq.empty,
+      mvPath = mv, exprHistCols = Seq("revenue" -> revenueSql),
+      histCap = 1 << 22)
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q289_lineitem_rev_hist",
+      SummaryRewrite.Summary("lineitem.parquet", mv,
+        Set("l_returnflag", "l_linestatus"),
+        exprs = Map("revenue" -> revenueSql)))
+    try {
+      def q = load(s, dir, "lineitem").groupBy($"l_returnflag").agg(
+        expr(s"count(DISTINCT $revenueSql)").as("n_uniq_rev"),
+        expr(s"median($revenueSql)").as("med_rev"),
+        expr(s"percentile($revenueSql, 0.9)").as("p90_rev"),
+        expr(s"max($revenueSql)").as("max_rev"),
+        count(lit(1)).as("n_items"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("lineitem_rev_hist"),
+        "q289 gate is vacuous: the expression histogram did not serve")
+      require(!phys.contains("lineitem.parquet"),
+        "q289 gate broken: the fact table is still scanned")
+      require(phys.contains("Generate"),
+        "q289 gate broken: the served plan must explode the histogram")
+      // a different expression refuses back to the fact
+      val other = load(s, dir, "lineitem").groupBy($"l_returnflag")
+        .agg(expr("count(DISTINCT CAST(FLOOR(l_extendedprice * 100 + " +
+          "0.5) AS BIGINT))").as("u"))
+      require(other.queryExecution.executedPlan.toString
+        .contains("lineitem.parquet"),
+        "q289 gate broken: an unregistered expression must refuse")
+      val rows = q.collect().toIndexedSeq // <= 3 flags
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q289_lineitem_rev_hist")
+  }
+
   // --------------------------------------------------------------- q288
 
   /** q288 — the expression-measure REVENUE dashboard under native
@@ -2825,6 +2879,22 @@ object IndexOps {
         |FROM documents
         |WHERE NOT (doc_id % 2 = 0 AND n_chars % 7 = 0)
         |GROUP BY 1""".stripMargin,
+    // q289: the distinct/percentile family over the computed revenue
+    // off the fact — quantile_cont interpolates the same exact-integer
+    // multiset in both engines
+    "q289_summary_expr_hist" ->
+      """WITH r AS (SELECT l_returnflag,
+        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+        |      AS rev
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(count(DISTINCT rev) AS BIGINT) AS n_uniq_rev,
+        |  quantile_cont(rev, 0.5) AS med_rev,
+        |  quantile_cont(rev, 0.9) AS p90_rev,
+        |  CAST(max(rev) AS BIGINT) AS max_rev,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM r GROUP BY 1""".stripMargin,
     // q288: the rollup revenue dashboard off the fact — DuckDB's
     // ROLLUP + GROUPING() + the cents-cleared expression replay
     // identically; avg is exact-integer-sum / exact-count in both

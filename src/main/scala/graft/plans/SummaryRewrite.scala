@@ -306,7 +306,8 @@ object SummaryRewrite {
       hllCols: Seq[String], hllRsd: Double, covered: Int,
       histCols: Seq[String] = Seq.empty,
       exprCols: Seq[(String, String)] = Seq.empty,
-      exprMinMax: Seq[(String, String)] = Seq.empty)
+      exprMinMax: Seq[(String, String)] = Seq.empty,
+      exprHistCols: Seq[(String, String)] = Seq.empty)
 
   /** Workload-driven summary ADVISOR — the planning complement of the
     * lifecycle (advise → build → serve → maintain → audit → explain):
@@ -324,7 +325,8 @@ object SummaryRewrite {
     final case class Obs(fact: String, table: Option[String],
         keys: Set[String], sums: Set[String], minMax: Set[String],
         hll: Set[String], hllRsd: Option[Double], hist: Set[String],
-        exprS: Set[(String, String)], exprM: Set[(String, String)])
+        exprS: Set[(String, String)], exprM: Set[(String, String)],
+        exprH: Set[(String, String)])
     val obs = scala.collection.mutable.ArrayBuffer[Obs]()
     queries.zipWithIndex.foreach { case (df, qi) =>
       val plan = spark.sessionState.executePlan(df.queryExecution.logical)
@@ -354,6 +356,7 @@ object SummaryRewrite {
                 var hist = Set.empty[String]
                 var exprS = Set.empty[(String, String)]
                 var exprM = Set.empty[(String, String)]
+                var exprH = Set.empty[(String, String)]
                 var ok = true
                 def miss(what: String): Unit = {
                   notes += s"query $qi: $what is not derivable from a " +
@@ -409,6 +412,19 @@ object SummaryRewrite {
                       case av: Average
                           if av.child.isInstanceOf[AttributeReference] =>
                         hist += av.child.asInstanceOf[AttributeReference].name
+                      // DISTINCT over a single EXPRESSION advises an
+                      // expression HISTOGRAM, not keys: keying the
+                      // expression's columns multiplies artifact rows
+                      // by their joint cardinality (queries over pure
+                      // key expressions still serve key-path-only,
+                      // without the histogram)
+                      case c: Count if c.children.size == 1 &&
+                          keyable(c.children.head) =>
+                        exprH += exprEntry(c.children.head)
+                      case s: Sum if keyable(s.child) =>
+                        exprH += exprEntry(s.child)
+                      case av: Average if keyable(av.child) =>
+                        exprH += exprEntry(av.child)
                       case fn if fn.references.nonEmpty && fn.deterministic =>
                         keys ++= fn.references.toSeq.map(_.name)
                       case _ => miss("a distinct aggregate over no columns")
@@ -472,7 +488,7 @@ object SummaryRewrite {
                       // frequency argument — same reasoning as distinct
                       p.child match {
                         case a: AttributeReference => hist += a.name
-                        case e if keyable(e) => keyRefs(e)
+                        case e if keyable(e) => exprH += exprEntry(e)
                         case _ => miss("a percentile over this expression")
                       }
                     case other =>
@@ -485,7 +501,7 @@ object SummaryRewrite {
                   if (fact.isEmpty && table.isEmpty)
                     notes += s"query $qi: fact has no path or table identity"
                   else obs += Obs(fact, table, keys, sums, minMax, hll,
-                    hllRsd, hist, exprS, exprM)
+                    hllRsd, hist, exprS, exprM, exprH)
                 }
               }
           }
@@ -506,7 +522,8 @@ object SummaryRewrite {
           // redundant bytes
           (os.flatMap(_.hist).toSet -- keysU).toSeq.sorted,
           os.flatMap(_.exprS).toMap.toSeq.sortBy(_._1),
-          os.flatMap(_.exprM).toMap.toSeq.sortBy(_._1))
+          os.flatMap(_.exprM).toMap.toSeq.sortBy(_._1),
+          os.flatMap(_.exprH).toMap.toSeq.sortBy(_._1))
       }
     (advices, notes.toSeq)
   }
@@ -522,10 +539,12 @@ object SummaryRewrite {
     buildSummary(spark, advice.fact, advice.keys.toSeq.sorted,
       advice.sumCols, mvPath, advice.minMaxCols, advice.hllCols,
       advice.hllRsd, advice.histCols,
-      exprCols = advice.exprCols, exprMinMax = advice.exprMinMax)
+      exprCols = advice.exprCols, exprMinMax = advice.exprMinMax,
+      exprHistCols = advice.exprHistCols)
     register(name, Summary(advice.fact, mvPath, advice.keys,
       table = advice.table,
-      exprs = (advice.exprCols ++ advice.exprMinMax).toMap))
+      exprs = (advice.exprCols ++ advice.exprMinMax ++
+        advice.exprHistCols).toMap))
   }
 
   def register(name: String, summary: Summary): Unit =
@@ -840,10 +859,12 @@ object SummaryRewrite {
       histCols: Seq[String] = Seq.empty,
       histCap: Int = HistSummary.DefaultCap,
       exprCols: Seq[(String, String)] = Seq.empty,
-      exprMinMax: Seq[(String, String)] = Seq.empty): DataFrame =
+      exprMinMax: Seq[(String, String)] = Seq.empty,
+      exprHistCols: Seq[(String, String)] = Seq.empty): DataFrame =
     summaryFrameP(fact, keys, sumCols, minMaxCols,
       hllCols.map(c => c -> HllSummary.pFor(hllRsd)),
-      histCols.map(c => c -> histCap), exprCols, exprMinMax)
+      histCols.map(c => c -> histCap), exprCols, exprMinMax,
+      exprHistCols.map { case (n, sql) => (n, sql, histCap) })
 
   /** [[summaryFrame]] with per-column sketch precision / histogram
     * caps — what the maintenance paths use to rebuild delta partials
@@ -857,7 +878,8 @@ object SummaryRewrite {
       hllPs: Seq[(String, Int)],
       histCaps: Seq[(String, Int)] = Seq.empty,
       exprCols: Seq[(String, String)] = Seq.empty,
-      exprMinMax: Seq[(String, String)] = Seq.empty): DataFrame = {
+      exprMinMax: Seq[(String, String)] = Seq.empty,
+      exprHistCaps: Seq[(String, String, Int)] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions._
     // expression measures: sumx_/cntx_ (exprCols) and minx_/maxx_
     // (exprMinMax) partials of an arbitrary deterministic SQL
@@ -881,7 +903,14 @@ object SummaryRewrite {
             count(expr(sql)).as(s"cntx_$n")) } ++
         exprMinMax.flatMap { case (n, sql) =>
           Seq(min(expr(sql)).as(s"minx_$n"),
-            max(expr(sql)).as(s"maxx_$n")) })
+            max(expr(sql)).as(s"maxx_$n")) } ++
+        // hist_<name> of an EXPRESSION: the exact value→count multiset
+        // of a computed measure — what serves count(DISTINCT expr) and
+        // exact percentile(expr) without keying the expression's
+        // columns; same cap/refusal discipline as column histograms
+        exprHistCaps.map { case (n, sql, cap) =>
+          HistSummary.partialHist(expr(sql), cap)
+            .as(HistSummary.colName(n)) })
     fact.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -935,10 +964,11 @@ object SummaryRewrite {
       histCols: Seq[String] = Seq.empty,
       histCap: Int = HistSummary.DefaultCap,
       exprCols: Seq[(String, String)] = Seq.empty,
-      exprMinMax: Seq[(String, String)] = Seq.empty): Unit =
+      exprMinMax: Seq[(String, String)] = Seq.empty,
+      exprHistCols: Seq[(String, String)] = Seq.empty): Unit =
     layout(summaryFrame(spark.read.parquet(factPath), keys, sumCols,
         minMaxCols, hllCols, hllRsd, histCols, histCap, exprCols,
-        exprMinMax), keys)
+        exprMinMax, exprHistCols), keys)
       .write.mode("overwrite").parquet(mvPath)
 
   /** Build + commit a summary into a snapshot store via the FS-rename
@@ -954,11 +984,12 @@ object SummaryRewrite {
       histCols: Seq[String] = Seq.empty,
       histCap: Int = HistSummary.DefaultCap,
       exprCols: Seq[(String, String)] = Seq.empty,
-      exprMinMax: Seq[(String, String)] = Seq.empty): Long =
+      exprMinMax: Seq[(String, String)] = Seq.empty,
+      exprHistCols: Seq[(String, String)] = Seq.empty): Long =
     graft.operators.IndexOps.writeSnapshot(
       layout(summaryFrame(spark.read.parquet(factPath), keys, sumCols,
         minMaxCols, hllCols, hllRsd, histCols, histCap, exprCols,
-        exprMinMax), keys),
+        exprMinMax, exprHistCols), keys),
       store)
 
   /** Derive a COARSER summary from a finer one — the lattice build
@@ -1093,11 +1124,26 @@ object SummaryRewrite {
     // never mixes register widths or drops a histogram; the delta
     // histogram build is uncapped (mirror rebuilds reproduce what the
     // artifact committed to — the cap gated the ORIGINAL build)
+    val exprByName = exprCols.toMap
+    val factCols = deltaFact.schema.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val (colHists, exprHists) = histColsOf(latest).partition {
+      case (_, base) => factCols(base.toLowerCase(java.util.Locale.ROOT))
+    }
+    val histMissing = exprHists.collect {
+      case (n, base) if !exprByName.contains(base) => n
+    }
+    require(histMissing.isEmpty,
+      s"mergeDelta: histogram partials ${histMissing.mkString(", ")} are " +
+        "neither fact columns nor named in exprCols — pass the " +
+        "registered (name, sql) pairs")
     val delta = summaryFrameP(deltaFact, keys, sumCols, minMaxCols,
       hllColsOf(latest).map { case (_, base, p) => base -> p },
-      histColsOf(latest).map { case (_, base) => base -> Int.MaxValue },
+      colHists.map { case (_, base) => base -> Int.MaxValue },
       exprCols.filter { case (n, _) => haveM(s"sumx_$n") },
-      exprCols.filter { case (n, _) => haveM(s"minx_$n") })
+      exprCols.filter { case (n, _) => haveM(s"minx_$n") },
+      exprHists.map { case (_, base) =>
+        (base, exprByName(base), Int.MaxValue) })
     val nonPos = latest.filter(col("cnt") <= 0L).count()
     require(nonPos == 0L,
       s"mergeDelta: $nonPos non-positive cnt partials in the latest " +
@@ -1189,11 +1235,25 @@ object SummaryRewrite {
       .filterNot(dropped).map(col).toIndexedSeq: _*)
     // 1) fold the inserts in (mergeDelta's discipline, shared helpers)
     val baseCols = base.schema.fieldNames.toSet
+    val exprByName = exprCols.toMap
+    val insCols = inserts.schema.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val (colHists, exprHists) = histColsOf(base).partition {
+      case (_, b) => insCols(b.toLowerCase(java.util.Locale.ROOT)) }
+    val histMissing = exprHists.collect {
+      case (n, b) if !exprByName.contains(b) => n }
+    require(histMissing.isEmpty,
+      s"applyCdc: histogram partials ${histMissing.mkString(", ")} are " +
+        "neither fact columns nor named in exprCols — pass the " +
+        "registered (name, sql) pairs")
+    val exprHistCaps = exprHists.map { case (_, b) =>
+      (b, exprByName(b), Int.MaxValue) }
     val insDelta = summaryFrameP(inserts, keys, keptSum, keptMinMax,
       hllColsOf(base).map { case (_, b, p) => b -> p },
-      histColsOf(base).map { case (_, b) => b -> Int.MaxValue },
+      colHists.map { case (_, b) => b -> Int.MaxValue },
       exprCols.filter { case (n, _) => baseCols(s"sumx_$n") },
-      exprCols.filter { case (n, _) => baseCols(s"minx_$n") })
+      exprCols.filter { case (n, _) => baseCols(s"minx_$n") },
+      exprHistCaps)
       .select(base.schema.fieldNames.map(col).toIndexedSeq: _*)
     val aggs = foldAggs(base, keptSum, keptMinMax)
     val merged = base.unionByName(insDelta)
@@ -1204,8 +1264,9 @@ object SummaryRewrite {
     // 2) subtract the delete batch's partials
     val delDelta0 = summaryFrameP(deletes, keys, keptSum, Seq.empty,
       Seq.empty,
-      histColsOf(base).map { case (_, b) => b -> Int.MaxValue },
-      exprCols.filter { case (n, _) => baseCols(s"sumx_$n") })
+      colHists.map { case (_, b) => b -> Int.MaxValue },
+      exprCols.filter { case (n, _) => baseCols(s"sumx_$n") },
+      Seq.empty, exprHistCaps)
     val dCols = delDelta0.schema.fieldNames.filterNot(keys.contains)
     val delDelta = delDelta0.select(keys.map(col) ++
       dCols.map(n => col(n).as(s"__d_$n")): _*)
@@ -1331,7 +1392,19 @@ object SummaryRewrite {
     // gated the original build, the audit must reproduce faithfully);
     // eval sorts entries by value, so map_entries arrays compare
     // exactly (maps themselves are not <=>-comparable in Spark)
-    val histPs = histColsOf(got)
+    val histPs0 = histColsOf(got)
+    val factColsA = fact.schema.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    // a histogram whose base is not a fact column rebuilds from the
+    // registered expression SQL; one that is NEITHER is unregistered
+    // and can never serve — excluded from the audit like any other
+    // unregistered expression partial
+    val histPs = histPs0.filter { case (_, base) =>
+      factColsA(base.toLowerCase(java.util.Locale.ROOT)) ||
+        summary.exprs.contains(base)
+    }
+    val (colHistPs, exprHistPs) = histPs.partition { case (_, base) =>
+      factColsA(base.toLowerCase(java.util.Locale.ROOT)) }
     // expression partials audit where BOTH the artifact carries them
     // and the registration names their SQL (an unregistered sumx_
     // column can never serve, so it is not an integrity risk)
@@ -1339,9 +1412,11 @@ object SummaryRewrite {
       .filter { case (n, _) => gotCols(s"sumx_$n") || gotCols(s"minx_$n") }
     val expect = summaryFrameP(fact, keys, sumCols, minMaxCols,
       hllPs.map { case (_, base, p) => base -> p },
-      histPs.map { case (_, base) => base -> Int.MaxValue },
+      colHistPs.map { case (_, base) => base -> Int.MaxValue },
       exprPs.filter { case (n, _) => gotCols(s"sumx_$n") },
-      exprPs.filter { case (n, _) => gotCols(s"minx_$n") })
+      exprPs.filter { case (n, _) => gotCols(s"minx_$n") },
+      exprHistPs.map { case (_, base) =>
+        (base, summary.exprs(base), Int.MaxValue) })
     // cnt_ legs audit only where the artifact carries them (pre-cnt_
     // artifacts stay auditable); the expect side always computes them,
     // extra expect columns are simply not compared
@@ -3411,15 +3486,29 @@ object SummaryRewrite {
         // in the companion count attr), so value-SET aggregates re-run
         // verbatim over it and multiset aggregates replay through the
         // count ([[HistSummary]])
-        def histVal(ex: Expression): Option[Expression] = (hist, ex) match {
-          // the map's VALUE type must be the measure's exact type: a
-          // mis-registered artifact whose hist_<col> was built from a
-          // differently-typed column would serve a wrong distinct set
-          // (Count's own result type would not catch it)
-          case (Some(h), a: AttributeReference)
-              if !dimOut.contains(a) && a.name == h.col &&
-                h.k.dataType == a.dataType => Some(h.k)
-          case _ => None
+        def histVal(ex: Expression): Option[Expression] = hist match {
+          case Some(h) => exprs.get(h.col) match {
+            // an EXPRESSION histogram (hist_<name> where <name> is a
+            // registration, not a fact column): the aggregate child
+            // must match the registered SQL semantically — a bare
+            // column that merely SHARES the name can never claim it
+            case Some(sql) =>
+              if (h.k.dataType == ex.dataType &&
+                  ex.references.toSeq.forall(r => !dimOut.contains(r)) &&
+                  exprMatches(sql, ex)) Some(h.k)
+              else None
+            // the map's VALUE type must be the measure's exact type: a
+            // mis-registered artifact whose hist_<col> was built from a
+            // differently-typed column would serve a wrong distinct set
+            // (Count's own result type would not catch it)
+            case None => ex match {
+              case a: AttributeReference
+                  if !dimOut.contains(a) && a.name == h.col &&
+                    h.k.dataType == a.dataType => Some(h.k)
+              case _ => None
+            }
+          }
+          case None => None
         }
         // a registered EXPRESSION measure: the aggregate child matches
         // a (name → SQL) registration semantically and the artifact

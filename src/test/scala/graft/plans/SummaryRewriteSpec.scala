@@ -2231,19 +2231,26 @@ class SummaryRewriteSpec extends AnyFunSuite {
     val q5 = docs.groupBy($"source")
       .agg(sum(expr("n_chars * 2 + length(lang)")).as("se"),
         min(expr("n_chars * 2 + length(lang)")).as("me"))
+    val q6 = docs.groupBy($"source")
+      .agg(expr("count(DISTINCT n_chars * 2 + length(lang))").as("ue"),
+        expr("median(n_chars * 2 + length(lang))").as("pe"))
     val qJoin = graft.Tables.load(spark, dir, "orders")
       .join(graft.Tables.load(spark, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
     val (advs, notes) =
-      SummaryRewrite.adviseSummaries(spark, Seq(q1, q2, q3, q4, q5, qJoin))
+      SummaryRewrite.adviseSummaries(spark,
+        Seq(q1, q2, q3, q4, q5, q6, qJoin))
     val a = advs.find(_.fact.endsWith("documents.parquet"))
       .getOrElse(fail(s"no documents advice in $advs"))
     assert(a.keys === Set("source", "lang"),
       "keys must be the union of grouping + filter columns — distinct " +
         "over a keyed column (q3's source) adds no key and no hist")
     assert(a.sumCols === Seq("n_chars") && a.minMaxCols === Seq("n_chars"))
-    assert(a.hllCols === Seq("doc_id") && a.covered === 5)
+    assert(a.hllCols === Seq("doc_id") && a.covered === 6)
+    assert(a.exprHistCols.size === 1,
+      "distinct/percentile over a computed measure must advise an " +
+        s"expression HISTOGRAM, not keys: $a")
     assert(a.exprCols.size === 1 && a.exprMinMax.size === 1 &&
       a.exprCols.head._1 === a.exprMinMax.head._1,
       "a computed measure must advise an expression partial, NOT keys " +
@@ -2264,7 +2271,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
     SummaryRewrite.buildAdvice(spark, a, "spec_advice", mvA)
     try {
       Seq(("q1", () => q1), ("q2", () => q2), ("q3", () => q3),
-        ("q4", () => q4), ("q5", () => q5)).foreach {
+        ("q4", () => q4), ("q5", () => q5), ("q6", () => q6)).foreach {
         case (nm, mk) =>
           val p = mk().queryExecution.executedPlan.toString
           assert(p.contains("advised") && !p.contains("documents.parquet"),
@@ -2273,7 +2280,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
           val expect = mk().collect().map(_.toSeq).toSet
           SummaryRewrite.register("spec_advice", SummaryRewrite.Summary(
             a.fact, mvA, a.keys, table = a.table,
-            exprs = (a.exprCols ++ a.exprMinMax).toMap))
+            exprs = (a.exprCols ++ a.exprMinMax ++ a.exprHistCols).toMap))
           assert(mk().collect().map(_.toSeq).toSet === expect,
             s"advised serving diverged for $nm")
       }
@@ -3338,6 +3345,104 @@ class SummaryRewriteSpec extends AnyFunSuite {
         "a cross-branch expression-SQL mismatch must refuse")
     } finally (0 to 1).foreach(i =>
       SummaryRewrite.deregister(s"spec_xu$i"))
+  }
+
+  test("expression HISTOGRAMS: the distinct family, exact percentiles, " +
+      "and sketches over a COMPUTED measure serve from hist_<name>; a " +
+      "bare column sharing the name can never claim it") {
+    val sql = "n_chars * 2 + length(lang)"
+    val emv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/exprhist"
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source"), sumCols = Seq.empty, mvPath = emv,
+      exprHistCols = Seq("nc2" -> sql))
+    SummaryRewrite.install(spark)
+    def reg(): Unit = SummaryRewrite.register("spec_xhist",
+      SummaryRewrite.Summary("documents.parquet", emv, Set("source"),
+        exprs = Map("nc2" -> sql)))
+    reg()
+    try {
+      def q = docs.groupBy($"source").agg(
+        expr(s"count(DISTINCT $sql)").as("n_uniq"),
+        expr(s"sum(DISTINCT $sql)").as("sum_uniq"),
+        expr(s"median($sql)").as("med"),
+        expr(s"percentile($sql, 0.9)").as("p90"),
+        expr(s"approx_count_distinct($sql)").as("sketch"),
+        min(expr(sql)).as("lo"),
+        max(expr(sql)).as("hi"),
+        count(expr(sql)).as("c"),
+        count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("exprhist") && !p.contains("documents.parquet"),
+        s"expression histogram did not serve:\n$p")
+      assert(p.contains("Generate"),
+        "the served plan must explode the expression histogram")
+      SummaryRewrite.deregister("spec_xhist")
+      val expect = q.collect().map(_.toSeq).toSet
+      reg()
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "expression-histogram serving diverged (sketch bit-identity " +
+          "included)")
+      // a DIFFERENT expression refuses
+      val other = docs.groupBy($"source")
+        .agg(expr("count(DISTINCT n_chars * 3)").as("u"))
+      assert(other.queryExecution.executedPlan.toString
+        .contains("documents.parquet"),
+        "an unregistered expression must refuse the histogram")
+      // name-shadow: a fact whose COLUMN is literally named nc2 must
+      // never claim the expression's histogram by name
+      val tmp2 = java.nio.file.Files.createTempDirectory("graft-mvspec")
+        .toString
+      docs.withColumn("nc2", $"n_chars" * 5)
+        .write.parquet(s"$tmp2/shadowfact.parquet")
+      SummaryRewrite.register("spec_xhist_shadow",
+        SummaryRewrite.Summary("shadowfact.parquet", emv, Set("source"),
+          exprs = Map("nc2" -> sql)))
+      try {
+        val shadow = spark.read.parquet(s"$tmp2/shadowfact.parquet")
+          .groupBy($"source").agg(countDistinct($"nc2").as("u"))
+        assert(shadow.queryExecution.executedPlan.toString
+          .contains("shadowfact.parquet"),
+          "a bare column named like the expression must NOT serve " +
+            "from its histogram (the bytes mean a different multiset)")
+      } finally SummaryRewrite.deregister("spec_xhist_shadow")
+    } finally SummaryRewrite.deregister("spec_xhist")
+  }
+
+  test("expression histograms ride the lifecycle: fold == rebuild, " +
+      "audit, and CDC retraction of a computed measure's multiset") {
+    val sql = "n_chars * 2 + length(lang)"
+    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/xhiststore"
+    val fact = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    graft.operators.IndexOps.writeSnapshot(
+      SummaryRewrite.summaryFrame(fact.filter(col("doc_id") % 3 === 0),
+        Seq("source"), Seq.empty, exprHistCols = Seq("nc2" -> sql))
+        .coalesce(1), store)
+    SummaryRewrite.mergeDelta(spark, store,
+      fact.filter(col("doc_id") % 3 =!= 0), Seq("source"), Seq.empty,
+      exprCols = Seq("nc2" -> sql))
+    val reg = SummaryRewrite.Summary("documents.parquet", "",
+      Set("source"), store = Some(store), exprs = Map("nc2" -> sql))
+    assert(SummaryRewrite.auditSummaryFrame(spark, fact, reg,
+      Seq.empty).count() === 0,
+      "folded expression histogram diverged from rebuild")
+    // a fold whose exprCols omit the histogram's SQL refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      SummaryRewrite.mergeDelta(spark, store, fact.limit(3),
+        Seq("source"), Seq.empty)
+    }
+    assert(e.getMessage.contains("hist_nc2"),
+      s"refusal must name the histogram, got: ${e.getMessage}")
+    // CDC: deleting rows retracts the computed measure's multiset
+    val deletes = fact.filter(col("doc_id") % 7 === 0)
+    SummaryRewrite.applyCdc(spark, store, fact.limit(0), deletes,
+      Seq("source"), Seq.empty, exprCols = Seq("nc2" -> sql))
+    val newFact = fact.exceptAll(deletes)
+    assert(SummaryRewrite.auditSummaryFrame(spark, newFact, reg,
+      Seq.empty).count() === 0,
+      "CDC-retracted expression histogram diverged from rebuild")
   }
 
   test("expression measures ride the lifecycle: catalog roundtrip, " +
