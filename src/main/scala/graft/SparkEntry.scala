@@ -732,6 +732,9 @@ object SparkEntry {
     // exact distinct/percentiles of a computed measure via the
     // expression histogram — median revenue without keying its columns
     "q289_summary_expr_hist" -> (IndexOps.q289SummaryExprHist _),
+    // GROUP BY year(date) over a UNION of epoch facts, served from
+    // per-epoch day-keyed summaries — the multi-epoch dashboard shape
+    "q290_summary_union_coarsen" -> (IndexOps.q290SummaryUnionCoarsen _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

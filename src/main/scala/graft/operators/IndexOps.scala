@@ -2066,6 +2066,69 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q289_lineitem_rev_hist")
   }
 
+  // --------------------------------------------------------------- q290
+
+  /** q290 — the multi-epoch calendar dashboard: `GROUP BY
+    * year(o_orderdate)` with expression-partial revenue over a UNION
+    * of two epoch directories, each serving from its OWN day-keyed
+    * summary. This is the realistic 100 TB deployment shape — monthly
+    * ingest lands each epoch as its own directory with its own
+    * artifact, dashboards union the epochs and group by a calendar
+    * COARSENING — and it exercises the round's extension end to end:
+    * the optimizer hoists `year(o_orderdate)` and pushes it inside
+    * every union branch (PushProjectionThroughUnion), the rule proves
+    * the branches compute the identical expression, bridges it through
+    * branch 0's subst, and substitutes per-epoch summary scans whose
+    * `sumx_`/`cntx_`/`maxx_` partials fold across the union (exact: Σ
+    * over branches of exact partials is the aggregate over the
+    * concatenated facts). The epochs partition the orders table, so
+    * the oracle is the plain calendar rollup over `orders`. In-gate:
+    * both artifacts serve, neither epoch's fact is scanned, and an
+    * epoch losing its registration refuses the WHOLE union back to the
+    * facts (no half-served answers). */
+  def q290SummaryUnionCoarsen(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val revSql = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q290").toString
+    val orders = load(s, dir, "orders")
+    val epochs = (0 to 1).map { i =>
+      val p = s"$tmp/ep$i/orders_ep.parquet"
+      orders.filter($"o_orderkey" % 2 === i).write.parquet(p)
+      SummaryRewrite.buildSummary(s, p, keys = Seq("o_orderdate"),
+        sumCols = Seq.empty, mvPath = s"$tmp/mvq290_$i",
+        exprCols = Seq("rev" -> revSql),
+        exprMinMax = Seq("rev" -> revSql))
+      p
+    }
+    SummaryRewrite.install(s)
+    def reg(i: Int): Unit = SummaryRewrite.register(s"q290_ep$i",
+      SummaryRewrite.Summary(s"ep$i/orders_ep.parquet", s"$tmp/mvq290_$i",
+        Set("o_orderdate"), exprs = Map("rev" -> revSql)))
+    (0 to 1).foreach(reg)
+    try {
+      def q = s.read.parquet(epochs(0))
+        .union(s.read.parquet(epochs(1)))
+        .groupBy(year($"o_orderdate").as("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr(s"sum($revSql)").as("rev_cents"),
+          expr(s"max($revSql)").as("max_cents"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("mvq290_0") && phys.contains("mvq290_1"),
+        "q290 gate is vacuous: both epoch artifacts must serve")
+      require(!phys.contains("orders_ep.parquet"),
+        "q290 gate broken: an epoch fact is still scanned")
+      // one uncovered epoch refuses the WHOLE union — a half-served
+      // answer would silently miss that epoch's rows
+      SummaryRewrite.deregister("q290_ep1")
+      require(q.queryExecution.executedPlan.toString
+        .contains("orders_ep.parquet"),
+        "q290 gate broken: an uncovered epoch must refuse the rewrite")
+      reg(1)
+      val rows = q.collect().toIndexedSeq // one row per calendar year
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally (0 to 1).foreach(i => SummaryRewrite.deregister(s"q290_ep$i"))
+  }
+
   // --------------------------------------------------------------- q288
 
   /** q288 — the expression-measure REVENUE dashboard under native
@@ -2914,6 +2977,18 @@ object IndexOps {
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    // q290: the calendar revenue rollup off the WHOLE orders table —
+    // the two epochs union back to exactly `orders` (even/odd
+    // o_orderkey split), so the per-epoch artifacts are invisible to
+    // the answer; only the plan gates see them
+    "q290_summary_union_coarsen" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS rev_cents,
+        |  CAST(max(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS max_cents
+        |FROM orders GROUP BY 1""".stripMargin,
     // q282: the dashboard header — multi-distinct (hist measure + key)
     // beside plain totals, exact off the fact
     "q282_summary_hist_multidistinct" ->

@@ -1539,6 +1539,23 @@ object SummaryRewrite {
           subst(a.exprId)
       }
 
+    /** [[inline]] for an aggregate-list entry: a BARE attribute whose
+      * subst entry is a computed expression (the user aliased
+      * `length(lang) as ll` below the aggregate and grouped by `ll`)
+      * re-wraps under its own name and exprId, so the output schema is
+      * untouched and the grouping-expression derivation sees the
+      * coarsening; anything else that stops being named refuses. */
+    private def inlineNamed(e: NamedExpression,
+        subst: Map[ExprId, Expression]): Option[NamedExpression] =
+      inline(e, subst) match {
+        case ne: NamedExpression => Some(ne)
+        case ex => e match {
+          case a: AttributeReference =>
+            Some(Alias(ex, a.name)(exprId = a.exprId))
+          case _ => None
+        }
+      }
+
     private def safeProjectEntry(ne: NamedExpression): Boolean = ne match {
       case _: AttributeReference => true
       case a: Alias => a.child.deterministic &&
@@ -1702,8 +1719,79 @@ object SummaryRewrite {
       * attrs under fresh exprIds and PushProjectionThroughUnion lands
       * them inside the branches): those are column-IDENTITY and safe
       * for by-name matching as long as each alias preserves its
-      * column's name. Any computed alias — or a rename to a DIFFERENT
-      * name — refuses (the shadowing class). */
+      * column's name.
+      *
+      * COMPUTED aliases are admitted only when every branch computes
+      * the SAME expression at the same output position (semantic
+      * equality after rebasing attribute references by lower-cased
+      * name onto branch 0's) — exactly the shape
+      * PullOutGroupingExpressions + PushProjectionThroughUnion emit
+      * for `GROUP BY f(key)` / `ROLLUP(f(key))` over a union: the
+      * hoisted grouping alias lands inside every branch as one
+      * identical computed projection, so derivations against branch 0
+      * hold verbatim on every branch. A computed alias that differs
+      * across branches, pairs with a bare column in another branch,
+      * or is nondeterministic refuses (the shadowing class: a branch
+      * whose `n_chars` is secretly `abs(n_chars)` must not fold into
+      * a by-name measure match). */
+    private def substAgrees(u: Union, shapes: Seq[Shape]): Boolean = {
+      val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+      // per-branch: renames preserve their column's name; computed
+      // aliases must be carriable (deterministic, aggregate- and
+      // subquery-free — branch 0's get INLINED into the derivation)
+      val perBranch = u.children.zip(shapes).forall { case (c, sh) =>
+        sh.subst.forall { case (id, e) =>
+          e match {
+            case ar: AttributeReference =>
+              c.output.find(_.exprId == id)
+                .forall(o => lower(o.name) == lower(ar.name))
+            case other => carriableGrouping(other)
+          }
+        }
+      }
+      // cross-branch: resolve every output position through its
+      // branch's subst; computed positions must agree semantically
+      def resolve(c: LogicalPlan, sh: Shape, p: Int): Expression = {
+        val o = c.output(p)
+        sh.subst.getOrElse(o.exprId, o)
+      }
+      perBranch && u.output.indices.forall { p =>
+        resolve(u.children.head, shapes.head, p) match {
+          case _: AttributeReference =>
+            // positional NAME agreement is the callers' check; here a
+            // computed alias under a bare column elsewhere refuses
+            u.children.zip(shapes).forall { case (c, sh) =>
+              resolve(c, sh, p).isInstanceOf[AttributeReference] }
+          case e0 =>
+            val pool = e0.references.toSeq
+              .map(a => lower(a.name) -> a).toMap
+            u.children.zip(shapes).drop(1).forall { case (c, sh) =>
+              resolve(c, sh, p) match {
+                case _: AttributeReference => false
+                case ei =>
+                  var ok = true
+                  val rebased = ei.transform {
+                    case a: AttributeReference =>
+                      pool.get(lower(a.name)) match {
+                        case Some(b) if b.dataType == a.dataType => b
+                        case _ => ok = false; a
+                      }
+                  }
+                  ok && rebased.semanticEquals(e0)
+              }
+            }
+        }
+      }
+    }
+
+    /** The STRICT variant: rename-only substs, no computed aliases at
+      * all. The star-join fact-union path keeps this discipline — its
+      * join conditions and aggregates reference the union's OUTPUT
+      * attrs and are matched to artifact columns BY NAME without
+      * inlining through a branch subst, so a computed alias (even a
+      * cross-branch-identical one) could claim a real column's key or
+      * partial. The flat and Expand union paths bridge union outputs
+      * through branch-0's subst and use [[substAgrees]] instead. */
     private def renameOnlySubst(u: Union, shapes: Seq[Shape]): Boolean = {
       val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
       u.children.zip(shapes).forall { case (c, sh) =>
@@ -1763,9 +1851,9 @@ object SummaryRewrite {
         val direct = for {
           shape <- decompose(child)
           groupExprs = groupExprs0.map(inline(_, shape.subst))
-          aggExprsI = aggExprs0.map(e => inline(e, shape.subst))
-          if aggExprsI.forall(_.isInstanceOf[NamedExpression])
-          aggExprs = aggExprsI.map(_.asInstanceOf[NamedExpression])
+          aggExprsO = aggExprs0.map(inlineNamed(_, shape.subst))
+          if aggExprsO.forall(_.isDefined)
+          aggExprs = aggExprsO.map(_.get)
           if groupExprs.forall(carriableGrouping)
           needed = (groupExprs.flatMap(_.references.toSeq.map(_.name)) ++
             shape.pred.toSeq.flatMap(_.references.toSeq.map(_.name))).toSet
@@ -1780,10 +1868,9 @@ object SummaryRewrite {
             below match {
               case j: Join =>
                 val gs = groupExprs0.map(inline(_, subst))
-                val asI = aggExprs0.map(e => inline(e, subst))
-                if (asI.forall(_.isInstanceOf[NamedExpression]))
-                  tryJoinRewrite(gs,
-                    asI.map(_.asInstanceOf[NamedExpression]), j, hint)
+                val asO = aggExprs0.map(inlineNamed(_, subst))
+                if (asO.forall(_.isDefined))
+                  tryJoinRewrite(gs, asO.map(_.get), j, hint)
                 else None
               case ex: Expand =>
                 tryExpandRewrite(groupExprs0, aggExprs0, ex, hint)
@@ -1791,10 +1878,9 @@ object SummaryRewrite {
                 tryDistinctHistRewrite(groupExprs0, aggExprs0, inner, hint)
               case un: Union =>
                 val gs = groupExprs0.map(inline(_, subst))
-                val asI = aggExprs0.map(e => inline(e, subst))
-                if (asI.forall(_.isInstanceOf[NamedExpression]))
-                  tryUnionRewrite(gs,
-                    asI.map(_.asInstanceOf[NamedExpression]), un, hint)
+                val asO = aggExprs0.map(inlineNamed(_, subst))
+                if (asO.forall(_.isDefined))
+                  tryUnionRewrite(gs, asO.map(_.get), un, hint)
                 else None
               case _ => None
             }
@@ -1971,16 +2057,19 @@ object SummaryRewrite {
       // (ROLLUP over a multi-epoch corpus): classify and derive
       // against branch 0's artifact, then substitute a union of
       // per-branch canonical scans for the fact (the tryUnionRewrite
-      // discipline: positional names, no computed branch aliases, one
-      // uncovered epoch refuses everything). Bare-key rollups only:
-      // a hoisted grouping-alias project gets pushed INTO the union
-      // branches by the optimizer and refuses as a computed alias.
+      // discipline: positional names, cross-branch-identical aliases,
+      // one uncovered epoch refuses everything). `ROLLUP(year(ts))`
+      // lands here with the hoisted grouping alias pushed INTO the
+      // union branches by the optimizer — [[substAgrees]] admits it
+      // when every branch computes the same expression, and the
+      // keyPos classifier then inlines it through branch 0's subst
+      // like any direct-path coarsening.
       val unionOpt: Option[(Union, Seq[Shape])] = child match {
         case u: Union if !u.byName && u.children.size >= 2 =>
           val shapesOpt = u.children.map(decompose)
           if (shapesOpt.exists(_.isEmpty)) return None
           val shapes = shapesOpt.map(_.get)
-          if (!renameOnlySubst(u, shapes)) return None
+          if (!substAgrees(u, shapes)) return None
           val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
           if (!u.children.forall(c =>
               c.output.map(a => lower(a.name)) ==
@@ -2737,9 +2826,14 @@ object SummaryRewrite {
       * does.
       *
       * Soundness guardrails: positional semantics only (`byName`
-      * refuses); every branch decomposes with NO computed aliases
-      * (column-pruning projects and key-only filters fine — a
-      * computed column could shadow a measure by name) and every
+      * refuses); every branch decomposes with rename-only or
+      * cross-branch-IDENTICAL computed aliases ([[substAgrees]] —
+      * `GROUP BY year(ts)` over a union lands the hoisted grouping
+      * alias inside every branch), and the group/agg expressions are
+      * bridged through branch-0's subst before classification, so a
+      * computed column can never shadow a measure by name — it
+      * resolves to its computing EXPRESSION and serves only through a
+      * same-SQL expression partial; every
       * branch's column names must agree POSITIONALLY with the union
       * output (same-schema epochs — the name is the only cross-branch
       * identity the naming contract has); measures derive against
@@ -2748,8 +2842,8 @@ object SummaryRewrite {
       * per-branch key-only filters push onto that branch's summary
       * scan. Any failure refuses the whole rewrite — one uncovered
       * epoch means the fact union answers. */
-    private def tryUnionRewrite(groupExprs: Seq[Expression],
-        aggExprs: Seq[NamedExpression], u: Union,
+    private def tryUnionRewrite(groupExprs0: Seq[Expression],
+        aggExprs0: Seq[NamedExpression], u: Union,
         hint: Option[AggregateHint]): Option[Aggregate] = {
       if (u.byName || u.children.size < 2) return None
       val shapesOpt = u.children.map(decompose)
@@ -2759,10 +2853,10 @@ object SummaryRewrite {
         return None
       }
       val shapes = shapesOpt.map(_.get)
-      if (!renameOnlySubst(u, shapes)) {
-        note("union: a branch carries computed projections — measures " +
-          "are matched by NAME across branches, so non-rename aliases " +
-          "refuse")
+      if (!substAgrees(u, shapes)) {
+        note("union: branch projections disagree — a computed alias " +
+          "must be the identical expression in every branch (renames " +
+          "name-preserving); anything else could shadow a measure")
         return None
       }
       val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
@@ -2772,6 +2866,21 @@ object SummaryRewrite {
         note("union: branch column names disagree positionally")
         return None
       }
+      // bridge union OUTPUT attrs to branch-0's inlined expressions: a
+      // computed grouping alias resolves to its base expression (the
+      // direct path's coarsening shape — substAgrees proved every
+      // branch computes the same thing), and a computed measure alias
+      // resolves to an EXPRESSION that can only serve through a
+      // same-SQL expression partial, never by claiming the real
+      // column's partial by name
+      val unionSubst: Map[ExprId, Expression] =
+        u.output.zip(u.children.head.output).flatMap { case (uo, bo) =>
+          shapes.head.subst.get(bo.exprId).map(uo.exprId -> _)
+        }.toMap
+      val groupExprs = groupExprs0.map(inline(_, unionSubst))
+      val aggExprsO = aggExprs0.map(inlineNamed(_, unionSubst))
+      if (aggExprsO.exists(_.isEmpty)) return None
+      val aggExprs = aggExprsO.map(_.get)
       if (!groupExprs.forall(carriableGrouping)) return None
       val groupRefNames =
         groupExprs.flatMap(_.references.toSeq.map(_.name)).toSet

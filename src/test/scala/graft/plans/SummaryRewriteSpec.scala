@@ -2664,6 +2664,78 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally (0 to 2).foreach(i => SummaryRewrite.deregister(s"spec_u$i"))
   }
 
+  test("computed GROUPING expressions over a UNION serve — the hoisted " +
+      "grouping alias lands inside every branch as one identical " +
+      "projection: flat GROUP BY f(key), ROLLUP(f(key)), and a " +
+      "user-written identical alias; branches computing DIFFERENT " +
+      "expressions at the same position refuse") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+    val epochs = (0 to 1).map { i =>
+      val p = s"$tmp/cg$i/d.parquet"
+      docsAll.filter($"doc_id" % 2 === i).write.parquet(p)
+      SummaryRewrite.buildSummary(spark, p, keys = Seq("source", "lang"),
+        sumCols = Seq("n_chars"), mvPath = s"$tmp/mvcg$i",
+        minMaxCols = Seq("n_chars"))
+      p
+    }
+    SummaryRewrite.install(spark)
+    def reg(i: Int): Unit = SummaryRewrite.register(s"spec_cg$i",
+      SummaryRewrite.Summary(s"cg$i/d.parquet", s"$tmp/mvcg$i",
+        Set("source", "lang")))
+    (0 to 1).foreach(reg)
+    try {
+      def un = spark.read.parquet(epochs(0))
+        .union(spark.read.parquet(epochs(1)))
+      def served(q: => org.apache.spark.sql.DataFrame,
+          what: String): Unit = {
+        val p = q.queryExecution.executedPlan.toString
+        assert(Seq("mvcg0", "mvcg1").forall(p.contains) &&
+          !p.contains("d.parquet"),
+          s"$what did not serve both branches:\n$p")
+        (0 to 1).foreach(i => SummaryRewrite.deregister(s"spec_cg$i"))
+        val expect = q.collect().map(_.toSeq).toSet
+        (0 to 1).foreach(reg)
+        assert(q.collect().map(_.toSeq).toSet === expect,
+          s"$what diverged from the fact-union plan")
+      }
+      // flat GROUP BY f(key): PullOutGroupingExpressions hoists
+      // upper(lang), PushProjectionThroughUnion lands it inside each
+      // branch — substAgrees proves the branches identical, the
+      // bridge inlines it, and the coarsening serves like any direct
+      // GROUP BY f(key)
+      served(un.groupBy(upper($"lang")).agg(count(lit(1)).as("n"),
+        sum($"n_chars").as("sc")), "flat computed grouping over union")
+      // ROLLUP(f(key)): the same shape through the Expand path
+      served(un.rollup(upper($"lang"), $"source")
+        .agg(count(lit(1)).as("n"), max($"n_chars").as("mx")),
+        "rollup computed grouping over union")
+      // a USER-written computed alias, identical in both branches
+      def unA = spark.read.parquet(epochs(0))
+        .select($"source", $"lang", length($"lang").as("ll"), $"n_chars")
+        .union(spark.read.parquet(epochs(1))
+          .select($"source", $"lang", length($"lang").as("ll"),
+            $"n_chars"))
+      served(unA.groupBy($"ll").agg(sum($"n_chars").as("sc")),
+        "identical user-written branch alias")
+      // DIFFERENT expressions at the same position refuse — folding
+      // branch 1's `length(lang)+2` into branch 0's `length(lang)+1`
+      // derivation would be silently wrong
+      val diverged = spark.read.parquet(epochs(0))
+        .select($"source", $"lang",
+          (length($"lang") + lit(1)).as("ll"), $"n_chars")
+        .union(spark.read.parquet(epochs(1))
+          .select($"source", $"lang",
+            (length($"lang") + lit(2)).as("ll"), $"n_chars"))
+        .groupBy($"ll").agg(sum($"n_chars").as("sc"))
+      assert(diverged.queryExecution.executedPlan.toString
+        .contains("d.parquet"),
+        "cross-branch-divergent computed aliases must refuse")
+    } finally (0 to 1).foreach(i => SummaryRewrite.deregister(s"spec_cg$i"))
+  }
+
   test("layout degrades to ONE sorted file when AQE is disabled " +
       "(repartitionByRange would shatter into shuffle.partitions files)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
