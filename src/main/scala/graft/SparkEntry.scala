@@ -735,6 +735,9 @@ object SparkEntry {
     // GROUP BY year(date) over a UNION of epoch facts, served from
     // per-epoch day-keyed summaries — the multi-epoch dashboard shape
     "q290_summary_union_coarsen" -> (IndexOps.q290SummaryUnionCoarsen _),
+    // hybrid union: the covered epoch serves its artifact, the
+    // not-yet-summarized epoch partializes — values collected hybrid
+    "q291_summary_hybrid_union" -> (IndexOps.q291SummaryHybridUnion _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

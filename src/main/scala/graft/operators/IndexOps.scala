@@ -1583,10 +1583,11 @@ object IndexOps {
     * aggregate over the concatenated facts, distinct-over-keys
     * included (the union of per-epoch key sets is the concatenation's
     * key set). The rewrite substitutes each branch's summary scan
-    * independently and unions them; ONE uncovered epoch refuses the
-    * whole rewrite (gated here: with only epoch 1 registered the fact
-    * union must scan; with both registered the plan must read both
-    * artifacts and neither fact). At 100 TB this turns a two-epoch
+    * independently and unions them; ONE uncovered epoch serves HYBRID
+    * (gated here: with only epoch 1 registered, epoch 1's artifact
+    * serves while epoch 2's fact partializes; with both registered the
+    * plan must read both artifacts and neither fact). At 100 TB this
+    * turns a two-epoch
     * dashboard refresh from 2× corpus scans into 2× kilobyte reads.
     * Values oracle-checked against the whole table (epoch1 ∪ epoch2 =
     * documents by construction). */
@@ -1614,11 +1615,13 @@ object IndexOps {
           sum($"n_chars").as("sum_chars"),
           max($"n_chars").as("max_chars"),
           countDistinct($"lang").as("n_langs"))
-      // refusal first: epoch 2 has no covering summary yet — the whole
-      // union must scan facts (a half-served union would double-count
-      // nothing and miss everything of epoch 2)
-      require(q.queryExecution.executedPlan.toString.contains("docs.parquet"),
-        "q277 setup broken: an uncovered epoch must force the fact scan")
+      // hybrid first: epoch 2 has no covering summary yet — its fact
+      // rows PARTIALIZE (exact) while epoch 1 already serves from its
+      // artifact
+      val ph = q.queryExecution.executedPlan.toString
+      require(ph.contains("docs.parquet") && ph.contains("mv_epoch1"),
+        "q277 setup broken: an uncovered epoch must serve hybrid " +
+          "(covered artifact + partialized fact)")
       SummaryRewrite.register("q277_epoch2", SummaryRewrite.Summary(
         "epoch2/docs.parquet", s"$tmp/mv_epoch2", Set("source", "lang")))
       val phys = q.queryExecution.executedPlan.toString
@@ -2084,8 +2087,9 @@ object IndexOps {
     * concatenated facts). The epochs partition the orders table, so
     * the oracle is the plain calendar rollup over `orders`. In-gate:
     * both artifacts serve, neither epoch's fact is scanned, and an
-    * epoch losing its registration refuses the WHOLE union back to the
-    * facts (no half-served answers). */
+    * epoch losing its registration degrades to HYBRID serving — the
+    * covered epoch keeps its artifact scan while the uncovered one
+    * partializes (q291 gates the hybrid VALUES). */
   def q290SummaryUnionCoarsen(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
     val revSql = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
@@ -2117,16 +2121,75 @@ object IndexOps {
         "q290 gate is vacuous: both epoch artifacts must serve")
       require(!phys.contains("orders_ep.parquet"),
         "q290 gate broken: an epoch fact is still scanned")
-      // one uncovered epoch refuses the WHOLE union — a half-served
-      // answer would silently miss that epoch's rows
+      // one uncovered epoch serves HYBRID: epoch 0 keeps its artifact
+      // scan while epoch 1's fact rows partialize (the registered
+      // revenue SQL replays per row) — never a half answer, never a
+      // full fact union
       SummaryRewrite.deregister("q290_ep1")
-      require(q.queryExecution.executedPlan.toString
-        .contains("orders_ep.parquet"),
-        "q290 gate broken: an uncovered epoch must refuse the rewrite")
+      val ph = q.queryExecution.executedPlan.toString
+      require(ph.contains("mvq290_0") &&
+        ph.contains("ep1/orders_ep.parquet") &&
+        !ph.contains("ep0/orders_ep.parquet"),
+        "q290 gate broken: hybrid serving must partialize exactly the " +
+          "uncovered epoch")
       reg(1)
       val rows = q.collect().toIndexedSeq // one row per calendar year
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
     } finally (0 to 1).foreach(i => SummaryRewrite.deregister(s"q290_ep$i"))
+  }
+
+  // --------------------------------------------------------------- q291
+
+  /** q291 — HYBRID union serving, values gated: the "latest epoch not
+    * yet summarized" deployment shape. Epoch 0 (historic documents)
+    * has a registered summary; epoch 1 (today's ingest) has NONE. The
+    * union aggregate serves epoch 0 from its kilobyte artifact and
+    * PARTIALIZES epoch 1's fact rows in place — each row projects to
+    * the partial schema (cnt=1, sum_x=x, cnt_x = x IS NOT NULL), which
+    * the outer fold consumes exactly like summary rows; Spark's own
+    * partial aggregation does the map-side combine, so the uncovered
+    * epoch pays exactly its pre-rewrite cost while the covered one
+    * drops to summary size. The emitted values are collected IN the
+    * hybrid state and hash-checked against DuckDB over the whole table
+    * (the epochs partition `documents`) — the strongest possible
+    * exactness proof for the partializer. In-gate plan proofs: the
+    * artifact serves, epoch 1's fact scans, epoch 0's fact does NOT.
+    * At 100 TB this is every dashboard's steady state: history reads
+    * kilobytes, only the unsummarized tail pays a scan. */
+  def q291SummaryHybridUnion(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q291").toString
+    val docs = load(s, dir, "documents")
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+    val (e0, e1) = (s"$tmp/old/docs.parquet", s"$tmp/new/docs.parquet")
+    docs.filter($"doc_id" % 4 =!= 3).write.parquet(e0)
+    docs.filter($"doc_id" % 4 === 3).write.parquet(e1)
+    SummaryRewrite.buildSummary(s, e0, keys = Seq("source", "lang"),
+      sumCols = Seq("n_chars"), mvPath = s"$tmp/mvq291",
+      minMaxCols = Seq("n_chars"))
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q291_old", SummaryRewrite.Summary(
+      "old/docs.parquet", s"$tmp/mvq291", Set("source", "lang")))
+    try {
+      val q = s.read.parquet(e0).union(s.read.parquet(e1))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          min($"n_chars").as("min_chars"),
+          max($"n_chars").as("max_chars"),
+          countDistinct($"source").as("n_sources"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("mvq291"),
+        "q291 gate is vacuous: the covered epoch must serve its artifact")
+      require(phys.contains("new/docs.parquet"),
+        "q291 gate broken: the uncovered epoch must scan (partialized)")
+      require(!phys.contains("old/docs.parquet"),
+        "q291 gate broken: the covered epoch's fact must not be scanned")
+      // collected IN the hybrid state — these are the values the
+      // driver hashes against DuckDB over the whole documents table
+      val rows = q.collect().toIndexedSeq // one row per lang
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q291_old")
   }
 
   // --------------------------------------------------------------- q288
@@ -2989,6 +3052,16 @@ object IndexOps {
         |  CAST(max(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
         |    AS BIGINT) AS max_cents
         |FROM orders GROUP BY 1""".stripMargin,
+    // q291: the per-lang profile off the WHOLE documents table — the
+    // epochs partition it (doc_id % 4), so hybrid serving (artifact +
+    // partialized tail) must reproduce the plain aggregate exactly
+    "q291_summary_hybrid_union" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents GROUP BY 1""".stripMargin,
     // q282: the dashboard header — multi-distinct (hist measure + key)
     // beside plain totals, exact off the fact
     "q282_summary_hist_multidistinct" ->

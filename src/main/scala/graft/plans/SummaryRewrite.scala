@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType}
 
 /** Marker contract for DSv2 `Scan` implementations that NEVER consume
   * pushed filters or aggregates — `pushedFilters()` is empty and every
@@ -239,6 +239,11 @@ object SummaryRewrite {
     new java.util.concurrent.atomic.AtomicLong(0L)
   private val storeListCache =
     new ConcurrentHashMap[String, (Long, Option[Long])]()
+  /** Artifact-footprint cache for candidate ORDERING: path → (stamp,
+    * bytes), TTL'd like the store listing. Cost-choice only — a stale
+    * size within one TTL picks a dearer-but-correct artifact, never a
+    * wrong answer, so no invalidation hooks are needed. */
+  private val sizeCache = new ConcurrentHashMap[String, (Long, Long)]()
 
   /** Drop a store's cached newest-snapshot listing (called by the
     * snapshot writers so same-JVM commit-then-query is immediate). */
@@ -564,6 +569,7 @@ object SummaryRewrite {
     bound.clear()
     lastListNanos.clear()
     storeListCache.clear()
+    sizeCache.clear()
   }
 
   // ------------------------------------------------------------ catalog
@@ -1656,8 +1662,35 @@ object SummaryRewrite {
       if (matching.isEmpty && all.nonEmpty)
         note(s"no registered summary matches fact path(s)/table(s) " +
           (shape.paths ++ shape.tables).mkString(", "))
-      covering.sortBy { case (name, s) => (s.keys.size, name) }
+      // COST-ordered: smallest artifact first (actual bytes, TTL-
+      // cached), then fewest keys, then name — the first candidate
+      // that derives the measures wins, so the cheapest covering
+      // summary serves. Key-count alone is a weak proxy (a 1-key
+      // per-document rollup dwarfs a 2-key dashboard summary); bytes
+      // are what the serving scan actually pays.
+      covering.sortBy { case (name, s) =>
+        (artifactBytes(s), s.keys.size, name)
+      }
     }
+
+    /** Artifact footprint in bytes for candidate ORDERING, TTL-cached
+      * per path. Unresolved/unreadable artifacts sort LAST but remain
+      * candidates — the per-candidate readable guard downstream
+      * decides whether they can serve at all. */
+    private def artifactBytes(s: Summary): Long =
+      resolveMvPath(s).flatMap { path =>
+        val now = nanoClock()
+        Option(sizeCache.get(path))
+          .filter { case (stamp, _) => now - stamp < refreshTtlNanos }
+          .map(_._2)
+          .orElse(Try {
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val bytes = fs.getContentSummary(p).getLength
+            sizeCache.put(path, (now, bytes))
+            bytes
+          }.toOption)
+      }.getOrElse(Long.MaxValue)
 
     /** Newest committed artifact for the summary — fixed path, or the
       * latest snapshot version when store-backed (None when the store
@@ -2903,7 +2936,18 @@ object SummaryRewrite {
           } yield (n, plan, attrs, s.keys, s.exprs)
         }
       }
-      val result = resolved(0).view.flatMap {
+      // the ANCHOR is the first branch with any covering artifact —
+      // measures derive against its partial schema; every other branch
+      // either resolves its own artifact or PARTIALIZES its fact
+      // (union order is aggregate-irrelevant, so the anchor's plan
+      // leads the rewritten union and binds the output attrs)
+      val anchorIdx = u.children.indices.find(i => resolved(i).nonEmpty)
+        .getOrElse {
+          note("union: no branch has a covering artifact")
+          return None
+        }
+      val otherIdx = u.children.indices.filterNot(_ == anchorIdx)
+      val result = resolved(anchorIdx).view.flatMap {
         case (n0, plan0, attrs0, keys0, exprs0) =>
           val remap0 = (ex: Expression) => ex.transform {
             case a: AttributeReference if attrs0.contains(a.name) =>
@@ -2914,7 +2958,7 @@ object SummaryRewrite {
           // schema contract and assemble the final plan; `extra` names
           // columns the aggregates consume through a wrapper node (the
           // hist explosion) rather than by direct reference, `wrap`
-          // installs that node ABOVE the union (branch-0's attrs are
+          // installs that node ABOVE the union (the anchor's attrs are
           // the union's output, so one Generate serves every epoch —
           // partials fold across branches exactly like the flat union)
           def assemble(newAggs: Seq[NamedExpression],
@@ -2938,38 +2982,56 @@ object SummaryRewrite {
               case nm if nm.startsWith("minx_") => nm.stripPrefix("minx_")
               case nm if nm.startsWith("maxx_") => nm.stripPrefix("maxx_")
             }.distinct
-            val others = u.children.indices.drop(1).map { i =>
+            // HYBRID serving: a branch with no artifact carrying the
+            // required partials falls back to a per-row PARTIALIZER of
+            // its fact — exact by construction, so covered epochs
+            // still shrink to summary scans while the uncovered one
+            // pays what it always paid. Refusal only when a branch
+            // neither resolves nor partializes (sketch/histogram
+            // partials, inexact numeric widening).
+            val others = otherIdx.map { i =>
               resolved(i).find { case (_, _, attrs, keys, exprsI) =>
                 branchCarries(required, refTypes, attrs, keys) &&
                   usedExprNames.forall(en =>
                     exprsI.get(en) == exprs0.get(en))
-              }
+              }.map(scala.util.Left(_)).orElse(
+                partializer(u.children(i), shapes(i), required, refTypes,
+                  exprs0).map(scala.util.Right(_)))
             }
             if (required.isEmpty ||
                 !branchCarries(required, refTypes, attrs0, keys0)) None
             else if (others.exists(_.isEmpty)) {
               note(s"union: candidate '$n0' derives the measures but " +
-                "another branch has no artifact carrying the same " +
-                "partials — refusing (one uncovered epoch scans all)")
+                "another branch has neither a carrying artifact nor an " +
+                "exact fact partialization — refusing")
               None
             } else {
-              val branchPlans =
-                ((n0, plan0, attrs0, keys0, exprs0) +: others.map(_.get))
-                  .zip(shapes).map { case ((_, plan, attrs, _, _), sh) =>
-                    val remapI = (ex: Expression) => ex.transform {
-                      case a: AttributeReference if attrs.contains(a.name) =>
-                        attrs(a.name)
-                    }
-                    val filtered = sh.pred match {
-                      case Some(p) => Filter(remapI(p), plan)
-                      case None => plan
-                    }
-                    Project(required.map(nm => attrs(nm)), filtered)
-                  }
+              def artifactPlan(plan: LogicalPlan,
+                  attrs: Map[String, Attribute], sh: Shape): LogicalPlan = {
+                val remapI = (ex: Expression) => ex.transform {
+                  case a: AttributeReference if attrs.contains(a.name) =>
+                    attrs(a.name)
+                }
+                val filtered = sh.pred match {
+                  case Some(p) => Filter(remapI(p), plan)
+                  case None => plan
+                }
+                Project(required.map(nm => attrs(nm)), filtered)
+              }
+              val anchorPlan =
+                artifactPlan(plan0, attrs0, shapes(anchorIdx))
+              val otherPlans = others.map(_.get).zip(otherIdx).map {
+                case (scala.util.Left((_, plan, attrs, _, _)), i) =>
+                  artifactPlan(plan, attrs, shapes(i))
+                case (scala.util.Right(p), _) => p
+              }
+              val nPart = others.count(_.exists(_.isRight))
               note(s"union aggregate SERVED by summary '$n0' on branch " +
-                s"0 (+${others.size} more branches)")
+                s"$anchorIdx (+${others.size - nPart} artifact, " +
+                s"$nPart partialized fact branches)")
               Some(Aggregate(newGroup, newAggs,
-                wrap(Union(branchPlans.toIndexedSeq)), hint))
+                wrap(Union((anchorPlan +: otherPlans).toIndexedSeq)),
+                hint))
             }
           }
           val plain = sequence(aggExprs.map(e =>
@@ -3003,6 +3065,143 @@ object SummaryRewrite {
         note("union: no candidate combination serves every branch")
       result
     }
+
+    /** Per-row PARTIALIZER — the hybrid-union fallback for a branch
+      * with no covering artifact: the branch's fact rows project to
+      * the summary partial schema (`cnt`=1, `sum_<c>`=c, `cnt_<c>`=
+      * c IS NOT NULL, `min_/max_<c>`=c, `sumx_/cntx_/minx_/maxx_<n>` =
+      * the registered SQL evaluated per row), so the outer aggregate
+      * folds them EXACTLY like summary rows — Σ of per-row partials
+      * over the branch IS the branch's exact partials, and Spark's own
+      * partial aggregation does the map-side combine. Covered epochs
+      * shrink to kilobyte artifact scans while the uncovered one pays
+      * exactly what it paid before the rewrite: the "latest epoch not
+      * yet summarized" deployment shape at 100 TB. Value-SET
+      * consumers stay exact too (distinct-over-keys, frequency-
+      * argument percentiles with cnt=1, HLL over key VALUES — all
+      * multiplicity-pure).
+      *
+      * Only EXACT constructions are emitted: identity, integral→long,
+      * and same-scale decimal widening for sums; identity for min/max
+      * and keys; `hll_`/`hist_` partials refuse (registers and capped
+      * histograms are not per-row constructions — those unions keep
+      * the all-covered requirement). The branch's key-only filter is
+      * grafted UNDER the projection onto a fresh scan of the same
+      * paths/table, so predicate pushdown reaches the parquet reader.
+      * Any unresolvable column, missing registered SQL, type drift, or
+      * nondeterministic expression refuses the branch (and with it the
+      * whole rewrite — never a wrong answer). */
+    private def partializer(branch: LogicalPlan, sh: Shape,
+        required: Seq[String], refTypes: Map[String, DataType],
+        exprSql: Map[String, String]): Option[LogicalPlan] = Try {
+      def bq(s: String) = "`" + s.replace("`", "``") + "`"
+      // the fresh scan must be FORMAT-faithful: a path branch is
+      // re-read as parquet, so only a V1 parquet relation qualifies
+      // (a CSV/JSON/FITS branch refuses — re-reading its paths as
+      // parquet would be a different table); a table-identified
+      // branch re-reads through the catalog, which is always faithful
+      @scala.annotation.tailrec
+      def leafOf(p: LogicalPlan): LogicalPlan = p match {
+        case Project(_, c) => leafOf(c)
+        case Filter(_, c) => leafOf(c)
+        case other => other
+      }
+      val pathBranchOk = leafOf(branch) match {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.fileFormat.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.parquet
+              .ParquetFileFormat]
+          case _ => false
+        }
+        case _ => false
+      }
+      if (sh.paths.nonEmpty && !pathBranchOk) return None
+      val df0 =
+        if (sh.paths.nonEmpty) spark.read.parquet(sh.paths: _*)
+        else spark.table(sh.tables.head)
+      val srcCols = df0.schema.map(_.name).toSet
+      // raw pass: per required column, the uncast source expression
+      // (counts are emitted final — they are BIGINT by construction)
+      def colOf(nm: String, pfx: String): Option[String] =
+        Some(nm.stripPrefix(pfx)).filter(srcCols.contains)
+      def sqlOf(nm: String, pfx: String): Option[String] =
+        exprSql.get(nm.stripPrefix(pfx))
+      val raws: Seq[Option[String]] = required.map {
+        case "cnt" => Some("CAST(1 AS BIGINT) AS `cnt`")
+        case nm if nm.startsWith("hll_") || nm.startsWith("hist_") =>
+          None
+        case nm if nm.startsWith("cnt_") =>
+          colOf(nm, "cnt_").map(c =>
+            s"CAST(IF(${bq(c)} IS NULL, 0, 1) AS BIGINT) AS ${bq(nm)}")
+        case nm if nm.startsWith("cntx_") =>
+          sqlOf(nm, "cntx_").map(sql =>
+            s"CAST(IF(($sql) IS NULL, 0, 1) AS BIGINT) AS ${bq(nm)}")
+        case nm if nm.startsWith("sum_") =>
+          colOf(nm, "sum_").map(c => s"${bq(c)} AS ${bq(nm)}")
+        case nm if nm.startsWith("min_") =>
+          colOf(nm, "min_").map(c => s"${bq(c)} AS ${bq(nm)}")
+        case nm if nm.startsWith("max_") =>
+          colOf(nm, "max_").map(c => s"${bq(c)} AS ${bq(nm)}")
+        case nm if nm.startsWith("sumx_") =>
+          sqlOf(nm, "sumx_").map(sql => s"($sql) AS ${bq(nm)}")
+        case nm if nm.startsWith("minx_") =>
+          sqlOf(nm, "minx_").map(sql => s"($sql) AS ${bq(nm)}")
+        case nm if nm.startsWith("maxx_") =>
+          sqlOf(nm, "maxx_").map(sql => s"($sql) AS ${bq(nm)}")
+        case nm => // summary KEY — the fact column itself
+          Some(nm).filter(srcCols.contains).map(c => bq(c))
+      }
+      if (raws.exists(_.isEmpty)) return None
+      val rawDf = df0.selectExpr(raws.map(_.get): _*)
+      val rawTypes = rawDf.schema.map(f => f.name -> f.dataType).toMap
+      // exactness gate between the raw type and the artifact partial's
+      // type: identity always; integral→long and same-scale decimal
+      // widening for SUM partials only (both are value-exact embeds —
+      // precisely the widenings Spark's own sum() partials perform)
+      def widenOk(nm: String): Boolean = {
+        val (src, dst) = (rawTypes(nm), refTypes(nm))
+        if (src == dst) true
+        else if (!nm.startsWith("sum_") && !nm.startsWith("sumx_")) false
+        else (src, dst) match {
+          case (ByteType | ShortType | IntegerType, LongType) => true
+          case (a: DecimalType, b: DecimalType) =>
+            a.scale == b.scale && b.precision >= a.precision
+          case _ => false
+        }
+      }
+      if (!required.forall(nm => rawTypes.contains(nm) && widenOk(nm)))
+        return None
+      val casts = required.map { nm =>
+        if (rawTypes(nm) == refTypes(nm)) bq(nm)
+        else s"CAST(${bq(nm)} AS ${refTypes(nm).sql}) AS ${bq(nm)}"
+      }
+      val plan = rawDf.selectExpr(casts: _*).queryExecution.analyzed
+      if (plan.output.map(_.name) != required ||
+          plan.output.exists(a => a.dataType != refTypes(a.name)) ||
+          !plan.expressions.forall(_.deterministic))
+        return None
+      // graft the branch's (pre-inlined, key-only) filter under the
+      // projections, rebased by name onto the fresh scan's attrs
+      sh.pred match {
+        case None => Some(plan)
+        case Some(p) =>
+          def graft(pl: LogicalPlan): Option[LogicalPlan] = pl match {
+            case pr @ Project(_, ch) =>
+              graft(ch).map(f => pr.copy(child = f))
+            case leaf =>
+              val byName = leaf.output.map(a => a.name -> a).toMap
+              var ok = true
+              val p2 = p.transform { case a: AttributeReference =>
+                byName.get(a.name) match {
+                  case Some(b) if b.dataType == a.dataType => b
+                  case _ => ok = false; a
+                }
+              }
+              if (ok) Some(Filter(p2, leaf)) else None
+          }
+          graft(plan)
+      }
+    }.toOption.flatten
 
     /** Strip Projects above the Join, collecting hoisted-alias
       * substitutions exactly like [[decompose]] does. */

@@ -2587,8 +2587,8 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("aggregate over a UNION of registered facts serves every branch " +
       "from its own summary (3 epochs), exactly, with per-branch filter " +
-      "push; an uncovered branch, a computed alias, or a positional " +
-      "rename refuses") {
+      "push; an uncovered branch partializes (hybrid); a computed alias " +
+      "or a positional rename refuses") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
       .toString
     val docsAll = spark.read.parquet(s"$dir/documents.parquet")
@@ -2634,11 +2634,17 @@ class SummaryRewriteSpec extends AnyFunSuite {
       val expectF = qf.collect().map(_.toSeq).toSet
       (0 to 2).foreach(reg)
       assert(qf.collect().map(_.toSeq).toSet === expectF)
-      // ONE uncovered epoch refuses the WHOLE rewrite — a half-served
-      // union would silently miss the uncovered epoch's rows
+      // ONE uncovered epoch serves HYBRID: its fact rows PARTIALIZE
+      // (cnt=1, sum_x=x, ... — exact under the fold) while the covered
+      // epochs keep their artifact scans
       SummaryRewrite.deregister("spec_u2")
-      assert(q.queryExecution.executedPlan.toString.contains("d.parquet"),
-        "an uncovered branch must force the whole fact union")
+      val ph = q.queryExecution.executedPlan.toString
+      assert(Seq("mvu0", "mvu1").forall(ph.contains) &&
+        ph.contains("ep2/d.parquet") &&
+        !ph.contains("ep0/d.parquet") && !ph.contains("ep1/d.parquet"),
+        s"hybrid union must partialize exactly the uncovered epoch:\n$ph")
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "hybrid union diverged from the fact union")
       reg(2)
       // a computed alias inside a branch refuses (name-shadowing risk;
       // abs() stays an expression after constant folding — `+ 0L`
@@ -2662,6 +2668,120 @@ class SummaryRewriteSpec extends AnyFunSuite {
         .contains("d.parquet"),
         "positionally disagreeing branch names must refuse")
     } finally (0 to 2).foreach(i => SummaryRewrite.deregister(s"spec_u$i"))
+  }
+
+  test("candidate choice is COST-ordered: among covering artifacts the " +
+      "smallest by bytes serves, even when a bigger one has fewer keys " +
+      "and an earlier name") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    // a_big: per-document rollup — 1 key, fact-cardinality rows, and a
+    // name that sorts FIRST (the old key-count/name order would pick
+    // it); z_small: the dashboard summary — 2 keys, tiny
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("doc_id"), sumCols = Seq("n_chars"),
+      mvPath = s"$tmp/mv_big")
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = s"$tmp/mv_small")
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("a_big", SummaryRewrite.Summary(
+      "documents.parquet", s"$tmp/mv_big", Set("doc_id")))
+    SummaryRewrite.register("z_small", SummaryRewrite.Summary(
+      "documents.parquet", s"$tmp/mv_small", Set("source", "lang")))
+    try {
+      // a global aggregate — BOTH artifacts cover (no grouping keys
+      // needed), so the choice is pure cost
+      val q = docs.agg(count(lit(1)).as("n"),
+        sum($"n_chars").as("sc"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("mv_small") && !p.contains("mv_big"),
+        s"cost order must pick the smaller artifact:\n$p")
+      // and the values are the artifact-free truth
+      SummaryRewrite.deregister("a_big")
+      SummaryRewrite.deregister("z_small")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("z_small", SummaryRewrite.Summary(
+        "documents.parquet", s"$tmp/mv_small", Set("source", "lang")))
+      assert(q.collect().map(_.toSeq).toSet === expect)
+    } finally {
+      SummaryRewrite.deregister("a_big")
+      SummaryRewrite.deregister("z_small")
+    }
+  }
+
+  test("HYBRID union serving: a branch with no covering artifact " +
+      "partializes its fact rows exactly — plain, expression, and " +
+      "nullable measures, filter pushed into the partialized branch, " +
+      "computed grouping composes; histogram-requiring measures still " +
+      "refuse the whole union") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    // a NULLABLE expression measure: AVG must ride the cntx_ non-null
+    // count, and the partializer must replay the same null mask
+    val nnSql = "IF(lang = 'en', CAST(NULL AS BIGINT), n_chars)"
+    val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+    val epochs = (0 to 1).map { i =>
+      val p = s"$tmp/hy$i/d.parquet"
+      docsAll.filter($"doc_id" % 2 === i).write.parquet(p)
+      p
+    }
+    // only epoch 0 gets an artifact — epoch 1 is the "not yet
+    // summarized" branch for the whole law
+    SummaryRewrite.buildSummary(spark, epochs(0),
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = s"$tmp/mvhy0", minMaxCols = Seq("n_chars"),
+      histCols = Seq("n_chars"), exprCols = Seq("ncnn" -> nnSql))
+    SummaryRewrite.install(spark)
+    def reg(): Unit = SummaryRewrite.register("spec_hy0",
+      SummaryRewrite.Summary(s"hy0/d.parquet", s"$tmp/mvhy0",
+        Set("source", "lang"), exprs = Map("ncnn" -> nnSql)))
+    reg()
+    try {
+      def un = spark.read.parquet(epochs(0))
+        .union(spark.read.parquet(epochs(1)))
+      def hybrid(q: => org.apache.spark.sql.DataFrame,
+          what: String): Unit = {
+        val p = q.queryExecution.executedPlan.toString
+        assert(p.contains("mvhy0") && p.contains("hy1/d.parquet") &&
+          !p.contains("hy0/d.parquet"),
+          s"$what did not serve hybrid:\n$p")
+        SummaryRewrite.deregister("spec_hy0")
+        val expect = q.collect().map(_.toSeq).toSet
+        reg()
+        assert(q.collect().map(_.toSeq).toSet === expect,
+          s"$what diverged from the fact-union plan")
+      }
+      // plain measures + distinct-over-keys (multiplicity-pure on
+      // cnt=1 partializer rows)
+      hybrid(un.groupBy($"lang").agg(count(lit(1)).as("n"),
+        sum($"n_chars").as("sc"), min($"n_chars").as("lo"),
+        max($"n_chars").as("hi"), countDistinct($"source").as("ns")),
+        "plain hybrid measures")
+      // the nullable EXPRESSION measure: avg/count ride sumx_/cntx_
+      // on the artifact and the per-row null mask on the fact branch
+      hybrid(un.groupBy($"source").agg(
+        avg(expr(nnSql)).as("a"), count(expr(nnSql)).as("c"),
+        count(lit(1)).as("n")), "nullable expression measure")
+      // a key-only filter pushes into BOTH the artifact scan and the
+      // partialized fact scan
+      hybrid(un.filter($"source" =!= "src0").groupBy($"lang")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("sc")),
+        "filtered hybrid")
+      // computed grouping composes with the partializer
+      hybrid(un.groupBy(upper($"lang")).agg(count(lit(1)).as("n"),
+        sum($"n_chars").as("sc")), "computed grouping hybrid")
+      // a histogram-requiring measure (count(DISTINCT measure)) can't
+      // be partialized per row — the anchor's hist_n_chars COULD serve
+      // it, but the uncovered branch can't fake a capped histogram, so
+      // the WHOLE union refuses to the facts
+      val needsHist = un.groupBy($"lang")
+        .agg(countDistinct($"n_chars").as("u"))
+      val ph = needsHist.queryExecution.executedPlan.toString
+      assert(ph.contains("hy0/d.parquet") && !ph.contains("mvhy0"),
+        s"hist-requiring hybrid must refuse the whole union:\n$ph")
+    } finally SummaryRewrite.deregister("spec_hy0")
   }
 
   test("computed GROUPING expressions over a UNION serve — the hoisted " +
