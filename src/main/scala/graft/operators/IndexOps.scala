@@ -2166,7 +2166,7 @@ object IndexOps {
     docs.filter($"doc_id" % 4 === 3).write.parquet(e1)
     SummaryRewrite.buildSummary(s, e0, keys = Seq("source", "lang"),
       sumCols = Seq("n_chars"), mvPath = s"$tmp/mvq291",
-      minMaxCols = Seq("n_chars"))
+      minMaxCols = Seq("n_chars"), histCols = Seq("n_chars"))
     SummaryRewrite.install(s)
     SummaryRewrite.register("q291_old", SummaryRewrite.Summary(
       "old/docs.parquet", s"$tmp/mvq291", Set("source", "lang")))
@@ -2177,7 +2177,12 @@ object IndexOps {
           sum($"n_chars").as("sum_chars"),
           min($"n_chars").as("min_chars"),
           max($"n_chars").as("max_chars"),
-          countDistinct($"source").as("n_sources"))
+          countDistinct($"source").as("n_sources"),
+          // the hist family rides too: the artifact's hist_n_chars
+          // explodes, the uncovered epoch partializes single-entry
+          // per-row maps — exact distinct counts and medians hybrid
+          countDistinct($"n_chars").as("n_uniq_chars"),
+          expr("median(n_chars)").as("med_chars"))
       val phys = q.queryExecution.executedPlan.toString
       require(phys.contains("mvq291"),
         "q291 gate is vacuous: the covered epoch must serve its artifact")
@@ -3060,7 +3065,9 @@ object IndexOps {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(min(n_chars) AS BIGINT) AS min_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars,
-        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(DISTINCT n_chars) AS BIGINT) AS n_uniq_chars,
+        |  quantile_cont(n_chars, 0.5) AS med_chars
         |FROM documents GROUP BY 1""".stripMargin,
     // q282: the dashboard header — multi-distinct (hist measure + key)
     // beside plain totals, exact off the fact

@@ -2303,6 +2303,17 @@ object SummaryRewrite {
             val p0 = shapes.head.pred.map(p => Filter(remap0(p), mvPlan0))
               .getOrElse(mvPlan0)
             val proj0 = Project(required.map(mvAttrs0(_)), p0)
+            // expression partials ride the cross-branch contract one
+            // step stricter than name+type (same discipline as the
+            // flat union path): the branch's registration must bind
+            // the same SQL to the name, or an epoch whose sumx_<n>
+            // means a different expression would silently fold
+            val usedExprNames = required.collect {
+              case nm if nm.startsWith("sumx_") => nm.stripPrefix("sumx_")
+              case nm if nm.startsWith("cntx_") => nm.stripPrefix("cntx_")
+              case nm if nm.startsWith("minx_") => nm.stripPrefix("minx_")
+              case nm if nm.startsWith("maxx_") => nm.stripPrefix("maxx_")
+            }.distinct
             val others = u.children.indices.drop(1).map { i =>
               val needs = required.filterNot(isPartialName).toSet ++
                 shapes(i).pred.toSeq
@@ -2315,6 +2326,8 @@ object SummaryRewrite {
                   if shapes(i).pred.forall(_.references.toSeq.forall(r =>
                     attrs.contains(r.name)))
                   if branchCarries(required, refTypes, attrs, s.keys)
+                  if usedExprNames.forall(en =>
+                    s.exprs.get(en) == summary0.exprs.get(en))
                 } yield {
                   val remapI = (ex: Expression) => ex.transform {
                     case a: AttributeReference if attrs.contains(a.name) =>
@@ -2325,11 +2338,16 @@ object SummaryRewrite {
                   Project(required.map(nm => attrs(nm)), pi)
                 }
               }.headOption
+                // HYBRID: an epoch without a carrying artifact (or
+                // whose registration binds different SQL) partializes
+                // its fact with the ANCHOR's expression SQL — exact,
+                // and the covered epochs keep their artifact scans
+                .orElse(partializer(u.children(i), shapes(i), required,
+                  refTypes, summary0.exprs))
             }
             if (others.exists(_.isEmpty)) {
-              note("expand-over-union: a branch has no artifact " +
-                "carrying the required partials — refusing (one " +
-                "uncovered epoch scans all)")
+              note("expand-over-union: a branch has neither a carrying " +
+                "artifact nor an exact fact partialization — refusing")
               None
             } else Some(Union((proj0 +: others.map(_.get)).toIndexedSeq))
           }
@@ -3083,9 +3101,13 @@ object SummaryRewrite {
       *
       * Only EXACT constructions are emitted: identity, integral→long,
       * and same-scale decimal widening for sums; identity for min/max
-      * and keys; `hll_`/`hist_` partials refuse (registers and capped
-      * histograms are not per-row constructions — those unions keep
-      * the all-covered requirement). The branch's key-only filter is
+      * and keys; `hist_<x>` partializes as a single-entry per-row map
+      * (NULL for null values — outer-explode-identical to an all-null
+      * group's histogram; float keys normalized like the build side),
+      * so the whole distinct/percentile family serves hybrid too;
+      * `hll_` registers refuse (a per-row register would be an
+      * aggregate, not a projection — sketch unions keep the
+      * all-covered requirement). The branch's key-only filter is
       * grafted UNDER the projection onto a fresh scan of the same
       * paths/table, so predicate pushdown reaches the parquet reader.
       * Any unresolvable column, missing registered SQL, type drift, or
@@ -3128,8 +3150,35 @@ object SummaryRewrite {
         exprSql.get(nm.stripPrefix(pfx))
       val raws: Seq[Option[String]] = required.map {
         case "cnt" => Some("CAST(1 AS BIGINT) AS `cnt`")
-        case nm if nm.startsWith("hll_") || nm.startsWith("hist_") =>
-          None
+        case nm if nm.startsWith("hll_") => None
+        case nm if nm.startsWith("hist_") =>
+          // single-entry per-row histogram — NULL for a null value:
+          // posexplode_outer emits the same null-entry row an all-null
+          // artifact group's histogram does, and plain partials ride
+          // it via the coalesce(pos,0)=0 first-entry mask. Float keys
+          // normalize like the build side (-0.0 → 0.0, canonical NaN
+          // — HistSummary.copyValue's contract), so the folded
+          // multiset is bit-compatible with artifact histograms.
+          val base = nm.stripPrefix("hist_")
+          exprSql.get(base).map(sql => s"($sql)")
+            .orElse(Some(bq(base)).filter(_ => srcCols.contains(base)))
+            .flatMap { v =>
+              refTypes(nm) match {
+                case MapType(kt, LongType, _) =>
+                  val norm = kt match {
+                    case DoubleType =>
+                      s"IF(isnan($v), CAST('NaN' AS DOUBLE), " +
+                        s"CAST($v + CAST(0.0 AS DOUBLE) AS DOUBLE))"
+                    case FloatType =>
+                      s"IF(isnan($v), CAST('NaN' AS FLOAT), " +
+                        s"CAST($v + CAST(0.0 AS FLOAT) AS FLOAT))"
+                    case _ => v
+                  }
+                  Some(s"IF(($v) IS NULL, NULL, " +
+                    s"map($norm, CAST(1 AS BIGINT))) AS ${bq(nm)}")
+                case _ => None
+              }
+            }
         case nm if nm.startsWith("cnt_") =>
           colOf(nm, "cnt_").map(c =>
             s"CAST(IF(${bq(c)} IS NULL, 0, 1) AS BIGINT) AS ${bq(nm)}")
@@ -3161,6 +3210,13 @@ object SummaryRewrite {
       def widenOk(nm: String): Boolean = {
         val (src, dst) = (rawTypes(nm), refTypes(nm))
         if (src == dst) true
+        else if (nm.startsWith("hist_")) (src, dst) match {
+          // parquet reads a map value back as NULLABLE even when the
+          // build side wrote it required — same entries, wider flag
+          case (MapType(k1, v1, false), MapType(k2, v2, true)) =>
+            k1 == k2 && v1 == v2
+          case _ => false
+        }
         else if (!nm.startsWith("sum_") && !nm.startsWith("sumx_")) false
         else (src, dst) match {
           case (ByteType | ShortType | IntegerType, LongType) => true

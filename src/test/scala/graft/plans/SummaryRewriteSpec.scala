@@ -2161,7 +2161,8 @@ class SummaryRewriteSpec extends AnyFunSuite {
   }
 
   test("native ROLLUP over a UNION of registered facts serves — the " +
-      "multi-epoch BI matrix; an uncovered branch refuses everything") {
+      "multi-epoch BI matrix; an uncovered branch refuses a sketch " +
+      "rollup but serves a plain one hybrid") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
       .toString
     val docsAll = spark.read.parquet(s"$dir/documents.parquet")
@@ -2208,10 +2209,23 @@ class SummaryRewriteSpec extends AnyFunSuite {
       val expectF = qf.collect().map(_.toSeq).toSet
       (0 to 1).foreach(reg)
       assert(qf.collect().map(_.toSeq).toSet === expectF)
-      // one uncovered epoch refuses the whole rollup
+      // a SKETCH-carrying rollup cannot partialize an uncovered epoch
+      // (hll registers are not per-row constructions) — whole refusal
       SummaryRewrite.deregister("spec_rollu1")
       assert(q.queryExecution.executedPlan.toString.contains("d.parquet"),
-        "an uncovered branch must force the fact union under rollup")
+        "an uncovered branch must refuse a sketch rollup")
+      // but a PLAIN rollup serves HYBRID: epoch 0's artifact and epoch
+      // 1's partialized fact fold under the same Expand
+      def qh = un.rollup($"source")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("sc"))
+      val phh = qh.queryExecution.executedPlan.toString
+      assert(phh.contains("rollu0") && phh.contains("rep1/d.parquet") &&
+        !phh.contains("rep0/d.parquet") && phh.contains("Expand"),
+        s"plain rollup must serve hybrid over an uncovered epoch:\n$phh")
+      val hybridVals = qh.collect().map(_.toSeq).toSet
+      SummaryRewrite.deregister("spec_rollu0")
+      assert(qh.collect().map(_.toSeq).toSet === hybridVals,
+        "hybrid rollup diverged from the fact-union rollup")
     } finally (0 to 1).foreach(i =>
       SummaryRewrite.deregister(s"spec_rollu$i"))
   }
@@ -2289,7 +2303,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("star join over a UNION fact: each epoch's summary substitutes " +
       "under the join (multi-epoch star schema); an uncovered epoch " +
-      "refuses") {
+      "partializes (hybrid) exactly") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
       .toString
     val orders = spark.read.parquet(s"$dir/orders.parquet")
@@ -2323,10 +2337,16 @@ class SummaryRewriteSpec extends AnyFunSuite {
       assert(q.collect().map(_.toSeq).toSet === direct,
         "union-fact star join diverged — the join must distribute " +
           "over the epoch union exactly")
-      // one uncovered epoch refuses the whole join rewrite
+      // an uncovered epoch serves HYBRID under the join: each
+      // partialized fact row joins exactly like the fact row it
+      // stands for (cnt=1 — the multiplicity argument per row)
       SummaryRewrite.deregister("spec_starun1")
-      assert(q.queryExecution.executedPlan.toString.contains("o.parquet"),
-        "an uncovered epoch must force the fact union under the join")
+      val ph = q.queryExecution.executedPlan.toString
+      assert(ph.contains("starun0") && ph.contains("oep1/o.parquet") &&
+        !ph.contains("oep0/o.parquet"),
+        s"star join must serve hybrid over an uncovered epoch:\n$ph")
+      assert(q.collect().map(_.toSeq).toSet === direct,
+        "hybrid star join diverged from the fact-union join")
     } finally (0 to 1).foreach(i =>
       SummaryRewrite.deregister(s"spec_starun$i"))
   }
@@ -2711,10 +2731,10 @@ class SummaryRewriteSpec extends AnyFunSuite {
   }
 
   test("HYBRID union serving: a branch with no covering artifact " +
-      "partializes its fact rows exactly — plain, expression, and " +
-      "nullable measures, filter pushed into the partialized branch, " +
-      "computed grouping composes; histogram-requiring measures still " +
-      "refuse the whole union") {
+      "partializes its fact rows exactly — plain, expression, " +
+      "nullable, and hist-measure aggregates, filter pushed into the " +
+      "partialized branch, computed grouping composes; sketch-" +
+      "requiring measures still refuse the whole union") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
       .toString
     // a NULLABLE expression measure: AVG must ride the cntx_ non-null
@@ -2732,7 +2752,8 @@ class SummaryRewriteSpec extends AnyFunSuite {
     SummaryRewrite.buildSummary(spark, epochs(0),
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
       mvPath = s"$tmp/mvhy0", minMaxCols = Seq("n_chars"),
-      histCols = Seq("n_chars"), exprCols = Seq("ncnn" -> nnSql))
+      histCols = Seq("n_chars"), hllCols = Seq("doc_id"),
+      exprCols = Seq("ncnn" -> nnSql))
     SummaryRewrite.install(spark)
     def reg(): Unit = SummaryRewrite.register("spec_hy0",
       SummaryRewrite.Summary(s"hy0/d.parquet", s"$tmp/mvhy0",
@@ -2772,15 +2793,21 @@ class SummaryRewriteSpec extends AnyFunSuite {
       // computed grouping composes with the partializer
       hybrid(un.groupBy(upper($"lang")).agg(count(lit(1)).as("n"),
         sum($"n_chars").as("sc")), "computed grouping hybrid")
-      // a histogram-requiring measure (count(DISTINCT measure)) can't
-      // be partialized per row — the anchor's hist_n_chars COULD serve
-      // it, but the uncovered branch can't fake a capped histogram, so
-      // the WHOLE union refuses to the facts
-      val needsHist = un.groupBy($"lang")
-        .agg(countDistinct($"n_chars").as("u"))
-      val ph = needsHist.queryExecution.executedPlan.toString
+      // the DISTINCT family over a measure serves hybrid too: the
+      // anchor's hist_n_chars explodes while the uncovered branch
+      // partializes single-entry per-row maps — the folded multiset is
+      // the concatenation's
+      hybrid(un.groupBy($"lang").agg(
+        countDistinct($"n_chars").as("u"),
+        expr("median(n_chars)").as("med"),
+        count(lit(1)).as("n")), "hist-measure hybrid")
+      // hll REGISTERS cannot be partialized per row (a register is an
+      // aggregate, not a projection) — the WHOLE union refuses
+      val needsHll = un.groupBy($"lang")
+        .agg(approx_count_distinct($"doc_id").as("u"))
+      val ph = needsHll.queryExecution.executedPlan.toString
       assert(ph.contains("hy0/d.parquet") && !ph.contains("mvhy0"),
-        s"hist-requiring hybrid must refuse the whole union:\n$ph")
+        s"sketch-requiring hybrid must refuse the whole union:\n$ph")
     } finally SummaryRewrite.deregister("spec_hy0")
   }
 
@@ -3039,8 +3066,8 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("hist serving over a UNION of registered facts: one Generate " +
       "above the union folds the per-epoch histograms (count-sum map " +
-      "monoid); an epoch without the histogram refuses the whole " +
-      "rewrite") {
+      "monoid); an epoch without the histogram partializes single-" +
+      "entry per-row maps (hybrid, exact)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
       .toString
     val (fact, _) = histFix
@@ -3073,9 +3100,24 @@ class SummaryRewriteSpec extends AnyFunSuite {
           countDistinct($"m").as("dm"),
           expr("percentile(m, 0.5)").as("med"),
           sum($"m").as("sm"))
-      // epoch 1's only artifact lacks hist_m: the whole union refuses
-      assert(q.queryExecution.executedPlan.toString.contains("hf.parquet"),
-        "an epoch without the histogram partial must refuse the union")
+      // epoch 1's only artifact lacks hist_m: the branch PARTIALIZES
+      // (single-entry per-row maps) while epoch 0's histogram artifact
+      // serves — hybrid, exact
+      val ph = q.queryExecution.executedPlan.toString
+      assert(ph.contains("hu0") && ph.contains("hep1/hf.parquet") &&
+        !ph.contains("hep0/hf.parquet"),
+        s"a hist-less epoch must partialize hybrid:\n$ph")
+      val expectDirect = {
+        Seq("spec_hu0", "spec_hu1a").foreach(SummaryRewrite.deregister)
+        val e = q.collect().map(_.toSeq).toSet
+        SummaryRewrite.register("spec_hu0", SummaryRewrite.Summary(
+          "hep0/hf.parquet", s"$tmp/hu0", Set("g")))
+        SummaryRewrite.register("spec_hu1a", SummaryRewrite.Summary(
+          "hep1/hf.parquet", s"$tmp/hu1plain", Set("g")))
+        e
+      }
+      assert(q.collect().map(_.toSeq).toSet === expectDirect,
+        "hybrid hist serving diverged from the fact-union scan")
       SummaryRewrite.register("spec_hu1b", SummaryRewrite.Summary(
         "hep1/hf.parquet", s"$tmp/hu1hist", Set("g")))
       val p = q.queryExecution.executedPlan.toString
@@ -3083,13 +3125,6 @@ class SummaryRewriteSpec extends AnyFunSuite {
         !p.contains("hf.parquet"),
         s"union hist serving did not pick the hist-carrying epoch-1 " +
           s"artifact:\n$p")
-      val expectDirect = {
-        SummaryRewrite.deregister("spec_hu0")
-        val e = q.collect().map(_.toSeq).toSet
-        SummaryRewrite.register("spec_hu0", SummaryRewrite.Summary(
-          "hep0/hf.parquet", s"$tmp/hu0", Set("g")))
-        e
-      }
       assert(q.collect().map(_.toSeq).toSet === expectDirect,
         "union hist serving diverged from the fact-union scan")
     } finally Seq("spec_hu0", "spec_hu1a", "spec_hu1b")
