@@ -738,6 +738,9 @@ object SparkEntry {
     // hybrid union: the covered epoch serves its artifact, the
     // not-yet-summarized epoch partializes — values collected hybrid
     "q291_summary_hybrid_union" -> (IndexOps.q291SummaryHybridUnion _),
+    // sketch hybrid: persisted registers + inline-aggregated registers
+    // fold bit-identically to the direct sketch; exact uniques emitted
+    "q292_summary_sketch_hybrid" -> (IndexOps.q292SummarySketchHybrid _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

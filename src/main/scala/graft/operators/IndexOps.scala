@@ -2197,6 +2197,72 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q291_old")
   }
 
+  // --------------------------------------------------------------- q292
+
+  /** q292 — the SKETCH hybrid: "uniques per source" over a two-epoch
+    * union where the unique column is NOT a key and the newest epoch
+    * has no artifact. The covered epoch serves its persisted
+    * `hll_<p>_doc_id` registers; the uncovered epoch INLINE-AGGREGATES
+    * its own registers in-plan (one epoch-sized shuffle — registers
+    * are aggregates, not per-row projections); the serve-side
+    * max-merge folds both. Register merging is a pure function of the
+    * per-branch value SETS, so the hybrid estimate is BIT-IDENTICAL
+    * to the direct sketch over the concatenated facts — required
+    * in-gate, not a tolerance. The emitted rows are the EXACT uniques
+    * (countDistinct) so the driver's DuckDB hash check stays
+    * estimator-free, with the estimate's 5σ sanity band asserted
+    * in-gate like q276. At 100 TB: the uniques panel reads kilobytes
+    * of history plus one pass over today's tail — never the corpus. */
+  def q292SummarySketchHybrid(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q292").toString
+    val docs = load(s, dir, "documents")
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+    val (e0, e1) = (s"$tmp/old/docs.parquet", s"$tmp/new/docs.parquet")
+    docs.filter($"doc_id" % 4 =!= 3).write.parquet(e0)
+    docs.filter($"doc_id" % 4 === 3).write.parquet(e1)
+    SummaryRewrite.buildSummary(s, e0, keys = Seq("source", "lang"),
+      sumCols = Seq.empty, mvPath = s"$tmp/mvq292",
+      hllCols = Seq("doc_id"))
+    def un = s.read.parquet(e0).union(s.read.parquet(e1))
+    def sketchQ = un.groupBy($"source")
+      .agg(approx_count_distinct($"doc_id").as("u"))
+    // the direct sketch over the fact union, BEFORE any registration
+    val direct = sketchQ.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q292_old", SummaryRewrite.Summary(
+      "old/docs.parquet", s"$tmp/mvq292", Set("source", "lang")))
+    try {
+      val phys = sketchQ.queryExecution.executedPlan.toString
+      require(phys.contains("mvq292"),
+        "q292 gate is vacuous: the covered epoch's registers must serve")
+      require(phys.contains("new/docs.parquet"),
+        "q292 gate broken: the uncovered epoch must scan " +
+          "(inline-aggregated)")
+      require(!phys.contains("old/docs.parquet"),
+        "q292 gate broken: the covered epoch's fact must not be scanned")
+      val served = sketchQ.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(served == direct,
+        s"q292 gate broken: hybrid sketch is not bit-identical to the " +
+          s"direct sketch (served=$served direct=$direct)")
+      // exact uniques for the oracle + the estimate's sanity band
+      val exact = un.groupBy($"source")
+        .agg(countDistinct($"doc_id").as("n_exact"),
+          count(lit(1)).as("n_docs"))
+      val rows = exact.collect().toIndexedSeq // one row per source
+      val exactMap = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rsd = 1.04 / math.sqrt(1 << 9)
+      exactMap.foreach { case (src, n) =>
+        val est = served(src)
+        require(math.abs(est - n) <= 5 * rsd * n + 1,
+          s"q292 estimate off its 5-sigma band: $src est=$est exact=$n")
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), exact.schema)
+    } finally SummaryRewrite.deregister("q292_old")
+  }
+
   // --------------------------------------------------------------- q288
 
   /** q288 — the expression-measure REVENUE dashboard under native
@@ -3068,6 +3134,14 @@ object IndexOps {
         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
         |  CAST(count(DISTINCT n_chars) AS BIGINT) AS n_uniq_chars,
         |  quantile_cont(n_chars, 0.5) AS med_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // q292: exact uniques per source off the whole table — the hybrid
+    // sketch serving is gated in-query (bit-identical + 5σ band); the
+    // emitted rows are estimator-free
+    "q292_summary_sketch_hybrid" ->
+      """SELECT source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact,
+        |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
     // q282: the dashboard header — multi-distinct (hist measure + key)
     // beside plain totals, exact off the fact

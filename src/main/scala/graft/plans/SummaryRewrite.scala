@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import scala.util.Try
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
-import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType}
 
 /** Marker contract for DSv2 `Scan` implementations that NEVER consume
   * pushed filters or aggregates — `pushedFilters()` is empty and every
@@ -3105,9 +3105,11 @@ object SummaryRewrite {
       * (NULL for null values — outer-explode-identical to an all-null
       * group's histogram; float keys normalized like the build side),
       * so the whole distinct/percentile family serves hybrid too;
-      * `hll_` registers refuse (a per-row register would be an
-      * aggregate, not a projection — sketch unions keep the
-      * all-covered requirement). The branch's key-only filter is
+      * `hll_` registers partialize by INLINE AGGREGATION — the branch
+      * becomes summaryFrame-in-the-plan (one epoch-sized shuffle on
+      * the required keys), and the register max-merge with artifact
+      * registers is value-set pure, so the folded estimate stays
+      * bit-identical to the direct sketch. The branch's key-only filter is
       * grafted UNDER the projection onto a fresh scan of the same
       * paths/table, so predicate pushdown reaches the parquet reader.
       * Any unresolvable column, missing registered SQL, type drift, or
@@ -3148,6 +3150,56 @@ object SummaryRewrite {
         Some(nm.stripPrefix(pfx)).filter(srcCols.contains)
       def sqlOf(nm: String, pfx: String): Option[String] =
         exprSql.get(nm.stripPrefix(pfx))
+      // two construction modes. Per-ROW projection (no shuffle — the
+      // outer aggregate's map-side combine does the folding) whenever
+      // every required partial has a per-row form. Per-GROUP inline
+      // aggregation — summaryFrame-in-the-plan, one epoch-sized
+      // shuffle on the required keys — when HLL registers are
+      // required, since a register is an aggregate, not a projection;
+      // still far cheaper at scale than refusing (which rescans every
+      // covered epoch's fact too), and the register max-merge with
+      // artifact registers is value-set pure, so the folded estimate
+      // is bit-identical to the direct sketch.
+      val needsAgg = required.exists(_.startsWith("hll_"))
+      val rawDf = if (needsAgg) {
+        import org.apache.spark.sql.functions.{col, count, lit, max, min,
+          sum, expr => sqlExpr}
+        val keys = required.filterNot(isPartialName)
+        if (!keys.forall(srcCols.contains)) return None
+        val aggs: Seq[Option[Column]] =
+          required.filter(isPartialName).map {
+            case "cnt" => Some(count(lit(1)).as("cnt"))
+            case nm @ HllSummary.NamePattern(pStr, c) =>
+              Some(c).filter(srcCols.contains).map(cc =>
+                HllSummary.partialWords(col(cc), pStr.toInt).as(nm))
+            case nm if nm.startsWith("hist_") =>
+              val base = nm.stripPrefix("hist_")
+              exprSql.get(base).map(sqlExpr)
+                .orElse(Some(base).filter(srcCols.contains).map(col))
+                .map(v => HistSummary.partialHist(v, Int.MaxValue).as(nm))
+            case nm if nm.startsWith("cnt_") =>
+              colOf(nm, "cnt_").map(c => count(col(c)).as(nm))
+            case nm if nm.startsWith("cntx_") =>
+              sqlOf(nm, "cntx_").map(sql => count(sqlExpr(sql)).as(nm))
+            case nm if nm.startsWith("sum_") =>
+              colOf(nm, "sum_").map(c => sum(col(c)).as(nm))
+            case nm if nm.startsWith("sumx_") =>
+              sqlOf(nm, "sumx_").map(sql => sum(sqlExpr(sql)).as(nm))
+            case nm if nm.startsWith("min_") =>
+              colOf(nm, "min_").map(c => min(col(c)).as(nm))
+            case nm if nm.startsWith("minx_") =>
+              sqlOf(nm, "minx_").map(sql => min(sqlExpr(sql)).as(nm))
+            case nm if nm.startsWith("max_") =>
+              colOf(nm, "max_").map(c => max(col(c)).as(nm))
+            case nm if nm.startsWith("maxx_") =>
+              sqlOf(nm, "maxx_").map(sql => max(sqlExpr(sql)).as(nm))
+            case _ => None
+          }
+        if (aggs.exists(_.isEmpty) || aggs.isEmpty) return None
+        val ag = aggs.map(_.get)
+        df0.groupBy(keys.map(col): _*).agg(ag.head, ag.tail: _*)
+          .selectExpr(required.map(bq): _*)
+      } else {
       val raws: Seq[Option[String]] = required.map {
         case "cnt" => Some("CAST(1 AS BIGINT) AS `cnt`")
         case nm if nm.startsWith("hll_") => None
@@ -3201,7 +3253,8 @@ object SummaryRewrite {
           Some(nm).filter(srcCols.contains).map(c => bq(c))
       }
       if (raws.exists(_.isEmpty)) return None
-      val rawDf = df0.selectExpr(raws.map(_.get): _*)
+      df0.selectExpr(raws.map(_.get): _*)
+      }
       val rawTypes = rawDf.schema.map(f => f.name -> f.dataType).toMap
       // exactness gate between the raw type and the artifact partial's
       // type: identity always; integral→long and same-scale decimal
@@ -3215,6 +3268,12 @@ object SummaryRewrite {
           // build side wrote it required — same entries, wider flag
           case (MapType(k1, v1, false), MapType(k2, v2, true)) =>
             k1 == k2 && v1 == v2
+          case _ => false
+        }
+        else if (nm.startsWith("hll_")) (src, dst) match {
+          // same roundtrip widening for register-word arrays
+          case (ArrayType(LongType, false), ArrayType(LongType, true)) =>
+            true
           case _ => false
         }
         else if (!nm.startsWith("sum_") && !nm.startsWith("sumx_")) false
@@ -3244,6 +3303,8 @@ object SummaryRewrite {
           def graft(pl: LogicalPlan): Option[LogicalPlan] = pl match {
             case pr @ Project(_, ch) =>
               graft(ch).map(f => pr.copy(child = f))
+            case ag @ Aggregate(_, _, ch, _) =>
+              graft(ch).map(f => ag.copy(child = f))
             case leaf =>
               val byName = leaf.output.map(a => a.name -> a).toMap
               var ok = true

@@ -2161,8 +2161,8 @@ class SummaryRewriteSpec extends AnyFunSuite {
   }
 
   test("native ROLLUP over a UNION of registered facts serves — the " +
-      "multi-epoch BI matrix; an uncovered branch refuses a sketch " +
-      "rollup but serves a plain one hybrid") {
+      "multi-epoch BI matrix; an uncovered branch serves hybrid, " +
+      "sketch rollups included (inline-aggregated registers)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
       .toString
     val docsAll = spark.read.parquet(s"$dir/documents.parquet")
@@ -2209,13 +2209,18 @@ class SummaryRewriteSpec extends AnyFunSuite {
       val expectF = qf.collect().map(_.toSeq).toSet
       (0 to 1).foreach(reg)
       assert(qf.collect().map(_.toSeq).toSet === expectF)
-      // a SKETCH-carrying rollup cannot partialize an uncovered epoch
-      // (hll registers are not per-row constructions) — whole refusal
+      // an uncovered epoch serves HYBRID even for the SKETCH rollup:
+      // the branch inline-aggregates its own registers (value-set
+      // pure), so the folded estimate per grouping set stays
+      // bit-identical to the fact-union rollup
       SummaryRewrite.deregister("spec_rollu1")
-      assert(q.queryExecution.executedPlan.toString.contains("d.parquet"),
-        "an uncovered branch must refuse a sketch rollup")
-      // but a PLAIN rollup serves HYBRID: epoch 0's artifact and epoch
-      // 1's partialized fact fold under the same Expand
+      val phs = q.queryExecution.executedPlan.toString
+      assert(phs.contains("rollu0") && phs.contains("rep1/d.parquet") &&
+        !phs.contains("rep0/d.parquet") && phs.contains("Expand"),
+        s"sketch rollup must serve hybrid over an uncovered epoch:\n$phs")
+      assert(q.collect().map(_.toSeq).toSet === direct,
+        "hybrid sketch rollup diverged from the fact-union rollup")
+      // and the plain rollup serves hybrid per-ROW (no inline shuffle)
       def qh = un.rollup($"source")
         .agg(count(lit(1)).as("n"), sum($"n_chars").as("sc"))
       val phh = qh.queryExecution.executedPlan.toString
@@ -2733,8 +2738,8 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("HYBRID union serving: a branch with no covering artifact " +
       "partializes its fact rows exactly — plain, expression, " +
       "nullable, and hist-measure aggregates, filter pushed into the " +
-      "partialized branch, computed grouping composes; sketch-" +
-      "requiring measures still refuse the whole union") {
+      "partialized branch, computed grouping composes; sketches " +
+      "partialize by inline aggregation, bit-identical") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
       .toString
     // a NULLABLE expression measure: AVG must ride the cntx_ non-null
@@ -2801,13 +2806,13 @@ class SummaryRewriteSpec extends AnyFunSuite {
         countDistinct($"n_chars").as("u"),
         expr("median(n_chars)").as("med"),
         count(lit(1)).as("n")), "hist-measure hybrid")
-      // hll REGISTERS cannot be partialized per row (a register is an
-      // aggregate, not a projection) — the WHOLE union refuses
-      val needsHll = un.groupBy($"lang")
-        .agg(approx_count_distinct($"doc_id").as("u"))
-      val ph = needsHll.queryExecution.executedPlan.toString
-      assert(ph.contains("hy0/d.parquet") && !ph.contains("mvhy0"),
-        s"sketch-requiring hybrid must refuse the whole union:\n$ph")
+      // hll REGISTERS partialize by INLINE AGGREGATION — the branch
+      // becomes a summary build in-plan, and the register max-merge
+      // is value-set pure, so the folded estimate is bit-identical to
+      // the direct sketch over the concatenated facts
+      hybrid(un.groupBy($"lang")
+        .agg(approx_count_distinct($"doc_id").as("u"),
+          count(lit(1)).as("n")), "sketch hybrid (inline aggregation)")
     } finally SummaryRewrite.deregister("spec_hy0")
   }
 
