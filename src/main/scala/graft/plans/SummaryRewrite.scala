@@ -2844,11 +2844,8 @@ object SummaryRewrite {
                 // per-branch scans — the hist column rides the
                 // cross-branch contract like any partial), so ONE
                 // Generate serves every epoch
-                Generate(PosExplode(
-                  factPlan.output.find(_.name == n)
-                    .getOrElse(mvAttrs(n))),
-                  Seq.empty, outer = true, None, Seq(posA, kA, vA),
-                  factPlan)
+                histExplode(factPlan.output.find(_.name == n)
+                  .getOrElse(mvAttrs(n)), posA, kA, vA, factPlan)
               case None => factPlan
             }
             val newOutput = keptIdx.map(output) ++ partialCols.map(_._3) ++
@@ -3073,8 +3070,9 @@ object SummaryRewrite {
                   .flatMap { newAggs =>
                     assemble(maskToFirstEntry(newAggs, posA, attrs0),
                       Seq(histName),
-                      child => Generate(PosExplode(histAttr), Seq.empty,
-                        outer = true, None, Seq(posA, kA, vA), child))
+                      child => histExplode(
+                        child.output.find(_.name == histName)
+                          .getOrElse(histAttr), posA, kA, vA, child))
                   }
             }.headOption
           }
@@ -3571,9 +3569,8 @@ object SummaryRewrite {
         mvAttrs)(childRefs)
       factPlan = histOpt match {
         case Some((n, posA, kA, vA)) =>
-          Generate(PosExplode(
-            factPlan0.output.find(_.name == n).getOrElse(mvAttrs(n))),
-            Seq.empty, outer = true, None, Seq(posA, kA, vA), factPlan0)
+          histExplode(factPlan0.output.find(_.name == n)
+            .getOrElse(mvAttrs(n)), posA, kA, vA, factPlan0)
         case None => factPlan0
       }
       // rebuild the join tree innermost-first around the summary scan;
@@ -3688,8 +3685,7 @@ object SummaryRewrite {
               None
             else {
               val masked = maskToFirstEntry(newAggs, posA, mvAttrs)
-              val gen = Generate(PosExplode(histAttr), Seq.empty,
-                outer = true, None, Seq(posA, kA, vA), filteredMv)
+              val gen = histExplode(histAttr, posA, kA, vA, filteredMv)
               note(s"aggregate SERVED by summary '$name' via $histName " +
                 "histogram explosion")
               Some(Aggregate(groupExprs.map(remap), masked, gen, hint))
@@ -3728,6 +3724,25 @@ object SummaryRewrite {
       * empty one. transformUp, not transformDown: the replacement
       * embeds the original attribute, and a downward transform would
       * descend into it and wrap forever. */
+    /** The histogram explosion node, with the MAP column dropped from
+      * the generate OUTPUT (`unrequiredChildIndex`). The rule runs in
+      * extraOptimizations — AFTER ColumnPruning's batch — so nothing
+      * downstream re-prunes, and an exploded row that carried the
+      * whole map would multiply the map's footprint by its own entry
+      * count: quadratic in histogram size, an executor OOM on large
+      * histograms (a ~150k-entry revenue histogram exploded to ~150k
+      * rows × a ~2 MB map each). The aggregates above reference only
+      * the entry attrs and first-entry-masked partials, never the
+      * map itself. */
+    private def histExplode(histAttr: Attribute, posA: Attribute,
+        kA: Attribute, vA: Attribute, child: LogicalPlan): Generate = {
+      val drop = child.output.zipWithIndex.collect {
+        case (a, i) if a.exprId == histAttr.exprId => i
+      }
+      Generate(PosExplode(histAttr), drop, outer = true, None,
+        Seq(posA, kA, vA), child)
+    }
+
     private def maskToFirstEntry(aggs: Seq[NamedExpression],
         posA: Attribute,
         attrs: Map[String, Attribute]): Seq[NamedExpression] = {

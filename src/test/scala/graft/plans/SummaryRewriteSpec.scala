@@ -2936,6 +2936,30 @@ class SummaryRewriteSpec extends AnyFunSuite {
     finally SummaryRewrite.deregister("spec_hist")
   }
 
+  test("the hist explosion NEVER carries the map column in its Generate " +
+      "output — an exploded row carrying the whole histogram costs " +
+      "entries × map bytes (the sf0.1 q289 OOM class; the rule runs " +
+      "after ColumnPruning, so it must prune itself)") {
+    withHist { fact =>
+      def assertPruned(q: org.apache.spark.sql.DataFrame,
+          what: String): Unit = {
+        val gens = q.queryExecution.optimizedPlan.collect {
+          case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+        }
+        assert(gens.nonEmpty, s"$what: expected a hist explosion")
+        gens.foreach { g =>
+          assert(!g.output.exists(_.name.startsWith("hist_")),
+            s"$what: the Generate output must drop the histogram map: " +
+              g.output.map(_.name).mkString(","))
+        }
+      }
+      assertPruned(fact.groupBy($"g").agg(countDistinct($"m").as("dm"),
+        count(lit(1)).as("n")), "direct hist explosion")
+      assertPruned(fact.rollup($"g").agg(expr("median(m)").as("md"),
+        count(lit(1)).as("n")), "rollup hist explosion")
+    }
+  }
+
   test("hist build carries the exact value→count map per group, " +
       "sorted by value; NULLs are excluded like count(col)'s") {
     val (fact, _) = histFix
