@@ -2352,6 +2352,26 @@ class SummaryRewriteSpec extends AnyFunSuite {
         s"star join must serve hybrid over an uncovered epoch:\n$ph")
       assert(q.collect().map(_.toSeq).toSet === direct,
         "hybrid star join diverged from the fact-union join")
+      // LEFT OUTER with the fact preserved: a partialized row with no
+      // dim match null-extends exactly like its fact row (m = 1)
+      def qo = spark.read.parquet(s"$tmp/oep0/o.parquet")
+        .union(spark.read.parquet(s"$tmp/oep1/o.parquet"))
+        .join(customer.filter($"c_nationkey" < 3),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n"), max($"o_totalprice").as("mx"))
+        .select(coalesce($"c_nationkey", lit(-1)).as("nation"),
+          $"n", $"mx")
+      val po = qo.queryExecution.executedPlan.toString
+      assert(po.contains("starun0") && po.contains("oep1/o.parquet") &&
+        !po.contains("oep0/o.parquet"),
+        s"outer star hybrid did not serve:\n$po")
+      SummaryRewrite.deregister("spec_starun0")
+      val directO = qo.collect().map(_.toSeq).toSet
+      reg(0)
+      assert(qo.collect().map(_.toSeq).toSet === directO,
+        "hybrid OUTER star join diverged — null extension must treat " +
+          "a partialized row exactly like its fact row")
     } finally (0 to 1).foreach(i =>
       SummaryRewrite.deregister(s"spec_starun$i"))
   }
