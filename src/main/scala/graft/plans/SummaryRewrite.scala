@@ -242,7 +242,12 @@ object SummaryRewrite {
   /** Artifact-footprint cache for candidate ORDERING: path → (stamp,
     * bytes), TTL'd like the store listing. Cost-choice only — a stale
     * size within one TTL picks a dearer-but-correct artifact, never a
-    * wrong answer, so no invalidation hooks are needed. */
+    * wrong answer, so no invalidation hooks are needed. Bounded like
+    * [[SummaryRewriteRule.mvRelCache]]: store-backed summaries mint a
+    * NEW immutable `snap=N` path per commit, so without a cap the map
+    * grows for the JVM lifetime of a streaming maintainer; on overflow
+    * it clears (the next ordering re-lists once — latency-only). */
+  private val sizeCacheLimit = 1024
   private val sizeCache = new ConcurrentHashMap[String, (Long, Long)]()
 
   /** Drop a store's cached newest-snapshot listing (called by the
@@ -1667,8 +1672,12 @@ object SummaryRewrite {
       // that derives the measures wins, so the cheapest covering
       // summary serves. Key-count alone is a weak proxy (a 1-key
       // per-document rollup dwarfs a 2-key dashboard summary); bytes
-      // are what the serving scan actually pays.
-      covering.sortBy { case (name, s) =>
+      // are what the serving scan actually pays. With ≤ 1 covering
+      // candidate ordering cannot matter, so the sizing listing (a
+      // recursive getContentSummary — a paid LIST walk on an object
+      // store) is skipped entirely.
+      if (covering.size <= 1) covering
+      else covering.sortBy { case (name, s) =>
         (artifactBytes(s), s.keys.size, name)
       }
     }
@@ -1687,6 +1696,7 @@ object SummaryRewrite {
             val p = new org.apache.hadoop.fs.Path(path)
             val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
             val bytes = fs.getContentSummary(p).getLength
+            if (sizeCache.size >= sizeCacheLimit) sizeCache.clear()
             sizeCache.put(path, (now, bytes))
             bytes
           }.toOption)
@@ -2933,24 +2943,31 @@ object SummaryRewrite {
       val groupRefNames =
         groupExprs.flatMap(_.references.toSeq.map(_.name)).toSet
       // per-branch artifact resolution: first covering candidate whose
-      // artifact is readable and carries the branch's filter columns
+      // artifact is readable and carries the branch's filter columns.
+      // MEMOIZED per rewrite attempt — resolution reads parquet footers
+      // (mvPlanFor) and sizes artifacts (candidates), and the anchor
+      // search + every assemble() probe re-asks the same branches.
+      val resolvedMemo = scala.collection.mutable.HashMap
+        .empty[Int, Seq[(String, LogicalPlan, Map[String, Attribute],
+          Set[String], Map[String, String])]]
       def resolved(i: Int): Seq[(String, LogicalPlan,
-          Map[String, Attribute], Set[String], Map[String, String])] = {
-        val needed = groupRefNames ++
-          shapes(i).pred.toSeq.flatMap(_.references.toSeq.map(_.name))
-        candidates(shapes(i), needed).flatMap { case (n, s) =>
-          for {
-            path <- resolveMvPath(s)
-            plan <- mvPlanFor(path, s.store.isDefined)
-            attrs = plan.output.map(a => a.name -> a).toMap
-            if shapes(i).pred.forall(_.references.toSeq.forall(r =>
-              attrs.contains(r.name)))
-            if groupRefNames.forall(attrs.contains)
-            cnt <- attrs.get("cnt")
-            if cnt.dataType == LongType
-          } yield (n, plan, attrs, s.keys, s.exprs)
-        }
-      }
+          Map[String, Attribute], Set[String], Map[String, String])] =
+        resolvedMemo.getOrElseUpdate(i, {
+          val needed = groupRefNames ++
+            shapes(i).pred.toSeq.flatMap(_.references.toSeq.map(_.name))
+          candidates(shapes(i), needed).flatMap { case (n, s) =>
+            for {
+              path <- resolveMvPath(s)
+              plan <- mvPlanFor(path, s.store.isDefined)
+              attrs = plan.output.map(a => a.name -> a).toMap
+              if shapes(i).pred.forall(_.references.toSeq.forall(r =>
+                attrs.contains(r.name)))
+              if groupRefNames.forall(attrs.contains)
+              cnt <- attrs.get("cnt")
+              if cnt.dataType == LongType
+            } yield (n, plan, attrs, s.keys, s.exprs)
+          }
+        })
       // the ANCHOR is the first branch with any covering artifact —
       // measures derive against its partial schema; every other branch
       // either resolves its own artifact or PARTIALIZES its fact
@@ -3108,39 +3125,46 @@ object SummaryRewrite {
       * the required keys), and the register max-merge with artifact
       * registers is value-set pure, so the folded estimate stays
       * bit-identical to the direct sketch. The branch's key-only filter is
-      * grafted UNDER the projection onto a fresh scan of the same
-      * paths/table, so predicate pushdown reaches the parquet reader.
-      * Any unresolvable column, missing registered SQL, type drift, or
-      * nondeterministic expression refuses the branch (and with it the
-      * whole rewrite — never a wrong answer). */
+      * grafted UNDER the projection onto a `newInstance()` of the
+      * branch's OWN leaf relation — never a re-resolved `spark.read`/
+      * `spark.table` — so the scan is value-faithful by construction
+      * (the original reader options — basePath partition columns,
+      * mergeSchema, rebase modes — ride along verbatim), no catalog
+      * lookup can bind a same-named table in a different database, and
+      * the grafted subtree contains no analyzer-only nodes
+      * (SubqueryAlias) that the earlier optimizer batches would have
+      * removed. V1 predicate pushdown happens at PHYSICAL planning
+      * (FileSourceStrategy), so the grafted filter still reaches the
+      * parquet reader. Any unresolvable column, missing registered SQL,
+      * type drift, or nondeterministic expression refuses the branch
+      * (and with it the whole rewrite — never a wrong answer). */
     private def partializer(branch: LogicalPlan, sh: Shape,
         required: Seq[String], refTypes: Map[String, DataType],
         exprSql: Map[String, String]): Option[LogicalPlan] = Try {
       def bq(s: String) = "`" + s.replace("`", "``") + "`"
-      // the fresh scan must be FORMAT-faithful: a path branch is
-      // re-read as parquet, so only a V1 parquet relation qualifies
-      // (a CSV/JSON/FITS branch refuses — re-reading its paths as
-      // parquet would be a different table); a table-identified
-      // branch re-reads through the catalog, which is always faithful
       @scala.annotation.tailrec
       def leafOf(p: LogicalPlan): LogicalPlan = p match {
         case Project(_, c) => leafOf(c)
         case Filter(_, c) => leafOf(c)
         case other => other
       }
-      val pathBranchOk = leafOf(branch) match {
-        case lr: LogicalRelation => lr.relation match {
-          case fs: HadoopFsRelation => fs.fileFormat.isInstanceOf[
-            org.apache.spark.sql.execution.datasources.parquet
-              .ParquetFileFormat]
-          case _ => false
-        }
-        case _ => false
+      // V1 relations keep their FULL schema at the leaf (column pruning
+      // is a Project above; partition pruning only drops rows the
+      // branch's own filter — re-grafted below — excludes), so a fresh
+      // instance is the whole faithful table. An unconverted DSv2
+      // relation is equally whole (V2 pushdown runs in a later batch on
+      // the rewritten tree). A DSv2 ScanRelation REFUSES: its Scan was
+      // already specialized to the branch's required columns, so a
+      // fresh instance may lack partial inputs.
+      val df0: DataFrame = leafOf(branch) match {
+        case lr: LogicalRelation =>
+          org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+            lr.newInstance())
+        case r: DataSourceV2Relation =>
+          org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+            r.newInstance())
+        case _ => return None
       }
-      if (sh.paths.nonEmpty && !pathBranchOk) return None
-      val df0 =
-        if (sh.paths.nonEmpty) spark.read.parquet(sh.paths: _*)
-        else spark.table(sh.tables.head)
       val srcCols = df0.schema.map(_.name).toSet
       // raw pass: per required column, the uncast source expression
       // (counts are emitted final — they are BIGINT by construction)
@@ -3289,9 +3313,13 @@ object SummaryRewrite {
         else s"CAST(${bq(nm)} AS ${refTypes(nm).sql}) AS ${bq(nm)}"
       }
       val plan = rawDf.selectExpr(casts: _*).queryExecution.analyzed
+      // the nondeterminism/subquery gate must walk EVERY node — the
+      // replayed registered SQL lives in the child Project/Aggregate,
+      // not the top-level cast Project
       if (plan.output.map(_.name) != required ||
           plan.output.exists(a => a.dataType != refTypes(a.name)) ||
-          !plan.expressions.forall(_.deterministic))
+          plan.exists(_.expressions.exists(e =>
+            !e.deterministic || e.exists(_.isInstanceOf[PlanExpression[_]]))))
         return None
       // graft the branch's (pre-inlined, key-only) filter under the
       // projections, rebased by name onto the fresh scan's attrs

@@ -2908,6 +2908,70 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally (0 to 1).foreach(i => SummaryRewrite.deregister(s"spec_cg$i"))
   }
 
+  test("the hybrid partializer reuses the branch's OWN scan: a catalog " +
+      "TABLE branch partializes without re-resolving through the " +
+      "catalog, and a basePath partitioned-directory branch keeps its " +
+      "reader-option-derived partition column — both exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+    val covered = s"$tmp/lf0/d.parquet"
+    docsAll.filter($"doc_id" % 2 === 0).write.parquet(covered)
+    SummaryRewrite.buildSummary(spark, covered,
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = s"$tmp/mvlf0", minMaxCols = Seq("n_chars"))
+    SummaryRewrite.install(spark)
+    def reg(): Unit = SummaryRewrite.register("spec_lf0",
+      SummaryRewrite.Summary("lf0/d.parquet", s"$tmp/mvlf0",
+        Set("source", "lang")))
+    reg()
+    spark.sql("DROP TABLE IF EXISTS spec_leaf_docs")
+    docsAll.filter($"doc_id" % 2 === 1).write.saveAsTable("spec_leaf_docs")
+    try {
+      def hybrid(q: => org.apache.spark.sql.DataFrame, factMark: String,
+          what: String): Unit = {
+        val p = q.queryExecution.executedPlan.toString
+        assert(p.contains("mvlf0") && p.contains(factMark) &&
+          !p.contains("lf0/d.parquet"),
+          s"$what did not serve hybrid:\n$p")
+        SummaryRewrite.deregister("spec_lf0")
+        val expect = q.collect().map(_.toSeq).toSet
+        reg()
+        assert(q.collect().map(_.toSeq).toSet === expect,
+          s"$what diverged from the fact-union plan")
+      }
+      // a CATALOG-TABLE branch: the partializer grafts projections
+      // over a newInstance() of the table's own resolved relation —
+      // no spark.table() re-resolution (whose analyzed output is not
+      // optimizer-legal and resolves against the CURRENT database)
+      hybrid(spark.read.parquet(covered)
+        .union(spark.table("spec_leaf_docs"))
+        .groupBy($"lang").agg(count(lit(1)).as("n"),
+          sum($"n_chars").as("sc"), min($"n_chars").as("lo")),
+        "spec_leaf_docs", "catalog-table branch")
+      // a basePath partitioned read: `source` exists only through the
+      // reader options + directory layout; a fresh option-less re-read
+      // of the leaf sub-directory would not even resolve the column.
+      // Reusing the branch's own relation keeps it, value-faithfully.
+      val partRoot = s"$tmp/lfpart"
+      docsAll.filter($"doc_id" % 2 === 1)
+        .write.partitionBy("source").parquet(partRoot)
+      val srcDirs = new java.io.File(partRoot).listFiles()
+        .filter(_.getName.startsWith("source=")).map(_.toString).sorted
+      def partBranch = spark.read.option("basePath", partRoot)
+        .parquet(srcDirs: _*)
+        .select($"doc_id", $"source", $"lang", $"n_chars")
+      hybrid(spark.read.parquet(covered).union(partBranch)
+        .groupBy($"source").agg(count(lit(1)).as("n"),
+          sum($"n_chars").as("sc")), "lfpart",
+        "basePath partitioned branch")
+    } finally {
+      SummaryRewrite.deregister("spec_lf0")
+      spark.sql("DROP TABLE IF EXISTS spec_leaf_docs")
+    }
+  }
+
   test("layout degrades to ONE sorted file when AQE is disabled " +
       "(repartitionByRange would shatter into shuffle.partitions files)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
