@@ -741,6 +741,20 @@ object SparkEntry {
     // sketch hybrid: persisted registers + inline-aggregated registers
     // fold bit-identically to the direct sketch; exact uniques emitted
     "q292_summary_sketch_hybrid" -> (IndexOps.q292SummarySketchHybrid _),
+    // the calendar pivot over a multi-epoch corpus: native
+    // ROLLUP(year(date), status) over a union of epoch dirs, served
+    // per grouping set from per-epoch artifacts; hybrid + divergent-
+    // branch refusal gated in-query
+    "q293_summary_union_calendar" ->
+      (IndexOps.q293SummaryUnionCalendarRollup _),
+    // exact distinct-family over a non-key measure under native
+    // ROLLUP, from the hist_ partial (the grouping-sets uniques
+    // matrix); plan-gated Expand-above-Generate
+    "q294_summary_rollup_distinct" ->
+      (IndexOps.q294SummaryRollupDistinct _),
+    // the two-median dashboard row: two hist_ partials, per-measure
+    // explosions joined on grouping values; plan-gated two Generates
+    "q295_summary_two_hist" -> (IndexOps.q295SummaryTwoHist _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

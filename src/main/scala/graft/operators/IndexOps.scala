@@ -2027,7 +2027,17 @@ object IndexOps {
     * price or discount (whose joint cardinality is the fact itself).
     * The serve-side name guard is gated in the spec: a bare column
     * merely NAMED like the expression can never claim the histogram.
-    * At 100 TB: "median order-line revenue by flag" reads kilobytes. */
+    *
+    * Scale honesty: REVENUE is a near-unique measure — its per-group
+    * distinct count grows with the fact (~150k entries at sf0.1,
+    * ~1.5M at sf1), so at production scale an honest cap REFUSES this
+    * build (exact distinct of a near-unique measure is information-
+    * theoretically fact-sized; that measure belongs to `hll_`, and
+    * `hist_` belongs to bounded measures — q295's modular residues are
+    * the model design). The gate builds at an elevated cap to exercise
+    * the exact path at test scale, and proves the LOUD refusal
+    * contract in-gate: the same build under a cap the cardinality
+    * exceeds must throw, never silently truncate. */
   def q289SummaryExprHist(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
     val revenueSql = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)" +
@@ -2064,6 +2074,21 @@ object IndexOps {
       require(other.queryExecution.executedPlan.toString
         .contains("lineitem.parquet"),
         "q289 gate broken: an unregistered expression must refuse")
+      // the cap-refusal contract, proved at a cap the revenue
+      // cardinality exceeds at EVERY scale factor: loud throw naming
+      // the histogram — never a silently truncated multiset
+      val capErr = scala.util.Try(SummaryRewrite.buildSummary(s,
+        s"$dir/lineitem.parquet",
+        keys = Seq("l_returnflag", "l_linestatus"), sumCols = Seq.empty,
+        mvPath = mv + "_capped",
+        exprHistCols = Seq("revenue" -> revenueSql), histCap = 64))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      require(capErr.isFailure &&
+        msgs(capErr.failed.get).exists(_.contains("cap")),
+        "q289 gate broken: an over-cap histogram build must refuse " +
+          "loudly, not truncate")
       val rows = q.collect().toIndexedSeq // <= 3 flags
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
     } finally SummaryRewrite.deregister("q289_lineitem_rev_hist")
@@ -2261,6 +2286,217 @@ object IndexOps {
       }
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), exact.schema)
     } finally SummaryRewrite.deregister("q292_old")
+  }
+
+  // --------------------------------------------------------------- q293
+
+  /** q293 — the CALENDAR PIVOT over a multi-epoch corpus: native
+    * `ROLLUP(year(o_orderdate), o_orderstatus)` over a UNION of epoch
+    * directories, served per grouping set from per-epoch artifacts —
+    * the flagship 100 TB deployment shape (every BI tool emits exactly
+    * this against a date-keyed fact laid out by ingest epoch). The
+    * optimizer hoists `year(...)` into a computed projection that
+    * PushProjectionThroughUnion lands inside every branch; the Expand
+    * union path proves the branches compute the identical expression
+    * ([[graft.plans.SummaryRewrite]]'s substAgrees), inlines it
+    * through branch 0's substitution, and classifies the position as
+    * an ordinary key coarsening — so the whole lattice costs
+    * sets × Σ artifact-rows instead of sets × corpus. In-gate plan
+    * proofs: both artifacts serve, neither epoch fact scans, the
+    * native Expand survives; then the HYBRID shape (epoch 1
+    * deregistered → its fact partializes while epoch 0 keeps its
+    * artifact); then the DIVERGENT-branch refusal (a branch whose same-
+    * named alias computes a DIFFERENT expression must fall back to the
+    * fact union — serving it would silently fold a wrong coarsening).
+    * Values hash-match DuckDB's rollup over the whole orders table
+    * (the epochs partition it). */
+  def q293SummaryUnionCalendarRollup(s: SparkSession,
+      dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val revSql = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q293").toString
+    val orders = load(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderdate", $"o_orderstatus",
+        $"o_totalprice")
+    val epochs = (0 to 1).map { i =>
+      val p = s"$tmp/ep$i/orders_cal.parquet"
+      orders.filter($"o_orderkey" % 2 === i).write.parquet(p)
+      SummaryRewrite.buildSummary(s, p,
+        keys = Seq("o_orderdate", "o_orderstatus"), sumCols = Seq.empty,
+        mvPath = s"$tmp/mvq293_$i",
+        exprCols = Seq("rev" -> revSql),
+        exprMinMax = Seq("rev" -> revSql))
+      p
+    }
+    SummaryRewrite.install(s)
+    def reg(i: Int): Unit = SummaryRewrite.register(s"q293_ep$i",
+      SummaryRewrite.Summary(s"ep$i/orders_cal.parquet", s"$tmp/mvq293_$i",
+        Set("o_orderdate", "o_orderstatus"),
+        exprs = Map("rev" -> revSql)))
+    (0 to 1).foreach(reg)
+    try {
+      def un = s.read.parquet(epochs(0)).union(s.read.parquet(epochs(1)))
+      // withColumn above the union: PushProjectionThroughUnion lands
+      // `year(o_orderdate) AS yr` INSIDE each branch — the exact
+      // hoisted-computed-alias shape the union discipline must bridge
+      def q = un.withColumn("yr", year($"o_orderdate"))
+        .rollup($"yr", $"o_orderstatus")
+        .agg(grouping($"yr").cast("long").as("g_yr"),
+          grouping($"o_orderstatus").cast("long").as("g_st"),
+          count(lit(1)).as("n_orders"),
+          expr(s"sum($revSql)").as("rev_cents"),
+          expr(s"max($revSql)").as("max_cents"))
+        // NULL-free contract for the driver comparator: the rollup's
+        // null subtotal keys coalesce to sentinels AFTER the aggregate
+        // (a Project above the rewrite, invisible to serving)
+        .select(coalesce($"yr", lit(-1)).as("yr"),
+          coalesce($"o_orderstatus", lit("(all)")).as("status"),
+          $"g_yr", $"g_st", $"n_orders", $"rev_cents", $"max_cents")
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("mvq293_0") && phys.contains("mvq293_1"),
+        "q293 gate is vacuous: both epoch artifacts must serve")
+      require(!phys.contains("orders_cal.parquet"),
+        "q293 gate broken: an epoch fact is still scanned")
+      require(phys.contains("Expand"),
+        "q293 gate broken: the native rollup Expand must survive")
+      // HYBRID: the not-yet-summarized epoch partializes in place
+      SummaryRewrite.deregister("q293_ep1")
+      val ph = q.queryExecution.executedPlan.toString
+      require(ph.contains("mvq293_0") &&
+        ph.contains("ep1/orders_cal.parquet") &&
+        !ph.contains("ep0/orders_cal.parquet"),
+        "q293 gate broken: hybrid must partialize exactly the " +
+          "uncovered epoch")
+      reg(1)
+      // DIVERGENT branches refuse: epoch 1's `yr` is year+1 — folding
+      // it into epoch 0's calendar would be silently wrong, so the
+      // whole rewrite must stand down to the fact union
+      val diverged = s.read.parquet(epochs(0))
+        .select($"o_orderstatus", year($"o_orderdate").as("yr"),
+          expr(revSql).as("rev"))
+        .union(s.read.parquet(epochs(1))
+          .select($"o_orderstatus", (year($"o_orderdate") + 1).as("yr"),
+            expr(revSql).as("rev")))
+        .rollup($"yr").agg(count(lit(1)).as("n"))
+      require(diverged.queryExecution.executedPlan.toString
+        .contains("orders_cal.parquet"),
+        "q293 gate broken: cross-branch-divergent aliases must refuse")
+      val rows = q.collect().toIndexedSeq // years × statuses + totals
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally (0 to 1).foreach(i => SummaryRewrite.deregister(s"q293_ep$i"))
+  }
+
+  // --------------------------------------------------------------- q294
+
+  /** q294 — the GROUPING-SETS UNIQUES MATRIX: exact
+    * `count(DISTINCT m)` (and sum DISTINCT) over a NON-KEY measure
+    * under native ROLLUP, served from the `hist_<m>` exact
+    * value-histogram partial — the composition the round-13 limits
+    * register refused. The rewritten Expand sits ABOVE one histogram
+    * explosion: per grouping set, the exploded entry values (masked to
+    * the measure's projections) are exactly that set's distinct-value
+    * multiset, so Spark's own distinct aggregation re-runs verbatim on
+    * them while the plain measures ride first-entry-masked partials —
+    * subtotals and grand total included, all from the artifact. At
+    * 100 TB the "uniques per segment with totals" dashboard header
+    * reads kilobytes instead of rescanning the corpus per grouping
+    * set. In-gate plan proofs: artifact serves, fact does not scan,
+    * the native Expand AND the Generate (explosion) both survive;
+    * values hash-match DuckDB's rollup off the fact. */
+  def q294SummaryRollupDistinct(s: SparkSession,
+      dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val mv = java.nio.file.Files.createTempDirectory("graft-q294")
+      .toString + "/docs_uniq_rollup"
+    SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = mv, histCols = Seq("n_chars"))
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q294_docs_uniq_rollup",
+      SummaryRewrite.Summary("documents.parquet", mv,
+        Set("source", "lang")))
+    try {
+      def q = load(s, dir, "documents")
+        .rollup($"source")
+        .agg(grouping($"source").cast("long").as("g_src"),
+          countDistinct($"n_chars").as("n_uniq_chars"),
+          sum_distinct($"n_chars").as("sum_uniq_chars"),
+          expr("median(n_chars)").as("med_chars"),
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"))
+        .select(coalesce($"source", lit("(all)")).as("source"),
+          $"g_src", $"n_uniq_chars", $"sum_uniq_chars", $"med_chars",
+          $"n_docs", $"sum_chars")
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("docs_uniq_rollup"),
+        "q294 gate is vacuous: the hist partials did not serve the " +
+          "rollup distinct")
+      require(!phys.contains("documents.parquet"),
+        "q294 gate broken: the fact table is still scanned")
+      require(phys.contains("Expand") && phys.contains("Generate"),
+        "q294 gate broken: need the native Expand above the histogram " +
+          "explosion")
+      val rows = q.collect().toIndexedSeq // sources + grand total
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q294_docs_uniq_rollup")
+  }
+
+  // --------------------------------------------------------------- q295
+
+  /** q295 — the TWO-MEDIAN dashboard row: `median(x), median(y)` (plus
+    * a distinct count and plain totals) in ONE aggregate, served from
+    * TWO `hist_` partials via per-measure explosions JOINED on the
+    * null-safe grouping values ([[graft.plans.SummaryRewrite]]'s
+    * multi-histogram path). One map per explosion is the law — a
+    * second PosExplode in one chain would cross-product the entries —
+    * so each measure gets its own Generate over its own instance of
+    * the artifact scan and the per-measure aggregates join back: both
+    * sides aggregate the same artifact rows under the same grouping,
+    * so the inner `<=>` join is a bijection. Both measures are
+    * BOUNDED by construction (modular residues — the honest histogram
+    * design; near-unique measures belong to `hll_`). In-gate plan
+    * proofs: artifact serves, fact does not scan, TWO Generates and a
+    * join are present; values hash-match DuckDB off the fact. At
+    * 100 TB the join is summary-group-sized — kilobytes against the
+    * corpus scan it replaces. */
+  def q295SummaryTwoHist(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q295").toString
+    val fact = s"$tmp/orders_mods.parquet"
+    // bounded derived measures as real fact columns: cents-cleared
+    // price residue and customer residue (≤ 9973 / 997 distinct values
+    // per group — the histogram cap holds at any corpus size)
+    load(s, dir, "orders").select($"o_orderstatus",
+        (pmod($"o_custkey", lit(997L))).as("cust_res"),
+        (pmod(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"),
+          lit(9973L))).as("price_res"))
+      .write.parquet(fact)
+    SummaryRewrite.buildSummary(s, fact, keys = Seq("o_orderstatus"),
+      sumCols = Seq("cust_res", "price_res"), mvPath = s"$tmp/mvq295",
+      histCols = Seq("cust_res", "price_res"))
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q295_orders_mods",
+      SummaryRewrite.Summary("orders_mods.parquet", s"$tmp/mvq295",
+        Set("o_orderstatus")))
+    try {
+      def q = s.read.parquet(fact).groupBy($"o_orderstatus")
+        .agg(expr("median(cust_res)").as("med_cust"),
+          expr("median(price_res)").as("med_price"),
+          countDistinct($"price_res").as("n_uniq_price"),
+          count(lit(1)).as("n_orders"),
+          sum($"cust_res").as("sum_cust"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("mvq295"),
+        "q295 gate is vacuous: the two-hist artifact did not serve")
+      require(!phys.contains("orders_mods.parquet"),
+        "q295 gate broken: the fact table is still scanned")
+      require("Generate".r.findAllIn(phys).size >= 2,
+        "q295 gate broken: need one explosion PER measure")
+      require(phys.contains("Join"),
+        "q295 gate broken: the per-measure sides must join back")
+      val rows = q.collect().toIndexedSeq // one row per order status
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q295_orders_mods")
   }
 
   // --------------------------------------------------------------- q288
@@ -3123,6 +3359,50 @@ object IndexOps {
         |  CAST(max(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
         |    AS BIGINT) AS max_cents
         |FROM orders GROUP BY 1""".stripMargin,
+    // q293: the calendar pivot off the WHOLE orders table — the two
+    // epochs union back to exactly `orders`, so the per-epoch rollup
+    // serving is invisible to the answer; sentinels keep the rollup's
+    // null subtotal keys out of the driver comparator
+    "q293_summary_union_calendar" ->
+      """SELECT coalesce(CAST(year(o_orderdate) AS INTEGER), -1) AS yr,
+        |  coalesce(o_orderstatus, '(all)') AS status,
+        |  CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_yr,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS rev_cents,
+        |  CAST(max(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS max_cents
+        |FROM orders
+        |GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)""".stripMargin,
+    // q294: the uniques matrix off the fact — DuckDB's ROLLUP +
+    // distinct aggregates replay the exact integer multisets;
+    // quantile_cont interpolates the same values in both engines
+    "q294_summary_rollup_distinct" ->
+      """SELECT coalesce(source, '(all)') AS source,
+        |  CAST(GROUPING(source) AS BIGINT) AS g_src,
+        |  CAST(count(DISTINCT n_chars) AS BIGINT) AS n_uniq_chars,
+        |  CAST(sum(DISTINCT n_chars) AS BIGINT) AS sum_uniq_chars,
+        |  quantile_cont(n_chars, 0.5) AS med_chars,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (source)""".stripMargin,
+    // q295: the two-median row off the fact — DuckDB recomputes the
+    // bounded residues from orders; quantile_cont interpolates the
+    // same exact-integer multisets in both engines
+    "q295_summary_two_hist" ->
+      """WITH r AS (SELECT o_orderstatus,
+        |    (o_custkey % 997 + 997) % 997 AS cust_res,
+        |    (CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) % 9973
+        |      + 9973) % 9973 AS price_res
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  quantile_cont(cust_res, 0.5) AS med_cust,
+        |  quantile_cont(price_res, 0.5) AS med_price,
+        |  CAST(count(DISTINCT price_res) AS BIGINT) AS n_uniq_price,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cust_res) AS BIGINT) AS sum_cust
+        |FROM r GROUP BY 1""".stripMargin,
     // q291: the per-lang profile off the WHOLE documents table — the
     // epochs partition it (doc_id % 4), so hybrid serving (artifact +
     // partialized tail) must reproduce the plain aggregate exactly

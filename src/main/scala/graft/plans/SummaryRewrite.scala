@@ -7,7 +7,7 @@ import scala.util.Try
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -198,17 +198,27 @@ object SummaryRewrite {
   private val registry = new ConcurrentHashMap[String, Summary]()
 
   /** The catalogs this process is BOUND to, one per catalog DIRECTORY:
-    * the version each load resolved and the entry names that load owns
-    * (so a later version that DROPS an entry deregisters it — a
-    * published deregistration must stop serving). Two consumers in one
-    * JVM bound to DIFFERENT directories refresh independently; entry
-    * NAMES still share the one flat registry, so two catalogs
-    * publishing the same entry name race (last refresh wins) — name
-    * catalogs' entries distinctly. [[clear]] unbinds everything. */
+    * the version each load resolved and the REGISTRY KEYS that load
+    * owns (so a later version that DROPS an entry deregisters it — a
+    * published deregistration must stop serving). Catalog-loaded
+    * entries register NAMESPACED by their directory
+    * ([[catalogEntryKey]] — `name@dir`), so two catalogs publishing
+    * the same entry name each serve their own artifact instead of
+    * racing on one flat key (last-refresh-wins was the round-13
+    * residue); programmatic [[register]] keys are untouched. Two
+    * consumers in one JVM bound to DIFFERENT directories refresh
+    * independently. [[clear]] unbinds everything. */
   private final case class BoundCatalog(dir: String, version: Long,
       names: Set[String])
   private val bound = new ConcurrentHashMap[String, BoundCatalog]()
   private val boundLock = new Object
+
+  /** Registry key of a catalog-loaded entry: the published name,
+    * namespaced by the catalog directory. Brace/bracket-free by
+    * construction (publish refuses those in names and dirs are
+    * paths), so a registry snapshot remains re-publishable. */
+  private def catalogEntryKey(catalogDir: String, name: String): String =
+    s"$name@$catalogDir"
 
   /** Freshness-listing rate limit: a bound consumer re-lists its
     * catalog directory at most once per TTL (the rule sits in
@@ -678,9 +688,11 @@ object SummaryRewrite {
     if (live.isEmpty) return 0
     val entries = readCatalogVersion(spark, catalogDir, live.max)
     boundLock.synchronized {
-      entries.foreach { case (n, s) => register(n, s) }
+      entries.foreach { case (n, s) =>
+        register(catalogEntryKey(catalogDir, n), s)
+      }
       bound.put(catalogDir, BoundCatalog(catalogDir, live.max,
-        entries.map(_._1).toSet))
+        entries.map(e => catalogEntryKey(catalogDir, e._1)).toSet))
       lastListNanos.put(catalogDir, nanoClock())
     }
     entries.size
@@ -731,9 +743,12 @@ object SummaryRewrite {
             Option(bound.get(b.dir)).filter(cur => v > cur.version)
               .foreach { cur =>
                 Try(readCatalogVersion(spark, b.dir, v)).foreach { entries =>
-                  val names = entries.map(_._1).toSet
+                  val names = entries
+                    .map(e => catalogEntryKey(b.dir, e._1)).toSet
                   (cur.names -- names).foreach(deregister)
-                  entries.foreach { case (n, s) => register(n, s) }
+                  entries.foreach { case (n, s) =>
+                    register(catalogEntryKey(b.dir, n), s)
+                  }
                   bound.put(b.dir, BoundCatalog(b.dir, v, names))
                   note(s"catalog ${b.dir} refreshed to cat=$v " +
                     s"(${entries.size} entries)")
@@ -1219,12 +1234,18 @@ object SummaryRewrite {
         "expression partials absent from exprCols — pass the registered " +
         "(name, sql) pairs")
     val hists = histColsOf(latest).map(_._2).toSet
+    // min/max — plain AND expression — retract exactly when the SAME
+    // base (column or registration name) carries a histogram: the
+    // retracted histogram IS the value multiset, so the new extreme
+    // re-derives from its keys; without one, a deleted extreme is
+    // unrecoverable
     val unretractable =
       minMaxCols.filterNot(hists)
         .flatMap(c => Seq(s"min_$c", s"max_$c")).filter(have) ++
         hllColsOf(latest).map(_._1) ++
         latest.schema.fieldNames.toSeq.filter(n =>
-          n.startsWith("minx_") || n.startsWith("maxx_")) ++
+          (n.startsWith("minx_") && !hists(n.stripPrefix("minx_"))) ||
+            (n.startsWith("maxx_") && !hists(n.stripPrefix("maxx_")))) ++
         // a pre-cnt_ era sum partial cannot retract either: the
         // NULL-on-zero rule (sum of no non-null values is NULL) needs
         // the non-null count beside it
@@ -1233,9 +1254,10 @@ object SummaryRewrite {
     val hasDeletes = !deletes.isEmpty
     require(!hasDeletes || unretractable.isEmpty || dropUnretractable,
       s"applyCdc: partials ${unretractable.mkString(", ")} are not " +
-        "retractable (min/max without a histogram, expression min/max, " +
-        "HLL registers) — rebuild the summary, key the column, carry a " +
-        "hist_ partial, or pass dropUnretractable = true to shed them")
+        "retractable (min/max — plain or expression — without a same-" +
+        "base histogram, HLL registers) — rebuild the summary, key the " +
+        "column, carry a hist_ partial, or pass dropUnretractable = " +
+        "true to shed them")
     val dropped =
       if (hasDeletes && dropUnretractable) unretractable.toSet
       else Set.empty[String]
@@ -1314,6 +1336,10 @@ object SummaryRewrite {
             lit(null).as(n) // re-derived from the histogram below
           case n if n.startsWith("max_") && hists(n.drop(4)) =>
             lit(null).as(n)
+          case n if n.startsWith("minx_") && hists(n.drop(5)) =>
+            lit(null).as(n) // expression extremes re-derive the same way
+          case n if n.startsWith("maxx_") && hists(n.drop(5)) =>
+            lit(null).as(n)
           case n => col(n).as(n)
         }: _*)
     // negative-evidence sweep BEFORE commit: any histogram value going
@@ -1338,7 +1364,7 @@ object SummaryRewrite {
     // 3) vanished groups drop; hist-backed min/max re-derive from the
     // retracted histograms (exact: the histogram IS the value multiset)
     val result0 = subtracted.filter(col("cnt") > 0L)
-    val result = keptMinMax.filter(hists).foldLeft(result0) { (df, c) =>
+    val result1 = keptMinMax.filter(hists).foldLeft(result0) { (df, c) =>
       df.withColumn(s"min_$c",
           array_min(map_keys(col(s"hist_$c")))
             .cast(latest.schema(s"min_$c").dataType))
@@ -1346,6 +1372,18 @@ object SummaryRewrite {
           array_max(map_keys(col(s"hist_$c")))
             .cast(latest.schema(s"max_$c").dataType))
     }
+    // expression extremes off their expression histograms, exactly
+    // like the plain-column path (minx_<n> ← min key of hist_<n>)
+    val result = exprCols.map(_._1)
+      .filter(n => baseCols(s"minx_$n") && hists(n))
+      .foldLeft(result1) { (df, n) =>
+        df.withColumn(s"minx_$n",
+            array_min(map_keys(col(s"hist_$n")))
+              .cast(latest.schema(s"minx_$n").dataType))
+          .withColumn(s"maxx_$n",
+            array_max(map_keys(col(s"hist_$n")))
+              .cast(latest.schema(s"maxx_$n").dataType))
+      }
     graft.operators.IndexOps.writeSnapshot(
       layout(result.select(base.schema.fieldNames.map(col)
         .toIndexedSeq: _*), keys), store)
@@ -2086,10 +2124,14 @@ object SummaryRewrite {
       * ROLLUP shape (measures in every projection). Aggregates derive
       * exactly like the direct path: COUNT(*) → Σcnt (coalesced),
       * COUNT(col) → Σcnt_col, SUM → Σsum_ (integral partials only),
-      * MIN/MAX → min_/max_, AVG → Σsum_/Σcnt_col (Long); filtered
-      * aggregates and distinct over non-keys refuse. Key-only Filters
-      * below the Expand push onto the summary scan like everywhere
-      * else. */
+      * MIN/MAX → min_/max_, AVG → Σsum_/Σcnt_col (Long); the exact
+      * DISTINCT family (count/sum/avg DISTINCT) serves over keys and
+      * over hist-carried measures (the exploded entry values are each
+      * grouping set's exact distinct multiset — `ROLLUP(k) +
+      * count(DISTINCT m)`, the grouping-sets uniques matrix, reads
+      * kilobytes); filtered distinct and distinct over uncarried
+      * measures refuse. Key-only Filters below the Expand push onto
+      * the summary scan like everywhere else. */
     private def tryExpandRewrite(groupExprs: Seq[Expression],
         aggExprs: Seq[NamedExpression], expand: Expand,
         hint: Option[AggregateHint],
@@ -2578,6 +2620,23 @@ object SummaryRewrite {
         // the direct path
         case e @ Alias(ae: AggregateExpression, name)
             if ae.isDistinct && ae.filter.isEmpty =>
+          // DISTINCT over a hist-carried MEASURE under the rewritten
+          // Expand: the exploded entry values — masked to the
+          // measure's own projections — are exactly each grouping
+          // set's distinct-value multiset (dedup across summary rows
+          // and entry replication is the distinct aggregate's own
+          // job, the flat path's argument on the Expand shape), so
+          // count/sum/avg DISTINCT re-run verbatim on the value attr.
+          def histDistinct(fn: AttributeReference => Option[
+              AggregateFunction]): PartialFunction[Seq[Expression],
+              Option[Expression]] = {
+            case Seq(a: AttributeReference) =>
+              baseOf(a).flatMap { case (pos, b) =>
+                histAttr(b, pos, wantCount = false).flatMap(k =>
+                  fn(k).map(AggregateExpression(_, Complete,
+                    isDistinct = true)))
+              }
+          }
           (ae.aggregateFunction match {
             case c: Count if c.children.nonEmpty && c.children.forall {
                 case a: AttributeReference =>
@@ -2589,6 +2648,14 @@ object SummaryRewrite {
                   baseOf(a).flatMap(b => partialAttr(b._2, -1))
               }).map(ks => AggregateExpression(Count(ks), Complete,
                 isDistinct = true))
+            case c: Count =>
+              histDistinct(k => Some(Count(Seq(k))))
+                .lift(c.children).flatten
+            case s: Sum =>
+              histDistinct(k => Some(Sum(k))).lift(Seq(s.child)).flatten
+            case av: Average =>
+              histDistinct(k => Some(Average(k)))
+                .lift(Seq(av.child)).flatten
             case _ => None
           }).map(ex => Alias(ex, name)(exprId = e.exprId))
         case e @ Alias(ae: AggregateExpression, name) if !ae.isDistinct =>
@@ -3617,8 +3684,8 @@ object SummaryRewrite {
     private def tryRewrite(name: String, summary: Summary,
         groupExprs: Seq[Expression],
         aggExprs: Seq[NamedExpression], pred: Option[Expression],
-        hint: Option[AggregateHint]): Option[Aggregate] = {
-      def refuse(reason: String): Option[Aggregate] = {
+        hint: Option[AggregateHint]): Option[LogicalPlan] = {
+      def refuse(reason: String): Option[LogicalPlan] = {
         note(s"candidate '$name': $reason")
         None
       }
@@ -3667,16 +3734,20 @@ object SummaryRewrite {
       // explosion replicates summary rows, and an unmasked Σcnt would
       // overcount by the histogram's size; outer explode keeps
       // all-null-measure groups as a single pos-null row that carries
-      // the partials). One map per query by design: a second exploded
-      // histogram would cross-product the entries — refuse loudly
-      // instead (split the dashboard query, or key one column).
+      // the partials). One map per EXPLOSION by design: a second
+      // exploded histogram in one Generate chain would cross-product
+      // the entries — so a query needing TWO histograms serves via
+      // per-measure explosions JOINED on the grouping values
+      // ([[multiHistRewrite]]), never a cross-product.
       histRewrite(name, summary, groupExprs, aggExprs, mvAttrs,
-        filteredMv, remap, hint).orElse {
+        filteredMv, remap, hint).orElse(
+        multiHistRewrite(name, summary, path, groupExprs, aggExprs,
+          pred, hint)
+      ).orElse {
         refuse(s"output '${rewritten.find(_._2.isEmpty).get._1.name}' " +
           "is not derivable from the artifact (needs a matching " +
           "cnt/sum_/min_/max_/hll_/hist_ partial of the same type; " +
-          "distinct/percentile over keys or hist-carried measures; " +
-          "no cross-measure hist pairs)")
+          "distinct/percentile over keys or hist-carried measures)")
       }
     }
 
@@ -3720,6 +3791,117 @@ object SummaryRewrite {
             }
           }
       }.headOption
+    }
+
+    /** TWO-HISTOGRAM serving — `median(x), median(y) GROUP BY k` in
+      * one aggregate (the common two-median dashboard row). One map
+      * per explosion is the law (a second PosExplode in the same
+      * chain would cross-product the entries), so each needed
+      * histogram gets its OWN explosion over its OWN instance of the
+      * artifact scan, aggregated per measure group, and the
+      * per-measure Aggregates JOIN back on NULL-SAFE grouping values.
+      *
+      * Exactness: each side is exactly the single-histogram rewrite
+      * (its own soundness laws apply verbatim); both sides aggregate
+      * the SAME artifact rows under the SAME filter and grouping, so
+      * their group sets are identical and the inner `<=>` equi-join is
+      * a bijection — no group appears, disappears, or duplicates
+      * (grouping values are unique per Aggregate output by
+      * construction). A global (group-less) aggregate joins two
+      * single-row sides with a Cross join — still a bijection.
+      *
+      * Cost at 100 TB: both sides re-scan the same kilobyte artifact
+      * and the join is summary-GROUP-sized (≤ artifact rows) — noise
+      * next to the fact scan it replaces. Broadcast-ability is free
+      * (tiny sides). Refusals: an output needing BOTH histograms at
+      * once (composed glue over two medians), an output deriving from
+      * none, or fewer than two needed histograms (the single-map path
+      * already answered). */
+    private def multiHistRewrite(name: String, summary: Summary,
+        path: String, groupExprs: Seq[Expression],
+        aggExprs: Seq[NamedExpression], pred: Option[Expression],
+        hint: Option[AggregateHint]): Option[LogicalPlan] = {
+      val probePlan = mvPlanFor(path, summary.store.isDefined)
+        .getOrElse(return None)
+      val probeAttrs = probePlan.output.map(a => a.name -> a).toMap
+      val cands = histCandidatesOf(probeAttrs)
+      if (cands.size < 2) return None
+      // partition outputs: "" = plain-derivable (rides side 0), else
+      // the hist_<col> name whose explosion derives it; None refuses
+      val assign: Seq[Option[String]] = aggExprs.map { e =>
+        if (rewriteAgg(e, probeAttrs, summary.keys,
+            exprs = summary.exprs)
+            .filter(_.dataType == e.dataType).isDefined) Some("")
+        else cands.collectFirst {
+          case (hn, base, _, vt) if {
+            val (_, kA, vA) = histEntryAttrs(vt)
+            rewriteAgg(e, probeAttrs, summary.keys,
+              hist = Some(HistCtx(base, kA, vA)), exprs = summary.exprs)
+              .filter(_.dataType == e.dataType)
+              .exists(_.exists(ex => ex == kA || ex == vA))
+          } => hn
+        }
+      }
+      if (assign.exists(_.isEmpty)) return None
+      val neededHists = assign.flatten.filter(_.nonEmpty).distinct
+      if (neededHists.size < 2) return None
+      // side 0 carries the plain outputs + the first histogram's; each
+      // further histogram gets its own side
+      val sideOuts: Seq[(String, Seq[NamedExpression])] =
+        neededHists.zipWithIndex.map { case (hn, i) =>
+          hn -> aggExprs.zip(assign).collect {
+            case (e, Some(a)) if a == hn || (i == 0 && a.isEmpty) => e
+          }
+        }
+      // one side: fresh artifact instance, the branch filter, ONE
+      // explosion, grouping values under stable fresh names
+      def buildSide(hn: String, outs: Seq[NamedExpression])
+          : Option[(Aggregate, Seq[Attribute])] = for {
+        plan <- mvPlanFor(path, summary.store.isDefined)
+        attrs = plan.output.map(a => a.name -> a).toMap
+        histAttr <- attrs.get(hn)
+        if HistSummary.isHistType(histAttr.dataType)
+        base = hn.stripPrefix("hist_")
+        (posA, kA, vA) = histEntryAttrs(
+          histAttr.dataType.asInstanceOf[MapType].keyType)
+        remap = (ex: Expression) => ex.transform {
+          case a: AttributeReference if attrs.contains(a.name) =>
+            attrs(a.name)
+        }
+        rewritten <- sequence(outs.map(e =>
+          rewriteAgg(e, attrs, summary.keys,
+            hist = Some(HistCtx(base, kA, vA)), exprs = summary.exprs)
+            .filter(_.dataType == e.dataType)))
+      } yield {
+        val filtered = pred.map(p => Filter(remap(p), plan))
+          .getOrElse(plan)
+        val gen = histExplode(histAttr, posA, kA, vA, filtered)
+        val groupVals = groupExprs.zipWithIndex.map { case (g, j) =>
+          Alias(remap(g), s"__mh_g$j")()
+        }
+        val agg = Aggregate(groupExprs.map(remap),
+          groupVals ++ maskToFirstEntry(rewritten, posA, attrs), gen,
+          hint)
+        (agg, groupVals.map(_.toAttribute))
+      }
+      val sides = sideOuts.map { case (hn, outs) => buildSide(hn, outs) }
+      if (sides.exists(_.isEmpty)) return None
+      val joined = sides.map(_.get).reduceLeft[(LogicalPlan,
+          Seq[Attribute])] { case ((l, lg), (r, rg)) =>
+        val cond = lg.zip(rg).map { case (a, b) =>
+          EqualNullSafe(a, b): Expression
+        }.reduceOption(And)
+        (Join(l, r, if (cond.isEmpty) Cross else Inner, cond,
+          JoinHint.NONE), lg)
+      }._1
+      val byId: Map[ExprId, Attribute] = sides.flatMap(
+        _.get._1.aggregateExpressions.map(_.toAttribute))
+        .map(a => a.exprId -> a).toMap
+      if (!aggExprs.forall(e => byId.contains(e.exprId))) return None
+      note(s"aggregate SERVED by summary '$name' via " +
+        s"${neededHists.size} per-measure histogram explosions joined " +
+        "on the grouping values")
+      Some(Project(aggExprs.map(e => byId(e.exprId)), joined))
     }
 
     /** `hist_<col>` columns of an artifact's attribute map: (column

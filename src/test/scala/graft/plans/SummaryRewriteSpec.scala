@@ -2421,6 +2421,50 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.clear()
   }
 
+  test("catalog entries are NAMESPACED by directory: two catalogs " +
+      "publishing the SAME entry name both serve their own artifact — " +
+      "no last-refresh-wins race — and each directory's drop " +
+      "deregisters only its own entry") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val (catA, catB) = (s"$tmp/nsA", s"$tmp/nsB")
+    SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = s"$tmp/nsmvA")
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"),
+      mvPath = s"$tmp/nsmvB")
+    // the SAME published name in both catalogs, different facts
+    SummaryRewrite.publishCatalog(spark, catA, Map(
+      "daily" -> SummaryRewrite.Summary("documents.parquet",
+        s"$tmp/nsmvA", Set("source", "lang"))))
+    SummaryRewrite.publishCatalog(spark, catB, Map(
+      "daily" -> SummaryRewrite.Summary("orders.parquet",
+        s"$tmp/nsmvB", Set("o_custkey"))))
+    SummaryRewrite.clear()
+    assert(SummaryRewrite.install(spark, catA) === 1)
+    assert(SummaryRewrite.install(spark, catB) === 1)
+    try {
+      def qd = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      def qo = graft.Tables.load(spark, dir, "orders")
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      // pre-namespacing, B's load overwrote A's "daily" — docs fell
+      // back to the fact scan; now both serve their own
+      assert(qd.queryExecution.executedPlan.toString.contains("nsmvA"),
+        "catalog A's same-named entry must keep serving after B binds")
+      assert(qo.queryExecution.executedPlan.toString.contains("nsmvB"),
+        "catalog B's same-named entry must serve")
+      // B drops its "daily": only B's registration dies
+      SummaryRewrite.publishCatalog(spark, catB,
+        Map.empty[String, SummaryRewrite.Summary])
+      assert(qo.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "catalog B's drop must stop serving B's entry")
+      assert(qd.queryExecution.executedPlan.toString.contains("nsmvA"),
+        "catalog B's drop must not touch A's same-named entry")
+    } finally SummaryRewrite.clear()
+  }
+
   test("auditCatalog resolves TABLE-identified entries via spark.table " +
       "(status ok), and reports 'unauditable' — never a bogus " +
       "'missing' — when the identity cannot be resolved") {
@@ -2905,6 +2949,19 @@ class SummaryRewriteSpec extends AnyFunSuite {
       assert(diverged.queryExecution.executedPlan.toString
         .contains("d.parquet"),
         "cross-branch-divergent computed aliases must refuse")
+      // ... and the SAME divergence under the native-ROLLUP Expand
+      // path: the lattice walk must stand down to the fact union too
+      val divergedRollup = spark.read.parquet(epochs(0))
+        .select($"source", $"lang",
+          (length($"lang") + lit(1)).as("ll"), $"n_chars")
+        .union(spark.read.parquet(epochs(1))
+          .select($"source", $"lang",
+            (length($"lang") + lit(2)).as("ll"), $"n_chars"))
+        .rollup($"ll", $"source")
+        .agg(count(lit(1)).as("n"), max($"n_chars").as("mx"))
+      assert(divergedRollup.queryExecution.executedPlan.toString
+        .contains("d.parquet"),
+        "cross-branch-divergent aliases must refuse under ROLLUP too")
     } finally (0 to 1).foreach(i => SummaryRewrite.deregister(s"spec_cg$i"))
   }
 
@@ -3312,6 +3369,143 @@ class SummaryRewriteSpec extends AnyFunSuite {
         "rollup-over-union hist serving diverged — per-epoch histograms " +
           "must fold per grouping set")
     } finally (0 to 1).foreach(i => SummaryRewrite.deregister(s"spec_hru$i"))
+  }
+
+  test("the EXACT distinct family serves under native ROLLUP/CUBE from " +
+      "hist partials: count/sum/avg DISTINCT over a non-key measure " +
+      "beside plain totals, per grouping set across the full lattice; " +
+      "filtered distinct and grouping BY the measure refuse") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val fact = s"$tmp/rud.parquet"
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", $"lang", $"n_chars").write.parquet(fact)
+    SummaryRewrite.buildSummary(spark, fact,
+      keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
+      mvPath = s"$tmp/rudmv", histCols = Seq("n_chars"))
+    SummaryRewrite.install(spark)
+    def reg(): Unit = SummaryRewrite.register("spec_rud",
+      SummaryRewrite.Summary("rud.parquet", s"$tmp/rudmv",
+        Set("source", "lang")))
+    reg()
+    try {
+      val docs = spark.read.parquet(fact)
+      def served(q: => org.apache.spark.sql.DataFrame,
+          what: String): Unit = {
+        val p = q.queryExecution.executedPlan.toString
+        assert(p.contains("rudmv") && !p.contains("rud.parquet"),
+          s"$what did not serve:\n$p")
+        assert(p.contains("Expand") && p.contains("Generate"),
+          s"$what must keep the Expand above the histogram explosion")
+        SummaryRewrite.deregister("spec_rud")
+        val expect = q.collect().map(_.toSeq).toSet
+        reg()
+        assert(q.collect().map(_.toSeq).toSet === expect,
+          s"$what diverged from the fact lattice")
+      }
+      // the full CUBE lattice (4 grouping sets), distinct beside plain
+      served(docs.cube($"source", $"lang").agg(
+        countDistinct($"n_chars").as("u"),
+        sum_distinct($"n_chars").as("su"),
+        expr("avg(DISTINCT n_chars)").as("au"),
+        count(lit(1)).as("n"), sum($"n_chars").as("s")),
+        "cube distinct family")
+      // ROLLUP with the whole hist family in one row: distinct +
+      // exact median + min/max + sketch, all off one explosion
+      served(docs.rollup($"source").agg(
+        countDistinct($"n_chars").as("u"),
+        expr("median(n_chars)").as("med"),
+        min($"n_chars").as("mn"),
+        approx_count_distinct($"n_chars").as("apx"),
+        count(lit(1)).as("n")), "rollup distinct + hist family")
+      // refusal: a FILTER clause on the distinct aggregate is not
+      // derivable from the histogram (per-row predicates are gone)
+      val filtered = docs.rollup($"source").agg(
+        expr("count(DISTINCT n_chars) FILTER (WHERE lang = 'en')")
+          .as("u"))
+      assert(filtered.queryExecution.executedPlan.toString
+        .contains("rud.parquet"),
+        "filtered distinct under rollup must refuse")
+      // refusal: grouping BY the hist measure itself — n_chars is not
+      // a key, entry values cannot source a grouping position here
+      val byMeasure = docs.rollup($"n_chars")
+        .agg(count(lit(1)).as("n"))
+      assert(byMeasure.queryExecution.executedPlan.toString
+        .contains("rud.parquet"),
+        "grouping by the measure must refuse")
+    } finally SummaryRewrite.deregister("spec_rud")
+  }
+
+  test("TWO-histogram serving: median/distinct over TWO measures in one " +
+      "aggregate serve via per-measure explosions JOINED on null-safe " +
+      "grouping values — exact incl. NULL group keys and the global " +
+      "(group-less) row; composed glue across the two refuses") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // g has a NULL key group: the join must be null-safe or the whole
+    // null group silently drops
+    val fact = s"$tmp/twohist.parquet"
+    Seq(
+      (Option("a"), 1L, 10L), (Option("a"), 2L, 10L),
+      (Option("a"), 2L, 30L), (Option("b"), 5L, 70L),
+      (Option.empty[String], 9L, 90L), (Option.empty[String], 9L, 20L))
+      .toDF("g", "m", "w").write.parquet(fact)
+    SummaryRewrite.buildSummary(spark, fact, keys = Seq("g"),
+      sumCols = Seq("m", "w"), mvPath = s"$tmp/twohistmv",
+      histCols = Seq("m", "w"))
+    SummaryRewrite.install(spark)
+    def reg(): Unit = SummaryRewrite.register("spec_twohist",
+      SummaryRewrite.Summary("twohist.parquet", s"$tmp/twohistmv",
+        Set("g")))
+    reg()
+    try {
+      val f = spark.read.parquet(fact)
+      def served(q: => org.apache.spark.sql.DataFrame,
+          what: String): Unit = {
+        val p = q.queryExecution.executedPlan.toString
+        assert(p.contains("twohistmv") && !p.contains("twohist.parquet"),
+          s"$what did not serve:\n$p")
+        assert("Generate".r.findAllIn(p).size >= 2,
+          s"$what must run one explosion PER measure:\n$p")
+        SummaryRewrite.deregister("spec_twohist")
+        val expect = q.collect().map(_.toSeq).toSet
+        reg()
+        assert(q.collect().map(_.toSeq).toSet === expect,
+          s"$what diverged from the fact scan")
+      }
+      // the two-median dashboard row, plus one measure's distinct
+      // count and plain totals — grouped, with a NULL key group
+      served(f.groupBy($"g").agg(
+        expr("median(m)").as("med_m"), expr("median(w)").as("med_w"),
+        countDistinct($"m").as("um"),
+        count(lit(1)).as("n"), sum($"m").as("sm")),
+        "grouped two-hist row")
+      // the global row: single-row sides, Cross-joined — a bijection
+      served(f.agg(expr("median(m)").as("med_m"),
+        expr("median(w)").as("med_w"), count(lit(1)).as("n")),
+        "global two-hist row")
+      // a key-only filter pushes onto BOTH artifact instances
+      served(f.filter($"g" =!= "b").groupBy($"g").agg(
+        expr("median(m)").as("med_m"), expr("median(w)").as("med_w")),
+        "filtered two-hist row")
+      // composed glue ACROSS the two measures cannot split into
+      // per-measure sides — refuse to the fact, never a wrong join
+      val glued = f.groupBy($"g")
+        .agg((expr("median(m)") + expr("median(w)")).as("mm"))
+      assert(glued.queryExecution.executedPlan.toString
+        .contains("twohist.parquet"),
+        "cross-measure composed glue must refuse")
+      // TWO distinct measures rewrite into RewriteDistinctAggregates'
+      // double aggregation with two hist-value grouping positions —
+      // a different shape, refused (limits register); the single-
+      // distinct-group rows above are the servable dashboard shape
+      val twoDistinct = f.groupBy($"g").agg(
+        countDistinct($"m").as("um"), countDistinct($"w").as("uw"))
+      assert(twoDistinct.queryExecution.executedPlan.toString
+        .contains("twohist.parquet"),
+        "two distinct MEASURES (two hist-value groups) must refuse")
+    } finally SummaryRewrite.deregister("spec_twohist")
   }
 
   test("hist serving through the star join: distinct/percentile over " +
@@ -3783,6 +3977,55 @@ class SummaryRewriteSpec extends AnyFunSuite {
     assert(SummaryRewrite.auditSummaryFrame(spark, newFact, reg,
       Seq.empty).count() === 0,
       "CDC-retracted expression histogram diverged from rebuild")
+  }
+
+  test("applyCdc retracts EXPRESSION min/max from the expression " +
+      "histogram: an exprMinMax + exprHist artifact survives a delete " +
+      "batch that removes group extremes — minx_/maxx_ re-derive " +
+      "exactly, no dropUnretractable needed; without the histogram " +
+      "they still refuse") {
+    val sql = "n_chars * 2 + length(lang)"
+    val fact = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/xmmstore"
+    graft.operators.IndexOps.writeSnapshot(
+      SummaryRewrite.summaryFrame(fact, Seq("source"), Seq.empty,
+        exprCols = Seq("nc2" -> sql), exprMinMax = Seq("nc2" -> sql),
+        exprHistCols = Seq("nc2" -> sql)).coalesce(1), store)
+    // delete each source's CURRENT maximum-n_chars rows so the
+    // retraction provably bites (maxx_ must FALL, not just survive)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars").desc)
+    val deletes = fact
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .drop("__rk")
+    SummaryRewrite.applyCdc(spark, store, fact.limit(0), deletes,
+      Seq("source"), Seq.empty, exprCols = Seq("nc2" -> sql))
+    val after = graft.operators.IndexOps.readSnapshot(spark, store)
+    assert(after.schema.fieldNames.contains("minx_nc2") &&
+      after.schema.fieldNames.contains("maxx_nc2"),
+      "expression extremes must survive the delete, re-derived")
+    val newFact = fact.exceptAll(deletes)
+    val reg = SummaryRewrite.Summary("documents.parquet", "",
+      Set("source"), store = Some(store), exprs = Map("nc2" -> sql))
+    assert(SummaryRewrite.auditSummaryFrame(spark, newFact, reg,
+      Seq.empty).count() === 0,
+      "CDC-retracted expression min/max diverged from the rebuild")
+    // ... and WITHOUT the histogram the refusal still stands
+    val store2 = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/xmmstore2"
+    graft.operators.IndexOps.writeSnapshot(
+      SummaryRewrite.summaryFrame(fact, Seq("source"), Seq.empty,
+        exprCols = Seq("nc2" -> sql), exprMinMax = Seq("nc2" -> sql))
+        .coalesce(1), store2)
+    val e = intercept[IllegalArgumentException] {
+      SummaryRewrite.applyCdc(spark, store2, fact.limit(0),
+        deletes, Seq("source"), Seq.empty,
+        exprCols = Seq("nc2" -> sql))
+    }
+    assert(e.getMessage.contains("minx_nc2"),
+      s"hist-less expression extremes must refuse: ${e.getMessage}")
   }
 
   test("expression measures ride the lifecycle: catalog roundtrip, " +
