@@ -912,11 +912,24 @@ object CurationOps {
     *
     * Each iteration is ONE map-side-combinable aggregate job over the
     * feature frame (collect = 1+xCols longs, bound stated); at 100 TB
-    * full-batch GD is k passes over the corpus — cache the (tiny)
-    * feature projection, or subsample per iteration; the exactness
-    * contract is per-pass and does not care which. */
+    * full-batch GD is k passes over the corpus, so the k-scan
+    * guidance is SELF-ENFORCING: when the caller has not cached the
+    * (tiny) feature projection, the helper caches it for the duration
+    * of training and releases it after — an uncached lineage would
+    * otherwise recompute the featurization k+1 times. A caller-managed
+    * cache is left untouched. */
   def trainLogistic(feats: DataFrame, xCols: Seq[String], yCol: String,
       iters: Int, lr: Double): Array[Long] = {
+    import org.apache.spark.sql.functions._
+    val tookCache =
+      feats.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (tookCache) feats.persist()
+    try trainLogisticCached(feats, xCols, yCol, iters, lr)
+    finally if (tookCache) { feats.unpersist(); () }
+  }
+
+  private def trainLogisticCached(feats: DataFrame, xCols: Seq[String],
+      yCol: String, iters: Int, lr: Double): Array[Long] = {
     import org.apache.spark.sql.functions._
     val n = feats.count()
     require(n > 0, "trainLogistic: empty training frame")

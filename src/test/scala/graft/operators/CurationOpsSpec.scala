@@ -596,4 +596,44 @@ class CurationOpsSpec extends AnyFunSuite {
       iters = 0, lr = 1.0)
     assert(w0.toSeq === Seq(0L, 0L, 0L))
   }
+
+  test("trainLogistic is self-caching: an uncached feature frame runs " +
+      "ONE scan job per iteration (plus the count) — the helper takes " +
+      "the cache for the duration and releases it; a caller-managed " +
+      "cache is untouched") {
+    val rows = (0 until 200).map { i =>
+      val x1 = (i % 10) / 10.0
+      (if (x1 >= 0.6) 1 else 0, x1)
+    }
+    // lineage-evaluation accounting: a counting UDF in the feature
+    // lineage fires once per row per SCAN of the uncached lineage.
+    // Self-caching ⇒ the lineage materializes ONCE (the count())
+    // and the 5 iterations read the cache: ≤ ~1 evaluation per row.
+    // Without the internal cache, count + 5 aggregates would evaluate
+    // it 6× per row (1200 for 200 rows).
+    val evals = spark.sparkContext.longAccumulator("feat-evals")
+    val counting = udf { x: Double => evals.add(1L); x }
+    val feats = rows.toDF("y", "x1raw")
+      .withColumn("x1", counting(col("x1raw"))).drop("x1raw")
+    val w = CurationOps.trainLogistic(feats, Seq("x1"), "y",
+      iters = 5, lr = 8.0)
+    assert(evals.value <= 400L,
+      s"feature lineage must evaluate ~once under the helper's own " +
+        s"cache (got ${evals.value} evaluations for 200 rows × " +
+        "(count + 5 iterations))")
+    assert(feats.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "the helper must release the cache it took")
+    // a caller-managed cache is left exactly as the caller set it
+    feats.persist()
+    try {
+      val w2 = CurationOps.trainLogistic(feats, Seq("x1"), "y",
+        iters = 5, lr = 8.0)
+      assert(w2.toSeq === w.toSeq,
+        "cached and self-cached training must be bit-identical")
+      assert(feats.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE,
+        "a caller-managed cache must remain")
+    } finally { feats.unpersist(); () }
+  }
 }
