@@ -164,6 +164,17 @@ object Bench {
         System.err.println(s"[bench] unknown order '$order', using sorted")
         sorted
     }
+    // heap/GC stamp: the suite's per-query times drift with MEMORY
+    // pressure (the q289-class 150k-entry histogram builds GC-thrash a
+    // small heap), so the artifact records the heap ceiling and the
+    // cumulative GC time spent INSIDE the timed suite — a cross-
+    // environment diff can then separate "the query regressed" from
+    // "the environment's heap is smaller / its GC ran 10x longer"
+    // without another isolation round.
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val gcBefore = gcMillis
     val attempts = ordered
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex.map {
@@ -204,8 +215,12 @@ object Bench {
     // SPARK_GRAFT_BENCH_SOURCE ("builder" for in-round local runs);
     // unset means the driver's harness.
     val source = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOURCE", "driver")
+    val gcSuiteMs = gcMillis - gcBefore
+    val heapMaxMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
     val envJson =
-      s"""{"source":"$source","cpus":$cpus,"reps":$reps,"stat":"min","order":"$order"}"""
+      s"""{"source":"$source","cpus":$cpus,"reps":$reps,"stat":"min",""" +
+        s""""order":"$order","heap_max_mb":$heapMaxMb,""" +
+        s""""gc_suite_ms":$gcSuiteMs}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","env":$envJson,"failed":$failedJson,"queries":$qs,"build":$build,"sf":"$sfDir"}"""
     // Persist the FULL per-query map as a file artifact: the driver's
