@@ -755,6 +755,11 @@ object SparkEntry {
     // the two-median dashboard row: two hist_ partials, per-measure
     // explosions joined on grouping values; plan-gated two Generates
     "q295_summary_two_hist" -> (IndexOps.q295SummaryTwoHist _),
+    // the uniques pair: two count(DISTINCT measure)s + both medians in
+    // one aggregate — the double aggregation split per measure and
+    // joined back; plan-gated two Generates + Join
+    "q296_summary_multi_distinct" ->
+      (IndexOps.q296SummaryMultiDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

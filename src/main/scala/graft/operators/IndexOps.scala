@@ -2499,6 +2499,61 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q295_orders_mods")
   }
 
+  // --------------------------------------------------------------- q296
+
+  /** q296 — the UNIQUES PAIR dashboard: `count(DISTINCT x),
+    * count(DISTINCT y)` (plus both medians and plain totals) in ONE
+    * aggregate. RewriteDistinctAggregates expands this into a double
+    * aggregation whose inner groups by BOTH measures — one histogram
+    * explosion cannot source two value sets without cross-producting
+    * entries — so the rule SPLITS it: the proven single-measure
+    * double-aggregation rewrite runs once per measure, each side over
+    * only the grouping-set projections its outputs' gid filters
+    * select, and the per-measure outer aggregates join back on
+    * null-safe grouping values (a bijection — both sides aggregate
+    * the same artifact rows under the same grouping). In-gate plan
+    * proofs: artifact serves on both sides, fact never scans, TWO
+    * Generates and a Join are present; values hash-match DuckDB off
+    * the fact. At 100 TB this is the segment-profile header — every
+    * uniques pair plus medians — reading kilobytes per measure. */
+  def q296SummaryMultiDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q296").toString
+    val fact = s"$tmp/orders_mods2.parquet"
+    load(s, dir, "orders").select($"o_orderstatus",
+        (pmod($"o_custkey", lit(997L))).as("cust_res"),
+        (pmod(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"),
+          lit(9973L))).as("price_res"))
+      .write.parquet(fact)
+    SummaryRewrite.buildSummary(s, fact, keys = Seq("o_orderstatus"),
+      sumCols = Seq("cust_res", "price_res"), mvPath = s"$tmp/mvq296",
+      histCols = Seq("cust_res", "price_res"))
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q296_orders_mods2",
+      SummaryRewrite.Summary("orders_mods2.parquet", s"$tmp/mvq296",
+        Set("o_orderstatus")))
+    try {
+      def q = s.read.parquet(fact).groupBy($"o_orderstatus")
+        .agg(countDistinct($"cust_res").as("n_uniq_cust"),
+          countDistinct($"price_res").as("n_uniq_price"),
+          expr("median(cust_res)").as("med_cust"),
+          expr("median(price_res)").as("med_price"),
+          count(lit(1)).as("n_orders"),
+          sum($"price_res").as("sum_price"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("mvq296"),
+        "q296 gate is vacuous: the multi-distinct split did not serve")
+      require(!phys.contains("orders_mods2.parquet"),
+        "q296 gate broken: the fact table is still scanned")
+      require("Generate".r.findAllIn(phys).size >= 2,
+        "q296 gate broken: need one explosion PER distinct measure")
+      require(phys.contains("Join"),
+        "q296 gate broken: the per-measure sides must join back")
+      val rows = q.collect().toIndexedSeq // one row per order status
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q296_orders_mods2")
+  }
+
   // --------------------------------------------------------------- q288
 
   /** q288 — the expression-measure REVENUE dashboard under native
@@ -3402,6 +3457,23 @@ object IndexOps {
         |  CAST(count(DISTINCT price_res) AS BIGINT) AS n_uniq_price,
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cust_res) AS BIGINT) AS sum_cust
+        |FROM r GROUP BY 1""".stripMargin,
+    // q296: the uniques-pair header off the fact — DuckDB recomputes
+    // the bounded residues; both engines aggregate the same exact
+    // integer multisets
+    "q296_summary_multi_distinct" ->
+      """WITH r AS (SELECT o_orderstatus,
+        |    (o_custkey % 997 + 997) % 997 AS cust_res,
+        |    (CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) % 9973
+        |      + 9973) % 9973 AS price_res
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  CAST(count(DISTINCT cust_res) AS BIGINT) AS n_uniq_cust,
+        |  CAST(count(DISTINCT price_res) AS BIGINT) AS n_uniq_price,
+        |  quantile_cont(cust_res, 0.5) AS med_cust,
+        |  quantile_cont(price_res, 0.5) AS med_price,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price_res) AS BIGINT) AS sum_price
         |FROM r GROUP BY 1""".stripMargin,
     // q291: the per-lang profile off the WHOLE documents table — the
     // epochs partition it (doc_id % 4), so hybrid serving (artifact +

@@ -2089,6 +2089,176 @@ object SummaryRewrite {
             "SERVED — inner Expand rewritten, outer audit passed")
           Aggregate(outerGroup, outerAggs, newInner, hint)
         }
+        .orElse(multiDistinctSplit(outerGroup, outerAggs, inner, ex,
+          allowedHist, hint, gidOf, filterGid, live))
+    }
+
+    /** TWO-DISTINCT-MEASURE serving — `count(DISTINCT m),
+      * count(DISTINCT w)` (plus regulars) in one aggregate:
+      * RewriteDistinctAggregates emits a double aggregation whose
+      * inner groups by BOTH hist-value positions, and one explosion
+      * cannot source two value sets without cross-producting the
+      * entries. The split runs the PROVEN single-measure rewrite once
+      * PER measure — each side keeps only the grouping-set projections
+      * its outputs' gid filters select (plus the regular gid-0 set
+      * when referenced), prunes the inner outputs to what its outer
+      * outputs consume, and explodes exactly ONE histogram — then
+      * joins the per-measure outer aggregates back on NULL-SAFE
+      * grouping values. Exactness: subsetting projections only removes
+      * gid groups whose rows every side output FILTERs away anyway
+      * (the audit already proved every outer aggregate is
+      * gid-filtered), the outer group set (distinct grouping values)
+      * is identical on every side (every projection carries every
+      * summary row's keys), so the inner `<=>` join is a bijection.
+      * Non-first sides are rebuilt under FRESH expression ids (the
+      * sides would otherwise share the original Expand/inner ids).
+      * Outputs whose inner references span TWO measures (composed
+      * glue) refuse — the sides cannot split them. */
+    private def multiDistinctSplit(outerGroup: Seq[Expression],
+        outerAggs: Seq[NamedExpression], inner: Aggregate, ex: Expand,
+        allowedHist: AttributeSet, hint: Option[AggregateHint],
+        gidOf: Int => Long,
+        filterGid: AggregateExpression => Long,
+        live: Attribute => Set[Int]): Option[LogicalPlan] = {
+      val Expand(projections, output, child) = ex
+      if (allowedHist.size < 2) return None
+      val posOf = output.map(_.exprId).zipWithIndex.toMap
+      // BASE fact column behind an Expand position (the single attr
+      // its entries carry) — the side identity of a measure
+      def baseOf(o: Attribute): Option[String] = {
+        val ents = projections.map(_(posOf(o.exprId)))
+        ents.collect { case a: AttributeReference => a.name }
+          .distinct match {
+          case Seq(one)
+              if ents.forall(e => e.isInstanceOf[AttributeReference] ||
+                (e.foldable && e.eval() == null)) => Some(one)
+          case _ => None
+        }
+      }
+      // inner output → base measure it touches (None = measure-free)
+      val innerByIdAttr = inner.aggregateExpressions
+        .map(ne => ne.toAttribute.exprId -> ne).toMap
+      def innerBases(ne: NamedExpression): Option[Set[String]] = ne match {
+        case a: Attribute if posOf.contains(a.exprId) =>
+          if (allowedHist.contains(a)) baseOf(a).map(Set(_))
+          else Some(Set.empty)
+        case _ =>
+          val refs = ne.collect {
+            case ae: AggregateExpression => ae.references.toSeq
+          }.flatten
+          val bs = refs.flatMap { r =>
+            output.find(_.exprId == r.exprId) match {
+              case Some(o) => Seq(baseOf(o))
+              case None => Seq.empty // gid or non-position ref
+            }
+          }
+          if (bs.exists(_.isEmpty)) None
+          else Some(bs.flatten.toSet)
+      }
+      // assign each OUTER output to at most one base measure via the
+      // inner outputs it references
+      val assigns: Seq[Option[Set[String]]] = outerAggs.map { ne =>
+        val innerRefs = ne.references.toSeq
+          .flatMap(r => innerByIdAttr.get(r.exprId))
+        val bs = innerRefs.map(innerBases)
+        if (bs.exists(_.isEmpty)) None else Some(bs.flatten.flatten.toSet)
+      }
+      if (assigns.exists(_.isEmpty)) return None
+      // bases that must be served via a HISTOGRAM side: those of the
+      // hist-value grouping positions (the distinct measures)
+      val histBases = allowedHist.toSeq.flatMap(baseOf).distinct.sorted
+      if (histBases.size < 2) return None
+      val perOut = assigns.map(_.get.intersect(histBases.toSet))
+      if (perOut.exists(_.size > 1)) {
+        note("multi-distinct split: an output spans two distinct " +
+          "measures — refusing")
+        return None
+      }
+      val sideBases: Seq[String] = histBases
+      // side 0 carries the measure-free outputs too
+      val sideOuts: Seq[Seq[NamedExpression]] = sideBases.zipWithIndex
+        .map { case (b, i) =>
+          outerAggs.zip(perOut).collect {
+            case (ne, bs) if bs == Set(b) || (i == 0 && bs.isEmpty) => ne
+          }
+        }
+      if (sideOuts.exists(_.isEmpty)) return None
+      val conflictIds: Seq[Attribute] =
+        output ++ inner.aggregateExpressions.map(_.toAttribute)
+      def buildSide(b: String, outs: Seq[NamedExpression],
+          freshIds: Boolean): Option[(Aggregate, Seq[Attribute])] = {
+        val idMap: Map[ExprId, AttributeReference] =
+          if (!freshIds) Map.empty
+          else conflictIds.map(a => a.exprId ->
+            AttributeReference(a.name, a.dataType, nullable = true)()
+          ).toMap
+        def rex(e: Expression): Expression =
+          if (idMap.isEmpty) e else e.transformUp {
+            case a: AttributeReference if idMap.contains(a.exprId) =>
+              idMap(a.exprId)
+            case al: Alias if idMap.contains(al.exprId) =>
+              Alias(al.child, al.name)(exprId = idMap(al.exprId).exprId)
+          }
+        // grouping-set projections this side's outputs actually read
+        val gids = outs.flatMap(_.collect {
+          case ae: AggregateExpression => filterGid(ae)
+        }).toSet
+        val projIdx = projections.indices.filter(j => gids(gidOf(j)))
+        if (projIdx.isEmpty) return None
+        // inner outputs this side consumes
+        val refIds = AttributeSet(outs.flatMap(_.references.toSeq) ++
+          outerGroup.flatMap(_.references.toSeq))
+        val innerKept = inner.aggregateExpressions.filter(ne =>
+          refIds.contains(ne.toAttribute))
+        if (innerKept.isEmpty) return None
+        // Expand positions still referenced by the pruned inner — an
+        // unreferenced measure position would misclassify as a key
+        val usedPos = AttributeSet(
+          inner.groupingExpressions.flatMap(_.references.toSeq) ++
+            innerKept.flatMap(_.references.toSeq))
+        val keepPos = output.indices.filter(i => usedPos.contains(output(i)))
+        val exOutput = keepPos
+          .map(i => rex(output(i)).asInstanceOf[Attribute])
+        val exProjections = projIdx.map(j =>
+          keepPos.map(i => rex(projections(j)(i))))
+        val innerGroup2 = inner.groupingExpressions.map(rex)
+        val innerAggs2 = innerKept
+          .map(ne => rex(ne).asInstanceOf[NamedExpression])
+        val allowed2 = AttributeSet(allowedHist.toSeq
+          .filter(h => baseOf(h).contains(b))
+          .map(h => rex(h).asInstanceOf[Attribute]))
+        tryExpandRewrite(innerGroup2, innerAggs2,
+          Expand(exProjections.map(_.toIndexedSeq).toIndexedSeq,
+            exOutput, child), inner.hint, allowed2)
+          .map { newInner =>
+            val groupVals = outerGroup.zipWithIndex.map { case (g, j) =>
+              Alias(rex(g), s"__md_g$j")()
+            }
+            val outs2 = outs.map(ne => rex(ne).asInstanceOf[NamedExpression])
+            (Aggregate(outerGroup.map(rex), outs2 ++ groupVals,
+              newInner, hint), groupVals.map(_.toAttribute))
+          }
+      }
+      val sides = sideBases.zip(sideOuts).zipWithIndex.map {
+        case ((b, outs), i) => buildSide(b, outs, freshIds = i > 0)
+      }
+      if (sides.exists(_.isEmpty)) return None
+      val joined = sides.map(_.get).reduceLeft[(LogicalPlan,
+          Seq[Attribute])] { case ((l, lg), (r, rg)) =>
+        val cond = lg.zip(rg).map { case (a, bb) =>
+          EqualNullSafe(a, bb): Expression
+        }.reduceOption(And)
+        (Join(l, r, if (cond.isEmpty) Cross else Inner, cond,
+          JoinHint.NONE), lg)
+      }._1
+      val byId: Map[ExprId, Attribute] = sides.flatMap(
+        _.get._1.aggregateExpressions.map(_.toAttribute))
+        .map(a => a.exprId -> a).toMap
+      if (!outerAggs.forall(ne => byId.contains(ne.exprId))) return None
+      note(s"double-aggregation over ${sideBases.size} distinct " +
+        "MEASURES SERVED — per-measure sides joined on the grouping " +
+        "values")
+      Some(Project(outerAggs.map(ne => byId(ne.exprId)), joined))
     }
 
     /** NATIVE ROLLUP / CUBE / GROUPING SETS rewrite — `Aggregate(keys +

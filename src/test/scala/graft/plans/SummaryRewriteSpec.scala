@@ -3496,15 +3496,21 @@ class SummaryRewriteSpec extends AnyFunSuite {
       assert(glued.queryExecution.executedPlan.toString
         .contains("twohist.parquet"),
         "cross-measure composed glue must refuse")
-      // TWO distinct measures rewrite into RewriteDistinctAggregates'
+      // TWO distinct MEASURES rewrite into RewriteDistinctAggregates'
       // double aggregation with two hist-value grouping positions —
-      // a different shape, refused (limits register); the single-
-      // distinct-group rows above are the servable dashboard shape
-      val twoDistinct = f.groupBy($"g").agg(
-        countDistinct($"m").as("um"), countDistinct($"w").as("uw"))
-      assert(twoDistinct.queryExecution.executedPlan.toString
-        .contains("twohist.parquet"),
-        "two distinct MEASURES (two hist-value groups) must refuse")
+      // served by the multi-distinct SPLIT: the proven single-measure
+      // double-agg rewrite runs once per measure over only that
+      // side's grouping-set projections, and the per-measure outer
+      // aggregates join back on null-safe grouping values
+      served(f.groupBy($"g").agg(
+        countDistinct($"m").as("um"), countDistinct($"w").as("uw"),
+        expr("median(m)").as("med_m"), expr("median(w)").as("med_w"),
+        count(lit(1)).as("n"), sum($"m").as("sm")),
+        "two-distinct-measure split")
+      // ... and the global (group-less) uniques pair
+      served(f.agg(countDistinct($"m").as("um"),
+        countDistinct($"w").as("uw")),
+        "global two-distinct split")
     } finally SummaryRewrite.deregister("spec_twohist")
   }
 
