@@ -2075,13 +2075,15 @@ object IndexOps {
         .contains("lineitem.parquet"),
         "q289 gate broken: an unregistered expression must refuse")
       // the cap-refusal contract, proved at a cap the revenue
-      // cardinality exceeds at EVERY scale factor: loud throw naming
-      // the histogram — never a silently truncated multiset
-      val capErr = scala.util.Try(SummaryRewrite.buildSummary(s,
-        s"$dir/lineitem.parquet",
-        keys = Seq("l_returnflag", "l_linestatus"), sumCols = Seq.empty,
-        mvPath = mv + "_capped",
-        exprHistCols = Seq("revenue" -> revenueSql), histCap = 64))
+      // cardinality exceeds within ANY 20k-row slice (near-unique
+      // measure): loud throw naming the cap — never a silently
+      // truncated multiset. The slice keeps the proof O(slice), not a
+      // second full fact scan.
+      val capErr = scala.util.Try(SummaryRewrite.summaryFrame(
+        s.read.parquet(s"$dir/lineitem.parquet").limit(20000),
+        Seq("l_returnflag", "l_linestatus"), Seq.empty,
+        exprHistCols = Seq("revenue" -> revenueSql),
+        histCap = 64).collect())
       def msgs(t: Throwable): Seq[String] =
         if (t == null) Seq.empty
         else Option(t.getMessage).toSeq ++ msgs(t.getCause)
