@@ -3912,7 +3912,7 @@ object SummaryRewrite {
       histRewrite(name, summary, groupExprs, aggExprs, mvAttrs,
         filteredMv, remap, hint).orElse(
         multiHistRewrite(name, summary, path, groupExprs, aggExprs,
-          pred, hint)
+          pred, hint, mvAttrs)
       ).orElse {
         refuse(s"output '${rewritten.find(_._2.isEmpty).get._1.name}' " +
           "is not derivable from the artifact (needs a matching " +
@@ -3983,44 +3983,86 @@ object SummaryRewrite {
       * Cost at 100 TB: both sides re-scan the same kilobyte artifact
       * and the join is summary-GROUP-sized (≤ artifact rows) — noise
       * next to the fact scan it replaces. Broadcast-ability is free
-      * (tiny sides). Refusals: an output needing BOTH histograms at
-      * once (composed glue over two medians), an output deriving from
-      * none, or fewer than two needed histograms (the single-map path
-      * already answered). */
+      * (tiny sides).
+      *
+      * Composed glue ACROSS the measures serves too —
+      * `median(x) + median(y)` in ONE output splits at the
+      * AGGREGATE-EXPRESSION level: each embedded aggregate computes on
+      * its own side under a fresh name and the glue is re-evaluated in
+      * the top Project over the joined sides (sound because per output
+      * group the join is a bijection, so the glue sees exactly the
+      * per-group aggregate values the single plan would have). Glue
+      * with bare non-aggregate references, a subquery, or an embedded
+      * aggregate deriving from no side refuses; fewer than two needed
+      * histograms defers to the single-map path. */
     private def multiHistRewrite(name: String, summary: Summary,
         path: String, groupExprs: Seq[Expression],
         aggExprs: Seq[NamedExpression], pred: Option[Expression],
-        hint: Option[AggregateHint]): Option[LogicalPlan] = {
-      val probePlan = mvPlanFor(path, summary.store.isDefined)
-        .getOrElse(return None)
-      val probeAttrs = probePlan.output.map(a => a.name -> a).toMap
+        hint: Option[AggregateHint],
+        probeAttrs: Map[String, Attribute]): Option[LogicalPlan] = {
+      // derivability probing reuses the caller's already-resolved
+      // artifact attrs — no extra footer read on the refusal path
       val cands = histCandidatesOf(probeAttrs)
       if (cands.size < 2) return None
-      // partition outputs: "" = plain-derivable (rides side 0), else
-      // the hist_<col> name whose explosion derives it; None refuses
-      val assign: Seq[Option[String]] = aggExprs.map { e =>
-        if (rewriteAgg(e, probeAttrs, summary.keys,
+      // side of one rewritable unit: "" = plain-derivable (rides side
+      // 0), else the hist_<col> name whose explosion derives it
+      def probeSide(ne: NamedExpression): Option[String] = {
+        if (rewriteAgg(ne, probeAttrs, summary.keys,
             exprs = summary.exprs)
-            .filter(_.dataType == e.dataType).isDefined) Some("")
+            .filter(_.dataType == ne.dataType).isDefined) Some("")
         else cands.collectFirst {
           case (hn, base, _, vt) if {
             val (_, kA, vA) = histEntryAttrs(vt)
-            rewriteAgg(e, probeAttrs, summary.keys,
+            rewriteAgg(ne, probeAttrs, summary.keys,
               hist = Some(HistCtx(base, kA, vA)), exprs = summary.exprs)
-              .filter(_.dataType == e.dataType)
+              .filter(_.dataType == ne.dataType)
               .exists(_.exists(ex => ex == kA || ex == vA))
           } => hn
         }
       }
+      // partition outputs: Left(side) = the WHOLE output derives on
+      // one side; Right(pieces) = composed glue across sides — each
+      // embedded aggregate becomes a fresh-named side output and the
+      // glue re-evaluates above the join; None refuses
+      var pieceSeq = 0
+      val assign: Seq[Option[Either[String,
+          Seq[(AggregateExpression, String, Alias)]]]] =
+        aggExprs.map { e =>
+          probeSide(e).map(scala.util.Left(_)).orElse {
+            val aes = e.collect { case ae: AggregateExpression => ae }
+            val bare = e.transform {
+              case _: AggregateExpression => Literal(null)
+            }.references
+            if (aes.isEmpty || bare.nonEmpty || !e.deterministic ||
+                e.exists(_.isInstanceOf[PlanExpression[_]])) None
+            else sequence(aes.map(ae =>
+              probeSide(Alias(ae, "__mh_probe")())))
+              .map { sides =>
+                scala.util.Right(aes.zip(sides).map { case (ae, s) =>
+                  pieceSeq += 1
+                  (ae, s, Alias(ae, s"__mh_ae_$pieceSeq")())
+                })
+              }
+          }
+        }
       if (assign.exists(_.isEmpty)) return None
-      val neededHists = assign.flatten.filter(_.nonEmpty).distinct
+      val flatAssign = assign.map(_.get)
+      val neededHists = flatAssign.flatMap {
+        case scala.util.Left(s) => Seq(s)
+        case scala.util.Right(ps) => ps.map(_._2)
+      }.filter(_.nonEmpty).distinct
       if (neededHists.size < 2) return None
-      // side 0 carries the plain outputs + the first histogram's; each
+      // side 0 carries the plain units + the first histogram's; each
       // further histogram gets its own side
       val sideOuts: Seq[(String, Seq[NamedExpression])] =
         neededHists.zipWithIndex.map { case (hn, i) =>
-          hn -> aggExprs.zip(assign).collect {
-            case (e, Some(a)) if a == hn || (i == 0 && a.isEmpty) => e
+          hn -> aggExprs.zip(flatAssign).flatMap {
+            case (e, scala.util.Left(a))
+                if a == hn || (i == 0 && a.isEmpty) => Seq(e)
+            case (_, scala.util.Right(ps)) => ps.collect {
+              case (_, s, al) if s == hn || (i == 0 && s.isEmpty) => al
+            }
+            case _ => Seq.empty
           }
         }
       // one side: fresh artifact instance, the branch filter, ONE
@@ -4067,11 +4109,29 @@ object SummaryRewrite {
       val byId: Map[ExprId, Attribute] = sides.flatMap(
         _.get._1.aggregateExpressions.map(_.toAttribute))
         .map(a => a.exprId -> a).toMap
-      if (!aggExprs.forall(e => byId.contains(e.exprId))) return None
+      val projected: Seq[Option[NamedExpression]] =
+        aggExprs.zip(flatAssign).map {
+          case (e, scala.util.Left(_)) => byId.get(e.exprId)
+          case (e, scala.util.Right(ps)) =>
+            if (!ps.forall(p => byId.contains(p._3.exprId))) None
+            else {
+              // re-evaluate the glue above the join: each embedded
+              // aggregate occurrence swaps for its side's attribute
+              // (node identity — the pieces were collected from this
+              // very tree)
+              val glued = e.transform {
+                case ae: AggregateExpression =>
+                  ps.find(_._1 eq ae).map(p => byId(p._3.exprId))
+                    .getOrElse(ae)
+              }
+              Some(Alias(glued, e.name)(exprId = e.exprId))
+            }
+        }
+      if (projected.exists(_.isEmpty)) return None
       note(s"aggregate SERVED by summary '$name' via " +
         s"${neededHists.size} per-measure histogram explosions joined " +
         "on the grouping values")
-      Some(Project(aggExprs.map(e => byId(e.exprId)), joined))
+      Some(Project(projected.map(_.get), joined))
     }
 
     /** `hist_<col>` columns of an artifact's attribute map: (column

@@ -3489,13 +3489,21 @@ class SummaryRewriteSpec extends AnyFunSuite {
       served(f.filter($"g" =!= "b").groupBy($"g").agg(
         expr("median(m)").as("med_m"), expr("median(w)").as("med_w")),
         "filtered two-hist row")
-      // composed glue ACROSS the two measures cannot split into
-      // per-measure sides — refuse to the fact, never a wrong join
-      val glued = f.groupBy($"g")
-        .agg((expr("median(m)") + expr("median(w)")).as("mm"))
-      assert(glued.queryExecution.executedPlan.toString
+      // composed glue ACROSS the two measures: each embedded
+      // aggregate computes on its own side and the glue re-evaluates
+      // above the join — median(m)+median(w) in ONE output serves
+      served(f.groupBy($"g")
+        .agg((expr("median(m)") + expr("median(w)")).as("mm"),
+          count(lit(1)).as("n")),
+        "cross-measure composed glue")
+      // glue with a bare non-aggregate reference (a grouping column
+      // in the arithmetic) cannot re-evaluate above the join — refuse
+      val bareGlue = f.groupBy($"g")
+        .agg((expr("median(m)") + expr("median(w)") +
+          length($"g").cast("double")).as("mm"))
+      assert(bareGlue.queryExecution.executedPlan.toString
         .contains("twohist.parquet"),
-        "cross-measure composed glue must refuse")
+        "glue with bare references must refuse")
       // TWO distinct MEASURES rewrite into RewriteDistinctAggregates'
       // double aggregation with two hist-value grouping positions —
       // served by the multi-distinct SPLIT: the proven single-measure
