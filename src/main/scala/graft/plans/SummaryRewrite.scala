@@ -1955,6 +1955,8 @@ object SummaryRewrite {
                 else None
               case ex: Expand =>
                 tryExpandRewrite(groupExprs0, aggExprs0, ex, hint)
+                  .orElse(multiHistExpandSplit(groupExprs0, aggExprs0,
+                    ex, hint))
               case inner: Aggregate if subst.isEmpty =>
                 tryDistinctHistRewrite(groupExprs0, aggExprs0, inner, hint)
               case un: Union =>
@@ -2091,6 +2093,122 @@ object SummaryRewrite {
         }
         .orElse(multiDistinctSplit(outerGroup, outerAggs, inner, ex,
           allowedHist, hint, gidOf, filterGid, live))
+    }
+
+    /** TWO-histogram serving under native ROLLUP/CUBE — `median(x),
+      * median(y)` with subtotal rows: ONE explosion per rewritten
+      * Expand is the law, so the lattice splits per measure exactly
+      * like the flat path ([[multiHistRewrite]]): each base measure's
+      * outputs rewrite through their OWN [[tryExpandRewrite]] over an
+      * Expand pruned to the positions that side consumes (an
+      * unreferenced measure position would misclassify as a key), and
+      * the per-measure lattice Aggregates join back on NULL-SAFE
+      * grouping values — which include the grouping_id, so every
+      * grouping SET row pairs with its twin and only its twin. The
+      * group sets agree across sides (same projections over the same
+      * artifact rows), so the join is a bijection. Side 0 carries the
+      * measure-free outputs (grouping pass-throughs, COUNT(*)). An
+      * output spanning two measures refuses. Composes with the
+      * union-of-epochs child — each side's Expand rewrite unions its
+      * own per-branch artifact scans. */
+    private def multiHistExpandSplit(groupExprs: Seq[Expression],
+        aggExprs: Seq[NamedExpression], expand: Expand,
+        hint: Option[AggregateHint]): Option[LogicalPlan] = {
+      val Expand(projections, output, child) = expand
+      if (projections.isEmpty) return None
+      val posOf = output.map(_.exprId).zipWithIndex.toMap
+      def baseOf(o: Attribute): Option[String] = {
+        val ents = projections.map(_(posOf(o.exprId)))
+        ents.collect { case a: AttributeReference => a.name }
+          .distinct match {
+          case Seq(one)
+              if ents.forall(e => e.isInstanceOf[AttributeReference] ||
+                (e.foldable && e.eval() == null)) => Some(one)
+          case _ => None
+        }
+      }
+      // measure-like positions: single-base entries consumed ONLY
+      // inside aggregate functions (mirrors the classifier)
+      val aggFuncRefs = AttributeSet(aggExprs.flatMap(_.collect {
+        case ae: AggregateExpression => ae.references.toSeq
+      }.flatten))
+      val nonAggRefs = AttributeSet(
+        groupExprs.flatMap(_.references.toSeq) ++
+          aggExprs.flatMap(e =>
+            e.transform { case _: AggregateExpression => Literal(null) }
+              .references.toSeq))
+      val measureBaseOf: Map[ExprId, String] = output.collect {
+        case o if aggFuncRefs.contains(o) && !nonAggRefs.contains(o) &&
+            baseOf(o).isDefined => o.exprId -> baseOf(o).get
+      }.toMap
+      val assigns: Seq[Set[String]] = aggExprs.map { ne =>
+        ne.collect { case ae: AggregateExpression =>
+          ae.references.toSeq
+        }.flatten.flatMap(r => measureBaseOf.get(r.exprId)).toSet
+      }
+      val bases = assigns.flatten.distinct.sorted
+      if (bases.size < 2) return None
+      if (assigns.exists(_.size > 1)) {
+        note("expand split: an output spans two measures — refusing")
+        return None
+      }
+      val sideOuts: Seq[(String, Seq[NamedExpression])] =
+        bases.zipWithIndex.map { case (b, i) =>
+          b -> aggExprs.zip(assigns).collect {
+            case (ne, s) if s == Set(b) || (i == 0 && s.isEmpty) => ne
+          }
+        }
+      def buildSide(outs: Seq[NamedExpression], freshIds: Boolean)
+          : Option[(Aggregate, Seq[Attribute])] = {
+        val idMap: Map[ExprId, AttributeReference] =
+          if (!freshIds) Map.empty
+          else output.map(a => a.exprId ->
+            AttributeReference(a.name, a.dataType, nullable = true)()
+          ).toMap
+        def rex(e: Expression): Expression =
+          if (idMap.isEmpty) e else e.transformUp {
+            case a: AttributeReference if idMap.contains(a.exprId) =>
+              idMap(a.exprId)
+          }
+        val refIds = AttributeSet(outs.flatMap(_.references.toSeq) ++
+          groupExprs.flatMap(_.references.toSeq))
+        // keep referenced positions + literal (gid) positions; prune
+        // the other measures' positions
+        val keepPos = output.indices.filter(i =>
+          refIds.contains(output(i)) ||
+            projections.forall(p => p(i).foldable))
+        val exOutput = keepPos
+          .map(i => rex(output(i)).asInstanceOf[Attribute])
+        val exProjections = projections.map(p =>
+          keepPos.map(i => rex(p(i))).toIndexedSeq)
+        val groupVals = groupExprs.zipWithIndex.map { case (g, j) =>
+          Alias(rex(g), s"__mhx_g$j")()
+        }
+        tryExpandRewrite(groupExprs.map(rex),
+          outs.map(ne => rex(ne).asInstanceOf[NamedExpression]) ++
+            groupVals,
+          Expand(exProjections.toIndexedSeq, exOutput, child), hint)
+          .map(agg => (agg, groupVals.map(_.toAttribute)))
+      }
+      val sides = sideOuts.zipWithIndex.map { case ((_, outs), i) =>
+        buildSide(outs, freshIds = i > 0)
+      }
+      if (sides.exists(_.isEmpty)) return None
+      val joined = sides.map(_.get).reduceLeft[(LogicalPlan,
+          Seq[Attribute])] { case ((l, lg), (r, rg)) =>
+        val cond = lg.zip(rg).map { case (a, b) =>
+          EqualNullSafe(a, b): Expression
+        }.reduceOption(And)
+        (Join(l, r, if (cond.isEmpty) Cross else Inner, cond,
+          JoinHint.NONE), lg)
+      }._1
+      val byId: Map[ExprId, Attribute] = sides.flatMap(
+        _.get._1.aggregateExpressions.map(_.toAttribute))
+        .map(a => a.exprId -> a).toMap
+      if (!aggExprs.forall(ne => byId.contains(ne.exprId))) return None
+      note(s"rollup/cube aggregate SERVED via ${bases.size} " +
+        "per-measure lattice sides joined on the grouping values")
+      Some(Project(aggExprs.map(ne => byId(ne.exprId)), joined))
     }
 
     /** TWO-DISTINCT-MEASURE serving — `count(DISTINCT m),

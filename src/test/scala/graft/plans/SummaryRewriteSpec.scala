@@ -3522,6 +3522,72 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.deregister("spec_twohist")
   }
 
+  test("TWO-histogram composition corners: median(x), median(y) under " +
+      "native ROLLUP/CUBE serve via per-measure lattice sides joined " +
+      "on grouping values (grouping_id included); two DISTINCT " +
+      "measures over a UNION of epochs serve through the split; an " +
+      "output spanning two measures under ROLLUP refuses") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val rows = Seq(
+      (Option("a"), 1L, 10L), (Option("a"), 2L, 10L),
+      (Option("a"), 2L, 30L), (Option("b"), 5L, 70L),
+      (Option.empty[String], 9L, 90L), (Option.empty[String], 9L, 20L))
+    (0 to 1).foreach { i =>
+      rows.zipWithIndex.filter(_._2 % 2 == i).map(_._1)
+        .toDF("g", "m", "w").write.parquet(s"$tmp/th$i/f.parquet")
+      SummaryRewrite.buildSummary(spark, s"$tmp/th$i/f.parquet",
+        keys = Seq("g"), sumCols = Seq("m", "w"),
+        mvPath = s"$tmp/thmv$i", histCols = Seq("m", "w"))
+    }
+    SummaryRewrite.install(spark)
+    def reg(): Unit = (0 to 1).foreach(i =>
+      SummaryRewrite.register(s"spec_th$i", SummaryRewrite.Summary(
+        s"th$i/f.parquet", s"$tmp/thmv$i", Set("g"))))
+    reg()
+    try {
+      def f0 = spark.read.parquet(s"$tmp/th0/f.parquet")
+      def un = f0.union(spark.read.parquet(s"$tmp/th1/f.parquet"))
+      def served(q: => org.apache.spark.sql.DataFrame, nGen: Int,
+          what: String): Unit = {
+        val p = q.queryExecution.executedPlan.toString
+        assert(p.contains("thmv") && !p.contains("f.parquet"),
+          s"$what did not serve:\n$p")
+        assert("Generate".r.findAllIn(p).size >= nGen,
+          s"$what must run one explosion per measure (side)")
+        (0 to 1).foreach(i => SummaryRewrite.deregister(s"spec_th$i"))
+        val expect = q.collect().map(_.toSeq).toSet
+        reg()
+        assert(q.collect().map(_.toSeq).toSet === expect,
+          s"$what diverged from the fact plan")
+      }
+      // the two-median pivot WITH subtotals: per-measure lattice
+      // sides join on (g, grouping_id) null-safely — every grouping
+      // SET row pairs with its twin, the NULL key group included
+      served(f0.cube($"g").agg(
+        expr("median(m)").as("med_m"), expr("median(w)").as("med_w"),
+        count(lit(1)).as("n")), 2, "cube two medians")
+      served(f0.rollup($"g").agg(
+        expr("median(m)").as("med_m"),
+        countDistinct($"w").as("uw"),
+        min($"m").as("mn")), 2, "rollup median + other-measure distinct")
+      // two DISTINCT measures over a UNION of epochs: the double
+      // aggregation splits per measure and each side's Expand rewrite
+      // unions its own per-branch artifact scans
+      served(un.groupBy($"g").agg(
+        countDistinct($"m").as("um"), countDistinct($"w").as("uw"),
+        count(lit(1)).as("n")), 2, "union two-distinct split")
+      // an output spanning two measures under ROLLUP cannot split
+      val glued = f0.rollup($"g")
+        .agg((expr("median(m)") + expr("median(w)")).as("mm"))
+      assert(glued.queryExecution.executedPlan.toString
+        .contains("f.parquet"),
+        "a rollup output spanning two measures must refuse")
+    } finally (0 to 1).foreach(i =>
+      SummaryRewrite.deregister(s"spec_th$i"))
+  }
+
   test("hist serving through the star join: distinct/percentile over " +
       "the fact measure serve with the explosion UNDER the join; dim " +
       "groupings and dim distinct pass-throughs stay exact") {
