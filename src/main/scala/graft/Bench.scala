@@ -180,6 +180,13 @@ object Bench {
       .zipWithIndex.map {
       case ((name, fn), i) =>
         if (i % 4 == 0) System.gc()
+        // per-query GC attribution: collector time accumulated across
+        // THIS query's reps (sampled after the forced housekeeping GC
+        // above, so that pause lands in no query's window). The
+        // cross-round diff can then separate "the query regressed"
+        // from "the collector ran during it" per QUERY, not per suite
+        // — the round-14 variance study's missing instrument.
+        val gcQ0 = gcMillis
         var ok = true
         val times = (1 to reps).map { rep =>
           val t0 = System.nanoTime()
@@ -190,12 +197,13 @@ object Bench {
           }
           (System.nanoTime() - t0) / 1e9
         }
-        (name, times.min, ok)
+        (name, times.min, ok, gcMillis - gcQ0)
     }
     // a failed query is EXCLUDED from the times map and named in
     // `failed` instead: its fail-fast wall-clock would read like a fast
     // pass to any downstream diff of the per-query artifact
     val results = attempts.filter(_._3).map(a => a._1 -> a._2)
+    val gcByQuery = attempts.filter(_._3).map(a => a._1 -> a._4)
     val failed = attempts.filterNot(_._3).map(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val build = try buildMetrics(spark) catch {
@@ -206,6 +214,8 @@ object Bench {
         "{}"
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val gcQs = gcByQuery.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // measurement provenance: driver-vs-builder environments time the
@@ -222,7 +232,7 @@ object Bench {
         s""""order":"$order","heap_max_mb":$heapMaxMb,""" +
         s""""gc_suite_ms":$gcSuiteMs}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","env":$envJson,"failed":$failedJson,"queries":$qs,"build":$build,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","env":$envJson,"failed":$failedJson,"queries":$qs,"gc_ms":$gcQs,"build":$build,"sf":"$sfDir"}"""
     // Persist the FULL per-query map as a file artifact: the driver's
     // stdout tail capture holds only the last ~2000 chars, and with
     // 150+ queries the full line is ~5 KB — rounds 4–6 all came back

@@ -760,6 +760,12 @@ object SparkEntry {
     // joined back; plan-gated two Generates + Join
     "q296_summary_multi_distinct" ->
       (IndexOps.q296SummaryMultiDistinct _),
+    // the grouping-sets uniques-pair matrix: q294 × q296 composed —
+    // two count(DISTINCT)s + both medians under native ROLLUP, the
+    // stacked Expands flattened and split per measure; plan-gated
+    // Expand + two Generates + BroadcastHashJoin + refusal law
+    "q297_summary_rollup_multi_distinct" ->
+      (IndexOps.q297SummaryRollupMultiDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -17,6 +17,30 @@ import graft.syntax._
   */
 object IndexOps {
 
+  /** Derived-fact memo for gates that copy a fact table into a private
+    * layout before registering summaries over it (q293/q295/q296/q297):
+    * the copy is gate SETUP, not what the query measures, so repeated
+    * bench/verify invocations in one JVM reuse the first build instead
+    * of re-writing full parquet copies per run, and a shutdown hook
+    * deletes each directory so repeated runs never accumulate temp
+    * data. Keyed by (gate, source dir) — a different sf dir builds its
+    * own copy. */
+  private val derivedFactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def derivedFactDir(key: String)(build: String => Unit): String =
+    derivedFactCache.computeIfAbsent(key, _ => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-" + key.takeWhile(_ != '|')).toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(tmp))))
+      build(tmp)
+      tmp
+    })
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
   // --------------------------------------------------------------- q149
 
   /** Inverted index over whitespace tokens: one row per token with its
@@ -2316,20 +2340,21 @@ object IndexOps {
       dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
     val revSql = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q293").toString
-    val orders = load(s, dir, "orders")
-      .select($"o_orderkey", $"o_orderdate", $"o_orderstatus",
-        $"o_totalprice")
-    val epochs = (0 to 1).map { i =>
-      val p = s"$tmp/ep$i/orders_cal.parquet"
-      orders.filter($"o_orderkey" % 2 === i).write.parquet(p)
-      SummaryRewrite.buildSummary(s, p,
-        keys = Seq("o_orderdate", "o_orderstatus"), sumCols = Seq.empty,
-        mvPath = s"$tmp/mvq293_$i",
-        exprCols = Seq("rev" -> revSql),
-        exprMinMax = Seq("rev" -> revSql))
-      p
+    val tmp = derivedFactDir(s"q293|$dir") { t =>
+      val orders = load(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderdate", $"o_orderstatus",
+          $"o_totalprice")
+      (0 to 1).foreach { i =>
+        val p = s"$t/ep$i/orders_cal.parquet"
+        orders.filter($"o_orderkey" % 2 === i).write.parquet(p)
+        SummaryRewrite.buildSummary(s, p,
+          keys = Seq("o_orderdate", "o_orderstatus"), sumCols = Seq.empty,
+          mvPath = s"$t/mvq293_$i",
+          exprCols = Seq("rev" -> revSql),
+          exprMinMax = Seq("rev" -> revSql))
+      }
     }
+    val epochs = (0 to 1).map(i => s"$tmp/ep$i/orders_cal.parquet")
     SummaryRewrite.install(s)
     def reg(i: Int): Unit = SummaryRewrite.register(s"q293_ep$i",
       SummaryRewrite.Summary(s"ep$i/orders_cal.parquet", s"$tmp/mvq293_$i",
@@ -2463,19 +2488,21 @@ object IndexOps {
     * corpus scan it replaces. */
   def q295SummaryTwoHist(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q295").toString
+    val tmp = derivedFactDir(s"q295|$dir") { t =>
+      // bounded derived measures as real fact columns: cents-cleared
+      // price residue and customer residue (≤ 9973 / 997 distinct
+      // values per group — the histogram cap holds at any corpus size)
+      val f = s"$t/orders_mods.parquet"
+      load(s, dir, "orders").select($"o_orderstatus",
+          (pmod($"o_custkey", lit(997L))).as("cust_res"),
+          (pmod(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"),
+            lit(9973L))).as("price_res"))
+        .write.parquet(f)
+      SummaryRewrite.buildSummary(s, f, keys = Seq("o_orderstatus"),
+        sumCols = Seq("cust_res", "price_res"), mvPath = s"$t/mvq295",
+        histCols = Seq("cust_res", "price_res"))
+    }
     val fact = s"$tmp/orders_mods.parquet"
-    // bounded derived measures as real fact columns: cents-cleared
-    // price residue and customer residue (≤ 9973 / 997 distinct values
-    // per group — the histogram cap holds at any corpus size)
-    load(s, dir, "orders").select($"o_orderstatus",
-        (pmod($"o_custkey", lit(997L))).as("cust_res"),
-        (pmod(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"),
-          lit(9973L))).as("price_res"))
-      .write.parquet(fact)
-    SummaryRewrite.buildSummary(s, fact, keys = Seq("o_orderstatus"),
-      sumCols = Seq("cust_res", "price_res"), mvPath = s"$tmp/mvq295",
-      histCols = Seq("cust_res", "price_res"))
     SummaryRewrite.install(s)
     SummaryRewrite.register("q295_orders_mods",
       SummaryRewrite.Summary("orders_mods.parquet", s"$tmp/mvq295",
@@ -2494,8 +2521,10 @@ object IndexOps {
         "q295 gate broken: the fact table is still scanned")
       require("Generate".r.findAllIn(phys).size >= 2,
         "q295 gate broken: need one explosion PER measure")
-      require(phys.contains("Join"),
-        "q295 gate broken: the per-measure sides must join back")
+      require(phys.contains("BroadcastHashJoin"),
+        "q295 gate broken: the per-measure sides must join back " +
+          "BROADCAST (summary-group-sized by construction — a shuffled " +
+          "SMJ here means the pinned hint was lost)")
       val rows = q.collect().toIndexedSeq // one row per order status
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
     } finally SummaryRewrite.deregister("q295_orders_mods")
@@ -2520,16 +2549,18 @@ object IndexOps {
     * uniques pair plus medians — reading kilobytes per measure. */
   def q296SummaryMultiDistinct(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q296").toString
+    val tmp = derivedFactDir(s"q296|$dir") { t =>
+      val f = s"$t/orders_mods2.parquet"
+      load(s, dir, "orders").select($"o_orderstatus",
+          (pmod($"o_custkey", lit(997L))).as("cust_res"),
+          (pmod(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"),
+            lit(9973L))).as("price_res"))
+        .write.parquet(f)
+      SummaryRewrite.buildSummary(s, f, keys = Seq("o_orderstatus"),
+        sumCols = Seq("cust_res", "price_res"), mvPath = s"$t/mvq296",
+        histCols = Seq("cust_res", "price_res"))
+    }
     val fact = s"$tmp/orders_mods2.parquet"
-    load(s, dir, "orders").select($"o_orderstatus",
-        (pmod($"o_custkey", lit(997L))).as("cust_res"),
-        (pmod(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"),
-          lit(9973L))).as("price_res"))
-      .write.parquet(fact)
-    SummaryRewrite.buildSummary(s, fact, keys = Seq("o_orderstatus"),
-      sumCols = Seq("cust_res", "price_res"), mvPath = s"$tmp/mvq296",
-      histCols = Seq("cust_res", "price_res"))
     SummaryRewrite.install(s)
     SummaryRewrite.register("q296_orders_mods2",
       SummaryRewrite.Summary("orders_mods2.parquet", s"$tmp/mvq296",
@@ -2549,11 +2580,97 @@ object IndexOps {
         "q296 gate broken: the fact table is still scanned")
       require("Generate".r.findAllIn(phys).size >= 2,
         "q296 gate broken: need one explosion PER distinct measure")
-      require(phys.contains("Join"),
-        "q296 gate broken: the per-measure sides must join back")
+      require(phys.contains("BroadcastHashJoin"),
+        "q296 gate broken: the per-measure sides must join back " +
+          "BROADCAST (summary-group-sized by construction — a shuffled " +
+          "SMJ here means the pinned hint was lost)")
       val rows = q.collect().toIndexedSeq // one row per order status
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
     } finally SummaryRewrite.deregister("q296_orders_mods2")
+  }
+
+  // --------------------------------------------------------------- q297
+
+  /** q297 — the GROUPING-SETS UNIQUES-PAIR MATRIX: `count(DISTINCT x),
+    * count(DISTINCT y)` (plus both medians and plain totals) under
+    * native ROLLUP — q294 × q296 composed, the last corner of the
+    * serving matrix. RewriteDistinctAggregates stacks its
+    * multi-distinct Expand ON TOP of the lattice Expand;
+    * [[graft.plans.SummaryRewrite]] flattens the stack into one
+    * composed Expand (lattice sets × distinct groups projections —
+    * bounded by the query text, row-equivalent by construction), then
+    * the proven per-measure split runs: each distinct measure's side
+    * keeps the composed projections its gid filters select ACROSS the
+    * whole lattice, explodes exactly one `hist_` artifact column, and
+    * the sides join back BROADCAST on null-safe grouping values —
+    * which include the lattice grouping_id, so every subtotal row
+    * pairs with its twin and only its twin. In-gate plan proofs:
+    * artifact serves, fact never scans, the native Expand AND two
+    * Generates survive, the side join is BroadcastHashJoin; plus the
+    * REFUSAL law — a distinct over an expression spanning both
+    * measures cannot split, so the whole rewrite stands down to the
+    * fact. Values hash-match DuckDB's rollup off the fact, subtotals
+    * and grand total included. At 100 TB this is the segment-profile
+    * dashboard WITH totals — every uniques pair, every median, every
+    * subtotal row — reading kilobytes per measure instead of
+    * rescanning the corpus per grouping set. */
+  def q297SummaryRollupMultiDistinct(s: SparkSession,
+      dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val tmp = derivedFactDir(s"q297|$dir") { t =>
+      val f = s"$t/orders_mods3.parquet"
+      load(s, dir, "orders").select($"o_orderstatus",
+          (pmod($"o_custkey", lit(997L))).as("cust_res"),
+          (pmod(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"),
+            lit(9973L))).as("price_res"))
+        .write.parquet(f)
+      SummaryRewrite.buildSummary(s, f, keys = Seq("o_orderstatus"),
+        sumCols = Seq("cust_res", "price_res"), mvPath = s"$t/mvq297",
+        histCols = Seq("cust_res", "price_res"))
+    }
+    val fact = s"$tmp/orders_mods3.parquet"
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q297_orders_mods3",
+      SummaryRewrite.Summary("orders_mods3.parquet", s"$tmp/mvq297",
+        Set("o_orderstatus")))
+    try {
+      def q = s.read.parquet(fact).rollup($"o_orderstatus")
+        .agg(grouping($"o_orderstatus").cast("long").as("g_st"),
+          countDistinct($"cust_res").as("n_uniq_cust"),
+          countDistinct($"price_res").as("n_uniq_price"),
+          expr("median(cust_res)").as("med_cust"),
+          expr("median(price_res)").as("med_price"),
+          count(lit(1)).as("n_orders"),
+          sum($"price_res").as("sum_price"))
+        .select(coalesce($"o_orderstatus", lit("(all)")).as("status"),
+          $"g_st", $"n_uniq_cust", $"n_uniq_price", $"med_cust",
+          $"med_price", $"n_orders", $"sum_price")
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("mvq297"),
+        "q297 gate is vacuous: the lattice multi-distinct split did " +
+          "not serve")
+      require(!phys.contains("orders_mods3.parquet"),
+        "q297 gate broken: the fact table is still scanned")
+      require(phys.contains("Expand"),
+        "q297 gate broken: the native lattice Expand must survive")
+      require("Generate".r.findAllIn(phys).size >= 2,
+        "q297 gate broken: need one explosion PER distinct measure")
+      require(phys.contains("BroadcastHashJoin"),
+        "q297 gate broken: the per-measure sides must join back " +
+          "BROADCAST (summary-group-sized by construction)")
+      // REFUSAL law: a distinct over an expression SPANNING both
+      // measures has no per-measure side — the split must stand the
+      // whole rewrite down to the fact scan, never guess
+      val refused = s.read.parquet(fact).rollup($"o_orderstatus")
+        .agg(countDistinct($"cust_res" + $"price_res").as("n_mix"),
+          countDistinct($"price_res").as("n_p"))
+      require(refused.queryExecution.executedPlan.toString
+        .contains("orders_mods3.parquet"),
+        "q297 gate broken: a cross-measure distinct expression must " +
+          "refuse to the fact")
+      val rows = q.collect().toIndexedSeq // statuses + grand total
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q297_orders_mods3")
   }
 
   // --------------------------------------------------------------- q288
@@ -3477,6 +3594,25 @@ object IndexOps {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(price_res) AS BIGINT) AS sum_price
         |FROM r GROUP BY 1""".stripMargin,
+    // q297: the uniques-pair matrix WITH totals off the fact — DuckDB
+    // recomputes the bounded residues and replays the rollup; both
+    // engines aggregate the same exact integer multisets per grouping
+    // set, so the distinct counts and interpolated medians hash-match
+    "q297_summary_rollup_multi_distinct" ->
+      """WITH r AS (SELECT o_orderstatus,
+        |    (o_custkey % 997 + 997) % 997 AS cust_res,
+        |    (CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) % 9973
+        |      + 9973) % 9973 AS price_res
+        |  FROM orders)
+        |SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+        |  CAST(count(DISTINCT cust_res) AS BIGINT) AS n_uniq_cust,
+        |  CAST(count(DISTINCT price_res) AS BIGINT) AS n_uniq_price,
+        |  quantile_cont(cust_res, 0.5) AS med_cust,
+        |  quantile_cont(price_res, 0.5) AS med_price,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price_res) AS BIGINT) AS sum_price
+        |FROM r GROUP BY ROLLUP (o_orderstatus)""".stripMargin,
     // q291: the per-lang profile off the WHOLE documents table — the
     // epochs partition it (doc_id % 4), so hybrid serving (artifact +
     // partialized tail) must reproduce the plain aggregate exactly

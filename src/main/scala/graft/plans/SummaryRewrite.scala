@@ -353,15 +353,8 @@ object SummaryRewrite {
         .optimizedPlan
       val aggs = plan.collect { case a: Aggregate => a }
       if (aggs.isEmpty) notes += s"query $qi: no aggregate to serve"
-      aggs.foreach {
-        case Aggregate(g0, a0, child, _) =>
-          rule.decompose(child) match {
-            case None =>
-              notes += (s"query $qi: aggregate is not over a bare fact " +
-                "scan (join/union/rollup shapes serve, but advise " +
-                "their per-fact summaries from the plain per-fact " +
-                "aggregates)")
-            case Some(shape) =>
+      def classify(g0: Seq[Expression], a0: Seq[NamedExpression],
+          shape: rule.Shape): Unit = {
               val g = g0.map(rule.inline(_, shape.subst))
               if (!g.forall(rule.carriableGrouping))
                 notes += s"query $qi: nondeterministic/nested grouping"
@@ -524,7 +517,38 @@ object SummaryRewrite {
                     hllRsd, hist, exprS, exprM, exprH)
                 }
               }
+      }
+      val direct = aggs.map { case Aggregate(g0, a0, child, _) =>
+        rule.decompose(child) match {
+          case Some(shape) => classify(g0, a0, shape); true
+          case None => false
+        }
+      }
+      if (direct.exists(!_)) {
+        // RewriteDistinctAggregates expands a multi-distinct aggregate
+        // into a double aggregation over an Expand BEFORE the advisor
+        // sees it — but the serve matrix covers exactly that shape via
+        // the per-measure split, so the advisor must not shrug it off:
+        // when NO optimized aggregate sits over a bare fact scan,
+        // classify the PRE-EXPANSION analyzed aggregate instead (same
+        // fact, same measures — the expansion is plan shape, not
+        // semantics). Two count(DISTINCT)s thus advise a hist_<col>
+        // per measure, and a near-unique approx_count_distinct in the
+        // SAME aggregate advises hll_<col> — mirroring the
+        // q295/q296/q297 serve matrix.
+        val preExpansion =
+          if (direct.exists(identity)) Seq.empty
+          else df.queryExecution.analyzed.collect {
+            case Aggregate(g0, a0, child, _) => (g0, a0, child)
+          }.flatMap { case (g0, a0, child) =>
+            rule.decompose(child).map(sh => (g0, a0, sh))
           }
+        preExpansion.foreach { case (g0, a0, sh) => classify(g0, a0, sh) }
+        if (preExpansion.isEmpty)
+          notes += (s"query $qi: aggregate is not over a bare fact " +
+            "scan (join/union/rollup shapes serve, but advise " +
+            "their per-fact summaries from the plain per-fact " +
+            "aggregates)")
       }
     }
     val advices = obs.groupBy(o => (o.fact, o.table)).toSeq
@@ -567,15 +591,36 @@ object SummaryRewrite {
         advice.exprHistCols).toMap))
   }
 
-  def register(name: String, summary: Summary): Unit =
+  /** `@` is the [[catalogEntryKey]] namespace separator: a
+    * programmatic name containing it could collide with a bound
+    * catalog's key (`daily@<dir>`), letting a catalog refresh silently
+    * overwrite or deregister the programmatic entry. Refused at both
+    * registration AND publish, so the key space stays disjoint by
+    * construction. */
+  private def requireProgrammaticName(name: String): Unit =
+    require(!name.contains('@'),
+      s"register: entry name '$name' contains '@' — reserved as the " +
+        "catalog-key namespace separator (a catalog refresh could " +
+        "silently overwrite this registration)")
+
+  def register(name: String, summary: Summary): Unit = {
+    requireProgrammaticName(name)
     registry.put(name, summary)
+  }
+
+  /** Registry write for CATALOG-owned keys (`name@dir`) — bypasses the
+    * programmatic `@` refusal; only the catalog loader may mint these. */
+  private def registerLoaded(key: String, summary: Summary): Unit =
+    registry.put(key, summary)
 
   /** Register a summary served from a snapshot STORE (see
     * [[Summary.store]]); the mvPath is resolved per query to the
     * newest committed version. */
   def registerStore(name: String, factPathSuffix: String, store: String,
-      keys: Set[String]): Unit =
+      keys: Set[String]): Unit = {
+    requireProgrammaticName(name)
     registry.put(name, Summary(factPathSuffix, "", keys, Some(store)))
+  }
 
   def deregister(name: String): Unit = registry.remove(name)
 
@@ -623,6 +668,12 @@ object SummaryRewrite {
         s"publishCatalog: entry '$n' contains a brace or bracket — not " +
           "representable in the catalog's flat format (expression SQL " +
           "included: spell array/map literals as array()/map())")
+      // a published name containing '@' would read back as a key that
+      // collides with ANOTHER catalog's namespaced entry on a shared
+      // consumer — same reservation as [[register]]
+      require(!n.contains('@'),
+        s"publishCatalog: entry name '$n' contains '@' — reserved as " +
+          "the catalog-key namespace separator")
     }
     val json = entries.toSeq.sortBy(_._1).map { case (n, s) =>
       val store = s.store
@@ -662,12 +713,19 @@ object SummaryRewrite {
     v
   }
 
-  /** Publish the CURRENT in-memory registrations (the producer-side
-    * convenience: register → build → publish). */
+  /** Publish the CURRENT in-memory PROGRAMMATIC registrations (the
+    * producer-side convenience: register → build → publish).
+    * Catalog-LOADED entries (keys `name@dir`) are excluded: republishing
+    * them would leak this consumer's namespacing into the target
+    * catalog and compound per publish→load generation
+    * (`daily@catA@catB`). A consumer that wants to mirror another
+    * catalog's entries republishes them explicitly via the map
+    * overload under names it chooses. */
   def publishCatalog(spark: SparkSession, catalogDir: String): Long = {
     import scala.jdk.CollectionConverters._
     publishCatalog(spark, catalogDir,
-      registry.entrySet().asScala.map(e => e.getKey -> e.getValue).toMap)
+      registry.entrySet().asScala.map(e => e.getKey -> e.getValue)
+        .filter { case (k, _) => !k.contains('@') }.toMap)
   }
 
   /** Load the newest committed catalog version into the registry and
@@ -689,7 +747,7 @@ object SummaryRewrite {
     val entries = readCatalogVersion(spark, catalogDir, live.max)
     boundLock.synchronized {
       entries.foreach { case (n, s) =>
-        register(catalogEntryKey(catalogDir, n), s)
+        registerLoaded(catalogEntryKey(catalogDir, n), s)
       }
       bound.put(catalogDir, BoundCatalog(catalogDir, live.max,
         entries.map(e => catalogEntryKey(catalogDir, e._1)).toSet))
@@ -747,7 +805,7 @@ object SummaryRewrite {
                     .map(e => catalogEntryKey(b.dir, e._1)).toSet
                   (cur.names -- names).foreach(deregister)
                   entries.foreach { case (n, s) =>
-                    register(catalogEntryKey(b.dir, n), s)
+                    registerLoaded(catalogEntryKey(b.dir, n), s)
                   }
                   bound.put(b.dir, BoundCatalog(b.dir, v, names))
                   note(s"catalog ${b.dir} refreshed to cat=$v " +
@@ -1254,10 +1312,14 @@ object SummaryRewrite {
     val hasDeletes = !deletes.isEmpty
     require(!hasDeletes || unretractable.isEmpty || dropUnretractable,
       s"applyCdc: partials ${unretractable.mkString(", ")} are not " +
-        "retractable (min/max — plain or expression — without a same-" +
-        "base histogram, HLL registers) — rebuild the summary, key the " +
-        "column, carry a hist_ partial, or pass dropUnretractable = " +
-        "true to shed them")
+        "retractable. Per class — min/max (plain or expression) " +
+        "without a same-base histogram: carry a hist_<col>/exprHist " +
+        "partial (the retracted histogram re-derives the extreme) or " +
+        "key the column; HLL registers: register max-merge is not " +
+        "invertible, NO partial makes them retractable; pre-cnt_ sums: " +
+        "rebuild to mint cnt_<col>. The choice everywhere is REBUILD " +
+        "the summary vs SHED the column (dropUnretractable = true " +
+        "sheds exactly these and retracts the rest).")
     val dropped =
       if (hasDeletes && dropUnretractable) unretractable.toSet
       else Set.empty[String]
@@ -2002,11 +2064,43 @@ object SummaryRewrite {
       * may serve via histogram ([[tryExpandRewrite]]'s `allowedHist`),
       * and refuses anything else — an unfiltered outer aggregate, a
       * filter mixing consumers, a hist value in the outer GROUP BY. */
+    /** Flatten an Expand-over-Expand STACK into one equivalent Expand:
+      * each (outer projection, inner projection) pair composes by
+      * substituting the inner projection's entry for every reference
+      * to the inner Expand's output. This is the shape
+      * RewriteDistinctAggregates leaves when the aggregate it rewrites
+      * sits over a native ROLLUP/CUBE Expand — the multi-distinct
+      * Expand stacks ON TOP of the lattice Expand — and it is exactly
+      * row-equivalent: the stack emits one row per (fact row, inner
+      * projection, outer projection) and so does the composition. The
+      * composed projection count is (lattice sets × distinct groups) —
+      * bounded by the query text, never by the data. Flattening
+      * grounds the grouping-sets uniques-pair matrix (`ROLLUP(k) +
+      * count(DISTINCT x), count(DISTINCT y)`) on the proven
+      * single-Expand machinery: the lattice gid rides as a kept
+      * literal position, the distinct discriminator stays the audit's
+      * gid, and the per-measure split prunes composed projections by
+      * discriminator exactly like flat ones. */
+    private def composeExpands(e: Expand): Expand = e.child match {
+      case innerEx: Expand =>
+        val innerPos = innerEx.output.map(_.exprId).zipWithIndex.toMap
+        val composed = for {
+          ip <- innerEx.projections
+          op <- e.projections
+        } yield op.map(_.transform {
+          case a: AttributeReference if innerPos.contains(a.exprId) =>
+            ip(innerPos(a.exprId))
+        })
+        composeExpands(Expand(composed.map(_.toIndexedSeq).toIndexedSeq,
+          e.output, innerEx.child))
+      case _ => e
+    }
+
     private def tryDistinctHistRewrite(outerGroup: Seq[Expression],
         outerAggs: Seq[NamedExpression], inner: Aggregate,
         hint: Option[AggregateHint]): Option[LogicalPlan] = {
       val ex = inner.child match {
-        case e: Expand => e
+        case e: Expand => composeExpands(e)
         case _ => return None
       }
       val Expand(projections, output, _) = ex
@@ -2111,6 +2205,16 @@ object SummaryRewrite {
       * output spanning two measures refuses. Composes with the
       * union-of-epochs child — each side's Expand rewrite unions its
       * own per-branch artifact scans. */
+    /** Join hint for the per-measure serve sides: both sides aggregate
+      * the same artifact rows under the same grouping, so each side is
+      * summary-GROUP-sized by construction — kilobytes at any corpus
+      * size. Pinning BROADCAST on the right side makes that size
+      * argument a plan property instead of prose: a stats regression
+      * (or a disabled AQE) can never silently degrade the serve path
+      * to a shuffled sort-merge join. */
+    private val broadcastRight =
+      JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))
+
     private def multiHistExpandSplit(groupExprs: Seq[Expression],
         aggExprs: Seq[NamedExpression], expand: Expand,
         hint: Option[AggregateHint]): Option[LogicalPlan] = {
@@ -2148,14 +2252,54 @@ object SummaryRewrite {
       }
       val bases = assigns.flatten.distinct.sorted
       if (bases.size < 2) return None
-      if (assigns.exists(_.size > 1)) {
-        note("expand split: an output spans two measures — refusing")
+      // composed GLUE across measures under the lattice —
+      // `median(x) + median(y)` in one output WITH subtotal rows: the
+      // output splits into its embedded aggregates, each rides ITS
+      // measure's lattice side under a fresh name, and the glue
+      // re-evaluates above the join (exact: embedded aggregates are
+      // unchanged and the join is a bijection on the grouping values,
+      // grouping_id included). An embedded aggregate itself spanning
+      // two measures, bare non-aggregate references, or
+      // nondeterminism refuse.
+      var pieceSeq = 0
+      val assign: Seq[Option[Either[Set[String],
+          Seq[(AggregateExpression, Set[String], Alias)]]]] =
+        aggExprs.zip(assigns).map { case (ne, bs) =>
+          if (bs.size <= 1) Some(scala.util.Left(bs))
+          else {
+            val aes = ne.collect { case ae: AggregateExpression => ae }
+            val bare = ne.transform {
+              case _: AggregateExpression => Literal(null)
+            }.references
+            if (aes.isEmpty || bare.nonEmpty || !ne.deterministic ||
+                ne.exists(_.isInstanceOf[PlanExpression[_]])) None
+            else sequence(aes.map { ae =>
+              val s = ae.references.toSeq
+                .flatMap(r => measureBaseOf.get(r.exprId)).toSet
+              if (s.size > 1) None else Some(s)
+            }).map { sides =>
+              scala.util.Right(aes.zip(sides).map { case (ae, s) =>
+                pieceSeq += 1
+                (ae, s, Alias(ae, s"__mhx_ae_$pieceSeq")())
+              })
+            }
+          }
+        }
+      if (assign.exists(_.isEmpty)) {
+        note("expand split: a glue output embeds an aggregate spanning " +
+          "two measures (or bare references) — refusing")
         return None
       }
+      val flatAssign = assign.map(_.get)
       val sideOuts: Seq[(String, Seq[NamedExpression])] =
         bases.zipWithIndex.map { case (b, i) =>
-          b -> aggExprs.zip(assigns).collect {
-            case (ne, s) if s == Set(b) || (i == 0 && s.isEmpty) => ne
+          b -> aggExprs.zip(flatAssign).flatMap {
+            case (ne, scala.util.Left(s))
+                if s == Set(b) || (i == 0 && s.isEmpty) => Seq(ne)
+            case (_, scala.util.Right(ps)) => ps.collect {
+              case (_, s, al) if s == Set(b) || (i == 0 && s.isEmpty) => al
+            }
+            case _ => Seq.empty
           }
         }
       def buildSide(outs: Seq[NamedExpression], freshIds: Boolean)
@@ -2200,15 +2344,29 @@ object SummaryRewrite {
           EqualNullSafe(a, b): Expression
         }.reduceOption(And)
         (Join(l, r, if (cond.isEmpty) Cross else Inner, cond,
-          JoinHint.NONE), lg)
+          broadcastRight), lg)
       }._1
       val byId: Map[ExprId, Attribute] = sides.flatMap(
         _.get._1.aggregateExpressions.map(_.toAttribute))
         .map(a => a.exprId -> a).toMap
-      if (!aggExprs.forall(ne => byId.contains(ne.exprId))) return None
+      val projected: Seq[Option[NamedExpression]] =
+        aggExprs.zip(flatAssign).map {
+          case (ne, scala.util.Left(_)) => byId.get(ne.exprId)
+          case (ne, scala.util.Right(ps)) =>
+            if (!ps.forall(p => byId.contains(p._3.exprId))) None
+            else {
+              val glued = ne.transform {
+                case ae: AggregateExpression =>
+                  ps.find(_._1 eq ae).map(p => byId(p._3.exprId))
+                    .getOrElse(ae)
+              }
+              Some(Alias(glued, ne.name)(exprId = ne.exprId))
+            }
+        }
+      if (projected.exists(_.isEmpty)) return None
       note(s"rollup/cube aggregate SERVED via ${bases.size} " +
         "per-measure lattice sides joined on the grouping values")
-      Some(Project(aggExprs.map(ne => byId(ne.exprId)), joined))
+      Some(Project(projected.map(_.get), joined))
     }
 
     /** TWO-DISTINCT-MEASURE serving — `count(DISTINCT m),
@@ -2287,17 +2445,62 @@ object SummaryRewrite {
       val histBases = allowedHist.toSeq.flatMap(baseOf).distinct.sorted
       if (histBases.size < 2) return None
       val perOut = assigns.map(_.get.intersect(histBases.toSet))
-      if (perOut.exists(_.size > 1)) {
-        note("multi-distinct split: an output spans two distinct " +
-          "measures — refusing")
+      // composed GLUE across distinct measures — `count(DISTINCT x) −
+      // count(DISTINCT y)` in one output: the output splits into its
+      // embedded aggregates, each becomes a fresh-named output on ITS
+      // measure's side, and the glue re-evaluates above the join (the
+      // multiHistRewrite discipline; exact because each embedded
+      // aggregate is unchanged and the join is a bijection on the
+      // grouping values). An embedded aggregate itself spanning two
+      // measures, bare non-aggregate references in the glue, or
+      // nondeterminism refuse.
+      var pieceSeq = 0
+      val assign: Seq[Option[Either[Set[String],
+          Seq[(AggregateExpression, Set[String], Alias)]]]] =
+        outerAggs.zip(perOut).map { case (ne, bs) =>
+          if (bs.size <= 1) Some(scala.util.Left(bs))
+          else {
+            val aes = ne.collect { case ae: AggregateExpression => ae }
+            val bare = ne.transform {
+              case _: AggregateExpression => Literal(null)
+            }.references
+            if (aes.isEmpty || bare.nonEmpty || !ne.deterministic ||
+                ne.exists(_.isInstanceOf[PlanExpression[_]])) None
+            else sequence(aes.map { ae =>
+              val abs = ae.references.toSeq
+                .flatMap(r => innerByIdAttr.get(r.exprId)).map(innerBases)
+              if (abs.exists(_.isEmpty)) None
+              else {
+                val s = abs.flatten.flatten.toSet
+                  .intersect(histBases.toSet)
+                if (s.size > 1) None else Some(s)
+              }
+            }).map { sides =>
+              scala.util.Right(aes.zip(sides).map { case (ae, s) =>
+                pieceSeq += 1
+                (ae, s, Alias(ae, s"__md_ae_$pieceSeq")())
+              })
+            }
+          }
+        }
+      if (assign.exists(_.isEmpty)) {
+        note("multi-distinct split: a glue output embeds an aggregate " +
+          "spanning two distinct measures (or bare references) — " +
+          "refusing")
         return None
       }
+      val flatAssign = assign.map(_.get)
       val sideBases: Seq[String] = histBases
       // side 0 carries the measure-free outputs too
       val sideOuts: Seq[Seq[NamedExpression]] = sideBases.zipWithIndex
         .map { case (b, i) =>
-          outerAggs.zip(perOut).collect {
-            case (ne, bs) if bs == Set(b) || (i == 0 && bs.isEmpty) => ne
+          outerAggs.zip(flatAssign).flatMap {
+            case (ne, scala.util.Left(bs))
+                if bs == Set(b) || (i == 0 && bs.isEmpty) => Seq(ne)
+            case (_, scala.util.Right(ps)) => ps.collect {
+              case (_, s, al) if s == Set(b) || (i == 0 && s.isEmpty) => al
+            }
+            case _ => Seq.empty
           }
         }
       if (sideOuts.exists(_.isEmpty)) return None
@@ -2367,16 +2570,34 @@ object SummaryRewrite {
           EqualNullSafe(a, bb): Expression
         }.reduceOption(And)
         (Join(l, r, if (cond.isEmpty) Cross else Inner, cond,
-          JoinHint.NONE), lg)
+          broadcastRight), lg)
       }._1
       val byId: Map[ExprId, Attribute] = sides.flatMap(
         _.get._1.aggregateExpressions.map(_.toAttribute))
         .map(a => a.exprId -> a).toMap
-      if (!outerAggs.forall(ne => byId.contains(ne.exprId))) return None
+      val projected: Seq[Option[NamedExpression]] =
+        outerAggs.zip(flatAssign).map {
+          case (ne, scala.util.Left(_)) => byId.get(ne.exprId)
+          case (ne, scala.util.Right(ps)) =>
+            if (!ps.forall(p => byId.contains(p._3.exprId))) None
+            else {
+              // re-evaluate the glue above the join: each embedded
+              // aggregate occurrence swaps for its side's attribute
+              // (node identity — the pieces were collected from this
+              // very tree)
+              val glued = ne.transform {
+                case ae: AggregateExpression =>
+                  ps.find(_._1 eq ae).map(p => byId(p._3.exprId))
+                    .getOrElse(ae)
+              }
+              Some(Alias(glued, ne.name)(exprId = ne.exprId))
+            }
+        }
+      if (projected.exists(_.isEmpty)) return None
       note(s"double-aggregation over ${sideBases.size} distinct " +
         "MEASURES SERVED — per-measure sides joined on the grouping " +
         "values")
-      Some(Project(outerAggs.map(ne => byId(ne.exprId)), joined))
+      Some(Project(projected.map(_.get), joined))
     }
 
     /** NATIVE ROLLUP / CUBE / GROUPING SETS rewrite — `Aggregate(keys +
@@ -3768,7 +3989,7 @@ object SummaryRewrite {
 
     private def tryJoinRewrite(groupExprs0: Seq[Expression],
         aggExprs0: Seq[NamedExpression], join: Join,
-        hint: Option[AggregateHint]): Option[Aggregate] = {
+        hint: Option[AggregateHint]): Option[LogicalPlan] = {
       // every candidate flattening of the join tree: (fact side, dims
       // innermost-first, hoisted-alias substitutions from Projects
       // BETWEEN the joins). Lazy — the first flattening that serves
@@ -3867,8 +4088,19 @@ object SummaryRewrite {
               shape.pred.toSeq.flatMap(_.references.toSeq.map(_.name))).toSet
             result <- candidates(shape, needed).view.flatMap {
               case (n, s) =>
-                val r = tryJoinCandidate(s, groupExprs, aggExprs,
-                  shape, factUnion, factOut, dimOut, dims, hint)
+                val r: Option[LogicalPlan] =
+                  tryJoinCandidate(s, groupExprs, aggExprs,
+                    shape, factUnion, factOut, dimOut, dims, hint)
+                  .orElse {
+                    // TWO hist measures through the peel: per-measure
+                    // join trees, sides joined back (union facts stay
+                    // single-hist — per-branch wiring × per-side
+                    // instances is not built)
+                    if (factUnion.isEmpty)
+                      multiHistJoinCandidate(s, groupExprs, aggExprs,
+                        shape, factOut, dimOut, dims, hint)
+                    else None
+                  }
                 if (r.isEmpty)
                   note(s"candidate '$n': star-join shape not derivable " +
                     "(needs all-key equi-join, derivable fact measures, " +
@@ -3964,6 +4196,217 @@ object SummaryRewrite {
           else Join(lvl.dim, p, lvl.joinType, Some(c), lvl.jhint)
       }
     } yield Aggregate(newGroup, newAggs, newJoin, hint)
+
+    /** A FRESH-id copy of a dim-side plan for one per-measure serve
+      * side: leaf relations are re-instanced (`newInstance` — fresh
+      * exprIds, zero IO) and references above remapped via
+      * `transformUpWithNewOutput`; returns the old→new attribute map
+      * so the caller can rewrite join conditions and groupings. Plans
+      * minting their OWN expression ids (Alias/Aggregate/Window/
+      * Generate/Expand) refuse — a copy would collide with the
+      * original's ids across the side join; star dims after column
+      * pruning are bare-attribute Project/Filter towers over a leaf,
+      * which this covers. */
+    private def freshDimCopy(dim: LogicalPlan)
+        : Option[(LogicalPlan, Map[ExprId, Attribute])] = {
+      import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+      val unsafe = dim.exists {
+        case _: Aggregate | _: Window | _: Generate | _: Expand => true
+        case p: Project => p.projectList.exists(!_.isInstanceOf[Attribute])
+        case l: LeafNode => !l.isInstanceOf[MultiInstanceRelation]
+        case _ => false
+      }
+      if (unsafe) None
+      else {
+        var mapping = Map.empty[ExprId, Attribute]
+        val fresh = dim.transformUpWithNewOutput {
+          case m: MultiInstanceRelation =>
+            val ni = m.newInstance()
+            val pairs = m.asInstanceOf[LogicalPlan].output.zip(ni.output)
+            mapping ++= pairs.map { case (o, n) => o.exprId -> n }
+            (ni, pairs)
+        }
+        Some((fresh, mapping))
+      }
+    }
+
+    /** TWO-histogram serving THROUGH the star peel — `median(x),
+      * median(y)` (plus distinct counts, plain totals, and dim
+      * value-set pass-throughs) grouped by DIM attributes: one
+      * explosion per rewritten plan is the law, so the star splits per
+      * measure exactly like the flat path ([[multiHistRewrite]]) —
+      * each side joins ITS own artifact instance (explosion UNDER the
+      * join, the proven single-hist star discipline: join keys are
+      * summary keys, constant per entry row) to a FRESH-id copy of the
+      * dim sides ([[freshDimCopy]]), and the per-side aggregates join
+      * back BROADCAST on null-safe grouping values. Exactness: every
+      * side rebuilds the identical join (same conditions over equal
+      * dim copies), so the sides' group sets agree and the join back
+      * is a bijection; per side the aggregates are the single-hist
+      * star derivations, first-entry-masked. Side 0 keeps the ORIGINAL
+      * dim instances, so grouping pass-throughs keep their exprIds and
+      * the parent plan is untouched. Composed glue across measures
+      * splits into per-side pieces and re-evaluates above the join.
+      * At 100 TB each side is summary-group-sized — the "two medians
+      * per dim attribute" dashboard reads kilobytes per measure. */
+    private def multiHistJoinCandidate(summary: Summary,
+        groupExprs: Seq[Expression],
+        aggExprs: Seq[NamedExpression], shape: Shape,
+        factOut: AttributeSet, dimOut: AttributeSet,
+        dims: List[DimLevel],
+        hint: Option[AggregateHint]): Option[LogicalPlan] = {
+      val path = resolveMvPath(summary).getOrElse(return None)
+      val probeAttrs = mvPlanFor(path, summary.store.isDefined)
+        .map(_.output.map(a => a.name -> a).toMap).getOrElse(return None)
+      if (!probeAttrs.get("cnt").exists(_.dataType == LongType))
+        return None
+      val cands = histCandidatesOf(probeAttrs)
+      if (cands.size < 2) return None
+      // side of one rewritable unit: "" = plain star-derivable (rides
+      // side 0), else the hist_<col> whose explosion derives it
+      def probeSide(ne: NamedExpression): Option[String] = {
+        if (rewriteAgg(ne, probeAttrs, summary.keys, dimOut,
+            exprs = summary.exprs)
+            .filter(_.dataType == ne.dataType).isDefined) Some("")
+        else cands.collectFirst {
+          case (hn, base, _, vt) if {
+            val (_, kA, vA) = histEntryAttrs(vt)
+            rewriteAgg(ne, probeAttrs, summary.keys, dimOut,
+              hist = Some(HistCtx(base, kA, vA)), exprs = summary.exprs)
+              .filter(_.dataType == ne.dataType)
+              .exists(_.exists(ex => ex == kA || ex == vA))
+          } => hn
+        }
+      }
+      var pieceSeq = 0
+      val assign: Seq[Option[Either[String,
+          Seq[(AggregateExpression, String, Alias)]]]] =
+        aggExprs.map { e =>
+          probeSide(e).map(scala.util.Left(_)).orElse {
+            val aes = e.collect { case ae: AggregateExpression => ae }
+            val bare = e.transform {
+              case _: AggregateExpression => Literal(null)
+            }.references
+            if (aes.isEmpty || bare.nonEmpty || !e.deterministic ||
+                e.exists(_.isInstanceOf[PlanExpression[_]])) None
+            else sequence(aes.map(ae =>
+              probeSide(Alias(ae, "__mhj_probe")())))
+              .map { sides =>
+                scala.util.Right(aes.zip(sides).map { case (ae, s) =>
+                  pieceSeq += 1
+                  (ae, s, Alias(ae, s"__mhj_ae_$pieceSeq")())
+                })
+              }
+          }
+        }
+      if (assign.exists(_.isEmpty)) return None
+      val flatAssign = assign.map(_.get)
+      val neededHists = flatAssign.flatMap {
+        case scala.util.Left(s) => Seq(s)
+        case scala.util.Right(ps) => ps.map(_._2)
+      }.filter(_.nonEmpty).distinct
+      if (neededHists.size < 2) return None
+      val sideOuts: Seq[(String, Seq[NamedExpression])] =
+        neededHists.zipWithIndex.map { case (hn, i) =>
+          hn -> aggExprs.zip(flatAssign).flatMap {
+            case (e, scala.util.Left(a))
+                if a == hn || (i == 0 && a.isEmpty) => Seq(e)
+            case (_, scala.util.Right(ps)) => ps.collect {
+              case (_, s, al) if s == hn || (i == 0 && s.isEmpty) => al
+            }
+            case _ => Seq.empty
+          }
+        }
+      // one side: fresh artifact instance, pushed fact filter, ONE
+      // explosion UNDER the rebuilt join to (fresh) dim copies
+      def buildSide(hn: String, outs: Seq[NamedExpression],
+          freshDims: Boolean): Option[(Aggregate, Seq[Attribute])] = for {
+        plan <- mvPlanFor(path, summary.store.isDefined)
+        attrs = plan.output.map(a => a.name -> a).toMap
+        histAttr <- attrs.get(hn)
+        if HistSummary.isHistType(histAttr.dataType)
+        if shape.pred.forall(_.references.toSeq.forall(r =>
+          attrs.contains(r.name)))
+        if dims.forall(_.cond.references.toSeq.filter(factOut.contains)
+          .forall(r => attrs.contains(r.name)))
+        dimCopies <- sequence(dims.map { l =>
+          if (!freshDims) Some((l, Seq.empty[(ExprId, Attribute)]))
+          else freshDimCopy(l.dim).map { case (d, m) =>
+            (l.copy(dim = d), m.toSeq)
+          }
+        })
+        base = hn.stripPrefix("hist_")
+        entryAttrs = histEntryAttrs(
+          histAttr.dataType.asInstanceOf[MapType].keyType)
+        rewritten <- sequence(outs.map(e =>
+          rewriteAgg(e, attrs, summary.keys, dimOut,
+            hist = Some(HistCtx(base, entryAttrs._2, entryAttrs._3)),
+            exprs = summary.exprs)
+            .filter(_.dataType == e.dataType)))
+      } yield {
+        val (posA, kA, vA) = entryAttrs
+        val dimMap = dimCopies.flatMap(_._2).toMap
+        val remap = (ex: Expression) => ex.transform {
+          case a: AttributeReference
+              if factOut.contains(a) && attrs.contains(a.name) =>
+            attrs(a.name)
+          case a: AttributeReference if dimMap.contains(a.exprId) =>
+            dimMap(a.exprId)
+        }
+        val filtered = shape.pred.map(p => Filter(remap(p), plan))
+          .getOrElse(plan)
+        val gen = histExplode(histAttr, posA, kA, vA, filtered)
+        val newJoin = dimCopies.foldLeft(gen: LogicalPlan) {
+          case (p, (lvl, _)) =>
+            val c = remap(lvl.cond)
+            if (lvl.factOnLeft)
+              Join(p, lvl.dim, lvl.joinType, Some(c), lvl.jhint)
+            else Join(lvl.dim, p, lvl.joinType, Some(c), lvl.jhint)
+        }
+        val masked = maskToFirstEntry(rewritten, posA, attrs)
+          .map(e => remap(e).asInstanceOf[NamedExpression])
+        val groupVals = groupExprs.zipWithIndex.map { case (g, j) =>
+          Alias(remap(g), s"__mhj_g$j")()
+        }
+        val agg = Aggregate(groupExprs.map(remap),
+          groupVals ++ masked, newJoin, hint)
+        (agg, groupVals.map(_.toAttribute))
+      }
+      val sides = sideOuts.zipWithIndex.map { case ((hn, outs), i) =>
+        buildSide(hn, outs, freshDims = i > 0)
+      }
+      if (sides.exists(_.isEmpty)) return None
+      val joined = sides.map(_.get).reduceLeft[(LogicalPlan,
+          Seq[Attribute])] { case ((l, lg), (r, rg)) =>
+        val cond = lg.zip(rg).map { case (a, b) =>
+          EqualNullSafe(a, b): Expression
+        }.reduceOption(And)
+        (Join(l, r, if (cond.isEmpty) Cross else Inner, cond,
+          broadcastRight), lg)
+      }._1
+      val byId: Map[ExprId, Attribute] = sides.flatMap(
+        _.get._1.aggregateExpressions.map(_.toAttribute))
+        .map(a => a.exprId -> a).toMap
+      val projected: Seq[Option[NamedExpression]] =
+        aggExprs.zip(flatAssign).map {
+          case (e, scala.util.Left(_)) => byId.get(e.exprId)
+          case (e, scala.util.Right(ps)) =>
+            if (!ps.forall(p => byId.contains(p._3.exprId))) None
+            else {
+              val glued = e.transform {
+                case ae: AggregateExpression =>
+                  ps.find(_._1 eq ae).map(p => byId(p._3.exprId))
+                    .getOrElse(ae)
+              }
+              Some(Alias(glued, e.name)(exprId = e.exprId))
+            }
+        }
+      if (projected.exists(_.isEmpty)) return None
+      note(s"star-join aggregate SERVED via ${neededHists.size} " +
+        "per-measure histogram explosions under per-side join trees, " +
+        "joined back on the grouping values")
+      Some(Project(projected.map(_.get), joined))
+    }
 
     /** Attempt the rewrite against ONE candidate summary; any missing
       * measure column, type mismatch, or unreadable artifact refuses
@@ -4222,7 +4665,7 @@ object SummaryRewrite {
           EqualNullSafe(a, b): Expression
         }.reduceOption(And)
         (Join(l, r, if (cond.isEmpty) Cross else Inner, cond,
-          JoinHint.NONE), lg)
+          broadcastRight), lg)
       }._1
       val byId: Map[ExprId, Attribute] = sides.flatMap(
         _.get._1.aggregateExpressions.map(_.toAttribute))

@@ -2253,20 +2253,29 @@ class SummaryRewriteSpec extends AnyFunSuite {
     val q6 = docs.groupBy($"source")
       .agg(expr("count(DISTINCT n_chars * 2 + length(lang))").as("ue"),
         expr("median(n_chars * 2 + length(lang))").as("pe"))
+    // TWO distinct groups: the optimizer expands this into the double
+    // aggregation BEFORE the advisor sees it — the pre-expansion
+    // fallback must still advise (hist for the non-key measure, key
+    // path for source), mirroring the q296 serve matrix
+    val q7 = docs.groupBy($"lang")
+      .agg(countDistinct($"n_chars").as("u1"),
+        countDistinct($"source").as("u2"), count(lit(1)).as("n"))
     val qJoin = graft.Tables.load(spark, dir, "orders")
       .join(graft.Tables.load(spark, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
     val (advs, notes) =
       SummaryRewrite.adviseSummaries(spark,
-        Seq(q1, q2, q3, q4, q5, q6, qJoin))
+        Seq(q1, q2, q3, q4, q5, q6, q7, qJoin))
     val a = advs.find(_.fact.endsWith("documents.parquet"))
       .getOrElse(fail(s"no documents advice in $advs"))
     assert(a.keys === Set("source", "lang"),
       "keys must be the union of grouping + filter columns — distinct " +
         "over a keyed column (q3's source) adds no key and no hist")
     assert(a.sumCols === Seq("n_chars") && a.minMaxCols === Seq("n_chars"))
-    assert(a.hllCols === Seq("doc_id") && a.covered === 6)
+    assert(a.hllCols === Seq("doc_id") && a.covered === 7,
+      s"the multi-distinct dashboard query must be advised, not " +
+        s"shrugged off as an Expand shape: $a / $notes")
     assert(a.exprHistCols.size === 1,
       "distinct/percentile over a computed measure must advise an " +
         s"expression HISTOGRAM, not keys: $a")
@@ -2290,7 +2299,8 @@ class SummaryRewriteSpec extends AnyFunSuite {
     SummaryRewrite.buildAdvice(spark, a, "spec_advice", mvA)
     try {
       Seq(("q1", () => q1), ("q2", () => q2), ("q3", () => q3),
-        ("q4", () => q4), ("q5", () => q5), ("q6", () => q6)).foreach {
+        ("q4", () => q4), ("q5", () => q5), ("q6", () => q6),
+        ("q7", () => q7)).foreach {
         case (nm, mk) =>
           val p = mk().queryExecution.executedPlan.toString
           assert(p.contains("advised") && !p.contains("documents.parquet"),
@@ -2462,6 +2472,31 @@ class SummaryRewriteSpec extends AnyFunSuite {
         "catalog B's drop must stop serving B's entry")
       assert(qd.queryExecution.executedPlan.toString.contains("nsmvA"),
         "catalog B's drop must not touch A's same-named entry")
+      // '@' is the namespace separator: a programmatic name carrying
+      // it could collide with a catalog key and be silently
+      // overwritten by a refresh — refused at registration AND publish
+      intercept[IllegalArgumentException] {
+        SummaryRewrite.register(s"daily@$catA",
+          SummaryRewrite.Summary("x.parquet", s"$tmp/nsmvA", Set("k")))
+      }
+      intercept[IllegalArgumentException] {
+        SummaryRewrite.publishCatalog(spark, catA, Map(
+          "bad@name" -> SummaryRewrite.Summary("x.parquet",
+            s"$tmp/nsmvA", Set("k"))))
+      }
+      // the convenience (no-map) publish snapshots only PROGRAMMATIC
+      // registrations: republishing catalog-loaded `name@dir` keys
+      // would leak this consumer's namespacing and compound per
+      // publish→load generation (`daily@catA@catB`)
+      SummaryRewrite.register("mine", SummaryRewrite.Summary(
+        "documents.parquet", s"$tmp/nsmvA", Set("source", "lang")))
+      val catC = s"$tmp/nsC"
+      SummaryRewrite.publishCatalog(spark, catC)
+      SummaryRewrite.clear()
+      assert(SummaryRewrite.install(spark, catC) === 1,
+        "convenience publish must carry exactly the programmatic entry")
+      assert(qd.queryExecution.executedPlan.toString.contains("nsmvA"),
+        "the republished programmatic entry must serve under its name")
     } finally SummaryRewrite.clear()
   }
 
@@ -3525,8 +3560,10 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("TWO-histogram composition corners: median(x), median(y) under " +
       "native ROLLUP/CUBE serve via per-measure lattice sides joined " +
       "on grouping values (grouping_id included); two DISTINCT " +
-      "measures over a UNION of epochs serve through the split; an " +
-      "output spanning two measures under ROLLUP refuses") {
+      "measures over a UNION of epochs serve through the split; " +
+      "composed GLUE across two measures under ROLLUP serves by " +
+      "re-evaluation above the join; one aggregate spanning two " +
+      "measures refuses") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
       .toString
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
@@ -3578,14 +3615,107 @@ class SummaryRewriteSpec extends AnyFunSuite {
       served(un.groupBy($"g").agg(
         countDistinct($"m").as("um"), countDistinct($"w").as("uw"),
         count(lit(1)).as("n")), 2, "union two-distinct split")
-      // an output spanning two measures under ROLLUP cannot split
-      val glued = f0.rollup($"g")
-        .agg((expr("median(m)") + expr("median(w)")).as("mm"))
-      assert(glued.queryExecution.executedPlan.toString
+      // composed glue ACROSS two measures under the lattice: each
+      // embedded median rides its measure's side, the Add re-evaluates
+      // above the join — subtotal rows included
+      served(f0.rollup($"g")
+        .agg((expr("median(m)") + expr("median(w)")).as("mm"),
+          count(lit(1)).as("n")), 2, "rollup cross-measure glue")
+      // ONE aggregate whose argument spans two measures has no side —
+      // the split must stand down to the fact, never guess
+      val fused = f0.rollup($"g")
+        .agg(min($"m" + $"w").as("mn"), max($"m").as("mx"),
+          max($"w").as("mw"))
+      assert(fused.queryExecution.executedPlan.toString
         .contains("f.parquet"),
-        "a rollup output spanning two measures must refuse")
+        "an aggregate argument spanning two measures must refuse")
     } finally (0 to 1).foreach(i =>
       SummaryRewrite.deregister(s"spec_th$i"))
+  }
+
+  test("the GROUPING-SETS UNIQUES-PAIR MATRIX and double-aggregation " +
+      "GLUE: ROLLUP/CUBE × two count(DISTINCT)s serves by flattening " +
+      "the stacked Expands and splitting per measure; count(DISTINCT " +
+      "x) − count(DISTINCT y) in ONE output re-evaluates above the " +
+      "join, flat and over a UNION of epochs; the side join is pinned " +
+      "BROADCAST; a cross-measure distinct expression refuses") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val rows = Seq(
+      (Option("a"), 1L, 10L), (Option("a"), 2L, 10L),
+      (Option("a"), 2L, 30L), (Option("b"), 5L, 70L),
+      (Option("b"), 5L, 10L), (Option.empty[String], 9L, 90L),
+      (Option.empty[String], 9L, 20L), (Option.empty[String], 3L, 20L))
+    (0 to 1).foreach { i =>
+      rows.zipWithIndex.filter(_._2 % 2 == i).map(_._1)
+        .toDF("g", "m", "w").write.parquet(s"$tmp/up$i/f.parquet")
+      SummaryRewrite.buildSummary(spark, s"$tmp/up$i/f.parquet",
+        keys = Seq("g"), sumCols = Seq("m", "w"),
+        mvPath = s"$tmp/upmv$i", histCols = Seq("m", "w"))
+    }
+    SummaryRewrite.install(spark)
+    def reg(): Unit = (0 to 1).foreach(i =>
+      SummaryRewrite.register(s"spec_up$i", SummaryRewrite.Summary(
+        s"up$i/f.parquet", s"$tmp/upmv$i", Set("g"))))
+    reg()
+    try {
+      def f0 = spark.read.parquet(s"$tmp/up0/f.parquet")
+      def un = f0.union(spark.read.parquet(s"$tmp/up1/f.parquet"))
+      def served(q: => org.apache.spark.sql.DataFrame, nGen: Int,
+          what: String): Unit = {
+        val p = q.queryExecution.executedPlan.toString
+        assert(p.contains("upmv") && !p.contains("f.parquet"),
+          s"$what did not serve:\n$p")
+        assert("Generate".r.findAllIn(p).size >= nGen,
+          s"$what must run one explosion per measure side")
+        assert(p.contains("BroadcastHashJoin"),
+          s"$what: the per-measure side join must be pinned BROADCAST " +
+            s"(summary-group-sized by construction):\n$p")
+        (0 to 1).foreach(i => SummaryRewrite.deregister(s"spec_up$i"))
+        val expect = q.collect().map(_.toSeq).toSet
+        reg()
+        assert(q.collect().map(_.toSeq).toSet === expect,
+          s"$what diverged from the fact plan")
+      }
+      // the uniques-pair matrix: two distinct measures + both medians
+      // + totals under native ROLLUP — the stacked Expands flatten to
+      // one (lattice sets × distinct groups) Expand, the split prunes
+      // composed projections by discriminator, the lattice survives
+      // on every side
+      served(f0.rollup($"g").agg(
+        countDistinct($"m").as("um"), countDistinct($"w").as("uw"),
+        expr("median(m)").as("med_m"), expr("median(w)").as("med_w"),
+        count(lit(1)).as("n"), sum($"w").as("sw")), 2,
+        "rollup uniques-pair matrix")
+      served(f0.cube($"g").agg(
+        countDistinct($"m").as("um"), countDistinct($"w").as("uw")),
+        2, "cube uniques pair")
+      // double-aggregation GLUE: the spanning output splits into its
+      // embedded aggregates, each rides its measure's side, the
+      // Subtract re-evaluates above the join
+      served(f0.groupBy($"g").agg(
+        (countDistinct($"m") - countDistinct($"w")).as("du"),
+        count(lit(1)).as("n")), 2, "flat double-agg glue")
+      // ... and over a UNION of epochs (each side's Expand rewrite
+      // unions its own per-branch artifact scans)
+      served(un.groupBy($"g").agg(
+        (countDistinct($"m") - countDistinct($"w")).as("du"),
+        count(lit(1)).as("n")), 2, "union double-agg glue")
+      // glue under the lattice too: subtotal rows pair by grouping_id
+      served(f0.rollup($"g").agg(
+        (countDistinct($"m") - countDistinct($"w")).as("du"),
+        count(lit(1)).as("n")), 2, "rollup double-agg glue")
+      // a distinct over an expression SPANNING both measures has no
+      // per-measure side — the whole rewrite stands down to the fact
+      val fused = f0.rollup($"g").agg(
+        countDistinct($"m" + $"w").as("umix"),
+        countDistinct($"w").as("uw"))
+      assert(fused.queryExecution.executedPlan.toString
+        .contains("f.parquet"),
+        "a cross-measure distinct expression must refuse")
+    } finally (0 to 1).foreach(i =>
+      SummaryRewrite.deregister(s"spec_up$i"))
   }
 
   test("hist serving through the star join: distinct/percentile over " +
@@ -3625,6 +3755,75 @@ class SummaryRewriteSpec extends AnyFunSuite {
       assert(q.collect().map(_.toSeq).toSet === expect,
         "star-join hist serving diverged from the fact join")
     } finally SummaryRewrite.deregister("spec_histstar")
+  }
+
+  test("TWO hist measures THROUGH the star peel: median(x), median(y) " +
+      "grouped by a dim attribute serve via per-measure join trees " +
+      "over fresh dim copies, sides joined back BROADCAST; composed " +
+      "glue re-evaluates above the side join; a dim plan minting its " +
+      "own exprIds refuses the copy") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    // orders fact keyed by custkey with TWO histograms; customer dim
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"),
+      mvPath = s"$tmp/mhstar",
+      histCols = Seq("o_orderkey", "o_totalprice"))
+    SummaryRewrite.install(spark)
+    def reg(): Unit = SummaryRewrite.register("spec_mhstar",
+      SummaryRewrite.Summary("orders.parquet", s"$tmp/mhstar",
+        Set("o_custkey")))
+    reg()
+    try {
+      def orders = graft.Tables.load(spark, dir, "orders")
+      def customer = graft.Tables.load(spark, dir, "customer")
+      def served(q: => org.apache.spark.sql.DataFrame,
+          what: String): Unit = {
+        val p = q.queryExecution.executedPlan.toString
+        assert(p.contains("mhstar") && !p.contains("orders.parquet"),
+          s"$what did not serve:\n$p")
+        assert("Generate".r.findAllIn(p).size >= 2,
+          s"$what must run one explosion per measure side")
+        assert(p.contains("BroadcastHashJoin"),
+          s"$what: the side join must be pinned BROADCAST:\n$p")
+        SummaryRewrite.deregister("spec_mhstar")
+        val expect = q.collect().map(_.toSeq).toSet
+        reg()
+        assert(q.collect().map(_.toSeq).toSet === expect,
+          s"$what diverged from the fact join")
+      }
+      // two medians per dim attribute — each measure's explosion rides
+      // its own join tree; the dim pass-through (min) and count stay
+      // on side 0 with the ORIGINAL dim instance
+      served(orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_nationkey").agg(
+          expr("percentile(o_orderkey, 0.5)").as("med_ok"),
+          expr("percentile(o_totalprice, 0.5)").as("med_tp"),
+          count(lit(1)).as("n"),
+          min($"c_mktsegment").as("seg0")),
+        "two medians through the peel")
+      // composed glue across the two measures through the peel
+      served(orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_mktsegment").agg(
+          (expr("percentile(o_orderkey, 0.5)") +
+            expr("percentile(o_totalprice, 0.5)")).as("mm"),
+          count(lit(1)).as("n")),
+        "cross-measure glue through the peel")
+      // a dim side minting its own exprIds (an aggregate dim)
+      // refuses the fresh copy — the rewrite stands down to the fact
+      val aggDim = customer.groupBy($"c_custkey")
+        .agg(max($"c_nationkey").as("nk1"))
+      val refused = orders
+        .join(aggDim, col("o_custkey") === col("c_custkey"))
+        .groupBy($"nk1").agg(
+          expr("percentile(o_orderkey, 0.5)").as("med_ok"),
+          expr("percentile(o_totalprice, 0.5)").as("med_tp"))
+      assert(refused.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "a dim with computed projections must refuse the side copy")
+    } finally SummaryRewrite.deregister("spec_mhstar")
   }
 
   test("hist value types: decimal and string measures build, fold, " +
@@ -4354,6 +4553,16 @@ class SummaryRewriteSpec extends AnyFunSuite {
       e.getMessage.contains("retractable") &&
       e.getMessage.contains("min_n_chars"),
       s"refusal must name the unretractable partials: ${e.getMessage}")
+    // message parity across classes: the hll register is NAMED, its
+    // non-invertibility stated, and the rebuild-vs-shed choice offered
+    // exactly like the min/max remedy
+    assert(e.getMessage.contains("hll_9_doc_id") &&
+      e.getMessage.contains("not") &&
+      e.getMessage.toLowerCase.contains("invertible") &&
+      e.getMessage.contains("REBUILD") &&
+      e.getMessage.contains("SHED"),
+      s"hll refusal must state non-invertibility and the rebuild-vs-" +
+        s"shed choice: ${e.getMessage}")
     // explicit shed: min/max and the hll register drop, counts retract
     SummaryRewrite.applyCdc(spark, store, fact.limit(0), del,
       Seq("source"), Seq("n_chars"), minMaxCols = Seq("n_chars"),
