@@ -766,6 +766,11 @@ object SparkEntry {
     // Expand + two Generates + BroadcastHashJoin + refusal law
     "q297_summary_rollup_multi_distinct" ->
       (IndexOps.q297SummaryRollupMultiDistinct _),
+    // uniques per dim attribute: two count(DISTINCT fact-measure)s +
+    // glue through a star join — per-measure join trees, explosion
+    // above each rebuilt join; plan-gated two Generates + broadcast
+    "q298_summary_star_multi_distinct" ->
+      (IndexOps.q298SummaryStarMultiDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2673,6 +2673,72 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q297_orders_mods3")
   }
 
+  // --------------------------------------------------------------- q298
+
+  /** q298 — UNIQUES PER DIM ATTRIBUTE: `count(DISTINCT x),
+    * count(DISTINCT y)` (plus their difference as composed glue and a
+    * plain total) grouped by a DIMENSION attribute — two distinct fact
+    * measures THROUGH a star join, the shape the round-14 register
+    * refused. RewriteDistinctAggregates stacks its Expand over the
+    * JOIN; [[graft.plans.SummaryRewrite]] peels the dim level inside
+    * the Expand rewrite (fact positions classify against the fact
+    * side's shape, dim grouping positions ride verbatim), the
+    * per-measure split rebuilds one join tree per side — each over its
+    * own artifact instance with the explosion ABOVE the rebuilt join
+    * (row-equivalent to under it: entries replicate per dim match
+    * exactly like the fact rows they stand for), side 1 over a
+    * fresh-id copy of the join child — and the sides join back
+    * BROADCAST on null-safe grouping values. In-gate plan proofs:
+    * artifact serves, the fact never scans (the dim does — it is the
+    * grouping source), TWO Generates, BroadcastHashJoin present;
+    * values hash-match DuckDB's join off the fact. At 100 TB this is
+    * the per-segment uniques dashboard reading kilobytes per measure
+    * plus one dim scan instead of the corpus. */
+  def q298SummaryStarMultiDistinct(s: SparkSession,
+      dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val tmp = derivedFactDir(s"q298|$dir") { t =>
+      val f = s"$t/orders_mods4.parquet"
+      load(s, dir, "orders").select($"o_custkey",
+          (pmod($"o_orderkey", lit(997L))).as("ok_res"),
+          (pmod(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"),
+            lit(9973L))).as("price_res"))
+        .write.parquet(f)
+      SummaryRewrite.buildSummary(s, f, keys = Seq("o_custkey"),
+        sumCols = Seq("ok_res", "price_res"), mvPath = s"$t/mvq298",
+        histCols = Seq("ok_res", "price_res"))
+    }
+    val fact = s"$tmp/orders_mods4.parquet"
+    SummaryRewrite.install(s)
+    SummaryRewrite.register("q298_orders_mods4",
+      SummaryRewrite.Summary("orders_mods4.parquet", s"$tmp/mvq298",
+        Set("o_custkey")))
+    try {
+      def q = s.read.parquet(fact)
+        .join(load(s, dir, "customer"),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(countDistinct($"ok_res").as("n_uniq_ok"),
+          countDistinct($"price_res").as("n_uniq_price"),
+          (countDistinct($"ok_res") - countDistinct($"price_res"))
+            .as("du"),
+          count(lit(1)).as("n_orders"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("mvq298"),
+        "q298 gate is vacuous: the star multi-distinct split did not " +
+          "serve")
+      require(!phys.contains("orders_mods4.parquet"),
+        "q298 gate broken: the fact table is still scanned")
+      require("Generate".r.findAllIn(phys).size >= 2,
+        "q298 gate broken: need one explosion PER distinct measure")
+      require(phys.contains("BroadcastHashJoin"),
+        "q298 gate broken: the per-measure sides must join back " +
+          "BROADCAST (summary-group-sized by construction)")
+      val rows = q.collect().toIndexedSeq // one row per market segment
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally SummaryRewrite.deregister("q298_orders_mods4")
+  }
+
   // --------------------------------------------------------------- q288
 
   /** q288 — the expression-measure REVENUE dashboard under native
@@ -3613,6 +3679,23 @@ object IndexOps {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(price_res) AS BIGINT) AS sum_price
         |FROM r GROUP BY ROLLUP (o_orderstatus)""".stripMargin,
+    // q298: uniques per dim attribute off the fact join — DuckDB
+    // recomputes the bounded residues and replays the join; both
+    // engines aggregate the same exact integer multisets per segment
+    "q298_summary_star_multi_distinct" ->
+      """WITH r AS (SELECT o_custkey,
+        |    (o_orderkey % 997 + 997) % 997 AS ok_res,
+        |    (CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) % 9973
+        |      + 9973) % 9973 AS price_res
+        |  FROM orders)
+        |SELECT c_mktsegment,
+        |  CAST(count(DISTINCT ok_res) AS BIGINT) AS n_uniq_ok,
+        |  CAST(count(DISTINCT price_res) AS BIGINT) AS n_uniq_price,
+        |  CAST(count(DISTINCT ok_res) - count(DISTINCT price_res)
+        |    AS BIGINT) AS du,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM r JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     // q291: the per-lang profile off the WHOLE documents table — the
     // epochs partition it (doc_id % 4), so hybrid serving (artifact +
     // partialized tail) must reproduce the plain aggregate exactly

@@ -2304,16 +2304,30 @@ object SummaryRewrite {
         }
       def buildSide(outs: Seq[NamedExpression], freshIds: Boolean)
           : Option[(Aggregate, Seq[Attribute])] = {
+        val childPrep: Option[(LogicalPlan, Map[ExprId, Attribute])] =
+          if (!freshIds || !child.exists(_.isInstanceOf[Join]))
+            Some((child, Map.empty[ExprId, Attribute]))
+          else freshDimCopy(child)
+        if (childPrep.isEmpty) return None
+        val (child2, childMap) = childPrep.get
+        // child-copy ids win on pass-through positions (see the
+        // multi-distinct split's identical note)
         val idMap: Map[ExprId, AttributeReference] =
           if (!freshIds) Map.empty
-          else output.map(a => a.exprId ->
-            AttributeReference(a.name, a.dataType, nullable = true)()
-          ).toMap
-        def rex(e: Expression): Expression =
-          if (idMap.isEmpty) e else e.transformUp {
+          else output.filterNot(a => childMap.contains(a.exprId))
+            .map(a => a.exprId ->
+              AttributeReference(a.name, a.dataType, nullable = true)()
+            ).toMap
+        def rex(e: Expression): Expression = {
+          val e1 = if (idMap.isEmpty) e else e.transformUp {
             case a: AttributeReference if idMap.contains(a.exprId) =>
               idMap(a.exprId)
           }
+          if (childMap.isEmpty) e1 else e1.transformUp {
+            case a: AttributeReference if childMap.contains(a.exprId) =>
+              childMap(a.exprId)
+          }
+        }
         val refIds = AttributeSet(outs.flatMap(_.references.toSeq) ++
           groupExprs.flatMap(_.references.toSeq))
         // keep referenced positions + literal (gid) positions; prune
@@ -2331,7 +2345,7 @@ object SummaryRewrite {
         tryExpandRewrite(groupExprs.map(rex),
           outs.map(ne => rex(ne).asInstanceOf[NamedExpression]) ++
             groupVals,
-          Expand(exProjections.toIndexedSeq, exOutput, child), hint)
+          Expand(exProjections.toIndexedSeq, exOutput, child2), hint)
           .map(agg => (agg, groupVals.map(_.toAttribute)))
       }
       val sides = sideOuts.zipWithIndex.map { case ((_, outs), i) =>
@@ -2508,18 +2522,40 @@ object SummaryRewrite {
         output ++ inner.aggregateExpressions.map(_.toAttribute)
       def buildSide(b: String, outs: Seq[NamedExpression],
           freshIds: Boolean): Option[(Aggregate, Seq[Attribute])] = {
+        // a JOIN child is shared verbatim across sides — its dim
+        // subtree's exprIds would collide across the side join, so
+        // fresh sides take a FRESH-id copy of the whole child
+        // ([[freshDimCopy]]): the fact side is replaced by the
+        // artifact scan anyway (its remap is by NAME, id-agnostic),
+        // and a child minting its own exprIds refuses the copy
+        val childPrep: Option[(LogicalPlan, Map[ExprId, Attribute])] =
+          if (!freshIds || !child.exists(_.isInstanceOf[Join]))
+            Some((child, Map.empty[ExprId, Attribute]))
+          else freshDimCopy(child)
+        if (childPrep.isEmpty) return None
+        val (child2, childMap) = childPrep.get
+        // pass-through grouping attrs are BOTH Expand outputs and
+        // child outputs — the child copy's fresh id must win there,
+        // or the side's projections would reference an attr the fresh
+        // child no longer produces
         val idMap: Map[ExprId, AttributeReference] =
           if (!freshIds) Map.empty
-          else conflictIds.map(a => a.exprId ->
-            AttributeReference(a.name, a.dataType, nullable = true)()
-          ).toMap
-        def rex(e: Expression): Expression =
-          if (idMap.isEmpty) e else e.transformUp {
+          else conflictIds.filterNot(a => childMap.contains(a.exprId))
+            .map(a => a.exprId ->
+              AttributeReference(a.name, a.dataType, nullable = true)()
+            ).toMap
+        def rex(e: Expression): Expression = {
+          val e1 = if (idMap.isEmpty) e else e.transformUp {
             case a: AttributeReference if idMap.contains(a.exprId) =>
               idMap(a.exprId)
             case al: Alias if idMap.contains(al.exprId) =>
               Alias(al.child, al.name)(exprId = idMap(al.exprId).exprId)
           }
+          if (childMap.isEmpty) e1 else e1.transformUp {
+            case a: AttributeReference if childMap.contains(a.exprId) =>
+              childMap(a.exprId)
+          }
+        }
         // grouping-set projections this side's outputs actually read
         val gids = outs.flatMap(_.collect {
           case ae: AggregateExpression => filterGid(ae)
@@ -2550,7 +2586,7 @@ object SummaryRewrite {
           .map(h => rex(h).asInstanceOf[Attribute]))
         tryExpandRewrite(innerGroup2, innerAggs2,
           Expand(exProjections.map(_.toIndexedSeq).toIndexedSeq,
-            exOutput, child), inner.hint, allowed2)
+            exOutput, child2), inner.hint, allowed2)
           .map { newInner =>
             val groupVals = outerGroup.zipWithIndex.map { case (g, j) =>
               Alias(rex(g), s"__md_g$j")()
@@ -2563,7 +2599,12 @@ object SummaryRewrite {
       val sides = sideBases.zip(sideOuts).zipWithIndex.map {
         case ((b, outs), i) => buildSide(b, outs, freshIds = i > 0)
       }
-      if (sides.exists(_.isEmpty)) return None
+      if (sides.exists(_.isEmpty)) {
+        note("multi-distinct split: side(s) " +
+          sideBases.zip(sides).collect { case (b, None) => b }
+            .mkString(", ") + " failed to build — refusing")
+        return None
+      }
       val joined = sides.map(_.get).reduceLeft[(LogicalPlan,
           Seq[Attribute])] { case ((l, lg), (r, rg)) =>
         val cond = lg.zip(rg).map { case (a, bb) =>
@@ -2671,10 +2712,71 @@ object SummaryRewrite {
           Some((u, shapes))
         case _ => None
       }
+      // ... or a STAR JOIN: the double-aggregation's Expand sits over
+      // the Join when a dashboard counts uniques per DIM attribute.
+      // Peel ONE fact-preserved dim level (snowflakes refuse — note,
+      // not silently), classify fact positions against the fact side's
+      // shape, keep dim positions verbatim (inlined through the
+      // stripped Projects), and rebuild the join around the filtered
+      // artifact scan. The explosion then lands ABOVE the join, which
+      // is row-equivalent to under it: each joined row explodes its
+      // own (constant-per-summary-row) histogram, so entries replicate
+      // per dim match exactly like the fact rows they stand for — the
+      // single-hist star path's multiplicity argument. Join conditions'
+      // fact attributes ride `needed`, so they must be summary KEYS
+      // (joining on a collapsed measure cannot serve).
+      val joinOpt: Option[(DimLevel, Shape, AttributeSet, AttributeSet,
+          Map[ExprId, Expression])] =
+        if (unionOpt.isDefined) None
+        else {
+          val (below, psubst) = stripProjects(child)
+          below match {
+            case Join(l, r, jt, Some(cond), jh) =>
+              val orients = jt match {
+                case Inner => Seq((l, r, true), (r, l, false))
+                case LeftOuter => Seq((l, r, true))
+                case RightOuter => Seq((r, l, false))
+                case _ => Seq.empty
+              }
+              val picked = orients.view.flatMap { case (fs, ds, fol) =>
+                decompose(fs).filter { _ =>
+                  // cond: every conjunct is fact-attr = dim-attr (the
+                  // fact attr lands in `needed`, so it must be a
+                  // summary KEY), or a deterministic dim-local
+                  // residual — tryJoinRewrite's discipline, one level
+                  val fOut = fs.outputSet
+                  val dOut = ds.outputSet
+                  splitConjunctivePredicates(cond).forall {
+                    case EqualTo(a: AttributeReference,
+                        b: AttributeReference) =>
+                      (fOut.contains(a) && dOut.contains(b)) ||
+                        (fOut.contains(b) && dOut.contains(a))
+                    case c => c.deterministic &&
+                      !c.exists(_.isInstanceOf[PlanExpression[_]]) &&
+                      c.references.toSeq.forall(r => !fOut.contains(r))
+                  }
+                }.map(sh => (DimLevel(ds, jt, cond, fol, jh), sh,
+                  fs.outputSet, ds.outputSet, psubst))
+              }.headOption
+              if (picked.isEmpty) return None
+              picked
+            case _ => None
+          }
+        }
       val shape = unionOpt match {
         case Some((_, shapes)) => shapes.head
-        case None => decompose(child).getOrElse(return None)
+        case None => joinOpt.map(_._2).getOrElse(
+          decompose(child).getOrElse(return None))
       }
+      val dimOutJ: AttributeSet = joinOpt.map(_._4)
+        .getOrElse(AttributeSet.empty)
+      val factOutJ: AttributeSet = joinOpt.map(_._3)
+        .getOrElse(AttributeSet.empty)
+      // inlining substitution for position entries: Projects stripped
+      // between the Expand and the Join compose with the fact side's
+      // own aliases (empty in every non-join path — behavior unchanged)
+      val inlSubst: Map[ExprId, Expression] =
+        joinOpt.map(_._5 ++ shape.subst).getOrElse(shape.subst)
 
       // how each Expand output attr is used by the Aggregate above:
       // inside aggregate functions vs outside (grouping + pass-through)
@@ -2700,6 +2802,10 @@ object SummaryRewrite {
       // per inner group survives the collapse even when the expr's
       // keys are not all in that group's grouping columns.
       var keyPos = Seq.empty[(Int, Expression)]
+      // key positions whose inlined base references only DIM attrs
+      // (join shape): kept verbatim, excluded from `needed`, never a
+      // histogram — the dim side stays in the plan untouched
+      var dimKeyIdx = Set.empty[Int]
       var measurePos = Seq.empty[(Int, AttributeReference)]
       var measureMask = Map.empty[Int, Seq[Boolean]]
       var exprPos = Map.empty[Int, Seq[Expression]]
@@ -2714,10 +2820,16 @@ object SummaryRewrite {
         val nullsOnly = nonAttrs.forall(e => e.foldable && e.eval() == null)
         if (entries.forall(_.foldable)) keptIdx :+= i
         else if (attrs.size == 1 && nullsOnly && !aggFuncRefs.contains(out)) {
-          val base = inline(attrs.head, shape.subst)
+          val base = inline(attrs.head, inlSubst)
           if (!base.deterministic ||
               base.exists(_.isInstanceOf[AggregateExpression]) ||
               base.exists(_.isInstanceOf[PlanExpression[_]])) return None
+          val refs = base.references.toSeq
+          if (joinOpt.isDefined && refs.nonEmpty &&
+              refs.forall(dimOutJ.contains))
+            dimKeyIdx += i
+          else if (joinOpt.isDefined && refs.exists(dimOutJ.contains))
+            return None // fact×dim mixed grouping position
           keyPos :+= (i -> base)
           keptIdx :+= i
         } else if (attrs.size == 1 && nullsOnly && !nonAggRefs.contains(out)) {
@@ -2728,7 +2840,12 @@ object SummaryRewrite {
           // The mask records which projections carry the measure (all
           // of them in the ROLLUP shape; only the regular-aggregate
           // one in RewriteDistinctAggregates' mixed shape)
-          inline(attrs.head, shape.subst) match {
+          inline(attrs.head, inlSubst) match {
+            // a DIM attribute consumed inside an aggregate is not a
+            // summary measure — refuse (value-set dim aggregates ride
+            // the non-expanded star path)
+            case ar: AttributeReference if dimOutJ.contains(ar) =>
+              return None
             case ar: AttributeReference =>
               measurePos :+= (i -> ar)
               measureMask += i ->
@@ -2741,7 +2858,7 @@ object SummaryRewrite {
           // `needed` coverage below), with Min/Max-only aggregate
           // consumers (grouping references are fine — kept positions
           // are groupable like keys)
-          val inlined = entries.map(inline(_, shape.subst))
+          val inlined = entries.map(inline(_, inlSubst))
           val wellFormed = inlined.forall(en =>
             (en.foldable && en.eval() == null) ||
               (en.deterministic &&
@@ -2784,10 +2901,17 @@ object SummaryRewrite {
             if allowedHist.contains(output(i)) => i
       }.toSet
       val needed =
-        (keyPos.filterNot(kp => histEligible(kp._1))
+        (keyPos.filterNot(kp => histEligible(kp._1) || dimKeyIdx(kp._1))
           .flatMap(_._2.references.toSeq.map(_.name)) ++
           exprPos.values.flatten
             .flatMap(_.references.toSeq.map(_.name)) ++
+          // join-condition fact attrs must be summary KEYS (candidates
+          // filters on needed ⊆ keys): joining on a collapsed measure
+          // cannot serve
+          joinOpt.toSeq.flatMap { case (lvl, _, fo, _, _) =>
+            splitConjunctivePredicates(lvl.cond)
+              .flatMap(_.references.toSeq).filter(fo.contains).map(_.name)
+          } ++
           shape.pred.toSeq.flatMap(_.references.toSeq.map(_.name))).toSet
 
       candidates(shape, needed).view.flatMap { case (n, summary) =>
@@ -2799,8 +2923,19 @@ object SummaryRewrite {
           // cover rides the KEY path; otherwise it must be a bare attr
           // whose hist_<col> the artifact carries with the exact type
           covered = (kp: (Int, Expression)) =>
-            kp._2.references.toSeq.forall(r =>
-              summary.keys.contains(r.name) && mvAttrs.contains(r.name))
+            dimKeyIdx(kp._1) ||
+              kp._2.references.toSeq.forall(r =>
+                summary.keys.contains(r.name) && mvAttrs.contains(r.name))
+          // join shape guards: dim output names must be DISJOINT from
+          // the artifact's (the by-name remap and the hist-column
+          // lookup must never touch a dim column), and the join
+          // condition's fact attrs must exist on the artifact
+          if joinOpt.forall { case (lvl, _, fo, _, _) =>
+            lvl.dim.output.forall(a => !mvAttrs.contains(a.name)) &&
+              splitConjunctivePredicates(lvl.cond)
+                .flatMap(_.references.toSeq).filter(fo.contains)
+                .forall(r => mvAttrs.contains(r.name))
+          }
           histValPos = keyPos.filterNot(covered).collect {
             case (i, base: AttributeReference) if histEligible(i) &&
                 mvAttrs.get(HistSummary.colName(base.name)).exists(at =>
@@ -2818,8 +2953,28 @@ object SummaryRewrite {
             mvAttrs.contains(r.name)))
           cnt <- mvAttrs.get("cnt")
           if cnt.dataType == LongType
-          mkChild = expandChildBuilder(unionOpt, shape, summary, mvPlan,
-            mvAttrs)
+          mkChild = (joinOpt match {
+            case Some((lvl, _, fo, _, _)) => (_: Seq[Attribute]) => {
+              // rebuild the ONE dim level around the filtered artifact
+              // scan; the caller explodes the histogram ABOVE this join
+              // (row-equivalent — see joinOpt's derivation note)
+              val remapF = (ex: Expression) => ex.transform {
+                case a: AttributeReference
+                    if fo.contains(a) && mvAttrs.contains(a.name) =>
+                  mvAttrs(a.name)
+              }
+              val p0 = shape.pred.map(p => Filter(remapF(p), mvPlan))
+                .getOrElse(mvPlan)
+              val c = remapF(lvl.cond)
+              Some(if (lvl.factOnLeft)
+                Join(p0, lvl.dim, lvl.joinType, Some(c), lvl.jhint)
+              else
+                Join(lvl.dim, p0, lvl.joinType, Some(c), lvl.jhint)
+              ): Option[LogicalPlan]
+            }
+            case None => expandChildBuilder(unionOpt, shape, summary,
+              mvPlan, mvAttrs)
+          })
           result <- buildExpandRewrite(groupExprs, aggExprs, mkChild,
             projections, output, keptIdx, keyBase, exprPos, measureBase,
             measureMask, mvAttrs, summary.keys, hint, histValPos,

@@ -3706,6 +3706,12 @@ class SummaryRewriteSpec extends AnyFunSuite {
       served(f0.rollup($"g").agg(
         (countDistinct($"m") - countDistinct($"w")).as("du"),
         count(lit(1)).as("n")), 2, "rollup double-agg glue")
+      // the FULL matrix composition: lattice × distinct pair × UNION
+      // of epochs — the composed Expand's child is the union, each
+      // measure side's Expand rewrite unions its own per-branch scans
+      served(un.rollup($"g").agg(
+        countDistinct($"m").as("um"), countDistinct($"w").as("uw"),
+        count(lit(1)).as("n")), 2, "rollup uniques pair over a union")
       // a distinct over an expression SPANNING both measures has no
       // per-measure side — the whole rewrite stands down to the fact
       val fused = f0.rollup($"g").agg(
@@ -3823,6 +3829,36 @@ class SummaryRewriteSpec extends AnyFunSuite {
       assert(refused.queryExecution.executedPlan.toString
         .contains("orders.parquet"),
         "a dim with computed projections must refuse the side copy")
+      // the UNIQUES-PER-DIM-ATTRIBUTE dashboard — TWO count(DISTINCT
+      // fact-measure)s grouped by a dim attribute: the double
+      // aggregation's Expand sits over the JOIN; the per-measure split
+      // rebuilds one join tree per side (explosion above the rebuilt
+      // join — row-equivalent to under it), dim grouping positions
+      // ride verbatim, the other measure's position nulls out per side
+      served(orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_mktsegment").agg(
+          countDistinct($"o_orderkey").as("uo"),
+          countDistinct($"o_totalprice").as("ut"),
+          count(lit(1)).as("n")),
+        "uniques pair per dim attribute")
+      // cross-measure glue through the double-agg-over-join shape
+      served(orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_nationkey").agg(
+          (countDistinct($"o_orderkey") -
+            countDistinct($"o_totalprice")).as("du"),
+          count(lit(1)).as("n")),
+        "distinct-pair glue per dim attribute")
+      // ... and WITH subtotal rows: lattice × distinct pair × star —
+      // the composed Expand stacks over the join and both peels apply
+      served(orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .rollup($"c_mktsegment").agg(
+          countDistinct($"o_orderkey").as("uo"),
+          countDistinct($"o_totalprice").as("ut"),
+          count(lit(1)).as("n")),
+        "rollup uniques pair per dim attribute")
     } finally SummaryRewrite.deregister("spec_mhstar")
   }
 
