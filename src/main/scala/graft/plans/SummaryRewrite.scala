@@ -544,7 +544,57 @@ object SummaryRewrite {
             rule.decompose(child).map(sh => (g0, a0, sh))
           }
         preExpansion.foreach { case (g0, a0, sh) => classify(g0, a0, sh) }
-        if (preExpansion.isEmpty)
+        // STAR shapes: the serve matrix rewrites the FACT side of a
+        // dim join (q298's expanded star included), so the advisor
+        // mirrors it — peel the join, advise each side that carries a
+        // column-referencing aggregate, keyed by its grouping refs
+        // PLUS its join-condition attrs (the serve path requires join
+        // attrs be summary keys). Dim-grouped uniques dashboards thus
+        // advise the fact summary (hist per distinct measure) even
+        // though no fact column is grouped.
+        val star =
+          if (direct.exists(identity) || preExpansion.nonEmpty) Seq.empty
+          else {
+            def strip(p: LogicalPlan): LogicalPlan = p match {
+              case Project(pl, c) if pl.forall(_.isInstanceOf[Attribute]) =>
+                strip(c)
+              case SubqueryAlias(_, c) => strip(c)
+              case other => other
+            }
+            def conjuncts(e: Expression): Seq[Expression] = e match {
+              case And(a, b) => conjuncts(a) ++ conjuncts(b)
+              case o => Seq(o)
+            }
+            df.queryExecution.analyzed.collect {
+              case Aggregate(g0, a0, child, _) => (g0, a0, strip(child))
+            }.flatMap {
+              case (g0, a0, Join(l, r, _, Some(cond), _)) =>
+                Seq(l, r).flatMap { side =>
+                  rule.decompose(side).toSeq.flatMap { sh =>
+                    val so = side.outputSet
+                    val gSide = g0.filter(
+                      _.references.toSeq.forall(so.contains))
+                    val condSide: Seq[Expression] = conjuncts(cond)
+                      .flatMap(_.references.toSeq).filter(so.contains)
+                    val aSide = a0.filter { ne =>
+                      val aes = ne.collect {
+                        case ae: AggregateExpression => ae
+                      }
+                      aes.nonEmpty && aes.forall(
+                        _.references.toSeq.forall(so.contains))
+                    }
+                    val carries = aSide.exists(_.collect {
+                      case ae: AggregateExpression => ae
+                    }.exists(_.references.nonEmpty))
+                    if (carries) Some((gSide ++ condSide, aSide, sh))
+                    else None
+                  }
+                }
+              case _ => Seq.empty
+            }
+          }
+        star.foreach { case (g0, a0, sh) => classify(g0, a0, sh) }
+        if (preExpansion.isEmpty && star.isEmpty)
           notes += (s"query $qi: aggregate is not over a bare fact " +
             "scan (join/union/rollup shapes serve, but advise " +
             "their per-fact summaries from the plain per-fact " +
@@ -2725,42 +2775,92 @@ object SummaryRewrite {
       // single-hist star path's multiplicity argument. Join conditions'
       // fact attributes ride `needed`, so they must be summary KEYS
       // (joining on a collapsed measure cannot serve).
-      val joinOpt: Option[(DimLevel, Shape, AttributeSet, AttributeSet,
-          Map[ExprId, Expression])] =
+      val joinOpt: Option[(List[DimLevel], Shape, AttributeSet,
+          AttributeSet, Map[ExprId, Expression],
+          Option[(Union, Seq[Shape])])] =
         if (unionOpt.isDefined) None
         else {
-          val (below, psubst) = stripProjects(child)
-          below match {
-            case Join(l, r, jt, Some(cond), jh) =>
-              val orients = jt match {
-                case Inner => Seq((l, r, true), (r, l, false))
-                case LeftOuter => Seq((l, r, true))
-                case RightOuter => Seq((r, l, false))
-                case _ => Seq.empty
-              }
-              val picked = orients.view.flatMap { case (fs, ds, fol) =>
-                decompose(fs).filter { _ =>
-                  // cond: every conjunct is fact-attr = dim-attr (the
-                  // fact attr lands in `needed`, so it must be a
-                  // summary KEY), or a deterministic dim-local
-                  // residual — tryJoinRewrite's discipline, one level
-                  val fOut = fs.outputSet
-                  val dOut = ds.outputSet
-                  splitConjunctivePredicates(cond).forall {
+          // peel a fact-preserved dim TOWER (snowflakes compose like
+          // tryJoinRewrite's peel): descend the fact side of each
+          // join, collecting dim levels innermost-LAST; the final
+          // fact must decompose to a REGISTERED fact (cheap registry
+          // match — no artifact IO). At each Inner join the fact side
+          // is the one that peels to a registered fact (left tried
+          // first); every conjunct must be (final-fact attr = other
+          // attr) — the fact attr lands in `needed`, so it must be a
+          // summary KEY — or a deterministic residual never touching
+          // the final fact (dim-dim snowflake links, dim-local
+          // predicates), validated once the final fact is known.
+          def peelTower(p: LogicalPlan, depth: Int)
+              : Option[(Shape, AttributeSet, List[DimLevel],
+                Map[ExprId, Expression],
+                Option[(Union, Seq[Shape])])] = {
+            val (below, ps) = stripProjects(p)
+            below match {
+              case Join(l, r, jt, Some(cond), jh) if depth > 0 =>
+                val orients = jt match {
+                  case Inner => Seq((l, r, true), (r, l, false))
+                  case LeftOuter => Seq((l, r, true))
+                  case RightOuter => Seq((r, l, false))
+                  case _ => Seq.empty
+                }
+                orients.view.flatMap { case (fs, ds, fol) =>
+                  peelTower(fs, depth - 1).map {
+                    case (sh, fo, dims, sub, lu) =>
+                      (sh, fo, dims :+ DimLevel(ds, jt, cond, fol, jh),
+                        sub ++ ps, lu)
+                  }
+                }.headOption
+              case u: Union if !u.byName && u.children.size >= 2 =>
+                // multi-epoch star under the Expand: the fact leaf is
+                // a UNION of registered facts — tryJoinRewrite's
+                // strict rename-only discipline, branch 0's shape
+                // anchors classification, the child builder unions
+                // per-branch canonical scans (hybrid partialization
+                // included) under the rebuilt dim tower
+                val shapesOpt = u.children.map(decompose)
+                if (shapesOpt.exists(_.isEmpty)) None
+                else {
+                  val shapes = shapesOpt.map(_.get)
+                  val lower = (x: String) =>
+                    x.toLowerCase(java.util.Locale.ROOT)
+                  if (renameOnlySubst(u, shapes) &&
+                      u.children.forall(c =>
+                        c.output.map(a => lower(a.name)) ==
+                          u.output.map(a => lower(a.name))) &&
+                      candidates(shapes.head, Set.empty).nonEmpty)
+                    Some((shapes.head, u.outputSet,
+                      List.empty[DimLevel], ps, Some((u, shapes))))
+                  else None
+                }
+              case _ =>
+                decompose(below)
+                  .filter(sh => candidates(sh, Set.empty).nonEmpty)
+                  .map(sh => (sh, below.outputSet,
+                    List.empty[DimLevel], ps, None))
+            }
+          }
+          val (below0, _) = stripProjects(child)
+          if (!below0.isInstanceOf[Join]) None
+          else {
+            val picked = peelTower(child, MaxStarDepth).filter {
+              case (_, fo, dims, _, _) =>
+                dims.forall(lvl =>
+                  splitConjunctivePredicates(lvl.cond).forall {
                     case EqualTo(a: AttributeReference,
-                        b: AttributeReference) =>
-                      (fOut.contains(a) && dOut.contains(b)) ||
-                        (fOut.contains(b) && dOut.contains(a))
+                        b: AttributeReference)
+                        if fo.contains(a) || fo.contains(b) =>
+                      fo.contains(a) ^ fo.contains(b)
                     case c => c.deterministic &&
                       !c.exists(_.isInstanceOf[PlanExpression[_]]) &&
-                      c.references.toSeq.forall(r => !fOut.contains(r))
-                  }
-                }.map(sh => (DimLevel(ds, jt, cond, fol, jh), sh,
-                  fs.outputSet, ds.outputSet, psubst))
-              }.headOption
-              if (picked.isEmpty) return None
-              picked
-            case _ => None
+                      c.references.toSeq.forall(r => !fo.contains(r))
+                  })
+            }.map { case (sh, fo, dims, sub, lu) =>
+              val dimOut = AttributeSet(dims.flatMap(_.dim.output))
+              (dims, sh, fo, dimOut, sub, lu)
+            }
+            if (picked.isEmpty) return None
+            picked
           }
         }
       val shape = unionOpt match {
@@ -2806,6 +2906,15 @@ object SummaryRewrite {
       // (join shape): kept verbatim, excluded from `needed`, never a
       // histogram — the dim side stays in the plan untouched
       var dimKeyIdx = Set.empty[Int]
+      // expression positions over DIM attrs only: ride the
+      // key-expression machinery (value-set Min/Max pass-throughs and
+      // the cnt-weighted Σ cnt·f family are EXACT over dim values —
+      // a dim value is constant per joined (summary row, dim match)
+      // and cnt replays precisely the fact rows the collapse removed,
+      // each of which joined the same dim rows) but bypass the
+      // summary-keys coverage check — the dim column stays in the
+      // rebuilt join, it is not an artifact column
+      var dimExprIdx = Set.empty[Int]
       var measurePos = Seq.empty[(Int, AttributeReference)]
       var measureMask = Map.empty[Int, Seq[Boolean]]
       var exprPos = Map.empty[Int, Seq[Expression]]
@@ -2832,7 +2941,12 @@ object SummaryRewrite {
             return None // fact×dim mixed grouping position
           keyPos :+= (i -> base)
           keptIdx :+= i
-        } else if (attrs.size == 1 && nullsOnly && !nonAggRefs.contains(out)) {
+        } else if (attrs.size == 1 && nullsOnly && !nonAggRefs.contains(out)
+            && !(joinOpt.isDefined && {
+              val b = inline(attrs.head, inlSubst)
+              b.references.nonEmpty &&
+                b.references.toSeq.forall(dimOutJ.contains)
+            })) {
           // partials are keyed by the BASE scan column: a renamed
           // measure resolves through the hoisted alias to its true
           // column; a COMPUTED alias (whose name could shadow a real
@@ -2883,6 +2997,11 @@ object SummaryRewrite {
               case _ => false
             })))
           if (!wellFormed || !consumersOk) return None
+          if (joinOpt.isDefined && inlined.forall(en =>
+              (en.foldable && en.eval() == null) ||
+                (en.references.nonEmpty &&
+                  en.references.toSeq.forall(dimOutJ.contains))))
+            dimExprIdx += i
           exprPos += i -> inlined
           keptIdx :+= i
         }
@@ -2903,14 +3022,15 @@ object SummaryRewrite {
       val needed =
         (keyPos.filterNot(kp => histEligible(kp._1) || dimKeyIdx(kp._1))
           .flatMap(_._2.references.toSeq.map(_.name)) ++
-          exprPos.values.flatten
+          exprPos.filterNot(kv => dimExprIdx(kv._1)).values.flatten
             .flatMap(_.references.toSeq.map(_.name)) ++
           // join-condition fact attrs must be summary KEYS (candidates
           // filters on needed ⊆ keys): joining on a collapsed measure
           // cannot serve
-          joinOpt.toSeq.flatMap { case (lvl, _, fo, _, _) =>
-            splitConjunctivePredicates(lvl.cond)
-              .flatMap(_.references.toSeq).filter(fo.contains).map(_.name)
+          joinOpt.toSeq.flatMap { case (dims, _, fo, _, _, _) =>
+            dims.flatMap(lvl => splitConjunctivePredicates(lvl.cond)
+              .flatMap(_.references.toSeq).filter(fo.contains)
+              .map(_.name))
           } ++
           shape.pred.toSeq.flatMap(_.references.toSeq.map(_.name))).toSet
 
@@ -2930,11 +3050,13 @@ object SummaryRewrite {
           // the artifact's (the by-name remap and the hist-column
           // lookup must never touch a dim column), and the join
           // condition's fact attrs must exist on the artifact
-          if joinOpt.forall { case (lvl, _, fo, _, _) =>
-            lvl.dim.output.forall(a => !mvAttrs.contains(a.name)) &&
-              splitConjunctivePredicates(lvl.cond)
-                .flatMap(_.references.toSeq).filter(fo.contains)
-                .forall(r => mvAttrs.contains(r.name))
+          if joinOpt.forall { case (dims, _, fo, _, _, _) =>
+            dims.forall { lvl =>
+              lvl.dim.output.forall(a => !mvAttrs.contains(a.name)) &&
+                splitConjunctivePredicates(lvl.cond)
+                  .flatMap(_.references.toSeq).filter(fo.contains)
+                  .forall(r => mvAttrs.contains(r.name))
+            }
           }
           histValPos = keyPos.filterNot(covered).collect {
             case (i, base: AttributeReference) if histEligible(i) &&
@@ -2947,31 +3069,49 @@ object SummaryRewrite {
           if keyPos.forall(kp => covered(kp) || histValPos.contains(kp._1))
           // ONE histogram per rewritten Expand
           if histValPos.values.map(_.name).toSet.size <= 1
-          if exprPos.values.flatten.forall(_.references.toSeq.forall(r =>
-            summary.keys.contains(r.name) && mvAttrs.contains(r.name)))
+          if exprPos.filterNot(kv => dimExprIdx(kv._1)).values.flatten
+            .forall(_.references.toSeq.forall(r =>
+              summary.keys.contains(r.name) && mvAttrs.contains(r.name)))
           if shape.pred.forall(_.references.toSeq.forall(r =>
             mvAttrs.contains(r.name)))
           cnt <- mvAttrs.get("cnt")
           if cnt.dataType == LongType
           mkChild = (joinOpt match {
-            case Some((lvl, _, fo, _, _)) => (_: Seq[Attribute]) => {
-              // rebuild the ONE dim level around the filtered artifact
-              // scan; the caller explodes the histogram ABOVE this join
-              // (row-equivalent — see joinOpt's derivation note)
-              val remapF = (ex: Expression) => ex.transform {
-                case a: AttributeReference
-                    if fo.contains(a) && mvAttrs.contains(a.name) =>
-                  mvAttrs(a.name)
+            case Some((dims, _, fo, _, _, luOpt)) =>
+              (refs: Seq[Attribute]) => {
+                // rebuild the dim tower (innermost-first) around the
+                // filtered artifact scan — or, for a UNION fact leaf,
+                // around the union of per-branch canonical scans (the
+                // shared child builder: per-branch filters, hybrid
+                // partialization). The caller explodes the histogram
+                // ABOVE this join (row-equivalent — see joinOpt's
+                // derivation note). Join-cond fact attrs join the
+                // union's required projection.
+                val remapF = (ex: Expression) => ex.transform {
+                  case a: AttributeReference
+                      if fo.contains(a) && mvAttrs.contains(a.name) =>
+                    mvAttrs(a.name)
+                }
+                val base: Option[LogicalPlan] = luOpt match {
+                  case Some(_) =>
+                    val condFactRefs = dims.flatMap(lvl =>
+                      splitConjunctivePredicates(lvl.cond)
+                        .flatMap(_.references.toSeq).filter(fo.contains))
+                      .flatMap(r => mvAttrs.get(r.name))
+                    expandChildBuilder(luOpt, shape, summary, mvPlan,
+                      mvAttrs)((refs ++ condFactRefs).distinct)
+                  case None =>
+                    Some(shape.pred.map(p => Filter(remapF(p), mvPlan))
+                      .getOrElse(mvPlan))
+                }
+                base.map(b => dims.foldLeft(b) { case (pl, lvl) =>
+                  val c = remapF(lvl.cond)
+                  if (lvl.factOnLeft)
+                    Join(pl, lvl.dim, lvl.joinType, Some(c), lvl.jhint)
+                  else
+                    Join(lvl.dim, pl, lvl.joinType, Some(c), lvl.jhint)
+                })
               }
-              val p0 = shape.pred.map(p => Filter(remapF(p), mvPlan))
-                .getOrElse(mvPlan)
-              val c = remapF(lvl.cond)
-              Some(if (lvl.factOnLeft)
-                Join(p0, lvl.dim, lvl.joinType, Some(c), lvl.jhint)
-              else
-                Join(lvl.dim, p0, lvl.joinType, Some(c), lvl.jhint)
-              ): Option[LogicalPlan]
-            }
             case None => expandChildBuilder(unionOpt, shape, summary,
               mvPlan, mvAttrs)
           })

@@ -2264,9 +2264,25 @@ class SummaryRewriteSpec extends AnyFunSuite {
       .join(graft.Tables.load(spark, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
+    // the STAR dashboard: two distinct FACT measures grouped by a DIM
+    // attribute — the advisor peels the join and advises the fact
+    // summary keyed by the join attr with a hist per measure (the
+    // q298 serve shape, mirrored at advice time)
+    val q8 = graft.Tables.load(spark, dir, "orders")
+      .join(graft.Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(countDistinct($"o_orderkey").as("uo"),
+        countDistinct($"o_totalprice").as("ut"),
+        count(lit(1)).as("n"))
     val (advs, notes) =
       SummaryRewrite.adviseSummaries(spark,
-        Seq(q1, q2, q3, q4, q5, q6, q7, qJoin))
+        Seq(q1, q2, q3, q4, q5, q6, q7, q8, qJoin))
+    val ao = advs.find(_.fact.endsWith("orders.parquet"))
+      .getOrElse(fail(s"no orders star advice in $advs"))
+    assert(ao.keys === Set("o_custkey") &&
+      ao.histCols === Seq("o_orderkey", "o_totalprice"),
+      s"star advice must key the join attr and hist both measures: $ao")
     val a = advs.find(_.fact.endsWith("documents.parquet"))
       .getOrElse(fail(s"no documents advice in $advs"))
     assert(a.keys === Set("source", "lang"),
@@ -2314,6 +2330,76 @@ class SummaryRewriteSpec extends AnyFunSuite {
             s"advised serving diverged for $nm")
       }
     } finally SummaryRewrite.deregister("spec_advice")
+    // the star advice makes good on itself: build + register, the
+    // dim-grouped uniques dashboard serves through the expanded star
+    val mvO = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString + "/advisedstar"
+    SummaryRewrite.buildAdvice(spark, ao, "spec_advice_star", mvO)
+    try {
+      val p8 = q8.queryExecution.executedPlan.toString
+      assert(p8.contains("advisedstar") && !p8.contains("orders.parquet"),
+        s"advised star summary did not serve q8:\n$p8")
+      SummaryRewrite.deregister("spec_advice_star")
+      val expect = q8.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_advice_star", SummaryRewrite.Summary(
+        ao.fact, mvO, ao.keys))
+      assert(q8.collect().map(_.toSeq).toSet === expect,
+        "advised star serving diverged")
+    } finally SummaryRewrite.deregister("spec_advice_star")
+  }
+
+  test("UNION fact under the EXPANDED star: the multi-epoch uniques-" +
+      "pair dashboard serves — each measure side unions per-branch " +
+      "artifact scans under its rebuilt dim tower; an uncovered epoch " +
+      "partializes (hybrid)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    (0 to 1).foreach { i =>
+      orders.filter($"o_orderkey" % 2 === i)
+        .write.parquet(s"$tmp/xep$i/o.parquet")
+      SummaryRewrite.buildSummary(spark, s"$tmp/xep$i/o.parquet",
+        keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"),
+        mvPath = s"$tmp/xepmv$i",
+        histCols = Seq("o_orderkey", "o_totalprice"))
+    }
+    SummaryRewrite.install(spark)
+    def reg(i: Int): Unit = SummaryRewrite.register(s"spec_xep$i",
+      SummaryRewrite.Summary(s"xep$i/o.parquet", s"$tmp/xepmv$i",
+        Set("o_custkey")))
+    (0 to 1).foreach(reg)
+    try {
+      def customer = graft.Tables.load(spark, dir, "customer")
+      def un = spark.read.parquet(s"$tmp/xep0/o.parquet")
+        .union(spark.read.parquet(s"$tmp/xep1/o.parquet"))
+      def q = un.join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_mktsegment").agg(
+          countDistinct($"o_orderkey").as("uo"),
+          countDistinct($"o_totalprice").as("ut"),
+          count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("xepmv0") && p.contains("xepmv1") &&
+        !p.contains("o.parquet"),
+        s"union x expanded star did not serve both epochs:\n$p")
+      assert("Generate".r.findAllIn(p).size >= 2,
+        "need one explosion per measure side")
+      assert(p.contains("BroadcastHashJoin"),
+        "the side join must be pinned BROADCAST")
+      val expect = q.collect().map(_.toSeq).toSet
+      (0 to 1).foreach(i => SummaryRewrite.deregister(s"spec_xep$i"))
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "union x expanded star diverged from the fact plan")
+      (0 to 1).foreach(reg)
+      // HYBRID: the uncovered epoch partializes, the covered one
+      // keeps its artifact — under the rebuilt dim tower
+      SummaryRewrite.deregister("spec_xep1")
+      val ph = q.queryExecution.executedPlan.toString
+      assert(ph.contains("xepmv0") && ph.contains("xep1/o.parquet") &&
+        !ph.contains("xep0/o.parquet"),
+        s"hybrid must partialize exactly the uncovered epoch:\n$ph")
+      reg(1)
+    } finally (0 to 1).foreach(i =>
+      SummaryRewrite.deregister(s"spec_xep$i"))
   }
 
   test("star join over a UNION fact: each epoch's summary substitutes " +
@@ -3784,13 +3870,13 @@ class SummaryRewriteSpec extends AnyFunSuite {
       def orders = graft.Tables.load(spark, dir, "orders")
       def customer = graft.Tables.load(spark, dir, "customer")
       def served(q: => org.apache.spark.sql.DataFrame,
-          what: String): Unit = {
+          what: String, nGen: Int = 2): Unit = {
         val p = q.queryExecution.executedPlan.toString
         assert(p.contains("mhstar") && !p.contains("orders.parquet"),
           s"$what did not serve:\n$p")
-        assert("Generate".r.findAllIn(p).size >= 2,
-          s"$what must run one explosion per measure side")
-        assert(p.contains("BroadcastHashJoin"),
+        assert("Generate".r.findAllIn(p).size >= nGen,
+          s"$what must run one explosion per exploded measure")
+        if (nGen >= 2) assert(p.contains("BroadcastHashJoin"),
           s"$what: the side join must be pinned BROADCAST:\n$p")
         SummaryRewrite.deregister("spec_mhstar")
         val expect = q.collect().map(_.toSeq).toSet
@@ -3859,6 +3945,41 @@ class SummaryRewriteSpec extends AnyFunSuite {
           countDistinct($"o_totalprice").as("ut"),
           count(lit(1)).as("n")),
         "rollup uniques pair per dim attribute")
+      // SNOWFLAKE under the expanded shape: the dim TOWER peels level
+      // by level (orders → customer → nation), the dim-dim link rides
+      // as a residual conjunct, both measure sides rebuild the whole
+      // tower (side 1 over a fresh-id copy of the full join child)
+      def nation = graft.Tables.load(spark, dir, "nation")
+      served(orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy($"n_name").agg(
+          countDistinct($"o_orderkey").as("uo"),
+          countDistinct($"o_totalprice").as("ut"),
+          count(lit(1)).as("n")),
+        "uniques pair through a snowflake")
+      // DIM aggregates beside the fact pair in the expanded shape:
+      // a dim distinct is an inner GROUPING position (kept verbatim);
+      // min/sum/avg over a dim column ride the key-expression
+      // machinery — the dim value is constant per joined (summary
+      // row, dim match) and cnt replays exactly the fact rows the
+      // collapse removed, each of which joined the same dim rows
+      served(orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_mktsegment").agg(
+          countDistinct($"c_nationkey").as("un"),
+          countDistinct($"o_orderkey").as("uo"),
+          count(lit(1)).as("n")),
+        "dim distinct beside a fact distinct", nGen = 1)
+      served(orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_mktsegment").agg(
+          min($"c_acctbal").as("mn_bal"),
+          sum($"c_nationkey").as("sum_nk"),
+          avg($"c_nationkey").as("avg_nk"),
+          countDistinct($"o_orderkey").as("uo"),
+          countDistinct($"o_totalprice").as("ut")),
+        "dim min/sum/avg beside the fact pair")
     } finally SummaryRewrite.deregister("spec_mhstar")
   }
 
