@@ -2402,6 +2402,81 @@ class SummaryRewriteSpec extends AnyFunSuite {
       SummaryRewrite.deregister(s"spec_xep$i"))
   }
 
+  test("EXPANDED-star corners, value-exact each: fact-preserved OUTER " +
+      "join (NULL dim groups from unmatched facts), key-covered fact " +
+      "filter below the join, dim-side filter, ROLLUP over the join " +
+      "with one and with TWO hist measures; a non-key fact filter " +
+      "refuses") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey", "o_orderstatus"), sumCols = Seq("o_orderkey"),
+      mvPath = s"$tmp/xcorn", histCols = Seq("o_orderkey", "o_totalprice"))
+    SummaryRewrite.install(spark)
+    def reg(): Unit = SummaryRewrite.register("spec_xcorn",
+      SummaryRewrite.Summary("orders.parquet", s"$tmp/xcorn",
+        Set("o_custkey", "o_orderstatus")))
+    reg()
+    def served(q: => org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("xcorn") && !p.contains("orders.parquet"),
+        s"$what did not serve:\n$p")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.deregister("spec_xcorn")
+      val ok = q.collect().map(_.toSeq).toSet == expect
+      reg()
+      assert(ok, s"$what diverged from the fact plan")
+    }
+    try {
+      def orders = graft.Tables.load(spark, dir, "orders")
+      def customer = graft.Tables.load(spark, dir, "customer")
+      // fact-preserved LEFT OUTER against a filtered dim: unmatched
+      // orders land in the NULL c_mktsegment group on both plans
+      served(orders
+        .join(customer.filter($"c_custkey" < 500),
+          col("o_custkey") === col("c_custkey"), "left_outer")
+        .groupBy($"c_mktsegment").agg(
+          countDistinct($"o_orderkey").as("uo"),
+          countDistinct($"o_totalprice").as("ut"),
+          count(lit(1)).as("n")), "outer-join uniques pair")
+      // key-covered fact filter pushes onto every side's artifact scan
+      served(orders.filter($"o_orderstatus" === "F")
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_mktsegment").agg(
+          countDistinct($"o_orderkey").as("uo"),
+          countDistinct($"o_totalprice").as("ut")), "fact key filter")
+      // dim-side filter stays on the (copied) dim plan untouched
+      served(orders
+        .join(customer.filter($"c_nationkey" < 10),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_mktsegment").agg(
+          countDistinct($"o_orderkey").as("uo"),
+          countDistinct($"o_totalprice").as("ut")), "dim filter")
+      // the native lattice over the join — single hist measure rides
+      // the direct Expand path, TWO split per measure over the tower
+      served(orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .rollup($"c_mktsegment").agg(
+          expr("percentile(o_orderkey, 0.5)").as("med"),
+          count(lit(1)).as("n")), "rollup over join, one hist")
+      served(orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .rollup($"c_mktsegment").agg(
+          expr("percentile(o_orderkey, 0.5)").as("med_ok"),
+          expr("percentile(o_totalprice, 0.5)").as("med_tp"),
+          count(lit(1)).as("n")), "rollup over join, two hists")
+      // a NON-key fact filter cannot push onto the artifact — refuse
+      val nk = orders.filter($"o_totalprice" > 1000.0)
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_mktsegment").agg(
+          countDistinct($"o_orderkey").as("uo"),
+          countDistinct($"o_totalprice").as("ut"))
+      assert(nk.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "a non-key fact filter must refuse to the fact")
+    } finally SummaryRewrite.deregister("spec_xcorn")
+  }
+
   test("star join over a UNION fact: each epoch's summary substitutes " +
       "under the join (multi-epoch star schema); an uncovered epoch " +
       "partializes (hybrid) exactly") {
