@@ -504,6 +504,15 @@ object SummaryRewrite {
                         case e if keyable(e) => exprH += exprEntry(e)
                         case _ => miss("a percentile over this expression")
                       }
+                    // median is its own function at ANALYSIS time (the
+                    // optimizer lowers it to Percentile later) — the
+                    // pre-expansion/lattice fallbacks see the analyzed
+                    // form, so advise it like the percentile it becomes
+                    case m: Median => m.child match {
+                      case a: AttributeReference => hist += a.name
+                      case e if keyable(e) => exprH += exprEntry(e)
+                      case _ => miss("a median over this expression")
+                    }
                     case other =>
                       miss(s"aggregate ${other.prettyName}")
                   }
@@ -594,7 +603,73 @@ object SummaryRewrite {
             }
           }
         star.foreach { case (g0, a0, sh) => classify(g0, a0, sh) }
-        if (preExpansion.isEmpty && star.isEmpty)
+        // LATTICE shapes: the analyzed Aggregate sits over the native
+        // ROLLUP/CUBE Expand (ResolveGroupingAnalytics runs at
+        // analysis) — advise from the PROJECTED base columns: key
+        // positions substitute their underlying attribute, all-literal
+        // positions (the grouping_id) drop out of the keys, measure
+        // positions substitute their base so the distinct/percentile
+        // branches advise hist_<col> — mirroring the q294/q297 serve
+        // shapes.
+        val lattice =
+          if (direct.exists(identity) || preExpansion.nonEmpty ||
+              star.nonEmpty) Seq.empty
+          else {
+            def strip2(p: LogicalPlan): LogicalPlan = p match {
+              case Project(pl, c) if pl.forall(_.isInstanceOf[Attribute]) =>
+                strip2(c)
+              case SubqueryAlias(_, c) => strip2(c)
+              case other => other
+            }
+            df.queryExecution.analyzed.collect {
+              case Aggregate(g0, a0, child, _) => (g0, a0, strip2(child))
+            }.flatMap {
+              case (g0, a0, ex: Expand) =>
+                rule.decompose(ex.child).toSeq.flatMap { sh =>
+                  val posOf = ex.output.map(_.exprId).zipWithIndex.toMap
+                  val baseMap: Map[ExprId, Expression] =
+                    ex.output.zipWithIndex.flatMap { case (o, i) =>
+                      val entries = ex.projections.map(_(i))
+                      val attrs = entries.collect {
+                        case a: AttributeReference => a
+                      }.distinct
+                      val nullsOnly = entries
+                        .filterNot(_.isInstanceOf[AttributeReference])
+                        .forall(e => e.foldable && e.eval() == null)
+                      if (attrs.size == 1 && nullsOnly)
+                        Some(o.exprId -> (attrs.head: Expression))
+                      else None
+                    }.toMap
+                  val litPos = AttributeSet(ex.output.zipWithIndex.collect {
+                    case (o, i)
+                        if ex.projections.forall(_(i).foldable) => o
+                  })
+                  def rebase(e: Expression): Expression = e.transform {
+                    case a: AttributeReference
+                        if baseMap.contains(a.exprId) => baseMap(a.exprId)
+                  }
+                  // groupings referencing only the gid drop (not keys);
+                  // any other unmapped reference refuses the shape
+                  val gKeep = g0.filterNot(
+                    _.references.toSeq.forall(litPos.contains))
+                  val aes = a0.flatMap(_.collect {
+                    case ae: AggregateExpression => ae
+                  })
+                  val mappable =
+                    gKeep.forall(_.references.toSeq.forall(r =>
+                      baseMap.contains(r.exprId))) &&
+                    aes.forall(_.references.toSeq.forall(r =>
+                      baseMap.contains(r.exprId) || litPos.contains(r)))
+                  if (!mappable || !posOf.nonEmpty) None
+                  else Some((gKeep.map(rebase),
+                    a0.map(ne => rebase(ne).asInstanceOf[NamedExpression]),
+                    sh))
+                }
+              case _ => Seq.empty
+            }
+          }
+        lattice.foreach { case (g0, a0, sh) => classify(g0, a0, sh) }
+        if (preExpansion.isEmpty && star.isEmpty && lattice.isEmpty)
           notes += (s"query $qi: aggregate is not over a bare fact " +
             "scan (join/union/rollup shapes serve, but advise " +
             "their per-fact summaries from the plain per-fact " +

@@ -2264,6 +2264,13 @@ class SummaryRewriteSpec extends AnyFunSuite {
       .join(graft.Tables.load(spark, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
+    // the LATTICE dashboard: the analyzed plan is Aggregate over the
+    // rollup Expand — the advisor rebases key/measure positions onto
+    // the fact columns and drops the grouping_id from the keys
+    val q9 = docs.rollup($"lang")
+      .agg(grouping($"lang").cast("long").as("g_l"),
+        countDistinct($"n_chars").as("uc"),
+        expr("median(n_chars)").as("mc"), count(lit(1)).as("n"))
     // the STAR dashboard: two distinct FACT measures grouped by a DIM
     // attribute — the advisor peels the join and advises the fact
     // summary keyed by the join attr with a hist per measure (the
@@ -2277,7 +2284,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
         count(lit(1)).as("n"))
     val (advs, notes) =
       SummaryRewrite.adviseSummaries(spark,
-        Seq(q1, q2, q3, q4, q5, q6, q7, q8, qJoin))
+        Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, qJoin))
     val ao = advs.find(_.fact.endsWith("orders.parquet"))
       .getOrElse(fail(s"no orders star advice in $advs"))
     assert(ao.keys === Set("o_custkey") &&
@@ -2289,9 +2296,9 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "keys must be the union of grouping + filter columns — distinct " +
         "over a keyed column (q3's source) adds no key and no hist")
     assert(a.sumCols === Seq("n_chars") && a.minMaxCols === Seq("n_chars"))
-    assert(a.hllCols === Seq("doc_id") && a.covered === 7,
-      s"the multi-distinct dashboard query must be advised, not " +
-        s"shrugged off as an Expand shape: $a / $notes")
+    assert(a.hllCols === Seq("doc_id") && a.covered === 8,
+      s"the multi-distinct and lattice dashboard queries must be " +
+        s"advised, not shrugged off as Expand shapes: $a / $notes")
     assert(a.exprHistCols.size === 1,
       "distinct/percentile over a computed measure must advise an " +
         s"expression HISTOGRAM, not keys: $a")
@@ -2316,7 +2323,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
     try {
       Seq(("q1", () => q1), ("q2", () => q2), ("q3", () => q3),
         ("q4", () => q4), ("q5", () => q5), ("q6", () => q6),
-        ("q7", () => q7)).foreach {
+        ("q7", () => q7), ("q9", () => q9)).foreach {
         case (nm, mk) =>
           val p = mk().queryExecution.executedPlan.toString
           assert(p.contains("advised") && !p.contains("documents.parquet"),
