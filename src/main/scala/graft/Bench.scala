@@ -21,6 +21,45 @@ object Bench {
     val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Fixed-work machine-speed calibration: single-threaded deterministic
+    * CPU (xorshift64*) + allocation (a short-lived 16-long array every
+    * 8th step) over a FIXED iteration count, so the measured wall time
+    * is a pure function of the host's single-core speed + allocator
+    * throughput. Runs once before and once after the query suite and is
+    * stamped into `env` as `probe_ms_before`/`probe_ms_after`;
+    * cross-round DRIVER diffs divide by the probe ratio before calling
+    * anything a regression (the r14→r15 driver artifact read +26% on
+    * code that got 5.5% FASTER builder-side same-tree — an environment
+    * swing this probe makes provable). min-of-3 timed reps after an
+    * untimed JIT warmup: min is the host's top speed, which is the
+    * normalizer, not the scheduler's noise.
+    */
+  private def calibrationProbe(): Long = {
+    def work(n: Int): Long = {
+      var x = 0x9E3779B97F4A7C15L; var sink = 0L; var i = 0
+      while (i < n) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        val h = x * 0x2545F4914F6CDD1DL
+        if ((i & 7) == 0) {
+          val arr = new Array[Long](16)
+          arr((h & 15).toInt) = h
+          sink ^= arr(i & 15)
+        }
+        sink ^= h
+        i += 1
+      }
+      sink
+    }
+    var guard = work(5000000) // untimed JIT warmup
+    val ms = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      guard ^= work(200000000)
+      (System.nanoTime() - t0) / 1000000L
+    }.min
+    if (guard == 42L) System.err.println("[bench] probe guard") // defeat DCE
+    ms
+  }
+
   /** Fixture-backed build throughput (the BuildBench/IngestBench phases,
     * sized to stay a small fraction of the query suite's wall time). */
   private def buildMetrics(spark: SparkSession): String = {
@@ -29,7 +68,7 @@ object Bench {
     // overhead out of the per-file rates (matches IngestBench's scale)
     val nTargets = 20
     val perTarget = 20
-    val dir = Files.createTempDirectory("graft-bench-build")
+    val dir = TempDirs.create("bench-build")
     val specDir = dir.resolve("spectra"); Files.createDirectories(specDir)
     val imgDir = dir.resolve("images"); Files.createDirectories(imgDir)
     val (loglam, flux, ivar) = pipeline.FitsFixtures.specGrid()
@@ -114,9 +153,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // gate plan-string asserts need untruncated artifact paths
+      .config("spark.sql.maxMetadataStringLength", "500")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val probeBeforeMs = calibrationProbe()
 
     // warmup: touch every table + exercise codegen/shuffle machinery once
     Tables.names.foreach { t =>
@@ -227,10 +270,16 @@ object Bench {
     val source = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOURCE", "driver")
     val gcSuiteMs = gcMillis - gcBefore
     val heapMaxMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
+    // second probe AFTER the suite: a before/after pair distinguishes a
+    // host that is uniformly slow (both high) from one that degraded
+    // mid-suite (after >> before); normalize cross-round diffs by the
+    // pair's MEAN (BASELINE.md's rule)
+    val probeAfterMs = calibrationProbe()
     val envJson =
       s"""{"source":"$source","cpus":$cpus,"reps":$reps,"stat":"min",""" +
         s""""order":"$order","heap_max_mb":$heapMaxMb,""" +
-        s""""gc_suite_ms":$gcSuiteMs}"""
+        s""""gc_suite_ms":$gcSuiteMs,""" +
+        s""""probe_ms_before":$probeBeforeMs,"probe_ms_after":$probeAfterMs}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","env":$envJson,"failed":$failedJson,"queries":$qs,"gc_ms":$gcQs,"build":$build,"sf":"$sfDir"}"""
     // Persist the FULL per-query map as a file artifact: the driver's

@@ -771,6 +771,13 @@ object SparkEntry {
     // above each rebuilt join; plan-gated two Generates + broadcast
     "q298_summary_star_multi_distinct" ->
       (IndexOps.q298SummaryStarMultiDistinct _),
+    // the multi-epoch per-segment two-median dashboard: two hist
+    // measures through a star join over a UNION fact — per-measure
+    // sides each union their per-branch artifact instances, one
+    // explosion per side OVER the union; plan-gated two Generates +
+    // broadcast + both-artifacts-serve + union refusal
+    "q299_summary_union_star_two_median" ->
+      (IndexOps.q299SummaryUnionStarTwoMedian _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

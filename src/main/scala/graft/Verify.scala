@@ -15,6 +15,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // gates assert artifact paths in executedPlan strings; the
+      // default 100-char metadata truncation can swallow them
+      .config("spark.sql.maxMetadataStringLength", "500")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,25 +21,20 @@ object IndexOps {
     * layout before registering summaries over it (q293/q295/q296/q297):
     * the copy is gate SETUP, not what the query measures, so repeated
     * bench/verify invocations in one JVM reuse the first build instead
-    * of re-writing full parquet copies per run, and a shutdown hook
-    * deletes each directory so repeated runs never accumulate temp
-    * data. Keyed by (gate, source dir) — a different sf dir builds its
-    * own copy. */
+    * of re-writing full parquet copies per run. Directories live under
+    * the session temp-root ([[graft.TempDirs]]) whose single shutdown
+    * hook deletes them, so repeated runs never accumulate temp data.
+    * Keyed by (gate, source dir) — a different sf dir builds its own
+    * copy. */
   private val derivedFactCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def derivedFactDir(key: String)(build: String => Unit): String =
     derivedFactCache.computeIfAbsent(key, _ => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-" + key.takeWhile(_ != '|')).toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        deleteRecursively(new java.io.File(tmp))))
+      val tmp =
+        graft.TempDirs.create(key.takeWhile(_ != '|')).toString
       build(tmp)
       tmp
     })
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
-  }
 
   // --------------------------------------------------------------- q149
 
@@ -228,7 +223,7 @@ object IndexOps {
     * tile-pruned read ≡ full scan on result while the plan (gated in
     * IndexOpsSpec) touches only the cover's directories. */
   def q154ZorderProbe(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q154")
+    val tmp = graft.TempDirs.create("q154")
       .toString + "/layout"
     writeZOrdered(load(s, dir, "events"),
       $"user_id", expr("unix_timestamp(ts) div 3600"), scale = 8, path = tmp)
@@ -255,7 +250,7 @@ object IndexOps {
     * plain fact-table SQL with no summary anywhere. */
   def q243SummaryRewrite(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q243")
+    val mv = graft.TempDirs.create("q243")
       .toString + "/docs_by_source_lang"
     SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
@@ -308,7 +303,7 @@ object IndexOps {
   def q244StreamingSummary(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     import graft.plans.SummaryRewrite
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q244").toString
+    val tmp = graft.TempDirs.create("q244").toString
     val sdir = s"$tmp/stream"
     val fs = new Path(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(sdir))
@@ -445,7 +440,7 @@ object IndexOps {
     * rewrite fired AND is exact against the plain fact-table oracle. */
   def q250SummaryFiltered(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q250")
+    val mv = graft.TempDirs.create("q250")
       .toString + "/docs_by_source_lang"
     SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
@@ -485,7 +480,7 @@ object IndexOps {
     * are associative partials like cnt/sum: re-aggregation is exact. */
   def q251SummaryMinMax(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q251").toString
+    val tmp = graft.TempDirs.create("q251").toString
     SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
       keys = Seq("source"), sumCols = Seq("n_chars"),
       mvPath = s"$tmp/narrow")
@@ -532,7 +527,7 @@ object IndexOps {
     * stale read cannot match the full-corpus oracle. */
   def q252SummaryStore(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val store = java.nio.file.Files.createTempDirectory("graft-q252")
+    val store = graft.TempDirs.create("q252")
       .toString + "/mvstore"
     // v1: PARTIAL corpus (stale); v2: full corpus (current)
     val v1 = writeSnapshot(
@@ -579,7 +574,7 @@ object IndexOps {
     * the pushed key predicate, fact never scanned. */
   def q254SummaryAvg(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q254")
+    val mv = graft.TempDirs.create("q254")
       .toString + "/docs_by_source_lang"
     SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
@@ -618,7 +613,7 @@ object IndexOps {
     * no float division near the hash. */
   def q255SummaryShare(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q255")
+    val mv = graft.TempDirs.create("q255")
       .toString + "/docs_by_source_lang"
     SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
@@ -662,7 +657,7 @@ object IndexOps {
     * rows) before anything is served. */
   def q258SummaryDeltaMerge(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val store = java.nio.file.Files.createTempDirectory("graft-q258")
+    val store = graft.TempDirs.create("q258")
       .toString + "/docs_by_source_lang"
     val factPath = s"$dir/documents.parquet"
     val v1 = writeSnapshot(
@@ -720,7 +715,7 @@ object IndexOps {
     * orders fact, and MUST still read the customer dim. */
   def q260SummaryStarJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q260")
+    val mv = graft.TempDirs.create("q260")
       .toString + "/orders_by_cust"
     SummaryRewrite.buildSummary(s, s"$dir/orders.parquet",
       keys = Seq("o_custkey"), sumCols = Seq.empty, mvPath = mv,
@@ -768,7 +763,7 @@ object IndexOps {
     * the scan once per Expand copy; this pays three summary reads. */
   def q261SummaryRollup(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q261")
+    val mv = graft.TempDirs.create("q261")
       .toString + "/docs_by_source_lang"
     SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
@@ -830,7 +825,7 @@ object IndexOps {
     * maintain → AUDIT. */
   def q262SummaryAudit(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q262").toString
+    val tmp = graft.TempDirs.create("q262").toString
     val mv = s"$tmp/docs_by_source_lang"
     val factPath = s"$dir/documents.parquet"
     SummaryRewrite.buildSummary(s, factPath,
@@ -885,7 +880,7 @@ object IndexOps {
     * composing is what makes them an engine. */
   def q263SummaryTopK(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q263")
+    val mv = graft.TempDirs.create("q263")
       .toString + "/docs_by_source_lang"
     SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
@@ -938,7 +933,7 @@ object IndexOps {
     * in-memory registry survives the process there either. */
   def q264SummaryCatalog(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q264").toString
+    val tmp = graft.TempDirs.create("q264").toString
     val store = s"$tmp/docs_store"
     val catDir = s"$tmp/catalog"
     val v = SummaryRewrite.buildSummarySnapshot(s, s"$dir/documents.parquet",
@@ -991,7 +986,7 @@ object IndexOps {
     * runs and correctly refuse. */
   def q265SummaryDistinct(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q265")
+    val mv = graft.TempDirs.create("q265")
       .toString + "/docs_by_source_lang"
     SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
@@ -1032,7 +1027,7 @@ object IndexOps {
     * a re-aggregated double SUM would not be). */
   def q266SummaryCoarsen(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q266")
+    val mv = graft.TempDirs.create("q266")
       .toString + "/orders_by_day"
     SummaryRewrite.buildSummary(s, s"$dir/orders.parquet",
       keys = Seq("o_orderdate"), sumCols = Seq.empty, mvPath = mv,
@@ -1074,7 +1069,7 @@ object IndexOps {
     * NULL-free per the driver comparator's contract. */
   def q267SummaryStarOuter(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q267")
+    val mv = graft.TempDirs.create("q267")
       .toString + "/orders_by_cust"
     SummaryRewrite.buildSummary(s, s"$dir/orders.parquet",
       keys = Seq("o_custkey"), sumCols = Seq.empty, mvPath = mv,
@@ -1125,7 +1120,7 @@ object IndexOps {
     * (driver comparator contract); gid/counts are non-null. */
   def q268SummaryNativeRollup(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q268")
+    val mv = graft.TempDirs.create("q268")
       .toString + "/docs_by_source_lang"
     SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv,
@@ -1170,7 +1165,7 @@ object IndexOps {
     * DERIVED artifact (not the finer one, not the fact) answers. */
   def q269SummaryDerive(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q269").toString
+    val tmp = graft.TempDirs.create("q269").toString
     val fine = s"$tmp/fine_by_source_lang"
     val coarse = s"$tmp/derived_by_source"
     val factPath = s"$dir/documents.parquet"
@@ -1234,7 +1229,7 @@ object IndexOps {
     * (`metadata_strategy_cube_visualization.py:57-72`). */
   def q270SummaryFresh(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q270").toString
+    val tmp = graft.TempDirs.create("q270").toString
     val catDir = s"$tmp/catalog"
     val factPath = s"$dir/documents.parquet"
     // producer, epoch 1: a by-source summary (1 key — wins selection)
@@ -1293,7 +1288,7 @@ object IndexOps {
     * chunked datasets, `metadata_strategy_image.py:317-322`. */
   def q271SummaryMultifile(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q271")
+    val mv = graft.TempDirs.create("q271")
       .toString + "/orders_by_cust_ranged"
     // tiny AQE targets: the high-cardinality artifact must split
     s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2048")
@@ -1354,7 +1349,7 @@ object IndexOps {
     * the same key-coverage guard (the spec law). */
   def q272SummaryMultiDistinct(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q272")
+    val mv = graft.TempDirs.create("q272")
       .toString + "/docs_by_source_lang"
     SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
@@ -1395,7 +1390,7 @@ object IndexOps {
     * guessing (the spec law). */
   def q273SummaryNullsafe(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q273").toString
+    val tmp = graft.TempDirs.create("q273").toString
     val factPath = s"$tmp/nulled_docs.parquet"
     val mv = s"$tmp/mv_nullsafe"
     load(s, dir, "documents")
@@ -1448,7 +1443,7 @@ object IndexOps {
     * fact-scan-free plan. */
   def q274SummaryMixedDistinct(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q274")
+    val mv = graft.TempDirs.create("q274")
       .toString + "/docs_by_source_lang"
     SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
@@ -1493,7 +1488,7 @@ object IndexOps {
     * already eliminated. */
   def q275SummaryPivot(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q275")
+    val mv = graft.TempDirs.create("q275")
       .toString + "/docs_by_source_lang"
     SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)
@@ -1548,7 +1543,7 @@ object IndexOps {
     * advertised error of it. */
   def q276SummaryHllMeasure(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q276")
+    val mv = graft.TempDirs.create("q276")
       .toString + "/docs_by_source_lang_hll"
     SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv,
@@ -1617,7 +1612,7 @@ object IndexOps {
     * documents by construction). */
   def q277SummaryUnion(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q277").toString
+    val tmp = graft.TempDirs.create("q277").toString
     val (e1, e2) = (s"$tmp/epoch1/docs.parquet", s"$tmp/epoch2/docs.parquet")
     val docs = load(s, dir, "documents")
       .select($"doc_id", $"source", $"lang", $"n_chars")
@@ -1676,7 +1671,7 @@ object IndexOps {
     * rollup set) for the DuckDB oracle, the q257/q276 pattern. */
   def q278SummaryRollupUniques(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q278")
+    val mv = graft.TempDirs.create("q278")
       .toString + "/docs_by_source_lang_hllroll"
     SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv,
@@ -1729,7 +1724,7 @@ object IndexOps {
     * against the whole table (the epochs partition `documents`). */
   def q279SummaryUnionRollup(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q279").toString
+    val tmp = graft.TempDirs.create("q279").toString
     val (e1, e2) = (s"$tmp/uepoch1/docs.parquet", s"$tmp/uepoch2/docs.parquet")
     val docs = load(s, dir, "documents")
       .select($"doc_id", $"source", $"lang", $"n_chars")
@@ -1795,7 +1790,7 @@ object IndexOps {
     * dashboard query's exact result (plain SQL oracle). */
   def q280SummaryAdvisor(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q280")
+    val mv = graft.TempDirs.create("q280")
       .toString + "/advised_docs"
     def q1 = load(s, dir, "documents").groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
@@ -1865,7 +1860,7 @@ object IndexOps {
     * serving under every coarsening of the keys. */
   def q281SummaryHistDistinct(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q281")
+    val mv = graft.TempDirs.create("q281")
       .toString + "/docs_hist_chars"
     SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv,
@@ -1939,7 +1934,7 @@ object IndexOps {
     * uniques-by-measure next to totals, one kilobyte artifact. */
   def q282SummaryHistMultiDistinct(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q282")
+    val mv = graft.TempDirs.create("q282")
       .toString + "/docs_hist_header"
     SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv,
@@ -1989,7 +1984,7 @@ object IndexOps {
     val revenueSql = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)" +
       " * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))"
     val qtySql = "CAST(l_quantity AS BIGINT)"
-    val mv = java.nio.file.Files.createTempDirectory("graft-q285")
+    val mv = graft.TempDirs.create("q285")
       .toString + "/lineitem_rev_by_supp_flag"
     SummaryRewrite.buildSummary(s, s"$dir/lineitem.parquet",
       keys = Seq("l_suppkey", "l_returnflag"), sumCols = Seq.empty,
@@ -2066,7 +2061,7 @@ object IndexOps {
     import graft.plans.SummaryRewrite
     val revenueSql = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)" +
       " * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))"
-    val mv = java.nio.file.Files.createTempDirectory("graft-q289")
+    val mv = graft.TempDirs.create("q289")
       .toString + "/lineitem_rev_hist"
     SummaryRewrite.buildSummary(s, s"$dir/lineitem.parquet",
       keys = Seq("l_returnflag", "l_linestatus"), sumCols = Seq.empty,
@@ -2144,7 +2139,7 @@ object IndexOps {
   def q290SummaryUnionCoarsen(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
     val revSql = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q290").toString
+    val tmp = graft.TempDirs.create("q290").toString
     val orders = load(s, dir, "orders")
     val epochs = (0 to 1).map { i =>
       val p = s"$tmp/ep$i/orders_ep.parquet"
@@ -2209,7 +2204,7 @@ object IndexOps {
     * kilobytes, only the unsummarized tail pays a scan. */
   def q291SummaryHybridUnion(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q291").toString
+    val tmp = graft.TempDirs.create("q291").toString
     val docs = load(s, dir, "documents")
       .select($"doc_id", $"source", $"lang", $"n_chars")
     val (e0, e1) = (s"$tmp/old/docs.parquet", s"$tmp/new/docs.parquet")
@@ -2266,7 +2261,7 @@ object IndexOps {
     * of history plus one pass over today's tail — never the corpus. */
   def q292SummarySketchHybrid(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q292").toString
+    val tmp = graft.TempDirs.create("q292").toString
     val docs = load(s, dir, "documents")
       .select($"doc_id", $"source", $"lang", $"n_chars")
     val (e0, e1) = (s"$tmp/old/docs.parquet", s"$tmp/new/docs.parquet")
@@ -2433,7 +2428,7 @@ object IndexOps {
   def q294SummaryRollupDistinct(s: SparkSession,
       dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val mv = java.nio.file.Files.createTempDirectory("graft-q294")
+    val mv = graft.TempDirs.create("q294")
       .toString + "/docs_uniq_rollup"
     SummaryRewrite.buildSummary(s, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
@@ -2739,6 +2734,83 @@ object IndexOps {
     } finally SummaryRewrite.deregister("q298_orders_mods4")
   }
 
+  // --------------------------------------------------------------- q299
+
+  /** q299 — the MULTI-EPOCH per-segment TWO-MEDIAN dashboard:
+    * `median(x), median(y)` grouped by a DIM attribute over a UNION of
+    * epoch directories joined to the customer dimension — the
+    * two-hist star × union-fact composition the round-15 register
+    * refused (`multiHistJoinCandidate` guarded `factUnion.isEmpty`).
+    * [[graft.plans.SummaryRewrite]] now builds each per-measure side's
+    * fact child as the UNION of per-branch artifact instances (branch
+    * 0 the anchor candidate, every other branch resolved by the
+    * cross-branch name+type(+expression SQL) contract), with ONE hist
+    * explosion per side sitting OVER the union — entry multisets
+    * concatenate across branches exactly like the facts they stand
+    * for — and the sides join back BROADCAST on null-safe grouping
+    * values. In-gate plan proofs: BOTH epochs' artifacts serve,
+    * neither epoch fact scans, TWO Generates, BroadcastHashJoin; plus
+    * the union refusal law — deregistering one epoch stands the whole
+    * rewrite down to the fact union (an exact histogram cannot be
+    * partialized fact-scan-free, so there is no hybrid here). Values
+    * hash-match DuckDB's join off the whole orders table (the epochs
+    * partition it). At 100 TB: the multi-epoch warehouse's
+    * per-segment median dashboard reads kilobytes per epoch per
+    * measure plus one dim scan instead of the corpus. */
+  def q299SummaryUnionStarTwoMedian(s: SparkSession,
+      dir: String): DataFrame = {
+    import graft.plans.SummaryRewrite
+    val tmp = derivedFactDir(s"q299|$dir") { t =>
+      (0 to 1).foreach { i =>
+        val f = s"$t/ep$i/orders_mods5.parquet"
+        load(s, dir, "orders").filter($"o_orderkey" % 2 === i)
+          .select($"o_custkey",
+            (pmod($"o_orderkey", lit(997L))).as("ok_res"),
+            (pmod(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"),
+              lit(9973L))).as("price_res"))
+          .write.parquet(f)
+        SummaryRewrite.buildSummary(s, f, keys = Seq("o_custkey"),
+          sumCols = Seq.empty, mvPath = s"$t/mvq299_$i",
+          histCols = Seq("ok_res", "price_res"))
+      }
+    }
+    val epochs = (0 to 1).map(i => s"$tmp/ep$i/orders_mods5.parquet")
+    SummaryRewrite.install(s)
+    def reg(i: Int): Unit = SummaryRewrite.register(s"q299_ep$i",
+      SummaryRewrite.Summary(s"ep$i/orders_mods5.parquet",
+        s"$tmp/mvq299_$i", Set("o_custkey")))
+    (0 to 1).foreach(reg)
+    try {
+      def q = s.read.parquet(epochs(0)).union(s.read.parquet(epochs(1)))
+        .join(load(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(expr("median(ok_res)").as("med_ok"),
+          expr("median(price_res)").as("med_price"),
+          count(lit(1)).as("n_orders"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("mvq299_0") && phys.contains("mvq299_1"),
+        "q299 gate is vacuous: both epoch artifacts must serve")
+      require(!phys.contains("orders_mods5.parquet"),
+        "q299 gate broken: an epoch fact is still scanned")
+      require("Generate".r.findAllIn(phys).size >= 2,
+        "q299 gate broken: need one explosion PER median measure")
+      require(phys.contains("BroadcastHashJoin"),
+        "q299 gate broken: the per-measure sides must join back " +
+          "BROADCAST")
+      // union REFUSAL: an epoch without a carrying artifact has no
+      // exact-histogram partialization — the rewrite must stand down
+      // to the fact union, never approximate
+      SummaryRewrite.deregister("q299_ep1")
+      require(q.queryExecution.executedPlan.toString
+        .contains("orders_mods5.parquet"),
+        "q299 gate broken: a missing epoch artifact must refuse to " +
+          "the fact union")
+      reg(1)
+      val rows = q.collect().toIndexedSeq // one row per market segment
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally (0 to 1).foreach(i => SummaryRewrite.deregister(s"q299_ep$i"))
+  }
+
   // --------------------------------------------------------------- q288
 
   /** q288 — the expression-measure REVENUE dashboard under native
@@ -2753,7 +2825,7 @@ object IndexOps {
     import graft.plans.SummaryRewrite
     val revenueSql = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)" +
       " * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))"
-    val mv = java.nio.file.Files.createTempDirectory("graft-q288")
+    val mv = graft.TempDirs.create("q288")
       .toString + "/lineitem_rev_rollup"
     SummaryRewrite.buildSummary(s, s"$dir/lineitem.parquet",
       keys = Seq("l_returnflag", "l_linestatus"), sumCols = Seq.empty,
@@ -2804,7 +2876,7 @@ object IndexOps {
     * table. */
   def q286SummaryCdc(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q286").toString
+    val tmp = graft.TempDirs.create("q286").toString
     val (factPath, store) = (s"$tmp/cdc_docs.parquet", s"$tmp/cdc_store")
     val docs = load(s, dir, "documents")
       .select($"doc_id", $"source", $"lang", $"n_chars")
@@ -2957,7 +3029,7 @@ object IndexOps {
     * zero files would make the gate vacuous — required non-zero or the
     * query throws (the q133 non-vacuity rule). */
   def q182ManifestAppend(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q182").toString
+    val tmp = graft.TempDirs.create("q182").toString
     val table = s"$tmp/events_inc"
     val ev = load(s, dir, "events")
     ev.filter($"user_id" % 5 =!= 0L)
@@ -3020,7 +3092,7 @@ object IndexOps {
     * content equality IS the gate; IndexOpsSpec pins the file-count
     * arithmetic and the sorted-within layout. */
   def q174CompactFiles(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q174").toString
+    val tmp = graft.TempDirs.create("q174").toString
     val docs = load(s, dir, "documents")
     docs.repartition(64).write.mode("overwrite").parquet(s"$tmp/fragmented")
     val target = (docs.count() + 3L) / 4L
@@ -3040,7 +3112,7 @@ object IndexOps {
     * that the pruned plan touched strictly fewer files than the layout
     * holds. */
   def q158ManifestPrune(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q158").toString
+    val tmp = graft.TempDirs.create("q158").toString
     val table = s"$tmp/events_sorted"
     load(s, dir, "events")
       .repartitionByRange(8, $"user_id")
@@ -3149,7 +3221,7 @@ object IndexOps {
     * newest snapshot survived it). The oracle replays release 3's
     * membership rule straight from the base table. */
   def q200SnapshotExpiry(s: SparkSession, dir: String): DataFrame = {
-    val store = java.nio.file.Files.createTempDirectory("graft-q200")
+    val store = graft.TempDirs.create("q200")
       .toString + "/snaps"
     val docs = load(s, dir, "documents")
     (1L to 3L).foreach(v =>
@@ -3693,6 +3765,22 @@ object IndexOps {
         |  CAST(count(DISTINCT price_res) AS BIGINT) AS n_uniq_price,
         |  CAST(count(DISTINCT ok_res) - count(DISTINCT price_res)
         |    AS BIGINT) AS du,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM r JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    // q299: the per-segment two-median dashboard off the fact join —
+    // the epochs partition orders (o_orderkey % 2), so DuckDB replays
+    // the join over the whole table; both engines interpolate medians
+    // over the same exact integer multisets per segment
+    "q299_summary_union_star_two_median" ->
+      """WITH r AS (SELECT o_custkey,
+        |    (o_orderkey % 997 + 997) % 997 AS ok_res,
+        |    (CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) % 9973
+        |      + 9973) % 9973 AS price_res
+        |  FROM orders)
+        |SELECT c_mktsegment,
+        |  quantile_cont(ok_res, 0.5) AS med_ok,
+        |  quantile_cont(price_res, 0.5) AS med_price,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM r JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,

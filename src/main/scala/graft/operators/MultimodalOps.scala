@@ -388,7 +388,7 @@ object MultimodalOps {
   def q191ImageRegistryStream(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.HistogramStream
     val docs = load(s, dir, "documents")
-    val store = java.nio.file.Files.createTempDirectory("graft-q191").toString
+    val store = graft.TempDirs.create("q191").toString
     def shard(part: Long): DataFrame =
       fingerprints(docs.filter(col("doc_id") % 3 === part))
         .groupBy(col("ahash")).agg(min(col("doc_id")).as("first_id"))

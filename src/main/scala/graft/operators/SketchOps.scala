@@ -305,7 +305,7 @@ object SketchOps {
     * comparisons forever after are 64-longs-per-key reads. */
   def q155HllPersistedUnion(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q155").toString
+    val tmp = graft.TempDirs.create("q155").toString
     writeHllSketch(
       hllRegisters(docs.filter($"doc_id" % 2 === 0L), $"doc_id", $"source"),
       s"$tmp/release_a")
@@ -526,7 +526,7 @@ object SketchOps {
     * blooms, not corpora. */
   def q157BloomIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q157").toString
+    val tmp = graft.TempDirs.create("q157").toString
     val relA = docs.filter($"doc_id" % 3 === 0L)
     val relB = docs.filter($"doc_id" % 3 === 1L)
     val relC = docs.filter($"doc_id" % 3 === 2L)
@@ -567,7 +567,7 @@ object SketchOps {
   def q178BloomStreamDedup(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.HistogramStream
     val docs = load(s, dir, "documents")
-    val store = java.nio.file.Files.createTempDirectory("graft-q178").toString
+    val store = graft.TempDirs.create("q178").toString
     val relA = docs.filter($"doc_id" % 3 === 0L)
     val relB = docs.filter($"doc_id" % 3 === 1L)
     val relC = docs.filter($"doc_id" % 3 === 2L)
@@ -612,7 +612,7 @@ object SketchOps {
     val docs = load(s, dir, "documents")
     val bench = docs.filter($"doc_id" < 10)
       .select(explode(TextOps.shingles($"text")).as("g")).distinct()
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q161").toString
+    val tmp = graft.TempDirs.create("q161").toString
     writeBloom(buildBloom(bench, $"g"), s"$tmp/eval_bloom")
     val bloom = readBloom(s, s"$tmp/eval_bloom")
     val corpus = docs.filter($"doc_id" >= 10)
@@ -728,7 +728,7 @@ object SketchOps {
     val docs = load(s, dir, "documents")
     val sh = docs.select($"doc_id",
       explode(TextOps.shingles($"text")).as("g"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q166").toString
+    val tmp = graft.TempDirs.create("q166").toString
     writeCms(buildCms(sh.filter($"doc_id" % 2 === 0L), $"g"), s"$tmp/cms_a")
     writeCms(buildCms(sh.filter($"doc_id" % 2 === 1L), $"g"), s"$tmp/cms_b")
     val cms = mergeCms(readCms(s, s"$tmp/cms_a"), readCms(s, s"$tmp/cms_b"))
@@ -754,7 +754,7 @@ object SketchOps {
     val sh = docs.select($"doc_id", explode(TextOps.shingles($"text")).as("g"))
     val shA = sh.filter($"doc_id" % 2 === 0L) // previous release
     val shB = sh.filter($"doc_id" % 2 === 1L) // new release
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q167").toString
+    val tmp = graft.TempDirs.create("q167").toString
     writeCms(buildCms(shB, $"g"), s"$tmp/cms_b")
     val cmsB = readCms(s, s"$tmp/cms_b")
       .localCheckpoint() // reused by d broadcast builds; ≤ d×w rows
@@ -795,7 +795,7 @@ object SketchOps {
     import graft.streaming.HistogramStream
     val docs = load(s, dir, "documents")
     val sh = docs.select($"doc_id", explode(TextOps.shingles($"text")).as("g"))
-    val store = java.nio.file.Files.createTempDirectory("graft-q170").toString
+    val store = graft.TempDirs.create("q170").toString
     HistogramStream.appendCmsShard(s, store, "batch_0",
       buildCms(sh.filter($"doc_id" % 3 === 0L), $"g"))
     HistogramStream.appendCmsShard(s, store, "batch_1",
@@ -1012,7 +1012,7 @@ object SketchOps {
     * SketchOpsSpec: the only WindowExec runs over the histogram). */
   def q186PercentileTag(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q186").toString
+    val tmp = graft.TempDirs.create("q186").toString
     writeTokenHistogram(tokenHistogram(docs), s"$tmp/hist")
     percentileFromHistogram(docs, readTokenHistogram(s, s"$tmp/hist"))
   }
@@ -1037,7 +1037,7 @@ object SketchOps {
     * artifact. */
   def q189PercentileDrift(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q189").toString
+    val tmp = graft.TempDirs.create("q189").toString
     // release split by ingest BLOCK (doc_id div 20), not parity: the
     // fixture assigns source = doc_id mod 20, so a parity split would
     // make the releases source-DISJOINT and the comparison vacuous —
@@ -1078,7 +1078,7 @@ object SketchOps {
     * rows (≤ distinct lengths × sources per release), not documents. */
   def q159QuantilesPersisted(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q159").toString
+    val tmp = graft.TempDirs.create("q159").toString
     writeTokenHistogram(tokenHistogram(docs.filter($"doc_id" % 2 === 0L)),
       s"$tmp/release_a")
     writeTokenHistogram(tokenHistogram(docs.filter($"doc_id" % 2 === 1L)),
@@ -1103,7 +1103,7 @@ object SketchOps {
   def q162HistStreamStore(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.HistogramStream
     val docs = load(s, dir, "documents")
-    val store = java.nio.file.Files.createTempDirectory("graft-q162").toString
+    val store = graft.TempDirs.create("q162").toString
     HistogramStream.appendShard(s, store, "batch_0",
       tokenHistogram(docs.filter($"doc_id" % 3 === 0L)))
     HistogramStream.appendShard(s, store, "batch_1",
@@ -1133,7 +1133,7 @@ object SketchOps {
   def q163ReleaseDrift(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
     val relA = docs.filter($"doc_id" % 2 === 0L)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q163").toString
+    val tmp = graft.TempDirs.create("q163").toString
     writeHllSketch(hllRegisters(relA, $"doc_id", $"source"), s"$tmp/hll_a")
     writeHllSketch(hllRegisters(docs, $"doc_id", $"source"), s"$tmp/hll_b")
     writeTokenHistogram(tokenHistogram(relA), s"$tmp/hist_a")
@@ -1199,7 +1199,7 @@ object SketchOps {
     * vocabulary-sized join — release A is never touched again. */
   def q164OovRate(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q164").toString
+    val tmp = graft.TempDirs.create("q164").toString
     writeVocab(vocabFrame(docs.filter($"doc_id" % 2 === 0L)), s"$tmp/vocab_a")
     val vocabA = readVocab(s, s"$tmp/vocab_a")
     val bTokens = docs.filter($"doc_id" % 2 === 1L)
@@ -1316,7 +1316,7 @@ object SketchOps {
     * independent of both corpus rows and value range. */
   def q168LogQuantilesPersisted(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q168").toString
+    val tmp = graft.TempDirs.create("q168").toString
     writeLogHistogram(
       logHistogram(docs.filter($"doc_id" % 2 === 0L), $"source", $"n_chars"),
       s"$tmp/release_a")
@@ -1339,7 +1339,7 @@ object SketchOps {
   def q172LogHistStreamStore(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.HistogramStream
     val docs = load(s, dir, "documents")
-    val store = java.nio.file.Files.createTempDirectory("graft-q172").toString
+    val store = graft.TempDirs.create("q172").toString
     def shard(p: Long) =
       logHistogram(docs.filter($"doc_id" % 3 === p), $"source", $"n_chars")
     HistogramStream.appendLogHistShard(s, store, "batch_0", shard(0L))

@@ -975,7 +975,7 @@ object TextOps {
     // the scratch store is deleted before returning.
     // the survivor frame's lineage stops at the checkpointed assignment
     // (nearDupDedupBatch), so it never re-reads the deleted scratch store
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q123")
+    val tmp = graft.TempDirs.create("q123")
     try {
       val survivors = graft.streaming.DocumentStream.nearDupDedupBatch(
         load(s, dir, "documents"), s"$tmp/sigs", 0.8, allowLossy = true)
@@ -1004,7 +1004,7 @@ object TextOps {
   def q124StreamDedupMultiBatch(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.DocumentStream
     val docs = load(s, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q124")
+    val tmp = graft.TempDirs.create("q124")
     try {
       val store = s"$tmp/sigs"
       // survivor lineage stops at each batch's checkpointed assignment —
@@ -1040,7 +1040,7 @@ object TextOps {
   def q133CompactedStreamDedup(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.DocumentStream
     val docs = load(s, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q133")
+    val tmp = graft.TempDirs.create("q133")
     try {
       val store = s"$tmp/sigs"
       val s0a = DocumentStream.nearDupDedupBatch(

@@ -269,7 +269,7 @@ object WarehouseOps {
     * throw, not a hope. The corrected day is chosen deterministically
     * as the min event_date. */
   def q219PartitionOverwrite(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q219").toString
+    val tmp = graft.TempDirs.create("q219").toString
     val table = s"$tmp/events_by_day"
     val ev = load(s, dir, "events")
       .withColumn("event_date", date_format($"ts", "yyyy-MM-dd"))
@@ -357,7 +357,7 @@ object WarehouseOps {
     * rescan per registered summary. */
   def q287SnapshotCdc(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.SummaryRewrite
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q287").toString
+    val tmp = graft.TempDirs.create("q287").toString
     val (factPath, store) = (s"$tmp/vdocs.parquet", s"$tmp/vstore")
     val docs = load(s, dir, "documents")
       .select($"doc_id", $"source", $"lang", $"n_chars")

@@ -132,67 +132,141 @@ object HistSummary {
   }
 }
 
+/** Aggregation buffer behind [[HistAggregate]]: two representations
+  * under one interface, picked by the measure's TYPE at buffer
+  * creation.
+  *
+  * Fixed-width measures (all integrals, date/timestamp, float/double
+  * via canonical bits, boolean) ride a PRIMITIVE open-addressing
+  * `mutable.LongMap[Long]` — no boxed key, no per-entry node object.
+  * This is the q289 working-set fix: a 150k-entry histogram partial is
+  * two primitive arrays (~2.5 MB) instead of ~20 MB of boxed
+  * `HashMap[Any,Long]` entries, and a 32-thread local build holds ONE
+  * partial per thread of the small kind, so the suite's allocation
+  * pressure (and the GC swings the bench artifact showed) drops ~8×
+  * on the hist-build family. Strings and decimals keep the generic
+  * map ([[HistSummary.copyValue]] defends their reused eval buffers).
+  */
+private[plans] sealed trait HistBuffer { def size: Int }
+private[plans] final class LongHistBuffer extends HistBuffer {
+  val m = new mutable.LongMap[Long]()
+  def size: Int = m.size
+}
+private[plans] final class AnyHistBuffer extends HistBuffer {
+  val m = mutable.HashMap.empty[Any, Long]
+  def size: Int = m.size
+}
+
 /** Shared plumbing of the two histogram aggregates: an exact
   * value→count map buffer with a hard distinct-cardinality cap,
   * length-prefixed UnsafeRow serialization (the Percentile pattern —
   * public Spark source), and a value-SORTED MapData eval so artifact
   * bytes are deterministic. */
 sealed trait HistAggregate
-    extends TypedImperativeAggregate[mutable.HashMap[Any, Long]]
+    extends TypedImperativeAggregate[HistBuffer]
     with UnaryLike[Expression] {
   def cap: Int
 
   /** The histogram's VALUE type (= the measure column's type). */
   protected def keyType: DataType
 
-  /** Floating-point buffer keys ride their CANONICAL BITS (boxed
-    * long/int): Scala's `==` on boxed NaN follows primitive semantics
-    * (NaN ≠ NaN), so a HashMap keyed by the boxed double would never
-    * merge NaN rows; doubleToLongBits canonicalizes every NaN pattern
-    * and [[HistSummary.copyValue]] has already normalized -0.0. */
-  protected def toKey(v: Any): Any = keyType match {
+  /** Fixed-width types pack losslessly into a primitive Long key. */
+  @transient protected final lazy val fixedWidthKey: Boolean =
+    keyType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+          FloatType | DoubleType | DateType | TimestampType |
+          TimestampNTZType => true
+      case _ => false
+    }
+
+  /** Internal value → primitive Long key. Floating-point keys ride
+    * their CANONICAL BITS: boxed-NaN `==` follows primitive semantics
+    * (NaN ≠ NaN) so bit-canonicalization (doubleToLongBits collapses
+    * every NaN pattern) is what makes NaN one histogram entry, and
+    * -0.0 normalizes to 0.0 first — Spark's own aggregation-key
+    * semantics (NormalizeFloatingNumbers). */
+  protected final def toLongKey(v: Any): Long = keyType match {
+    case BooleanType => if (v.asInstanceOf[java.lang.Boolean]) 1L else 0L
     case DoubleType =>
-      java.lang.Long.valueOf(java.lang.Double.doubleToLongBits(
-        v.asInstanceOf[java.lang.Double].doubleValue()))
+      val d = v.asInstanceOf[java.lang.Double].doubleValue()
+      java.lang.Double.doubleToLongBits(if (d == 0.0d) 0.0d else d)
     case FloatType =>
-      java.lang.Integer.valueOf(java.lang.Float.floatToIntBits(
-        v.asInstanceOf[java.lang.Float].floatValue()))
-    case _ => v
+      val f = v.asInstanceOf[java.lang.Float].floatValue()
+      java.lang.Float.floatToIntBits(if (f == 0.0f) 0.0f else f).toLong
+    case _ => v.asInstanceOf[java.lang.Number].longValue()
   }
 
-  protected def fromKey(k: Any): Any = keyType match {
-    case DoubleType => java.lang.Double.valueOf(
-      java.lang.Double.longBitsToDouble(k.asInstanceOf[java.lang.Long]))
+  protected final def fromLongKey(k: Long): Any = keyType match {
+    case BooleanType => java.lang.Boolean.valueOf(k != 0L)
+    case ByteType => java.lang.Byte.valueOf(k.toByte)
+    case ShortType => java.lang.Short.valueOf(k.toShort)
+    case IntegerType | DateType => java.lang.Integer.valueOf(k.toInt)
     case FloatType => java.lang.Float.valueOf(
-      java.lang.Float.intBitsToFloat(k.asInstanceOf[java.lang.Integer]))
-    case _ => k
+      java.lang.Float.intBitsToFloat(k.toInt))
+    case DoubleType => java.lang.Double.valueOf(
+      java.lang.Double.longBitsToDouble(k))
+    case _ => java.lang.Long.valueOf(k)
   }
 
-  override def createAggregationBuffer(): mutable.HashMap[Any, Long] =
-    mutable.HashMap.empty[Any, Long]
+  override def createAggregationBuffer(): HistBuffer =
+    if (fixedWidthKey) new LongHistBuffer else new AnyHistBuffer
 
-  protected def bump(buf: mutable.HashMap[Any, Long], k: Any,
+  private def capError: Nothing = throw new IllegalStateException(
+    s"$prettyName: a group exceeded cap=$cap distinct values — a " +
+      "histogram partial over a high-cardinality measure would " +
+      "dominate the artifact (and a truncated one would serve wrong " +
+      "distinct counts). Raise the cap, key the column, or carry an " +
+      "hll_ partial instead.")
+
+  protected final def bumpLong(buf: LongHistBuffer, k: Long,
       by: Long): Unit = {
-    val prev = buf.getOrElse(k, 0L)
-    if (prev == 0L && buf.size >= cap)
-      throw new IllegalStateException(
-        s"$prettyName: a group exceeded cap=$cap distinct values — a " +
-          "histogram partial over a high-cardinality measure would " +
-          "dominate the artifact (and a truncated one would serve wrong " +
-          "distinct counts). Raise the cap, key the column, or carry an " +
-          "hll_ partial instead.")
-    buf.update(k, prev + by)
+    val prev = buf.m.getOrElse(k, 0L)
+    if (prev == 0L && buf.m.size >= cap) capError
+    buf.m.update(k, prev + by)
   }
 
-  override def merge(b1: mutable.HashMap[Any, Long],
-      b2: mutable.HashMap[Any, Long]): mutable.HashMap[Any, Long] = {
-    b2.foreach { case (k, c) => bump(b1, k, c) }
-    b1
+  protected final def bumpAny(buf: AnyHistBuffer, k: Any,
+      by: Long): Unit = {
+    val prev = buf.m.getOrElse(k, 0L)
+    if (prev == 0L && buf.m.size >= cap) capError
+    buf.m.update(k, prev + by)
   }
 
-  override def eval(buf: mutable.HashMap[Any, Long]): Any = {
+  /** Add one INTERNAL value (already non-null) with multiplicity. */
+  protected final def bumpValue(buf: HistBuffer, v: Any,
+      by: Long): Unit = buf match {
+    case b: LongHistBuffer => bumpLong(b, toLongKey(v), by)
+    case b: AnyHistBuffer => bumpAny(b, HistSummary.copyValue(v), by)
+  }
+
+  override def merge(b1: HistBuffer, b2: HistBuffer): HistBuffer =
+    (b1, b2) match {
+      case (a: LongHistBuffer, b: LongHistBuffer) =>
+        b.m.foreach { case (k, c) => bumpLong(a, k, c) }
+        a
+      case (a: AnyHistBuffer, b: AnyHistBuffer) =>
+        b.m.foreach { case (k, c) => bumpAny(a, k, c) }
+        a
+      case _ => throw new IllegalStateException(
+        s"$prettyName: mismatched histogram buffer kinds in merge")
+    }
+
+  /** Entries as (internal value, count), buffer order. */
+  private def entriesArray(buf: HistBuffer): Array[(Any, Long)] = {
+    val out = new Array[(Any, Long)](buf.size)
+    var i = 0
+    buf match {
+      case b: LongHistBuffer =>
+        b.m.foreach { case (k, c) => out(i) = (fromLongKey(k), c); i += 1 }
+      case b: AnyHistBuffer =>
+        b.m.foreach { case (k, c) => out(i) = (k, c); i += 1 }
+    }
+    out
+  }
+
+  override def eval(buf: HistBuffer): Any = {
     val ord = TypeUtils.getInterpretedOrdering(keyType)
-    val entries = buf.toArray.map { case (k, c) => (fromKey(k), c) }
+    val entries = entriesArray(buf)
       .sortBy(_._1)(ord.asInstanceOf[Ordering[Any]])
     new ArrayBasedMapData(
       new GenericArrayData(entries.map(_._1)),
@@ -207,33 +281,48 @@ sealed trait HistAggregate
     UnsafeProjection.create(Array[DataType](keyType, LongType))
   @transient private lazy val rowBuf = new UnsafeRow(2)
 
-  override def serialize(buf: mutable.HashMap[Any, Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
+  override def serialize(buf: HistBuffer): Array[Byte] = {
+    // presized: 2-field UnsafeRow = 24 B fixed (+ var-length for
+    // strings) + 4 B length prefix — log-growth copies of a multi-MB
+    // ByteArrayOutputStream were measurable garbage at the q289 scale
+    val bos = new ByteArrayOutputStream(buf.size * 32 + 16)
     val out = new DataOutputStream(bos)
     val row = new org.apache.spark.sql.catalyst.expressions
       .GenericInternalRow(2)
-    buf.foreach { case (k, c) =>
-      row.update(0, fromKey(k))
+    def writeEntry(k: Any, c: Long): Unit = {
+      row.update(0, k)
       row.update(1, c)
       val unsafe = rowProj.apply(row)
       out.writeInt(unsafe.getSizeInBytes)
       unsafe.writeToStream(out, null)
+    }
+    buf match {
+      case b: LongHistBuffer =>
+        b.m.foreach { case (k, c) => writeEntry(fromLongKey(k), c) }
+      case b: AnyHistBuffer =>
+        b.m.foreach { case (k, c) => writeEntry(k, c) }
     }
     out.writeInt(-1)
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Any, Long] = {
+  override def deserialize(bytes: Array[Byte]): HistBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val buf = mutable.HashMap.empty[Any, Long]
+    val buf = createAggregationBuffer()
     var sz = in.readInt()
     while (sz >= 0) {
       val rowBytes = new Array[Byte](sz)
       in.readFully(rowBytes)
       rowBuf.pointTo(rowBytes, sz)
-      buf.update(toKey(HistSummary.copyValue(rowBuf.get(0, keyType))),
-        rowBuf.getLong(1))
+      val v = rowBuf.get(0, keyType)
+      val c = rowBuf.getLong(1)
+      // direct puts (the wire histogram was already cap-checked)
+      buf match {
+        case b: LongHistBuffer => b.m.update(toLongKey(v), c)
+        case b: AnyHistBuffer =>
+          b.m.update(HistSummary.copyValue(v), c)
+      }
       sz = in.readInt()
     }
     buf
@@ -253,10 +342,9 @@ case class HistPartial(child: Expression, cap: Int,
 
   override protected def keyType: DataType = child.dataType
 
-  override def update(buf: mutable.HashMap[Any, Long],
-      input: InternalRow): mutable.HashMap[Any, Long] = {
+  override def update(buf: HistBuffer, input: InternalRow): HistBuffer = {
     val v = child.eval(input)
-    if (v != null) bump(buf, toKey(HistSummary.copyValue(v)), 1L)
+    if (v != null) bumpValue(buf, v, 1L)
     buf
   }
 
@@ -285,8 +373,7 @@ case class HistMerge(child: Expression, cap: Int,
   override protected def keyType: DataType =
     child.dataType.asInstanceOf[MapType].keyType
 
-  override def update(buf: mutable.HashMap[Any, Long],
-      input: InternalRow): mutable.HashMap[Any, Long] = {
+  override def update(buf: HistBuffer, input: InternalRow): HistBuffer = {
     val v = child.eval(input)
     if (v != null) {
       val m = v.asInstanceOf[MapData]
@@ -294,8 +381,7 @@ case class HistMerge(child: Expression, cap: Int,
       val vals = m.valueArray()
       var i = 0
       while (i < m.numElements()) {
-        bump(buf, toKey(HistSummary.copyValue(keys.get(i, keyType))),
-          vals.getLong(i))
+        bumpValue(buf, keys.get(i, keyType), vals.getLong(i))
         i += 1
       }
     }

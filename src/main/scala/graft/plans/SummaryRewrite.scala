@@ -578,25 +578,36 @@ object SummaryRewrite {
               case Aggregate(g0, a0, child, _) => (g0, a0, strip(child))
             }.flatMap {
               case (g0, a0, Join(l, r, _, Some(cond), _)) =>
+                // reference-free aggregates (count(1)) satisfy any
+                // side's containment check vacuously — advise them on
+                // the FIRST carrying side only, or both sides' advised
+                // lists double-count them
+                var refFreeAssigned = false
                 Seq(l, r).flatMap { side =>
                   rule.decompose(side).toSeq.flatMap { sh =>
                     val so = side.outputSet
                     val gSide = g0.filter(
                       _.references.toSeq.forall(so.contains))
+                    // .distinct: the same attr in several conjuncts
+                    // (a.k = b.k AND a.k < 10) must key once
                     val condSide: Seq[Expression] = conjuncts(cond)
                       .flatMap(_.references.toSeq).filter(so.contains)
-                    val aSide = a0.filter { ne =>
-                      val aes = ne.collect {
-                        case ae: AggregateExpression => ae
-                      }
-                      aes.nonEmpty && aes.forall(
-                        _.references.toSeq.forall(so.contains))
-                    }
-                    val carries = aSide.exists(_.collect {
+                      .distinct
+                    val aggNes = a0.filter(_.collect {
                       case ae: AggregateExpression => ae
-                    }.exists(_.references.nonEmpty))
-                    if (carries) Some((gSide ++ condSide, aSide, sh))
-                    else None
+                    }.nonEmpty)
+                    val (refFree, referencing) = aggNes.partition(
+                      _.collect { case ae: AggregateExpression => ae }
+                        .forall(_.references.isEmpty))
+                    val aSide = referencing.filter(_.collect {
+                      case ae: AggregateExpression => ae
+                    }.forall(_.references.toSeq.forall(so.contains)))
+                    if (aSide.nonEmpty) {
+                      val withFree =
+                        if (refFreeAssigned) aSide
+                        else { refFreeAssigned = true; aSide ++ refFree }
+                      Some((gSide ++ condSide, withFree, sh))
+                    } else None
                   }
                 }
               case _ => Seq.empty
@@ -626,7 +637,6 @@ object SummaryRewrite {
             }.flatMap {
               case (g0, a0, ex: Expand) =>
                 rule.decompose(ex.child).toSeq.flatMap { sh =>
-                  val posOf = ex.output.map(_.exprId).zipWithIndex.toMap
                   val baseMap: Map[ExprId, Expression] =
                     ex.output.zipWithIndex.flatMap { case (o, i) =>
                       val entries = ex.projections.map(_(i))
@@ -660,7 +670,7 @@ object SummaryRewrite {
                       baseMap.contains(r.exprId))) &&
                     aes.forall(_.references.toSeq.forall(r =>
                       baseMap.contains(r.exprId) || litPos.contains(r)))
-                  if (!mappable || !posOf.nonEmpty) None
+                  if (!mappable) None
                   else Some((gKeep.map(rebase),
                     a0.map(ne => rebase(ne).asInstanceOf[NamedExpression]),
                     sh))
@@ -722,14 +732,14 @@ object SummaryRewrite {
     * overwrite or deregister the programmatic entry. Refused at both
     * registration AND publish, so the key space stays disjoint by
     * construction. */
-  private def requireProgrammaticName(name: String): Unit =
+  private def requireProgrammaticName(api: String, name: String): Unit =
     require(!name.contains('@'),
-      s"register: entry name '$name' contains '@' — reserved as the " +
+      s"$api: entry name '$name' contains '@' — reserved as the " +
         "catalog-key namespace separator (a catalog refresh could " +
         "silently overwrite this registration)")
 
   def register(name: String, summary: Summary): Unit = {
-    requireProgrammaticName(name)
+    requireProgrammaticName("register", name)
     registry.put(name, summary)
   }
 
@@ -743,7 +753,7 @@ object SummaryRewrite {
     * newest committed version. */
   def registerStore(name: String, factPathSuffix: String, store: String,
       keys: Set[String]): Unit = {
-    requireProgrammaticName(name)
+    requireProgrammaticName("registerStore", name)
     registry.put(name, Summary(factPathSuffix, "", keys, Some(store)))
   }
 
@@ -848,9 +858,20 @@ object SummaryRewrite {
     * overload under names it chooses. */
   def publishCatalog(spark: SparkSession, catalogDir: String): Long = {
     import scala.jdk.CollectionConverters._
-    publishCatalog(spark, catalogDir,
-      registry.entrySet().asScala.map(e => e.getKey -> e.getValue)
-        .filter { case (k, _) => !k.contains('@') }.toMap)
+    val all = registry.entrySet().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    val (loaded, programmatic) = all.partition(_._1.contains('@'))
+    // the exclusion must be OBSERVABLE, not just documented: a consumer
+    // mirroring a bound catalog via install→publish would otherwise get
+    // a silently smaller published catalog with no runtime signal
+    if (loaded.nonEmpty)
+      System.err.println(
+        s"[summary] publishCatalog($catalogDir): excluding " +
+          s"${loaded.size} catalog-loaded entr" +
+          (if (loaded.size == 1) "y" else "ies") +
+          " (keys contain '@'); republish explicitly via the map " +
+          "overload to mirror them")
+    publishCatalog(spark, catalogDir, programmatic)
   }
 
   /** Load the newest committed catalog version into the registry and
@@ -2332,13 +2353,49 @@ object SummaryRewrite {
       * own per-branch artifact scans. */
     /** Join hint for the per-measure serve sides: both sides aggregate
       * the same artifact rows under the same grouping, so each side is
-      * summary-GROUP-sized by construction — kilobytes at any corpus
-      * size. Pinning BROADCAST on the right side makes that size
-      * argument a plan property instead of prose: a stats regression
-      * (or a disabled AQE) can never silently degrade the serve path
-      * to a shuffled sort-merge join. */
+      * summary-GROUP-sized by construction. Pinning BROADCAST on the
+      * right side makes that size argument a plan property instead of
+      * prose: a stats regression (or a disabled AQE) can never
+      * silently degrade the serve path to a shuffled sort-merge join. */
     private val broadcastRight =
       JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))
+
+    /** The pin above is applied per-join through this guard: BROADCAST
+      * only when the build side is PROVABLY small. "Summary-group-
+      * sized" is bounded by the QUERY's group count, which is
+      * unbounded when the grouping is a high-cardinality summary key
+      * (GROUP BY o_custkey is a legal registration) — and a forced
+      * broadcast of a large side is an availability cliff at scale
+      * (512M-row/8 GB broadcast limits, driver memory), not a perf
+      * win. The proof uses the side's LEAF bytes — actual artifact/dim
+      * file sizes, not derived estimates (Catalyst's default join
+      * stats are the PRODUCT of child sizes, which would reject every
+      * star side): the aggregated side's groups are distinct tuples of
+      * columns drawn from those leaves, and with every input leaf
+      * under the bound the aggregate output is of the same small
+      * magnitude — while the failure mode (a multi-hundred-MB artifact
+      * or dim supplying the grouping) trips the leaf sum directly.
+      * When withheld the join carries NO hint: stats/AQE pick the
+      * strategy, results identical, the plan just may shuffle — noted
+      * for [[explainServing]]. The bound floors at 64 MB even when the
+      * session disables auto-broadcast: a provably-small side is safe
+      * to broadcast, and the serve gates' plan-shape guarantees stay
+      * intact. */
+    private def sideJoinHint(r: LogicalPlan): JoinHint = {
+      val leafBytes = scala.util.Try(
+        r.collectLeaves().map(_.stats.sizeInBytes).sum).toOption
+      val bound = BigInt(math.max(
+        spark.sessionState.conf.autoBroadcastJoinThreshold,
+        64L * 1024 * 1024))
+      if (leafBytes.exists(b => b >= 0 && b <= bound)) broadcastRight
+      else {
+        note("per-measure side join: BROADCAST withheld — side leaf " +
+          s"bytes ${leafBytes.getOrElse(BigInt(-1))} exceed the " +
+          s"$bound B bound (high-cardinality grouping source); " +
+          "stats/AQE pick the join strategy")
+        JoinHint.NONE
+      }
+    }
 
     private def multiHistExpandSplit(groupExprs: Seq[Expression],
         aggExprs: Seq[NamedExpression], expand: Expand,
@@ -2483,7 +2540,7 @@ object SummaryRewrite {
           EqualNullSafe(a, b): Expression
         }.reduceOption(And)
         (Join(l, r, if (cond.isEmpty) Cross else Inner, cond,
-          broadcastRight), lg)
+          sideJoinHint(r)), lg)
       }._1
       val byId: Map[ExprId, Attribute] = sides.flatMap(
         _.get._1.aggregateExpressions.map(_.toAttribute))
@@ -2736,7 +2793,7 @@ object SummaryRewrite {
           EqualNullSafe(a, bb): Expression
         }.reduceOption(And)
         (Join(l, r, if (cond.isEmpty) Cross else Inner, cond,
-          broadcastRight), lg)
+          sideJoinHint(r)), lg)
       }._1
       val byId: Map[ExprId, Attribute] = sides.flatMap(
         _.get._1.aggregateExpressions.map(_.toAttribute))
@@ -2850,24 +2907,32 @@ object SummaryRewrite {
       // single-hist star path's multiplicity argument. Join conditions'
       // fact attributes ride `needed`, so they must be summary KEYS
       // (joining on a collapsed measure cannot serve).
-      val joinOpt: Option[(List[DimLevel], Shape, AttributeSet,
-          AttributeSet, Map[ExprId, Expression],
-          Option[(Union, Seq[Shape])])] =
-        if (unionOpt.isDefined) None
+      type Flattening = (List[DimLevel], Shape, AttributeSet,
+        AttributeSet, Map[ExprId, Expression],
+        Option[(Union, Seq[Shape])])
+      val joinAlternatives: LazyList[Flattening] =
+        if (unionOpt.isDefined) LazyList.empty
         else {
           // peel a fact-preserved dim TOWER (snowflakes compose like
           // tryJoinRewrite's peel): descend the fact side of each
           // join, collecting dim levels innermost-LAST; the final
           // fact must decompose to a REGISTERED fact (cheap registry
-          // match — no artifact IO). At each Inner join the fact side
-          // is the one that peels to a registered fact (left tried
-          // first); every conjunct must be (final-fact attr = other
-          // attr) — the fact attr lands in `needed`, so it must be a
-          // summary KEY — or a deterministic residual never touching
-          // the final fact (dim-dim snowflake links, dim-local
-          // predicates), validated once the final fact is known.
+          // match — no artifact IO). At each Inner join BOTH
+          // orientations are enumerated LAZILY (left-first): a join of
+          // TWO registered facts serves from whichever side's
+          // artifact derives the query — the left-first leaf merely
+          // getting a registry hit no longer pins a flattening whose
+          // rewrite then refuses (the non-expanded peel's behavior,
+          // now here too). Bounded: ≤ 2^MaxStarDepth candidate
+          // flattenings, each costing a registry match until
+          // attempted. Every conjunct must be (final-fact attr =
+          // other attr) — the fact attr lands in `needed`, so it must
+          // be a summary KEY — or a deterministic residual never
+          // touching the final fact (dim-dim snowflake links,
+          // dim-local predicates), validated once the final fact is
+          // known.
           def peelTower(p: LogicalPlan, depth: Int)
-              : Option[(Shape, AttributeSet, List[DimLevel],
+              : LazyList[(Shape, AttributeSet, List[DimLevel],
                 Map[ExprId, Expression],
                 Option[(Union, Seq[Shape])])] = {
             val (below, ps) = stripProjects(p)
@@ -2879,13 +2944,13 @@ object SummaryRewrite {
                   case RightOuter => Seq((r, l, false))
                   case _ => Seq.empty
                 }
-                orients.view.flatMap { case (fs, ds, fol) =>
+                LazyList.from(orients).flatMap { case (fs, ds, fol) =>
                   peelTower(fs, depth - 1).map {
                     case (sh, fo, dims, sub, lu) =>
                       (sh, fo, dims :+ DimLevel(ds, jt, cond, fol, jh),
                         sub ++ ps, lu)
                   }
-                }.headOption
+                }
               case u: Union if !u.byName && u.children.size >= 2 =>
                 // multi-epoch star under the Expand: the fact leaf is
                 // a UNION of registered facts — tryJoinRewrite's
@@ -2894,7 +2959,7 @@ object SummaryRewrite {
                 // per-branch canonical scans (hybrid partialization
                 // included) under the rebuilt dim tower
                 val shapesOpt = u.children.map(decompose)
-                if (shapesOpt.exists(_.isEmpty)) None
+                if (shapesOpt.exists(_.isEmpty)) LazyList.empty
                 else {
                   val shapes = shapesOpt.map(_.get)
                   val lower = (x: String) =>
@@ -2904,40 +2969,41 @@ object SummaryRewrite {
                         c.output.map(a => lower(a.name)) ==
                           u.output.map(a => lower(a.name))) &&
                       candidates(shapes.head, Set.empty).nonEmpty)
-                    Some((shapes.head, u.outputSet,
+                    LazyList((shapes.head, u.outputSet,
                       List.empty[DimLevel], ps, Some((u, shapes))))
-                  else None
+                  else LazyList.empty
                 }
               case _ =>
-                decompose(below)
+                LazyList.from(decompose(below)
                   .filter(sh => candidates(sh, Set.empty).nonEmpty)
                   .map(sh => (sh, below.outputSet,
-                    List.empty[DimLevel], ps, None))
+                    List.empty[DimLevel], ps, None)))
             }
           }
           val (below0, _) = stripProjects(child)
-          if (!below0.isInstanceOf[Join]) None
-          else {
-            val picked = peelTower(child, MaxStarDepth).filter {
-              case (_, fo, dims, _, _) =>
-                dims.forall(lvl =>
-                  splitConjunctivePredicates(lvl.cond).forall {
-                    case EqualTo(a: AttributeReference,
-                        b: AttributeReference)
-                        if fo.contains(a) || fo.contains(b) =>
-                      fo.contains(a) ^ fo.contains(b)
-                    case c => c.deterministic &&
-                      !c.exists(_.isInstanceOf[PlanExpression[_]]) &&
-                      c.references.toSeq.forall(r => !fo.contains(r))
-                  })
-            }.map { case (sh, fo, dims, sub, lu) =>
-              val dimOut = AttributeSet(dims.flatMap(_.dim.output))
-              (dims, sh, fo, dimOut, sub, lu)
-            }
-            if (picked.isEmpty) return None
-            picked
+          if (!below0.isInstanceOf[Join]) LazyList.empty
+          else peelTower(child, MaxStarDepth).filter {
+            case (_, fo, dims, _, _) =>
+              dims.forall(lvl =>
+                splitConjunctivePredicates(lvl.cond).forall {
+                  case EqualTo(a: AttributeReference,
+                      b: AttributeReference)
+                      if fo.contains(a) || fo.contains(b) =>
+                    fo.contains(a) ^ fo.contains(b)
+                  case c => c.deterministic &&
+                    !c.exists(_.isInstanceOf[PlanExpression[_]]) &&
+                    c.references.toSeq.forall(r => !fo.contains(r))
+                })
+          }.map { case (sh, fo, dims, sub, lu) =>
+            val dimOut = AttributeSet(dims.flatMap(_.dim.output))
+            (dims, sh, fo, dimOut, sub, lu)
           }
         }
+
+      // the whole classification + candidate build runs PER flattening
+      // (per join orientation); a refusal here falls through to the
+      // next flattening, not to the fact scan
+      def attempt(joinOpt: Option[Flattening]): Option[Aggregate] = {
       val shape = unionOpt match {
         case Some((_, shapes)) => shapes.head
         case None => joinOpt.map(_._2).getOrElse(
@@ -3202,6 +3268,10 @@ object SummaryRewrite {
         else note(s"rollup/cube aggregate SERVED by summary '$n'")
         r
       }.headOption
+      }
+
+      if (joinAlternatives.isEmpty) attempt(None)
+      else joinAlternatives.flatMap(j => attempt(Some(j))).headOption
     }
 
     /** The rewritten Expand's CHILD for one branch-0 candidate: the
@@ -3555,13 +3625,27 @@ object SummaryRewrite {
             else {
               // cnt-weighted derivations over key-determined
               // expressions (the Σ cnt·f family — `sum(CASE WHEN
-              // lang='en' THEN 1 ELSE 0 END)` under ROLLUP(source))
+              // lang='en' THEN 1 ELSE 0 END)` under ROLLUP(source)).
+              // DECIMALS are exact under reassociation, so they serve
+              // too: the product rides a LOSSLESS decimal type
+              // (20-digit cnt × p-digit f needs 21+p ≤ 38 — wider
+              // REFUSES rather than round), the true total fits the
+              // original Sum's result type by definition (or both
+              // overflow to null identically), and the final cast
+              // narrows exactly. FLOATS stay refused (ulp discipline).
               def weightedSum(child: Expression): Option[Expression] =
-                if (!integral(child.dataType)) None
-                else for {
-                  f <- keyDetermined(child)
-                  cnt <- partialAttr("cnt", -1)
-                } yield fagg(Sum(Multiply(cnt, Cast(f, LongType))))
+                child.dataType match {
+                  case t if integral(t) => for {
+                      f <- keyDetermined(child)
+                      cnt <- partialAttr("cnt", -1)
+                    } yield fagg(Sum(Multiply(cnt, Cast(f, LongType))))
+                  case d: DecimalType if 21 + d.precision <= 38 => for {
+                      f <- keyDetermined(child)
+                      cnt <- partialAttr("cnt", -1)
+                    } yield Cast(fagg(Sum(Multiply(
+                      Cast(cnt, DecimalType(20, 0)), f))), ae.dataType)
+                  case _ => None
+                }
               def weightedCnt(children: Seq[Expression]): Option[Expression] =
                 for {
                   ks <- sequence(children.map(keyDetermined))
@@ -3651,15 +3735,33 @@ object SummaryRewrite {
                 }
                 case _ => None
               }).orElse {
-                if (!integral(av.child.dataType)) None
-                else for {
-                  f <- keyDetermined(av.child)
-                  cnt <- partialAttr("cnt", -1)
-                } yield Divide(
-                  Cast(fagg(Sum(Multiply(cnt, Cast(f, LongType)))),
-                    DoubleType),
-                  Cast(fagg(Sum(If(IsNotNull(f), cnt,
-                    Literal(null, LongType)))), DoubleType))
+                av.child.dataType match {
+                  case t if integral(t) => for {
+                      f <- keyDetermined(av.child)
+                      cnt <- partialAttr("cnt", -1)
+                    } yield Divide(
+                      Cast(fagg(Sum(Multiply(cnt, Cast(f, LongType)))),
+                        DoubleType),
+                      Cast(fagg(Sum(If(IsNotNull(f), cnt,
+                        Literal(null, LongType)))), DoubleType))
+                  // decimal AVG mirrors Spark's own Average-on-decimal
+                  // shape — Divide(sum: dec(p+10, s), count: dec(20,
+                  // 0)) cast to the result type — over the exact
+                  // Σ cnt·f total, so rounding behavior matches the
+                  // fact's bit-for-bit (the law asserts it)
+                  case d: DecimalType if 21 + d.precision <= 38 => for {
+                      f <- keyDetermined(av.child)
+                      cnt <- partialAttr("cnt", -1)
+                    } yield Cast(Divide(
+                      Cast(fagg(Sum(Multiply(
+                        Cast(cnt, DecimalType(20, 0)), f))),
+                        DecimalType(math.min(38, d.precision + 10),
+                          d.scale)),
+                      Cast(fagg(Sum(If(IsNotNull(f), cnt,
+                        Literal(null, LongType)))), DecimalType(20, 0))),
+                      ae.dataType)
+                  case _ => None
+                }
               }.orElse(exprNameX(av.child).flatMap { case (nm, pos) =>
                 mvAttrs.get(s"sumx_$nm")
                   .filter(_.dataType == LongType)
@@ -4463,13 +4565,14 @@ object SummaryRewrite {
                     shape, factUnion, factOut, dimOut, dims, hint)
                   .orElse {
                     // TWO hist measures through the peel: per-measure
-                    // join trees, sides joined back (union facts stay
-                    // single-hist — per-branch wiring × per-side
-                    // instances is not built)
-                    if (factUnion.isEmpty)
-                      multiHistJoinCandidate(s, groupExprs, aggExprs,
-                        shape, factOut, dimOut, dims, hint)
-                    else None
+                    // join trees, sides joined back. A UNION fact
+                    // composes: each side's fact child is the union of
+                    // per-branch artifact instances (fresh ids per
+                    // side), ONE explosion per side sits OVER the
+                    // union — entry multisets concatenate across
+                    // branches exactly like the facts they stand for
+                    multiHistJoinCandidate(s, groupExprs, aggExprs,
+                      shape, factUnion, factOut, dimOut, dims, hint)
                   }
                 if (r.isEmpty)
                   note(s"candidate '$n': star-join shape not derivable " +
@@ -4569,32 +4672,60 @@ object SummaryRewrite {
 
     /** A FRESH-id copy of a dim-side plan for one per-measure serve
       * side: leaf relations are re-instanced (`newInstance` — fresh
-      * exprIds, zero IO) and references above remapped via
-      * `transformUpWithNewOutput`; returns the old→new attribute map
-      * so the caller can rewrite join conditions and groupings. Plans
-      * minting their OWN expression ids (Alias/Aggregate/Window/
-      * Generate/Expand) refuse — a copy would collide with the
-      * original's ids across the side join; star dims after column
-      * pruning are bare-attribute Project/Filter towers over a leaf,
-      * which this covers. */
+      * exprIds, zero IO), id-MINTING operators re-mint — every Alias
+      * in a Project/Aggregate/Window gets a fresh exprId (an
+      * aggregated calendar dim, a windowed rank dim, a computed dim
+      * projection are ordinary BI dims) — and references above are
+      * remapped via `transformUpWithNewOutput`; returns the old→new
+      * attribute map so the caller can rewrite join conditions and
+      * groupings. Still refused: Generate/Expand dims (generator
+      * output ids), non-re-instançable leaves, and any
+      * NONDETERMINISTIC expression anywhere in the dim — the two
+      * copies must compute value-identical rows or the sides' group
+      * sets diverge and the join-back stops being a bijection. */
     private def freshDimCopy(dim: LogicalPlan)
         : Option[(LogicalPlan, Map[ExprId, Attribute])] = {
       import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
       val unsafe = dim.exists {
-        case _: Aggregate | _: Window | _: Generate | _: Expand => true
-        case p: Project => p.projectList.exists(!_.isInstanceOf[Attribute])
+        case _: Generate | _: Expand => true
         case l: LeafNode => !l.isInstanceOf[MultiInstanceRelation]
-        case _ => false
+        case p => !p.expressions.forall(_.deterministic)
       }
       if (unsafe) None
       else {
         var mapping = Map.empty[ExprId, Attribute]
+        def remint(ne: NamedExpression)
+            : (NamedExpression, Seq[(Attribute, Attribute)]) = ne match {
+          case al: Alias =>
+            val fresh = Alias(al.child, al.name)(
+              qualifier = al.qualifier,
+              explicitMetadata = al.explicitMetadata)
+            (fresh, Seq((al.toAttribute, fresh.toAttribute)))
+          case other => (other, Seq.empty)
+        }
         val fresh = dim.transformUpWithNewOutput {
           case m: MultiInstanceRelation =>
             val ni = m.newInstance()
             val pairs = m.asInstanceOf[LogicalPlan].output.zip(ni.output)
             mapping ++= pairs.map { case (o, n) => o.exprId -> n }
             (ni, pairs)
+          case p: Project if p.projectList.exists(_.isInstanceOf[Alias]) =>
+            val r = p.projectList.map(remint)
+            val pairs = r.flatMap(_._2)
+            mapping ++= pairs.map { case (o, n) => o.exprId -> n }
+            (Project(r.map(_._1), p.child), pairs)
+          case a: Aggregate
+              if a.aggregateExpressions.exists(_.isInstanceOf[Alias]) =>
+            val r = a.aggregateExpressions.map(remint)
+            val pairs = r.flatMap(_._2)
+            mapping ++= pairs.map { case (o, n) => o.exprId -> n }
+            (a.copy(aggregateExpressions = r.map(_._1)), pairs)
+          case w: Window
+              if w.windowExpressions.exists(_.isInstanceOf[Alias]) =>
+            val r = w.windowExpressions.map(remint)
+            val pairs = r.flatMap(_._2)
+            mapping ++= pairs.map { case (o, n) => o.exprId -> n }
+            (w.copy(windowExpressions = r.map(_._1)), pairs)
         }
         Some((fresh, mapping))
       }
@@ -4622,6 +4753,7 @@ object SummaryRewrite {
     private def multiHistJoinCandidate(summary: Summary,
         groupExprs: Seq[Expression],
         aggExprs: Seq[NamedExpression], shape: Shape,
+        factUnion: Option[(Union, Seq[Shape])],
         factOut: AttributeSet, dimOut: AttributeSet,
         dims: List[DimLevel],
         hint: Option[AggregateHint]): Option[LogicalPlan] = {
@@ -4713,30 +4845,99 @@ object SummaryRewrite {
             hist = Some(HistCtx(base, entryAttrs._2, entryAttrs._3)),
             exprs = summary.exprs)
             .filter(_.dataType == e.dataType)))
-      } yield {
-        val (posA, kA, vA) = entryAttrs
-        val dimMap = dimCopies.flatMap(_._2).toMap
-        val remap = (ex: Expression) => ex.transform {
+        (posA, kA, vA) = entryAttrs
+        dimMap = dimCopies.flatMap(_._2).toMap
+        remap = (ex: Expression) => ex.transform {
           case a: AttributeReference
               if factOut.contains(a) && attrs.contains(a.name) =>
             attrs(a.name)
           case a: AttributeReference if dimMap.contains(a.exprId) =>
             dimMap(a.exprId)
         }
-        val filtered = shape.pred.map(p => Filter(remap(p), plan))
+        masked = maskToFirstEntry(rewritten, posA, attrs)
+          .map(e => remap(e).asInstanceOf[NamedExpression])
+        groupVals = groupExprs.zipWithIndex.map { case (g, j) =>
+          Alias(remap(g), s"__mhj_g$j")()
+        }
+        newConds = dims.map(l => remap(l.cond))
+        filtered = shape.pred.map(p => Filter(remap(p), plan))
           .getOrElse(plan)
-        val gen = histExplode(histAttr, posA, kA, vA, filtered)
-        val newJoin = dimCopies.foldLeft(gen: LogicalPlan) {
-          case (p, (lvl, _)) =>
-            val c = remap(lvl.cond)
+        // the fact child under THIS side's explosion: the filtered
+        // anchor instance, or (union fact) the union of per-branch
+        // artifact instances projected to the side's required columns
+        // — branch 0 is the anchor, each other branch resolves its own
+        // carrying candidate by the cross-branch name+type(+expression
+        // SQL) contract. No hybrid here: an exact histogram cannot be
+        // partialized from a fact scan without defeating
+        // fact-scan-free, so a branch without a carrying artifact
+        // refuses the whole side.
+        factChild <- factUnion match {
+          case None => Some(filtered)
+          case Some((u, shapes)) =>
+            val planOut = AttributeSet(plan.output)
+            val required = (AttributeSet(
+              masked.flatMap(_.references.toSeq) ++
+                groupVals.flatMap(_.references.toSeq) ++
+                newConds.flatMap(_.references.toSeq)).toSeq
+              .filter(planOut.contains) :+ histAttr)
+              .map(_.name).distinct.sorted
+            val refTypes = required.map(nm => nm -> attrs(nm).dataType)
+              .toMap
+            if (!branchCarries(required, refTypes, attrs, summary.keys))
+              None
+            else {
+              // expression-backed partials (hist_<e> included) must
+              // bind the SAME SQL on every branch's registration
+              val usedExprNames = required.collect {
+                case nm if nm.startsWith("sumx_") => nm.stripPrefix("sumx_")
+                case nm if nm.startsWith("cntx_") => nm.stripPrefix("cntx_")
+                case nm if nm.startsWith("minx_") => nm.stripPrefix("minx_")
+                case nm if nm.startsWith("maxx_") => nm.stripPrefix("maxx_")
+                case nm if nm.startsWith("hist_") &&
+                    summary.exprs.contains(nm.stripPrefix("hist_")) =>
+                  nm.stripPrefix("hist_")
+              }.distinct
+              val proj0 = Project(required.map(attrs(_)), filtered)
+              val others = u.children.indices.drop(1).map { i =>
+                val needs = required.filterNot(isPartialName).toSet ++
+                  shapes(i).pred.toSeq
+                    .flatMap(_.references.toSeq.map(_.name))
+                candidates(shapes(i), needs).view.flatMap { case (_, s) =>
+                  for {
+                    pth <- resolveMvPath(s)
+                    pl <- mvPlanFor(pth, s.store.isDefined)
+                    at = pl.output.map(a => a.name -> a).toMap
+                    if shapes(i).pred.forall(_.references.toSeq.forall(
+                      r => at.contains(r.name)))
+                    if branchCarries(required, refTypes, at, s.keys)
+                    if usedExprNames.forall(en =>
+                      s.exprs.get(en) == summary.exprs.get(en))
+                  } yield {
+                    val remapI = (ex: Expression) => ex.transform {
+                      case a: AttributeReference if at.contains(a.name) =>
+                        at(a.name)
+                    }
+                    val pi = shapes(i).pred
+                      .map(p => Filter(remapI(p), pl)).getOrElse(pl)
+                    Project(required.map(at(_)), pi)
+                  }
+                }.headOption
+              }
+              if (others.exists(_.isEmpty)) {
+                note("multi-hist star over a union fact: a branch has " +
+                  "no carrying artifact — refusing the side (exact " +
+                  "histograms cannot be partialized fact-scan-free)")
+                None
+              } else Some(Union((proj0 +: others.map(_.get)).toIndexedSeq))
+            }
+        }
+      } yield {
+        val gen = histExplode(histAttr, posA, kA, vA, factChild)
+        val newJoin = dimCopies.zip(newConds).foldLeft(gen: LogicalPlan) {
+          case (p, ((lvl, _), c)) =>
             if (lvl.factOnLeft)
               Join(p, lvl.dim, lvl.joinType, Some(c), lvl.jhint)
             else Join(lvl.dim, p, lvl.joinType, Some(c), lvl.jhint)
-        }
-        val masked = maskToFirstEntry(rewritten, posA, attrs)
-          .map(e => remap(e).asInstanceOf[NamedExpression])
-        val groupVals = groupExprs.zipWithIndex.map { case (g, j) =>
-          Alias(remap(g), s"__mhj_g$j")()
         }
         val agg = Aggregate(groupExprs.map(remap),
           groupVals ++ masked, newJoin, hint)
@@ -4752,7 +4953,7 @@ object SummaryRewrite {
           EqualNullSafe(a, b): Expression
         }.reduceOption(And)
         (Join(l, r, if (cond.isEmpty) Cross else Inner, cond,
-          broadcastRight), lg)
+          sideJoinHint(r)), lg)
       }._1
       val byId: Map[ExprId, Attribute] = sides.flatMap(
         _.get._1.aggregateExpressions.map(_.toAttribute))
@@ -5035,7 +5236,7 @@ object SummaryRewrite {
           EqualNullSafe(a, b): Expression
         }.reduceOption(And)
         (Join(l, r, if (cond.isEmpty) Cross else Inner, cond,
-          broadcastRight), lg)
+          sideJoinHint(r)), lg)
       }._1
       val byId: Map[ExprId, Attribute] = sides.flatMap(
         _.get._1.aggregateExpressions.map(_.toAttribute))

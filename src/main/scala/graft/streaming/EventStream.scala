@@ -339,7 +339,7 @@ object EventStream {
   def lateDataAccounting(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val name = "late_" + UUID.randomUUID().toString.replace("-", "")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q210").toString
+    val tmp = graft.TempDirs.create("q210").toString
     val sdir = s"$tmp/stream"
     val ev = graft.Tables.load(spark, dir, "events")
       .select(col("ts"), col("event_type"), col("event_id"))

@@ -1,0 +1,160 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential FUZZ harness for [[SummaryRewrite]].
+  *
+  * The rule is several thousand lines serving a combinatorial shape
+  * space (measures × lattices × stars × unions × glue); the
+  * hand-pinned laws in [[SummaryRewriteSpec]] cover the named corners
+  * but cannot cover the cross-products. This spec generates N seeded
+  * random dashboard shapes over a small synthetic fact and asserts
+  * the ONLY property the rewrite is allowed to have: rewrite-on ==
+  * rewrite-off, row for row, bit for bit — and when a plan serves,
+  * the fact is not scanned. Any divergence this finds gets fixed and
+  * pinned as a regression law in the main spec.
+  *
+  * Seeded (fixed literal): every CI run fuzzes the same 200 shapes,
+  * so a failure reproduces by seed+index without flakiness.
+  */
+class SummaryRewriteFuzzSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("200 seeded random dashboard shapes: rewrite-on == rewrite-off " +
+      "row-for-row; served plans never scan the fact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fuzz")
+      .toString
+    // synthetic fact: 2 keys, 3 measures (one nullable) — bounded
+    // value domains so histograms stay tiny and every aggregate is
+    // exactly derivable in principle
+    val fact = spark.range(400).select(
+      concat(lit("s"), (col("id") % 3).cast("string")).as("k1"),
+      (col("id") % 5).cast("int").as("k2"),
+      (col("id") * 37 % 97).as("m1"),
+      (col("id") * 13 % 41).cast("int").as("m2"),
+      when(col("id") % 11 === 0, lit(null))
+        .otherwise(col("id") % 23).as("m3"))
+    fact.write.parquet(s"$tmp/fact.parquet")
+    val factDf = spark.read.parquet(s"$tmp/fact.parquet")
+    // two epochs partition the fact (union shapes)
+    (0 to 1).foreach { i =>
+      factDf.filter($"m1" % 2 === i)
+        .write.parquet(s"$tmp/ep$i/fact.parquet")
+    }
+    // a small dim joined on k2 (star shapes)
+    Seq((0, "dA", 10), (1, "dB", 11), (2, "dC", 12), (3, "dA", 13),
+      (4, "dB", 14)).toDF("dk", "d1", "d2")
+      .write.parquet(s"$tmp/dim.parquet")
+    val dimDf = spark.read.parquet(s"$tmp/dim.parquet")
+
+    def build(src: String, mv: String): Unit =
+      SummaryRewrite.buildSummary(spark, src,
+        keys = Seq("k1", "k2"), sumCols = Seq("m1", "m2", "m3"),
+        mvPath = mv, minMaxCols = Seq("m1", "m2", "m3"),
+        histCols = Seq("m1", "m2", "m3"))
+    build(s"$tmp/fact.parquet", s"$tmp/fuzzmv")
+    (0 to 1).foreach(i => build(s"$tmp/ep$i/fact.parquet",
+      s"$tmp/fuzzmv_ep$i"))
+    SummaryRewrite.install(spark)
+    def reg(): Unit = {
+      SummaryRewrite.register("fuzz_fact", SummaryRewrite.Summary(
+        "fact.parquet", s"$tmp/fuzzmv", Set("k1", "k2")))
+      (0 to 1).foreach(i => SummaryRewrite.register(s"fuzz_ep$i",
+        SummaryRewrite.Summary(s"ep$i/fact.parquet", s"$tmp/fuzzmv_ep$i",
+          Set("k1", "k2"))))
+    }
+    def dereg(): Unit = {
+      SummaryRewrite.deregister("fuzz_fact")
+      (0 to 1).foreach(i => SummaryRewrite.deregister(s"fuzz_ep$i"))
+    }
+
+    val pool: Vector[() => Column] = Vector(
+      () => count(lit(1)),
+      () => count($"m1"),
+      () => count($"m3"),
+      () => sum($"m1"),
+      () => sum($"m2"),
+      () => sum($"m3"),
+      () => min($"m1"),
+      () => max($"m2"),
+      () => min($"m3"),
+      () => avg($"m1"),
+      () => avg($"m2"),
+      () => countDistinct($"m1"),
+      () => countDistinct($"m2"),
+      () => countDistinct($"m3"),
+      () => expr("median(m1)"),
+      () => expr("median(m3)"),
+      () => expr("percentile(m2, 0.9)"),
+      () => sum_distinct($"m1"),
+      () => avg($"m2" + lit(0)), // computed child — usually refuses
+      () => approx_count_distinct($"m1"),
+      () => (countDistinct($"m1") - countDistinct($"m2")).as("glue"),
+      () => (expr("median(m1)") + expr("median(m2)")).as("glue2"))
+
+    val rnd = new scala.util.Random(20160816L)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
+    var served = 0
+    val n = 200
+    reg()
+    try {
+      (0 until n).foreach { i =>
+        val shape = rnd.nextInt(5) // flat, rollup, cube, star, union
+        val base: DataFrame = shape match {
+          case 3 => factDf.join(dimDf, $"k2" === $"dk")
+          case 4 => spark.read.parquet(s"$tmp/ep0/fact.parquet")
+            .union(spark.read.parquet(s"$tmp/ep1/fact.parquet"))
+          case _ => factDf
+        }
+        val gcols: Seq[String] = shape match {
+          case 1 | 2 => pick(Seq(Seq("k1", "k2"), Seq("k1"), Seq("k2")))
+          case 3 => pick(Seq(Seq("d1"), Seq("d1", "k1"), Seq("k1"),
+            Seq("d1", "d2")))
+          case _ => pick(Seq(Seq("k1", "k2"), Seq("k1"), Seq("k2"),
+            Seq.empty))
+        }
+        val nAggs = 1 + rnd.nextInt(3)
+        val aggCols = (0 until nAggs).map(j =>
+          pick(pool)().as(s"a$j"))
+        def q: DataFrame = shape match {
+          case 1 => base.rollup(gcols.map(col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+          case 2 => base.cube(gcols.map(col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+          case _ if gcols.isEmpty =>
+            base.agg(aggCols.head, aggCols.tail: _*)
+          case _ => base.groupBy(gcols.map(col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+        }
+        val what = s"shape#$i (seed 20160816, kind $shape, " +
+          s"group ${gcols.mkString(",")}, aggs " +
+          aggCols.map(_.toString).mkString(" | ") + ")"
+        val plan = q.queryExecution.executedPlan.toString
+        val isServed = plan.contains("fuzzmv")
+        if (isServed) {
+          served += 1
+          assert(!plan.contains("fact.parquet"),
+            s"$what: served but the fact is still scanned:\n$plan")
+        }
+        val got = q.collect().map(_.toSeq).toSet
+        dereg()
+        val want = q.collect().map(_.toSeq).toSet
+        reg()
+        assert(got === want,
+          s"$what: rewrite-on != rewrite-off (served=$isServed)")
+      }
+      // the fuzz must not be vacuous: a healthy registry serves a
+      // substantial fraction of random dashboard shapes
+      assert(served >= n / 5,
+        s"only $served/$n shapes served — the fuzz lost its teeth")
+    } finally dereg()
+  }
+}

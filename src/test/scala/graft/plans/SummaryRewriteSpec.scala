@@ -3985,18 +3985,57 @@ class SummaryRewriteSpec extends AnyFunSuite {
             expr("percentile(o_totalprice, 0.5)")).as("mm"),
           count(lit(1)).as("n")),
         "cross-measure glue through the peel")
-      // a dim side minting its own exprIds (an aggregate dim)
-      // refuses the fresh copy — the rewrite stands down to the fact
+      // a dim side minting its own exprIds SERVES via the re-minting
+      // fresh copy (round 16): an AGGREGATE dim (the pre-rolled
+      // calendar shape), a WINDOW dim, and a COMPUTED dim projection
+      // each get fresh Alias ids per side — deterministic, so both
+      // copies compute value-identical rows and the join-back stays a
+      // bijection; value-exactness asserted against the fact join
       val aggDim = customer.groupBy($"c_custkey")
         .agg(max($"c_nationkey").as("nk1"))
-      val refused = orders
+      served(orders
         .join(aggDim, col("o_custkey") === col("c_custkey"))
         .groupBy($"nk1").agg(
+          expr("percentile(o_orderkey, 0.5)").as("med_ok"),
+          expr("percentile(o_totalprice, 0.5)").as("med_tp"),
+          count(lit(1)).as("n")),
+        "two medians through an AGGREGATE dim")
+      val computedDim = customer.select($"c_custkey",
+        concat($"c_mktsegment", lit("!")).as("seg2"))
+      served(orders
+        .join(computedDim, col("o_custkey") === col("c_custkey"))
+        .groupBy($"seg2").agg(
+          expr("percentile(o_orderkey, 0.5)").as("med_ok"),
+          expr("percentile(o_totalprice, 0.5)").as("med_tp"),
+          count(lit(1)).as("n")),
+        "two medians through a COMPUTED dim projection")
+      import org.apache.spark.sql.expressions.{Window => W}
+      val winDim = customer.select($"c_custkey", $"c_nationkey",
+        row_number().over(W.partitionBy($"c_nationkey")
+          .orderBy($"c_custkey")).as("rk"))
+        .filter($"rk" <= 1000000)
+      served(orders
+        .join(winDim, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_nationkey").agg(
+          expr("percentile(o_orderkey, 0.5)").as("med_ok"),
+          expr("percentile(o_totalprice, 0.5)").as("med_tp"),
+          count(lit(1)).as("n")),
+        "two medians through a WINDOW dim")
+      // genuinely unsafe shapes still refuse: a NONDETERMINISTIC dim
+      // expression would compute different rows per copy — the sides'
+      // group sets could diverge, so the rewrite stands down.
+      // (rand() > tiny, not rand() >= 0 — the optimizer proves the
+      // latter always-true and deletes the filter entirely)
+      val nondetDim = customer.select($"c_custkey", $"c_mktsegment")
+        .filter(rand() > 1e-9)
+      val refused = orders
+        .join(nondetDim, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_mktsegment").agg(
           expr("percentile(o_orderkey, 0.5)").as("med_ok"),
           expr("percentile(o_totalprice, 0.5)").as("med_tp"))
       assert(refused.queryExecution.executedPlan.toString
         .contains("orders.parquet"),
-        "a dim with computed projections must refuse the side copy")
+        "a nondeterministic dim must refuse the side copy")
       // the UNIQUES-PER-DIM-ATTRIBUTE dashboard — TWO count(DISTINCT
       // fact-measure)s grouped by a dim attribute: the double
       // aggregation's Expand sits over the JOIN; the per-measure split
@@ -4062,7 +4101,176 @@ class SummaryRewriteSpec extends AnyFunSuite {
           countDistinct($"o_orderkey").as("uo"),
           countDistinct($"o_totalprice").as("ut")),
         "dim min/sum/avg beside the fact pair")
+      // DECIMAL dim measures beside the fact pair (round 16): decimal
+      // sums are exact under reassociation — Σ cnt·f rides a LOSSLESS
+      // product type (21+p ≤ 38) and casts back to the original Sum
+      // type; avg mirrors Spark's own decimal-Average division shape.
+      // The dim carries the decimal as a computed projection, so this
+      // also composes with the re-minting fresh copy.
+      val decDim = customer.select($"c_custkey", $"c_mktsegment",
+        $"c_acctbal".cast("decimal(12,2)").as("bal"))
+      served(orders
+        .join(decDim, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_mktsegment").agg(
+          sum($"bal").as("sum_bal"),
+          avg($"bal").as("avg_bal"),
+          countDistinct($"o_orderkey").as("uo"),
+          countDistinct($"o_totalprice").as("ut")),
+        "decimal dim sum/avg beside the fact pair")
+      // FLOAT dim sums keep refusing (the engine's ulp discipline:
+      // float addition is not associative, a reassociated sum could
+      // differ from the fact scan in the last ulp)
+      val floatRefused = orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_mktsegment").agg(
+          sum($"c_acctbal").as("s"),
+          countDistinct($"o_orderkey").as("uo"),
+          countDistinct($"o_totalprice").as("ut"))
+      assert(floatRefused.queryExecution.executedPlan.toString
+        .contains("orders.parquet"),
+        "a float dim sum must refuse to the fact")
     } finally SummaryRewrite.deregister("spec_mhstar")
+  }
+
+  test("TWO hist measures through the star peel over a UNION fact: " +
+      "median(x), median(y) per dim attribute over per-epoch artifacts " +
+      "— each side unions its per-branch artifact instances with ONE " +
+      "explosion over the union; a branch without a carrying artifact " +
+      "refuses (no hybrid: exact histograms cannot be partialized " +
+      "fact-scan-free)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    def reg(i: Int): Unit = SummaryRewrite.register(s"spec_mhu$i",
+      SummaryRewrite.Summary(s"mhep$i/o.parquet", s"$tmp/mhu$i",
+        Set("o_custkey")))
+    (0 to 1).foreach { i =>
+      orders.filter($"o_orderkey" % 2 === i)
+        .write.parquet(s"$tmp/mhep$i/o.parquet")
+      SummaryRewrite.buildSummary(spark, s"$tmp/mhep$i/o.parquet",
+        keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"),
+        mvPath = s"$tmp/mhu$i",
+        histCols = Seq("o_orderkey", "o_totalprice"))
+      reg(i)
+    }
+    SummaryRewrite.install(spark)
+    try {
+      def customer = graft.Tables.load(spark, dir, "customer")
+      def q = spark.read.parquet(s"$tmp/mhep0/o.parquet")
+        .union(spark.read.parquet(s"$tmp/mhep1/o.parquet"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_mktsegment").agg(
+          expr("percentile(o_orderkey, 0.5)").as("med_ok"),
+          expr("percentile(o_totalprice, 0.5)").as("med_tp"),
+          count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("mhu0") && p.contains("mhu1") &&
+        !p.contains("o.parquet"),
+        s"two-hist star over a union fact did not serve:\n$p")
+      assert("Generate".r.findAllIn(p).size >= 2,
+        "need one explosion per measure side (each over its union)")
+      assert(p.contains("BroadcastHashJoin"),
+        "the sides must join back BROADCAST")
+      // value-exactness vs the fact union join
+      SummaryRewrite.deregister("spec_mhu0")
+      SummaryRewrite.deregister("spec_mhu1")
+      val expect = q.collect().map(_.toSeq).toSet
+      (0 to 1).foreach(reg)
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "two-hist union star diverged from the fact join")
+      // the composed glue + distinct pair shape over the union fact
+      // (the expanded path's per-measure split with union children)
+      def q2 = spark.read.parquet(s"$tmp/mhep0/o.parquet")
+        .union(spark.read.parquet(s"$tmp/mhep1/o.parquet"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy($"c_nationkey").agg(
+          countDistinct($"o_orderkey").as("uo"),
+          countDistinct($"o_totalprice").as("ut"),
+          count(lit(1)).as("n"))
+      val p2 = q2.queryExecution.executedPlan.toString
+      assert(p2.contains("mhu0") && p2.contains("mhu1") &&
+        !p2.contains("o.parquet"),
+        s"distinct pair over a union fact star did not serve:\n$p2")
+      SummaryRewrite.deregister("spec_mhu0")
+      SummaryRewrite.deregister("spec_mhu1")
+      val expect2 = q2.collect().map(_.toSeq).toSet
+      (0 to 1).foreach(reg)
+      assert(q2.collect().map(_.toSeq).toSet === expect2,
+        "distinct pair over the union fact diverged")
+      // REFUSAL: one epoch loses its artifact — the whole rewrite
+      // stands down to the fact union (never a partial histogram)
+      SummaryRewrite.deregister("spec_mhu1")
+      assert(q.queryExecution.executedPlan.toString
+        .contains("o.parquet"),
+        "a missing epoch artifact must refuse to the fact union")
+      reg(1)
+    } finally (0 to 1).foreach(i =>
+      SummaryRewrite.deregister(s"spec_mhu$i"))
+  }
+
+  test("the expanded-shape fact peel explores BOTH join orientations: " +
+      "a join of TWO registered facts serves from whichever side's " +
+      "artifact derives the measures; neither side derivable refuses") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      .toString
+    // the LEFT side (customer) is registered, but its summary cannot
+    // cover the query (keys lack c_mktsegment) — a left-first-only
+    // peel would pin customer as the fact on the registry hit, find
+    // no covering candidate, and fall back to the fact scan even
+    // though the RIGHT side (orders) serves
+    SummaryRewrite.buildSummary(spark, s"$dir/customer.parquet",
+      keys = Seq("c_custkey"), sumCols = Seq.empty,
+      mvPath = s"$tmp/bfc")
+    SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
+      keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"),
+      mvPath = s"$tmp/bfo",
+      histCols = Seq("o_orderkey", "o_totalprice"))
+    SummaryRewrite.install(spark)
+    SummaryRewrite.register("spec_bfc", SummaryRewrite.Summary(
+      "customer.parquet", s"$tmp/bfc", Set("c_custkey")))
+    SummaryRewrite.register("spec_bfo", SummaryRewrite.Summary(
+      "orders.parquet", s"$tmp/bfo", Set("o_custkey")))
+    try {
+      def customer = graft.Tables.load(spark, dir, "customer")
+      def orders = graft.Tables.load(spark, dir, "orders")
+      // customer on the LEFT: orientation 1 peels customer as the
+      // fact (registered — a registry hit) but cannot derive the
+      // fact-measure distinct pair; orientation 2 must then serve
+      // from the orders artifact
+      def q = customer
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .groupBy($"c_mktsegment").agg(
+          countDistinct($"o_orderkey").as("uo"),
+          countDistinct($"o_totalprice").as("ut"),
+          count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("bfo") && !p.contains("orders.parquet"),
+        s"right-side artifact did not serve under the expanded peel:\n$p")
+      SummaryRewrite.deregister("spec_bfo")
+      SummaryRewrite.deregister("spec_bfc")
+      val expect = q.collect().map(_.toSeq).toSet
+      SummaryRewrite.register("spec_bfc", SummaryRewrite.Summary(
+        "customer.parquet", s"$tmp/bfc", Set("c_custkey")))
+      SummaryRewrite.register("spec_bfo", SummaryRewrite.Summary(
+        "orders.parquet", s"$tmp/bfo", Set("o_custkey")))
+      assert(q.collect().map(_.toSeq).toSet === expect,
+        "both-orientation serving diverged from the fact join")
+      // neither orientation derivable: a distinct over an expression
+      // SPANNING two fact measures — no histogram can source it as
+      // the fact, and as a dim position the distinct consumer is
+      // inadmissible — every flattening refuses, the fact scan answers
+      def qr = customer
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .groupBy($"c_mktsegment").agg(
+          countDistinct($"o_totalprice").as("ut"),
+          countDistinct($"o_orderkey" + $"o_totalprice").as("um"))
+      assert(qr.queryExecution.executedPlan.toString
+        .contains("customer.parquet"),
+        "a pair neither artifact derives must refuse to the fact scan")
+    } finally {
+      SummaryRewrite.deregister("spec_bfc")
+      SummaryRewrite.deregister("spec_bfo")
+    }
   }
 
   test("hist value types: decimal and string measures build, fold, " +
