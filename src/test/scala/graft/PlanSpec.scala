@@ -107,7 +107,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("link candidates prune pixel payloads out of both parquet scans") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-linkplan")
+    val tmp = graft.TempDirs.create("linkplan")
     val wcs = graft.pipeline.WcsParams(1, 1, 1e-4, 0, 0, 1e-4, 150.0, 2.0)
     Seq(graft.pipeline.SpectrumObs(0, 1L, "a.fits", 150.0, 2.0, 53000.0, 1001L,
         53000L, 1, 42L, Array(1f, 2f), Array(1f, 2f), Array(0.1f, 0.1f), Map.empty))

@@ -22,11 +22,20 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanSweepSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // summary gates assert artifact paths inside executedPlan strings;
+    // the default 100-char metadata truncation can swallow a nested
+    // session-temp-root path. Runtime-set (not builder config) because
+    // the test JVM's session is shared across suites and the first
+    // getOrCreate wins builder configs.
+    s.conf.set("spark.sql.maxMetadataStringLength", 500)
+    s
+  }
 
   val dir = "/root/testdata/sf0.001"
 

@@ -51,7 +51,7 @@ class AnnSpec extends AnyFunSuite {
     val emb = load(spark, dir, "embeddings")
     val cents = emb.filter($"vec_id" < 16)
       .select($"vec_id".as("cent_id"), $"embedding".as("cent"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val tmp = graft.TempDirs.create("ivf").toString
     // build + persist the artifact
     VectorOps.ivfAssignments(emb, cents).write.parquet(s"$tmp/assign")
     val stored = spark.read.parquet(s"$tmp/assign")
@@ -508,7 +508,7 @@ class AnnSpec extends AnyFunSuite {
     val same = (0L until 40L).map { i =>
       (i, Array.fill(4)(((i / 2) % 5).toFloat / 10f), 1)
     }.toDF("vec_id", "embedding", "label")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q193").toString
+    val tmp = graft.TempDirs.create("q193").toString
     same.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
     val zero = VectorOps.q193CentroidDrift(spark, tmp).collect()
     assert(zero.length === 1 && zero.head.getAs[Long]("drift_num") === 0L,

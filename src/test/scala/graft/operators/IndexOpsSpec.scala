@@ -128,7 +128,7 @@ class IndexOpsSpec extends AnyFunSuite {
 
   test("writeZOrdered + boxProbe: probe prunes to PartitionFilters, result ≡ direct scan") {
     val ev = load(spark, dir, "events")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val tmp = graft.TempDirs.create("zorder").toString
     IndexOps.writeZOrdered(ev,
       $"user_id", expr("unix_timestamp(ts) div 3600"), scale = 8, path = tmp)
     // one file per (task, tile): every tile directory holds exactly one
@@ -161,7 +161,7 @@ class IndexOpsSpec extends AnyFunSuite {
     val ev = load(spark, dir, "events")
     val base = ev.filter($"event_id" % 2 === 0)
     val delta = ev.filter($"event_id" % 2 === 1)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-zappend").toString
+    val tmp = graft.TempDirs.create("zappend").toString
     IndexOps.writeZOrdered(base,
       $"user_id", expr("unix_timestamp(ts) div 3600"), scale = 8, path = tmp)
     IndexOps.appendZOrdered(delta,
@@ -190,7 +190,7 @@ class IndexOpsSpec extends AnyFunSuite {
 
   test("q158: manifest-pruned read ≡ direct scan while opening fewer files") {
     val ev = load(spark, dir, "events")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    val tmp = graft.TempDirs.create("manifest").toString
     ev.repartitionByRange(8, $"user_id")
       .sortWithinPartitions($"user_id", $"ts")
       .write.mode("overwrite").parquet(s"$tmp/t")
@@ -230,7 +230,7 @@ class IndexOpsSpec extends AnyFunSuite {
 
   test("q182: incremental append ≡ full rebuild; already-current is a free no-op") {
     val ev = load(spark, dir, "events")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-apmanifest").toString
+    val tmp = graft.TempDirs.create("apmanifest").toString
     ev.filter($"user_id" % 5 =!= 0L)
       .repartitionByRange(6, $"user_id")
       .sortWithinPartitions($"user_id", $"ts")
@@ -273,7 +273,7 @@ class IndexOpsSpec extends AnyFunSuite {
   test("q174: compaction folds the fragment layout without changing a row") {
     import graft.Tables.load
     val docs = load(spark, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val tmp = graft.TempDirs.create("compact").toString
     docs.repartition(32).write.parquet(s"$tmp/frag")
     val before = spark.read.parquet(s"$tmp/frag")
     assert(before.inputFiles.length === 32)
@@ -325,7 +325,7 @@ class IndexOpsSpec extends AnyFunSuite {
   test("q200: versions are monotone, reads pin, retention keeps the " +
     "newest and sweeps staging residue") {
     import spark.implicits._
-    val store = java.nio.file.Files.createTempDirectory("graft-snap")
+    val store = graft.TempDirs.create("snap")
       .toString + "/s"
     val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val d2 = Seq((3L, "c")).toDF("id", "v")

@@ -483,7 +483,7 @@ class MiningOpsSpec extends AnyFunSuite {
     }
     val ev = rows.toDF("user_id", "event_type", "sec")
       .withColumn("ts", timestamp_seconds(col("sec")))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q240").toString
+    val tmp = graft.TempDirs.create("q240").toString
     ev.select(col("user_id"), col("event_type"), col("ts"))
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
     val out = MiningOps.q240FunnelLatency(spark, tmp).collect()

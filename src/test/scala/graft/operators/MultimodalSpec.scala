@@ -247,10 +247,10 @@ class MultimodalSpec extends AnyFunSuite {
     val s2 = Seq((10L, 50L), (30L, 300L)).toDF("ahash", "first_id")
     val expect = Map(10L -> 50L, 20L -> 200L, 30L -> 300L)
     // order-blind
-    val a = java.nio.file.Files.createTempDirectory("graft-rega").toString
+    val a = graft.TempDirs.create("rega").toString
     HistogramStream.appendRegistryShard(spark, a, "b0", s1)
     HistogramStream.appendRegistryShard(spark, a, "b1", s2)
-    val b = java.nio.file.Files.createTempDirectory("graft-regb").toString
+    val b = graft.TempDirs.create("regb").toString
     HistogramStream.appendRegistryShard(spark, b, "b0", s2)
     HistogramStream.appendRegistryShard(spark, b, "b1", s1)
     assert(regMap(HistogramStream.readRegistry(spark, a)) === expect)
@@ -269,7 +269,7 @@ class MultimodalSpec extends AnyFunSuite {
     import graft.streaming.HistogramStream
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.load(spark, dir, "documents")
-    val base = java.nio.file.Files.createTempDirectory("graft-regstream")
+    val base = graft.TempDirs.create("regstream")
     val (src, store) = (s"$base/src", s"$base/store")
     docs.filter($"doc_id" % 2 === 0).write.parquet(s"$src/b0.parquet")
     val q = HistogramStream.imageRegistryStream(spark, src, store)

@@ -70,7 +70,7 @@ class SketchOpsSpec extends AnyFunSuite {
 
   test("q155: store roundtrip — merge of persisted shards == registers of the union corpus") {
     val docs = load(spark, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-hllstore").toString
+    val tmp = graft.TempDirs.create("hllstore").toString
     SketchOps.writeHllSketch(
       SketchOps.hllRegisters(docs.filter($"doc_id" % 2 === 0), $"doc_id", $"source"),
       s"$tmp/a")
@@ -180,7 +180,7 @@ class SketchOpsSpec extends AnyFunSuite {
     val members = (1 to 500).map(i => s"member-$i").toDF("t")
     // the production shape probes a STORED bloom (built once, read per
     // release), so the probe plan must not inherit the build's aggregate
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bloomplan").toString
+    val tmp = graft.TempDirs.create("bloomplan").toString
     SketchOps.writeBloom(SketchOps.buildBloom(members, $"t"), s"$tmp/bf")
     val bloom = SketchOps.readBloom(spark, s"$tmp/bf")
     val probe = SketchOps.bloomProbe(members, $"t", bloom)
@@ -197,7 +197,7 @@ class SketchOpsSpec extends AnyFunSuite {
   test("q157: store roundtrip preserves the bloom bit-for-bit") {
     val keys = (1 to 400).map(i => s"k-$i").toDF("t")
     val bloom = SketchOps.buildBloom(keys, $"t")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bloomstore").toString
+    val tmp = graft.TempDirs.create("bloomstore").toString
     SketchOps.writeBloom(bloom, s"$tmp/bf")
     assert(bloomMap(SketchOps.readBloom(spark, s"$tmp/bf")) === bloomMap(bloom))
   }
@@ -242,7 +242,7 @@ class SketchOpsSpec extends AnyFunSuite {
   test("q164: planted novel tokens count exactly against the persisted vocab") {
     import graft.operators.SketchOps._
     val relA = Seq((1L, "a b c", "s")).toDF("doc_id", "text", "source")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-vocab").toString
+    val tmp = graft.TempDirs.create("vocab").toString
     writeVocab(vocabFrame(relA), s"$tmp/v")
     val vocabA = readVocab(spark, s"$tmp/v")
     assert(vocabA.collect().map(r =>
@@ -299,7 +299,7 @@ class SketchOpsSpec extends AnyFunSuite {
   test("q166: store roundtrip preserves counters; probe + exact verify is exact") {
     val corpus = ((1 to 8).flatMap(i => Seq.fill(10)(s"heavy-$i")) ++
       (1 to 200).map(i => s"light-$i")).toDF("g")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-cmsstore").toString
+    val tmp = graft.TempDirs.create("cmsstore").toString
     SketchOps.writeCms(SketchOps.buildCms(corpus, $"g"), s"$tmp/cms")
     val cms = SketchOps.readCms(spark, s"$tmp/cms")
     assert(cmsMap(cms) === cmsMap(SketchOps.buildCms(corpus, $"g")))
@@ -380,7 +380,7 @@ class SketchOpsSpec extends AnyFunSuite {
       (2L * i + 1L, Seq.fill(i)("w").mkString(" "), "s"))
       .toDF("doc_id", "text", "source")
     val docs = a.union(b)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q189t").toString
+    val tmp = graft.TempDirs.create("q189t").toString
     SketchOps.writeTokenHistogram(SketchOps.tokenHistogram(a), s"$tmp/h")
     val bySrc = org.apache.spark.sql.expressions.Window.partitionBy($"source")
     val cum = SketchOps.readTokenHistogram(spark, s"$tmp/h")
@@ -451,7 +451,7 @@ class SketchOpsSpec extends AnyFunSuite {
   test("q181: inner product through the persisted store == direct") {
     val a = (1L to 300L).flatMap(i => Seq.fill((i % 3 + 1).toInt)(i)).toDF("k")
     val b = (200L to 500L).toDF("k")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-cmsip").toString
+    val tmp = graft.TempDirs.create("cmsip").toString
     SketchOps.writeCms(SketchOps.buildCmsPortable(a, $"k"), s"$tmp/a")
     SketchOps.writeCms(SketchOps.buildCmsPortable(b, $"k"), s"$tmp/b")
     val stored = SketchOps.cmsInnerProduct(
@@ -489,7 +489,7 @@ class SketchOpsSpec extends AnyFunSuite {
   test("q162: streaming wrapper folds arriving batches into the exact corpus histogram") {
     import graft.streaming.HistogramStream
     val docs = load(spark, dir, "documents")
-    val base = java.nio.file.Files.createTempDirectory("graft-histstream")
+    val base = graft.TempDirs.create("histstream")
     val (src, store) = (s"$base/src", s"$base/store")
     docs.filter($"doc_id" % 2 === 0).write.parquet(s"$src/b0.parquet")
     val q = HistogramStream.tokenHistogramStream(spark, src, store)
@@ -514,7 +514,7 @@ class SketchOpsSpec extends AnyFunSuite {
 
   test("q162: shard replay is idempotent and unlisted crash residue is invisible") {
     import graft.streaming.HistogramStream
-    val store = java.nio.file.Files.createTempDirectory("graft-histcrash").toString
+    val store = graft.TempDirs.create("histcrash").toString
     val b0 = Seq((1L, "a b c", "s"), (2L, "a b", "s"))
       .toDF("doc_id", "text", "source")
     val expect = histMap(SketchOps.tokenHistogram(b0))
@@ -550,7 +550,7 @@ class SketchOpsSpec extends AnyFunSuite {
 
   test("q162: empty store reads as an empty, well-typed histogram") {
     import graft.streaming.HistogramStream
-    val store = java.nio.file.Files.createTempDirectory("graft-histempty").toString
+    val store = graft.TempDirs.create("histempty").toString
     val empty = HistogramStream.readHistogram(spark, store)
     assert(empty.count() === 0L)
     assert(empty.columns.toSeq === Seq("source", "tok_n", "c"))
@@ -558,7 +558,7 @@ class SketchOpsSpec extends AnyFunSuite {
 
   test("q159: sum-merge of persisted histogram shards == single-pass histogram") {
     val docs = load(spark, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-histstore").toString
+    val tmp = graft.TempDirs.create("histstore").toString
     SketchOps.writeTokenHistogram(
       SketchOps.tokenHistogram(docs.filter($"doc_id" % 2 === 0)), s"$tmp/a")
     SketchOps.writeTokenHistogram(
@@ -623,7 +623,7 @@ class SketchOpsSpec extends AnyFunSuite {
   test("q178: streaming bloom shards OR-fold to the bloom of the union, bit-for-bit") {
     import graft.streaming.HistogramStream
     val docs = load(spark, dir, "documents")
-    val store = java.nio.file.Files.createTempDirectory("graft-bloomstream").toString
+    val store = graft.TempDirs.create("bloomstream").toString
     HistogramStream.appendBloomShard(spark, store, "b0",
       SketchOps.buildBloom(docs.filter($"doc_id" % 2 === 0), $"text"))
     HistogramStream.appendBloomShard(spark, store, "b1",
@@ -643,7 +643,7 @@ class SketchOpsSpec extends AnyFunSuite {
   test("q170: streaming CMS wrapper accumulates the exact union sketch; fold preserves counters") {
     import graft.streaming.HistogramStream
     val docs = load(spark, dir, "documents")
-    val base = java.nio.file.Files.createTempDirectory("graft-cmsstream")
+    val base = graft.TempDirs.create("cmsstream")
     val (src, store) = (s"$base/src", s"$base/store")
     docs.filter($"doc_id" % 2 === 0).write.parquet(s"$src/b0.parquet")
     val q = HistogramStream.shingleCmsStream(spark, src, store)
@@ -668,7 +668,7 @@ class SketchOpsSpec extends AnyFunSuite {
   test("q172: log-histogram shards through the generic store fold to the single-pass histogram") {
     import graft.streaming.HistogramStream
     val docs = load(spark, dir, "documents")
-    val store = java.nio.file.Files.createTempDirectory("graft-loghstream").toString
+    val store = graft.TempDirs.create("loghstream").toString
     def shard(p: Long) = SketchOps.logHistogram(
       docs.filter($"doc_id" % 2 === p), $"source", $"n_chars")
     HistogramStream.appendLogHistShard(spark, store, "b0", shard(0L))
@@ -684,7 +684,7 @@ class SketchOpsSpec extends AnyFunSuite {
 
   test("q170: empty CMS store reads as an empty, well-typed sketch") {
     import graft.streaming.HistogramStream
-    val store = java.nio.file.Files.createTempDirectory("graft-cmsempty").toString
+    val store = graft.TempDirs.create("cmsempty").toString
     val empty = HistogramStream.readCmsStore(spark, store)
     assert(empty.count() === 0L)
     assert(empty.columns.toSeq === Seq("row", "pos", "n"))
@@ -731,7 +731,7 @@ class SketchOpsSpec extends AnyFunSuite {
 
   test("q168: persisted shard sum-merge == single-pass log histogram; small domains exact") {
     val docs = load(spark, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-loghist").toString
+    val tmp = graft.TempDirs.create("loghist").toString
     SketchOps.writeLogHistogram(
       SketchOps.logHistogram(docs.filter($"doc_id" % 2 === 0), $"source", $"n_chars"),
       s"$tmp/a")

@@ -72,7 +72,7 @@ class TextOpsSpec extends AnyFunSuite {
       (i.toLong, s"unrelated filler $i " + s"x${i * 3} y${i * 7} " * 10)) ++
       Seq((300L, base), (301L, base.replace("w70", "z70"))))
       .toDF("doc_id", "text")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-sigs")
+    val tmp = graft.TempDirs.create("sigs")
     TextOps.signatureFrame(docs).write.parquet(s"$tmp/sigs")
     val fromArtifact = TextOps.nearDupPairsFromSignatures(
         spark.read.parquet(s"$tmp/sigs"), 0.8)
@@ -105,7 +105,7 @@ class TextOpsSpec extends AnyFunSuite {
   test("JSONL corpus sink: deterministic shards, lossless roundtrip") {
     import spark.implicits._
     val docs = load(spark, dir, "documents").select($"doc_id", $"source", $"text")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val tmp = graft.TempDirs.create("jsonl")
     graft.sources.Export.writeJsonlCorpus(docs, s"$tmp/corpus", nShards = 8)
     val back = spark.read.json(s"$tmp/corpus")
     assert(back.count() == docs.count())

@@ -139,7 +139,7 @@ class WarehouseOpsSpec extends AnyFunSuite {
   // ---------------------------------------------------------------- q219
 
   test("q219: the untouched-partition guard throws on an out-of-scope write") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-wh-ovr").toString
+    val tmp = graft.TempDirs.create("wh-ovr").toString
     val table = s"$tmp/t"
     val ev = load(spark, dir, "events")
       .withColumn("event_date", date_format($"ts", "yyyy-MM-dd"))
@@ -158,7 +158,7 @@ class WarehouseOpsSpec extends AnyFunSuite {
   }
 
   test("q219: a scoped overwrite leaves other partitions' files untouched") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-wh-ovr2").toString
+    val tmp = graft.TempDirs.create("wh-ovr2").toString
     val table = s"$tmp/t"
     val ev = load(spark, dir, "events")
       .withColumn("event_date", date_format($"ts", "yyyy-MM-dd"))

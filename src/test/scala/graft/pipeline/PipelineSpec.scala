@@ -24,7 +24,7 @@ class PipelineSpec extends AnyFunSuite {
 
   // --- fixture layout -----------------------------------------------------
   lazy val root: Path = {
-    val dir = Files.createTempDirectory("graft-pipeline")
+    val dir = graft.TempDirs.create("pipeline")
     val specDir = dir.resolve("spectra"); Files.createDirectories(specDir)
     val imgDir = dir.resolve("images"); Files.createDirectories(imgDir)
 
@@ -121,7 +121,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("sfr: FITS table source + positional concat + left merge (test_sfr.py semantics)") {
-    val dir = Files.createTempDirectory("graft-sfr")
+    val dir = graft.TempDirs.create("sfr")
     val info = dir.resolve("gal_info.fits").toString
     val fib = dir.resolve("gal_fibsfr.fits").toString
     // SFR catalog covers plates 1001 (both fibers) but not 1002
@@ -136,7 +136,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("BuildCube: full construction writes the partitioned layout; V3 reads back pruned") {
-    val out = Files.createTempDirectory("graft-out").toString
+    val out = graft.TempDirs.create("out").toString
     val s = BuildCube.build(spark,
       root.resolve("spectra").toString, root.resolve("images").toString,
       "/root/reference/config", out)
@@ -183,7 +183,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("S2 manifest scan matches the directory scan and prunes unlisted rows") {
     // SDSS layout: imageRoot/301/{run}/{camcol}/frame-...-%04d.fits
-    val mroot = Files.createTempDirectory("graft-manifest")
+    val mroot = graft.TempDirs.create("manifest")
     val imgRoot = mroot.resolve("images")
     val manifest = new StringBuilder("run,camcol,field\n")
     for ((band, run) <- Seq(("u", 2000), ("g", 2001))) {
@@ -237,7 +237,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("export: VOTable and FITS sinks roundtrip the viz table") {
     val rows = VizCube.spectrumRows(spectra).filter(_.zoom == 4).collect().toSeq
-    val dir = Files.createTempDirectory("graft-export")
+    val dir = graft.TempDirs.create("export")
     val vot = dir.resolve("cube.vot.xml").toString
     assert(Export.writeVOTable(rows.iterator, vot) == rows.length)
     val xml = new String(Files.readAllBytes(java.nio.file.Paths.get(vot)))

@@ -20,7 +20,7 @@ class UpdateSpec extends AnyFunSuite {
     .getOrCreate()
 
   def writeFixtures(): (Path, Path, Path) = {
-    val dir = Files.createTempDirectory("graft-update")
+    val dir = graft.TempDirs.create("update")
     val specAll = dir.resolve("spectra_all"); Files.createDirectories(specAll)
     val specInit = dir.resolve("spectra_init"); Files.createDirectories(specInit)
     val specNew = dir.resolve("spectra_new"); Files.createDirectories(specNew)

@@ -21,7 +21,7 @@ class BucketedJoinSpec extends AnyFunSuite {
     // the suite may inherit another spec's session, so pin the runtime
     // confs explicitly (a tiny dim would otherwise broadcast) and write
     // the bucketed tables to an explicit temp path, not the warehouse
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    val tmp = graft.TempDirs.create("bucketed")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

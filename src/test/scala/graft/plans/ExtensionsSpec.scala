@@ -40,7 +40,7 @@ class ExtensionsSpec extends AnyFunSuite {
     // the summary rule is injected too: a registered summary serves a
     // plain SQL aggregate with NO programmatic install() call
     val dir = "/root/testdata/sf0.001"
-    val mv = java.nio.file.Files.createTempDirectory("graft-extspec")
+    val mv = graft.TempDirs.create("extspec")
       .toString + "/extmv"
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = mv)

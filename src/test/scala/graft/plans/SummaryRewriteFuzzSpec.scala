@@ -30,7 +30,7 @@ class SummaryRewriteFuzzSpec extends AnyFunSuite {
   test("200 seeded random dashboard shapes: rewrite-on == rewrite-off " +
       "row-for-row; served plans never scan the fact") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-fuzz")
+    val tmp = graft.TempDirs.create("fuzz")
       .toString
     // synthetic fact: 2 keys, 3 measures (one nullable) — bounded
     // value domains so histograms stay tiny and every aggregate is

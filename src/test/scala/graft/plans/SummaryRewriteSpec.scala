@@ -21,7 +21,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   val dir = "/root/testdata/sf0.001"
   lazy val mv: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val p = graft.TempDirs.create("mvspec")
       .toString + "/mv"
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = p)
@@ -40,7 +40,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   private def usesMv(df: DataFrame): Boolean = {
     val p = df.queryExecution.executedPlan.toString
-    p.contains("graft-mvspec") && !p.contains("documents.parquet")
+    p.contains("mvspec") && !p.contains("documents.parquet")
   }
 
   test("fires on every coarsening of the summary keys, with exact results") {
@@ -138,7 +138,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("exhaustive lattice: every grouping × key-filter × measure-set " +
       "combination fires and is exact") {
-    val mmMv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val mmMv = graft.TempDirs.create("mvspec")
       .toString + "/lattice"
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
@@ -235,7 +235,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   }
 
   test("MIN/MAX measures rewrite from min_/max_ summary columns, exactly") {
-    val mmMv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val mmMv = graft.TempDirs.create("mvspec")
       .toString + "/mm"
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
@@ -265,7 +265,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
     // 'a_narrow' sorts FIRST by name and has FEWER keys — it would win
     // every tie-break — but it does not cover a grouping on lang, so
     // the (source, lang) summary must serve that query.
-    val narrowMv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val narrowMv = graft.TempDirs.create("mvspec")
       .toString + "/narrow"
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
       keys = Seq("source"), sumCols = Seq("n_chars"), mvPath = narrowMv)
@@ -310,7 +310,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   }
 
   test("type mismatch refuses: an int-typed cnt never substitutes") {
-    val badMv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val badMv = graft.TempDirs.create("mvspec")
       .toString + "/bad"
     spark.read.parquet(mv)
       .withColumn("cnt", col("cnt").cast("int"))
@@ -326,7 +326,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("mergeDelta: fold(old, partial(delta)) equals the full rebuild, " +
       "min/max included, and commits the next version") {
-    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val store = graft.TempDirs.create("mvspec")
       .toString + "/deltastore"
     val fact = spark.read.parquet(s"$dir/documents.parquet")
     val v1 = graft.operators.IndexOps.writeSnapshot(
@@ -350,7 +350,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("star join: aggregate over fact JOIN dim is served from the " +
       "summary, exactly — fact and dim measures") {
-    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val omv = graft.TempDirs.create("mvspec")
       .toString + "/orders_by_cust"
     SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
       keys = Seq("o_custkey"), sumCols = Seq.empty, mvPath = omv,
@@ -482,7 +482,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("multi-dimension star / snowflake: nested joins peel level by " +
       "level and serve from the summary; non-key links refuse") {
-    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val omv = graft.TempDirs.create("mvspec")
       .toString + "/orders_by_cust_md"
     SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
       keys = Seq("o_custkey"), sumCols = Seq.empty, mvPath = omv,
@@ -565,7 +565,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
     assert(SummaryRewrite.auditSummary(spark, s"$dir/documents.parquet",
       fresh, Seq("n_chars")).count() === 0L)
     // drift: drop one (source, lang) row and corrupt another's cnt
-    val drifted = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val drifted = graft.TempDirs.create("mvspec")
       .toString + "/drifted"
     val rows = spark.read.parquet(mv)
     val firstKey = rows.select(col("source"), col("lang"))
@@ -594,7 +594,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("store-backed registration with NO committed snapshot refuses; " +
       "the fact scan answers") {
     SummaryRewrite.install(spark)
-    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val store = graft.TempDirs.create("mvspec")
       .toString + "/emptystore"
     SummaryRewrite.registerStore("spec_empty", "documents.parquet",
       store, Set("source", "lang"))
@@ -610,7 +610,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("cached store relation: two rewrites in ONE plan get fresh " +
       "exprIds and stay exact") {
     SummaryRewrite.install(spark)
-    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val store = graft.TempDirs.create("mvspec")
       .toString + "/cachestore"
     SummaryRewrite.buildSummarySnapshot(spark, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), store = store)
@@ -635,7 +635,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("exhaustive star lattice: orientation × filter × grouping × " +
       "measure-set combinations fire and are exact") {
-    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val omv = graft.TempDirs.create("mvspec")
       .toString + "/starlattice"
     SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
       keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"), mvPath = omv,
@@ -689,7 +689,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("star join: a dim column whose NAME collides with a summarized " +
       "fact measure refuses SUM/AVG, while dim MIN/MAX still serves") {
-    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val omv = graft.TempDirs.create("mvspec")
       .toString + "/collide"
     SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
       keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"), mvPath = omv,
@@ -771,7 +771,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       assert(!usesMv(sumD), "sum(distinct measure) must not rewrite")
     }
     // SUM/AVG DISTINCT over a NUMERIC key are value-set aggregates too
-    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val omv = graft.TempDirs.create("mvspec")
       .toString + "/distkey"
     SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
       keys = Seq("o_custkey"), sumCols = Seq.empty, mvPath = omv)
@@ -793,7 +793,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("star join: distinct aggregates over DIM attrs pass through " +
       "(value-set, multiplicity-insensitive) and stay exact") {
-    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val omv = graft.TempDirs.create("mvspec")
       .toString + "/stardist"
     SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
       keys = Seq("o_custkey"), sumCols = Seq.empty, mvPath = omv)
@@ -834,7 +834,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("grouping-EXPRESSION coarsening: GROUP BY f(keys) rewrites for " +
       "deterministic f, exactly; non-key expressions refuse") {
-    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val omv = graft.TempDirs.create("mvspec")
       .toString + "/coarsen"
     SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
       keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"), mvPath = omv,
@@ -889,7 +889,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("catalog: publish → clear → load restores registrations across " +
       "a fresh registry; dead artifacts refuse cleanly; newest wins") {
     SummaryRewrite.install(spark)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val catDir = s"$tmp/catalog"
     val store = s"$tmp/catstore"
@@ -942,7 +942,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
         "/tmp/x\"y", Set("k1", "k2")),
       "plain" -> SummaryRewrite.Summary("t.parquet", "", Set("k"),
         Some("/tmp/st")))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString + "/jsoncat"
     SummaryRewrite.publishCatalog(spark, tmp, entries)
     SummaryRewrite.clear()
@@ -957,7 +957,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("mergeDelta refuses a retraction (non-positive cnt) snapshot " +
       "instead of folding min/max silently wrong") {
-    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val store = graft.TempDirs.create("mvspec")
       .toString + "/retrstore"
     val fact = spark.read.parquet(s"$dir/documents.parquet")
     graft.operators.IndexOps.writeSnapshot(
@@ -976,7 +976,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("auditSummary covers min_/max_ partials: a min-only drift is " +
       "caught with minMaxCols and provably invisible without") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val good = s"$tmp/mmaudit"
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
@@ -1013,7 +1013,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
     val specDir = "/root/reference/data/raw/galaxy_small/spectra"
     def fits = spark.read
       .format("graft.sources.fits.FitsDataSource").load(specDir)
-    val mvP = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val mvP = graft.TempDirs.create("mvspec")
       .toString + "/fitsmv"
     SummaryRewrite.summaryFrame(fits, Seq("plateid"), Seq("mjd"))
       .coalesce(1).write.parquet(mvP)
@@ -1035,7 +1035,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("NATIVE rollup/cube/grouping-sets (Expand) rewrite: every lattice " +
       "shape fires and is exact; non-derivable shapes refuse") {
-    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val omv = graft.TempDirs.create("mvspec")
       .toString + "/expandmv"
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
@@ -1117,7 +1117,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("star join: a filter written ABOVE the join still rewrites — " +
       "Catalyst pushes it to the sides before the rule runs") {
-    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val omv = graft.TempDirs.create("mvspec")
       .toString + "/abovefilter"
     SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
       keys = Seq("o_custkey"), sumCols = Seq.empty, mvPath = omv)
@@ -1182,7 +1182,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("auditCatalog sweeps every entry: ok / drift / missing " +
       "statuses from one call") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val factRoot = dir
     val good = s"$tmp/sweep_good"
@@ -1216,7 +1216,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("alias shadowing refuses: a computed column RENAMED to a " +
       "summarized measure's name never serves the real partial") {
-    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val omv = graft.TempDirs.create("mvspec")
       .toString + "/shadow"
     SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
       keys = Seq("o_custkey"), sumCols = Seq("o_orderkey"), mvPath = omv,
@@ -1305,7 +1305,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("snapshot-store summary: registration survives rebuilds and " +
       "sessions; newest commit is read") {
     SummaryRewrite.install(spark) // standalone-run safe (mv is lazy)
-    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val store = graft.TempDirs.create("mvspec")
       .toString + "/mvstore"
     val v1 = SummaryRewrite.buildSummarySnapshot(spark,
       s"$dir/documents.parquet", keys = Seq("source", "lang"),
@@ -1358,7 +1358,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
         Set("a,b", "a\"b", "a\\b", "plain", "a\nb", "a\tb", "a\\u0041b")),
       "tabled" -> SummaryRewrite.Summary("", "/tmp/m2", Set("k"),
         table = Some("my_catalog.db.orders")))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString + "/hostilecat"
     SummaryRewrite.publishCatalog(spark, tmp, entries)
     val raw = new String(java.nio.file.Files.readAllBytes(
@@ -1378,7 +1378,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("size-aware layout: dashboard-shape summaries land as ONE file; " +
       "a high-cardinality summary is multi-file and still serves exactly") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     def nFiles(p: String): Int = new java.io.File(p).listFiles()
       .count(f => f.getName.startsWith("part-") &&
@@ -1435,7 +1435,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("SUM over a floating-point measure refuses (re-associated float " +
       "adds are not the fact's bits); min/max/count still serve") {
-    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val omv = graft.TempDirs.create("mvspec")
       .toString + "/dblsum"
     SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
       keys = Seq("o_custkey"), sumCols = Seq("o_totalprice"), mvPath = omv,
@@ -1475,7 +1475,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("table-identity fact: a spark.table read serves from a summary " +
       "registered by TABLE name; a different table refuses") {
     SummaryRewrite.install(spark)
-    val omv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val omv = graft.TempDirs.create("mvspec")
       .toString + "/tblmv"
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"), mvPath = omv)
@@ -1518,7 +1518,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("bound-catalog freshness: a deregistration published in cat=N+1 " +
       "stops serving without re-install") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val catDir = s"$tmp/freshcat"
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
@@ -1583,7 +1583,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("NULL-safe derivations: avg/count(col) over a measure WITH nulls " +
       "serve exactly via cnt_<col>; an artifact without it refuses") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val factPath = s"$tmp/nullfact.parquet"
     spark.read.parquet(s"$dir/documents.parquet")
@@ -1686,7 +1686,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("FILTER (WHERE key-pred) aggregates serve — replayed onto the " +
       "partials; non-key filter clauses refuse") {
-    val fmv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val fmv = graft.TempDirs.create("mvspec")
       .toString + "/filtermv"
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
@@ -1817,7 +1817,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("EXACT percentile/median over keys serves via the frequency " +
       "argument (percentile(k, p, cnt)); non-key and custom-frequency " +
       "refuse") {
-    val pmv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val pmv = graft.TempDirs.create("mvspec")
       .toString + "/pctmv"
     // a NUMERIC key so percentile resolves: orders by custkey
     SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
@@ -1926,7 +1926,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "bit-identically; percentile/median over keys replay cnt through " +
       "the frequency argument; mismatched rsd refuses in the Expand " +
       "path too") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     // part A: documents with an hll_<p>_doc_id register partial
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
@@ -1997,7 +1997,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("catalog freshness listing is TTL-rate-limited (back-to-back " +
       "optimizations list at most once); a same-JVM publish bypasses " +
       "the TTL so the freshness law stays green") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val catDir = s"$tmp/ttlcat"
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
@@ -2048,7 +2048,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("store-backed resolution is TTL-rate-limited like the catalog " +
       "refresh; a same-JVM writeSnapshot bypasses the TTL") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val store = s"$tmp/ttlstore"
     graft.operators.IndexOps.writeSnapshot(
@@ -2094,7 +2094,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("hll measure partials serve through the star-join and union " +
       "paths, bit-identically (register merge is idempotent under the " +
       "join's row multiplication and a monoid under union)") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     // star join: orders summarized by o_custkey with an o_orderkey
     // sketch; dim = customer
@@ -2163,7 +2163,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("native ROLLUP over a UNION of registered facts serves — the " +
       "multi-epoch BI matrix; an uncovered branch serves hybrid, " +
       "sketch rollups included (inline-aggregated registers)") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val docsAll = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", $"source", $"lang", $"n_chars")
@@ -2316,7 +2316,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       s"the join query must be named unservable: $notes")
     // the proposal makes good on itself: build + register, all three
     // dashboard queries plan-serve and stay exact
-    val mvA = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val mvA = graft.TempDirs.create("mvspec")
       .toString + "/advised"
     SummaryRewrite.install(spark)
     SummaryRewrite.buildAdvice(spark, a, "spec_advice", mvA)
@@ -2339,7 +2339,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
     } finally SummaryRewrite.deregister("spec_advice")
     // the star advice makes good on itself: build + register, the
     // dim-grouped uniques dashboard serves through the expanded star
-    val mvO = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val mvO = graft.TempDirs.create("mvspec")
       .toString + "/advisedstar"
     SummaryRewrite.buildAdvice(spark, ao, "spec_advice_star", mvO)
     try {
@@ -2359,7 +2359,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "pair dashboard serves — each measure side unions per-branch " +
       "artifact scans under its rebuilt dim tower; an uncovered epoch " +
       "partializes (hybrid)") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     (0 to 1).foreach { i =>
@@ -2414,7 +2414,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "filter below the join, dim-side filter, ROLLUP over the join " +
       "with one and with TWO hist measures; a non-key fact filter " +
       "refuses") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
       keys = Seq("o_custkey", "o_orderstatus"), sumCols = Seq("o_orderkey"),
@@ -2487,7 +2487,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("star join over a UNION fact: each epoch's summary substitutes " +
       "under the join (multi-epoch star schema); an uncovered epoch " +
       "partializes (hybrid) exactly") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     (0 to 1).foreach { i =>
@@ -2556,7 +2556,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("per-directory catalog binding: two catalogs bound in one JVM " +
       "refresh independently — neither steals the other's freshness") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val (catA, catB) = (s"$tmp/catA", s"$tmp/catB")
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
@@ -2603,7 +2603,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "publishing the SAME entry name both serve their own artifact — " +
       "no last-refresh-wins race — and each directory's drop " +
       "deregisters only its own entry") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val (catA, catB) = (s"$tmp/nsA", s"$tmp/nsB")
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
@@ -2671,7 +2671,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("auditCatalog resolves TABLE-identified entries via spark.table " +
       "(status ok), and reports 'unauditable' — never a bogus " +
       "'missing' — when the identity cannot be resolved") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val catDir = s"$tmp/audcat"
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
@@ -2703,7 +2703,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("composed glue cannot hide a widened embedded re-aggregation: " +
       "cast(sum(decimal) as string) refuses (extra overflow headroom)") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val factPath = s"$tmp/decfact.parquet"
     docs.select($"source", $"lang",
@@ -2742,7 +2742,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("approx_count_distinct over a non-key MEASURE serves from the " +
       "hll_<p>_ register partial BIT-identically; mismatched rsd and a " +
       "partial-less artifact refuse") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val hmv = s"$tmp/hllmv"
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
@@ -2804,7 +2804,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("hll partials fold exactly through rollupSummary and mergeDelta: " +
       "derived and merged artifacts serve the direct sketch's bits; " +
       "a drifted register is caught by the audit") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val fine = s"$tmp/hllfine"
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
@@ -2881,7 +2881,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "from its own summary (3 epochs), exactly, with per-branch filter " +
       "push; an uncovered branch partializes (hybrid); a computed alias " +
       "or a positional rename refuses") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val docsAll = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", $"source", $"lang", $"n_chars")
@@ -2965,7 +2965,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("candidate choice is COST-ordered: among covering artifacts the " +
       "smallest by bytes serves, even when a bigger one has fewer keys " +
       "and an earlier name") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     // a_big: per-document rollup — 1 key, fact-cardinality rows, and a
     // name that sorts FIRST (the old key-count/name order would pick
@@ -3007,7 +3007,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "nullable, and hist-measure aggregates, filter pushed into the " +
       "partialized branch, computed grouping composes; sketches " +
       "partialize by inline aggregation, bit-identical") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     // a NULLABLE expression measure: AVG must ride the cntx_ non-null
     // count, and the partializer must replay the same null mask
@@ -3088,7 +3088,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "projection: flat GROUP BY f(key), ROLLUP(f(key)), and a " +
       "user-written identical alias; branches computing DIFFERENT " +
       "expressions at the same position refuse") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val docsAll = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", $"source", $"lang", $"n_chars")
@@ -3172,7 +3172,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "TABLE branch partializes without re-resolving through the " +
       "catalog, and a basePath partitioned-directory branch keeps its " +
       "reader-option-derived partition column — both exactly") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val docsAll = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", $"source", $"lang", $"n_chars")
@@ -3234,7 +3234,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("layout degrades to ONE sorted file when AQE is disabled " +
       "(repartitionByRange would shatter into shuffle.partitions files)") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
@@ -3256,7 +3256,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
     * second plain measure to prove the null-mask keeps every
     * non-hist partial exact under the explosion. */
   private lazy val histFix: (String, String) = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val fact = s"$tmp/histfix.parquet"
     import spark.implicits._
@@ -3413,7 +3413,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       direct.collect().map(_.toSeq).toSet,
       "the histogram fold must equal the from-scratch build")
     // store lifecycle: first half, then merge the second half
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val store = s"$tmp/histstore"
     graft.operators.IndexOps.writeSnapshot(
@@ -3441,7 +3441,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "above the union folds the per-epoch histograms (count-sum map " +
       "monoid); an epoch without the histogram partializes single-" +
       "entry per-row maps (hybrid, exact)") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val (fact, _) = histFix
     val f = spark.read.parquet(fact)
@@ -3537,7 +3537,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
         "a non-hist measure percentile under rollup must refuse")
     }
     // ROLLUP over a UNION of epochs, hist measure served across both
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val (fct, _) = histFix
     val f = spark.read.parquet(fct)
@@ -3578,7 +3578,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "hist partials: count/sum/avg DISTINCT over a non-key measure " +
       "beside plain totals, per grouping set across the full lattice; " +
       "filtered distinct and grouping BY the measure refuse") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val fact = s"$tmp/rud.parquet"
     spark.read.parquet(s"$dir/documents.parquet")
@@ -3643,7 +3643,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "aggregate serve via per-measure explosions JOINED on null-safe " +
       "grouping values — exact incl. NULL group keys and the global " +
       "(group-less) row; composed glue across the two refuses") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // g has a NULL key group: the join must be null-safe or the whole
@@ -3732,7 +3732,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "composed GLUE across two measures under ROLLUP serves by " +
       "re-evaluation above the join; one aggregate spanning two " +
       "measures refuses") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val rows = Seq(
@@ -3807,7 +3807,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "x) − count(DISTINCT y) in ONE output re-evaluates above the " +
       "join, flat and over a UNION of epochs; the side join is pinned " +
       "BROADCAST; a cross-measure distinct expression refuses") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val rows = Seq(
@@ -3895,7 +3895,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("hist serving through the star join: distinct/percentile over " +
       "the fact measure serve with the explosion UNDER the join; dim " +
       "groupings and dim distinct pass-throughs stay exact") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     // orders fact keyed by custkey with an o_orderkey histogram;
     // customer dim hops to nation
@@ -3936,7 +3936,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "over fresh dim copies, sides joined back BROADCAST; composed " +
       "glue re-evaluates above the side join; a dim plan minting its " +
       "own exprIds refuses the copy") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     // orders fact keyed by custkey with TWO histograms; customer dim
     SummaryRewrite.buildSummary(spark, s"$dir/orders.parquet",
@@ -4138,7 +4138,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "explosion over the union; a branch without a carrying artifact " +
       "refuses (no hybrid: exact histograms cannot be partialized " +
       "fact-scan-free)") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     def reg(i: Int): Unit = SummaryRewrite.register(s"spec_mhu$i",
@@ -4211,7 +4211,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("the expanded-shape fact peel explores BOTH join orientations: " +
       "a join of TWO registered facts serves from whichever side's " +
       "artifact derives the measures; neither side derivable refuses") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     // the LEFT side (customer) is registered, but its summary cannot
     // cover the query (keys lack c_mktsegment) — a left-first-only
@@ -4275,7 +4275,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("hist value types: decimal and string measures build, fold, " +
       "and serve distinct counts exactly") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
     val fact = s"$tmp/typefix.parquet"
@@ -4313,7 +4313,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
 
   test("hist through a star join over a UNION fact: the full " +
       "composition — explosion under the join over per-epoch artifacts") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     (0 to 1).foreach { i =>
@@ -4385,7 +4385,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
     }
     // the richer dashboard header on real data: uniques over a hist
     // measure AND a key, with regulars, per source
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
       keys = Seq("source", "lang"), sumCols = Seq("n_chars"),
@@ -4414,7 +4414,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("a mistyped hist_<col> map refuses: the value type must be the " +
       "measure's exact type (a mis-registered artifact must never " +
       "serve a wrong distinct set)") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val (fact, _) = histFix
     val f = spark.read.parquet(fact)
@@ -4444,7 +4444,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
     val sql = "n_chars * 2 + length(lang)"
     val nullableSql =
       "CASE WHEN n_chars % 3 = 0 THEN NULL ELSE n_chars * 2 END"
-    val emv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val emv = graft.TempDirs.create("mvspec")
       .toString + "/exprmv"
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
       keys = Seq("source"), sumCols = Seq.empty, mvPath = emv,
@@ -4514,7 +4514,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "Expand path rebases measure pass-throughs and rides the " +
       "sumx_/cntx_/minx_/maxx_ partials per grouping set") {
     val sql = "n_chars * 2 + length(lang)"
-    val emv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val emv = graft.TempDirs.create("mvspec")
       .toString + "/exprmv_rollup"
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
       keys = Seq("source"), sumCols = Seq.empty, mvPath = emv,
@@ -4562,7 +4562,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "partials fold across branches; an epoch binding a DIFFERENT " +
       "SQL to the same name refuses the whole rewrite") {
     val sql = "n_chars * 2 + length(lang)"
-    val tmp = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val tmp = graft.TempDirs.create("mvspec")
       .toString
     val docsAll = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
@@ -4611,7 +4611,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "and sketches over a COMPUTED measure serve from hist_<name>; a " +
       "bare column sharing the name can never claim it") {
     val sql = "n_chars * 2 + length(lang)"
-    val emv = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val emv = graft.TempDirs.create("mvspec")
       .toString + "/exprhist"
     SummaryRewrite.buildSummary(spark, s"$dir/documents.parquet",
       keys = Seq("source"), sumCols = Seq.empty, mvPath = emv,
@@ -4651,7 +4651,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
         "an unregistered expression must refuse the histogram")
       // name-shadow: a fact whose COLUMN is literally named nc2 must
       // never claim the expression's histogram by name
-      val tmp2 = java.nio.file.Files.createTempDirectory("graft-mvspec")
+      val tmp2 = graft.TempDirs.create("mvspec")
         .toString
       docs.withColumn("nc2", $"n_chars" * 5)
         .write.parquet(s"$tmp2/shadowfact.parquet")
@@ -4672,7 +4672,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("expression histograms ride the lifecycle: fold == rebuild, " +
       "audit, and CDC retraction of a computed measure's multiset") {
     val sql = "n_chars * 2 + length(lang)"
-    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val store = graft.TempDirs.create("mvspec")
       .toString + "/xhiststore"
     val fact = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
@@ -4713,7 +4713,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
     val sql = "n_chars * 2 + length(lang)"
     val fact = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
-    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val store = graft.TempDirs.create("mvspec")
       .toString + "/xmmstore"
     graft.operators.IndexOps.writeSnapshot(
       SummaryRewrite.summaryFrame(fact, Seq("source"), Seq.empty,
@@ -4739,7 +4739,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       Seq.empty).count() === 0,
       "CDC-retracted expression min/max diverged from the rebuild")
     // ... and WITHOUT the histogram the refusal still stands
-    val store2 = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val store2 = graft.TempDirs.create("mvspec")
       .toString + "/xmmstore2"
     graft.operators.IndexOps.writeSnapshot(
       SummaryRewrite.summaryFrame(fact, Seq("source"), Seq.empty,
@@ -4757,7 +4757,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("expression measures ride the lifecycle: catalog roundtrip, " +
       "mergeDelta fold == rebuild, audit catches a doctored partial") {
     val sql = "n_chars * 2 + length(lang)"
-    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val store = graft.TempDirs.create("mvspec")
       .toString + "/exprstore"
     val fact = spark.read.parquet(s"$dir/documents.parquet")
     graft.operators.IndexOps.writeSnapshot(
@@ -4784,7 +4784,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nc2"),
       s"refusal must name the dropped partial, got: ${e.getMessage}")
     // catalog roundtrip carries the exprs map exactly
-    val catDir = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val catDir = graft.TempDirs.create("mvspec")
       .toString + "/exprcat"
     val entry = SummaryRewrite.Summary("documents.parquet", "",
       Set("source"), store = Some(store),
@@ -4914,7 +4914,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "equals a from-scratch rebuild, hist-backed min/max FALL, a " +
       "fully-deleted value leaves the distinct set, a vanished group " +
       "drops") {
-    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val store = graft.TempDirs.create("mvspec")
       .toString + "/cdcstore"
     val fact = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
@@ -4983,7 +4983,7 @@ class SummaryRewriteSpec extends AnyFunSuite {
   test("applyCdc refusals: min/max without a histogram and hll " +
       "registers refuse deletes; dropUnretractable sheds them " +
       "explicitly; an empty delete batch behaves like mergeDelta") {
-    val store = java.nio.file.Files.createTempDirectory("graft-mvspec")
+    val store = graft.TempDirs.create("mvspec")
       .toString + "/cdcstore2"
     val fact = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))

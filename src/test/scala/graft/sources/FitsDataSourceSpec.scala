@@ -18,7 +18,7 @@ class FitsDataSourceSpec extends AnyFunSuite {
   private val Fmt = "graft.sources.fits.FitsDataSource"
 
   private lazy val dir: String = {
-    val d = Files.createTempDirectory("graft-dsv2-spec")
+    val d = graft.TempDirs.create("dsv2-spec")
     val (loglam, flux, ivar) = graft.pipeline.FitsFixtures.specGrid()
     for (k <- 0 until 5)
       graft.pipeline.FitsFixtures.writeSpectrum(
@@ -96,7 +96,7 @@ class FitsDataSourceSpec extends AnyFunSuite {
     // SOUNDNESS: a spectrum with a NON-canonical name is never pruned
     // away — its triple comes from the header and the residual filter
     // keeps it (same rules as the frame side)
-    val d2 = Files.createTempDirectory("graft-dsv2-specprune")
+    val d2 = graft.TempDirs.create("dsv2-specprune")
     val (loglam, flux, ivar) = graft.pipeline.FitsFixtures.specGrid()
     graft.pipeline.FitsFixtures.writeSpectrum(
       d2.resolve("spec-4000-52000-0001.fits").toString,
@@ -126,7 +126,7 @@ class FitsDataSourceSpec extends AnyFunSuite {
   }
 
   private lazy val imgDir: String = {
-    val d = Files.createTempDirectory("graft-dsv2-img")
+    val d = graft.TempDirs.create("dsv2-img")
     for ((band, k) <- Seq("r", "g").zipWithIndex)
       graft.pipeline.FitsFixtures.writeFrame(
         d.resolve(f"frame-$band-00520$k%d-3-0001.fits").toString,
@@ -183,7 +183,7 @@ class FitsDataSourceSpec extends AnyFunSuite {
     assert(byBand.select("run").distinct().as[Int].collect().toSeq == Seq(5201))
     // SOUNDNESS: a frame with a NON-canonical name is never pruned away —
     // its run comes from the header and the residual filter keeps it
-    val d2 = Files.createTempDirectory("graft-dsv2-prune")
+    val d2 = graft.TempDirs.create("dsv2-prune")
     graft.pipeline.FitsFixtures.writeFrame(
       d2.resolve("frame-r-005200-3-0001.fits").toString, "r", 5200, 3, 1,
       512, 372, 40.0, -10.0)
@@ -224,7 +224,7 @@ class FitsDataSourceSpec extends AnyFunSuite {
   test("runDirLayout skips sibling run subtrees at listing time") {
     import spark.implicits._
     val cfg = "/root/reference/config"
-    val root = Files.createTempDirectory("graft-dsv2-rundirs")
+    val root = graft.TempDirs.create("dsv2-rundirs")
     for (run <- Seq(5300, 5301, 5302)) {
       val rd = root.resolve(run.toString).resolve("3")
       Files.createDirectories(rd)
@@ -256,7 +256,7 @@ class FitsDataSourceSpec extends AnyFunSuite {
     import spark.implicits._
     // nested run-directory layout: root files + two subtrees, one of
     // them two levels deep — the shape the executor-side walk must cover
-    val d = Files.createTempDirectory("graft-dsv2-dist")
+    val d = graft.TempDirs.create("dsv2-dist")
     val (loglam, flux, ivar) = graft.pipeline.FitsFixtures.specGrid()
     val layout = Seq(
       d.resolve("spec-4100-52000-0001.fits"),

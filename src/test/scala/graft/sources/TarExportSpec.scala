@@ -59,7 +59,7 @@ class TarExportSpec extends AnyFunSuite {
   }
 
   test("tar shards roundtrip: every entry recovered, samples contiguous and sorted") {
-    val out = Files.createTempDirectory("graft-tar").toString
+    val out = graft.TempDirs.create("tar").toString
     Export.writeTarShards(samples, out, nShards = 3)
     val shardFiles = new java.io.File(out).listFiles()
       .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
@@ -87,7 +87,7 @@ class TarExportSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
-    val out = Files.createTempDirectory("graft-tar-mm").toString
+    val out = graft.TempDirs.create("tar-mm").toString
     val samples = Export.multimodalSamples(docs, emb)
     val n = samples.count()
     assert(n > 0)
@@ -112,7 +112,7 @@ class TarExportSpec extends AnyFunSuite {
     val dir60 = "a" * 60
     val stem85 = "b" * 85
     val longKey = s"$dir60/$stem85"
-    val out = Files.createTempDirectory("graft-tar-prefix").toString
+    val out = graft.TempDirs.create("tar-prefix").toString
     val df = Seq((longKey,
       Map("txt" -> "nested payload".getBytes(StandardCharsets.UTF_8))))
       .toDF("key", "entries")
@@ -131,7 +131,7 @@ class TarExportSpec extends AnyFunSuite {
     val bad = Seq(("c" * 120,
       Map("txt" -> Array[Byte](1)))).toDF("key", "entries")
     val ex = intercept[Exception] {
-      Export.writeTarShards(bad, Files.createTempDirectory("graft-tar-bad").toString)
+      Export.writeTarShards(bad, graft.TempDirs.create("tar-bad").toString)
     }
     def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
       .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
@@ -140,8 +140,8 @@ class TarExportSpec extends AnyFunSuite {
 
   test("shard assignment is the deterministic xxhash64 rule; re-export is byte-identical") {
     import spark.implicits._
-    val out1 = Files.createTempDirectory("graft-tar1").toString
-    val out2 = Files.createTempDirectory("graft-tar2").toString
+    val out1 = graft.TempDirs.create("tar1").toString
+    val out2 = graft.TempDirs.create("tar2").toString
     Export.writeTarShards(samples, out1, nShards = 3)
     // second export from a DIFFERENT input partitioning
     Export.writeTarShards(samples.repartition(7), out2, nShards = 3)

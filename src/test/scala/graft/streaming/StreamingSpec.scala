@@ -56,7 +56,7 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming near-dup dedup drops cross-batch twins, keeps first occurrences") {
     import spark.implicits._
     import org.apache.spark.sql.SaveMode
-    val base = java.nio.file.Files.createTempDirectory("graft-neardup-stream")
+    val base = graft.TempDirs.create("neardup-stream")
     val (src, store, out) = (s"$base/src", s"$base/sigs", s"$base/out")
     val long1 = (0 until 150).map(i => s"w$i").mkString(" ")
     val long2 = (0 until 150).map(i => s"v$i").mkString(" ")
@@ -121,7 +121,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("store band probe is partition-pruned and the degree guard trips loudly") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-neardup-guard")
+    val base = graft.TempDirs.create("neardup-guard")
     val store = s"$base/store"
     val text = (0 until 150).map(i => s"w$i").mkString(" ")
     // batch 1: a boilerplate cluster — 6 near-identical docs
@@ -215,7 +215,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("occupancy early-warning fires on a near-hot cluster with zero additional jobs") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-neardup-warn")
+    val base = graft.TempDirs.create("neardup-warn")
     val text = (0 until 150).map(i => s"w$i").mkString(" ")
     // a planted near-hot boilerplate cluster: 6 near-copies stored, the
     // 7th arrival sees degree 6 — under maxCandidates=10 but past the
@@ -270,7 +270,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("store compaction converges tags without changing dedup behavior; stats expose bucket heat") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-neardup-compact")
+    val base = graft.TempDirs.create("neardup-compact")
     val store = s"$base/store"
     val text = (0 until 150).map(i => s"w$i").mkString(" ")
     val other = (0 until 150).map(i => s"v$i").mkString(" ")
@@ -352,7 +352,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming FITS ingest decodes arriving files like the batch path") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream-fits")
+    val dir = graft.TempDirs.create("stream-fits")
     val (loglam, flux, ivar) = graft.pipeline.FitsFixtures.specGrid(1200)
     graft.pipeline.FitsFixtures.writeSpectrum(
       dir.resolve("spec-2001-54000-0001.fits").toString,

@@ -27,7 +27,7 @@ object BuildBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val dir = Files.createTempDirectory("graft-build-bench")
+    val dir = graft.TempDirs.create("build-bench")
     val specDir = dir.resolve("spectra"); Files.createDirectories(specDir)
     val imgDir = dir.resolve("images"); Files.createDirectories(imgDir)
     val (loglam, flux, ivar) = FitsFixtures.specGrid()

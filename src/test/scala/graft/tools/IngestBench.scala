@@ -27,7 +27,7 @@ object IngestBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val dir = Files.createTempDirectory("graft-ingest-bench")
+    val dir = graft.TempDirs.create("ingest-bench")
     val specDir = dir.resolve("spectra"); Files.createDirectories(specDir)
     val imgDir = dir.resolve("images"); Files.createDirectories(imgDir)
     val (loglam, flux, ivar) = FitsFixtures.specGrid()
