@@ -583,8 +583,21 @@ object SummaryRewrite {
                 // the FIRST carrying side only, or both sides' advised
                 // lists double-count them
                 var refFreeAssigned = false
+                // a side that is a UNION of epoch facts (the
+                // multi-epoch star — q299's deployment shape) advises
+                // ONE summary per branch: the serve path needs every
+                // branch to carry its own artifact, so the advisor
+                // emits each branch's fact with the same keys/measures
+                def sideShapes(side: LogicalPlan): Seq[rule.Shape] =
+                  strip(side) match {
+                    case u: Union if !u.byName && u.children.size >= 2 =>
+                      val shs = u.children.map(rule.decompose)
+                      if (shs.exists(_.isEmpty)) Seq.empty
+                      else shs.map(_.get)
+                    case _ => rule.decompose(side).toSeq
+                  }
                 Seq(l, r).flatMap { side =>
-                  rule.decompose(side).toSeq.flatMap { sh =>
+                  sideShapes(side).flatMap { sh =>
                     val so = side.outputSet
                     val gSide = g0.filter(
                       _.references.toSeq.forall(so.contains))

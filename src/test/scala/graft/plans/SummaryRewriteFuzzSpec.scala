@@ -121,17 +121,28 @@ class SummaryRewriteFuzzSpec extends AnyFunSuite {
           case _ => pick(Seq(Seq("k1", "k2"), Seq("k1"), Seq("k2"),
             Seq.empty))
         }
+        // a third of the shapes carry a pre-aggregate filter: key-only
+        // (serves via predicate pushdown onto the summary scan),
+        // non-key or mixed (must REFUSE — the equality assertion
+        // checks the refusal path's parity too)
+        val filt: DataFrame => DataFrame = rnd.nextInt(6) match {
+          case 0 => _.filter($"k1" === "s1")
+          case 1 => _.filter($"k2" < 3)
+          case 2 => _.filter($"m1" > 50)
+          case 3 => _.filter($"k1" =!= "s0" && $"k2" >= 1)
+          case _ => identity
+        }
         val nAggs = 1 + rnd.nextInt(3)
         val aggCols = (0 until nAggs).map(j =>
           pick(pool)().as(s"a$j"))
         def q: DataFrame = shape match {
-          case 1 => base.rollup(gcols.map(col): _*)
+          case 1 => filt(base).rollup(gcols.map(col): _*)
             .agg(aggCols.head, aggCols.tail: _*)
-          case 2 => base.cube(gcols.map(col): _*)
+          case 2 => filt(base).cube(gcols.map(col): _*)
             .agg(aggCols.head, aggCols.tail: _*)
           case _ if gcols.isEmpty =>
-            base.agg(aggCols.head, aggCols.tail: _*)
-          case _ => base.groupBy(gcols.map(col): _*)
+            filt(base).agg(aggCols.head, aggCols.tail: _*)
+          case _ => filt(base).groupBy(gcols.map(col): _*)
             .agg(aggCols.head, aggCols.tail: _*)
         }
         val what = s"shape#$i (seed 20160816, kind $shape, " +

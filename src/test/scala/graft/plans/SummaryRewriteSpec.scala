@@ -2353,6 +2353,32 @@ class SummaryRewriteSpec extends AnyFunSuite {
       assert(q8.collect().map(_.toSeq).toSet === expect,
         "advised star serving diverged")
     } finally SummaryRewrite.deregister("spec_advice_star")
+    // the MULTI-EPOCH star (q299's deployment shape): a UNION of epoch
+    // facts joined to a dim — the serve path needs every branch to
+    // carry its own artifact, so the advisor emits ONE advice PER
+    // branch fact, each keyed by the join attr with a hist per measure
+    val tmpU = graft.TempDirs.create("mvspec").toString
+    (0 to 1).foreach { i =>
+      graft.Tables.load(spark, dir, "orders")
+        .filter($"o_orderkey" % 2 === i)
+        .write.parquet(s"$tmpU/aep$i/o.parquet")
+    }
+    val q10 = spark.read.parquet(s"$tmpU/aep0/o.parquet")
+      .union(spark.read.parquet(s"$tmpU/aep1/o.parquet"))
+      .join(graft.Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(expr("median(o_orderkey)").as("mo"),
+        expr("median(o_totalprice)").as("mt"),
+        count(lit(1)).as("n"))
+    val (advsU, notesU) = SummaryRewrite.adviseSummaries(spark, Seq(q10))
+    (0 to 1).foreach { i =>
+      val ai = advsU.find(_.fact.endsWith(s"aep$i/o.parquet"))
+        .getOrElse(fail(s"no epoch-$i advice in $advsU / $notesU"))
+      assert(ai.keys === Set("o_custkey") &&
+        ai.histCols === Seq("o_orderkey", "o_totalprice"),
+        s"epoch advice must key the join attr and hist both measures: $ai")
+    }
   }
 
   test("UNION fact under the EXPANDED star: the multi-epoch uniques-" +
