@@ -350,11 +350,19 @@ object InsightOps {
     * accounting). See [[triangleCounts]] for the boundedness argument
     * of each step. */
   private def coEdges(ev: DataFrame, minShared: Long): (DataFrame, DataFrame) = {
+    // ONE corpus pass: without the checkpoint the (bucket, user)
+    // distinct subtree is duplicated into every consumer position
+    // (occupancy, cap, both self-join sides — the optimizer re-ids the
+    // instances, so ReuseExchange does not fold them) and the events
+    // scan + distinct ran 4-5x per graph query (measured in the final
+    // AQE plan). The checkpoint truncates lineage, so occupancy, cap,
+    // and the pair join all read the one materialized block set.
     val bu = ev.select(
         concat_ws("|", $"event_type",
           expr("unix_timestamp(ts) div 3600").cast("string")).as("b"),
         $"user_id")
       .distinct()
+      .localCheckpoint(false) // lazy: first consumer materializes
     val occ = bu.groupBy($"b").agg(count(lit(1)).as("occ"))
     // adaptive cap: the occupancy value at integer-exact position
     // ceil(9n/10) of (occ, b) ascending — bucket-count-sized window
@@ -367,13 +375,36 @@ object InsightOps {
     val withCap = occ.crossJoin(broadcast(cap))
     val hot = withCap.filter($"occ" > $"cap")
       .agg(count(lit(1)).as("n_hot_buckets"))
+    // pin the pair-generation join's parallelism: the (bucket, user)
+    // table is byte-tiny at bench scale, so AQE coalesces the join's
+    // post-shuffle read to ONE partition and the ≤cap² per-bucket pair
+    // fan-out runs serially (measured 0.7-0.9 s on a single task at
+    // sf0.1, in every one of the six co-engagement queries). A plain
+    // repartition on the join key is ELIDED: the bu⋈cap join's
+    // broadcast-hash output partitioning expands across the join-key
+    // equivalence class, so EnsureRequirements sees the repartition as
+    // redundant, and AQE then coalesces the remaining tiny
+    // ENSURE_REQUIREMENTS exchange to one partition. The checkpoint
+    // breaks that chain — its scan reports UnknownPartitioning, so the
+    // REPARTITION_BY_NUM survives, and AQE never coalesces
+    // REPARTITION_BY_NUM. The count is the session's parallelism,
+    // scale-adaptively; at real scale the exchange is the same bytes
+    // the join would have shuffled anyway.
     val ku = bu.join(withCap.filter($"occ" <= $"cap").select($"b"), "b")
+      .localCheckpoint(false)
+      .repartition(ev.sparkSession.sparkContext.defaultParallelism, $"b")
+    // the edge list is the shared artifact every co-engagement query
+    // fans out from (degree table + wedge sides in q197, k label-prop
+    // rounds, the k-core peel seed, assortativity's endpoint joins) —
+    // checkpoint it once so the pair generation never re-runs per
+    // consumer position
     val edges = ku.as("l").join(ku.as("r"),
         col("l.b") === col("r.b") && col("l.user_id") < col("r.user_id"))
       .groupBy(col("l.user_id").as("u"), col("r.user_id").as("v"))
       .agg(count(lit(1)).as("w"))
       .filter($"w" >= minShared)
       .select($"u", $"v")
+      .localCheckpoint(false) // lazy: first consumer materializes
     (edges, hot)
   }
 
@@ -443,8 +474,16 @@ object InsightOps {
     * consumers that already derived edges (q242's modularity) never
     * pay the co-engagement self-join twice. */
   def labelPropagationFromEdges(edges: DataFrame, k: Int): DataFrame = {
+    // in-row fan-out, NOT union-of-recompute: a union's two branches
+    // are two re-id'd instances of the whole edge-derivation subtree
+    // (ReuseExchange does not fold them), so the symmetrization used
+    // to pay the pair aggregation twice — explode each edge into its
+    // two orientations in one pass instead
     val sym = edges
-      .union(edges.select($"v".as("u"), $"u".as("v")))
+      .select(explode(array(
+        struct($"u", $"v"),
+        struct($"v".as("u"), $"u".as("v")))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
       .localCheckpoint(false) // lazy: materialized once, read k times
     var labels = sym.select($"u".as("node")).distinct()
       .withColumn("label", $"node")

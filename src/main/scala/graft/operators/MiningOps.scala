@@ -292,6 +292,19 @@ object MiningOps {
     val fl = dt.join(broadcast(dict), "t")
       .groupBy($"doc_id").agg(array_sort(collect_list($"tid")).as("ids"))
       .filter(size($"ids") >= 3) // also guards the ascending sequences
+      // AQE coalesces this byte-tiny (doc, ids) frame to ONE partition
+      // and the C(m,3) in-row explosion below then runs SERIALLY
+      // (measured: 4.6 s on a single task at sf0.1, 90% of the query).
+      // The explosion's cost is in rows OUT, which size-based
+      // coalescing cannot see — pin the fan-out stage's parallelism to
+      // the session's, scale-adaptively (at real scale the frame is
+      // big enough that AQE keeps it wide and this exchange of the
+      // compact per-doc rows is noise next to the explosion).
+      // Round-robin, NOT hash-by-doc_id: the aggregate above already
+      // hash-partitions by doc_id, so a same-key repartition is elided
+      // as redundant by EnsureRequirements and the coalesced read
+      // comes back; a REPARTITION_BY_NUM shuffle is never coalesced.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     // index sequences + element_at (O(1)) — a slice() inside a lambda
     // would copy O(m) per index (higher-order lambdas re-evaluate
     // arguments per element; no CSE)

@@ -906,9 +906,15 @@ object TextOps {
       docs: DataFrame, minScaled: Long = 8000L,
       maxDf: Long = MaxContainmentDf,
       allowLossy: Boolean = false): (DataFrame, DataFrame) = {
+    // pinned (lazy localCheckpoint), not repartition-for-ReuseExchange:
+    // the four consumers below (df table, sizes, both pair-join sides)
+    // prune different columns, so their exchanges canonicalize apart
+    // and the shingle explosion ran once per consumer (measured: two
+    // full explode map-stages at sf0.1). The checkpoint materializes
+    // the exploded postings exactly once for all of them.
     val g = docs
       .select($"doc_id", explode(shingles($"text")).as("g"))
-      .repartition($"g")
+      .localCheckpoint(false)
     val dfreq = g.groupBy($"g").agg(count(lit(1)).as("df"))
     val sizes = g.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     // df-cut: singletons contribute to no intersection (lossless);

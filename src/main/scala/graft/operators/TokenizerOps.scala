@@ -90,7 +90,14 @@ object TokenizerOps {
     * without the per-round inventory job, returning the merge TABLE
     * (the artifact a tokenizer ships). k one-row driver collects. */
   def trainMerges(wf0: DataFrame, k: Int): Seq[(String, String)] = {
+    // pin the corpus reduction: each round's argmax is an ACTION, and
+    // without the checkpoint every round re-ran the corpus scan +
+    // word-count shuffle through the vocab lineage (k corpus passes
+    // for k rounds); the checkpoint makes round r a scan of the
+    // materialized vocabulary + r stacked replaces — the documented
+    // "corpus touched exactly once" contract, now true per action too
     var vocab = wf0.select(spaced($"w").as("ws"), $"wf")
+      .localCheckpoint(false)
     (1 to k).map { _ =>
       val top = pairCounts(vocab)
         .orderBy($"pair_count".desc, $"l_sym", $"r_sym")
@@ -130,7 +137,13 @@ object TokenizerOps {
     * corpus. */
   def q195BpeMerges(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
     val wf0 = wordFreq(s, dir)
+    // pinned (lazy localCheckpoint): the per-round argmax and
+    // symbol-inventory actions would otherwise each re-run the corpus
+    // scan + word-count shuffle through the vocab lineage — 2k corpus
+    // passes for k rounds; with the checkpoint the corpus is touched
+    // exactly once and every round is vocabulary-sized
     var vocab = wf0.select(spaced($"w").as("ws"), $"wf")
+      .localCheckpoint(false)
     // k vocabulary-sized rounds; the corpus shuffle above happened once
     val rows = (1 to k).map { round =>
       val top = pairCounts(vocab)

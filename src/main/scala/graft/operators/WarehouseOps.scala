@@ -130,7 +130,13 @@ object WarehouseOps {
     * values are engine-specific and never hashed); the oracle replays
     * it column by column. */
   def q253ProfileApprox(s: SparkSession, dir: String): DataFrame = {
+    // pin profile parallelism: the single-file orders scan is ONE input
+    // partition, so the exact baseline's per-column distinct Expand
+    // (rows × columns) ran serially (measured 3.1 s on one task at
+    // sf0.1); scale-adaptive round-robin spreads both profiles — at
+    // real scale the scan is already wide and this exchange is noise
     val orders = load(s, dir, "orders")
+      .repartition(s.sparkContext.defaultParallelism)
     val approxDf = profileTable(orders, approx = true)
     val exactDf = profileTable(orders)
     val physA = approxDf.queryExecution.executedPlan.toString

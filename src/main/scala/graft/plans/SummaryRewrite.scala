@@ -5066,6 +5066,141 @@ object SummaryRewrite {
       }
     }
 
+    /** Two-level rebuild of a hist-serving Aggregate when a DISTINCT
+      * aggregate over the exploded value is present. Spark plans a
+      * single-distinct-group aggregate (AggUtils
+      * planAggregateWithOneDistinct) by FIRST partially aggregating on
+      * (grouping ∪ distinct-value) — which instantiates every
+      * imperative buffer (Percentile's value→count OpenHashMap, HLL
+      * registers) once per DISTINCT VALUE: for a near-unique hist
+      * measure (q289's revenue, ~150k values per group at sf0.1) that
+      * is hundreds of thousands of boxed maps allocated and merged per
+      * partition — measured 18.8 task-sec + GC storms for a 600k-entry
+      * explosion whose useful work is a few hundred ms.
+      *
+      * The rebuild makes the value-merge EXPLICIT and keeps the
+      * expensive aggregates out of it:
+      *
+      *   Aggregate(G, aggs, Generate)
+      *     → Aggregate(G', aggs', Aggregate(G ∪ {k}, pre, Generate))
+      *
+      * The inner aggregate groups by (G, value) — plain codegen
+      * hash-aggregation over longs — merging entry multiplicities
+      * (Σ count) and pre-folding every decomposable partial (Σ/min/max/
+      * count of masked partials). The outer then computes:
+      * count/sum/avg DISTINCT value → the same function NON-distinct
+      * (each surviving (G, value) row carries the value exactly once);
+      * percentile(value, p, count) → percentile(value, p, Σcount)
+      * (identical value→count multiset, identical interpolation);
+      * min/max(value) and set-pure HLL(value) verbatim; Σ over a
+      * pre-Σ, min over a pre-min, max over a pre-max, Σ over a
+      * pre-count. Every derivation is the associative-partial argument
+      * the rewrite already rests on; the outer result is value-exact
+      * against the single-level plan. The pos-null row an OUTER
+      * explode emits for an empty histogram forms its own (G, null)
+      * inner group: null values are skipped by count/sum/avg/min/max
+      * DISTINCT exactly as before, and its Σcount is null, which
+      * Percentile's update skips — the same null-row reliance the
+      * single-level plan documents above.
+      *
+      * Scope guard: fires only when at least one distinct-over-value
+      * aggregate exists (the pathological planner shape); bails to the
+      * unsplit Aggregate whenever ANY aggregate falls outside the
+      * decomposable set (FILTER clauses, non-Long sums whose
+      * re-aggregation would widen the type, register-merge partials,
+      * percentile over anything but the bare value) — refusal keeps
+      * the proven single-level plan, never guesses. */
+    private def splitHistDistinct(agg: Aggregate, posA: Attribute,
+        kA: Attribute, vA: Attribute): Aggregate = {
+      // A/B toggle for benchmarking/plan capture (the round-9 PROF_AQE
+      // precedent): set to serve the single-level plan this split
+      // replaces. Correctness is identical either way.
+      if (sys.env.contains("GRAFT_DISABLE_HIST_SPLIT")) return agg
+      val distinctOverK = (ae: AggregateExpression) =>
+        ae.isDistinct && ae.filter.isEmpty &&
+          (ae.aggregateFunction match {
+            case c: Count => c.children == Seq(kA)
+            case s: Sum => s.child == kA
+            case av: Average => av.child == kA
+            case _ => false
+          })
+      if (!agg.aggregateExpressions.exists(_.exists {
+          case ae: AggregateExpression => distinctOverK(ae)
+          case _ => false
+        })) return agg
+      // inner pre-aggregates, deduped by canonicalized function
+      var pres = Seq.empty[(Expression, Alias)]
+      def preFor(fn: AggregateFunction): Attribute = {
+        val key = fn.canonicalized
+        pres.find(_._1 == key).map(_._2.toAttribute).getOrElse {
+          val al = Alias(
+            AggregateExpression(fn, Complete, isDistinct = false),
+            s"__dh_pre_${pres.size}")()
+          pres :+= ((key, al))
+          al.toAttribute
+        }
+      }
+      var ok = true
+      def complete(fn: AggregateFunction): AggregateExpression =
+        AggregateExpression(fn, Complete, isDistinct = false)
+      val replaced = agg.aggregateExpressions.map(_.transformUp {
+        case ae: AggregateExpression if distinctOverK(ae) =>
+          complete(ae.aggregateFunction)
+        case ae: AggregateExpression if ae.filter.isEmpty &&
+            !ae.isDistinct =>
+          ae.aggregateFunction match {
+            case p: Percentile
+                if p.child == kA && p.frequencyExpression == vA =>
+              complete(p.withNewChildren(Seq(kA,
+                p.percentageExpression, preFor(Sum(vA))))
+                .asInstanceOf[AggregateFunction])
+            // set-pure over the value: identical registers whether it
+            // sees each value once (inner-merged) or per entry row
+            case h: HyperLogLogPlusPlus if h.child == kA => ae
+            case s: Sum if s.dataType == LongType &&
+                !s.child.exists(_ == kA) =>
+              complete(Sum(preFor(Sum(s.child))))
+            case m: Min if !m.child.exists(_ == kA) =>
+              complete(Min(preFor(Min(m.child))))
+            case m: Max if !m.child.exists(_ == kA) =>
+              complete(Max(preFor(Max(m.child))))
+            case m: Min if m.child == kA => ae
+            case m: Max if m.child == kA => ae
+            case c: Count if !c.children.exists(_.exists(_ == kA)) =>
+              complete(Sum(preFor(Count(c.children))))
+            case _ => ok = false; ae
+          }
+        case ae: AggregateExpression => ok = false; ae
+      }.asInstanceOf[NamedExpression])
+      if (!ok) return agg
+      val gAliases = agg.groupingExpressions.zipWithIndex.map {
+        case (g, i) => Alias(g, s"__dh_g$i")()
+      }
+      val gAttrs = gAliases.map(_.toAttribute)
+      // rebase grouping-expression occurrences in the outputs onto the
+      // inner grouping aliases (aggregate children were already fully
+      // replaced above, so only passthrough/glue positions remain)
+      val rebased = replaced.zip(agg.aggregateExpressions).map {
+        case (ne, orig) =>
+          val r = ne.transformDown {
+            case ex if agg.groupingExpressions.exists(_.semanticEquals(ex)) =>
+              gAttrs(agg.groupingExpressions.indexWhere(_.semanticEquals(ex)))
+          }
+          r match {
+            case n: NamedExpression if n.exprId == orig.exprId => n
+            case other => Alias(other, orig.name)(exprId = orig.exprId)
+          }
+      }
+      val allowed = AttributeSet(gAttrs ++ Seq(kA) ++
+        pres.map(_._2.toAttribute))
+      if (!rebased.forall(_.references.subsetOf(allowed))) return agg
+      val inner = Aggregate(agg.groupingExpressions :+ kA,
+        gAliases ++ Seq(kA) ++ pres.map(_._2), agg.child)
+      note("hist distinct serve split into (grouping, value) " +
+        "pre-aggregation + plain outer aggregates")
+      Aggregate(gAttrs, rebased, inner, agg.hint)
+    }
+
     /** The histogram serving path of [[tryRewrite]]: pick the first
       * `hist_<col>` artifact column (name order — deterministic) that
       * lets EVERY output rewrite, and serve over
@@ -5102,7 +5237,9 @@ object SummaryRewrite {
               val gen = histExplode(histAttr, posA, kA, vA, filteredMv)
               note(s"aggregate SERVED by summary '$name' via $histName " +
                 "histogram explosion")
-              Some(Aggregate(groupExprs.map(remap), masked, gen, hint))
+              Some(splitHistDistinct(
+                Aggregate(groupExprs.map(remap), masked, gen, hint),
+                posA, kA, vA))
             }
           }
       }.headOption
@@ -5236,9 +5373,11 @@ object SummaryRewrite {
         val groupVals = groupExprs.zipWithIndex.map { case (g, j) =>
           Alias(remap(g), s"__mh_g$j")()
         }
-        val agg = Aggregate(groupExprs.map(remap),
-          groupVals ++ maskToFirstEntry(rewritten, posA, attrs), gen,
-          hint)
+        val agg = splitHistDistinct(
+          Aggregate(groupExprs.map(remap),
+            groupVals ++ maskToFirstEntry(rewritten, posA, attrs), gen,
+            hint),
+          posA, kA, vA)
         (agg, groupVals.map(_.toAttribute))
       }
       val sides = sideOuts.map { case (hn, outs) => buildSide(hn, outs) }

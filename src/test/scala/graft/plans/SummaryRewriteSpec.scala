@@ -3379,6 +3379,46 @@ class SummaryRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("hist-distinct serve SPLITS into a (grouping, value) " +
+      "pre-aggregation + plain outer aggregates — no distinct " +
+      "AggregateExpression survives (a one-distinct plan would " +
+      "instantiate the percentile buffer once per DISTINCT VALUE: the " +
+      "q289 allocation storm), and the percentile's frequency is the " +
+      "pre-merged Σcount") {
+    withHist { fact =>
+      val q = fact.groupBy($"g").agg(
+        countDistinct($"m").as("dm"),
+        expr("percentile(m, 0.5)").as("med"),
+        max($"m").as("mx"),
+        count(lit(1)).as("n"))
+      val opt = q.queryExecution.optimizedPlan
+      val aggs = opt.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggs.size === 2,
+        s"expected the two-level split (outer + value pre-agg), got " +
+          s"${aggs.size} Aggregates:\n$opt")
+      val distincts = aggs.flatMap(_.aggregateExpressions).flatMap(_.collect {
+        case ae: org.apache.spark.sql.catalyst.expressions.aggregate
+            .AggregateExpression if ae.isDistinct => ae
+      })
+      assert(distincts.isEmpty,
+        s"no distinct AggregateExpression may survive the split: " +
+          distincts.mkString(", "))
+      // the inner aggregate groups by (g, value) and the percentile
+      // lives ONLY in the outer one
+      val inner = aggs.last
+      assert(inner.groupingExpressions.size === 2,
+        s"inner pre-aggregation must group by (grouping, value): " +
+          inner.groupingExpressions.mkString(", "))
+      assert(!inner.aggregateExpressions.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.aggregate
+            .Percentile => true
+        case _ => false
+      }), "the percentile must not partial-evaluate per distinct value")
+    }
+  }
+
   test("hist serving under a KEY filter, in composed glue, and with " +
       "FILTER clauses over keys") {
     withHist { fact =>
