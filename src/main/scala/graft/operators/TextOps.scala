@@ -911,8 +911,14 @@ object TextOps {
     // prune different columns, so their exchanges canonicalize apart
     // and the shingle explosion ran once per consumer (measured: two
     // full explode map-stages at sf0.1). The checkpoint materializes
-    // the exploded postings exactly once for all of them.
+    // the exploded postings exactly once for all of them. The
+    // round-robin spread BEFORE the pin is load-bearing: a single-file
+    // corpus is one input partition, and a 1-partition checkpoint
+    // serializes every consumer stage until its next exchange
+    // (measured +1.1 s on q64) — spread the store scale-adaptively so
+    // the block set, and everything reading it, is wide.
     val g = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select($"doc_id", explode(shingles($"text")).as("g"))
       .localCheckpoint(false)
     val dfreq = g.groupBy($"g").agg(count(lit(1)).as("df"))

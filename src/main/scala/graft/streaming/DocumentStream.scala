@@ -540,16 +540,35 @@ object DocumentStream {
       case Ver(n) => n.toLong }.foldLeft(-1L)(_ max _) + 1)
     val staging = s"$sigStore/.compact-staging"
     fs.delete(new org.apache.hadoop.fs.Path(staging), true) // stale crash residue
-    writeStorePart(
-      spark.read.parquet(s"$sigStore/sigs").drop("btag")
-        .dropDuplicates("doc_id"),
-      s"$staging/sigs", Some(next), Seq.empty, Seq("pdoc"),
-      chunkExpr = Some(sigsChunk), nChunks = SigBuckets)
-    writeStorePart(
-      spark.read.parquet(s"$sigStore/bands").drop("btag")
-        .dropDuplicates("doc_id", "band"),
-      s"$staging/bands", Some(next), Seq("band"), Seq("pbucket"),
-      chunkExpr = Some(bandsChunk), nChunks = 32)
+    // the two sides are independent reads/writes of disjoint
+    // directories — run them as concurrent jobs (the nearDupDedupBatch
+    // store-write pattern): each alone underfills the cluster with
+    // this layout's bounded task counts, and the staging renames below
+    // happen only after BOTH complete, so crash-safety is unchanged
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val writes = Seq(
+        Future(writeStorePart(
+          spark.read.parquet(s"$sigStore/sigs").drop("btag")
+            .dropDuplicates("doc_id"),
+          s"$staging/sigs", Some(next), Seq.empty, Seq("pdoc"),
+          chunkExpr = Some(sigsChunk), nChunks = SigBuckets)),
+        Future(writeStorePart(
+          spark.read.parquet(s"$sigStore/bands").drop("btag")
+            .dropDuplicates("doc_id", "band"),
+          s"$staging/bands", Some(next), Seq("band"), Seq("pbucket"),
+          chunkExpr = Some(bandsChunk), nChunks = 32)))
+      // await ALL before surfacing any failure (the batch-write rule:
+      // throwing at the first failure would orphan the other side's
+      // still-running staging write)
+      val outcomes = writes.map { w =>
+        try { Await.result(w, Duration.Inf); None }
+        catch { case t: Throwable => Some(t) }
+      }
+      outcomes.flatten.foreach(t => throw t)
+    }
     for (side <- Seq("sigs", "bands")) {
       val src = new org.apache.hadoop.fs.Path(s"$staging/$side/btag=$next")
       val dst = new org.apache.hadoop.fs.Path(s"$sigStore/$side/btag=$next")
