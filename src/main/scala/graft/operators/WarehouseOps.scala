@@ -183,8 +183,14 @@ object WarehouseOps {
     * dedup unchanged); `n_members`/`n_langs`/`n_sources` account the
     * disagreement each golden record resolved. */
   def goldenRecords(docs: DataFrame): DataFrame = {
+    // pinned (lazy localCheckpoint): the cluster base and each field's
+    // modal vote are separate consumers, and the canonical-key text
+    // normalization is the expensive part of the scan — unpinned, it
+    // re-ran once per consumer (measured: three ~2.1 task-sec passes
+    // at sf0.1; one after the pin)
     val keyed = docs.select(HygieneOps.canonicalKey($"text").as("ck"),
       $"doc_id", $"lang", $"source")
+      .localCheckpoint(false)
     val base = keyed.groupBy($"ck")
       .agg(min($"doc_id").as("rep_doc_id"), count(lit(1)).as("n_members"),
         count_distinct($"lang").as("n_langs"),
