@@ -380,13 +380,23 @@ object WarehouseOps {
       SummaryRewrite.summaryFrame(s.read.parquet(factPath),
         Seq("source"), Seq("n_chars"), minMaxCols = Seq("n_chars"),
         histCols = Seq("n_chars")).coalesce(1), store)
-    val (ins, del) = cdcDiff(v0, v1)
+    // each diff side is an exceptAll SHUFFLE over both versions,
+    // consumed three times (the non-vacuity count, applyCdc's
+    // emptiness probe / partial aggregation) — pin lazily so the diff
+    // is computed once per maintenance cycle, not once per consumer
+    // (at 100 TB the diff pass dwarfs everything downstream of it)
+    val (insRaw, delRaw) = cdcDiff(v0, v1)
+    val ins = insRaw.localCheckpoint(false)
+    val del = delRaw.localCheckpoint(false)
     val (nIns, nDel) = (ins.count(), del.count())
     require(nIns > 0 && nDel > 0,
       s"q287 gate is vacuous: the version diff must have both inserts " +
         s"($nIns) and deletes ($nDel)")
     SummaryRewrite.applyCdc(s, store, ins, del,
       Seq("source"), Seq("n_chars"), minMaxCols = Seq("n_chars"))
+    // applyCdc's commit was the diffs' last consumer — free the blocks
+    TextOps.releaseLocalCheckpoint(ins)
+    TextOps.releaseLocalCheckpoint(del)
     v1.write.mode("overwrite").parquet(factPath)
     SummaryRewrite.install(s)
     SummaryRewrite.register("q287_vdocs",

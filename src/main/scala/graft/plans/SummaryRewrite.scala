@@ -1524,7 +1524,18 @@ object SummaryRewrite {
     val dCols = delDelta0.schema.fieldNames.filterNot(keys.contains)
     val delDelta = delDelta0.select(keys.map(col) ++
       dCols.map(n => col(n).as(s"__d_$n")): _*)
+    // The phantom probe, the negative-evidence sweep, and the commit
+    // write are THREE actions whose plans all contain this full-outer
+    // join — unpinned, each action re-runs the whole maintenance
+    // lineage (snapshot read + insert-batch fold + delete-batch
+    // partial aggregation; at 100 TB that is three scans of both CDC
+    // batches for one commit). One LAZY localCheckpoint pins it: the
+    // phantom count materializes the blocks, the sweep and the write
+    // read them. Checkpoint, not persist — the commit's writeSnapshot
+    // recacheByPath can never invalidate-and-recompute a truncated
+    // lineage, and the pinned frame is summary-group-sized.
     val joined = merged.join(delDelta, keys, "full_outer")
+      .localCheckpoint(false)
     // a delete for a key group the artifact does not carry is a wrong
     // batch, not a no-op
     val phantom = joined.filter(col("cnt").isNull).count()
@@ -1605,9 +1616,13 @@ object SummaryRewrite {
             array_max(map_keys(col(s"hist_$n")))
               .cast(latest.schema(s"maxx_$n").dataType))
       }
-    graft.operators.IndexOps.writeSnapshot(
+    val snap = graft.operators.IndexOps.writeSnapshot(
       layout(result.select(base.schema.fieldNames.map(col)
         .toIndexedSeq: _*), keys), store)
+    // the commit was the last consumer of the pinned join — free its
+    // blocks (refusal paths skip this and fall back to ContextCleaner)
+    graft.operators.TextOps.releaseLocalCheckpoint(joined)
+    snap
   }
 
   /** Persist a derived summary frame ([[rollupSummary]]'s output, or
