@@ -305,16 +305,16 @@ object MiningOps {
       // as redundant by EnsureRequirements and the coalesced read
       // comes back; a REPARTITION_BY_NUM shuffle is never coalesced.
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    // index sequences + element_at (O(1)) — a slice() inside a lambda
-    // would copy O(m) per index (higher-order lambdas re-evaluate
-    // arguments per element; no CSE)
-    val packed = fl.select(explode(expr(
-        """flatten(transform(sequence(1, size(ids) - 2), i ->
-          |  flatten(transform(sequence(i + 1, size(ids) - 1), j ->
-          |    transform(sequence(j + 1, size(ids)), k ->
-          |      element_at(ids, i) * 1099511627776L
-          |        + element_at(ids, j) * 1048576L
-          |        + element_at(ids, k))))))""".stripMargin)).as("p"))
+    // native codegen triple packer: the nested-HOF form (flatten ∘
+    // transform ∘ transform ∘ transform with element_at) evaluated a
+    // lambda and boxed a Long PER TRIPLE off the codegen path, plus two
+    // flatten copy levels and one array allocation per (i, j) prefix —
+    // at sf0.1 that single stage burned 17 task-sec + GC to emit the
+    // ~16M triples. PackedTriplesExpr fills one primitive long[] with
+    // three tight loops (same multiset, same order, proven by law in
+    // MiningOpsSpec)
+    val packed = fl.select(explode(
+        graft.plans.VectorExpressions.packed_triples($"ids")).as("p"))
       .groupBy($"p").agg(count(lit(1)).as("support"))
     def tok(idCol: Column, alias: String) =
       broadcast(dict.select($"tid".as(s"${alias}_id"), $"t".as(alias)))

@@ -261,6 +261,105 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** All C(m,3) ascending-index triples of a sorted id array, each packed
+  * into one long (`a·2⁴⁰ + b·2²⁰ + c` — the q225 20-bit dictionary
+  * contract), emitted in the same lexicographic (i, j, k) order as the
+  * nested-HOF form it replaces:
+  *
+  *   flatten(transform(sequence(1, m-2), i -> flatten(transform(
+  *     sequence(i+1, m-1), j -> transform(sequence(j+1, m), k -> pack)))))
+  *
+  * That chain is the itemset hot path's whole cost: higher-order
+  * functions evaluate OFF the codegen path — a lambda invocation and a
+  * boxed Long per element, plus two levels of flatten copies and one
+  * GenericArrayData per (i, j) prefix (~m²/2 array allocations per row).
+  * Here the triple space is ONE primitive long[] filled by three tight
+  * loops and wrapped zero-copy-per-element (UnsafeArrayData
+  * .fromPrimitiveArray) — same multiset, same order, no boxing.
+  *
+  * Null array → null (HOF parity). Elements must be non-null (the
+  * caller feeds `array_sort(collect_list(...))`, which cannot emit
+  * nulls). The triple count is guarded against int overflow loudly —
+  * the HOF form would OOM long before that bound anyway. */
+case class PackedTriplesExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "packed_triples"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<bigint> argument, got ${t.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val m = a.numElements()
+    val cnt = if (m < 3) 0L else m.toLong * (m - 1) * (m - 2) / 6L
+    if (cnt > Int.MaxValue - 16)
+      throw new IllegalArgumentException(
+        s"packed_triples: C($m, 3) = $cnt triples exceed the array bound")
+    val out = new Array[Long](cnt.toInt)
+    var p = 0
+    var i = 0
+    while (i < m - 2) {
+      val vi = a.getLong(i) * 1099511627776L
+      var j = i + 1
+      while (j < m - 1) {
+        val vj = vi + a.getLong(j) * 1048576L
+        var k = j + 1
+        while (k < m) { out(p) = vj + a.getLong(k); p += 1; k += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.freshName("m")
+      val cnt = ctx.freshName("cnt")
+      val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val vi = ctx.freshName("vi")
+      val vj = ctx.freshName("vj")
+      s"""
+         |int $m = $a.numElements();
+         |long $cnt = $m < 3 ? 0L : (long) $m * ($m - 1) * ($m - 2) / 6L;
+         |if ($cnt > Integer.MAX_VALUE - 16) {
+         |  throw new IllegalArgumentException(
+         |    "packed_triples: C(" + $m + ", 3) = " + $cnt +
+         |    " triples exceed the array bound");
+         |}
+         |long[] $out = new long[(int) $cnt];
+         |int $p = 0;
+         |for (int $i = 0; $i < $m - 2; $i++) {
+         |  long $vi = $a.getLong($i) * 1099511627776L;
+         |  for (int $j = $i + 1; $j < $m - 1; $j++) {
+         |    long $vj = $vi + $a.getLong($j) * 1048576L;
+         |    for (int $k = $j + 1; $k < $m; $k++) {
+         |      $out[$p++] = $vj + $a.getLong($k);
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c)
+}
+
 object VectorExpressions {
 
   import org.apache.spark.sql.functions.call_function
@@ -279,6 +378,7 @@ object VectorExpressions {
   def vec_nanl1(a: Column, b: Column): Column = fn("vec_nanl1", a, b)
   def sorted_intersect_count(a: Column, b: Column): Column =
     fn("sorted_intersect_count", a, b)
+  def packed_triples(ids: Column): Column = fn("packed_triples", ids)
 
   /** Idempotent per-session registration — skipped when already present
     * (callers invoke this on every table load). */
@@ -297,6 +397,13 @@ object VectorExpressions {
         exprs => SimHash64Expr(exprs(0)), "scala_udf")
       reg.createOrReplaceTempFunction("sorted_intersect_count",
         exprs => SortedIntersectCountExpr(exprs(0), exprs(1)), "scala_udf")
+    }
+    // own guard: sessions registered by an older build of this block
+    // would otherwise skip the newer function
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("packed_triples"))) {
+      reg.createOrReplaceTempFunction("packed_triples",
+        exprs => PackedTriplesExpr(exprs(0)), "scala_udf")
     }
   }
 }

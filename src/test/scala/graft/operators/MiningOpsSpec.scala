@@ -505,4 +505,47 @@ class MiningOpsSpec extends AnyFunSuite {
     assert(out.length === 4)
     out.tail.foreach(r => assert(r.getAs[Long]("support") === 1L))
   }
+
+  test("packed_triples ≡ the nested-HOF triple enumeration — same " +
+    "elements, same order, every size and a seeded random sweep") {
+    graft.plans.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(4060L)
+    // m >= 3 only: the HOF chain is UNDEFINED below that (descending
+    // sequences + out-of-range element_at) — itemsetTriples filters
+    // size >= 3 before it, and the native expression mirrors that
+    // domain (m < 3 yields the empty array, asserted separately below)
+    val arrays: Seq[Seq[Long]] =
+      (3 to 12).map(m => (1 to m).map(_.toLong)) ++ // dense prefixes
+        (1 to 20).map { _ => // sorted random draws from the 20-bit domain
+          val m = 3 + rnd.nextInt(30)
+          Seq.fill(m)(1L + rnd.nextInt((1 << 20) - 1)).sorted.map(_.toLong)
+        }
+    arrays.foreach { ids =>
+      val df = Seq(Tuple1(ids)).toDF("ids")
+      val hof = df.select(expr(
+        """flatten(transform(sequence(1, size(ids) - 2), i ->
+          |  flatten(transform(sequence(i + 1, size(ids) - 1), j ->
+          |    transform(sequence(j + 1, size(ids)), k ->
+          |      element_at(ids, i) * 1099511627776L
+          |        + element_at(ids, j) * 1048576L
+          |        + element_at(ids, k))))))""".stripMargin).as("p"))
+        .collect().head.getSeq[Long](0)
+      val native = df.select(
+          graft.plans.VectorExpressions.packed_triples($"ids").as("p"))
+        .collect().head.getSeq[Long](0)
+      assert(native === hof, s"diverged on ids=$ids")
+    }
+    // below the operator's size-3 floor: empty triple set, no error
+    Seq(Seq(1L), Seq(1L, 2L)).foreach { ids =>
+      val small = Seq(Tuple1(ids)).toDF("ids")
+        .select(graft.plans.VectorExpressions.packed_triples($"ids"))
+        .collect().head.getSeq[Long](0)
+      assert(small.isEmpty)
+    }
+    // null array → null
+    val nullRow = Seq(Tuple1(null.asInstanceOf[Seq[Long]])).toDF("ids")
+      .select(graft.plans.VectorExpressions.packed_triples($"ids"))
+      .collect().head
+    assert(nullRow.isNullAt(0))
+  }
 }
