@@ -349,19 +349,47 @@ object InsightOps {
     * q205 label propagator: returns (edges, 1-row hot-bucket
     * accounting). See [[triangleCounts]] for the boundedness argument
     * of each step. */
+  /** (bucket, user) dedup width: one task per this many INPUT bytes of
+    * the events scan (≈8 tasks at sf0.1's 2 MB parquet), saturating at
+    * the session's parallelism. The width rides the single corpus
+    * exchange and — via the checkpoint's physical partition count —
+    * every stage that streams the pinned frames, so a tiny corpus
+    * stops paying `defaultParallelism` fixed-cost tasks per stage (the
+    * r16 q211/q207/q242 32-core regression) while a big one still
+    * fills the cluster. */
+  private val BuBytesPerTask = 256L << 10
+
   private def coEdges(ev: DataFrame, minShared: Long): (DataFrame, DataFrame) = {
-    // ONE corpus pass: without the checkpoint the (bucket, user)
-    // distinct subtree is duplicated into every consumer position
-    // (occupancy, cap, both self-join sides — the optimizer re-ids the
-    // instances, so ReuseExchange does not fold them) and the events
-    // scan + distinct ran 4-5x per graph query (measured in the final
-    // AQE plan). The checkpoint truncates lineage, so occupancy, cap,
-    // and the pair join all read the one materialized block set.
+    val spark = ev.sparkSession
+    // size-aware width for the one corpus exchange below, derived from
+    // the optimizer's size estimate (parquet file bytes) — zero jobs,
+    // where even a metadata-only count() would pay one fixed-cost
+    // action per graph query per driver rep
+    val width = Spread.sizedWidthFromBytes(spark,
+      ev.queryExecution.optimizedPlan.stats.sizeInBytes, BuBytesPerTask)
+    // ONE corpus pass AND one corpus exchange: the keyed repartition
+    // carries the rows to hash(b) once, and the (b, user) dedup
+    // aggregate REUSES that partitioning (clustering by a subset of
+    // the group keys satisfies the aggregate — no second exchange,
+    // where r16's bare distinct() shuffled on (b, user) and then paid
+    // a REPARTITION_BY_NUM again before the pair join). The pinned
+    // number is deliberate: AQE would coalesce a tiny post-shuffle
+    // read to ONE partition, and the ≤cap² per-bucket pair fan-out
+    // below — whose cost is in rows OUT, invisible to size-based
+    // coalescing — would run serially (measured 0.7-0.9 s on a single
+    // task at sf0.1 in every one of the six co-engagement queries).
+    // Without the checkpoint the dedup subtree is duplicated into
+    // every consumer position (occupancy, cap, both self-join sides —
+    // the optimizer re-ids the instances, so ReuseExchange does not
+    // fold them) and the events scan + dedup ran 4-5x per graph query.
+    // The checkpoint truncates lineage — every consumer reads the one
+    // materialized block set, at `width` physical partitions.
     val bu = ev.select(
         concat_ws("|", $"event_type",
           expr("unix_timestamp(ts) div 3600").cast("string")).as("b"),
         $"user_id")
-      .distinct()
+      .repartition(width, $"b")
+      .dropDuplicates("b", "user_id")
       .localCheckpoint(false) // lazy: first consumer materializes
     val occ = bu.groupBy($"b").agg(count(lit(1)).as("occ"))
     // adaptive cap: the occupancy value at integer-exact position
@@ -375,36 +403,47 @@ object InsightOps {
     val withCap = occ.crossJoin(broadcast(cap))
     val hot = withCap.filter($"occ" > $"cap")
       .agg(count(lit(1)).as("n_hot_buckets"))
-    // pin the pair-generation join's parallelism: the (bucket, user)
-    // table is byte-tiny at bench scale, so AQE coalesces the join's
-    // post-shuffle read to ONE partition and the ≤cap² per-bucket pair
-    // fan-out runs serially (measured 0.7-0.9 s on a single task at
-    // sf0.1, in every one of the six co-engagement queries). A plain
-    // repartition on the join key is ELIDED: the bu⋈cap join's
-    // broadcast-hash output partitioning expands across the join-key
-    // equivalence class, so EnsureRequirements sees the repartition as
-    // redundant, and AQE then coalesces the remaining tiny
-    // ENSURE_REQUIREMENTS exchange to one partition. The checkpoint
-    // breaks that chain — its scan reports UnknownPartitioning, so the
-    // REPARTITION_BY_NUM survives, and AQE never coalesces
-    // REPARTITION_BY_NUM. The count is the session's parallelism,
-    // scale-adaptively; at real scale the exchange is the same bytes
-    // the join would have shuffled anyway.
-    val ku = bu.join(withCap.filter($"occ" <= $"cap").select($"b"), "b")
+    // the kept-bucket dim is occupancy-bounded (≤ bucket count) —
+    // broadcast it so ku is a map-side join streaming over bu's width
+    // partitions. The explicit REPARTITION_BY_NUM pin stays: bu is a
+    // checkpoint leaf, so ku carries no size statistics — the self-join
+    // below would plan as a sort-merge whose ENSURE_REQUIREMENTS
+    // exchanges AQE coalesces to ONE partition on byte-tiny input,
+    // serializing the ≤cap² fan-out (measured: 0.64 s single-task pair
+    // stage when the pin was dropped this round). Honest caveat: when
+    // the self-join IS planned sort-merge, EnsureRequirements raises
+    // this exchange's partition count to spark.sql.shuffle.partitions
+    // for co-partitioning (observed 13 → 32 in the final plan) — the
+    // pin's job is blocking the serial coalesce, not fixing the exact
+    // width; the pair stage is the family's heavy stage, so full
+    // session width there is the right outcome anyway. The size-aware
+    // width DOES govern bu's own exchange and every stage that streams
+    // the pinned frames.
+    // lazy pin between the join and the spread: without it each
+    // self-join side re-derives ku under its own exchange instance
+    // (the re-id'd subtrees do not ReuseExchange-fold — measured as a
+    // second bu-scan+join stage per side this round)
+    val ku = bu.join(
+        broadcast(withCap.filter($"occ" <= $"cap").select($"b")), "b")
       .localCheckpoint(false)
-      .repartition(ev.sparkSession.sparkContext.defaultParallelism, $"b")
+      .repartition(width, $"b")
     // the edge list is the shared artifact every co-engagement query
     // fans out from (degree table + wedge sides in q197, k label-prop
     // rounds, the k-core peel seed, assortativity's endpoint joins) —
     // checkpoint it once so the pair generation never re-runs per
-    // consumer position
+    // consumer position. Lazy: the first consumer action materializes
+    // it (an eager pin here would be one more fixed-cost job on every
+    // graph query). Pinned set is the THRESHOLDED edge list
+    // (w ≥ minShared), bounded far below the corpus; iterative
+    // consumers (kCore, the component solve) release it as soon as
+    // their own artifacts supersede it.
     val edges = ku.as("l").join(ku.as("r"),
         col("l.b") === col("r.b") && col("l.user_id") < col("r.user_id"))
       .groupBy(col("l.user_id").as("u"), col("r.user_id").as("v"))
       .agg(count(lit(1)).as("w"))
       .filter($"w" >= minShared)
       .select($"u", $"v")
-      .localCheckpoint(false) // lazy: first consumer materializes
+      .localCheckpoint(false)
     (edges, hot)
   }
 
@@ -421,7 +460,9 @@ object InsightOps {
         when(low, $"u").otherwise($"v").as("src"),
         when(low, $"v").otherwise($"u").as("dst"),
         when(low, $"dv").otherwise($"du").as("ddst"))
-      .localCheckpoint(false) // lazy: cut before the three-way reuse
+      .localCheckpoint(false) // lazy: cut before the three-way reuse;
+    // bounded (one row per thresholded edge + two degree columns) —
+    // blocks live until ContextCleaner, the documented lazy-pin tradeoff
     val tri = oriented.as("x")
       .join(oriented.as("y"),
         col("x.src") === col("y.src") &&
@@ -484,7 +525,8 @@ object InsightOps {
         struct($"u", $"v"),
         struct($"v".as("u"), $"u".as("v")))).as("e"))
       .select($"e.u".as("u"), $"e.v".as("v"))
-      .localCheckpoint(false) // lazy: materialized once, read k times
+      .localCheckpoint(false) // lazy: materialized once, read k times;
+    // bounded: 2·|thresholded edge list|
     var labels = sym.select($"u".as("node")).distinct()
       .withColumn("label", $"node")
     (1 to k).foreach { _ =>
@@ -518,8 +560,13 @@ object InsightOps {
     * graphs. Edge derivation and hot-bucket accounting are q197's. */
   def q207Components(s: SparkSession, dir: String): DataFrame = {
     val (edges, hot) = coEdges(load(s, dir, "events"), 3L)
-    graft.operators.TextOps.clusterMembersFromPairs(
-        edges.select($"u".as("id_a"), $"v".as("id_b")))
+    val members = graft.operators.TextOps.clusterMembersFromPairs(
+      edges.select($"u".as("id_a"), $"v".as("id_b")))
+    // the solve pinned (and already released) its own copy; its result
+    // is driver-local rows or the contraction's own checkpoint — the
+    // edge pin has no consumer left
+    graft.operators.TextOps.releaseLocalCheckpoint(edges)
+    members
       .select($"doc_id".as("user_id"), $"cluster_id".as("component"))
       .crossJoin(broadcast(hot))
   }
@@ -543,9 +590,30 @@ object InsightOps {
     * converge is bounded by the peeling depth, not graph size; the
     * loop REFUSES (throws) past `maxRounds` rather than returning an
     * unconverged core (q51's converge-or-throw discipline). */
-  def kCore(edges0: DataFrame, k: Long, maxRounds: Int): DataFrame = {
-    var cur = edges0.localCheckpoint(false)
-    var n = cur.count()
+  /** Edge sets at or below this size peel on the DRIVER (the
+    * [[TextOps.clusterMembersFromPairs]] hybrid discipline): the
+    * distributed peel is a per-round checkpoint + count action ladder
+    * — 3-4 cluster jobs per round of pure fixed cost on a tiny frame —
+    * while ≤1M (long, long) edges peel in milliseconds in memory. The
+    * k-core is UNIQUE (removal order cannot change the fixpoint), so
+    * both paths return the same subgraph; InsightOpsSpec pins the two
+    * paths row-for-row across the boundary. */
+  val KCoreMaxLocalEdges: Long = 1000000L
+
+  def kCore(edges0: DataFrame, k: Long, maxRounds: Int,
+      maxLocalEdges: Long = KCoreMaxLocalEdges): DataFrame = {
+    // never re-checkpoint a frame that IS already a checkpoint leaf
+    // (coEdges hands one over): the copy costs a materialization job
+    // and a duplicate block set per query
+    val pinned = if (isCheckpointLeaf(edges0)) edges0
+      else edges0.localCheckpoint(false)
+    var n = pinned.count()
+    if (n <= maxLocalEdges) {
+      val es = pinned.collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (!(pinned eq edges0)) TextOps.releaseLocalCheckpoint(pinned)
+      return kCoreLocal(edges0.sparkSession, es, k, maxRounds)
+    }
+    var cur = pinned
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -560,6 +628,9 @@ object InsightOps {
         .select($"u", $"v")
         .localCheckpoint(false)
       val m = next.count()
+      // the superseded round's blocks are dead once next is
+      // materialized — release them (round 0 is the caller's frame)
+      if (!(cur eq pinned)) TextOps.releaseLocalCheckpoint(cur)
       converged = m == n
       n = m
       cur = next
@@ -571,6 +642,48 @@ object InsightOps {
       .groupBy($"node").agg(count(lit(1)).as("core_deg"))
   }
 
+  /** The driver-local peel — identical round structure and refusal to
+    * the distributed loop (converge by edge count, throw past
+    * maxRounds), so the hybrid boundary is invisible in results. */
+  private[operators] def kCoreLocal(
+      spark: SparkSession, es: Array[(Long, Long)],
+      k: Long, maxRounds: Int): DataFrame = {
+    var cur = es
+    var n = cur.length
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val deg = scala.collection.mutable.Map.empty[Long, Long]
+      cur.foreach { case (u, v) =>
+        deg.update(u, deg.getOrElse(u, 0L) + 1L)
+        deg.update(v, deg.getOrElse(v, 0L) + 1L)
+      }
+      val next = cur.filter { case (u, v) => deg(u) >= k && deg(v) >= k }
+      val m = next.length
+      converged = m == n
+      n = m
+      cur = next
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore: no fixpoint within $maxRounds peeling rounds")
+    val coreDeg = scala.collection.mutable.Map.empty[Long, Long]
+    cur.foreach { case (u, v) =>
+      coreDeg.update(u, coreDeg.getOrElse(u, 0L) + 1L)
+      coreDeg.update(v, coreDeg.getOrElse(v, 0L) + 1L)
+    }
+    import spark.implicits._
+    coreDeg.toSeq.sortBy(_._1).toDF("node", "core_deg")
+  }
+
+  /** True iff the frame's plan is a bare `localCheckpoint` leaf — its
+    * blocks already hold the materialized rows, so another checkpoint
+    * would only copy them. */
+  private def isCheckpointLeaf(df: DataFrame): Boolean =
+    df.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+
   /** q211 — the 3-core of the co-engagement graph with the shared
     * hot-bucket accounting; every surviving user's in-core degree is
     * the gated value. Oracle: the peeling loop unrolled to
@@ -581,7 +694,12 @@ object InsightOps {
 
   def q211KCore(s: SparkSession, dir: String): DataFrame = {
     val (edges, hot) = coEdges(load(s, dir, "events"), 3L)
-    kCore(edges, k = 3L, maxRounds = KCoreRounds)
+    val core = kCore(edges, k = 3L, maxRounds = KCoreRounds)
+    // kCore's result never re-reads the edge pin (the local path
+    // returns driver-local rows; the distributed path ends on its own
+    // round checkpoint) — free the blocks now
+    graft.operators.TextOps.releaseLocalCheckpoint(edges)
+    core
       .select($"node".as("user_id"), $"core_deg")
       .crossJoin(broadcast(hot))
   }
@@ -872,7 +990,10 @@ object InsightOps {
   /** Core: modularity of a partition `lab` = (node, label) over an
     * undirected edge list (u < v). */
   def modularityOf(edges: DataFrame, lab: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint(false)
+    // skip the pin when the caller already hands a checkpoint leaf
+    // (q242 does) — re-checkpointing copies the block set for nothing
+    val e = if (isCheckpointLeaf(edges)) edges
+      else edges.localCheckpoint(false)
     val m = e.count()
     val sym = e.unionAll(e.select($"v".as("u"), $"u".as("v")))
     val deg = sym.groupBy($"u".as("node")).agg(count(lit(1)).as("d"))
@@ -892,12 +1013,15 @@ object InsightOps {
 
   def q242Modularity(s: SparkSession, dir: String): DataFrame = {
     val ev = load(s, dir, "events")
+    // one edge derivation serves both the propagation and the score —
+    // coEdges' pin IS the shared checkpoint (r16 re-checkpointed it
+    // here and again in modularityOf: two copies of the same blocks
+    // plus two materialization jobs). The score's joins read the pin
+    // at action time, so it stays alive (bounded: thresholded edges).
     val (edges, hot) = coEdges(ev, 3L)
-    // one edge derivation serves both the propagation and the score
-    val e = edges.localCheckpoint(false)
-    val lab = labelPropagationFromEdges(e, k = 3)
+    val lab = labelPropagationFromEdges(edges, k = 3)
       .select($"user_id".as("node"), $"label")
-    modularityOf(e, lab).crossJoin(broadcast(hot))
+    modularityOf(edges, lab).crossJoin(broadcast(hot))
   }
 
   /** The q197 oracle's shared edge-derivation CTE block (bucket guard +

@@ -316,6 +316,24 @@ class InsightOpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Long]("core_deg") >= 3L))
   }
 
+  test("q211: the driver-local peel equals the distributed loop row-for-row") {
+    import spark.implicits._
+    // clique + chain + a 5-cycle (cycle survives k=2, peels at k=3)
+    val edges = (Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 10L), (10L, 11L), (11L, 12L)) ++
+      (20L until 24L).map(i => (i, i + 1)) :+ (20L, 24L)).toDF("u", "v")
+    for (k <- Seq(2L, 3L)) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val local = InsightOps.kCoreLocal(spark, es, k, 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // force the distributed loop by pinning the local cutoff to 0
+      val dist = InsightOps.kCore(edges, k, maxRounds = 16, maxLocalEdges = 0L)
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("core_deg"))).toSet
+      assert(local === dist, s"hybrid paths diverge at k=$k")
+    }
+  }
+
   test("q235: every walk takes real edges, has full length, and is deterministic") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
