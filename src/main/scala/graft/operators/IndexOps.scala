@@ -1191,13 +1191,25 @@ object IndexOps {
         SummaryRewrite.rollupSummary(s.read.parquet(fine0), Seq("source"),
           sumCols = Seq("n_chars"), minMaxCols = Seq("n_chars")),
         Seq("source"), s"$t/derived_by_source")
-      // equivalence gate: derived ≡ from-scratch (both summary-sized)
-      val derived =
-        s.read.parquet(s"$t/derived_by_source").collect().map(_.toSeq).toSet
+    }
+    // equivalence gate: derived ≡ from-scratch, both summary-sized. It
+    // runs PER-REP, outside the memoized artifact build (r16 moved it
+    // inside the memo, silently making it once-per-JVM while the
+    // stated discipline kept value proofs per-rep — the r16 verdict's
+    // item 4); both sides union into ONE tagged collect so the proof
+    // costs a single action.
+    locally {
+      val derived = s.read.parquet(s"$tmp/derived_by_source")
       val scratch = SummaryRewrite.summaryFrame(s.read.parquet(factPath),
         Seq("source"), Seq("n_chars"), Seq("n_chars"))
-        .collect().map(_.toSeq).toSet
-      require(derived == scratch,
+      def rowJson(df: DataFrame, side: String) =
+        df.select(lit(side).as("side"),
+          to_json(struct(derived.columns.map(col).toIndexedSeq: _*)).as("row"))
+      val both = rowJson(derived, "d").unionByName(rowJson(scratch, "s"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val dSet = both.collect { case ("d", v) => v }.toSet
+      val sSet = both.collect { case ("s", v) => v }.toSet
+      require(dSet == sSet,
         "q269 gate broken: lattice derivation diverges from the fact build")
     }
     val fine = s"$tmp/fine_by_source_lang"
@@ -1839,9 +1851,20 @@ object IndexOps {
     val qJoin = load(s, dir, "orders")
       .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
-    val direct1 = q1.collect().map(_.toSeq).toSet
-    val direct2 = q2.collect().map(_.toSeq).toSet
-    val direct3 = q3.collect().map(_.toSeq).toSet
+    // ONE action collects all three dashboards (tagged + canonicalized
+    // to JSON rows so the three schemas union): r16 paid six separate
+    // collect jobs for the direct/served value-equality gate — the
+    // query's dominant per-rep job cost after the artifact build was
+    // memoized. Both sides canonicalize through the same to_json, so
+    // double formatting cancels; the equality stays PER-REP.
+    def tagged(qs: Seq[(String, DataFrame)]): Map[String, Set[String]] =
+      qs.map { case (nm, df) =>
+        df.select(lit(nm).as("q"),
+          to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("row"))
+      }.reduce(_.unionByName(_))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val direct = tagged(Seq("q1" -> q1, "q2" -> q2, "q3" -> q3))
     val (advs, notes) =
       SummaryRewrite.adviseSummaries(s, Seq(q1, q2, q3, qJoin))
     val advice = advs.find(_.fact.endsWith("documents.parquet")).getOrElse(
@@ -1875,9 +1898,8 @@ object IndexOps {
               !p.contains("documents.parquet"),
             s"q280 gate is vacuous: advised summary did not serve $nm")
         }
-      require(q1.collect().map(_.toSeq).toSet == direct1 &&
-          q2.collect().map(_.toSeq).toSet == direct2 &&
-          q3.collect().map(_.toSeq).toSet == direct3,
+      val served = tagged(Seq("q1" -> q1, "q2" -> q2, "q3" -> q3))
+      require(served == direct,
         "q280 gate broken: advised serving diverged from the fact scans")
       // bounded: one row per source
       val rows = q1.collect().toIndexedSeq

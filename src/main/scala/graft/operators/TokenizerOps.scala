@@ -95,7 +95,11 @@ object TokenizerOps {
     // word-count shuffle through the vocab lineage (k corpus passes
     // for k rounds); the checkpoint makes round r a scan of the
     // materialized vocabulary + r stacked replaces — the documented
-    // "corpus touched exactly once" contract, now true per action too
+    // "corpus touched exactly once" contract, now true per action too.
+    // Boundedness: the pin is the word-frequency VOCABULARY (Heaps'-law
+    // bounded), never the corpus; its blocks are freed by
+    // ContextCleaner after the last round's action — the documented
+    // lazy-pin tradeoff
     var vocab = wf0.select(spaced($"w").as("ws"), $"wf")
       .localCheckpoint(false)
     (1 to k).map { _ =>

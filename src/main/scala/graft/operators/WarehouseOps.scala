@@ -187,7 +187,11 @@ object WarehouseOps {
     // modal vote are separate consumers, and the canonical-key text
     // normalization is the expensive part of the scan — unpinned, it
     // re-ran once per consumer (measured: three ~2.1 task-sec passes
-    // at sf0.1; one after the pin)
+    // at sf0.1; one after the pin). Boundedness: one NARROW row per
+    // doc (ck hash + three small fields), never the text itself;
+    // blocks are freed by ContextCleaner after the caller's action —
+    // the documented lazy-pin tradeoff (an in-function release is
+    // impossible while the returned frame still reads the pin lazily)
     val keyed = docs.select(HygieneOps.canonicalKey($"text").as("ck"),
       $"doc_id", $"lang", $"source")
       .localCheckpoint(false)

@@ -1536,6 +1536,12 @@ object SummaryRewrite {
     // lineage, and the pinned frame is summary-group-sized.
     val joined = merged.join(delDelta, keys, "full_outer")
       .localCheckpoint(false)
+    // try/finally so REFUSAL paths (the phantom-delete and
+    // negative-evidence requires below) also free the pinned blocks
+    // deterministically — on a long-lived session repeated refused
+    // commits would otherwise accumulate MEMORY_AND_DISK block sets
+    // until driver GC happens to run
+    try {
     // a delete for a key group the artifact does not carry is a wrong
     // batch, not a no-op
     val phantom = joined.filter(col("cnt").isNull).count()
@@ -1616,13 +1622,12 @@ object SummaryRewrite {
             array_max(map_keys(col(s"hist_$n")))
               .cast(latest.schema(s"maxx_$n").dataType))
       }
-    val snap = graft.operators.IndexOps.writeSnapshot(
+    graft.operators.IndexOps.writeSnapshot(
       layout(result.select(base.schema.fieldNames.map(col)
         .toIndexedSeq: _*), keys), store)
-    // the commit was the last consumer of the pinned join — free its
-    // blocks (refusal paths skip this and fall back to ContextCleaner)
-    graft.operators.TextOps.releaseLocalCheckpoint(joined)
-    snap
+    // the commit (or a refusal above) was the last consumer of the
+    // pinned join — the finally frees its blocks on every path
+    } finally graft.operators.TextOps.releaseLocalCheckpoint(joined)
   }
 
   /** Persist a derived summary frame ([[rollupSummary]]'s output, or

@@ -299,6 +299,14 @@ case class PackedTriplesExpr(child: Expression)
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val m = a.numElements()
+    // guard m FIRST: m³/6 overflows Long from m ≈ 3.8M, which would
+    // bypass the cnt guard below and surface as a confusing
+    // NegativeArraySizeException; 4096 is far above any real itemset
+    // row (the 20-bit dictionary admits ≤ ~1M ids but C(2344,3)
+    // already exceeds the array bound) yet safely below both limits
+    if (m > 4096)
+      throw new IllegalArgumentException(
+        s"packed_triples: $m items — C($m, 3) exceeds the array bound")
     val cnt = if (m < 3) 0L else m.toLong * (m - 1) * (m - 2) / 6L
     if (cnt > Int.MaxValue - 16)
       throw new IllegalArgumentException(
@@ -334,6 +342,11 @@ case class PackedTriplesExpr(child: Expression)
       val vj = ctx.freshName("vj")
       s"""
          |int $m = $a.numElements();
+         |if ($m > 4096) {
+         |  throw new IllegalArgumentException(
+         |    "packed_triples: " + $m + " items — C(" + $m +
+         |    ", 3) exceeds the array bound");
+         |}
          |long $cnt = $m < 3 ? 0L : (long) $m * ($m - 1) * ($m - 2) / 6L;
          |if ($cnt > Integer.MAX_VALUE - 16) {
          |  throw new IllegalArgumentException(

@@ -258,6 +258,29 @@ object DocumentStream {
         "the accounting sidecar's existing write (zero extra jobs); " +
         "strict mode refuses loudly at the cap instead")
     val spark = batch.sparkSession
+    // the store sides' read SETUP (directory listing + schema + relation
+    // resolution) is pure DRIVER work — kick it onto a background thread
+    // NOW so it overlaps the signature planning + bucket-collect job
+    // below (guide §2.6's overlap discipline applied to driver-side
+    // latency; measured ~0.15 s of listing per probe batch that used to
+    // sit between jobs). Existence is pre-checked with one cheap
+    // filesystem call so a fresh store still skips every read; any
+    // NON-missing-path read failure propagates at the await exactly as
+    // it did inline.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val bandsExist = {
+      val p = new org.apache.hadoop.fs.Path(s"$sigStore/bands")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    val storeF =
+      if (!bandsExist) None
+      else Some(Future(storeBandsFrame(spark, sigStore)))
+    val sigsReadF =
+      if (!bandsExist) None
+      else Some(Future(scala.util.Try(
+        spark.read.parquet(s"$sigStore/sigs"))))
     // batch-sized; consumed four times. LAZY localCheckpoint: the first
     // action over it (bucket collect with a store, otherwise the drops
     // write / member collect) materializes the blocks, so pinning the
@@ -275,11 +298,11 @@ object DocumentStream {
     // FRESH store there is nothing to prune, so the collect (a whole
     // distinct-shuffle action) only runs when a store exists. Bounded:
     // ≤ LshBands × BandBuckets distinct buckets.
-    val store = storeBandsFrame(spark, sigStore)
     val buckets =
-      if (store.isEmpty) Seq.empty[(Int, Int)]
+      if (!bandsExist) Seq.empty[(Int, Int)]
       else newBands.select(col("band"), col("pbucket")).distinct()
         .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val store = storeF.map(Await.result(_, Duration.Inf)).getOrElse(None)
     // the pruned slice feeds BOTH the band probe and the rep/pdoc meta
     // lookup — lazily checkpointed so the store is scanned once per
     // batch (materialized by the pdoc collect below, no eager job)
@@ -311,18 +334,31 @@ object DocumentStream {
         .join(candIds, "doc_id").localCheckpoint(false)
     }
     // bounded collect: ≤ SigBuckets distinct pdoc partitions — ONE job
-    // that materializes the pruned store scan, the guarded candidates,
-    // and the meta lookup together (was three eager-checkpoint jobs +
-    // a collect); the strict-mode raise_error fires here, before any
-    // store mutation
-    val pdocs = storeMeta.toSeq
-      .flatMap(_.select(col("pdoc")).distinct().collect().map(_.getInt(0)))
+    // that materializes the pruned store scan and the guarded
+    // candidates; the strict-mode raise_error fires here, before any
+    // store mutation. pdoc is a PURE FUNCTION of doc_id (pdocCol), so
+    // the partition list comes straight off the candidate ids — the
+    // store-meta distinct+join that r16 ran inside this collect now
+    // materializes lazily inside the (concurrent) store-write phase,
+    // its only remaining consumer. The list is a superset of r16's
+    // (it adds the new ids' buckets), which only widens the pruned
+    // sigs scan within the batch's own bucket footprint — verify
+    // results are unchanged (extra rows join no candidate).
+    val pdocs =
+      if (storeMeta.isEmpty) Seq.empty[Int]
+      else candIds.select(pdocCol.as("pdoc")).distinct()
+        .collect().map(_.getInt(0)).toSeq
     val shCols = (d: DataFrame) => d.select(col("doc_id"), col("sh_set"))
     val verifySigs =
       if (pdocs.isEmpty) shCols(newSigs)
-      else shCols(spark.read.parquet(s"$sigStore/sigs")
-          .filter(col("pdoc").isin(pdocs: _*)))
-        .unionByName(shCols(newSigs))
+      else {
+        // pdocs nonEmpty ⇒ a store exists ⇒ the background read was
+        // launched; a sigs-side read failure surfaces here — exactly
+        // where the inline read used to throw
+        val sigsDf = Await.result(sigsReadF.get, Duration.Inf).get
+        shCols(sigsDf.filter(col("pdoc").isin(pdocs: _*)))
+          .unionByName(shCols(newSigs))
+      }
     val pairs = TextOps.verifyPairs(cand, verifySigs, threshold)
     val members = TextOps.clusterMembersFromPairs(pairs)
     // transitive resolution: each member's candidate rep is its STORED
